@@ -1,0 +1,134 @@
+"""Ray Data stages: the actor-pool extraction stage + skew routing helpers.
+
+Execution model (idiomatic Ray Data, BASELINE.json north_star):
+
+    ray.data.read_parquet(corpus)            # (url, warc_ts, html, text, lang)
+      -> map_batches(ExtractDocuments,       # CALLABLE CLASS → actor pool
+                     batch_format="pyarrow", # zero-copy Arrow blocks
+                     batch_size=DOC_BATCH,   # docs are heavy rows: small batches
+                     concurrency=N)
+      -> write_parquet(...)
+
+``ExtractDocuments.__init__`` holds the per-actor CMap cache (SURVEY.md
+§2.3 A1) — across a Common-Crawl-style corpus the same standard-font
+ToUnicode streams repeat constantly, so CMap parsing amortizes to a dict
+hit.  Compiled regexes are module-level in core.tokenizer (A5), shared by
+every actor at import time.
+
+The per-batch body necessarily loops documents in Python: parsing a PDF
+byte payload IS the useful compute (there is no vectorized kernel for
+"interpret a content stream").  Everything around it — column access,
+output assembly — is Arrow-native with an explicit schema so block
+schemas stay stable across batches (no inference drift).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from pdf_parser_ray.extract import extract_document
+
+# Default knobs (overridable per pipeline; see pipelines.extract_corpus).
+DOC_BATCH_SIZE = 64          # heavy binary rows → small batches (ray_guide: memory-aware)
+OVERSIZE_THRESHOLD = 1 << 20  # 1 MiB payload → dedicated pool (SURVEY.md §4 skew row)
+
+SPAN_TYPE = pa.struct(
+    [
+        ("page", pa.int32()),
+        ("text", pa.string()),
+        ("x0", pa.float64()),
+        ("y0", pa.float64()),
+        ("x1", pa.float64()),
+        ("y1", pa.float64()),
+        ("font", pa.string()),
+        ("encoded_hex", pa.string()),
+        ("instance_index", pa.int32()),
+        ("offset_start", pa.int64()),
+        ("offset_end", pa.int64()),
+    ]
+)
+
+EXTRACT_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("lang", pa.string()),
+        ("kind", pa.string()),
+        ("status", pa.string()),
+        ("n_pages", pa.int32()),
+        ("n_spans", pa.int32()),
+        ("extracted_text", pa.string()),
+        ("spans", pa.list_(SPAN_TYPE)),
+    ]
+)
+
+
+class ExtractDocuments:
+    """Actor-pool stage: one batch of corpus rows in → extraction records out.
+
+    State held per actor (built once in ``__init__``, reused per batch):
+    the CMap cache keyed by ToUnicode byte hash.  Use with::
+
+        ds.map_batches(ExtractDocuments, batch_format="pyarrow",
+                       batch_size=DOC_BATCH_SIZE, concurrency=(1, n))
+    """
+
+    def __init__(self, include_spans: bool = True):
+        self.cmap_cache: dict = {}
+        self.include_spans = include_spans
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        payloads = batch.column("html").to_pylist()
+        texts = (
+            batch.column("text").to_pylist()
+            if "text" in batch.column_names
+            else [None] * len(urls)
+        )
+        warc_ts = (
+            batch.column("warc_ts")
+            if "warc_ts" in batch.column_names
+            else pa.nulls(len(urls), pa.timestamp("us"))
+        )
+        langs = (
+            batch.column("lang")
+            if "lang" in batch.column_names
+            else pa.nulls(len(urls), pa.string())
+        )
+
+        records = [
+            extract_document(u, p, t, self.cmap_cache)
+            for u, p, t in zip(urls, payloads, texts)
+        ]
+
+        cols: dict = {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": warc_ts,
+            "lang": langs,
+            "kind": pa.array([r["kind"] for r in records], pa.string()),
+            "status": pa.array([r["status"] for r in records], pa.string()),
+            "n_pages": pa.array([r["n_pages"] for r in records], pa.int32()),
+            "n_spans": pa.array([r["n_spans"] for r in records], pa.int32()),
+            "extracted_text": pa.array(
+                [r["extracted_text"] for r in records], pa.string()
+            ),
+        }
+        names = list(EXTRACT_SCHEMA.names)
+        if self.include_spans:
+            cols["spans"] = pa.array(
+                [r["spans"] for r in records], pa.list_(SPAN_TYPE)
+            )
+        else:
+            names.remove("spans")
+        return pa.table({n: cols[n] for n in names})
+
+
+def payload_size_mask(batch: pa.Table, threshold: int, keep_small: bool) -> pa.Table:
+    """Vectorized size filter used for skew routing (pure pyarrow.compute)."""
+    import pyarrow.compute as pc
+
+    sizes = pc.binary_length(batch.column("html"))
+    mask = pc.less_equal(sizes, threshold) if keep_small else pc.greater(sizes, threshold)
+    # binary_length(null) → null; route null/empty payloads with the small side.
+    mask = pc.fill_null(mask, keep_small)
+    return batch.filter(mask)

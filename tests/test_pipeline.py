@@ -1,0 +1,161 @@
+"""End-to-end Ray Data pipeline tests: extraction, skew split, dedup,
+checkpoint/resume, and determinism of the whole corpus run."""
+
+import hashlib
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from pdf_parser_ray.corpus import generate_corpus_table, make_document
+from pdf_parser_ray.stages import OVERSIZE_THRESHOLD
+
+N_DOCS = 120
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("corpus")
+    tbl = generate_corpus_table(N_DOCS, seed=SEED)
+    pq.write_table(tbl.slice(0, N_DOCS // 2), str(d / "part0.parquet"))
+    pq.write_table(tbl.slice(N_DOCS // 2), str(d / "part1.parquet"))
+    return str(d)
+
+
+def run_extract(corpus_dir, **kw):
+    from pdf_parser_ray.pipelines import extract_corpus, read_corpus
+
+    return extract_corpus(read_corpus(corpus_dir), **kw)
+
+
+def result_fingerprint(ds):
+    rows = sorted(
+        (r["url"], r["status"], r["extracted_text"]) for r in ds.take_all()
+    )
+    return hashlib.sha256(json.dumps(rows).encode()).hexdigest()
+
+
+class TestExtractPipeline:
+    def test_row_count_and_schema(self, corpus_dir):
+        ds = run_extract(corpus_dir)
+        out = ds.take_all()
+        assert len(out) == N_DOCS
+        cols = set(out[0].keys())
+        assert {"url", "status", "kind", "extracted_text", "spans", "n_spans"} <= cols
+
+    def test_matches_serial_reference_path(self, corpus_dir):
+        """Distributed output == serial extract_document over every row."""
+        from pdf_parser_ray.extract import extract_document
+
+        ds = run_extract(corpus_dir)
+        got = {r["url"]: r for r in ds.take_all()}
+        for i in range(N_DOCS):
+            doc = make_document(i, SEED)
+            exp = extract_document(doc["url"], doc["html"], doc["text"])
+            assert got[doc["url"]]["extracted_text"] == exp["extracted_text"], doc["url"]
+            assert got[doc["url"]]["status"] == exp["status"]
+            assert got[doc["url"]]["n_spans"] == exp["n_spans"]
+
+    def test_deterministic_across_runs_and_knobs(self, corpus_dir):
+        f1 = result_fingerprint(run_extract(corpus_dir, batch_size=64))
+        f2 = result_fingerprint(
+            run_extract(corpus_dir, batch_size=7, concurrency=2, split_oversized=False)
+        )
+        assert f1 == f2
+
+    def test_skew_split_covers_all_rows(self, corpus_dir):
+        ds = run_extract(corpus_dir, oversize_threshold=2000)
+        assert ds.count() == N_DOCS
+
+    def test_without_spans_column(self, corpus_dir):
+        ds = run_extract(corpus_dir, include_spans=False)
+        row = ds.take(1)[0]
+        assert "spans" not in row
+
+
+class TestDedupAndStats:
+    def test_url_dedup(self, corpus_dir, ray_session, tmp_path):
+        import ray.data
+
+        from pdf_parser_ray.pipelines import dedup_urls
+
+        tbl = generate_corpus_table(30, seed=SEED)
+        dup = pq.read_table(corpus_dir + "/part0.parquet")
+        both = str(tmp_path / "dup")
+        os.makedirs(both)
+        pq.write_table(tbl, both + "/a.parquet")
+        pq.write_table(tbl.slice(0, 10), both + "/b.parquet")
+        ds = ray.data.read_parquet(both)
+        assert ds.count() == 40
+        assert dedup_urls(ds).count() == 30
+        del dup
+
+    def test_status_counts(self, corpus_dir):
+        from pdf_parser_ray.pipelines import status_counts
+
+        pdf = status_counts(run_extract(corpus_dir)).to_pandas()
+        assert pdf["n"].sum() == N_DOCS
+        assert (pdf["n"] > 0).all()
+
+
+class TestCheckpoint:
+    def test_run_resume_and_idempotence(self, corpus_dir, tmp_path, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.checkpoint import run_extract_job
+
+        files = [corpus_dir + "/part0.parquet", corpus_dir + "/part1.parquet"]
+        out = str(tmp_path / "job")
+        s1 = run_extract_job(files, out, num_partitions=2)
+        assert s1["ran"] == 2 and s1["skipped"] == 0
+        assert sum(m["docs_out"] for m in s1["manifests"]) == N_DOCS
+
+        # Rerun: everything sealed → all skipped.
+        s2 = run_extract_job(files, out, num_partitions=2)
+        assert s2["ran"] == 0 and s2["skipped"] == 2
+
+        # Damage partition 1 (unseal) → only it reruns, content identical.
+        before = sorted(
+            (r["url"], r["extracted_text"])
+            for r in ray.data.read_parquet(
+                out + "/part=1", file_extensions=["parquet"]
+            ).take_all()
+        )
+        os.remove(out + "/part=1/manifest.json")
+        s3 = run_extract_job(files, out, num_partitions=2)
+        assert s3["ran"] == 1 and s3["skipped"] == 1
+        after = sorted(
+            (r["url"], r["extracted_text"])
+            for r in ray.data.read_parquet(
+                out + "/part=1", file_extensions=["parquet"]
+            ).take_all()
+        )
+        assert before == after
+
+
+class TestOversized:
+    def test_oversized_doc_routed_and_extracted(self, ray_session, tmp_path):
+        import ray.data
+
+        from pdf_parser_ray.pipelines import extract_corpus
+
+        # Find a doc id whose payload is oversized (rng r < 0.001).
+        big_id = None
+        for i in range(4000):
+            d = make_document(i, SEED)
+            if len(d["html"]) > OVERSIZE_THRESHOLD:
+                big_id = i
+                break
+        assert big_id is not None, "no oversized doc in first 4000 ids"
+        tbl = generate_corpus_table(3, seed=SEED)
+        import pyarrow as pa
+
+        big_row = pa.Table.from_pylist([make_document(big_id, SEED)], schema=tbl.schema)
+        pq.write_table(pa.concat_tables([tbl, big_row]), str(tmp_path / "c.parquet"))
+        ds = extract_corpus(ray.data.read_parquet(str(tmp_path / "c.parquet")))
+        rows = {r["url"]: r for r in ds.take_all()}
+        assert len(rows) == 4
+        big = rows[f"https://example.org/doc/{big_id:08d}"]
+        assert big["status"] == "ok" and len(big["extracted_text"]) > 100
