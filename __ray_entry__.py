@@ -1,16 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init(...)`` itself BEFORE importing this module —
+nothing here (or in pdf_parser_ray) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()``       — flagship extraction pipeline over the self-
+  synthesized CC-style corpus at sf0.001 scale (500 docs); returns a
+  ``ray.data.Dataset``.
+* ``queries()``     — one callable per implemented operator/pipeline
+  (SURVEY.md §2 + the corpus-scale operators), each taking ``sf_dir``.
+* ``oracle_sql()``  — DuckDB-equivalent SQL for the SQL-expressible
+  entries (same column names/types); non-SQL pipelines (extraction,
+  MinHash/SimHash, language ID, LSH-kNN, rolling fingerprints) are
+  intentionally absent → rows-only check.
 """
 
 from __future__ import annotations
@@ -20,25 +21,21 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: synth corpus @ sf0.001 → extraction Dataset (≥0 rows)."""
+    from pdf_parser_ray.corpus import ensure_corpus, sf_to_n_docs
+    from pdf_parser_ray.pipelines import extract_corpus, read_corpus
+
+    corpus_dir = ensure_corpus(sf_to_n_docs(0.001))
+    return extract_corpus(read_corpus(corpus_dir), include_spans=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from pdf_parser_ray.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pdf_parser_ray.queries import SQL
+
+    return dict(SQL)

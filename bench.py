@@ -1,0 +1,165 @@
+"""Benchmark harness (driver contract).
+
+Plain run: one JSON line with the headline extraction wall time over the
+sf corpus plus per-query timings:
+
+    GRAFT_SF_DIR=/root/testdata/sf0.1 RAY_GRAFT_CPUS=32 python bench.py
+
+``--scaling``: runs the headline pipeline in two FRESH processes
+(num_cpus=8 then num_cpus=32) on the same pre-generated, page-cache-warm
+corpus and reports both throughputs + scaling efficiency
+(= (t_8/t_32)/4; 1.0 = linear).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR_DEFAULT = "/root/testdata/sf0.1"
+
+BENCH_QUERIES = [
+    "token_stats",
+    "dedup_exact",
+    "minhash_pairs",
+    "simhash_groups",
+    "knn_cosine",
+    "pricing_summary",
+    "top_orders",
+    "region_revenue",
+    "tumbling_events",
+    "sessionize",
+]
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def run_bench(headline_only: bool = False) -> dict:
+    import ray
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", SF_DIR_DEFAULT)
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf = _sf_from_dir(sf_dir)
+
+    ray.init(
+        address="local",
+        num_cpus=ncpu,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data
+
+    from pdf_parser_ray.corpus import ensure_corpus, sf_to_n_docs
+    from pdf_parser_ray.pipelines import extract_corpus, read_corpus
+
+    n_docs = sf_to_n_docs(sf)
+    corpus_dir = ensure_corpus(n_docs)  # cached; generation not timed
+
+    # Warm the OS page cache so we measure compute, not first-touch disk IO.
+    read_corpus(corpus_dir).count()
+
+    out_dir = f"/tmp/ppr_bench_out_{ncpu}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.monotonic()
+    extract_corpus(read_corpus(corpus_dir), include_spans=True).write_parquet(out_dir)
+    headline_sec = time.monotonic() - t0
+    docs_out = ray.data.read_parquet(out_dir, columns=["url"]).count()
+
+    query_times: dict[str, float] = {}
+    if not headline_only:
+        from pdf_parser_ray.queries import QUERIES
+        from tests.oracle_utils import to_pandas  # noqa: F401 (conversion helper)
+
+        for name in BENCH_QUERIES:
+            fn = QUERIES[name]
+            t0 = time.monotonic()
+            res = fn(sf_dir)
+            # Force execution: Datasets are lazy until consumed.
+            import pandas as pd
+            import ray.data as rd
+
+            if isinstance(res, rd.Dataset):
+                res.count()
+            query_times[name] = round(time.monotonic() - t0, 3)
+
+    result = {
+        "metric": "extract_docs_per_sec",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "queries": query_times,
+        "sf": sf,
+        "num_cpus": ncpu,
+        "n_docs": docs_out,
+        "docs_per_sec": round(docs_out / headline_sec, 2),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", SF_DIR_DEFAULT)
+    lo, hi = 8, 32
+
+    # Pre-generate + warm the corpus once, outside both timed runs.
+    import ray
+
+    ray.init(address="local", num_cpus=8, include_dashboard=False,
+             logging_level="ERROR")
+    from pdf_parser_ray.corpus import ensure_corpus, sf_to_n_docs
+
+    ensure_corpus(sf_to_n_docs(_sf_from_dir(sf_dir)))
+    ray.shutdown()
+
+    def one(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SF_DIR=sf_dir,
+            BENCH_HEADLINE_ONLY="1",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = one(lo), one(hi)
+    tp_lo, tp_hi = r_lo["docs_per_sec"], r_hi["docs_per_sec"]
+    eff = tp_hi / (tp_lo * (hi / lo))
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sf": r_lo["sf"],
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "docs_per_sec_lo": tp_lo,
+        "docs_per_sec_hi": tp_hi,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench(headline_only=bool(os.environ.get("BENCH_HEADLINE_ONLY")))))

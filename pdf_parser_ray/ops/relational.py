@@ -1,0 +1,241 @@
+"""Relational verbs + TPC-H-flavored demo pipelines over the driver tables.
+
+Join strategy by side size (ray_guide "Joins and lookups"):
+* dimension tables (region/nation/customer/supplier/part) → BROADCAST:
+  ``ray.put`` the table once, pandas-merge inside ``map_batches``; zero
+  shuffle, re-read once per actor not per batch.
+* fact⋈fact (lineitem⋈orders) → ``Dataset.join`` hash join, partitioned
+  on the key; ``num_partitions`` sized ~2×CPUs locally, ~cluster-cores
+  at scale.
+* aggregates → per-batch Arrow partial aggregation before the groupby
+  shuffle (see ``pricing_summary``).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def broadcast_merge(
+    ds: ray.data.Dataset,
+    small: pd.DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> ray.data.Dataset:
+    """Broadcast-hash-join a small pandas table into every batch.
+
+    The small side is ``ray.put`` ONCE; each actor fetches it once in
+    ``__init__`` (not per batch, not per row).
+    """
+    ref = ray.put(small)
+
+    class Merge:
+        def __init__(self) -> None:
+            self.small = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return df.merge(self.small, on=on, how=how)
+
+    return ds.map_batches(Merge, batch_format="pandas", concurrency=concurrency)
+
+
+TARGET_JOIN_PARTITION_BYTES = 64 << 20
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: Sequence[str],
+    *,
+    num_partitions: int | None = None,
+    join_type: str = "inner",
+) -> ray.data.Dataset:
+    """Partitioned hash join of two large datasets on ``on``.
+
+    ``num_partitions`` defaults to total-input-bytes / 64 MiB clamped to
+    [4, 1024] — each join aggregator actor has a fixed setup cost, so
+    partition count must track DATA size, not a constant (4 is right at
+    test scale; a 100 TB join lands at the 1024 cap and should be raised
+    with the cluster size).
+    """
+    if num_partitions is None:
+        try:
+            total = (left.size_bytes() or 0) + (right.size_bytes() or 0)
+        except Exception:
+            total = 0
+        num_partitions = max(4, min(1024, total // TARGET_JOIN_PARTITION_BYTES or 4))
+    return left.join(
+        right,
+        join_type=join_type,
+        num_partitions=int(num_partitions),
+        on=tuple(on),
+    )
+
+
+# ------------------------------------------------------------ pipelines
+
+def pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q1 shape: grouped pricing aggregates over lineitem.
+
+    Partial-aggregate per batch in Arrow, then a tiny global groupby —
+    the shuffle moves O(groups × batches) rows, not O(rows).
+    """
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.less_equal(
+            batch.column("l_shipdate"), pa.scalar(pd.Timestamp("1998-09-01"))
+        )
+        t = batch.filter(mask)
+        disc_price = pc.multiply(
+            t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
+        )
+        t = pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty": t.column("l_quantity"),
+                "base_price": t.column("l_extendedprice"),
+                "disc_price": disc_price,
+            }
+        )
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("base_price", "sum"), ("disc_price", "sum"), ("qty", "count")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+             "sum_disc_price", "count_order"]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        avg_qty = pc.divide(batch.column("sum_qty"), pc.cast(batch.column("count_order"), pa.float64()))
+        avg_price = pc.divide(batch.column("sum_base_price"), pc.cast(batch.column("count_order"), pa.float64()))
+        return batch.append_column("avg_qty", avg_qty).append_column("avg_price", avg_price)
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def top_orders_by_revenue(sf_dir: str, segment: str = "BUILDING", k: int = 10) -> ray.data.Dataset:
+    """TPC-H Q3 shape: customer-segment filter (broadcast) + fact hash
+    join + grouped revenue + global top-k."""
+    from ray.data.aggregate import Sum
+
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    cust = cust[cust["c_mktsegment"] == segment][["c_custkey"]]
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    orders = broadcast_merge(
+        orders.map_batches(
+            lambda df: df.rename(columns={"o_custkey": "c_custkey"}),
+            batch_format="pandas",
+        ),
+        cust,
+        on="c_custkey",
+    ).map_batches(lambda df: df.rename(columns={"o_orderkey": "l_orderkey"}),
+                  batch_format="pandas")
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    # ONE hash-join shuffle (fact ⋈ filtered fact), then per-batch partial
+    # revenue aggregation so the groupby shuffle moves partial rows only.
+    joined = hash_join(lineitem, orders, on=("l_orderkey",))
+
+    def revenue_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(revenue=df["l_extendedprice"] * (1.0 - df["l_discount"]))
+        out = df.groupby(["l_orderkey", "o_orderdate"], as_index=False)["revenue"].sum()
+        return out.rename(columns={"l_orderkey": "o_orderkey"})
+
+    agg = (
+        joined.map_batches(revenue_partial, batch_format="pandas")
+        .groupby(["o_orderkey", "o_orderdate"])
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    return agg.sort(["revenue", "o_orderkey"], descending=[True, False]).limit(k)
+
+
+def region_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Q5 shape: orders → customer → nation → region via ONE broadcast of
+    the pre-joined dimension chain (dims are tiny; join them driver-side
+    with pandas, broadcast the single lookup)."""
+    from ray.data.aggregate import Sum
+
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    region = pd.read_parquet(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    dim = (
+        cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    )[["c_custkey", "r_name"]]
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda df: df.rename(columns={"o_custkey": "c_custkey"}), batch_format="pandas"
+    )
+    joined = broadcast_merge(orders, dim, on="c_custkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("r_name", as_index=False).agg(
+            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+        )
+        return out.astype({"n_orders": "int64"})
+
+    partials = joined.map_batches(partial, batch_format="pandas")
+    return partials.groupby("r_name").aggregate(
+        Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders")
+    )
+
+
+def brand_volume(sf_dir: str) -> ray.data.Dataset:
+    """lineitem ⋈ part (broadcast) → quantity per brand."""
+    from ray.data.aggregate import Sum
+
+    part = pd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"]
+    ).map_batches(lambda df: df.rename(columns={"l_partkey": "p_partkey"}), batch_format="pandas")
+    joined = broadcast_merge(li, part, on="p_partkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("p_brand", as_index=False).agg(sum_qty=("l_quantity", "sum"))
+
+    return joined.map_batches(partial, batch_format="pandas").groupby("p_brand").aggregate(
+        Sum("sum_qty", alias_name="sum_qty")
+    )

@@ -1,0 +1,177 @@
+"""Text analysis operators over a documents table (doc_id, text, lang, ...).
+
+All per-row and embarrassingly parallel: one vectorized ``map_batches``
+each, no shuffle.  The token/punct/fingerprint definitions are chosen to
+be EXACTLY expressible in DuckDB SQL (same regex class semantics) so the
+driver's oracle can verify them value-for-value:
+
+* tokens     = non-overlapping matches of ``\\S+``
+* punct      = ASCII punctuation ``[!-/:-@[-`{-~]`` (== RE2 [[:punct:]])
+* fingerprint = md5(trim(collapse_ws(lower(text))))
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pandas as pd
+
+# re.ASCII keeps \s/\S aligned with RE2 (DuckDB) semantics — without it
+# Python treats U+00A0 etc. as whitespace and the oracle comparison drifts.
+TOKEN_PAT = re.compile(r"\S+", re.ASCII)
+PUNCT_PAT = re.compile(r"[!-/:-@\[-`{-~]")
+WS_ONE = re.compile(r"\s", re.ASCII)
+_WS = re.compile(r"\s+", re.ASCII)
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic
+# language ID (public-knowledge approach; deterministic, no model files).
+_LANG_PROFILES: dict[str, frozenset[str]] = {
+    "en": frozenset("the and of to in is that it for was with as his on be at by".split()),
+    "de": frozenset("der die das und ist nicht ein eine zu mit von auf für den".split()),
+    "fr": frozenset("le la les et des est une dans que pour qui sur pas au du".split()),
+    "es": frozenset("el la los las y es una en que por para con del se su".split()),
+    "pt": frozenset("o a os as e de que do da em um uma para com não por".split()),
+}
+
+
+def token_stats_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """doc_id, n_tokens, n_chars, n_punct, avg_token_len (vectorized)."""
+    text = df["text"].fillna("")
+    n_tokens = text.str.count(TOKEN_PAT).astype("int64")
+    n_chars = text.str.len().astype("int64")
+    n_punct = text.str.count(PUNCT_PAT).astype("int64")
+    # total non-ws chars / tokens; 0-token docs → 0.0 (SQL-mirrored CASE).
+    non_ws = (n_chars - text.str.count(WS_ONE)).astype("float64")
+    avg = (non_ws / n_tokens.where(n_tokens > 0, 1)).where(n_tokens > 0, 0.0)
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "n_tokens": n_tokens,
+            "n_chars": n_chars,
+            "n_punct": n_punct,
+            "avg_token_len": avg,
+        }
+    )
+
+
+def quality_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Quality-score columns: ratios + a composite keep/drop flag.
+
+    Heuristics in the C4/Gopher family (public rules): very short docs,
+    punctuation-free docs, and symbol-heavy docs are low quality.
+    """
+    text = df["text"].fillna("")
+    n_chars = text.str.len().astype("int64")
+    n_tokens = text.str.count(TOKEN_PAT).astype("int64")
+    n_punct = text.str.count(PUNCT_PAT).astype("int64")
+    denom = n_chars.where(n_chars > 0, 1)
+    punct_ratio = (n_punct / denom).astype("float64")
+    digit_ratio = (text.str.count(r"[0-9]") / denom).astype("float64")
+    upper_ratio = (text.str.count(r"[A-Z]") / denom).astype("float64")
+    keep = (
+        (n_tokens >= 5)
+        & (n_chars >= 20)
+        & (punct_ratio < 0.3)
+        & (digit_ratio < 0.5)
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "n_tokens": n_tokens,
+            "punct_ratio": punct_ratio,
+            "digit_ratio": digit_ratio,
+            "upper_ratio": upper_ratio,
+            "keep": keep.astype("bool"),
+        }
+    )
+
+
+def fingerprint_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """doc_id, fingerprint = md5 of whitespace-normalized lowercase text."""
+    text = df["text"].fillna("")
+    # strip(" ") not strip(): DuckDB's trim removes spaces only.
+    norm = text.str.lower().str.replace(_WS, " ", regex=True).str.strip(" ")
+    fp = norm.map(lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
+    return pd.DataFrame({"doc_id": df["doc_id"], "fingerprint": fp})
+
+
+class LangId:
+    """Actor-pool stage: stopword-profile language ID.
+
+    Profiles are built once per actor in ``__init__`` (the A5
+    compiled-state pattern); scoring is a vectorized token-set lookup.
+    Deterministic tie-break: highest hit-ratio wins, ties by language
+    code order; no hits → 'und'.
+    """
+
+    def __init__(self) -> None:
+        self.word_re = re.compile(r"[a-zA-Zà-ÿÀ-ß]+")
+        self.profiles = sorted(_LANG_PROFILES.items())  # deterministic order
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        def classify(s: str) -> str:
+            words = self.word_re.findall(s.lower())
+            if not words:
+                return "und"
+            best_lang, best_hits = "und", 0
+            for lang, prof in self.profiles:
+                hits = sum(1 for w in words if w in prof)
+                if hits > best_hits:
+                    best_lang, best_hits = lang, hits
+            return best_lang
+
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "lang_pred": df["text"].fillna("").map(classify),
+            }
+        )
+
+
+def rolling_fingerprint_batch(df: pd.DataFrame, window: int = 64) -> pd.DataFrame:
+    """Rabin-Karp-style rolling document fingerprint (winnowing flavor).
+
+    Emits the minimum 64-bit rolling hash over byte windows — a cheap
+    content-defined fingerprint robust to small edits at the ends.  Not
+    SQL-expressible → rows-only oracle check.
+    """
+    import numpy as np
+
+    B = np.uint64(1000003)
+    # Modular inverse of B mod 2^64 (B is odd), via Newton iteration
+    # (wraparound overflow is the point — suppress the warning).
+    inv = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for _ in range(6):
+            inv = inv * (np.uint64(2) - B * inv)  # doubles correct bits/step
+
+    def fp(s: str) -> int:
+        data = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        n = len(data)
+        if n == 0:
+            return 0
+        w = min(window, n)
+        # Fully vectorized rolling hash in wraparound uint64 arithmetic.
+        # Window [s, e] (w bytes) hash = sum_{j=s..e} b_j B^{e-j}
+        #   = B^e * (S_e - S_{s-1})  with  S_i = cumsum(b_j * invB^j)
+        #   = B^{w-1} * B^s * (S_e - S_{s-1}).
+        with np.errstate(over="ignore"):
+            inv_pows = np.empty(n, dtype=np.uint64)
+            inv_pows[0] = 1
+            if n > 1:
+                np.cumprod(np.full(n - 1, inv, dtype=np.uint64), out=inv_pows[1:])
+            pows = np.empty(n, dtype=np.uint64)
+            pows[0] = 1
+            if n > 1:
+                np.cumprod(np.full(n - 1, B, dtype=np.uint64), out=pows[1:])
+            S = np.cumsum(data * inv_pows, dtype=np.uint64)
+            ends = np.arange(w - 1, n)
+            starts = ends - w + 1
+            diffs = S[ends] - np.where(starts > 0, S[starts - 1], np.uint64(0))
+            window_hashes = diffs * pows[w - 1] * pows[starts]
+        return int(window_hashes.min())
+
+    return pd.DataFrame(
+        {"doc_id": df["doc_id"], "rolling_fp": df["text"].fillna("").map(fp)}
+    )

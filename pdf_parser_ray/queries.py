@@ -1,0 +1,412 @@
+"""Driver-contract queries: each Ray pipeline paired with a DuckDB oracle.
+
+Conventions that make the driver's value-hash comparison meaningful:
+
+* Column NAMES and dtypes match the SQL exactly (aggregates aliased the
+  same on both sides).
+* Float columns produced by CROSS-ROW summation are rounded on BOTH
+  sides (summation order differs between engines; rounding drowns the
+  last-ulp noise).  Per-row ratios are NOT rounded — identical operands
+  give bit-identical IEEE results, and rounding would itself be a
+  hazard (DuckDB rounds half-away, Python half-even).
+* Python regexes use re.ASCII so ``\\s``/``\\S`` match RE2's (DuckDB's)
+  ASCII semantics.
+
+Non-SQL-expressible pipelines (language ID, MinHash-LSH, SimHash,
+rolling fingerprints, LSH-kNN, the extraction flagship) have no oracle
+entry → the driver records a rows-only check (per the contract).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+ROUND_SUM = 2     # money/quantity sums
+ROUND_AVG = 4     # sum/count averages
+ROUND_COS = 6     # cosine similarities
+
+
+def _documents(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=columns or ["doc_id", "text"]
+    )
+
+
+# ------------------------------------------------------------ documents
+
+def q_doc_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-language doc counts + char sums (partial-agg before shuffle)."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("lang").aggregate([("n_chars", "sum"), ("n_chars", "count")])
+        return g.rename_columns(["lang", "sum_chars", "n_docs"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("lang").aggregate(
+        Sum("sum_chars", alias_name="sum_chars"), Sum("n_docs", alias_name="n_docs")
+    )
+
+
+def q_token_stats(sf_dir: str) -> ray.data.Dataset:
+    from pdf_parser_ray.ops.text_stats import token_stats_batch
+
+    return _documents(sf_dir).map_batches(token_stats_batch, batch_format="pandas")
+
+
+def q_quality(sf_dir: str) -> ray.data.Dataset:
+    from pdf_parser_ray.ops.text_stats import quality_batch
+
+    return _documents(sf_dir).map_batches(quality_batch, batch_format="pandas")
+
+
+def q_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    from pdf_parser_ray.ops.text_stats import fingerprint_batch
+
+    return _documents(sf_dir).map_batches(fingerprint_batch, batch_format="pandas")
+
+
+def q_dedup_exact(sf_dir: str) -> ray.data.Dataset:
+    from pdf_parser_ray.ops.dedup import exact_dedup
+
+    return exact_dedup(_documents(sf_dir))
+
+
+def q_lang_id(sf_dir: str) -> ray.data.Dataset:
+    from pdf_parser_ray.ops.text_stats import LangId
+
+    return _documents(sf_dir).map_batches(
+        LangId, batch_format="pandas", concurrency=(1, 4)
+    )
+
+
+def q_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
+    from pdf_parser_ray.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_documents(sf_dir))
+
+
+def q_simhash_groups(sf_dir: str) -> ray.data.Dataset:
+    from pdf_parser_ray.ops.dedup import simhash_groups
+
+    return simhash_groups(_documents(sf_dir))
+
+
+def q_rolling_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    from pdf_parser_ray.ops.text_stats import rolling_fingerprint_batch
+
+    return _documents(sf_dir).map_batches(
+        rolling_fingerprint_batch, batch_format="pandas"
+    )
+
+
+# ----------------------------------------------------------- embeddings
+
+def _query_vector(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas()
+    row = df[df["vec_id"] == 0]
+    return row["embedding"].iloc[0]
+
+
+def q_knn_cosine(sf_dir: str) -> pd.DataFrame:
+    """Exact top-10 cosine neighbors of vec_id 0 (excluded from results)."""
+    import numpy as np
+
+    from pdf_parser_ray.ops.similarity import knn_brute_force
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = knn_brute_force(ds, _query_vector(sf_dir), k=10, exclude_vec_id=0).to_pandas()
+    out["cosine"] = np.round(out["cosine"].astype("float64"), ROUND_COS)
+    return out[["vec_id", "cosine"]]
+
+
+def q_lsh_knn(sf_dir: str) -> pd.DataFrame:
+    import numpy as np
+
+    from pdf_parser_ray.ops.similarity import lsh_knn
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = lsh_knn(ds, _query_vector(sf_dir), k=10).to_pandas()
+    out["cosine"] = np.round(out["cosine"].astype("float64"), ROUND_COS)
+    return out[["vec_id", "cosine"]]
+
+
+# ------------------------------------------------------------ relational
+
+def _round_cols(df: pd.DataFrame, spec: dict[str, int]) -> pd.DataFrame:
+    import numpy as np
+
+    for col, nd in spec.items():
+        df[col] = np.round(df[col].astype("float64"), nd)
+    return df
+
+
+def q_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    from pdf_parser_ray.ops.relational import pricing_summary
+
+    df = pricing_summary(sf_dir).to_pandas()
+    df = _round_cols(
+        df,
+        {"sum_qty": ROUND_SUM, "sum_base_price": ROUND_SUM,
+         "sum_disc_price": ROUND_SUM, "avg_qty": ROUND_AVG, "avg_price": ROUND_AVG},
+    )
+    return df[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+               "sum_disc_price", "count_order", "avg_qty", "avg_price"]]
+
+
+def q_top_orders(sf_dir: str) -> pd.DataFrame:
+    from pdf_parser_ray.ops.relational import top_orders_by_revenue
+
+    df = top_orders_by_revenue(sf_dir).to_pandas()
+    return _round_cols(df, {"revenue": ROUND_SUM})[
+        ["o_orderkey", "o_orderdate", "revenue"]
+    ]
+
+
+def q_region_revenue(sf_dir: str) -> pd.DataFrame:
+    from pdf_parser_ray.ops.relational import region_revenue
+
+    df = region_revenue(sf_dir).to_pandas()
+    return _round_cols(df, {"revenue": ROUND_SUM})[["r_name", "revenue", "n_orders"]]
+
+
+def q_brand_volume(sf_dir: str) -> pd.DataFrame:
+    from pdf_parser_ray.ops.relational import brand_volume
+
+    df = brand_volume(sf_dir).to_pandas()
+    return _round_cols(df, {"sum_qty": ROUND_SUM})[["p_brand", "sum_qty"]]
+
+
+def q_top_customers(sf_dir: str) -> ray.data.Dataset:
+    """Simple global sort + limit (deterministic tie-break on key)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_acctbal"]
+    )
+    return ds.sort(["c_acctbal", "c_custkey"], descending=[True, False]).limit(10)
+
+
+def q_part_filter(sf_dir: str) -> ray.data.Dataset:
+    """Filter + projection pushed to the read (predicate demo)."""
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name", "p_size", "p_retailprice"],
+    )
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater(t.column("p_size"), 30)),
+        batch_format="pyarrow",
+    )
+
+
+# --------------------------------------------------------------- events
+
+def q_tumbling_events(sf_dir: str) -> pd.DataFrame:
+    from pdf_parser_ray.ops.windows import tumbling_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    df = tumbling_counts(ds, unit="hour").to_pandas()
+    return _round_cols(df, {"sum_value": ROUND_SUM})[
+        ["window_start", "event_type", "sum_value", "n_events"]
+    ]
+
+
+def q_sessionize(sf_dir: str) -> ray.data.Dataset:
+    from pdf_parser_ray.ops.windows import sessionize
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    return sessionize(ds, gap_seconds=1800)
+
+
+# ------------------------------------------------------- extraction (CC)
+
+def _sf_from_dir(sf_dir: str) -> float:
+    import re as _re
+
+    m = _re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.001
+
+
+def q_extract_corpus(sf_dir: str) -> ray.data.Dataset:
+    """The flagship over the self-synthesized CC corpus scaled to sf.
+
+    No SQL oracle (content extraction isn't SQL-expressible); the driver
+    records the rows-only check, and byte-identity is pinned by the
+    repo's own fixtures/tests instead.
+    """
+    from pdf_parser_ray.corpus import ensure_corpus, sf_to_n_docs
+    from pdf_parser_ray.pipelines import extract_corpus, read_corpus
+
+    corpus = ensure_corpus(sf_to_n_docs(_sf_from_dir(sf_dir)))
+    return extract_corpus(read_corpus(corpus), include_spans=False)
+
+
+def q_extract_status_counts(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-level extraction metrics (status × kind rollup)."""
+    from ray.data.aggregate import Count
+
+    return q_extract_corpus(sf_dir).groupby(["kind", "status"]).aggregate(
+        Count(alias_name="n")
+    )
+
+
+# ---------------------------------------------------------------- oracle
+
+SQL: dict[str, str] = {
+    "doc_stats": """
+        SELECT lang, sum(n_chars) AS sum_chars, count(*) AS n_docs
+        FROM documents GROUP BY lang
+    """,
+    "token_stats": """
+        SELECT doc_id,
+               length(regexp_extract_all(text, '\\S+')) AS n_tokens,
+               length(text) AS n_chars,
+               length(regexp_extract_all(text, '[!-/:-@[-`{-~]')) AS n_punct,
+               CASE WHEN length(regexp_extract_all(text, '\\S+')) > 0
+                    THEN (length(text) - length(regexp_extract_all(text, '\\s')))::DOUBLE
+                         / length(regexp_extract_all(text, '\\S+'))
+                    ELSE 0.0 END AS avg_token_len
+        FROM documents
+    """,
+    "quality": """
+        WITH t AS (
+          SELECT doc_id,
+                 length(regexp_extract_all(text, '\\S+')) AS n_tokens,
+                 length(text) AS n_chars,
+                 length(regexp_extract_all(text, '[!-/:-@[-`{-~]')) AS n_punct,
+                 length(regexp_extract_all(text, '[0-9]')) AS n_digit,
+                 length(regexp_extract_all(text, '[A-Z]')) AS n_upper
+          FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               n_punct::DOUBLE / greatest(n_chars, 1) AS punct_ratio,
+               n_digit::DOUBLE / greatest(n_chars, 1) AS digit_ratio,
+               n_upper::DOUBLE / greatest(n_chars, 1) AS upper_ratio,
+               (n_tokens >= 5 AND n_chars >= 20
+                AND n_punct::DOUBLE / greatest(n_chars, 1) < 0.3
+                AND n_digit::DOUBLE / greatest(n_chars, 1) < 0.5) AS keep
+        FROM t
+    """,
+    "fingerprint": """
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+        FROM documents
+    """,
+    "dedup_exact": """
+        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash,
+               min(doc_id) AS doc_id
+        FROM documents GROUP BY 1
+    """,
+    "knn_cosine": """
+        WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                            (SELECT embedding FROM q)::DOUBLE[]), 6) AS cosine
+        FROM embeddings e WHERE e.vec_id <> 0
+        ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)                          AS sum_qty,
+               round(sum(l_extendedprice), 2)                     AS sum_base_price,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+               count(*)                                           AS count_order,
+               round(sum(l_quantity) / count(*)::DOUBLE, 4)       AS avg_qty,
+               round(sum(l_extendedprice) / count(*)::DOUBLE, 4)  AS avg_price
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_orders": """
+        SELECT o.o_orderkey, o.o_orderdate,
+               round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY o.o_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, o.o_orderkey ASC LIMIT 10
+    """,
+    "region_revenue": """
+        SELECT r.r_name,
+               round(sum(o.o_totalprice), 2) AS revenue,
+               count(*)                      AS n_orders
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
+    "brand_volume": """
+        SELECT p.p_brand, round(sum(l.l_quantity), 2) AS sum_qty
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+    """,
+    "top_customers": """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 10
+    """,
+    "part_filter": """
+        SELECT p_partkey, p_name, p_size, p_retailprice
+        FROM part WHERE p_size > 30
+    """,
+    "tumbling_events": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               round(sum(value), 2) AS sum_value, count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    """,
+    "sessionize": """
+        WITH ordered AS (
+          SELECT user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          FROM events
+        )
+        SELECT user_id,
+               (1 + sum(CASE WHEN prev_ts IS NOT NULL
+                              AND epoch(ts - prev_ts) > 1800 THEN 1 ELSE 0 END))::BIGINT
+                 AS n_sessions,
+               count(*) AS n_events
+        FROM ordered GROUP BY user_id
+    """,
+}
+
+QUERIES = {
+    "doc_stats": q_doc_stats,
+    "token_stats": q_token_stats,
+    "quality": q_quality,
+    "fingerprint": q_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "lang_id": q_lang_id,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_groups": q_simhash_groups,
+    "rolling_fingerprint": q_rolling_fingerprint,
+    "knn_cosine": q_knn_cosine,
+    "lsh_knn": q_lsh_knn,
+    "pricing_summary": q_pricing_summary,
+    "top_orders": q_top_orders,
+    "region_revenue": q_region_revenue,
+    "brand_volume": q_brand_volume,
+    "top_customers": q_top_customers,
+    "part_filter": q_part_filter,
+    "tumbling_events": q_tumbling_events,
+    "sessionize": q_sessionize,
+    "extract_corpus": q_extract_corpus,
+    "extract_status_counts": q_extract_status_counts,
+}

@@ -1,0 +1,215 @@
+"""Operator tests: dedup, text stats, similarity, windows — with numpy /
+pandas oracles on deterministic inputs."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_df():
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),       # exact dup of 0
+        (2, "The  Quick  Brown  Fox jumps over the lazy dog"),    # ws/case variant
+        (3, "the quick brown fox jumps over the sleepy dog"),     # near-dup (1 word)
+        (4, "completely different content about ray data engines"),
+        (5, ""),
+        (6, "short"),
+    ]
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+class TestTextStats:
+    def test_token_stats(self, docs_df):
+        from pdf_parser_ray.ops.text_stats import token_stats_batch
+
+        out = token_stats_batch(docs_df).set_index("doc_id")
+        assert out.loc[0, "n_tokens"] == 9
+        assert out.loc[5, "n_tokens"] == 0 and out.loc[5, "avg_token_len"] == 0.0
+        assert out.loc[6, "n_chars"] == 5
+
+    def test_fingerprint_normalizes_ws_and_case(self, docs_df):
+        from pdf_parser_ray.ops.text_stats import fingerprint_batch
+
+        out = fingerprint_batch(docs_df).set_index("doc_id")["fingerprint"]
+        assert out[0] == out[1] == out[2]
+        assert out[0] != out[3]
+
+    def test_quality_flags(self, docs_df):
+        from pdf_parser_ray.ops.text_stats import quality_batch
+
+        out = quality_batch(docs_df).set_index("doc_id")
+        assert bool(out.loc[0, "keep"]) is True
+        assert bool(out.loc[5, "keep"]) is False
+        assert bool(out.loc[6, "keep"]) is False
+
+    def test_lang_id(self):
+        from pdf_parser_ray.ops.text_stats import LangId
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "the cat is on the mat and it is happy",
+                    "der hund ist nicht auf der matte und das ist gut",
+                    "zzz qqq xxx",
+                ],
+            }
+        )
+        out = LangId()(df)
+        assert list(out["lang_pred"]) == ["en", "de", "und"]
+
+    def test_rolling_fp_deterministic_and_content_sensitive(self):
+        from pdf_parser_ray.ops.text_stats import rolling_fingerprint_batch
+
+        texts = ["same doc body here", "same doc body here", "other doc body here"]
+        df = pd.DataFrame({"doc_id": [0, 1, 2], "text": texts})
+        out = rolling_fingerprint_batch(df, window=8)
+        assert out["rolling_fp"][0] == out["rolling_fp"][1]
+        assert out["rolling_fp"][0] != out["rolling_fp"][2]
+
+    def test_rolling_fp_matches_naive(self):
+        from pdf_parser_ray.ops.text_stats import rolling_fingerprint_batch
+
+        # Naive O(n*w) reference for the vectorized rolling hash.
+        def naive(s: str, w: int) -> int:
+            data = s.encode("utf-8")
+            if not data:
+                return 0
+            w = min(w, len(data))
+            B, M = 1000003, 1 << 64
+            best = None
+            for i in range(len(data) - w + 1):
+                h = 0
+                for b in data[i : i + w]:
+                    h = (h * B + b) % M
+                best = h if best is None else min(best, h)
+            return best
+
+        texts = ["hello world, rolling hashes!", "abc", "", "a" * 100]
+        df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        out = rolling_fingerprint_batch(df, window=16)
+        for i, t in enumerate(texts):
+            assert out["rolling_fp"][i] == naive(t, 16), repr(t)
+
+
+class TestDedup:
+    def test_exact_dedup(self, docs_df, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import exact_dedup
+
+        ds = ray.data.from_pandas(docs_df)
+        out = exact_dedup(ds).to_pandas()
+        # docs 0,1,2 share a hash → min doc_id 0 survives
+        assert len(out) == 5
+        surviving = set(out["doc_id"])
+        assert 0 in surviving and 1 not in surviving and 2 not in surviving
+
+    def test_ngram_jaccard(self):
+        from pdf_parser_ray.ops.dedup import ngram_jaccard
+
+        assert ngram_jaccard("a b c d", "a b c d") == 1.0
+        assert ngram_jaccard("a b c d", "x y z w") == 0.0
+        assert 0.0 < ngram_jaccard("a b c d e", "a b c d x") < 1.0
+        assert ngram_jaccard("", "") == 1.0
+
+    def test_minhash_estimates_jaccard(self):
+        from pdf_parser_ray.ops.dedup import MinHasher, ngram_jaccard
+
+        mh = MinHasher(num_perm=256)
+        a = "the quick brown fox jumps over the lazy dog again and again today"
+        b = "the quick brown fox jumps over the sleepy dog again and again today"
+        est = (mh.signature(a) == mh.signature(b)).mean()
+        true = ngram_jaccard(a, b)
+        assert abs(est - true) < 0.2
+
+    def test_minhash_lsh_pairs(self, docs_df, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import minhash_lsh_pairs
+
+        ds = ray.data.from_pandas(docs_df)
+        pairs = minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+        got = {(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])}
+        assert (0, 1) in got  # exact dup must be found
+        assert all(a < b for a, b in got)
+
+    def test_simhash_groups(self, docs_df, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import simhash_groups
+
+        ds = ray.data.from_pandas(docs_df)
+        out = simhash_groups(ds).to_pandas()
+        # docs 0 and 1 are identical → one group with n_docs >= 2
+        assert (out["n_docs"] >= 2).all()
+        assert 0 in set(out["min_doc_id"])
+
+
+class TestSimilarity:
+    def test_knn_matches_numpy(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.similarity import knn_brute_force
+
+        rng = np.random.RandomState(0)
+        mat = rng.standard_normal((200, 16))
+        df = pd.DataFrame({"vec_id": range(200), "embedding": list(mat)})
+        q = mat[0]
+        out = knn_brute_force(
+            ray.data.from_pandas(df), q, k=5, exclude_vec_id=0
+        ).to_pandas()
+
+        sims = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+        order = np.argsort(-sims)
+        expected = [i for i in order if i != 0][:5]
+        assert list(out["vec_id"]) == expected
+        np.testing.assert_allclose(out["cosine"], sims[expected], rtol=1e-12)
+
+    def test_lsh_knn_self_bucket(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.similarity import lsh_knn
+
+        rng = np.random.RandomState(1)
+        mat = rng.standard_normal((300, 16))
+        df = pd.DataFrame({"vec_id": range(300), "embedding": list(mat)})
+        out = lsh_knn(ray.data.from_pandas(df), mat[7], k=3).to_pandas()
+        # the query vector itself is in the corpus → must be its own NN
+        assert out["vec_id"].iloc[0] == 7
+        assert abs(out["cosine"].iloc[0] - 1.0) < 1e-9
+
+
+class TestWindows:
+    def test_tumbling_counts(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import tumbling_counts
+
+        ts = pd.to_datetime(
+            ["2025-01-01 00:10", "2025-01-01 00:50", "2025-01-01 01:10"]
+        )
+        df = pd.DataFrame({"ts": ts, "event_type": ["a", "a", "a"], "value": [1.0, 2.0, 4.0]})
+        out = tumbling_counts(ray.data.from_pandas(df)).to_pandas()
+        out = out.sort_values("window_start").reset_index(drop=True)
+        assert list(out["n_events"]) == [2, 1]
+        assert list(out["sum_value"]) == [3.0, 4.0]
+
+    def test_sessionize(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import sessionize
+
+        ts = pd.to_datetime(
+            ["2025-01-01 00:00", "2025-01-01 00:10", "2025-01-01 02:00",
+             "2025-01-01 00:00"]
+        )
+        df = pd.DataFrame(
+            {"event_id": [1, 2, 3, 4], "ts": ts, "user_id": [7, 7, 7, 8]}
+        )
+        out = sessionize(ray.data.from_pandas(df), gap_seconds=1800).to_pandas()
+        out = out.set_index("user_id")
+        assert out.loc[7, "n_sessions"] == 2 and out.loc[7, "n_events"] == 3
+        assert out.loc[8, "n_sessions"] == 1
