@@ -67,17 +67,32 @@ def run_bench(headline_only: bool = False) -> dict:
     from pdf_parser_ray.corpus import ensure_corpus, sf_to_n_docs
     from pdf_parser_ray.pipelines import extract_corpus, read_corpus
 
-    n_docs = sf_to_n_docs(sf)
+    # The bench corpus is BENCH_DOCS_MULT× the correctness corpus so the
+    # low-parallelism run lasts ≥60 s (BASELINE.md protocol) and fixed
+    # costs (worker imports, actor-pool ramp ≈2-3 s) stay <5% of wall.
+    mult = int(os.environ.get("BENCH_DOCS_MULT", "8"))
+    n_docs = sf_to_n_docs(sf) * mult
     corpus_dir = ensure_corpus(n_docs)  # cached; generation not timed
 
-    # Warm the OS page cache so we measure compute, not first-touch disk IO.
+    # Warm-up (untimed): OS page cache for the input + Ray worker
+    # processes (imports happen once per worker process and are reused;
+    # a partial warm-up leaves cold workers that pollute the first
+    # timed run, so warm with a full extraction pass).
     read_corpus(corpus_dir).count()
+    extract_corpus(
+        read_corpus(corpus_dir), include_spans=True, split_oversized=False
+    ).count()
 
+    # Median-resistant timing: repeat and take the MIN (single-node
+    # sandbox runs are noisy; min = least-interfered run).
+    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
     out_dir = f"/tmp/ppr_bench_out_{ncpu}"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.monotonic()
-    extract_corpus(read_corpus(corpus_dir), include_spans=True).write_parquet(out_dir)
-    headline_sec = time.monotonic() - t0
+    headline_sec = float("inf")
+    for _ in range(max(1, repeats)):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.monotonic()
+        extract_corpus(read_corpus(corpus_dir), include_spans=True).write_parquet(out_dir)
+        headline_sec = min(headline_sec, time.monotonic() - t0)
     docs_out = ray.data.read_parquet(out_dir, columns=["url"]).count()
 
     query_times: dict[str, float] = {}

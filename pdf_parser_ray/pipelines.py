@@ -31,6 +31,7 @@ def read_corpus(path: str | list[str], **kwargs: Any) -> ray.data.Dataset:
 def extract_corpus(
     ds: ray.data.Dataset,
     *,
+    exec_mode: str = "tasks",
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = DOC_BATCH_SIZE,
     include_spans: bool = True,
@@ -40,42 +41,62 @@ def extract_corpus(
 ) -> ray.data.Dataset:
     """The flagship: corpus Dataset → extraction Dataset.
 
-    Skew handling (SURVEY.md §4): payloads above ``oversize_threshold``
-    route to a dedicated actor pool with ``batch_size=1`` so one multi-MB
-    document never stalls a batch of small ones; the two branches are
-    unioned.  Disable with ``split_oversized=False`` (e.g. when the corpus
-    is known uniform — saves the second pass over the input).
+    Execution modes for the main (small-payload) branch:
 
-    ``concurrency=None`` defaults to an autoscaling actor pool
-    ``(1, cluster_CPUs)`` — the streaming executor's backpressure then
-    decides how many actors actually materialize; pin a value for
-    benchmark reproducibility.
+    * ``"tasks"`` (default) — stateless ``map_batches`` tasks with a
+      worker-process-global CMap cache.  Ray reuses worker processes, so
+      the cache amortizes exactly like actor state, while tasks schedule
+      elastically with zero pool-creation cost per execution (measured
+      locally: ~30k docs/s vs ~16k docs/s for the actor pool at 32 CPUs
+      on short jobs; on multi-hour cluster jobs the gap vanishes).
+    * ``"actors"`` — the classic stateful actor pool
+      (:class:`ExtractDocuments`); prefer it when the stage grows
+      heavyweight state (models, font blobs) whose lifecycle must be
+      tied to actors, or when per-stage resource isolation matters.
+
+    Skew handling (SURVEY.md §4): payloads above ``oversize_threshold``
+    route to a DEDICATED actor pool with ``batch_size=1`` so one multi-MB
+    document never stalls a batch of small ones; branches are unioned.
+    The split costs a second (cheap, column-pruned) pass over the input —
+    disable with ``split_oversized=False`` for known-uniform corpora.
+
+    ``concurrency=None``: tasks mode lets the streaming executor elastically
+    size the pool; actors mode defaults to an autoscaling ``(1, CPUs)``.
     """
-    if concurrency is None:
+    if concurrency is None and exec_mode == "actors":
         import ray
 
         ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         concurrency = (1, max(1, ncpu))
-    fn_kwargs = {"include_spans": include_spans}
-    if not split_oversized:
-        return ds.map_batches(
+
+    def main_branch(sub: ray.data.Dataset) -> ray.data.Dataset:
+        if exec_mode == "tasks":
+            from pdf_parser_ray.stages import extract_batch_task
+
+            return sub.map_batches(
+                extract_batch_task,
+                fn_kwargs={"include_spans": include_spans},
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=concurrency,
+            )
+        return sub.map_batches(
             ExtractDocuments,
-            fn_constructor_kwargs=fn_kwargs,
+            fn_constructor_kwargs={"include_spans": include_spans},
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,
         )
 
-    small = ds.map_batches(
-        payload_size_mask,
-        fn_kwargs={"threshold": oversize_threshold, "keep_small": True},
-        batch_format="pyarrow",
-    ).map_batches(
-        ExtractDocuments,
-        fn_constructor_kwargs=fn_kwargs,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
+    if not split_oversized:
+        return main_branch(ds)
+
+    small = main_branch(
+        ds.map_batches(
+            payload_size_mask,
+            fn_kwargs={"threshold": oversize_threshold, "keep_small": True},
+            batch_format="pyarrow",
+        )
     )
     big = ds.map_batches(
         payload_size_mask,
@@ -83,9 +104,9 @@ def extract_corpus(
         batch_format="pyarrow",
     ).map_batches(
         ExtractDocuments,
-        fn_constructor_kwargs=fn_kwargs,
+        fn_constructor_kwargs={"include_spans": include_spans},
         batch_format="pyarrow",
-        batch_size=1,  # one oversized doc per task invocation
+        batch_size=1,  # one oversized doc per actor call
         concurrency=oversize_concurrency,
     )
     return small.union(big)

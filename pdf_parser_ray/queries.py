@@ -267,6 +267,58 @@ def q_extract_status_counts(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def _cc_extracted_with_spans(sf_dir: str) -> ray.data.Dataset:
+    from pdf_parser_ray.corpus import ensure_corpus, sf_to_n_docs
+    from pdf_parser_ray.pipelines import extract_corpus, read_corpus
+
+    corpus = ensure_corpus(sf_to_n_docs(_sf_from_dir(sf_dir)))
+    return extract_corpus(read_corpus(corpus), include_spans=True)
+
+
+def q_search_corpus(sf_dir: str) -> ray.data.Dataset:
+    """Reference `search` pipeline: hits for a fixed term over the corpus."""
+    from pdf_parser_ray.search import search_corpus
+
+    return search_corpus(_cc_extracted_with_spans(sf_dir), "data")
+
+
+def q_grouped_json(sf_dir: str) -> ray.data.Dataset:
+    """Reference `parse --json` grouped output shapes (G1/G2)."""
+    from pdf_parser_ray.output import grouped_json_column
+
+    return grouped_json_column(_cc_extracted_with_spans(sf_dir)).select_columns(
+        ["url", "n_spans", "grouped_json"]
+    )
+
+
+def q_font_report(sf_dir: str) -> ray.data.Dataset:
+    """Reference font-analysis report (analysis.py:143-179) as a table."""
+    from pdf_parser_ray.corpus import ensure_corpus, sf_to_n_docs
+    from pdf_parser_ray.output import font_report
+    from pdf_parser_ray.pipelines import read_corpus
+
+    corpus = ensure_corpus(sf_to_n_docs(_sf_from_dir(sf_dir)))
+    return font_report(read_corpus(corpus))
+
+
+def q_replace_corpus(sf_dir: str) -> ray.data.Dataset:
+    """Reference `replace` pipeline over PDF corpus rows (rule fold)."""
+    from pdf_parser_ray.corpus import ensure_corpus, sf_to_n_docs
+    from pdf_parser_ray.pipelines import read_corpus
+    from pdf_parser_ray.replace import replace_corpus
+
+    corpus = ensure_corpus(sf_to_n_docs(_sf_from_dir(sf_dir)))
+    # The replace path matches whole show-ops (decoded == target,
+    # replacer.py:491), so the rule targets a full line.  This is doc 0's
+    # first line in the seed-42 corpus (deterministic by construction);
+    # the replacement permutes the same words so every char passes the
+    # font-inventory support gate.
+    target = "offset stream token charlie page juliet actor juliet foxtrot"
+    replacement = "stream offset token charlie page juliet actor juliet foxtrot"
+    out = replace_corpus(read_corpus(corpus), [(target, replacement)])
+    return out.select_columns(["url", "replace_status", "n_replaced"])
+
+
 # ---------------------------------------------------------------- oracle
 
 SQL: dict[str, str] = {
@@ -409,4 +461,8 @@ QUERIES = {
     "sessionize": q_sessionize,
     "extract_corpus": q_extract_corpus,
     "extract_status_counts": q_extract_status_counts,
+    "search_corpus": q_search_corpus,
+    "grouped_json": q_grouped_json,
+    "font_report": q_font_report,
+    "replace_corpus": q_replace_corpus,
 }

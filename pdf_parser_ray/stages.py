@@ -123,6 +123,22 @@ class ExtractDocuments:
         return pa.table({n: cols[n] for n in names})
 
 
+# Worker-process-global CMap cache for the stateless-task execution mode.
+# Ray reuses worker processes across map_batches tasks, so a module-level
+# dict gives the same amortization as actor state (A1) without paying
+# actor-pool creation on every dataset execution.  Heavyweight state
+# (models, font blobs) should still use the actor class above.
+_WORKER_CMAP_CACHE: dict = {}
+
+
+def extract_batch_task(batch: pa.Table, include_spans: bool = True) -> pa.Table:
+    """Stateless-task twin of :class:`ExtractDocuments` (same output)."""
+    worker = ExtractDocuments.__new__(ExtractDocuments)
+    worker.cmap_cache = _WORKER_CMAP_CACHE
+    worker.include_spans = include_spans
+    return worker(batch)
+
+
 def payload_size_mask(batch: pa.Table, threshold: int, keep_small: bool) -> pa.Table:
     """Vectorized size filter used for skew routing (pure pyarrow.compute)."""
     import pyarrow.compute as pc

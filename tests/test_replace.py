@@ -1,0 +1,148 @@
+"""Replace pipeline: rewrite semantics, instance gating, char support,
+round-trip through minipdf serialization."""
+
+from pdf_parser_ray.extract import extract_document
+from pdf_parser_ray.minipdf import build_pdf
+from pdf_parser_ray.replace import (
+    build_char_inventory,
+    replace_text_in_pdf,
+    rewrite_content,
+)
+
+IDENTITY = {"bfchars": {c: chr(c) for c in range(32, 127)}}
+IDENTITY_CMAPS = {"/F1": {bytes([c]): chr(c) for c in range(32, 127)}}
+
+
+def one_page(content, fonts=None, **kw):
+    return build_pdf([{"fonts": fonts or {"/F1": IDENTITY}, "content": content}], **kw)
+
+
+def full_inventory():
+    # every printable ASCII char observed at its own code
+    return {"/F1": {chr(c): {c} for c in range(32, 127)}}
+
+
+class TestRewrite:
+    def test_basic_replace(self):
+        new, n = rewrite_content(
+            "BT /F1 12 Tf (Hello) Tj ET", IDENTITY_CMAPS, full_inventory(),
+            "Hello", "World",
+        )
+        assert n == 1 and "(World) Tj" in new and "Hello" not in new
+
+    def test_non_matching_segments_verbatim(self):
+        src = "BT /F1 12 Tf 1 0 0 1 7 9 Tm (keep) Tj (Hello) Tj 0 5 Td (keep) Tj ET"
+        new, n = rewrite_content(src, IDENTITY_CMAPS, full_inventory(), "Hello", "Bye")
+        assert n == 1
+        assert new == src.replace("(Hello)", "(Bye)")
+
+    def test_exact_equality_no_strip(self):
+        # Replace path compares decoded == target WITHOUT strip
+        # (replacer.py:491) — ' Hello ' does not match 'Hello'.
+        new, n = rewrite_content(
+            "BT /F1 12 Tf ( Hello ) Tj ET", IDENTITY_CMAPS, full_inventory(),
+            "Hello", "World",
+        )
+        assert n == 0
+
+    def test_instance_gating(self):
+        src = "BT /F1 12 Tf (x) Tj (x) Tj (x) Tj ET"
+        new, n = rewrite_content(src, IDENTITY_CMAPS, full_inventory(), "x", "y", 1)
+        assert n == 1
+        assert new == "BT /F1 12 Tf (x) Tj (y) Tj (x) Tj ET"
+
+    def test_unsupported_char_preserves_segment(self):
+        inv = {"/F1": {"H": {0x48}, "e": {0x65}, "l": {0x6C}, "o": {0x6F}}}
+        new, n = rewrite_content(
+            "BT /F1 12 Tf (Hello) Tj ET", IDENTITY_CMAPS, inv, "Hello", "Bye"
+        )
+        assert n == 0 and "(Hello) Tj" in new
+
+    def test_replacement_escaped(self):
+        new, n = rewrite_content(
+            "BT /F1 12 Tf (abc) Tj ET", IDENTITY_CMAPS, full_inventory(),
+            "abc", "a(b)c",
+        )
+        assert n == 1 and r"(a\(b\)c) Tj" in new
+
+    def test_tj_array_splice_form(self):
+        # escaped-paren TJ arrays decode via strip-all-backslashes
+        src = r"BT /F1 12 Tf [\(ab\)] TJ ET"
+        new, n = rewrite_content(src, IDENTITY_CMAPS, full_inventory(), "(ab)", "xy")
+        assert n == 1 and "[(xy)] TJ" in new
+
+
+class TestInventory:
+    def test_inventory_collects_doc_wide(self):
+        pdf = build_pdf(
+            [
+                {"fonts": {"/F1": IDENTITY}, "content": "BT /F1 12 Tf (abc) Tj ET"},
+                {"fonts": {"/F1": IDENTITY}, "content": "BT /F1 12 Tf (xyz) Tj ET"},
+            ]
+        )
+        from pdf_parser_ray.minipdf import PdfDocument
+
+        inv = build_char_inventory(PdfDocument(pdf))
+        assert set(inv["/F1"]) == set("abcxyz")
+        assert inv["/F1"]["a"] == {0x61}
+
+
+class TestEndToEnd:
+    def test_replace_and_reextract(self):
+        pdf = one_page("BT /F1 12 Tf 72 720 Td (Hello) Tj 0 -16 Td (World) Tj ET")
+        res = replace_text_in_pdf(pdf, "Hello", "World")
+        assert res["status"] == "ok" and res["n_replaced"] == 1
+        r = extract_document("u", res["html"])
+        assert r["status"] == "ok"
+        assert r["extracted_text"] == "World\nWorld"
+
+    def test_replace_compressed_source(self):
+        # Replacement may only use chars OBSERVED in the doc's font
+        # (replacer.py:546-560) — "Zip pie" reuses Z,i,p,e,space.
+        pdf = one_page("BT /F1 12 Tf 10 10 Td (Zip me) Tj ET", compress=True)
+        res = replace_text_in_pdf(pdf, "Zip me", "Zip pie")
+        assert res["status"] == "ok"
+        assert extract_document("u", res["html"])["extracted_text"] == "Zip pie"
+
+    def test_no_match_returns_original(self):
+        pdf = one_page("BT /F1 12 Tf (abc) Tj ET")
+        res = replace_text_in_pdf(pdf, "zzz", "yyy")
+        assert res["status"] == "no_match" and res["html"] == pdf
+
+    def test_same_text_guard(self):
+        pdf = one_page("BT /F1 12 Tf (abc) Tj ET")
+        assert replace_text_in_pdf(pdf, "a", "a")["status"] == "error:same_text"
+
+    def test_page_range_guard(self):
+        pdf = one_page("BT /F1 12 Tf (abc) Tj ET")
+        assert replace_text_in_pdf(pdf, "abc", "x", page_num=5)["status"] == "error:page_range"
+
+    def test_unsupported_replacement_chars_rejected(self):
+        # 'Q' never appears in the document → not in the font inventory.
+        pdf = one_page("BT /F1 12 Tf (abc) Tj ET")
+        res = replace_text_in_pdf(pdf, "abc", "Q")
+        assert res["status"] == "no_match" and res["html"] == pdf
+
+
+class TestRayStage:
+    def test_replace_corpus(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from pdf_parser_ray.replace import replace_corpus
+
+        pdf = one_page("BT /F1 12 Tf 72 720 Td (alpha beta) Tj ET")
+        tbl = pa.table(
+            {
+                "url": ["u1", "u2"],
+                "html": pa.array([pdf, b"<html><p>nope</p></html>"], pa.binary()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "c.parquet"))
+        ds = ray.data.read_parquet(str(tmp_path / "c.parquet"))
+        out = {r["url"]: r for r in
+               replace_corpus(ds, [("alpha beta", "beta alpha")]).take_all()}
+        assert out["u1"]["replace_status"] == "ok" and out["u1"]["n_replaced"] == 1
+        assert out["u2"]["replace_status"] == "skip:not_pdf"
+        assert extract_document("u1", out["u1"]["html"])["extracted_text"] == "beta alpha"
