@@ -81,8 +81,13 @@ def tokenize_content(
     tracking folded in).  The scan state (current font, current position)
     is local to one document page — no cross-row state.
     """
-    from pdf_parser_ray.core.cmap import decode_pdf_string, unescape_pdf_string
+    from pdf_parser_ray.core.cmap import Cmap, decode_pdf_string, unescape_pdf_string
 
+    # C-speed decode tables where available (byte-identical results;
+    # see cmap.decode_pdf_string_fast).
+    tables = {
+        f: (c.table if isinstance(c, Cmap) else None) for f, c in font_cmaps.items()
+    }
     items: list[TextShow] = []
     current_font: str | None = None
     current_pos = (0.0, 0.0)  # pdf_gui.py:773
@@ -131,7 +136,11 @@ def tokenize_content(
                 encoded_bytes = unescaped.encode("latin1")
             except UnicodeEncodeError:
                 continue  # cannot happen for latin1-decoded input; guard anyway
-            decoded_text = decode_pdf_string(encoded_bytes, font_cmaps[current_font])
+            table = tables[current_font]
+            if table is not None:
+                decoded_text = unescaped.translate(table)
+            else:
+                decoded_text = decode_pdf_string(encoded_bytes, font_cmaps[current_font])
             if decoded_text.strip():
                 items.append(
                     TextShow(

@@ -28,7 +28,7 @@ from __future__ import annotations
 import hashlib
 from typing import Any
 
-from pdf_parser_ray.core.cmap import parse_cmap, winansi_cmap_text
+from pdf_parser_ray.core.cmap import Cmap, parse_cmap, winansi_cmap_text
 from pdf_parser_ray.core.spans import assemble_text, build_spans, nested_box_filter
 from pdf_parser_ray.core.tokenizer import tokenize_content
 from pdf_parser_ray.html.strip import strip_html
@@ -72,7 +72,7 @@ def page_font_cmaps(
                 font_cmaps[name] = cmap_cache[key]
                 continue
             # utf-8 lenient decode per api.py:56.
-            cmap = parse_cmap(tu_bytes.decode("utf-8", errors="ignore"))
+            cmap = Cmap(parse_cmap(tu_bytes.decode("utf-8", errors="ignore")))
             if cmap_cache is not None:
                 cmap_cache[key] = cmap
             font_cmaps[name] = cmap
@@ -82,7 +82,7 @@ def page_font_cmaps(
             if cmap_cache is not None and key in cmap_cache:
                 font_cmaps[name] = cmap_cache[key]
                 continue
-            cmap = parse_cmap(winansi_cmap_text(enc_name))
+            cmap = Cmap(parse_cmap(winansi_cmap_text(enc_name)))
             if cmap_cache is not None:
                 cmap_cache[key] = cmap
             font_cmaps[name] = cmap

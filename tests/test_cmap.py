@@ -65,6 +65,27 @@ def test_escape_unescape():
     assert unescape_pdf_string("keep\\n") == "keep\\n"
 
 
+def test_fast_decode_identical_to_reference_loop():
+    import random
+
+    from pdf_parser_ray.core.cmap import (
+        Cmap,
+        decode_pdf_string_fast,
+        translation_table,
+    )
+
+    rng = random.Random(5)
+    for _ in range(50):
+        cmap = {
+            bytes([rng.randrange(256)]): chr(rng.randrange(32, 0x3000))
+            for _ in range(rng.randrange(0, 120))
+        }
+        data = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 64)))
+        slow = decode_pdf_string(data, cmap)
+        assert decode_pdf_string_fast(data, translation_table(cmap)) == slow
+        assert data.decode("latin1").translate(Cmap(cmap).table) == slow
+
+
 def test_winansi_fallback_printable_ascii_only():
     cmap = parse_cmap(winansi_cmap_text())
     assert cmap == winansi_cmap()
