@@ -233,6 +233,61 @@ class SimHasher:
         )
 
 
+def embedding_dup_pairs(
+    ds: ray.data.Dataset,
+    *,
+    threshold: float = 0.9,
+    round_to: int = 6,
+) -> ray.data.Dataset:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
+
+    Exact variant: the full (vec_id, matrix) is broadcast once via
+    ``ray.put`` and every batch does one float64 matmul against it —
+    correct and oracle-checkable at driver scale (N ≤ ~1M rows,
+    N×dim×8 bytes broadcast).  At 10^12 rows swap the broadcast for the
+    LSH bucket route (:func:`pdf_parser_ray.ops.similarity.lsh_knn`'s
+    ``_Bucketer`` + per-bucket pairwise), which bounds the pairwise work
+    to bucket-local comparisons.
+
+    Output: (a:int64, b:int64, cosine:float64 rounded to ``round_to``).
+    """
+    import ray as _ray
+
+    all_df = ds.select_columns(["vec_id", "embedding"]).to_pandas()
+    ids = all_df["vec_id"].to_numpy().astype("int64")
+    mat = np.vstack([np.asarray(v, dtype=np.float64) for v in all_df["embedding"]])
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    ref = _ray.put((ids, mat, norms))
+
+    class PairFinder:
+        def __init__(self) -> None:
+            self.ids, self.mat, self.norms = _ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            rows = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in df["embedding"]]
+            )
+            row_ids = df["vec_id"].to_numpy().astype("int64")
+            rnorms = np.linalg.norm(rows, axis=1)
+            rnorms[rnorms == 0] = 1.0
+            cos = (rows @ self.mat.T) / (rnorms[:, None] * self.norms[None, :])
+            a_out, b_out, c_out = [], [], []
+            for i, rid in enumerate(row_ids):
+                mask = (cos[i] >= threshold) & (self.ids > rid)
+                for j in np.nonzero(mask)[0]:
+                    a_out.append(rid)
+                    b_out.append(int(self.ids[j]))
+                    c_out.append(round(float(cos[i, j]), round_to))
+            return pd.DataFrame({"a": a_out, "b": b_out, "cosine": c_out}).astype(
+                {"a": "int64", "b": "int64", "cosine": "float64"}
+            )
+
+    return ds.select_columns(["vec_id", "embedding"]).map_batches(
+        PairFinder, batch_format="pandas", concurrency=(1, 8)
+    )
+
+
 def simhash_groups(
     ds: ray.data.Dataset, concurrency: int | tuple[int, int] = (1, 8)
 ) -> ray.data.Dataset:

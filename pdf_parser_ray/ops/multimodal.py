@@ -1,0 +1,274 @@
+"""Multimodal columns: image / audio / video as opaque binary + metadata.
+
+A training-data pipeline carries media payloads as ``binary`` columns
+with typed metadata, and runs decode / resize / feature-extract /
+frame-sample as actor-pool ``map_batches`` stages.  This container has
+NO media libraries (no PIL, no ffmpeg, no soundfile), so — per the task
+contract — the *codec* step is stubbed behind an import-try with a
+clearly-marked deterministic fake, while everything Ray-side (schemas,
+batch sizing, actor lifecycles, vectorized transforms, output layout)
+is real and tested:
+
+* ``DecodeImage``  — payload → HxWx3 uint8 pixels.  Real path: PIL
+  (if importable).  Fake path: bytes tiled deterministically to the
+  metadata dimensions.  The choice is recorded in the ``decoder``
+  column so downstream consumers can tell.
+* ``ResizeImage``  — vectorized nearest-neighbor resize (real numpy).
+* ``ImageFeatures``— per-channel mean/std + 8-bin luma histogram (real).
+* ``SampleFrames`` — video payload → every k-th frame row, exploded
+  (real chunking; decode itself is the image stub).
+* ``AudioFeatures``— payload → int16 waveform (fake decode) → RMS +
+  zero-crossing rate (real DSP).
+
+Memory discipline: media rows are LARGE — stages default to
+``batch_size=8`` and pixels travel as flat ``binary`` + shape columns
+(Arrow-native, zero-copy) rather than Python object arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),        # image | audio | video
+        ("payload", pa.binary()),
+        ("width", pa.int32()),        # image/video
+        ("height", pa.int32()),
+        ("sample_rate", pa.int32()),  # audio
+        ("n_frames", pa.int32()),     # video
+    ]
+)
+
+MEDIA_BATCH_SIZE = 8  # large binary rows → small batches
+
+
+def synth_media_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic fake media corpus for tests/benches (no external data)."""
+    import random
+
+    rows = []
+    for i in range(n):
+        rng = random.Random(f"media:{seed}:{i}")
+        kind = ["image", "audio", "video"][i % 3]
+        if kind == "image":
+            w, h = rng.choice([(32, 24), (64, 48), (16, 16)])
+            payload = bytes(rng.randrange(256) for _ in range(w * h * 3))
+            rows.append((i, kind, payload, w, h, 0, 0))
+        elif kind == "audio":
+            sr = rng.choice([8000, 16000])
+            payload = bytes(rng.randrange(256) for _ in range(2 * sr // 10))
+            rows.append((i, kind, payload, 0, 0, sr, 0))
+        else:
+            w, h, nf = 16, 12, rng.randrange(4, 12)
+            payload = bytes(rng.randrange(256) for _ in range(w * h * 3 * nf))
+            rows.append((i, kind, payload, w, h, 0, nf))
+    return pa.Table.from_pylist(
+        [dict(zip(MEDIA_SCHEMA.names, r)) for r in rows], schema=MEDIA_SCHEMA
+    )
+
+
+def _fake_decode_image(payload: bytes, w: int, h: int) -> np.ndarray:
+    """STUB codec: deterministically tile payload bytes to (h, w, 3).
+
+    Stands in for a real image decoder (PIL/libjpeg unavailable here);
+    the array is a pure function of (payload, w, h).
+    """
+    need = w * h * 3
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    if len(buf) == 0:
+        buf = np.zeros(1, dtype=np.uint8)
+    reps = -(-need // len(buf))
+    return np.tile(buf, reps)[:need].reshape(h, w, 3)
+
+
+class DecodeImage:
+    """Actor stage: image rows → flat pixel bytes + shape columns.
+
+    Real decoder state (PIL) is probed ONCE per actor in ``__init__``
+    (the load-once pattern); absent → the deterministic fake.
+    """
+
+    def __init__(self) -> None:
+        try:
+            from PIL import Image  # noqa: F401
+
+            self.pil = Image
+            self.decoder = "pil"
+        except ImportError:
+            self.pil = None
+            self.decoder = "fake"
+
+    def decode(self, payload: bytes, w: int, h: int) -> np.ndarray:
+        if self.pil is not None:
+            import io
+
+            try:
+                img = self.pil.open(io.BytesIO(payload)).convert("RGB")
+                return np.asarray(img, dtype=np.uint8)
+            except Exception:
+                pass
+        return _fake_decode_image(payload, w, h)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pixels, widths, heights, decoders = [], [], [], []
+        for payload, w, h in zip(
+            batch.column("payload").to_pylist(),
+            batch.column("width").to_pylist(),
+            batch.column("height").to_pylist(),
+        ):
+            arr = self.decode(payload or b"", int(w or 1), int(h or 1))
+            pixels.append(arr.tobytes())
+            heights.append(arr.shape[0])
+            widths.append(arr.shape[1])
+            decoders.append(self.decoder)
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "pixels": pa.array(pixels, pa.binary()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "decoder": pa.array(decoders, pa.string()),
+            }
+        )
+
+
+class ResizeImage:
+    """Vectorized nearest-neighbor resize to a fixed (out_w, out_h)."""
+
+    def __init__(self, out_w: int = 8, out_h: int = 8):
+        self.out_w = out_w
+        self.out_h = out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for pix, w, h in zip(
+            batch.column("pixels").to_pylist(),
+            batch.column("width").to_pylist(),
+            batch.column("height").to_pylist(),
+        ):
+            arr = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, 3)
+            ys = (np.arange(self.out_h) * h) // self.out_h
+            xs = (np.arange(self.out_w) * w) // self.out_w
+            out.append(arr[ys[:, None], xs[None, :], :].tobytes())
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "pixels": pa.array(out, pa.binary()),
+                "width": pa.array([self.out_w] * len(out), pa.int32()),
+                "height": pa.array([self.out_h] * len(out), pa.int32()),
+            }
+        )
+
+
+def image_features(batch: pa.Table) -> pa.Table:
+    """Per-channel mean/std + 8-bin luma histogram (list<float64>)."""
+    feats = []
+    for pix, w, h in zip(
+        batch.column("pixels").to_pylist(),
+        batch.column("width").to_pylist(),
+        batch.column("height").to_pylist(),
+    ):
+        arr = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, 3).astype(np.float64)
+        mean = arr.mean(axis=(0, 1))
+        std = arr.std(axis=(0, 1))
+        luma = arr.mean(axis=2)
+        hist, _ = np.histogram(luma, bins=8, range=(0, 256))
+        hist = hist / luma.size
+        feats.append(np.concatenate([mean, std, hist]).tolist())
+    return pa.table(
+        {
+            "media_id": batch.column("media_id"),
+            "features": pa.array(feats, pa.list_(pa.float64())),
+        }
+    )
+
+
+class SampleFrames:
+    """Video rows → one row per sampled frame (every ``stride``-th)."""
+
+    def __init__(self, stride: int = 2):
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, frames, ws, hs = [], [], [], [], []
+        for mid, payload, w, h, nf in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+            batch.column("width").to_pylist(),
+            batch.column("height").to_pylist(),
+            batch.column("n_frames").to_pylist(),
+        ):
+            nf = int(nf or 0)
+            if nf <= 0:
+                continue
+            frame_bytes = len(payload) // nf
+            for k in range(0, nf, self.stride):
+                ids.append(mid)
+                fidx.append(k)
+                frames.append(payload[k * frame_bytes : (k + 1) * frame_bytes])
+                ws.append(w)
+                hs.append(h)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "payload": pa.array(frames, pa.binary()),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+            }
+        )
+
+
+def audio_features(batch: pa.Table) -> pa.Table:
+    """Fake int16 decode (STUB codec) → real RMS + zero-crossing rate."""
+    rms_out, zcr_out = [], []
+    for payload in batch.column("payload").to_pylist():
+        payload = payload or b"\x00\x00"
+        if len(payload) % 2:
+            payload = payload[:-1]
+        wave = np.frombuffer(payload, dtype="<i2").astype(np.float64)
+        if len(wave) == 0:
+            wave = np.zeros(1)
+        rms_out.append(float(np.sqrt((wave**2).mean())))
+        signs = np.sign(wave)
+        zcr_out.append(float((np.diff(signs) != 0).mean()) if len(wave) > 1 else 0.0)
+    return pa.table(
+        {
+            "media_id": batch.column("media_id"),
+            "rms": pa.array(rms_out, pa.float64()),
+            "zcr": pa.array(zcr_out, pa.float64()),
+        }
+    )
+
+
+def image_pipeline(
+    media: ray.data.Dataset,
+    *,
+    out_size: tuple[int, int] = (8, 8),
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> ray.data.Dataset:
+    """decode → resize → features over the image rows of a media table."""
+    import pyarrow.compute as pc
+
+    images = media.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), "image")),
+        batch_format="pyarrow",
+    )
+    decoded = images.map_batches(
+        DecodeImage,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+    )
+    resized = decoded.map_batches(
+        ResizeImage,
+        fn_constructor_kwargs={"out_w": out_size[0], "out_h": out_size[1]},
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+    )
+    return resized.map_batches(image_features, batch_format="pyarrow")

@@ -131,6 +131,17 @@ def q_knn_cosine(sf_dir: str) -> pd.DataFrame:
     return out[["vec_id", "cosine"]]
 
 
+def q_embedding_dup_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Embedding-cosine near-dup pairs (threshold 0.4 — the synthetic
+    vectors are near-orthogonal, max observed cosine ≈ 0.51)."""
+    from pdf_parser_ray.ops.dedup import embedding_dup_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return embedding_dup_pairs(ds, threshold=0.4)
+
+
 def q_lsh_knn(sf_dir: str) -> pd.DataFrame:
     import numpy as np
 
@@ -301,6 +312,19 @@ def q_font_report(sf_dir: str) -> ray.data.Dataset:
     return font_report(read_corpus(corpus))
 
 
+def q_image_features(sf_dir: str) -> ray.data.Dataset:
+    """Multimodal plumbing demo: synth media → decode → resize → features.
+
+    The codec layer is a documented deterministic stub (no media libs in
+    this environment, ops/multimodal.py); the Ray plumbing is real.
+    """
+    from pdf_parser_ray.ops.multimodal import image_pipeline, synth_media_table
+
+    n = max(30, int(_sf_from_dir(sf_dir) * 30000))
+    media = ray.data.from_arrow(synth_media_table(n))
+    return image_pipeline(media)
+
+
 def q_replace_corpus(sf_dir: str) -> ray.data.Dataset:
     """Reference `replace` pipeline over PDF corpus rows (rule fold)."""
     from pdf_parser_ray.corpus import ensure_corpus, sf_to_n_docs
@@ -373,6 +397,13 @@ SQL: dict[str, str] = {
                                             (SELECT embedding FROM q)::DOUBLE[]), 6) AS cosine
         FROM embeddings e WHERE e.vec_id <> 0
         ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
+    """,
+    "embedding_dup_pairs": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.4
     """,
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -451,6 +482,7 @@ QUERIES = {
     "rolling_fingerprint": q_rolling_fingerprint,
     "knn_cosine": q_knn_cosine,
     "lsh_knn": q_lsh_knn,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
     "region_revenue": q_region_revenue,
@@ -465,4 +497,5 @@ QUERIES = {
     "grouped_json": q_grouped_json,
     "font_report": q_font_report,
     "replace_corpus": q_replace_corpus,
+    "image_features": q_image_features,
 }

@@ -1,0 +1,129 @@
+"""Multimodal stages: schema plumbing, determinism, real transforms over
+the stubbed codec."""
+
+import numpy as np
+import pytest
+
+from pdf_parser_ray.ops.multimodal import (
+    DecodeImage,
+    ResizeImage,
+    SampleFrames,
+    _fake_decode_image,
+    audio_features,
+    image_features,
+    image_pipeline,
+    synth_media_table,
+)
+
+
+@pytest.fixture(scope="module")
+def media_ds(ray_session):
+    import ray.data
+
+    return ray.data.from_arrow(synth_media_table(30, seed=7))
+
+
+class TestFakeDecode:
+    def test_deterministic_and_shaped(self):
+        a = _fake_decode_image(b"abcdef", 4, 3)
+        b = _fake_decode_image(b"abcdef", 4, 3)
+        assert a.shape == (3, 4, 3) and a.dtype == np.uint8
+        np.testing.assert_array_equal(a, b)
+
+    def test_empty_payload(self):
+        assert _fake_decode_image(b"", 2, 2).shape == (2, 2, 3)
+
+
+class TestStages:
+    def test_decode_stage(self, media_ds):
+        import pyarrow.compute as pc
+
+        imgs = media_ds.map_batches(
+            lambda t: t.filter(pc.equal(t.column("kind"), "image")),
+            batch_format="pyarrow",
+        )
+        out = imgs.map_batches(DecodeImage, batch_format="pyarrow",
+                               batch_size=4, concurrency=2).take_all()
+        assert out
+        for r in out:
+            assert len(r["pixels"]) == r["width"] * r["height"] * 3
+            assert r["decoder"] in ("pil", "fake")
+
+    def test_resize_nearest(self):
+        import pyarrow as pa
+
+        arr = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+        batch = pa.table(
+            {
+                "media_id": pa.array([1], pa.int64()),
+                "pixels": pa.array([arr.tobytes()], pa.binary()),
+                "width": pa.array([6], pa.int32()),
+                "height": pa.array([4], pa.int32()),
+            }
+        )
+        out = ResizeImage(out_w=3, out_h=2)(batch)
+        pix = np.frombuffer(out.column("pixels")[0].as_py(), dtype=np.uint8)
+        got = pix.reshape(2, 3, 3)
+        np.testing.assert_array_equal(got, arr[[0, 2]][:, [0, 2, 4], :])
+
+    def test_image_features_shape(self):
+        import pyarrow as pa
+
+        arr = np.full((4, 4, 3), 128, dtype=np.uint8)
+        batch = pa.table(
+            {
+                "media_id": pa.array([1], pa.int64()),
+                "pixels": pa.array([arr.tobytes()], pa.binary()),
+                "width": pa.array([4], pa.int32()),
+                "height": pa.array([4], pa.int32()),
+            }
+        )
+        feats = image_features(batch).column("features")[0].as_py()
+        assert len(feats) == 3 + 3 + 8
+        assert feats[0] == 128.0 and feats[3] == 0.0  # mean / std
+        assert sum(feats[6:]) == pytest.approx(1.0)
+
+    def test_sample_frames(self, media_ds):
+        import pyarrow.compute as pc
+
+        vids = media_ds.map_batches(
+            lambda t: t.filter(pc.equal(t.column("kind"), "video")),
+            batch_format="pyarrow",
+        )
+        rows = vids.map_batches(SampleFrames, fn_constructor_kwargs={"stride": 2},
+                                batch_format="pyarrow", batch_size=4,
+                                concurrency=2).take_all()
+        assert rows
+        vid_meta = {r["media_id"]: r["n_frames"] for r in
+                    media_ds.take_all() if r["kind"] == "video"}
+        by_media = {}
+        for r in rows:
+            by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+        for mid, idxs in by_media.items():
+            assert idxs == list(range(0, vid_meta[mid], 2))
+            # every frame slice has the same size
+        sizes = {len(r["payload"]) for r in rows if r["media_id"] == rows[0]["media_id"]}
+        assert len(sizes) == 1
+
+    def test_audio_features(self, media_ds):
+        import pyarrow.compute as pc
+
+        auds = media_ds.map_batches(
+            lambda t: t.filter(pc.equal(t.column("kind"), "audio")),
+            batch_format="pyarrow",
+        )
+        out = auds.map_batches(audio_features, batch_format="pyarrow").take_all()
+        assert out
+        for r in out:
+            assert r["rms"] >= 0 and 0 <= r["zcr"] <= 1
+
+    def test_image_pipeline_end_to_end(self, media_ds):
+        out = image_pipeline(media_ds, out_size=(4, 4)).take_all()
+        assert out and all(len(r["features"]) == 14 for r in out)
+
+    def test_pipeline_deterministic(self, media_ds):
+        a = sorted((r["media_id"], tuple(r["features"]))
+                   for r in image_pipeline(media_ds).take_all())
+        b = sorted((r["media_id"], tuple(r["features"]))
+                   for r in image_pipeline(media_ds).take_all())
+        assert a == b
