@@ -223,14 +223,12 @@ class SimHasher:
         return int(sim)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"],
-                "simhash": pd.array(
-                    [self.simhash(t) for t in df["text"].fillna("")], dtype="uint64"
-                ),
-            }
-        )
+        # int64 reinterpretation of the 64-bit signature: Arrow-native
+        # (uint64 > 2^63-1 would fall back to pickled python objects).
+        sigs = np.array(
+            [self.simhash(t) for t in df["text"].fillna("")], dtype=np.uint64
+        ).view(np.int64)
+        return pd.DataFrame({"doc_id": df["doc_id"], "simhash": sigs})
 
 
 def embedding_dup_pairs(

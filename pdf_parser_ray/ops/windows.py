@@ -53,6 +53,81 @@ def tumbling_counts(
     )
 
 
+def sliding_counts(
+    ds: ray.data.Dataset, *, width_s: int = 3600, step_s: int = 1800
+) -> ray.data.Dataset:
+    """Sliding windows: each event lands in every window [start, start+W)
+    with start ≡ 0 (mod step) — emitted by per-batch fan-out (W/S rows
+    per event) then one grouped aggregate over partials.
+
+    Output: (window_start:timestamp[us], event_type, n_events:int64,
+    sum_value:float64).  SQL-mirrored: starts are aligned to the epoch,
+    i.e. start = step · k for integer k.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    n_windows = -(-width_s // step_s)  # ceil
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()  # µs since epoch
+        etype = batch.column("event_type").to_numpy(zero_copy_only=False)
+        value = batch.column("value").to_numpy()
+        step_us = step_s * 1_000_000
+        width_us = width_s * 1_000_000
+        # newest window containing ts: floor(ts/step)*step; walk back
+        base = (ts // step_us) * step_us
+        frames = []
+        for k in range(n_windows):
+            start = base - k * step_us
+            mask = ts < start + width_us  # always true for k small; guard
+            frames.append(
+                pa.table(
+                    {
+                        "window_start": pa.array(start[mask], pa.int64()),
+                        "event_type": pa.array(etype[mask], pa.string()),
+                        "value": pa.array(value[mask], pa.float64()),
+                    }
+                )
+            )
+        t = pa.concat_tables(frames)
+        g = t.group_by(["window_start", "event_type"]).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+        return g.rename_columns(["window_start", "event_type", "sum_value", "n_events"])
+
+    partials = ds.map_batches(fan_out, batch_format="pyarrow")
+    agg = partials.groupby(["window_start", "event_type"]).aggregate(
+        Sum("sum_value", alias_name="sum_value"),
+        Sum("n_events", alias_name="n_events"),
+    )
+
+    def cast_ts(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("window_start"),
+            "window_start",
+            batch.column("window_start").cast(pa.timestamp("us")),
+        )
+
+    return agg.map_batches(cast_ts, batch_format="pyarrow")
+
+
+def top_events_per_type(ds: ray.data.Dataset, k: int = 3) -> ray.data.Dataset:
+    """Per-group top-k: highest-value events per event_type.
+
+    ``groupby(type).map_groups`` with an in-group sort — the grouped
+    top-k pattern; deterministic tie-break (value DESC, event_id ASC).
+    Output: (event_type, event_id, value).
+    """
+
+    def top(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], ascending=[False, True]).head(k)
+        return g[["event_type", "event_id", "value"]]
+
+    return ds.groupby("event_type").map_groups(top, batch_format="pandas")
+
+
 def sessionize(
     ds: ray.data.Dataset, gap_seconds: int = 1800
 ) -> ray.data.Dataset:

@@ -246,6 +246,27 @@ def q_sessionize(sf_dir: str) -> ray.data.Dataset:
     return sessionize(ds, gap_seconds=1800)
 
 
+def q_sliding_events(sf_dir: str) -> pd.DataFrame:
+    from pdf_parser_ray.ops.windows import sliding_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    df = sliding_counts(ds, width_s=3600, step_s=1800).to_pandas()
+    return _round_cols(df, {"sum_value": ROUND_SUM})[
+        ["window_start", "event_type", "sum_value", "n_events"]
+    ]
+
+
+def q_top_events_per_type(sf_dir: str) -> ray.data.Dataset:
+    from pdf_parser_ray.ops.windows import top_events_per_type
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    return top_events_per_type(ds, k=3)
+
+
 # ------------------------------------------------------- extraction (CC)
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -310,6 +331,19 @@ def q_font_report(sf_dir: str) -> ray.data.Dataset:
 
     corpus = ensure_corpus(sf_to_n_docs(_sf_from_dir(sf_dir)))
     return font_report(read_corpus(corpus))
+
+
+def q_annotate_unsupported(sf_dir: str) -> ray.data.Dataset:
+    """Annotated-PDF writer (S11): flag spans whose font cannot render a
+    probe character; returns per-url flag counts (binary column dropped
+    for the driver's hash)."""
+    from pdf_parser_ray.annotate import annotate_corpus
+    from pdf_parser_ray.corpus import ensure_corpus, sf_to_n_docs
+    from pdf_parser_ray.pipelines import read_corpus
+
+    corpus = ensure_corpus(sf_to_n_docs(_sf_from_dir(sf_dir)))
+    out = annotate_corpus(read_corpus(corpus), check_text="Ω")
+    return out.select_columns(["url", "n_flagged"])
 
 
 def q_image_features(sf_dir: str) -> ray.data.Dataset:
@@ -455,6 +489,23 @@ SQL: dict[str, str] = {
                round(sum(value), 2) AS sum_value, count(*) AS n_events
         FROM events GROUP BY 1, 2
     """,
+    "sliding_events": """
+        WITH ks AS (SELECT unnest(range(0, 2)) AS k),
+        ev AS (SELECT event_type, value, epoch_us(ts) AS tus FROM events)
+        SELECT make_timestamp((tus // 1800000000) * 1800000000 - k * 1800000000)
+                 AS window_start,
+               event_type,
+               round(sum(value), 2) AS sum_value,
+               count(*) AS n_events
+        FROM ev CROSS JOIN ks
+        WHERE tus < (tus // 1800000000) * 1800000000 - k * 1800000000 + 3600000000
+        GROUP BY 1, 2
+    """,
+    "top_events_per_type": """
+        SELECT event_type, event_id, value FROM events
+        QUALIFY row_number() OVER (
+            PARTITION BY event_type ORDER BY value DESC, event_id ASC) <= 3
+    """,
     "sessionize": """
         WITH ordered AS (
           SELECT user_id, ts,
@@ -490,6 +541,8 @@ QUERIES = {
     "top_customers": q_top_customers,
     "part_filter": q_part_filter,
     "tumbling_events": q_tumbling_events,
+    "sliding_events": q_sliding_events,
+    "top_events_per_type": q_top_events_per_type,
     "sessionize": q_sessionize,
     "extract_corpus": q_extract_corpus,
     "extract_status_counts": q_extract_status_counts,
@@ -497,5 +550,6 @@ QUERIES = {
     "grouped_json": q_grouped_json,
     "font_report": q_font_report,
     "replace_corpus": q_replace_corpus,
+    "annotate_unsupported": q_annotate_unsupported,
     "image_features": q_image_features,
 }

@@ -230,6 +230,28 @@ def replace_text_in_pdf(
     return {"html": out, "status": "ok", "n_replaced": n_replaced}
 
 
+def rule_columns(df) -> dict[int, list[tuple[str, str]]]:
+    """Batch-replace rule table → per-variant-column rule lists (S9/J1).
+
+    The reference reads an Excel sheet with no header: column 0 is the
+    template text, columns 1..n are replacement variants; each variant
+    column drives one full fold over the document
+    (pdf_gui.py:1671-1690, fold at pdf_gui.py:1704-1758).  We accept any
+    pandas DataFrame of that shape (CSV/Parquet-sourced — no Excel dep).
+    """
+    out: dict[int, list[tuple[str, str]]] = {}
+    ncols = df.shape[1]
+    for col in range(1, ncols):
+        rules = []
+        for _, row in df.iterrows():
+            target = row.iloc[0]
+            repl = row.iloc[col]
+            if isinstance(target, str) and isinstance(repl, str) and target:
+                rules.append((target, repl))
+        out[col] = rules
+    return out
+
+
 class ReplaceDocuments:
     """Actor-pool stage: fold a rule list over every PDF row.
 

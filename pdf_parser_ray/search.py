@@ -37,6 +37,15 @@ HIT_SCHEMA = pa.schema(
 )
 
 
+def font_for_text(spans: list[dict], text: str) -> str | None:
+    """First span whose text contains ``text`` → its font (M24,
+    pdf_gui.py:1787-1798); None when absent."""
+    for span in spans or []:
+        if text in (span.get("text") or ""):
+            return span.get("font")
+    return None
+
+
 def search_corpus(
     extracted: ray.data.Dataset,
     query: str,
