@@ -78,6 +78,33 @@ def hash_join(
     )
 
 
+def broadcast_semi_join(
+    ds: ray.data.Dataset,
+    keys,
+    on: str,
+    *,
+    anti: bool = False,
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> ray.data.Dataset:
+    """Semi/anti join against a broadcast key set (ray_guide pattern).
+
+    ``keys`` (an iterable of key values — or a Bloom filter stand-in at
+    extreme scale) is ``ray.put`` once; each batch keeps rows whose
+    ``on`` value is (semi) / is not (anti) in the set.  Zero shuffle.
+    """
+    key_ref = ray.put(frozenset(keys))
+
+    class Filter:
+        def __init__(self) -> None:
+            self.keys = ray.get(key_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            mask = df[on].isin(self.keys)
+            return df[~mask] if anti else df[mask]
+
+    return ds.map_batches(Filter, batch_format="pandas", concurrency=concurrency)
+
+
 # ------------------------------------------------------------ pipelines
 
 def pricing_summary(sf_dir: str) -> ray.data.Dataset:

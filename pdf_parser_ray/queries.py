@@ -201,6 +201,55 @@ def q_brand_volume(sf_dir: str) -> pd.DataFrame:
     return _round_cols(df, {"sum_qty": ROUND_SUM})[["p_brand", "sum_qty"]]
 
 
+def q_distinct_langs(sf_dir: str) -> pd.DataFrame:
+    """Distinct values via ``Dataset.unique`` (shuffle-backed)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    return pd.DataFrame({"lang": sorted(ds.unique("lang"))})
+
+
+def q_orders_semi(sf_dir: str) -> ray.data.Dataset:
+    """Semi join: orders whose customer is in the BUILDING segment
+    (broadcast key set, zero shuffle)."""
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.ops.relational import broadcast_semi_join
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    keys = cust[cust["c_mktsegment"] == "BUILDING"]["c_custkey"]
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    return broadcast_semi_join(orders, keys, "o_custkey")
+
+
+def q_customers_anti(sf_dir: str) -> ray.data.Dataset:
+    """Anti join: customers with no order above 300k (broadcast key set;
+    threshold keeps the result non-empty at every sf)."""
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.ops.relational import broadcast_semi_join
+
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).to_pandas()
+    keys = orders[orders["o_totalprice"] > 300000]["o_custkey"]
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    return broadcast_semi_join(cust, keys, "c_custkey", anti=True)
+
+
+def q_hll_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Approximate COUNT(DISTINCT user_id) via mergeable HLL sketches
+    (rows-only: approximation is not hash-comparable to SQL)."""
+    from pdf_parser_ray.ops.sketches import hll_distinct
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return pd.DataFrame({"approx_distinct_users": [round(hll_distinct(ds, "user_id"))]})
+
+
 def q_top_customers(sf_dir: str) -> ray.data.Dataset:
     """Simple global sort + limit (deterministic tie-break on key)."""
     ds = ray.data.read_parquet(
@@ -476,6 +525,21 @@ SQL: dict[str, str] = {
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY p.p_brand
     """,
+    "distinct_langs": """
+        SELECT DISTINCT lang FROM documents
+    """,
+    "orders_semi": """
+        SELECT o.o_orderkey, o.o_custkey FROM orders o
+        WHERE EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey
+                        AND c.c_mktsegment = 'BUILDING')
+    """,
+    "customers_anti": """
+        SELECT c.c_custkey, c.c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 300000)
+    """,
     "top_customers": """
         SELECT c_custkey, c_name, c_acctbal
         FROM customer ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 10
@@ -538,6 +602,10 @@ QUERIES = {
     "top_orders": q_top_orders,
     "region_revenue": q_region_revenue,
     "brand_volume": q_brand_volume,
+    "distinct_langs": q_distinct_langs,
+    "orders_semi": q_orders_semi,
+    "customers_anti": q_customers_anti,
+    "hll_distinct_users": q_hll_distinct_users,
     "top_customers": q_top_customers,
     "part_filter": q_part_filter,
     "tumbling_events": q_tumbling_events,
