@@ -95,6 +95,41 @@ def tokenize_content(
     for match in SCAN_RE.finditer(content_str):
         whole = match.group(0)
 
+        # Suffix dispatch (performance only — equivalence argument):
+        # each alternation branch ends with its own operator token, and
+        # the Tf/Tm/Td branches cannot contain any OTHER branch's
+        # pattern ('/name int Tf' has no Tm/Td; '... Tm'/'... Td' admit
+        # only [-\d.] and whitespace, so no '/...Tf' and no foreign
+        # operator), so running only that branch's handler produces
+        # exactly the reference's search-cascade outcome.  Text-show
+        # matches (suffix Tj/TJ) keep the FULL cascade below because a
+        # shown string CAN contain the other patterns (reference quirks
+        # pinned in tests/test_tokenizer.py).
+        if whole.endswith("Tf") and not whole.endswith(("Tj", "TJ")):
+            fm = FONT_RE.search(whole)
+            if fm:
+                current_font = "/" + fm.group(1)
+                continue
+        elif whole.endswith("Tm"):
+            mm = MATRIX_RE.search(whole)
+            if mm:
+                parts = mm.group(0).strip().split()
+                if len(parts) >= 6:
+                    try:
+                        current_pos = (float(parts[-2]), float(parts[-1]))
+                    except ValueError:
+                        pass
+                continue
+        elif whole.endswith("Td"):
+            tm_ = TD_RE.search(whole)
+            if tm_:
+                try:
+                    dx, dy = float(tm_.group(1)), float(tm_.group(2))
+                    current_pos = (current_pos[0] + dx, current_pos[1] + dy)
+                except ValueError:
+                    pass
+                continue
+
         # Font switch takes priority (api.py:98-101): searched anywhere in
         # the matched text, faithful to the reference.
         font_match = FONT_RE.search(whole)

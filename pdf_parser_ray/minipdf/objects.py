@@ -118,24 +118,16 @@ def _try_parse_ref(data: bytes, pos: int) -> tuple[PdfRef, int] | None:
     return None
 
 
+_NAME_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
+_NAME_ESC_RE = re.compile(rb"#([0-9A-Fa-f]{2})")
+
+
 def _parse_name(data: bytes, pos: int) -> tuple[PdfName, int]:
-    end = pos + 1
-    n = len(data)
-    out = []
-    while end < n:
-        c = data[end]
-        if c in WHITESPACE or c in DELIMITERS:
-            break
-        if c == 0x23 and end + 2 < n:  # '#xx' escape
-            try:
-                out.append(int(data[end + 1 : end + 3], 16))
-                end += 3
-                continue
-            except ValueError:
-                pass
-        out.append(c)
-        end += 1
-    return PdfName("/" + bytes(out).decode("latin1")), end
+    m = _NAME_RE.match(data, pos + 1)
+    tok = m.group(0)
+    if b"#" in tok:  # '#xx' escapes (invalid hex pairs stay literal)
+        tok = _NAME_ESC_RE.sub(lambda e: bytes([int(e.group(1), 16)]), tok)
+    return PdfName("/" + tok.decode("latin1")), m.end()
 
 
 def _parse_literal_string(data: bytes, pos: int) -> tuple[bytes, int]:

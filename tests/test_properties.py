@@ -92,6 +92,26 @@ def test_parse_cmap_bfrange_skips_multibyte(start, span, target):
     assert cmap == expected
 
 
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=400))
+def test_extract_document_never_raises(payload):
+    """The per-row contract: any byte garbage → a status row, never an
+    exception (poison rows must not kill blocks — SURVEY.md §4)."""
+    from pdf_parser_ray.extract import extract_document
+
+    r = extract_document("u", payload, "fallback")
+    assert isinstance(r["status"], str) and isinstance(r["extracted_text"], str)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=300))
+def test_extract_pdf_prefixed_garbage_never_raises(payload):
+    from pdf_parser_ray.extract import extract_document
+
+    r = extract_document("u", b"%PDF-1.4\n" + payload)
+    assert isinstance(r["status"], str)
+
+
 @settings(max_examples=60, deadline=None)
 @given(st.binary(max_size=200), st.integers(1, 64))
 def test_rolling_fingerprint_vs_naive(data, window):
