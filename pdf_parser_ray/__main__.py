@@ -1,0 +1,127 @@
+"""CLI — the reference's `replace / search / parse` subcommands
+(example.py:11-61), re-expressed as corpus pipelines.
+
+    python -m pdf_parser_ray extract  --input DIR --out DIR [--resume]
+    python -m pdf_parser_ray search   --input DIR --query TEXT --out DIR
+    python -m pdf_parser_ray replace  --input DIR --target T --replacement R --out DIR
+    python -m pdf_parser_ray gen      --n-docs N --out DIR [--seed S]
+
+On a real deployment these run under ``ray job submit``; standalone they
+initialise a local session themselves (guarded — never when a driver
+already owns the session).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="pdf_parser_ray")
+    parser.add_argument("--num-cpus", type=int, default=None)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("extract", help="corpus extraction (the flagship)")
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--resume", action="store_true",
+                   help="partition-manifested resumable job")
+    p.add_argument("--partitions", type=int, default=8)
+
+    p = sub.add_parser("search", help="find a term across the corpus")
+    p.add_argument("--input", required=True)
+    p.add_argument("--query", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--case-sensitive", action="store_true")
+
+    p = sub.add_parser("replace", help="content-stream text replacement")
+    p.add_argument("--input", required=True)
+    p.add_argument("--target", required=True)
+    p.add_argument("--replacement", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--page", type=int, default=0)
+
+    p = sub.add_parser("gen", help="deterministic synthetic corpus")
+    p.add_argument("--n-docs", type=int, required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--seed", type=int, default=42)
+
+    args = parser.parse_args(argv)
+    _ensure_ray(args.num_cpus)
+
+    import ray.data
+
+    from pdf_parser_ray.pipelines import extract_corpus, read_corpus
+
+    if args.cmd == "extract":
+        if args.resume:
+            import glob
+            import os
+
+            from pdf_parser_ray.checkpoint import run_extract_job
+
+            files = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+            summary = run_extract_job(files, args.out, num_partitions=args.partitions)
+            summary.pop("manifests", None)
+            print(json.dumps(summary))
+        else:
+            ds = extract_corpus(read_corpus(args.input))
+            ds.write_parquet(args.out)
+            n = ray.data.read_parquet(args.out, columns=["url"]).count()
+            print(json.dumps({"docs_out": n, "out": args.out}))
+    elif args.cmd == "search":
+        from pdf_parser_ray.search import search_corpus
+
+        hits = search_corpus(
+            extract_corpus(read_corpus(args.input)),
+            args.query,
+            case_sensitive=args.case_sensitive,
+        )
+        hits.write_parquet(args.out)
+        print(json.dumps({"hits": ray.data.read_parquet(args.out).count()}))
+    elif args.cmd == "replace":
+        from pdf_parser_ray.replace import replace_corpus
+
+        out = replace_corpus(
+            read_corpus(args.input),
+            [(args.target, args.replacement)],
+            page_num=args.page,
+        )
+        out.write_parquet(args.out)
+        import pyarrow.compute as pc
+
+        n = (
+            ray.data.read_parquet(args.out, columns=["n_replaced"])
+            .map_batches(
+                lambda t: t.filter(pc.greater(t.column("n_replaced"), 0)),
+                batch_format="pyarrow",
+            )
+            .count()
+        )
+        print(json.dumps({"docs_changed": n}))
+    elif args.cmd == "gen":
+        from pdf_parser_ray.corpus import generate_corpus
+
+        generate_corpus(args.n_docs, args.out, seed=args.seed)
+        print(json.dumps({"generated": args.n_docs, "out": args.out}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

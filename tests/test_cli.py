@@ -1,0 +1,49 @@
+"""CLI subcommands driven in-process (the session fixture owns Ray)."""
+
+import json
+
+import pytest
+
+from pdf_parser_ray.__main__ import main
+
+
+@pytest.fixture(scope="module")
+def cli_corpus(ray_session, tmp_path_factory, capsys=None):
+    d = str(tmp_path_factory.mktemp("cli") / "corpus")
+    assert main(["gen", "--n-docs", "60", "--out", d]) == 0
+    return d
+
+
+def run_cli(capsys, args):
+    assert main(args) == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return json.loads(out)
+
+
+def test_extract_cmd(cli_corpus, tmp_path, capsys):
+    res = run_cli(capsys, ["extract", "--input", cli_corpus,
+                           "--out", str(tmp_path / "out")])
+    assert res["docs_out"] == 60
+
+
+def test_search_cmd(cli_corpus, tmp_path, capsys):
+    res = run_cli(capsys, ["search", "--input", cli_corpus, "--query", "alpha",
+                           "--out", str(tmp_path / "hits")])
+    assert res["hits"] >= 0
+
+
+def test_replace_cmd(cli_corpus, tmp_path, capsys):
+    res = run_cli(capsys, ["replace", "--input", cli_corpus,
+                           "--target", "zzz-not-there", "--replacement", "x",
+                           "--out", str(tmp_path / "rep")])
+    assert res["docs_changed"] == 0
+
+
+def test_resume_cmd(cli_corpus, tmp_path, capsys):
+    out = str(tmp_path / "job")
+    r1 = run_cli(capsys, ["extract", "--input", cli_corpus, "--out", out,
+                          "--resume", "--partitions", "2"])
+    assert r1["ran"] >= 1
+    r2 = run_cli(capsys, ["extract", "--input", cli_corpus, "--out", out,
+                          "--resume", "--partitions", "2"])
+    assert r2["ran"] == 0 and r2["skipped"] == r1["ran"] + r1["skipped"]
