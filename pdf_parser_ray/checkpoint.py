@@ -55,6 +55,35 @@ def _counters_from(ds: ray.data.Dataset) -> dict[str, Any]:
     }
 
 
+def load_metrics(out_dir: str):
+    """Job observability: one row per sealed partition from the
+    manifests (part_id, docs_out, elapsed_sec, per-status counts).
+
+    This is the engine's metrics surface (SURVEY.md §4 "Counters /
+    metrics" row): counters live in the output layout itself, so any
+    later session — or a monitoring job — can read progress without the
+    original driver.
+    """
+    import glob
+
+    import pandas as pd
+
+    rows = []
+    for path in sorted(glob.glob(os.path.join(out_dir, "part=*", "manifest.json"))):
+        with open(path) as f:
+            m = json.load(f)
+        row = {
+            "part_id": m["part_id"],
+            "docs_out": m["docs_out"],
+            "elapsed_sec": m["elapsed_sec"],
+            "n_input_files": len(m.get("input_files", [])),
+        }
+        for status, n in m.get("by_status", {}).items():
+            row[f"status_{status}"] = n
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
 def run_extract_job(
     input_files: list[str],
     out_dir: str,

@@ -135,6 +135,21 @@ class TestCheckpoint:
         assert before == after
 
 
+class TestMetrics:
+    def test_load_metrics(self, corpus_dir, tmp_path, ray_session):
+        from pdf_parser_ray.checkpoint import load_metrics, run_extract_job
+
+        files = [corpus_dir + "/part0.parquet", corpus_dir + "/part1.parquet"]
+        out = str(tmp_path / "mjob")
+        run_extract_job(files, out, num_partitions=2)
+        df = load_metrics(out)
+        assert len(df) == 2
+        assert df["docs_out"].sum() == N_DOCS
+        assert (df["elapsed_sec"] > 0).all()
+        status_cols = [c for c in df.columns if c.startswith("status_")]
+        assert status_cols
+
+
 class TestOversized:
     def test_oversized_doc_routed_and_extracted(self, ray_session, tmp_path):
         import ray.data
