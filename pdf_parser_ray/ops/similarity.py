@@ -72,6 +72,82 @@ def knn_brute_force(
     return partial.sort(["cosine", "vec_id"], descending=[True, False]).limit(k)
 
 
+class _IvfIndex:
+    """IVF coarse quantizer: k-means-lite centroids from a seeded sample.
+
+    Centroids are trained ONCE on the driver from a bounded sample (the
+    classic IVF recipe: a few k-means iterations suffice for a coarse
+    quantizer) and broadcast; assignment is one matmul per batch.
+    """
+
+    def __init__(self, sample: np.ndarray, n_lists: int, seed: int = 53,
+                 iters: int = 8):
+        rng = np.random.RandomState(seed)
+        n = len(sample)
+        n_lists = min(n_lists, n)
+        centroids = sample[rng.choice(n, size=n_lists, replace=False)].copy()
+        for _ in range(iters):
+            # assign
+            d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            # update (empty list keeps its centroid)
+            for c in range(n_lists):
+                members = sample[assign == c]
+                if len(members):
+                    centroids[c] = members.mean(axis=0)
+        self.centroids = centroids
+
+    def assign(self, mat: np.ndarray) -> np.ndarray:
+        d2 = ((mat[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
+        return d2.argmin(axis=1).astype("int64")
+
+    def probe_lists(self, q: np.ndarray, n_probe: int) -> np.ndarray:
+        d2 = ((self.centroids - q[None, :]) ** 2).sum(axis=1)
+        return np.argsort(d2)[:n_probe].astype("int64")
+
+
+def ivf_knn(
+    ds: ray.data.Dataset,
+    query_vec,
+    k: int = 10,
+    *,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 2048,
+    seed: int = 53,
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> ray.data.Dataset:
+    """IVF approximate top-k: train a coarse quantizer on a seeded sample,
+    scan only the query's ``n_probe`` nearest inverted lists.
+
+    The batch-side work is one assignment matmul + a filter; at corpus
+    scale the stored table should be PARTITIONED by the list id so a
+    query prunes to n_probe/n_lists of the data at the read.  Recall
+    rises with n_probe (n_probe = n_lists degenerates to brute force).
+    """
+    q = np.asarray(query_vec, dtype=np.float64)
+    sample_df = ds.limit(train_sample).to_pandas()
+    sample = _to_matrix(sample_df["embedding"])
+    index = _IvfIndex(sample, n_lists, seed)
+    probe = set(index.probe_lists(q, n_probe).tolist())
+    index_ref = ray.put(index)
+    probe_ref = ray.put(probe)
+
+    class AssignFilter:
+        def __init__(self) -> None:
+            self.index = ray.get(index_ref)
+            self.probe = ray.get(probe_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            lists = self.index.assign(_to_matrix(df["embedding"]))
+            return df[np.isin(lists, list(self.probe))]
+
+    candidates = ds.map_batches(
+        AssignFilter, batch_format="pandas", concurrency=concurrency
+    )
+    return knn_brute_force(candidates, q, k, concurrency=concurrency)
+
+
 class _Bucketer:
     """Random-hyperplane LSH code per row (seeded → identical planes on
     every worker; planes built once per actor)."""

@@ -142,6 +142,36 @@ def q_embedding_dup_pairs(sf_dir: str) -> ray.data.Dataset:
     return embedding_dup_pairs(ds, threshold=0.4)
 
 
+def q_ivf_knn(sf_dir: str) -> pd.DataFrame:
+    """IVF approximate top-k (n_probe < n_lists → rows-only check)."""
+    import numpy as np
+
+    from pdf_parser_ray.ops.similarity import ivf_knn
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = ivf_knn(ds, _query_vector(sf_dir), k=10, n_lists=8, n_probe=3).to_pandas()
+    out["cosine"] = np.round(out["cosine"].astype("float64"), ROUND_COS)
+    return out[["vec_id", "cosine"]]
+
+
+def q_ivf_knn_exact(sf_dir: str) -> pd.DataFrame:
+    """IVF with full probe (n_probe = n_lists) — degenerates to exact
+    brute force, so the knn SQL oracle applies."""
+    import numpy as np
+
+    from pdf_parser_ray.ops.similarity import ivf_knn
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ds = ds.filter(lambda r: r["vec_id"] != 0)
+    out = ivf_knn(ds, _query_vector(sf_dir), k=10, n_lists=8, n_probe=8).to_pandas()
+    out["cosine"] = np.round(out["cosine"].astype("float64"), ROUND_COS)
+    return out[["vec_id", "cosine"]]
+
+
 def q_lsh_knn(sf_dir: str) -> pd.DataFrame:
     import numpy as np
 
@@ -481,6 +511,14 @@ SQL: dict[str, str] = {
         FROM embeddings e WHERE e.vec_id <> 0
         ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
     """,
+    "ivf_knn_exact": """
+        WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                            (SELECT embedding FROM q)::DOUBLE[]), 6) AS cosine
+        FROM embeddings e WHERE e.vec_id <> 0
+        ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
+    """,
     "embedding_dup_pairs": """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         SELECT a.vec_id AS a, b.vec_id AS b,
@@ -597,6 +635,8 @@ QUERIES = {
     "rolling_fingerprint": q_rolling_fingerprint,
     "knn_cosine": q_knn_cosine,
     "lsh_knn": q_lsh_knn,
+    "ivf_knn": q_ivf_knn,
+    "ivf_knn_exact": q_ivf_knn_exact,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,

@@ -168,6 +168,24 @@ class TestSimilarity:
         assert list(out["vec_id"]) == expected
         np.testing.assert_allclose(out["cosine"], sims[expected], rtol=1e-12)
 
+    def test_ivf_knn_self_and_recall(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.similarity import ivf_knn, knn_brute_force
+
+        rng = np.random.RandomState(3)
+        mat = rng.standard_normal((400, 16))
+        df = pd.DataFrame({"vec_id": range(400), "embedding": list(mat)})
+        ds = ray.data.from_pandas(df)
+        out = ivf_knn(ds, mat[11], k=5, n_lists=8, n_probe=3).to_pandas()
+        # the query vector is in the corpus and must survive pruning
+        assert out["vec_id"].iloc[0] == 11
+        assert abs(out["cosine"].iloc[0] - 1.0) < 1e-9
+        # full probe degenerates to exact brute force
+        full = ivf_knn(ds, mat[11], k=5, n_lists=8, n_probe=8).to_pandas()
+        exact = knn_brute_force(ds, mat[11], k=5).to_pandas()
+        assert list(full["vec_id"]) == list(exact["vec_id"])
+
     def test_lsh_knn_self_bucket(self, ray_session):
         import ray.data
 
