@@ -23,9 +23,23 @@ from pdf_parser_ray.stages import (
 CORPUS_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
 
 
-def read_corpus(path: str | list[str], **kwargs: Any) -> ray.data.Dataset:
-    """Read a CC-style corpus with column pruning at the read."""
-    return ray.data.read_parquet(path, columns=CORPUS_COLUMNS, **kwargs)
+def read_corpus(
+    path: str | list[str],
+    num_blocks: int | None = None,
+    **kwargs: Any,
+) -> ray.data.Dataset:
+    """Read a CC-style corpus with column pruning at the read.
+
+    ``num_blocks`` applies an EXPLICIT post-read ``repartition`` (no
+    shuffle — block split/coalesce only): use it when the input file
+    layout is skewed (a few giant parquet files would otherwise bound
+    parallelism at the file count).  Leave None when files ≫ CPUs — the
+    read's own block splitting is then sufficient.
+    """
+    ds = ray.data.read_parquet(path, columns=CORPUS_COLUMNS, **kwargs)
+    if num_blocks:
+        ds = ds.repartition(num_blocks)
+    return ds
 
 
 def extract_corpus(
