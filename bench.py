@@ -97,6 +97,18 @@ def run_bench(headline_only: bool = False) -> dict:
 
     query_times: dict[str, float] = {}
     if not headline_only:
+        # Fresh session for the query loop: long Ray sessions on this
+        # box degrade ~2x (accumulated workers/plasma state); the
+        # headline already got its warm-session measurement.
+        ray.shutdown()
+        ray.init(
+            address="local",
+            num_cpus=ncpu,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+        DataContext.get_current().enable_progress_bars = False
         from pdf_parser_ray.queries import QUERIES
         from tests.oracle_utils import to_pandas  # noqa: F401 (conversion helper)
 
