@@ -185,20 +185,39 @@ def replace_text_in_pdf(
     page_num: int = 0,
     instance_index: int = -1,
     cmap_cache: dict | None = None,
+    allow_auto_insert: bool = False,
+    log: list[str] | None = None,
 ) -> dict[str, Any]:
     """One document replace; returns {html, status, n_replaced}.
 
     On any failure (or no match) the ORIGINAL payload is returned —
     mirroring the reference's copy-input-to-output fallbacks
     (replacer.py:439-467, replacer.py:830-832).
+
+    ``allow_auto_insert`` mirrors the reference flag (replacer.py:43-45)
+    but only False is implemented: the True path is dead code upstream
+    (its font-embedding step raises ImportError internally,
+    embedding.py:68 / SURVEY.md §2.11).  ``log`` collects reference-style
+    audit lines (the replace_log.txt surface, replacer.py:834-839) as
+    data instead of a shared file.
     """
+    if allow_auto_insert:
+        raise NotImplementedError(
+            "allow_auto_insert=True is outside the byte-exact contract "
+            "(the reference's auto-insert path is broken: embedding.py:68)"
+        )
+    if log is None:
+        log = []
     if target_text == replacement_text:
+        log.append("ERROR: target and replacement are identical")
         return {"html": payload, "status": "error:same_text", "n_replaced": 0}
     try:
         doc = PdfDocument(payload)
     except PdfError as e:
+        log.append(f"ERROR: cannot open document ({e.kind})")
         return {"html": payload, "status": f"error:{e.kind}", "n_replaced": 0}
     if page_num < 0 or page_num >= len(doc.pages):
+        log.append(f"ERROR: page {page_num} out of range (document has {len(doc.pages)})")
         return {"html": payload, "status": "error:page_range", "n_replaced": 0}
 
     inventory = build_char_inventory(doc, cmap_cache)
@@ -214,7 +233,9 @@ def replace_text_in_pdf(
         instance_index,
     )
     if not n_replaced:
+        log.append(f"WARNING: no matching text found on page {page_num + 1}, nothing replaced")
         return {"html": payload, "status": "no_match", "n_replaced": 0}
+    log.append(f"INFO: replaced {n_replaced} occurrence(s) of target on page {page_num + 1}")
 
     # Swap /Contents to a fresh uncompressed stream object.
     new_stream = PdfStream(
@@ -262,9 +283,11 @@ class ReplaceDocuments:
     not per batch).
     """
 
-    def __init__(self, rules: list[tuple[str, str]], page_num: int = 0):
+    def __init__(self, rules: list[tuple[str, str]], page_num: int = 0,
+                 verbosity: int = 0):
         self.rules = rules
         self.page_num = page_num
+        self.verbosity = verbosity  # 0 = no log column content (S8/§2.10)
         self.cmap_cache: dict = {}
 
     def __call__(self, batch):
@@ -272,20 +295,22 @@ class ReplaceDocuments:
 
         urls = batch.column("url").to_pylist()
         payloads = batch.column("html").to_pylist()
-        out_payload, out_status, out_n = [], [], []
+        out_payload, out_status, out_n, out_log = [], [], [], []
         for payload in payloads:
             payload = payload or b""
             if not payload.startswith(b"%PDF-"):
                 out_payload.append(payload)
                 out_status.append("skip:not_pdf")
                 out_n.append(0)
+                out_log.append("")
                 continue
             total = 0
             status = "no_match"
+            log: list[str] = []
             for target, replacement in self.rules:
                 res = replace_text_in_pdf(
                     payload, target, replacement, self.page_num,
-                    cmap_cache=self.cmap_cache,
+                    cmap_cache=self.cmap_cache, log=log,
                 )
                 if res["n_replaced"]:
                     payload = res["html"]
@@ -296,12 +321,22 @@ class ReplaceDocuments:
             out_payload.append(payload)
             out_status.append(status)
             out_n.append(total)
+            # verbosity gates log classes like the reference CLI levels
+            # (replacer.py:68-79): 0 = off, 1 = WARN/ERROR, 2+ = all.
+            if self.verbosity <= 0:
+                out_log.append("")
+            elif self.verbosity == 1:
+                out_log.append("\n".join(
+                    ln for ln in log if not ln.startswith("INFO")))
+            else:
+                out_log.append("\n".join(log))
         return pa.table(
             {
                 "url": pa.array(urls, pa.string()),
                 "html": pa.array(out_payload, pa.binary()),
                 "replace_status": pa.array(out_status, pa.string()),
                 "n_replaced": pa.array(out_n, pa.int32()),
+                "log": pa.array(out_log, pa.string()),
             }
         )
 
@@ -311,14 +346,17 @@ def replace_corpus(
     rules: list[tuple[str, str]],
     *,
     page_num: int = 0,
+    verbosity: int = 0,
     concurrency: int | tuple[int, int] = (1, 8),
     batch_size: int = 32,
 ):
     """Corpus-level replace: Dataset in → (url, html, replace_status,
-    n_replaced) Dataset out."""
+    n_replaced, log) Dataset out.  ``verbosity`` gates the log column
+    (0 off, 1 warnings+errors, 2 all — reference CLI levels)."""
     return ds.map_batches(
         ReplaceDocuments,
-        fn_constructor_kwargs={"rules": rules, "page_num": page_num},
+        fn_constructor_kwargs={"rules": rules, "page_num": page_num,
+                               "verbosity": verbosity},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -124,6 +124,43 @@ class TestEndToEnd:
         assert res["status"] == "no_match" and res["html"] == pdf
 
 
+class TestLogging:
+    def test_log_lines_collected(self):
+        pdf = one_page("BT /F1 12 Tf 72 720 Td (hello world) Tj ET")
+        log = []
+        r = replace_text_in_pdf(pdf, "hello world", "world hello", log=log)
+        assert r["status"] == "ok"
+        assert log and log[0].startswith("INFO: replaced 1")
+        log2 = []
+        replace_text_in_pdf(pdf, "nope", "x", log=log2)
+        assert log2 and log2[0].startswith("WARNING: no matching")
+
+    def test_auto_insert_guarded(self):
+        import pytest as _pytest
+
+        pdf = one_page("BT /F1 12 Tf (a) Tj ET")
+        with _pytest.raises(NotImplementedError):
+            replace_text_in_pdf(pdf, "a", "b", allow_auto_insert=True)
+
+    def test_verbosity_gates_log_column(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from pdf_parser_ray.replace import replace_corpus
+
+        pdf = one_page("BT /F1 12 Tf 72 720 Td (alpha beta) Tj ET")
+        tbl = pa.table({"url": ["u1"], "html": pa.array([pdf], pa.binary())})
+        pq.write_table(tbl, str(tmp_path / "c.parquet"))
+        ds = ray.data.read_parquet(str(tmp_path / "c.parquet"))
+        silent = replace_corpus(ds, [("zzz", "yyy")], verbosity=0).take_all()[0]
+        assert silent["log"] == ""
+        warn = replace_corpus(ds, [("zzz", "yyy")], verbosity=1).take_all()[0]
+        assert warn["log"].startswith("WARNING")
+        full = replace_corpus(ds, [("alpha beta", "beta alpha")], verbosity=2).take_all()[0]
+        assert "INFO" in full["log"]
+
+
 class TestRayStage:
     def test_replace_corpus(self, ray_session, tmp_path):
         import pyarrow as pa
