@@ -301,4 +301,6 @@ def simhash_groups(
     grouped = sigs.groupby("simhash").aggregate(
         Count(alias_name="n_docs"), Min("doc_id", alias_name="min_doc_id")
     )
-    return grouped.filter(lambda r: r["n_docs"] > 1)
+    return grouped.map_batches(
+        lambda df: df[df["n_docs"] > 1], batch_format="pandas"
+    )

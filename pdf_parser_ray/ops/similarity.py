@@ -60,8 +60,10 @@ def knn_brute_force(
     """
     query_ref = ray.put(np.asarray(query_vec, dtype=np.float64))
     if exclude_vec_id is not None:
-        ds = ds.filter(
-            lambda r, _x=exclude_vec_id: r["vec_id"] != _x
+        # vectorized predicate — per-row ds.filter(fn) is a scale pitfall
+        ds = ds.map_batches(
+            lambda df, _x=exclude_vec_id: df[df["vec_id"] != _x],
+            batch_format="pandas",
         )
     partial = ds.map_batches(
         _BatchTopK,
@@ -192,7 +194,9 @@ def lsh_knn(
         batch_format="pandas",
         concurrency=concurrency,
     )
-    candidates = bucketed.filter(lambda r, _c=qcode: r["bucket"] == _c)
+    candidates = bucketed.map_batches(
+        lambda df, _c=qcode: df[df["bucket"] == _c], batch_format="pandas"
+    )
     return knn_brute_force(
         candidates.drop_columns(["bucket"]), q, k, concurrency=concurrency
     )

@@ -166,7 +166,7 @@ def q_ivf_knn_exact(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    ds = ds.filter(lambda r: r["vec_id"] != 0)
+    ds = ds.map_batches(lambda df: df[df["vec_id"] != 0], batch_format="pandas")
     out = ivf_knn(ds, _query_vector(sf_dir), k=10, n_lists=8, n_probe=8).to_pandas()
     out["cosine"] = np.round(out["cosine"].astype("float64"), ROUND_COS)
     return out[["vec_id", "cosine"]]
