@@ -316,6 +316,40 @@ def q_tumbling_events(sf_dir: str) -> pd.DataFrame:
     ]
 
 
+def q_props_stats(sf_dir: str) -> pd.DataFrame:
+    """JSON property extraction: pull ``k`` out of the events.props JSON
+    column (vectorized regex — schema is {"k": int}) and aggregate per
+    event_type with per-batch partials."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = (
+            df["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
+            .astype("float64")
+        )
+        out = pd.DataFrame({"event_type": df["event_type"], "k": k})
+        g = out.groupby("event_type", as_index=False).agg(
+            sum_k=("k", "sum"), n=("k", "count")
+        )
+        return g.astype({"sum_k": "int64", "n": "int64"})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("sum_k", alias_name="sum_k"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    agg["avg_k"] = _round_cols(
+        pd.DataFrame({"avg_k": agg["sum_k"] / agg["n"].astype("float64")}),
+        {"avg_k": ROUND_AVG},
+    )["avg_k"]
+    return agg[["event_type", "sum_k", "n", "avg_k"]]
+
+
 def q_sessionize(sf_dir: str) -> ray.data.Dataset:
     from pdf_parser_ray.ops.windows import sessionize
 
@@ -608,6 +642,14 @@ SQL: dict[str, str] = {
         QUALIFY row_number() OVER (
             PARTITION BY event_type ORDER BY value DESC, event_id ASC) <= 3
     """,
+    "props_stats": """
+        SELECT event_type,
+               sum(json_extract(props, '$.k')::BIGINT)  AS sum_k,
+               count(json_extract(props, '$.k'))        AS n,
+               round(sum(json_extract(props, '$.k')::BIGINT)::DOUBLE
+                     / count(json_extract(props, '$.k')), 4) AS avg_k
+        FROM events GROUP BY event_type
+    """,
     "sessionize": """
         WITH ordered AS (
           SELECT user_id, ts,
@@ -650,6 +692,7 @@ QUERIES = {
     "part_filter": q_part_filter,
     "tumbling_events": q_tumbling_events,
     "sliding_events": q_sliding_events,
+    "props_stats": q_props_stats,
     "top_events_per_type": q_top_events_per_type,
     "sessionize": q_sessionize,
     "extract_corpus": q_extract_corpus,
