@@ -95,6 +95,39 @@ def test_duplicate_blocks_instance_indexed():
     assert [s["instance_index"] for s in r["spans"]] == [0, 1]
 
 
+def test_tables_and_lists_block_granularity():
+    html = (b"<html><body><article>"
+            b"<table><tr><td>cell one content long enough to keep here</td>"
+            b"<td>cell two content also long enough to keep here</td></tr></table>"
+            b"<ul><li>list item one long enough to survive the scorer</li>"
+            b"<li>list item two long enough to survive the scorer</li></ul>"
+            b"</article></body></html>")
+    r = strip_html(html)
+    lines = r["extracted_text"].split("\n")
+    assert len(lines) == 4
+    assert [s["font"] for s in r["spans"]] == ["td", "td", "li", "li"]
+
+
+def test_figcaption_dd_dt_blocks():
+    html = (b"<html><body><article>"
+            b"<figure><figcaption>caption text long enough for keeping</figcaption></figure>"
+            b"<dl><dt>term kept</dt><dd>definition body long enough for keeping</dd></dl>"
+            b"</article></body></html>")
+    r = strip_html(html)
+    fonts = [s["font"] for s in r["spans"]]
+    assert "figcaption" in fonts and "dd" in fonts and "dt" in fonts
+
+
+def test_comment_content_ignored():
+    html = (b"<html><body><article>"
+            b"<!-- hidden comment text that must never ever appear -->"
+            b"<p>visible paragraph content long enough to keep here</p>"
+            b"</article></body></html>")
+    r = strip_html(html)
+    assert "hidden comment" not in r["extracted_text"]
+    assert r["extracted_text"].startswith("visible paragraph")
+
+
 def test_script_style_dropped():
     html = (b"<html><head><style>p{color:red}</style></head><body>"
             b"<script>var boilerplate_long_enough_to_keep = 12345678;</script>"
