@@ -123,6 +123,58 @@ class ExtractDocuments:
         return pa.table({n: cols[n] for n in names})
 
 
+class StripHtml:
+    """Actor-pool stage for pure-HTML corpora (north_star: "compiled DOM
+    heuristics" as actor state).
+
+    The block-scoring heuristics' regexes/tag-sets are module-level
+    constants compiled at import (A5); the actor form exists for
+    pipelines that want per-stage resource isolation for the HTML path
+    (e.g. a separate pool with its own concurrency next to a PDF pool).
+    Output schema matches :class:`ExtractDocuments` minus PDF-only
+    columns.
+    """
+
+    def __init__(self, include_spans: bool = True):
+        from pdf_parser_ray.html.strip import strip_html  # bind once
+
+        self.strip_html = strip_html
+        self.include_spans = include_spans
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        payloads = batch.column("html").to_pylist()
+        texts, statuses, spans_out = [], [], []
+        for payload in payloads:
+            res = self.strip_html(payload or b"")
+            texts.append(res["extracted_text"])
+            statuses.append(res["status"])
+            if self.include_spans:
+                spans_out.append(
+                    [
+                        {
+                            "page": 0,
+                            "text": s["text"],
+                            "x0": None, "y0": None, "x1": None, "y1": None,
+                            "font": s["font"],
+                            "encoded_hex": None,
+                            "instance_index": s["instance_index"],
+                            "offset_start": s["offset_start"],
+                            "offset_end": s["offset_end"],
+                        }
+                        for s in res["spans"]
+                    ]
+                )
+        cols = {
+            "url": pa.array(urls, pa.string()),
+            "status": pa.array(statuses, pa.string()),
+            "extracted_text": pa.array(texts, pa.string()),
+        }
+        if self.include_spans:
+            cols["spans"] = pa.array(spans_out, pa.list_(SPAN_TYPE))
+        return pa.table(cols)
+
+
 # Worker-process-global CMap cache for the stateless-task execution mode.
 # Ray reuses worker processes across map_batches tasks, so a module-level
 # dict gives the same amortization as actor state (A1) without paying
