@@ -58,6 +58,44 @@ class PdfDocument:
             except Exception:
                 continue  # truncated / garbage object: skip, keep the rest
             self.objects[num] = obj
+        self._expand_object_streams()
+
+    def _expand_object_streams(self) -> None:
+        """Unpack /Type /ObjStm streams (ISO 32000 §7.5.7).
+
+        Modern PDFs keep most indirect objects inside compressed object
+        streams; the top-level scan only sees the container.  Layout:
+        decoded stream = N pairs of ``objnum offset`` integers, then the
+        object bodies starting at /First.  Direct (top-level) objects win
+        on number conflicts.
+        """
+        containers = [
+            obj for obj in list(self.objects.values())
+            if isinstance(obj, PdfStream)
+            and obj.dict.get("/Type") == PdfName("/ObjStm")
+        ]
+        for stream in containers:
+            try:
+                n = self.resolve(stream.dict.get("/N"))
+                first = self.resolve(stream.dict.get("/First"))
+                if not isinstance(n, int) or not isinstance(first, int):
+                    continue
+                body = self.stream_bytes(stream)
+                header = body[:first].split()
+                pairs = [
+                    (int(header[2 * i]), int(header[2 * i + 1]))
+                    for i in range(min(n, len(header) // 2))
+                ]
+                for objnum, offset in pairs:
+                    if objnum in self.objects:
+                        continue  # direct objects take precedence
+                    try:
+                        obj, _ = parse_object(body, first + offset)
+                        self.objects[objnum] = obj
+                    except Exception:
+                        continue
+            except (PdfError, ValueError, IndexError):
+                continue
 
     # -- resolution ------------------------------------------------------
 

@@ -86,6 +86,38 @@ def test_ref_cycle_does_not_hang():
     assert isinstance(r["status"], str)
 
 
+def test_object_stream_expansion():
+    """Catalog/pages/page/font dicts packed in a compressed /ObjStm."""
+    import zlib
+
+    inner = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R "
+           b"/Resources << /Font << /F1 4 0 R >> >> >>",
+        4: b"<< /Type /Font /ToUnicode 6 0 R >>",
+    }
+    header, body = [], b""
+    for num, objbytes in inner.items():
+        header.append(f"{num} {len(body)}")
+        body += objbytes + b"\n"
+    head = (" ".join(header) + "\n").encode()
+    payload = zlib.compress(head + body)
+    objstm = (
+        f"<< /Type /ObjStm /N {len(inner)} /First {len(head)} "
+        f"/Length {len(payload)} /Filter /FlateDecode >>\n".encode()
+        + b"stream\n" + payload + b"\nendstream"
+    )
+    pdf = raw_pdf({
+        10: objstm,
+        5: b"<< /Length 35 >>\nstream\nBT /F1 12 Tf 9 9 Td (objstm) Tj ET\nendstream",
+        6: TOUNICODE,
+    }, root=1)
+    r = extract_document("u", pdf)
+    assert r["status"] == "ok"
+    assert r["extracted_text"] == "objstm"
+
+
 def test_garbage_between_objects_survives():
     pdf = raw_pdf({
         1: b"<< /Type /Catalog /Pages 2 0 R >>",
