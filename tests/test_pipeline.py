@@ -135,6 +135,26 @@ class TestCheckpoint:
         assert before == after
 
 
+class TestSizeMask:
+    def test_null_and_empty_payloads_route_small(self):
+        import pyarrow as pa
+
+        from pdf_parser_ray.stages import payload_size_mask
+
+        batch = pa.table(
+            {
+                "url": ["a", "b", "c"],
+                "html": pa.array([None, b"", b"x" * 100], pa.binary()),
+            }
+        )
+        small = payload_size_mask(batch, threshold=10, keep_small=True)
+        big = payload_size_mask(batch, threshold=10, keep_small=False)
+        assert small.column("url").to_pylist() == ["a", "b"]
+        assert big.column("url").to_pylist() == ["c"]
+        # partition: every row lands on exactly one side
+        assert small.num_rows + big.num_rows == batch.num_rows
+
+
 class TestMetrics:
     def test_load_metrics(self, corpus_dir, tmp_path, ray_session):
         from pdf_parser_ray.checkpoint import load_metrics, run_extract_job
