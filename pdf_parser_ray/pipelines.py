@@ -26,9 +26,16 @@ CORPUS_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
 def read_corpus(
     path: str | list[str],
     num_blocks: int | None = None,
+    lang: str | None = None,
     **kwargs: Any,
 ) -> ray.data.Dataset:
     """Read a CC-style corpus with column pruning at the read.
+
+    ``lang`` pushes a row filter INTO the parquet read (pyarrow dataset
+    expression → row-group pruning + per-batch filtering before rows
+    ever enter the object store) — the "prune at the read" rule: a
+    language-sliced job over a 100 TB corpus should never materialize
+    the other languages.
 
     ``num_blocks`` applies an EXPLICIT post-read ``repartition`` (no
     shuffle — block split/coalesce only): use it when the input file
@@ -36,6 +43,10 @@ def read_corpus(
     parallelism at the file count).  Leave None when files ≫ CPUs — the
     read's own block splitting is then sufficient.
     """
+    if lang is not None:
+        import pyarrow.compute as pc
+
+        kwargs.setdefault("filter", pc.field("lang") == lang)
     ds = ray.data.read_parquet(path, columns=CORPUS_COLUMNS, **kwargs)
     if num_blocks:
         ds = ds.repartition(num_blocks)
