@@ -58,7 +58,10 @@ def annotate_unsupported(payload: bytes, check_text: str,
     next_num = (max(doc.objects) if doc.objects else 0) + 1
     for page_idx, rects in flagged.items():
         page = doc.pages[page_idx]
-        annots = page.get("/Annots")
+        # doc.get resolves an indirect /Annots reference — a plain
+        # page.get would see a PdfRef, fail isinstance(list) and silently
+        # replace (drop) the document's existing annotations.
+        annots = doc.get(page, "/Annots")
         if not isinstance(annots, list):
             annots = []
         for rect in rects:

@@ -88,6 +88,45 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
     return len(a & b) / len(a | b)
 
 
+def grouped_jaccard_pairs(
+    ds: ray.data.Dataset, group_col: str = "pair_id", *, ngram: int = 3
+) -> ray.data.Dataset:
+    """Exact n-gram Jaccard for every (a < b) doc pair inside a group.
+
+    The distributed form of the verify kernel: candidate pairs arrive
+    co-grouped under ``group_col`` (from LSH buckets, a pairing rule, a
+    prior candidate generator), ONE groupby shuffle co-locates each
+    group, and the in-group work is all-pairs exact Jaccard — callers
+    must keep groups bounded (they're candidate sets, not the corpus).
+
+    Input columns: (group_col, doc_id, text).
+    Output: (a:int64, b:int64, jaccard:float64).
+    """
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        grams = [set(_word_ngrams(t, ngram)) for t in g["text"].fillna("")]
+        a_out, b_out, j_out = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                ga, gb = grams[i], grams[j]
+                if not ga and not gb:
+                    jac = 1.0
+                elif not ga or not gb:
+                    jac = 0.0
+                else:
+                    jac = len(ga & gb) / len(ga | gb)
+                a_out.append(int(ids[i]))
+                b_out.append(int(ids[j]))
+                j_out.append(jac)
+        return pd.DataFrame({"a": a_out, "b": b_out, "jaccard": j_out}).astype(
+            {"a": "int64", "b": "int64", "jaccard": "float64"}
+        )
+
+    return ds.groupby(group_col).map_groups(per_group, batch_format="pandas")
+
+
 # ---------------------------------------------------------------- minhash
 
 class MinHasher:
@@ -111,24 +150,51 @@ class MinHasher:
         return v.min(axis=1)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        sigs = [self.signature(t) for t in df["text"].fillna("")]
+        # Transport as uint32 (low 32 bits): halves the shuffled payload
+        # (sig rides along in every band row, ×bands inflation); slot
+        # equality — all the LSH ever tests — collides only at 2^-32.
+        sigs = [self.signature(t).astype(np.uint32) for t in df["text"].fillna("")]
         return pd.DataFrame(
             {"doc_id": df["doc_id"], "sig": [s.tobytes() for s in sigs]}
         )
 
 
+_MIX = np.uint64(0x9E3779B97F4A7C15)   # splitmix64 multiplier
+_MIX_SEED = np.uint64(0x243F6A8885A308D3)
+
+
 def _explode_bands(df: pd.DataFrame, bands: int, rows_per_band: int) -> pd.DataFrame:
-    out_band, out_hash, out_doc, out_sig = [], [], [], []
-    for doc_id, sig in zip(df["doc_id"], df["sig"]):
-        arr = np.frombuffer(sig, dtype=np.uint64)
+    """(band_id:int32, band_hash:int64, doc_id, sig) — one row per band.
+
+    Band hash = vectorized xor-multiply mix of the band's sig slots
+    (int64, 8 bytes — replaces the former 16-char md5 hex string); the
+    whole explode is numpy-vectorized across the batch.
+    """
+    n = len(df)
+    if n == 0:
+        return pd.DataFrame(
+            {"band_id": pd.Series([], dtype="int32"),
+             "band_hash": pd.Series([], dtype="int64"),
+             "doc_id": pd.Series([], dtype="int64"),
+             "sig": pd.Series([], dtype=object)}
+        )
+    sig_mat = np.vstack(
+        [np.frombuffer(s, dtype=np.uint32) for s in df["sig"]]
+    ).astype(np.uint64)
+    band_hashes = np.empty((bands, n), dtype=np.uint64)
+    with np.errstate(over="ignore"):
         for b in range(bands):
-            chunk = arr[b * rows_per_band : (b + 1) * rows_per_band]
-            out_band.append(b)
-            out_hash.append(hashlib.md5(chunk.tobytes()).hexdigest()[:16])
-            out_doc.append(doc_id)
-            out_sig.append(sig)
+            acc = np.full(n, _MIX_SEED, dtype=np.uint64)
+            for r in range(rows_per_band):
+                acc = (acc ^ sig_mat[:, b * rows_per_band + r]) * _MIX
+            band_hashes[b] = acc
     return pd.DataFrame(
-        {"band_id": out_band, "band_hash": out_hash, "doc_id": out_doc, "sig": out_sig}
+        {
+            "band_id": np.repeat(np.arange(bands, dtype="int32"), n),
+            "band_hash": band_hashes.reshape(-1).view(np.int64),
+            "doc_id": np.tile(df["doc_id"].to_numpy(), bands),
+            "sig": list(df["sig"]) * bands,
+        }
     )
 
 
@@ -170,7 +236,7 @@ def minhash_lsh_pairs(
             )
         g = g.sort_values("doc_id").head(MAX_BUCKET)
         ids = g["doc_id"].to_numpy()
-        sig_mat = np.vstack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
+        sig_mat = np.vstack([np.frombuffer(s, dtype=np.uint32) for s in g["sig"]])
         a_out, b_out, est = [], [], []
         for i in range(len(ids)):
             eq = (sig_mat[i + 1 :] == sig_mat[i]).mean(axis=1)
@@ -231,59 +297,133 @@ class SimHasher:
         return pd.DataFrame({"doc_id": df["doc_id"], "simhash": sigs})
 
 
+def _emb_matrix(col) -> np.ndarray:
+    return np.vstack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def _pair_frame(a, b, c) -> pd.DataFrame:
+    return pd.DataFrame({"a": a, "b": b, "cosine": c}).astype(
+        {"a": "int64", "b": "int64", "cosine": "float64"}
+    )
+
+
 def embedding_dup_pairs(
     ds: ray.data.Dataset,
     *,
     threshold: float = 0.9,
     round_to: int = 6,
+    mode: str = "auto",
+    exact_max_rows: int = 200_000,
+    chunk_rows: int = 16_384,
+    bands: int = 16,
+    band_planes: int = 4,
+    seed: int = 113,
+    max_bucket: int = 4096,
+    concurrency: int | tuple[int, int] = (1, 8),
 ) -> ray.data.Dataset:
     """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
 
-    Exact variant: the full (vec_id, matrix) is broadcast once via
-    ``ray.put`` and every batch does one float64 matmul against it —
-    correct and oracle-checkable at driver scale (N ≤ ~1M rows,
-    N×dim×8 bytes broadcast).  At 10^12 rows swap the broadcast for the
-    LSH bucket route (:func:`pdf_parser_ray.ops.similarity.lsh_knn`'s
-    ``_Bucketer`` + per-bucket pairwise), which bounds the pairwise work
-    to bucket-local comparisons.
+    Routes (``mode="auto"`` picks by ``ds.count()`` vs ``exact_max_rows``):
+
+    * ``"exact"`` — chunked broadcast all-pairs.  The matrix is staged
+      into the object store ONE bounded chunk at a time (the driver heap
+      never holds the full table; the object store can spill), then one
+      ``map_batches`` pass matmuls each batch against every chunk ref.
+      O(N²) compute — exact, for bounded N.
+    * ``"lsh"`` — the 10^12-row path: ``bands`` independent random-
+      hyperplane codes (``band_planes`` planes each) per row → ONE
+      groupby(band_id, code) shuffle → bucket-local pairwise with an
+      EXACT cosine gate (no false positives).  Recall for a pair at
+      angle θ is 1-(1-p^band_planes)^bands with p = 1-θ/π — e.g.
+      ≈1-1e-15 at cosine 0.99 with 16×4, but LOW for weakly-similar
+      pairs (≈0.33 at cosine 0.4); widen bands / shrink band_planes for
+      low thresholds.  ``max_bucket`` caps boilerplate-clique skew.
 
     Output: (a:int64, b:int64, cosine:float64 rounded to ``round_to``).
     """
     import ray as _ray
 
-    all_df = ds.select_columns(["vec_id", "embedding"]).to_pandas()
-    ids = all_df["vec_id"].to_numpy().astype("int64")
-    mat = np.vstack([np.asarray(v, dtype=np.float64) for v in all_df["embedding"]])
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    ref = _ray.put((ids, mat, norms))
+    ds = ds.select_columns(["vec_id", "embedding"])
+    if mode == "auto":
+        mode = "exact" if ds.count() <= exact_max_rows else "lsh"
 
-    class PairFinder:
+    if mode == "exact":
+        chunk_refs = []
+        for df in ds.iter_batches(batch_size=chunk_rows, batch_format="pandas"):
+            ids = df["vec_id"].to_numpy().astype("int64")
+            mat = _emb_matrix(df["embedding"])
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            chunk_refs.append(_ray.put((ids, mat, norms)))
+
+        class PairFinder:
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                rows = _emb_matrix(df["embedding"])
+                row_ids = df["vec_id"].to_numpy().astype("int64")
+                rnorms = np.linalg.norm(rows, axis=1)
+                rnorms[rnorms == 0] = 1.0
+                frames = []
+                for ref in chunk_refs:  # zero-copy plasma fetch per chunk
+                    ids, mat, norms = _ray.get(ref)
+                    cos = (rows @ mat.T) / (rnorms[:, None] * norms[None, :])
+                    mask = (cos >= threshold) & (ids[None, :] > row_ids[:, None])
+                    ii, jj = np.nonzero(mask)
+                    frames.append(
+                        _pair_frame(row_ids[ii], ids[jj], np.round(cos[ii, jj], round_to))
+                    )
+                return pd.concat(frames, ignore_index=True)
+
+        return ds.map_batches(PairFinder, batch_format="pandas", concurrency=concurrency)
+
+    # ------------------------------------------------------- lsh route
+    class BandCoder:
+        """bands × band_planes hyperplanes, built once per actor (seeded
+        → identical planes on every worker)."""
+
         def __init__(self) -> None:
-            self.ids, self.mat, self.norms = _ray.get(ref)
+            self.rng_planes: np.ndarray | None = None
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            rows = np.vstack(
-                [np.asarray(v, dtype=np.float64) for v in df["embedding"]]
-            )
-            row_ids = df["vec_id"].to_numpy().astype("int64")
-            rnorms = np.linalg.norm(rows, axis=1)
-            rnorms[rnorms == 0] = 1.0
-            cos = (rows @ self.mat.T) / (rnorms[:, None] * self.norms[None, :])
-            a_out, b_out, c_out = [], [], []
-            for i, rid in enumerate(row_ids):
-                mask = (cos[i] >= threshold) & (self.ids > rid)
-                for j in np.nonzero(mask)[0]:
-                    a_out.append(rid)
-                    b_out.append(int(self.ids[j]))
-                    c_out.append(round(float(cos[i, j]), round_to))
-            return pd.DataFrame({"a": a_out, "b": b_out, "cosine": c_out}).astype(
-                {"a": "int64", "b": "int64", "cosine": "float64"}
+            mat = _emb_matrix(df["embedding"])
+            if self.rng_planes is None:
+                rng = np.random.RandomState(seed)
+                self.rng_planes = rng.standard_normal(
+                    (mat.shape[1], bands * band_planes)
+                )
+            bits = (mat @ self.rng_planes) > 0
+            codes = bits.reshape(len(df), bands, band_planes)
+            codes = (codes * (1 << np.arange(band_planes))).sum(axis=2).astype("int32")
+            n = len(df)
+            return pd.DataFrame(
+                {
+                    "band_id": np.repeat(np.arange(bands, dtype="int32"), n),
+                    "code": codes.T.reshape(-1),
+                    "vec_id": np.tile(df["vec_id"].to_numpy().astype("int64"), bands),
+                    "embedding": list(df["embedding"]) * bands,
+                }
             )
 
-    return ds.select_columns(["vec_id", "embedding"]).map_batches(
-        PairFinder, batch_format="pandas", concurrency=(1, 8)
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return _pair_frame([], [], [])
+        g = g.sort_values("vec_id").head(max_bucket)
+        ids = g["vec_id"].to_numpy().astype("int64")
+        mat = _emb_matrix(g["embedding"])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        cos = (mat @ mat.T) / (norms[:, None] * norms[None, :])
+        mask = (cos >= threshold) & (ids[None, :] > ids[:, None])
+        ii, jj = np.nonzero(mask)
+        return _pair_frame(ids[ii], ids[jj], np.round(cos[ii, jj], round_to))
+
+    coded = ds.map_batches(BandCoder, batch_format="pandas", concurrency=concurrency)
+    pairs = coded.groupby(["band_id", "code"]).map_groups(
+        bucket_pairs, batch_format="pandas"
     )
+    # a pair surfaces once per agreeing band → keep one row (cosines equal)
+    from ray.data.aggregate import Max
+
+    return pairs.groupby(["a", "b"]).aggregate(Max("cosine", alias_name="cosine"))
 
 
 def simhash_groups(
@@ -292,8 +432,8 @@ def simhash_groups(
     """Groups of docs with IDENTICAL simhash (strict near-dup tier).
 
     Output: (simhash:uint64, n_docs:int64, min_doc_id:int64), n_docs > 1.
-    Hamming-distance buckets (4×16-bit bands) are the scale-out variant —
-    compose ``SimHasher`` with the LSH band explode above.
+    For near-matches beyond exact signature equality see
+    :func:`simhash_near_pairs` (Hamming-band variant).
     """
     from ray.data.aggregate import Count, Min
 
@@ -304,3 +444,83 @@ def simhash_groups(
     return grouped.map_batches(
         lambda df: df[df["n_docs"] > 1], batch_format="pandas"
     )
+
+
+def simhash_near_pairs(
+    ds: ray.data.Dataset,
+    *,
+    max_hamming: int = 3,
+    bands: int = 4,
+    ngram: int = 1,
+    max_bucket: int = 4096,
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> ray.data.Dataset:
+    """Near-duplicate pairs at Hamming distance ≤ ``max_hamming`` over
+    the 64-bit SimHash (the near-dup tier beyond exact-signature match).
+
+    Pigeonhole guarantee: splitting the signature into ``bands`` equal
+    slices, any pair differing in ≤ bands-1 bits agrees on ≥1 whole
+    slice — so for ``max_hamming ≤ bands-1`` (default 3 ≤ 3) recall is
+    EXACTLY 1.0, not probabilistic.  One groupby(band_id, band_val)
+    shuffle carrying only (int32, int64, doc_id, simhash) rows; the
+    in-bucket Hamming matrix is a vectorized xor + unpackbits popcount,
+    and identical-signature cliques are capped at ``max_bucket``.
+
+    Output: (a:int64, b:int64, hamming:int64), a < b, deduped across
+    bands via a min-hamming groupby (hamming is band-invariant; Min is
+    just the dedup combiner).
+    """
+    from ray.data.aggregate import Min
+
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+
+    sigs = ds.map_batches(
+        SimHasher, fn_constructor_kwargs={"ngram": ngram},
+        batch_format="pandas", concurrency=concurrency,
+    )
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        sim_i64 = df["simhash"].to_numpy()
+        sim = sim_i64.view(np.uint64)
+        vals = np.concatenate(
+            [((sim >> np.uint64(b * width)) & mask).view(np.int64)
+             for b in range(bands)]
+        )
+        return pd.DataFrame(
+            {
+                "band_id": np.repeat(np.arange(bands, dtype="int32"), n),
+                "band_val": vals,
+                "doc_id": np.tile(df["doc_id"].to_numpy(), bands),
+                "simhash": np.tile(sim_i64, bands),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"a": pd.Series([], dtype="int64"),
+             "b": pd.Series([], dtype="int64"),
+             "hamming": pd.Series([], dtype="int64")}
+        )
+        if len(g) < 2:
+            return empty
+        g = g.sort_values("doc_id").head(max_bucket)
+        ids = g["doc_id"].to_numpy().astype("int64")
+        sim = g["simhash"].to_numpy().view(np.uint64)
+        n = len(ids)
+        xor = (sim[:, None] ^ sim[None, :])
+        ham = np.unpackbits(
+            xor.view(np.uint8).reshape(n, n, 8), axis=2
+        ).sum(axis=2).astype("int64")
+        keep = (ham <= max_hamming) & (ids[None, :] > ids[:, None])
+        ii, jj = np.nonzero(keep)
+        return pd.DataFrame(
+            {"a": ids[ii], "b": ids[jj], "hamming": ham[ii, jj]}
+        ).astype({"a": "int64", "b": "int64", "hamming": "int64"})
+
+    exploded = sigs.map_batches(explode, batch_format="pandas")
+    pairs = exploded.groupby(["band_id", "band_val"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))

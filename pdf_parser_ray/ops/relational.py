@@ -110,6 +110,73 @@ def broadcast_semi_join(
     return ds.map_batches(Filter, batch_format="pandas", concurrency=concurrency)
 
 
+def asof_join_backward(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    by: str,
+    on: str,
+    out_col: str,
+) -> ray.data.Dataset:
+    """Backward as-of join: for each left row, the greatest ``right[on]``
+    ≤ ``left[on]`` within the same ``by`` group (e.g. last view before a
+    purchase), or null when no prior right row exists.
+
+    Ray Data has no native as-of join; this is the co-partition
+    composition: both sides are tagged and schema-harmonized (typed
+    nulls for the right side's missing columns, so the union schema
+    stays exact), ONE ``groupby(by)`` shuffle co-locates each key, and
+    the per-group merge is a vectorized sorted ``searchsorted``.
+    Partitioning assumption: group size is bounded by per-key activity —
+    salt hot keys if one key dominates.
+
+    ``right`` needs only columns (by, on); duplicates are irrelevant
+    (the merge reads the sorted unique ``on`` values).
+    Output: all left columns + ``out_col`` (right ``on``'s dtype).
+    """
+    import numpy as np
+
+    schema = left.schema()
+    names = list(schema.names)
+    types = dict(zip(schema.names, schema.types))
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        return t.select(names).append_column(
+            "__side", pa.array(np.zeros(len(t), dtype=np.int8))
+        )
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {}
+        for name in names:
+            if name in (by, on):
+                cols[name] = t.column(name).cast(types[name])
+            else:
+                cols[name] = pa.nulls(len(t), type=types[name])
+        return pa.table(cols).append_column(
+            "__side", pa.array(np.ones(len(t), dtype=np.int8))
+        )
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.select_columns([by, on]).map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == 0]
+        r = g[g["__side"] == 1]
+        out = l[names].copy()
+        rts = np.sort(r[on].dropna().unique())
+        if len(rts) == 0:
+            out[out_col] = pd.Series(pd.NA, index=out.index, dtype=l[on].dtype)
+            return out
+        idx = np.searchsorted(rts, l[on].to_numpy(), side="right") - 1
+        vals = pd.Series(rts[np.clip(idx, 0, None)], index=out.index)
+        vals[idx < 0] = pd.NA
+        out[out_col] = vals.astype(l[on].dtype)
+        return out
+
+    return tagged.groupby(by).map_groups(merge, batch_format="pandas")
+
+
 # ------------------------------------------------------------ pipelines
 
 def pricing_summary(sf_dir: str) -> ray.data.Dataset:

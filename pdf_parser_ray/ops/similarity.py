@@ -22,24 +22,36 @@ def _to_matrix(col: pd.Series) -> np.ndarray:
 
 
 class _BatchTopK:
-    """Partial top-k per batch against a broadcast query vector."""
+    """Partial top-k per batch against a broadcast query vector.
 
-    def __init__(self, query_ref, k: int):
+    ``round_to`` rounds the cosine BEFORE the top-k selection so the
+    (cosine DESC, vec_id ASC) tie-break operates on the same values the
+    final sort (and a SQL oracle ordering by the rounded alias) sees —
+    otherwise neighbors differing only past the rounding digit can be
+    selected/ordered differently at the k boundary.
+    """
+
+    def __init__(self, query_ref, k: int, round_to: int | None = None):
         # ray.put'ed once on the driver; fetched once per actor.
         self.q = np.asarray(ray.get(query_ref), dtype=np.float64)
         self.qn = self.q / np.linalg.norm(self.q)
         self.k = k
+        self.round_to = round_to
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         mat = _to_matrix(df["embedding"])
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         cos = (mat @ self.qn) / norms
+        if self.round_to is not None:
+            cos = np.round(cos, self.round_to)
         k = min(self.k, len(df))
-        idx = np.argpartition(-cos, k - 1)[:k]
+        # lexsort: primary -cosine, tie-break vec_id ascending
+        vec_ids = df["vec_id"].to_numpy()
+        idx = np.lexsort((vec_ids, -cos))[:k]
         return pd.DataFrame(
             {
-                "vec_id": df["vec_id"].to_numpy()[idx],
+                "vec_id": vec_ids[idx],
                 "cosine": cos[idx].astype("float64"),
             }
         )
@@ -51,12 +63,15 @@ def knn_brute_force(
     k: int = 10,
     *,
     exclude_vec_id: int | None = None,
+    round_to: int | None = None,
     concurrency: int | tuple[int, int] = (1, 8),
 ) -> ray.data.Dataset:
     """Exact cosine top-k: partial top-k per batch → global sort-limit.
 
     The final sort runs over ≤ k·num_batches rows — tiny.  Deterministic
-    tie-break: (-cosine, vec_id).
+    tie-break: (-cosine, vec_id), computed on the ``round_to``-rounded
+    cosine when given (matching a SQL oracle that orders by the rounded
+    alias).
     """
     query_ref = ray.put(np.asarray(query_vec, dtype=np.float64))
     if exclude_vec_id is not None:
@@ -67,7 +82,7 @@ def knn_brute_force(
         )
     partial = ds.map_batches(
         _BatchTopK,
-        fn_constructor_kwargs={"query_ref": query_ref, "k": k},
+        fn_constructor_kwargs={"query_ref": query_ref, "k": k, "round_to": round_to},
         batch_format="pandas",
         concurrency=concurrency,
     )
@@ -117,6 +132,7 @@ def ivf_knn(
     n_probe: int = 4,
     train_sample: int = 2048,
     seed: int = 53,
+    round_to: int | None = None,
     concurrency: int | tuple[int, int] = (1, 8),
 ) -> ray.data.Dataset:
     """IVF approximate top-k: train a coarse quantizer on a seeded sample,
@@ -147,7 +163,7 @@ def ivf_knn(
     candidates = ds.map_batches(
         AssignFilter, batch_format="pandas", concurrency=concurrency
     )
-    return knn_brute_force(candidates, q, k, concurrency=concurrency)
+    return knn_brute_force(candidates, q, k, round_to=round_to, concurrency=concurrency)
 
 
 class _Bucketer:
@@ -176,6 +192,7 @@ def lsh_knn(
     *,
     dim: int | None = None,
     n_planes: int = 8,
+    round_to: int | None = None,
     concurrency: int | tuple[int, int] = (1, 8),
 ) -> ray.data.Dataset:
     """Approximate top-k: scan only rows sharing the query's LSH bucket.
@@ -198,5 +215,6 @@ def lsh_knn(
         lambda df, _c=qcode: df[df["bucket"] == _c], batch_format="pandas"
     )
     return knn_brute_force(
-        candidates.drop_columns(["bucket"]), q, k, concurrency=concurrency
+        candidates.drop_columns(["bucket"]), q, k, round_to=round_to,
+        concurrency=concurrency,
     )

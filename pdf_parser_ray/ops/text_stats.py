@@ -133,8 +133,11 @@ def rolling_fingerprint_batch(df: pd.DataFrame, window: int = 64) -> pd.DataFram
     """Rabin-Karp-style rolling document fingerprint (winnowing flavor).
 
     Emits the minimum 64-bit rolling hash over byte windows — a cheap
-    content-defined fingerprint robust to small edits at the ends.  Not
-    SQL-expressible → rows-only oracle check.
+    content-defined fingerprint robust to small edits at the ends.
+    SQL-oracled (queries.py builds the DuckDB twin from the same B and
+    precomputed B^k mod 2^64 powers; valid for ASCII corpora where
+    code points == UTF-8 bytes — true of the driver testdata).  Output
+    dtype is pinned uint64 to match the oracle's ``::UBIGINT``.
     """
     import numpy as np
 
@@ -173,5 +176,8 @@ def rolling_fingerprint_batch(df: pd.DataFrame, window: int = 64) -> pd.DataFram
         return int(window_hashes.min())
 
     return pd.DataFrame(
-        {"doc_id": df["doc_id"], "rolling_fp": df["text"].fillna("").map(fp)}
+        {
+            "doc_id": df["doc_id"],
+            "rolling_fp": df["text"].fillna("").map(fp).astype("uint64"),
+        }
     )

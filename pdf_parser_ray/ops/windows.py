@@ -116,8 +116,13 @@ def sliding_counts(
 def top_events_per_type(ds: ray.data.Dataset, k: int = 3) -> ray.data.Dataset:
     """Per-group top-k: highest-value events per event_type.
 
-    ``groupby(type).map_groups`` with an in-group sort — the grouped
-    top-k pattern; deterministic tie-break (value DESC, event_id ASC).
+    Scale shape: event_type has FEW distinct values, so a plain
+    ``groupby(type).map_groups`` would pull ~1/n_types of the corpus
+    into one worker's pandas frame.  Instead each batch keeps only its
+    local top-k per type (map_batches partial, ~batch_size/k shrink),
+    and only that tiny partial stream enters the final per-type groupby,
+    whose groups are bounded by k × n_batches rows.  Deterministic
+    tie-break (value DESC, event_id ASC) at both levels.
     Output: (event_type, event_id, value).
     """
 
@@ -125,7 +130,15 @@ def top_events_per_type(ds: ray.data.Dataset, k: int = 3) -> ray.data.Dataset:
         g = g.sort_values(["value", "event_id"], ascending=[False, True]).head(k)
         return g[["event_type", "event_id", "value"]]
 
-    return ds.groupby("event_type").map_groups(top, batch_format="pandas")
+    def partial_top(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["value", "event_id"], ascending=[False, True])
+            .groupby("event_type", as_index=False, sort=False)
+            .head(k)[["event_type", "event_id", "value"]]
+        )
+
+    partials = ds.map_batches(partial_top, batch_format="pandas")
+    return partials.groupby("event_type").map_groups(top, batch_format="pandas")
 
 
 def sessionize(

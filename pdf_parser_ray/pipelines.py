@@ -137,16 +137,67 @@ def extract_corpus(
     return small.union(big)
 
 
-def dedup_urls(ds: ray.data.Dataset) -> ray.data.Dataset:
-    """Exact per-url dedup (SURVEY.md §2.7 D5): hash-partition on url,
-    keep the first row per group.  This is the one corpus-level shuffle
-    the extraction flagship may need; key = url (uniform hash)."""
+def dedup_urls(
+    ds: ray.data.Dataset, *, assume_rare_dups: bool = True
+) -> ray.data.Dataset:
+    """Exact per-url dedup (SURVEY.md §2.7 D5): one surviving row per url.
+
+    Default route (``assume_rare_dups=True``): a column-pruned count
+    pass (url only — multi-MB html payloads never enter this shuffle)
+    finds the DUPLICATED urls; that bounded set is broadcast, rows with
+    unique urls stream through untouched (zero shuffle for the vast
+    majority), and only the duplicated minority takes the full-row
+    ``groupby(url)`` shuffle.  Assumption: duplicated urls are a small
+    fraction of the corpus (the broadcast set must fit workers); for
+    high-duplication corpora pass ``assume_rare_dups=False`` to take
+    the single full-row hash-partition shuffle instead.
+    """
     import pandas as pd
+    import ray as _ray
 
     def first_row(g: pd.DataFrame) -> pd.DataFrame:
         return g.head(1)
 
-    return ds.groupby("url").map_groups(first_row, batch_format="pandas")
+    if not assume_rare_dups:
+        return ds.groupby("url").map_groups(first_row, batch_format="pandas")
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        g = t.group_by("url").aggregate([("url", "count")])
+        return g.rename_columns(["url", "n"])
+
+    counts = (
+        ds.select_columns(["url"])
+        .map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("url")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    dup_rows = counts.map_batches(
+        lambda t: t.filter(pc.greater(t.column("n"), 1)).select(["url"]),
+        batch_format="pyarrow",
+    ).take_all()  # bounded: only urls that actually repeat
+    # broadcast once; tasks fetch zero-copy from local plasma per node
+    dup_ref = _ray.put(pa.array(sorted(r["url"] for r in dup_rows), pa.string()))
+
+    def keep_unique(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.invert(pc.fill_null(pc.is_in(t.column("url"), _ray.get(dup_ref)), False))
+        )
+
+    def keep_duplicated(t: pa.Table) -> pa.Table:
+        return t.filter(pc.fill_null(pc.is_in(t.column("url"), _ray.get(dup_ref)), False))
+
+    unique_branch = ds.map_batches(keep_unique, batch_format="pyarrow")
+    dup_branch = (
+        ds.map_batches(keep_duplicated, batch_format="pyarrow")
+        .groupby("url")
+        .map_groups(first_row, batch_format="pandas")
+    )
+    return unique_branch.union(dup_branch)
 
 
 def status_counts(ds: ray.data.Dataset):

@@ -12,9 +12,12 @@ Conventions that make the driver's value-hash comparison meaningful:
 * Python regexes use re.ASCII so ``\\s``/``\\S`` match RE2's (DuckDB's)
   ASCII semantics.
 
-Non-SQL-expressible pipelines (language ID, MinHash-LSH, SimHash,
-rolling fingerprints, LSH-kNN, the extraction flagship) have no oracle
-entry → the driver records a rows-only check (per the contract).
+Non-SQL-expressible pipelines (MinHash-LSH, SimHash, LSH-kNN, HLL, the
+extraction flagship) have no oracle entry → the driver records a
+rows-only check (per the contract).  Language ID and the rolling
+fingerprint DO have oracles: their DuckDB twins are generated from the
+same constants the Ray kernels use (see the computed-oracles section at
+the bottom).
 """
 
 from __future__ import annotations
@@ -106,6 +109,32 @@ def q_rolling_fingerprint(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Exact n-gram Jaccard verify kernel, distributed: docs paired by
+    ``doc_id // 2``, one co-grouping shuffle, per-pair exact Jaccard.
+    Per-row ratio of identical int operands → bit-identical vs SQL, no
+    rounding (driver-contract rule)."""
+    from pdf_parser_ray.ops.dedup import grouped_jaccard_pairs
+
+    ds = _documents(sf_dir)
+
+    def add_pair(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["doc_id", "text"]].copy()
+        out["pair_id"] = (out["doc_id"] // 2).astype("int64")
+        return out
+
+    return grouped_jaccard_pairs(ds.map_batches(add_pair, batch_format="pandas"))
+
+
+def q_simhash_near_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Hamming-band SimHash near-dup pairs (recall 1.0 for hamming ≤ 3
+    by pigeonhole; crc32-based signature → no SQL oracle, pinned by
+    tests)."""
+    from pdf_parser_ray.ops.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_documents(sf_dir))
+
+
 # ----------------------------------------------------------- embeddings
 
 def _query_vector(sf_dir: str):
@@ -126,8 +155,12 @@ def q_knn_cosine(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    out = knn_brute_force(ds, _query_vector(sf_dir), k=10, exclude_vec_id=0).to_pandas()
-    out["cosine"] = np.round(out["cosine"].astype("float64"), ROUND_COS)
+    # round_to=ROUND_COS: the top-k selection + tie-break run on the
+    # rounded cosine, matching the oracle's ORDER BY rounded alias.
+    out = knn_brute_force(
+        ds, _query_vector(sf_dir), k=10, exclude_vec_id=0, round_to=ROUND_COS
+    ).to_pandas()
+    out["cosine"] = out["cosine"].astype("float64")
     return out[["vec_id", "cosine"]]
 
 
@@ -167,8 +200,10 @@ def q_ivf_knn_exact(sf_dir: str) -> pd.DataFrame:
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     ds = ds.map_batches(lambda df: df[df["vec_id"] != 0], batch_format="pandas")
-    out = ivf_knn(ds, _query_vector(sf_dir), k=10, n_lists=8, n_probe=8).to_pandas()
-    out["cosine"] = np.round(out["cosine"].astype("float64"), ROUND_COS)
+    out = ivf_knn(
+        ds, _query_vector(sf_dir), k=10, n_lists=8, n_probe=8, round_to=ROUND_COS
+    ).to_pandas()
+    out["cosine"] = out["cosine"].astype("float64")
     return out[["vec_id", "cosine"]]
 
 
@@ -255,20 +290,72 @@ def q_orders_semi(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_customers_anti(sf_dir: str) -> ray.data.Dataset:
-    """Anti join: customers with no order above 300k (broadcast key set;
-    threshold keeps the result non-empty at every sf)."""
-    import pyarrow.parquet as pq
+    """Anti join: customers with no order above 300k.
+
+    The key set is built DISTRIBUTED (filter + per-batch unique partial →
+    ``Dataset.unique``) — the orders FACT table never lands on the
+    driver; only the bounded distinct key set (≤ |customers|) does,
+    which is then broadcast into the anti-join stage.
+    """
+    import pyarrow.compute as pc
 
     from pdf_parser_ray.ops.relational import broadcast_semi_join
 
-    orders = pq.read_table(
+    orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
-    ).to_pandas()
-    keys = orders[orders["o_totalprice"] > 300000]["o_custkey"]
+    )
+
+    def filter_keys(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.greater(t.column("o_totalprice"), 300000))
+        # per-batch unique partial shrinks the distinct shuffle
+        return pa.table({"o_custkey": pc.unique(f.column("o_custkey"))})
+
+    keys = orders.map_batches(filter_keys, batch_format="pyarrow").unique("o_custkey")
     cust = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
     )
     return broadcast_semi_join(cust, keys, "c_custkey", anti=True)
+
+
+def q_distinct_users_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact COUNT(DISTINCT user_id): per-batch unique partial →
+    ``Dataset.unique`` (the exact twin of the HLL sketch query)."""
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    partial = ds.map_batches(
+        lambda t: pa.table({"user_id": pc.unique(t.column("user_id"))}),
+        batch_format="pyarrow",
+    )
+    n = len(partial.unique("user_id"))
+    return pd.DataFrame({"n_users": pd.Series([n], dtype="int64")})
+
+
+def q_asof_purchase_view(sf_dir: str) -> ray.data.Dataset:
+    """As-of backward join: each purchase event matched to the user's
+    most recent view at-or-before it (null when none)."""
+    import pyarrow.compute as pc
+
+    from pdf_parser_ray.ops.relational import asof_join_backward
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def keep(kind):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("event_type"), kind)).drop_columns(
+                ["event_type"]
+            )
+        return fn
+
+    purchases = ev.map_batches(keep("purchase"), batch_format="pyarrow")
+    views = ev.select_columns(["user_id", "ts", "event_type"]).map_batches(
+        keep("view"), batch_format="pyarrow"
+    )
+    return asof_join_backward(
+        purchases, views, by="user_id", on="ts", out_col="last_view_ts"
+    )
 
 
 def q_hll_distinct_users(sf_dir: str) -> pd.DataFrame:
@@ -494,7 +581,9 @@ def q_replace_corpus(sf_dir: str) -> ray.data.Dataset:
 
 SQL: dict[str, str] = {
     "doc_stats": """
-        SELECT lang, sum(n_chars) AS sum_chars, count(*) AS n_docs
+        -- CAST: DuckDB sum(INTEGER) -> HUGEINT -> float64 in pandas,
+        -- which hash-mismatches the Ray side's int64.
+        SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sum_chars, count(*) AS n_docs
         FROM documents GROUP BY lang
     """,
     "token_stats": """
@@ -643,8 +732,10 @@ SQL: dict[str, str] = {
             PARTITION BY event_type ORDER BY value DESC, event_id ASC) <= 3
     """,
     "props_stats": """
+        -- CAST on sum: DuckDB promotes sum(BIGINT) to HUGEINT (float64 in
+        -- pandas), hash-mismatching the Ray side's int64.
         SELECT event_type,
-               sum(json_extract(props, '$.k')::BIGINT)  AS sum_k,
+               CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
                count(json_extract(props, '$.k'))        AS n,
                round(sum(json_extract(props, '$.k')::BIGINT)::DOUBLE
                      / count(json_extract(props, '$.k')), 4) AS avg_k
@@ -663,7 +754,100 @@ SQL: dict[str, str] = {
                count(*) AS n_events
         FROM ordered GROUP BY user_id
     """,
+    "distinct_users_exact": """
+        SELECT count(DISTINCT user_id)::BIGINT AS n_users FROM events
+    """,
+    "asof_purchase_view": """
+        SELECT p.event_id, p.user_id, p.ts, v.ts AS last_view_ts
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT DISTINCT user_id, ts FROM events
+                        WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    "jaccard_pairs": """
+        -- word-3-gram Jaccard per (doc_id//2) pair; list semantics mirror
+        -- ops.dedup._word_ngrams (tokens \\S+, <3 tokens -> one joined gram)
+        WITH t AS (
+          SELECT doc_id, doc_id // 2 AS pair_id,
+                 list_distinct(CASE
+                   WHEN len(regexp_extract_all(lower(text), '\\S+')) = 0 THEN []
+                   WHEN len(regexp_extract_all(lower(text), '\\S+')) < 3
+                     THEN [array_to_string(regexp_extract_all(lower(text), '\\S+'), ' ')]
+                   ELSE list_transform(
+                          range(1, len(regexp_extract_all(lower(text), '\\S+')) - 1),
+                          i -> concat_ws(' ',
+                                 regexp_extract_all(lower(text), '\\S+')[i],
+                                 regexp_extract_all(lower(text), '\\S+')[i+1],
+                                 regexp_extract_all(lower(text), '\\S+')[i+2]))
+                 END) AS grams
+          FROM documents
+        ),
+        p AS (SELECT a.doc_id AS a, b.doc_id AS b, a.grams AS ga, b.grams AS gb
+              FROM t a JOIN t b ON a.pair_id = b.pair_id AND a.doc_id < b.doc_id)
+        SELECT a, b,
+          CASE WHEN len(ga) = 0 AND len(gb) = 0 THEN 1.0
+               WHEN len(ga) = 0 OR len(gb) = 0 THEN 0.0
+               ELSE len(list_filter(ga, x -> list_contains(gb, x)))::DOUBLE
+                    / (len(ga) + len(gb)
+                       - len(list_filter(ga, x -> list_contains(gb, x))))
+          END AS jaccard
+        FROM p
+    """,
 }
+
+# --- computed oracles (built from the SAME constants the Ray kernels use,
+# so the two sides cannot drift) -----------------------------------------
+
+_RFP_B = 1000003  # must equal ops.text_stats.rolling_fingerprint_batch's B
+_RFP_POWERS = "[" + ",".join(str(pow(_RFP_B, k, 1 << 64)) for k in range(64)) + "]"
+# Valid for ASCII corpora (code point == UTF-8 byte) — true of the driver
+# testdata at every sf (verified); the Python kernel hashes raw bytes.
+SQL["rolling_fingerprint"] = f"""
+    WITH c AS (
+      SELECT doc_id, length(text) AS n, least(64, length(text)) AS w,
+             list_transform(range(1, length(text) + 1), i -> ord(text[i])) AS cps
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE WHEN n = 0 THEN 0 ELSE (
+        list_min(list_transform(range(0, n - w + 1), s ->
+          list_sum(list_transform(range(0, w),
+                                  j -> cps[s + j + 1] * ({_RFP_POWERS})[w - j]))
+          % 18446744073709551616))
+      ) END ::UBIGINT AS rolling_fp
+    FROM c
+"""
+
+
+def _lang_id_sql() -> str:
+    from pdf_parser_ray.ops.text_stats import _LANG_PROFILES
+
+    profs = ",\n      ".join(
+        "('%s', [%s])" % (lang, ", ".join("'%s'" % w for w in sorted(ws)))
+        for lang, ws in sorted(_LANG_PROFILES.items())
+    )
+    # '[a-z]+' is the ASCII image of LangId.word_re applied to lowered
+    # text (driver corpora are pure ASCII; accented stopwords simply
+    # never match on either side).
+    return f"""
+    WITH profiles(lang, prof) AS (VALUES
+      {profs}),
+    w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
+          FROM documents),
+    s AS (SELECT doc_id, lang,
+                 len(list_filter(words, x -> list_contains(prof, x))) AS hits
+          FROM w CROSS JOIN profiles),
+    m AS (SELECT doc_id, lang, hits, max(hits) OVER (PARTITION BY doc_id) AS mx
+          FROM s)
+    SELECT doc_id,
+           coalesce(min(CASE WHEN hits = mx AND mx > 0 THEN lang END), 'und')
+             AS lang_pred
+    FROM m GROUP BY doc_id
+"""
+
+
+SQL["lang_id"] = _lang_id_sql()
 
 QUERIES = {
     "doc_stats": q_doc_stats,
@@ -674,7 +858,9 @@ QUERIES = {
     "lang_id": q_lang_id,
     "minhash_pairs": q_minhash_pairs,
     "simhash_groups": q_simhash_groups,
+    "simhash_near_pairs": q_simhash_near_pairs,
     "rolling_fingerprint": q_rolling_fingerprint,
+    "jaccard_pairs": q_jaccard_pairs,
     "knn_cosine": q_knn_cosine,
     "lsh_knn": q_lsh_knn,
     "ivf_knn": q_ivf_knn,
@@ -688,6 +874,8 @@ QUERIES = {
     "orders_semi": q_orders_semi,
     "customers_anti": q_customers_anti,
     "hll_distinct_users": q_hll_distinct_users,
+    "distinct_users_exact": q_distinct_users_exact,
+    "asof_purchase_view": q_asof_purchase_view,
     "top_customers": q_top_customers,
     "part_filter": q_part_filter,
     "tumbling_events": q_tumbling_events,

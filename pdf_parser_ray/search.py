@@ -54,6 +54,15 @@ def search_corpus(
 ) -> ray.data.Dataset:
     """Hits dataset over extraction output (must include ``spans``)."""
 
+    import re as _re
+
+    # Match on the ORIGINAL text (not an index computed on a lowercased
+    # copy): for chars whose lowercase changes length ('İ' → 'i̇') a
+    # lowered-string offset would slice the wrong characters.
+    needle_re = _re.compile(
+        _re.escape(query), 0 if case_sensitive else _re.IGNORECASE
+    )
+
     def find_hits(batch: pa.Table) -> pa.Table:
         mask = pc.match_substring(
             batch.column("extracted_text"), query, ignore_case=not case_sensitive
@@ -62,18 +71,16 @@ def search_corpus(
         t = batch.filter(mask)
         urls = t.column("url").to_pylist()
         spans_col = t.column("spans").to_pylist()
-        needle = query if case_sensitive else query.lower()
 
         rows = {name: [] for name in HIT_SCHEMA.names}
         for url, spans in zip(urls, spans_col):
             for order, span in enumerate(spans or []):
-                hay = span["text"] if case_sensitive else span["text"].lower()
-                if needle in hay:
+                m = needle_re.search(span["text"] or "")
+                if m is not None:
                     rows["url"].append(url)
                     rows["page"].append(span["page"])
                     # the matched text as it appears in the span
-                    start = hay.index(needle)
-                    rows["text"].append(span["text"][start : start + len(query)])
+                    rows["text"].append(m.group(0))
                     rows["context"].append(span["text"])
                     rows["x0"].append(span["x0"])
                     rows["y0"].append(span["y0"])

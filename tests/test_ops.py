@@ -231,3 +231,147 @@ class TestWindows:
         out = out.set_index("user_id")
         assert out.loc[7, "n_sessions"] == 2 and out.loc[7, "n_events"] == 3
         assert out.loc[8, "n_sessions"] == 1
+
+
+class TestSimhashNearPairs:
+    def test_planted_near_pair(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import SimHasher, simhash_near_pairs
+
+        base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+                "juliet kilo lima mike november oscar papa quebec romeo")
+        near = base.replace("quebec", "quibec")  # one token changed
+        far = "entirely unrelated words about streams shuffles and actors"
+        df = pd.DataFrame(
+            {"doc_id": [0, 1, 2, 3], "text": [base, base, near, far]}
+        )
+        sh = SimHasher()
+        ham_near = bin(sh.simhash(base) ^ sh.simhash(near)).count("1")
+        out = simhash_near_pairs(
+            ray.data.from_pandas(df), max_hamming=max(3, ham_near)
+        ).to_pandas()
+        got = {(int(a), int(b)): int(h)
+               for a, b, h in zip(out["a"], out["b"], out["hamming"])}
+        assert got[(0, 1)] == 0                      # identical docs
+        assert (0, 2) in got and got[(0, 2)] == ham_near
+        assert all(b != 3 and a != 3 for a, b in got)  # far doc pairs with no one
+
+    def test_pigeonhole_recall_is_exact(self, ray_session):
+        """Every pair within max_hamming=3 of each other MUST be found
+        (recall 1.0 by the band pigeonhole, not probabilistically)."""
+        import itertools
+
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import SimHasher, simhash_near_pairs
+
+        rng = np.random.RandomState(7)
+        words = ["w%d" % i for i in range(50)]
+        texts = [" ".join(rng.choice(words, size=12)) for _ in range(20)]
+        texts += texts[:10]  # exact copies → guaranteed hamming-0 pairs
+        df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        sh = SimHasher()
+        sigs = [sh.simhash(t) for t in texts]
+        expected = {
+            (i, j)
+            for i, j in itertools.combinations(range(len(texts)), 2)
+            if bin(sigs[i] ^ sigs[j]).count("1") <= 3
+        }
+        assert len(expected) >= 10
+        out = simhash_near_pairs(ray.data.from_pandas(df), max_hamming=3).to_pandas()
+        got = (
+            {(int(a), int(b)) for a, b in zip(out["a"], out["b"])}
+            if len(out)
+            else set()
+        )
+        assert got == expected
+
+
+class TestEmbeddingDupRoutes:
+    @pytest.fixture(scope="class")
+    def near_dup_vectors(self):
+        rng = np.random.RandomState(11)
+        base = rng.standard_normal((60, 32))
+        rows = [(i, base[i]) for i in range(60)]
+        # plant 12 near-dups: copy of base[i] + tiny noise (cosine ≈ 0.999)
+        for k in range(12):
+            rows.append((100 + k, base[k] + 0.01 * rng.standard_normal(32)))
+        return pd.DataFrame(
+            {"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]}
+        )
+
+    def test_exact_and_lsh_routes_agree(self, near_dup_vectors, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import embedding_dup_pairs
+
+        ds = ray.data.from_pandas(near_dup_vectors)
+        exact = embedding_dup_pairs(ds, threshold=0.95, mode="exact").to_pandas()
+        lsh = embedding_dup_pairs(ds, threshold=0.95, mode="lsh").to_pandas()
+        key = lambda df: sorted(
+            (int(a), int(b), float(c))
+            for a, b, c in zip(df["a"], df["b"], df["cosine"])
+        )
+        assert len(exact) >= 12           # all planted pairs found
+        assert key(exact) == key(lsh)     # bucket route == broadcast route
+
+    def test_auto_mode_picks_exact_below_threshold(self, near_dup_vectors, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import embedding_dup_pairs
+
+        ds = ray.data.from_pandas(near_dup_vectors)
+        auto = embedding_dup_pairs(ds, threshold=0.95).to_pandas()
+        exact = embedding_dup_pairs(ds, threshold=0.95, mode="exact").to_pandas()
+        assert len(auto) == len(exact)
+
+    def test_exact_route_chunks(self, near_dup_vectors, ray_session):
+        """Chunked staging (chunk_rows < N) must not change results."""
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import embedding_dup_pairs
+
+        ds = ray.data.from_pandas(near_dup_vectors)
+        one = embedding_dup_pairs(ds, threshold=0.95, mode="exact").to_pandas()
+        many = embedding_dup_pairs(
+            ds, threshold=0.95, mode="exact", chunk_rows=16
+        ).to_pandas()
+        key = lambda df: sorted(
+            (int(a), int(b), float(c))
+            for a, b, c in zip(df["a"], df["b"], df["cosine"])
+        )
+        assert key(one) == key(many)
+
+
+class TestAsofJoin:
+    def test_backward_asof_matches_pandas(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.relational import asof_join_backward
+
+        ts = pd.to_datetime(
+            ["2024-01-01 10:00", "2024-01-01 11:00", "2024-01-01 12:00",
+             "2024-01-01 10:30", "2024-01-01 09:00"]
+        )
+        left = pd.DataFrame(
+            {"event_id": [1, 2, 3, 4, 5],
+             "user_id": [7, 7, 7, 8, 8],
+             "ts": ts}
+        )
+        right = pd.DataFrame(
+            {"user_id": [7, 7, 8],
+             "ts": pd.to_datetime(
+                 ["2024-01-01 10:00", "2024-01-01 11:30", "2024-01-01 10:30"])}
+        )
+        out = asof_join_backward(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            by="user_id", on="ts", out_col="prev_ts",
+        ).to_pandas().set_index("event_id").sort_index()
+        # user 7: 10:00 -> 10:00 (ties match), 11:00 -> 10:00, 12:00 -> 11:30
+        assert out.loc[1, "prev_ts"] == pd.Timestamp("2024-01-01 10:00")
+        assert out.loc[2, "prev_ts"] == pd.Timestamp("2024-01-01 10:00")
+        assert out.loc[3, "prev_ts"] == pd.Timestamp("2024-01-01 11:30")
+        # user 8: 10:30 -> 10:30; 09:00 -> no prior view -> NaT
+        assert out.loc[4, "prev_ts"] == pd.Timestamp("2024-01-01 10:30")
+        assert pd.isna(out.loc[5, "prev_ts"])
