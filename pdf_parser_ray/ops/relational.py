@@ -20,6 +20,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from pdf_parser_ray.io_utils import read_parquet_clean
+
 
 def broadcast_merge(
     ds: ray.data.Dataset,
@@ -75,6 +77,16 @@ def hash_join(
 
         ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
         num_partitions = max(4, min(1024, max(ncpu, total // TARGET_JOIN_PARTITION_BYTES)))
+
+    # Normalize both inputs to Arrow blocks WITHOUT schema metadata:
+    # pandas-origin blocks reach the join carrying b'pandas' metadata,
+    # whose pa.Schema is unhashable and defeats the shuffle aggregator's
+    # schema-dedup fast path (io_utils.read_parquet_clean rationale).
+    def _strip(t: pa.Table) -> pa.Table:
+        return t.replace_schema_metadata(None)
+
+    left = left.map_batches(_strip, batch_format="pyarrow", zero_copy_batch=True)
+    right = right.map_batches(_strip, batch_format="pyarrow", zero_copy_batch=True)
     return left.join(
         right,
         join_type=join_type,
@@ -187,7 +199,7 @@ def pricing_summary(sf_dir: str) -> ray.data.Dataset:
     """
     from ray.data.aggregate import Sum
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=[
             "l_returnflag",
@@ -254,7 +266,7 @@ def top_orders_by_revenue(sf_dir: str, segment: str = "BUILDING", k: int = 10) -
     )
     cust = cust[cust["c_mktsegment"] == segment][["c_custkey"]]
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     )
     orders = broadcast_merge(
@@ -267,7 +279,7 @@ def top_orders_by_revenue(sf_dir: str, segment: str = "BUILDING", k: int = 10) -
     ).map_batches(lambda df: df.rename(columns={"o_orderkey": "l_orderkey"}),
                   batch_format="pandas")
 
-    lineitem = ray.data.read_parquet(
+    lineitem = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
@@ -303,7 +315,7 @@ def region_revenue(sf_dir: str) -> ray.data.Dataset:
         .merge(region, left_on="n_regionkey", right_on="r_regionkey")
     )[["c_custkey", "r_name"]]
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     ).map_batches(
         lambda df: df.rename(columns={"o_custkey": "c_custkey"}), batch_format="pandas"
@@ -327,7 +339,7 @@ def brand_volume(sf_dir: str) -> ray.data.Dataset:
     from ray.data.aggregate import Sum
 
     part = pd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"]
     ).map_batches(lambda df: df.rename(columns={"l_partkey": "p_partkey"}), batch_format="pandas")
     joined = broadcast_merge(li, part, on="p_partkey")

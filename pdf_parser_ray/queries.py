@@ -31,8 +31,14 @@ ROUND_AVG = 4     # sum/count averages
 ROUND_COS = 6     # cosine similarities
 
 
+def _read_parquet(path: str, columns=None) -> ray.data.Dataset:
+    from pdf_parser_ray.io_utils import read_parquet_clean
+
+    return read_parquet_clean(path, columns=columns)
+
+
 def _documents(sf_dir: str, columns=None) -> ray.data.Dataset:
-    return ray.data.read_parquet(
+    return _read_parquet(
         f"{sf_dir}/documents.parquet", columns=columns or ["doc_id", "text"]
     )
 
@@ -43,7 +49,7 @@ def q_doc_stats(sf_dir: str) -> ray.data.Dataset:
     """Per-language doc counts + char sums (partial-agg before shuffle)."""
     from ray.data.aggregate import Sum
 
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
     )
 
@@ -152,7 +158,7 @@ def q_knn_cosine(sf_dir: str) -> pd.DataFrame:
 
     from pdf_parser_ray.ops.similarity import knn_brute_force
 
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     # round_to=ROUND_COS: the top-k selection + tie-break run on the
@@ -169,7 +175,7 @@ def q_embedding_dup_pairs(sf_dir: str) -> ray.data.Dataset:
     vectors are near-orthogonal, max observed cosine ≈ 0.51)."""
     from pdf_parser_ray.ops.dedup import embedding_dup_pairs
 
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     return embedding_dup_pairs(ds, threshold=0.4)
@@ -181,7 +187,7 @@ def q_ivf_knn(sf_dir: str) -> pd.DataFrame:
 
     from pdf_parser_ray.ops.similarity import ivf_knn
 
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     out = ivf_knn(ds, _query_vector(sf_dir), k=10, n_lists=8, n_probe=3).to_pandas()
@@ -196,7 +202,7 @@ def q_ivf_knn_exact(sf_dir: str) -> pd.DataFrame:
 
     from pdf_parser_ray.ops.similarity import ivf_knn
 
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     ds = ds.map_batches(lambda df: df[df["vec_id"] != 0], batch_format="pandas")
@@ -212,7 +218,7 @@ def q_lsh_knn(sf_dir: str) -> pd.DataFrame:
 
     from pdf_parser_ray.ops.similarity import lsh_knn
 
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     out = lsh_knn(ds, _query_vector(sf_dir), k=10).to_pandas()
@@ -268,7 +274,7 @@ def q_brand_volume(sf_dir: str) -> pd.DataFrame:
 
 def q_distinct_langs(sf_dir: str) -> pd.DataFrame:
     """Distinct values via ``Dataset.unique`` (shuffle-backed)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    ds = _read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
     return pd.DataFrame({"lang": sorted(ds.unique("lang"))})
 
 
@@ -283,7 +289,7 @@ def q_orders_semi(sf_dir: str) -> ray.data.Dataset:
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     ).to_pandas()
     keys = cust[cust["c_mktsegment"] == "BUILDING"]["c_custkey"]
-    orders = ray.data.read_parquet(
+    orders = _read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     )
     return broadcast_semi_join(orders, keys, "o_custkey")
@@ -301,7 +307,7 @@ def q_customers_anti(sf_dir: str) -> ray.data.Dataset:
 
     from pdf_parser_ray.ops.relational import broadcast_semi_join
 
-    orders = ray.data.read_parquet(
+    orders = _read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 
@@ -311,7 +317,7 @@ def q_customers_anti(sf_dir: str) -> ray.data.Dataset:
         return pa.table({"o_custkey": pc.unique(f.column("o_custkey"))})
 
     keys = orders.map_batches(filter_keys, batch_format="pyarrow").unique("o_custkey")
-    cust = ray.data.read_parquet(
+    cust = _read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
     )
     return broadcast_semi_join(cust, keys, "c_custkey", anti=True)
@@ -322,7 +328,7 @@ def q_distinct_users_exact(sf_dir: str) -> pd.DataFrame:
     ``Dataset.unique`` (the exact twin of the HLL sketch query)."""
     import pyarrow.compute as pc
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    ds = _read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
     partial = ds.map_batches(
         lambda t: pa.table({"user_id": pc.unique(t.column("user_id"))}),
         batch_format="pyarrow",
@@ -338,7 +344,7 @@ def q_asof_purchase_view(sf_dir: str) -> ray.data.Dataset:
 
     from pdf_parser_ray.ops.relational import asof_join_backward
 
-    ev = ray.data.read_parquet(
+    ev = _read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
     )
 
@@ -363,13 +369,13 @@ def q_hll_distinct_users(sf_dir: str) -> pd.DataFrame:
     (rows-only: approximation is not hash-comparable to SQL)."""
     from pdf_parser_ray.ops.sketches import hll_distinct
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    ds = _read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
     return pd.DataFrame({"approx_distinct_users": [round(hll_distinct(ds, "user_id"))]})
 
 
 def q_top_customers(sf_dir: str) -> ray.data.Dataset:
     """Simple global sort + limit (deterministic tie-break on key)."""
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_acctbal"]
     )
     return ds.sort(["c_acctbal", "c_custkey"], descending=[True, False]).limit(10)
@@ -379,7 +385,7 @@ def q_part_filter(sf_dir: str) -> ray.data.Dataset:
     """Filter + projection pushed to the read (predicate demo)."""
     import pyarrow.compute as pc
 
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         f"{sf_dir}/part.parquet",
         columns=["p_partkey", "p_name", "p_size", "p_retailprice"],
     )
@@ -394,7 +400,7 @@ def q_part_filter(sf_dir: str) -> ray.data.Dataset:
 def q_tumbling_events(sf_dir: str) -> pd.DataFrame:
     from pdf_parser_ray.ops.windows import tumbling_counts
 
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
     )
     df = tumbling_counts(ds, unit="hour").to_pandas()
@@ -409,7 +415,7 @@ def q_props_stats(sf_dir: str) -> pd.DataFrame:
     event_type with per-batch partials."""
     from ray.data.aggregate import Sum
 
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_type", "props"]
     )
 
@@ -440,7 +446,7 @@ def q_props_stats(sf_dir: str) -> pd.DataFrame:
 def q_sessionize(sf_dir: str) -> ray.data.Dataset:
     from pdf_parser_ray.ops.windows import sessionize
 
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
     )
     return sessionize(ds, gap_seconds=1800)
@@ -449,7 +455,7 @@ def q_sessionize(sf_dir: str) -> ray.data.Dataset:
 def q_sliding_events(sf_dir: str) -> pd.DataFrame:
     from pdf_parser_ray.ops.windows import sliding_counts
 
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
     )
     df = sliding_counts(ds, width_s=3600, step_s=1800).to_pandas()
@@ -461,7 +467,7 @@ def q_sliding_events(sf_dir: str) -> pd.DataFrame:
 def q_top_events_per_type(sf_dir: str) -> ray.data.Dataset:
     from pdf_parser_ray.ops.windows import top_events_per_type
 
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
     )
     return top_events_per_type(ds, k=3)

@@ -134,6 +134,68 @@ class TestCheckpoint:
         )
         assert before == after
 
+    def test_sigkill_midflight_resume(self, corpus_dir, tmp_path, ray_session):
+        """Crash-recovery end to end: a driver SIGKILLed after sealing
+        partition 0 but BEFORE renaming partition 1's tmp dir leaves a
+        stale part=1.tmp; the resume run must skip the sealed partition,
+        discard the tmp, rerun only partition 1, and produce output
+        byte-identical to an uninterrupted job."""
+        import subprocess
+        import sys
+        import textwrap
+
+        import ray.data
+
+        from pdf_parser_ray.checkpoint import partition_done, run_extract_job
+
+        files = [corpus_dir + "/part0.parquet", corpus_dir + "/part1.parquet"]
+        out = str(tmp_path / "killed")
+        script = textwrap.dedent(
+            f"""
+            import os, ray
+            # join the ALREADY-RUNNING test cluster (driver dies, cluster
+            # survives — the `ray job submit` crash model)
+            ray.init(address="auto", include_dashboard=False, logging_level="ERROR")
+            from ray.data import DataContext
+            DataContext.get_current().enable_progress_bars = False
+            import pdf_parser_ray.checkpoint as cp
+            real_replace = os.replace
+            def killing_replace(src, dst):
+                if str(dst).endswith("part=1"):
+                    os.kill(os.getpid(), 9)   # SIGKILL: no cleanup, no atexit
+                return real_replace(src, dst)
+            os.replace = killing_replace
+            cp.run_extract_job({files!r}, {out!r}, num_partitions=2)
+            """
+        )
+        proc = subprocess.run(
+            [sys.executable, "-c", script],
+            cwd="/root/repo",
+            env={**os.environ, "PYTHONPATH": "/root/repo"},
+            capture_output=True,
+            timeout=300,
+        )
+        assert proc.returncode == -9, proc.stderr.decode()[-2000:]
+        assert partition_done(out, 0) and not partition_done(out, 1)
+        assert os.path.exists(out + "/part=1.tmp")  # the mid-flight debris
+
+        s = run_extract_job(files, out, num_partitions=2)
+        assert s["ran"] == 1 and s["skipped"] == 1
+        assert not os.path.exists(out + "/part=1.tmp")
+
+        clean = str(tmp_path / "clean")
+        run_extract_job(files, clean, num_partitions=2)
+
+        def rows(d):
+            return sorted(
+                (r["url"], r["status"], r["extracted_text"])
+                for r in ray.data.read_parquet(
+                    [d + "/part=0", d + "/part=1"], file_extensions=["parquet"]
+                ).take_all()
+            )
+
+        assert rows(out) == rows(clean)
+
 
 class TestReadPruning:
     def test_lang_filter_pushdown(self, corpus_dir):
