@@ -27,12 +27,16 @@ BENCH_QUERIES = [
     "dedup_exact",
     "minhash_pairs",
     "simhash_groups",
+    "simhash_near_pairs",
     "knn_cosine",
     "pricing_summary",
     "top_orders",
     "region_revenue",
     "tumbling_events",
     "sessionize",
+    "top_events_per_type",
+    "asof_purchase_view",
+    "jaccard_pairs",
 ]
 
 

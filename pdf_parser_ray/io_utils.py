@@ -2,22 +2,55 @@
 
 from __future__ import annotations
 
+import os
+
 import ray.data
 
 
-def read_parquet_clean(path: str, columns=None, **kwargs) -> ray.data.Dataset:
-    """``read_parquet`` + schema-metadata strip.
+def _probe_file(path) -> str | None:
+    """A representative parquet file for schema probing."""
+    if isinstance(path, (list, tuple)):
+        return _probe_file(path[0]) if path else None
+    if isinstance(path, str) and os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            if name.endswith(".parquet"):
+                return os.path.join(path, name)
+        return None
+    return path if isinstance(path, str) else None
+
+
+def read_parquet_clean(path, columns=None, **kwargs) -> ray.data.Dataset:
+    """``read_parquet`` that strips pandas schema metadata.
 
     Parquet files written by pandas carry ``b'pandas'`` schema metadata;
     pa.Schema objects holding it are UNHASHABLE ("unhashable type:
     'dict'"), which floods shuffle reduce / join aggregator tasks with
     Ray's "Failed to hash the schemas (for deduplication)" warning
     (ray transform_pyarrow.py:181) and defeats its schema-dedup fast
-    path.  ``replace_schema_metadata(None)`` is zero-copy.
+    path.
+
+    The strip happens by passing an explicit metadata-free ``schema=``
+    to the READ (pruned to ``columns``), NOT by appending a map stage:
+    a transformed dataset loses metadata-based ``size_bytes()`` /
+    ``count()``, and ``hash_join``'s partition sizing would silently
+    EXECUTE the whole read just to estimate size (measured: 0.002 s →
+    1.08 s on sf0.1 lineitem).
     """
-    ds = ray.data.read_parquet(path, columns=columns, **kwargs)
-    return ds.map_batches(
-        lambda t: t.replace_schema_metadata(None),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if "schema" not in kwargs:
+        probe = _probe_file(path)
+        if probe is not None:
+            try:
+                file_schema = pq.read_schema(probe)
+                if columns is not None:
+                    file_schema = pa.schema(
+                        [file_schema.field(c) for c in columns]
+                    )
+                kwargs["schema"] = pa.schema(
+                    [f.remove_metadata() for f in file_schema]
+                )
+            except Exception:
+                pass  # fall through to a plain read
+    return ray.data.read_parquet(path, columns=columns, **kwargs)

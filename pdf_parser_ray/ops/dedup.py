@@ -214,6 +214,15 @@ def minhash_lsh_pairs(
     duplicate clusters, which MAX_BUCKET caps (logged in docstring:
     capped buckets under-report pairs inside giant duplicate cliques —
     by then one exemplar pair is enough to mark the clique).
+
+    Shuffle payload: each of the ``bands`` rows per doc carries the
+    uint32-truncated signature (num_perm×4 B = 256 B at defaults, half
+    the former uint64 bytes) plus an int64 band hash (was a 16-char md5
+    hex string).  Measured at sf0.1 / 32 CPUs (400 k-docs bench corpus
+    alongside): minhash_pairs 10.08 s → 9.31 s end-to-end.  The ×bands
+    signature inflation is inherent to same-shuffle verification; the
+    alternative (emit bare candidate ids, join signatures back) trades
+    it for a second shuffle.
     """
     rows_per_band = num_perm // bands
 

@@ -122,29 +122,16 @@ def broadcast_semi_join(
     return ds.map_batches(Filter, batch_format="pandas", concurrency=concurrency)
 
 
-def asof_join_backward(
-    left: ray.data.Dataset,
-    right: ray.data.Dataset,
-    *,
-    by: str,
-    on: str,
-    out_col: str,
-) -> ray.data.Dataset:
-    """Backward as-of join: for each left row, the greatest ``right[on]``
-    ≤ ``left[on]`` within the same ``by`` group (e.g. last view before a
-    purchase), or null when no prior right row exists.
+def _tag_union(
+    left: ray.data.Dataset, right: ray.data.Dataset, by: str, on: str
+) -> tuple[ray.data.Dataset, list[str]]:
+    """Tag-and-union the two sides of a co-grouped temporal join.
 
-    Ray Data has no native as-of join; this is the co-partition
-    composition: both sides are tagged and schema-harmonized (typed
-    nulls for the right side's missing columns, so the union schema
-    stays exact), ONE ``groupby(by)`` shuffle co-locates each key, and
-    the per-group merge is a vectorized sorted ``searchsorted``.
-    Partitioning assumption: group size is bounded by per-key activity —
-    salt hot keys if one key dominates.
-
-    ``right`` needs only columns (by, on); duplicates are irrelevant
-    (the merge reads the sorted unique ``on`` values).
-    Output: all left columns + ``out_col`` (right ``on``'s dtype).
+    Left rows keep all columns + ``__side=0``; right rows (only
+    ``(by, on)`` needed) are schema-harmonized with TYPED nulls for the
+    left-only columns (an untyped ``pa.nulls`` default would make the
+    union schemas mismatch) + ``__side=1``.  Returns the unioned dataset
+    and the left column names.
     """
     import numpy as np
 
@@ -171,6 +158,36 @@ def asof_join_backward(
     tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
         right.select_columns([by, on]).map_batches(tag_right, batch_format="pyarrow")
     )
+    return tagged, names
+
+
+def asof_join_backward(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    by: str,
+    on: str,
+    out_col: str,
+) -> ray.data.Dataset:
+    """Backward as-of join: for each left row, the greatest ``right[on]``
+    ≤ ``left[on]`` within the same ``by`` group (e.g. last view before a
+    purchase), or null when no prior right row exists.
+
+    Ray Data has no native as-of join; this is the co-partition
+    composition: both sides are tagged and schema-harmonized (typed
+    nulls for the right side's missing columns, so the union schema
+    stays exact), ONE ``groupby(by)`` shuffle co-locates each key, and
+    the per-group merge is a vectorized sorted ``searchsorted``.
+    Partitioning assumption: group size is bounded by per-key activity —
+    salt hot keys if one key dominates.
+
+    ``right`` needs only columns (by, on); duplicates are irrelevant
+    (the merge reads the sorted unique ``on`` values).
+    Output: all left columns + ``out_col`` (right ``on``'s dtype).
+    """
+    import numpy as np
+
+    tagged, names = _tag_union(left, right, by, on)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["__side"] == 0]
@@ -184,6 +201,50 @@ def asof_join_backward(
         vals = pd.Series(rts[np.clip(idx, 0, None)], index=out.index)
         vals[idx < 0] = pd.NA
         out[out_col] = vals.astype(l[on].dtype)
+        return out
+
+    return tagged.groupby(by).map_groups(merge, batch_format="pandas")
+
+
+def interval_count_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    by: str,
+    on: str,
+    lower_s: float,
+    upper_s: float,
+    out_col: str,
+) -> ray.data.Dataset:
+    """Range (interval) join, count form: for each left row, how many
+    right rows share its ``by`` key with ``right[on]`` inside
+    ``[left[on] - lower_s, left[on] + upper_s]`` seconds (bounds
+    inclusive) — e.g. "views in the hour before each purchase".
+
+    Same co-partition shape as :func:`asof_join_backward` (ONE
+    groupby(by) shuffle); the per-group count is two vectorized
+    ``searchsorted`` probes on the sorted right timestamps, so a group
+    costs O((L+R) log R) — never the O(L×R) of a naive range join.
+    Output: all left columns + ``out_col`` (int64).
+    """
+    import numpy as np
+
+    tagged, names = _tag_union(left, right, by, on)
+    lower_td = pd.to_timedelta(lower_s, unit="s")
+    upper_td = pd.to_timedelta(upper_s, unit="s")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == 0]
+        r = g[g["__side"] == 1]
+        out = l[names].copy()
+        rts = np.sort(r[on].dropna().to_numpy())
+        if len(rts) == 0:
+            out[out_col] = np.zeros(len(out), dtype="int64")
+            return out
+        lts = l[on]
+        lo = np.searchsorted(rts, (lts - lower_td).to_numpy(), side="left")
+        hi = np.searchsorted(rts, (lts + upper_td).to_numpy(), side="right")
+        out[out_col] = (hi - lo).astype("int64")
         return out
 
     return tagged.groupby(by).map_groups(merge, batch_format="pandas")

@@ -55,6 +55,30 @@ def token_stats_batch(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+# GPT-2-family pretokenizer shape, restricted to RE2-compatible
+# constructs (no lookahead) and ASCII classes (re.ASCII keeps \s RE2-
+# aligned): contraction suffixes, space-prefixed letter runs, digit
+# runs, punctuation runs, whitespace runs.  Both engines (Python re and
+# DuckDB's RE2) use leftmost-first alternation, so the token streams —
+# and therefore the counts — are identical.
+BPE_PAT = re.compile(
+    r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+", re.ASCII
+)
+
+
+def bpe_token_stats_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """doc_id, n_bpe_tokens: BPE-ish pretokenizer match count (the
+    'token counting' tier beyond whitespace splitting).  Vectorized;
+    SQL-oracled with the same pattern via regexp_extract_all."""
+    text = df["text"].fillna("")
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "n_bpe_tokens": text.str.count(BPE_PAT).astype("int64"),
+        }
+    )
+
+
 def quality_batch(df: pd.DataFrame) -> pd.DataFrame:
     """Quality-score columns: ratios + a composite keep/drop flag.
 

@@ -323,6 +323,53 @@ def q_customers_anti(sf_dir: str) -> ray.data.Dataset:
     return broadcast_semi_join(cust, keys, "c_custkey", anti=True)
 
 
+def q_bpe_token_stats(sf_dir: str) -> ray.data.Dataset:
+    """BPE-ish pretokenizer counts (GPT-2-family pattern, RE2-safe)."""
+    from pdf_parser_ray.ops.text_stats import bpe_token_stats_batch
+
+    return _documents(sf_dir).map_batches(
+        bpe_token_stats_batch, batch_format="pandas"
+    )
+
+
+def q_heavy_hitter_users(sf_dir: str) -> pd.DataFrame:
+    """Top-10 most active users via mergeable Misra-Gries partials —
+    EXACT here because distinct users ≪ capacity (sketch guarantee),
+    which is what licenses the SQL oracle."""
+    from pdf_parser_ray.ops.sketches import top_k_frequent
+
+    ds = _read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    out = top_k_frequent(ds, "user_id", k=10, capacity=4096)
+    return out.astype({"value": "int64", "n": "int64"})
+
+
+def q_range_count_views(sf_dir: str) -> ray.data.Dataset:
+    """Range (interval) join: views in the hour before each purchase."""
+    import pyarrow.compute as pc
+
+    from pdf_parser_ray.ops.relational import interval_count_join
+
+    ev = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def keep(kind):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("event_type"), kind)).drop_columns(
+                ["event_type"]
+            )
+        return fn
+
+    purchases = ev.map_batches(keep("purchase"), batch_format="pyarrow")
+    views = ev.select_columns(["user_id", "ts", "event_type"]).map_batches(
+        keep("view"), batch_format="pyarrow"
+    )
+    return interval_count_join(
+        purchases, views, by="user_id", on="ts",
+        lower_s=3600, upper_s=0, out_col="n_views_1h",
+    )
+
+
 def q_distinct_users_exact(sf_dir: str) -> pd.DataFrame:
     """Exact COUNT(DISTINCT user_id): per-batch unique partial →
     ``Dataset.unique`` (the exact twin of the HLL sketch query)."""
@@ -763,6 +810,28 @@ SQL: dict[str, str] = {
     "distinct_users_exact": """
         SELECT count(DISTINCT user_id)::BIGINT AS n_users FROM events
     """,
+    "bpe_token_stats": """
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                 '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+'
+               ))::BIGINT AS n_bpe_tokens
+        FROM documents
+    """,
+    "heavy_hitter_users": """
+        SELECT user_id AS value, count(*)::BIGINT AS n
+        FROM events GROUP BY user_id
+        ORDER BY n DESC, value ASC LIMIT 10
+    """,
+    "range_count_views": """
+        SELECT p.event_id, p.user_id, p.ts, count(v.ts)::BIGINT AS n_views_1h
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT user_id, ts FROM events
+                   WHERE event_type = 'view') v
+          ON p.user_id = v.user_id
+         AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+        GROUP BY p.event_id, p.user_id, p.ts
+    """,
     "asof_purchase_view": """
         SELECT p.event_id, p.user_id, p.ts, v.ts AS last_view_ts
         FROM (SELECT event_id, user_id, ts FROM events
@@ -882,6 +951,9 @@ QUERIES = {
     "hll_distinct_users": q_hll_distinct_users,
     "distinct_users_exact": q_distinct_users_exact,
     "asof_purchase_view": q_asof_purchase_view,
+    "range_count_views": q_range_count_views,
+    "heavy_hitter_users": q_heavy_hitter_users,
+    "bpe_token_stats": q_bpe_token_stats,
     "top_customers": q_top_customers,
     "part_filter": q_part_filter,
     "tumbling_events": q_tumbling_events,

@@ -60,3 +60,80 @@ class TestSemiAntiJoin:
 
         out = broadcast_semi_join(orders, {1, 2}, "o_custkey", anti=True).to_pandas()
         assert set(out["o_custkey"]) == {0, 3}
+
+
+class TestMisraGries:
+    def test_exact_when_under_capacity(self):
+        from pdf_parser_ray.ops.sketches import MisraGries
+
+        rng = np.random.RandomState(3)
+        vals = rng.randint(0, 50, size=5000)
+        mg = MisraGries(64)
+        for i in range(0, len(vals), 997):  # batched partials
+            chunk = pd.Series(vals[i : i + 997]).value_counts().to_dict()
+            mg.add_counts(chunk)
+        truth = pd.Series(vals).value_counts()
+        top = mg.top(10)
+        expect = sorted(
+            ((int(v), int(n)) for v, n in truth.items()),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:10]
+        assert [(int(v), int(n)) for v, n in top] == expect
+
+    def test_undercount_bound_when_over_capacity(self):
+        from pdf_parser_ray.ops.sketches import MisraGries
+
+        rng = np.random.RandomState(4)
+        # heavy value 0 plus a long tail exceeding capacity
+        vals = np.concatenate([np.zeros(2000, dtype=int), rng.randint(1, 500, 3000)])
+        mg = MisraGries(64)
+        mg.add_counts(pd.Series(vals).value_counts().to_dict())
+        est = dict(mg.counts).get(0, 0)
+        n = len(vals)
+        assert est >= 2000 - n / 65  # MG undercount bound
+        assert len(mg.counts) <= 64
+
+    def test_top_k_frequent_dataset(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.sketches import top_k_frequent
+
+        df = pd.DataFrame({"u": [i % 7 for i in range(700)] + [3] * 50})
+        out = top_k_frequent(ray.data.from_pandas(df), "u", k=3)
+        assert out["value"].iloc[0] == 3 and out["n"].iloc[0] == 150
+
+
+class TestIntervalCountJoin:
+    def test_matches_pandas(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.relational import interval_count_join
+
+        rng = np.random.RandomState(5)
+        base = pd.Timestamp("2024-03-01")
+        left = pd.DataFrame(
+            {
+                "event_id": range(40),
+                "user_id": rng.randint(0, 4, 40),
+                "ts": [base + pd.Timedelta(seconds=int(s))
+                       for s in rng.randint(0, 7200, 40)],
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "user_id": rng.randint(0, 4, 200),
+                "ts": [base + pd.Timedelta(seconds=int(s))
+                       for s in rng.randint(0, 7200, 200)],
+            }
+        )
+        out = interval_count_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            by="user_id", on="ts", lower_s=600, upper_s=0, out_col="n",
+        ).to_pandas().set_index("event_id").sort_index()
+        for _, row in left.iterrows():
+            rr = right[right["user_id"] == row["user_id"]]
+            expect = (
+                (rr["ts"] >= row["ts"] - pd.Timedelta(seconds=600))
+                & (rr["ts"] <= row["ts"])
+            ).sum()
+            assert out.loc[row["event_id"], "n"] == expect
