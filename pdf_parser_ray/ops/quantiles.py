@@ -1,0 +1,143 @@
+"""Exact grouped quantiles over unbounded groups — multi-pass selection.
+
+A naive grouped median (``groupby(g).map_groups(sort)``) pulls every
+group into one worker: a scale-killer when groups are corpus-sized.
+This module computes the EXACT discrete quantile (the element at 0-based
+rank ``ceil(q·n) − 1`` of the sorted group — DuckDB's ``quantile_disc``
+rule, calibrated empirically) without ever materializing a group:
+
+1. stats pass    — per-group (n, lo, hi) via per-batch partials.
+2. histogram pass — per-group fixed-bin counts as long (group, bin, n)
+   rows; partial-aggregated, so the shuffle is O(groups × bins), not
+   O(rows).
+3. candidate pass — only rows whose bin contains a requested rank are
+   collected (per-bin population ≈ n/bins for non-degenerate data; all
+   passes compute the bin index with the SAME float expression, so
+   membership is consistent regardless of boundary rounding).
+
+The driver then sorts each tiny candidate set and indexes the rank.
+Skew note: a group whose values are all identical degenerates to one
+bin holding the whole group — the candidate collection is then bounded
+by that group's size; raise ``bins`` or pre-round such values.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+
+def grouped_quantile_disc(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    qs: dict[str, float],
+    *,
+    bins: int = 2048,
+) -> pd.DataFrame:
+    """Exact discrete quantiles per group.
+
+    ``qs`` maps output column names to quantile fractions, e.g.
+    ``{"p50": 0.5, "p95": 0.95}``.  Returns a pandas DataFrame with
+    columns ``(group_col, *qs)`` — element values straight from the
+    data, so a SQL ``quantile_disc`` oracle compares bit-identically.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    # ---- pass 1: per-group n / lo / hi --------------------------------
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(group_col)[value_col].agg(["count", "min", "max"])
+        g = g.reset_index()
+        g.columns = [group_col, "n", "lo", "hi"]
+        return g.astype({"n": "int64"})
+
+    stats = (
+        ds.map_batches(stats_partial, batch_format="pandas")
+        .groupby(group_col)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Min("lo", alias_name="lo"),
+            Max("hi", alias_name="hi"),
+        )
+        .to_pandas()
+    )
+    ranges = {
+        row[group_col]: (
+            float(row["lo"]),
+            (float(row["hi"]) - float(row["lo"])) / bins or 1.0,
+        )
+        for _, row in stats.iterrows()
+    }
+    ranges_ref = ray.put(ranges)
+
+    def _bin_index(groups: pd.Series, values: np.ndarray, rng: dict) -> np.ndarray:
+        # Series.map(dict) is a C-speed lookup — no per-row Python lambda.
+        lo = groups.map({g: r[0] for g, r in rng.items()}).to_numpy(dtype="float64")
+        width = groups.map({g: r[1] for g, r in rng.items()}).to_numpy(dtype="float64")
+        return np.clip(
+            np.floor((values - lo) / width).astype("int64"), 0, bins - 1
+        )
+
+    # ---- pass 2: per-group histogram (long rows) ----------------------
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rng = ray.get(ranges_ref)
+        idx = _bin_index(df[group_col], df[value_col].to_numpy(), rng)
+        out = pd.DataFrame({group_col: df[group_col], "bin": idx})
+        g = out.groupby([group_col, "bin"], as_index=False).size()
+        return g.rename(columns={"size": "cnt"}).astype({"cnt": "int64"})
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pandas")
+        .groupby([group_col, "bin"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+
+    # driver: locate the target bin + below-count for every (group, q)
+    targets: dict = {}   # group -> {bin -> [(out_col, rank_in_bin)]}
+    for _, srow in stats.iterrows():
+        g, n = srow[group_col], int(srow["n"])
+        h = hist[hist[group_col] == g].sort_values("bin")
+        cbins = h["bin"].to_numpy()
+        counts = h["cnt"].to_numpy()
+        cum = np.cumsum(counts)
+        for out_col, q in qs.items():
+            rank = max(0, math.ceil(q * n) - 1)      # 0-based, DuckDB rule
+            pos = int(np.searchsorted(cum, rank + 1))
+            b = int(cbins[pos])
+            below = int(cum[pos - 1]) if pos > 0 else 0
+            targets.setdefault(g, {}).setdefault(b, []).append(
+                (out_col, rank - below)
+            )
+    targets_ref = ray.put({g: set(b) for g, b in targets.items()})
+
+    # ---- pass 3: collect candidate rows (target bins only) ------------
+    def candidates(df: pd.DataFrame) -> pd.DataFrame:
+        rng = ray.get(ranges_ref)
+        tg = ray.get(targets_ref)
+        idx = _bin_index(df[group_col], df[value_col].to_numpy(), rng)
+        keep = np.zeros(len(df), dtype=bool)
+        for g, bset in tg.items():   # vectorized per group (few groups)
+            keep |= (df[group_col] == g).to_numpy() & np.isin(idx, list(bset))
+        out = df.loc[keep, [group_col, value_col]].copy()
+        out["bin"] = idx[keep]
+        return out
+
+    cand = ds.map_batches(candidates, batch_format="pandas").to_pandas()
+
+    rows = []
+    for g, by_bin in targets.items():
+        row = {group_col: g}
+        for b, wants in by_bin.items():
+            vals = np.sort(
+                cand[(cand[group_col] == g) & (cand["bin"] == b)][value_col].to_numpy()
+            )
+            for out_col, k in wants:
+                row[out_col] = float(vals[k])
+        rows.append(row)
+    out = pd.DataFrame(rows).sort_values(group_col).reset_index(drop=True)
+    return out[[group_col, *qs.keys()]]

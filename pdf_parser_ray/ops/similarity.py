@@ -89,6 +89,49 @@ def knn_brute_force(
     return partial.sort(["cosine", "vec_id"], descending=[True, False]).limit(k)
 
 
+def embedding_centroids(
+    ds: ray.data.Dataset, group_col: str = "grp", *, round_to: int = 6
+) -> ray.data.Dataset:
+    """Per-group mean embedding, emitted LONG — (grp, dim, centroid) —
+    so the result is flat-typed and oracle-comparable.
+
+    Per-batch numpy column sums + counts are the combiner; the shuffle
+    moves O(groups × dims × batches) partial rows.  Centroid = rounded
+    sum/count (cross-row aggregate → rounded on both sides per the
+    driver-contract convention).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for g, sub in df.groupby(group_col):
+            mat = _to_matrix(sub["embedding"])
+            frames.append(
+                pd.DataFrame(
+                    {
+                        group_col: np.full(mat.shape[1], g),
+                        "dim": np.arange(mat.shape[1], dtype="int64"),
+                        "s": mat.sum(axis=0),
+                        "c": np.full(mat.shape[1], len(sub), dtype="int64"),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby([group_col, "dim"])
+        .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c"))
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[group_col, "dim"]].copy()
+        out["centroid"] = np.round(df["s"] / df["c"], round_to)
+        return out
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
 class _IvfIndex:
     """IVF coarse quantizer: k-means-lite centroids from a seeded sample.
 

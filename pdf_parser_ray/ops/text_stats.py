@@ -120,6 +120,31 @@ def fingerprint_batch(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": df["doc_id"], "fingerprint": fp})
 
 
+def word_counts(ds) -> "object":
+    """Canonical distributed wordcount over the documents table.
+
+    Per-batch partial counts (the combiner) shrink the shuffle to
+    (token, n) partial rows — the groupby moves O(vocab × batches)
+    rows, never one row per word occurrence.
+    Output: (token:string, n:int64).
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(TOKEN_PAT)
+        vc = toks.explode().dropna().value_counts()
+        return pd.DataFrame(
+            {"token": vc.index.astype(str), "n": vc.to_numpy().astype("int64")}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
 class LangId:
     """Actor-pool stage: stopword-profile language ID.
 

@@ -132,6 +132,54 @@ def q_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
     return grouped_jaccard_pairs(ds.map_batches(add_pair, batch_format="pandas"))
 
 
+def q_clean_corpus(sf_dir: str) -> ray.data.Dataset:
+    """C4-style cleaning composition: quality gate + language filter +
+    exact dedup (keep min doc_id per normalized-text hash), all in one
+    streaming pipeline.  Output: (text_hash, doc_id)."""
+    from pdf_parser_ray.ops.dedup import exact_dedup
+    from pdf_parser_ray.ops.text_stats import quality_batch
+
+    ds = _documents(sf_dir, columns=["doc_id", "text", "lang"])
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        q = quality_batch(df)
+        keep = q["keep"].to_numpy() & (df["lang"] == "en").to_numpy()
+        return df.loc[keep, ["doc_id", "text"]]
+
+    return exact_dedup(ds.map_batches(gate, batch_format="pandas"))
+
+
+def q_word_counts(sf_dir: str) -> ray.data.Dataset:
+    from pdf_parser_ray.ops.text_stats import word_counts
+
+    return word_counts(_documents(sf_dir))
+
+
+def q_embedding_centroids(sf_dir: str) -> ray.data.Dataset:
+    """Per-(vec_id % 4) mean embedding in long (grp, dim, centroid) form."""
+    from pdf_parser_ray.ops.similarity import embedding_centroids
+
+    ds = _read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def add_grp(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["embedding"]].copy()
+        out["grp"] = (df["vec_id"] % 4).astype("int64")
+        return out
+
+    return embedding_centroids(ds.map_batches(add_grp, batch_format="pandas"))
+
+
+def q_event_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-type p50/p95 of event value via the 3-pass selection
+    operator (no group ever materializes)."""
+    from pdf_parser_ray.ops.quantiles import grouped_quantile_disc
+
+    ds = _read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return grouped_quantile_disc(
+        ds, "event_type", "value", {"p50": 0.5, "p95": 0.95}
+    )
+
+
 def q_simhash_near_pairs(sf_dir: str) -> ray.data.Dataset:
     """Hamming-band SimHash near-dup pairs (recall 1.0 for hamming ≤ 3
     by pigeonhole; crc32-based signature → no SQL oracle, pinned by
@@ -822,6 +870,41 @@ SQL: dict[str, str] = {
         FROM events GROUP BY user_id
         ORDER BY n DESC, value ASC LIMIT 10
     """,
+    "clean_corpus": """
+        WITH t AS (
+          SELECT doc_id, lang,
+                 md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash,
+                 length(regexp_extract_all(text, '\\S+')) AS n_tokens,
+                 length(text) AS n_chars,
+                 length(regexp_extract_all(text, '[!-/:-@[-`{-~]')) AS n_punct,
+                 length(regexp_extract_all(text, '[0-9]')) AS n_digit
+          FROM documents
+        ),
+        f AS (SELECT * FROM t
+              WHERE lang = 'en' AND n_tokens >= 5 AND n_chars >= 20
+                AND n_punct::DOUBLE / greatest(n_chars, 1) < 0.3
+                AND n_digit::DOUBLE / greatest(n_chars, 1) < 0.5)
+        SELECT text_hash, min(doc_id) AS doc_id FROM f GROUP BY text_hash
+    """,
+    "word_counts": """
+        SELECT token, count(*)::BIGINT AS n
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS token
+              FROM documents)
+        GROUP BY token
+    """,
+    "embedding_centroids": """
+        WITH u AS (SELECT vec_id % 4 AS grp, unnest(embedding) AS x,
+                          generate_subscripts(embedding, 1) - 1 AS dim
+                   FROM embeddings)
+        SELECT grp, dim, round(sum(x) / count(x), 6) AS centroid
+        FROM u GROUP BY grp, dim
+    """,
+    "event_quantiles": """
+        SELECT event_type,
+               quantile_disc(value, 0.5)  AS p50,
+               quantile_disc(value, 0.95) AS p95
+        FROM events GROUP BY event_type
+    """,
     "range_count_views": """
         SELECT p.event_id, p.user_id, p.ts, count(v.ts)::BIGINT AS n_views_1h
         FROM (SELECT event_id, user_id, ts FROM events
@@ -954,6 +1037,10 @@ QUERIES = {
     "range_count_views": q_range_count_views,
     "heavy_hitter_users": q_heavy_hitter_users,
     "bpe_token_stats": q_bpe_token_stats,
+    "clean_corpus": q_clean_corpus,
+    "word_counts": q_word_counts,
+    "embedding_centroids": q_embedding_centroids,
+    "event_quantiles": q_event_quantiles,
     "top_customers": q_top_customers,
     "part_filter": q_part_filter,
     "tumbling_events": q_tumbling_events,

@@ -375,3 +375,64 @@ class TestAsofJoin:
         # user 8: 10:30 -> 10:30; 09:00 -> no prior view -> NaT
         assert out.loc[4, "prev_ts"] == pd.Timestamp("2024-01-01 10:30")
         assert pd.isna(out.loc[5, "prev_ts"])
+
+
+class TestQuantiles:
+    def test_exact_vs_numpy(self, ray_session):
+        import math
+
+        import ray.data
+
+        from pdf_parser_ray.ops.quantiles import grouped_quantile_disc
+
+        rng = np.random.RandomState(9)
+        df = pd.DataFrame(
+            {
+                "g": np.repeat(["a", "b", "c"], 400),
+                "v": rng.standard_normal(1200) * 10,
+            }
+        )
+        out = grouped_quantile_disc(
+            ray.data.from_pandas(df), "g", "v", {"p50": 0.5, "p90": 0.9}
+        ).set_index("g")
+        for g in ["a", "b", "c"]:
+            v = np.sort(df[df["g"] == g]["v"].to_numpy())
+            n = len(v)
+            assert out.loc[g, "p50"] == v[math.ceil(0.5 * n) - 1]
+            assert out.loc[g, "p90"] == v[math.ceil(0.9 * n) - 1]
+
+    def test_degenerate_constant_group(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.quantiles import grouped_quantile_disc
+
+        df = pd.DataFrame({"g": ["x"] * 50, "v": [3.25] * 50})
+        out = grouped_quantile_disc(ray.data.from_pandas(df), "g", "v", {"p50": 0.5})
+        assert out["p50"].iloc[0] == 3.25
+
+
+class TestWordCountsAndCentroids:
+    def test_word_counts(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.text_stats import word_counts
+
+        df = pd.DataFrame(
+            {"doc_id": [0, 1], "text": ["a b a", "A  b\tc"]}
+        )
+        out = word_counts(ray.data.from_pandas(df)).to_pandas().set_index("token")
+        assert out.loc["a", "n"] == 3 and out.loc["b", "n"] == 2 and out.loc["c", "n"] == 1
+
+    def test_centroids_match_numpy(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.similarity import embedding_centroids
+
+        rng = np.random.RandomState(2)
+        mat = rng.standard_normal((40, 8))
+        df = pd.DataFrame({"grp": [i % 3 for i in range(40)], "embedding": list(mat)})
+        out = embedding_centroids(ray.data.from_pandas(df)).to_pandas()
+        for g in range(3):
+            expect = np.round(mat[np.arange(40) % 3 == g].mean(axis=0), 6)
+            got = out[out["grp"] == g].sort_values("dim")["centroid"].to_numpy()
+            assert np.array_equal(got, expect)
