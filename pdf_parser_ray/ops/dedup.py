@@ -24,6 +24,9 @@ import numpy as np
 import pandas as pd
 import ray.data
 
+from pdf_parser_ray.stages import task_kwargs as _task_kwargs
+from pdf_parser_ray.stages import worker_state
+
 _WS = re.compile(r"\s+", re.ASCII)  # RE2-aligned, see ops.text_stats
 
 MERSENNE = np.uint64((1 << 61) - 1)
@@ -204,7 +207,7 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
-    concurrency: int | tuple[int, int] = (1, 8),
+    concurrency: int | tuple[int, int] | None = None,
 ) -> ray.data.Dataset:
     """Near-duplicate candidate pairs with estimated Jaccard ≥ threshold.
 
@@ -226,11 +229,16 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_perm // bands
 
+    def minhash_sig(df: pd.DataFrame) -> pd.DataFrame:
+        # permutation coefficients are seeded-deterministic → build once
+        # per worker process (task-mode twin of actor __init__ state)
+        mh = worker_state(
+            ("minhasher", num_perm), lambda: MinHasher(num_perm=num_perm)
+        )
+        return mh(df)
+
     sigs = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm},
-        batch_format="pandas",
-        concurrency=concurrency,
+        minhash_sig, batch_format="pandas", **_task_kwargs(concurrency)
     )
     exploded = sigs.map_batches(
         _explode_bands,
@@ -306,6 +314,12 @@ class SimHasher:
         return pd.DataFrame({"doc_id": df["doc_id"], "simhash": sigs})
 
 
+def _simhash_batch(df: pd.DataFrame, ngram: int = 1) -> pd.DataFrame:
+    """Task-mode SimHasher stage (instance cached per worker process)."""
+    sh = worker_state(("simhasher", ngram), lambda: SimHasher(ngram=ngram))
+    return sh(df)
+
+
 def _emb_matrix(col) -> np.ndarray:
     return np.vstack([np.asarray(v, dtype=np.float64) for v in col])
 
@@ -328,7 +342,7 @@ def embedding_dup_pairs(
     band_planes: int = 4,
     seed: int = 113,
     max_bucket: int = 4096,
-    concurrency: int | tuple[int, int] = (1, 8),
+    concurrency: int | tuple[int, int] | None = None,
 ) -> ray.data.Dataset:
     """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
 
@@ -365,52 +379,49 @@ def embedding_dup_pairs(
             norms[norms == 0] = 1.0
             chunk_refs.append(_ray.put((ids, mat, norms)))
 
-        class PairFinder:
-            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-                rows = _emb_matrix(df["embedding"])
-                row_ids = df["vec_id"].to_numpy().astype("int64")
-                rnorms = np.linalg.norm(rows, axis=1)
-                rnorms[rnorms == 0] = 1.0
-                frames = []
-                for ref in chunk_refs:  # zero-copy plasma fetch per chunk
-                    ids, mat, norms = _ray.get(ref)
-                    cos = (rows @ mat.T) / (rnorms[:, None] * norms[None, :])
-                    mask = (cos >= threshold) & (ids[None, :] > row_ids[:, None])
-                    ii, jj = np.nonzero(mask)
-                    frames.append(
-                        _pair_frame(row_ids[ii], ids[jj], np.round(cos[ii, jj], round_to))
-                    )
-                return pd.concat(frames, ignore_index=True)
+        def pair_finder(df: pd.DataFrame) -> pd.DataFrame:
+            rows = _emb_matrix(df["embedding"])
+            row_ids = df["vec_id"].to_numpy().astype("int64")
+            rnorms = np.linalg.norm(rows, axis=1)
+            rnorms[rnorms == 0] = 1.0
+            frames = []
+            for ref in chunk_refs:  # zero-copy plasma fetch per chunk
+                ids, mat, norms = _ray.get(ref)
+                cos = (rows @ mat.T) / (rnorms[:, None] * norms[None, :])
+                mask = (cos >= threshold) & (ids[None, :] > row_ids[:, None])
+                ii, jj = np.nonzero(mask)
+                frames.append(
+                    _pair_frame(row_ids[ii], ids[jj], np.round(cos[ii, jj], round_to))
+                )
+            return pd.concat(frames, ignore_index=True)
 
-        return ds.map_batches(PairFinder, batch_format="pandas", concurrency=concurrency)
+        return ds.map_batches(
+            pair_finder, batch_format="pandas", **_task_kwargs(concurrency)
+        )
 
     # ------------------------------------------------------- lsh route
-    class BandCoder:
-        """bands × band_planes hyperplanes, built once per actor (seeded
-        → identical planes on every worker)."""
-
-        def __init__(self) -> None:
-            self.rng_planes: np.ndarray | None = None
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            mat = _emb_matrix(df["embedding"])
-            if self.rng_planes is None:
-                rng = np.random.RandomState(seed)
-                self.rng_planes = rng.standard_normal(
-                    (mat.shape[1], bands * band_planes)
-                )
-            bits = (mat @ self.rng_planes) > 0
-            codes = bits.reshape(len(df), bands, band_planes)
-            codes = (codes * (1 << np.arange(band_planes))).sum(axis=2).astype("int32")
-            n = len(df)
-            return pd.DataFrame(
-                {
-                    "band_id": np.repeat(np.arange(bands, dtype="int32"), n),
-                    "code": codes.T.reshape(-1),
-                    "vec_id": np.tile(df["vec_id"].to_numpy().astype("int64"), bands),
-                    "embedding": list(df["embedding"]) * bands,
-                }
-            )
+    def band_coder(df: pd.DataFrame) -> pd.DataFrame:
+        """bands × band_planes hyperplanes, seeded → identical planes on
+        every worker, built once per worker process."""
+        mat = _emb_matrix(df["embedding"])
+        planes = worker_state(
+            ("emb_band_planes", seed, bands, band_planes, mat.shape[1]),
+            lambda: np.random.RandomState(seed).standard_normal(
+                (mat.shape[1], bands * band_planes)
+            ),
+        )
+        bits = (mat @ planes) > 0
+        codes = bits.reshape(len(df), bands, band_planes)
+        codes = (codes * (1 << np.arange(band_planes))).sum(axis=2).astype("int32")
+        n = len(df)
+        return pd.DataFrame(
+            {
+                "band_id": np.repeat(np.arange(bands, dtype="int32"), n),
+                "code": codes.T.reshape(-1),
+                "vec_id": np.tile(df["vec_id"].to_numpy().astype("int64"), bands),
+                "embedding": list(df["embedding"]) * bands,
+            }
+        )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
@@ -425,7 +436,9 @@ def embedding_dup_pairs(
         ii, jj = np.nonzero(mask)
         return _pair_frame(ids[ii], ids[jj], np.round(cos[ii, jj], round_to))
 
-    coded = ds.map_batches(BandCoder, batch_format="pandas", concurrency=concurrency)
+    coded = ds.map_batches(
+        band_coder, batch_format="pandas", **_task_kwargs(concurrency)
+    )
     pairs = coded.groupby(["band_id", "code"]).map_groups(
         bucket_pairs, batch_format="pandas"
     )
@@ -436,7 +449,7 @@ def embedding_dup_pairs(
 
 
 def simhash_groups(
-    ds: ray.data.Dataset, concurrency: int | tuple[int, int] = (1, 8)
+    ds: ray.data.Dataset, concurrency: int | tuple[int, int] | None = None
 ) -> ray.data.Dataset:
     """Groups of docs with IDENTICAL simhash (strict near-dup tier).
 
@@ -446,7 +459,9 @@ def simhash_groups(
     """
     from ray.data.aggregate import Count, Min
 
-    sigs = ds.map_batches(SimHasher, batch_format="pandas", concurrency=concurrency)
+    sigs = ds.map_batches(
+        _simhash_batch, batch_format="pandas", **_task_kwargs(concurrency)
+    )
     grouped = sigs.groupby("simhash").aggregate(
         Count(alias_name="n_docs"), Min("doc_id", alias_name="min_doc_id")
     )
@@ -462,7 +477,7 @@ def simhash_near_pairs(
     bands: int = 4,
     ngram: int = 1,
     max_bucket: int = 4096,
-    concurrency: int | tuple[int, int] = (1, 8),
+    concurrency: int | tuple[int, int] | None = None,
 ) -> ray.data.Dataset:
     """Near-duplicate pairs at Hamming distance ≤ ``max_hamming`` over
     the 64-bit SimHash (the near-dup tier beyond exact-signature match).
@@ -485,8 +500,8 @@ def simhash_near_pairs(
     mask = np.uint64((1 << width) - 1)
 
     sigs = ds.map_batches(
-        SimHasher, fn_constructor_kwargs={"ngram": ngram},
-        batch_format="pandas", concurrency=concurrency,
+        _simhash_batch, fn_kwargs={"ngram": ngram},
+        batch_format="pandas", **_task_kwargs(concurrency),
     )
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:

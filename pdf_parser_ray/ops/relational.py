@@ -21,6 +21,7 @@ import ray
 import ray.data
 
 from pdf_parser_ray.io_utils import read_parquet_clean
+from pdf_parser_ray.stages import task_kwargs as _task_kwargs
 
 
 def broadcast_merge(
@@ -28,23 +29,25 @@ def broadcast_merge(
     small: pd.DataFrame,
     on: str | list[str],
     how: str = "inner",
-    concurrency: int | tuple[int, int] = (1, 8),
+    concurrency: int | tuple[int, int] | None = None,
 ) -> ray.data.Dataset:
     """Broadcast-hash-join a small pandas table into every batch.
 
-    The small side is ``ray.put`` ONCE; each actor fetches it once in
-    ``__init__`` (not per batch, not per row).
+    The small side is ``ray.put`` ONCE; each worker process fetches it
+    once (worker_state-cached plasma read), then every batch on that
+    worker merges against the same frame.  Task pool, not actor pool:
+    the state is one broadcast table, so paying a pool ramp per
+    execution buys nothing.
     """
     ref = ray.put(small)
 
-    class Merge:
-        def __init__(self) -> None:
-            self.small = ray.get(ref)
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.stages import worker_state
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            return df.merge(self.small, on=on, how=how)
+        small_df = worker_state(("bcast_merge", ref.hex()), lambda: ray.get(ref))
+        return df.merge(small_df, on=on, how=how)
 
-    return ds.map_batches(Merge, batch_format="pandas", concurrency=concurrency)
+    return ds.map_batches(merge, batch_format="pandas", **_task_kwargs(concurrency))
 
 
 TARGET_JOIN_PARTITION_BYTES = 64 << 20
@@ -101,25 +104,36 @@ def broadcast_semi_join(
     on: str,
     *,
     anti: bool = False,
-    concurrency: int | tuple[int, int] = (1, 8),
+    concurrency: int | tuple[int, int] | None = None,
 ) -> ray.data.Dataset:
     """Semi/anti join against a broadcast key set (ray_guide pattern).
 
     ``keys`` (an iterable of key values — or a Bloom filter stand-in at
     extreme scale) is ``ray.put`` once; each batch keeps rows whose
-    ``on`` value is (semi) / is not (anti) in the set.  Zero shuffle.
+    ``on`` value is (semi) / is not (anti) in the set.  Zero shuffle;
+    task pool with a worker_state-cached key-set fetch.
     """
     key_ref = ray.put(frozenset(keys))
 
-    class Filter:
-        def __init__(self) -> None:
-            self.keys = ray.get(key_ref)
+    def filt(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            mask = df[on].isin(self.keys)
-            return df[~mask] if anti else df[mask]
+        from pdf_parser_ray.stages import worker_state
 
-    return ds.map_batches(Filter, batch_format="pandas", concurrency=concurrency)
+        # cache the Arrow value-set per worker (sorted → deterministic)
+        value_set = worker_state(
+            ("bcast_keys_arr", key_ref.hex()),
+            lambda: pa.array(sorted(ray.get(key_ref))),
+        )
+        mask = pc.is_in(batch.column(on), value_set=value_set)
+        mask = pc.fill_null(mask, False)
+        if anti:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
+
+    return ds.map_batches(
+        filt, batch_format="pyarrow", zero_copy_batch=True, **_task_kwargs(concurrency)
+    )
 
 
 def _tag_union(

@@ -21,40 +21,48 @@ def _to_matrix(col: pd.Series) -> np.ndarray:
     return np.vstack([np.asarray(v, dtype=np.float64) for v in col])
 
 
-class _BatchTopK:
+def _batch_topk(
+    df: pd.DataFrame, *, query_ref, k: int, round_to: int | None = None
+) -> pd.DataFrame:
     """Partial top-k per batch against a broadcast query vector.
 
-    ``round_to`` rounds the cosine BEFORE the top-k selection so the
-    (cosine DESC, vec_id ASC) tie-break operates on the same values the
-    final sort (and a SQL oracle ordering by the rounded alias) sees —
-    otherwise neighbors differing only past the rounding digit can be
-    selected/ordered differently at the k boundary.
+    Task-mode stage: the query is ``ray.put`` once on the driver; the
+    normalized copy is cached per worker process via ``worker_state``
+    (the plasma fetch itself is a zero-copy local read after the first
+    task on a node).  ``round_to`` rounds the cosine BEFORE the top-k
+    selection so the (cosine DESC, vec_id ASC) tie-break operates on the
+    same values the final sort (and a SQL oracle ordering by the rounded
+    alias) sees — otherwise neighbors differing only past the rounding
+    digit can be selected/ordered differently at the k boundary.
     """
+    from pdf_parser_ray.stages import worker_state
 
-    def __init__(self, query_ref, k: int, round_to: int | None = None):
-        # ray.put'ed once on the driver; fetched once per actor.
-        self.q = np.asarray(ray.get(query_ref), dtype=np.float64)
-        self.qn = self.q / np.linalg.norm(self.q)
-        self.k = k
-        self.round_to = round_to
+    def _build():
+        q = np.asarray(ray.get(query_ref), dtype=np.float64)
+        return q / np.linalg.norm(q)
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        mat = _to_matrix(df["embedding"])
-        norms = np.linalg.norm(mat, axis=1)
-        norms[norms == 0] = 1.0
-        cos = (mat @ self.qn) / norms
-        if self.round_to is not None:
-            cos = np.round(cos, self.round_to)
-        k = min(self.k, len(df))
-        # lexsort: primary -cosine, tie-break vec_id ascending
-        vec_ids = df["vec_id"].to_numpy()
-        idx = np.lexsort((vec_ids, -cos))[:k]
+    if len(df) == 0:  # typed empty → stable block schema downstream
         return pd.DataFrame(
-            {
-                "vec_id": vec_ids[idx],
-                "cosine": cos[idx].astype("float64"),
-            }
+            {"vec_id": pd.Series([], dtype="int64"),
+             "cosine": pd.Series([], dtype="float64")}
         )
+    qn = worker_state(("knn_qn", query_ref.hex()), _build)
+    mat = _to_matrix(df["embedding"])
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    cos = (mat @ qn) / norms
+    if round_to is not None:
+        cos = np.round(cos, round_to)
+    k = min(k, len(df))
+    # lexsort: primary -cosine, tie-break vec_id ascending
+    vec_ids = df["vec_id"].to_numpy()
+    idx = np.lexsort((vec_ids, -cos))[:k]
+    return pd.DataFrame(
+        {
+            "vec_id": vec_ids[idx],
+            "cosine": cos[idx].astype("float64"),
+        }
+    )
 
 
 def knn_brute_force(
@@ -64,29 +72,41 @@ def knn_brute_force(
     *,
     exclude_vec_id: int | None = None,
     round_to: int | None = None,
-    concurrency: int | tuple[int, int] = (1, 8),
+    concurrency: int | tuple[int, int] | None = None,
 ) -> ray.data.Dataset:
     """Exact cosine top-k: partial top-k per batch → global sort-limit.
 
     The final sort runs over ≤ k·num_batches rows — tiny.  Deterministic
     tie-break: (-cosine, vec_id), computed on the ``round_to``-rounded
     cosine when given (matching a SQL oracle that orders by the rounded
-    alias).
+    alias).  Runs as a task pool (state is one broadcast vector —
+    worker_state-cached), which skips the per-execution actor-pool ramp;
+    ``concurrency`` survives as an optional max-concurrent-tasks cap.
     """
     query_ref = ray.put(np.asarray(query_vec, dtype=np.float64))
     if exclude_vec_id is not None:
-        # vectorized predicate — per-row ds.filter(fn) is a scale pitfall
+        # vectorized Arrow predicate — per-row ds.filter(fn) is a scale
+        # pitfall, and pyarrow keeps empty result blocks cheap to size
+        import pyarrow.compute as pc
+
         ds = ds.map_batches(
-            lambda df, _x=exclude_vec_id: df[df["vec_id"] != _x],
-            batch_format="pandas",
+            lambda t, _x=exclude_vec_id: t.filter(pc.not_equal(t.column("vec_id"), _x)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
     partial = ds.map_batches(
-        _BatchTopK,
-        fn_constructor_kwargs={"query_ref": query_ref, "k": k, "round_to": round_to},
+        _batch_topk,
+        fn_kwargs={"query_ref": query_ref, "k": k, "round_to": round_to},
         batch_format="pandas",
-        concurrency=concurrency,
+        **_task_kwargs(concurrency),
     )
     return partial.sort(["cosine", "vec_id"], descending=[True, False]).limit(k)
+
+
+def _task_kwargs(concurrency) -> dict:
+    from pdf_parser_ray.stages import task_kwargs
+
+    return task_kwargs(concurrency)
 
 
 def embedding_centroids(
@@ -176,7 +196,7 @@ def ivf_knn(
     train_sample: int = 2048,
     seed: int = 53,
     round_to: int | None = None,
-    concurrency: int | tuple[int, int] = (1, 8),
+    concurrency: int | tuple[int, int] | None = None,
 ) -> ray.data.Dataset:
     """IVF approximate top-k: train a coarse quantizer on a seeded sample,
     scan only the query's ``n_probe`` nearest inverted lists.
@@ -192,19 +212,29 @@ def ivf_knn(
     index = _IvfIndex(sample, n_lists, seed)
     probe = set(index.probe_lists(q, n_probe).tolist())
     index_ref = ray.put(index)
-    probe_ref = ray.put(probe)
+    probe_arr = np.fromiter(sorted(probe), dtype=np.int64)
 
-    class AssignFilter:
-        def __init__(self) -> None:
-            self.index = ray.get(index_ref)
-            self.probe = ray.get(probe_ref)
+    def assign_filter(batch):
+        import pyarrow as pa
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            lists = self.index.assign(_to_matrix(df["embedding"]))
-            return df[np.isin(lists, list(self.probe))]
+        from pdf_parser_ray.stages import worker_state
+
+        if batch.num_rows == 0:
+            return batch
+        idx = worker_state(
+            ("ivf_index", index_ref.hex()), lambda: ray.get(index_ref)
+        )
+        mat = np.vstack(
+            [np.asarray(v, dtype=np.float64) for v in batch.column("embedding").to_pylist()]
+        )
+        lists = idx.assign(mat)
+        return batch.filter(pa.array(np.isin(lists, probe_arr)))
 
     candidates = ds.map_batches(
-        AssignFilter, batch_format="pandas", concurrency=concurrency
+        assign_filter,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        **_task_kwargs(concurrency),
     )
     return knn_brute_force(candidates, q, k, round_to=round_to, concurrency=concurrency)
 
@@ -236,7 +266,7 @@ def lsh_knn(
     dim: int | None = None,
     n_planes: int = 8,
     round_to: int | None = None,
-    concurrency: int | tuple[int, int] = (1, 8),
+    concurrency: int | tuple[int, int] | None = None,
 ) -> ray.data.Dataset:
     """Approximate top-k: scan only rows sharing the query's LSH bucket.
 
@@ -248,14 +278,25 @@ def lsh_knn(
     dim = dim or q.shape[0]
     bucketer = _Bucketer(dim, n_planes)
     qcode = int(bucketer.code(q[None, :])[0])
+
+    def bucket_code(df: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.stages import worker_state
+
+        # planes are seeded-deterministic → rebuild once per worker
+        b = worker_state(
+            ("lsh_planes", dim, n_planes), lambda: _Bucketer(dim, n_planes)
+        )
+        return b(df)
+
     bucketed = ds.map_batches(
-        _Bucketer,
-        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes},
-        batch_format="pandas",
-        concurrency=concurrency,
+        bucket_code, batch_format="pandas", **_task_kwargs(concurrency)
     )
+    import pyarrow.compute as pc
+
     candidates = bucketed.map_batches(
-        lambda df, _c=qcode: df[df["bucket"] == _c], batch_format="pandas"
+        lambda t, _c=qcode: t.filter(pc.equal(t.column("bucket"), _c)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
     return knn_brute_force(
         candidates.drop_columns(["bucket"]), q, k, round_to=round_to,

@@ -178,6 +178,16 @@ class LangId:
         )
 
 
+def lang_id_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Task-mode LangId stage: the compiled word regex + sorted profiles
+    are built once per worker process (worker_state), so the stage runs
+    as an elastic task pool with no actor-pool ramp."""
+    from pdf_parser_ray.stages import worker_state
+
+    lid = worker_state("lang_id", LangId)
+    return lid(df)
+
+
 def rolling_fingerprint_batch(df: pd.DataFrame, window: int = 64) -> pd.DataFrame:
     """Rabin-Karp-style rolling document fingerprint (winnowing flavor).
 

@@ -88,11 +88,9 @@ def q_dedup_exact(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_lang_id(sf_dir: str) -> ray.data.Dataset:
-    from pdf_parser_ray.ops.text_stats import LangId
+    from pdf_parser_ray.ops.text_stats import lang_id_batch
 
-    return _documents(sf_dir).map_batches(
-        LangId, batch_format="pandas", concurrency=(1, 4)
-    )
+    return _documents(sf_dir).map_batches(lang_id_batch, batch_format="pandas")
 
 
 def q_minhash_pairs(sf_dir: str) -> ray.data.Dataset:

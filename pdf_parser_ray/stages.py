@@ -182,6 +182,45 @@ class StripHtml:
 # (models, font blobs) should still use the actor class above.
 _WORKER_CMAP_CACHE: dict = {}
 
+# Generic process-global store for light task-mode stage state (seeded
+# hyperplanes, compiled profiles, broadcast-ref fetches).  Measured on
+# this box: an actor-pool stage pays ~1.5-4 s of pool ramp per dataset
+# execution that a task-pool stage with worker_state does not, while the
+# once-per-process build cost is identical.  Heavy state (models, font
+# blobs, multi-GB indexes) should still use an actor pool so placement
+# and teardown are explicit.
+_WORKER_STATE: dict = {}
+
+
+def worker_state(key, builder):
+    """Build-once-per-worker-process state for task-mode stages.
+
+    The task-mode analog of actor ``__init__`` state: Ray reuses worker
+    processes across map_batches tasks, so ``builder()`` runs once per
+    process and every later task reuses the cached value.  ``key`` must
+    uniquely identify the state (include seeds/dims/ObjectRef hex).
+    """
+    try:
+        return _WORKER_STATE[key]
+    except KeyError:
+        val = builder()
+        _WORKER_STATE[key] = val
+        return val
+
+
+def task_kwargs(concurrency) -> dict:
+    """map_batches kwargs for a task-pool stage from an actor-style spec.
+
+    ``None`` → elastic (no cap, streaming executor schedules); an int
+    caps concurrent tasks; a legacy (min, max) actor-pool tuple degrades
+    to its max as the task cap.
+    """
+    if concurrency is None:
+        return {}
+    if isinstance(concurrency, int):
+        return {"concurrency": concurrency}
+    return {"concurrency": max(concurrency)}
+
 
 def extract_batch_task(batch: pa.Table, include_spans: bool = True) -> pa.Table:
     """Stateless-task twin of :class:`ExtractDocuments` (same output)."""
