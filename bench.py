@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "top_events_per_type",
     "asof_purchase_view",
     "jaccard_pairs",
+    "passage_dedup",
 ]
 
 

@@ -1,0 +1,241 @@
+"""Webtext-corpus curation operators (the C4/CCNet/Gopher tier).
+
+Public-recipe operators a Common-Crawl-scale training-data pipeline runs
+after extraction (north_rule: "main-content extraction pipeline ... over
+Common-Crawl-style web pages"):
+
+* :func:`passage_dedup` — CCNet-style repeated-passage removal: any
+  fixed-width word window whose exact content recurs ≥ ``max_repeats``
+  times corpus-wide is dropped from every document (boilerplate
+  banners, navigation crumbs, cookie notices).
+* :func:`repetition_stats` — Gopher-style per-document repetition
+  signals (duplicate-word fraction, top-word fraction) used as quality
+  gates.
+* :func:`pii_redact` — regex PII scrub (emails, phone-like runs) with
+  per-doc redaction counts; patterns are RE2-safe so a SQL engine
+  applies the identical automaton.
+* :func:`stratified_sample` — deterministic per-language hash sampling
+  (md5 of the doc id against a per-stratum hex threshold): every worker
+  — and every rerun — selects the same rows with no RNG state.
+
+Shuffle discipline: passage_dedup is the only op here that shuffles at
+all, and it shuffles ONE small (passage_hash:int64, n:int64) partial-
+count stream; the removal pass is a broadcast filter, so document
+payloads never move.  Everything else is embarrassingly row-local
+map_batches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+# RE2-safe patterns (no backrefs/lookaround) + re.ASCII so \s, \d match
+# DuckDB's RE2 semantics — the oracle-parity rule from ops.text_stats.
+EMAIL_PAT = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", re.ASCII)
+PHONE_PAT = re.compile(r"\+?[0-9][0-9()\-\s]{6,}[0-9]", re.ASCII)
+
+
+def _passage_hash64(passage: str) -> int:
+    """First 8 md5 bytes as int64 — the shuffle key for passage counts.
+
+    Collision odds at 2^-64 per pair are negligible even at 10^12
+    passages; the SQL oracle groups by the raw passage string, which
+    agrees except under such a collision.
+    """
+    return int.from_bytes(
+        hashlib.md5(passage.encode("utf-8")).digest()[:8], "big", signed=True
+    )
+
+
+def _doc_passages(text: str, words_per_passage: int) -> list[str]:
+    # str.split(' ') (NOT \s+) to mirror SQL string_split(text, ' ')
+    # exactly, including empty tokens from doubled spaces.
+    words = text.split(" ")
+    w = words_per_passage
+    return [" ".join(words[i : i + w]) for i in range(0, len(words), w)]
+
+
+def passage_dedup(
+    ds: ray.data.Dataset,
+    *,
+    words_per_passage: int = 2,
+    max_repeats: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_limit: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Remove every passage that appears ≥ ``max_repeats`` times corpus-wide.
+
+    Plan (one shuffle total):
+
+    1. map_batches: per-batch passage explode + PARTIAL counts (the
+       combiner) → (passage_hash:int64, n) rows.
+    2. groupby(passage_hash).sum — the only all-to-all; keys are md5
+       hashes → uniform, no skew.
+    3. hot set = hashes with n ≥ max_repeats.  Bounded above by
+       total_passages / max_repeats and in practice tiny (boilerplate);
+       broadcast via ``ray.put``.  ``broadcast_limit`` guards the
+       pathological case — above it, swap step 4 for a hash join on
+       passage_hash (documented scale path).
+    4. map_batches over the ORIGINAL documents: recompute passages
+       row-locally, drop hot ones, reassemble.  Document payloads never
+       enter a shuffle.
+
+    Output: (id_col, clean_text) — documents whose every passage was
+    removed are dropped (matches the SQL inner-join formulation).
+    """
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.stages import worker_state
+
+    w = words_per_passage
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        counts: Counter = Counter()
+        for text in df[text_col].fillna(""):
+            counts.update(_passage_hash64(p) for p in _doc_passages(text, w))
+        return pd.DataFrame(
+            {
+                "passage_hash": np.fromiter(counts.keys(), dtype=np.int64, count=len(counts)),
+                "n": np.fromiter(counts.values(), dtype=np.int64, count=len(counts)),
+            }
+        )
+
+    totals = (
+        ds.map_batches(partial_counts, batch_format="pandas")
+        .groupby("passage_hash")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    hot = totals.map_batches(
+        lambda df, _k=max_repeats: df[df["n"] >= _k][["passage_hash"]],
+        batch_format="pandas",
+    )
+    hot_df = hot.limit(broadcast_limit + 1).to_pandas()
+    if "passage_hash" not in hot_df.columns:  # empty dataset → column-less frame
+        hot_df = pd.DataFrame({"passage_hash": pd.Series([], dtype="int64")})
+    if len(hot_df) > broadcast_limit:
+        raise ValueError(
+            f"hot-passage set exceeds broadcast_limit={broadcast_limit}; "
+            "use the hash-join variant for this corpus"
+        )
+    hot_ref = ray.put(frozenset(int(h) for h in hot_df["passage_hash"]))
+
+    def scrub(df: pd.DataFrame) -> pd.DataFrame:
+        hot_set = worker_state(
+            ("passage_hot", hot_ref.hex()), lambda: ray.get(hot_ref)
+        )
+        ids, cleaned = [], []
+        for doc_id, text in zip(df[id_col], df[text_col].fillna("")):
+            kept = [
+                p
+                for p in _doc_passages(text, w)
+                if _passage_hash64(p) not in hot_set
+            ]
+            if kept:
+                ids.append(doc_id)
+                cleaned.append(" ".join(kept))
+        return pd.DataFrame(
+            {id_col: pd.Series(ids, dtype="int64"),
+             "clean_text": pd.Series(cleaned, dtype="object")}
+        )
+
+    return ds.map_batches(scrub, batch_format="pandas")
+
+
+def repetition_stats(
+    ds: ray.data.Dataset, *, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Gopher-style repetition signals, one row per document.
+
+    Output: (id_col, n_words:int64, n_distinct:int64, dup_frac:float64,
+    top_frac:float64) where dup_frac = 1 - distinct/total and top_frac =
+    most-frequent-word count / total.  Fractions are UNROUNDED: both
+    sides divide the identical int64 operands, so the doubles are
+    bit-identical (the per-row-ratio rule).
+    """
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        n_words, n_distinct, top = [], [], []
+        for text in df[text_col].fillna(""):
+            c = Counter(text.split(" "))  # split(' ') == SQL string_split
+            total = sum(c.values())
+            n_words.append(total)
+            n_distinct.append(len(c))
+            top.append(max(c.values()) if c else 0)
+        n_words_a = np.asarray(n_words, dtype=np.int64)
+        n_distinct_a = np.asarray(n_distinct, dtype=np.int64)
+        top_a = np.asarray(top, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "n_words": n_words_a,
+                "n_distinct": n_distinct_a,
+                "dup_frac": 1.0 - n_distinct_a / n_words_a.astype(np.float64),
+                "top_frac": top_a / n_words_a.astype(np.float64),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pandas")
+
+
+def pii_redact(
+    ds: ray.data.Dataset, *, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Scrub emails then phone-like digit runs; count each per document.
+
+    Output: (id_col, clean_text:string, n_emails:int64, n_phones:int64).
+    Emails are replaced FIRST, then phones scan the email-redacted text —
+    the fixed order every engine must apply for identical output.
+    """
+
+    def redact(df: pd.DataFrame) -> pd.DataFrame:
+        text = df[text_col].fillna("")
+        n_emails = text.str.count(EMAIL_PAT).astype("int64")
+        no_email = text.str.replace(EMAIL_PAT, "[EMAIL]", regex=True)
+        n_phones = no_email.str.count(PHONE_PAT).astype("int64")
+        clean = no_email.str.replace(PHONE_PAT, "[PHONE]", regex=True)
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "clean_text": clean,
+                "n_emails": n_emails,
+                "n_phones": n_phones,
+            }
+        )
+
+    return ds.map_batches(redact, batch_format="pandas")
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    rate_hex: dict[str, str],
+    *,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_hex: str = "00",
+) -> ray.data.Dataset:
+    """Deterministic per-stratum sample: keep a row iff the first two
+    md5 hex chars of ``str(id)`` sort below the stratum's threshold.
+
+    ``rate_hex`` maps stratum → 2-hex-char threshold ('80' ≈ 50 %,
+    '20' ≈ 12.5 %, 'ff' ≈ 99.6 %); granularity is 1/256.  Hash-gate
+    sampling (md5, not RNG) means reruns, retries and different
+    partitionings all pick the identical sample — the property that
+    makes the op resumable and its SQL twin exact.
+    """
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        prefixes = df[id_col].map(
+            lambda i: hashlib.md5(str(i).encode("ascii")).hexdigest()[:2]
+        )
+        thresholds = df[stratum_col].map(lambda s: rate_hex.get(s, default_hex))
+        return df[(prefixes < thresholds).to_numpy()]
+
+    return ds.map_batches(keep, batch_format="pandas")

@@ -466,6 +466,43 @@ def q_hll_distinct_users(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"approx_distinct_users": [round(hll_distinct(ds, "user_id"))]})
 
 
+def q_passage_dedup(sf_dir: str) -> ray.data.Dataset:
+    """CCNet-style repeated-passage removal over the documents table:
+    2-word windows recurring ≥12× corpus-wide are dropped, docs
+    reassembled (one count shuffle + broadcast hot set)."""
+    from pdf_parser_ray.ops.webtext import passage_dedup
+
+    return passage_dedup(
+        _documents(sf_dir, columns=["doc_id", "text"]),
+        words_per_passage=2,
+        max_repeats=12,
+    )
+
+
+def q_repetition_stats(sf_dir: str) -> ray.data.Dataset:
+    from pdf_parser_ray.ops.webtext import repetition_stats
+
+    return repetition_stats(_documents(sf_dir, columns=["doc_id", "text"]))
+
+
+def q_pii_redact(sf_dir: str) -> ray.data.Dataset:
+    from pdf_parser_ray.ops.webtext import pii_redact
+
+    return pii_redact(_documents(sf_dir, columns=["doc_id", "text"]))
+
+
+def q_stratified_sample(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic hash-gate sample: 50% of 'en' docs, 12.5% of the
+    rest, chosen by md5(doc_id) prefix — rerun-stable, RNG-free."""
+    from pdf_parser_ray.ops.webtext import stratified_sample
+
+    return stratified_sample(
+        _documents(sf_dir, columns=["doc_id", "lang"]),
+        {"en": "80"},
+        default_hex="20",
+    )
+
+
 def q_top_customers(sf_dir: str) -> ray.data.Dataset:
     """Simple global sort + limit (deterministic tie-break on key)."""
     ds = _read_parquet(
@@ -1005,6 +1042,84 @@ def _lang_id_sql() -> str:
 
 SQL["lang_id"] = _lang_id_sql()
 
+# Webtext-curation oracles.  Word splitting is string_split(text, ' ')
+# == Python str.split(' ') (NOT \s+): empty tokens from doubled spaces
+# survive identically on both sides.
+SQL["passage_dedup"] = """
+    WITH words AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS word,
+             unnest(range(1, len(string_split(text, ' ')) + 1)) AS idx
+      FROM documents
+    ),
+    passages AS (
+      SELECT doc_id, CAST(floor((idx - 1) / 2) AS BIGINT) AS pidx,
+             string_agg(word, ' ' ORDER BY idx) AS passage
+      FROM words GROUP BY doc_id, pidx
+    ),
+    counts AS (SELECT passage, count(*) AS n FROM passages GROUP BY passage),
+    kept AS (
+      SELECT p.doc_id, p.pidx, p.passage
+      FROM passages p JOIN counts c USING (passage)
+      WHERE c.n < 12
+    )
+    SELECT doc_id, string_agg(passage, ' ' ORDER BY pidx) AS clean_text
+    FROM kept GROUP BY doc_id
+"""
+
+# Fractions are UNROUNDED per the per-row-ratio rule: both engines
+# divide the identical int64 operands → bit-identical doubles.
+SQL["repetition_stats"] = """
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    wc AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+      FROM words GROUP BY doc_id, word
+    ),
+    per AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_words,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(max(c) AS BIGINT) AS top_c
+      FROM wc GROUP BY doc_id
+    )
+    SELECT doc_id, n_words, n_distinct,
+           1.0 - n_distinct / CAST(n_words AS DOUBLE) AS dup_frac,
+           top_c / CAST(n_words AS DOUBLE) AS top_frac
+    FROM per
+"""
+
+
+def _pii_sql() -> str:
+    # Built from the SAME compiled patterns the Ray kernel uses (the
+    # computed-oracle pattern above) so the two automatons cannot drift.
+    from pdf_parser_ray.ops.webtext import EMAIL_PAT, PHONE_PAT
+
+    email, phone = EMAIL_PAT.pattern, PHONE_PAT.pattern
+    return f"""
+    WITH r AS (
+      SELECT doc_id,
+             regexp_replace(text, '{email}', '[EMAIL]', 'g') AS no_email,
+             CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_emails
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(no_email, '{phone}', '[PHONE]', 'g') AS clean_text,
+           n_emails,
+           CAST(len(regexp_extract_all(no_email, '{phone}')) AS BIGINT) AS n_phones
+    FROM r
+"""
+
+
+SQL["pii_redact"] = _pii_sql()
+
+SQL["stratified_sample"] = """
+    SELECT doc_id, lang FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+          CASE WHEN lang = 'en' THEN '80' ELSE '20' END
+"""
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "token_stats": q_token_stats,
@@ -1037,6 +1152,10 @@ QUERIES = {
     "bpe_token_stats": q_bpe_token_stats,
     "clean_corpus": q_clean_corpus,
     "word_counts": q_word_counts,
+    "passage_dedup": q_passage_dedup,
+    "repetition_stats": q_repetition_stats,
+    "pii_redact": q_pii_redact,
+    "stratified_sample": q_stratified_sample,
     "embedding_centroids": q_embedding_centroids,
     "event_quantiles": q_event_quantiles,
     "top_customers": q_top_customers,

@@ -1,0 +1,138 @@
+"""Webtext-curation operator tests: passage dedup, repetition stats,
+PII redaction (fixtures with real emails/phones — the driver corpus has
+none), stratified hash sampling."""
+
+import hashlib
+
+import pandas as pd
+import pytest
+import ray.data
+
+
+def _ds(rows, columns):
+    return ray.data.from_pandas(pd.DataFrame(rows, columns=columns))
+
+
+class TestPassageDedup:
+    def test_removes_hot_passages_and_drops_empty_docs(self, ray_session):
+        from pdf_parser_ray.ops.webtext import passage_dedup
+
+        # 'x y' appears in 5 docs -> hot at max_repeats=5; doc 4 is
+        # nothing but the hot passage -> dropped entirely.
+        rows = [
+            (0, "x y a b"),
+            (1, "x y c d"),
+            (2, "x y e f"),
+            (3, "x y g h"),
+            (4, "x y"),
+        ]
+        out = (
+            passage_dedup(
+                _ds(rows, ["doc_id", "text"]), words_per_passage=2, max_repeats=5
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["doc_id"].tolist() == [0, 1, 2, 3]
+        assert out["clean_text"].tolist() == ["a b", "c d", "e f", "g h"]
+
+    def test_below_threshold_keeps_everything(self, ray_session):
+        from pdf_parser_ray.ops.webtext import passage_dedup
+
+        rows = [(0, "p q r s"), (1, "p q t u")]  # 'p q' ×2 < 3
+        out = (
+            passage_dedup(
+                _ds(rows, ["doc_id", "text"]), words_per_passage=2, max_repeats=3
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert out["clean_text"].tolist() == ["p q r s", "p q t u"]
+
+    def test_tail_passage_shorter_than_window(self, ray_session):
+        from pdf_parser_ray.ops.webtext import passage_dedup
+
+        # odd word count -> final 1-word passage survives reassembly
+        rows = [(0, "a b c")]
+        out = passage_dedup(
+            _ds(rows, ["doc_id", "text"]), words_per_passage=2, max_repeats=9
+        ).to_pandas()
+        assert out["clean_text"].tolist() == ["a b c"]
+
+
+class TestRepetitionStats:
+    def test_known_fractions(self, ray_session):
+        from pdf_parser_ray.ops.webtext import repetition_stats
+
+        rows = [(0, "a a a b"), (1, "u v w x")]
+        out = (
+            repetition_stats(_ds(rows, ["doc_id", "text"]))
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[0, "n_words"] == 4 and out.loc[0, "n_distinct"] == 2
+        assert out.loc[0, "dup_frac"] == 0.5 and out.loc[0, "top_frac"] == 0.75
+        assert out.loc[1, "dup_frac"] == 0.0 and out.loc[1, "top_frac"] == 0.25
+
+    def test_empty_text_counts_one_empty_token(self, ray_session):
+        # str.split(' ') on '' -> [''] — pinned to match SQL string_split
+        from pdf_parser_ray.ops.webtext import repetition_stats
+
+        out = repetition_stats(_ds([(0, "")], ["doc_id", "text"])).to_pandas()
+        assert out.loc[0, "n_words"] == 1 and out.loc[0, "n_distinct"] == 1
+
+
+class TestPiiRedact:
+    def test_emails_and_phones(self, ray_session):
+        from pdf_parser_ray.ops.webtext import pii_redact
+
+        rows = [
+            (0, "mail bob.smith+x@corp.example.org or call +1 (555) 123-4567 now"),
+            (1, "two mails: a@b.co c@d.io"),
+            (2, "no pii here"),
+        ]
+        out = (
+            pii_redact(_ds(rows, ["doc_id", "text"])).to_pandas().set_index("doc_id")
+        )
+        assert out.loc[0, "n_emails"] == 1 and out.loc[0, "n_phones"] == 1
+        assert out.loc[0, "clean_text"] == "mail [EMAIL] or call [PHONE] now"
+        assert out.loc[1, "n_emails"] == 2
+        assert out.loc[1, "clean_text"] == "two mails: [EMAIL] [EMAIL]"
+        assert out.loc[2, "clean_text"] == "no pii here"
+        assert out.loc[2, "n_emails"] == 0 and out.loc[2, "n_phones"] == 0
+
+    def test_email_redacted_before_phone_scan(self, ray_session):
+        # digits inside an email must not double-count as a phone
+        from pdf_parser_ray.ops.webtext import pii_redact
+
+        rows = [(0, "reach 12345678@numeric-domain.com today")]
+        out = pii_redact(_ds(rows, ["doc_id", "text"])).to_pandas()
+        assert out.loc[0, "n_emails"] == 1 and out.loc[0, "n_phones"] == 0
+        assert out.loc[0, "clean_text"] == "reach [EMAIL] today"
+
+
+class TestStratifiedSample:
+    def test_threshold_gate_matches_manual_md5(self, ray_session):
+        from pdf_parser_ray.ops.webtext import stratified_sample
+
+        rows = [(i, "en" if i % 2 == 0 else "de") for i in range(200)]
+        out = stratified_sample(
+            _ds(rows, ["doc_id", "lang"]), {"en": "80"}, default_hex="20"
+        ).to_pandas()
+        expected = {
+            i
+            for i, lang in rows
+            if hashlib.md5(str(i).encode()).hexdigest()[:2]
+            < ("80" if lang == "en" else "20")
+        }
+        assert set(out["doc_id"]) == expected
+        assert len(expected) > 0
+
+    def test_deterministic_across_runs(self, ray_session):
+        from pdf_parser_ray.ops.webtext import stratified_sample
+
+        rows = [(i, "en") for i in range(100)]
+        a = stratified_sample(_ds(rows, ["doc_id", "lang"]), {"en": "40"}).to_pandas()
+        b = stratified_sample(_ds(rows, ["doc_id", "lang"]), {"en": "40"}).to_pandas()
+        assert sorted(a["doc_id"]) == sorted(b["doc_id"])
