@@ -178,6 +178,96 @@ class LangId:
         )
 
 
+def token_postings(ds) -> "object":
+    """Inverted-index statistics: per token, its document frequency and
+    doc-id range — the distributed index-build shape.
+
+    Per-batch: per-doc DISTINCT tokens (each document lives wholly in
+    one row, so row-local dedup is exact — no cross-batch double count)
+    → (token, doc_id) rows → ONE ``groupby(token)`` shuffle whose row
+    count = Σ per-doc vocab, far below total occurrences.  Tokenizer
+    matches :func:`word_counts` (lowered ``\\S+``).
+
+    Output: (token:string, doc_freq:int64, min_doc:int64, max_doc:int64).
+    """
+    import numpy as np
+    from ray.data.aggregate import Count, Max, Min
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        toks_per_doc = df["text"].fillna("").str.lower().str.findall(TOKEN_PAT)
+        tokens: list = []
+        ids: list = []
+        for doc_id, toks in zip(df["doc_id"], toks_per_doc):
+            uniq = set(toks)
+            tokens.extend(uniq)
+            ids.extend([doc_id] * len(uniq))
+        return pd.DataFrame(
+            {"token": pd.Series(tokens, dtype="object"),
+             "doc_id": np.asarray(ids, dtype=np.int64)}
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pandas")
+        .groupby("token")
+        .aggregate(
+            Count(alias_name="doc_freq"),
+            Min("doc_id", alias_name="min_doc"),
+            Max("doc_id", alias_name="max_doc"),
+        )
+    )
+
+
+def doc_familiarity(ds, *, broadcast_limit: int = 5_000_000) -> "object":
+    """Corpus-frequency familiarity score per document — the two-pass
+    LM-scoring shape (train pass → broadcast model → score pass) with
+    integer-exact semantics so a SQL engine reproduces it bit-for-bit.
+
+    Pass 1 reuses :func:`word_counts` (partial-count combiner, one
+    small shuffle) to build the global token→count model; the model is
+    bounded by VOCABULARY size, not corpus size (``broadcast_limit``
+    guards the pathological case — beyond it, swap the broadcast for a
+    hash join on token).  Pass 2 re-reads the documents and scores each
+    row locally: familiarity = Σ global count over the doc's token
+    occurrences.  Documents with zero tokens emit no row (inner-join
+    semantics).
+
+    Output: (doc_id, n_tokens:int64, familiarity:int64).
+    """
+    import numpy as np
+    import ray as _ray
+
+    from pdf_parser_ray.stages import worker_state
+
+    counts_df = word_counts(ds).limit(broadcast_limit + 1).to_pandas()
+    if len(counts_df) > broadcast_limit:
+        raise ValueError(
+            f"vocabulary exceeds broadcast_limit={broadcast_limit}; "
+            "use a hash join on token for this corpus"
+        )
+    vocab_ref = _ray.put(dict(zip(counts_df["token"], counts_df["n"].astype(int))))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        vocab = worker_state(("familiarity_vocab", vocab_ref.hex()),
+                             lambda: _ray.get(vocab_ref))
+        ids, n_tokens, fam = [], [], []
+        toks_per_doc = df["text"].fillna("").str.lower().str.findall(TOKEN_PAT)
+        for doc_id, toks in zip(df["doc_id"], toks_per_doc):
+            if not toks:
+                continue
+            ids.append(doc_id)
+            n_tokens.append(len(toks))
+            fam.append(sum(vocab[t] for t in toks))
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(ids, dtype=np.int64),
+                "n_tokens": np.asarray(n_tokens, dtype=np.int64),
+                "familiarity": np.asarray(fam, dtype=np.int64),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 def lang_id_batch(df: pd.DataFrame) -> pd.DataFrame:
     """Task-mode LangId stage: the compiled word regex + sorted profiles
     are built once per worker process (worker_state), so the stage runs

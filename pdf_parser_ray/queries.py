@@ -466,6 +466,18 @@ def q_hll_distinct_users(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"approx_distinct_users": [round(hll_distinct(ds, "user_id"))]})
 
 
+def q_token_postings(sf_dir: str) -> ray.data.Dataset:
+    from pdf_parser_ray.ops.text_stats import token_postings
+
+    return token_postings(_documents(sf_dir, columns=["doc_id", "text"]))
+
+
+def q_doc_familiarity(sf_dir: str) -> ray.data.Dataset:
+    from pdf_parser_ray.ops.text_stats import doc_familiarity
+
+    return doc_familiarity(_documents(sf_dir, columns=["doc_id", "text"]))
+
+
 def q_passage_dedup(sf_dir: str) -> ray.data.Dataset:
     """CCNet-style repeated-passage removal over the documents table:
     2-word windows recurring ≥12× corpus-wide are dropped, docs
@@ -1120,6 +1132,26 @@ SQL["stratified_sample"] = """
           CASE WHEN lang = 'en' THEN '80' ELSE '20' END
 """
 
+SQL["token_postings"] = """
+    SELECT token, CAST(count(*) AS BIGINT) AS doc_freq,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM (SELECT DISTINCT doc_id,
+                 unnest(regexp_extract_all(lower(text), '\\S+')) AS token
+          FROM documents)
+    GROUP BY token
+"""
+
+SQL["doc_familiarity"] = """
+    WITH w AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS token
+      FROM documents
+    ),
+    g AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY token)
+    SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(g.n) AS BIGINT) AS familiarity
+    FROM w JOIN g USING (token) GROUP BY w.doc_id
+"""
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "token_stats": q_token_stats,
@@ -1153,6 +1185,8 @@ QUERIES = {
     "clean_corpus": q_clean_corpus,
     "word_counts": q_word_counts,
     "passage_dedup": q_passage_dedup,
+    "token_postings": q_token_postings,
+    "doc_familiarity": q_doc_familiarity,
     "repetition_stats": q_repetition_stats,
     "pii_redact": q_pii_redact,
     "stratified_sample": q_stratified_sample,

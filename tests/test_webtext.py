@@ -112,6 +112,39 @@ class TestPiiRedact:
         assert out.loc[0, "clean_text"] == "reach [EMAIL] today"
 
 
+class TestTokenPostings:
+    def test_doc_freq_and_range(self, ray_session):
+        from pdf_parser_ray.ops.text_stats import token_postings
+
+        rows = [(1, "A a b"), (2, "b c"), (3, "")]
+        out = (
+            token_postings(_ds(rows, ["doc_id", "text"]))
+            .to_pandas()
+            .set_index("token")
+        )
+        # 'A' lowers into 'a'; within-doc repeats count once
+        assert out.loc["a", "doc_freq"] == 1
+        assert out.loc["b", "doc_freq"] == 2
+        assert out.loc["b", "min_doc"] == 1 and out.loc["b", "max_doc"] == 2
+        assert len(out) == 3  # empty doc contributes nothing
+
+
+class TestDocFamiliarity:
+    def test_sum_of_global_counts(self, ray_session):
+        from pdf_parser_ray.ops.text_stats import doc_familiarity
+
+        rows = [(1, "a a b"), (2, "b c"), (3, "")]
+        out = (
+            doc_familiarity(_ds(rows, ["doc_id", "text"]))
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        # global: a=2, b=2, c=1 → doc1 = 2+2+2, doc2 = 2+1
+        assert out.loc[1, "familiarity"] == 6 and out.loc[1, "n_tokens"] == 3
+        assert out.loc[2, "familiarity"] == 3 and out.loc[2, "n_tokens"] == 2
+        assert 3 not in out.index  # token-less docs drop (inner-join semantics)
+
+
 class TestStratifiedSample:
     def test_threshold_gate_matches_manual_md5(self, ray_session):
         from pdf_parser_ray.ops.webtext import stratified_sample
