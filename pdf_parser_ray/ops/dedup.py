@@ -156,9 +156,36 @@ class MinHasher:
         # Transport as uint32 (low 32 bits): halves the shuffled payload
         # (sig rides along in every band row, ×bands inflation); slot
         # equality — all the LSH ever tests — collides only at 2^-32.
-        sigs = [self.signature(t).astype(np.uint32) for t in df["text"].fillna("")]
+        #
+        # Batched: one (num_perm × Σ shingles) universal-hash matrix for
+        # the whole batch, then a per-doc segmented min via
+        # np.minimum.reduceat — replaces num_docs separate numpy calls.
+        # No per-doc np.unique: min over a multiset == min over its set.
+        texts = df["text"].fillna("")
+        per_doc: list[np.ndarray] = []
+        for t in texts:
+            grams = _word_ngrams(t, self.ngram)
+            per_doc.append(
+                np.fromiter(
+                    (zlib.crc32(g.encode("utf-8")) for g in grams),
+                    dtype=np.uint64,
+                    count=len(grams),
+                )
+            )
+        lens = np.fromiter((len(h) for h in per_doc), dtype=np.int64,
+                           count=len(per_doc))
+        sigs = np.zeros((len(per_doc), self.num_perm), dtype=np.uint64)
+        nonempty = np.nonzero(lens > 0)[0]
+        if len(nonempty):
+            concat = np.concatenate([per_doc[i] for i in nonempty])
+            with np.errstate(over="ignore"):
+                v = (self.a[:, None] * concat[None, :] + self.b[:, None]) % MERSENNE
+            offsets = np.zeros(len(nonempty), dtype=np.int64)
+            np.cumsum(lens[nonempty][:-1], out=offsets[1:])
+            sigs[nonempty] = np.minimum.reduceat(v, offsets, axis=1).T
+        sig32 = sigs.astype(np.uint32)
         return pd.DataFrame(
-            {"doc_id": df["doc_id"], "sig": [s.tobytes() for s in sigs]}
+            {"doc_id": df["doc_id"], "sig": [s.tobytes() for s in sig32]}
         )
 
 
@@ -308,10 +335,42 @@ class SimHasher:
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         # int64 reinterpretation of the 64-bit signature: Arrow-native
         # (uint64 > 2^63-1 would fall back to pickled python objects).
-        sigs = np.array(
-            [self.simhash(t) for t in df["text"].fillna("")], dtype=np.uint64
-        ).view(np.int64)
-        return pd.DataFrame({"doc_id": df["doc_id"], "simhash": sigs})
+        #
+        # Batched: token hashes for the whole batch concatenate into one
+        # array; per-doc bit votes are a segmented sum (np.add.reduceat)
+        # over the ±1 bit matrix — one numpy pass instead of per-doc.
+        texts = df["text"].fillna("")
+        per_doc: list[np.ndarray] = []
+        for t in texts:
+            toks = [x for x in _WS.split(t.lower().strip()) if x]
+            per_doc.append(
+                np.fromiter(
+                    (zlib.crc32(x.encode("utf-8")) for x in toks),
+                    dtype=np.uint64,
+                    count=len(toks),
+                )
+            )
+        lens = np.fromiter((len(h) for h in per_doc), dtype=np.int64,
+                           count=len(per_doc))
+        sigs = np.zeros(len(per_doc), dtype=np.uint64)
+        nonempty = np.nonzero(lens > 0)[0]
+        if len(nonempty):
+            h = np.concatenate([per_doc[i] for i in nonempty])
+            h = h | (h << np.uint64(32))  # widen crc to 64 bits
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
+                    ).astype(np.int8)
+            pm = (2 * bits - 1).astype(np.int32)
+            offsets = np.zeros(len(nonempty), dtype=np.int64)
+            np.cumsum(lens[nonempty][:-1], out=offsets[1:])
+            votes = np.add.reduceat(pm, offsets, axis=0)  # (n_nonempty, 64)
+            packed = (
+                (votes > 0).astype(np.uint64)
+                << np.arange(64, dtype=np.uint64)[None, :]
+            ).sum(axis=1, dtype=np.uint64)
+            sigs[nonempty] = packed
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "simhash": sigs.view(np.int64)}
+        )
 
 
 def _simhash_batch(df: pd.DataFrame, ngram: int = 1) -> pd.DataFrame:

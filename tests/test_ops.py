@@ -125,6 +125,27 @@ class TestDedup:
         true = ngram_jaccard(a, b)
         assert abs(est - true) < 0.2
 
+    def test_batched_minhash_matches_per_doc_signature(self, docs_df):
+        # __call__'s reduceat batching must equal the per-doc reference
+        from pdf_parser_ray.ops.dedup import MinHasher
+
+        mh = MinHasher(num_perm=64)
+        out = mh(docs_df)
+        for doc_id, sig_bytes in zip(out["doc_id"], out["sig"]):
+            expected = mh.signature(
+                docs_df.set_index("doc_id").loc[doc_id, "text"]
+            ).astype(np.uint32)
+            assert np.frombuffer(sig_bytes, dtype=np.uint32).tolist() == expected.tolist()
+
+    def test_batched_simhash_matches_per_doc(self, docs_df):
+        from pdf_parser_ray.ops.dedup import SimHasher
+
+        sh = SimHasher()
+        out = sh(docs_df)
+        for doc_id, sig in zip(out["doc_id"], out["simhash"]):
+            expected = sh.simhash(docs_df.set_index("doc_id").loc[doc_id, "text"])
+            assert int(np.uint64(np.int64(sig))) == expected
+
     def test_minhash_lsh_pairs(self, docs_df, ray_session):
         import ray.data
 
