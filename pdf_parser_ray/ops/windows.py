@@ -163,3 +163,72 @@ def sessionize(
         ).astype({"user_id": "int64", "n_sessions": "int64", "n_events": "int64"})
 
     return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def running_window(
+    ds: ray.data.Dataset,
+    *,
+    part_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    val_col: str = "value",
+    round_to: int = 2,
+) -> ray.data.Dataset:
+    """SQL window functions the co-grouped way: per-partition row_number
+    and running sum, ordered by ``order_cols`` (which must be a total
+    order within the partition — here (ts, event_id)).
+
+    ONE groupby shuffle co-locates each partition; the in-group work is
+    a sort + cumsum.  Partition = one user's events — bounded; salt the
+    key for power users (same caveat as :func:`sessionize`).  The
+    running sum is rounded (cross-row float aggregate rule) so a SQL
+    engine's segment-tree accumulation order cannot flip the hash.
+
+    Output: (event_id, part_col, rn:int64, cum_value:float64).
+    """
+    import numpy as np
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(list(order_cols))
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                part_col: g[part_col].to_numpy(),
+                "rn": np.arange(1, len(g) + 1, dtype=np.int64),
+                "cum_value": np.round(
+                    g[val_col].cumsum().to_numpy(dtype=np.float64), round_to
+                ),
+            }
+        )
+
+    return ds.groupby(part_col).map_groups(per_group, batch_format="pandas")
+
+
+def event_type_pivot(
+    ds: ray.data.Dataset,
+    types: tuple[str, ...] = ("click", "error", "purchase", "signup", "view"),
+) -> ray.data.Dataset:
+    """Pivot event counts to one wide row per user (n_<type> columns).
+
+    Per-batch crosstab partials (the combiner) shrink the shuffle to one
+    row per (user, batch); the groupby sums the partial columns.  The
+    type list is an explicit closed set — the schema of a pivot must be
+    known up front in a distributed engine (discover it with a separate
+    unique() pass when it isn't).
+
+    Output: (user_id, n_click:int64, ..., n_view:int64).
+    """
+    from ray.data.aggregate import Sum
+
+    cols = [f"n_{t}" for t in types]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(df["user_id"], df["event_type"])
+        ct = ct.reindex(columns=list(types), fill_value=0).astype("int64")
+        ct.columns = cols
+        return ct.reset_index().astype({"user_id": "int64"})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+    )

@@ -466,6 +466,22 @@ def q_hll_distinct_users(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"approx_distinct_users": [round(hll_distinct(ds, "user_id"))]})
 
 
+def q_running_window(sf_dir: str) -> ray.data.Dataset:
+    from pdf_parser_ray.ops.windows import running_window
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    return running_window(ds)
+
+
+def q_event_pivot(sf_dir: str) -> ray.data.Dataset:
+    from pdf_parser_ray.ops.windows import event_type_pivot
+
+    ds = _read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    return event_type_pivot(ds)
+
+
 def q_token_postings(sf_dir: str) -> ray.data.Dataset:
     from pdf_parser_ray.ops.text_stats import token_postings
 
@@ -1132,6 +1148,27 @@ SQL["stratified_sample"] = """
           CASE WHEN lang = 'en' THEN '80' ELSE '20' END
 """
 
+# Window functions: (ts, event_id) totally orders each partition, so
+# both engines add the same values in the same order up to float
+# association; the cross-row running sum is rounded on BOTH sides.
+SQL["running_window"] = """
+    SELECT event_id, user_id,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           round(sum(value) OVER w, 2) AS cum_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+SQL["event_pivot"] = """
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+    FROM events GROUP BY user_id
+"""
+
 SQL["token_postings"] = """
     SELECT token, CAST(count(*) AS BIGINT) AS doc_freq,
            min(doc_id) AS min_doc, max(doc_id) AS max_doc
@@ -1185,6 +1222,8 @@ QUERIES = {
     "clean_corpus": q_clean_corpus,
     "word_counts": q_word_counts,
     "passage_dedup": q_passage_dedup,
+    "running_window": q_running_window,
+    "event_pivot": q_event_pivot,
     "token_postings": q_token_postings,
     "doc_familiarity": q_doc_familiarity,
     "repetition_stats": q_repetition_stats,

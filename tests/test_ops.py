@@ -222,6 +222,46 @@ class TestSimilarity:
 
 
 class TestWindows:
+    def test_running_window(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import running_window
+
+        ts = pd.to_datetime(
+            ["2025-01-01 00:10", "2025-01-01 00:05", "2025-01-01 00:20"]
+        )
+        df = pd.DataFrame(
+            {"event_id": [1, 2, 3], "ts": ts, "user_id": [7, 7, 7],
+             "value": [1.5, 2.0, 3.0]}
+        )
+        out = (
+            running_window(ray.data.from_pandas(df))
+            .to_pandas()
+            .sort_values("rn")
+            .reset_index(drop=True)
+        )
+        # ordered by ts: event 2 (00:05) first, then 1, then 3
+        assert list(out["event_id"]) == [2, 1, 3]
+        assert list(out["rn"]) == [1, 2, 3]
+        assert list(out["cum_value"]) == [2.0, 3.5, 6.5]
+
+    def test_event_type_pivot(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import event_type_pivot
+
+        df = pd.DataFrame(
+            {"user_id": [1, 1, 1, 2], "event_type": ["click", "click", "view", "error"]}
+        )
+        out = (
+            event_type_pivot(ray.data.from_pandas(df))
+            .to_pandas()
+            .set_index("user_id")
+        )
+        assert out.loc[1, "n_click"] == 2 and out.loc[1, "n_view"] == 1
+        assert out.loc[2, "n_error"] == 1 and out.loc[2, "n_click"] == 0
+        assert out.loc[1, "n_purchase"] == 0
+
     def test_tumbling_counts(self, ray_session):
         import ray.data
 
