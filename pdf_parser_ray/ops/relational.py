@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
@@ -130,6 +131,89 @@ def broadcast_semi_join(
         if anti:
             mask = pc.invert(mask)
         return batch.filter(mask)
+
+    return ds.map_batches(
+        filt, batch_format="pyarrow", zero_copy_batch=True, **_task_kwargs(concurrency)
+    )
+
+
+class BloomFilter:
+    """Vectorized Bloom filter over int64 keys (double hashing).
+
+    The membership side of a semi join at extreme scale: when the key
+    set no longer fits a broadcast frozenset, ship these ``m/8`` bytes
+    instead.  NO false negatives ever; false-positive rate ≈ ``fp_rate``
+    at the sized capacity — so it is a PREFILTER: survivors still need
+    the exact join, but the filter drops the (huge) definite-misses
+    before any shuffle.
+    """
+
+    _MIX1 = np.uint64(0xFF51AFD7ED558CCD)
+    _MIX2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+    def __init__(self, n_items: int, fp_rate: float = 0.01):
+        import math
+
+        n_items = max(1, n_items)
+        m = int(math.ceil(-n_items * math.log(fp_rate) / (math.log(2) ** 2)))
+        self.m = max(64, m)
+        self.k = max(1, round(self.m / n_items * math.log(2)))
+        self.bits = np.zeros((self.m + 7) // 8, dtype=np.uint8)
+
+    def _hashes(self, keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        x = keys.astype(np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            x = (x ^ (x >> np.uint64(33))) * self._MIX1
+            x = (x ^ (x >> np.uint64(33))) * self._MIX2
+            h1 = x ^ (x >> np.uint64(33))
+            h2 = (x * self._MIX1) | np.uint64(1)  # odd → cycles all slots
+        return h1, h2
+
+    def _positions(self, keys: np.ndarray) -> np.ndarray:
+        h1, h2 = self._hashes(keys)
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        with np.errstate(over="ignore"):
+            return ((h1[None, :] + i * h2[None, :]) % np.uint64(self.m)).astype(
+                np.int64
+            )
+
+    def add_many(self, keys) -> None:
+        pos = self._positions(np.asarray(keys)).reshape(-1)
+        np.bitwise_or.at(self.bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+
+    def contains_many(self, keys) -> np.ndarray:
+        pos = self._positions(np.asarray(keys))
+        hit = (self.bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        return hit.all(axis=0).astype(bool)
+
+
+def bloom_prefilter(
+    ds: ray.data.Dataset,
+    keys,
+    on: str,
+    *,
+    fp_rate: float = 0.01,
+    concurrency: int | tuple[int, int] | None = None,
+) -> ray.data.Dataset:
+    """Drop rows whose ``on`` key is definitely not in ``keys``.
+
+    The scale path of :func:`broadcast_semi_join`: a 10^9-key set is
+    gigabytes as a frozenset but ~1.2 GB·(n/10^9) as Bloom bits at 1 %
+    fp — small enough to ``ray.put`` once and read per worker.  Output
+    is a SUPERSET of the true semi join (false positives pass); follow
+    with the exact join on the shrunken stream.
+    """
+    key_arr = np.asarray(list(keys), dtype=np.int64)
+    bf = BloomFilter(len(key_arr), fp_rate)
+    bf.add_many(key_arr)
+    bf_ref = ray.put(bf)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        from pdf_parser_ray.stages import worker_state
+
+        f = worker_state(("bloom", bf_ref.hex()), lambda: ray.get(bf_ref))
+        col = batch.column(on).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(f.contains_many(col)))
 
     return ds.map_batches(
         filt, batch_format="pyarrow", zero_copy_batch=True, **_task_kwargs(concurrency)

@@ -61,6 +61,34 @@ class TestSemiAntiJoin:
         out = broadcast_semi_join(orders, {1, 2}, "o_custkey", anti=True).to_pandas()
         assert set(out["o_custkey"]) == {0, 3}
 
+    def test_bloom_no_false_negatives_and_bounded_fp(self):
+        from pdf_parser_ray.ops.relational import BloomFilter
+
+        rng = np.random.RandomState(11)
+        members = rng.randint(0, 1 << 60, size=5000)
+        bf = BloomFilter(len(members), fp_rate=0.01)
+        bf.add_many(members)
+        assert bf.contains_many(members).all()  # the hard guarantee
+        probes = np.setdiff1d(rng.randint(0, 1 << 60, size=20000), members)
+        assert bf.contains_many(probes).mean() < 0.03  # ~3x over 1% target
+
+    def test_bloom_prefilter_superset_then_exact(self, orders):
+        from pdf_parser_ray.ops.relational import (
+            bloom_prefilter,
+            broadcast_semi_join,
+        )
+
+        keys = {1, 2}
+        exact = broadcast_semi_join(orders, keys, "o_custkey").to_pandas()
+        pre = bloom_prefilter(orders, keys, "o_custkey").to_pandas()
+        # prefilter never loses a true member…
+        assert set(exact["o_orderkey"]) <= set(pre["o_orderkey"])
+        # …and composing with the exact join restores exact semantics
+        both = broadcast_semi_join(
+            bloom_prefilter(orders, keys, "o_custkey"), keys, "o_custkey"
+        ).to_pandas()
+        assert sorted(both["o_orderkey"]) == sorted(exact["o_orderkey"])
+
 
 class TestMisraGries:
     def test_exact_when_under_capacity(self):
