@@ -324,6 +324,31 @@ def q_distinct_langs(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"lang": sorted(ds.unique("lang"))})
 
 
+def q_lang_sources(sf_dir: str) -> ray.data.Dataset:
+    """Grouped collect-list: per lang, the sorted distinct sources as one
+    comma-joined string (deterministic order → hashable oracle) plus the
+    exact distinct count.  Per-batch (lang, source) dedup is the
+    combiner; the groupby sees one row per (lang, source, batch)."""
+    ds = _read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+
+    def dedup_batch(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    def collect(g: pd.DataFrame) -> pd.DataFrame:
+        srcs = sorted(set(g["source"]))
+        return pd.DataFrame(
+            {"lang": [g["lang"].iloc[0]],
+             "n_sources": pd.Series([len(srcs)], dtype="int64"),
+             "sources": [",".join(srcs)]}
+        )
+
+    return (
+        ds.map_batches(dedup_batch, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(collect, batch_format="pandas")
+    )
+
+
 def q_orders_semi(sf_dir: str) -> ray.data.Dataset:
     """Semi join: orders whose customer is in the BUILDING segment
     (broadcast key set, zero shuffle)."""
@@ -1151,6 +1176,13 @@ SQL["stratified_sample"] = """
 # Window functions: (ts, event_id) totally orders each partition, so
 # both engines add the same values in the same order up to float
 # association; the cross-row running sum is rounded on BOTH sides.
+SQL["lang_sources"] = """
+    SELECT lang,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+    FROM documents GROUP BY lang
+"""
+
 SQL["running_window"] = """
     SELECT event_id, user_id,
            CAST(row_number() OVER w AS BIGINT) AS rn,
@@ -1211,6 +1243,7 @@ QUERIES = {
     "region_revenue": q_region_revenue,
     "brand_volume": q_brand_volume,
     "distinct_langs": q_distinct_langs,
+    "lang_sources": q_lang_sources,
     "orders_semi": q_orders_semi,
     "customers_anti": q_customers_anti,
     "hll_distinct_users": q_hll_distinct_users,
