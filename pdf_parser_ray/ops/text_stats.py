@@ -217,7 +217,9 @@ def token_postings(ds) -> "object":
     )
 
 
-def doc_familiarity(ds, *, broadcast_limit: int = 5_000_000) -> "object":
+def doc_familiarity(
+    ds, *, broadcast_limit: int = 5_000_000, mode: str = "broadcast"
+) -> "object":
     """Corpus-frequency familiarity score per document — the two-pass
     LM-scoring shape (train pass → broadcast model → score pass) with
     integer-exact semantics so a SQL engine reproduces it bit-for-bit.
@@ -231,12 +233,40 @@ def doc_familiarity(ds, *, broadcast_limit: int = 5_000_000) -> "object":
     occurrences.  Documents with zero tokens emit no row (inner-join
     semantics).
 
+    ``mode="join"`` is the vocabulary-outgrows-broadcast path: explode
+    (doc_id, token) occurrence rows, hash-join the counts in, aggregate
+    per doc.  Identical output (parity-tested); heavier — the exploded
+    occurrence stream shuffles once more.
+
     Output: (doc_id, n_tokens:int64, familiarity:int64).
     """
     import numpy as np
     import ray as _ray
 
     from pdf_parser_ray.stages import worker_state
+
+    if mode == "join":
+        from ray.data.aggregate import Count, Sum
+
+        from pdf_parser_ray.ops.relational import hash_join
+
+        def explode(df: pd.DataFrame) -> pd.DataFrame:
+            ids: list = []
+            toks: list = []
+            per_doc = df["text"].fillna("").str.lower().str.findall(TOKEN_PAT)
+            for doc_id, t in zip(df["doc_id"], per_doc):
+                ids.extend([doc_id] * len(t))
+                toks.extend(t)
+            return pd.DataFrame(
+                {"doc_id": np.asarray(ids, dtype=np.int64),
+                 "token": pd.Series(toks, dtype="object")}
+            )
+
+        exploded = ds.map_batches(explode, batch_format="pandas")
+        joined = hash_join(exploded, word_counts(ds), ["token"], join_type="inner")
+        return joined.groupby("doc_id").aggregate(
+            Count(alias_name="n_tokens"), Sum("n", alias_name="familiarity")
+        )
 
     counts_df = word_counts(ds).limit(broadcast_limit + 1).to_pandas()
     if len(counts_df) > broadcast_limit:

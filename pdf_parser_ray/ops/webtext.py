@@ -70,10 +70,11 @@ def passage_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_limit: int = 5_000_000,
+    mode: str = "broadcast",
 ) -> ray.data.Dataset:
     """Remove every passage that appears ≥ ``max_repeats`` times corpus-wide.
 
-    Plan (one shuffle total):
+    ``mode="broadcast"`` (default — one shuffle total):
 
     1. map_batches: per-batch passage explode + PARTIAL counts (the
        combiner) → (passage_hash:int64, n) rows.
@@ -82,11 +83,16 @@ def passage_dedup(
     3. hot set = hashes with n ≥ max_repeats.  Bounded above by
        total_passages / max_repeats and in practice tiny (boilerplate);
        broadcast via ``ray.put``.  ``broadcast_limit`` guards the
-       pathological case — above it, swap step 4 for a hash join on
-       passage_hash (documented scale path).
+       pathological case.
     4. map_batches over the ORIGINAL documents: recompute passages
        row-locally, drop hot ones, reassemble.  Document payloads never
        enter a shuffle.
+
+    ``mode="join"`` — the scale path when even the hot SET outgrows a
+    broadcast: explode (doc_id, pidx, passage_hash) rows, hash-join the
+    hot hashes in, reassemble via groupby(doc_id).  Three all-to-alls
+    but no driver-side collection and no broadcast of any size.  Both
+    modes produce identical output (parity-tested).
 
     Output: (id_col, clean_text) — documents whose every passage was
     removed are dropped (matches the SQL inner-join formulation).
@@ -117,13 +123,17 @@ def passage_dedup(
         lambda df, _k=max_repeats: df[df["n"] >= _k][["passage_hash"]],
         batch_format="pandas",
     )
+
+    if mode == "join":
+        return _passage_dedup_join(ds, hot, w, text_col=text_col, id_col=id_col)
+
     hot_df = hot.limit(broadcast_limit + 1).to_pandas()
     if "passage_hash" not in hot_df.columns:  # empty dataset → column-less frame
         hot_df = pd.DataFrame({"passage_hash": pd.Series([], dtype="int64")})
     if len(hot_df) > broadcast_limit:
         raise ValueError(
             f"hot-passage set exceeds broadcast_limit={broadcast_limit}; "
-            "use the hash-join variant for this corpus"
+            "use mode='join' for this corpus"
         )
     hot_ref = ray.put(frozenset(int(h) for h in hot_df["passage_hash"]))
 
@@ -147,6 +157,64 @@ def passage_dedup(
         )
 
     return ds.map_batches(scrub, batch_format="pandas")
+
+
+def _passage_dedup_join(
+    ds: ray.data.Dataset,
+    hot: ray.data.Dataset,
+    w: int,
+    *,
+    text_col: str,
+    id_col: str,
+) -> ray.data.Dataset:
+    """Join-mode scrub: no broadcast, no driver collection.
+
+    Exploded passages LEFT-join the hot hashes (hot side carries a
+    marker column); unmarked rows survive; reassembly is one
+    groupby(doc_id) over (pidx, passage) rows.  The exploded stream
+    carries passage text — heavier than broadcast mode, which is why
+    broadcast stays the default below ``broadcast_limit``.
+    """
+    from pdf_parser_ray.ops.relational import hash_join
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids, pidx, phash, ptext = [], [], [], []
+        for doc_id, text in zip(df[id_col], df[text_col].fillna("")):
+            for i, p in enumerate(_doc_passages(text, w)):
+                ids.append(doc_id)
+                pidx.append(i)
+                phash.append(_passage_hash64(p))
+                ptext.append(p)
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(ids, dtype="int64"),
+                "pidx": pd.Series(pidx, dtype="int64"),
+                "passage_hash": pd.Series(phash, dtype="int64"),
+                "passage": pd.Series(ptext, dtype="object"),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pandas")
+    marked = hot.map_batches(
+        lambda df: df.assign(__hot=np.int8(1)), batch_format="pandas"
+    )
+    joined = hash_join(
+        exploded, marked, ["passage_hash"], join_type="left_outer"
+    )
+
+    def keep_cold(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["__hot"].isna()][[id_col, "pidx", "passage"]]
+
+    cold = joined.map_batches(keep_cold, batch_format="pandas")
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("pidx")
+        return pd.DataFrame(
+            {id_col: pd.Series([g[id_col].iloc[0]], dtype="int64"),
+             "clean_text": [" ".join(g["passage"])]}
+        )
+
+    return cold.groupby(id_col).map_groups(reassemble, batch_format="pandas")
 
 
 def repetition_stats(

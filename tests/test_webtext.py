@@ -50,6 +50,27 @@ class TestPassageDedup:
         )
         assert out["clean_text"].tolist() == ["p q r s", "p q t u"]
 
+    def test_join_mode_matches_broadcast_mode(self, ray_session):
+        # mode="join" is the no-broadcast scale path; outputs must be
+        # identical to the default broadcast route
+        from pdf_parser_ray.ops.webtext import passage_dedup
+
+        rows = [
+            (0, "x y a b"), (1, "x y c d"), (2, "x y e f"),
+            (3, "x y g h"), (4, "x y"), (5, "u v w"),
+        ]
+        kw = dict(words_per_passage=2, max_repeats=5)
+        b = (
+            passage_dedup(_ds(rows, ["doc_id", "text"]), **kw)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        j = (
+            passage_dedup(_ds(rows, ["doc_id", "text"]), mode="join", **kw)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert b.equals(j)
+        assert 4 not in set(b["doc_id"])  # all-hot doc dropped in both
+
     def test_tail_passage_shorter_than_window(self, ray_session):
         from pdf_parser_ray.ops.webtext import passage_dedup
 
@@ -143,6 +164,21 @@ class TestDocFamiliarity:
         assert out.loc[1, "familiarity"] == 6 and out.loc[1, "n_tokens"] == 3
         assert out.loc[2, "familiarity"] == 3 and out.loc[2, "n_tokens"] == 2
         assert 3 not in out.index  # token-less docs drop (inner-join semantics)
+
+    def test_join_mode_matches_broadcast_mode(self, ray_session):
+        from pdf_parser_ray.ops.text_stats import doc_familiarity
+
+        rows = [(1, "a a b"), (2, "b c"), (3, ""), (4, "c c c a")]
+        ds = _ds(rows, ["doc_id", "text"])
+        b = (
+            doc_familiarity(ds).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        j = (
+            doc_familiarity(ds, mode="join").to_pandas()
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(b, j[b.columns])
 
 
 class TestStratifiedSample:
