@@ -29,7 +29,11 @@ def _ensure_ray(num_cpus: int | None) -> None:
         ray.init(**kwargs)
     from ray.data import DataContext
 
-    DataContext.get_current().enable_progress_bars = False
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # See pipelines.extract_corpus: the skew-split union plan is starved
+    # by per-operator resource reservation (measured 16.7 s → 10.2 s).
+    ctx.op_resource_reservation_enabled = False
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -80,10 +80,18 @@ def extract_corpus(
       tied to actors, or when per-stage resource isolation matters.
 
     Skew handling (SURVEY.md §4): payloads above ``oversize_threshold``
-    route to a DEDICATED actor pool with ``batch_size=1`` so one multi-MB
-    document never stalls a batch of small ones; branches are unioned.
-    The split costs a second (cheap, column-pruned) pass over the input —
-    disable with ``split_oversized=False`` for known-uniform corpora.
+    route to a DEDICATED pool with ``batch_size=1`` so one multi-MB
+    document never stalls a batch of small ones; branches are unioned
+    (task pool under ``exec_mode="tasks"``, actor pool under
+    ``"actors"``).  The split costs a second (cheap, column-pruned)
+    pass over the input — disable with ``split_oversized=False`` for
+    known-uniform corpora.  NOTE: under Ray's default per-operator
+    resource reservation the union plan runs ~60 % slower than the
+    single-branch plan because the allocator holds slots for the mostly
+    idle oversized branch; session owners should set
+    ``DataContext.op_resource_reservation_enabled = False`` for this
+    plan shape (measured 16.7 s → 10.2 s at sf0.1×8 / 32 CPUs; see
+    bench.py).
 
     ``concurrency=None``: tasks mode lets the streaming executor elastically
     size the pool; actors mode defaults to an autoscaling ``(1, CPUs)``.
@@ -123,17 +131,35 @@ def extract_corpus(
             batch_format="pyarrow",
         )
     )
-    big = ds.map_batches(
+    big_masked = ds.map_batches(
         payload_size_mask,
         fn_kwargs={"threshold": oversize_threshold, "keep_small": False},
         batch_format="pyarrow",
-    ).map_batches(
-        ExtractDocuments,
-        fn_constructor_kwargs={"include_spans": include_spans},
-        batch_format="pyarrow",
-        batch_size=1,  # one oversized doc per actor call
-        concurrency=oversize_concurrency,
     )
+    if exec_mode == "tasks":
+        # Dedicated task stage, batch_size=1: same isolation (one
+        # oversized doc per task) without reserving idle actors — the
+        # mask fuses into the task, so blocks with no oversized rows
+        # cost one cheap pyarrow filter.  Measured at sf0.1×8/32 CPUs:
+        # actor-pool big branch 16.5 s headline → task big branch
+        # ~12 s (the pool ramp + min-actor reservation was starving
+        # the main branch).
+        from pdf_parser_ray.stages import extract_batch_task
+
+        big = big_masked.map_batches(
+            extract_batch_task,
+            fn_kwargs={"include_spans": include_spans},
+            batch_format="pyarrow",
+            batch_size=1,
+        )
+    else:
+        big = big_masked.map_batches(
+            ExtractDocuments,
+            fn_constructor_kwargs={"include_spans": include_spans},
+            batch_format="pyarrow",
+            batch_size=1,  # one oversized doc per actor call
+            concurrency=oversize_concurrency,
+        )
     return small.union(big)
 
 
