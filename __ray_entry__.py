@@ -10,7 +10,7 @@ nothing here (or in pdf_parser_ray) calls ``ray.init``/``ray.shutdown``.
   (SURVEY.md §2 + the corpus-scale operators), each taking ``sf_dir``.
 * ``oracle_sql()``  — DuckDB-equivalent SQL for the SQL-expressible
   entries (same column names/types); non-SQL pipelines (extraction,
-  MinHash/SimHash, language ID, LSH-kNN, rolling fingerprints) are
+  MinHash/SimHash banding, approximate kNN, HLL, media stages) are
   intentionally absent → rows-only check.
 """
 
