@@ -205,7 +205,15 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    runs = {n: one(n) for n in (2, 8, 32)}
+    # Inter-PROCESS variance on this box is ±30 % (shared tenancy +
+    # worker-start luck) even though each process takes min-of-2
+    # internally — so take the best of ``BENCH_SCALING_PROCS`` fresh
+    # processes per level (min wall = least-interfered sample).
+    procs = int(os.environ.get("BENCH_SCALING_PROCS", "2"))
+    runs: dict = {}
+    for n in (2, 8, 32):
+        samples = [one(n) for _ in range(max(1, procs))]
+        runs[n] = min(samples, key=lambda r: r["value"])
     tp = {n: runs[n]["docs_per_sec"] for n in runs}
     eff_2_8 = tp[8] / (tp[2] * 4)
     eff_8_32 = tp[32] / (tp[8] * 4)

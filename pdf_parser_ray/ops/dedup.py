@@ -607,3 +607,116 @@ def simhash_near_pairs(
         bucket_pairs, batch_format="pandas"
     )
     return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+# ------------------------------------------------- connected components
+
+def connected_components(
+    edges: ray.data.Dataset,
+    *,
+    src: str = "a",
+    dst: str = "b",
+    max_iters: int = 25,
+) -> ray.data.Dataset:
+    """Connected components over an undirected edge set — the final step
+    of near-dup clustering (pairs from :func:`minhash_lsh_pairs`,
+    :func:`simhash_near_pairs` or :func:`embedding_dup_pairs` → one
+    canonical cluster id per doc).
+
+    Algorithm: hash-min label propagation (the MapReduce-CC family,
+    Kiveris et al. 2014, reduced to min-label rounds).  Distributed
+    state is the (node, label) frontier — bounded by the number of
+    distinct ENDPOINT nodes, i.e. the near-dup population, never the
+    corpus.  Each round is a REPARTITION JOIN expressed as one
+    ``groupby(key).map_groups`` over the union of (static, materialized)
+    edge rows and current label rows — each group holds one node's label
+    plus its out-edges and emits the label to every neighbor — followed
+    by ONE ``groupby(node).min(label)`` combine.  (A ``Dataset.join``
+    would express the same thing, but Acero cannot infer schemas for
+    empty join partitions, which tiny inputs hit; the groupby shuffle
+    has no such edge case.)  The frontier is re-materialized per round
+    so the lazy lineage stays one round deep.  Round count = graph
+    diameter (near-dup clusters are dense cliques-ish, so typically
+    2–3); labels only ever decrease, so an unchanged label-sum is a
+    sound fixed-point test.
+
+    Output: (node:int64, component:int64), component = min reachable
+    node id, one row per endpoint node.
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Min, Sum
+
+    _TAGGED = pa.schema(
+        [("key", pa.int64()), ("val", pa.int64()), ("is_label", pa.int64())]
+    )
+
+    # Tag helper on Arrow batches (Dataset.rename_columns in 2.49 calls
+    # Arrow methods on raw blocks and crashes on pandas-format blocks;
+    # empty pandas-origin blocks also lose their schema entirely — so
+    # every block is rebuilt against the pinned int64 schema).
+    def _tag(ds: ray.data.Dataset, key_col: str, val_col: str, flag: int):
+        def f(t: pa.Table, k=key_col, v=val_col, fl=flag) -> pa.Table:
+            if t.num_rows == 0 or not {k, v} <= set(t.column_names):
+                return _TAGGED.empty_table()
+            return pa.Table.from_arrays(
+                [
+                    t.column(k).cast(pa.int64()),
+                    t.column(v).cast(pa.int64()),
+                    pa.array(np.full(t.num_rows, fl, dtype=np.int64)),
+                ],
+                schema=_TAGGED,
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+    # Static per-round input: both edge directions, tagged is_label=0.
+    bidir = _tag(edges, src, dst, 0).union(_tag(edges, dst, src, 0)).materialize()
+
+    # Initial frontier: every endpoint labels itself.
+    labels = (
+        bidir.groupby("key")
+        .aggregate(Min("key", alias_name="label"))
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("key").cast(pa.int64()), t.column("label").cast(pa.int64())],
+                names=["node", "label"],
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def _label_sum(ds: ray.data.Dataset) -> int:
+        row = ds.aggregate(Sum("label", alias_name="s"))
+        return int(row["s"])
+
+    def _attach(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g.loc[g["is_label"] == 1, "val"]
+        if lab.empty:  # node with edges but no label row cannot occur
+            return pd.DataFrame({"node": [], "label": []}).astype("int64")
+        m = int(lab.min())
+        nbrs = g.loc[g["is_label"] == 0, "val"].to_numpy()
+        nodes = np.append(nbrs, g["key"].iloc[0]).astype("int64")
+        return pd.DataFrame({"node": nodes, "label": np.full(len(nodes), m, dtype="int64")})
+
+    prev_sum = _label_sum(labels)
+    for _ in range(max_iters):
+        tagged = bidir.union(_tag(labels, "node", "label", 1))
+        msgs = tagged.groupby("key").map_groups(_attach, batch_format="pandas")
+        labels = (
+            msgs.groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    return labels.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column("node").cast(pa.int64()), t.column("label").cast(pa.int64())],
+            names=["node", "component"],
+        ),
+        batch_format="pyarrow",
+    )

@@ -360,3 +360,44 @@ def rolling_fingerprint_batch(df: pd.DataFrame, window: int = 64) -> pd.DataFram
             "rolling_fp": df["text"].fillna("").map(fp).astype("uint64"),
         }
     )
+
+
+def bigram_counts(ds, top_k: int | None = None) -> "object":
+    """Corpus-wide word-bigram counts (the n-gram statistics step of a
+    web-text LM pipeline, one n up from :func:`word_counts`).
+
+    Per-batch partial counts combine bigram occurrences BEFORE the
+    shuffle, so the groupby moves O(distinct-bigrams × batches) partial
+    rows, never one row per occurrence; with ``top_k`` the final
+    sort-limit runs on the (small) aggregated vocabulary only.
+    Tokenization matches :func:`word_counts` (lowercase, ``\\S+`` with
+    ASCII semantics) so the DuckDB oracle can reproduce it exactly.
+
+    Output: (bigram:string, n:int64); with ``top_k``, ordered by
+    (n DESC, bigram ASC) and limited.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(TOKEN_PAT)
+        # Vectorized adjacency: explode keeps the row index, so a
+        # group-wise shift(-1) pairs each token with its in-doc successor
+        # (the cross-doc boundary pair is NaN and drops out).
+        s = toks.explode().dropna().astype(str)
+        if s.empty:
+            return pd.DataFrame({"bigram": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype="int64")})
+        nxt = s.groupby(level=0).shift(-1)
+        vc = (s + " " + nxt).dropna().value_counts()
+        return pd.DataFrame(
+            {"bigram": vc.index.astype(str), "n": vc.to_numpy().astype("int64")}
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    if top_k is not None:
+        counts = counts.sort(["n", "bigram"], descending=[True, False]).limit(top_k)
+    return counts

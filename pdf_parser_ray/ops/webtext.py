@@ -40,6 +40,7 @@ import ray.data
 # DuckDB's RE2 semantics — the oracle-parity rule from ops.text_stats.
 EMAIL_PAT = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", re.ASCII)
 PHONE_PAT = re.compile(r"\+?[0-9][0-9()\-\s]{6,}[0-9]", re.ASCII)
+_WS_RUN = re.compile(r"\s+", re.ASCII)
 
 
 def _passage_hash64(passage: str) -> int:
@@ -307,3 +308,43 @@ def stratified_sample(
         return df[(prefixes < thresholds).to_numpy()]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+def normalize_text(
+    ds: ray.data.Dataset, *, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Canonical text normalization (the pre-dedup step every web-text
+    recipe runs so hash/minhash keys are layout-invariant):
+
+    1. Unicode NFC composition (é as one codepoint, not e + U+0301),
+    2. lowercase,
+    3. collapse ASCII whitespace runs to one space,
+    4. strip leading/trailing spaces.
+
+    Step order is part of the contract — NFC BEFORE lower matches what
+    ``nfc_normalize`` + ``lower`` compose to in a SQL engine.  ASCII
+    ``\\s`` (not Python's Unicode default) keeps the collapse aligned
+    with RE2 so the DuckDB twin is value-identical.  Row-local
+    ``map_batches``; no shuffle.
+
+    Output: (id_col, norm_text:string, norm_chars:int64).
+    """
+    ws = _WS_RUN
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        text = df[text_col].fillna("")
+        out = (
+            text.str.normalize("NFC")
+            .str.lower()
+            .str.replace(ws, " ", regex=True)
+            .str.strip(" ")
+        )
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "norm_text": out,
+                "norm_chars": out.str.len().astype("int64"),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pandas")

@@ -766,6 +766,33 @@ def q_replace_corpus(sf_dir: str) -> ray.data.Dataset:
     return out.select_columns(["url", "replace_status", "n_replaced"])
 
 
+def q_dup_components(sf_dir: str) -> ray.data.Dataset:
+    """Near-dup clustering: cosine dup pairs → connected components
+    (hash-min label propagation; one join + one groupby per round)."""
+    from pdf_parser_ray.ops.dedup import connected_components, embedding_dup_pairs
+
+    ds = _read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    pairs = embedding_dup_pairs(ds, threshold=0.4).select_columns(["a", "b"])
+    return connected_components(pairs).sort("node")
+
+
+def q_top_bigrams(sf_dir: str) -> ray.data.Dataset:
+    """Corpus top-20 word bigrams (partial-count combiner before the
+    vocabulary groupby; sort-limit on the aggregated vocab only)."""
+    from pdf_parser_ray.ops.text_stats import bigram_counts
+
+    return bigram_counts(_documents(sf_dir), top_k=20)
+
+
+def q_normalize_corpus(sf_dir: str) -> ray.data.Dataset:
+    """NFC + lowercase + whitespace-collapse normalization per doc."""
+    from pdf_parser_ray.ops.webtext import normalize_text
+
+    return normalize_text(_documents(sf_dir))
+
+
 # ---------------------------------------------------------------- oracle
 
 SQL: dict[str, str] = {
@@ -1040,6 +1067,54 @@ SQL: dict[str, str] = {
           END AS jaccard
         FROM p
     """,
+    "dup_components": """
+        -- Components as min-reachable-id: the recursive CTE closes the
+        -- reachability relation over the (bidirectional) dup-pair edges,
+        -- then min(r) per node = the Ray side's hash-min fixed point.
+        WITH RECURSIVE
+        pairs AS (
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) a
+            JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) b
+              ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        ),
+        edges AS (SELECT a AS u, b AS v FROM pairs
+                  UNION ALL SELECT b, a FROM pairs),
+        reach(v, r) AS (
+            SELECT DISTINCT u, u FROM edges
+            UNION
+            SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.v
+        )
+        SELECT v AS node, CAST(min(r) AS BIGINT) AS component
+        FROM reach GROUP BY v ORDER BY node
+    """,
+    "top_bigrams": """
+        WITH w AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '\\S+')) AS tok,
+                 generate_subscripts(regexp_extract_all(lower(text), '\\S+'), 1) AS pos
+          FROM documents
+        ),
+        bg AS (
+          SELECT tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS bigram
+          FROM w
+        )
+        SELECT bigram, count(*)::BIGINT AS n FROM bg
+        WHERE bigram IS NOT NULL
+        GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
+    """,
+    "normalize_corpus": """
+        WITH n AS (
+          SELECT doc_id,
+                 trim(regexp_replace(lower(nfc_normalize(text)),
+                                     '\\s+', ' ', 'g'), ' ') AS norm_text
+          FROM documents
+        )
+        SELECT doc_id, norm_text, length(norm_text)::BIGINT AS norm_chars
+        FROM n
+    """,
 }
 
 # --- computed oracles (built from the SAME constants the Ray kernels use,
@@ -1279,4 +1354,7 @@ QUERIES = {
     "replace_corpus": q_replace_corpus,
     "annotate_unsupported": q_annotate_unsupported,
     "image_features": q_image_features,
+    "dup_components": q_dup_components,
+    "top_bigrams": q_top_bigrams,
+    "normalize_corpus": q_normalize_corpus,
 }

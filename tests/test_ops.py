@@ -497,3 +497,76 @@ class TestWordCountsAndCentroids:
             expect = np.round(mat[np.arange(40) % 3 == g].mean(axis=0), 6)
             got = out[out["grp"] == g].sort_values("dim")["centroid"].to_numpy()
             assert np.array_equal(got, expect)
+
+
+class TestConnectedComponents:
+    def test_chain_needs_multiple_rounds(self, ray_session):
+        """A path graph 9-8-7-...-0 has diameter 9: exercises the
+        iterative propagation, not just the one-hop case."""
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import connected_components
+
+        edges = pd.DataFrame({"a": list(range(9)), "b": list(range(1, 10))})
+        out = (
+            connected_components(ray.data.from_pandas(edges))
+            .to_pandas()
+            .sort_values("node")
+        )
+        assert out["node"].tolist() == list(range(10))
+        assert (out["component"] == 0).all()
+
+    def test_two_components_and_isolated_edge(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import connected_components
+
+        edges = pd.DataFrame({"a": [5, 6, 20], "b": [6, 7, 21]})
+        out = (
+            connected_components(ray.data.from_pandas(edges))
+            .to_pandas()
+            .set_index("node")["component"]
+        )
+        assert out.loc[5] == 5 and out.loc[6] == 5 and out.loc[7] == 5
+        assert out.loc[20] == 20 and out.loc[21] == 20
+
+
+class TestBigramsNormalize:
+    def test_bigram_counts(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.text_stats import bigram_counts
+
+        df = pd.DataFrame(
+            {"doc_id": [0, 1, 2], "text": ["a b a b", "b  a\tb", "solo"]}
+        )
+        out = bigram_counts(ray.data.from_pandas(df)).to_pandas().set_index("bigram")
+        # doc0: "a b","b a","a b"; doc1: "b a","a b"; doc2: none
+        assert out.loc["a b", "n"] == 3
+        assert out.loc["b a", "n"] == 2
+        assert len(out) == 2  # no cross-doc "b solo" pair
+
+    def test_top_k_ordering(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.text_stats import bigram_counts
+
+        df = pd.DataFrame({"doc_id": [0], "text": ["x y x y z a z a"]})
+        out = bigram_counts(ray.data.from_pandas(df), top_k=3).to_pandas()
+        # counts: "x y":2, "y x":1, "y z":1, "z a":2, "a z":1 → top3 by
+        # (n desc, bigram asc): ("x y",2), ("z a",2), ("a z",1)
+        assert list(zip(out["bigram"], out["n"])) == [("x y", 2), ("z a", 2), ("a z", 1)]
+
+    def test_normalize_text(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.webtext import normalize_text
+
+        df = pd.DataFrame(
+            {"doc_id": [0, 1], "text": ["  Héllo\t\tWORLD \n", "café"]}
+        )
+        out = normalize_text(ray.data.from_pandas(df)).to_pandas().set_index("doc_id")
+        assert out.loc[0, "norm_text"] == "héllo world"
+        # NFC composes e + U+0301 into é (1 codepoint)
+        assert out.loc[1, "norm_text"] == "café"
+        assert out.loc[1, "norm_chars"] == 4
