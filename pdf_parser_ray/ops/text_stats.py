@@ -159,22 +159,25 @@ class LangId:
         self.profiles = sorted(_LANG_PROFILES.items())  # deterministic order
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        def classify(s: str) -> str:
-            words = self.word_re.findall(s.lower())
-            if not words:
-                return "und"
-            best_lang, best_hits = "und", 0
-            for lang, prof in self.profiles:
-                hits = sum(1 for w in words if w in prof)
-                if hits > best_hits:
-                    best_lang, best_hits = lang, hits
-            return best_lang
+        import numpy as np
 
+        # Vectorized: explode tokens once, then one isin + bincount per
+        # profile (5 langs) instead of a Python loop per document.
+        # argmax keeps the classify() tie-break exactly: first language
+        # (alphabetical profile order) holding the max; max 0 → 'und'.
+        text = df["text"].fillna("").reset_index(drop=True)
+        ex = text.str.lower().str.findall(self.word_re).explode().dropna()
+        hits = np.zeros((len(text), len(self.profiles)), dtype=np.int64)
+        if len(ex):
+            pos = ex.index.to_numpy(dtype=np.int64)
+            for j, (_lang, prof) in enumerate(self.profiles):
+                m = ex.isin(prof).to_numpy()
+                if m.any():
+                    hits[:, j] = np.bincount(pos[m], minlength=len(text))
+        langs = np.array([lang for lang, _ in self.profiles])
+        pred = np.where(hits.max(axis=1) > 0, langs[hits.argmax(axis=1)], "und")
         return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"],
-                "lang_pred": df["text"].fillna("").map(classify),
-            }
+            {"doc_id": df["doc_id"].to_numpy(), "lang_pred": pred}
         )
 
 

@@ -778,6 +778,20 @@ def q_dup_components(sf_dir: str) -> ray.data.Dataset:
     return connected_components(pairs).sort("node")
 
 
+def q_minhash_dup_clusters(sf_dir: str) -> ray.data.Dataset:
+    """The composed near-dup clustering flow of a web-scale curation
+    pipeline (RefinedWeb/CCNet shape): MinHash-LSH candidate pairs →
+    connected components → one canonical cluster id per involved doc.
+    LSH banding is not SQL-expressible → rows-only check; the component
+    step itself is oracled separately via q:dup_components."""
+    from pdf_parser_ray.ops.dedup import connected_components, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_documents(sf_dir), threshold=0.5)
+    return connected_components(
+        pairs.select_columns(["a", "b"])
+    ).sort("node")
+
+
 def q_top_bigrams(sf_dir: str) -> ray.data.Dataset:
     """Corpus top-20 word bigrams (partial-count combiner before the
     vocabulary groupby; sort-limit on the aggregated vocab only)."""
@@ -1355,6 +1369,7 @@ QUERIES = {
     "annotate_unsupported": q_annotate_unsupported,
     "image_features": q_image_features,
     "dup_components": q_dup_components,
+    "minhash_dup_clusters": q_minhash_dup_clusters,
     "top_bigrams": q_top_bigrams,
     "normalize_corpus": q_normalize_corpus,
 }
