@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "asof_purchase_view",
     "jaccard_pairs",
     "passage_dedup",
+    "dup_components",
+    "top_bigrams",
 ]
 
 

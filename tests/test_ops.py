@@ -500,7 +500,8 @@ class TestWordCountsAndCentroids:
 
 
 class TestConnectedComponents:
-    def test_chain_needs_multiple_rounds(self, ray_session):
+    @pytest.mark.parametrize("mode", ["local", "shuffle"])
+    def test_chain_needs_multiple_rounds(self, mode, ray_session):
         """A path graph 9-8-7-...-0 has diameter 9: exercises the
         iterative propagation, not just the one-hop case."""
         import ray.data
@@ -509,26 +510,49 @@ class TestConnectedComponents:
 
         edges = pd.DataFrame({"a": list(range(9)), "b": list(range(1, 10))})
         out = (
-            connected_components(ray.data.from_pandas(edges))
+            connected_components(ray.data.from_pandas(edges), mode=mode)
             .to_pandas()
             .sort_values("node")
         )
         assert out["node"].tolist() == list(range(10))
         assert (out["component"] == 0).all()
 
-    def test_two_components_and_isolated_edge(self, ray_session):
+    @pytest.mark.parametrize("mode", ["local", "shuffle"])
+    def test_two_components_and_isolated_edge(self, mode, ray_session):
         import ray.data
 
         from pdf_parser_ray.ops.dedup import connected_components
 
         edges = pd.DataFrame({"a": [5, 6, 20], "b": [6, 7, 21]})
         out = (
-            connected_components(ray.data.from_pandas(edges))
+            connected_components(ray.data.from_pandas(edges), mode=mode)
             .to_pandas()
             .set_index("node")["component"]
         )
         assert out.loc[5] == 5 and out.loc[6] == 5 and out.loc[7] == 5
         assert out.loc[20] == 20 and out.loc[21] == 20
+
+    def test_routes_agree_on_random_graph(self, ray_session):
+        """local union-find and shuffle hash-min give identical
+        (node, component) maps on a seeded random graph."""
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import connected_components
+
+        rng = np.random.RandomState(11)
+        edges = pd.DataFrame(
+            {"a": rng.randint(0, 60, 80), "b": rng.randint(0, 60, 80)}
+        )
+        edges = edges[edges["a"] != edges["b"]].reset_index(drop=True)
+        got = {}
+        for mode in ("local", "shuffle"):
+            got[mode] = (
+                connected_components(ray.data.from_pandas(edges), mode=mode)
+                .to_pandas()
+                .sort_values("node")
+                .reset_index(drop=True)
+            )
+        pd.testing.assert_frame_equal(got["local"], got["shuffle"])
 
 
 class TestBigramsNormalize:
