@@ -1,0 +1,268 @@
+"""Training-data curation operators: split assignment, benchmark
+decontamination, sequence packing, TF-IDF term selection.
+
+The tier a web-scale pipeline runs BETWEEN cleaning (ops.webtext) and
+training: decide which split each document lands in, drop documents
+that contain evaluation-benchmark text, bin documents into
+token-budget packs for the trainer, and pick each document's most
+characteristic terms.  All four are deterministic (hash gates and
+total orders, no RNG) so reruns, retries and different partitionings
+produce identical output — the property that makes them resumable and
+their SQL twins exact.
+
+Shuffle discipline:
+
+* :func:`assign_splits` — row-local; zero shuffle.
+* :func:`decontaminate` — row-local scan against a BROADCAST probe
+  set; zero shuffle (probe sets are benchmark suites: thousands of
+  strings, not corpus-scale).
+* :func:`pack_sequences` — ONE groupby on a bounded synthetic group
+  key (``doc_id // group_size``), so every group is ≤ group_size rows
+  by construction — the map_groups frame can never blow up on skew.
+  Document payloads are pruned before the shuffle; only
+  (id, grp, n_tokens) rows move.
+* :func:`tfidf_top_terms` — reuses the word_counts-style partial
+  combiner for document frequencies (one vocabulary-sized shuffle),
+  broadcasts the bounded df model, then scores row-locally.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+
+def assign_splits(
+    ds: ray.data.Dataset,
+    boundaries: tuple[tuple[str, str], ...] = (("train", "d0"), ("val", "e8")),
+    *,
+    last: str = "test",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Deterministic train/val/test assignment by md5 hash gate.
+
+    A row's split is the first ``(name, hex2)`` boundary whose 2-char
+    hex threshold exceeds ``md5(str(id))[:2]``, else ``last`` — e.g.
+    the default ('d0', 'e8') splits ≈ 81.25 / 9.4 / 9.4 %.  Hash-gated
+    (not RNG) for the same reason as :func:`webtext.stratified_sample`:
+    every rerun and every partitioning assigns identically, and a SQL
+    CASE over the same md5 prefix is value-identical.
+
+    Adds a ``split:string`` column; all input columns pass through.
+    Row-local map_batches — no shuffle.
+    """
+    bounds = tuple(boundaries)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        prefixes = df[id_col].map(
+            lambda i: hashlib.md5(str(i).encode("ascii")).hexdigest()[:2]
+        )
+        out = df.copy()
+        split = pd.Series(np.full(len(df), last, dtype=object), index=df.index)
+        remaining = pd.Series(True, index=df.index)
+        for name, hex2 in bounds:
+            hit = remaining & (prefixes < hex2)
+            split[hit] = name
+            remaining &= ~hit
+        out["split"] = split
+        return out
+
+    return ds.map_batches(tag, batch_format="pandas")
+
+
+def decontaminate(
+    ds: ray.data.Dataset,
+    probes: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Benchmark decontamination: count, per document, how many probe
+    strings (n-grams lifted from an evaluation set) occur verbatim in
+    its text.  Training-data recipes drop rows with ``n_probe_hits >
+    0``; the count (not a bool) is emitted so the caller can grade
+    contamination severity.
+
+    The probe set is broadcast once via ``ray.put`` (benchmark suites
+    are thousands of strings — worker-heap-sized at any corpus scale);
+    the scan is a vectorized substring match per probe, so per-batch
+    cost is O(probes × batch_bytes) with no Python row loop.
+
+    Output: (id_col, n_probe_hits:int64), one row per input document.
+    """
+    from pdf_parser_ray.stages import worker_state
+
+    probes_ref = ray.put(list(probes))
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        plist: list[str] = worker_state(
+            ("decontam_probes", probes_ref.hex()), lambda: ray.get(probes_ref)
+        )
+        text = df[text_col].fillna("")
+        hits = np.zeros(len(df), dtype=np.int64)
+        for p in plist:
+            hits += text.str.contains(p, regex=False).to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {id_col: df[id_col].to_numpy(), "n_probe_hits": hits}
+        )
+
+    return ds.map_batches(scan, batch_format="pandas")
+
+
+def probe_ngrams(
+    ds: ray.data.Dataset,
+    *,
+    max_probe_docs: int,
+    probe_words: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> list[str]:
+    """Build a probe set from the first ``probe_words`` words of every
+    document with id < ``max_probe_docs`` (the stand-in for "load the
+    benchmark's questions").  The filter runs distributed and column-
+    pruned; only the ≤ max_probe_docs surviving rows reach the driver.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t.column(id_col), max_probe_docs)).select(
+            [id_col, text_col]
+        )
+
+    rows = ds.map_batches(pick, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r[id_col])
+    # words[:k] == SQL list_slice(string_split(text,' '), 1, k)
+    return [
+        " ".join((r[text_col] or "").split(" ")[:probe_words]) for r in rows
+    ]
+
+
+def pack_sequences(
+    ds: ray.data.Dataset,
+    *,
+    budget: int = 2000,
+    group_size: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Token-budget sequence packing (the trainer-facing batching step):
+    documents are sharded into deterministic groups of ``group_size``
+    consecutive ids, and within each group (ordered by id) a document
+    joins pack ``floor(prior_tokens / budget)`` where prior_tokens is
+    the running token total of the documents before it — fixed-capacity
+    block packing.  A pack may overflow ``budget`` by at most one
+    document (the rule every engine can replay: prior-sum division,
+    not a greedy reset, so a SQL window ``SUM ... ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING`` reproduces it exactly).
+
+    Scale shape: token counts are computed (and text DROPPED) before
+    the one groupby; groups are ≤ group_size rows by construction, so
+    the per-group pandas frame is bounded regardless of corpus size or
+    skew.
+
+    Output: (grp:int64, pack_id:int64, n_docs:int64, sum_tokens:int64),
+    one row per pack.
+    """
+
+    def tokens(df: pd.DataFrame) -> pd.DataFrame:
+        n = (
+            df[text_col]
+            .fillna("")
+            .str.split(" ")
+            .str.len()
+            .astype("int64")
+        )
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "grp": (df[id_col] // group_size).astype("int64").to_numpy(),
+                "n_tokens": n.to_numpy(),
+            }
+        )
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        prior = g["n_tokens"].cumsum().shift(fill_value=0)
+        g = g.assign(pack_id=(prior // budget).astype("int64"))
+        out = (
+            g.groupby("pack_id", as_index=False)
+            .agg(n_docs=(id_col, "size"), sum_tokens=("n_tokens", "sum"))
+        )
+        out.insert(0, "grp", np.int64(g["grp"].iloc[0]))
+        return out.astype(
+            {"pack_id": "int64", "n_docs": "int64", "sum_tokens": "int64"}
+        )
+
+    sized = ds.map_batches(tokens, batch_format="pandas")
+    return sized.groupby("grp").map_groups(pack, batch_format="pandas")
+
+
+def tfidf_top_terms(
+    ds: ray.data.Dataset,
+    *,
+    k: int = 3,
+    round_to: int = 6,
+    broadcast_limit: int = 5_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-document top-k terms by TF-IDF — the classic "what is this
+    page about" selector.
+
+    Two passes, same shape as :func:`text_stats.doc_familiarity`:
+    document frequencies come from the word_counts-style partial
+    combiner (one vocabulary-sized shuffle), are bounded by VOCABULARY
+    (``broadcast_limit`` guards the pathological case) and broadcast;
+    scoring is then row-local.  score = tf × ln(N / df), ROUNDED to
+    ``round_to`` BEFORE the (score DESC, token ASC) top-k tie-break so
+    the selection operates on the same values a SQL oracle ordering by
+    the rounded alias sees (the knn_cosine lesson).
+
+    Output: (id_col, token:string, score:float64), ≤ k rows per doc;
+    docs with no tokens emit nothing.
+    """
+    from pdf_parser_ray.ops.text_stats import TOKEN_PAT, token_postings
+    from pdf_parser_ray.stages import worker_state
+
+    n_docs = ds.count()
+    df_rows = token_postings(ds).select_columns(["token", "doc_freq"]).take_all()
+    if len(df_rows) > broadcast_limit:
+        raise ValueError(
+            f"vocabulary {len(df_rows)} exceeds broadcast_limit; "
+            "score via a hash join on token instead"
+        )
+    df_ref = ray.put({r["token"]: r["doc_freq"] for r in df_rows})
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        dfreq: dict[str, int] = worker_state(
+            ("tfidf_df", df_ref.hex()), lambda: ray.get(df_ref)
+        )
+        ids, toks, scores = [], [], []
+        per_doc = df[text_col].fillna("").str.lower().str.findall(TOKEN_PAT)
+        for doc_id, words in zip(df[id_col], per_doc):
+            if not words:
+                continue
+            tf = pd.Series(words).value_counts()
+            s = np.round(
+                tf.to_numpy(dtype=np.float64)
+                * np.log(n_docs / np.array([dfreq[t] for t in tf.index], dtype=np.float64)),
+                round_to,
+            )
+            order = np.lexsort((np.asarray(tf.index, dtype=object), -s))[:k]
+            ids.extend([doc_id] * len(order))
+            toks.extend(tf.index[order])
+            scores.extend(s[order])
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(ids, dtype="int64"),
+                "token": pd.Series(toks, dtype="object"),
+                "score": pd.Series(scores, dtype="float64"),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")

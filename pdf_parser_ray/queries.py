@@ -807,6 +807,61 @@ def q_normalize_corpus(sf_dir: str) -> ray.data.Dataset:
     return normalize_text(_documents(sf_dir))
 
 
+def q_split_counts(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic train/val/test assignment (md5 hash gate) →
+    per-split doc counts + char sums.  Partial-agg per batch so only
+    (split, n, sum) rows enter the 3-key groupby."""
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.ops.curation import assign_splits
+
+    ds = assign_splits(
+        _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("split", as_index=False).agg(
+            n_docs=("doc_id", "size"), sum_chars=("n_chars", "sum")
+        )
+        return g.astype({"n_docs": "int64", "sum_chars": "int64"})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("split")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_chars", alias_name="sum_chars"),
+        )
+    )
+
+
+def q_decontaminate(sf_dir: str) -> ray.data.Dataset:
+    """Benchmark decontamination: probes = first 6 words of docs 0-4
+    (the stand-in benchmark), broadcast once; per-doc verbatim hit
+    count.  Zero shuffle."""
+    from pdf_parser_ray.ops.curation import decontaminate, probe_ngrams
+
+    ds = _documents(sf_dir)
+    probes = probe_ngrams(ds, max_probe_docs=5, probe_words=6)
+    return decontaminate(ds, probes)
+
+
+def q_pack_sequences(sf_dir: str) -> ray.data.Dataset:
+    """Token-budget block packing: one bounded-group shuffle over
+    (id, grp, n_tokens) rows only — text never moves."""
+    from pdf_parser_ray.ops.curation import pack_sequences
+
+    return pack_sequences(_documents(sf_dir), budget=2000, group_size=100)
+
+
+def q_tfidf_top_terms(sf_dir: str) -> ray.data.Dataset:
+    """Top-3 TF-IDF terms per doc: vocabulary-sized df shuffle →
+    broadcast model → row-local scoring."""
+    from pdf_parser_ray.ops.curation import tfidf_top_terms
+
+    return tfidf_top_terms(_documents(sf_dir), k=3)
+
+
 # ---------------------------------------------------------------- oracle
 
 SQL: dict[str, str] = {
@@ -1262,6 +1317,76 @@ SQL["stratified_sample"] = """
           CASE WHEN lang = 'en' THEN '80' ELSE '20' END
 """
 
+# Curation oracles (ops/curation.py).  Same md5-prefix gate as
+# stratified_sample; boundaries mirror assign_splits' defaults.
+SQL["split_counts"] = """
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'd0'
+                  THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e8'
+                  THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY split
+"""
+
+# Probes are DERIVED IN SQL from the same rule the Ray side uses
+# (first 6 words of docs 0-4), so neither side carries literals.
+SQL["decontaminate"] = """
+    WITH probes AS (
+      SELECT array_to_string(list_slice(string_split(coalesce(text, ''), ' '),
+                                        1, 6), ' ') AS probe
+      FROM documents WHERE doc_id < 5
+    )
+    SELECT d.doc_id,
+           CAST(sum(CASE WHEN contains(coalesce(d.text, ''), p.probe)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_probe_hits
+    FROM documents d CROSS JOIN probes p
+    GROUP BY d.doc_id
+"""
+
+# Fixed-capacity block packing: pack = floor(prior-token-sum / budget)
+# within doc_id-ordered groups of 100 ids — the window-sum formulation
+# is the contract both engines replay.
+SQL["pack_sequences"] = """
+    WITH t AS (
+      SELECT doc_id, doc_id // 100 AS grp,
+             CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT *, coalesce(sum(n_tokens) OVER (
+               PARTITION BY grp ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      FROM t
+    )
+    SELECT grp, CAST(prior // 2000 AS BIGINT) AS pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+    FROM c GROUP BY grp, pack_id
+"""
+
+# score rounded to 6dp on BOTH sides BEFORE the top-k tie-break
+# (the knn_cosine ordering rule).
+SQL["tfidf_top_terms"] = """
+    WITH w AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+           FROM w GROUP BY doc_id, token),
+    df AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           FROM w GROUP BY token),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    s AS (SELECT tf.doc_id, tf.token,
+                 round(tf.tf * ln(n.n / df.df), 6) AS score
+          FROM tf JOIN df USING (token) CROSS JOIN n)
+    SELECT doc_id, token, score FROM s
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, token) <= 3
+"""
+
 # Window functions: (ts, event_id) totally orders each partition, so
 # both engines add the same values in the same order up to float
 # association; the cross-row running sum is rounded on BOTH sides.
@@ -1372,4 +1497,8 @@ QUERIES = {
     "minhash_dup_clusters": q_minhash_dup_clusters,
     "top_bigrams": q_top_bigrams,
     "normalize_corpus": q_normalize_corpus,
+    "split_counts": q_split_counts,
+    "decontaminate": q_decontaminate,
+    "pack_sequences": q_pack_sequences,
+    "tfidf_top_terms": q_tfidf_top_terms,
 }

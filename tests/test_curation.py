@@ -1,0 +1,193 @@
+"""Unit tests for ops/curation.py (split assignment, decontamination,
+sequence packing, TF-IDF)."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _docs_ds(rows):
+    import ray.data
+
+    return ray.data.from_pandas(pd.DataFrame(rows))
+
+
+class TestAssignSplits:
+    def test_boundaries_partition_by_md5_prefix(self, ray_session):
+        from pdf_parser_ray.ops.curation import assign_splits
+
+        df = pd.DataFrame({"doc_id": pd.Series(range(200), dtype="int64")})
+        out = assign_splits(_docs_ds(df)).to_pandas().set_index("doc_id")
+        for i in range(200):
+            p = hashlib.md5(str(i).encode()).hexdigest()[:2]
+            want = "train" if p < "d0" else ("val" if p < "e8" else "test")
+            assert out.loc[i, "split"] == want
+
+    def test_passthrough_and_all_splits_nonempty(self, ray_session):
+        from pdf_parser_ray.ops.curation import assign_splits
+
+        df = pd.DataFrame(
+            {"doc_id": pd.Series(range(300), dtype="int64"), "x": 1.5}
+        )
+        out = assign_splits(_docs_ds(df)).to_pandas()
+        assert set(out.columns) == {"doc_id", "x", "split"}
+        assert set(out["split"].unique()) == {"train", "val", "test"}
+
+    def test_partitioning_invariance(self, ray_session):
+        """The hash gate ignores block layout: 1 block vs 8 blocks
+        assign identically (the resumability property)."""
+        from pdf_parser_ray.ops.curation import assign_splits
+
+        df = pd.DataFrame({"doc_id": pd.Series(range(64), dtype="int64")})
+        one = assign_splits(_docs_ds(df)).to_pandas().sort_values("doc_id")
+        many = (
+            assign_splits(_docs_ds(df).repartition(8))
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert one["split"].tolist() == many["split"].tolist()
+
+
+class TestDecontaminate:
+    def test_counts_verbatim_hits(self, ray_session):
+        from pdf_parser_ray.ops.curation import decontaminate
+
+        ds = _docs_ds(
+            {
+                "doc_id": pd.Series([0, 1, 2], dtype="int64"),
+                "text": [
+                    "the quick brown fox",
+                    "quick brown shoes and brown fox",
+                    "nothing here",
+                ],
+            }
+        )
+        out = (
+            decontaminate(ds, ["quick brown", "brown fox"])
+            .to_pandas()
+            .set_index("doc_id")["n_probe_hits"]
+        )
+        assert out.loc[0] == 2      # both probes occur
+        assert out.loc[1] == 2      # each probe counted once per doc
+        assert out.loc[2] == 0
+
+    def test_null_text_is_zero_hits(self, ray_session):
+        from pdf_parser_ray.ops.curation import decontaminate
+
+        ds = _docs_ds(
+            {"doc_id": pd.Series([0], dtype="int64"), "text": [None]}
+        )
+        out = decontaminate(ds, ["x"]).to_pandas()
+        assert out["n_probe_hits"].tolist() == [0]
+
+    def test_probe_ngrams_rule(self, ray_session):
+        from pdf_parser_ray.ops.curation import probe_ngrams
+
+        ds = _docs_ds(
+            {
+                "doc_id": pd.Series([2, 0, 1], dtype="int64"),
+                "text": ["c c c", "a b c d e f g h", "x y"],
+            }
+        )
+        probes = probe_ngrams(ds, max_probe_docs=2, probe_words=6)
+        assert probes == ["a b c d e f", "x y"]  # id-ordered, ≤6 words
+
+
+class TestPackSequences:
+    def test_block_packing_rule(self, ray_session):
+        """Docs of 600 tokens, budget 1000: doc i has prior 600·i, so
+        pack_id = floor(600·i / 1000) — the exact prior-sum contract."""
+        from pdf_parser_ray.ops.curation import pack_sequences
+
+        text = " ".join(["w"] * 600)
+        ds = _docs_ds(
+            {
+                "doc_id": pd.Series(range(10), dtype="int64"),
+                "text": [text] * 10,
+            }
+        )
+        out = (
+            pack_sequences(ds, budget=1000, group_size=100)
+            .to_pandas()
+            .sort_values(["grp", "pack_id"])
+            .reset_index(drop=True)
+        )
+        want = pd.Series([600 * i // 1000 for i in range(10)])
+        expected = want.value_counts().sort_index()
+        assert out["grp"].unique().tolist() == [0]
+        assert out["pack_id"].tolist() == expected.index.tolist()
+        assert out["n_docs"].tolist() == expected.tolist()
+        assert (out["sum_tokens"] == out["n_docs"] * 600).all()
+
+    def test_groups_bound_the_shuffle_key(self, ray_session):
+        from pdf_parser_ray.ops.curation import pack_sequences
+
+        ds = _docs_ds(
+            {
+                "doc_id": pd.Series([0, 99, 100, 250], dtype="int64"),
+                "text": ["a b", "a b", "a b", "a b"],
+            }
+        )
+        out = pack_sequences(ds, budget=10, group_size=100).to_pandas()
+        assert sorted(out["grp"].unique()) == [0, 1, 2]
+
+    def test_conservation(self, ray_session):
+        """Every doc lands in exactly one pack; token totals conserve."""
+        from pdf_parser_ray.ops.curation import pack_sequences
+
+        rng = np.random.RandomState(3)
+        texts = [" ".join(["t"] * int(n)) for n in rng.randint(1, 50, 57)]
+        ds = _docs_ds(
+            {"doc_id": pd.Series(range(57), dtype="int64"), "text": texts}
+        )
+        out = pack_sequences(ds, budget=100, group_size=20).to_pandas()
+        assert out["n_docs"].sum() == 57
+        assert out["sum_tokens"].sum() == sum(len(t.split(" ")) for t in texts)
+
+
+class TestTfidfTopTerms:
+    def test_rare_term_wins(self, ray_session):
+        from pdf_parser_ray.ops.curation import tfidf_top_terms
+
+        ds = _docs_ds(
+            {
+                "doc_id": pd.Series([0, 1, 2], dtype="int64"),
+                "text": [
+                    "common common zebra",
+                    "common yak",
+                    "common common common",
+                ],
+            }
+        )
+        out = tfidf_top_terms(ds, k=1).to_pandas().set_index("doc_id")
+        # 'common' has df=3 → idf=0; the rare terms win their docs.
+        assert out.loc[0, "token"] == "zebra"
+        assert out.loc[1, "token"] == "yak"
+        assert out.loc[2, "token"] == "common" and out.loc[2, "score"] == 0.0
+
+    def test_tie_break_token_ascending(self, ray_session):
+        from pdf_parser_ray.ops.curation import tfidf_top_terms
+
+        ds = _docs_ds(
+            {
+                "doc_id": pd.Series([0, 1], dtype="int64"),
+                "text": ["bb aa", "cc"],
+            }
+        )
+        out = tfidf_top_terms(ds, k=2).to_pandas()
+        d0 = out[out["doc_id"] == 0]
+        # aa and bb both df=1, tf=1 → equal score; token asc decides.
+        assert d0["token"].tolist() == ["aa", "bb"]
+
+    def test_k_limits_rows(self, ray_session):
+        from pdf_parser_ray.ops.curation import tfidf_top_terms
+
+        ds = _docs_ds(
+            {
+                "doc_id": pd.Series([0], dtype="int64"),
+                "text": ["a b c d e f"],
+            }
+        )
+        assert tfidf_top_terms(ds, k=3).to_pandas().shape[0] == 3
