@@ -404,3 +404,84 @@ def bigram_counts(ds, top_k: int | None = None) -> "object":
     if top_k is not None:
         counts = counts.sort(["n", "bigram"], descending=[True, False]).limit(top_k)
     return counts
+
+
+def lm_score(
+    ds,
+    *,
+    round_to: int = 6,
+    broadcast_limit: int = 5_000_000,
+) -> "object":
+    """Bigram-LM quality scoring — the CCNet-style "perplexity against a
+    language model" gate, with the model trained ON the corpus so the
+    whole operator is self-contained and SQL-reproducible.
+
+    Model: add-one-smoothed bigram LM over lowercased ``\\S+`` tokens,
+    P(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V), where c(w1 ·) counts
+    bigrams STARTING with w1 and V = corpus-wide distinct-token count.
+    Per document: avg_logp = mean ln P over its bigrams, ppl =
+    exp(-avg_logp).  Both are cross-row float aggregates → rounded to
+    ``round_to`` on both engine sides (summation order differs).
+
+    Scale shape (the doc_familiarity two-pass pattern): the model pass
+    is :func:`bigram_counts` (partial-count combiner, one shuffle of
+    (bigram, n) rows bounded by BIGRAM VOCABULARY, not corpus size);
+    context counts derive from the collected model driver-side; V comes
+    from :func:`word_counts` the same way.  ``broadcast_limit`` guards
+    pathological vocabularies — beyond it, score via a hash join on the
+    bigram key instead of a broadcast.  The scoring pass is row-local.
+
+    Output: (doc_id, n_bigrams:int64, avg_logp:float64, ppl:float64);
+    docs with < 2 tokens emit nothing (no bigrams — inner semantics).
+    """
+    import numpy as np
+    import ray as _ray
+
+    from pdf_parser_ray.stages import worker_state
+
+    bg_rows = bigram_counts(ds).take_all()
+    if len(bg_rows) > broadcast_limit:
+        raise ValueError(
+            f"bigram vocabulary {len(bg_rows)} exceeds broadcast_limit; "
+            "score via a hash join on the bigram key instead"
+        )
+    bg = {r["bigram"]: r["n"] for r in bg_rows}
+    ctx: dict[str, int] = {}
+    for bigram, n in bg.items():
+        w1 = bigram.split(" ", 1)[0]
+        ctx[w1] = ctx.get(w1, 0) + n
+    vocab_size = float(word_counts(ds).count())
+    model_ref = _ray.put((bg, ctx, vocab_size))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        bg_m, ctx_m, v = worker_state(
+            ("lm_model", model_ref.hex()), lambda: _ray.get(model_ref)
+        )
+        ids, n_out, avg_out, ppl_out = [], [], [], []
+        per_doc = df["text"].fillna("").str.lower().str.findall(TOKEN_PAT)
+        for doc_id, toks in zip(df["doc_id"], per_doc):
+            if len(toks) < 2:
+                continue
+            p = np.array(
+                [
+                    (bg_m[f"{w1} {w2}"] + 1) / (ctx_m[w1] + v)
+                    for w1, w2 in zip(toks, toks[1:])
+                ],
+                dtype=np.float64,
+            )
+            lnp = np.log(p)
+            avg = lnp.sum() / len(lnp)
+            ids.append(doc_id)
+            n_out.append(len(lnp))
+            avg_out.append(round(avg, round_to))
+            ppl_out.append(round(float(np.exp(-avg)), round_to))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_bigrams": pd.Series(n_out, dtype="int64"),
+                "avg_logp": pd.Series(avg_out, dtype="float64"),
+                "ppl": pd.Series(ppl_out, dtype="float64"),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")

@@ -862,6 +862,15 @@ def q_tfidf_top_terms(sf_dir: str) -> ray.data.Dataset:
     return tfidf_top_terms(_documents(sf_dir), k=3)
 
 
+def q_lm_score(sf_dir: str) -> ray.data.Dataset:
+    """CCNet-style LM quality gate: add-one bigram model trained on the
+    corpus (bigram_counts shuffle), broadcast, row-local per-doc
+    perplexity."""
+    from pdf_parser_ray.ops.text_stats import lm_score
+
+    return lm_score(_documents(sf_dir))
+
+
 # ---------------------------------------------------------------- oracle
 
 SQL: dict[str, str] = {
@@ -1367,6 +1376,37 @@ SQL["pack_sequences"] = """
     FROM c GROUP BY grp, pack_id
 """
 
+# Bigram-LM scoring: P(w2|w1) = (c(w1 w2)+1)/(c(w1 ·)+V); avg_logp and
+# ppl are cross-row sums → rounded on BOTH sides.  The zip-unnest pair
+# gives word positions (DuckDB v1.0 lacks WITH ORDINALITY).
+SQL["lm_score"] = """
+    WITH w AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '\\S+')) AS word,
+             unnest(range(1, len(regexp_extract_all(lower(text), '\\S+')) + 1))
+               AS idx
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, word AS w1,
+             lead(word) OVER (PARTITION BY doc_id ORDER BY idx) AS w2
+      FROM w QUALIFY w2 IS NOT NULL
+    ),
+    cbg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+            FROM bg GROUP BY w1, w2),
+    cctx AS (SELECT w1, CAST(count(*) AS BIGINT) AS cc
+             FROM bg GROUP BY w1),
+    v AS (SELECT CAST(count(DISTINCT word) AS DOUBLE) AS v FROM w),
+    s AS (
+      SELECT bg.doc_id, ln((cbg.cb + 1) / (cctx.cc + v.v)) AS lnp
+      FROM bg JOIN cbg USING (w1, w2) JOIN cctx USING (w1) CROSS JOIN v
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(lnp) / count(*), 6) AS avg_logp,
+           round(exp(-sum(lnp) / count(*)), 6) AS ppl
+    FROM s GROUP BY doc_id
+"""
+
 # score rounded to 6dp on BOTH sides BEFORE the top-k tie-break
 # (the knn_cosine ordering rule).
 SQL["tfidf_top_terms"] = """
@@ -1501,4 +1541,5 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "pack_sequences": q_pack_sequences,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "lm_score": q_lm_score,
 }

@@ -594,3 +594,55 @@ class TestBigramsNormalize:
         # NFC composes e + U+0301 into é (1 codepoint)
         assert out.loc[1, "norm_text"] == "café"
         assert out.loc[1, "norm_chars"] == 4
+
+
+class TestLmScore:
+    def test_hand_computed_bigram_model(self, ray_session):
+        """docs: 'a b a', 'b a', 'z' → model c('a b')=1, c('b a')=2,
+        ctx a=1 b=2, V=3 distinct tokens; 'z' has no bigrams → no row
+        but still counts into V."""
+        import math
+
+        import ray.data
+
+        from pdf_parser_ray.ops.text_stats import lm_score
+
+        ds = ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": pd.Series([0, 1, 2], dtype="int64"),
+                    "text": ["a b a", "b a", "z"],
+                }
+            )
+        )
+        out = lm_score(ds).to_pandas().set_index("doc_id")
+        assert 2 not in out.index
+        # doc0: ln((1+1)/(1+3)) + ln((2+1)/(2+3)), averaged
+        avg0 = (math.log(2 / 4) + math.log(3 / 5)) / 2
+        avg1 = math.log(3 / 5)
+        assert out.loc[0, "n_bigrams"] == 2
+        assert out.loc[0, "avg_logp"] == round(avg0, 6)
+        assert out.loc[0, "ppl"] == round(math.exp(-avg0), 6)
+        assert out.loc[1, "n_bigrams"] == 1
+        assert out.loc[1, "avg_logp"] == round(avg1, 6)
+        assert out.loc[1, "ppl"] == round(math.exp(-avg1), 6)
+
+    def test_repetitive_text_scores_better(self, ray_session):
+        """A doc made of the corpus's dominant bigram gets higher
+        avg_logp (lower ppl) than a doc of one-off bigrams."""
+        import ray.data
+
+        from pdf_parser_ray.ops.text_stats import lm_score
+
+        common = "x y " * 20
+        rare = "q w e r t u i o p s"
+        ds = ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": pd.Series([0, 1], dtype="int64"),
+                    "text": [common.strip(), rare],
+                }
+            )
+        )
+        out = lm_score(ds).to_pandas().set_index("doc_id")
+        assert out.loc[0, "ppl"] < out.loc[1, "ppl"]
