@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "passage_dedup",
     "dup_components",
     "top_bigrams",
+    "lm_score",
 ]
 
 

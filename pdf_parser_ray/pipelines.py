@@ -163,29 +163,41 @@ def extract_corpus(
     return small.union(big)
 
 
-def dedup_urls(
-    ds: ray.data.Dataset, *, assume_rare_dups: bool = True
+def dedup_rare(
+    ds: ray.data.Dataset,
+    key_col: str,
+    *,
+    order_col: str | None = None,
+    assume_rare_dups: bool = True,
 ) -> ray.data.Dataset:
-    """Exact per-url dedup (SURVEY.md §2.7 D5): one surviving row per url.
+    """Exact dedup on ``key_col`` — one surviving row per key — tuned
+    for corpora where duplicated keys are RARE.
 
     Default route (``assume_rare_dups=True``): a column-pruned count
-    pass (url only — multi-MB html payloads never enter this shuffle)
-    finds the DUPLICATED urls; that bounded set is broadcast, rows with
-    unique urls stream through untouched (zero shuffle for the vast
+    pass (key only — multi-MB payload columns never enter this shuffle)
+    finds the DUPLICATED keys; that bounded set is broadcast, rows with
+    unique keys stream through untouched (zero shuffle for the vast
     majority), and only the duplicated minority takes the full-row
-    ``groupby(url)`` shuffle.  Assumption: duplicated urls are a small
+    ``groupby(key)`` shuffle.  Assumption: duplicated keys are a small
     fraction of the corpus (the broadcast set must fit workers); for
     high-duplication corpora pass ``assume_rare_dups=False`` to take
     the single full-row hash-partition shuffle instead.
+
+    Winner per key: first row seen when ``order_col`` is None (the
+    reference's keep-first rule — nondeterministic between equals under
+    parallel block order), else the row with the MIN ``order_col``
+    (deterministic; use the id column for rerun-stable output).
     """
     import pandas as pd
     import ray as _ray
 
-    def first_row(g: pd.DataFrame) -> pd.DataFrame:
+    def winner(g: pd.DataFrame) -> pd.DataFrame:
+        if order_col is not None:
+            g = g.sort_values(order_col)
         return g.head(1)
 
     if not assume_rare_dups:
-        return ds.groupby("url").map_groups(first_row, batch_format="pandas")
+        return ds.groupby(key_col).map_groups(winner, batch_format="pandas")
 
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -193,37 +205,131 @@ def dedup_urls(
     from ray.data.aggregate import Sum
 
     def partial_counts(t: pa.Table) -> pa.Table:
-        g = t.group_by("url").aggregate([("url", "count")])
-        return g.rename_columns(["url", "n"])
+        g = t.group_by(key_col).aggregate([(key_col, "count")])
+        return g.rename_columns([key_col, "n"])
 
     counts = (
-        ds.select_columns(["url"])
+        ds.select_columns([key_col])
         .map_batches(partial_counts, batch_format="pyarrow")
-        .groupby("url")
+        .groupby(key_col)
         .aggregate(Sum("n", alias_name="n"))
     )
     dup_rows = counts.map_batches(
-        lambda t: t.filter(pc.greater(t.column("n"), 1)).select(["url"]),
+        lambda t: t.filter(pc.greater(t.column("n"), 1)).select([key_col]),
         batch_format="pyarrow",
-    ).take_all()  # bounded: only urls that actually repeat
+    ).take_all()  # bounded: only keys that actually repeat
+    if not dup_rows:
+        # no key repeats: every row streams through untouched — and an
+        # empty pa.array would be null-typed, breaking is_in anyway.
+        return ds
     # broadcast once; tasks fetch zero-copy from local plasma per node
-    dup_ref = _ray.put(pa.array(sorted(r["url"] for r in dup_rows), pa.string()))
+    dup_ref = _ray.put(pa.array(sorted(r[key_col] for r in dup_rows)))
 
     def keep_unique(t: pa.Table) -> pa.Table:
         return t.filter(
-            pc.invert(pc.fill_null(pc.is_in(t.column("url"), _ray.get(dup_ref)), False))
+            pc.invert(
+                pc.fill_null(pc.is_in(t.column(key_col), _ray.get(dup_ref)), False)
+            )
         )
 
     def keep_duplicated(t: pa.Table) -> pa.Table:
-        return t.filter(pc.fill_null(pc.is_in(t.column("url"), _ray.get(dup_ref)), False))
+        return t.filter(
+            pc.fill_null(pc.is_in(t.column(key_col), _ray.get(dup_ref)), False)
+        )
 
     unique_branch = ds.map_batches(keep_unique, batch_format="pyarrow")
     dup_branch = (
         ds.map_batches(keep_duplicated, batch_format="pyarrow")
-        .groupby("url")
-        .map_groups(first_row, batch_format="pandas")
+        .groupby(key_col)
+        .map_groups(winner, batch_format="pandas")
     )
     return unique_branch.union(dup_branch)
+
+
+def dedup_urls(
+    ds: ray.data.Dataset, *, assume_rare_dups: bool = True
+) -> ray.data.Dataset:
+    """Exact per-url dedup (SURVEY.md §2.7 D5): one surviving row per
+    url.  Thin wrapper over :func:`dedup_rare` (keep-first winner)."""
+    return dedup_rare(ds, "url", assume_rare_dups=assume_rare_dups)
+
+
+def export_training_data(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    *,
+    min_tokens: int = 5,
+    max_dup_frac: float = 0.6,
+    boundaries: tuple[tuple[str, str], ...] = (("train", "d0"), ("val", "e8")),
+    last: str = "test",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict[str, int]:
+    """End-to-end training-data export: quality gate → exact near-layout
+    dedup → split assignment → hive-partitioned parquet, streaming
+    throughout.
+
+    Stages (each a lazy transform; no full materialization):
+
+    1. row-local gate: ≥ ``min_tokens`` whitespace tokens AND
+       duplicate-word fraction ≤ ``max_dup_frac`` (the Gopher-style
+       repetition rule from :mod:`ops.webtext`);
+    2. row-local fingerprint: md5 of whitespace/case-normalized text
+       (layout-invariant dedup key, same rule as
+       :func:`ops.text_stats.fingerprint_batch`);
+    3. exact dedup via :func:`dedup_rare` on the fingerprint with a
+       deterministic min-``id_col`` winner — unique fingerprints never
+       shuffle;
+    4. :func:`ops.curation.assign_splits` (md5 hash gate);
+    5. ``write_parquet(out_dir, partition_cols=["split"])`` — one
+       directory per split, so downstream trainers read their split
+       with zero filtering and a failed export is re-runnable per
+       split directory.
+
+    Returns rows-per-split counts read back from the written output
+    (parquet metadata count — no data scan).
+    """
+    import pandas as pd
+
+    from pdf_parser_ray.ops.curation import assign_splits
+    from pdf_parser_ray.ops.text_stats import _WS, TOKEN_PAT
+
+    def gate_and_fp(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        text = df[text_col].fillna("")
+        n_tokens = text.str.count(TOKEN_PAT).astype("int64")
+        words = text.str.split(" ")
+        n_words = words.str.len().astype("int64")
+        n_distinct = words.map(lambda w: len(set(w))).astype("int64")
+        dup_frac = 1.0 - n_distinct / n_words.where(n_words > 0, 1)
+        keep = (n_tokens >= min_tokens) & (dup_frac <= max_dup_frac)
+        out = df[keep].copy()
+        norm = (
+            out[text_col]
+            .fillna("")
+            .str.lower()
+            .str.replace(_WS, " ", regex=True)
+            .str.strip(" ")
+        )
+        out["fp"] = norm.map(lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
+        return out
+
+    gated = ds.map_batches(gate_and_fp, batch_format="pandas")
+    deduped = dedup_rare(gated, "fp", order_col=id_col)
+    tagged = assign_splits(deduped, boundaries, last=last, id_col=id_col)
+    tagged.drop_columns(["fp"]).write_parquet(out_dir, partition_cols=["split"])
+
+    import os as _os
+
+    counts: dict[str, int] = {}
+    for name in sorted({n for n, _ in boundaries} | {last}):
+        part = _os.path.join(out_dir, f"split={name}")
+        if _os.path.isdir(part):
+            counts[name] = ray.data.read_parquet(part, columns=[id_col]).count()
+        else:
+            counts[name] = 0
+    return counts
 
 
 def status_counts(ds: ray.data.Dataset):

@@ -191,3 +191,82 @@ class TestTfidfTopTerms:
             }
         )
         assert tfidf_top_terms(ds, k=3).to_pandas().shape[0] == 3
+
+
+class TestExportTrainingData:
+    def test_end_to_end_partitioned_export(self, ray_session, tmp_path):
+        import hashlib
+
+        import ray.data
+
+        from pdf_parser_ray.pipelines import export_training_data
+
+        rows = []
+        for i in range(40):
+            rows.append({"doc_id": i, "text": f"alpha beta gamma delta epsilon {i}"})
+        # dup pair: same text normalized, different case/spacing → min id wins
+        rows.append({"doc_id": 100, "text": "Same   Text here ok five"})
+        rows.append({"doc_id": 101, "text": "same text here ok five"})
+        # low quality: too few tokens
+        rows.append({"doc_id": 102, "text": "too short"})
+        # repetitive: dup_frac = 1 - 1/8 > 0.6
+        rows.append({"doc_id": 103, "text": "x x x x x x x x"})
+        ds = ray.data.from_pandas(pd.DataFrame(rows).astype({"doc_id": "int64"}))
+
+        out = str(tmp_path / "export")
+        counts = export_training_data(ds, out)
+        # 40 uniques + 1 dedup winner survive; 102/103 gated out
+        assert sum(counts.values()) == 41
+        surviving = ray.data.read_parquet(out).to_pandas()
+        assert 100 in surviving["doc_id"].tolist()       # min-id winner
+        assert 101 not in surviving["doc_id"].tolist()
+        assert 102 not in surviving["doc_id"].tolist()
+        assert 103 not in surviving["doc_id"].tolist()
+        assert "fp" not in surviving.columns
+        # hive partition dirs exist and match the hash-gate assignment
+        import os
+
+        for name, n in counts.items():
+            d = os.path.join(out, f"split={name}")
+            assert (os.path.isdir(d)) == (n > 0)
+        p = hashlib.md5(b"100").hexdigest()[:2]
+        want = "train" if p < "d0" else ("val" if p < "e8" else "test")
+        row = surviving[surviving["doc_id"] == 100]
+        assert row["split"].iloc[0] == want
+
+    def test_dedup_rare_order_col_winner_both_routes(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.pipelines import dedup_rare
+
+        df = pd.DataFrame(
+            {
+                "k": ["a", "a", "b", "c", "a"],
+                "doc_id": pd.Series([5, 2, 9, 1, 7], dtype="int64"),
+            }
+        )
+        for rare in (True, False):
+            out = (
+                dedup_rare(
+                    ray.data.from_pandas(df),
+                    "k",
+                    order_col="doc_id",
+                    assume_rare_dups=rare,
+                )
+                .to_pandas()
+                .sort_values("k")
+            )
+            assert out["doc_id"].tolist() == [2, 9, 1]
+
+    def test_dedup_rare_no_duplicates_short_circuit(self, ray_session):
+        """Zero repeated keys: rows stream through (regression — an
+        empty broadcast array was null-typed and broke is_in)."""
+        import ray.data
+
+        from pdf_parser_ray.pipelines import dedup_rare
+
+        df = pd.DataFrame(
+            {"k": ["a", "b", "c"], "doc_id": pd.Series([1, 2, 3], dtype="int64")}
+        )
+        out = dedup_rare(ray.data.from_pandas(df), "k", order_col="doc_id")
+        assert out.count() == 3
