@@ -66,6 +66,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", required=True)
     p.add_argument("--seed", type=int, default=42)
 
+    p = sub.add_parser(
+        "curate",
+        help="extract → quality gate → dedup → split → partitioned parquet",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--min-tokens", type=int, default=5)
+    p.add_argument("--max-dup-frac", type=float, default=0.6)
+
     args = parser.parse_args(argv)
     _ensure_ray(args.num_cpus)
 
@@ -124,6 +133,31 @@ def main(argv: list[str] | None = None) -> int:
 
         generate_corpus(args.n_docs, args.out, seed=args.seed)
         print(json.dumps({"generated": args.n_docs, "out": args.out}))
+    elif args.cmd == "curate":
+        import pandas as pd
+
+        from pdf_parser_ray.pipelines import export_training_data
+
+        extracted = extract_corpus(read_corpus(args.input)).select_columns(
+            ["url", "extracted_text"]
+        )
+
+        def as_docs(df: pd.DataFrame) -> pd.DataFrame:
+            # stable int64 doc id from the url (the corpus key)
+            ids = (
+                pd.util.hash_array(df["url"].to_numpy(dtype=object))
+                .astype("int64")
+                .__abs__()
+            )
+            return pd.DataFrame({"doc_id": ids, "text": df["extracted_text"]})
+
+        counts = export_training_data(
+            extracted.map_batches(as_docs, batch_format="pandas"),
+            args.out,
+            min_tokens=args.min_tokens,
+            max_dup_frac=args.max_dup_frac,
+        )
+        print(json.dumps({"splits": counts, "out": args.out}))
     return 0
 
 

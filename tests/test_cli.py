@@ -47,3 +47,13 @@ def test_resume_cmd(cli_corpus, tmp_path, capsys):
     r2 = run_cli(capsys, ["extract", "--input", cli_corpus, "--out", out,
                           "--resume", "--partitions", "2"])
     assert r2["ran"] == 0 and r2["skipped"] == r1["ran"] + r1["skipped"]
+
+
+def test_curate_cmd(cli_corpus, tmp_path, capsys):
+    out = str(tmp_path / "cur")
+    res = run_cli(capsys, ["curate", "--input", cli_corpus, "--out", out])
+    assert sum(res["splits"].values()) > 0
+    # deterministic: a second run over the same corpus gives identical splits
+    res2 = run_cli(capsys, ["curate", "--input", cli_corpus,
+                            "--out", str(tmp_path / "cur2")])
+    assert res2["splits"] == res["splits"]
