@@ -78,23 +78,66 @@ def decontaminate(
     ds: ray.data.Dataset,
     probes: list[str],
     *,
+    mode: str = "substring",
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> ray.data.Dataset:
     """Benchmark decontamination: count, per document, how many probe
-    strings (n-grams lifted from an evaluation set) occur verbatim in
-    its text.  Training-data recipes drop rows with ``n_probe_hits >
-    0``; the count (not a bool) is emitted so the caller can grade
-    contamination severity.
+    strings (n-grams lifted from an evaluation set) occur in its text.
+    Training-data recipes drop rows with ``n_probe_hits > 0``; the
+    count (not a bool) is emitted so the caller can grade contamination
+    severity.  The probe set is broadcast once via ``ray.put``
+    (benchmark suites are thousands-to-millions of strings —
+    worker-heap-sized at any corpus scale).
 
-    The probe set is broadcast once via ``ray.put`` (benchmark suites
-    are thousands of strings — worker-heap-sized at any corpus scale);
-    the scan is a vectorized substring match per probe, so per-batch
-    cost is O(probes × batch_bytes) with no Python row loop.
+    ``mode="substring"`` — verbatim substring containment, a vectorized
+    scan per probe: per-batch cost O(probes × batch_bytes).  Exact and
+    SQL-mirrorable, right for small probe sets.
+
+    ``mode="wordgram"`` — the scale route for big suites: every probe
+    must tokenize to the same word count w (true of fixed-width n-gram
+    probes); probes become a broadcast md5 HASH SET, each document
+    hashes its own word w-grams once, and n_probe_hits = distinct
+    probes present.  Per-batch cost O(batch_words), INDEPENDENT of
+    probe count.  Semantics differ from substring only on matches that
+    cross word boundaries (wordgram requires ``' '``-aligned hits and
+    counts a probe once per doc).
 
     Output: (id_col, n_probe_hits:int64), one row per input document.
     """
     from pdf_parser_ray.stages import worker_state
+
+    if mode == "wordgram":
+        widths = {len(p.split(" ")) for p in probes}
+        if len(widths) > 1:
+            raise ValueError(
+                f"wordgram mode needs equal-width probes, got widths {sorted(widths)}"
+            )
+        w = widths.pop() if widths else 1
+        hashes = frozenset(
+            hashlib.md5(p.encode("utf-8")).digest()[:8] for p in probes
+        )
+        set_ref = ray.put(hashes)
+
+        def scan_grams(df: pd.DataFrame) -> pd.DataFrame:
+            probe_set: frozenset = worker_state(
+                ("decontam_grams", set_ref.hex()), lambda: ray.get(set_ref)
+            )
+            hits = np.zeros(len(df), dtype=np.int64)
+            for i, text in enumerate(df[text_col].fillna("")):
+                words = text.split(" ")
+                seen = {
+                    hashlib.md5(
+                        " ".join(words[j : j + w]).encode("utf-8")
+                    ).digest()[:8]
+                    for j in range(len(words) - w + 1)
+                }
+                hits[i] = len(seen & probe_set)
+            return pd.DataFrame(
+                {id_col: df[id_col].to_numpy(), "n_probe_hits": hits}
+            )
+
+        return ds.map_batches(scan_grams, batch_format="pandas")
 
     probes_ref = ray.put(list(probes))
 

@@ -270,3 +270,60 @@ class TestExportTrainingData:
         )
         out = dedup_rare(ray.data.from_pandas(df), "k", order_col="doc_id")
         assert out.count() == 3
+
+
+class TestDecontaminateWordgram:
+    def test_wordgram_counts_distinct_aligned_probes(self, ray_session):
+        from pdf_parser_ray.ops.curation import decontaminate
+
+        ds = _docs_ds(
+            {
+                "doc_id": pd.Series([0, 1, 2], dtype="int64"),
+                "text": [
+                    "the quick brown fox jumps",
+                    "quick brown quick brown",   # probe repeats → counted once
+                    "ba b c",                    # substring-only match for 'a b'
+                ],
+            }
+        )
+        probes = ["quick brown", "brown fox"]
+        out = (
+            decontaminate(ds, probes, mode="wordgram")
+            .to_pandas()
+            .set_index("doc_id")["n_probe_hits"]
+        )
+        assert out.loc[0] == 2
+        assert out.loc[1] == 1   # distinct probes present, not occurrences
+        assert out.loc[2] == 0   # 'a b' would substring-match but not word-align
+
+    def test_wordgram_matches_substring_on_aligned_corpus(self, ray_session):
+        """On word-aligned text with probes occurring at most once per
+        doc, the scale route agrees with the exact substring scan."""
+        from pdf_parser_ray.ops.curation import decontaminate
+
+        ds = _docs_ds(
+            {
+                "doc_id": pd.Series(range(4), dtype="int64"),
+                "text": [
+                    "alpha beta gamma delta",
+                    "gamma delta epsilon",
+                    "zeta eta theta",
+                    "beta gamma",
+                ],
+            }
+        )
+        probes = ["alpha beta", "gamma delta", "beta gamma"]
+        a = decontaminate(ds, probes).to_pandas().sort_values("doc_id")
+        b = (
+            decontaminate(ds, probes, mode="wordgram")
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert a["n_probe_hits"].tolist() == b["n_probe_hits"].tolist()
+
+    def test_mixed_width_probes_rejected(self, ray_session):
+        from pdf_parser_ray.ops.curation import decontaminate
+
+        ds = _docs_ds({"doc_id": pd.Series([0], dtype="int64"), "text": ["x"]})
+        with pytest.raises(ValueError, match="equal-width"):
+            decontaminate(ds, ["a b", "a b c"], mode="wordgram")
