@@ -337,3 +337,134 @@ def status_counts(ds: ray.data.Dataset):
     from ray.data.aggregate import Count
 
     return ds.groupby("status").aggregate(Count(alias_name="n"))
+
+
+def _fp_to_int64(fps) -> "object":
+    """First 8 md5-hex bytes as int64 (the Bloom key space)."""
+    import numpy as np
+
+    return np.fromiter(
+        (int.from_bytes(bytes.fromhex(f[:16]), "big", signed=True) for f in fps),
+        dtype=np.int64,
+        count=len(fps),
+    )
+
+
+def incremental_dedup(
+    new_ds: ray.data.Dataset,
+    index_dir: str,
+    *,
+    fp_rate: float = 0.001,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    positives_limit: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Incremental-ingestion dedup: keep only the rows of ``new_ds``
+    whose (layout-normalized md5) fingerprint is NOT in the persisted
+    fingerprint index at ``index_dir`` — the "append a new crawl
+    segment to an existing corpus" shape.
+
+    Scale design — the new stream never joins the (corpus-sized) index:
+
+    1. ONE pass over the index builds a Bloom filter: each batch sets
+       bits into its own same-shaped filter (same (m, k) — they derive
+       from the index row count, fixed up front) and emits just the bit
+       array; the driver ORs the per-batch arrays (mergeable-sketch
+       pattern, ~n_batches × m/8 bytes).  At 10^9+ index keys shard
+       the filter by fp prefix instead of holding one giant bit array.
+    2. The new stream is fingerprinted row-locally and intra-batch
+       deduped (:func:`dedup_rare`, min-``id_col`` winner).
+    3. Bloom NEGATIVES are definitely-new: they stream through with
+       zero further work (the common case for a fresh crawl segment).
+    4. Bloom POSITIVES (true overlap + ~``fp_rate`` false positives —
+       bounded by ``positives_limit``) broadcast their fp set; one
+       column-pruned scan of the index confirms which actually exist;
+       the confirmed-seen set broadcasts back and drops its rows.
+
+    Returns the surviving rows WITH their ``fp`` column, so the caller
+    can append `(fp)` to the index for the next increment.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray as _ray
+
+    from pdf_parser_ray.ops.relational import BloomFilter
+    from pdf_parser_ray.ops.text_stats import _WS
+    from pdf_parser_ray.stages import worker_state
+
+    index = ray.data.read_parquet(index_dir, columns=["fp"])
+    n_index = max(1, index.count())
+
+    def batch_bits(t: pa.Table) -> pa.Table:
+        bf = BloomFilter(n_index, fp_rate)
+        bf.add_many(_fp_to_int64(t.column("fp").to_pylist()))
+        return pa.table({"bits": pa.array([bf.bits.tobytes()], pa.binary())})
+
+    merged = BloomFilter(n_index, fp_rate)
+    for row in index.map_batches(batch_bits, batch_format="pyarrow").take_all():
+        merged.bits |= np.frombuffer(row["bits"], dtype=np.uint8)
+    bf_ref = _ray.put(merged)
+
+    def add_fp(df: pd.DataFrame) -> pd.DataFrame:
+        norm = (
+            df[text_col]
+            .fillna("")
+            .str.lower()
+            .str.replace(_WS, " ", regex=True)
+            .str.strip(" ")
+        )
+        out = df.copy()
+        out["fp"] = norm.map(lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
+        return out
+
+    fresh = dedup_rare(
+        new_ds.map_batches(add_fp, batch_format="pandas"), "fp", order_col=id_col
+    )
+
+    def split(df: pd.DataFrame, keep_positive: bool) -> pd.DataFrame:
+        bf: BloomFilter = worker_state(
+            ("incr_bloom", bf_ref.hex()), lambda: _ray.get(bf_ref)
+        )
+        if not len(df):
+            return df
+        mask = bf.contains_many(_fp_to_int64(df["fp"].tolist()))
+        return df[mask] if keep_positive else df[~mask]
+
+    negatives = fresh.map_batches(
+        split, fn_kwargs={"keep_positive": False}, batch_format="pandas"
+    )
+    positives = fresh.map_batches(
+        split, fn_kwargs={"keep_positive": True}, batch_format="pandas"
+    ).materialize()  # consumed twice: fp-set collect + the final filter
+
+    pos_rows = positives.select_columns(["fp"]).take_all()
+    if len(pos_rows) > positives_limit:
+        raise ValueError(
+            f"{len(pos_rows)} bloom-positive rows exceed positives_limit; "
+            "shard the increment or dedup via a hash join on fp"
+        )
+    if not pos_rows:
+        return negatives
+    pos_set = pa.array(sorted({r["fp"] for r in pos_rows}), pa.string())
+
+    confirmed_rows = index.map_batches(
+        lambda t, _s=pos_set: t.filter(
+            pc.fill_null(pc.is_in(t.column("fp"), _s), False)
+        ),
+        batch_format="pyarrow",
+    ).take_all()  # bounded by the positive set
+    confirmed_ref = _ray.put(frozenset(r["fp"] for r in confirmed_rows))
+
+    def drop_confirmed(df: pd.DataFrame) -> pd.DataFrame:
+        seen: frozenset = worker_state(
+            ("incr_confirmed", confirmed_ref.hex()),
+            lambda: _ray.get(confirmed_ref),
+        )
+        return df[~df["fp"].isin(seen)]
+
+    survivors = positives.map_batches(drop_confirmed, batch_format="pandas")
+    return negatives.union(survivors)

@@ -862,6 +862,17 @@ def q_tfidf_top_terms(sf_dir: str) -> ray.data.Dataset:
     return tfidf_top_terms(_documents(sf_dir), k=3)
 
 
+def q_decontaminate_wordgram(sf_dir: str) -> ray.data.Dataset:
+    """The decontamination SCALE route (hashed word-gram membership,
+    cost independent of probe count), same probe rule as
+    q:decontaminate; counts DISTINCT word-aligned probes per doc."""
+    from pdf_parser_ray.ops.curation import decontaminate, probe_ngrams
+
+    ds = _documents(sf_dir)
+    probes = probe_ngrams(ds, max_probe_docs=5, probe_words=6)
+    return decontaminate(ds, probes, mode="wordgram")
+
+
 def q_lm_score(sf_dir: str) -> ray.data.Dataset:
     """CCNet-style LM quality gate: add-one bigram model trained on the
     corpus (bigram_counts shuffle), broadcast, row-local per-doc
@@ -1354,6 +1365,35 @@ SQL["decontaminate"] = """
     GROUP BY d.doc_id
 """
 
+# Wordgram route: md5 hashing is an implementation detail — the SQL
+# twin joins the document's word 6-grams against the probe STRINGS
+# directly (collision-free ground truth; the md5[:8] route agrees
+# except under a 2^-64 collision).
+SQL["decontaminate_wordgram"] = """
+    WITH probes AS (
+      SELECT array_to_string(list_slice(string_split(coalesce(text, ''), ' '),
+                                        1, 6), ' ') AS probe
+      FROM documents WHERE doc_id < 5
+    ),
+    w AS (
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS words
+      FROM documents
+    ),
+    g AS (
+      SELECT w.doc_id,
+             array_to_string(list_slice(w.words, t.i, t.i + 5), ' ') AS gram
+      FROM w, unnest(range(1, greatest(len(w.words) - 5, 0) + 1)) AS t(i)
+    ),
+    hit AS (
+      SELECT g.doc_id, g.gram
+      FROM g JOIN probes p ON g.gram = p.probe
+    )
+    SELECT d.doc_id,
+           CAST(count(DISTINCT hit.gram) AS BIGINT) AS n_probe_hits
+    FROM documents d LEFT JOIN hit ON d.doc_id = hit.doc_id
+    GROUP BY d.doc_id
+"""
+
 # Fixed-capacity block packing: pack = floor(prior-token-sum / budget)
 # within doc_id-ordered groups of 100 ids — the window-sum formulation
 # is the contract both engines replay.
@@ -1542,4 +1582,5 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "tfidf_top_terms": q_tfidf_top_terms,
     "lm_score": q_lm_score,
+    "decontaminate_wordgram": q_decontaminate_wordgram,
 }

@@ -327,3 +327,59 @@ class TestDecontaminateWordgram:
         ds = _docs_ds({"doc_id": pd.Series([0], dtype="int64"), "text": ["x"]})
         with pytest.raises(ValueError, match="equal-width"):
             decontaminate(ds, ["a b", "a b c"], mode="wordgram")
+
+
+class TestIncrementalDedup:
+    def test_second_increment_drops_only_seen(self, ray_session, tmp_path):
+        """Export batch 1's fingerprints as the index; ingest a second
+        batch overlapping batch 1 → only genuinely-new rows survive."""
+        import hashlib
+
+        import ray.data
+
+        from pdf_parser_ray.pipelines import incremental_dedup
+        from pdf_parser_ray.ops.text_stats import _WS
+
+        def fp(t):
+            norm = " ".join(t.lower().split())
+            return hashlib.md5(norm.encode()).hexdigest()
+
+        batch1 = [f"first batch document number {i} body" for i in range(30)]
+        pd.DataFrame({"fp": [fp(t) for t in batch1]}).to_parquet(
+            tmp_path / "index.parquet"
+        )
+
+        batch2_rows = []
+        for i in range(10, 40):   # 10-29 overlap batch1, 30-39 new
+            batch2_rows.append(
+                {"doc_id": 1000 + i, "text": f"first batch document number {i} body"}
+            )
+        batch2_rows.append({"doc_id": 2000, "text": "Entirely   new page"})
+        batch2_rows.append({"doc_id": 2001, "text": "entirely new page"})  # intra dup
+        ds = ray.data.from_pandas(
+            pd.DataFrame(batch2_rows).astype({"doc_id": "int64"})
+        )
+
+        out = incremental_dedup(ds, str(tmp_path / "index.parquet")).to_pandas()
+        ids = sorted(out["doc_id"].tolist())
+        # 30-39 are new (10 rows) + one winner of the 2000/2001 intra-dup
+        assert ids == [1000 + i for i in range(30, 40)] + [2000]
+        assert "fp" in out.columns  # caller can append these to the index
+
+    def test_all_new_when_index_disjoint(self, ray_session, tmp_path):
+        import ray.data
+
+        from pdf_parser_ray.pipelines import incremental_dedup
+
+        pd.DataFrame({"fp": ["0" * 32, "f" * 32]}).to_parquet(
+            tmp_path / "idx.parquet"
+        )
+        ds = ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": pd.Series([1, 2], dtype="int64"),
+                    "text": ["alpha beta", "gamma delta"],
+                }
+            )
+        )
+        assert incremental_dedup(ds, str(tmp_path / "idx.parquet")).count() == 2
