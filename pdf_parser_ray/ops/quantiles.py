@@ -2,9 +2,7 @@
 
 A naive grouped median (``groupby(g).map_groups(sort)``) pulls every
 group into one worker: a scale-killer when groups are corpus-sized.
-This module computes the EXACT discrete quantile (the element at 0-based
-rank ``ceil(q·n) − 1`` of the sorted group — DuckDB's ``quantile_disc``
-rule, calibrated empirically) without ever materializing a group:
+This module computes EXACT quantiles without ever materializing a group:
 
 1. stats pass    — per-group (n, lo, hi) via per-batch partials.
 2. histogram pass — per-group fixed-bin counts as long (group, bin, n)
@@ -15,7 +13,19 @@ rule, calibrated empirically) without ever materializing a group:
    passes compute the bin index with the SAME float expression, so
    membership is consistent regardless of boundary rounding).
 
-The driver then sorts each tiny candidate set and indexes the rank.
+The driver then sorts each tiny candidate set and indexes the rank(s).
+
+Two rank rules, both pinned to DuckDB semantics (calibrated
+empirically):
+
+* :func:`grouped_quantile_disc` — the element at 0-based rank
+  ``ceil(q·n) − 1`` (``quantile_disc``); values come straight from the
+  data, bit-identical to SQL.
+* :func:`grouped_quantile_cont` — linear interpolation at position
+  ``h = q·(n−1)`` between ranks ``floor(h)`` and ``ceil(h)``
+  (``quantile_cont`` / type-7).  Interpolated values are cross-engine
+  float arithmetic → rounded to ``round_to`` on both sides.
+
 Skew note: a group whose values are all identical degenerates to one
 bin holding the whole group — the candidate collection is then bounded
 by that group's size; raise ``bins`` or pre-round such values.
@@ -31,20 +41,21 @@ import ray
 import ray.data
 
 
-def grouped_quantile_disc(
+def _grouped_rank_values(
     ds: ray.data.Dataset,
     group_col: str,
     value_col: str,
+    rank_fn,
     qs: dict[str, float],
     *,
-    bins: int = 2048,
-) -> pd.DataFrame:
-    """Exact discrete quantiles per group.
+    bins: int,
+) -> tuple[dict, dict]:
+    """Shared 3-pass selection core.
 
-    ``qs`` maps output column names to quantile fractions, e.g.
-    ``{"p50": 0.5, "p95": 0.95}``.  Returns a pandas DataFrame with
-    columns ``(group_col, *qs)`` — element values straight from the
-    data, so a SQL ``quantile_disc`` oracle compares bit-identically.
+    ``rank_fn(q, n) -> list[int]`` gives the 0-based global ranks each
+    output column needs (1 for disc, 2 for cont).  Returns
+    ``(values, ns)``: ``values[group][out_col] -> [value at each
+    requested rank, in rank order]`` and ``ns[group] -> n``.
     """
     from ray.data.aggregate import Max, Min, Sum
 
@@ -97,26 +108,30 @@ def grouped_quantile_disc(
         .to_pandas()
     )
 
-    # driver: locate the target bin + below-count for every (group, q)
-    targets: dict = {}   # group -> {bin -> [(out_col, rank_in_bin)]}
+    # driver: locate the target bin + below-count for every needed rank
+    ns: dict = {}
+    targets: dict = {}   # group -> {bin -> [(out_col, slot, rank_in_bin)]}
     for _, srow in stats.iterrows():
         g, n = srow[group_col], int(srow["n"])
+        ns[g] = n
         h = hist[hist[group_col] == g].sort_values("bin")
         cbins = h["bin"].to_numpy()
         counts = h["cnt"].to_numpy()
         cum = np.cumsum(counts)
         for out_col, q in qs.items():
-            rank = max(0, math.ceil(q * n) - 1)      # 0-based, DuckDB rule
-            pos = int(np.searchsorted(cum, rank + 1))
-            b = int(cbins[pos])
-            below = int(cum[pos - 1]) if pos > 0 else 0
-            targets.setdefault(g, {}).setdefault(b, []).append(
-                (out_col, rank - below)
-            )
+            for slot, rank in enumerate(rank_fn(q, n)):
+                pos = int(np.searchsorted(cum, rank + 1))
+                b = int(cbins[pos])
+                below = int(cum[pos - 1]) if pos > 0 else 0
+                targets.setdefault(g, {}).setdefault(b, []).append(
+                    (out_col, slot, rank - below)
+                )
     targets_ref = ray.put({g: set(b) for g, b in targets.items()})
 
     # ---- pass 3: collect candidate rows (target bins only) ------------
-    def candidates(df: pd.DataFrame) -> pd.DataFrame:
+    def candidates(df: pd.DataFrame):
+        import pyarrow as pa
+
         rng = ray.get(ranges_ref)
         tg = ray.get(targets_ref)
         idx = _bin_index(df[group_col], df[value_col].to_numpy(), rng)
@@ -125,19 +140,97 @@ def grouped_quantile_disc(
             keep |= (df[group_col] == g).to_numpy() & np.isin(idx, list(bset))
         out = df.loc[keep, [group_col, value_col]].copy()
         out["bin"] = idx[keep]
-        return out
+        # Arrow out: a size-0 pandas frame with object columns trips
+        # Ray's block size estimator ("cannot call vectorize on size 0").
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     cand = ds.map_batches(candidates, batch_format="pandas").to_pandas()
 
-    rows = []
+    values: dict = {}
     for g, by_bin in targets.items():
-        row = {group_col: g}
+        slots: dict = {}
         for b, wants in by_bin.items():
             vals = np.sort(
                 cand[(cand[group_col] == g) & (cand["bin"] == b)][value_col].to_numpy()
             )
-            for out_col, k in wants:
-                row[out_col] = float(vals[k])
+            for out_col, slot, k in wants:
+                slots.setdefault(out_col, {})[slot] = float(vals[k])
+        values[g] = {
+            out_col: [by_slot[s] for s in sorted(by_slot)]
+            for out_col, by_slot in slots.items()
+        }
+    return values, ns
+
+
+def grouped_quantile_disc(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    qs: dict[str, float],
+    *,
+    bins: int = 2048,
+) -> pd.DataFrame:
+    """Exact discrete quantiles per group.
+
+    ``qs`` maps output column names to quantile fractions, e.g.
+    ``{"p50": 0.5, "p95": 0.95}``.  Returns a pandas DataFrame with
+    columns ``(group_col, *qs)`` — element values straight from the
+    data, so a SQL ``quantile_disc`` oracle compares bit-identically.
+    """
+
+    def ranks(q: float, n: int) -> list[int]:
+        return [max(0, math.ceil(q * n) - 1)]   # 0-based, DuckDB rule
+
+    values, _ = _grouped_rank_values(
+        ds, group_col, value_col, ranks, qs, bins=bins
+    )
+    rows = [
+        {group_col: g, **{c: vals[0] for c, vals in per.items()}}
+        for g, per in values.items()
+    ]
+    out = pd.DataFrame(rows).sort_values(group_col).reset_index(drop=True)
+    return out[[group_col, *qs.keys()]]
+
+
+def grouped_quantile_cont(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    qs: dict[str, float],
+    *,
+    bins: int = 2048,
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """Interpolated (continuous) quantiles per group — DuckDB's
+    ``quantile_cont`` / NumPy's default 'linear' rule: position
+    ``h = q·(n−1)``, value ``v[⌊h⌋] + (h−⌊h⌋)·(v[⌈h⌉] − v[⌊h⌋])``.
+
+    Same 3-pass selection as :func:`grouped_quantile_disc`, fetching
+    the two bracketing ranks; only the final interpolation differs.
+    Interpolated values are rounded to ``round_to`` on both engine
+    sides (cross-engine float arithmetic).
+    """
+
+    def ranks(q: float, n: int) -> list[int]:
+        h = q * (n - 1)
+        lo, hi = int(math.floor(h)), int(math.ceil(h))
+        return [lo] if lo == hi else [lo, hi]
+
+    values, ns = _grouped_rank_values(
+        ds, group_col, value_col, ranks, qs, bins=bins
+    )
+    rows = []
+    for g, per in values.items():
+        row = {group_col: g}
+        n = ns[g]
+        for out_col, q in qs.items():
+            vals = per[out_col]
+            h = q * (n - 1)
+            if len(vals) == 1:
+                row[out_col] = round(vals[0], round_to)
+            else:
+                f = h - math.floor(h)
+                row[out_col] = round(vals[0] + f * (vals[1] - vals[0]), round_to)
         rows.append(row)
     out = pd.DataFrame(rows).sort_values(group_col).reset_index(drop=True)
     return out[[group_col, *qs.keys()]]

@@ -178,6 +178,17 @@ def q_event_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_event_quantiles_cont(sf_dir: str) -> pd.DataFrame:
+    """Interpolated per-type p50/p90 (quantile_cont rule) via the same
+    3-pass selection — the two bracketing ranks instead of one."""
+    from pdf_parser_ray.ops.quantiles import grouped_quantile_cont
+
+    ds = _read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return grouped_quantile_cont(
+        ds, "event_type", "value", {"p50": 0.5, "p90": 0.9}
+    )
+
+
 def q_simhash_near_pairs(sf_dir: str) -> ray.data.Dataset:
     """Hamming-band SimHash near-dup pairs (recall 1.0 for hamming ≤ 3
     by pigeonhole; crc32-based signature → no SQL oracle, pinned by
@@ -1109,6 +1120,14 @@ SQL: dict[str, str] = {
                quantile_disc(value, 0.95) AS p95
         FROM events GROUP BY event_type
     """,
+    "event_quantiles_cont": """
+        -- interpolated values are cross-engine float arithmetic →
+        -- rounded on BOTH sides (disc values are raw data, unrounded)
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90
+        FROM events GROUP BY event_type
+    """,
     "range_count_views": """
         SELECT p.event_id, p.user_id, p.ts, count(v.ts)::BIGINT AS n_views_1h
         FROM (SELECT event_id, user_id, ts FROM events
@@ -1583,4 +1602,5 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "lm_score": q_lm_score,
     "decontaminate_wordgram": q_decontaminate_wordgram,
+    "event_quantiles_cont": q_event_quantiles_cont,
 }

@@ -646,3 +646,42 @@ class TestLmScore:
         )
         out = lm_score(ds).to_pandas().set_index("doc_id")
         assert out.loc[0, "ppl"] < out.loc[1, "ppl"]
+
+
+class TestQuantileCont:
+    def test_matches_numpy_linear(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.quantiles import grouped_quantile_cont
+
+        rng = np.random.RandomState(5)
+        df = pd.DataFrame(
+            {
+                "g": np.repeat(["a", "b"], 101),
+                "v": np.concatenate(
+                    [rng.uniform(0, 100, 101), rng.uniform(-5, 5, 101)]
+                ),
+            }
+        )
+        out = grouped_quantile_cont(
+            ray.data.from_pandas(df).repartition(6), "g", "v",
+            {"p25": 0.25, "p50": 0.5, "p99": 0.99},
+        ).set_index("g")
+        for g in ("a", "b"):
+            v = df[df["g"] == g]["v"].to_numpy()
+            for col, q in (("p25", 0.25), ("p50", 0.5), ("p99", 0.99)):
+                assert out.loc[g, col] == round(
+                    float(np.quantile(v, q, method="linear")), 6
+                )
+
+    def test_exact_rank_no_interpolation(self, ray_session):
+        """q·(n−1) integral → the raw element (rounded), single rank."""
+        import ray.data
+
+        from pdf_parser_ray.ops.quantiles import grouped_quantile_cont
+
+        df = pd.DataFrame({"g": ["x"] * 5, "v": [10.0, 20.0, 30.0, 40.0, 50.0]})
+        out = grouped_quantile_cont(
+            ray.data.from_pandas(df), "g", "v", {"p50": 0.5}
+        )
+        assert out["p50"].tolist() == [30.0]
