@@ -241,8 +241,11 @@ def pack_sequences(
             {"pack_id": "int64", "n_docs": "int64", "sum_tokens": "int64"}
         )
 
+    from pdf_parser_ray.ops.shuffle import grouped_map
+
     sized = ds.map_batches(tokens, batch_format="pandas")
-    return sized.groupby("grp").map_groups(pack, batch_format="pandas")
+    # grp cardinality = corpus/group_size → bounded-partition execution
+    return grouped_map(sized, ["grp"], pack)
 
 
 def tfidf_top_terms(

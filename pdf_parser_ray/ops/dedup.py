@@ -127,7 +127,10 @@ def grouped_jaccard_pairs(
             {"a": "int64", "b": "int64", "jaccard": "float64"}
         )
 
-    return ds.groupby(group_col).map_groups(per_group, batch_format="pandas")
+    from pdf_parser_ray.ops.shuffle import grouped_map
+
+    # pair groups are corpus-cardinality → bounded-partition execution
+    return grouped_map(ds, [group_col], per_group)
 
 
 # ---------------------------------------------------------------- minhash
@@ -273,28 +276,50 @@ def minhash_lsh_pairs(
         batch_format="pandas",
     )
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "est_jaccard": []}).astype(
-                {"a": "int64", "b": "int64", "est_jaccard": "float64"}
+    def emit_pairs_partition(part: pd.DataFrame) -> pd.DataFrame:
+        """One hash PARTITION of buckets per call (not one bucket):
+        map_groups pays ~70 µs of Python per group, and almost every
+        (band_id, band_hash) bucket is a singleton — 80 k buckets cost
+        ~6 s at sf0.1 while the pairing kernel itself is <1 s.  Keying
+        the shuffle by hash(band_hash) % P instead gives P bounded
+        groups; singletons drop in ONE vectorized duplicated() pass and
+        only true candidate buckets reach the Python loop."""
+        a_out: list = []
+        b_out: list = []
+        est: list = []
+        part = part[
+            part.duplicated(["band_id", "band_hash"], keep=False)
+        ]
+        for _, g in part.groupby(["band_id", "band_hash"], sort=False):
+            g = g.sort_values("doc_id").head(MAX_BUCKET)
+            ids = g["doc_id"].to_numpy()
+            sig_mat = np.vstack(
+                [np.frombuffer(s, dtype=np.uint32) for s in g["sig"]]
             )
-        g = g.sort_values("doc_id").head(MAX_BUCKET)
-        ids = g["doc_id"].to_numpy()
-        sig_mat = np.vstack([np.frombuffer(s, dtype=np.uint32) for s in g["sig"]])
-        a_out, b_out, est = [], [], []
-        for i in range(len(ids)):
-            eq = (sig_mat[i + 1 :] == sig_mat[i]).mean(axis=1)
-            for j, e in enumerate(eq, start=i + 1):
-                if e >= threshold:
-                    a_out.append(int(ids[i]))
-                    b_out.append(int(ids[j]))
-                    est.append(float(e))
+            for i in range(len(ids)):
+                eq = (sig_mat[i + 1 :] == sig_mat[i]).mean(axis=1)
+                for j, e in enumerate(eq, start=i + 1):
+                    if e >= threshold:
+                        a_out.append(int(ids[i]))
+                        b_out.append(int(ids[j]))
+                        est.append(float(e))
         return pd.DataFrame({"a": a_out, "b": b_out, "est_jaccard": est}).astype(
             {"a": "int64", "b": "int64", "est_jaccard": "float64"}
         )
 
-    pairs = exploded.groupby(["band_id", "band_hash"]).map_groups(
-        emit_pairs, batch_format="pandas"
+    def add_part(df: pd.DataFrame, n_parts: int) -> pd.DataFrame:
+        df = df.copy()
+        # band_hash is already a uniform int64 hash → cheap modulo key.
+        df["part"] = (df["band_hash"].to_numpy() % n_parts).astype("int64")
+        return df
+
+    n_parts = 512  # groups stay bounded: rows/512 per partition, uniform keys
+    pairs = (
+        exploded.map_batches(
+            add_part, fn_kwargs={"n_parts": n_parts}, batch_format="pandas"
+        )
+        .groupby("part")
+        .map_groups(emit_pairs_partition, batch_format="pandas")
     )
     # A pair can surface from several bands → keep one row (max estimate).
     from ray.data.aggregate import Max
@@ -498,8 +523,11 @@ def embedding_dup_pairs(
     coded = ds.map_batches(
         band_coder, batch_format="pandas", **_task_kwargs(concurrency)
     )
-    pairs = coded.groupby(["band_id", "code"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    from pdf_parser_ray.ops.shuffle import grouped_map
+
+    # LSH buckets are overwhelmingly singletons → vectorized pre-drop
+    pairs = grouped_map(
+        coded, ["band_id", "code"], bucket_pairs, drop_singletons=True
     )
     # a pair surfaces once per agreeing band → keep one row (cosines equal)
     from ray.data.aggregate import Max
@@ -603,8 +631,10 @@ def simhash_near_pairs(
         ).astype({"a": "int64", "b": "int64", "hamming": "int64"})
 
     exploded = sigs.map_batches(explode, batch_format="pandas")
-    pairs = exploded.groupby(["band_id", "band_val"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    from pdf_parser_ray.ops.shuffle import grouped_map
+
+    pairs = grouped_map(
+        exploded, ["band_id", "band_val"], bucket_pairs, drop_singletons=True
     )
     return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
 
@@ -743,10 +773,13 @@ def connected_components(
         nodes = np.append(nbrs, g["key"].iloc[0]).astype("int64")
         return pd.DataFrame({"node": nodes, "label": np.full(len(nodes), m, dtype="int64")})
 
+    from pdf_parser_ray.ops.shuffle import grouped_map
+
     prev_sum = _label_sum(labels)
     for _ in range(max_iters):
         tagged = bidir.union(_tag(labels, "node", "label", 1))
-        msgs = tagged.groupby("key").map_groups(_attach, batch_format="pandas")
+        # node cardinality = near-dup population → bounded partitions
+        msgs = grouped_map(tagged, ["key"], _attach)
         labels = (
             msgs.groupby("node")
             .aggregate(Min("label", alias_name="label"))

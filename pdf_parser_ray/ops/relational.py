@@ -301,7 +301,10 @@ def asof_join_backward(
         out[out_col] = vals.astype(l[on].dtype)
         return out
 
-    return tagged.groupby(by).map_groups(merge, batch_format="pandas")
+    from pdf_parser_ray.ops.shuffle import grouped_map
+
+    # by-keys are corpus-cardinality (users) → bounded-partition execution
+    return grouped_map(tagged, [by], merge)
 
 
 def interval_count_join(
@@ -345,7 +348,9 @@ def interval_count_join(
         out[out_col] = (hi - lo).astype("int64")
         return out
 
-    return tagged.groupby(by).map_groups(merge, batch_format="pandas")
+    from pdf_parser_ray.ops.shuffle import grouped_map
+
+    return grouped_map(tagged, [by], merge)
 
 
 # ------------------------------------------------------------ pipelines

@@ -1,0 +1,96 @@
+"""Bounded-partition grouped execution.
+
+``Dataset.groupby(keys).map_groups(fn)`` pays ~70 µs of Ray machinery
+per GROUP.  For corpus-scale key cardinalities (users, documents, LSH
+buckets) that overhead dwarfs the actual kernel: measured at sf0.1,
+MinHash-LSH pair emission spent ~6 s invoking 80 k near-empty groups
+around a <1 s kernel.
+
+:func:`grouped_map` keeps the same per-group function contract but
+shuffles by ``hash(keys) % n_parts`` instead of by raw key: the
+all-to-all moves identical bytes, the executor sees ``n_parts`` bounded
+groups, and the per-key fan-out happens INSIDE each partition via
+pandas' C-speed groupby.  Partition sizes stay uniform because the hash
+is uniform; a skewed KEY still lands one big group in one partition —
+cap or salt it in the caller exactly as with plain map_groups.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray.data
+
+DEFAULT_PARTS = 512
+
+
+def grouped_map(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    fn,
+    *,
+    n_parts: int = DEFAULT_PARTS,
+    drop_singletons: bool = False,
+) -> ray.data.Dataset:
+    """``groupby(keys).map_groups(fn)`` with a bounded group count.
+
+    ``fn`` receives one pandas frame per distinct key tuple (same
+    contract as ``map_groups``) and must return a pandas frame.
+    ``drop_singletons=True`` discards one-row groups in a single
+    vectorized pass before the Python loop — for pair-emitting kernels
+    (LSH buckets) where singletons produce nothing, this skips the vast
+    majority of groups wholesale.
+    """
+    key_list = list(keys)
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = pd.util.hash_pandas_object(df[key_list], index=False)
+        df["__part"] = (h % n_parts).astype("int64")
+        return df
+
+    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop(columns="__part")
+        if drop_singletons:
+            part = part[part.duplicated(key_list, keep=False)]
+        outs = [fn(g) for _, g in part.groupby(key_list, sort=False)]
+        if not outs:
+            # fn must yield a TYPED empty frame for an empty group so
+            # all output blocks share one schema.
+            return fn(part.head(0))
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(per_partition, batch_format="pandas")
+    )
+
+
+def partitioned_map(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    fn,
+    *,
+    n_parts: int = DEFAULT_PARTS,
+) -> ray.data.Dataset:
+    """Co-locate rows by ``keys`` and hand fn WHOLE PARTITIONS (every
+    row of a key tuple is guaranteed to be in exactly one call) — for
+    kernels that vectorize ACROSS groups (sort + groupby-cumsum style)
+    instead of looping per group.  ``fn`` must itself respect group
+    boundaries; it gets a mixed-key frame."""
+    key_list = list(keys)
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = pd.util.hash_pandas_object(df[key_list], index=False)
+        df["__part"] = (h % n_parts).astype("int64")
+        return df
+
+    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        return fn(part.drop(columns="__part"))
+
+    return (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(per_partition, batch_format="pandas")
+    )

@@ -208,14 +208,21 @@ def _passage_dedup_join(
 
     cold = joined.map_batches(keep_cold, batch_format="pandas")
 
-    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("pidx")
-        return pd.DataFrame(
-            {id_col: pd.Series([g[id_col].iloc[0]], dtype="int64"),
-             "clean_text": [" ".join(g["passage"])]}
+    def reassemble_partition(part: pd.DataFrame) -> pd.DataFrame:
+        # Vectorized across docs: one sort + one groupby-agg join —
+        # doc cardinality is corpus-scale, so no Python call per doc.
+        part = part.sort_values([id_col, "pidx"])
+        out = (
+            part.groupby(id_col, sort=False)["passage"]
+            .agg(" ".join)
+            .reset_index()
         )
+        out.columns = [id_col, "clean_text"]
+        return out.astype({id_col: "int64"})
 
-    return cold.groupby(id_col).map_groups(reassemble, batch_format="pandas")
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    return partitioned_map(cold, [id_col], reassemble_partition)
 
 
 def repetition_stats(

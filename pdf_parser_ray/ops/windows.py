@@ -150,19 +150,26 @@ def sessionize(
     so).  Output: (user_id:int64, n_sessions:int64, n_events:int64).
     """
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gaps = g["ts"].diff().dt.total_seconds()
-        n_sessions = int((gaps > gap_seconds).sum()) + 1
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [n_sessions],
-                "n_events": [len(g)],
-            }
-        ).astype({"user_id": "int64", "n_sessions": "int64", "n_events": "int64"})
+    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        # Vectorized ACROSS users: one sort, one diff, one groupby-agg —
+        # no Python call per user (user cardinality is corpus-scale).
+        part = part.sort_values(["user_id", "ts", "event_id"])
+        new_sess = (
+            ~part["user_id"].eq(part["user_id"].shift())
+        ) | (part["ts"].diff().dt.total_seconds() > gap_seconds)
+        out = (
+            part.assign(__ns=new_sess)
+            .groupby("user_id", sort=False)
+            .agg(n_sessions=("__ns", "sum"), n_events=("__ns", "size"))
+            .reset_index()
+        )
+        return out.astype(
+            {"user_id": "int64", "n_sessions": "int64", "n_events": "int64"}
+        )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    return partitioned_map(ds, ["user_id"], per_partition)
 
 
 def running_window(
@@ -187,20 +194,25 @@ def running_window(
     """
     import numpy as np
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(list(order_cols))
+    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        # Vectorized across partitions-in-partition: one sort, grouped
+        # cumcount/cumsum (C speed) — no Python call per user.
+        g = part.sort_values([part_col, *order_cols])
+        grp = g.groupby(part_col, sort=False)
         return pd.DataFrame(
             {
                 "event_id": g["event_id"].to_numpy(),
                 part_col: g[part_col].to_numpy(),
-                "rn": np.arange(1, len(g) + 1, dtype=np.int64),
+                "rn": (grp.cumcount() + 1).to_numpy(dtype=np.int64),
                 "cum_value": np.round(
-                    g[val_col].cumsum().to_numpy(dtype=np.float64), round_to
+                    grp[val_col].cumsum().to_numpy(dtype=np.float64), round_to
                 ),
             }
         )
 
-    return ds.groupby(part_col).map_groups(per_group, batch_format="pandas")
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    return partitioned_map(ds, [part_col], per_partition)
 
 
 def event_type_pivot(

@@ -191,13 +191,17 @@ def dedup_rare(
     import pandas as pd
     import ray as _ray
 
-    def winner(g: pd.DataFrame) -> pd.DataFrame:
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    def winners(part: pd.DataFrame) -> pd.DataFrame:
+        # Vectorized across keys: sort + drop_duplicates (C speed) —
+        # key cardinality is corpus-scale, so no Python call per key.
         if order_col is not None:
-            g = g.sort_values(order_col)
-        return g.head(1)
+            part = part.sort_values(order_col)
+        return part.drop_duplicates(key_col, keep="first")
 
     if not assume_rare_dups:
-        return ds.groupby(key_col).map_groups(winner, batch_format="pandas")
+        return partitioned_map(ds, [key_col], winners)
 
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -238,10 +242,10 @@ def dedup_rare(
         )
 
     unique_branch = ds.map_batches(keep_unique, batch_format="pyarrow")
-    dup_branch = (
-        ds.map_batches(keep_duplicated, batch_format="pyarrow")
-        .groupby(key_col)
-        .map_groups(winner, batch_format="pandas")
+    dup_branch = partitioned_map(
+        ds.map_batches(keep_duplicated, batch_format="pyarrow"),
+        [key_col],
+        winners,
     )
     return unique_branch.union(dup_branch)
 
