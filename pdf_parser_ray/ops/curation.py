@@ -192,6 +192,7 @@ def pack_sequences(
     group_size: int = 100,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_parts: int | None = None,
 ) -> ray.data.Dataset:
     """Token-budget sequence packing (the trainer-facing batching step):
     documents are sharded into deterministic groups of ``group_size``
@@ -245,7 +246,7 @@ def pack_sequences(
 
     sized = ds.map_batches(tokens, batch_format="pandas")
     # grp cardinality = corpus/group_size → bounded-partition execution
-    return grouped_map(sized, ["grp"], pack)
+    return grouped_map(sized, ["grp"], pack, **({"n_parts": n_parts} if n_parts else {}))
 
 
 def tfidf_top_terms(

@@ -92,7 +92,11 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
 
 
 def grouped_jaccard_pairs(
-    ds: ray.data.Dataset, group_col: str = "pair_id", *, ngram: int = 3
+    ds: ray.data.Dataset,
+    group_col: str = "pair_id",
+    *,
+    ngram: int = 3,
+    n_parts: int | None = None,
 ) -> ray.data.Dataset:
     """Exact n-gram Jaccard for every (a < b) doc pair inside a group.
 
@@ -130,7 +134,9 @@ def grouped_jaccard_pairs(
     from pdf_parser_ray.ops.shuffle import grouped_map
 
     # pair groups are corpus-cardinality → bounded-partition execution
-    return grouped_map(ds, [group_col], per_group)
+    return grouped_map(
+        ds, [group_col], per_group, **({"n_parts": n_parts} if n_parts else {})
+    )
 
 
 # ---------------------------------------------------------------- minhash
@@ -427,6 +433,7 @@ def embedding_dup_pairs(
     seed: int = 113,
     max_bucket: int = 4096,
     concurrency: int | tuple[int, int] | None = None,
+    n_parts: int | None = None,
 ) -> ray.data.Dataset:
     """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
 
@@ -527,7 +534,8 @@ def embedding_dup_pairs(
 
     # LSH buckets are overwhelmingly singletons → vectorized pre-drop
     pairs = grouped_map(
-        coded, ["band_id", "code"], bucket_pairs, drop_singletons=True
+        coded, ["band_id", "code"], bucket_pairs, drop_singletons=True,
+        **({"n_parts": n_parts} if n_parts else {}),
     )
     # a pair surfaces once per agreeing band → keep one row (cosines equal)
     from ray.data.aggregate import Max
@@ -565,6 +573,7 @@ def simhash_near_pairs(
     ngram: int = 1,
     max_bucket: int = 4096,
     concurrency: int | tuple[int, int] | None = None,
+    n_parts: int | None = None,
 ) -> ray.data.Dataset:
     """Near-duplicate pairs at Hamming distance ≤ ``max_hamming`` over
     the 64-bit SimHash (the near-dup tier beyond exact-signature match).
@@ -634,7 +643,8 @@ def simhash_near_pairs(
     from pdf_parser_ray.ops.shuffle import grouped_map
 
     pairs = grouped_map(
-        exploded, ["band_id", "band_val"], bucket_pairs, drop_singletons=True
+        exploded, ["band_id", "band_val"], bucket_pairs, drop_singletons=True,
+        **({"n_parts": n_parts} if n_parts else {}),
     )
     return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
 
@@ -649,6 +659,7 @@ def connected_components(
     max_iters: int = 25,
     mode: str = "auto",
     local_max_edges: int = 5_000_000,
+    n_parts: int | None = None,
 ) -> ray.data.Dataset:
     """Connected components over an undirected edge set — the final step
     of near-dup clustering (pairs from :func:`minhash_lsh_pairs`,
@@ -779,7 +790,10 @@ def connected_components(
     for _ in range(max_iters):
         tagged = bidir.union(_tag(labels, "node", "label", 1))
         # node cardinality = near-dup population → bounded partitions
-        msgs = grouped_map(tagged, ["key"], _attach)
+        msgs = grouped_map(
+            tagged, ["key"], _attach,
+            **({"n_parts": n_parts} if n_parts else {}),
+        )
         labels = (
             msgs.groupby("node")
             .aggregate(Min("label", alias_name="label"))

@@ -13,6 +13,13 @@ groups, and the per-key fan-out happens INSIDE each partition via
 pandas' C-speed groupby.  Partition sizes stay uniform because the hash
 is uniform; a skewed KEY still lands one big group in one partition —
 cap or salt it in the caller exactly as with plain map_groups.
+
+SIZING RULE: one partition = one worker pandas frame, so pick
+``n_parts ≈ total_grouped_rows / 10^6`` (≈ a few hundred MB a frame).
+The default suits up to ~5×10^8 grouped rows; EVERY caller in this
+repo plumbs ``n_parts`` through so a 10^12-row job can raise it —
+partition count costs nothing (measured: 64 vs 512 parts identical
+wall), undersized partition COUNT costs worker memory.
 """
 
 from __future__ import annotations
