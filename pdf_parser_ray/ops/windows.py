@@ -6,10 +6,13 @@ batch-native way (ray_guide "Streaming-shaped workloads"):
 
 * tumbling windows = a floor_temporal column + grouped aggregate, with
   per-batch partial aggregation BEFORE the shuffle;
-* sessionization = groupby(user_id).map_groups over ts-sorted groups.
-  Ordering assumption: all events of one user fit one group (true by
-  construction of the groupby); within-group order is imposed by the
-  explicit sort inside the group function, not assumed from input.
+* sessionization / window functions = bounded-partition co-location
+  (``ops.shuffle.partitioned_map``: hash(user) % n_parts) with the
+  per-user work vectorized ACROSS users inside each partition —
+  user-cardinality map_groups would pay per-group engine overhead.
+  Ordering assumption: all events of one user land in one partition
+  (true by construction of the hash); order is imposed by the explicit
+  in-partition sort, not assumed from input.
 """
 
 from __future__ import annotations
