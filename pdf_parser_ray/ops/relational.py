@@ -266,6 +266,7 @@ def asof_join_backward(
     by: str,
     on: str,
     out_col: str,
+    n_parts: int | None = None,
 ) -> ray.data.Dataset:
     """Backward as-of join: for each left row, the greatest ``right[on]``
     ≤ ``left[on]`` within the same ``by`` group (e.g. last view before a
@@ -304,7 +305,9 @@ def asof_join_backward(
     from pdf_parser_ray.ops.shuffle import grouped_map
 
     # by-keys are corpus-cardinality (users) → bounded-partition execution
-    return grouped_map(tagged, [by], merge)
+    return grouped_map(
+        tagged, [by], merge, **({"n_parts": n_parts} if n_parts else {})
+    )
 
 
 def interval_count_join(
@@ -316,6 +319,7 @@ def interval_count_join(
     lower_s: float,
     upper_s: float,
     out_col: str,
+    n_parts: int | None = None,
 ) -> ray.data.Dataset:
     """Range (interval) join, count form: for each left row, how many
     right rows share its ``by`` key with ``right[on]`` inside
@@ -350,7 +354,9 @@ def interval_count_join(
 
     from pdf_parser_ray.ops.shuffle import grouped_map
 
-    return grouped_map(tagged, [by], merge)
+    return grouped_map(
+        tagged, [by], merge, **({"n_parts": n_parts} if n_parts else {})
+    )
 
 
 # ------------------------------------------------------------ pipelines

@@ -145,7 +145,7 @@ def top_events_per_type(ds: ray.data.Dataset, k: int = 3) -> ray.data.Dataset:
 
 
 def sessionize(
-    ds: ray.data.Dataset, gap_seconds: int = 1800
+    ds: ray.data.Dataset, gap_seconds: int = 1800, *, n_parts: int | None = None
 ) -> ray.data.Dataset:
     """Per-user session count with a fixed inactivity gap.
 
@@ -172,7 +172,10 @@ def sessionize(
 
     from pdf_parser_ray.ops.shuffle import partitioned_map
 
-    return partitioned_map(ds, ["user_id"], per_partition)
+    return partitioned_map(
+        ds, ["user_id"], per_partition,
+        **({"n_parts": n_parts} if n_parts else {}),
+    )
 
 
 def running_window(
@@ -182,6 +185,7 @@ def running_window(
     order_cols: tuple[str, ...] = ("ts", "event_id"),
     val_col: str = "value",
     round_to: int = 2,
+    n_parts: int | None = None,
 ) -> ray.data.Dataset:
     """SQL window functions the co-grouped way: per-partition row_number
     and running sum, ordered by ``order_cols`` (which must be a total
@@ -215,7 +219,10 @@ def running_window(
 
     from pdf_parser_ray.ops.shuffle import partitioned_map
 
-    return partitioned_map(ds, [part_col], per_partition)
+    return partitioned_map(
+        ds, [part_col], per_partition,
+        **({"n_parts": n_parts} if n_parts else {}),
+    )
 
 
 def event_type_pivot(
@@ -246,4 +253,48 @@ def event_type_pivot(
         ds.map_batches(partial, batch_format="pandas")
         .groupby("user_id")
         .aggregate(*[Sum(c, alias_name=c) for c in cols])
+    )
+
+
+def lag_delta(
+    ds: ray.data.Dataset,
+    *,
+    part_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    val_col: str = "value",
+    n_parts: int | None = None,
+) -> ray.data.Dataset:
+    """LAG window function, delta form: per partition (ordered by
+    ``order_cols``), each row's value minus its predecessor's; rows
+    with no predecessor are dropped (SQL's ``lag IS NOT NULL``).
+
+    Deltas are differences of two RAW data values (no accumulation), so
+    they are bit-identical to a SQL engine with no rounding needed —
+    the per-row-ratio rule.  Same bounded-partition co-location and
+    cross-user vectorization as :func:`running_window`.
+
+    Output: (event_id, part_col, delta:float64).
+    """
+    import numpy as np
+
+    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values([part_col, *order_cols])
+        prev = g.groupby(part_col, sort=False)[val_col].shift()
+        keep = prev.notna()
+        return pd.DataFrame(
+            {
+                "event_id": g.loc[keep, "event_id"].to_numpy(),
+                part_col: g.loc[keep, part_col].to_numpy(),
+                "delta": (
+                    g.loc[keep, val_col].to_numpy(dtype=np.float64)
+                    - prev[keep].to_numpy(dtype=np.float64)
+                ),
+            }
+        )
+
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    return partitioned_map(
+        ds, [part_col], per_partition,
+        **({"n_parts": n_parts} if n_parts else {}),
     )

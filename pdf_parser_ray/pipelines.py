@@ -169,6 +169,7 @@ def dedup_rare(
     *,
     order_col: str | None = None,
     assume_rare_dups: bool = True,
+    n_parts: int | None = None,
 ) -> ray.data.Dataset:
     """Exact dedup on ``key_col`` — one surviving row per key — tuned
     for corpora where duplicated keys are RARE.
@@ -200,8 +201,9 @@ def dedup_rare(
             part = part.sort_values(order_col)
         return part.drop_duplicates(key_col, keep="first")
 
+    _np = {"n_parts": n_parts} if n_parts else {}
     if not assume_rare_dups:
-        return partitioned_map(ds, [key_col], winners)
+        return partitioned_map(ds, [key_col], winners, **_np)
 
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -246,6 +248,7 @@ def dedup_rare(
         ds.map_batches(keep_duplicated, batch_format="pyarrow"),
         [key_col],
         winners,
+        **_np,
     )
     return unique_branch.union(dup_branch)
 

@@ -178,6 +178,52 @@ def q_event_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_lag_delta(sf_dir: str) -> ray.data.Dataset:
+    """LAG window function per user: value minus predecessor value in
+    (ts, event_id) order; first-of-user rows drop (lag IS NOT NULL).
+    Deltas are raw-value differences — bit-identical, unrounded."""
+    from pdf_parser_ray.ops.windows import lag_delta
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    return lag_delta(ds)
+
+
+def q_orders_enrich_left(sf_dir: str) -> ray.data.Dataset:
+    """Left-outer hash join: every order, enriched with the customer
+    name when the customer clears an account-balance bar (else '').
+    Misses are coalesced to '' on BOTH sides so the driver's value hash
+    never compares engine null encodings."""
+    from pdf_parser_ray.ops.relational import hash_join
+
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    cust = _read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_acctbal"]
+    )
+
+    def rich_side(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        f = t.filter(pc.greater(t.column("c_acctbal"), 5000.0))
+        return pa.table({"o_custkey": f.column("c_custkey"), "c_name": f.column("c_name")})
+
+    joined = hash_join(
+        orders, cust.map_batches(rich_side, batch_format="pyarrow"),
+        ["o_custkey"], join_type="left_outer",
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["o_orderkey", "o_custkey"]].copy()
+        out["c_name"] = df["c_name"].fillna("")
+        return out
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 def q_event_quantiles_cont(sf_dir: str) -> pd.DataFrame:
     """Interpolated per-type p50/p90 (quantile_cont rule) via the same
     3-pass selection — the two bracketing ranks instead of one."""
@@ -1120,6 +1166,22 @@ SQL: dict[str, str] = {
                quantile_disc(value, 0.95) AS p95
         FROM events GROUP BY event_type
     """,
+    "lag_delta": """
+        SELECT event_id, user_id, value - prev AS delta
+        FROM (SELECT event_id, user_id, value,
+                     lag(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev
+              FROM events)
+        WHERE prev IS NOT NULL
+    """,
+    "orders_enrich_left": """
+        SELECT o.o_orderkey, o.o_custkey,
+               coalesce(c.c_name, '') AS c_name
+        FROM orders o
+        LEFT JOIN (SELECT c_custkey, c_name FROM customer
+                   WHERE c_acctbal > 5000.0) c
+          ON o.o_custkey = c.c_custkey
+    """,
     "event_quantiles_cont": """
         -- interpolated values are cross-engine float arithmetic →
         -- rounded on BOTH sides (disc values are raw data, unrounded)
@@ -1603,4 +1665,6 @@ QUERIES = {
     "lm_score": q_lm_score,
     "decontaminate_wordgram": q_decontaminate_wordgram,
     "event_quantiles_cont": q_event_quantiles_cont,
+    "lag_delta": q_lag_delta,
+    "orders_enrich_left": q_orders_enrich_left,
 }

@@ -685,3 +685,34 @@ class TestQuantileCont:
             ray.data.from_pandas(df), "g", "v", {"p50": 0.5}
         )
         assert out["p50"].tolist() == [30.0]
+
+
+class TestLagDelta:
+    def test_per_user_ordered_deltas(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import lag_delta
+
+        df = pd.DataFrame(
+            {
+                "event_id": pd.Series([1, 2, 3, 4, 5], dtype="int64"),
+                "user_id": pd.Series([7, 7, 7, 9, 9], dtype="int64"),
+                "ts": pd.to_datetime(
+                    ["2026-01-01 10:00", "2026-01-01 10:05", "2026-01-01 09:00",
+                     "2026-01-02 00:00", "2026-01-02 01:00"]
+                ),
+                "value": [10.0, 25.0, 4.0, 100.0, 40.0],
+            }
+        )
+        out = (
+            lag_delta(ray.data.from_pandas(df).repartition(3))
+            .to_pandas()
+            .set_index("event_id")
+        )
+        # user 7 order by ts: e3(4.0) -> e1(10.0) -> e2(25.0)
+        assert 3 not in out.index          # first of user 7
+        assert out.loc[1, "delta"] == 6.0
+        assert out.loc[2, "delta"] == 15.0
+        # user 9: e4 first (dropped), e5 delta = -60
+        assert 4 not in out.index
+        assert out.loc[5, "delta"] == -60.0
