@@ -423,11 +423,13 @@ def lm_score(
     exp(-avg_logp).  Both are cross-row float aggregates → rounded to
     ``round_to`` on both engine sides (summation order differs).
 
-    Scale shape (the doc_familiarity two-pass pattern): the model pass
-    is :func:`bigram_counts` (partial-count combiner, one shuffle of
-    (bigram, n) rows bounded by BIGRAM VOCABULARY, not corpus size);
-    context counts derive from the collected model driver-side; V comes
-    from :func:`word_counts` the same way.  ``broadcast_limit`` guards
+    Scale shape: ONE model pass over the corpus — each batch emits a
+    TAGGED UNION of partial counts (kind='b' bigram rows AND kind='u'
+    unigram rows from the same tokenization), so a single
+    ``groupby(kind, key)`` shuffle builds both the bigram model and the
+    vocabulary (V = number of kind='u' keys); context counts derive
+    from the collected bigram rows driver-side.  The shuffle is bounded
+    by BIGRAM VOCABULARY, not corpus size; ``broadcast_limit`` guards
     pathological vocabularies — beyond it, score via a hash join on the
     bigram key instead of a broadcast.  The scoring pass is row-local.
 
@@ -436,21 +438,54 @@ def lm_score(
     """
     import numpy as np
     import ray as _ray
+    from ray.data.aggregate import Sum
 
     from pdf_parser_ray.stages import worker_state
 
-    bg_rows = bigram_counts(ds).take_all()
-    if len(bg_rows) > broadcast_limit:
+    def tagged_partials(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(TOKEN_PAT)
+        s = toks.explode().dropna().astype(str)
+        if s.empty:
+            return pd.DataFrame(
+                {"kind": pd.Series([], dtype=str),
+                 "key": pd.Series([], dtype=str),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        uni = s.value_counts()
+        nxt = s.groupby(level=0).shift(-1)
+        big = (s + " " + nxt).dropna().value_counts()
+        return pd.DataFrame(
+            {
+                "kind": ["u"] * len(uni) + ["b"] * len(big),
+                "key": list(uni.index) + list(big.index),
+                "n": np.concatenate(
+                    [uni.to_numpy(), big.to_numpy()]
+                ).astype("int64"),
+            }
+        )
+
+    model_rows = (
+        ds.map_batches(tagged_partials, batch_format="pandas")
+        .groupby(["kind", "key"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    if len(model_rows) > broadcast_limit:
         raise ValueError(
-            f"bigram vocabulary {len(bg_rows)} exceeds broadcast_limit; "
+            f"model vocabulary {len(model_rows)} exceeds broadcast_limit; "
             "score via a hash join on the bigram key instead"
         )
-    bg = {r["bigram"]: r["n"] for r in bg_rows}
+    bg: dict[str, int] = {}
+    vocab_size = 0.0
+    for r in model_rows:
+        if r["kind"] == "b":
+            bg[r["key"]] = r["n"]
+        else:
+            vocab_size += 1.0
     ctx: dict[str, int] = {}
     for bigram, n in bg.items():
         w1 = bigram.split(" ", 1)[0]
         ctx[w1] = ctx.get(w1, 0) + n
-    vocab_size = float(word_counts(ds).count())
     model_ref = _ray.put((bg, ctx, vocab_size))
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
