@@ -355,3 +355,49 @@ def normalize_text(
         )
 
     return ds.map_batches(norm, batch_format="pandas")
+
+
+def group_sample(
+    ds: ray.data.Dataset,
+    k: int,
+    *,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Deterministic k-per-group sample: keep each group's k rows with
+    the smallest ``md5(str(id))`` — a rerun-stable stand-in for
+    per-stratum reservoir sampling (same hash-gate family as
+    :func:`stratified_sample`, but an exact COUNT per group instead of
+    an approximate rate).
+
+    Scale shape = grouped top-k without map_groups: every batch keeps
+    its local k-smallest per group (map_batches partial), so the final
+    groupby sees ≤ k × n_batches rows per group regardless of corpus
+    size.  Output: (group_col, id_col), k rows per group (fewer if the
+    group is smaller).
+    """
+
+    def add_rank(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[group_col, id_col]].copy()
+        out["__h"] = out[id_col].map(
+            lambda i: hashlib.md5(str(i).encode("ascii")).hexdigest()
+        )
+        return out
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values("__h")
+            .groupby(group_col, as_index=False, sort=False)
+            .head(k)
+        )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("__h").head(k)[[group_col, id_col]]
+
+    partial = ds.map_batches(add_rank, batch_format="pandas").map_batches(
+        local_topk, batch_format="pandas"
+    )
+    # group count = strata (bounded, e.g. languages) → plain map_groups
+    return partial.groupby(group_col).map_groups(
+        final_topk, batch_format="pandas"
+    )

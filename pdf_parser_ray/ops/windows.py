@@ -298,3 +298,41 @@ def lag_delta(
         ds, [part_col], per_partition,
         **({"n_parts": n_parts} if n_parts else {}),
     )
+
+
+def value_histogram(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str = "event_type",
+    val_col: str = "value",
+    bin_width: float = 100.0,
+) -> ray.data.Dataset:
+    """Fixed-width value histogram per group: one row per non-empty
+    (group, bin), bin = floor(value / bin_width) — the distribution-
+    profiling step of a data-quality audit.
+
+    Per-batch partial counts combine BEFORE the shuffle, so the groupby
+    moves O(groups × bins × batches) partial rows, never one per event.
+    Output: (group_col, bin:int64, n:int64).
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                group_col: df[group_col],
+                "bin": np.floor(
+                    df[val_col].to_numpy(dtype=np.float64) / bin_width
+                ).astype("int64"),
+            }
+        )
+        g = out.groupby([group_col, "bin"], as_index=False).size()
+        return g.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby([group_col, "bin"])
+        .aggregate(Sum("n", alias_name="n"))
+    )

@@ -178,6 +178,27 @@ def q_event_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_group_sample(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic 5-per-language sample (smallest md5(doc_id) per
+    group): partial top-k per batch → bounded final groups."""
+    from pdf_parser_ray.ops.webtext import group_sample
+
+    return group_sample(
+        _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]),
+        5,
+    )
+
+
+def q_event_histogram(sf_dir: str) -> ray.data.Dataset:
+    """Per-type fixed-width value histogram (bin = floor(value/100));
+    partial counts before the (type, bin) groupby."""
+    from pdf_parser_ray.ops.windows import value_histogram
+
+    return value_histogram(
+        _read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    )
+
+
 def q_lag_delta(sf_dir: str) -> ray.data.Dataset:
     """LAG window function per user: value minus predecessor value in
     (ts, event_id) order; first-of-user rows drop (lag IS NOT NULL).
@@ -1166,6 +1187,18 @@ SQL: dict[str, str] = {
                quantile_disc(value, 0.95) AS p95
         FROM events GROUP BY event_type
     """,
+    "group_sample": """
+        SELECT lang, doc_id FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))
+        ) <= 5
+    """,
+    "event_histogram": """
+        SELECT event_type,
+               CAST(floor(value / 100.0) AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, bin
+    """,
     "lag_delta": """
         SELECT event_id, user_id, value - prev AS delta
         FROM (SELECT event_id, user_id, value,
@@ -1667,4 +1700,6 @@ QUERIES = {
     "event_quantiles_cont": q_event_quantiles_cont,
     "lag_delta": q_lag_delta,
     "orders_enrich_left": q_orders_enrich_left,
+    "group_sample": q_group_sample,
+    "event_histogram": q_event_histogram,
 }

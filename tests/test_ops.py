@@ -716,3 +716,50 @@ class TestLagDelta:
         # user 9: e4 first (dropped), e5 delta = -60
         assert 4 not in out.index
         assert out.loc[5, "delta"] == -60.0
+
+
+class TestGroupSampleHistogram:
+    def test_group_sample_deterministic_and_k_bounded(self, ray_session):
+        import hashlib
+
+        import ray.data
+
+        from pdf_parser_ray.ops.webtext import group_sample
+
+        df = pd.DataFrame(
+            {
+                "doc_id": pd.Series(range(100), dtype="int64"),
+                "lang": ["en"] * 60 + ["de"] * 38 + ["fr"] * 2,
+            }
+        )
+        out = (
+            group_sample(ray.data.from_pandas(df).repartition(7), 5)
+            .to_pandas()
+        )
+        assert out[out["lang"] == "en"].shape[0] == 5
+        assert out[out["lang"] == "de"].shape[0] == 5
+        assert out[out["lang"] == "fr"].shape[0] == 2   # smaller group
+        # matches the explicit rule: k smallest md5(doc_id) per group
+        en_ids = df[df["lang"] == "en"]["doc_id"]
+        want = sorted(en_ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())[:5]
+        assert sorted(out[out["lang"] == "en"]["doc_id"]) == sorted(want)
+
+    def test_value_histogram_counts(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import value_histogram
+
+        df = pd.DataFrame(
+            {
+                "event_type": ["a", "a", "a", "b"],
+                "value": [5.0, 99.9, 100.0, -1.0],
+            }
+        )
+        out = (
+            value_histogram(ray.data.from_pandas(df), bin_width=100.0)
+            .to_pandas()
+            .set_index(["event_type", "bin"])["n"]
+        )
+        assert out.loc[("a", 0)] == 2
+        assert out.loc[("a", 1)] == 1
+        assert out.loc[("b", -1)] == 1
