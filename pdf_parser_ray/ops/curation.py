@@ -289,26 +289,42 @@ def tfidf_top_terms(
         dfreq: dict[str, int] = worker_state(
             ("tfidf_df", df_ref.hex()), lambda: ray.get(df_ref)
         )
-        ids, toks, scores = [], [], []
-        per_doc = df[text_col].fillna("").str.lower().str.findall(TOKEN_PAT)
-        for doc_id, words in zip(df[id_col], per_doc):
-            if not words:
-                continue
-            tf = pd.Series(words).value_counts()
-            s = np.round(
-                tf.to_numpy(dtype=np.float64)
-                * np.log(n_docs / np.array([dfreq[t] for t in tf.index], dtype=np.float64)),
-                round_to,
+        # Vectorized across the batch: explode tokens once, one grouped
+        # size for tf, one dict map for df, one sort + grouped head for
+        # the per-doc top-k — no Python loop over documents.
+        df = df.reset_index(drop=True)
+        ex = df[text_col].fillna("").str.lower().str.findall(TOKEN_PAT).explode().dropna()
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series([], dtype="int64"),
+                "token": pd.Series([], dtype="object"),
+                "score": pd.Series([], dtype="float64"),
+            }
+        )
+        if ex.empty:
+            return empty
+        tf = (
+            pd.DataFrame(
+                {
+                    id_col: df.loc[ex.index, id_col].to_numpy(),
+                    "token": ex.to_numpy(),
+                }
             )
-            order = np.lexsort((np.asarray(tf.index, dtype=object), -s))[:k]
-            ids.extend([doc_id] * len(order))
-            toks.extend(tf.index[order])
-            scores.extend(s[order])
+            .groupby([id_col, "token"], as_index=False)
+            .size()
+        )
+        idf = np.log(n_docs / tf["token"].map(dfreq).to_numpy(dtype=np.float64))
+        tf["score"] = np.round(tf["size"].to_numpy(dtype=np.float64) * idf, round_to)
+        top = (
+            tf.sort_values([id_col, "score", "token"], ascending=[True, False, True])
+            .groupby(id_col, sort=False)
+            .head(k)
+        )
         return pd.DataFrame(
             {
-                id_col: pd.Series(ids, dtype="int64"),
-                "token": pd.Series(toks, dtype="object"),
-                "score": pd.Series(scores, dtype="float64"),
+                id_col: top[id_col].to_numpy(dtype=np.int64),
+                "token": top["token"].to_numpy(),
+                "score": top["score"].to_numpy(dtype=np.float64),
             }
         )
 
