@@ -50,10 +50,9 @@ def grouped_map(
     key_list = list(keys)
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
         h = pd.util.hash_pandas_object(df[key_list], index=False)
-        df["__part"] = (h % n_parts).astype("int64")
-        return df
+        # assign = shallow copy + new column; never deep-copies payloads
+        return df.assign(__part=(h % n_parts).astype("int64"))
 
     def per_partition(part: pd.DataFrame) -> pd.DataFrame:
         part = part.drop(columns="__part")
@@ -88,10 +87,8 @@ def partitioned_map(
     key_list = list(keys)
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
         h = pd.util.hash_pandas_object(df[key_list], index=False)
-        df["__part"] = (h % n_parts).astype("int64")
-        return df
+        return df.assign(__part=(h % n_parts).astype("int64"))
 
     def per_partition(part: pd.DataFrame) -> pd.DataFrame:
         return fn(part.drop(columns="__part"))

@@ -308,7 +308,11 @@ def export_training_data(
         n_tokens = text.str.count(TOKEN_PAT).astype("int64")
         words = text.str.split(" ")
         n_words = words.str.len().astype("int64")
-        n_distinct = words.map(lambda w: len(set(w))).astype("int64")
+        # vectorized distinct count: one explode + grouped nunique
+        ex = words.explode()
+        n_distinct = (
+            ex.groupby(level=0).nunique().reindex(df.index, fill_value=0)
+        ).astype("int64")
         dup_frac = 1.0 - n_distinct / n_words.where(n_words > 0, 1)
         keep = (n_tokens >= min_tokens) & (dup_frac <= max_dup_frac)
         out = df[keep].copy()
