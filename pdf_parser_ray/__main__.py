@@ -75,6 +75,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--min-tokens", type=int, default=5)
     p.add_argument("--max-dup-frac", type=float, default=0.6)
 
+    p = sub.add_parser(
+        "ingest",
+        help="append a corpus increment, deduped against a fingerprint index",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--index", required=True,
+                   help="fingerprint-index dir; created on first ingest")
+    p.add_argument("--out", required=True)
+
     args = parser.parse_args(argv)
     _ensure_ray(args.num_cpus)
 
@@ -158,6 +167,68 @@ def main(argv: list[str] | None = None) -> int:
             max_dup_frac=args.max_dup_frac,
         )
         print(json.dumps({"splits": counts, "out": args.out}))
+    elif args.cmd == "ingest":
+        import glob
+        import os
+
+        import pandas as pd
+
+        from pdf_parser_ray.pipelines import incremental_dedup
+
+        extracted = extract_corpus(read_corpus(args.input)).select_columns(
+            ["url", "extracted_text"]
+        )
+
+        def as_docs(df: pd.DataFrame) -> pd.DataFrame:
+            ids = (
+                pd.util.hash_array(df["url"].to_numpy(dtype=object))
+                .astype("int64")
+                .__abs__()
+            )
+            return pd.DataFrame({"doc_id": ids, "text": df["extracted_text"]})
+
+        docs = extracted.map_batches(as_docs, batch_format="pandas")
+        have_index = bool(
+            glob.glob(os.path.join(args.index, "**", "*.parquet"), recursive=True)
+        )
+        if have_index:
+            fresh = incremental_dedup(docs, args.index)
+        else:
+            # bootstrap: no prior index — only intra-increment dedup
+            from pdf_parser_ray.ops.text_stats import _WS
+
+            def add_fp(df: pd.DataFrame) -> pd.DataFrame:
+                import hashlib
+
+                norm = (
+                    df["text"].fillna("").str.lower()
+                    .str.replace(_WS, " ", regex=True).str.strip(" ")
+                )
+                return df.assign(
+                    fp=norm.map(lambda s: hashlib.md5(s.encode()).hexdigest())
+                )
+
+            from pdf_parser_ray.pipelines import dedup_rare
+
+            fresh = dedup_rare(
+                docs.map_batches(add_fp, batch_format="pandas"),
+                "fp",
+                order_col="doc_id",
+            )
+        fresh.write_parquet(args.out)
+        wrote = glob.glob(os.path.join(args.out, "**", "*.parquet"), recursive=True)
+        n = 0
+        if wrote:  # an all-duplicate increment writes nothing
+            # extend the index with the survivors' fingerprints (one part
+            # dir per ingest, named by the output path — process-stable)
+            import hashlib as _hl
+
+            part = _hl.md5(args.out.encode("utf-8")).hexdigest()[:12]
+            ray.data.read_parquet(args.out, columns=["fp"]).write_parquet(
+                os.path.join(args.index, f"ingest_{part}")
+            )
+            n = ray.data.read_parquet(args.out, columns=["doc_id"]).count()
+        print(json.dumps({"new_docs": n, "out": args.out, "index": args.index}))
     return 0
 
 

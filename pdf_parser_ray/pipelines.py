@@ -436,14 +436,17 @@ def incremental_dedup(
         new_ds.map_batches(add_fp, batch_format="pandas"), "fp", order_col=id_col
     )
 
-    def split(df: pd.DataFrame, keep_positive: bool) -> pd.DataFrame:
+    def split(df: pd.DataFrame, keep_positive: bool):
         bf: BloomFilter = worker_state(
             ("incr_bloom", bf_ref.hex()), lambda: _ray.get(bf_ref)
         )
-        if not len(df):
-            return df
-        mask = bf.contains_many(_fp_to_int64(df["fp"].tolist()))
-        return df[mask] if keep_positive else df[~mask]
+        out = df
+        if len(df):
+            mask = bf.contains_many(_fp_to_int64(df["fp"].tolist()))
+            out = df[mask] if keep_positive else df[~mask]
+        # Arrow out: size-0 pandas object columns trip Ray's block size
+        # estimator (log noise); Arrow empties are typed and quiet.
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     negatives = fresh.map_batches(
         split, fn_kwargs={"keep_positive": False}, batch_format="pandas"

@@ -57,3 +57,15 @@ def test_curate_cmd(cli_corpus, tmp_path, capsys):
     res2 = run_cli(capsys, ["curate", "--input", cli_corpus,
                             "--out", str(tmp_path / "cur2")])
     assert res2["splits"] == res["splits"]
+
+
+def test_ingest_cmd_incremental(cli_corpus, tmp_path, capsys):
+    """Bootstrap ingest takes everything; re-ingesting the same corpus
+    against the now-populated index yields zero new docs."""
+    idx = str(tmp_path / "fpidx")
+    r1 = run_cli(capsys, ["ingest", "--input", cli_corpus,
+                          "--index", idx, "--out", str(tmp_path / "b1")])
+    assert r1["new_docs"] > 0
+    r2 = run_cli(capsys, ["ingest", "--input", cli_corpus,
+                          "--index", idx, "--out", str(tmp_path / "b2")])
+    assert r2["new_docs"] == 0
