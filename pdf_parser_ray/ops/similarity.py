@@ -302,3 +302,50 @@ def lsh_knn(
         candidates.drop_columns(["bucket"]), q, k, round_to=round_to,
         concurrency=concurrency,
     )
+
+
+def embedding_quantize(
+    ds: ray.data.Dataset,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    levels: int = 127,
+) -> ray.data.Dataset:
+    """Scalar int8 quantization per vector (the storage-compression step
+    an ANN index runs before sharding 100 TB of embeddings): each vector
+    is scaled by its own max-|x| so q = floor(x·levels/scale + 0.5),
+    q ∈ [-levels, levels], a 4× size cut at ~0.4 % cosine error.
+
+    The FLOOR(+0.5) form (not banker's or away-from-zero rounding) is
+    the contract: both numpy and a SQL engine evaluate it identically on
+    the same doubles, so the oracle is exact — plain round() would
+    diverge on .5 ties (numpy half-even vs DuckDB half-away).
+
+    Output: (id_col, scale:float64, q:string — comma-joined ints; a
+    string so engine list renderings can't differ).  Zero vectors emit
+    scale 0 and all-zero codes.  Row-local map_batches; no shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def quant(df: pd.DataFrame) -> pd.DataFrame:
+        ids, scales, qs = [], [], []
+        for vid, vec in zip(df[id_col], df[vec_col]):
+            x = np.asarray(vec, dtype=np.float64)
+            scale = float(np.max(np.abs(x))) if len(x) else 0.0
+            if scale == 0.0:
+                q = np.zeros(len(x), dtype=np.int64)
+            else:
+                q = np.floor(x * levels / scale + 0.5).astype(np.int64)
+            ids.append(vid)
+            scales.append(scale)
+            qs.append(",".join(str(int(v)) for v in q))
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(ids, dtype="int64"),
+                "scale": pd.Series(scales, dtype="float64"),
+                "q": pd.Series(qs, dtype="object"),
+            }
+        )
+
+    return ds.map_batches(quant, batch_format="pandas")

@@ -178,6 +178,16 @@ def q_event_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_embedding_quantize(sf_dir: str) -> ray.data.Dataset:
+    """Per-vector int8 scalar quantization (floor(+0.5) contract, codes
+    as a comma-joined string so list renderings can't diverge)."""
+    from pdf_parser_ray.ops.similarity import embedding_quantize
+
+    return embedding_quantize(
+        _read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    )
+
+
 def q_group_sample(sf_dir: str) -> ray.data.Dataset:
     """Deterministic 5-per-language sample (smallest md5(doc_id) per
     group): partial top-k per batch → bounded final groups."""
@@ -1187,6 +1197,26 @@ SQL: dict[str, str] = {
                quantile_disc(value, 0.95) AS p95
         FROM events GROUP BY event_type
     """,
+    "embedding_quantize": """
+        -- floor(x*L/scale + 0.5): the tie-unambiguous rounding contract
+        -- (plain round() differs: numpy half-even vs DuckDB half-away)
+        WITH s AS (
+          SELECT vec_id, embedding,
+                 coalesce(list_max(list_transform(
+                     embedding, y -> abs(CAST(y AS DOUBLE)))), 0.0) AS scale
+          FROM embeddings
+        )
+        SELECT vec_id, scale,
+               CASE WHEN scale = 0.0
+                 THEN array_to_string(
+                        list_transform(embedding, y -> '0'), ',')
+                 ELSE array_to_string(list_transform(embedding,
+                        y -> CAST(CAST(floor(CAST(y AS DOUBLE) * 127.0
+                                             / scale + 0.5) AS BIGINT)
+                                  AS VARCHAR)), ',')
+               END AS q
+        FROM s
+    """,
     "group_sample": """
         SELECT lang, doc_id FROM documents
         QUALIFY row_number() OVER (
@@ -1702,4 +1732,5 @@ QUERIES = {
     "orders_enrich_left": q_orders_enrich_left,
     "group_sample": q_group_sample,
     "event_histogram": q_event_histogram,
+    "embedding_quantize": q_embedding_quantize,
 }

@@ -763,3 +763,39 @@ class TestGroupSampleHistogram:
         assert out.loc[("a", 0)] == 2
         assert out.loc[("a", 1)] == 1
         assert out.loc[("b", -1)] == 1
+
+
+class TestEmbeddingQuantize:
+    def test_floor_half_contract_and_roundtrip(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.similarity import embedding_quantize
+
+        ds = ray.data.from_items(
+            [
+                {"vec_id": 0, "embedding": [1.0, -0.5, 0.25]},
+                {"vec_id": 1, "embedding": [0.0, 0.0]},
+            ]
+        )
+        out = embedding_quantize(ds).to_pandas().set_index("vec_id")
+        assert out.loc[0, "scale"] == 1.0
+        # floor(-0.5*127 + 0.5) = floor(-63.0) = -63;
+        # floor(0.25*127 + 0.5) = floor(32.25) = 32
+        assert out.loc[0, "q"] == "127,-63,32"
+        assert out.loc[1, "scale"] == 0.0 and out.loc[1, "q"] == "0,0"
+
+    def test_dequantize_error_small(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.similarity import embedding_quantize
+
+        rng = np.random.RandomState(2)
+        vecs = rng.uniform(-1, 1, (20, 16)).astype("float32")
+        ds = ray.data.from_items(
+            [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(20)]
+        )
+        out = embedding_quantize(ds).to_pandas().set_index("vec_id")
+        for i in range(20):
+            q = np.array([int(v) for v in out.loc[i, "q"].split(",")])
+            back = q * out.loc[i, "scale"] / 127.0
+            assert np.abs(back - vecs[i].astype("float64")).max() < out.loc[i, "scale"] / 127.0
