@@ -178,6 +178,41 @@ def q_event_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_event_outliers(sf_dir: str) -> ray.data.Dataset:
+    """Per-type outlier counts: events strictly above their type's exact
+    p95.  Composition shape: the no-materialize quantile selection
+    yields a TINY per-type threshold map (driver-sized by construction),
+    which broadcasts into a row-local filter — the stream itself never
+    joins or re-shuffles.  Output: (event_type, n_outliers)."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.ops.quantiles import grouped_quantile_disc
+
+    ds = _read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    thr = grouped_quantile_disc(ds, "event_type", "value", {"p95": 0.95})
+    thr_ref = _ray.put(dict(zip(thr["event_type"], thr["p95"])))
+
+    def count_outliers(df: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.stages import worker_state
+
+        t = worker_state(
+            ("outlier_thr", thr_ref.hex()), lambda: _ray.get(thr_ref)
+        )
+        cut = df["event_type"].map(t)
+        out = df[df["value"] > cut]
+        g = out.groupby("event_type", as_index=False).size()
+        return g.rename(columns={"size": "n_outliers"}).astype(
+            {"n_outliers": "int64"}
+        )
+
+    return (
+        ds.map_batches(count_outliers, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("n_outliers", alias_name="n_outliers"))
+    )
+
+
 def q_embedding_quantize(sf_dir: str) -> ray.data.Dataset:
     """Per-vector int8 scalar quantization (floor(+0.5) contract, codes
     as a comma-joined string so list renderings can't diverge)."""
@@ -1197,6 +1232,16 @@ SQL: dict[str, str] = {
                quantile_disc(value, 0.95) AS p95
         FROM events GROUP BY event_type
     """,
+    "event_outliers": """
+        WITH thr AS (
+          SELECT event_type, quantile_disc(value, 0.95) AS p95
+          FROM events GROUP BY event_type
+        )
+        SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_outliers
+        FROM events e JOIN thr USING (event_type)
+        WHERE e.value > thr.p95
+        GROUP BY e.event_type
+    """,
     "embedding_quantize": """
         -- floor(x*L/scale + 0.5): the tie-unambiguous rounding contract
         -- (plain round() differs: numpy half-even vs DuckDB half-away)
@@ -1733,4 +1778,5 @@ QUERIES = {
     "group_sample": q_group_sample,
     "event_histogram": q_event_histogram,
     "embedding_quantize": q_embedding_quantize,
+    "event_outliers": q_event_outliers,
 }
