@@ -1,0 +1,206 @@
+"""Distributed k-means clustering over an embedding column.
+
+The classic iterative-refinement pattern on Ray Data: centroids are
+DRIVER-sized state (k × dim floats), broadcast once per iteration via
+``ray.put``; each Lloyd iteration is ONE streaming pass —
+
+    map_batches(assign + per-cluster partial sums)   # combiner, no shuffle
+      → groupby("cluster").aggregate(Sum × (dim+1))  # k·num_blocks rows in,
+      → to_pandas()                                  # k rows out (tiny)
+
+so the only data that ever reaches the driver is the k×(dim+1) partial
+table.  Nothing corpus-sized is materialized; at 10^12 rows each
+iteration is a full scan (re-read from Parquet — the storage layer is
+the cheapest place to "persist" the input), and the recipe degrades
+gracefully to minibatch k-means by passing a pre-sampled dataset.
+
+Assignment math runs in float64 with the direct (x−c)² form — NOT the
+‖x‖²−2x·c+‖c‖² matmul expansion, which loses the low bits that decide
+argmin near-ties — so a SQL oracle computing ``list_distance`` per
+(vector, centroid) pair selects identical clusters.  Ties (bit-equal
+distances) break toward the LOWER cluster id on both sides (numpy
+argmin keeps the first minimum; the oracle orders by (dist, cluster)).
+
+The reference repo has no clustering; this is part of the
+training-data tier (corpus bucketing / IVF coarse quantizers / topic
+sharding) the brief asks for beyond reference parity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+from pdf_parser_ray.ops.similarity import _task_kwargs, _to_matrix
+
+
+def _assign_ids(mat: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Argmin Euclidean cluster id per row, float64, first-min tie-break."""
+    d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    return d2.argmin(axis=1).astype("int64")
+
+
+def kmeans_assign(
+    ds: ray.data.Dataset,
+    centroids: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int | tuple[int, int] | None = None,
+) -> ray.data.Dataset:
+    """One assignment pass: (id_col, cluster) per row.  Row-local —
+    centroids broadcast once, no shuffle."""
+    cent_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.stages import worker_state
+
+        if len(df) == 0:
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype="int64"),
+                 "cluster": pd.Series([], dtype="int64")}
+            )
+        cent = worker_state(("kmeans_cent", cent_ref.hex()),
+                            lambda: ray.get(cent_ref))
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "cluster": _assign_ids(_to_matrix(df[vec_col]), cent),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pandas",
+                          **_task_kwargs(concurrency))
+
+
+def kmeans_cluster_sizes(
+    ds: ray.data.Dataset,
+    centroids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    concurrency: int | tuple[int, int] | None = None,
+) -> ray.data.Dataset:
+    """Per-cluster member counts for a fixed centroid set: assignment +
+    per-batch count combiner → k-row groupby.  (cluster, n_vecs)."""
+    from ray.data.aggregate import Sum
+
+    cent_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.stages import worker_state
+
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"cluster": pd.Series([], dtype="int64"),
+                 "n_vecs": pd.Series([], dtype="int64")}
+            )
+        cent = worker_state(("kmeans_cent", cent_ref.hex()),
+                            lambda: ray.get(cent_ref))
+        ids = _assign_ids(_to_matrix(df[vec_col]), cent)
+        c = np.bincount(ids, minlength=len(cent))
+        nz = np.flatnonzero(c)
+        return pd.DataFrame(
+            {"cluster": nz.astype("int64"), "n_vecs": c[nz].astype("int64")}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas",
+                       **_task_kwargs(concurrency))
+        .groupby("cluster")
+        .aggregate(Sum("n_vecs", alias_name="n_vecs"))
+    )
+
+
+def kmeans_fit(
+    ds: ray.data.Dataset,
+    init_centroids: np.ndarray,
+    *,
+    n_iter: int = 5,
+    vec_col: str = "embedding",
+    concurrency: int | tuple[int, int] | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Lloyd's iterations over the full dataset.
+
+    Returns (centroids: k×dim float64, counts: k int64 — final-iteration
+    member counts).  Each iteration: one streaming pass with a per-batch
+    sums/count combiner, one k-cardinality groupby, and a k-row driver
+    update.  A cluster that loses all members keeps its centroid (the
+    same convention as the in-module IVF trainer).
+
+    ``ds`` is re-executed per iteration; at corpus scale that re-read is
+    the intended behavior (don't ``materialize()`` 100 TB — Parquet IS
+    the cache).  For minibatch k-means, pass a sampled dataset.
+    """
+    from ray.data.aggregate import Sum
+
+    centroids = np.asarray(init_centroids, dtype=np.float64).copy()
+    k, dim = centroids.shape
+    sum_cols = [f"s{d}" for d in range(dim)]
+    counts = np.zeros(k, dtype=np.int64)
+
+    for _ in range(n_iter):
+        cent_ref = ray.put(centroids)
+
+        def partial(df: pd.DataFrame, _ref=cent_ref) -> pd.DataFrame:
+            from pdf_parser_ray.stages import worker_state
+
+            if len(df) == 0:
+                data = {"cluster": pd.Series([], dtype="int64")}
+                for c in sum_cols:
+                    data[c] = pd.Series([], dtype="float64")
+                data["n"] = pd.Series([], dtype="int64")
+                return pd.DataFrame(data)
+            cent = worker_state(("kmeans_cent", _ref.hex()),
+                                lambda: ray.get(_ref))
+            mat = _to_matrix(df[vec_col])
+            ids = _assign_ids(mat, cent)
+            # segmented per-cluster sums: sort rows by cluster, reduceat
+            order = np.argsort(ids, kind="stable")
+            sids = ids[order]
+            smat = mat[order]
+            uniq, starts = np.unique(sids, return_index=True)
+            sums = np.add.reduceat(smat, starts, axis=0)
+            n = np.diff(np.append(starts, len(sids)))
+            data = {"cluster": uniq.astype("int64")}
+            for d, c in enumerate(sum_cols):
+                data[c] = sums[:, d]
+            data["n"] = n.astype("int64")
+            return pd.DataFrame(data)
+
+        aggs = [Sum(c, alias_name=c) for c in sum_cols]
+        aggs.append(Sum("n", alias_name="n"))
+        small = (
+            ds.map_batches(partial, batch_format="pandas",
+                           **_task_kwargs(concurrency))
+            .groupby("cluster")
+            .aggregate(*aggs)
+            .to_pandas()  # k rows — driver-sized by construction
+        )
+        counts = np.zeros(k, dtype=np.int64)
+        for _, row in small.iterrows():
+            c = int(row["cluster"])
+            counts[c] = int(row["n"])
+            if counts[c]:
+                centroids[c] = (
+                    np.array([row[sc] for sc in sum_cols], dtype=np.float64)
+                    / counts[c]
+                )
+    return centroids, counts
+
+
+def centroids_long(
+    centroids: np.ndarray, counts: np.ndarray, *, round_to: int = 6
+) -> pd.DataFrame:
+    """Flatten a centroid matrix to oracle-friendly long form:
+    (cluster, dim, centroid — rounded cross-row aggregate, n_vecs)."""
+    k, dim = centroids.shape
+    return pd.DataFrame(
+        {
+            "cluster": np.repeat(np.arange(k, dtype=np.int64), dim),
+            "dim": np.tile(np.arange(dim, dtype=np.int64), k),
+            "centroid": np.round(centroids, round_to).ravel(),
+            "n_vecs": np.repeat(counts.astype(np.int64), dim),
+        }
+    )

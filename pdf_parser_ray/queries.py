@@ -223,6 +223,62 @@ def q_embedding_quantize(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def _init_centroids(sf_dir: str, k: int):
+    """First-k vectors (vec_id 0..k-1) as a k×dim float64 matrix — the
+    deterministic k-means seed.  Driver-sized by construction (k rows);
+    the parquet filter prunes at the read."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", k)],
+    )
+    df = t.to_pandas().sort_values("vec_id")
+    return np.vstack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+
+
+def q_kmeans_assign(sf_dir: str) -> ray.data.Dataset:
+    """Per-cluster sizes after one k-means assignment pass against fixed
+    centroids (vectors 0..3).  Broadcast centroids + per-batch count
+    combiner → 4-row groupby; the argmin tie-break (lower cluster id)
+    and float64 distance math match the SQL oracle exactly."""
+    from pdf_parser_ray.ops.clustering import kmeans_cluster_sizes
+
+    ds = _read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kmeans_cluster_sizes(ds, _init_centroids(sf_dir, 4))
+
+
+def q_kmeans_iter1(sf_dir: str) -> pd.DataFrame:
+    """One full Lloyd iteration (assign → per-cluster mean) from the
+    fixed seed, centroids in long (cluster, dim, centroid, n_vecs) form.
+    Centroid is a cross-row mean → rounded on both sides."""
+    from pdf_parser_ray.ops.clustering import centroids_long, kmeans_fit
+
+    ds = _read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cent, counts = kmeans_fit(ds, _init_centroids(sf_dir, 4), n_iter=1)
+    return centroids_long(cent, counts)
+
+
+def q_kmeans_train(sf_dir: str) -> pd.DataFrame:
+    """Five Lloyd iterations over the full table (each: one streaming
+    pass + one k-cardinality groupby).  Rows-only in the driver check;
+    the iterative loop is pinned against a local numpy reference in
+    tests/test_clustering.py."""
+    from pdf_parser_ray.ops.clustering import centroids_long, kmeans_fit
+
+    ds = _read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cent, counts = kmeans_fit(ds, _init_centroids(sf_dir, 4), n_iter=5)
+    return centroids_long(cent, counts)
+
+
 def q_group_sample(sf_dir: str) -> ray.data.Dataset:
     """Deterministic 5-per-language sample (smallest md5(doc_id) per
     group): partial top-k per batch → bounded final groups."""
@@ -1226,6 +1282,44 @@ SQL: dict[str, str] = {
         SELECT grp, dim, round(sum(x) / count(x), 6) AS centroid
         FROM u GROUP BY grp, dim
     """,
+    "kmeans_assign": """
+        WITH cent AS (
+          SELECT vec_id AS cluster, CAST(embedding AS DOUBLE[]) AS cvec
+          FROM embeddings WHERE vec_id < 4
+        ),
+        assign AS (
+          SELECT e.vec_id, c.cluster
+          FROM embeddings e CROSS JOIN cent c
+          QUALIFY row_number() OVER (
+              PARTITION BY e.vec_id
+              ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec),
+                       c.cluster) = 1
+        )
+        SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs
+        FROM assign GROUP BY cluster
+    """,
+    "kmeans_iter1": """
+        WITH cent AS (
+          SELECT vec_id AS cluster, CAST(embedding AS DOUBLE[]) AS cvec
+          FROM embeddings WHERE vec_id < 4
+        ),
+        assign AS (
+          SELECT e.vec_id, c.cluster
+          FROM embeddings e CROSS JOIN cent c
+          QUALIFY row_number() OVER (
+              PARTITION BY e.vec_id
+              ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec),
+                       c.cluster) = 1
+        ),
+        u AS (
+          SELECT a.cluster, unnest(e.embedding) AS x,
+                 generate_subscripts(e.embedding, 1) - 1 AS dim
+          FROM assign a JOIN embeddings e USING (vec_id)
+        )
+        SELECT cluster, dim, round(sum(x) / count(x), 6) AS centroid,
+               CAST(count(x) AS BIGINT) AS n_vecs
+        FROM u GROUP BY cluster, dim
+    """,
     "event_quantiles": """
         SELECT event_type,
                quantile_disc(value, 0.5)  AS p50,
@@ -1779,4 +1873,7 @@ QUERIES = {
     "event_histogram": q_event_histogram,
     "embedding_quantize": q_embedding_quantize,
     "event_outliers": q_event_outliers,
+    "kmeans_assign": q_kmeans_assign,
+    "kmeans_iter1": q_kmeans_iter1,
+    "kmeans_train": q_kmeans_train,
 }

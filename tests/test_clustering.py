@@ -1,0 +1,113 @@
+"""Distributed k-means (ops/clustering.py) pinned against a local numpy
+Lloyd's reference on the real sf0.001 embeddings table."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from pdf_parser_ray.ops.clustering import (
+    centroids_long,
+    kmeans_assign,
+    kmeans_cluster_sizes,
+    kmeans_fit,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+K = 4
+
+
+@pytest.fixture(scope="module")
+def emb():
+    df = (
+        pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    mat = np.vstack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    return df, mat
+
+
+def _ref_lloyd(mat, init, n_iter):
+    cent = init.copy()
+    counts = np.zeros(len(cent), dtype=np.int64)
+    for _ in range(n_iter):
+        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        counts = np.bincount(a, minlength=len(cent))
+        for c in range(len(cent)):
+            if counts[c]:
+                cent[c] = mat[a == c].mean(axis=0)
+    return cent, counts, a
+
+
+def test_assign_matches_reference(emb, ray_session):
+    df, mat = emb
+    init = mat[:K]
+    ds = ray.data.read_parquet(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    got = (
+        kmeans_assign(ds, init)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    _, _, a = _ref_lloyd(mat, init, 1)
+    assert got["vec_id"].tolist() == df["vec_id"].tolist()
+    assert got["cluster"].tolist() == a.tolist()
+
+
+def test_cluster_sizes_match(emb, ray_session):
+    _, mat = emb
+    init = mat[:K]
+    ds = ray.data.read_parquet(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    got = (
+        kmeans_cluster_sizes(ds, init)
+        .to_pandas()
+        .sort_values("cluster")
+        .reset_index(drop=True)
+    )
+    _, counts, _ = _ref_lloyd(mat, init, 1)
+    expect = {c: int(n) for c, n in enumerate(counts) if n}
+    assert dict(zip(got["cluster"], got["n_vecs"])) == expect
+    assert got["n_vecs"].sum() == len(mat)
+
+
+@pytest.mark.parametrize("n_iter", [1, 5])
+def test_fit_matches_reference(emb, ray_session, n_iter):
+    _, mat = emb
+    init = mat[:K]
+    ds = ray.data.read_parquet(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cent, counts = kmeans_fit(ds, init, n_iter=n_iter)
+    rcent, rcounts, _ = _ref_lloyd(mat, init, n_iter)
+    assert counts.tolist() == rcounts.tolist()
+    # distributed sums reassociate the float adds → tolerance, not equality
+    np.testing.assert_allclose(cent, rcent, rtol=1e-9, atol=1e-12)
+
+
+def test_centroids_long_shape():
+    cent = np.arange(8, dtype=np.float64).reshape(2, 4)
+    counts = np.array([3, 5])
+    df = centroids_long(cent, counts)
+    assert list(df.columns) == ["cluster", "dim", "centroid", "n_vecs"]
+    assert len(df) == 8
+    assert df[df["cluster"] == 1]["n_vecs"].unique().tolist() == [5]
+    row = df[(df["cluster"] == 1) & (df["dim"] == 2)]
+    assert row["centroid"].iloc[0] == 6.0
+
+
+def test_fit_moves_centroids(emb, ray_session):
+    _, mat = emb
+    init = mat[:K]
+    ds = ray.data.read_parquet(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cent, _ = kmeans_fit(ds, init, n_iter=1)
+    assert not np.allclose(cent, init)
