@@ -91,12 +91,142 @@ def hash_join(
 
     left = left.map_batches(_strip, batch_format="pyarrow", zero_copy_batch=True)
     right = right.map_batches(_strip, batch_format="pyarrow", zero_copy_batch=True)
-    return left.join(
+
+    # Ray 2.49 hash-shuffle hazard: each input's schema is broadcast to
+    # the aggregators with the FIRST submitted block only, but
+    # `_shuffle_block` early-returns on a 0-row block WITHOUT
+    # broadcasting — so when a sparse filter's first block comes out
+    # empty, any join partition that then receives no real rows from
+    # that side finalizes a ZERO-COLUMN table and the Arrow join dies
+    # with `No match ... FieldRef.Name(<key>)`.  Block submission order
+    # is not controllable, so for integer keys we PRIME every partition
+    # with one sentinel row per side (placed with Ray's own
+    # hash_partition, keys from a reserved range below -2^61, non-key
+    # columns null) and drop sentinel-keyed rows after the join.
+    primed = _prime_join_partitions(left, right, list(on), int(num_partitions))
+    if primed is not None:
+        left, right, unprime = primed
+
+    joined = left.join(
         right,
         join_type=join_type,
         num_partitions=int(num_partitions),
         on=tuple(on),
     )
+    if primed is not None:
+        joined = unprime(joined)
+    return joined
+
+
+_SENTINEL_BASE = -(1 << 61)  # sentinel keys live below this; see note
+_SENT_L, _SENT_R = "__ppr_sent_l", "__ppr_sent_r"
+
+
+def _prime_join_partitions(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: list[str],
+    num_partitions: int,
+):
+    """Build sentinel-primed (left, right, unprime) for integer join
+    keys, or None when priming doesn't apply (non-integer keys /
+    internals unavailable).
+
+    One candidate table of deep-negative ints is routed through Ray's
+    own ``hash_partition`` so the sentinel→partition mapping is exactly
+    the shuffle's; every partition then receives a real (non-empty,
+    schema-ful) shard from BOTH sides regardless of block order.
+    Sentinel rows are identified by a per-side boolean MARKER column —
+    not by key range, because hash-derived int64 keys (md5 prefixes
+    etc.) legitimately span the whole 64-bit range — and dropped from
+    the joined stream before any caller sees them.  A real key that
+    happens to EQUAL one of the ≤num_partitions sentinel values would
+    pick up a spurious match in outer/anti shapes (~2^-58 per row);
+    the deep range keeps that astronomically unlikely for sequential
+    ids and irrelevant for uniform hashes.
+    """
+    try:
+        from ray.data._internal.arrow_ops.transform_pyarrow import hash_partition
+    except ImportError:  # internals moved — joins still work when no
+        return None      # input has an empty first block
+    try:
+        lschema = left.schema().base_schema
+        rschema = right.schema().base_schema
+    except Exception:
+        return None
+    if lschema is None or rschema is None:
+        return None
+    key_fields = []
+    for name in on:
+        if name not in lschema.names:
+            return None
+        f = lschema.field(name)
+        if not pa.types.is_integer(f.type):
+            return None
+        key_fields.append(f)
+
+    # One batch of reserved-range candidates → partition of each.
+    n_cand = max(64, 16 * num_partitions)
+    cands = [_SENTINEL_BASE - 1 - i for i in range(n_cand)]
+    cand_table = pa.table(
+        {f.name: pa.array(cands, type=f.type) for f in key_fields}
+    )
+    try:
+        parts = hash_partition(
+            cand_table, hash_cols=on, num_partitions=num_partitions
+        )
+    except (OverflowError, pa.ArrowInvalid):  # key type can't hold the range
+        return None
+    chosen: list[int] = []
+    for p, t in parts.items():
+        chosen.append(t.column(on[0])[0].as_py())
+    if not chosen:
+        return None
+
+    def with_marker(schema: pa.Schema, marker: str):
+        def add(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                marker, pa.array(np.zeros(t.num_rows, dtype=bool))
+            )
+
+        arrays = []
+        for f in schema:
+            if f.name in on:
+                arrays.append(pa.array(chosen, type=f.type))
+            else:
+                arrays.append(pa.nulls(len(chosen), type=f.type))
+        arrays.append(pa.array(np.ones(len(chosen), dtype=bool)))
+        sent = pa.table(
+            arrays, schema=schema.append(pa.field(marker, pa.bool_()))
+        )
+        return add, sent
+
+    ladd, lsent = with_marker(lschema, _SENT_L)
+    radd, rsent = with_marker(rschema, _SENT_R)
+    lprimed = left.map_batches(
+        ladd, batch_format="pyarrow", zero_copy_batch=True
+    ).union(ray.data.from_arrow(lsent))
+    rprimed = right.map_batches(
+        radd, batch_format="pyarrow", zero_copy_batch=True
+    ).union(ray.data.from_arrow(rsent))
+
+    def unprime(joined: ray.data.Dataset) -> ray.data.Dataset:
+        def drop(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            keep = None
+            for m in (_SENT_L, _SENT_R):
+                if m in t.column_names:
+                    not_sent = pc.not_equal(
+                        pc.fill_null(t.column(m), False), True
+                    )
+                    keep = not_sent if keep is None else pc.and_(keep, not_sent)
+                    t = t.drop_columns([m])
+            return t if keep is None else t.filter(keep)
+
+        return joined.map_batches(drop, batch_format="pyarrow", zero_copy_batch=True)
+
+    return lprimed, rprimed, unprime
 
 
 def broadcast_semi_join(
@@ -520,3 +650,61 @@ def brand_volume(sf_dir: str) -> ray.data.Dataset:
     return joined.map_batches(partial, batch_format="pandas").groupby("p_brand").aggregate(
         Sum("sum_qty", alias_name="sum_qty")
     )
+
+
+def rollup_aggregate(
+    ds: ray.data.Dataset,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    *,
+    all_label: str = "ALL",
+    round_to: int | None = 2,
+) -> pd.DataFrame:
+    """GROUP BY ROLLUP over hierarchy ``group_cols``: the finest level
+    plus every prefix subtotal plus the grand total, missing levels
+    filled with ``all_label`` (a sentinel, not NULL, so engine null
+    encodings never reach a value hash).  Also emits ``n_rows``.
+
+    Scale shape: ONE distributed partial-agg + groupby at the finest
+    level; every coarser level is derived from that result, which is
+    dimension-cardinality-sized (|a|×|b|…), NOT corpus-sized — the
+    driver-side reduction over it is bounded by the schema, same as any
+    small query result.  Float subtotals reduce the UNROUNDED finest
+    sums; rounding happens once at the end (cross-row aggregate →
+    rounded on both sides per the driver contract).
+    """
+    from ray.data.aggregate import Sum
+
+    group_cols = list(group_cols)
+    sum_cols = list(sum_cols)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(group_cols, as_index=False)[sum_cols].sum()
+        g["n_rows"] = df.groupby(group_cols, as_index=False).size()["size"].astype("int64")
+        return g
+
+    aggs = [Sum(c, alias_name=c) for c in sum_cols]
+    aggs.append(Sum("n_rows", alias_name="n_rows"))
+    fine = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(group_cols)
+        .aggregate(*aggs)
+        .to_pandas()  # dimension-cardinality rows — driver-sized
+    )
+
+    levels = [fine]
+    for depth in range(len(group_cols) - 1, -1, -1):
+        keep = group_cols[:depth]
+        if keep:
+            sub = fine.groupby(keep, as_index=False)[sum_cols + ["n_rows"]].sum()
+        else:
+            sub = fine[sum_cols + ["n_rows"]].sum().to_frame().T
+        for col in group_cols[depth:]:
+            sub[col] = all_label
+        levels.append(sub[group_cols + sum_cols + ["n_rows"]])
+    out = pd.concat(levels, ignore_index=True)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    if round_to is not None:
+        for c in sum_cols:
+            out[c] = np.round(out[c].astype("float64"), round_to)
+    return out[group_cols + sum_cols + ["n_rows"]]

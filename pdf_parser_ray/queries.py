@@ -346,6 +346,99 @@ def q_orders_enrich_left(sf_dir: str) -> ray.data.Dataset:
     return joined.map_batches(finish, batch_format="pandas")
 
 
+def q_cust_orders_outer(sf_dir: str) -> ray.data.Dataset:
+    """Full-outer hash join: high-balance customers vs per-customer
+    counts of very large orders.  Keeps customer-only rows (no big
+    orders), matched rows, and order-only rows (customer under the
+    balance bar).  Ray's full_outer coalesces the key column; misses
+    are coalesced to ''/0 on BOTH sides so the value hash never sees an
+    engine null encoding."""
+    from ray.data.aggregate import Count
+
+    from pdf_parser_ray.ops.relational import hash_join
+
+    cust = _read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_acctbal"]
+    )
+
+    def rich(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        f = t.filter(pc.greater(t.column("c_acctbal"), 9000.0))
+        return pa.table(
+            {"c_custkey": f.column("c_custkey"), "c_name": f.column("c_name")}
+        )
+
+    def big_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater(t.column("o_totalprice"), 450000.0)).select(
+            ["o_custkey"]
+        )
+
+    big_orders = (
+        _read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        )
+        .map_batches(big_only, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"))
+        .map_batches(
+            lambda df: df.rename(columns={"o_custkey": "c_custkey"}),
+            batch_format="pandas",
+        )
+    )
+
+    joined = hash_join(
+        cust.map_batches(rich, batch_format="pyarrow", zero_copy_batch=True),
+        big_orders,
+        ["c_custkey"],
+        join_type="full_outer",
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["c_custkey"]].copy()
+        out["c_name"] = df["c_name"].fillna("")
+        out["n_orders"] = df["n_orders"].fillna(0).astype("int64")
+        return out
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+def q_revenue_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP (r_name, n_name) over order revenue: nation rows,
+    region subtotals, grand total — sentinel 'ALL' for rolled levels.
+    One distributed finest-level aggregate; subtotals reduce its
+    25-row result."""
+    from pdf_parser_ray.ops.relational import broadcast_merge, rollup_aggregate
+
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    region = pd.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    dim = (
+        cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    )[["c_custkey", "r_name", "n_name"]]
+
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda df: df.rename(columns={"o_custkey": "c_custkey"}),
+        batch_format="pandas",
+    )
+    joined = broadcast_merge(orders, dim, on="c_custkey").map_batches(
+        lambda df: df.rename(columns={"o_totalprice": "revenue"}),
+        batch_format="pandas",
+    )
+    return rollup_aggregate(joined, ["r_name", "n_name"], ["revenue"])
+
+
 def q_event_quantiles_cont(sf_dir: str) -> pd.DataFrame:
     """Interpolated per-type p50/p90 (quantile_cont rule) via the same
     3-pass selection — the two bracketing ranks instead of one."""
@@ -1384,6 +1477,28 @@ SQL: dict[str, str] = {
                    WHERE c_acctbal > 5000.0) c
           ON o.o_custkey = c.c_custkey
     """,
+    "cust_orders_outer": """
+        SELECT coalesce(c.c_custkey, o.o_custkey) AS c_custkey,
+               coalesce(c.c_name, '') AS c_name,
+               CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders
+        FROM (SELECT c_custkey, c_name FROM customer
+              WHERE c_acctbal > 9000.0) c
+        FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders
+                         WHERE o_totalprice > 450000.0
+                         GROUP BY o_custkey) o
+          ON c.c_custkey = o.o_custkey
+    """,
+    "revenue_rollup": """
+        SELECT coalesce(r_name, 'ALL') AS r_name,
+               coalesce(n_name, 'ALL') AS n_name,
+               round(sum(o_totalprice), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+    """,
     "event_quantiles_cont": """
         -- interpolated values are cross-engine float arithmetic →
         -- rounded on BOTH sides (disc values are raw data, unrounded)
@@ -1873,6 +1988,8 @@ QUERIES = {
     "event_histogram": q_event_histogram,
     "embedding_quantize": q_embedding_quantize,
     "event_outliers": q_event_outliers,
+    "cust_orders_outer": q_cust_orders_outer,
+    "revenue_rollup": q_revenue_rollup,
     "kmeans_assign": q_kmeans_assign,
     "kmeans_iter1": q_kmeans_iter1,
     "kmeans_train": q_kmeans_train,

@@ -165,3 +165,60 @@ class TestIntervalCountJoin:
                 & (rr["ts"] <= row["ts"])
             ).sum()
             assert out.loc[row["event_id"], "n"] == expect
+
+
+class TestSparseJoinPriming:
+    """Regression: Ray 2.49's hash shuffle loses the one-shot schema
+    broadcast when an input's first submitted block is empty, leaving
+    row-less join partitions as zero-column tables (ArrowInvalid
+    `FieldRef.Name(<key>)`).  hash_join primes every partition with
+    reserved-range sentinel rows so sparse filtered sides join safely
+    in any block order."""
+
+    def _sparse_left(self):
+        import pyarrow as pa
+
+        import ray.data
+
+        ne = lambda ks: pa.table(
+            {"k": pa.array(ks, pa.int64()),
+             "v": pa.array([f"n{x}" for x in ks])}
+        )
+        # empty block FIRST + a single key: without priming, 3 of 4
+        # partitions receive no left shard at all
+        return ray.data.from_arrow([ne([]), ne([205])])
+
+    @pytest.mark.parametrize("jt", ["inner", "left_outer", "full_outer"])
+    def test_empty_first_block_sparse_key(self, ray_session, jt):
+        import pandas as pd
+
+        import ray.data
+        from pdf_parser_ray.ops.relational import hash_join
+
+        right = ray.data.from_pandas(
+            pd.DataFrame({"k": [205, 9999], "w": [2, 5]})
+        )
+        out = hash_join(
+            self._sparse_left(), right, ["k"], join_type=jt, num_partitions=4
+        ).to_pandas()
+        expect = {"inner": 1, "left_outer": 1, "full_outer": 2}[jt]
+        assert len(out) == expect
+        assert set(out["k"]).issubset({205, 9999})
+
+    def test_priming_does_not_change_dense_join(self, ray_session):
+        import pandas as pd
+
+        import ray.data
+        from pdf_parser_ray.ops.relational import hash_join
+
+        l = ray.data.range(200).map_batches(
+            lambda df: pd.DataFrame({"k": df["id"], "a": df["id"] * 2}),
+            batch_format="pandas",
+        )
+        r = ray.data.range(100).map_batches(
+            lambda df: pd.DataFrame({"k": df["id"], "b": df["id"] * 3}),
+            batch_format="pandas",
+        )
+        out = hash_join(l, r, ["k"], join_type="inner", num_partitions=4).to_pandas()
+        assert len(out) == 100
+        assert (out.sort_values("k")["b"].to_numpy() == out.sort_values("k")["k"].to_numpy() * 3).all()
