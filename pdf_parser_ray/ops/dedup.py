@@ -202,21 +202,25 @@ _MIX = np.uint64(0x9E3779B97F4A7C15)   # splitmix64 multiplier
 _MIX_SEED = np.uint64(0x243F6A8885A308D3)
 
 
-def _explode_bands(df: pd.DataFrame, bands: int, rows_per_band: int) -> pd.DataFrame:
-    """(band_id:int32, band_hash:int64, doc_id, sig) — one row per band.
+def _explode_bands(
+    df: pd.DataFrame, bands: int, rows_per_band: int, *, carry_sig: bool = True
+) -> pd.DataFrame:
+    """(band_id:int32, band_hash:int64, doc_id[, sig]) — one row per band.
 
     Band hash = vectorized xor-multiply mix of the band's sig slots
     (int64, 8 bytes — replaces the former 16-char md5 hex string); the
-    whole explode is numpy-vectorized across the batch.
+    whole explode is numpy-vectorized across the batch.  With
+    ``carry_sig=False`` the rows are 20 bytes each instead of
+    ~276 — the join-payload scale path.
     """
     n = len(df)
     if n == 0:
-        return pd.DataFrame(
-            {"band_id": pd.Series([], dtype="int32"),
-             "band_hash": pd.Series([], dtype="int64"),
-             "doc_id": pd.Series([], dtype="int64"),
-             "sig": pd.Series([], dtype=object)}
-        )
+        cols = {"band_id": pd.Series([], dtype="int32"),
+                "band_hash": pd.Series([], dtype="int64"),
+                "doc_id": pd.Series([], dtype="int64")}
+        if carry_sig:
+            cols["sig"] = pd.Series([], dtype=object)
+        return pd.DataFrame(cols)
     sig_mat = np.vstack(
         [np.frombuffer(s, dtype=np.uint32) for s in df["sig"]]
     ).astype(np.uint64)
@@ -227,14 +231,14 @@ def _explode_bands(df: pd.DataFrame, bands: int, rows_per_band: int) -> pd.DataF
             for r in range(rows_per_band):
                 acc = (acc ^ sig_mat[:, b * rows_per_band + r]) * _MIX
             band_hashes[b] = acc
-    return pd.DataFrame(
-        {
-            "band_id": np.repeat(np.arange(bands, dtype="int32"), n),
-            "band_hash": band_hashes.reshape(-1).view(np.int64),
-            "doc_id": np.tile(df["doc_id"].to_numpy(), bands),
-            "sig": list(df["sig"]) * bands,
-        }
-    )
+    cols = {
+        "band_id": np.repeat(np.arange(bands, dtype="int32"), n),
+        "band_hash": band_hashes.reshape(-1).view(np.int64),
+        "doc_id": np.tile(df["doc_id"].to_numpy(), bands),
+    }
+    if carry_sig:
+        cols["sig"] = list(df["sig"]) * bands
+    return pd.DataFrame(cols)
 
 
 def minhash_lsh_pairs(
@@ -244,6 +248,8 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     concurrency: int | tuple[int, int] | None = None,
+    payload: str = "sig",
+    sig_cache_path: str | None = None,
 ) -> ray.data.Dataset:
     """Near-duplicate candidate pairs with estimated Jaccard ≥ threshold.
 
@@ -254,14 +260,27 @@ def minhash_lsh_pairs(
     capped buckets under-report pairs inside giant duplicate cliques —
     by then one exemplar pair is enough to mark the clique).
 
-    Shuffle payload: each of the ``bands`` rows per doc carries the
-    uint32-truncated signature (num_perm×4 B = 256 B at defaults, half
-    the former uint64 bytes) plus an int64 band hash (was a 16-char md5
-    hex string).  Measured at sf0.1 / 32 CPUs (400 k-docs bench corpus
-    alongside): minhash_pairs 10.08 s → 9.31 s end-to-end.  The ×bands
-    signature inflation is inherent to same-shuffle verification; the
-    alternative (emit bare candidate ids, join signatures back) trades
-    it for a second shuffle.
+    ``payload="sig"`` (default, single-shuffle): each of the ``bands``
+    rows per doc carries the uint32-truncated signature (num_perm×4 B =
+    256 B at defaults) so the bucket pass verifies in place.  Measured
+    at sf0.1 / 32 CPUs: minhash_pairs 10.08 s → 9.31 s end-to-end vs
+    the md5-string/uint64 round-1 form.
+
+    ``payload="join"`` (the 100-TB path): band rows are 20 bytes
+    (band_id, band_hash, doc_id) — a ×13 shuffle-payload cut at
+    defaults — candidate pairs dedup FIRST, then two hash joins pull
+    each side's signature back for verification; join traffic is
+    O(candidate pairs + 2×sig table), beating ×bands sig inflation
+    whenever candidates ≪ corpus×bands (always, post-LSH).  The sig
+    table feeds three consumers, so it is staged once: to
+    ``sig_cache_path`` as Parquet when given (resumable, the
+    production choice), else ``materialize()`` into the object store.
+    Both payload modes emit identical rows (pinned by test parity).
+
+    Measured crossover honesty (sf0.1 = 5 k docs, 32 CPUs): sig ≈ 3 s,
+    join ≈ 30 s — at toy scale the two extra hash-join actor pools ARE
+    the cost, so "join" only wins once the ×bands sig bytes dominate
+    the fixed pool ramp (≳10^8 docs); default stays "sig".
     """
     rows_per_band = num_perm // bands
 
@@ -276,6 +295,13 @@ def minhash_lsh_pairs(
     sigs = ds.map_batches(
         minhash_sig, batch_format="pandas", **_task_kwargs(concurrency)
     )
+    if payload == "join":
+        return _minhash_pairs_join(
+            sigs, bands=bands, rows_per_band=rows_per_band,
+            threshold=threshold, sig_cache_path=sig_cache_path,
+        )
+    if payload != "sig":
+        raise ValueError(f"payload must be 'sig' or 'join', got {payload!r}")
     exploded = sigs.map_batches(
         _explode_bands,
         fn_kwargs={"bands": bands, "rows_per_band": rows_per_band},
@@ -331,6 +357,105 @@ def minhash_lsh_pairs(
     from ray.data.aggregate import Max
 
     return pairs.groupby(["a", "b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
+
+
+def _minhash_pairs_join(
+    sigs: ray.data.Dataset,
+    *,
+    bands: int,
+    rows_per_band: int,
+    threshold: float,
+    sig_cache_path: str | None,
+) -> ray.data.Dataset:
+    """payload="join" body: bare-id band explode → distinct candidate
+    pairs → two hash joins against the staged signature table → exact
+    slot-agreement estimate → threshold filter."""
+    import ray as _ray
+
+    from pdf_parser_ray.ops.relational import hash_join
+
+    if sig_cache_path:
+        sigs.write_parquet(sig_cache_path)
+        sigs = _ray.data.read_parquet(sig_cache_path)
+    else:
+        sigs = sigs.materialize()
+
+    exploded = sigs.map_batches(
+        _explode_bands,
+        fn_kwargs={"bands": bands, "rows_per_band": rows_per_band,
+                   "carry_sig": False},
+        batch_format="pandas",
+    )
+
+    def emit_candidates(part: pd.DataFrame) -> pd.DataFrame:
+        """Same bounded-partition shape as the sig path, minus the sig
+        payload: vectorized singleton drop, per-bucket id pairing."""
+        a_out: list = []
+        b_out: list = []
+        part = part[part.duplicated(["band_id", "band_hash"], keep=False)]
+        for _, g in part.groupby(["band_id", "band_hash"], sort=False):
+            ids = np.sort(g["doc_id"].to_numpy())[:MAX_BUCKET]
+            ii, jj = np.triu_indices(len(ids), k=1)
+            a_out.append(ids[ii])
+            b_out.append(ids[jj])
+        if not a_out:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype="int64"),
+                 "b": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"a": np.concatenate(a_out).astype("int64"),
+             "b": np.concatenate(b_out).astype("int64")}
+        )
+
+    def add_part(df: pd.DataFrame, n_parts: int) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = (df["band_hash"].to_numpy() % n_parts).astype("int64")
+        return df
+
+    from ray.data.aggregate import Count
+
+    n_parts = 512
+    cand = (
+        exploded.map_batches(
+            add_part, fn_kwargs={"n_parts": n_parts}, batch_format="pandas"
+        )
+        .groupby("part")
+        .map_groups(emit_candidates, batch_format="pandas")
+        .groupby(["a", "b"])                      # distinct across bands
+        .aggregate(Count(alias_name="__n_bands"))
+        .drop_columns(["__n_bands"])
+    )
+
+    def rename(col_from: str, col_to: str, sig_to: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return df.rename(columns={col_from: col_to, "sig": sig_to})
+
+        return fn
+
+    sa = sigs.map_batches(rename("doc_id", "a", "sig_a"), batch_format="pandas")
+    sb = sigs.map_batches(rename("doc_id", "b", "sig_b"), batch_format="pandas")
+    j = hash_join(cand, sa, ["a"], join_type="inner")
+    j = hash_join(j, sb, ["b"], join_type="inner")
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype="int64"),
+                 "b": pd.Series([], dtype="int64"),
+                 "est_jaccard": pd.Series([], dtype="float64")}
+            )
+        ma = np.vstack([np.frombuffer(s, dtype=np.uint32) for s in df["sig_a"]])
+        mb = np.vstack([np.frombuffer(s, dtype=np.uint32) for s in df["sig_b"]])
+        est = (ma == mb).mean(axis=1)
+        out = pd.DataFrame(
+            {"a": df["a"].to_numpy().astype("int64"),
+             "b": df["b"].to_numpy().astype("int64"),
+             "est_jaccard": est.astype("float64")}
+        )
+        return out[out["est_jaccard"] >= threshold]
+
+    return j.map_batches(verify, batch_format="pandas")
 
 
 # ---------------------------------------------------------------- simhash

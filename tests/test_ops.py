@@ -157,6 +157,48 @@ class TestDedup:
         assert (0, 1) in got  # exact dup must be found
         assert all(a < b for a, b in got)
 
+    def test_minhash_payload_modes_agree(self, ray_session, tmp_path):
+        """payload='join' (bare-id bands + sig join-back) must emit
+        exactly the same verified pairs as payload='sig'."""
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import minhash_lsh_pairs
+
+        rows = []
+        for i in range(40):
+            base = f"document number {i} " + " ".join(
+                f"w{(i * 7 + k) % 23}" for k in range(30)
+            )
+            rows.append({"doc_id": 2 * i, "text": base})
+            # near-dup partner: one token changed
+            rows.append({"doc_id": 2 * i + 1, "text": base + " tail"})
+        df = pd.DataFrame(rows)
+
+        def canon(p):
+            return (
+                p.sort_values(["a", "b"]).reset_index(drop=True)
+                [["a", "b", "est_jaccard"]]
+            )
+
+        sig = canon(
+            minhash_lsh_pairs(ray.data.from_pandas(df), threshold=0.5).to_pandas()
+        )
+        join = canon(
+            minhash_lsh_pairs(
+                ray.data.from_pandas(df), threshold=0.5, payload="join"
+            ).to_pandas()
+        )
+        assert len(sig) >= 40  # every planted pair found
+        pd.testing.assert_frame_equal(sig, join)
+        # the cached-parquet staging path is identical too
+        join_cached = canon(
+            minhash_lsh_pairs(
+                ray.data.from_pandas(df), threshold=0.5, payload="join",
+                sig_cache_path=str(tmp_path / "sigs"),
+            ).to_pandas()
+        )
+        pd.testing.assert_frame_equal(sig, join_cached)
+
     def test_simhash_groups(self, docs_df, ray_session):
         import ray.data
 
