@@ -278,7 +278,7 @@ def minhash_lsh_pairs(
     Both payload modes emit identical rows (pinned by test parity).
 
     Measured crossover honesty (sf0.1 = 5 k docs, 32 CPUs): sig ≈ 3 s,
-    join ≈ 30 s — at toy scale the two extra hash-join actor pools ARE
+    join ≈ 20 s — at toy scale the two extra hash-join actor pools ARE
     the cost, so "join" only wins once the ×bands sig bytes dominate
     the fixed pool ramp (≳10^8 docs); default stays "sig".
     """

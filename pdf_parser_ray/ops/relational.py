@@ -82,151 +82,189 @@ def hash_join(
         ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
         num_partitions = max(4, min(1024, max(ncpu, total // TARGET_JOIN_PARTITION_BYTES)))
 
-    # Normalize both inputs to Arrow blocks WITHOUT schema metadata:
-    # pandas-origin blocks reach the join carrying b'pandas' metadata,
-    # whose pa.Schema is unhashable and defeats the shuffle aggregator's
-    # schema-dedup fast path (io_utils.read_parquet_clean rationale).
-    def _strip(t: pa.Table) -> pa.Table:
-        return t.replace_schema_metadata(None)
-
-    left = left.map_batches(_strip, batch_format="pyarrow", zero_copy_batch=True)
-    right = right.map_batches(_strip, batch_format="pyarrow", zero_copy_batch=True)
-
-    # Ray 2.49 hash-shuffle hazard: each input's schema is broadcast to
-    # the aggregators with the FIRST submitted block only, but
-    # `_shuffle_block` early-returns on a 0-row block WITHOUT
-    # broadcasting — so when a sparse filter's first block comes out
-    # empty, any join partition that then receives no real rows from
-    # that side finalizes a ZERO-COLUMN table and the Arrow join dies
-    # with `No match ... FieldRef.Name(<key>)`.  Block submission order
-    # is not controllable, so for integer keys we PRIME every partition
-    # with one sentinel row per side (placed with Ray's own
-    # hash_partition, keys from a reserved range below -2^61, non-key
-    # columns null) and drop sentinel-keyed rows after the join.
-    primed = _prime_join_partitions(left, right, list(on), int(num_partitions))
-    if primed is not None:
-        left, right, unprime = primed
-
+    # Each side passes through a prime stage that (a) strips pandas
+    # schema metadata — unhashable pa.Schema defeats the shuffle
+    # aggregator's schema-dedup fast path (io_utils.read_parquet_clean
+    # rationale) — and (b) guards the Ray 2.49 hash-shuffle hazard: the
+    # input's schema is broadcast to the aggregators with the FIRST
+    # submitted block only, but `_shuffle_block` early-returns on a
+    # 0-row block WITHOUT broadcasting, so when a sparse filter's first
+    # block comes out empty, any join partition that then receives no
+    # real rows from that side finalizes a ZERO-COLUMN table and the
+    # Arrow join dies with `No match ... FieldRef.Name(<key>)`.  Block
+    # submission order is not controllable, so ONE elected task per
+    # side (latch actor) appends sentinel rows covering every hash
+    # partition; a marker column identifies them for post-join removal.
+    # Everything is in-task and lazy — no driver-side schema()/
+    # execution of the inputs (a post-shuffle side would otherwise run
+    # its whole upstream twice).
+    left = left.map_batches(
+        _make_prime_fn(list(on), int(num_partitions), _SENT_L),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    right = right.map_batches(
+        _make_prime_fn(list(on), int(num_partitions), _SENT_R),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
     joined = left.join(
         right,
         join_type=join_type,
         num_partitions=int(num_partitions),
         on=tuple(on),
     )
-    if primed is not None:
-        joined = unprime(joined)
-    return joined
+    return _unprime(joined)
 
 
 _SENTINEL_BASE = -(1 << 61)  # sentinel keys live below this; see note
 _SENT_L, _SENT_R = "__ppr_sent_l", "__ppr_sent_r"
 
 
-def _prime_join_partitions(
-    left: ray.data.Dataset,
-    right: ray.data.Dataset,
-    on: list[str],
-    num_partitions: int,
-):
-    """Build sentinel-primed (left, right, unprime) for integer join
-    keys, or None when priming doesn't apply (non-integer keys /
-    internals unavailable).
+@ray.remote(num_cpus=0)
+class _JoinPrimeLatch:
+    """Once-only election: the first task of each join side to call
+    ``try_acquire(uid)`` wins the right to emit that side's sentinel
+    rows.  One tiny named actor serves every join in the session; the
+    state is a set of consumed uids (bytes, grows by one short string
+    per join call)."""
 
-    One candidate table of deep-negative ints is routed through Ray's
-    own ``hash_partition`` so the sentinel→partition mapping is exactly
-    the shuffle's; every partition then receives a real (non-empty,
-    schema-ful) shard from BOTH sides regardless of block order.
-    Sentinel rows are identified by a per-side boolean MARKER column —
-    not by key range, because hash-derived int64 keys (md5 prefixes
-    etc.) legitimately span the whole 64-bit range — and dropped from
-    the joined stream before any caller sees them.  A real key that
-    happens to EQUAL one of the ≤num_partitions sentinel values would
-    pick up a spurious match in outer/anti shapes (~2^-58 per row);
-    the deep range keeps that astronomically unlikely for sequential
-    ids and irrelevant for uniform hashes.
-    """
+    def __init__(self):
+        self._taken: set = set()
+
+    def try_acquire(self, uid: str) -> bool:
+        if uid in self._taken:
+            return False
+        self._taken.add(uid)
+        return True
+
+
+_LATCH_CACHE: dict = {}
+
+
+def _get_latch():
+    """Driver-side, once per Ray session: a named zero-CPU latch actor
+    OWNED BY THE DRIVER (a worker-created owner can idle-exit and take
+    the actor down mid-join — observed as ActorDiedError in elected
+    tasks).  Cached per job id so a shutdown/re-init cycle rebuilds."""
+    job_id = ray.get_runtime_context().get_job_id()
+    handle = _LATCH_CACHE.get(job_id)
+    if handle is None:
+        handle = _JoinPrimeLatch.options(
+            name="_ppr_join_prime_latch",
+            namespace="ppr_join_prime",
+            get_if_exists=True,
+        ).remote()
+        _LATCH_CACHE.clear()
+        _LATCH_CACHE[job_id] = handle
+    return handle
+
+
+def _latch_try_acquire(latch, uid: str) -> bool:
+    try:
+        return ray.get(latch.try_acquire.remote(uid))
+    except Exception:  # latch gone → skip emission, degrade gracefully
+        return False
+
+
+def _sentinel_keys(key_types: list, num_partitions: int) -> list[int] | None:
+    """Deep-negative int keys covering every hash partition, placed
+    with Ray's OWN hash_partition so the mapping is exactly the
+    shuffle's.  None when the key types can't hold the reserved range
+    or internals are unavailable."""
     try:
         from ray.data._internal.arrow_ops.transform_pyarrow import hash_partition
-    except ImportError:  # internals moved — joins still work when no
-        return None      # input has an empty first block
-    try:
-        lschema = left.schema().base_schema
-        rschema = right.schema().base_schema
-    except Exception:
+    except ImportError:
         return None
-    if lschema is None or rschema is None:
-        return None
-    key_fields = []
-    for name in on:
-        if name not in lschema.names:
-            return None
-        f = lschema.field(name)
-        if not pa.types.is_integer(f.type):
-            return None
-        key_fields.append(f)
-
-    # One batch of reserved-range candidates → partition of each.
     n_cand = max(64, 16 * num_partitions)
     cands = [_SENTINEL_BASE - 1 - i for i in range(n_cand)]
-    cand_table = pa.table(
-        {f.name: pa.array(cands, type=f.type) for f in key_fields}
-    )
     try:
-        parts = hash_partition(
-            cand_table, hash_cols=on, num_partitions=num_partitions
+        cand_table = pa.table(
+            {f"k{i}": pa.array(cands, type=t) for i, t in enumerate(key_types)}
         )
-    except (OverflowError, pa.ArrowInvalid):  # key type can't hold the range
+        parts = hash_partition(
+            cand_table,
+            hash_cols=list(cand_table.column_names),
+            num_partitions=num_partitions,
+        )
+    except (OverflowError, pa.ArrowInvalid, pa.ArrowTypeError):
         return None
-    chosen: list[int] = []
-    for p, t in parts.items():
-        chosen.append(t.column(on[0])[0].as_py())
-    if not chosen:
-        return None
+    return [t.column(0)[0].as_py() for t in parts.values()]
 
-    def with_marker(schema: pa.Schema, marker: str):
-        def add(t: pa.Table) -> pa.Table:
-            return t.append_column(
-                marker, pa.array(np.zeros(t.num_rows, dtype=bool))
-            )
 
+def _make_prime_fn(on: list[str], num_partitions: int, marker: str):
+    """Per-batch prime stage: strip schema metadata, append a False
+    marker column, and — in the ONE task that wins the latch election
+    for this join side — append sentinel rows covering every hash
+    partition, with the schema taken from the task's own batch.
+
+    Sentinel rows are identified by the MARKER column, not by key
+    range: hash-derived int64 keys (md5 prefixes etc.) legitimately
+    span the whole 64-bit range.  A real key EQUAL to one of the
+    ≤num_partitions deep-range sentinel values would pick up a
+    spurious match in outer/anti shapes (~2^-58 per row) —
+    astronomically unlikely for sequential ids, irrelevant for
+    uniform hashes.  Non-integer keys skip sentinel emission (marker
+    still added); if the elected task's emission is lost to a task
+    retry, behavior degrades to plain Ray semantics.
+    """
+    uid = f"{marker}:{__import__('uuid').uuid4().hex}"
+    latch = _get_latch()
+
+    def prime(t: pa.Table) -> pa.Table:
+        from pdf_parser_ray.stages import worker_state
+
+        t = t.replace_schema_metadata(None)
+        t = t.append_column(marker, pa.array(np.zeros(t.num_rows, dtype=bool)))
+        key_types = []
+        for k in on:
+            if k not in t.column_names:
+                return t
+            ftype = t.schema.field(k).type
+            if not pa.types.is_integer(ftype):
+                return t
+            key_types.append(ftype)
+        # one latch RPC per worker process; winner emits exactly once
+        state = worker_state(("join_prime", uid), lambda: {
+            "won": _latch_try_acquire(latch, uid), "emitted": False,
+        })
+        if not state["won"] or state["emitted"]:
+            return t
+        chosen = _sentinel_keys(key_types, num_partitions)
+        if chosen is None:
+            state["emitted"] = True
+            return t
         arrays = []
-        for f in schema:
+        for f in t.schema:
             if f.name in on:
                 arrays.append(pa.array(chosen, type=f.type))
+            elif f.name == marker:
+                arrays.append(pa.array(np.ones(len(chosen), dtype=bool)))
             else:
                 arrays.append(pa.nulls(len(chosen), type=f.type))
-        arrays.append(pa.array(np.ones(len(chosen), dtype=bool)))
-        sent = pa.table(
-            arrays, schema=schema.append(pa.field(marker, pa.bool_()))
-        )
-        return add, sent
+        state["emitted"] = True
+        return pa.concat_tables([t, pa.table(arrays, schema=t.schema)])
 
-    ladd, lsent = with_marker(lschema, _SENT_L)
-    radd, rsent = with_marker(rschema, _SENT_R)
-    lprimed = left.map_batches(
-        ladd, batch_format="pyarrow", zero_copy_batch=True
-    ).union(ray.data.from_arrow(lsent))
-    rprimed = right.map_batches(
-        radd, batch_format="pyarrow", zero_copy_batch=True
-    ).union(ray.data.from_arrow(rsent))
+    return prime
 
-    def unprime(joined: ray.data.Dataset) -> ray.data.Dataset:
-        def drop(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
 
-            keep = None
-            for m in (_SENT_L, _SENT_R):
-                if m in t.column_names:
-                    not_sent = pc.not_equal(
-                        pc.fill_null(t.column(m), False), True
-                    )
-                    keep = not_sent if keep is None else pc.and_(keep, not_sent)
-                    t = t.drop_columns([m])
-            return t if keep is None else t.filter(keep)
+def _unprime(joined: ray.data.Dataset) -> ray.data.Dataset:
+    """Drop sentinel rows (either side's marker set) and the marker
+    columns from a joined stream.  Semi/anti outputs carry only one
+    side's marker — handled by presence check."""
 
-        return joined.map_batches(drop, batch_format="pyarrow", zero_copy_batch=True)
+    def drop(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    return lprimed, rprimed, unprime
+        keep = None
+        for m in (_SENT_L, _SENT_R):
+            if m in t.column_names:
+                not_sent = pc.invert(pc.fill_null(t.column(m), False))
+                keep = not_sent if keep is None else pc.and_(keep, not_sent)
+                t = t.drop_columns([m])
+        return t if keep is None else t.filter(keep)
+
+    return joined.map_batches(drop, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def broadcast_semi_join(
