@@ -746,3 +746,245 @@ def rollup_aggregate(
         for c in sum_cols:
             out[c] = np.round(out[c].astype("float64"), round_to)
     return out[group_cols + sum_cols + ["n_rows"]]
+
+
+def key_set_op(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: Sequence[str],
+    op: str,
+) -> ray.data.Dataset:
+    """Distributed ``INTERSECT`` / ``EXCEPT`` (DISTINCT semantics) on key
+    columns ``on``.
+
+    Each side is deduped per batch (the combiner), tagged with a side
+    flag, and the union makes ONE groupby shuffle over distinct keys
+    carrying two int8-ish flag columns — never full rows.  Presence on
+    each side is a Max over the flags; the set predicate is a final
+    vectorized filter.  Keys hash uniformly, so no skew handling needed
+    beyond the groupby's own partitioning.
+
+    Output: the key columns, one row per qualifying distinct key.
+    """
+    from ray.data.aggregate import Max
+
+    if op not in ("intersect", "except"):
+        raise ValueError(f"op must be intersect|except, got {op!r}")
+    on = list(on)
+
+    def tag(flag_l: int, flag_r: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[on].drop_duplicates().copy()
+            out["in_l"] = np.int64(flag_l)
+            out["in_r"] = np.int64(flag_r)
+            return out
+
+        return fn
+
+    tagged = left.select_columns(on).map_batches(
+        tag(1, 0), batch_format="pandas"
+    ).union(right.select_columns(on).map_batches(tag(0, 1), batch_format="pandas"))
+    agg = tagged.groupby(on).aggregate(
+        Max("in_l", alias_name="in_l"), Max("in_r", alias_name="in_r")
+    )
+    want_r = 1 if op == "intersect" else 0
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[(df["in_l"] == 1) & (df["in_r"] == want_r), on]
+
+    return agg.map_batches(pick, batch_format="pandas")
+
+
+def grouping_sets_aggregate(
+    ds: ray.data.Dataset,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    sets: Sequence[Sequence[str]],
+    *,
+    all_label: str = "ALL",
+    round_to: int | None = 2,
+) -> pd.DataFrame:
+    """GROUP BY GROUPING SETS / CUBE: one distributed aggregate at the
+    finest level (all of ``group_cols``), then every requested set is
+    derived from that dimension-cardinality result — same shape as
+    :func:`rollup_aggregate` (ROLLUP = the prefix sets), generalized to
+    arbitrary subsets.  Rolled-away levels carry the ``all_label``
+    sentinel, not NULL, so engine null encodings never reach a value
+    hash.  Float sums reduce unrounded and round once at the end.
+    """
+    from ray.data.aggregate import Sum
+
+    group_cols = list(group_cols)
+    sum_cols = list(sum_cols)
+    for s in sets:
+        missing = set(s) - set(group_cols)
+        if missing:
+            raise ValueError(f"grouping set {list(s)} not within {group_cols}: {missing}")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(group_cols, as_index=False)[sum_cols].sum()
+        g["n_rows"] = (
+            df.groupby(group_cols, as_index=False).size()["size"].astype("int64")
+        )
+        return g
+
+    aggs = [Sum(c, alias_name=c) for c in sum_cols] + [Sum("n_rows", alias_name="n_rows")]
+    fine = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(group_cols)
+        .aggregate(*aggs)
+        .to_pandas()  # |dim_a|×|dim_b|… rows — driver-sized
+    )
+
+    levels = []
+    for s in sets:
+        keep = [c for c in group_cols if c in set(s)]  # canonical order
+        if keep:
+            sub = fine.groupby(keep, as_index=False)[sum_cols + ["n_rows"]].sum()
+        else:
+            sub = fine[sum_cols + ["n_rows"]].sum().to_frame().T
+        for col in group_cols:
+            if col not in keep:
+                sub[col] = all_label
+        levels.append(sub[group_cols + sum_cols + ["n_rows"]])
+    out = pd.concat(levels, ignore_index=True)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    if round_to is not None:
+        for c in sum_cols:
+            out[c] = np.round(out[c].astype("float64"), round_to)
+    return out[group_cols + sum_cols + ["n_rows"]]
+
+
+def cube_aggregate(
+    ds: ray.data.Dataset,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    **kw,
+) -> pd.DataFrame:
+    """GROUP BY CUBE = grouping sets over every subset of ``group_cols``."""
+    from itertools import combinations
+
+    cols = list(group_cols)
+    sets = [
+        list(c) for r in range(len(cols), -1, -1) for c in combinations(cols, r)
+    ]
+    return grouping_sets_aggregate(ds, cols, sum_cols, sets, **kw)
+
+
+def order_priority_counts(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q4 shape: orders with at least one line item shipped after
+    the order date, counted per priority — an EXISTS whose predicate
+    spans both fact tables.
+
+    Scale shape: the lineitem side collapses to ONE row per orderkey
+    BEFORE the join (per-batch partial max(l_shipdate) → groupby Max —
+    `exists(shipdate > orderdate)` ⟺ `max(shipdate) > orderdate`), so
+    the hash join moves |orders| + |distinct orderkeys| rows, never the
+    7×-wider raw lineitem.  The priority rollup is a partial-agg count.
+
+    Output: (o_orderpriority, n_orders:int64).
+    """
+    from ray.data.aggregate import Max, Sum
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+
+    def max_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_orderkey", as_index=False)["l_shipdate"].max()
+        return g.rename(columns={"l_orderkey": "o_orderkey", "l_shipdate": "max_ship"})
+
+    latest = (
+        li.map_batches(max_partial, batch_format="pandas")
+        .groupby("o_orderkey")
+        .aggregate(Max("max_ship", alias_name="max_ship"))
+    )
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    joined = hash_join(orders, latest, on=("o_orderkey",))
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["max_ship"] > df["o_orderdate"]]
+        g = keep.groupby("o_orderpriority", as_index=False).size()
+        return g.rename(columns={"size": "n_orders"}).astype({"n_orders": "int64"})
+
+    return (
+        joined.map_batches(count_partial, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    )
+
+
+def nation_revenue(sf_dir: str, region: str = "ASIA") -> ray.data.Dataset:
+    """TPC-H Q5 shape: revenue per nation for one region, where the
+    supplying nation must equal the customer's nation.
+
+    Join plan by side size: the customer→nation→region chain and the
+    supplier table are dimensions → pre-joined driver-side and
+    BROADCAST (one ``ray.put`` each, read once per worker); the only
+    all-to-all is the fact⋈fact lineitem⋈orders hash join on orderkey.
+    The s_nationkey = c_nationkey equality is a vectorized filter after
+    the two broadcast lookups.  Revenue partials aggregate per batch
+    before the final 5-row groupby.
+
+    Output: (n_name, revenue:float64 rounded 2).
+    """
+    from ray.data.aggregate import Sum
+
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    reg = pd.read_parquet(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    dim = (
+        cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(reg[reg["r_name"] == region], left_on="n_regionkey", right_on="r_regionkey")
+    )[["c_custkey", "c_nationkey", "n_name"]]
+
+    supp = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).rename(columns={"s_suppkey": "l_suppkey"})
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(
+        lambda df: df.rename(columns={"o_custkey": "c_custkey"}), batch_format="pandas"
+    )
+    # inner broadcast merge keeps only the region's customers' orders
+    orders = broadcast_merge(orders, dim, on="c_custkey").map_batches(
+        lambda df: df.rename(columns={"o_orderkey": "l_orderkey"})[
+            ["l_orderkey", "c_nationkey", "n_name"]
+        ],
+        batch_format="pandas",
+    )
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    joined = hash_join(li, orders, on=("l_orderkey",))
+    enriched = broadcast_merge(joined, supp, on="l_suppkey")
+
+    def revenue_partial(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["s_nationkey"] == df["c_nationkey"]]
+        keep = keep.assign(
+            revenue=keep["l_extendedprice"] * (1.0 - keep["l_discount"])
+        )
+        return keep.groupby("n_name", as_index=False)["revenue"].sum()
+
+    agg = (
+        enriched.map_batches(revenue_partial, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["revenue"] = np.round(df["revenue"].astype("float64"), 2)
+        return df
+
+    return agg.map_batches(finish, batch_format="pandas")

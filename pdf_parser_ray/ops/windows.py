@@ -336,3 +336,231 @@ def value_histogram(
         .groupby([group_col, "bin"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+def moving_avg(
+    ds: ray.data.Dataset,
+    *,
+    part_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    val_col: str = "value",
+    window: int = 3,
+    round_to: int = 4,
+    n_parts: int | None = None,
+) -> ray.data.Dataset:
+    """Frame-based moving average: SQL ``avg(val) OVER (PARTITION BY
+    part ORDER BY order_cols ROWS BETWEEN window-1 PRECEDING AND
+    CURRENT ROW)``.
+
+    Same bounded-partition co-location as :func:`running_window`; the
+    in-partition kernel is one sort + grouped ``rolling(window).mean()``
+    (pandas C path, vectorized across users).  The average accumulates
+    ≤``window`` raw values but engines may sum them in different orders
+    (pandas keeps a sliding sum) — rounded on both sides per the
+    cross-row-aggregate rule.
+
+    Output: (event_id, part_col, mov_avg:float64).
+    """
+    import numpy as np
+
+    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values([part_col, *order_cols])
+        ma = (
+            g.groupby(part_col, sort=False)[val_col]
+            .rolling(window, min_periods=1)
+            .mean()
+            .to_numpy(dtype=np.float64)
+        )
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                part_col: g[part_col].to_numpy(),
+                "mov_avg": np.round(ma, round_to),
+            }
+        )
+
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    return partitioned_map(
+        ds, [part_col], per_partition,
+        **({"n_parts": n_parts} if n_parts else {}),
+    )
+
+
+def dense_value_ranks(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str = "event_type",
+    val_col: str = "value",
+    k: int = 3,
+) -> ray.data.Dataset:
+    """Rows whose value is among the k highest DISTINCT values of their
+    group, with the dense rank — SQL ``dense_rank() OVER (PARTITION BY
+    group ORDER BY val DESC) <= k``.
+
+    Scale shape: a row can hold global dense rank ≤ k only if it holds
+    batch-local dense rank ≤ k (more distinct greater values locally ⇒
+    more globally), so each batch prunes to its local rank-≤k rows
+    (vectorized ``groupby.rank(method="dense")``) and only that bounded
+    stream (≤ k·batches rows + ties) reaches the final per-group pass,
+    which recomputes ranks over the survivors.  Group count is small
+    here; for corpus-cardinality groups route the final pass through
+    ``ops.shuffle.grouped_map``.
+
+    Output: (group_col, event_id, value, rank:int64).
+    """
+    import numpy as np
+
+    def local_ranks(df: pd.DataFrame) -> pd.DataFrame:
+        r = df.groupby(group_col, sort=False)[val_col].rank(
+            method="dense", ascending=False
+        )
+        out = df[df.columns.intersection([group_col, "event_id", val_col])]
+        out = out.loc[r <= k].copy()
+        out["rank"] = r[r <= k].to_numpy(dtype=np.int64)
+        return out[[group_col, "event_id", val_col, "rank"]]
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        r = g[val_col].rank(method="dense", ascending=False)
+        out = g.loc[r <= k, [group_col, "event_id", val_col]].copy()
+        out["rank"] = r[r <= k].to_numpy(dtype=np.int64)
+        return out
+
+    partials = ds.map_batches(local_ranks, batch_format="pandas")
+    return partials.groupby(group_col).map_groups(final, batch_format="pandas")
+
+
+def grouped_dispersion(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str = "event_type",
+    val_col: str = "value",
+    ts_col: str = "ts",
+    round_to: int = 6,
+) -> ray.data.Dataset:
+    """Per-group sample standard deviation of ``val`` and Pearson
+    correlation of (``val``, event time) from mergeable moment sums
+    (n, Σx, Σx², Σt, Σt², Σxt) — the partial-aggregation form of
+    ``stddev_samp`` / ``corr``.
+
+    Timestamps are centered to float days before squaring so the moment
+    sums stay ~1e2-magnitude and the variance subtraction loses no
+    precision (correlation is shift/scale-invariant, so a SQL twin can
+    use raw ``epoch(ts)``).  Both outputs are cross-row float
+    aggregates → rounded.
+
+    Output: (group_col, n:int64, sd_value:float64, corr_vt:float64).
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    epoch = pd.Timestamp("2024-01-01")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[val_col].to_numpy(dtype=np.float64)
+        t = (df[ts_col] - epoch).dt.total_seconds().to_numpy(dtype=np.float64) / 86400.0
+        m = pd.DataFrame(
+            {
+                group_col: df[group_col],
+                "n": np.int64(1),
+                "sx": x,
+                "sx2": x * x,
+                "st": t,
+                "st2": t * t,
+                "sxt": x * t,
+            }
+        )
+        return m.groupby(group_col, as_index=False).sum().astype({"n": "int64"})
+
+    moment_cols = ["n", "sx", "sx2", "st", "st2", "sxt"]
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(group_col)
+        .aggregate(*[Sum(c, alias_name=c) for c in moment_cols])
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(dtype=np.float64)
+        var_x = (df["sx2"] - df["sx"] ** 2 / n) / (n - 1.0)
+        cov = df["sxt"] - df["sx"] * df["st"] / n
+        var_t = df["st2"] - df["st"] ** 2 / n
+        return pd.DataFrame(
+            {
+                group_col: df[group_col],
+                "n": df["n"].astype("int64"),
+                "sd_value": np.round(np.sqrt(var_x), round_to),
+                "corr_vt": np.round(
+                    cov / np.sqrt((df["sx2"] - df["sx"] ** 2 / n) * var_t), round_to
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def above_group_avg(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str = "event_type",
+    val_col: str = "value",
+) -> ray.data.Dataset:
+    """Correlated-scalar-subquery shape: rows with ``val`` above their
+    group's average, aggregated per group — two passes, no self-join.
+
+    Pass 1 computes per-group averages (partial sums → tiny groupby →
+    driver-sized frame); the thresholds are broadcast into pass 2's
+    filter.  The threshold is FLOORED to 4 dp on both sides: floor is
+    the one rounding both engines agree on bit-for-bit, and the last-ulp
+    summation-order difference between engines cannot flip it off a
+    boundary.
+
+    Output: (group_col, n_above:int64, sum_above:float64 rounded 2).
+    """
+    import numpy as np
+    import ray as _ray
+
+    from ray.data.aggregate import Sum
+
+    def sums(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(group_col, as_index=False).agg(
+            sx=(val_col, "sum"), n=(val_col, "size")
+        )
+        return g.astype({"n": "int64"})
+
+    avg_df = (
+        ds.map_batches(sums, batch_format="pandas")
+        .groupby(group_col)
+        .aggregate(Sum("sx", alias_name="sx"), Sum("n", alias_name="n"))
+        .to_pandas()  # group-cardinality rows — driver-sized
+    )
+    thresholds = {
+        r[group_col]: np.floor(r["sx"] / r["n"] * 1e4) / 1e4
+        for _, r in avg_df.iterrows()
+    }
+    ref = _ray.put(thresholds)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.stages import worker_state
+
+        th = worker_state(("above_avg", ref.hex()), lambda: _ray.get(ref))
+        bar = df[group_col].map(th).to_numpy(dtype=np.float64)
+        keep = df[df[val_col].to_numpy(dtype=np.float64) > bar]
+        g = keep.groupby(group_col, as_index=False).agg(
+            n_above=(val_col, "size"), sum_above=(val_col, "sum")
+        )
+        return g.astype({"n_above": "int64"})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(group_col)
+        .aggregate(Sum("n_above", alias_name="n_above"), Sum("sum_above", alias_name="sum_above"))
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_above"] = df["n_above"].astype("int64")
+        df["sum_above"] = np.round(df["sum_above"].astype("float64"), 2)
+        return df
+
+    return agg.map_batches(finish, batch_format="pandas")

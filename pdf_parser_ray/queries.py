@@ -1154,6 +1154,141 @@ def q_lm_score(sf_dir: str) -> ray.data.Dataset:
     return lm_score(_documents(sf_dir))
 
 
+def q_moving_avg(sf_dir: str) -> ray.data.Dataset:
+    """Frame window: per-user 3-row moving average over (ts, event_id)
+    order — avg OVER (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)."""
+    from pdf_parser_ray.ops.windows import moving_avg
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    return moving_avg(ds)
+
+
+def q_event_dense_ranks(sf_dir: str) -> ray.data.Dataset:
+    """dense_rank() <= 3 per event_type by value DESC — distinct-value
+    top-k via batch-local rank pruning (no unbounded group)."""
+    from pdf_parser_ray.ops.windows import dense_value_ranks
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    return dense_value_ranks(ds).map_batches(
+        lambda df: df.rename(columns={"rank": "rnk"}), batch_format="pandas"
+    )
+
+
+def q_event_dispersion(sf_dir: str) -> ray.data.Dataset:
+    """Per-type stddev_samp(value) + corr(value, event time) from
+    mergeable moment sums (n, Σx, Σx², Σt, Σt², Σxt)."""
+    from pdf_parser_ray.ops.windows import grouped_dispersion
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value", "ts"]
+    )
+    return grouped_dispersion(ds)
+
+
+def q_above_avg_events(sf_dir: str) -> ray.data.Dataset:
+    """Correlated-scalar-subquery shape: events above their type's
+    average value, counted and summed per type.  The threshold is
+    floored to 4 dp on BOTH sides (floor, not round: half-away vs
+    half-even can never disagree; last-ulp summation noise can't move
+    it off a boundary)."""
+    from pdf_parser_ray.ops.windows import above_group_avg
+
+    ds = _read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return above_group_avg(ds)
+
+
+def q_repeat_customers(sf_dir: str) -> ray.data.Dataset:
+    """INTERSECT: customers with orders both before AND since 2000 —
+    one deduped-key shuffle carrying side flags, never full rows."""
+    from pdf_parser_ray.ops.relational import key_set_op
+
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+    split = pd.Timestamp("2000-01-01")
+    early = orders.map_batches(
+        lambda df: df.loc[df["o_orderdate"] < split, ["o_custkey"]],
+        batch_format="pandas",
+    )
+    late = orders.map_batches(
+        lambda df: df.loc[df["o_orderdate"] >= split, ["o_custkey"]],
+        batch_format="pandas",
+    )
+    return key_set_op(early, late, ["o_custkey"], "intersect")
+
+
+def q_churned_customers(sf_dir: str) -> ray.data.Dataset:
+    """EXCEPT: customers with pre-2000 orders and none since."""
+    from pdf_parser_ray.ops.relational import key_set_op
+
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+    split = pd.Timestamp("2000-01-01")
+    early = orders.map_batches(
+        lambda df: df.loc[df["o_orderdate"] < split, ["o_custkey"]],
+        batch_format="pandas",
+    )
+    late = orders.map_batches(
+        lambda df: df.loc[df["o_orderdate"] >= split, ["o_custkey"]],
+        batch_format="pandas",
+    )
+    return key_set_op(early, late, ["o_custkey"], "except")
+
+
+def q_revenue_cube(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE (r_name, n_name): all four grouping sets from ONE
+    distributed finest-level aggregate (same derivation as ROLLUP,
+    arbitrary-subset form)."""
+    from pdf_parser_ray.ops.relational import broadcast_merge, cube_aggregate
+
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    region = pd.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    dim = (
+        cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    )[["c_custkey", "r_name", "n_name"]]
+
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda df: df.rename(columns={"o_custkey": "c_custkey"}),
+        batch_format="pandas",
+    )
+    joined = broadcast_merge(orders, dim, on="c_custkey").map_batches(
+        lambda df: df.rename(columns={"o_totalprice": "revenue"}),
+        batch_format="pandas",
+    )
+    return cube_aggregate(joined, ["r_name", "n_name"], ["revenue"])
+
+
+def q_order_priority(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q4 shape: EXISTS across two fact tables, right side
+    collapsed to one row per key before the hash join."""
+    from pdf_parser_ray.ops.relational import order_priority_counts
+
+    return order_priority_counts(sf_dir)
+
+
+def q_nation_revenue(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q5 shape: 6-table join — broadcast dimension chain +
+    broadcast supplier + ONE fact⋈fact hash join."""
+    from pdf_parser_ray.ops.relational import nation_revenue
+
+    return nation_revenue(sf_dir, region="ASIA")
+
+
 # ---------------------------------------------------------------- oracle
 
 SQL: dict[str, str] = {
@@ -1913,6 +2048,90 @@ SQL["doc_familiarity"] = """
     FROM w JOIN g USING (token) GROUP BY w.doc_id
 """
 
+SQL["moving_avg"] = """
+    SELECT event_id, user_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+             AS mov_avg
+    FROM events
+"""
+
+SQL["event_dense_ranks"] = """
+    SELECT event_type, event_id, value,
+           CAST(dense_rank() OVER (PARTITION BY event_type
+                                   ORDER BY value DESC) AS BIGINT) AS rnk
+    FROM events
+    QUALIFY rnk <= 3
+"""
+
+SQL["event_dispersion"] = """
+    -- corr is shift/scale-invariant: the Ray side centers timestamps to
+    -- float days for moment-sum conditioning; raw epoch works here.
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(stddev_samp(value), 6) AS sd_value,
+           round(corr(value, epoch(ts) / 86400.0), 6) AS corr_vt
+    FROM events GROUP BY event_type
+"""
+
+SQL["above_avg_events"] = """
+    WITH a AS (
+      SELECT event_type, floor(sum(value) / count(*) * 10000) / 10000 AS bar
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_above,
+           round(sum(e.value), 2) AS sum_above
+    FROM events e JOIN a USING (event_type)
+    WHERE e.value > a.bar
+    GROUP BY e.event_type
+"""
+
+SQL["repeat_customers"] = """
+    SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+"""
+
+SQL["churned_customers"] = """
+    SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+"""
+
+SQL["revenue_cube"] = """
+    SELECT CASE WHEN GROUPING(r.r_name) = 1 THEN 'ALL' ELSE r.r_name END AS r_name,
+           CASE WHEN GROUPING(n.n_name) = 1 THEN 'ALL' ELSE n.n_name END AS n_name,
+           round(sum(o.o_totalprice), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY CUBE (r.r_name, n.n_name)
+"""
+
+SQL["order_priority"] = """
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+"""
+
+SQL["nation_revenue"] = """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+"""
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "token_stats": q_token_stats,
@@ -1993,4 +2212,13 @@ QUERIES = {
     "kmeans_assign": q_kmeans_assign,
     "kmeans_iter1": q_kmeans_iter1,
     "kmeans_train": q_kmeans_train,
+    "moving_avg": q_moving_avg,
+    "event_dense_ranks": q_event_dense_ranks,
+    "event_dispersion": q_event_dispersion,
+    "above_avg_events": q_above_avg_events,
+    "repeat_customers": q_repeat_customers,
+    "churned_customers": q_churned_customers,
+    "revenue_cube": q_revenue_cube,
+    "order_priority": q_order_priority,
+    "nation_revenue": q_nation_revenue,
 }

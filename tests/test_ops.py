@@ -841,3 +841,173 @@ class TestEmbeddingQuantize:
             q = np.array([int(v) for v in out.loc[i, "q"].split(",")])
             back = q * out.loc[i, "scale"] / 127.0
             assert np.abs(back - vecs[i].astype("float64")).max() < out.loc[i, "scale"] / 127.0
+
+
+class TestSetOps:
+    def _sides(self):
+        import ray.data
+
+        left = pd.DataFrame({"k": [1, 2, 3, 4, 4]})
+        right = pd.DataFrame({"k": [3, 4, 5]})
+        return ray.data.from_pandas(left), ray.data.from_pandas(right)
+
+    def test_intersect_distinct(self, ray_session):
+        from pdf_parser_ray.ops.relational import key_set_op
+
+        l, r = self._sides()
+        out = key_set_op(l, r, ["k"], "intersect").to_pandas()
+        assert sorted(out["k"]) == [3, 4]  # distinct semantics: 4 once
+
+    def test_except_distinct(self, ray_session):
+        from pdf_parser_ray.ops.relational import key_set_op
+
+        l, r = self._sides()
+        out = key_set_op(l, r, ["k"], "except").to_pandas()
+        assert sorted(out["k"]) == [1, 2]
+
+    def test_bad_op_rejected(self, ray_session):
+        from pdf_parser_ray.ops.relational import key_set_op
+
+        l, r = self._sides()
+        with pytest.raises(ValueError):
+            key_set_op(l, r, ["k"], "union")
+
+
+class TestGroupingSets:
+    def _ds(self):
+        import ray.data
+
+        df = pd.DataFrame(
+            {
+                "a": ["x", "x", "y", "y"],
+                "b": ["p", "q", "p", "q"],
+                "v": [1.0, 2.0, 3.0, 4.0],
+            }
+        )
+        return ray.data.from_pandas(df)
+
+    def test_cube_levels(self, ray_session):
+        from pdf_parser_ray.ops.relational import cube_aggregate
+
+        out = cube_aggregate(self._ds(), ["a", "b"], ["v"])
+        # 4 finest + 2 a-level + 2 b-level + 1 grand = 9
+        assert len(out) == 9
+        grand = out[(out["a"] == "ALL") & (out["b"] == "ALL")]
+        assert grand["v"].iloc[0] == 10.0 and grand["n_rows"].iloc[0] == 4
+        b_only = out[(out["a"] == "ALL") & (out["b"] == "p")]
+        assert b_only["v"].iloc[0] == 4.0  # 1 + 3
+
+    def test_grouping_set_validation(self, ray_session):
+        from pdf_parser_ray.ops.relational import grouping_sets_aggregate
+
+        with pytest.raises(ValueError):
+            grouping_sets_aggregate(self._ds(), ["a"], ["v"], [["b"]])
+
+
+class TestNewWindows:
+    def _events(self):
+        ts = pd.to_datetime(
+            ["2024-01-01 00:00:00", "2024-01-01 00:01:00", "2024-01-01 00:02:00",
+             "2024-01-01 00:03:00", "2024-01-01 00:00:30"]
+        )
+        return pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4, 5],
+                "ts": ts,
+                "user_id": [7, 7, 7, 7, 8],
+                "event_type": ["a", "a", "a", "b", "b"],
+                "value": [10.0, 20.0, 60.0, 5.0, 5.0],
+            }
+        )
+
+    def test_moving_avg_frame(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import moving_avg
+
+        out = (
+            moving_avg(ray.data.from_pandas(self._events()), window=3)
+            .to_pandas()
+            .set_index("event_id")["mov_avg"]
+        )
+        assert out[1] == 10.0          # frame = [10]
+        assert out[2] == 15.0          # frame = [10, 20]
+        assert out[3] == 30.0          # frame = [10, 20, 60]
+        assert out[4] == pytest.approx((20 + 60 + 5) / 3, abs=1e-4)
+        assert out[5] == 5.0           # other user: own frame
+
+    def test_dense_ranks_distinct_values(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import dense_value_ranks
+
+        df = pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4, 5],
+                "event_type": ["a"] * 5,
+                "value": [9.0, 9.0, 8.0, 7.0, 6.0],
+            }
+        )
+        out = dense_value_ranks(ray.data.from_pandas(df), k=3).to_pandas()
+        # ties share rank 1; 6.0 (4th distinct value) excluded
+        assert sorted(out["event_id"]) == [1, 2, 3, 4]
+        assert set(out.loc[out["value"] == 9.0, "rank"]) == {1}
+        assert out.loc[out["event_id"] == 4, "rank"].iloc[0] == 3
+
+    def test_dispersion_matches_pandas(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import grouped_dispersion
+
+        ev = self._events()
+        out = (
+            grouped_dispersion(ray.data.from_pandas(ev))
+            .to_pandas()
+            .set_index("event_type")
+        )
+        expected_sd = ev[ev["event_type"] == "a"]["value"].std(ddof=1)
+        assert out.loc["a", "sd_value"] == pytest.approx(expected_sd, abs=1e-6)
+        assert out.loc["a", "n"] == 3
+
+    def test_above_group_avg(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import above_group_avg
+
+        out = (
+            above_group_avg(ray.data.from_pandas(self._events()))
+            .to_pandas()
+            .set_index("event_type")
+        )
+        # type a: avg = 30 → only 60 qualifies; type b: avg = 5 → none > 5
+        assert out.loc["a", "n_above"] == 1
+        assert out.loc["a", "sum_above"] == 60.0
+        assert "b" not in out.index
+
+
+class TestFactSemiJoin:
+    def test_order_priority_counts(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        from pdf_parser_ray.ops.relational import order_priority_counts
+
+        orders = pd.DataFrame(
+            {
+                "o_orderkey": [1, 2, 3],
+                "o_orderdate": pd.to_datetime(["2000-01-10", "2000-02-10", "2000-03-10"]),
+                "o_orderpriority": ["HIGH", "HIGH", "LOW"],
+            }
+        )
+        li = pd.DataFrame(
+            {
+                # order 1: shipped after orderdate; order 2: same day (not
+                # after); order 3: no line items at all
+                "l_orderkey": [1, 1, 2],
+                "l_shipdate": pd.to_datetime(["2000-01-09", "2000-01-12", "2000-02-10"]),
+            }
+        )
+        papq.write_table(pa.Table.from_pandas(orders), tmp_path / "orders.parquet")
+        papq.write_table(pa.Table.from_pandas(li), tmp_path / "lineitem.parquet")
+        out = order_priority_counts(str(tmp_path)).to_pandas()
+        assert out.to_dict("records") == [{"o_orderpriority": "HIGH", "n_orders": 1}]
