@@ -54,3 +54,23 @@ def read_parquet_clean(path, columns=None, **kwargs) -> ray.data.Dataset:
             except Exception:
                 pass  # fall through to a plain read
     return ray.data.read_parquet(path, columns=columns, **kwargs)
+
+
+def arrow_out(df) -> "object":
+    """Convert a partial-stage pandas result to an Arrow table so the
+    emitted BLOCK is Arrow-format.
+
+    Rationale: a ``map_batches`` stage that returns pandas frames makes
+    Ray store pandas blocks, and a downstream high-cardinality
+    ``groupby().aggregate()`` shuffle combines pandas blocks ~11x slower
+    than Arrow blocks (measured 83 s vs 7.6 s on the Q4 max-collapse at
+    sf0.1/32 CPUs — ops/relational.order_priority_counts).  Partials
+    whose logic wants pandas should ``return arrow_out(out)`` whenever a
+    groupby / sort / join consumes them.
+    """
+    import pyarrow as pa
+
+    # replace_schema_metadata(None): from_pandas attaches b'pandas'
+    # schema metadata whose dict is UNHASHABLE and floods shuffle tasks
+    # with "Failed to hash the schemas" (read_parquet_clean rationale).
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)

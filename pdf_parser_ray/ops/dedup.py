@@ -24,6 +24,7 @@ import numpy as np
 import pandas as pd
 import ray.data
 
+from pdf_parser_ray.io_utils import arrow_out
 from pdf_parser_ray.stages import task_kwargs as _task_kwargs
 from pdf_parser_ray.stages import worker_state
 
@@ -40,8 +41,10 @@ def exact_hash_batch(df: pd.DataFrame) -> pd.DataFrame:
     norm = df["text"].fillna("").str.lower().str.replace(_WS, " ", regex=True).str.strip(" ")
     h = norm.map(lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
     out = pd.DataFrame({"text_hash": h, "doc_id": df["doc_id"]})
-    # pre-aggregate inside the batch before the global shuffle
-    return out.groupby("text_hash", as_index=False)["doc_id"].min()
+    # pre-aggregate inside the batch before the global shuffle; Arrow
+    # block out — pandas blocks aggregate ~11x slower in a
+    # high-cardinality shuffle (io_utils.arrow_out rationale).
+    return arrow_out(out.groupby("text_hash", as_index=False)["doc_id"].min())
 
 
 def exact_dedup(ds: ray.data.Dataset) -> ray.data.Dataset:
@@ -335,15 +338,17 @@ def minhash_lsh_pairs(
                         a_out.append(int(ids[i]))
                         b_out.append(int(ids[j]))
                         est.append(float(e))
-        return pd.DataFrame({"a": a_out, "b": b_out, "est_jaccard": est}).astype(
-            {"a": "int64", "b": "int64", "est_jaccard": "float64"}
+        return arrow_out(
+            pd.DataFrame({"a": a_out, "b": b_out, "est_jaccard": est}).astype(
+                {"a": "int64", "b": "int64", "est_jaccard": "float64"}
+            )
         )
 
-    def add_part(df: pd.DataFrame, n_parts: int) -> pd.DataFrame:
+    def add_part(df: pd.DataFrame, n_parts: int):
         df = df.copy()
         # band_hash is already a uniform int64 hash → cheap modulo key.
         df["part"] = (df["band_hash"].to_numpy() % n_parts).astype("int64")
-        return df
+        return arrow_out(df)  # Arrow block into the part shuffle
 
     n_parts = 512  # groups stay bounded: rows/512 per partition, uniform keys
     pairs = (

@@ -21,7 +21,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from pdf_parser_ray.io_utils import read_parquet_clean
+from pdf_parser_ray.io_utils import arrow_out, read_parquet_clean
 from pdf_parser_ray.stages import task_kwargs as _task_kwargs
 
 
@@ -812,11 +812,13 @@ def key_set_op(
     on = list(on)
 
     def tag(flag_l: int, flag_r: int):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
+        def fn(df: pd.DataFrame):
             out = df[on].drop_duplicates().copy()
             out["in_l"] = np.int64(flag_l)
             out["in_r"] = np.int64(flag_r)
-            return out
+            # Arrow block out: the distinct-key shuffle aggregates
+            # pandas blocks ~11x slower (io_utils.arrow_out rationale).
+            return arrow_out(out)
 
         return fn
 

@@ -17,6 +17,8 @@ import re
 
 import pandas as pd
 
+from pdf_parser_ray.io_utils import arrow_out
+
 # re.ASCII keeps \s/\S aligned with RE2 (DuckDB) semantics — without it
 # Python treats U+00A0 etc. as whitespace and the oracle comparison drifts.
 TOKEN_PAT = re.compile(r"\S+", re.ASCII)
@@ -131,12 +133,14 @@ def word_counts(ds) -> "object":
     import ray.data
     from ray.data.aggregate import Sum
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame):
         toks = df["text"].fillna("").str.lower().str.findall(TOKEN_PAT)
         vc = toks.explode().dropna().value_counts()
-        return pd.DataFrame(
+        # Arrow block out: pandas blocks aggregate ~11x slower in the
+        # high-cardinality token shuffle (io_utils.arrow_out rationale).
+        return arrow_out(pd.DataFrame(
             {"token": vc.index.astype(str), "n": vc.to_numpy().astype("int64")}
-        )
+        ))
 
     return (
         ds.map_batches(partial, batch_format="pandas")
@@ -204,10 +208,10 @@ def token_postings(ds) -> "object":
             uniq = set(toks)
             tokens.extend(uniq)
             ids.extend([doc_id] * len(uniq))
-        return pd.DataFrame(
+        return arrow_out(pd.DataFrame(
             {"token": pd.Series(tokens, dtype="object"),
              "doc_id": np.asarray(ids, dtype=np.int64)}
-        )
+        ))
 
     return (
         ds.map_batches(explode, batch_format="pandas")
@@ -388,13 +392,13 @@ def bigram_counts(ds, top_k: int | None = None) -> "object":
         # (the cross-doc boundary pair is NaN and drops out).
         s = toks.explode().dropna().astype(str)
         if s.empty:
-            return pd.DataFrame({"bigram": pd.Series([], dtype=str),
-                                 "n": pd.Series([], dtype="int64")})
+            return arrow_out(pd.DataFrame({"bigram": pd.Series([], dtype=str),
+                                           "n": pd.Series([], dtype="int64")}))
         nxt = s.groupby(level=0).shift(-1)
         vc = (s + " " + nxt).dropna().value_counts()
-        return pd.DataFrame(
+        return arrow_out(pd.DataFrame(
             {"bigram": vc.index.astype(str), "n": vc.to_numpy().astype("int64")}
-        )
+        ))
 
     counts = (
         ds.map_batches(partial, batch_format="pandas")
@@ -446,15 +450,15 @@ def lm_score(
         toks = df["text"].fillna("").str.lower().str.findall(TOKEN_PAT)
         s = toks.explode().dropna().astype(str)
         if s.empty:
-            return pd.DataFrame(
+            return arrow_out(pd.DataFrame(
                 {"kind": pd.Series([], dtype=str),
                  "key": pd.Series([], dtype=str),
                  "n": pd.Series([], dtype="int64")}
-            )
+            ))
         uni = s.value_counts()
         nxt = s.groupby(level=0).shift(-1)
         big = (s + " " + nxt).dropna().value_counts()
-        return pd.DataFrame(
+        return arrow_out(pd.DataFrame(
             {
                 "kind": ["u"] * len(uni) + ["b"] * len(big),
                 "key": list(uni.index) + list(big.index),
@@ -462,7 +466,7 @@ def lm_score(
                     [uni.to_numpy(), big.to_numpy()]
                 ).astype("int64"),
             }
-        )
+        ))
 
     model_rows = (
         ds.map_batches(tagged_partials, batch_format="pandas")
