@@ -962,6 +962,58 @@ def order_priority_counts(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def order_count_distribution(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 shape: the distribution of orders-per-customer,
+    INCLUDING customers with zero orders (the left-outer-join wrinkle).
+
+    Scale shape: two cascaded partial aggregations, no join at all —
+    (1) per-batch Arrow count partials → groupby(custkey) gives orders
+    per ordering customer (uniform key, one shuffle); (2) per-batch
+    count partials over those counts → groupby(n_orders) collapses to
+    the tiny distribution (≤ max orders per customer rows).  The
+    zero-order row is arithmetic: |customer| − |distinct ordering
+    customers| — the left join never materializes.  |customer| comes
+    from parquet METADATA (no data read).
+
+    Output: (n_orders:int64, n_customers:int64), ordered by n_orders.
+    """
+    from ray.data.aggregate import Sum
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([("o_custkey", "count")])
+        return g.rename_columns(["c_custkey", "n_orders"])
+
+    per_cust = (
+        orders.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_custkey")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("n_orders").aggregate([("n_orders", "count")])
+        return g.rename_columns(["n_orders", "n_customers"])
+
+    hist = (
+        per_cust.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_orders")
+        .aggregate(Sum("n_customers", alias_name="n_customers"))
+        .to_pandas()
+    )
+    import pyarrow.parquet as pq
+
+    n_total = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    n_zero = int(n_total) - int(hist["n_customers"].sum())
+    if n_zero > 0:
+        hist = pd.concat(
+            [hist, pd.DataFrame({"n_orders": [0], "n_customers": [n_zero]})],
+            ignore_index=True,
+        )
+    hist = hist.astype({"n_orders": "int64", "n_customers": "int64"})
+    return hist.sort_values("n_orders").reset_index(drop=True)
+
+
 def nation_revenue(sf_dir: str, region: str = "ASIA") -> ray.data.Dataset:
     """TPC-H Q5 shape: revenue per nation for one region, where the
     supplying nation must equal the customer's nation.

@@ -278,6 +278,81 @@ def repetition_stats(
     return ds.map_batches(stats, batch_format="pandas")
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_gate(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 30,
+    max_words: int = 90,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_stopword_hits: int = 2,
+) -> ray.data.Dataset:
+    """Gopher-style composite quality gate (Rae et al. 2021, public
+    rules): word-count bounds, mean-word-length band, and a minimum
+    number of canonical-stopword occurrences.  One row per document
+    with each signal plus the combined ``keep`` verdict — downstream
+    pipelines filter on ``keep`` (or on individual signals).
+
+    Tokenization is the repo-standard lowered ``\\S+`` so the DuckDB
+    oracle reproduces it with ``regexp_extract_all(lower(text),'\\S+')``.
+    ``mean_word_len`` divides two int64s → bit-identical doubles on
+    both engines (the per-row-ratio rule); zero-word docs emit 0.0 and
+    fail the gate.  Row-local — no shuffle at any scale.
+
+    Output: (id_col, n_words:int64, mean_word_len:float64,
+    stopword_hits:int64, keep:bool).
+    """
+    stop = set(GOPHER_STOPWORDS)
+
+    def gate(df: pd.DataFrame):
+        toks = (
+            df[text_col].fillna("").str.lower().str.findall(r"\S+")
+        )
+        ex = toks.explode().dropna()
+        n = len(df)
+        n_words = np.zeros(n, dtype=np.int64)
+        total_len = np.zeros(n, dtype=np.int64)
+        stop_hits = np.zeros(n, dtype=np.int64)
+        if len(ex):
+            # positional row index of each token → bincount per doc
+            pos_map = pd.Series(np.arange(n), index=df.index)
+            pos = pos_map[ex.index].to_numpy(dtype=np.int64)
+            n_words = np.bincount(pos, minlength=n).astype(np.int64)
+            total_len = np.bincount(
+                pos, weights=ex.str.len().to_numpy(dtype=np.float64),
+                minlength=n,
+            ).astype(np.int64)
+            m = ex.isin(stop).to_numpy()
+            if m.any():
+                stop_hits = np.bincount(pos[m], minlength=n).astype(np.int64)
+        mean_len = np.where(
+            n_words > 0, total_len / np.maximum(n_words, 1), 0.0
+        )
+        keep = (
+            (n_words >= min_words)
+            & (n_words <= max_words)
+            & (mean_len >= min_mean_word_len)
+            & (mean_len <= max_mean_word_len)
+            & (stop_hits >= min_stopword_hits)
+        )
+        return arrow_out(pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "n_words": n_words,
+                "mean_word_len": mean_len.astype(np.float64),
+                "stopword_hits": stop_hits,
+                "keep": keep,
+            }
+        ))
+
+    return ds.map_batches(gate, batch_format="pandas")
+
+
 def pii_redact(
     ds: ray.data.Dataset, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> ray.data.Dataset:

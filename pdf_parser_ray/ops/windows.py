@@ -387,6 +387,71 @@ def moving_avg(
     )
 
 
+def rank_windows(
+    ds: ray.data.Dataset,
+    *,
+    part_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    val_col: str = "value",
+    n_tiles: int = 4,
+    n_parts: int | None = None,
+) -> ray.data.Dataset:
+    """Ranking window functions per partition, one pass: SQL
+    ``ntile(k) OVER (PARTITION BY part ORDER BY order_cols)`` plus
+    ``percent_rank()`` / ``cume_dist() OVER (PARTITION BY part ORDER BY
+    val)``.
+
+    Semantics pinned to the SQL definitions: NTILE gives the first
+    ``n %% k`` tiles one extra row (1-based); percent_rank =
+    (rank_min − 1)/(n − 1) with 0 for single-row partitions; cume_dist
+    = rank_max/n.  All three divide int64 operands → bit-identical
+    doubles cross-engine (no rounding needed).
+
+    Same bounded-partition co-location as :func:`running_window`; the
+    kernel vectorizes ACROSS users (one sort, grouped cumcount/rank —
+    no Python loop per group).
+
+    Output: (event_id, part_col, tile:int64, pct_rank:float64,
+    cume_dist:float64).
+    """
+    import numpy as np
+
+    k = int(n_tiles)
+
+    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values([part_col, *order_cols])
+        grp = g.groupby(part_col, sort=False)
+        n = grp[val_col].transform("size").to_numpy(dtype=np.int64)
+        pos = grp.cumcount().to_numpy(dtype=np.int64)
+        base, rem = n // k, n % k
+        cut = rem * (base + 1)
+        tile = np.where(
+            pos < cut,
+            pos // np.maximum(base + 1, 1),
+            rem + (pos - cut) // np.maximum(base, 1),
+        ) + 1
+        vgrp = g.groupby(part_col, sort=False)[val_col]
+        rmin = vgrp.rank(method="min").to_numpy(dtype=np.float64)
+        rmax = vgrp.rank(method="max").to_numpy(dtype=np.float64)
+        pct = np.where(n > 1, (rmin - 1.0) / np.maximum(n - 1, 1), 0.0)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                part_col: g[part_col].to_numpy(),
+                "tile": tile.astype(np.int64),
+                "pct_rank": pct.astype(np.float64),
+                "cume_dist": (rmax / n).astype(np.float64),
+            }
+        )
+
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    return partitioned_map(
+        ds, [part_col], per_partition,
+        **({"n_parts": n_parts} if n_parts else {}),
+    )
+
+
 def dense_value_ranks(
     ds: ray.data.Dataset,
     *,

@@ -1165,6 +1165,33 @@ def q_moving_avg(sf_dir: str) -> ray.data.Dataset:
     return moving_avg(ds)
 
 
+def q_gopher_gate(sf_dir: str) -> ray.data.Dataset:
+    """Gopher composite quality gate: word-count bounds + mean-word-
+    length band + canonical-stopword minimum, row-local."""
+    from pdf_parser_ray.ops.webtext import gopher_gate
+
+    return gopher_gate(_documents(sf_dir))
+
+
+def q_rank_windows(sf_dir: str) -> ray.data.Dataset:
+    """Ranking windows per user: ntile(4) over (ts, event_id) order plus
+    percent_rank / cume_dist over value — one bounded-partition pass."""
+    from pdf_parser_ray.ops.windows import rank_windows
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    return rank_windows(ds)
+
+
+def q_order_count_distribution(sf_dir: str):
+    """TPC-H Q13 shape: orders-per-customer distribution including
+    zero-order customers — two cascaded aggregations, no join."""
+    from pdf_parser_ray.ops.relational import order_count_distribution
+
+    return order_count_distribution(sf_dir)
+
+
 def q_event_dense_ranks(sf_dir: str) -> ray.data.Dataset:
     """dense_rank() <= 3 per event_type by value DESC — distinct-value
     top-k via batch-local rank pruning (no unbounded group)."""
@@ -2118,6 +2145,57 @@ SQL["order_priority"] = """
     GROUP BY o.o_orderpriority
 """
 
+SQL["gopher_gate"] = """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ws
+      FROM documents
+    ),
+    per AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CASE WHEN len(ws) > 0
+                  THEN CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT)
+                  ELSE 0 END AS total_len,
+             CAST(len(list_filter(ws, w -> w IN
+               ('the','be','to','of','and','that','have','with'))) AS BIGINT)
+               AS stopword_hits
+      FROM toks
+    )
+    SELECT doc_id, n_words,
+           CASE WHEN n_words > 0
+                THEN total_len / CAST(n_words AS DOUBLE) ELSE 0.0 END
+             AS mean_word_len,
+           stopword_hits,
+           (n_words >= 30 AND n_words <= 90
+            AND (CASE WHEN n_words > 0
+                      THEN total_len / CAST(n_words AS DOUBLE) ELSE 0.0 END)
+                BETWEEN 3.0 AND 10.0
+            AND stopword_hits >= 2) AS keep
+    FROM per
+"""
+
+SQL["rank_windows"] = """
+    SELECT event_id, user_id,
+           CAST(ntile(4) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS BIGINT) AS tile,
+           percent_rank() OVER (PARTITION BY user_id ORDER BY value)
+             AS pct_rank,
+           cume_dist() OVER (PARTITION BY user_id ORDER BY value)
+             AS cume_dist
+    FROM events
+"""
+
+SQL["order_count_distribution"] = """
+    WITH per AS (
+      SELECT c.c_custkey, count(o.o_custkey) AS n_orders
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM per GROUP BY n_orders
+"""
+
 SQL["nation_revenue"] = """
     SELECT n.n_name,
            round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
@@ -2216,6 +2294,9 @@ QUERIES = {
     "event_dense_ranks": q_event_dense_ranks,
     "event_dispersion": q_event_dispersion,
     "above_avg_events": q_above_avg_events,
+    "gopher_gate": q_gopher_gate,
+    "rank_windows": q_rank_windows,
+    "order_count_distribution": q_order_count_distribution,
     "repeat_customers": q_repeat_customers,
     "churned_customers": q_churned_customers,
     "revenue_cube": q_revenue_cube,

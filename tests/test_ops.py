@@ -1011,3 +1011,102 @@ class TestFactSemiJoin:
         papq.write_table(pa.Table.from_pandas(li), tmp_path / "lineitem.parquet")
         out = order_priority_counts(str(tmp_path)).to_pandas()
         assert out.to_dict("records") == [{"o_orderpriority": "HIGH", "n_orders": 1}]
+
+
+class TestRankWindows:
+    def test_ntile_pct_cume(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import rank_windows
+
+        # user 7: 5 rows in ts order, values with a tie (20.0 twice)
+        ts = pd.to_datetime(
+            ["2024-01-01 00:00:00", "2024-01-01 00:01:00",
+             "2024-01-01 00:02:00", "2024-01-01 00:03:00",
+             "2024-01-01 00:04:00", "2024-01-01 00:00:10"]
+        )
+        df = pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4, 5, 6],
+                "ts": ts,
+                "user_id": [7, 7, 7, 7, 7, 8],
+                "value": [10.0, 20.0, 20.0, 60.0, 5.0, 9.0],
+            }
+        )
+        out = (
+            rank_windows(ray.data.from_pandas(df), n_tiles=4)
+            .to_pandas()
+            .set_index("event_id")
+        )
+        # NTILE(4) over 5 rows in ts order → sizes 2,1,1,1 (first tile
+        # takes the extra row)
+        assert list(out.loc[[1, 2, 3, 4, 5], "tile"]) == [1, 1, 2, 3, 4]
+        # percent_rank over value: 5.0→0, 10.0→1/4, 20.0 (tie, min
+        # rank 3)→2/4, 60.0→4/4
+        assert out.loc[5, "pct_rank"] == 0.0
+        assert out.loc[1, "pct_rank"] == 0.25
+        assert out.loc[2, "pct_rank"] == 0.5
+        assert out.loc[3, "pct_rank"] == 0.5
+        assert out.loc[4, "pct_rank"] == 1.0
+        # cume_dist: max-rank/n — the tied 20.0s both get 4/5
+        assert out.loc[2, "cume_dist"] == 0.8
+        assert out.loc[3, "cume_dist"] == 0.8
+        # single-row partition: pct_rank 0, cume_dist 1, tile 1
+        assert out.loc[6, "tile"] == 1
+        assert out.loc[6, "pct_rank"] == 0.0
+        assert out.loc[6, "cume_dist"] == 1.0
+
+
+class TestGopherGate:
+    def test_rules(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.webtext import gopher_gate
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    # 30 words incl. 2 stopwords, mean len in band → keep
+                    "the and " + " ".join(["word"] * 28),
+                    # too short
+                    "the and tiny",
+                    # no stopword hits
+                    " ".join(["word"] * 30),
+                    # empty
+                    "",
+                ],
+            }
+        )
+        out = (
+            gopher_gate(ray.data.from_pandas(docs))
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert bool(out.loc[1, "keep"]) is True
+        assert out.loc[1, "n_words"] == 30
+        assert out.loc[1, "stopword_hits"] == 2
+        assert bool(out.loc[2, "keep"]) is False
+        assert bool(out.loc[3, "keep"]) is False   # stopword rule
+        assert out.loc[3, "stopword_hits"] == 0
+        assert bool(out.loc[4, "keep"]) is False
+        assert out.loc[4, "mean_word_len"] == 0.0
+
+
+class TestOrderCountDistribution:
+    def test_includes_zero_customers(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        from pdf_parser_ray.ops.relational import order_count_distribution
+
+        cust = pd.DataFrame({"c_custkey": [1, 2, 3, 4]})
+        orders = pd.DataFrame({"o_custkey": [1, 1, 1, 2]})
+        papq.write_table(pa.Table.from_pandas(cust), tmp_path / "customer.parquet")
+        papq.write_table(pa.Table.from_pandas(orders), tmp_path / "orders.parquet")
+        out = order_count_distribution(str(tmp_path))
+        assert out.to_dict("records") == [
+            {"n_orders": 0, "n_customers": 2},
+            {"n_orders": 1, "n_customers": 1},
+            {"n_orders": 3, "n_customers": 1},
+        ]
