@@ -349,3 +349,51 @@ def embedding_quantize(
         )
 
     return ds.map_batches(quant, batch_format="pandas")
+
+
+def embed_documents(
+    ds: ray.data.Dataset,
+    *,
+    dim: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Deterministic hashed bag-of-words document embeddings — the
+    feature-hashing trick (Weinberger et al., ICML 2009): token t
+    contributes sign(h(t)) to dimension h(t) mod dim; rows are
+    L2-normalized.
+
+    Purpose: bridge the documents table into the similarity tier
+    (kNN / embedding dedup / centroids run unchanged on the output)
+    WITHOUT a model dependency.  Fixed-key siphash (pandas
+    ``hash_array``) makes every worker and every rerun produce the same
+    vectors; the per-batch kernel is one explode + one vectorized hash
+    + one ``np.add.at`` scatter — no Python loop over tokens.
+    Row-local: no shuffle at any scale.
+
+    Output: (vec_id:int64 [= id_col], embedding:list<float64>).
+    """
+    import re
+
+    token_re = re.compile(r"\S+", re.ASCII)
+
+    def embed(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].fillna("").str.lower().str.findall(token_re)
+        ex = toks.explode().dropna()
+        n = len(df)
+        mat = np.zeros((n, dim), dtype=np.float64)
+        if len(ex):
+            pos_map = pd.Series(np.arange(n), index=df.index)
+            rows = pos_map[ex.index].to_numpy(dtype=np.int64)
+            h = pd.util.hash_array(ex.to_numpy(dtype=object))
+            cols = (h % np.uint64(dim)).astype(np.int64)
+            signs = np.where((h >> np.uint64(63)).astype(bool), -1.0, 1.0)
+            np.add.at(mat, (rows, cols), signs)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        mat /= norms[:, None]
+        return pd.DataFrame(
+            {"vec_id": df[id_col].to_numpy(dtype=np.int64), "embedding": list(mat)}
+        )
+
+    return ds.map_batches(embed, batch_format="pandas")

@@ -167,3 +167,91 @@ def top_k_frequent(
     return pd.DataFrame(
         {"value": [t[0] for t in top], "n": pd.Series([t[1] for t in top], dtype="int64")}
     )
+
+
+def grouped_hll_distinct(
+    ds: ray.data.Dataset, group_col: str, col: str, *, b: int = 12
+) -> ray.data.Dataset:
+    """Approximate COUNT(DISTINCT col) PER GROUP — the mergeable-sketch
+    shape for grouped cardinality at corpus scale.
+
+    Per batch: one 2^b-byte HLL register row per group present in the
+    batch (vectorized siphash, max-reduced registers); the ONLY shuffle
+    is a groupby over (group, sketch) rows — O(groups x batches) rows of
+    fixed size, never the raw values.  The per-group merge is a
+    register-wise max over at most #batches sketches.
+
+    Compare with the exact twin (distinct pairs -> grouped count) when
+    the driver needs a hash-checkable answer; the sketch path is for
+    cardinalities where the exact distinct shuffle is the bottleneck.
+
+    Output: (group_col, n_distinct_est:float64).
+    """
+
+    def sketch_batch(df: pd.DataFrame):
+        groups, sketches = [], []
+        for g, sub in df.groupby(group_col, sort=False):
+            h = HLL(b)
+            h.add_hashes(_hash_strings(sub[col].dropna().tolist()))
+            groups.append(g)
+            sketches.append(h.registers.tobytes())
+        from pdf_parser_ray.io_utils import arrow_out
+
+        return arrow_out(pd.DataFrame({group_col: groups, "sketch": sketches}))
+
+    def merge_group(part: pd.DataFrame) -> pd.DataFrame:
+        merged = HLL(b)
+        for sbytes in part["sketch"]:
+            merged = merged.merge(
+                HLL(b, np.frombuffer(sbytes, dtype=np.uint8).copy())
+            )
+        return pd.DataFrame(
+            {
+                group_col: [part[group_col].iloc[0]],
+                "n_distinct_est": [merged.estimate()],
+            }
+        )
+
+    return (
+        ds.map_batches(sketch_batch, batch_format="pandas")
+        .groupby(group_col)
+        .map_groups(merge_group, batch_format="pandas")
+    )
+
+
+def grouped_distinct_exact(
+    ds: ray.data.Dataset, group_col: str, col: str
+) -> ray.data.Dataset:
+    """Exact COUNT(DISTINCT col) per group — the sketch's oracle twin.
+
+    Per-batch pair dedup (the combiner) -> one groupby over distinct
+    (group, col) pairs -> per-batch partial pair counts -> tiny final
+    grouped sum.  Shuffle volume is bounded by the number of DISTINCT
+    pairs, not rows.
+
+    Output: (group_col, n_distinct:int64).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from pdf_parser_ray.io_utils import arrow_out
+
+    def pair_dedup(df: pd.DataFrame):
+        return arrow_out(df[[group_col, col]].drop_duplicates())
+
+    pairs = (
+        ds.map_batches(pair_dedup, batch_format="pandas")
+        .groupby([group_col, col])
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def count_partial(df: pd.DataFrame):
+        g = df.groupby(group_col, as_index=False).size()
+        return arrow_out(
+            g.rename(columns={"size": "n_distinct"}).astype({"n_distinct": "int64"})
+        )
+
+    return (
+        pairs.map_batches(count_partial, batch_format="pandas")
+        .groupby(group_col)
+        .aggregate(Sum("n_distinct", alias_name="n_distinct"))
+    )

@@ -1192,6 +1192,53 @@ def q_order_count_distribution(sf_dir: str):
     return order_count_distribution(sf_dir)
 
 
+def q_doc_embed_knn(sf_dir: str) -> ray.data.Dataset:
+    """Text → similarity bridge: hash-trick document embeddings, then
+    exact cosine top-10 neighbors of doc 0 (itself excluded).  The
+    embedding step is deterministic (fixed-key siphash), so the result
+    is rerun-stable; no SQL oracle (scatter-add projection is not
+    reasonably SQL-expressible) — accuracy pinned by unit tests."""
+    import pandas as pd
+
+    from pdf_parser_ray.ops.similarity import embed_documents, knn_brute_force
+
+    docs = _documents(sf_dir)
+    embedded = embed_documents(docs)
+    # The query vector: embed doc 0 driver-side with the same kernel.
+    import pyarrow.parquet as papq
+
+    t = papq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    one = t.to_pandas().query("doc_id == 0")
+    import ray.data as _rd
+
+    qvec = (
+        embed_documents(_rd.from_pandas(one)).take_all()[0]["embedding"]
+    )
+    return knn_brute_force(embedded, qvec, k=10, exclude_vec_id=0, round_to=6)
+
+
+def q_distinct_users_per_type(sf_dir: str) -> ray.data.Dataset:
+    """Exact COUNT(DISTINCT user_id) per event_type — distinct-pair
+    combiner, shuffle bounded by distinct pairs."""
+    from pdf_parser_ray.ops.sketches import grouped_distinct_exact
+
+    ds = _read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return grouped_distinct_exact(ds, "event_type", "user_id")
+
+
+def q_hll_users_per_type(sf_dir: str) -> ray.data.Dataset:
+    """Approximate grouped distinct: one mergeable HLL sketch per
+    (group, batch), registers max-merged per group.  Approximate by
+    design (no SQL oracle); accuracy pinned vs the exact twin in
+    tests."""
+    from pdf_parser_ray.ops.sketches import grouped_hll_distinct
+
+    ds = _read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return grouped_hll_distinct(ds, "event_type", "user_id")
+
+
 def q_event_dense_ranks(sf_dir: str) -> ray.data.Dataset:
     """dense_rank() <= 3 per event_type by value DESC — distinct-value
     top-k via batch-local rank pruning (no unbounded group)."""
@@ -2196,6 +2243,11 @@ SQL["order_count_distribution"] = """
     FROM per GROUP BY n_orders
 """
 
+SQL["distinct_users_per_type"] = """
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY event_type
+"""
+
 SQL["nation_revenue"] = """
     SELECT n.n_name,
            round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
@@ -2295,6 +2347,9 @@ QUERIES = {
     "event_dispersion": q_event_dispersion,
     "above_avg_events": q_above_avg_events,
     "gopher_gate": q_gopher_gate,
+    "distinct_users_per_type": q_distinct_users_per_type,
+    "doc_embed_knn": q_doc_embed_knn,
+    "hll_users_per_type": q_hll_users_per_type,
     "rank_windows": q_rank_windows,
     "order_count_distribution": q_order_count_distribution,
     "repeat_customers": q_repeat_customers,

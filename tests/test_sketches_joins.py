@@ -222,3 +222,95 @@ class TestSparseJoinPriming:
         out = hash_join(l, r, ["k"], join_type="inner", num_partitions=4).to_pandas()
         assert len(out) == 100
         assert (out.sort_values("k")["b"].to_numpy() == out.sort_values("k")["k"].to_numpy() * 3).all()
+
+
+class TestGroupedDistinct:
+    def _events(self):
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        return pd.DataFrame(
+            {
+                "event_type": np.repeat(["a", "b", "c"], 400),
+                # group a: 50 distinct users, b: 200, c: 1
+                "user_id": np.concatenate(
+                    [rng.randint(0, 50, 400), rng.randint(1000, 1200, 400),
+                     np.full(400, 7)]
+                ),
+            }
+        )
+
+    def test_exact_twin(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.sketches import grouped_distinct_exact
+
+        df = self._events()
+        out = (
+            grouped_distinct_exact(
+                ray.data.from_pandas(df), "event_type", "user_id"
+            )
+            .to_pandas()
+            .set_index("event_type")["n_distinct"]
+        )
+        exp = df.groupby("event_type")["user_id"].nunique()
+        assert out.to_dict() == exp.to_dict()
+
+    def test_hll_close_to_exact(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.sketches import grouped_hll_distinct
+
+        df = self._events()
+        out = (
+            grouped_hll_distinct(
+                ray.data.from_pandas(df), "event_type", "user_id"
+            )
+            .to_pandas()
+            .set_index("event_type")["n_distinct_est"]
+        )
+        exp = df.groupby("event_type")["user_id"].nunique()
+        for g, true_n in exp.items():
+            assert abs(out[g] - true_n) / true_n < 0.05, (g, out[g], true_n)
+
+
+class TestEmbedDocuments:
+    def test_deterministic_normalized_and_knn(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from pdf_parser_ray.ops.similarity import embed_documents, knn_brute_force
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "alpha beta gamma delta",
+                    "alpha beta gamma delta",      # identical to doc 0
+                    "alpha beta gamma epsilon",    # near doc 0
+                    "zeta eta theta iota kappa",   # disjoint
+                ],
+            }
+        )
+        out = (
+            embed_documents(ray.data.from_pandas(docs), dim=16)
+            .to_pandas()
+            .set_index("vec_id")["embedding"]
+        )
+        v0, v1, v2, v3 = (np.asarray(out[i]) for i in range(4))
+        # identical text → identical vector; all unit-norm
+        assert np.allclose(v0, v1)
+        for v in (v0, v2, v3):
+            assert np.isclose(np.linalg.norm(v), 1.0)
+        # rerun-stable (fresh dataset, same result)
+        out2 = (
+            embed_documents(ray.data.from_pandas(docs), dim=16)
+            .to_pandas()
+            .set_index("vec_id")["embedding"]
+        )
+        assert np.allclose(np.vstack(out.to_numpy()), np.vstack(out2.to_numpy()))
+        # knn over the embeddings ranks the duplicate first
+        emb_ds = embed_documents(ray.data.from_pandas(docs), dim=16)
+        top = knn_brute_force(emb_ds, v0, k=2, exclude_vec_id=0).to_pandas()
+        assert top.iloc[0]["vec_id"] == 1
+        assert np.isclose(top.iloc[0]["cosine"], 1.0)
