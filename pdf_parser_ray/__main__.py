@@ -76,6 +76,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-dup-frac", type=float, default=0.6)
 
     p = sub.add_parser(
+        "dedup",
+        help="corpus deduplication: exact winners or near-dup pairs",
+    )
+    p.add_argument("--input", required=True,
+                   help="documents parquet (doc_id,text) or a raw corpus dir")
+    p.add_argument("--out", required=True)
+    p.add_argument("--mode", choices=["exact", "minhash", "simhash"],
+                   default="exact")
+    p.add_argument("--threshold", type=float, default=0.5,
+                   help="minhash: min estimated Jaccard for a pair")
+
+    p = sub.add_parser(
         "ingest",
         help="append a corpus increment, deduped against a fingerprint index",
     )
@@ -167,6 +179,66 @@ def main(argv: list[str] | None = None) -> int:
             max_dup_frac=args.max_dup_frac,
         )
         print(json.dumps({"splits": counts, "out": args.out}))
+    elif args.cmd == "dedup":
+        import pandas as pd
+        import pyarrow.parquet as _pq
+
+        import glob as _glob
+        import os as _os
+
+        # documents-style input (doc_id,text) is used directly; a raw
+        # corpus dir (url/html/text) goes through extraction first.
+        if _os.path.isfile(args.input):
+            sample = [args.input]
+        else:
+            sample = sorted(
+                _glob.glob(
+                    _os.path.join(args.input, "**", "*.parquet"), recursive=True
+                )
+            )
+        names = set(_pq.read_schema(sample[0]).names) if sample else set()
+        if {"doc_id", "text"} <= names:
+            docs = ray.data.read_parquet(args.input, columns=["doc_id", "text"])
+        else:
+            extracted = extract_corpus(read_corpus(args.input)).select_columns(
+                ["url", "extracted_text"]
+            )
+
+            def as_docs(df: pd.DataFrame) -> pd.DataFrame:
+                ids = (
+                    pd.util.hash_array(df["url"].to_numpy(dtype=object))
+                    .astype("int64")
+                    .__abs__()
+                )
+                return pd.DataFrame({"doc_id": ids, "text": df["extracted_text"]})
+
+            docs = extracted.map_batches(as_docs, batch_format="pandas")
+
+        n_in = docs.count()
+        if args.mode == "exact":
+            from pdf_parser_ray.ops.dedup import exact_dedup
+
+            winners = exact_dedup(docs)
+            winners.write_parquet(args.out)
+            n = ray.data.read_parquet(args.out, columns=["doc_id"]).count()
+            print(json.dumps({"mode": "exact", "in_docs": n_in,
+                              "survivors": n, "out": args.out}))
+        elif args.mode == "minhash":
+            from pdf_parser_ray.ops.dedup import minhash_lsh_pairs
+
+            pairs = minhash_lsh_pairs(docs, threshold=args.threshold)
+            pairs.write_parquet(args.out)
+            n = ray.data.read_parquet(args.out, columns=["a"]).count()
+            print(json.dumps({"mode": "minhash", "in_docs": n_in,
+                              "pairs": n, "out": args.out}))
+        else:
+            from pdf_parser_ray.ops.dedup import simhash_near_pairs
+
+            pairs = simhash_near_pairs(docs)
+            pairs.write_parquet(args.out)
+            n = ray.data.read_parquet(args.out, columns=["a"]).count()
+            print(json.dumps({"mode": "simhash", "in_docs": n_in,
+                              "pairs": n, "out": args.out}))
     elif args.cmd == "ingest":
         import glob
         import os

@@ -69,3 +69,33 @@ def test_ingest_cmd_incremental(cli_corpus, tmp_path, capsys):
     r2 = run_cli(capsys, ["ingest", "--input", cli_corpus,
                           "--index", idx, "--out", str(tmp_path / "b2")])
     assert r2["new_docs"] == 0
+
+
+def test_dedup_cmd_exact_and_pairs(cli_corpus, tmp_path, capsys):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # documents-style input with one exact duplicate pair
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["alpha beta gamma", "alpha beta gamma", "delta epsilon"],
+        }
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(docs), str(d / "docs.parquet"))
+
+    res = run_cli(capsys, ["dedup", "--input", str(d),
+                           "--out", str(tmp_path / "winners"), "--mode", "exact"])
+    assert res["in_docs"] == 3 and res["survivors"] == 2
+
+    res = run_cli(capsys, ["dedup", "--input", str(d),
+                           "--out", str(tmp_path / "pairs"), "--mode", "minhash"])
+    assert res["pairs"] == 1  # the identical pair
+
+    # raw-corpus input goes through extraction first
+    res = run_cli(capsys, ["dedup", "--input", cli_corpus,
+                           "--out", str(tmp_path / "cw"), "--mode", "exact"])
+    assert res["in_docs"] == 60 and 0 < res["survivors"] <= 60
