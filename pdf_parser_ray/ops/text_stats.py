@@ -415,6 +415,7 @@ def lm_score(
     *,
     round_to: int = 6,
     broadcast_limit: int = 5_000_000,
+    mode: str = "broadcast",
 ) -> "object":
     """Bigram-LM quality scoring — the CCNet-style "perplexity against a
     language model" gate, with the model trained ON the corpus so the
@@ -434,8 +435,15 @@ def lm_score(
     vocabulary (V = number of kind='u' keys); context counts derive
     from the collected bigram rows driver-side.  The shuffle is bounded
     by BIGRAM VOCABULARY, not corpus size; ``broadcast_limit`` guards
-    pathological vocabularies — beyond it, score via a hash join on the
-    bigram key instead of a broadcast.  The scoring pass is row-local.
+    pathological vocabularies.  The scoring pass is row-local.
+
+    ``mode="join"`` is the vocabulary-outgrows-broadcast path: no
+    driver-side model at all.  Per-doc bigram counts explode to
+    (doc_id, key, cnt) rows; TWO hash joins pull in the bigram count
+    and the context (w1·) count; V rides along as one scalar; per-doc
+    partial logprob sums collapse in one groupby(doc_id).  Every stage
+    is bounded by vocab or per-doc-bigram rows — nothing driver-sized.
+    Both modes emit identical rows after rounding (parity-tested).
 
     Output: (doc_id, n_bigrams:int64, avg_logp:float64, ppl:float64);
     docs with < 2 tokens emit nothing (no bigrams — inner semantics).
@@ -468,16 +476,20 @@ def lm_score(
             }
         ))
 
-    model_rows = (
+    model = (
         ds.map_batches(tagged_partials, batch_format="pandas")
         .groupby(["kind", "key"])
         .aggregate(Sum("n", alias_name="n"))
-        .take_all()
     )
+    if mode == "join":
+        return _lm_score_join(ds, model, round_to=round_to)
+    if mode != "broadcast":
+        raise ValueError(f"mode must be broadcast|join, got {mode!r}")
+    model_rows = model.take_all()
     if len(model_rows) > broadcast_limit:
         raise ValueError(
             f"model vocabulary {len(model_rows)} exceeds broadcast_limit; "
-            "score via a hash join on the bigram key instead"
+            "use mode='join' for this corpus"
         )
     bg: dict[str, int] = {}
     vocab_size = 0.0
@@ -538,3 +550,111 @@ def lm_score(
         )
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def _lm_score_join(ds, model, *, round_to: int) -> "object":
+    """Join-mode LM scoring (see :func:`lm_score` ``mode="join"``).
+
+    model: the aggregated (kind, key, n) dataset.  V (distinct-token
+    count) is the one driver-side scalar — a tiny count aggregate.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.ops.relational import hash_join
+
+    # The model subtree feeds THREE consumers (bigram join, context
+    # join, V count); without this the lazy plan re-runs the whole
+    # corpus model pass per consumer.  Safe to pin: the model is
+    # vocab-bounded, never corpus-sized.
+    model = model.materialize()
+
+    # bigram rows and their w1-context sums, both vocab-bounded
+    def bigrams_only(df: pd.DataFrame):
+        b = df[df["kind"] == "b"]
+        return arrow_out(pd.DataFrame({"key": b["key"], "nb": b["n"]}))
+
+    bmodel = model.map_batches(bigrams_only, batch_format="pandas")
+
+    def ctx_partial(df: pd.DataFrame):
+        w1 = df["key"].str.split(" ", n=1).str[0]
+        g = df.assign(w1=w1).groupby("w1", as_index=False)["nb"].sum()
+        return arrow_out(g.rename(columns={"nb": "nc"}))
+
+    ctx = (
+        bmodel.map_batches(ctx_partial, batch_format="pandas")
+        .groupby("w1")
+        .aggregate(Sum("nc", alias_name="nc"))
+    )
+
+    def vocab_partial(df: pd.DataFrame):
+        return arrow_out(pd.DataFrame({"v": [int((df["kind"] == "u").sum())]}))
+
+    v_rows = model.map_batches(vocab_partial, batch_format="pandas").take_all()
+    v = float(sum(r["v"] for r in v_rows))
+
+    # per-doc bigram occurrence counts (the row-local combiner)
+    def doc_bigrams(df: pd.DataFrame):
+        toks = df["text"].fillna("").str.lower().str.findall(TOKEN_PAT)
+        s = toks.explode().dropna().astype(str)
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "key": pd.Series([], dtype=str),
+             "cnt": pd.Series([], dtype="int64")}
+        )
+        if s.empty:
+            return arrow_out(empty)
+        nxt = s.groupby(level=0).shift(-1)
+        big = (s + " " + nxt).dropna()
+        if big.empty:
+            return arrow_out(empty)
+        ids = df["doc_id"].reset_index(drop=True)
+        pos = pd.Series(np.arange(len(df)), index=df.index)
+        out = (
+            pd.DataFrame({"doc_id": ids[pos[big.index].to_numpy()].to_numpy(),
+                          "key": big.to_numpy()})
+            .groupby(["doc_id", "key"], as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+        return arrow_out(out.astype({"doc_id": "int64", "cnt": "int64"}))
+
+    exploded = ds.map_batches(doc_bigrams, batch_format="pandas")
+    # join 1: bigram count; join 2: context count keyed on w1.  Inner
+    # joins are exact here: the model was trained on this corpus, so
+    # every scored bigram (and its w1) exists in the model.
+    j1 = hash_join(exploded, bmodel, ["key"])
+
+    def add_w1(df: pd.DataFrame):
+        return arrow_out(df.assign(w1=df["key"].str.split(" ", n=1).str[0]))
+
+    j2 = hash_join(j1.map_batches(add_w1, batch_format="pandas"), ctx, ["w1"])
+
+    def logp_partial(df: pd.DataFrame):
+        p = (df["nb"].to_numpy(np.float64) + 1.0) / (
+            df["nc"].to_numpy(np.float64) + v
+        )
+        part = pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(),
+             "s_lnp": np.log(p) * df["cnt"].to_numpy(np.float64),
+             "n_bigrams": df["cnt"].to_numpy(np.int64)}
+        ).groupby("doc_id", as_index=False).sum()
+        return arrow_out(part.astype({"doc_id": "int64", "n_bigrams": "int64"}))
+
+    agg = (
+        j2.map_batches(logp_partial, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(Sum("s_lnp", alias_name="s_lnp"),
+                   Sum("n_bigrams", alias_name="n_bigrams"))
+    )
+
+    def finalize(df: pd.DataFrame):
+        avg = df["s_lnp"].to_numpy(np.float64) / df["n_bigrams"].to_numpy(np.float64)
+        return arrow_out(pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"),
+             "n_bigrams": df["n_bigrams"].astype("int64"),
+             "avg_logp": np.round(avg, round_to),
+             "ppl": np.round(np.exp(-avg), round_to)}
+        ))
+
+    return agg.map_batches(finalize, batch_format="pandas")

@@ -383,3 +383,33 @@ class TestIncrementalDedup:
             )
         )
         assert incremental_dedup(ds, str(tmp_path / "idx.parquet")).count() == 2
+
+
+class TestLmScoreJoinMode:
+    def test_parity_with_broadcast(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from pdf_parser_ray.ops.text_stats import lm_score
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "alpha beta alpha beta gamma",
+                    "alpha beta",
+                    "gamma alpha beta",
+                    "solo",  # <2 tokens → emits nothing (inner semantics)
+                ],
+            }
+        )
+        a = (
+            lm_score(rd.from_pandas(docs))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        b = (
+            lm_score(rd.from_pandas(docs), mode="join")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert list(a["doc_id"]) == [1, 2, 3]
+        pd.testing.assert_frame_equal(a, b[a.columns])
