@@ -1085,3 +1085,81 @@ def nation_revenue(sf_dir: str, region: str = "ASIA") -> ray.data.Dataset:
         return df
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def skew_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: Sequence[str],
+    *,
+    hot_key_threshold: int = 100_000,
+    sample_capacity: int = 4096,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Skew-aware inner hash join: HOT keys bypass the shuffle.
+
+    A plain hash join sends every row of a key to ONE partition; a
+    power-law key (one user, one boilerplate URL) turns that partition
+    into the straggler that holds the whole stage.  Plan:
+
+    1. Detect hot LEFT keys with mergeable Misra-Gries partials per
+       batch (bounded summaries, tiny driver merge — no extra shuffle;
+       ops/sketches.py).  A key is hot when its lower-bound count
+       (MG undercounts by ≤ N/(capacity+1)) exceeds
+       ``hot_key_threshold``.
+    2. No hot keys (the usual case): exactly :func:`hash_join`.
+    3. Otherwise split BOTH sides with a vectorized isin filter:
+       cold rows take the normal partitioned hash join; the hot-key
+       rows of the RIGHT side (bounded: #hot_keys x right fan-in —
+       dimension-sized whenever skew comes from a fact⋈dim or
+       fact⋈fact on a shared key) are collected and BROADCAST, so hot
+       left rows join inside ``map_batches`` at full parallelism —
+       the hot key's rows stay spread over all their blocks instead
+       of funneling into one partition.  Output = union(cold, hot);
+       row-identical to ``hash_join`` (parity-tested), order excepted.
+
+    Single-key joins only (the common skew case).
+    """
+    if len(on) != 1:
+        raise ValueError("skew_join handles single-key joins")
+    key = on[0]
+
+    from pdf_parser_ray.ops.sketches import MisraGries
+
+    def mg_partial(df: pd.DataFrame):
+        mg = MisraGries(sample_capacity)
+        mg.add_counts(df[key].value_counts().to_dict())
+        items = mg.counts
+        return arrow_out(pd.DataFrame(
+            {"value": [list(items.keys())], "n": [list(items.values())]}
+        ))
+
+    parts = left.select_columns([key]).map_batches(
+        mg_partial, batch_format="pandas"
+    ).take_all()
+    merged = MisraGries(sample_capacity)
+    for p in parts:
+        merged.add_counts(dict(zip(p["value"], (int(x) for x in p["n"]))))
+    hot_keys = [v for v, n in merged.counts.items() if n >= hot_key_threshold]
+
+    if not hot_keys:
+        return hash_join(left, right, on, num_partitions=num_partitions)
+
+    hot_arr = np.asarray(hot_keys)
+
+    def split(ds_side: ray.data.Dataset, want_hot: bool) -> ray.data.Dataset:
+        def f(df: pd.DataFrame):
+            m = df[key].isin(hot_arr)
+            return arrow_out(df[m if want_hot else ~m])
+
+        return ds_side.map_batches(f, batch_format="pandas")
+
+    cold = hash_join(
+        split(left, False), split(right, False), on,
+        num_partitions=num_partitions,
+    )
+    # hot right rows: bounded (#hot_keys x per-key right rows); collect
+    # once, ship once via ray.put (broadcast_merge).
+    hot_right = split(right, True).to_pandas()
+    hot = broadcast_merge(split(left, True), hot_right, on=key)
+    return cold.union(hot)

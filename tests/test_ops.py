@@ -1110,3 +1110,55 @@ class TestOrderCountDistribution:
             {"n_orders": 1, "n_customers": 1},
             {"n_orders": 3, "n_customers": 1},
         ]
+
+
+class TestSkewJoin:
+    def test_parity_with_hash_join(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from pdf_parser_ray.ops.relational import hash_join, skew_join
+
+        rng = np.random.RandomState(5)
+        # key 777 dominates: 3000 of 4000 left rows
+        left = pd.DataFrame(
+            {
+                "k": np.concatenate(
+                    [np.full(3000, 777), rng.randint(0, 50, 1000)]
+                ),
+                "lv": np.arange(4000),
+            }
+        )
+        right = pd.DataFrame(
+            {"k": np.arange(0, 800), "rv": np.arange(0, 800) * 10}
+        )
+        l_ds = ray.data.from_pandas(left)
+        r_ds = ray.data.from_pandas(right)
+        expected = (
+            hash_join(ray.data.from_pandas(left), ray.data.from_pandas(right), ["k"])
+            .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+        )
+        got = (
+            skew_join(l_ds, r_ds, ["k"], hot_key_threshold=1000)
+            .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+        )
+        assert len(expected) == 4000  # every left key matches
+        pd.testing.assert_frame_equal(got[expected.columns], expected)
+
+    def test_no_hot_keys_delegates(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from pdf_parser_ray.ops.relational import skew_join
+
+        left = pd.DataFrame({"k": np.arange(100), "lv": np.arange(100)})
+        right = pd.DataFrame({"k": np.arange(50), "rv": np.arange(50)})
+        out = (
+            skew_join(
+                ray.data.from_pandas(left), ray.data.from_pandas(right), ["k"],
+                hot_key_threshold=1000,
+            )
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        assert len(out) == 50
+        assert list(out["rv"]) == [k * 1 for k in range(50)]
