@@ -60,6 +60,46 @@ class TestTextStats:
         out = LangId()(df)
         assert list(out["lang_pred"]) == ["en", "de", "und"]
 
+    def test_lang_id_accuracy_all_profiles(self):
+        # accuracy fixture: 3 natural-ish sentences per supported
+        # language, all classified correctly (15/15)
+        from pdf_parser_ray.ops.text_stats import LangId
+
+        samples = {
+            "en": [
+                "the dog is in the house and it was happy to be at home",
+                "it is that time of the year for all of us to be on the road",
+                "he sat by the fire with his book as the rain fell on the roof",
+            ],
+            "de": [
+                "der mann ist mit dem hund auf der strasse und das ist gut",
+                "eine frau und ein kind sind nicht zu hause geblieben",
+                "die sonne ist für den garten und die blumen wichtig",
+            ],
+            "fr": [
+                "le chien est dans la maison et les enfants sont dans le jardin",
+                "une femme qui marche dans la rue pour acheter du pain",
+                "il est dans les montagnes et pas au bord de la mer",
+            ],
+            "es": [
+                "el perro esta en la casa y los ninos estan en el jardin",
+                "una mujer camina por la calle para comprar pan con su madre",
+                "es por eso que el campo es importante para los abuelos",
+            ],
+            "pt": [
+                "o cachorro esta em casa e as criancas estao no jardim",
+                "uma mulher caminha pela rua para comprar pao com a avo",
+                "não é por isso que o campo é importante para um avô",
+            ],
+        }
+        rows = [(lang, s) for lang, ss in samples.items() for s in ss]
+        df = pd.DataFrame(
+            {"doc_id": range(len(rows)), "text": [s for _, s in rows]}
+        )
+        out = LangId()(df)
+        expected = [lang for lang, _ in rows]
+        assert list(out["lang_pred"]) == expected
+
     def test_rolling_fp_deterministic_and_content_sensitive(self):
         from pdf_parser_ray.ops.text_stats import rolling_fingerprint_batch
 
