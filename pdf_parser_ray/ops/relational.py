@@ -1163,3 +1163,36 @@ def skew_join(
     hot_right = split(right, True).to_pandas()
     hot = broadcast_merge(split(left, True), hot_right, on=key)
     return cold.union(hot)
+
+
+BROADCAST_JOIN_LIMIT_BYTES = 64 << 20
+
+
+def auto_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: Sequence[str],
+    *,
+    broadcast_limit_bytes: int = BROADCAST_JOIN_LIMIT_BYTES,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Inner join with size-based physical planning — the one-call
+    entry point that picks the strategy the guide tables by hand:
+
+    * right side estimated under ``broadcast_limit_bytes`` (no-execution
+      estimate: computed plan metadata or Read-datasource sizes —
+      ``_size_estimate_no_exec``) → collect it once and
+      :func:`broadcast_merge`: zero shuffle, the dominant join shape
+      for fact⋈dimension.
+    * otherwise → partitioned :func:`hash_join` (fact⋈fact).
+
+    An UNKNOWN size (estimate 0, e.g. a from_pandas input) falls back
+    to the hash join — never guess a driver-side collect.  At 100 TB
+    the limit should track worker heap (a broadcast table is resident
+    per worker process), not cluster memory.
+    """
+    est = _size_estimate_no_exec(right)
+    if 0 < est <= broadcast_limit_bytes:
+        small = right.to_pandas()
+        return broadcast_merge(left, small, on=list(on) if len(on) > 1 else on[0])
+    return hash_join(left, right, on, num_partitions=num_partitions)

@@ -1202,3 +1202,57 @@ class TestSkewJoin:
         )
         assert len(out) == 50
         assert list(out["rv"]) == [k * 1 for k in range(50)]
+
+
+class TestAutoJoin:
+    def test_broadcast_route_for_small_parquet(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+        import ray.data
+
+        from pdf_parser_ray.ops import relational as R
+
+        left = pd.DataFrame({"k": list(range(100)) * 2, "lv": range(200)})
+        right = pd.DataFrame({"k": range(50), "rv": range(50)})
+        lp, rp = str(tmp_path / "l.parquet"), str(tmp_path / "r.parquet")
+        papq.write_table(pa.Table.from_pandas(left), lp)
+        papq.write_table(pa.Table.from_pandas(right), rp)
+
+        calls = {"hash": 0}
+        orig = R.hash_join
+
+        def spy(*a, **k):
+            calls["hash"] += 1
+            return orig(*a, **k)
+
+        R.hash_join = spy
+        try:
+            out = (
+                R.auto_join(
+                    R.read_parquet_clean(lp), R.read_parquet_clean(rp), ["k"]
+                )
+                .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+            )
+        finally:
+            R.hash_join = orig
+        assert calls["hash"] == 0          # tiny right side → broadcast route
+        assert len(out) == 100             # 50 matched keys x 2 left rows
+        exp = left.merge(right, on="k").sort_values(["k", "lv"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(out[exp.columns], exp)
+
+    def test_unknown_size_falls_back_to_hash(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.relational import auto_join
+
+        left = pd.DataFrame({"k": range(30), "lv": range(30)})
+        right = pd.DataFrame({"k": range(10), "rv": range(10)})
+        # from_pandas inputs have no datasource estimate → hash route;
+        # result must still be correct.
+        out = (
+            auto_join(
+                ray.data.from_pandas(left), ray.data.from_pandas(right), ["k"]
+            )
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        assert len(out) == 10 and list(out["rv"]) == list(range(10))
