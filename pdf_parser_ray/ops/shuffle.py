@@ -98,3 +98,60 @@ def partitioned_map(
         .groupby("__part")
         .map_groups(per_partition, batch_format="pandas")
     )
+
+
+def write_range_partitioned(
+    ds,
+    out_dir: str,
+    col: str,
+    *,
+    n_ranges: int = 16,
+    sample_per_batch: int = 256,
+) -> "object":
+    """Range-partitioned parquet sink: rows land in ``out_dir/
+    range_id=K/`` by sampled quantile boundaries of ``col`` — the
+    layout that lets a later reader prune whole directories for a
+    range predicate, and lets a failed writer resume per range dir.
+
+    Boundary protocol (no global sort): each batch contributes an
+    evenly-strided sample of ≤``sample_per_batch`` values (a partial —
+    bounded regardless of corpus size); the driver takes quantiles of
+    the pooled sample and broadcasts the ``n_ranges - 1`` cutpoints;
+    assignment is one vectorized ``searchsorted`` per batch.  Ranges
+    are approximately equal-sized (sampling error only), boundaries are
+    exact: every row in range K has col < every row in range K+1.
+
+    Returns the boundaries (list of floats, len ``n_ranges - 1``).
+    """
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.stages import worker_state
+
+    def sample_batch(df: pd.DataFrame):
+        v = df[col].dropna().to_numpy()
+        if len(v) > sample_per_batch:
+            idx = np.linspace(0, len(v) - 1, sample_per_batch).astype(np.int64)
+            v = np.sort(v)[idx]
+        return arrow_out(pd.DataFrame({"v": v}))
+
+    sample = ds.select_columns([col]).map_batches(
+        sample_batch, batch_format="pandas"
+    ).to_pandas()["v"].to_numpy()
+    if len(sample) == 0:
+        raise ValueError(f"no non-null values in {col!r}")
+    qs = np.linspace(0, 1, n_ranges + 1)[1:-1]
+    bounds = np.unique(np.quantile(np.sort(sample), qs))
+    bref = ray.put(bounds)
+
+    def assign(df: pd.DataFrame):
+        b = worker_state(("range_bounds", bref.hex()), lambda: ray.get(bref))
+        rid = np.searchsorted(b, df[col].to_numpy(), side="right")
+        return arrow_out(df.assign(range_id=rid.astype(np.int64)))
+
+    ds.map_batches(assign, batch_format="pandas").write_parquet(
+        out_dir, partition_cols=["range_id"]
+    )
+    return [float(x) for x in bounds]

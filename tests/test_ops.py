@@ -1256,3 +1256,42 @@ class TestAutoJoin:
             .to_pandas().sort_values("k").reset_index(drop=True)
         )
         assert len(out) == 10 and list(out["rv"]) == list(range(10))
+
+
+class TestRangePartitionedWrite:
+    def test_ranges_are_disjoint_and_complete(self, ray_session, tmp_path):
+        import os
+
+        import numpy as np
+        import ray.data
+
+        from pdf_parser_ray.ops.shuffle import write_range_partitioned
+
+        rng = np.random.RandomState(9)
+        df = pd.DataFrame({"k": np.arange(5000), "value": rng.rand(5000) * 100})
+        out = str(tmp_path / "ranged")
+        bounds = write_range_partitioned(
+            ray.data.from_pandas(df), out, "value", n_ranges=8
+        )
+        assert len(bounds) == 7 and bounds == sorted(bounds)
+
+        dirs = sorted(d for d in os.listdir(out) if d.startswith("range_id="))
+        assert len(dirs) == 8
+        total = 0
+        prev_max = -np.inf
+        for i in range(8):
+            part = ray.data.read_parquet(os.path.join(out, f"range_id={i}")).to_pandas()
+            total += len(part)
+            # boundary invariant: strictly ordered between adjacent ranges
+            assert part["value"].min() >= prev_max or i == 0
+            prev_max = part["value"].max()
+            if i < 7:
+                assert part["value"].max() <= bounds[i]
+            if i > 0:
+                assert part["value"].min() > bounds[i - 1]
+        assert total == 5000
+        # approximate balance: no range holds more than 3x its fair share
+        sizes = [
+            ray.data.read_parquet(os.path.join(out, d)).count() for d in dirs
+        ]
+        assert max(sizes) < 3 * (5000 / 8)
