@@ -41,6 +41,12 @@ BENCH_QUERIES = [
     "dup_components",
     "top_bigrams",
     "lm_score",
+    # round-2 additions (new keys only — prior keys stay comparable)
+    "gopher_gate",
+    "rank_windows",
+    "order_count_distribution",
+    "doc_embed_knn",
+    "distinct_users_per_type",
 ]
 
 

@@ -198,7 +198,9 @@ def main(argv: list[str] | None = None) -> int:
             )
         names = set(_pq.read_schema(sample[0]).names) if sample else set()
         if {"doc_id", "text"} <= names:
-            docs = ray.data.read_parquet(args.input, columns=["doc_id", "text"])
+            from pdf_parser_ray.io_utils import read_parquet_clean
+
+            docs = read_parquet_clean(args.input, columns=["doc_id", "text"])
         else:
             extracted = extract_corpus(read_corpus(args.input)).select_columns(
                 ["url", "extracted_text"]
