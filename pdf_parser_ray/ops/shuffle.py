@@ -49,10 +49,14 @@ def grouped_map(
     """
     key_list = list(keys)
 
-    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+    def add_part(df: pd.DataFrame):
+        from pdf_parser_ray.io_utils import arrow_out
+
         h = pd.util.hash_pandas_object(df[key_list], index=False)
-        # assign = shallow copy + new column; never deep-copies payloads
-        return df.assign(__part=(h % n_parts).astype("int64"))
+        # assign = shallow copy + new column; never deep-copies payloads.
+        # Arrow block out: the __part sort-shuffle combines pandas
+        # blocks ~11x slower (io_utils.arrow_out rationale).
+        return arrow_out(df.assign(__part=(h % n_parts).astype("int64")))
 
     def per_partition(part: pd.DataFrame) -> pd.DataFrame:
         part = part.drop(columns="__part")
@@ -86,9 +90,11 @@ def partitioned_map(
     boundaries; it gets a mixed-key frame."""
     key_list = list(keys)
 
-    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+    def add_part(df: pd.DataFrame):
+        from pdf_parser_ray.io_utils import arrow_out
+
         h = pd.util.hash_pandas_object(df[key_list], index=False)
-        return df.assign(__part=(h % n_parts).astype("int64"))
+        return arrow_out(df.assign(__part=(h % n_parts).astype("int64")))
 
     def per_partition(part: pd.DataFrame) -> pd.DataFrame:
         return fn(part.drop(columns="__part"))
