@@ -1196,3 +1196,228 @@ def auto_join(
         small = right.to_pandas()
         return broadcast_merge(left, small, on=list(on) if len(on) > 1 else on[0])
     return hash_join(left, right, on, num_partitions=num_partitions)
+
+
+def nation_profit(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q9 shape: supplier-nation profit by order year.
+
+    Join plan by side size: supplier→nation is a dimension chain →
+    pre-joined driver-side and BROADCAST (one ``ray.put``, read once
+    per worker); the only all-to-all is the fact⋈fact lineitem⋈orders
+    hash join on orderkey (orders pruned to the two columns the year
+    needs before it ships).  Profit partials collapse each batch to at
+    most |nations|×|years| rows before the final small groupby.
+
+    Output: (n_name, o_year:int64, profit:float64 rounded 2).
+    """
+    from ray.data.aggregate import Sum
+
+    supp = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nation = pd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    dim = supp.merge(
+        nation, left_on="s_nationkey", right_on="n_nationkey"
+    )[["s_suppkey", "n_name"]].rename(columns={"s_suppkey": "l_suppkey"})
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(
+        lambda df: arrow_out(
+            pd.DataFrame(
+                {
+                    "l_orderkey": df["o_orderkey"].to_numpy(),
+                    "o_year": df["o_orderdate"].dt.year.astype("int64"),
+                }
+            )
+        ),
+        batch_format="pandas",
+    )
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    joined = hash_join(li, orders, on=("l_orderkey",))
+    enriched = broadcast_merge(joined, dim, on="l_suppkey")
+
+    # Exact integer-cents arithmetic: prices and discounts are exact
+    # 2dp values, so cents×basis-points products and their sums are
+    # exact int64 — the float-summation ORDER dependence that makes a
+    # distributed sum straddle a rounding boundary (observed: ±0.01 on
+    # 175 groups vs the SQL twin) cannot occur.  Overflow bound:
+    # ~9e18 / (1e7 cents × 100) ≈ 9×10^9 rows per (nation, year) group.
+    def profit_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["l_extendedprice"].to_numpy() * 100.0).astype(
+            np.int64
+        )
+        keep_bp = 100 - np.rint(df["l_discount"].to_numpy() * 100.0).astype(
+            np.int64
+        )
+        m = pd.DataFrame(
+            {
+                "n_name": df["n_name"],
+                "o_year": df["o_year"].astype("int64"),
+                "profit_i": cents * keep_bp,
+            }
+        )
+        return m.groupby(["n_name", "o_year"], as_index=False)["profit_i"].sum()
+
+    agg = (
+        enriched.map_batches(profit_partial, batch_format="pandas")
+        .groupby(["n_name", "o_year"])
+        .aggregate(Sum("profit_i", alias_name="profit_i"))
+    )
+
+    # Round to cents IN integer arithmetic (half away from zero, sums
+    # are positive) — float round() half-away (SQL) vs half-even
+    # (numpy) would diverge on exact x.125-style dyadics.
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        cents = (df["profit_i"].to_numpy(dtype=np.int64) + 50) // 100
+        return pd.DataFrame(
+            {
+                "n_name": df["n_name"],
+                "o_year": df["o_year"].astype("int64"),
+                "profit": cents.astype(np.float64) / 100.0,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def returned_revenue_topk(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+    """TPC-H Q10 shape: revenue lost to returned items, top-k customers.
+
+    lineitem is pruned to ``l_returnflag = 'R'`` rows AT the batch (the
+    filter runs before anything ships); the lineitem⋈orders hash join
+    is the one all-to-all; customer names come in by broadcast AFTER
+    the revenue aggregate so the shuffle never carries strings.  The
+    revenue groupby is customer-cardinality → bounded (≤ |customer|);
+    the global top-k is a partial ``nlargest`` per batch feeding one
+    tiny final sort-limit.
+
+    Output: (c_custkey, c_name, revenue:float64 rounded 2),
+    ordered by (revenue DESC, c_custkey ASC), k rows.
+    """
+    from ray.data.aggregate import Sum
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: t.filter(pa.compute.equal(t.column("l_returnflag"), "R")).select(
+            ["l_orderkey", "l_extendedprice", "l_discount"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(
+        lambda df: arrow_out(df.rename(columns={"o_orderkey": "l_orderkey"})),
+        batch_format="pandas",
+    )
+    joined = hash_join(li, orders, on=("l_orderkey",))
+
+    def revenue_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            revenue=df["l_extendedprice"] * (1.0 - df["l_discount"])
+        )
+        return df.groupby("o_custkey", as_index=False)["revenue"].sum()
+
+    agg = (
+        joined.map_batches(revenue_partial, batch_format="pandas")
+        .groupby("o_custkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).rename(columns={"c_custkey": "o_custkey"})
+
+    # round BEFORE the sort so the (revenue DESC, custkey ASC)
+    # tie-break matches the SQL twin exactly (sub-cent cosines of the
+    # knn lesson, applied to cents here).
+    def round_rev(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["revenue"] = np.round(df["revenue"].astype("float64"), 2)
+        return df
+
+    top = (
+        agg.map_batches(round_rev, batch_format="pandas")
+        .sort(["revenue", "o_custkey"], descending=[True, False])
+        .limit(k)
+    )
+
+    def add_name(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.merge(cust, on="o_custkey")
+        return pd.DataFrame(
+            {
+                "c_custkey": df["o_custkey"].astype("int64"),
+                "c_name": df["c_name"],
+                "revenue": df["revenue"],
+            }
+        )
+
+    return top.map_batches(add_name, batch_format="pandas")
+
+
+def priority_flag_counts(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q12 shape: conditional aggregation across a fact⋈fact
+    join — per return flag, how many line items belong to
+    high-priority orders ('1-URGENT'/'2-HIGH') vs everything else.
+
+    orders collapses to (key, is_high:bool) BEFORE the hash join so
+    the shuffle carries one byte of payload per order, not the
+    priority string; each joined batch folds to ≤3 partial rows
+    (flag, high_count, low_count) ahead of the final 3-row groupby.
+
+    Output: (l_returnflag, high_count:int64, low_count:int64).
+    """
+    from ray.data.aggregate import Sum
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(
+        lambda df: arrow_out(
+            pd.DataFrame(
+                {
+                    "l_orderkey": df["o_orderkey"].to_numpy(),
+                    "is_high": df["o_orderpriority"]
+                    .isin(["1-URGENT", "2-HIGH"])
+                    .to_numpy(),
+                }
+            )
+        ),
+        batch_format="pandas",
+    )
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+    )
+    joined = hash_join(li, orders, on=("l_orderkey",))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        high = df["is_high"].to_numpy()
+        m = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "high_count": high.astype("int64"),
+                "low_count": (~high).astype("int64"),
+            }
+        )
+        return m.groupby("l_returnflag", as_index=False).sum()
+
+    agg = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("high_count", alias_name="high_count"),
+            Sum("low_count", alias_name="low_count"),
+        )
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return df.astype({"high_count": "int64", "low_count": "int64"})
+
+    return agg.map_batches(finish, batch_format="pandas")

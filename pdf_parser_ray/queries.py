@@ -1363,6 +1363,31 @@ def q_nation_revenue(sf_dir: str) -> ray.data.Dataset:
     return nation_revenue(sf_dir, region="ASIA")
 
 
+def q_nation_profit(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q9 shape: profit by supplier nation × order year —
+    broadcast supplier→nation chain + ONE fact⋈fact hash join."""
+    from pdf_parser_ray.ops.relational import nation_profit
+
+    return nation_profit(sf_dir)
+
+
+def q_returned_revenue(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20 —
+    read-side flag filter, string-free join, post-aggregate broadcast
+    of the name column."""
+    from pdf_parser_ray.ops.relational import returned_revenue_topk
+
+    return returned_revenue_topk(sf_dir, k=20)
+
+
+def q_priority_flag_counts(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q12 shape: conditional counts across a fact⋈fact join,
+    orders collapsed to (key, bool) before the shuffle."""
+    from pdf_parser_ray.ops.relational import priority_flag_counts
+
+    return priority_flag_counts(sf_dir)
+
+
 # ---------------------------------------------------------------- oracle
 
 SQL: dict[str, str] = {
@@ -2262,6 +2287,45 @@ SQL["nation_revenue"] = """
     GROUP BY n.n_name
 """
 
+SQL["nation_profit"] = """
+    -- exact integer-cents sum (order-independent), rounded to cents in
+    -- integer arithmetic; the only float op is a division of identical
+    -- int64 operands
+    SELECT n.n_name,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST((sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                 + 50) // 100 AS BIGINT) / 100.0 AS profit
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name, year(o.o_orderdate)
+"""
+
+SQL["returned_revenue"] = """
+    SELECT c.c_custkey, c.c_name,
+           round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+"""
+
+SQL["priority_flag_counts"] = """
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY l.l_returnflag
+"""
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "token_stats": q_token_stats,
@@ -2357,4 +2421,7 @@ QUERIES = {
     "revenue_cube": q_revenue_cube,
     "order_priority": q_order_priority,
     "nation_revenue": q_nation_revenue,
+    "nation_profit": q_nation_profit,
+    "returned_revenue": q_returned_revenue,
+    "priority_flag_counts": q_priority_flag_counts,
 }

@@ -314,3 +314,68 @@ class TestEmbedDocuments:
         top = knn_brute_force(emb_ds, v0, k=2, exclude_vec_id=0).to_pandas()
         assert top.iloc[0]["vec_id"] == 1
         assert np.isclose(top.iloc[0]["cosine"], 1.0)
+
+
+class TestTpchJoinShapes:
+    """Semantic pins for the Q9/Q10/Q12-shaped pipelines beyond the
+    oracle parametrization: conservation laws that hold regardless of
+    the data."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_priority_counts_conserve_lineitem_rows(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.ops.relational import priority_flag_counts
+
+        df = priority_flag_counts(self.SF).to_pandas()
+        n_li = pq.read_metadata(f"{self.SF}/lineitem.parquet").num_rows
+        # inner join on a key orders holds exactly once per lineitem →
+        # every line lands in exactly one (flag, high|low) cell
+        assert int(df["high_count"].sum() + df["low_count"].sum()) == n_li
+        assert set(df["l_returnflag"]) == {"A", "N", "R"}
+
+    def test_returned_revenue_is_descending_unique_topk(self, ray_session):
+        from pdf_parser_ray.ops.relational import returned_revenue_topk
+
+        df = returned_revenue_topk(self.SF, k=20).to_pandas()
+        assert len(df) == 20
+        assert df["c_custkey"].is_unique
+        rev = df["revenue"].to_numpy()
+        assert (rev[:-1] >= rev[1:]).all()
+
+    def test_nation_profit_matches_driverless_pandas(self, ray_session):
+        import numpy as np
+        import pandas as pd
+
+        from pdf_parser_ray.ops.relational import nation_profit
+
+        got = (
+            nation_profit(self.SF)
+            .to_pandas()
+            .sort_values(["n_name", "o_year"])
+            .reset_index(drop=True)
+        )
+        li = pd.read_parquet(self.SF + "/lineitem.parquet")
+        o = pd.read_parquet(self.SF + "/orders.parquet")
+        s = pd.read_parquet(self.SF + "/supplier.parquet")
+        n = pd.read_parquet(self.SF + "/nation.parquet")
+        j = (
+            li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+            .merge(s, left_on="l_suppkey", right_on="s_suppkey")
+            .merge(n, left_on="s_nationkey", right_on="n_nationkey")
+        )
+        j["o_year"] = j["o_orderdate"].dt.year.astype("int64")
+        j["profit_i"] = np.rint(j["l_extendedprice"] * 100).astype(
+            "int64"
+        ) * (100 - np.rint(j["l_discount"] * 100).astype("int64"))
+        want = (
+            j.groupby(["n_name", "o_year"], as_index=False)["profit_i"]
+            .sum()
+            .sort_values(["n_name", "o_year"])
+            .reset_index(drop=True)
+        )
+        want["profit"] = ((want["profit_i"] + 50) // 100) / 100.0
+        pd.testing.assert_frame_equal(
+            got, want[["n_name", "o_year", "profit"]]
+        )
