@@ -658,3 +658,35 @@ def _lm_score_join(ds, model, *, round_to: int) -> "object":
         ))
 
     return agg.map_batches(finalize, batch_format="pandas")
+
+
+# Sentence boundary = a RUN of ASCII sentence-final punctuation, so an
+# ellipsis or "?!" counts once; identical to the RE2 twin
+# regexp_extract_all(text, '[.!?]+') (re.ASCII keeps semantics aligned).
+SENT_PAT = re.compile(r"[.!?]+", re.ASCII)
+
+
+def sentence_stats_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-document sentence statistics: sentence count and mean words
+    per sentence — the length-shape signal quality classifiers (Gopher
+    repetition rules, C4 line filters) gate on.
+
+    Row-local and fully vectorized; words_per_sentence divides the two
+    int64 counts each engine computes identically → bit-identical
+    float64, no rounding needed (0-sentence docs → 0.0).
+
+    Output: (doc_id, n_sentences:int64, words_per_sentence:float64).
+    """
+    text = df["text"].fillna("")
+    n_sent = text.str.count(SENT_PAT).astype("int64")
+    n_tokens = text.str.count(TOKEN_PAT).astype("int64")
+    wps = (
+        n_tokens.astype("float64") / n_sent.where(n_sent > 0, 1)
+    ).where(n_sent > 0, 0.0)
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "n_sentences": n_sent,
+            "words_per_sentence": wps,
+        }
+    )

@@ -493,3 +493,46 @@ def group_sample(
     return partial.groupby(group_col).map_groups(
         final_topk, batch_format="pandas"
     )
+
+
+def per_group_cap(
+    ds: ray.data.Dataset,
+    k: int,
+    *,
+    group_col: str = "source",
+    order_cols: tuple[str, ...] = ("doc_id",),
+    n_parts: int | None = None,
+) -> ray.data.Dataset:
+    """Cap each group at its first ``k`` rows by ``order_cols`` — the
+    per-domain document cap every Common-Crawl curation recipe applies
+    so one boilerplate-heavy host can't dominate the corpus (the
+    deterministic ORDER BY twin of :func:`group_sample`'s hash pick).
+
+    Scale shape = grouped top-k without per-key map_groups: a row can
+    rank ≤ k globally only if it ranks ≤ k inside its own batch, so
+    each batch prunes to its local k-head per group (one vectorized
+    sort + groupby.head) and only ≤ k·batches rows per group reach the
+    final pass, which co-locates by hashed group and re-heads across
+    whole partitions (``ops.shuffle.partitioned_map`` — no per-group
+    task overhead at domain cardinality).
+
+    Output: (group_col, *order_cols), ≤ k rows per group.
+    """
+    cols = [group_col, *order_cols]
+    order = list(order_cols)
+
+    def local_head(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df[cols]
+            .sort_values(order, kind="mergesort")
+            .groupby(group_col, sort=False)
+            .head(k)
+        )
+
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    partial = ds.map_batches(local_head, batch_format="pandas")
+    return partitioned_map(
+        partial, [group_col], local_head,
+        **({"n_parts": n_parts} if n_parts else {}),
+    )

@@ -290,6 +290,28 @@ def q_group_sample(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_source_cap(sf_dir: str) -> ray.data.Dataset:
+    """Per-domain document cap (CC curation staple): first 10 docs per
+    source by doc_id — batch-local k-head partial, then one bounded-
+    partition co-located re-head."""
+    from pdf_parser_ray.ops.webtext import per_group_cap
+
+    return per_group_cap(
+        _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]),
+        10,
+    )
+
+
+def q_sentence_stats(sf_dir: str) -> ray.data.Dataset:
+    """Sentence count + mean words/sentence per doc (row-local,
+    vectorized; RE2-aligned punctuation-run boundary)."""
+    from pdf_parser_ray.ops.text_stats import sentence_stats_batch
+
+    return _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(sentence_stats_batch, batch_format="pandas")
+
+
 def q_event_histogram(sf_dir: str) -> ray.data.Dataset:
     """Per-type fixed-width value histogram (bin = floor(value/100));
     partial counts before the (type, bin) groupby."""
@@ -2326,6 +2348,22 @@ SQL["priority_flag_counts"] = """
     GROUP BY l.l_returnflag
 """
 
+SQL["source_cap"] = """
+    SELECT source, doc_id
+    FROM documents
+    QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10
+"""
+
+SQL["sentence_stats"] = """
+    SELECT doc_id,
+           length(regexp_extract_all(text, '[.!?]+')) AS n_sentences,
+           CASE WHEN length(regexp_extract_all(text, '[.!?]+')) > 0
+                THEN length(regexp_extract_all(text, '\\S+'))::DOUBLE
+                     / length(regexp_extract_all(text, '[.!?]+'))
+                ELSE 0.0 END AS words_per_sentence
+    FROM documents
+"""
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "token_stats": q_token_stats,
@@ -2424,4 +2462,6 @@ QUERIES = {
     "nation_profit": q_nation_profit,
     "returned_revenue": q_returned_revenue,
     "priority_flag_counts": q_priority_flag_counts,
+    "source_cap": q_source_cap,
+    "sentence_stats": q_sentence_stats,
 }

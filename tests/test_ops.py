@@ -1295,3 +1295,24 @@ class TestRangePartitionedWrite:
             ray.data.read_parquet(os.path.join(out, d)).count() for d in dirs
         ]
         assert max(sizes) < 3 * (5000 / 8)
+
+
+def test_sentence_stats_edges():
+    import pandas as pd
+
+    from pdf_parser_ray.ops.text_stats import sentence_stats_batch
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "One. Two! Three?",      # 3 sentences, 3 words
+                "Wait... what?!",         # runs collapse: 2 sentences
+                "no terminal punctuation",  # 0 sentences -> wps 0.0
+                None,                      # null text -> 0 / 0.0
+            ],
+        }
+    )
+    out = sentence_stats_batch(df)
+    assert out["n_sentences"].tolist() == [3, 2, 0, 0]
+    assert out["words_per_sentence"].tolist() == [1.0, 1.0, 0.0, 0.0]

@@ -205,3 +205,30 @@ class TestStratifiedSample:
         a = stratified_sample(_ds(rows, ["doc_id", "lang"]), {"en": "40"}).to_pandas()
         b = stratified_sample(_ds(rows, ["doc_id", "lang"]), {"en": "40"}).to_pandas()
         assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+
+
+class TestPerGroupCap:
+    def test_cap_picks_first_k_by_order(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from pdf_parser_ray.ops.webtext import per_group_cap
+
+        # group 'a': 7 rows, 'b': 2 rows (smaller than k), shuffled ids
+        df = pd.DataFrame(
+            {
+                "source": ["a"] * 7 + ["b"] * 2,
+                "doc_id": [13, 5, 9, 1, 30, 2, 21, 100, 50],
+            }
+        ).sample(frac=1.0, random_state=3)
+        ds = ray.data.from_pandas(df).repartition(4)
+        out = (
+            per_group_cap(ds, 3, group_col="source", order_cols=("doc_id",))
+            .to_pandas()
+            .sort_values(["source", "doc_id"])
+            .reset_index(drop=True)
+        )
+        want = pd.DataFrame(
+            {"source": ["a", "a", "a", "b", "b"], "doc_id": [1, 2, 5, 50, 100]}
+        )
+        pd.testing.assert_frame_equal(out, want)
