@@ -629,3 +629,55 @@ def above_group_avg(
         return df
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def first_last_value(
+    ds: ray.data.Dataset,
+    *,
+    part_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    val_col: str = "value",
+    n_parts: int | None = None,
+) -> ray.data.Dataset:
+    """Per-partition FIRST_VALUE/LAST_VALUE — each user's earliest and
+    latest event value under a TOTAL order (``order_cols`` must end in
+    a unique column so ties cannot make the answer engine-dependent).
+
+    This is the mergeable argmin/argmax pattern: each batch reduces to
+    at most TWO rows per user present (its local extremes, one sort +
+    head/tail per group), so the co-locating shuffle carries ≤
+    2·batches rows per user no matter how many events a power user has
+    — skew-immune without salting.  The final pass applies the same
+    kernel across whole hash partitions (no per-user task overhead).
+
+    Output: (part_col, first_value:float64, last_value:float64).
+    """
+
+    order = list(order_cols)
+    cols = [part_col, *order, val_col]
+
+    def local_extremes(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[cols].sort_values([part_col, *order], kind="mergesort")
+        g = s.groupby(part_col, sort=False)
+        return pd.concat([g.head(1), g.tail(1)]).drop_duplicates()
+
+    def finish(part: pd.DataFrame) -> pd.DataFrame:
+        s = part.sort_values([part_col, *order], kind="mergesort")
+        g = s.groupby(part_col, sort=False)
+        first = g.head(1).set_index(part_col)[val_col]
+        last = g.tail(1).set_index(part_col)[val_col]
+        return pd.DataFrame(
+            {
+                part_col: first.index,
+                "first_value": first.to_numpy(dtype="float64"),
+                "last_value": last.to_numpy(dtype="float64"),
+            }
+        )
+
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    partial = ds.map_batches(local_extremes, batch_format="pandas")
+    return partitioned_map(
+        partial, [part_col], finish,
+        **({"n_parts": n_parts} if n_parts else {}),
+    )

@@ -312,6 +312,20 @@ def q_sentence_stats(sf_dir: str) -> ray.data.Dataset:
     ).map_batches(sentence_stats_batch, batch_format="pandas")
 
 
+def q_first_last_value(sf_dir: str) -> ray.data.Dataset:
+    """FIRST_VALUE/LAST_VALUE per user under the total (ts, event_id)
+    order — mergeable argmin/argmax, ≤2 rows per user per batch enter
+    the shuffle."""
+    from pdf_parser_ray.ops.windows import first_last_value
+
+    return first_last_value(
+        _read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_id", "value"],
+        )
+    )
+
+
 def q_event_histogram(sf_dir: str) -> ray.data.Dataset:
     """Per-type fixed-width value histogram (bin = floor(value/100));
     partial counts before the (type, bin) groupby."""
@@ -2348,6 +2362,22 @@ SQL["priority_flag_counts"] = """
     GROUP BY l.l_returnflag
 """
 
+SQL["first_last_value"] = """
+    WITH r AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS rn_a,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT user_id,
+           max(CASE WHEN rn_a = 1 THEN value END) AS first_value,
+           max(CASE WHEN rn_d = 1 THEN value END) AS last_value
+    FROM r
+    GROUP BY user_id
+"""
+
 SQL["source_cap"] = """
     SELECT source, doc_id
     FROM documents
@@ -2464,4 +2494,5 @@ QUERIES = {
     "priority_flag_counts": q_priority_flag_counts,
     "source_cap": q_source_cap,
     "sentence_stats": q_sentence_stats,
+    "first_last_value": q_first_last_value,
 }

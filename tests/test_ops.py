@@ -1316,3 +1316,35 @@ def test_sentence_stats_edges():
     out = sentence_stats_batch(df)
     assert out["n_sentences"].tolist() == [3, 2, 0, 0]
     assert out["words_per_sentence"].tolist() == [1.0, 1.0, 0.0, 0.0]
+
+
+def test_first_last_value_skew_immune_partials(ray_session):
+    """A power user spread over many blocks still reduces to one
+    (first, last) pair, and batch-local extremes pick the global ones."""
+    import pandas as pd
+    import ray.data
+
+    from pdf_parser_ray.ops.windows import first_last_value
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1] * 8 + [2],
+            "ts": pd.to_datetime(
+                ["2024-01-05", "2024-01-03", "2024-01-08", "2024-01-01",
+                 "2024-01-07", "2024-01-02", "2024-01-06", "2024-01-04",
+                 "2024-01-09"]
+            ),
+            "event_id": list(range(9)),
+            "value": [50.0, 30.0, 80.0, 10.0, 70.0, 20.0, 60.0, 40.0, 99.0],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(5)
+    out = (
+        first_last_value(ds)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert out["user_id"].tolist() == [1, 2]
+    assert out["first_value"].tolist() == [10.0, 99.0]  # 2024-01-01
+    assert out["last_value"].tolist() == [80.0, 99.0]   # 2024-01-08
