@@ -690,3 +690,45 @@ def sentence_stats_batch(df: pd.DataFrame) -> pd.DataFrame:
             "words_per_sentence": wps,
         }
     )
+
+
+# Script profiling uses EXPLICIT codepoint ranges (not \p{Script}) so
+# the Python re kernel and the DuckDB/RE2 oracle compile the identical
+# character classes; each count is a row-local vectorized str.count.
+SCRIPT_RANGES = (
+    ("n_latin", "[A-Za-zÀ-ɏ]"),
+    ("n_cyrillic", "[Ѐ-ӿ]"),
+    ("n_greek", "[Ͱ-Ͽ]"),
+    ("n_cjk", "[一-鿿぀-ヿ가-힯]"),
+    ("n_arabic", "[؀-ۿ]"),
+)
+
+
+def script_profile_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-document writing-script character counts plus the majority
+    script — the mixed-script signal webtext curation uses to flag
+    keyword-stuffed spam and mislabeled languages (a doc tagged ``en``
+    that is 40% Cyrillic is noise or an attack, not English).
+
+    majority_script is the first range in SCRIPT_RANGES order with the
+    maximum count ('none' when all counts are zero) — a deterministic
+    tie-break both engines can express.
+
+    Output: (doc_id, n_latin, n_cyrillic, n_greek, n_cjk, n_arabic,
+    majority_script:string).
+    """
+    import numpy as np
+
+    text = df["text"].fillna("")
+    out = {"doc_id": df["doc_id"]}
+    counts = []
+    for name, rng in SCRIPT_RANGES:
+        c = text.str.count(rng).astype("int64")
+        out[name] = c
+        counts.append(c.to_numpy())
+    mat = np.stack(counts, axis=1)
+    best = mat.argmax(axis=1)  # first max wins = SCRIPT_RANGES order
+    names = np.array([n for n, _ in SCRIPT_RANGES], dtype=object)
+    maj = np.where(mat.max(axis=1) > 0, names[best], "none")
+    out["majority_script"] = maj
+    return pd.DataFrame(out)

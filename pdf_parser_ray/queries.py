@@ -326,6 +326,45 @@ def q_first_last_value(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_script_profile(sf_dir: str) -> ray.data.Dataset:
+    """Writing-script character profile per doc (mixed-script spam
+    signal); row-local vectorized counts over explicit codepoint
+    ranges shared verbatim with the SQL twin."""
+    from pdf_parser_ray.ops.text_stats import script_profile_batch
+
+    return _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(script_profile_batch, batch_format="pandas")
+
+
+def _script_profile_sql() -> str:
+    # The oracle compiles the IDENTICAL range literals the kernel uses
+    # (same source tuple), so the two engines cannot drift.
+    from pdf_parser_ray.ops.text_stats import SCRIPT_RANGES
+
+    counts = ",\n             ".join(
+        f"length(regexp_extract_all(text, '{rng}')) AS {name}"
+        for name, rng in SCRIPT_RANGES
+    )
+    names = [name for name, _ in SCRIPT_RANGES]
+    greatest = f"greatest({', '.join(names)})"
+    branches = "\n                ".join(
+        f"WHEN {name} = {greatest} THEN '{name}'" for name in names
+    )
+    return f"""
+    WITH c AS (
+      SELECT doc_id,
+             {counts}
+      FROM documents
+    )
+    SELECT doc_id, {', '.join(names)},
+           CASE WHEN {greatest} = 0 THEN 'none'
+                {branches}
+           END AS majority_script
+    FROM c
+"""
+
+
 def q_event_histogram(sf_dir: str) -> ray.data.Dataset:
     """Per-type fixed-width value histogram (bin = floor(value/100));
     partial counts before the (type, bin) groupby."""
@@ -2378,6 +2417,8 @@ SQL["first_last_value"] = """
     GROUP BY user_id
 """
 
+SQL["script_profile"] = _script_profile_sql()
+
 SQL["source_cap"] = """
     SELECT source, doc_id
     FROM documents
@@ -2495,4 +2536,5 @@ QUERIES = {
     "source_cap": q_source_cap,
     "sentence_stats": q_sentence_stats,
     "first_last_value": q_first_last_value,
+    "script_profile": q_script_profile,
 }

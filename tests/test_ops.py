@@ -1348,3 +1348,28 @@ def test_first_last_value_skew_immune_partials(ray_session):
     assert out["user_id"].tolist() == [1, 2]
     assert out["first_value"].tolist() == [10.0, 99.0]  # 2024-01-01
     assert out["last_value"].tolist() == [80.0, 99.0]   # 2024-01-08
+
+
+def test_script_profile_majority_and_ranges():
+    import pandas as pd
+
+    from pdf_parser_ray.ops.text_stats import script_profile_batch
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "hello naïve café",         # latin incl. accented
+                "привет мир",               # cyrillic
+                "你好世界 ok",               # cjk beats 2-char latin
+                "αβγ abc",                  # 3-3 tie -> first range wins
+                "12345 !!!",                # no script chars -> none
+            ],
+        }
+    )
+    out = script_profile_batch(df)
+    assert out["majority_script"].tolist() == [
+        "n_latin", "n_cyrillic", "n_cjk", "n_latin", "none",
+    ]
+    assert out.loc[1, "n_cyrillic"] == 9
+    assert out.loc[2, "n_cjk"] == 4
