@@ -47,6 +47,11 @@ BENCH_QUERIES = [
     "order_count_distribution",
     "doc_embed_knn",
     "distinct_users_per_type",
+    # late-round-2 additions
+    "nation_profit",
+    "priority_flag_counts",
+    "source_cap",
+    "first_last_value",
 ]
 
 
