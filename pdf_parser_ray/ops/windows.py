@@ -681,3 +681,79 @@ def first_last_value(
         partial, [part_col], finish,
         **({"n_parts": n_parts} if n_parts else {}),
     )
+
+
+def grouped_mode(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str = "event_type",
+    val_col: str = "user_id",
+    n_parts: int | None = None,
+) -> ray.data.Dataset:
+    """Statistical mode per group — the most frequent ``val_col`` with
+    a deterministic (count DESC, value ASC) tie-break.
+
+    Two mergeable stages: per-batch (group, value) counts collapse each
+    batch before the shuffle, one bounded co-locating pass sums counts
+    and picks the winner per group across whole partitions.  The
+    shuffle carries distinct (group, value) pairs, never raw rows.
+
+    Output: (group_col, val_col, n:int64) — one row per group.
+    """
+
+    def local_counts(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby([group_col, val_col], as_index=False).size()
+        return out.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+    def pick(part: pd.DataFrame) -> pd.DataFrame:
+        merged = part.groupby([group_col, val_col], as_index=False)["n"].sum()
+        s = merged.sort_values(
+            [group_col, "n", val_col], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return s.groupby(group_col, sort=False).head(1).astype({"n": "int64"})
+
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    partial = ds.map_batches(local_counts, batch_format="pandas")
+    return partitioned_map(
+        partial, [group_col], pick,
+        **({"n_parts": n_parts} if n_parts else {}),
+    )
+
+
+def grouped_concat(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    val_col: str = "lang",
+    sep: str = ",",
+    n_parts: int | None = None,
+) -> ray.data.Dataset:
+    """Ordered grouped string concatenation — SQL
+    ``string_agg(val, sep ORDER BY order_col)`` per group.
+
+    Order-sensitive concatenation cannot pre-merge across batches
+    without carrying fragment boundaries, so the whole (pruned!)
+    triple column set co-locates by hashed group and one vectorized
+    sort + groupby-join per partition produces the strings.  Prune to
+    exactly (group, order, val) in the caller — the op never ships
+    payload columns.
+
+    Output: (group_col, vals:string) — one row per group.
+    """
+
+    def concat(part: pd.DataFrame) -> pd.DataFrame:
+        s = part.sort_values([group_col, order_col], kind="mergesort")
+        out = s.groupby(group_col, sort=False)[val_col].agg(sep.join)
+        return pd.DataFrame({group_col: out.index, "vals": out.to_numpy()})
+
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    return partitioned_map(
+        ds.select_columns([group_col, order_col, val_col]),
+        [group_col],
+        concat,
+        **({"n_parts": n_parts} if n_parts else {}),
+    )

@@ -365,6 +365,31 @@ def _script_profile_sql() -> str:
 """
 
 
+def q_mode_user_per_type(sf_dir: str) -> ray.data.Dataset:
+    """Most frequent user per event type (count DESC, user ASC
+    tie-break) — distinct-pair counts shuffle, never raw rows."""
+    from pdf_parser_ray.ops.windows import grouped_mode
+
+    return grouped_mode(
+        _read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+        )
+    )
+
+
+def q_lang_concat_per_source(sf_dir: str) -> ray.data.Dataset:
+    """Ordered grouped string concatenation: langs per source in
+    doc_id order (string_agg twin)."""
+    from pdf_parser_ray.ops.windows import grouped_concat
+
+    return grouped_concat(
+        _read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["source", "doc_id", "lang"],
+        )
+    )
+
+
 def q_event_histogram(sf_dir: str) -> ray.data.Dataset:
     """Per-type fixed-width value histogram (bin = floor(value/100));
     partial counts before the (type, bin) groupby."""
@@ -2419,6 +2444,23 @@ SQL["first_last_value"] = """
 
 SQL["script_profile"] = _script_profile_sql()
 
+SQL["mode_user_per_type"] = """
+    WITH c AS (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type, user_id, n
+    FROM c
+    QUALIFY row_number() OVER (PARTITION BY event_type
+                               ORDER BY n DESC, user_id ASC) = 1
+"""
+
+SQL["lang_concat_per_source"] = """
+    SELECT source, string_agg(lang, ',' ORDER BY doc_id) AS vals
+    FROM documents
+    GROUP BY source
+"""
+
 SQL["source_cap"] = """
     SELECT source, doc_id
     FROM documents
@@ -2537,4 +2579,6 @@ QUERIES = {
     "sentence_stats": q_sentence_stats,
     "first_last_value": q_first_last_value,
     "script_profile": q_script_profile,
+    "mode_user_per_type": q_mode_user_per_type,
+    "lang_concat_per_source": q_lang_concat_per_source,
 }

@@ -1373,3 +1373,51 @@ def test_script_profile_majority_and_ranges():
     ]
     assert out.loc[1, "n_cyrillic"] == 9
     assert out.loc[2, "n_cjk"] == 4
+
+
+def test_grouped_mode_tiebreak_and_merge(ray_session):
+    """Counts split across blocks must merge before the winner pick;
+    equal counts break to the smaller value."""
+    import pandas as pd
+    import ray.data
+
+    from pdf_parser_ray.ops.windows import grouped_mode
+
+    df = pd.DataFrame(
+        {
+            "event_type": ["a"] * 6 + ["b"] * 4,
+            "user_id": [7, 7, 7, 2, 2, 2, 9, 9, 1, 1],  # a: 3-3 tie -> 2
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = (
+        grouped_mode(ds)
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert out["user_id"].tolist() == [2, 1]
+    assert out["n"].tolist() == [3, 2]
+
+
+def test_grouped_concat_order(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from pdf_parser_ray.ops.windows import grouped_concat
+
+    df = pd.DataFrame(
+        {
+            "source": ["s1", "s2", "s1", "s1", "s2"],
+            "doc_id": [30, 5, 10, 20, 1],
+            "lang": ["c", "y", "a", "b", "x"],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = (
+        grouped_concat(ds)
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    assert out["vals"].tolist() == ["a,b,c", "x,y"]
