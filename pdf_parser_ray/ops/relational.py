@@ -1262,7 +1262,9 @@ def nation_profit(sf_dir: str) -> ray.data.Dataset:
                 "profit_i": cents * keep_bp,
             }
         )
-        return m.groupby(["n_name", "o_year"], as_index=False)["profit_i"].sum()
+        return arrow_out(
+            m.groupby(["n_name", "o_year"], as_index=False)["profit_i"].sum()
+        )
 
     agg = (
         enriched.map_batches(profit_partial, batch_format="pandas")
@@ -1324,7 +1326,7 @@ def returned_revenue_topk(sf_dir: str, k: int = 20) -> ray.data.Dataset:
         df = df.assign(
             revenue=df["l_extendedprice"] * (1.0 - df["l_discount"])
         )
-        return df.groupby("o_custkey", as_index=False)["revenue"].sum()
+        return arrow_out(df.groupby("o_custkey", as_index=False)["revenue"].sum())
 
     agg = (
         joined.map_batches(revenue_partial, batch_format="pandas")
@@ -1406,7 +1408,7 @@ def priority_flag_counts(sf_dir: str) -> ray.data.Dataset:
                 "low_count": (~high).astype("int64"),
             }
         )
-        return m.groupby("l_returnflag", as_index=False).sum()
+        return arrow_out(m.groupby("l_returnflag", as_index=False).sum())
 
     agg = (
         joined.map_batches(partial, batch_format="pandas")
