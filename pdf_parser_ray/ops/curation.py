@@ -329,3 +329,53 @@ def tfidf_top_terms(
         )
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def deterministic_shuffle(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    n_parts: int | None = None,
+):
+    """Deterministic global shuffle for training-data export: every row
+    gets a shard and a position within it, both pure functions of the
+    row id — md5-ordered, so the "random" order is rerun-stable across
+    retries, partitionings and resumes (the same hash-gate family as
+    :func:`assign_splits`; an RNG shuffle would make a resumed export
+    disagree with the original).
+
+    Shard = first md5 byte mod ``n_shards`` (uniform); position =
+    ascending md5 rank inside the shard.  The one shuffle co-locates by
+    shard hash; the per-partition kernel is a vectorized sort +
+    cumcount.  Position is shard-local by design — a global position
+    would serialize the corpus through one task.
+
+    Output: (id_col, shard:int64, pos:int64).
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        h = df[id_col].map(
+            lambda i: hashlib.md5(str(i).encode("ascii")).hexdigest()
+        )
+        shard = h.str[:2].map(lambda x: int(x, 16)).astype("int64") % n_shards
+        return pd.DataFrame({id_col: df[id_col], "__h": h, "shard": shard})
+
+    def order(part: pd.DataFrame) -> pd.DataFrame:
+        s = part.sort_values(["shard", "__h", id_col], kind="mergesort")
+        pos = s.groupby("shard", sort=False).cumcount().astype("int64")
+        return pd.DataFrame(
+            {id_col: s[id_col], "shard": s["shard"], "pos": pos.to_numpy()}
+        )
+
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    return partitioned_map(
+        ds.select_columns([id_col]).map_batches(tag, batch_format="pandas"),
+        ["shard"],
+        order,
+        **({"n_parts": n_parts} if n_parts else {}),
+    )

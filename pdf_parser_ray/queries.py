@@ -390,6 +390,17 @@ def q_lang_concat_per_source(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_shuffle_order(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic export shuffle: md5-sharded, md5-ordered positions
+    per shard — rerun-stable across retries and resumes."""
+    from pdf_parser_ray.ops.curation import deterministic_shuffle
+
+    return deterministic_shuffle(
+        _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]),
+        n_shards=8,
+    )
+
+
 def q_event_histogram(sf_dir: str) -> ray.data.Dataset:
     """Per-type fixed-width value histogram (bin = floor(value/100));
     partial counts before the (type, bin) groupby."""
@@ -2455,6 +2466,19 @@ SQL["mode_user_per_type"] = """
                                ORDER BY n DESC, user_id ASC) = 1
 """
 
+SQL["shuffle_order"] = """
+    WITH t AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+             CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                       AS INTEGER) % 8 AS BIGINT) AS shard
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard
+                                   ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+    FROM t
+"""
+
 SQL["lang_concat_per_source"] = """
     SELECT source, string_agg(lang, ',' ORDER BY doc_id) AS vals
     FROM documents
@@ -2581,4 +2605,5 @@ QUERIES = {
     "script_profile": q_script_profile,
     "mode_user_per_type": q_mode_user_per_type,
     "lang_concat_per_source": q_lang_concat_per_source,
+    "shuffle_order": q_shuffle_order,
 }

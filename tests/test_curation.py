@@ -413,3 +413,28 @@ class TestLmScoreJoinMode:
         )
         assert list(a["doc_id"]) == [1, 2, 3]
         pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+class TestDeterministicShuffle:
+    def test_rerun_and_partitioning_invariant(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from pdf_parser_ray.ops.curation import deterministic_shuffle
+
+        df = pd.DataFrame({"doc_id": list(range(200))})
+        a = (
+            deterministic_shuffle(ray.data.from_pandas(df).repartition(7))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        b = (
+            deterministic_shuffle(ray.data.from_pandas(df).repartition(2))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+        # every shard's positions are exactly 0..len(shard)-1
+        for _, g in a.groupby("shard"):
+            assert sorted(g["pos"]) == list(range(len(g)))
+        # shards are reasonably balanced (uniform hash, 200 rows / 8)
+        sizes = a["shard"].value_counts()
+        assert sizes.min() >= 10 and sizes.max() <= 45
