@@ -401,6 +401,26 @@ def q_shuffle_order(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_window_distinct_users(sf_dir: str) -> ray.data.Dataset:
+    """Daily distinct active users — tumbling window × the exact
+    distinct-pair combiner: shuffle volume is bounded by distinct
+    (day, user) pairs, not events."""
+    import pyarrow.compute as pc
+
+    from pdf_parser_ray.ops.sketches import grouped_distinct_exact
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    ).map_batches(
+        lambda t: t.append_column(
+            "window_start", pc.floor_temporal(t.column("ts"), unit="day")
+        ).select(["window_start", "user_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return grouped_distinct_exact(ds, "window_start", "user_id")
+
+
 def q_event_histogram(sf_dir: str) -> ray.data.Dataset:
     """Per-type fixed-width value histogram (bin = floor(value/100));
     partial counts before the (type, bin) groupby."""
@@ -2479,6 +2499,13 @@ SQL["shuffle_order"] = """
     FROM t
 """
 
+SQL["window_distinct_users"] = """
+    SELECT date_trunc('day', ts) AS window_start,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events
+    GROUP BY date_trunc('day', ts)
+"""
+
 SQL["lang_concat_per_source"] = """
     SELECT source, string_agg(lang, ',' ORDER BY doc_id) AS vals
     FROM documents
@@ -2606,4 +2633,5 @@ QUERIES = {
     "mode_user_per_type": q_mode_user_per_type,
     "lang_concat_per_source": q_lang_concat_per_source,
     "shuffle_order": q_shuffle_order,
+    "window_distinct_users": q_window_distinct_users,
 }
