@@ -1423,3 +1423,64 @@ def priority_flag_counts(sf_dir: str) -> ray.data.Dataset:
         return df.astype({"high_count": "int64", "low_count": "int64"})
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def promo_revenue_share(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q14 shape: promotional revenue share — one broadcast
+    dimension join (part → is_promo bool, one byte per partkey) and a
+    single global ratio of two sums.
+
+    Both sums run in exact integer cents (same contract as
+    :func:`nation_profit`), so the promo/total ratio divides two int64
+    values every engine holds bit-identically; the only rounding is the
+    agreed 6dp on the final share.
+
+    Output: one row (promo_share:float64 rounded 6).
+    """
+    from ray.data.aggregate import Sum
+
+    part = pd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    dim = pd.DataFrame(
+        {
+            "l_partkey": part["p_partkey"],
+            "is_promo": part["p_type"].str.startswith("PROMO"),
+        }
+    )
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+    enriched = broadcast_merge(li, dim, on="l_partkey")
+
+    def partial(df: pd.DataFrame):
+        cents = np.rint(df["l_extendedprice"].to_numpy() * 100.0).astype(
+            np.int64
+        )
+        keep_bp = 100 - np.rint(df["l_discount"].to_numpy() * 100.0).astype(
+            np.int64
+        )
+        rev = cents * keep_bp
+        promo = df["is_promo"].to_numpy()
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    "promo_i": [int(rev[promo].sum())],
+                    "total_i": [int(rev.sum())],
+                }
+            )
+        )
+
+    agg = enriched.map_batches(partial, batch_format="pandas").aggregate(
+        Sum("promo_i", alias_name="promo_i"),
+        Sum("total_i", alias_name="total_i"),
+    )
+
+    import ray.data as rd
+
+    share = np.round(
+        100.0 * float(agg["promo_i"]) / float(agg["total_i"]), 6
+    )
+    return rd.from_pandas(pd.DataFrame({"promo_share": [share]}))

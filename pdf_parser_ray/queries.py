@@ -421,6 +421,15 @@ def q_window_distinct_users(sf_dir: str) -> ray.data.Dataset:
     return grouped_distinct_exact(ds, "window_start", "user_id")
 
 
+def q_promo_revenue(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q14 shape: promo revenue share — broadcast part dimension
+    (one bool per partkey), exact integer-cents sums, one global
+    ratio."""
+    from pdf_parser_ray.ops.relational import promo_revenue_share
+
+    return promo_revenue_share(sf_dir)
+
+
 def q_event_histogram(sf_dir: str) -> ray.data.Dataset:
     """Per-type fixed-width value histogram (bin = floor(value/100));
     partial counts before the (type, bin) groupby."""
@@ -2499,6 +2508,19 @@ SQL["shuffle_order"] = """
     FROM t
 """
 
+SQL["promo_revenue"] = """
+    SELECT round(
+             100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                              THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                                   * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                              ELSE 0 END)
+                   / sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount * 100) AS BIGINT))),
+             6) AS promo_share
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+"""
+
 SQL["window_distinct_users"] = """
     SELECT date_trunc('day', ts) AS window_start,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
@@ -2634,4 +2656,5 @@ QUERIES = {
     "lang_concat_per_source": q_lang_concat_per_source,
     "shuffle_order": q_shuffle_order,
     "window_distinct_users": q_window_distinct_users,
+    "promo_revenue": q_promo_revenue,
 }
