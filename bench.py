@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "priority_flag_counts",
     "source_cap",
     "first_last_value",
+    "returned_revenue",
+    "promo_revenue",
 ]
 
 
