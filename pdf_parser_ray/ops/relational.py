@@ -122,19 +122,26 @@ def hash_join(
     # block comes out empty, any join partition that then receives no
     # real rows from that side finalizes a ZERO-COLUMN table and the
     # Arrow join dies with `No match ... FieldRef.Name(<key>)`.  Block
-    # submission order is not controllable, so ONE elected task per
-    # side (latch actor) appends sentinel rows covering every hash
-    # partition; a marker column identifies them for post-join removal.
-    # Everything is in-task and lazy — no driver-side schema()/
-    # execution of the inputs (a post-shuffle side would otherwise run
-    # its whole upstream twice).
+    # submission order is not controllable (and empty blocks bypass
+    # map_batches UDFs entirely), so EVERY primed batch appends
+    # marker-flagged sentinel rows covering every hash partition —
+    # every partition physically holds ≥1 typed row per side in any
+    # block order.  Emission is stateless and deterministic:
+    # re-executions of the same lazy plan and task retries re-emit
+    # identically (the earlier once-per-session latch election emitted
+    # only on the first execution, re-exposing the crash when a join
+    # result was consumed twice).  The two sides draw sentinels from
+    # DISJOINT key domains, so sentinel rows never match each other —
+    # per-batch emission adds zero joined rows.  Everything is in-task
+    # and lazy — no driver-side schema()/execution of the inputs (a
+    # post-shuffle side would otherwise run its whole upstream twice).
     left = left.map_batches(
-        _make_prime_fn(list(on), int(num_partitions), _SENT_L),
+        _make_prime_fn(list(on), int(num_partitions), _SENT_L, parity=0),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
     right = right.map_batches(
-        _make_prime_fn(list(on), int(num_partitions), _SENT_R),
+        _make_prime_fn(list(on), int(num_partitions), _SENT_R, parity=1),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
@@ -151,99 +158,80 @@ _SENTINEL_BASE = -(1 << 61)  # sentinel keys live below this; see note
 _SENT_L, _SENT_R = "__ppr_sent_l", "__ppr_sent_r"
 
 
-@ray.remote(num_cpus=0)
-class _JoinPrimeLatch:
-    """Once-only election: the first task of each join side to call
-    ``try_acquire(uid)`` wins the right to emit that side's sentinel
-    rows.  One tiny named actor serves every join in the session; the
-    state is a set of consumed uids (bytes, grows by one short string
-    per join call)."""
-
-    def __init__(self):
-        self._taken: set = set()
-
-    def try_acquire(self, uid: str) -> bool:
-        if uid in self._taken:
-            return False
-        self._taken.add(uid)
-        return True
-
-
-_LATCH_CACHE: dict = {}
-
-
-def _get_latch():
-    """Driver-side, once per Ray session: a named zero-CPU latch actor
-    OWNED BY THE DRIVER (a worker-created owner can idle-exit and take
-    the actor down mid-join — observed as ActorDiedError in elected
-    tasks).  Cached per job id so a shutdown/re-init cycle rebuilds."""
-    job_id = ray.get_runtime_context().get_job_id()
-    handle = _LATCH_CACHE.get(job_id)
-    if handle is None:
-        handle = _JoinPrimeLatch.options(
-            name="_ppr_join_prime_latch",
-            namespace="ppr_join_prime",
-            get_if_exists=True,
-        ).remote()
-        _LATCH_CACHE.clear()
-        _LATCH_CACHE[job_id] = handle
-    return handle
-
-
-def _latch_try_acquire(latch, uid: str) -> bool:
-    try:
-        return ray.get(latch.try_acquire.remote(uid))
-    except Exception:  # latch gone → skip emission, degrade gracefully
-        return False
-
-
-def _sentinel_keys(key_types: list, num_partitions: int) -> list[int] | None:
-    """Deep-negative int keys covering every hash partition, placed
-    with Ray's OWN hash_partition so the mapping is exactly the
-    shuffle's.  None when the key types can't hold the reserved range
-    or internals are unavailable."""
+def _sentinel_keys(
+    key_types: list, num_partitions: int, parity: int
+) -> list | None:
+    """One sentinel key value per hash partition, placed with Ray's OWN
+    hash_partition so the mapping is exactly the shuffle's.  Integer
+    keys draw from the deep-negative reserved range, string keys from a
+    reserved prefix; ``parity`` (0=left, 1=right) keeps the two sides'
+    candidate domains disjoint so sentinels never match across sides.
+    None when the key types can't hold the candidates or internals are
+    unavailable."""
     try:
         from ray.data._internal.arrow_ops.transform_pyarrow import hash_partition
     except ImportError:
         return None
     n_cand = max(64, 16 * num_partitions)
-    cands = [_SENTINEL_BASE - 1 - i for i in range(n_cand)]
+    ints = [_SENTINEL_BASE - 1 - (2 * i + parity) for i in range(n_cand)]
+
+    def cand_array(t: pa.DataType):
+        if pa.types.is_integer(t):
+            return pa.array(ints, type=t)
+        return pa.array(
+            [f"__ppr_sentinel_{parity}_{i}" for i in range(n_cand)], type=t
+        )
+
     try:
         cand_table = pa.table(
-            {f"k{i}": pa.array(cands, type=t) for i, t in enumerate(key_types)}
+            {
+                **{f"k{i}": cand_array(t) for i, t in enumerate(key_types)},
+                "__row": pa.array(range(n_cand), pa.int64()),
+            }
         )
         parts = hash_partition(
             cand_table,
-            hash_cols=list(cand_table.column_names),
+            hash_cols=[f"k{i}" for i in range(len(key_types))],
             num_partitions=num_partitions,
         )
     except (OverflowError, pa.ArrowInvalid, pa.ArrowTypeError):
         return None
-    return [t.column(0)[0].as_py() for t in parts.values()]
+    # first candidate ROW landing in each partition → whole key tuples,
+    # so multi-key (and mixed-type) sentinels hash exactly as placed
+    rows = [t.column("__row")[0].as_py() for t in parts.values()]
+    return [cand_table.column(f"k{i}").take(rows) for i in range(len(key_types))]
 
 
-def _make_prime_fn(on: list[str], num_partitions: int, marker: str):
+def _make_prime_fn(on: list[str], num_partitions: int, marker: str, parity: int):
     """Per-batch prime stage: strip schema metadata, append a False
-    marker column, and — in the ONE task that wins the latch election
-    for this join side — append sentinel rows covering every hash
-    partition, with the schema taken from the task's own batch.
+    marker column, and append marker-flagged sentinel rows covering
+    every hash partition — so every partition physically receives ≥1
+    typed row from this side no matter which block the shuffle submits
+    first (EMPTY upstream blocks bypass map_batches entirely, so the
+    one-shot schema broadcast can be lost; physical coverage can't).
+
+    Emission is per batch — stateless and deterministic, so task
+    retries and plan re-executions re-emit identically (an earlier
+    once-per-session latch election emitted only on the first
+    execution, re-exposing the crash when a join result was consumed
+    twice).  The two sides draw from DISJOINT sentinel domains
+    (``parity``), so sentinel rows never match across sides and
+    per-batch emission adds zero joined rows — just ~num_partitions
+    null-payload rows per block through the shuffle (≈0.02 % of a
+    dense shuffle's volume), all dropped by :func:`_unprime`.
 
     Sentinel rows are identified by the MARKER column, not by key
     range: hash-derived int64 keys (md5 prefixes etc.) legitimately
     span the whole 64-bit range.  A real key EQUAL to one of the
-    ≤num_partitions deep-range sentinel values would pick up a
-    spurious match in outer/anti shapes (~2^-58 per row) —
-    astronomically unlikely for sequential ids, irrelevant for
-    uniform hashes.  Non-integer keys skip sentinel emission (marker
-    still added); if the elected task's emission is lost to a task
-    retry, behavior degrades to plain Ray semantics.
+    deep-range / reserved-prefix sentinel values would pick up a
+    spurious match in outer/anti shapes (~2^-58 per row for ints) —
+    astronomically unlikely for sequential ids, irrelevant for uniform
+    hashes.  Key types beyond int/string skip sentinel emission
+    (marker still added): behavior degrades to plain Ray semantics.
     """
-    uid = f"{marker}:{__import__('uuid').uuid4().hex}"
-    latch = _get_latch()
+    sent_cache: dict = {}
 
     def prime(t: pa.Table) -> pa.Table:
-        from pdf_parser_ray.stages import worker_state
-
         t = t.replace_schema_metadata(None)
         t = t.append_column(marker, pa.array(np.zeros(t.num_rows, dtype=bool)))
         key_types = []
@@ -251,28 +239,30 @@ def _make_prime_fn(on: list[str], num_partitions: int, marker: str):
             if k not in t.column_names:
                 return t
             ftype = t.schema.field(k).type
-            if not pa.types.is_integer(ftype):
+            if not (
+                pa.types.is_integer(ftype)
+                or pa.types.is_string(ftype)
+                or pa.types.is_large_string(ftype)
+            ):
                 return t
             key_types.append(ftype)
-        # one latch RPC per worker process; winner emits exactly once
-        state = worker_state(("join_prime", uid), lambda: {
-            "won": _latch_try_acquire(latch, uid), "emitted": False,
-        })
-        if not state["won"] or state["emitted"]:
-            return t
-        chosen = _sentinel_keys(key_types, num_partitions)
+        # sentinel placement is pure fn of (key types, partitions):
+        # compute once per task, reuse across its batches
+        ck = tuple(str(kt) for kt in key_types)
+        if ck not in sent_cache:
+            sent_cache[ck] = _sentinel_keys(key_types, num_partitions, parity)
+        chosen = sent_cache[ck]
         if chosen is None:
-            state["emitted"] = True
             return t
+        n_sent = len(chosen[0])
         arrays = []
         for f in t.schema:
             if f.name in on:
-                arrays.append(pa.array(chosen, type=f.type))
+                arrays.append(chosen[on.index(f.name)])
             elif f.name == marker:
-                arrays.append(pa.array(np.ones(len(chosen), dtype=bool)))
+                arrays.append(pa.array(np.ones(n_sent, dtype=bool)))
             else:
-                arrays.append(pa.nulls(len(chosen), type=f.type))
-        state["emitted"] = True
+                arrays.append(pa.nulls(n_sent, type=f.type))
         return pa.concat_tables([t, pa.table(arrays, schema=t.schema)])
 
     return prime
@@ -486,18 +476,38 @@ def asof_join_backward(
 
     tagged, names = _tag_union(left, right, by, on)
 
+    def nullable(dtype):
+        # Integer columns can't hold NA as plain numpy dtypes; assigning
+        # pd.NA upcasts int64→float64/object and the cast back raises
+        # IntCastingNaNError.  Route misses through pandas' masked dtype
+        # (Arrow conversion unifies Int64-with-nulls and int64 blocks).
+        if pd.api.types.is_integer_dtype(dtype) and isinstance(dtype, np.dtype):
+            name = str(dtype)
+            return pd.api.types.pandas_dtype(
+                ("U" + name[1:].capitalize()) if name[0] == "u"
+                else name.capitalize()
+            )
+        return dtype
+
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["__side"] == 0]
         r = g[g["__side"] == 1]
         out = l[names].copy()
         rts = np.sort(r[on].dropna().unique())
         if len(rts) == 0:
-            out[out_col] = pd.Series(pd.NA, index=out.index, dtype=l[on].dtype)
+            out[out_col] = pd.Series(
+                pd.NA, index=out.index, dtype=nullable(l[on].dtype)
+            )
             return out
         idx = np.searchsorted(rts, l[on].to_numpy(), side="right") - 1
+        miss = idx < 0
         vals = pd.Series(rts[np.clip(idx, 0, None)], index=out.index)
-        vals[idx < 0] = pd.NA
-        out[out_col] = vals.astype(l[on].dtype)
+        if miss.any():
+            vals = vals.astype(nullable(l[on].dtype))
+            vals[miss] = pd.NA
+            out[out_col] = vals
+        else:
+            out[out_col] = vals.astype(l[on].dtype)
         return out
 
     from pdf_parser_ray.ops.shuffle import grouped_map

@@ -205,6 +205,49 @@ class TestSparseJoinPriming:
         assert len(out) == expect
         assert set(out["k"]).issubset({205, 9999})
 
+    @pytest.mark.parametrize("jt", ["inner", "left_outer"])
+    def test_reexecution_keeps_priming(self, ray_session, jt):
+        """Consuming a lazy join result twice must work (regression:
+        the once-per-session latch election emitted sentinels only on
+        the FIRST execution, so count() followed by to_pandas()
+        re-exposed the zero-column partition crash)."""
+        import pandas as pd
+
+        import ray.data
+        from pdf_parser_ray.ops.relational import hash_join
+
+        right = ray.data.from_pandas(
+            pd.DataFrame({"k": [205, 9999], "w": [2, 5]})
+        )
+        out = hash_join(
+            self._sparse_left(), right, ["k"], join_type=jt, num_partitions=4
+        )
+        n_first = out.count()           # execution 1
+        df = out.to_pandas()            # execution 2 of the same plan
+        assert len(df) == n_first == 1
+        assert set(df["k"]) == {205}
+
+    def test_string_key_sparse_join_primed(self, ray_session):
+        """String join keys get sentinel coverage too (the old prime
+        stage skipped non-integer keys entirely)."""
+        import pyarrow as pa
+
+        import ray.data
+        from pdf_parser_ray.ops.relational import hash_join
+
+        ne = lambda ks: pa.table(
+            {"k": pa.array(ks, pa.string()),
+             "v": pa.array([f"n{x}" for x in ks], pa.string())}
+        )
+        left = ray.data.from_arrow([ne([]), ne(["u205"])])
+        right = ray.data.from_pandas(
+            pd.DataFrame({"k": ["u205", "u9999"], "w": [2, 5]})
+        )
+        out = hash_join(
+            left, right, ["k"], join_type="inner", num_partitions=4
+        ).to_pandas()
+        assert len(out) == 1 and out["k"].iloc[0] == "u205"
+
     def test_priming_does_not_change_dense_join(self, ray_session):
         import pandas as pd
 
