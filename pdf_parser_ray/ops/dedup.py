@@ -472,8 +472,9 @@ class SimHasher:
         self.ngram = ngram
 
     def simhash(self, text: str) -> int:
-        toks = _WS.split(text.lower().strip())
-        toks = [t for t in toks if t]
+        # ngram=1 degenerates to whitespace unigrams (the default tier);
+        # ngram>1 votes on word-shingle hashes like the MinHash tier.
+        toks = _word_ngrams(text, self.ngram)
         if not toks:
             return 0
         h = np.fromiter(
@@ -503,7 +504,7 @@ class SimHasher:
         texts = df["text"].fillna("")
         per_doc: list[np.ndarray] = []
         for t in texts:
-            toks = [x for x in _WS.split(t.lower().strip()) if x]
+            toks = _word_ngrams(t, self.ngram)
             per_doc.append(
                 np.fromiter(
                     (zlib.crc32(x.encode("utf-8")) for x in toks),
@@ -601,6 +602,8 @@ def embedding_dup_pairs(
             chunk_refs.append(_ray.put((ids, mat, norms)))
 
         def pair_finder(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0 or not chunk_refs:  # empty batch / empty ds
+                return _pair_frame([], [], [])
             rows = _emb_matrix(df["embedding"])
             row_ids = df["vec_id"].to_numpy().astype("int64")
             rnorms = np.linalg.norm(rows, axis=1)
@@ -624,6 +627,15 @@ def embedding_dup_pairs(
     def band_coder(df: pd.DataFrame) -> pd.DataFrame:
         """bands × band_planes hyperplanes, seeded → identical planes on
         every worker, built once per worker process."""
+        if len(df) == 0:  # np.vstack on an empty column raises
+            return pd.DataFrame(
+                {
+                    "band_id": pd.Series([], dtype="int32"),
+                    "code": pd.Series([], dtype="int32"),
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "embedding": pd.Series([], dtype="object"),
+                }
+            )
         mat = _emb_matrix(df["embedding"])
         planes = worker_state(
             ("emb_band_planes", seed, bands, band_planes, mat.shape[1]),
@@ -917,6 +929,7 @@ def connected_components(
     from pdf_parser_ray.ops.shuffle import grouped_map
 
     prev_sum = _label_sum(labels)
+    converged = False
     for _ in range(max_iters):
         tagged = bidir.union(_tag(labels, "node", "label", 1))
         # node cardinality = near-dup population → bounded partitions
@@ -931,8 +944,20 @@ def connected_components(
         )
         cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # Labels only decrease, so a changing sum after max_iters means
+        # the min-label has not reached every node: silently returning
+        # would split one true component into several. Rounds needed =
+        # graph diameter; near-dup clusters are dense (2-3 rounds), so
+        # hitting this means chain-shaped input — raise max_iters.
+        raise RuntimeError(
+            f"connected_components(mode='shuffle') did not converge in "
+            f"{max_iters} rounds (graph diameter exceeds max_iters); "
+            f"raise max_iters for chain-shaped duplicate graphs"
+        )
 
     return labels.map_batches(
         lambda t: pa.Table.from_arrays(

@@ -96,6 +96,10 @@ def _grouped_rank_values(
     # ---- pass 2: per-group histogram (long rows) ----------------------
     def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
         rng = ray.get(ranges_ref)
+        # Pass 1's count/min/max exclude nulls (pandas agg semantics);
+        # bin the same population or cumulative counts desync from n
+        # (np.floor(NaN) would land every null row in bin 0).
+        df = df[df[value_col].notna()]
         idx = _bin_index(df[group_col], df[value_col].to_numpy(), rng)
         out = pd.DataFrame({group_col: df[group_col], "bin": idx})
         g = out.groupby([group_col, "bin"], as_index=False).size()
@@ -114,6 +118,8 @@ def _grouped_rank_values(
     for _, srow in stats.iterrows():
         g, n = srow[group_col], int(srow["n"])
         ns[g] = n
+        if n == 0:  # all-null group: quantile is NULL (DuckDB semantics)
+            continue
         h = hist[hist[group_col] == g].sort_values("bin")
         cbins = h["bin"].to_numpy()
         counts = h["cnt"].to_numpy()
@@ -134,6 +140,7 @@ def _grouped_rank_values(
 
         rng = ray.get(ranges_ref)
         tg = ray.get(targets_ref)
+        df = df[df[value_col].notna()]  # same population as passes 1–2
         idx = _bin_index(df[group_col], df[value_col].to_numpy(), rng)
         keep = np.zeros(len(df), dtype=bool)
         for g, bset in tg.items():   # vectorized per group (few groups)
@@ -181,12 +188,18 @@ def grouped_quantile_disc(
     def ranks(q: float, n: int) -> list[int]:
         return [max(0, math.ceil(q * n) - 1)]   # 0-based, DuckDB rule
 
-    values, _ = _grouped_rank_values(
+    values, ns = _grouped_rank_values(
         ds, group_col, value_col, ranks, qs, bins=bins
     )
     rows = [
-        {group_col: g, **{c: vals[0] for c, vals in per.items()}}
-        for g, per in values.items()
+        {
+            group_col: g,
+            **{
+                c: values.get(g, {}).get(c, [float("nan")])[0]
+                for c in qs
+            },
+        }
+        for g in ns  # all-null groups yield NULL (DuckDB semantics)
     ]
     out = pd.DataFrame(rows).sort_values(group_col).reset_index(drop=True)
     return out[[group_col, *qs.keys()]]
@@ -220,13 +233,15 @@ def grouped_quantile_cont(
         ds, group_col, value_col, ranks, qs, bins=bins
     )
     rows = []
-    for g, per in values.items():
+    for g, n in ns.items():
         row = {group_col: g}
-        n = ns[g]
+        per = values.get(g, {})
         for out_col, q in qs.items():
-            vals = per[out_col]
+            vals = per.get(out_col)
             h = q * (n - 1)
-            if len(vals) == 1:
+            if vals is None:  # all-null group → NULL (DuckDB semantics)
+                row[out_col] = float("nan")
+            elif len(vals) == 1:
                 row[out_col] = round(vals[0], round_to)
             else:
                 f = h - math.floor(h)

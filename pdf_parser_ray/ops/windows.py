@@ -547,17 +547,22 @@ def grouped_dispersion(
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         n = df["n"].to_numpy(dtype=np.float64)
-        var_x = (df["sx2"] - df["sx"] ** 2 / n) / (n - 1.0)
-        cov = df["sxt"] - df["sx"] * df["st"] / n
+        ssx = df["sx2"] - df["sx"] ** 2 / n   # n·var(x), uncorrected
         var_t = df["st2"] - df["st"] ** 2 / n
+        cov = df["sxt"] - df["sx"] * df["st"] / n
+        # SQL NULL semantics: stddev_samp needs n≥2; corr needs both
+        # variances > 0 (single-row or constant groups would otherwise
+        # emit 0/0 warnings, NaN-by-accident, or inf from cov/√0).
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sd = np.where(n >= 2, np.sqrt(ssx / (n - 1.0)), np.nan)
+            denom2 = ssx * var_t
+            corr = np.where(denom2 > 0, cov / np.sqrt(denom2), np.nan)
         return pd.DataFrame(
             {
                 group_col: df[group_col],
                 "n": df["n"].astype("int64"),
-                "sd_value": np.round(np.sqrt(var_x), round_to),
-                "corr_vt": np.round(
-                    cov / np.sqrt((df["sx2"] - df["sx"] ** 2 / n) * var_t), round_to
-                ),
+                "sd_value": np.round(sd, round_to),
+                "corr_vt": np.round(corr, round_to),
             }
         )
 

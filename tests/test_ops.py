@@ -186,6 +186,19 @@ class TestDedup:
             expected = sh.simhash(docs_df.set_index("doc_id").loc[doc_id, "text"])
             assert int(np.uint64(np.int64(sig))) == expected
 
+    def test_simhash_ngram_changes_signature(self, docs_df):
+        """ngram must actually change tokenization (regression: the
+        parameter was stored but never read — ngram=2 silently produced
+        ngram=1 signatures)."""
+        from pdf_parser_ray.ops.dedup import SimHasher
+
+        text = "the quick brown fox jumps over the lazy dog"
+        uni, bi = SimHasher(ngram=1), SimHasher(ngram=2)
+        assert uni.simhash(text) != bi.simhash(text)
+        # batched path honors ngram too, and matches per-doc
+        df = pd.DataFrame({"doc_id": [0], "text": [text]})
+        assert int(np.uint64(np.int64(bi(df)["simhash"].iloc[0]))) == bi.simhash(text)
+
     def test_minhash_lsh_pairs(self, docs_df, ray_session):
         import ray.data
 
@@ -486,6 +499,21 @@ class TestEmbeddingDupRoutes:
         )
         assert key(one) == key(many)
 
+    def test_embedding_dup_pairs_empty_input(self, ray_session):
+        """0-row datasets must yield 0 pairs, not np.vstack/pd.concat
+        ValueError (regression: missing empty guards in both routes)."""
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import embedding_dup_pairs
+
+        empty = ray.data.from_pandas(
+            pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                          "embedding": pd.Series([], dtype="object")})
+        )
+        for mode in ("exact", "lsh"):
+            out = embedding_dup_pairs(empty, mode=mode).to_pandas()
+            assert len(out) == 0
+
 
 class TestAsofJoin:
     def test_backward_asof_matches_pandas(self, ray_session):
@@ -518,6 +546,29 @@ class TestAsofJoin:
         # user 8: 10:30 -> 10:30; 09:00 -> no prior view -> NaT
         assert out.loc[4, "prev_ts"] == pd.Timestamp("2024-01-01 10:30")
         assert pd.isna(out.loc[5, "prev_ts"])
+
+    def test_backward_asof_int_on_with_misses(self, ray_session):
+        """Integer `on` columns with no-prior-row misses must yield null,
+        not raise IntCastingNaNError (regression: pd.NA assignment
+        upcast int64→float64, then .astype(int64) raised)."""
+        import ray.data
+
+        from pdf_parser_ray.ops.relational import asof_join_backward
+
+        left = pd.DataFrame(
+            {"event_id": [1, 2, 3], "u": [7, 7, 9], "seq": [5, 50, 3]}
+        )
+        right = pd.DataFrame({"u": [7, 8], "seq": [10, 1]})
+        out = (
+            asof_join_backward(
+                ray.data.from_pandas(left), ray.data.from_pandas(right),
+                by="u", on="seq", out_col="prev_seq",
+            )
+            .to_pandas().set_index("event_id").sort_index()
+        )
+        assert pd.isna(out.loc[1, "prev_seq"])  # 5 < all right seqs for u=7
+        assert out.loc[2, "prev_seq"] == 10
+        assert pd.isna(out.loc[3, "prev_seq"])  # u=9 has no right rows
 
 
 class TestQuantiles:
@@ -552,6 +603,35 @@ class TestQuantiles:
         df = pd.DataFrame({"g": ["x"] * 50, "v": [3.25] * 50})
         out = grouped_quantile_disc(ray.data.from_pandas(df), "g", "v", {"p50": 0.5})
         assert out["p50"].iloc[0] == 3.25
+
+    def test_null_values_excluded(self, ray_session):
+        """Nulls must be excluded from every pass (regression: the
+        histogram pass binned NaN rows into bin 0, desynchronizing
+        cumulative counts from the null-excluding n of pass 1), and an
+        all-null group yields NULL like DuckDB's quantile_disc."""
+        import math
+
+        import ray.data
+
+        from pdf_parser_ray.ops.quantiles import grouped_quantile_disc
+
+        rng = np.random.RandomState(4)
+        v = rng.standard_normal(300)
+        v[::3] = np.nan  # a third of group 'a' is null
+        df = pd.DataFrame(
+            {
+                "g": ["a"] * 300 + ["z"] * 5,
+                "v": np.concatenate([v, [np.nan] * 5]),
+            }
+        )
+        out = grouped_quantile_disc(
+            ray.data.from_pandas(df), "g", "v", {"p50": 0.5, "p90": 0.9}
+        ).set_index("g")
+        clean = np.sort(df[df["g"] == "a"]["v"].dropna().to_numpy())
+        n = len(clean)
+        assert out.loc["a", "p50"] == clean[math.ceil(0.5 * n) - 1]
+        assert out.loc["a", "p90"] == clean[math.ceil(0.9 * n) - 1]
+        assert pd.isna(out.loc["z", "p50"]) and pd.isna(out.loc["z", "p90"])
 
 
 class TestWordCountsAndCentroids:
@@ -613,6 +693,20 @@ class TestConnectedComponents:
         )
         assert out.loc[5] == 5 and out.loc[6] == 5 and out.loc[7] == 5
         assert out.loc[20] == 20 and out.loc[21] == 20
+
+    def test_shuffle_raises_on_non_convergence(self, ray_session):
+        """A diameter-9 chain can't converge in 3 min-label rounds —
+        the shuffle route must raise rather than silently return split
+        components (regression: non-convergence was silent)."""
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import connected_components
+
+        edges = pd.DataFrame({"a": list(range(9)), "b": list(range(1, 10))})
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(
+                ray.data.from_pandas(edges), mode="shuffle", max_iters=3
+            ).to_pandas()
 
     def test_routes_agree_on_random_graph(self, ray_session):
         """local union-find and shuffle hash-min give identical
@@ -1008,6 +1102,33 @@ class TestNewWindows:
         expected_sd = ev[ev["event_type"] == "a"]["value"].std(ddof=1)
         assert out.loc["a", "sd_value"] == pytest.approx(expected_sd, abs=1e-6)
         assert out.loc["a", "n"] == 3
+
+    def test_dispersion_degenerate_groups_null(self, ray_session):
+        """Single-row and constant-valued groups must yield NULL like
+        stddev_samp/corr (regression: 0/0 → NaN warnings, cov/√0 → inf)."""
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import grouped_dispersion
+
+        ev = pd.DataFrame(
+            {
+                "event_type": ["solo", "flat", "flat", "flat"],
+                "value": [5.0, 2.0, 2.0, 2.0],
+                "ts": pd.to_datetime(
+                    ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]
+                ),
+            }
+        )
+        out = (
+            grouped_dispersion(ray.data.from_pandas(ev))
+            .to_pandas()
+            .set_index("event_type")
+        )
+        assert pd.isna(out.loc["solo", "sd_value"])  # n=1 → NULL
+        assert pd.isna(out.loc["solo", "corr_vt"])
+        assert out.loc["flat", "sd_value"] == 0.0    # n≥2, constant → 0
+        assert pd.isna(out.loc["flat", "corr_vt"])   # zero variance → NULL
+        assert not np.isinf(out["corr_vt"].fillna(0)).any()
 
     def test_above_group_avg(self, ray_session):
         import ray.data
