@@ -18,6 +18,22 @@ import json
 import sys
 
 
+def _as_docs(df):
+    """(url, extracted_text) → (doc_id, text): stable int64 doc id from
+    the url (the corpus key).  ONE id rule shared by curate / dedup /
+    ingest — cross-command fingerprint indexes stay compatible.  (abs of
+    the 2^-64-probability INT64_MIN hash stays negative; ids are opaque,
+    only stability matters.)"""
+    import pandas as pd
+
+    ids = (
+        pd.util.hash_array(df["url"].to_numpy(dtype=object))
+        .astype("int64")
+        .__abs__()
+    )
+    return pd.DataFrame({"doc_id": ids, "text": df["extracted_text"]})
+
+
 def _ensure_ray(num_cpus: int | None) -> None:
     import ray
 
@@ -163,17 +179,8 @@ def main(argv: list[str] | None = None) -> int:
             ["url", "extracted_text"]
         )
 
-        def as_docs(df: pd.DataFrame) -> pd.DataFrame:
-            # stable int64 doc id from the url (the corpus key)
-            ids = (
-                pd.util.hash_array(df["url"].to_numpy(dtype=object))
-                .astype("int64")
-                .__abs__()
-            )
-            return pd.DataFrame({"doc_id": ids, "text": df["extracted_text"]})
-
         counts = export_training_data(
-            extracted.map_batches(as_docs, batch_format="pandas"),
+            extracted.map_batches(_as_docs, batch_format="pandas"),
             args.out,
             min_tokens=args.min_tokens,
             max_dup_frac=args.max_dup_frac,
@@ -206,15 +213,7 @@ def main(argv: list[str] | None = None) -> int:
                 ["url", "extracted_text"]
             )
 
-            def as_docs(df: pd.DataFrame) -> pd.DataFrame:
-                ids = (
-                    pd.util.hash_array(df["url"].to_numpy(dtype=object))
-                    .astype("int64")
-                    .__abs__()
-                )
-                return pd.DataFrame({"doc_id": ids, "text": df["extracted_text"]})
-
-            docs = extracted.map_batches(as_docs, batch_format="pandas")
+            docs = extracted.map_batches(_as_docs, batch_format="pandas")
 
         n_in = docs.count()
         if args.mode == "exact":
@@ -253,15 +252,7 @@ def main(argv: list[str] | None = None) -> int:
             ["url", "extracted_text"]
         )
 
-        def as_docs(df: pd.DataFrame) -> pd.DataFrame:
-            ids = (
-                pd.util.hash_array(df["url"].to_numpy(dtype=object))
-                .astype("int64")
-                .__abs__()
-            )
-            return pd.DataFrame({"doc_id": ids, "text": df["extracted_text"]})
-
-        docs = extracted.map_batches(as_docs, batch_format="pandas")
+        docs = extracted.map_batches(_as_docs, batch_format="pandas")
         have_index = bool(
             glob.glob(os.path.join(args.index, "**", "*.parquet"), recursive=True)
         )

@@ -210,6 +210,13 @@ def dedup_rare(
 
     from ray.data.aggregate import Sum
 
+    # Three consumers follow (count pass + both branches): materialize
+    # once so an expensive upstream lineage (extraction, fingerprinting)
+    # runs ONCE and the consumers read cached blocks — the object store
+    # spills oversized corpora to disk, which is far cheaper than three
+    # full recomputes.  Same pattern as connected_components' edge input.
+    ds = ds.materialize()
+
     def partial_counts(t: pa.Table) -> pa.Table:
         g = t.group_by(key_col).aggregate([(key_col, "count")])
         return g.rename_columns([key_col, "n"])
@@ -434,7 +441,7 @@ def incremental_dedup(
 
     fresh = dedup_rare(
         new_ds.map_batches(add_fp, batch_format="pandas"), "fp", order_col=id_col
-    )
+    ).materialize()  # consumed by BOTH the negative and positive splits
 
     def split(df: pd.DataFrame, keep_positive: bool):
         bf: BloomFilter = worker_state(

@@ -189,7 +189,19 @@ _WORKER_CMAP_CACHE: dict = {}
 # once-per-process build cost is identical.  Heavy state (models, font
 # blobs, multi-GB indexes) should still use an actor pool so placement
 # and teardown are explicit.
-_WORKER_STATE: dict = {}
+from collections import OrderedDict
+
+_WORKER_STATE: OrderedDict = OrderedDict()
+
+# LRU bound: unlike actor state (freed at pool teardown), a worker
+# process outlives every job on the node — an unbounded dict would pin
+# one deserialized copy of every broadcast table / centroid set / vocab
+# ever used, growing worker RSS monotonically across a long session.
+# Evicted entries rebuild cheaply (seeded numpy state) or re-fetch from
+# plasma (broadcast refs), so the cap trades a rare rebuild for a hard
+# memory ceiling.  64 distinct live states per stage-mix is far above
+# any single job's working set.
+_WORKER_STATE_MAX = 64
 
 
 def worker_state(key, builder):
@@ -199,12 +211,16 @@ def worker_state(key, builder):
     processes across map_batches tasks, so ``builder()`` runs once per
     process and every later task reuses the cached value.  ``key`` must
     uniquely identify the state (include seeds/dims/ObjectRef hex).
+    LRU-bounded to ``_WORKER_STATE_MAX`` entries per worker process.
     """
     try:
+        _WORKER_STATE.move_to_end(key)
         return _WORKER_STATE[key]
     except KeyError:
         val = builder()
         _WORKER_STATE[key] = val
+        while len(_WORKER_STATE) > _WORKER_STATE_MAX:
+            _WORKER_STATE.popitem(last=False)
         return val
 
 

@@ -281,3 +281,27 @@ class TestOversized:
         assert len(rows) == 4
         big = rows[f"https://example.org/doc/{big_id:08d}"]
         assert big["status"] == "ok" and len(big["extracted_text"]) > 100
+
+
+class TestWorkerState:
+    def test_lru_bound_and_recency(self):
+        """worker_state must cap per-process entries (regression: the
+        cache grew monotonically — one pinned copy of every broadcast
+        object for the worker-process lifetime)."""
+        from pdf_parser_ray.stages import (
+            _WORKER_STATE, _WORKER_STATE_MAX, worker_state,
+        )
+
+        snapshot = dict(_WORKER_STATE)
+        try:
+            _WORKER_STATE.clear()
+            for i in range(_WORKER_STATE_MAX + 40):
+                worker_state(("lru-test", i), lambda i=i: i)
+                # keep key 0 hot so recency (not insertion) drives eviction
+                worker_state(("lru-test", 0), lambda: "rebuilt")
+            assert len(_WORKER_STATE) == _WORKER_STATE_MAX
+            assert _WORKER_STATE[("lru-test", 0)] == 0  # survived, not rebuilt
+            assert ("lru-test", 1) not in _WORKER_STATE  # cold key evicted
+        finally:
+            _WORKER_STATE.clear()
+            _WORKER_STATE.update(snapshot)
