@@ -215,6 +215,9 @@ def main(argv: list[str] | None = None) -> int:
 
             docs = extracted.map_batches(_as_docs, batch_format="pandas")
 
+        # two consumers follow (the count + the dedup pass): materialize
+        # so the extraction lineage runs once, not per consumer
+        docs = docs.materialize()
         n_in = docs.count()
         if args.mode == "exact":
             from pdf_parser_ray.ops.dedup import exact_dedup
@@ -260,18 +263,10 @@ def main(argv: list[str] | None = None) -> int:
             fresh = incremental_dedup(docs, args.index)
         else:
             # bootstrap: no prior index — only intra-increment dedup
-            from pdf_parser_ray.ops.text_stats import _WS
+            from pdf_parser_ray.ops.text_stats import layout_fingerprint
 
             def add_fp(df: pd.DataFrame) -> pd.DataFrame:
-                import hashlib
-
-                norm = (
-                    df["text"].fillna("").str.lower()
-                    .str.replace(_WS, " ", regex=True).str.strip(" ")
-                )
-                return df.assign(
-                    fp=norm.map(lambda s: hashlib.md5(s.encode()).hexdigest())
-                )
+                return df.assign(fp=layout_fingerprint(df["text"]))
 
             from pdf_parser_ray.pipelines import dedup_rare
 

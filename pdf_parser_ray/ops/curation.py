@@ -114,25 +114,47 @@ def decontaminate(
                 f"wordgram mode needs equal-width probes, got widths {sorted(widths)}"
             )
         w = widths.pop() if widths else 1
-        hashes = frozenset(
-            hashlib.md5(p.encode("utf-8")).digest()[:8] for p in probes
+        # pd.util.hash_array (siphash, fixed key): ONE vectorized call
+        # replaces a per-gram hashlib.md5 Python loop — the same hotspot
+        # webtext._hash_passages removed (~40× on passage hashing).
+        # Both sides (probes here, doc grams below) use the identical
+        # function; 2^-64-per-pair collision odds, as documented there.
+        probe_hashes = (
+            np.unique(
+                pd.util.hash_array(np.asarray(list(probes), dtype=object)).view(
+                    np.int64
+                )
+            )
+            if probes
+            else np.empty(0, dtype=np.int64)
         )
-        set_ref = ray.put(hashes)
+        set_ref = ray.put(probe_hashes)
 
         def scan_grams(df: pd.DataFrame) -> pd.DataFrame:
-            probe_set: frozenset = worker_state(
+            sp: np.ndarray = worker_state(  # sorted probe-hash array
                 ("decontam_grams", set_ref.hex()), lambda: ray.get(set_ref)
             )
-            hits = np.zeros(len(df), dtype=np.int64)
-            for i, text in enumerate(df[text_col].fillna("")):
+            texts = df[text_col].fillna("")
+            grams: list = []
+            bounds = np.zeros(len(df) + 1, dtype=np.int64)
+            for i, text in enumerate(texts):
                 words = text.split(" ")
-                seen = {
-                    hashlib.md5(
-                        " ".join(words[j : j + w]).encode("utf-8")
-                    ).digest()[:8]
-                    for j in range(len(words) - w + 1)
-                }
-                hits[i] = len(seen & probe_set)
+                grams.extend(
+                    " ".join(words[j : j + w])
+                    for j in range(max(0, len(words) - w + 1))
+                )
+                bounds[i + 1] = len(grams)
+            hits = np.zeros(len(df), dtype=np.int64)
+            if grams and len(sp):
+                h = pd.util.hash_array(
+                    np.asarray(grams, dtype=object)
+                ).view(np.int64)
+                idx = np.searchsorted(sp, h)
+                idx[idx == len(sp)] = 0  # out-of-range probe → compare sp[0]
+                member = sp[idx] == h
+                for i in range(len(df)):  # distinct matched probes per doc
+                    seg = h[bounds[i] : bounds[i + 1]]
+                    hits[i] = len(np.unique(seg[member[bounds[i] : bounds[i + 1]]]))
             return pd.DataFrame(
                 {id_col: df[id_col].to_numpy(), "n_probe_hits": hits}
             )

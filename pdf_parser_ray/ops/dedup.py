@@ -847,6 +847,15 @@ def connected_components(
 
     if mode == "local":
         df = edges.select_columns([src, dst]).to_pandas()
+        if len(df) == 0:  # empty ds → schema-less frame; df[src] raises
+            return ray.data.from_pandas(
+                pd.DataFrame(
+                    {
+                        "node": pd.Series([], dtype="int64"),
+                        "component": pd.Series([], dtype="int64"),
+                    }
+                )
+            )
         a = df[src].to_numpy(dtype="int64")
         b = df[dst].to_numpy(dtype="int64")
         nodes = np.unique(np.concatenate([a, b]))
@@ -914,8 +923,11 @@ def connected_components(
     )
 
     def _label_sum(ds: ray.data.Dataset) -> int:
+        # Dataset.aggregate returns None on an empty dataset — an empty
+        # edge set (clean corpus pinned to mode="shuffle") is legal and
+        # must converge immediately, not TypeError on None["s"].
         row = ds.aggregate(Sum("label", alias_name="s"))
-        return int(row["s"])
+        return int(row["s"]) if row and row.get("s") is not None else 0
 
     def _attach(g: pd.DataFrame) -> pd.DataFrame:
         lab = g.loc[g["is_label"] == 1, "val"]

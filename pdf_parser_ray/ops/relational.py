@@ -172,30 +172,40 @@ def _sentinel_keys(
         from ray.data._internal.arrow_ops.transform_pyarrow import hash_partition
     except ImportError:
         return None
-    n_cand = max(64, 16 * num_partitions)
-    ints = [_SENTINEL_BASE - 1 - (2 * i + parity) for i in range(n_cand)]
 
-    def cand_array(t: pa.DataType):
-        if pa.types.is_integer(t):
-            return pa.array(ints, type=t)
-        return pa.array(
-            [f"__ppr_sentinel_{parity}_{i}" for i in range(n_cand)], type=t
-        )
+    # hash_partition omits partitions no candidate lands in; the
+    # candidate sequence is FIXED per (key types, partitions, parity),
+    # so a hole would be permanent for that join shape (P ≈ e^-16 per
+    # partition at 16×). Widen the sample until every partition is
+    # covered — one extra cheap driver-side pass in the astronomically
+    # rare case.
+    for mult in (16, 64, 256):
+        n_cand = max(64, mult * num_partitions)
+        ints = [_SENTINEL_BASE - 1 - (2 * i + parity) for i in range(n_cand)]
 
-    try:
-        cand_table = pa.table(
-            {
-                **{f"k{i}": cand_array(t) for i, t in enumerate(key_types)},
-                "__row": pa.array(range(n_cand), pa.int64()),
-            }
-        )
-        parts = hash_partition(
-            cand_table,
-            hash_cols=[f"k{i}" for i in range(len(key_types))],
-            num_partitions=num_partitions,
-        )
-    except (OverflowError, pa.ArrowInvalid, pa.ArrowTypeError):
-        return None
+        def cand_array(t: pa.DataType):
+            if pa.types.is_integer(t):
+                return pa.array(ints, type=t)
+            return pa.array(
+                [f"__ppr_sentinel_{parity}_{i}" for i in range(n_cand)], type=t
+            )
+
+        try:
+            cand_table = pa.table(
+                {
+                    **{f"k{i}": cand_array(t) for i, t in enumerate(key_types)},
+                    "__row": pa.array(range(n_cand), pa.int64()),
+                }
+            )
+            parts = hash_partition(
+                cand_table,
+                hash_cols=[f"k{i}" for i in range(len(key_types))],
+                num_partitions=num_partitions,
+            )
+        except (OverflowError, pa.ArrowInvalid, pa.ArrowTypeError):
+            return None
+        if len(parts) >= num_partitions:
+            break
     # first candidate ROW landing in each partition → whole key tuples,
     # so multi-key (and mixed-type) sentinels hash exactly as placed
     rows = [t.column("__row")[0].as_py() for t in parts.values()]
@@ -499,8 +509,13 @@ def asof_join_backward(
                 pd.NA, index=out.index, dtype=nullable(l[on].dtype)
             )
             return out
-        idx = np.searchsorted(rts, l[on].to_numpy(), side="right") - 1
-        miss = idx < 0
+        lvals = l[on].to_numpy()
+        idx = np.searchsorted(rts, lvals, side="right") - 1
+        # null left timestamps: searchsorted places NaT/NaN after every
+        # real value (idx = len-1), fabricating a match with the MAX
+        # right timestamp — SQL ASOF semantics say null ⋈ anything is
+        # null, so treat them as misses explicitly.
+        miss = (idx < 0) | pd.isna(lvals)
         vals = pd.Series(rts[np.clip(idx, 0, None)], index=out.index)
         if miss.any():
             vals = vals.astype(nullable(l[on].dtype))

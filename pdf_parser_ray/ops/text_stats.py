@@ -113,13 +113,26 @@ def quality_batch(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def layout_fingerprint(text: pd.Series) -> pd.Series:
+    """md5-hex of whitespace/case-normalized text — THE fingerprint rule.
+
+    Every fingerprint producer (fingerprint_batch, export_training_data,
+    incremental_dedup, the ingest CLI bootstrap) must call this one
+    helper: persisted fingerprint indexes are only compatible across
+    commands if the normalization contract never forks.
+    """
+    # strip(" ") not strip(): DuckDB's trim removes spaces only.
+    norm = (
+        text.fillna("").str.lower().str.replace(_WS, " ", regex=True).str.strip(" ")
+    )
+    return norm.map(lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
+
+
 def fingerprint_batch(df: pd.DataFrame) -> pd.DataFrame:
     """doc_id, fingerprint = md5 of whitespace-normalized lowercase text."""
-    text = df["text"].fillna("")
-    # strip(" ") not strip(): DuckDB's trim removes spaces only.
-    norm = text.str.lower().str.replace(_WS, " ", regex=True).str.strip(" ")
-    fp = norm.map(lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
-    return pd.DataFrame({"doc_id": df["doc_id"], "fingerprint": fp})
+    return pd.DataFrame(
+        {"doc_id": df["doc_id"], "fingerprint": layout_fingerprint(df["text"])}
+    )
 
 
 def word_counts(ds) -> "object":

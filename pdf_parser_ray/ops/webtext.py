@@ -310,8 +310,13 @@ def gopher_gate(
     stop = set(GOPHER_STOPWORDS)
 
     def gate(df: pd.DataFrame):
+        # TOKEN_PAT (re.ASCII \S+), not a raw r"\S+": Python's Unicode
+        # \S splits on U+00A0 etc. where the DuckDB/RE2 oracle doesn't
+        # (text_stats.TOKEN_PAT rationale).
+        from pdf_parser_ray.ops.text_stats import TOKEN_PAT
+
         toks = (
-            df[text_col].fillna("").str.lower().str.findall(r"\S+")
+            df[text_col].fillna("").str.lower().str.findall(TOKEN_PAT)
         )
         ex = toks.explode().dropna()
         n = len(df)

@@ -306,11 +306,9 @@ def export_training_data(
     import pandas as pd
 
     from pdf_parser_ray.ops.curation import assign_splits
-    from pdf_parser_ray.ops.text_stats import _WS, TOKEN_PAT
+    from pdf_parser_ray.ops.text_stats import TOKEN_PAT, layout_fingerprint
 
     def gate_and_fp(df: pd.DataFrame) -> pd.DataFrame:
-        import hashlib
-
         text = df[text_col].fillna("")
         n_tokens = text.str.count(TOKEN_PAT).astype("int64")
         words = text.str.split(" ")
@@ -323,14 +321,7 @@ def export_training_data(
         dup_frac = 1.0 - n_distinct / n_words.where(n_words > 0, 1)
         keep = (n_tokens >= min_tokens) & (dup_frac <= max_dup_frac)
         out = df[keep].copy()
-        norm = (
-            out[text_col]
-            .fillna("")
-            .str.lower()
-            .str.replace(_WS, " ", regex=True)
-            .str.strip(" ")
-        )
-        out["fp"] = norm.map(lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
+        out["fp"] = layout_fingerprint(out[text_col])
         return out
 
     gated = ds.map_batches(gate_and_fp, batch_format="pandas")
@@ -402,8 +393,6 @@ def incremental_dedup(
     Returns the surviving rows WITH their ``fp`` column, so the caller
     can append `(fp)` to the index for the next increment.
     """
-    import hashlib
-
     import numpy as np
     import pandas as pd
     import pyarrow as pa
@@ -411,7 +400,7 @@ def incremental_dedup(
     import ray as _ray
 
     from pdf_parser_ray.ops.relational import BloomFilter
-    from pdf_parser_ray.ops.text_stats import _WS
+    from pdf_parser_ray.ops.text_stats import layout_fingerprint
     from pdf_parser_ray.stages import worker_state
 
     index = ray.data.read_parquet(index_dir, columns=["fp"])
@@ -428,15 +417,8 @@ def incremental_dedup(
     bf_ref = _ray.put(merged)
 
     def add_fp(df: pd.DataFrame) -> pd.DataFrame:
-        norm = (
-            df[text_col]
-            .fillna("")
-            .str.lower()
-            .str.replace(_WS, " ", regex=True)
-            .str.strip(" ")
-        )
         out = df.copy()
-        out["fp"] = norm.map(lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
+        out["fp"] = layout_fingerprint(out[text_col])
         return out
 
     fresh = dedup_rare(

@@ -570,6 +570,33 @@ class TestAsofJoin:
         assert out.loc[2, "prev_seq"] == 10
         assert pd.isna(out.loc[3, "prev_seq"])  # u=9 has no right rows
 
+    def test_backward_asof_null_left_ts(self, ray_session):
+        """A left row with a null `on` must yield null, not the max
+        right value (regression: searchsorted places NaT last)."""
+        import ray.data
+
+        from pdf_parser_ray.ops.relational import asof_join_backward
+
+        left = pd.DataFrame(
+            {
+                "event_id": [1, 2],
+                "u": [7, 7],
+                "ts": pd.to_datetime(["2024-01-02", None]),
+            }
+        )
+        right = pd.DataFrame(
+            {"u": [7, 7], "ts": pd.to_datetime(["2024-01-01", "2024-03-01"])}
+        )
+        out = (
+            asof_join_backward(
+                ray.data.from_pandas(left), ray.data.from_pandas(right),
+                by="u", on="ts", out_col="prev",
+            )
+            .to_pandas().set_index("event_id").sort_index()
+        )
+        assert out.loc[1, "prev"] == pd.Timestamp("2024-01-01")
+        assert pd.isna(out.loc[2, "prev"])  # null ts ⋈ anything = null
+
 
 class TestQuantiles:
     def test_exact_vs_numpy(self, ray_session):
@@ -693,6 +720,23 @@ class TestConnectedComponents:
         )
         assert out.loc[5] == 5 and out.loc[6] == 5 and out.loc[7] == 5
         assert out.loc[20] == 20 and out.loc[21] == 20
+
+    @pytest.mark.parametrize("mode", ["local", "shuffle"])
+    def test_empty_edge_set(self, mode, ray_session):
+        """A clean corpus (zero near-dup pairs) must yield an empty
+        component map in both routes (regression: the shuffle route's
+        aggregate returned None and int(None['s']) raised)."""
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import connected_components
+
+        edges = pd.DataFrame(
+            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
+        )
+        out = connected_components(
+            ray.data.from_pandas(edges), mode=mode
+        ).to_pandas()
+        assert len(out) == 0
 
     def test_shuffle_raises_on_non_convergence(self, ray_session):
         """A diameter-9 chain can't converge in 3 min-label rounds —
@@ -1252,6 +1296,18 @@ class TestGopherGate:
         assert out.loc[3, "stopword_hits"] == 0
         assert bool(out.loc[4, "keep"]) is False
         assert out.loc[4, "mean_word_len"] == 0.0
+
+    def test_nbsp_not_a_separator(self, ray_session):
+        """U+00A0 must NOT split tokens (RE2/DuckDB \\S semantics;
+        regression: a raw Python \\S+ treated it as whitespace and the
+        oracle comparison drifted)."""
+        import ray.data
+
+        from pdf_parser_ray.ops.webtext import gopher_gate
+
+        docs = pd.DataFrame({"doc_id": [1], "text": ["foo bar baz"]})
+        out = gopher_gate(ray.data.from_pandas(docs)).to_pandas()
+        assert out["n_words"].iloc[0] == 2  # "foo\xa0bar" is one token
 
 
 class TestOrderCountDistribution:
