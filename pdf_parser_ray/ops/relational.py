@@ -1509,3 +1509,395 @@ def promo_revenue_share(sf_dir: str) -> ray.data.Dataset:
         100.0 * float(agg["promo_i"]) / float(agg["total_i"]), 6
     )
     return rd.from_pandas(pd.DataFrame({"promo_share": [share]}))
+
+
+def top_supplier_revenue(
+    sf_dir: str, start: str = "1996-01-01", end: str = "1996-04-01"
+) -> ray.data.Dataset:
+    """TPC-H Q15 shape: the supplier(s) with MAX revenue in a ship-date
+    window — an argmax over a grouped aggregate.
+
+    Pattern: the revenue rollup collapses lineitem to supplier
+    cardinality (read-side date filter → integer-cents partials →
+    one bounded groupby), and is MATERIALIZED once because two
+    consumers follow (the global max and the equality filter) — without
+    it each consumer would re-scan lineitem.  The materialized set is
+    ≤ |supplier| rows, never corpus-sized.  Supplier names broadcast in
+    after the filter.  The max/equality compare is on exact int64
+    cents×bp units, so "= max" cannot be lost to float noise.
+
+    Output: (s_suppkey:int64, s_name, total_revenue:float64 dollars,
+    rounded to cents in integer arithmetic), suppkey-ascending.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    lo = pd.Timestamp(start)
+    hi = pd.Timestamp(end)
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def rev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[(df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)]
+        cents = np.rint(m["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+        keep_bp = 100 - np.rint(m["l_discount"].to_numpy() * 100.0).astype(
+            np.int64
+        )
+        part = pd.DataFrame(
+            {"l_suppkey": m["l_suppkey"].to_numpy(), "rev_i": cents * keep_bp}
+        )
+        return arrow_out(
+            part.groupby("l_suppkey", as_index=False)["rev_i"].sum()
+        )
+
+    by_supp = (
+        li.map_batches(rev_partial, batch_format="pandas")
+        .groupby("l_suppkey")
+        .aggregate(Sum("rev_i", alias_name="rev_i"))
+        .materialize()  # ≤ |supplier| rows; two consumers below
+    )
+    best = by_supp.aggregate(Max("rev_i", alias_name="m"))
+    best_i = int(best["m"])
+
+    supp = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).rename(columns={"s_suppkey": "l_suppkey"})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["rev_i"].to_numpy(dtype=np.int64) == best_i]
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "s_suppkey": pd.Series([], dtype="int64"),
+                    "s_name": pd.Series([], dtype="object"),
+                    "total_revenue": pd.Series([], dtype="float64"),
+                }
+            )
+        df = df.merge(supp, on="l_suppkey")
+        cents = (df["rev_i"].to_numpy(dtype=np.int64) + 50) // 100
+        return pd.DataFrame(
+            {
+                "s_suppkey": df["l_suppkey"].astype("int64"),
+                "s_name": df["s_name"],
+                "total_revenue": cents.astype(np.float64) / 100.0,
+            }
+        )
+
+    return by_supp.map_batches(finish, batch_format="pandas").sort("s_suppkey")
+
+
+def small_quantity_revenue(
+    sf_dir: str, brand: str = "Brand#23", frac: float = 0.2
+) -> pd.DataFrame:
+    """TPC-H Q17 shape: revenue from orders of LESS than ``frac`` × the
+    part's average quantity, for one brand — a decorrelated
+    per-key scalar subquery.
+
+    Two streaming passes over lineitem, zero shuffles:
+    pass A broadcast-filters to the brand's partkeys and folds each
+    batch to (partkey, qty_sum, cnt) partials → one dimension-bounded
+    groupby → per-part thresholds (≤ |brand parts| rows, broadcast
+    back); pass B re-filters, keeps qty < threshold[part], and folds to
+    integer-cents sums.  The correlated subquery never executes
+    per-row — it becomes a bounded aggregate joined back by broadcast.
+
+    Exactness: quantities are integer-valued doubles → their sums and
+    counts are exact; threshold = frac × (sum/cnt) is the identical
+    float expression the SQL twin computes.  The final value divides an
+    exact int64 cents total by 700.0 — one float op, bit-identical.
+
+    Output: one row (avg_yearly:float64).
+    """
+    from ray.data.aggregate import Sum
+
+    pk = pd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    brand_keys = pk.loc[pk["p_brand"] == brand, "p_partkey"].to_numpy(
+        dtype=np.int64
+    )
+    keys_ref = ray.put(np.sort(brand_keys))
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def _brand_mask(df: pd.DataFrame) -> np.ndarray:
+        from pdf_parser_ray.stages import worker_state
+
+        keys = worker_state(
+            ("q17_keys", keys_ref.hex()), lambda: ray.get(keys_ref)
+        )
+        vals = df["l_partkey"].to_numpy(dtype=np.int64)
+        idx = np.searchsorted(keys, vals)
+        idx[idx == len(keys)] = 0
+        return (keys[idx] == vals) if len(keys) else np.zeros(len(df), bool)
+
+    def qty_partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[_brand_mask(df)]
+        part = pd.DataFrame(
+            {
+                "l_partkey": m["l_partkey"].to_numpy(dtype=np.int64),
+                "qty_i": m["l_quantity"].to_numpy(dtype=np.int64),
+                "cnt": np.ones(len(m), dtype=np.int64),
+            }
+        )
+        return arrow_out(
+            part.groupby("l_partkey", as_index=False)[["qty_i", "cnt"]].sum()
+        )
+
+    stats = (
+        li.map_batches(qty_partial, batch_format="pandas")
+        .groupby("l_partkey")
+        .aggregate(Sum("qty_i", alias_name="qty_i"), Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # ≤ |brand parts| rows — dimension-bounded
+    )
+    thr = frac * (
+        stats["qty_i"].to_numpy(dtype=np.float64)
+        / stats["cnt"].to_numpy(dtype=np.float64)
+    )
+    thr_map = dict(zip(stats["l_partkey"].to_numpy(dtype=np.int64), thr))
+    thr_ref = ray.put(thr_map)
+
+    def rev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.stages import worker_state
+
+        tm: dict = worker_state(
+            ("q17_thr", thr_ref.hex()), lambda: ray.get(thr_ref)
+        )
+        m = df[_brand_mask(df)]
+        t = m["l_partkey"].map(tm).to_numpy(dtype=np.float64)
+        m = m[m["l_quantity"].to_numpy() < t]
+        cents = np.rint(m["l_extendedprice"].to_numpy() * 100.0).astype(
+            np.int64
+        )
+        return arrow_out(pd.DataFrame({"cents": [int(cents.sum())]}))
+
+    agg = li.map_batches(rev_partial, batch_format="pandas").aggregate(
+        Sum("cents", alias_name="cents")
+    )
+    total_cents = int(agg["cents"]) if agg and agg.get("cents") is not None else 0
+    return pd.DataFrame({"avg_yearly": [float(total_cents) / 700.0]})
+
+
+def large_order_customers(
+    sf_dir: str, min_qty: int = 250, k: int = 100
+) -> ray.data.Dataset:
+    """TPC-H Q18 shape: customers whose single orders exceed a total
+    quantity — a HAVING-filtered aggregate semi-joined back to facts.
+
+    lineitem folds to (orderkey, qty) partials per batch (≈4:1 before
+    the shuffle), one order-cardinality groupby, then the HAVING filter
+    shrinks the set to the heavy tail.  The winners re-join orders via
+    the partitioned hash join — NOT a driver-side collect, because the
+    surviving set is selectivity-bound, not dimension-bound (at 100 TB
+    a popular threshold could still leave millions of rows).  Customer
+    names broadcast in last, after the top-k, so no shuffle carries
+    strings.  Quantity sums compare as exact int64.
+
+    Output: (o_orderkey, c_custkey, c_name, o_totalprice, sum_qty),
+    ordered by (o_totalprice DESC, o_orderkey ASC), ≤ k rows.
+    """
+    from ray.data.aggregate import Sum
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+
+    def qty_partial(df: pd.DataFrame) -> pd.DataFrame:
+        part = pd.DataFrame(
+            {
+                "o_orderkey": df["l_orderkey"].to_numpy(),
+                "sum_qty": df["l_quantity"].to_numpy(dtype=np.int64),
+            }
+        )
+        return arrow_out(
+            part.groupby("o_orderkey", as_index=False)["sum_qty"].sum()
+        )
+
+    heavy = (
+        li.map_batches(qty_partial, batch_format="pandas")
+        .groupby("o_orderkey")
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"))
+        .filter(
+            lambda r: r["sum_qty"] > min_qty,
+        )
+    )
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    joined = hash_join(orders, heavy, on=("o_orderkey",))
+
+    top = joined.sort(
+        ["o_totalprice", "o_orderkey"], descending=[True, False]
+    ).limit(k)
+
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).rename(columns={"c_custkey": "o_custkey"})
+
+    def add_name(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.merge(cust, on="o_custkey")
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].astype("int64"),
+                "c_custkey": df["o_custkey"].astype("int64"),
+                "c_name": df["c_name"],
+                "o_totalprice": df["o_totalprice"].astype("float64"),
+                "sum_qty": df["sum_qty"].astype("int64"),
+            }
+        )
+
+    return top.map_batches(add_name, batch_format="pandas").sort(
+        ["o_totalprice", "o_orderkey"], descending=[True, False]
+    )
+
+
+def idle_rich_customers(
+    sf_dir: str, since: str = "2000-01-01"
+) -> ray.data.Dataset:
+    """TPC-H Q22 shape: per-nation balance held by above-average
+    customers with NO recent orders — a global scalar threshold plus an
+    anti join, both built distributed.
+
+    The scalar (average positive balance) comes from one integer-cents
+    partial aggregate; the recent-buyer key set comes from a read-side
+    date filter → ``unique`` (bounded by |customer|, the brief's
+    distributed key-set-build rule) → broadcast anti join.  The
+    threshold compare is the identical float expression on both
+    engines: (sum_cents / count) / 100 against the raw balance double.
+
+    Output: (c_nationkey:int64, numcust:int64, totacctbal:float64
+    dollars rounded to cents in integer arithmetic), nation-ascending.
+    """
+    from ray.data.aggregate import Sum
+
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+
+    def bal_partial(df: pd.DataFrame) -> pd.DataFrame:
+        pos = df[df["c_acctbal"].to_numpy() > 0.0]
+        cents = np.rint(pos["c_acctbal"].to_numpy() * 100.0).astype(np.int64)
+        return arrow_out(
+            pd.DataFrame({"cents": [int(cents.sum())], "n": [len(pos)]})
+        )
+
+    g = cust.map_batches(bal_partial, batch_format="pandas").aggregate(
+        Sum("cents", alias_name="cents"), Sum("n", alias_name="n")
+    )
+    threshold = (float(g["cents"]) / float(g["n"])) / 100.0
+
+    recent = (
+        read_parquet_clean(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+        )
+        .filter(lambda r: r["o_orderdate"] >= pd.Timestamp(since))
+        .unique("o_custkey")
+    )
+
+    rich = cust.filter(lambda r: r["c_acctbal"] > threshold)
+    idle = broadcast_semi_join(rich, recent, on="c_custkey", anti=True)
+
+    def nation_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["c_acctbal"].to_numpy() * 100.0).astype(np.int64)
+        part = pd.DataFrame(
+            {
+                "c_nationkey": df["c_nationkey"].to_numpy(dtype=np.int64),
+                "numcust": np.ones(len(df), dtype=np.int64),
+                "bal_i": cents,
+            }
+        )
+        return arrow_out(
+            part.groupby("c_nationkey", as_index=False)[
+                ["numcust", "bal_i"]
+            ].sum()
+        )
+
+    agg = (
+        idle.map_batches(nation_partial, batch_format="pandas")
+        .groupby("c_nationkey")
+        .aggregate(
+            Sum("numcust", alias_name="numcust"), Sum("bal_i", alias_name="bal_i")
+        )
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_nationkey": df["c_nationkey"].astype("int64"),
+                "numcust": df["numcust"].astype("int64"),
+                "totacctbal": df["bal_i"].to_numpy(dtype=np.int64).astype(
+                    np.float64
+                )
+                / 100.0,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas").sort("c_nationkey")
+
+
+def brand_revenue_share(
+    sf_dir: str, min_share: float = 0.045
+) -> ray.data.Dataset:
+    """TPC-H Q11 shape: groups whose revenue exceeds a fraction of the
+    GLOBAL total — a grouped aggregate filtered against a second,
+    global aggregate of the same input.
+
+    One pass computes both: the brand partial carries every brand's
+    integer-cents revenue, the grouped sum is brand-cardinality (25),
+    and the global total is the SUM of that dimension-sized result —
+    no second scan of lineitem.  Share = int64/int64 in float, bit
+    identical on both engines, so the HAVING filter needs no rounding.
+
+    Output: (p_brand, revenue:float64 dollars rounded to cents,
+    share:float64 unrounded), brand-ascending.
+    """
+    from ray.data.aggregate import Sum
+
+    pk = pd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).rename(columns={"p_partkey": "l_partkey"})
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+    enriched = broadcast_merge(li, pk, on="l_partkey")
+
+    def rev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["l_extendedprice"].to_numpy() * 100.0).astype(
+            np.int64
+        )
+        keep_bp = 100 - np.rint(df["l_discount"].to_numpy() * 100.0).astype(
+            np.int64
+        )
+        part = pd.DataFrame({"p_brand": df["p_brand"], "rev_i": cents * keep_bp})
+        return arrow_out(part.groupby("p_brand", as_index=False)["rev_i"].sum())
+
+    by_brand = (
+        enriched.map_batches(rev_partial, batch_format="pandas")
+        .groupby("p_brand")
+        .aggregate(Sum("rev_i", alias_name="rev_i"))
+        .to_pandas()  # 25 rows — brand cardinality
+    )
+    total_i = int(by_brand["rev_i"].sum())
+    share = by_brand["rev_i"].to_numpy(dtype=np.float64) / float(total_i)
+    cents = (by_brand["rev_i"].to_numpy(dtype=np.int64) + 50) // 100
+    out = pd.DataFrame(
+        {
+            "p_brand": by_brand["p_brand"],
+            "revenue": cents.astype(np.float64) / 100.0,
+            "share": share,
+        }
+    )
+    out = out[out["share"] > min_share].sort_values("p_brand")
+    import ray.data as rd
+
+    return rd.from_pandas(out.reset_index(drop=True))

@@ -1530,6 +1530,47 @@ def q_priority_flag_counts(sf_dir: str) -> ray.data.Dataset:
 
 # ---------------------------------------------------------------- oracle
 
+def q_top_supplier(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q15 shape: argmax over a grouped aggregate — max-revenue
+    supplier in a ship-date window (materialized-once small rollup)."""
+    from pdf_parser_ray.ops.relational import top_supplier_revenue
+
+    return top_supplier_revenue(sf_dir)
+
+
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape: decorrelated per-part scalar subquery — revenue
+    of below-fraction-of-average-quantity orders for one brand."""
+    from pdf_parser_ray.ops.relational import small_quantity_revenue
+
+    return small_quantity_revenue(sf_dir)
+
+
+def q_large_orders(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q18 shape: HAVING-filtered quantity rollup hash-joined
+    back to orders; names broadcast after the top-k."""
+    from pdf_parser_ray.ops.relational import large_order_customers
+
+    return large_order_customers(sf_dir)
+
+
+def q_idle_rich_customers(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q22 shape: global scalar threshold + windowed anti join,
+    both built distributed."""
+    from pdf_parser_ray.ops.relational import idle_rich_customers
+
+    return idle_rich_customers(sf_dir)
+
+
+def q_brand_share(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q11 shape: grouped revenue filtered against the global
+    total computed from the same single scan."""
+    from pdf_parser_ray.ops.relational import brand_revenue_share
+
+    return brand_revenue_share(sf_dir)
+
+
+
 SQL: dict[str, str] = {
     "doc_stats": """
         -- CAST: DuckDB sum(INTEGER) -> HUGEINT -> float64 in pandas,
@@ -2550,6 +2591,90 @@ SQL["sentence_stats"] = """
     FROM documents
 """
 
+
+SQL["top_supplier"] = """
+    -- Q15 shape; exact integer cents*bp units, rounded to cents in
+    -- integer arithmetic exactly like the Ray finish stage
+    WITH r AS (
+      SELECT l_suppkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_i
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name,
+           CAST((r.rev_i + 50) // 100 AS BIGINT) / 100.0 AS total_revenue
+    FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.rev_i = (SELECT max(rev_i) FROM r)
+    ORDER BY s.s_suppkey
+"""
+
+SQL["small_qty_revenue"] = """
+    -- Q17 shape; the threshold is the identical float expression the
+    -- Ray side computes (exact integer sums, one double division), and
+    -- the final value is one division of an exact cents total
+    SELECT sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))::DOUBLE
+             / 700.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < 0.2 * (SELECT sum(l2.l_quantity) / count(*)
+                                FROM lineitem l2
+                                WHERE l2.l_partkey = l.l_partkey)
+"""
+
+SQL["large_orders"] = """
+    -- Q18 shape; quantity sums are integer-valued -> exact compares
+    WITH q AS (
+      SELECT l_orderkey AS o_orderkey,
+             CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 250)
+    SELECT o.o_orderkey, c.c_custkey, c.c_name, o.o_totalprice, q.sum_qty
+    FROM q
+    JOIN orders o   ON o.o_orderkey = q.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+"""
+
+SQL["idle_rich_customers"] = """
+    -- Q22 shape; threshold = (sum_cents / count) / 100 exactly as the
+    -- Ray scalar, balances summed as exact cents
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             / 100.0 AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT (sum(CAST(round(c_acctbal * 100) AS BIGINT))::DOUBLE
+                / count(*)) / 100.0
+        FROM customer WHERE c_acctbal > 0)
+      AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+"""
+
+SQL["brand_share"] = """
+    -- Q11 shape; share = int64/int64 in double, bit-identical, so the
+    -- HAVING filter needs no rounding
+    WITH r AS (
+      SELECT p.p_brand,
+             sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS rev_i
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_brand)
+    SELECT p_brand,
+           CAST((rev_i + 50) // 100 AS BIGINT) / 100.0 AS revenue,
+           rev_i::DOUBLE / (SELECT sum(rev_i) FROM r)::DOUBLE AS share
+    FROM r
+    WHERE rev_i::DOUBLE / (SELECT sum(rev_i) FROM r)::DOUBLE > 0.045
+    ORDER BY p_brand
+"""
+
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "token_stats": q_token_stats,
@@ -2657,4 +2782,9 @@ QUERIES = {
     "shuffle_order": q_shuffle_order,
     "window_distinct_users": q_window_distinct_users,
     "promo_revenue": q_promo_revenue,
+    "top_supplier": q_top_supplier,
+    "small_qty_revenue": q_small_qty_revenue,
+    "large_orders": q_large_orders,
+    "idle_rich_customers": q_idle_rich_customers,
+    "brand_share": q_brand_share,
 }

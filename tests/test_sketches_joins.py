@@ -422,3 +422,67 @@ class TestTpchJoinShapes:
         pd.testing.assert_frame_equal(
             got, want[["n_name", "o_year", "profit"]]
         )
+
+
+class TestNewTpchShapes:
+    """Semantic pins for the Q11/Q15/Q17/Q18/Q22-shaped pipelines (the
+    oracle parametrization in test_queries covers value equality)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_top_supplier_is_argmax(self, ray_session):
+        import pandas as pd
+
+        from pdf_parser_ray.ops.relational import top_supplier_revenue
+
+        df = top_supplier_revenue(self.SF).to_pandas()
+        assert len(df) >= 1
+        # recompute the window rollup serially; winner must be the max
+        li = pd.read_parquet(f"{self.SF}/lineitem.parquet")
+        m = li[(li["l_shipdate"] >= pd.Timestamp("1996-01-01"))
+               & (li["l_shipdate"] < pd.Timestamp("1996-04-01"))]
+        rev = (m["l_extendedprice"] * (1 - m["l_discount"])).groupby(
+            m["l_suppkey"]).sum()
+        assert set(df["s_suppkey"]) == set(
+            rev[rev == rev.max()].index.astype("int64"))
+
+    def test_large_orders_threshold_and_order(self, ray_session):
+        from pdf_parser_ray.ops.relational import large_order_customers
+
+        df = large_order_customers(self.SF, min_qty=250).to_pandas()
+        assert (df["sum_qty"] > 250).all()
+        tp = df["o_totalprice"].to_numpy()
+        assert (tp[:-1] >= tp[1:]).all()
+        assert df["o_orderkey"].is_unique
+
+    def test_idle_rich_excludes_recent_buyers(self, ray_session):
+        import pandas as pd
+
+        from pdf_parser_ray.ops.relational import idle_rich_customers
+
+        df = idle_rich_customers(self.SF, since="2000-01-01").to_pandas()
+        cust = pd.read_parquet(f"{self.SF}/customer.parquet")
+        orders = pd.read_parquet(f"{self.SF}/orders.parquet")
+        recent = set(orders.loc[
+            orders["o_orderdate"] >= pd.Timestamp("2000-01-01"), "o_custkey"])
+        pos = cust[cust["c_acctbal"] > 0]
+        thr = pos["c_acctbal"].round(2).mul(100).round().sum() / len(pos) / 100.0
+        exp = cust[(cust["c_acctbal"] > thr)
+                   & ~cust["c_custkey"].isin(recent)]
+        got_n = int(df["numcust"].sum()) if len(df) else 0
+        assert got_n == len(exp)
+
+    def test_brand_share_sums_to_leq_one(self, ray_session):
+        from pdf_parser_ray.ops.relational import brand_revenue_share
+
+        df = brand_revenue_share(self.SF, min_share=0.0).to_pandas()
+        # with no share floor every brand appears and shares sum to 1
+        assert abs(df["share"].sum() - 1.0) < 1e-9
+        assert (df["share"] > 0).all()
+
+    def test_small_qty_revenue_nonnegative_scalar(self, ray_session):
+        from pdf_parser_ray.ops.relational import small_quantity_revenue
+
+        df = small_quantity_revenue(self.SF)
+        assert list(df.columns) == ["avg_yearly"]
+        assert len(df) == 1 and df["avg_yearly"].iloc[0] >= 0.0
