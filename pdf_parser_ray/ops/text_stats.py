@@ -745,3 +745,96 @@ def script_profile_batch(df: pd.DataFrame) -> pd.DataFrame:
     maj = np.where(mat.max(axis=1) > 0, names[best], "none")
     out["majority_script"] = maj
     return pd.DataFrame(out)
+
+
+def normalize_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Unicode NFC normalization — the canonicalization step that runs
+    before any hash-based dedup so visually-identical composed /
+    decomposed sequences (e.g. ``é`` vs ``e+U+0301``) collapse to one
+    byte form.  Row-local, zero shuffle; the ``changed`` flag lets a
+    pipeline count (or route) mojibake-suspect documents.
+
+    Output: (doc_id, norm_text:string, changed:bool).
+    """
+    text = df["text"].fillna("")
+    norm = text.str.normalize("NFC")
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "norm_text": norm,
+            "changed": (norm != text).to_numpy(dtype=bool),
+        }
+    )
+
+
+def pmi_bigrams(ds, min_count: int = 5, k: int = 50):
+    """Collocation mining: top-k bigrams by pointwise mutual
+    information, the phrase-detection step of a web-text pipeline.
+
+    Shape: the corpus is scanned twice through the existing combiners
+    (:func:`word_counts`, :func:`bigram_counts`); both rollups are
+    MATERIALIZED because each has two consumers (a scalar total and a
+    join) — they are vocabulary-cardinality, sublinear in corpus size.
+    The min-count filter prunes the bigram set BEFORE the two hash
+    joins that attach unigram counts, so the joins move only surviving
+    candidates; at web scale the vocabulary outgrows a broadcast, hence
+    joins, not lookup maps (the lm_score join-mode rationale).
+
+    Exactness: PMI ordering == ratio ordering (log is monotone), so the
+    score is the raw probability ratio (cb·N²)/(NB·c1·c2) — every
+    operand an exact int64 count widened to float64, the same
+    expression tree the SQL twin computes — rounded to 6dp before the
+    (ratio DESC, w1, w2) tie-broken sort.  No transcendental functions
+    cross engine boundaries.
+
+    Output: (w1, w2, cb:int64, pmi_ratio:float64), k rows.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.ops.relational import hash_join
+
+    wc = word_counts(ds).materialize()
+    bg = bigram_counts(ds).materialize()
+    n_tok = float(wc.aggregate(Sum("n", alias_name="s"))["s"])
+    n_bg = float(bg.aggregate(Sum("n", alias_name="s"))["s"])
+
+    def split_bigram(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df["n"].to_numpy() >= min_count]
+        if len(m) == 0:
+            return arrow_out(pd.DataFrame({
+                "w1": pd.Series([], dtype=str), "w2": pd.Series([], dtype=str),
+                "cb": pd.Series([], dtype="int64")}))
+        parts = m["bigram"].str.split(" ", n=1, expand=True)
+        return arrow_out(pd.DataFrame({
+            "w1": parts[0], "w2": parts[1],
+            "cb": m["n"].to_numpy(dtype="int64")}))
+
+    cand = bg.map_batches(split_bigram, batch_format="pandas")
+
+    def rename(frm: str, to: str, cnt: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return arrow_out(pd.DataFrame({
+                to: df["token"], cnt: df["n"].to_numpy(dtype="int64")}))
+        return fn
+
+    c1 = wc.map_batches(rename("token", "w1", "c1"), batch_format="pandas")
+    c2 = wc.map_batches(rename("token", "w2", "c2"), batch_format="pandas")
+    j = hash_join(hash_join(cand, c1, on=("w1",)), c2, on=("w2",))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        cb = df["cb"].to_numpy(dtype=np.float64)
+        num = cb * n_tok
+        num = num * n_tok
+        den = n_bg * df["c1"].to_numpy(dtype=np.float64)
+        den = den * df["c2"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "w1": df["w1"], "w2": df["w2"],
+            "cb": df["cb"].astype("int64"),
+            "pmi_ratio": np.round(num / den, 6)})
+
+    return (
+        j.map_batches(score, batch_format="pandas")
+        .sort(["pmi_ratio", "w1", "w2"], descending=[True, False, False])
+        .limit(k)
+    )

@@ -1571,6 +1571,24 @@ def q_brand_share(sf_dir: str) -> ray.data.Dataset:
 
 
 
+def q_normalize_text(sf_dir: str) -> ray.data.Dataset:
+    """Unicode NFC canonicalization pass (row-local, zero shuffle)."""
+    from pdf_parser_ray.ops.text_stats import normalize_batch
+
+    ds = _documents(sf_dir)
+    return ds.map_batches(normalize_batch, batch_format="pandas")
+
+
+def q_pmi_bigrams(sf_dir: str) -> ray.data.Dataset:
+    """Collocation mining: top-k bigrams by PMI (ratio-ordered, no
+    transcendental functions cross the engine boundary)."""
+    from pdf_parser_ray.ops.text_stats import pmi_bigrams
+
+    ds = _documents(sf_dir)
+    return pmi_bigrams(ds, min_count=5, k=50)
+
+
+
 SQL: dict[str, str] = {
     "doc_stats": """
         -- CAST: DuckDB sum(INTEGER) -> HUGEINT -> float64 in pandas,
@@ -2675,6 +2693,49 @@ SQL["brand_share"] = """
 """
 
 
+
+SQL["normalize_text"] = """
+    SELECT doc_id,
+           nfc_normalize(coalesce(text, '')) AS norm_text,
+           nfc_normalize(coalesce(text, '')) <> coalesce(text, '') AS changed
+    FROM documents
+"""
+
+SQL["pmi_bigrams"] = """
+    -- PMI ordering == probability-ratio ordering (log is monotone);
+    -- the ratio is the identical float expression tree the Ray side
+    -- computes: ((cb*N)*N) / ((NB*c1)*c2), rounded 6dp pre-sort
+    WITH w AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '\\S+')) AS word,
+             unnest(range(1, len(regexp_extract_all(lower(text), '\\S+')) + 1))
+               AS idx
+      FROM documents
+    ),
+    bg AS (
+      SELECT word AS w1,
+             lead(word) OVER (PARTITION BY doc_id ORDER BY idx) AS w2
+      FROM w QUALIFY w2 IS NOT NULL
+    ),
+    cbg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+            FROM bg GROUP BY w1, w2),
+    wcnt AS (SELECT word, CAST(count(*) AS BIGINT) AS c
+             FROM w GROUP BY word),
+    tot AS (SELECT (SELECT count(*) FROM w)::DOUBLE AS n_tok,
+                   (SELECT count(*) FROM bg)::DOUBLE AS n_bg)
+    SELECT cbg.w1, cbg.w2, cbg.cb,
+           round((cbg.cb::DOUBLE * tot.n_tok * tot.n_tok)
+                 / (tot.n_bg * a.c::DOUBLE * b.c::DOUBLE), 6) AS pmi_ratio
+    FROM cbg
+    JOIN wcnt a ON a.word = cbg.w1
+    JOIN wcnt b ON b.word = cbg.w2
+    CROSS JOIN tot
+    WHERE cbg.cb >= 5
+    ORDER BY pmi_ratio DESC, cbg.w1, cbg.w2
+    LIMIT 50
+"""
+
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "token_stats": q_token_stats,
@@ -2787,4 +2848,6 @@ QUERIES = {
     "large_orders": q_large_orders,
     "idle_rich_customers": q_idle_rich_customers,
     "brand_share": q_brand_share,
+    "normalize_text": q_normalize_text,
+    "pmi_bigrams": q_pmi_bigrams,
 }

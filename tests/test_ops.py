@@ -1598,3 +1598,36 @@ def test_grouped_concat_order(ray_session):
         .reset_index(drop=True)
     )
     assert out["vals"].tolist() == ["a,b,c", "x,y"]
+
+
+class TestNormalizeAndPmi:
+    def test_nfc_collapses_decomposed(self, ray_session):
+        from pdf_parser_ray.ops.text_stats import normalize_batch
+
+        df = pd.DataFrame(
+            {"doc_id": [1, 2, 3], "text": ["éclair", "éclair", None]}
+        )
+        out = normalize_batch(df)
+        assert out.loc[0, "norm_text"] == out.loc[1, "norm_text"] == "éclair"
+        assert bool(out.loc[0, "changed"]) and not bool(out.loc[1, "changed"])
+        assert out.loc[2, "norm_text"] == "" and not bool(out.loc[2, "changed"])
+
+    def test_pmi_ranks_exclusive_pair_over_frequent_pair(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.text_stats import pmi_bigrams
+
+        # "san francisco" only ever co-occur; "the cat" words also appear
+        # in many other contexts -> PMI(san francisco) > PMI(the cat).
+        docs = ["san francisco"] * 6 + ["the cat"] * 6 + [
+            "the dog", "the bird", "a cat", "one cat", "the end", "the sea"
+        ]
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+        )
+        out = pmi_bigrams(ds, min_count=5, k=10).to_pandas()
+        pairs = list(zip(out["w1"], out["w2"]))
+        assert ("san", "francisco") in pairs and ("the", "cat") in pairs
+        assert pairs.index(("san", "francisco")) < pairs.index(("the", "cat"))
+        sf = out[(out["w1"] == "san")]["cb"].iloc[0]
+        assert sf == 6
