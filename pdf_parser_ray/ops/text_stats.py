@@ -746,27 +746,6 @@ def script_profile_batch(df: pd.DataFrame) -> pd.DataFrame:
     out["majority_script"] = maj
     return pd.DataFrame(out)
 
-
-def normalize_batch(df: pd.DataFrame) -> pd.DataFrame:
-    """Unicode NFC normalization — the canonicalization step that runs
-    before any hash-based dedup so visually-identical composed /
-    decomposed sequences (e.g. ``é`` vs ``e+U+0301``) collapse to one
-    byte form.  Row-local, zero shuffle; the ``changed`` flag lets a
-    pipeline count (or route) mojibake-suspect documents.
-
-    Output: (doc_id, norm_text:string, changed:bool).
-    """
-    text = df["text"].fillna("")
-    norm = text.str.normalize("NFC")
-    return pd.DataFrame(
-        {
-            "doc_id": df["doc_id"],
-            "norm_text": norm,
-            "changed": (norm != text).to_numpy(dtype=bool),
-        }
-    )
-
-
 def pmi_bigrams(ds, min_count: int = 5, k: int = 50):
     """Collocation mining: top-k bigrams by pointwise mutual
     information, the phrase-detection step of a web-text pipeline.

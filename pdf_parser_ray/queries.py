@@ -1571,14 +1571,6 @@ def q_brand_share(sf_dir: str) -> ray.data.Dataset:
 
 
 
-def q_normalize_text(sf_dir: str) -> ray.data.Dataset:
-    """Unicode NFC canonicalization pass (row-local, zero shuffle)."""
-    from pdf_parser_ray.ops.text_stats import normalize_batch
-
-    ds = _documents(sf_dir)
-    return ds.map_batches(normalize_batch, batch_format="pandas")
-
-
 def q_pmi_bigrams(sf_dir: str) -> ray.data.Dataset:
     """Collocation mining: top-k bigrams by PMI (ratio-ordered, no
     transcendental functions cross the engine boundary)."""
@@ -1586,6 +1578,22 @@ def q_pmi_bigrams(sf_dir: str) -> ray.data.Dataset:
 
     ds = _documents(sf_dir)
     return pmi_bigrams(ds, min_count=5, k=50)
+
+
+
+def q_pq_knn(sf_dir: str):
+    """PQ/ADC approximate top-k (third ANN scale path; approximate by
+    design -> rows-only, recall pinned by pytest)."""
+    import numpy as np
+
+    from pdf_parser_ray.ops.similarity import pq_knn
+
+    ds = _read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = pq_knn(ds, _query_vector(sf_dir), k=10).to_pandas()
+    out["approx_dist"] = np.round(out["approx_dist"].astype("float64"), 6)
+    return out[["vec_id", "approx_dist"]]
 
 
 
@@ -2694,13 +2702,6 @@ SQL["brand_share"] = """
 
 
 
-SQL["normalize_text"] = """
-    SELECT doc_id,
-           nfc_normalize(coalesce(text, '')) AS norm_text,
-           nfc_normalize(coalesce(text, '')) <> coalesce(text, '') AS changed
-    FROM documents
-"""
-
 SQL["pmi_bigrams"] = """
     -- PMI ordering == probability-ratio ordering (log is monotone);
     -- the ratio is the identical float expression tree the Ray side
@@ -2848,6 +2849,6 @@ QUERIES = {
     "large_orders": q_large_orders,
     "idle_rich_customers": q_idle_rich_customers,
     "brand_share": q_brand_share,
-    "normalize_text": q_normalize_text,
     "pmi_bigrams": q_pmi_bigrams,
+    "pq_knn": q_pq_knn,
 }

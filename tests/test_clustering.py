@@ -111,3 +111,72 @@ def test_fit_moves_centroids(emb, ray_session):
     )
     cent, _ = kmeans_fit(ds, init, n_iter=1)
     assert not np.allclose(cent, init)
+
+
+class TestProductQuantization:
+    def test_decode_reconstruction_improves_with_codes(self, ray_session):
+        import numpy as np
+
+        from pdf_parser_ray.ops.similarity import _PqCodebook
+
+        rng = np.random.RandomState(7)
+        x = rng.randn(256, 16)
+        small = _PqCodebook(x, m=4, n_codes=4, seed=1)
+        big = _PqCodebook(x, m=4, n_codes=32, seed=1)
+        err_small = ((small.decode(small.encode(x)) - x) ** 2).mean()
+        err_big = ((big.decode(big.encode(x)) - x) ** 2).mean()
+        assert err_big < err_small
+
+    def test_adc_equals_exact_distance_to_reconstruction(self, ray_session):
+        import numpy as np
+
+        from pdf_parser_ray.ops.similarity import _PqCodebook
+
+        rng = np.random.RandomState(11)
+        x = rng.randn(128, 8)
+        book = _PqCodebook(x, m=2, n_codes=8, seed=2)
+        q = rng.randn(8)
+        codes = book.encode(x)
+        adc = book.adc_table(q)[np.arange(2)[None, :], codes].sum(axis=1)
+        exact = ((book.decode(codes) - q[None, :]) ** 2).sum(axis=1)
+        assert np.allclose(adc, exact)
+
+    def test_pq_knn_recall_on_clustered_data(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from pdf_parser_ray.ops.similarity import pq_knn
+
+        # 8 well-separated clusters: PQ must retrieve the query's own
+        # cluster (near-orthogonal noise data has no neighbor structure
+        # for ANY quantizer to preserve — wrong fixture for recall).
+        rng = np.random.RandomState(3)
+        centers = rng.randn(8, 16) * 10.0
+        labels = np.repeat(np.arange(8), 25)
+        x = centers[labels] + rng.randn(200, 16) * 0.1
+        df = pd.DataFrame(
+            {"vec_id": np.arange(200, dtype="int64"), "embedding": list(x)}
+        )
+        ds = ray.data.from_pandas(df)
+        q = x[0]  # member of cluster 0
+        approx = pq_knn(ds, q, k=10, m=4, n_codes=16).to_pandas()
+        got = set(approx["vec_id"].astype(int))
+        same_cluster = set(np.where(labels == 0)[0].tolist())
+        assert len(got & same_cluster) >= 9, got
+        assert approx["approx_dist"].is_monotonic_increasing
+
+    def test_pq_encode_emits_m_codes(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.similarity import pq_encode
+
+        sf = "/root/testdata/sf0.001"
+        from pdf_parser_ray.io_utils import read_parquet_clean
+
+        ds = read_parquet_clean(
+            f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        out = pq_encode(ds, m=4, n_codes=16).to_pandas()
+        assert len(out) == ds.count()
+        assert all(len(c) == 4 for c in out["code"].head(20))

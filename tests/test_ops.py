@@ -1601,17 +1601,6 @@ def test_grouped_concat_order(ray_session):
 
 
 class TestNormalizeAndPmi:
-    def test_nfc_collapses_decomposed(self, ray_session):
-        from pdf_parser_ray.ops.text_stats import normalize_batch
-
-        df = pd.DataFrame(
-            {"doc_id": [1, 2, 3], "text": ["éclair", "éclair", None]}
-        )
-        out = normalize_batch(df)
-        assert out.loc[0, "norm_text"] == out.loc[1, "norm_text"] == "éclair"
-        assert bool(out.loc[0, "changed"]) and not bool(out.loc[1, "changed"])
-        assert out.loc[2, "norm_text"] == "" and not bool(out.loc[2, "changed"])
-
     def test_pmi_ranks_exclusive_pair_over_frequent_pair(self, ray_session):
         import ray.data
 
