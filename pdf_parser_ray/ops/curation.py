@@ -401,3 +401,68 @@ def deterministic_shuffle(
         order,
         **({"n_parts": n_parts} if n_parts else {}),
     )
+
+
+def rebalance_sources(
+    ds: ray.data.Dataset,
+    targets: dict[str, float],
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Deterministic data-mixing: down-sample each source so the kept
+    corpus matches the ``targets`` proportions (the mixture-weights
+    step of a training-data recipe — e.g. 30 % web, 20 % books, ...).
+
+    T = min_s(count_s / target_s) is the largest total the targets
+    admit without up-sampling; each source then keeps
+    rate_s = target_s·T / count_s of its rows through the md5
+    hash-gate family (16-bit granularity): reruns, retries and any
+    partitioning pick the identical sample, and the SQL twin is exact.
+    Sources missing from ``targets`` drop entirely.
+
+    The per-source counts are a dimension-bounded groupby (|sources|
+    rows on the driver); the gate itself is row-local — one scan, no
+    data shuffle.
+
+    Output: the kept rows, original columns.
+    """
+    from ray.data.aggregate import Count
+
+    counts = (
+        ds.groupby(source_col)
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()  # |sources| rows — dimension-bounded
+    )
+    counts = counts[counts[source_col].isin(targets)]
+    if len(counts) == 0:
+        return ds.filter(lambda r: False)
+    n = counts["n"].to_numpy(dtype=np.float64)
+    tgt = counts[source_col].map(targets).to_numpy(dtype=np.float64)
+    total = (n / tgt).min()
+    rates = tgt * total / n
+    # 16-bit hash-gate thresholds; rate >= 1 keeps everything (the
+    # argmin source) — comparing a 4-hex prefix against the 5-char
+    # '10000' would corrupt the gate lexicographically.
+    thresholds = {
+        s: format(int(r * 65536.0), "04x") if r < 1.0 else None
+        for s, r in zip(counts[source_col], rates)
+    }
+    thr_ref = ray.put(thresholds)
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.stages import worker_state
+
+        thr: dict = worker_state(
+            ("rebalance_thr", thr_ref.hex()), lambda: ray.get(thr_ref)
+        )
+        src = df[source_col]
+        known = src.isin(thr).to_numpy()
+        prefixes = df[id_col].map(
+            lambda i: hashlib.md5(str(i).encode("ascii")).hexdigest()[:4]
+        )
+        limits = src.map(lambda s: thr.get(s))
+        keep = known & (limits.isna().to_numpy() | (prefixes < limits).to_numpy())
+        return df[keep]
+
+    return ds.map_batches(gate, batch_format="pandas")

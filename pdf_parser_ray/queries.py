@@ -1597,6 +1597,20 @@ def q_pq_knn(sf_dir: str):
 
 
 
+def q_source_mix(sf_dir: str) -> ray.data.Dataset:
+    """Data-mixing: deterministic per-source down-sampling to target
+    mixture weights (hash-gate family; rerun/partition-invariant)."""
+    from pdf_parser_ray.ops.curation import rebalance_sources
+
+    ds = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return rebalance_sources(
+        ds, {"src0": 0.3, "src1": 0.2, "src2": 0.5}
+    )
+
+
+
 SQL: dict[str, str] = {
     "doc_stats": """
         -- CAST: DuckDB sum(INTEGER) -> HUGEINT -> float64 in pandas,
@@ -2737,6 +2751,24 @@ SQL["pmi_bigrams"] = """
 """
 
 
+
+SQL["source_mix"] = """
+    -- identical float expression tree as the Ray side: T = min(n/target),
+    -- rate = (target*T)/n, 16-bit hash gate, floor (not round) to int
+    WITH tgt(source, target) AS (VALUES ('src0', 0.3), ('src1', 0.2),
+                                        ('src2', 0.5)),
+    c AS (SELECT source, count(*)::DOUBLE AS n FROM documents GROUP BY source),
+    j AS (SELECT c.source, c.n, tgt.target FROM c JOIN tgt USING (source)),
+    t AS (SELECT min(n / target) AS total FROM j),
+    r AS (SELECT source, target * t.total / n AS rate FROM j CROSS JOIN t)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN r USING (source)
+    WHERE rate >= 1.0
+       OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+          < printf('%04x', CAST(floor(rate * 65536.0) AS BIGINT))
+"""
+
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "token_stats": q_token_stats,
@@ -2851,4 +2883,5 @@ QUERIES = {
     "brand_share": q_brand_share,
     "pmi_bigrams": q_pmi_bigrams,
     "pq_knn": q_pq_knn,
+    "source_mix": q_source_mix,
 }

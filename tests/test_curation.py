@@ -438,3 +438,46 @@ class TestDeterministicShuffle:
         # shards are reasonably balanced (uniform hash, 200 rows / 8)
         sizes = a["shard"].value_counts()
         assert sizes.min() >= 10 and sizes.max() <= 45
+
+
+class TestRebalanceSources:
+    def test_targets_respected_and_deterministic(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from pdf_parser_ray.ops.curation import rebalance_sources
+
+        # 3 sources with very different sizes; big-n so gate noise is small
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(7000),
+                "source": ["web"] * 4000 + ["books"] * 2000 + ["wiki"] * 1000,
+            }
+        )
+        ds = ray.data.from_pandas(df)
+        targets = {"web": 0.5, "books": 0.25, "wiki": 0.25}
+        out = rebalance_sources(ds, targets).to_pandas()
+        got = out.groupby("source").size()
+        # wiki is the binding source (1000/0.25 = 4000 = min T) → keeps all
+        assert got["wiki"] == 1000
+        # others downsample to ~ target*T with 16-bit gate noise
+        assert abs(got["web"] - 2000) < 150
+        assert abs(got["books"] - 1000) < 120
+        # rerun identical (hash gate, no RNG)
+        out2 = rebalance_sources(ds, targets).to_pandas()
+        assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
+
+    def test_missing_source_drops(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from pdf_parser_ray.ops.curation import rebalance_sources
+
+        df = pd.DataFrame(
+            {"doc_id": range(100), "source": ["a"] * 50 + ["b"] * 50}
+        )
+        out = rebalance_sources(
+            ray.data.from_pandas(df), {"a": 1.0}
+        ).to_pandas()
+        assert set(out["source"]) == {"a"} and len(out) == 50
