@@ -54,6 +54,14 @@ BENCH_QUERIES = [
     "first_last_value",
     "returned_revenue",
     "promo_revenue",
+    # round-2 final batch
+    "top_supplier",
+    "brand_share",
+    "idle_rich_customers",
+    "small_qty_revenue",
+    "source_mix",
+    "pmi_bigrams",
+    "pq_knn",
 ]
 
 

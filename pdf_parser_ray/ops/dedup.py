@@ -978,3 +978,83 @@ def connected_components(
         ),
         batch_format="pyarrow",
     )
+
+
+def duplicate_windows(
+    ds: ray.data.Dataset,
+    *,
+    w: int = 8,
+    stride: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    k: int | None = 50,
+) -> ray.data.Dataset:
+    """ExactSubstr-lite: fixed-width token windows duplicated ACROSS
+    documents (the Lee et al. "Deduplicating Training Data" signal at
+    window granularity — catches mid-paragraph templating that
+    paragraph-level passage_dedup misses, without a suffix array).
+
+    Every doc emits md5 fingerprints of its ``w``-token windows at
+    ``stride`` spacing — (2/stride)·tokens rows per doc, each 16 bytes
+    of hash + ids, never the text.  One uniform-key groupby(win_hash)
+    counts distinct docs (rows are already per (hash, doc): one corpus
+    row = one doc, and in-doc repeats fold into ``cnt`` pre-shuffle).
+    Windows shared by ≥ ``min_docs`` docs survive.  A tiny final
+    (n_docs DESC, win_hash) sort-limit caps the report.
+
+    Output: (win_hash, n_docs:int64, n_occ:int64), k rows.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from pdf_parser_ray.ops.text_stats import TOKEN_PAT
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        ids: list = []
+        hashes: list = []
+        counts: list = []
+        for doc, text in zip(df[id_col], df[text_col].fillna("")):
+            toks = TOKEN_PAT.findall(text.lower())
+            if len(toks) < w:
+                continue
+            seen: dict = {}
+            for i in range(0, len(toks) - w + 1, stride):
+                h = hashlib.md5(
+                    " ".join(toks[i : i + w]).encode("utf-8")
+                ).hexdigest()
+                seen[h] = seen.get(h, 0) + 1
+            ids.extend([doc] * len(seen))
+            hashes.extend(seen.keys())
+            counts.extend(seen.values())
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "win_hash": pa.array(hashes, pa.string()),
+                id_col: pa.array(ids, pa.int64()),
+                "cnt": pa.array(counts, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(emit, batch_format="pandas")
+        .groupby("win_hash")
+        .aggregate(Count(alias_name="n_docs"), Sum("cnt", alias_name="n_occ"))
+        .filter(lambda r: r["n_docs"] >= min_docs)
+    )
+
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "win_hash": df["win_hash"],
+                "n_docs": df["n_docs"].astype("int64"),
+                "n_occ": df["n_occ"].astype("int64"),
+            }
+        )
+
+    out = agg.map_batches(cast, batch_format="pandas")
+    if k is not None:
+        out = out.sort(["n_docs", "win_hash"], descending=[True, False]).limit(k)
+    return out

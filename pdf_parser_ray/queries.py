@@ -1611,6 +1611,15 @@ def q_source_mix(sf_dir: str) -> ray.data.Dataset:
 
 
 
+def q_duplicate_windows(sf_dir: str) -> ray.data.Dataset:
+    """ExactSubstr-lite: token windows duplicated across documents
+    (one uniform-key hash groupby; text never shuffles)."""
+    from pdf_parser_ray.ops.dedup import duplicate_windows
+
+    return duplicate_windows(_documents(sf_dir), w=8, stride=4, k=50)
+
+
+
 SQL: dict[str, str] = {
     "doc_stats": """
         -- CAST: DuckDB sum(INTEGER) -> HUGEINT -> float64 in pandas,
@@ -2769,6 +2778,33 @@ SQL["source_mix"] = """
 """
 
 
+
+SQL["duplicate_windows"] = """
+    -- same tokenization (lower + ASCII \\S+), same md5-of-joined-window
+    -- fingerprints, same (n_docs DESC, win_hash) tie-break
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
+      FROM documents),
+    idx AS (
+      SELECT doc_id, t, unnest(range(1, len(t) - 8 + 2, 4)) AS i
+      FROM toks WHERE len(t) >= 8),
+    wins AS (
+      SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS win_hash
+      FROM idx),
+    per_doc AS (
+      SELECT win_hash, doc_id, CAST(count(*) AS BIGINT) AS cnt
+      FROM wins GROUP BY win_hash, doc_id)
+    SELECT win_hash,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(cnt) AS BIGINT) AS n_occ
+    FROM per_doc
+    GROUP BY win_hash
+    HAVING count(*) >= 2
+    ORDER BY n_docs DESC, win_hash
+    LIMIT 50
+"""
+
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "token_stats": q_token_stats,
@@ -2884,4 +2920,5 @@ QUERIES = {
     "pmi_bigrams": q_pmi_bigrams,
     "pq_knn": q_pq_knn,
     "source_mix": q_source_mix,
+    "duplicate_windows": q_duplicate_windows,
 }

@@ -1620,3 +1620,41 @@ class TestNormalizeAndPmi:
         assert pairs.index(("san", "francisco")) < pairs.index(("the", "cat"))
         sf = out[(out["w1"] == "san")]["cb"].iloc[0]
         assert sf == 6
+
+
+class TestDuplicateWindows:
+    def test_shared_window_found_unique_text_not(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import duplicate_windows
+
+        shared = "one two three four five six seven eight"
+        docs = [
+            f"{shared} unique tail alpha",
+            f"prefix words here {shared}",
+            "completely different text with no overlap at all whatsoever",
+        ]
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"doc_id": [1, 2, 3], "text": docs})
+        )
+        out = duplicate_windows(ds, w=8, stride=1, k=None).to_pandas()
+        # the shared 8-token window appears in docs 1 and 2
+        assert (out["n_docs"] >= 2).all()
+        assert len(out) >= 1
+        assert (out["n_occ"] >= out["n_docs"]).all()
+
+    def test_in_doc_repeat_counts_occurrences_not_docs(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import duplicate_windows
+
+        block = "a b c d e f g h"
+        ds = ray.data.from_pandas(pd.DataFrame({
+            "doc_id": [1, 2],
+            # doc 1 contains the window twice (positions 0 and 8)
+            "text": [f"{block} {block}", block],
+        }))
+        out = duplicate_windows(ds, w=8, stride=8, k=None).to_pandas()
+        row = out[out["n_docs"] == 2]
+        assert len(row) == 1
+        assert int(row["n_occ"].iloc[0]) == 3  # 2 in doc1 + 1 in doc2
