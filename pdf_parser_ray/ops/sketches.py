@@ -255,3 +255,81 @@ def grouped_distinct_exact(
         .groupby(group_col)
         .aggregate(Sum("n_distinct", alias_name="n_distinct"))
     )
+
+
+def psi_drift(
+    ds,
+    *,
+    split_ts,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    round_to: int = 4,
+):
+    """Population-stability-index drift between two time windows — the
+    data-quality monitor a continuously-ingesting corpus runs per
+    increment (reference window vs current window).
+
+    Distributed shape: each batch folds to ≤ 2·(n_bins+2) partial rows
+    (window × bin counts via one vectorized digitize) before a tiny
+    groupby; the PSI formula runs driver-side on the 2×(n_bins+2)-cell
+    table.  Bin edges are FIXED (lo/hi/n_bins params), not data-derived
+    — a second quantile pass would double the scan and make the metric
+    non-reproducible across increments.
+
+    PSI = Σ (q_i − p_i)·ln(q_i/p_i) over bins non-empty on either side,
+    with underflow/overflow edge bins and the standard ε-smoothing
+    (ε = 1e-6) replacing a zero share — WITHOUT it, mass moving into a
+    previously-empty bin (the strongest drift signal) would be silently
+    masked out.  Rounded to ``round_to`` (transcendental-function
+    cross-engine tolerance, the lm_score rule).
+
+    Output: one-row pandas DataFrame (psi:float64, n_ref:int64,
+    n_cur:int64).
+    """
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.io_utils import arrow_out
+
+    edges = np.linspace(lo, hi, n_bins + 1)
+    split = pd.Timestamp(split_ts)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cur = (df[ts_col] >= split).to_numpy()
+        # bins 0..n_bins+1: 0 = underflow, n_bins+1 = overflow
+        b = np.digitize(df[value_col].to_numpy(dtype=np.float64), edges)
+        rows = []
+        for is_cur in (False, True):
+            counts = np.bincount(b[cur == is_cur], minlength=n_bins + 2)
+            nz = np.nonzero(counts)[0]
+            rows.append(pd.DataFrame({
+                "win": np.full(len(nz), int(is_cur), dtype=np.int64),
+                "bin": nz.astype(np.int64),
+                "n": counts[nz].astype(np.int64)}))
+        return arrow_out(pd.concat(rows, ignore_index=True))
+
+    cells = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["win", "bin"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # ≤ 2·(n_bins+2) rows
+    )
+    ref = np.zeros(n_bins + 2, dtype=np.float64)
+    cur = np.zeros(n_bins + 2, dtype=np.float64)
+    for _, r in cells.iterrows():
+        (cur if r["win"] else ref)[int(r["bin"])] = float(r["n"])
+    n_ref, n_cur = ref.sum(), cur.sum()
+    p = ref / max(n_ref, 1.0)
+    q = cur / max(n_cur, 1.0)
+    m = (p > 0) | (q > 0)
+    ps = np.where(p[m] > 0, p[m], 1e-6)
+    qs = np.where(q[m] > 0, q[m], 1e-6)
+    psi = float(np.round(((qs - ps) * np.log(qs / ps)).sum(), round_to))
+    return pd.DataFrame({
+        "psi": [psi],
+        "n_ref": [int(n_ref)],
+        "n_cur": [int(n_cur)]})

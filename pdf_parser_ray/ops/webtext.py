@@ -541,3 +541,35 @@ def per_group_cap(
         partial, [group_col], local_head,
         **({"n_parts": n_parts} if n_parts else {}),
     )
+
+
+def bernoulli_gate(
+    ds: ray.data.Dataset,
+    *,
+    prob_col: str,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Deterministic per-row Bernoulli sampling: keep each row with its
+    own probability ``prob_col`` (clipped to [0,1]) — the importance-
+    sampling primitive quality-weighted data mixes use (keep good docs
+    with high probability, bad docs rarely, no RNG).
+
+    The coin is the 16-bit md5 hash gate keyed on the row id — the same
+    family as :func:`stratified_sample` — so reruns, retries and any
+    partitioning keep the identical row set, and a SQL twin reproduces
+    the sample exactly.  Row-local; no shuffle.
+    """
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        p = df[prob_col].to_numpy(dtype=np.float64)
+        thr = np.floor(np.clip(p, 0.0, 1.0) * 65536.0).astype(np.int64)
+        h = df[id_col].map(
+            lambda i: int(
+                hashlib.md5(str(i).encode("ascii")).hexdigest()[:4], 16
+            )
+        ).to_numpy(dtype=np.int64)
+        return df[h < thr]
+
+    return ds.map_batches(gate, batch_format="pandas")

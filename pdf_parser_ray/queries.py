@@ -1620,6 +1620,42 @@ def q_duplicate_windows(sf_dir: str) -> ray.data.Dataset:
 
 
 
+def q_psi_drift(sf_dir: str):
+    """Distribution-drift monitor: PSI of events.value between the two
+    month-halves (fixed bins; per-batch bincount partials)."""
+    from pdf_parser_ray.ops.sketches import psi_drift
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"]
+    )
+    return psi_drift(
+        ds, split_ts="2024-01-16", lo=0.0, hi=200.0, n_bins=10
+    )
+
+
+def q_quality_weighted_sample(sf_dir: str) -> ray.data.Dataset:
+    """Importance sampling: keep docs with probability
+    n_tokens/(n_tokens+50) via the deterministic 16-bit hash coin."""
+    from pdf_parser_ray.ops.text_stats import TOKEN_PAT
+    from pdf_parser_ray.ops.webtext import bernoulli_gate
+
+    def weight(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["text"].fillna("").str.count(TOKEN_PAT).astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_tokens": n,
+                "p_keep": n.to_numpy(dtype="float64")
+                / (n.to_numpy(dtype="float64") + 50.0),
+            }
+        )
+
+    ds = _documents(sf_dir).map_batches(weight, batch_format="pandas")
+    out = bernoulli_gate(ds, prob_col="p_keep")
+    return out.select_columns(["doc_id", "n_tokens"])
+
+
+
 SQL: dict[str, str] = {
     "doc_stats": """
         -- CAST: DuckDB sum(INTEGER) -> HUGEINT -> float64 in pandas,
@@ -2805,6 +2841,49 @@ SQL["duplicate_windows"] = """
 """
 
 
+
+SQL["psi_drift"] = """
+    -- bin edges are the SAME np.linspace literals the Ray op digitizes
+    -- against (floor arithmetic could disagree by one ulp at an edge);
+    -- ln is the one transcendental — round 4 absorbs libm skew
+    WITH b AS (
+      SELECT CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS win,
+             CASE WHEN value < 0.0 THEN 0 WHEN value < 20.0 THEN 1 WHEN value < 40.0 THEN 2 WHEN value < 60.0 THEN 3 WHEN value < 80.0 THEN 4 WHEN value < 100.0 THEN 5 WHEN value < 120.0 THEN 6 WHEN value < 140.0 THEN 7 WHEN value < 160.0 THEN 8 WHEN value < 180.0 THEN 9 WHEN value < 200.0 THEN 10 ELSE 11 END AS bin
+      FROM events),
+    c AS (SELECT win, bin, count(*)::BIGINT AS n FROM b GROUP BY win, bin),
+    tot AS (SELECT win, sum(n)::DOUBLE AS t FROM c GROUP BY win),
+    pq AS (
+      SELECT coalesce(r.bin, u.bin) AS bin,
+             coalesce(r.n, 0)::DOUBLE / rt.t AS p,
+             coalesce(u.n, 0)::DOUBLE / ut.t AS q
+      FROM (SELECT * FROM c WHERE win = 0) r
+      FULL JOIN (SELECT * FROM c WHERE win = 1) u ON r.bin = u.bin
+      CROSS JOIN (SELECT t FROM tot WHERE win = 0) rt
+      CROSS JOIN (SELECT t FROM tot WHERE win = 1) ut)
+    SELECT round(sum((CASE WHEN q > 0 THEN q ELSE 1e-6 END
+                      - CASE WHEN p > 0 THEN p ELSE 1e-6 END)
+                     * ln(CASE WHEN q > 0 THEN q ELSE 1e-6 END
+                          / CASE WHEN p > 0 THEN p ELSE 1e-6 END)), 4) AS psi,
+           (SELECT t FROM tot WHERE win = 0)::BIGINT AS n_ref,
+           (SELECT t FROM tot WHERE win = 1)::BIGINT AS n_cur
+    FROM pq
+"""
+
+SQL["quality_weighted_sample"] = """
+    -- identical weight expression (n/(n+50) < 1 always, so the 4-char
+    -- hex string compare == the integer compare the Ray gate runs)
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+      FROM documents)
+    SELECT doc_id, n_tokens
+    FROM t
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+          < printf('%04x', CAST(floor(n_tokens::DOUBLE
+                                      / (n_tokens::DOUBLE + 50.0)
+                                      * 65536.0) AS BIGINT))
+"""
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "token_stats": q_token_stats,
@@ -2921,4 +3000,6 @@ QUERIES = {
     "pq_knn": q_pq_knn,
     "source_mix": q_source_mix,
     "duplicate_windows": q_duplicate_windows,
+    "psi_drift": q_psi_drift,
+    "quality_weighted_sample": q_quality_weighted_sample,
 }

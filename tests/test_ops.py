@@ -1658,3 +1658,72 @@ class TestDuplicateWindows:
         row = out[out["n_docs"] == 2]
         assert len(row) == 1
         assert int(row["n_occ"].iloc[0]) == 3  # 2 in doc1 + 1 in doc2
+
+
+class TestPmiRoutesAndGates:
+    def test_pmi_join_route_matches_broadcast(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.text_stats import pmi_bigrams
+
+        docs = (["san francisco bay"] * 6 + ["the cat sat"] * 6
+                + ["the dog ran", "a cat here", "the end is", "the sea was"])
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+        )
+        bc = pmi_bigrams(ds, min_count=3, k=20).to_pandas()
+        jn = pmi_bigrams(ds, min_count=3, k=20, broadcast_limit=0).to_pandas()
+        pd.testing.assert_frame_equal(
+            bc.reset_index(drop=True), jn.reset_index(drop=True)
+        )
+
+    def test_bernoulli_gate_is_deterministic_and_monotone(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from pdf_parser_ray.ops.webtext import bernoulli_gate
+
+        df = pd.DataFrame({
+            "doc_id": np.arange(4000),
+            "p": np.where(np.arange(4000) < 2000, 0.9, 0.1),
+        })
+        ds = ray.data.from_pandas(df)
+        out = bernoulli_gate(ds, prob_col="p").to_pandas()
+        out2 = bernoulli_gate(ds, prob_col="p").to_pandas()
+        assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+        hi = (out["doc_id"] < 2000).sum()
+        lo = (out["doc_id"] >= 2000).sum()
+        assert abs(hi - 1800) < 120 and abs(lo - 200) < 80
+        # p=0 keeps nothing, p=1 keeps everything
+        edge = pd.DataFrame({"doc_id": range(100), "p": [0.0] * 50 + [1.0] * 50})
+        kept = bernoulli_gate(
+            ray.data.from_pandas(edge), prob_col="p"
+        ).to_pandas()
+        assert set(kept["doc_id"]) == set(range(50, 100))
+
+    def test_psi_zero_on_identical_windows_positive_on_shift(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from pdf_parser_ray.ops.sketches import psi_drift
+
+        ts_ref = pd.date_range("2024-01-01", periods=2000, freq="min")
+        ts_cur = pd.date_range("2024-01-20", periods=2000, freq="min")
+        vals = np.tile(np.linspace(1, 99, 1000), 2)
+        same = pd.DataFrame({
+            "ts": ts_ref.append(ts_cur),
+            "value": np.concatenate([vals[:2000], vals[:2000]]),
+        })
+        out = psi_drift(
+            ray.data.from_pandas(same), split_ts="2024-01-16",
+            lo=0.0, hi=100.0, n_bins=10,
+        )
+        assert out["psi"].iloc[0] == 0.0
+        shifted = same.copy()
+        shifted.loc[shifted["ts"] >= "2024-01-16", "value"] += 40.0
+        out2 = psi_drift(
+            ray.data.from_pandas(shifted), split_ts="2024-01-16",
+            lo=0.0, hi=100.0, n_bins=10,
+        )
+        assert out2["psi"].iloc[0] > 0.5
+        assert int(out2["n_ref"].iloc[0]) == int(out2["n_cur"].iloc[0]) == 2000
