@@ -1058,3 +1058,114 @@ def duplicate_windows(
     if k is not None:
         out = out.sort(["n_docs", "win_hash"], descending=[True, False]).limit(k)
     return out
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Plain edit distance (insert/delete/substitute, unit costs) — the
+    same function DuckDB's ``levenshtein`` computes, so bucket verify
+    and the SQL oracle agree exactly."""
+    if a == b:
+        return 0
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def fuzzy_string_pairs(
+    ds: ray.data.Dataset,
+    col: str,
+    *,
+    max_dist: int = 1,
+    max_bucket: int = 1024,
+    n_parts: int | None = None,
+) -> ray.data.Dataset:
+    """Fuzzy self-join: pairs of DISTINCT ``col`` values within
+    Levenshtein distance ``max_dist`` — entity resolution / typo
+    clustering without the O(N²) cross join.
+
+    SymSpell blocking: every value emits its deletion neighborhood
+    (itself + all strings reachable by deleting ≤ ``max_dist`` chars);
+    two values within distance d ≤ max_dist are GUARANTEED to share a
+    variant (delete the edited positions from both sides), so recall is
+    exactly 1.0.  One groupby(variant) shuffle at distinct-value
+    cardinality; in-bucket exact verify; a (a, b) min-groupby dedupes
+    candidates found via multiple shared variants.  Intended for
+    short-label columns (names, codes) — the neighborhood is
+    C(len, max_dist) per value, so long-text columns belong in
+    minhash/simhash, not here.
+
+    Output: (a, b, dist:int64), a < b lexicographically.
+    """
+    from itertools import combinations
+
+    from ray.data.aggregate import Count, Min
+
+    from pdf_parser_ray.ops.shuffle import grouped_map
+
+    distinct = (
+        ds.select_columns([col])
+        .groupby(col)
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def explode(df: pd.DataFrame) -> "object":
+        import pyarrow as pa
+
+        variants: list = []
+        values: list = []
+        for s in df[col]:
+            if s is None:
+                continue
+            keys = {s}
+            for d in range(1, min(max_dist, len(s)) + 1):
+                for pos in combinations(range(len(s)), d):
+                    drop = set(pos)
+                    keys.add(
+                        "".join(c for i, c in enumerate(s) if i not in drop)
+                    )
+            variants.extend(keys)
+            values.extend([s] * len(keys))
+        return pa.table(
+            {"variant": pa.array(variants, pa.string()),
+             "val": pa.array(values, pa.string())}
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        vs = sorted(set(g["val"]))[:max_bucket]
+        a_out: list = []
+        b_out: list = []
+        d_out: list = []
+        for i in range(len(vs)):
+            for j in range(i + 1, len(vs)):
+                d = _levenshtein(vs[i], vs[j])
+                if d <= max_dist:
+                    a_out.append(vs[i])
+                    b_out.append(vs[j])
+                    d_out.append(d)
+        return pd.DataFrame(
+            {"a": pd.Series(a_out, dtype=str),
+             "b": pd.Series(b_out, dtype=str),
+             "dist": pd.Series(d_out, dtype="int64")}
+        )
+
+    exploded = distinct.map_batches(explode, batch_format="pandas")
+    pairs = grouped_map(
+        exploded, ["variant"], bucket_pairs, drop_singletons=True,
+        **({"n_parts": n_parts} if n_parts else {}),
+    )
+    deduped = pairs.groupby(["a", "b"]).aggregate(
+        Min("dist", alias_name="dist")
+    )
+
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "a": df["a"], "b": df["b"], "dist": df["dist"].astype("int64")})
+
+    return deduped.map_batches(cast, batch_format="pandas")

@@ -1656,6 +1656,16 @@ def q_quality_weighted_sample(sf_dir: str) -> ray.data.Dataset:
 
 
 
+def q_fuzzy_names(sf_dir: str) -> ray.data.Dataset:
+    """Fuzzy self-join: distinct part names within Levenshtein 1
+    (SymSpell deletion-neighborhood blocking, exact in-bucket verify)."""
+    from pdf_parser_ray.ops.dedup import fuzzy_string_pairs
+
+    ds = _read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+    return fuzzy_string_pairs(ds, "p_name", max_dist=1)
+
+
+
 SQL: dict[str, str] = {
     "doc_stats": """
         -- CAST: DuckDB sum(INTEGER) -> HUGEINT -> float64 in pandas,
@@ -2884,6 +2894,17 @@ SQL["quality_weighted_sample"] = """
                                       * 65536.0) AS BIGINT))
 """
 
+
+SQL["fuzzy_names"] = """
+    WITH n AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS a, b.p_name AS b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM n a JOIN n b
+      ON a.p_name < b.p_name
+     AND levenshtein(a.p_name, b.p_name) <= 1
+"""
+
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "token_stats": q_token_stats,
@@ -3002,4 +3023,5 @@ QUERIES = {
     "duplicate_windows": q_duplicate_windows,
     "psi_drift": q_psi_drift,
     "quality_weighted_sample": q_quality_weighted_sample,
+    "fuzzy_names": q_fuzzy_names,
 }

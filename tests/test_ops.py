@@ -1727,3 +1727,46 @@ class TestPmiRoutesAndGates:
         )
         assert out2["psi"].iloc[0] > 0.5
         assert int(out2["n_ref"].iloc[0]) == int(out2["n_cur"].iloc[0]) == 2000
+
+
+class TestFuzzyStringPairs:
+    def test_levenshtein_kernel(self, ray_session):
+        from pdf_parser_ray.ops.dedup import _levenshtein
+
+        assert _levenshtein("kitten", "sitting") == 3
+        assert _levenshtein("abc", "abc") == 0
+        assert _levenshtein("abc", "ab") == 1
+        assert _levenshtein("", "xyz") == 3
+        assert _levenshtein("ab", "ba") == 2  # transposition = 2 edits
+
+    def test_recall_is_exact_for_d1(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import fuzzy_string_pairs
+
+        vals = ["cold ring", "old ring", "bold ring", "gold ring",
+                "hot gear", "hot bear", "unrelated thing", "cold ring"]
+        ds = ray.data.from_pandas(pd.DataFrame({"name": vals}))
+        out = fuzzy_string_pairs(ds, "name", max_dist=1).to_pandas()
+        got = set(zip(out["a"], out["b"]))
+        # brute-force truth over distinct values
+        from pdf_parser_ray.ops.dedup import _levenshtein
+
+        dv = sorted(set(vals))
+        want = {(a, b) for i, a in enumerate(dv) for b in dv[i + 1:]
+                if _levenshtein(a, b) <= 1}
+        assert got == want
+        assert (out["dist"] <= 1).all()
+
+    def test_d2_substitutions_covered(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import fuzzy_string_pairs
+
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"name": ["abcdef", "azcdez", "abcdef!"]})
+        )
+        out = fuzzy_string_pairs(ds, "name", max_dist=2).to_pandas()
+        got = set(zip(out["a"], out["b"]))
+        assert ("abcdef", "azcdez") in got       # two substitutions
+        assert ("abcdef", "abcdef!") in got      # one insertion
