@@ -102,6 +102,10 @@ def main(argv: list[str] | None = None) -> int:
                    default="exact")
     p.add_argument("--threshold", type=float, default=0.5,
                    help="minhash: min estimated Jaccard for a pair")
+    p.add_argument("--scrub", action="store_true",
+                   help="minhash: write the surviving corpus (pairs -> "
+                        "components -> drop non-canonical members) "
+                        "instead of the pair list")
 
     p = sub.add_parser(
         "ingest",
@@ -226,6 +230,16 @@ def main(argv: list[str] | None = None) -> int:
             winners.write_parquet(args.out)
             n = ray.data.read_parquet(args.out, columns=["doc_id"]).count()
             print(json.dumps({"mode": "exact", "in_docs": n_in,
+                              "survivors": n, "out": args.out}))
+        elif args.mode == "minhash" and args.scrub:
+            from pdf_parser_ray.pipelines import near_dedup_corpus
+
+            survivors = near_dedup_corpus(
+                docs, method="minhash", threshold=args.threshold
+            )
+            survivors.write_parquet(args.out)
+            n = ray.data.read_parquet(args.out, columns=["doc_id"]).count()
+            print(json.dumps({"mode": "minhash-scrub", "in_docs": n_in,
                               "survivors": n, "out": args.out}))
         elif args.mode == "minhash":
             from pdf_parser_ray.ops.dedup import minhash_lsh_pairs

@@ -471,3 +471,47 @@ def incremental_dedup(
 
     survivors = positives.map_batches(drop_confirmed, batch_format="pandas")
     return negatives.union(survivors)
+
+
+def near_dedup_corpus(
+    docs: "ray.data.Dataset",
+    *,
+    method: str = "minhash",
+    threshold: float = 0.5,
+    max_hamming: int = 3,
+) -> "ray.data.Dataset":
+    """End-to-end near-duplicate scrub (the RefinedWeb/CCNet curation
+    composition): candidate pairs → connected components → keep each
+    cluster's canonical member (the min doc_id — the component label)
+    plus every unpaired doc.
+
+    The drop set is the non-canonical cluster members only — bounded by
+    the near-dup count, built distributed (filter + unique) and
+    broadcast into an anti join; the corpus itself never shuffles.
+
+    ``docs`` needs (doc_id:int64, text); returns the surviving rows
+    with their original columns.
+    """
+    from pdf_parser_ray.ops.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+        simhash_near_pairs,
+    )
+    from pdf_parser_ray.ops.relational import broadcast_semi_join
+
+    if method == "minhash":
+        pairs = minhash_lsh_pairs(docs, threshold=threshold)
+    elif method == "simhash":
+        pairs = simhash_near_pairs(docs, max_hamming=max_hamming)
+    else:
+        raise ValueError(f"unknown near-dedup method {method!r}")
+
+    comp = connected_components(pairs.select_columns(["a", "b"]))
+    # unique() on an empty dataset returns None, and a clean corpus
+    # (zero near-dup pairs) is the common case — skip the gate entirely.
+    drops = comp.filter(
+        lambda r: r["node"] != r["component"]
+    ).unique("node")
+    if not drops:
+        return docs
+    return broadcast_semi_join(docs, drops, on="doc_id", anti=True)

@@ -1666,6 +1666,18 @@ def q_fuzzy_names(sf_dir: str) -> ray.data.Dataset:
 
 
 
+def q_near_dedup_survivors(sf_dir: str) -> ray.data.Dataset:
+    """End-to-end near-dup scrub: LSH pairs -> components -> canonical
+    survivors + unpaired docs (LSH not SQL-expressible -> rows-only;
+    the component step is oracled via q:dup_components)."""
+    from pdf_parser_ray.pipelines import near_dedup_corpus
+
+    return near_dedup_corpus(
+        _documents(sf_dir), method="minhash", threshold=0.5
+    ).select_columns(["doc_id"])
+
+
+
 SQL: dict[str, str] = {
     "doc_stats": """
         -- CAST: DuckDB sum(INTEGER) -> HUGEINT -> float64 in pandas,
@@ -3024,4 +3036,5 @@ QUERIES = {
     "psi_drift": q_psi_drift,
     "quality_weighted_sample": q_quality_weighted_sample,
     "fuzzy_names": q_fuzzy_names,
+    "near_dedup_survivors": q_near_dedup_survivors,
 }

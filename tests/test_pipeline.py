@@ -305,3 +305,53 @@ class TestWorkerState:
         finally:
             _WORKER_STATE.clear()
             _WORKER_STATE.update(snapshot)
+
+
+class TestNearDedupCorpus:
+    def test_scrub_keeps_canonical_and_unpaired(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from pdf_parser_ray.pipelines import near_dedup_corpus
+
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the deep green forest tonight")
+        docs = pd.DataFrame({
+            "doc_id": pd.Series(range(6), dtype="int64"),
+            "text": [
+                base,                          # cluster canon (min id)
+                base + " extra",               # near-dup of 0
+                base.replace("quick", "swift"),  # near-dup of 0
+                "completely different text about database engines and "
+                "distributed query processing at large scale today",
+                "yet another unrelated document mentioning volcanoes "
+                "glaciers rivers and ancient limestone formations",
+                base + " tail",                # near-dup of 0
+            ],
+        })
+        ds = ray.data.from_pandas(docs)
+        out = near_dedup_corpus(ds, method="minhash", threshold=0.5).to_pandas()
+        kept = set(out["doc_id"])
+        assert 0 in kept            # canonical member survives
+        assert {3, 4} <= kept       # unpaired docs survive
+        assert kept < set(range(6))  # at least one near-dup dropped
+        # survivors carry original columns
+        assert set(out.columns) == {"doc_id", "text"}
+
+    def test_scrub_clean_corpus_is_identity(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from pdf_parser_ray.pipelines import near_dedup_corpus
+
+        docs = pd.DataFrame({
+            "doc_id": pd.Series([1, 2], dtype="int64"),
+            "text": [
+                "first totally unique document body with many distinct words",
+                "second document sharing absolutely nothing with the first",
+            ],
+        })
+        out = near_dedup_corpus(
+            ray.data.from_pandas(docs), method="minhash", threshold=0.5
+        ).to_pandas()
+        assert sorted(out["doc_id"]) == [1, 2]
