@@ -762,3 +762,93 @@ def grouped_concat(
         concat,
         **({"n_parts": n_parts} if n_parts else {}),
     )
+
+
+def funnel_counts(
+    ds: "ray.data.Dataset",
+    stages: list[str],
+    *,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Sequential-funnel analysis: how many users reached each stage IN
+    ORDER (stage i+1 strictly after the user's FIRST stage-i event) —
+    the product-analytics conversion query.
+
+    Distributed shape: rows prune to the funnel's event types and three
+    columns at the batch, then ONE bounded-partition co-location by
+    user; inside a partition the frontier walk is vectorized ACROSS
+    users (one groupby-min merge chain per stage, no per-user loop) and
+    each partition emits ≤ len(stages) partial rows into a tiny final
+    aggregate.
+
+    Output: (stage:string, stage_idx:int64, n_users:int64), one row per
+    stage, n_users non-increasing down the funnel.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    stage_list = list(stages)
+    wanted = set(stage_list)
+
+    def prune(df: pd.DataFrame) -> "object":
+        m = df[df[type_col].isin(wanted)]
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    by: m[by].to_numpy(),
+                    ts_col: m[ts_col].to_numpy(),
+                    type_col: m[type_col].to_numpy(),
+                }
+            )
+        )
+
+    pruned = ds.map_batches(prune, batch_format="pandas")
+
+    def partition_counts(part: pd.DataFrame) -> pd.DataFrame:
+        counts = np.zeros(len(stage_list), dtype=np.int64)
+        # frontier: per-user timestamp of the FIRST qualifying event of
+        # the previous stage; stage 0's gate is -inf (no constraint)
+        frontier = None  # pd.Series indexed by user
+        for i, stage in enumerate(stage_list):
+            ev = part[part[type_col] == stage]
+            if frontier is not None:
+                gate = ev[by].map(frontier)
+                ev = ev[gate.notna().to_numpy()
+                        & (ev[ts_col].to_numpy() > gate.to_numpy())]
+            if len(ev) == 0:
+                break
+            frontier = ev.groupby(by)[ts_col].min()
+            counts[i] = len(frontier)
+        return pd.DataFrame(
+            {
+                "stage": stage_list,
+                "stage_idx": np.arange(len(stage_list), dtype=np.int64),
+                "n_users": counts,
+            }
+        )
+
+    partials = partitioned_map(
+        pruned, [by], partition_counts,
+        **({"n_parts": n_parts} if n_parts else {}),
+    )
+    agg = (
+        partials.groupby(["stage", "stage_idx"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "stage": df["stage"],
+                "stage_idx": df["stage_idx"].astype("int64"),
+                "n_users": df["n_users"].astype("int64"),
+            }
+        )
+
+    return agg.map_batches(cast, batch_format="pandas").sort("stage_idx")

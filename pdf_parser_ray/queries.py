@@ -1678,6 +1678,18 @@ def q_near_dedup_survivors(sf_dir: str) -> ray.data.Dataset:
 
 
 
+def q_funnel(sf_dir: str) -> ray.data.Dataset:
+    """Sequential funnel view -> click -> purchase (first-event-after-
+    frontier semantics; one bounded-partition co-location by user)."""
+    from pdf_parser_ray.ops.windows import funnel_counts
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    return funnel_counts(ds, ["view", "click", "purchase"])
+
+
+
 SQL: dict[str, str] = {
     "doc_stats": """
         -- CAST: DuckDB sum(INTEGER) -> HUGEINT -> float64 in pandas,
@@ -2917,6 +2929,33 @@ SQL["fuzzy_names"] = """
 """
 
 
+
+SQL["funnel"] = """
+    -- progressive first-event-after-frontier CTEs, one per stage
+    WITH a AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    b AS (
+      SELECT e.user_id, min(e.ts) AS t1
+      FROM events e JOIN a USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > a.t0
+      GROUP BY e.user_id),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN b USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > b.t1
+      GROUP BY e.user_id)
+    SELECT * FROM (
+      SELECT 'view' AS stage, CAST(0 AS BIGINT) AS stage_idx,
+             (SELECT count(*) FROM a)::BIGINT AS n_users
+      UNION ALL
+      SELECT 'click', CAST(1 AS BIGINT), (SELECT count(*) FROM b)::BIGINT
+      UNION ALL
+      SELECT 'purchase', CAST(2 AS BIGINT), (SELECT count(*) FROM c)::BIGINT
+    ) ORDER BY stage_idx
+"""
+
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "token_stats": q_token_stats,
@@ -3037,4 +3076,5 @@ QUERIES = {
     "quality_weighted_sample": q_quality_weighted_sample,
     "fuzzy_names": q_fuzzy_names,
     "near_dedup_survivors": q_near_dedup_survivors,
+    "funnel": q_funnel,
 }

@@ -1770,3 +1770,47 @@ class TestFuzzyStringPairs:
         got = set(zip(out["a"], out["b"]))
         assert ("abcdef", "azcdez") in got       # two substitutions
         assert ("abcdef", "abcdef!") in got      # one insertion
+
+
+class TestFunnel:
+    def test_order_matters_and_stages_gate(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import funnel_counts
+
+        ev = pd.DataFrame({
+            "user_id": [1, 1, 1,   2, 2,   3, 3,   4],
+            "event_type": ["view", "click", "purchase",
+                           "click", "view",          # click BEFORE view
+                           "view", "purchase",       # skipped click
+                           "view"],
+            "ts": pd.to_datetime([
+                "2024-01-01 10:00", "2024-01-01 11:00", "2024-01-01 12:00",
+                "2024-01-01 10:00", "2024-01-01 11:00",
+                "2024-01-01 10:00", "2024-01-01 11:00",
+                "2024-01-01 10:00",
+            ]),
+        })
+        out = funnel_counts(
+            ray.data.from_pandas(ev), ["view", "click", "purchase"]
+        ).to_pandas().set_index("stage")
+        assert out.loc["view", "n_users"] == 4       # users 1,2,3,4
+        assert out.loc["click", "n_users"] == 1      # only user 1 in order
+        assert out.loc["purchase", "n_users"] == 1   # user 3 lacks click
+        assert list(out["stage_idx"]) == [0, 1, 2]
+
+    def test_same_timestamp_is_not_after(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import funnel_counts
+
+        ev = pd.DataFrame({
+            "user_id": [1, 1],
+            "event_type": ["view", "click"],
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-01"]),  # equal
+        })
+        out = funnel_counts(
+            ray.data.from_pandas(ev), ["view", "click"]
+        ).to_pandas().set_index("stage")
+        assert out.loc["view", "n_users"] == 1
+        assert out.loc["click", "n_users"] == 0  # strictly-after contract
