@@ -536,3 +536,113 @@ def pq_knn(
 
     partial = ds.map_batches(scan, batch_format="pandas", **_task_kwargs(concurrency))
     return partial.sort(["approx_dist", "vec_id"]).limit(k)
+
+
+def ivf_store_build(
+    ds: ray.data.Dataset,
+    store_dir: str,
+    *,
+    n_lists: int = 16,
+    train_sample: int = 2048,
+    seed: int = 53,
+    concurrency: int | tuple[int, int] | None = None,
+) -> "_IvfIndex":
+    """Persist the embedding table as an IVF STORE: Parquet partitioned
+    by inverted-list id (``list_id=K/`` directories) plus the trained
+    centroids — the layout that makes :func:`ivf_store_query` prune at
+    the READ instead of scanning and filtering (the difference between
+    an ANN demo and a 100-TB ANN table; ``ivf_knn``'s docstring caveat,
+    resolved).
+
+    Build is one assignment matmul per batch + a partitioned write; the
+    write is also resumable per list directory (the partitioned-sink
+    rule).  Returns the index (also saved to ``<store>/centroids.npy``-
+    style parquet so queries need no retraining).
+    """
+    import pyarrow as pa
+
+    sample = _to_matrix(ds.limit(train_sample).to_pandas()["embedding"])
+    index = _IvfIndex(sample, n_lists, seed)
+    index_ref = ray.put(index)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.stages import worker_state
+
+        idx: _IvfIndex = worker_state(
+            ("ivf_index", index_ref.hex()), lambda: ray.get(index_ref)
+        )
+        out = df.copy()
+        out["list_id"] = idx.assign(_to_matrix(df["embedding"]))
+        return out
+
+    ds.map_batches(assign, batch_format="pandas", **_task_kwargs(concurrency)).write_parquet(
+        store_dir, partition_cols=["list_id"]
+    )
+    # centroids ride along so a query session can load them without the
+    # training data (flattened row-major + shape columns, the
+    # multimodal layout rule)
+    cents = index.centroids
+    pa.parquet.write_table(
+        pa.table(
+            {
+                "flat": [cents.ravel().tolist()],
+                "n_lists": [cents.shape[0]],
+                "dim": [cents.shape[1]],
+            }
+        ),
+        f"{store_dir}/centroids.parquet",
+    )
+    return index
+
+
+def ivf_store_query(
+    store_dir: str,
+    query_vec,
+    k: int = 10,
+    *,
+    n_probe: int = 4,
+    round_to: int | None = None,
+    concurrency: int | tuple[int, int] | None = None,
+) -> ray.data.Dataset:
+    """Top-k over an :func:`ivf_store_build` store, reading ONLY the
+    ``n_probe`` nearest list partitions — I/O scales with
+    n_probe/n_lists of the table, the read never touches the rest.
+
+    Equivalent by construction to ``ivf_knn`` with the same centroids:
+    rows whose assignment is in the probe set are exactly the rows
+    stored under those ``list_id=`` directories.
+    """
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{store_dir}/centroids.parquet")
+    n_lists = int(t.column("n_lists")[0].as_py())
+    dim = int(t.column("dim")[0].as_py())
+    cents = np.asarray(
+        t.column("flat")[0].as_py(), dtype=np.float64
+    ).reshape(n_lists, dim)
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((cents - q[None, :]) ** 2).sum(axis=1)
+    probe = np.argsort(d2)[:n_probe]
+
+    from pdf_parser_ray.io_utils import read_parquet_clean
+
+    # expand to files: pyarrow accepts one directory but not a LIST of
+    # directories, and empty lists wrote no directory at all
+    import glob as _glob
+
+    paths = sorted(
+        f
+        for p in sorted(probe.tolist())
+        for f in _glob.glob(f"{store_dir}/list_id={int(p)}/*.parquet")
+    )
+    if not paths:
+        import ray.data as rd
+
+        return rd.from_pandas(
+            pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                          "cosine": pd.Series([], dtype="float64")})
+        )
+    candidates = read_parquet_clean(paths, columns=["vec_id", "embedding"])
+    return knn_brute_force(
+        candidates, q, k, round_to=round_to, concurrency=concurrency
+    )

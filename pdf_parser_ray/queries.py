@@ -1690,6 +1690,33 @@ def q_funnel(sf_dir: str) -> ray.data.Dataset:
 
 
 
+def q_ivf_store_knn(sf_dir: str):
+    """Partition-pruned ANN: build (cached) an IVF store partitioned by
+    list id, query reads ONLY the probed list directories (rows-only:
+    approximate by design; parity with ivf_knn pinned in pytest)."""
+    import hashlib as _h
+    import os
+
+    import numpy as np
+
+    from pdf_parser_ray.ops.similarity import ivf_store_build, ivf_store_query
+
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:8]
+    store = f"/tmp/ppr_ivf_store_{tag}"
+    if not os.path.isdir(store) or not os.path.exists(
+        f"{store}/centroids.parquet"
+    ):
+        ds = _read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        ivf_store_build(ds, store, n_lists=8, seed=53)
+    out = ivf_store_query(store, _query_vector(sf_dir), k=10, n_probe=3)
+    df = out.to_pandas()
+    df["cosine"] = np.round(df["cosine"].astype("float64"), ROUND_COS)
+    return df[["vec_id", "cosine"]]
+
+
+
 SQL: dict[str, str] = {
     "doc_stats": """
         -- CAST: DuckDB sum(INTEGER) -> HUGEINT -> float64 in pandas,
@@ -3077,4 +3104,5 @@ QUERIES = {
     "fuzzy_names": q_fuzzy_names,
     "near_dedup_survivors": q_near_dedup_survivors,
     "funnel": q_funnel,
+    "ivf_store_knn": q_ivf_store_knn,
 }

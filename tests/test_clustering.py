@@ -180,3 +180,54 @@ class TestProductQuantization:
         out = pq_encode(ds, m=4, n_codes=16).to_pandas()
         assert len(out) == ds.count()
         assert all(len(c) == 4 for c in out["code"].head(20))
+
+
+class TestIvfStore:
+    def test_store_query_matches_scan_filter_ivf(self, ray_session, tmp_path):
+        import ray.data
+
+        from pdf_parser_ray.io_utils import read_parquet_clean
+        from pdf_parser_ray.ops.similarity import (
+            ivf_knn,
+            ivf_store_build,
+            ivf_store_query,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        ds = read_parquet_clean(
+            f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        store = str(tmp_path / "ivf_store")
+        ivf_store_build(ds, store, n_lists=8, seed=53)
+        import pyarrow.parquet as pq_
+
+        qv = (
+            pq_.read_table(f"{sf}/embeddings.parquet")
+            .to_pandas()
+            .pipe(lambda d: d.loc[d["vec_id"] == 0, "embedding"].iloc[0])
+        )
+        got = ivf_store_query(store, qv, k=10, n_probe=3).to_pandas()
+        want = ivf_knn(
+            ds, qv, k=10, n_lists=8, n_probe=3, train_sample=2048, seed=53
+        ).to_pandas()
+        assert list(got["vec_id"]) == list(want["vec_id"])
+
+    def test_store_prunes_partitions(self, ray_session, tmp_path):
+        import glob
+
+        import ray.data
+
+        from pdf_parser_ray.io_utils import read_parquet_clean
+        from pdf_parser_ray.ops.similarity import ivf_store_build
+
+        sf = "/root/testdata/sf0.001"
+        ds = read_parquet_clean(
+            f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        store = str(tmp_path / "store2")
+        ivf_store_build(ds, store, n_lists=8, seed=53)
+        parts = glob.glob(f"{store}/list_id=*")
+        assert len(parts) >= 2  # hive layout exists → the read CAN prune
+        files = glob.glob(f"{store}/list_id=*/*.parquet")
+        total = ray.data.read_parquet(files).count()
+        assert total == ds.count()  # every vector landed in one list
