@@ -1717,6 +1717,18 @@ def q_ivf_store_knn(sf_dir: str):
 
 
 
+def q_time_weighted_avg(sf_dir: str) -> ray.data.Dataset:
+    """Time-weighted average value per user (exact cents x microsecond
+    integer arithmetic; one bounded-partition co-location)."""
+    from pdf_parser_ray.ops.windows import time_weighted_avg
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return time_weighted_avg(ds)
+
+
+
 SQL: dict[str, str] = {
     "doc_stats": """
         -- CAST: DuckDB sum(INTEGER) -> HUGEINT -> float64 in pandas,
@@ -2983,6 +2995,23 @@ SQL["funnel"] = """
 """
 
 
+
+SQL["time_weighted_avg"] = """
+    -- exact integer arithmetic: cents x microsecond intervals sum as
+    -- int64 in any order; the one float op is num/den/100 on identical
+    -- operands -> bit-identical, no rounding contract
+    WITH w AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, value)
+                      - ts) AS dt_us
+      FROM events QUALIFY dt_us IS NOT NULL)
+    SELECT user_id,
+           (sum(cents * dt_us)::DOUBLE / sum(dt_us)::DOUBLE) / 100.0 AS twa
+    FROM w GROUP BY user_id
+"""
+
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "token_stats": q_token_stats,
@@ -3105,4 +3134,5 @@ QUERIES = {
     "near_dedup_survivors": q_near_dedup_survivors,
     "funnel": q_funnel,
     "ivf_store_knn": q_ivf_store_knn,
+    "time_weighted_avg": q_time_weighted_avg,
 }

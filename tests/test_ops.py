@@ -1814,3 +1814,24 @@ class TestFunnel:
         ).to_pandas().set_index("stage")
         assert out.loc["view", "n_users"] == 1
         assert out.loc["click", "n_users"] == 0  # strictly-after contract
+
+
+class TestTimeWeightedAvg:
+    def test_matches_hand_computation(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import time_weighted_avg
+
+        # user 7: value 10 for 3 s, then 20 for 1 s -> twa = 12.5
+        ev = pd.DataFrame({
+            "user_id": [7, 7, 7, 9],
+            "ts": pd.to_datetime([
+                "2024-01-01 00:00:00", "2024-01-01 00:00:03",
+                "2024-01-01 00:00:04",
+                "2024-01-01 00:00:00",  # user 9: single event -> dropped
+            ]),
+            "value": [10.0, 20.0, 99.0, 5.0],
+        })
+        out = time_weighted_avg(ray.data.from_pandas(ev)).to_pandas()
+        assert set(out["user_id"]) == {7}
+        assert out["twa"].iloc[0] == (10.0 * 3 + 20.0 * 1) / 4
