@@ -333,3 +333,62 @@ def psi_drift(
         "psi": [psi],
         "n_ref": [int(n_ref)],
         "n_cur": [int(n_cur)]})
+
+
+def grouped_top_k_frequent(
+    ds: ray.data.Dataset,
+    group_col: str,
+    col: str,
+    *,
+    k: int = 5,
+    capacity: int = 4096,
+) -> ray.data.Dataset:
+    """Top-k most frequent ``col`` values PER GROUP via mergeable
+    Misra-Gries partials — the grouped twin of :func:`top_k_frequent`
+    (heavy tokens per language, heavy domains per snapshot, ...).
+
+    Per batch: one bounded (≤ capacity entries) summary row per group
+    present — the shuffle moves O(groups × batches) fixed-size
+    summaries, never raw values; the per-group merge folds ≤ #batches
+    summaries.  Exact when distinct(col) ≤ capacity within every group
+    (the MisraGries guarantee), approximate with the N/(capacity+1)
+    undercount bound otherwise.
+
+    Output: (group_col, value, n:int64), ≤ k rows per group,
+    (n DESC, value ASC) within each group.
+    """
+
+    def sketch_batch(df: pd.DataFrame):
+        from pdf_parser_ray.io_utils import arrow_out
+
+        groups, values, counts = [], [], []
+        for g, sub in df.groupby(group_col, sort=False):
+            mg = MisraGries(capacity)
+            mg.add_counts(sub[col].dropna().value_counts().to_dict())
+            groups.append(g)
+            values.append(list(mg.counts.keys()))
+            counts.append([int(x) for x in mg.counts.values()])
+        return arrow_out(
+            pd.DataFrame(
+                {group_col: groups, "values": values, "counts": counts}
+            )
+        )
+
+    def merge_group(part: pd.DataFrame) -> pd.DataFrame:
+        merged = MisraGries(capacity)
+        for vals, cnts in zip(part["values"], part["counts"]):
+            merged.add_counts(dict(zip(vals, (int(c) for c in cnts))))
+        top = merged.top(k)
+        return pd.DataFrame(
+            {
+                group_col: [part[group_col].iloc[0]] * len(top),
+                "value": [t[0] for t in top],
+                "n": pd.Series([t[1] for t in top], dtype="int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(sketch_batch, batch_format="pandas")
+        .groupby(group_col)
+        .map_groups(merge_group, batch_format="pandas")
+    )

@@ -1729,6 +1729,28 @@ def q_time_weighted_avg(sf_dir: str) -> ray.data.Dataset:
 
 
 
+def q_top_users_per_type(sf_dir: str) -> ray.data.Dataset:
+    """Grouped heavy hitters: top-5 users per event type via mergeable
+    Misra-Gries summaries (exact here: distinct users <= capacity)."""
+    from pdf_parser_ray.ops.sketches import grouped_top_k_frequent
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    out = grouped_top_k_frequent(
+        ds, "event_type", "user_id", k=5, capacity=4096
+    )
+
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "value": df["value"].astype("int64"),
+            "n": df["n"].astype("int64")})
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+
 SQL: dict[str, str] = {
     "doc_stats": """
         -- CAST: DuckDB sum(INTEGER) -> HUGEINT -> float64 in pandas,
@@ -3012,6 +3034,17 @@ SQL["time_weighted_avg"] = """
 """
 
 
+
+SQL["top_users_per_type"] = """
+    WITH c AS (
+      SELECT event_type, user_id AS value, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, user_id)
+    SELECT event_type, value, n FROM c
+    QUALIFY row_number() OVER (PARTITION BY event_type
+                               ORDER BY n DESC, value ASC) <= 5
+"""
+
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "token_stats": q_token_stats,
@@ -3135,4 +3168,5 @@ QUERIES = {
     "funnel": q_funnel,
     "ivf_store_knn": q_ivf_store_knn,
     "time_weighted_avg": q_time_weighted_avg,
+    "top_users_per_type": q_top_users_per_type,
 }

@@ -486,3 +486,39 @@ class TestNewTpchShapes:
         df = small_quantity_revenue(self.SF)
         assert list(df.columns) == ["avg_yearly"]
         assert len(df) == 1 and df["avg_yearly"].iloc[0] >= 0.0
+
+
+class TestGroupedTopK:
+    def test_exact_when_under_capacity(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from pdf_parser_ray.ops.sketches import grouped_top_k_frequent
+
+        df = pd.DataFrame({
+            "g": ["a"] * 10 + ["b"] * 6,
+            "v": ["x"] * 5 + ["y"] * 3 + ["z"] * 2 + ["p"] * 4 + ["q"] * 2,
+        })
+        out = grouped_top_k_frequent(
+            ray.data.from_pandas(df), "g", "v", k=2, capacity=100
+        ).to_pandas().sort_values(["g", "n"], ascending=[True, False])
+        a = out[out["g"] == "a"]
+        assert list(zip(a["value"], a["n"])) == [("x", 5), ("y", 3)]
+        b = out[out["g"] == "b"]
+        assert list(zip(b["value"], b["n"])) == [("p", 4), ("q", 2)]
+
+    def test_undercount_bound_when_over_capacity(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from pdf_parser_ray.ops.sketches import grouped_top_k_frequent
+
+        # one dominant value + 50 distinct noise values, capacity 8:
+        # the heavy value must survive with count >= true - N/(cap+1)
+        vals = ["hot"] * 200 + [f"n{i}" for i in range(50)] * 2
+        df = pd.DataFrame({"g": ["only"] * len(vals), "v": vals})
+        out = grouped_top_k_frequent(
+            ray.data.from_pandas(df), "g", "v", k=1, capacity=8
+        ).to_pandas()
+        assert out["value"].iloc[0] == "hot"
+        assert out["n"].iloc[0] >= 200 - len(vals) // 9
