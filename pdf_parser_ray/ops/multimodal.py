@@ -46,13 +46,21 @@ MEDIA_SCHEMA = pa.schema(
 MEDIA_BATCH_SIZE = 8  # large binary rows → small batches
 
 
-def synth_media_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic fake media corpus for tests/benches (no external data)."""
+def synth_media_table(
+    n: int, seed: int = 42, dup_every: int | None = None
+) -> pa.Table:
+    """Deterministic fake media corpus for tests/benches (no external data).
+
+    ``dup_every=K`` keys each image payload on ``i % K`` instead of
+    ``i`` — rows K apart become byte-identical duplicates, the fixture
+    the perceptual-hash dedup tier needs.  Default (None) is unchanged.
+    """
     import random
 
     rows = []
     for i in range(n):
-        rng = random.Random(f"media:{seed}:{i}")
+        key = i if dup_every is None else (i % dup_every)
+        rng = random.Random(f"media:{seed}:{key}")
         kind = ["image", "audio", "video"][i % 3]
         if kind == "image":
             w, h = rng.choice([(32, 24), (64, 48), (16, 16)])
@@ -272,3 +280,95 @@ def image_pipeline(
         concurrency=concurrency,
     )
     return resized.map_batches(image_features, batch_format="pyarrow")
+
+
+def _dhash64(gray9x8: np.ndarray) -> int:
+    """64-bit difference hash: bit j set iff gray[r, c+1] > gray[r, c]."""
+    bits = (gray9x8[:, 1:] > gray9x8[:, :-1]).ravel()
+    return int(
+        np.packbits(bits).view(">u8")[0].item() if len(bits) == 64 else 0
+    )
+
+
+class PerceptualHash:
+    """Actor stage: decoded pixel rows → 64-bit dHash column.
+
+    The classic perceptual near-dup signature for images (difference
+    hash over a 9×8 grayscale thumbnail — public algorithm): robust to
+    re-encoding and resizing, cheap enough to run at ingest.  Combines
+    the ResizeImage sampling grid with a row-gradient sign pattern, all
+    vectorized per image.  Output: (media_id, phash:int64).
+    """
+
+    W, H = 9, 8
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes = []
+        for pix, w, h in zip(
+            batch.column("pixels").to_pylist(),
+            batch.column("width").to_pylist(),
+            batch.column("height").to_pylist(),
+        ):
+            arr = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, 3)
+            gray = arr.astype(np.float64).mean(axis=2)
+            ys = (np.arange(self.H) * h) // self.H
+            xs = (np.arange(self.W) * w) // self.W
+            thumb = gray[ys[:, None], xs[None, :]]
+            hashes.append(np.int64(np.uint64(_dhash64(thumb))))
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "phash": pa.array(hashes, pa.int64()),
+            }
+        )
+
+
+def image_phash_groups(
+    media: ray.data.Dataset,
+    *,
+    min_size: int = 2,
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> ray.data.Dataset:
+    """Image near-dup groups by identical perceptual hash (the exact
+    tier; Hamming-band pairing composes via ops.dedup.simhash_near_pairs
+    semantics on the phash column if a near tier is needed).
+
+    decode → dHash (64 bits/image enter the shuffle, never pixels) →
+    ONE groupby(phash) counting members.
+
+    Output: (phash:int64, n_images:int64), groups of ≥ min_size.
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count
+
+    images = media.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), "image")),
+        batch_format="pyarrow",
+    )
+    decoded = images.map_batches(
+        DecodeImage,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+    )
+    hashed = decoded.map_batches(
+        PerceptualHash,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+    )
+    groups = (
+        hashed.groupby("phash")
+        .aggregate(Count(alias_name="n_images"))
+        .filter(lambda r: r["n_images"] >= min_size)
+    )
+
+    def cast(df) -> "object":
+        import pandas as pd
+
+        return pd.DataFrame({
+            "phash": df["phash"].astype("int64"),
+            "n_images": df["n_images"].astype("int64")})
+
+    return groups.map_batches(cast, batch_format="pandas")

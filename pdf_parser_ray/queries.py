@@ -1751,6 +1751,17 @@ def q_top_users_per_type(sf_dir: str) -> ray.data.Dataset:
 
 
 
+def q_image_phash_groups(sf_dir: str) -> ray.data.Dataset:
+    """Perceptual-hash image dedup over a synth media table with planted
+    byte-identical duplicates (pixels never shuffle; 64 bits/image do)."""
+    from pdf_parser_ray.ops.multimodal import image_phash_groups, synth_media_table
+
+    n = max(60, int(_sf_from_dir(sf_dir) * 30000))
+    media = ray.data.from_arrow(synth_media_table(n, dup_every=45))
+    return image_phash_groups(media).sort("phash")
+
+
+
 SQL: dict[str, str] = {
     "doc_stats": """
         -- CAST: DuckDB sum(INTEGER) -> HUGEINT -> float64 in pandas,
@@ -3169,4 +3180,5 @@ QUERIES = {
     "ivf_store_knn": q_ivf_store_knn,
     "time_weighted_avg": q_time_weighted_avg,
     "top_users_per_type": q_top_users_per_type,
+    "image_phash_groups": q_image_phash_groups,
 }

@@ -127,3 +127,31 @@ class TestStages:
         b = sorted((r["media_id"], tuple(r["features"]))
                    for r in image_pipeline(media_ds).take_all())
         assert a == b
+
+
+class TestPerceptualHash:
+    def test_identical_payloads_same_hash_distinct_differ(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.multimodal import (
+            image_phash_groups,
+            synth_media_table,
+        )
+
+        media = ray.data.from_arrow(synth_media_table(90, dup_every=45))
+        out = image_phash_groups(media).to_pandas()
+        # rows i and i+45 are byte-identical -> every image hash has >= 2
+        # members; structured (tiled) fakes may collide further but at
+        # least one group must exist and all groups have >= 2 members
+        assert len(out) >= 1
+        assert (out["n_images"] >= 2).all()
+
+    def test_dhash_is_gradient_sign_pattern(self, ray_session):
+        import numpy as np
+
+        from pdf_parser_ray.ops.multimodal import _dhash64
+
+        inc = np.tile(np.arange(9, dtype=np.float64), (8, 1))
+        dec = inc[:, ::-1].copy()
+        assert _dhash64(inc) == 0xFFFFFFFFFFFFFFFF  # all rising
+        assert _dhash64(dec) == 0                   # all falling
