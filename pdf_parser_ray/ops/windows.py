@@ -926,3 +926,76 @@ def time_weighted_avg(
         pruned, [part_col], per_partition,
         **({"n_parts": n_parts} if n_parts else {}),
     )
+
+
+def time_range_sum(
+    ds: "ray.data.Dataset",
+    *,
+    window_s: int = 3600,
+    part_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Time-RANGE window frame: per row, the sum of ``val_col`` over the
+    partition's trailing ``window_s`` seconds — SQL's ``RANGE BETWEEN
+    INTERVAL .. PRECEDING AND CURRENT ROW`` (the frame :func:`moving_avg`'s
+    ROWS frame cannot express: it follows the CLOCK, not row counts).
+
+    One bounded-partition co-location; inside, the whole partition is
+    vectorized with NO per-user loop: rows sort once by (user, ts), a
+    composite int64 key (user_rank << span_bits | Δts_µs) makes ONE
+    searchsorted call resolve every row's frame boundaries, and the
+    frame sum is two prefix-sum lookups.  RANGE-frame peer semantics
+    (ties on ts include ALL peers, even later-sorted ones) come from
+    the side='right' upper bound.  Values sum as exact int64 cents —
+    bit-identical, no rounding contract.
+
+    Assumes user_rank × time-span fits int64: span_bits = 44 allows a
+    ~557-year µs span and ~1 M distinct users per partition (partition
+    count controls the latter at scale).
+
+    Output: (id_col, part_col, win_sum:float64).
+    """
+    import numpy as np
+
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    span_bits = np.int64(44)
+    win_us = np.int64(window_s) * 1_000_000
+
+    pruned = ds.select_columns([id_col, part_col, ts_col, val_col])
+
+    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values([part_col, ts_col, id_col], kind="mergesort")
+        ts = part[ts_col].to_numpy("datetime64[us]").astype("int64")
+        users = part[part_col].to_numpy()
+        # dense user rank in sorted order (users are contiguous)
+        new_user = np.empty(len(part), dtype=bool)
+        new_user[:1] = True
+        new_user[1:] = users[1:] != users[:-1]
+        rank = np.cumsum(new_user) - 1
+        dt = ts - (ts.min() if len(ts) else 0)
+        if len(dt) and dt.max() >= (1 << int(span_bits)):
+            raise ValueError("time span exceeds the composite-key budget")
+        key = (rank.astype("int64") << span_bits) | dt
+        cents = np.rint(part[val_col].to_numpy(dtype=np.float64) * 100.0).astype(
+            np.int64
+        )
+        prefix = np.concatenate([[0], np.cumsum(cents)])
+        lo = np.searchsorted(key, (rank << span_bits) | np.maximum(dt - win_us, 0), side="left")
+        hi = np.searchsorted(key, key, side="right")
+        win_cents = prefix[hi] - prefix[lo]
+        return pd.DataFrame(
+            {
+                id_col: part[id_col].to_numpy(),
+                part_col: users,
+                "win_sum": win_cents.astype(np.float64) / 100.0,
+            }
+        )
+
+    return partitioned_map(
+        pruned, [part_col], per_partition,
+        **({"n_parts": n_parts} if n_parts else {}),
+    )

@@ -1762,6 +1762,19 @@ def q_image_phash_groups(sf_dir: str) -> ray.data.Dataset:
 
 
 
+def q_time_range_sum(sf_dir: str) -> ray.data.Dataset:
+    """Trailing-1h RANGE-frame sum per user (clock-based frame; exact
+    integer cents; one composite-key searchsorted per partition)."""
+    from pdf_parser_ray.ops.windows import time_range_sum
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return time_range_sum(ds, window_s=3600)
+
+
+
 SQL: dict[str, str] = {
     "doc_stats": """
         -- CAST: DuckDB sum(INTEGER) -> HUGEINT -> float64 in pandas,
@@ -3056,6 +3069,19 @@ SQL["top_users_per_type"] = """
 """
 
 
+
+SQL["time_range_sum"] = """
+    -- exact integer-cents RANGE frame; peers on tied ts are all
+    -- included (RANGE semantics), matching the side='right' bound
+    SELECT event_id, user_id,
+           (sum(CAST(round(value * 100) AS BIGINT)) OVER (
+              PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+            ))::DOUBLE / 100.0 AS win_sum
+    FROM events
+"""
+
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "token_stats": q_token_stats,
@@ -3181,4 +3207,5 @@ QUERIES = {
     "time_weighted_avg": q_time_weighted_avg,
     "top_users_per_type": q_top_users_per_type,
     "image_phash_groups": q_image_phash_groups,
+    "time_range_sum": q_time_range_sum,
 }

@@ -1835,3 +1835,34 @@ class TestTimeWeightedAvg:
         out = time_weighted_avg(ray.data.from_pandas(ev)).to_pandas()
         assert set(out["user_id"]) == {7}
         assert out["twa"].iloc[0] == (10.0 * 3 + 20.0 * 1) / 4
+
+
+class TestTimeRangeSum:
+    def test_clock_frame_and_tie_peers(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import time_range_sum
+
+        ev = pd.DataFrame({
+            "event_id": [1, 2, 3, 4, 5],
+            "user_id": [7, 7, 7, 7, 9],
+            "ts": pd.to_datetime([
+                "2024-01-01 10:00:00",
+                "2024-01-01 10:30:00",
+                "2024-01-01 11:00:00",  # exactly 1h after #1 -> included
+                "2024-01-01 11:00:00",  # tie peer of #3
+                "2024-01-01 10:00:00",
+            ]),
+            "value": [1.0, 2.0, 4.0, 8.0, 100.0],
+        })
+        out = (
+            time_range_sum(ray.data.from_pandas(ev), window_s=3600)
+            .to_pandas().set_index("event_id")
+        )
+        assert out.loc[1, "win_sum"] == 1.0
+        assert out.loc[2, "win_sum"] == 3.0
+        # rows 3 and 4 are RANGE peers: both frames include BOTH peers
+        # plus rows 1 (exactly 1h back, inclusive) and 2
+        assert out.loc[3, "win_sum"] == 15.0
+        assert out.loc[4, "win_sum"] == 15.0
+        assert out.loc[5, "win_sum"] == 100.0  # other user isolated
