@@ -466,3 +466,54 @@ def rebalance_sources(
         return df[keep]
 
     return ds.map_batches(gate, batch_format="pandas")
+
+
+def chunk_documents(
+    ds: ray.data.Dataset,
+    *,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Split documents into fixed-token chunks with overlap — the
+    context-window splitter every RAG / training-ingest pipeline runs
+    before embedding or packing.
+
+    Row-local flat-map (one doc → ceil(tokens/stride) chunk rows), no
+    shuffle; tokenization is the corpus-wide ASCII ``\\S+`` contract so
+    the SQL twin (list slicing over the same token arrays) reproduces
+    chunk boundaries exactly.  Zero-token docs emit no chunks; the last
+    chunk may be shorter than ``chunk_tokens`` (never empty).
+
+    Output: (id_col, chunk_idx:int64, chunk_text, n_tokens:int64).
+    """
+    from pdf_parser_ray.ops.text_stats import TOKEN_PAT
+
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        ids: list = []
+        idxs: list = []
+        texts: list = []
+        lens: list = []
+        for doc, text in zip(df[id_col], df[text_col].fillna("")):
+            toks = TOKEN_PAT.findall(text)
+            for j, start in enumerate(range(0, len(toks), stride)):
+                piece = toks[start : start + chunk_tokens]
+                ids.append(doc)
+                idxs.append(j)
+                texts.append(" ".join(piece))
+                lens.append(len(piece))
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(ids, dtype="int64"),
+                "chunk_idx": pd.Series(idxs, dtype="int64"),
+                "chunk_text": pd.Series(texts, dtype=str),
+                "n_tokens": pd.Series(lens, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(split, batch_format="pandas")

@@ -1775,6 +1775,17 @@ def q_time_range_sum(sf_dir: str) -> ray.data.Dataset:
 
 
 
+def q_chunk_documents(sf_dir: str) -> ray.data.Dataset:
+    """Fixed-token chunking with overlap (64-token chunks, 16 overlap);
+    row-local flat map, boundaries shared with the SQL list-slice twin."""
+    from pdf_parser_ray.ops.curation import chunk_documents
+
+    return chunk_documents(
+        _documents(sf_dir), chunk_tokens=64, overlap=16
+    )
+
+
+
 SQL: dict[str, str] = {
     "doc_stats": """
         -- CAST: DuckDB sum(INTEGER) -> HUGEINT -> float64 in pandas,
@@ -3082,6 +3093,23 @@ SQL["time_range_sum"] = """
 """
 
 
+
+SQL["chunk_documents"] = """
+    -- same \\S+ token arrays, same 48-token stride, 1-based inclusive
+    -- list slices; zero-token docs emit nothing
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
+    idx AS (
+      SELECT doc_id, t, unnest(range(1, len(t) + 1, 48)) AS i
+      FROM toks WHERE len(t) > 0)
+    SELECT doc_id,
+           CAST((i - 1) / 48 AS BIGINT) AS chunk_idx,
+           array_to_string(t[i:i+63], ' ') AS chunk_text,
+           CAST(least(64, len(t) - i + 1) AS BIGINT) AS n_tokens
+    FROM idx
+"""
+
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "token_stats": q_token_stats,
@@ -3208,4 +3236,5 @@ QUERIES = {
     "top_users_per_type": q_top_users_per_type,
     "image_phash_groups": q_image_phash_groups,
     "time_range_sum": q_time_range_sum,
+    "chunk_documents": q_chunk_documents,
 }

@@ -481,3 +481,35 @@ class TestRebalanceSources:
             ray.data.from_pandas(df), {"a": 1.0}
         ).to_pandas()
         assert set(out["source"]) == {"a"} and len(out) == 50
+
+
+class TestChunkDocuments:
+    def test_boundaries_overlap_and_tail(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from pdf_parser_ray.ops.curation import chunk_documents
+
+        words = [f"w{i}" for i in range(10)]
+        df = pd.DataFrame({
+            "doc_id": pd.Series([1, 2], dtype="int64"),
+            "text": [" ".join(words), ""],
+        })
+        out = chunk_documents(
+            ray.data.from_pandas(df), chunk_tokens=4, overlap=1
+        ).to_pandas().sort_values(["doc_id", "chunk_idx"])
+        # stride 3: starts 0,3,6,9 -> chunks w0-3, w3-6, w6-9, w9
+        assert list(out["doc_id"].unique()) == [1]  # empty doc emits nothing
+        assert list(out["chunk_text"]) == [
+            "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9", "w9",
+        ]
+        assert list(out["n_tokens"]) == [4, 4, 4, 1]
+        assert list(out["chunk_idx"]) == [0, 1, 2, 3]
+
+    def test_overlap_validation(self, ray_session):
+        import pytest as _pt
+
+        from pdf_parser_ray.ops.curation import chunk_documents
+
+        with _pt.raises(ValueError):
+            chunk_documents(None, chunk_tokens=4, overlap=4)
