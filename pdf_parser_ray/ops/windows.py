@@ -999,3 +999,77 @@ def time_range_sum(
         pruned, [part_col], per_partition,
         **({"n_parts": n_parts} if n_parts else {}),
     )
+
+
+def dedup_events_in_window(
+    ds: "ray.data.Dataset",
+    *,
+    window_s: int = 3600,
+    by: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Streaming idempotency filter: within each ``by`` key, drop an
+    event if the PREVIOUS KEPT event is less than ``window_s`` ago —
+    the at-most-once-per-interval rule a retry-prone event firehose
+    needs before counting anything.
+
+    Note the kept-anchor semantics (a suppressed event does NOT extend
+    the window — events at t, t+0.7h, t+1.4h keep t and t+1.4h): this
+    is the rate-limiter rule, strictly stronger than a lag()-based
+    filter.  The dependency is sequential per key, but the greedy
+    anchor walk vectorizes ACROSS keys: wave r finds every key's r-th
+    kept event with ONE searchsorted over the composite (key_rank,
+    Δts) int64 key — rounds = max kept-events per key, each round
+    O(active keys · log n), no per-key Python loop.
+
+    Output: the kept rows (id_col, *by, ts_col), same dtypes.
+    """
+    import numpy as np
+
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    key_list = list(by)
+    span_bits = np.int64(44)
+
+    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values([*key_list, ts_col, id_col], kind="mergesort")
+        n = len(part)
+        if n == 0:
+            return part
+        ts = part[ts_col].to_numpy("datetime64[us]").astype("int64")
+        win = np.int64(window_s) * 1_000_000
+        keys = pd.util.hash_pandas_object(
+            part[key_list], index=False
+        ).to_numpy()
+        new_key = np.empty(n, dtype=bool)
+        new_key[:1] = True
+        new_key[1:] = keys[1:] != keys[:-1]
+        rank = np.cumsum(new_key) - 1
+        dt = ts - ts.min()
+        if dt.max() >= (1 << int(span_bits)):
+            raise ValueError("time span exceeds the composite-key budget")
+        K = (rank.astype("int64") << span_bits) | dt
+        seg_end = np.concatenate([np.nonzero(new_key)[0][1:], [n]])[rank]
+        kept = np.zeros(n, dtype=bool)
+        # wave 0: the first event of every key is kept
+        cur = np.nonzero(new_key)[0]
+        while len(cur):
+            kept[cur] = True
+            # next kept of each active key: first event with
+            # ts >= kept_ts + win inside the key's segment.  Arithmetic
+            # ADD (not OR): when dt+win exceeds the span budget the
+            # carry pushes the target past this key's whole range and
+            # the seg_end check below discards it — no false match on
+            # a clamped boundary value.
+            target = (rank[cur].astype("int64") << span_bits) + dt[cur] + win
+            nxt = np.searchsorted(K, target, side="left")
+            cur = nxt[nxt < seg_end[cur]]
+        return part[kept]
+
+    pruned = ds.select_columns([id_col, *key_list, ts_col])
+    return partitioned_map(
+        pruned, key_list, per_partition,
+        **({"n_parts": n_parts} if n_parts else {}),
+    )

@@ -1786,6 +1786,63 @@ def q_chunk_documents(sf_dir: str) -> ray.data.Dataset:
 
 
 
+def q_dedup_events_window(sf_dir: str) -> ray.data.Dataset:
+    """Streaming idempotency filter: at most one event per (user, type)
+    per 30 min, kept-anchor (rate limiter) semantics.  Sequential
+    greedy rule -> no SQL oracle; pinned against a serial reference
+    in pytest (test_ops TestDedupEventsInWindow)."""
+    from pdf_parser_ray.ops.windows import dedup_events_in_window
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    return dedup_events_in_window(ds, window_s=1800)
+
+
+
+def q_chunk_search(sf_dir: str) -> "pd.DataFrame":
+    """The composed RAG indexing path: chunk documents -> hash-trick
+    chunk embeddings -> exact cosine top-10 for doc 0's first chunk
+    (itself excluded).  Deterministic end to end; no SQL oracle (the
+    scatter-add projection isn't SQL-expressible) — each stage is
+    individually oracled/pinned (q:chunk_documents†, doc_embed tests)."""
+    import numpy as np
+    import ray.data as _rd
+
+    from pdf_parser_ray.ops.curation import chunk_documents
+    from pdf_parser_ray.ops.similarity import embed_documents, knn_brute_force
+
+    chunks = chunk_documents(_documents(sf_dir), chunk_tokens=64, overlap=16)
+
+    def add_id(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        # chunk_idx < 1e5 by construction at these doc sizes
+        df["chunk_id"] = df["doc_id"] * 100_000 + df["chunk_idx"]
+        return df
+
+    with_id = chunks.map_batches(add_id, batch_format="pandas")
+    embedded = embed_documents(
+        with_id, text_col="chunk_text", id_col="chunk_id"
+    )
+
+    # query vector: doc 0 / chunk 0 embedded driver-side, same kernel
+    probe = with_id.filter(
+        lambda r: r["chunk_id"] == 0
+    ).to_pandas()
+    qrow = embed_documents(
+        _rd.from_pandas(probe), text_col="chunk_text", id_col="chunk_id"
+    ).to_pandas()
+    qv = qrow["embedding"].iloc[0]
+
+    out = knn_brute_force(
+        embedded, qv, k=10, exclude_vec_id=0, round_to=ROUND_COS
+    ).to_pandas()
+    out["cosine"] = np.round(out["cosine"].astype("float64"), ROUND_COS)
+    return out[["vec_id", "cosine"]]
+
+
+
 SQL: dict[str, str] = {
     "doc_stats": """
         -- CAST: DuckDB sum(INTEGER) -> HUGEINT -> float64 in pandas,
@@ -3237,4 +3294,6 @@ QUERIES = {
     "image_phash_groups": q_image_phash_groups,
     "time_range_sum": q_time_range_sum,
     "chunk_documents": q_chunk_documents,
+    "dedup_events_window": q_dedup_events_window,
+    "chunk_search": q_chunk_search,
 }

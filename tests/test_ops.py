@@ -1866,3 +1866,55 @@ class TestTimeRangeSum:
         assert out.loc[3, "win_sum"] == 15.0
         assert out.loc[4, "win_sum"] == 15.0
         assert out.loc[5, "win_sum"] == 100.0  # other user isolated
+
+
+class TestDedupEventsInWindow:
+    def test_kept_anchor_rate_limiter_rule(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import dedup_events_in_window
+
+        # events at t, t+40m, t+80m with a 1h window: the 40m event is
+        # suppressed and does NOT extend the window -> t+80m is kept
+        ev = pd.DataFrame({
+            "event_id": [1, 2, 3, 4],
+            "user_id": [7, 7, 7, 8],
+            "event_type": ["click"] * 4,
+            "ts": pd.to_datetime([
+                "2024-01-01 10:00", "2024-01-01 10:40",
+                "2024-01-01 11:20", "2024-01-01 10:00",
+            ]),
+        })
+        out = dedup_events_in_window(
+            ray.data.from_pandas(ev), window_s=3600
+        ).to_pandas()
+        assert sorted(out["event_id"]) == [1, 3, 4]
+
+    def test_matches_serial_reference_on_real_events(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import dedup_events_in_window
+
+        sf = "/root/testdata/sf0.001"
+        ev = pd.read_parquet(
+            f"{sf}/events.parquet",
+            columns=["event_id", "user_id", "event_type", "ts"],
+        )
+        got = (
+            dedup_events_in_window(
+                ray.data.from_pandas(ev), window_s=1800
+            ).to_pandas()["event_id"].sort_values().tolist()
+        )
+        # serial greedy reference
+        keep = []
+        for _, g in ev.sort_values(
+            ["user_id", "event_type", "ts", "event_id"]
+        ).groupby(["user_id", "event_type"]):
+            anchor = None
+            for _, row in g.iterrows():
+                if anchor is None or (
+                    (row["ts"] - anchor).total_seconds() >= 1800
+                ):
+                    keep.append(row["event_id"])
+                    anchor = row["ts"]
+        assert got == sorted(keep)
