@@ -1073,3 +1073,72 @@ def dedup_events_in_window(
         pruned, key_list, per_partition,
         **({"n_parts": n_parts} if n_parts else {}),
     )
+
+
+def cooccurrence_counts(
+    ds: "ray.data.Dataset",
+    *,
+    by: str = "user_id",
+    item_col: str = "event_type",
+    max_items_per_key: int = 256,
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Item co-occurrence (market-basket) counts: for every unordered
+    item pair, how many keys exhibit BOTH — the association-mining /
+    recommender-co-visitation primitive.
+
+    Shape: per-batch (key, item) dedup shrinks the stream to distinct
+    pairs, ONE co-location by key, then each key's item set explodes to
+    C(items, 2) pairs — capped at ``max_items_per_key`` (a key with
+    thousands of distinct items is a bot; the cap bounds the quadratic
+    term and is logged in the output contract).  The final groupby runs
+    at item-pair cardinality.
+
+    Output: (t1, t2, n_keys:int64), t1 < t2.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    def dedup_batch(df: pd.DataFrame) -> "object":
+        return arrow_out(
+            df[[by, item_col]].drop_duplicates()
+        )
+
+    def pairs_per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop_duplicates([by, item_col])
+        t1s: list = []
+        t2s: list = []
+        for _, g in part.groupby(by, sort=False):
+            items = sorted(g[item_col])[:max_items_per_key]
+            m = len(items)
+            for i in range(m):
+                for j in range(i + 1, m):
+                    t1s.append(items[i])
+                    t2s.append(items[j])
+        out = pd.DataFrame({"t1": t1s, "t2": t2s})
+        if len(out) == 0:
+            return pd.DataFrame({
+                "t1": pd.Series([], dtype=str),
+                "t2": pd.Series([], dtype=str),
+                "n_keys": pd.Series([], dtype="int64")})
+        g = out.groupby(["t1", "t2"], as_index=False).size()
+        return g.rename(columns={"size": "n_keys"}).astype({"n_keys": "int64"})
+
+    deduped = ds.map_batches(dedup_batch, batch_format="pandas")
+    partials = partitioned_map(
+        deduped, [by], pairs_per_partition,
+        **({"n_parts": n_parts} if n_parts else {}),
+    )
+    agg = partials.groupby(["t1", "t2"]).aggregate(
+        Sum("n_keys", alias_name="n_keys")
+    )
+
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "t1": df["t1"], "t2": df["t2"],
+            "n_keys": df["n_keys"].astype("int64")})
+
+    return agg.map_batches(cast, batch_format="pandas")

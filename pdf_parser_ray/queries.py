@@ -1843,6 +1843,19 @@ def q_chunk_search(sf_dir: str) -> "pd.DataFrame":
 
 
 
+def q_type_cooccurrence(sf_dir: str) -> ray.data.Dataset:
+    """Market-basket co-occurrence: for each unordered event-type pair,
+    how many users exhibit both (distinct-pair dedup -> one co-location
+    -> item-pair-cardinality groupby)."""
+    from pdf_parser_ray.ops.windows import cooccurrence_counts
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return cooccurrence_counts(ds)
+
+
+
 SQL: dict[str, str] = {
     "doc_stats": """
         -- CAST: DuckDB sum(INTEGER) -> HUGEINT -> float64 in pandas,
@@ -3167,6 +3180,17 @@ SQL["chunk_documents"] = """
 """
 
 
+
+SQL["type_cooccurrence"] = """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS t1, b.event_type AS t2,
+           CAST(count(*) AS BIGINT) AS n_keys
+    FROM ut a JOIN ut b USING (user_id)
+    WHERE a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+"""
+
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "token_stats": q_token_stats,
@@ -3296,4 +3320,5 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "dedup_events_window": q_dedup_events_window,
     "chunk_search": q_chunk_search,
+    "type_cooccurrence": q_type_cooccurrence,
 }

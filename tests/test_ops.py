@@ -1918,3 +1918,37 @@ class TestDedupEventsInWindow:
                     keep.append(row["event_id"])
                     anchor = row["ts"]
         assert got == sorted(keep)
+
+
+class TestCooccurrence:
+    def test_pairs_and_cap(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import cooccurrence_counts
+
+        ev = pd.DataFrame({
+            "user_id": [1, 1, 1, 2, 2, 3, 1],
+            "event_type": ["a", "b", "c", "a", "b", "a", "a"],  # dup (1,a)
+        })
+        out = cooccurrence_counts(
+            ray.data.from_pandas(ev), by="user_id", item_col="event_type"
+        ).to_pandas().set_index(["t1", "t2"])["n_keys"]
+        assert out.loc[("a", "b")] == 2     # users 1 and 2
+        assert out.loc[("a", "c")] == 1     # user 1
+        assert out.loc[("b", "c")] == 1
+        assert len(out) == 3                # dedup kept (1,a) single
+
+    def test_cap_bounds_quadratic_blowup(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import cooccurrence_counts
+
+        # one bot key with 50 items, cap at 5 -> at most C(5,2) pairs
+        ev = pd.DataFrame({
+            "user_id": [1] * 50,
+            "event_type": [f"i{j:02d}" for j in range(50)],
+        })
+        out = cooccurrence_counts(
+            ray.data.from_pandas(ev), max_items_per_key=5
+        ).to_pandas()
+        assert len(out) == 10
