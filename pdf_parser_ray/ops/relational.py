@@ -1901,3 +1901,56 @@ def brand_revenue_share(
     import ray.data as rd
 
     return rd.from_pandas(out.reset_index(drop=True))
+
+
+def upsert_latest(
+    base: ray.data.Dataset,
+    updates: ray.data.Dataset,
+    *,
+    key: str,
+    version_col: str,
+    n_parts: int | None = None,
+) -> ray.data.Dataset:
+    """CDC merge (upsert, latest-wins): base rows overlaid with update
+    rows; where a key appears on both sides — or several times in the
+    updates stream — the row with the highest ``version_col`` wins,
+    updates beating base on ties.  The snapshot-maintenance primitive
+    of an incrementally-ingested corpus.
+
+    Mergeable-argmax shape (the first_last_value pattern): each batch
+    collapses to ONE candidate row per key present (a local latest),
+    tagged with its side priority; the co-locating shuffle then carries
+    ≤ batches rows per key regardless of update fan-in — skew-immune —
+    and the final pass applies the same kernel across whole hash
+    partitions.  Both inputs must share a schema.
+
+    Output: one row per distinct key, original columns.
+    """
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    def tag(src: int):
+        def fn(df: pd.DataFrame) -> "object":
+            df = df.assign(__src=np.int64(src))
+            return arrow_out(local_latest(df))
+
+        return fn
+
+    def local_latest(df: pd.DataFrame) -> pd.DataFrame:
+        # highest (version, __src) per key; stable + deterministic
+        return (
+            df.sort_values([key, version_col, "__src"], kind="mergesort")
+            .groupby(key, as_index=False, sort=False)
+            .tail(1)
+        )
+
+    tagged = base.map_batches(tag(0), batch_format="pandas").union(
+        updates.map_batches(tag(1), batch_format="pandas")
+    )
+
+    def finish(part: pd.DataFrame) -> pd.DataFrame:
+        return local_latest(part).drop(columns="__src")
+
+    return partitioned_map(
+        tagged, [key], finish,
+        **({"n_parts": n_parts} if n_parts else {}),
+    )

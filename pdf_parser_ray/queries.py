@@ -1856,6 +1856,35 @@ def q_type_cooccurrence(sf_dir: str) -> ray.data.Dataset:
 
 
 
+def q_upsert_docs(sf_dir: str) -> ray.data.Dataset:
+    """CDC merge: a derived update stream (every 7th doc repatched at
+    version 1) overlaid on the base snapshot, latest version wins."""
+    from pdf_parser_ray.ops.relational import upsert_latest
+
+    def base_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "source": df["source"],
+            "version": pd.Series(0, index=df.index, dtype="int64"),
+        })
+
+    def update_rows(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df["doc_id"] % 7 == 0]
+        return pd.DataFrame({
+            "doc_id": m["doc_id"].astype("int64"),
+            "source": pd.Series("patched", index=m.index, dtype=str),
+            "version": pd.Series(1, index=m.index, dtype="int64"),
+        })
+
+    docs = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    base = docs.map_batches(base_rows, batch_format="pandas")
+    updates = docs.map_batches(update_rows, batch_format="pandas")
+    return upsert_latest(base, updates, key="doc_id", version_col="version")
+
+
+
 SQL: dict[str, str] = {
     "doc_stats": """
         -- CAST: DuckDB sum(INTEGER) -> HUGEINT -> float64 in pandas,
@@ -3191,6 +3220,23 @@ SQL["type_cooccurrence"] = """
 """
 
 
+
+SQL["upsert_docs"] = """
+    WITH base AS (
+      SELECT doc_id, source, CAST(0 AS BIGINT) AS version FROM documents),
+    upd AS (
+      SELECT doc_id, 'patched' AS source, CAST(1 AS BIGINT) AS version
+      FROM documents WHERE doc_id % 7 = 0),
+    u AS (
+      SELECT *, 0 AS src FROM base
+      UNION ALL
+      SELECT *, 1 AS src FROM upd)
+    SELECT doc_id, source, version FROM u
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY version DESC, src DESC) = 1
+"""
+
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "token_stats": q_token_stats,
@@ -3321,4 +3367,5 @@ QUERIES = {
     "dedup_events_window": q_dedup_events_window,
     "chunk_search": q_chunk_search,
     "type_cooccurrence": q_type_cooccurrence,
+    "upsert_docs": q_upsert_docs,
 }

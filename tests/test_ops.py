@@ -1952,3 +1952,35 @@ class TestCooccurrence:
             ray.data.from_pandas(ev), max_items_per_key=5
         ).to_pandas()
         assert len(out) == 10
+
+
+class TestUpsertLatest:
+    def test_latest_wins_updates_beat_base_on_tie(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.relational import upsert_latest
+
+        base = pd.DataFrame({
+            "k": pd.Series([1, 2, 3], dtype="int64"),
+            "v": ["b1", "b2", "b3"],
+            "ver": pd.Series([5, 5, 5], dtype="int64"),
+        })
+        upd = pd.DataFrame({
+            "k": pd.Series([2, 2, 3, 4], dtype="int64"),
+            "v": ["u2a", "u2b", "u3", "u4"],
+            # k=2: two updates, highest version wins; k=3: TIE with base
+            # -> update wins; k=4: insert
+            "ver": pd.Series([6, 7, 5, 1], dtype="int64"),
+        })
+        out = (
+            upsert_latest(
+                ray.data.from_pandas(base), ray.data.from_pandas(upd),
+                key="k", version_col="ver",
+            )
+            .to_pandas().set_index("k").sort_index()
+        )
+        assert out.loc[1, "v"] == "b1"      # untouched base row
+        assert out.loc[2, "v"] == "u2b"     # max version among updates
+        assert out.loc[3, "v"] == "u3"      # tie -> update side wins
+        assert out.loc[4, "v"] == "u4"      # pure insert
+        assert len(out) == 4
