@@ -1142,3 +1142,60 @@ def cooccurrence_counts(
             "n_keys": df["n_keys"].astype("int64")})
 
     return agg.map_batches(cast, batch_format="pandas")
+
+
+def retention_cohorts(
+    ds: "ray.data.Dataset",
+    *,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Retention-triangle counts: users grouped by FIRST-active day
+    (their cohort), counted per day-offset they return — the
+    product-analytics cohort table.
+
+    One co-location by user does everything: per partition, each user's
+    first day and distinct activity days reduce to (cohort_day,
+    day_offset) partial counts — the emitted stream is bounded by
+    distinct (user, day) pairs, and the final groupby runs at
+    triangle cardinality (days × offsets), tiny.
+
+    Output: (cohort_day:timestamp[us], day_offset:int64, n_users:int64).
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        days = part[ts_col].dt.floor("D")
+        ud = pd.DataFrame({by: part[by].to_numpy(), "day": days.to_numpy()})
+        ud = ud.drop_duplicates()
+        first = ud.groupby(by, sort=False)["day"].transform("min")
+        offs = ((ud["day"] - first).dt.days).astype("int64")
+        g = (
+            pd.DataFrame({"cohort_day": first.to_numpy(),
+                          "day_offset": offs.to_numpy()})
+            .groupby(["cohort_day", "day_offset"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_users"})
+        )
+        return arrow_out(g.astype({"day_offset": "int64", "n_users": "int64"}))
+
+    partials = partitioned_map(
+        ds.select_columns([by, ts_col]), [by], per_partition,
+        **({"n_parts": n_parts} if n_parts else {}),
+    )
+    agg = partials.groupby(["cohort_day", "day_offset"]).aggregate(
+        Sum("n_users", alias_name="n_users")
+    )
+
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "cohort_day": df["cohort_day"],
+            "day_offset": df["day_offset"].astype("int64"),
+            "n_users": df["n_users"].astype("int64")})
+
+    return agg.map_batches(cast, batch_format="pandas")

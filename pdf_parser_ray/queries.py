@@ -1885,6 +1885,18 @@ def q_upsert_docs(sf_dir: str) -> ray.data.Dataset:
 
 
 
+def q_retention_cohorts(sf_dir: str) -> ray.data.Dataset:
+    """Retention triangle: first-active-day cohorts x day offsets (one
+    user co-location; stream bounded by distinct (user, day) pairs)."""
+    from pdf_parser_ray.ops.windows import retention_cohorts
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return retention_cohorts(ds)
+
+
+
 SQL: dict[str, str] = {
     "doc_stats": """
         -- CAST: DuckDB sum(INTEGER) -> HUGEINT -> float64 in pandas,
@@ -3237,6 +3249,21 @@ SQL["upsert_docs"] = """
 """
 
 
+
+SQL["retention_cohorts"] = """
+    WITH ud AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+    f AS (
+      SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id)
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, ud.day) AS BIGINT)
+             AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM ud JOIN f USING (user_id)
+    GROUP BY f.cohort_day, day_offset
+"""
+
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "token_stats": q_token_stats,
@@ -3368,4 +3395,5 @@ QUERIES = {
     "chunk_search": q_chunk_search,
     "type_cooccurrence": q_type_cooccurrence,
     "upsert_docs": q_upsert_docs,
+    "retention_cohorts": q_retention_cohorts,
 }

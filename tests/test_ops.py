@@ -1984,3 +1984,32 @@ class TestUpsertLatest:
         assert out.loc[3, "v"] == "u3"      # tie -> update side wins
         assert out.loc[4, "v"] == "u4"      # pure insert
         assert len(out) == 4
+
+
+class TestRetentionCohorts:
+    def test_triangle_counts(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import retention_cohorts
+
+        ev = pd.DataFrame({
+            "user_id": [1, 1, 1, 2, 2, 3],
+            "ts": pd.to_datetime([
+                "2024-01-01 09:00", "2024-01-01 18:00",  # same day -> one
+                "2024-01-03 08:00",
+                "2024-01-02 10:00", "2024-01-03 10:00",
+                "2024-01-01 23:00",
+            ]),
+        })
+        out = (
+            retention_cohorts(ray.data.from_pandas(ev))
+            .to_pandas()
+            .set_index(["cohort_day", "day_offset"])["n_users"]
+        )
+        d1 = pd.Timestamp("2024-01-01")
+        d2 = pd.Timestamp("2024-01-02")
+        assert out.loc[(d1, 0)] == 2   # users 1 and 3 started Jan 1
+        assert out.loc[(d1, 2)] == 1   # user 1 returned on day +2
+        assert out.loc[(d2, 0)] == 1   # user 2's cohort
+        assert out.loc[(d2, 1)] == 1
+        assert out.sum() == 5          # distinct (user, day) pairs
