@@ -392,3 +392,72 @@ def grouped_top_k_frequent(
         .groupby(group_col)
         .map_groups(merge_group, batch_format="pandas")
     )
+
+
+def approx_quantiles(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: list[float],
+    *,
+    k: int = 4096,
+    id_col: str | None = None,
+) -> pd.DataFrame:
+    """Approximate quantiles from a KMV (bottom-k-by-hash) uniform
+    sample — the mergeable-sketch quantile tier next to the EXACT
+    3-pass `ops.quantiles` machinery (use that when the driver needs a
+    hash-checkable answer; use this when one streaming pass must serve
+    many quantiles cheaply).
+
+    The k rows with the smallest siphash of their identity form a
+    uniform-without-replacement sample whose merge is just "keep the
+    global bottom k" — order-, partition- and rerun-invariant, no RNG.
+    Per batch: one vectorized hash + ``np.argpartition``; globally: a
+    tiny sort-limit over ≤ k·batches candidate rows.  Error ~ O(1/√k)
+    on quantile rank (standard bottom-k sampling bound).
+
+    ``id_col=None`` hashes the VALUE's string form — fine when values
+    are near-unique; pass a real id column when heavy value duplication
+    would bias the sample toward distinct values.
+
+    Output: one-row pandas DataFrame, a column per requested quantile
+    (named q50, q90, ... by percentile).
+    """
+
+    def bottom_k(df: pd.DataFrame) -> pd.DataFrame:
+        vals = df[col].dropna()
+        basis = (
+            df.loc[vals.index, id_col] if id_col is not None else vals
+        )
+        h = pd.util.hash_array(
+            np.asarray([str(v) for v in basis], dtype=object)
+        ).astype(np.uint64)
+        if len(h) > k:
+            idx = np.argpartition(h, k)[:k]
+        else:
+            idx = np.arange(len(h))
+        return pd.DataFrame(
+            {
+                "h": h[idx].astype("uint64"),
+                "v": vals.to_numpy(dtype=np.float64)[idx],
+            }
+        )
+
+    import ray.data as _rd
+
+    sample = (
+        ds.map_batches(bottom_k, batch_format="pandas")
+        .sort("h")
+        .limit(k)
+        .to_pandas()  # ≤ k rows by construction
+    )
+    v = np.sort(sample["v"].to_numpy())
+    out = {}
+    for q in qs:
+        name = f"q{int(round(q * 100))}"
+        if len(v) == 0:
+            out[name] = [float("nan")]
+        else:
+            # nearest-rank on the uniform sample
+            r = min(len(v) - 1, max(0, int(np.ceil(q * len(v))) - 1))
+            out[name] = [float(v[r])]
+    return pd.DataFrame(out)

@@ -1897,6 +1897,21 @@ def q_retention_cohorts(sf_dir: str) -> ray.data.Dataset:
 
 
 
+def q_approx_quantiles(sf_dir: str):
+    """KMV bottom-k quantile sketch over events.value (approximate by
+    design -> rows-only; accuracy vs exact pinned in pytest, exact twin
+    oracled as q:event_quantiles)."""
+    from pdf_parser_ray.ops.sketches import approx_quantiles
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+    return approx_quantiles(
+        ds, "value", [0.5, 0.9, 0.99], k=4096, id_col="event_id"
+    )
+
+
+
 SQL: dict[str, str] = {
     "doc_stats": """
         -- CAST: DuckDB sum(INTEGER) -> HUGEINT -> float64 in pandas,
@@ -3396,4 +3411,5 @@ QUERIES = {
     "type_cooccurrence": q_type_cooccurrence,
     "upsert_docs": q_upsert_docs,
     "retention_cohorts": q_retention_cohorts,
+    "approx_quantiles": q_approx_quantiles,
 }

@@ -522,3 +522,52 @@ class TestGroupedTopK:
         ).to_pandas()
         assert out["value"].iloc[0] == "hot"
         assert out["n"].iloc[0] >= 200 - len(vals) // 9
+
+
+class TestApproxQuantiles:
+    def test_accuracy_vs_exact_on_real_values(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from pdf_parser_ray.io_utils import read_parquet_clean
+        from pdf_parser_ray.ops.sketches import approx_quantiles
+
+        sf = "/root/testdata/sf0.01"
+        ds = read_parquet_clean(
+            f"{sf}/events.parquet", columns=["event_id", "value"]
+        )
+        got = approx_quantiles(
+            ds, "value", [0.5, 0.9], k=4096, id_col="event_id"
+        )
+        vals = pd.read_parquet(f"{sf}/events.parquet", columns=["value"])[
+            "value"
+        ].to_numpy()
+        for q, name in [(0.5, "q50"), (0.9, "q90")]:
+            exact = np.quantile(vals, q)
+            est = got[name].iloc[0]
+            # rank error O(1/sqrt(k)); translate via a generous value band
+            lo, hi = np.quantile(vals, max(0, q - 0.05)), np.quantile(
+                vals, min(1, q + 0.05)
+            )
+            assert lo <= est <= hi, (name, est, exact)
+
+    def test_rerun_stable_and_merge_invariant(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from pdf_parser_ray.ops.sketches import approx_quantiles
+
+        df = pd.DataFrame({
+            "event_id": range(5000),
+            "value": [float((i * 37) % 1000) for i in range(5000)],
+        })
+        one = approx_quantiles(
+            ray.data.from_pandas(df), "value", [0.5], k=512, id_col="event_id"
+        )
+        # different partitioning, same sample (hash-determined)
+        two = approx_quantiles(
+            ray.data.from_pandas(df).repartition(7), "value", [0.5],
+            k=512, id_col="event_id",
+        )
+        assert one["q50"].iloc[0] == two["q50"].iloc[0]
