@@ -62,6 +62,16 @@ BENCH_QUERIES = [
     "source_mix",
     "pmi_bigrams",
     "pq_knn",
+    # round-2 extended batch
+    "duplicate_windows",
+    "fuzzy_names",
+    "funnel",
+    "time_weighted_avg",
+    "time_range_sum",
+    "retention_cohorts",
+    "type_cooccurrence",
+    "upsert_docs",
+    "chunk_documents",
 ]
 
 
