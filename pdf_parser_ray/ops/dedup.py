@@ -1169,3 +1169,143 @@ def fuzzy_string_pairs(
             "a": df["a"], "b": df["b"], "dist": df["dist"].astype("int64")})
 
     return deduped.map_batches(cast, batch_format="pandas")
+
+
+def pagerank(
+    edges: ray.data.Dataset,
+    *,
+    src: str = "a",
+    dst: str = "b",
+    damping: float = 0.85,
+    n_iters: int = 10,
+    directed: bool = False,
+    n_parts: int | None = None,
+) -> ray.data.Dataset:
+    """PageRank over an edge set — the canonical iterative-dataflow
+    algorithm (rank mass flows along edges each round), e.g. for
+    centrality inside near-dup clusters or a link graph.
+
+    Dataflow per iteration: ONE groupby shuffle.  The edge list is
+    normalized once (degree attached, MATERIALIZED — ranks and edges
+    are re-consumed every round, recomputing the lineage would rescan
+    the input per iteration); each round joins current ranks to edges
+    by co-location (``grouped_map`` over src), emits rank/degree
+    contributions, and a grouped sum + damping produces the next rank
+    vector.  Undirected graphs mirror edges up front.  Ranks use the
+    uniform 1/N initialization and the standard (1-d)/N teleport; with
+    no dangling-node correction — every node here has degree ≥ 1 by
+    construction of an edge list.
+
+    Scale note: the rank vector itself rides the driver ↔ broadcast
+    path (node cardinality of the EDGE set — cluster-sized graphs, not
+    the whole corpus).  A full-web PageRank would keep ranks
+    distributed and join them to edges each round instead; the
+    per-iteration dataflow (contribute → grouped sum) is identical.
+
+    Output: (node:int64, rank:float64 rounded 6), sums to ~1.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    def mirror(df: pd.DataFrame) -> "object":
+        out = pd.DataFrame(
+            {"s": df[src].astype("int64"), "d": df[dst].astype("int64")}
+        )
+        if directed:
+            return arrow_out(out)
+        rev = pd.DataFrame({"s": out["d"], "d": out["s"]})
+        return arrow_out(pd.concat([out, rev], ignore_index=True))
+
+    e = edges.select_columns([src, dst]).map_batches(
+        mirror, batch_format="pandas"
+    )
+
+    # degree per source, attached once; the annotated edge list is the
+    # loop invariant → materialize (edge-cardinality, not corpus)
+    def deg_partial(df: pd.DataFrame) -> "object":
+        g = df.groupby("s", as_index=False).size()
+        return arrow_out(g.rename(columns={"size": "deg"}))
+
+    deg = (
+        e.map_batches(deg_partial, batch_format="pandas")
+        .groupby("s")
+        .aggregate(Sum("deg", alias_name="deg"))
+    )
+
+    def to_union_edges(df: pd.DataFrame) -> "object":
+        return arrow_out(pd.DataFrame({
+            "s": df["s"].astype("int64"),
+            "d": df["d"].astype("float64"),
+            "deg": pd.Series(np.nan, index=df.index, dtype="float64"),
+        }))
+
+    def to_union_deg(df: pd.DataFrame) -> "object":
+        return arrow_out(pd.DataFrame({
+            "s": df["s"].astype("int64"),
+            "d": pd.Series(np.nan, index=df.index, dtype="float64"),
+            "deg": df["deg"].astype("float64"),
+        }))
+
+    def attach(part: pd.DataFrame) -> pd.DataFrame:
+        dd = part.loc[part["deg"].notna(), ["s", "deg"]]
+        ed = part.loc[part["deg"].isna(), ["s", "d"]]
+        out = ed.merge(dd, on="s")
+        return pd.DataFrame({
+            "s": out["s"].astype("int64"),
+            "d": out["d"].astype("int64"),
+            "deg": out["deg"].astype("int64"),
+        })
+
+    annotated = partitioned_map(
+        e.map_batches(to_union_edges, batch_format="pandas").union(
+            deg.map_batches(to_union_deg, batch_format="pandas")
+        ),
+        ["s"],
+        attach,
+        **({"n_parts": n_parts} if n_parts else {}),
+    ).materialize()
+
+    nodes = annotated.unique("s")
+    n = len(nodes)
+    if n == 0:
+        return ray.data.from_pandas(pd.DataFrame({
+            "node": pd.Series([], dtype="int64"),
+            "rank": pd.Series([], dtype="float64")}))
+    rank = {int(v): 1.0 / n for v in nodes}
+    teleport = (1.0 - damping) / n
+
+    for _ in range(n_iters):
+        rank_ref = ray.put(rank)
+
+        def contribute(df: pd.DataFrame) -> "object":
+            from pdf_parser_ray.stages import worker_state
+
+            r: dict = worker_state(
+                ("pr_ranks", rank_ref.hex()), lambda: ray.get(rank_ref)
+            )
+            contrib = (
+                df["s"].map(r).to_numpy(dtype=np.float64)
+                / df["deg"].to_numpy(dtype=np.float64)
+            )
+            g = pd.DataFrame({"node": df["d"].to_numpy(), "m": contrib})
+            return arrow_out(g.groupby("node", as_index=False)["m"].sum())
+
+        sums = (
+            annotated.map_batches(contribute, batch_format="pandas")
+            .groupby("node")
+            .aggregate(Sum("m", alias_name="m"))
+            .to_pandas()  # node-cardinality of the EDGE SET — bounded
+        )
+        rank = {
+            int(k): teleport + damping * float(v)
+            for k, v in zip(sums["node"], sums["m"])
+        }
+
+    out = pd.DataFrame({
+        "node": pd.Series(sorted(rank), dtype="int64"),
+    })
+    out["rank"] = out["node"].map(rank).round(6)
+    return ray.data.from_pandas(out)

@@ -1912,6 +1912,17 @@ def q_approx_quantiles(sf_dir: str):
 
 
 
+def q_dup_pagerank(sf_dir: str) -> ray.data.Dataset:
+    """Centrality inside the near-dup graph: PageRank over the MinHash
+    candidate pairs (iterative dataflow; numpy-reference parity in
+    pytest, banding itself not SQL-expressible -> rows-only)."""
+    from pdf_parser_ray.ops.dedup import minhash_lsh_pairs, pagerank
+
+    pairs = minhash_lsh_pairs(_documents(sf_dir), threshold=0.5)
+    return pagerank(pairs, n_iters=10)
+
+
+
 SQL: dict[str, str] = {
     "doc_stats": """
         -- CAST: DuckDB sum(INTEGER) -> HUGEINT -> float64 in pandas,
@@ -3412,4 +3423,5 @@ QUERIES = {
     "upsert_docs": q_upsert_docs,
     "retention_cohorts": q_retention_cohorts,
     "approx_quantiles": q_approx_quantiles,
+    "dup_pagerank": q_dup_pagerank,
 }

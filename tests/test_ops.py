@@ -2013,3 +2013,40 @@ class TestRetentionCohorts:
         assert out.loc[(d2, 0)] == 1   # user 2's cohort
         assert out.loc[(d2, 1)] == 1
         assert out.sum() == 5          # distinct (user, day) pairs
+
+
+class TestPagerank:
+    def test_matches_numpy_reference(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import pagerank
+
+        # small undirected graph: star (0-1,0-2,0-3) plus edge 2-3
+        edges = pd.DataFrame({"a": [0, 0, 0, 2], "b": [1, 2, 3, 3]})
+        got = (
+            pagerank(ray.data.from_pandas(edges), n_iters=20)
+            .to_pandas().set_index("node")["rank"]
+        )
+        # dense reference
+        nodes = [0, 1, 2, 3]
+        adj = np.zeros((4, 4))
+        for a, b in [(0, 1), (0, 2), (0, 3), (2, 3)]:
+            adj[a, b] = adj[b, a] = 1
+        deg = adj.sum(axis=1)
+        r = np.full(4, 0.25)
+        for _ in range(20):
+            r = 0.15 / 4 + 0.85 * (adj.T @ (r / deg))
+        for i in nodes:
+            assert abs(got.loc[i] - r[i]) < 1e-5, (i, got.loc[i], r[i])
+        # hub outranks leaves; leaf 1 (degree 1) is the smallest
+        assert got.loc[0] == got.max() and got.loc[1] == got.min()
+
+    def test_rank_mass_conserved(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import pagerank
+
+        edges = pd.DataFrame({"a": [1, 2, 3, 4], "b": [2, 3, 4, 1]})
+        got = pagerank(ray.data.from_pandas(edges), n_iters=5).to_pandas()
+        assert abs(got["rank"].sum() - 1.0) < 1e-6
