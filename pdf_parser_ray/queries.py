@@ -1923,6 +1923,26 @@ def q_dup_pagerank(sf_dir: str) -> ray.data.Dataset:
 
 
 
+def q_orders_semi_bloom(sf_dir: str) -> ray.data.Dataset:
+    """The 10^9-key semi-join shape: Bloom prefilter (bits broadcast,
+    false positives pass) followed by the exact confirm — same rows as
+    q:orders_semi, proving the two-stage path end to end."""
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.ops.relational import bloom_prefilter, broadcast_semi_join
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    keys = cust[cust["c_mktsegment"] == "BUILDING"]["c_custkey"]
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    shrunk = bloom_prefilter(orders, keys, "o_custkey", fp_rate=0.01)
+    return broadcast_semi_join(shrunk, keys, "o_custkey")
+
+
+
 SQL: dict[str, str] = {
     "doc_stats": """
         -- CAST: DuckDB sum(INTEGER) -> HUGEINT -> float64 in pandas,
@@ -3290,6 +3310,15 @@ SQL["retention_cohorts"] = """
 """
 
 
+
+SQL["orders_semi_bloom"] = """
+    SELECT o.o_orderkey, o.o_custkey FROM orders o
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey
+                    AND c.c_mktsegment = 'BUILDING')
+"""
+
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "token_stats": q_token_stats,
@@ -3424,4 +3453,5 @@ QUERIES = {
     "retention_cohorts": q_retention_cohorts,
     "approx_quantiles": q_approx_quantiles,
     "dup_pagerank": q_dup_pagerank,
+    "orders_semi_bloom": q_orders_semi_bloom,
 }
