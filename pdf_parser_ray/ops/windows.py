@@ -1199,3 +1199,53 @@ def retention_cohorts(
             "n_users": df["n_users"].astype("int64")})
 
     return agg.map_batches(cast, batch_format="pandas")
+
+
+def assign_sessions(
+    ds: "ray.data.Dataset",
+    gap_seconds: int = 1800,
+    *,
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-event session labels — the row-level twin of
+    :func:`sessionize`: each event gets its user's running session
+    ordinal (1-based; a new session starts after ``gap_seconds`` of
+    inactivity).  The label every downstream session-scoped aggregate
+    joins on.
+
+    Same bounded-partition co-location; the label is one vectorized
+    gap-flag cumsum across the whole partition (exact integer counts —
+    no float contract at all).
+
+    Output: (event_id, user_id, session_id:int64).
+    """
+
+    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["user_id", "ts", "event_id"])
+        new_sess = (
+            ~part["user_id"].eq(part["user_id"].shift())
+        ) | (part["ts"].diff().dt.total_seconds() > gap_seconds)
+        # per-user running count of session starts = session ordinal;
+        # cumsum resets implicitly because new_sess is True at every
+        # user boundary and groupby-cumsum scopes the sum per user
+        sid = (
+            part.assign(__ns=new_sess.astype("int64"))
+            .groupby("user_id", sort=False)["__ns"]
+            .cumsum()
+        )
+        return pd.DataFrame(
+            {
+                "event_id": part["event_id"].to_numpy(),
+                "user_id": part["user_id"].to_numpy(),
+                "session_id": sid.to_numpy(dtype="int64"),
+            }
+        )
+
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    return partitioned_map(
+        ds.select_columns(["event_id", "user_id", "ts"]),
+        ["user_id"],
+        per_partition,
+        **({"n_parts": n_parts} if n_parts else {}),
+    )

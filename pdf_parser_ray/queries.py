@@ -1943,6 +1943,18 @@ def q_orders_semi_bloom(sf_dir: str) -> ray.data.Dataset:
 
 
 
+def q_assign_sessions(sf_dir: str) -> ray.data.Dataset:
+    """Per-event session ordinals (row-level sessionize twin; exact
+    integer gap-flag cumsum, no float contract)."""
+    from pdf_parser_ray.ops.windows import assign_sessions
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return assign_sessions(ds, gap_seconds=1800)
+
+
+
 SQL: dict[str, str] = {
     "doc_stats": """
         -- CAST: DuckDB sum(INTEGER) -> HUGEINT -> float64 in pandas,
@@ -3319,6 +3331,22 @@ SQL["orders_semi_bloom"] = """
 """
 
 
+
+SQL["assign_sessions"] = """
+    -- same 1800 s gap rule as the sessionize oracle, emitted per row
+    SELECT event_id, user_id,
+           CAST(sum(CASE WHEN prev_ts IS NULL
+                              OR epoch(ts - prev_ts) > 1800
+                         THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM (SELECT event_id, user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_ts
+          FROM events)
+"""
+
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "token_stats": q_token_stats,
@@ -3454,4 +3482,5 @@ QUERIES = {
     "approx_quantiles": q_approx_quantiles,
     "dup_pagerank": q_dup_pagerank,
     "orders_semi_bloom": q_orders_semi_bloom,
+    "assign_sessions": q_assign_sessions,
 }

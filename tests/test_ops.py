@@ -2050,3 +2050,23 @@ class TestPagerank:
         edges = pd.DataFrame({"a": [1, 2, 3, 4], "b": [2, 3, 4, 1]})
         got = pagerank(ray.data.from_pandas(edges), n_iters=5).to_pandas()
         assert abs(got["rank"].sum() - 1.0) < 1e-6
+
+
+class TestAssignSessions:
+    def test_labels_consistent_with_sessionize(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.io_utils import read_parquet_clean
+        from pdf_parser_ray.ops.windows import assign_sessions, sessionize
+
+        sf = "/root/testdata/sf0.001"
+        ds = read_parquet_clean(
+            f"{sf}/events.parquet", columns=["event_id", "user_id", "ts"]
+        )
+        labels = assign_sessions(ds, gap_seconds=1800).to_pandas()
+        counts = sessionize(ds, gap_seconds=1800).to_pandas()
+        got = labels.groupby("user_id")["session_id"].max().sort_index()
+        want = counts.set_index("user_id")["n_sessions"].sort_index()
+        assert got.index.tolist() == want.index.tolist()
+        assert (got.to_numpy() == want.to_numpy()).all()
+        assert labels["session_id"].min() == 1
