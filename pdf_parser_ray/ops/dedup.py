@@ -1309,3 +1309,117 @@ def pagerank(
     })
     out["rank"] = out["node"].map(rank).round(6)
     return ray.data.from_pandas(out)
+
+
+def canonicalize_strings(
+    ds: ray.data.Dataset,
+    col: str,
+    *,
+    max_dist: int = 1,
+    n_parts: int | None = None,
+) -> ray.data.Dataset:
+    """Entity resolution end to end: cluster DISTINCT ``col`` values
+    within Levenshtein ``max_dist`` (:func:`fuzzy_string_pairs` →
+    :func:`connected_components`) and map every value to its cluster's
+    canonical form — the lexicographically smallest member, so the
+    choice is engine- and partitioning-independent.
+
+    Node ids are fixed-key siphash int64s of the strings (collision
+    odds ~2^-64 per pair at vocabulary scale; a collision could only
+    merge two clusters, never corrupt values).  Every stage is bounded
+    by distinct-value cardinality.  Values in no fuzzy pair map to
+    themselves.
+
+    Output: (value, canonical), one row per distinct value.
+    """
+    from ray.data.aggregate import Count, Min
+
+    def h64(s: pd.Series) -> np.ndarray:
+        return (
+            pd.util.hash_array(s.to_numpy(dtype=object))
+            .astype(np.uint64)
+            .view(np.int64)
+        )
+
+    distinct = (
+        ds.select_columns([col]).groupby(col).aggregate(Count(alias_name="_n"))
+    )
+
+    pairs = fuzzy_string_pairs(ds, col, max_dist=max_dist, n_parts=n_parts)
+
+    def pair_ids(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"a": h64(df["a"]), "b": h64(df["b"])})
+
+    comp = connected_components(
+        pairs.map_batches(pair_ids, batch_format="pandas"),
+        **({"n_parts": n_parts} if n_parts else {}),
+    )
+
+    # (node → component) ⋈ (node → value): co-locate by node id, then
+    # the canonical per component is a grouped min over member values
+    def val_rows(df: pd.DataFrame) -> "object":
+        return arrow_out(pd.DataFrame({
+            "node": h64(df[col]),
+            "value": df[col],
+            "component": pd.Series(np.nan, index=df.index, dtype="float64"),
+        }))
+
+    def comp_rows(df: pd.DataFrame) -> "object":
+        return arrow_out(pd.DataFrame({
+            "node": df["node"].astype("int64"),
+            "value": pd.Series(None, index=df.index, dtype=object),
+            "component": df["component"].astype("float64"),
+        }))
+
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    def attach(part: pd.DataFrame) -> pd.DataFrame:
+        vals = part[part["value"].notna()][["node", "value"]]
+        comps = part[part["component"].notna()][["node", "component"]]
+        out = vals.merge(comps, on="node", how="left")
+        # unpaired values: singleton component = own node
+        cid = out["component"].fillna(out["node"]).astype("int64")
+        return pd.DataFrame({
+            "value": out["value"], "component": cid})
+
+    labeled = partitioned_map(
+        distinct.map_batches(val_rows, batch_format="pandas").union(
+            comp.map_batches(comp_rows, batch_format="pandas")
+        ),
+        ["node"],
+        attach,
+        **({"n_parts": n_parts} if n_parts else {}),
+    ).materialize()  # two consumers below; distinct-value cardinality
+
+    canon = labeled.groupby("component").aggregate(
+        Min("value", alias_name="canonical")
+    )
+
+    def comp_to_union(df: pd.DataFrame) -> "object":
+        return arrow_out(pd.DataFrame({
+            "component": df["component"].astype("int64"),
+            "value": pd.Series(None, index=df.index, dtype=object),
+            "canonical": df["canonical"],
+        }))
+
+    def val_to_union(df: pd.DataFrame) -> "object":
+        return arrow_out(pd.DataFrame({
+            "component": df["component"].astype("int64"),
+            "value": df["value"],
+            "canonical": pd.Series(None, index=df.index, dtype=object),
+        }))
+
+    def resolve(part: pd.DataFrame) -> pd.DataFrame:
+        vals = part[part["value"].notna()][["component", "value"]]
+        cans = part[part["canonical"].notna()][["component", "canonical"]]
+        out = vals.merge(cans, on="component")
+        return pd.DataFrame({"value": out["value"], "canonical": out["canonical"]})
+
+    return partitioned_map(
+        canon.map_batches(comp_to_union, batch_format="pandas").union(
+            labeled.map_batches(val_to_union, batch_format="pandas")
+        ),
+        ["component"],
+        resolve,
+        **({"n_parts": n_parts} if n_parts else {}),
+    )

@@ -1955,6 +1955,17 @@ def q_assign_sessions(sf_dir: str) -> ray.data.Dataset:
 
 
 
+def q_canonical_names(sf_dir: str) -> ray.data.Dataset:
+    """Entity resolution: every distinct part name mapped to its fuzzy
+    cluster's lexicographic-min canonical form (pairs -> components ->
+    grouped-min; iterative CC -> rows-only, members pinned in pytest)."""
+    from pdf_parser_ray.ops.dedup import canonicalize_strings
+
+    ds = _read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+    return canonicalize_strings(ds, "p_name", max_dist=1).sort("value")
+
+
+
 SQL: dict[str, str] = {
     "doc_stats": """
         -- CAST: DuckDB sum(INTEGER) -> HUGEINT -> float64 in pandas,
@@ -3483,4 +3494,5 @@ QUERIES = {
     "dup_pagerank": q_dup_pagerank,
     "orders_semi_bloom": q_orders_semi_bloom,
     "assign_sessions": q_assign_sessions,
+    "canonical_names": q_canonical_names,
 }

@@ -2070,3 +2070,27 @@ class TestAssignSessions:
         assert got.index.tolist() == want.index.tolist()
         assert (got.to_numpy() == want.to_numpy()).all()
         assert labels["session_id"].min() == 1
+
+
+class TestCanonicalizeStrings:
+    def test_clusters_map_to_lexicographic_min(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import canonicalize_strings
+
+        vals = ["cold ring", "old ring", "bold ring",
+                "hot gear", "hot bear", "standalone value",
+                "cold ring"]  # duplicate row collapses
+        ds = ray.data.from_pandas(pd.DataFrame({"name": vals}))
+        out = (
+            canonicalize_strings(ds, "name", max_dist=1)
+            .to_pandas().set_index("value")["canonical"]
+        )
+        # {cold,old,bold,gold? no gold} ring all within lev<=1 of each
+        # other through 'old ring' -> one component, min = 'bold ring'
+        assert out.loc["cold ring"] == "bold ring"
+        assert out.loc["old ring"] == "bold ring"
+        assert out.loc["bold ring"] == "bold ring"
+        assert out.loc["hot gear"] == "hot bear"   # lev 2? b<->g = 1 sub
+        assert out.loc["standalone value"] == "standalone value"
+        assert len(out) == 6  # one row per distinct value
