@@ -860,3 +860,117 @@ def pmi_bigrams(
         .sort(["pmi_ratio", "w1", "w2"], descending=[True, False, False])
         .limit(k)
     )
+
+
+def distinctive_terms(
+    ds,
+    group_col: str = "source",
+    *,
+    k: int = 5,
+    round_to: int = 6,
+    text_col: str = "text",
+):
+    """Distinctive vocabulary per group — for each group, the terms
+    most over-represented relative to the REST of the corpus (the
+    Monroe et al. "fightin' words" analysis, smoothed-ratio form).
+
+    score = (c_gt / n_g) / ((c_t − c_gt + 1) / (N − n_g + 1)) — in-group
+    rate over smoothed out-of-group rate.  Ratio ordering ==
+    log-odds ordering, so no transcendental crosses engines (the PMI
+    rule); every operand is an exact int64 count and the SQL twin
+    computes the identical expression tree, rounded before the
+    (score DESC, token ASC) top-k tie-break.
+
+    Shape: ONE (group, token)-keyed shuffle of per-batch partial
+    counts; token totals derive from that aggregate (a second,
+    vocabulary-sized groupby — never a rescan); group totals are
+    group-cardinality and broadcast in the score closure.  The final
+    top-k prunes per batch before a bounded per-group pass
+    (top_events_per_type pattern).
+
+    Output: (group_col, token, score:float64), ≤ k rows per group.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.ops.relational import hash_join
+
+    def partial(df: pd.DataFrame):
+        toks = df[text_col].fillna("").str.lower().str.findall(TOKEN_PAT)
+        long = pd.DataFrame(
+            {group_col: df[group_col], "token": toks}
+        ).explode("token").dropna(subset=["token"])
+        if long.empty:
+            return arrow_out(pd.DataFrame({
+                group_col: pd.Series([], dtype=str),
+                "token": pd.Series([], dtype=str),
+                "c": pd.Series([], dtype="int64")}))
+        g = long.groupby([group_col, "token"], as_index=False).size()
+        return arrow_out(g.rename(columns={"size": "c"}).astype({"c": "int64"}))
+
+    gt = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby([group_col, "token"])
+        .aggregate(Sum("c", alias_name="c"))
+        .materialize()  # three consumers: token totals, group totals, scoring
+    )
+
+    def token_partial(df: pd.DataFrame):
+        g = df.groupby("token", as_index=False)["c"].sum()
+        return arrow_out(g.rename(columns={"c": "ct"}))
+
+    tt = (
+        gt.map_batches(token_partial, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("ct", alias_name="ct"))
+    )
+
+    def group_partial(df: pd.DataFrame):
+        g = df.groupby(group_col, as_index=False)["c"].sum()
+        return arrow_out(g.rename(columns={"c": "n_g"}))
+
+    ng = (
+        gt.map_batches(group_partial, batch_format="pandas")
+        .groupby(group_col)
+        .aggregate(Sum("n_g", alias_name="n_g"))
+        .to_pandas()  # group-cardinality — tiny
+    )
+    n_total = int(ng["n_g"].sum())
+    ng_map = dict(zip(ng[group_col], ng["n_g"].astype("int64")))
+    import ray as _ray
+
+    ngm_ref = _ray.put((ng_map, n_total))
+
+    joined = hash_join(gt, tt, on=("token",))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.stages import worker_state
+
+        ngm, n = worker_state(
+            ("dt_ng", ngm_ref.hex()), lambda: _ray.get(ngm_ref)
+        )
+        n_g = df[group_col].map(ngm).to_numpy(dtype=np.float64)
+        c = df["c"].to_numpy(dtype=np.float64)
+        ct = df["ct"].to_numpy(dtype=np.float64)
+        a = c / n_g
+        b = (ct - c + 1.0) / (float(n) - n_g + 1.0)
+        out = pd.DataFrame({
+            group_col: df[group_col], "token": df["token"],
+            "score": np.round(a / b, round_to)})
+        # per-batch prune to k best per group before the final pass
+        return (
+            out.sort_values(["score", "token"], ascending=[False, True])
+            .groupby(group_col, as_index=False, sort=False)
+            .head(k)
+        )
+
+    def final_top(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["score", "token"], ascending=[False, True]
+        ).head(k)
+
+    return (
+        joined.map_batches(score, batch_format="pandas")
+        .groupby(group_col)
+        .map_groups(final_top, batch_format="pandas")
+    )

@@ -1966,6 +1966,18 @@ def q_canonical_names(sf_dir: str) -> ray.data.Dataset:
 
 
 
+def q_distinctive_terms(sf_dir: str) -> ray.data.Dataset:
+    """Distinctive vocabulary per source ("fightin' words", smoothed
+    rate-ratio form; ratio ordering avoids cross-engine transcendentals)."""
+    from pdf_parser_ray.ops.text_stats import distinctive_terms
+
+    ds = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    return distinctive_terms(ds, "source", k=5)
+
+
+
 SQL: dict[str, str] = {
     "doc_stats": """
         -- CAST: DuckDB sum(INTEGER) -> HUGEINT -> float64 in pandas,
@@ -3358,6 +3370,33 @@ SQL["assign_sessions"] = """
 """
 
 
+
+SQL["distinctive_terms"] = """
+    -- identical expression tree: (c/n_g) / ((ct-c+1)/(N-n_g+1)),
+    -- rounded 6dp BEFORE the (score DESC, token) top-5 tie-break
+    WITH w AS (
+      SELECT source, unnest(regexp_extract_all(lower(text), '\\S+')) AS token
+      FROM documents),
+    gt AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+           FROM w GROUP BY source, token),
+    tt AS (SELECT token, CAST(count(*) AS BIGINT) AS ct
+           FROM w GROUP BY token),
+    ng AS (SELECT source, CAST(count(*) AS BIGINT) AS n_g
+           FROM w GROUP BY source),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w)
+    SELECT gt.source, gt.token,
+           round((gt.c::DOUBLE / ng.n_g::DOUBLE)
+                 / ((tt.ct - gt.c + 1)::DOUBLE
+                    / (tot.n - ng.n_g + 1)::DOUBLE), 6) AS score
+    FROM gt
+    JOIN tt USING (token)
+    JOIN ng USING (source)
+    CROSS JOIN tot
+    QUALIFY row_number() OVER (PARTITION BY gt.source
+                               ORDER BY score DESC, gt.token ASC) <= 5
+"""
+
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "token_stats": q_token_stats,
@@ -3495,4 +3534,5 @@ QUERIES = {
     "orders_semi_bloom": q_orders_semi_bloom,
     "assign_sessions": q_assign_sessions,
     "canonical_names": q_canonical_names,
+    "distinctive_terms": q_distinctive_terms,
 }

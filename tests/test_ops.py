@@ -2094,3 +2094,26 @@ class TestCanonicalizeStrings:
         assert out.loc["hot gear"] == "hot bear"   # lev 2? b<->g = 1 sub
         assert out.loc["standalone value"] == "standalone value"
         assert len(out) == 6  # one row per distinct value
+
+
+class TestDistinctiveTerms:
+    def test_group_marker_word_wins(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.text_stats import distinctive_terms
+
+        # "zebra" appears only in group A; common words spread evenly
+        docs = pd.DataFrame({
+            "source": ["A"] * 4 + ["B"] * 4,
+            "text": ["the zebra runs fast"] * 4
+            + ["the horse runs fast"] * 4,
+        })
+        out = distinctive_terms(
+            ray.data.from_pandas(docs), "source", k=2
+        ).to_pandas()
+        a_top = out[out["source"] == "A"].iloc[0]
+        b_top = out[out["source"] == "B"].iloc[0]
+        assert a_top["token"] == "zebra"
+        assert b_top["token"] == "horse"
+        # shared words score near 1, markers far above
+        assert a_top["score"] > 2.0
