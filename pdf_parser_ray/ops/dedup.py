@@ -1268,7 +1268,9 @@ def pagerank(
         **({"n_parts": n_parts} if n_parts else {}),
     ).materialize()
 
-    nodes = annotated.unique("s")
+    # unique() on an empty dataset returns None (the near_dedup_corpus
+    # lesson); an empty edge set must yield an empty rank table
+    nodes = annotated.unique("s") or []
     n = len(nodes)
     if n == 0:
         return ray.data.from_pandas(pd.DataFrame({

@@ -2117,3 +2117,18 @@ class TestDistinctiveTerms:
         assert b_top["token"] == "horse"
         # shared words score near 1, markers far above
         assert a_top["score"] > 2.0
+
+
+class TestPagerankEmpty:
+    def test_empty_edge_set_yields_empty_ranks(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import pagerank
+
+        edges = pd.DataFrame({
+            "a": pd.Series([], dtype="int64"),
+            "b": pd.Series([], dtype="int64"),
+        })
+        out = pagerank(ray.data.from_pandas(edges), n_iters=3).to_pandas()
+        assert len(out) == 0
+        assert list(out.columns) == ["node", "rank"]
