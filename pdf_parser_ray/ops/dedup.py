@@ -1273,9 +1273,13 @@ def pagerank(
     nodes = annotated.unique("s") or []
     n = len(nodes)
     if n == 0:
-        return ray.data.from_pandas(pd.DataFrame({
-            "node": pd.Series([], dtype="int64"),
-            "rank": pd.Series([], dtype="float64")}))
+        import pyarrow as pa
+
+        # from_pandas drops columns of an empty frame; an explicit
+        # Arrow schema keeps the (node, rank) contract
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.float64())}))
     rank = {int(v): 1.0 / n for v in nodes}
     teleport = (1.0 - damping) / n
 
