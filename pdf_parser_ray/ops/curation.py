@@ -29,6 +29,7 @@ Shuffle discipline:
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pandas as pd
@@ -517,3 +518,63 @@ def chunk_documents(
         )
 
     return ds.map_batches(split, batch_format="pandas")
+
+
+def validate_rows(
+    ds: ray.data.Dataset,
+    rules: list[dict],
+    *,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Declarative data-quality validation: evaluate rules per row and
+    emit one violation row per (row, failed rule) — the expectation-
+    suite gate an ingest pipeline runs before accepting a batch.
+
+    Rule forms (each a dict with ``name`` and ``col``):
+    * ``{"kind": "not_null"}``                 — value must not be null
+    * ``{"kind": "range", "lo": x, "hi": y}``  — lo ≤ value ≤ y (nulls fail)
+    * ``{"kind": "regex", "pattern": p}``      — full-match (ASCII, RE2-safe;
+      nulls fail)
+    * ``{"kind": "in_set", "values": [...]}``  — membership (nulls fail)
+
+    Row-local, zero shuffle; every check is one vectorized pandas op.
+    The long output shape (id, rule) is SQL-twin-friendly (a UNION of
+    per-rule SELECTs) and feeds a tiny groupby for per-rule totals.
+
+    Output: (id_col, rule:string), one row per violation.
+    """
+    compiled = []
+    for r in rules:
+        rr = dict(r)
+        if rr["kind"] == "regex":
+            rr["_re"] = re.compile(rr["pattern"], re.ASCII)
+        compiled.append(rr)
+
+    def check(df: pd.DataFrame) -> pd.DataFrame:
+        ids: list = []
+        names: list = []
+        for r in compiled:
+            col = df[r["col"]]
+            if r["kind"] == "not_null":
+                bad = col.isna()
+            elif r["kind"] == "range":
+                bad = ~((col >= r["lo"]) & (col <= r["hi"]))
+                bad = bad | col.isna()
+            elif r["kind"] == "regex":
+                bad = ~col.fillna("").str.fullmatch(r["_re"]).astype(bool)
+                bad = bad | col.isna()
+            elif r["kind"] == "in_set":
+                bad = ~col.isin(r["values"]) | col.isna()
+            else:
+                raise ValueError(f"unknown rule kind {r['kind']!r}")
+            b = df.loc[bad.to_numpy(), id_col]
+            ids.extend(b.tolist())
+            names.extend([r["name"]] * len(b))
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(ids, dtype="int64"),
+                "rule": pd.Series(names, dtype=str),
+            }
+        )
+
+    return ds.map_batches(check, batch_format="pandas")

@@ -1978,6 +1978,29 @@ def q_distinctive_terms(sf_dir: str) -> ray.data.Dataset:
 
 
 
+def q_validate_events(sf_dir: str) -> ray.data.Dataset:
+    """Expectation-suite validation over events: one violation row per
+    (event, failed rule); row-local vectorized checks, zero shuffle."""
+    from pdf_parser_ray.ops.curation import validate_rows
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value"],
+    )
+    return validate_rows(
+        ds,
+        [
+            {"name": "value_range", "col": "value", "kind": "range",
+             "lo": 0.0, "hi": 200.0},
+            {"name": "known_type", "col": "event_type", "kind": "in_set",
+             "values": ["click", "view", "purchase"]},
+            {"name": "user_not_null", "col": "user_id", "kind": "not_null"},
+        ],
+        id_col="event_id",
+    )
+
+
+
 SQL: dict[str, str] = {
     "doc_stats": """
         -- CAST: DuckDB sum(INTEGER) -> HUGEINT -> float64 in pandas,
@@ -3397,6 +3420,19 @@ SQL["distinctive_terms"] = """
 """
 
 
+
+SQL["validate_events"] = """
+    SELECT event_id, 'value_range' AS rule FROM events
+    WHERE NOT (value >= 0.0 AND value <= 200.0) OR value IS NULL
+    UNION ALL
+    SELECT event_id, 'known_type' FROM events
+    WHERE event_type NOT IN ('click', 'view', 'purchase')
+       OR event_type IS NULL
+    UNION ALL
+    SELECT event_id, 'user_not_null' FROM events WHERE user_id IS NULL
+"""
+
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "token_stats": q_token_stats,
@@ -3535,4 +3571,5 @@ QUERIES = {
     "assign_sessions": q_assign_sessions,
     "canonical_names": q_canonical_names,
     "distinctive_terms": q_distinctive_terms,
+    "validate_events": q_validate_events,
 }

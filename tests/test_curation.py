@@ -513,3 +513,39 @@ class TestChunkDocuments:
 
         with _pt.raises(ValueError):
             chunk_documents(None, chunk_tokens=4, overlap=4)
+
+
+class TestValidateRows:
+    def test_each_rule_kind_fires(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from pdf_parser_ray.ops.curation import validate_rows
+
+        df = pd.DataFrame({
+            "doc_id": pd.Series([1, 2, 3, 4], dtype="int64"),
+            "n": [5.0, None, 500.0, 50.0],
+            "lang": ["en", "xx", "en", None],
+            "code": ["A1", "A2", "bad!", "A4"],
+        })
+        out = validate_rows(
+            ray.data.from_pandas(df),
+            [
+                {"name": "n_range", "col": "n", "kind": "range",
+                 "lo": 0.0, "hi": 100.0},
+                {"name": "lang_known", "col": "lang", "kind": "in_set",
+                 "values": ["en", "de"]},
+                {"name": "lang_set", "col": "lang", "kind": "not_null"},
+                {"name": "code_fmt", "col": "code", "kind": "regex",
+                 "pattern": r"[A-Z][0-9]"},
+            ],
+        ).to_pandas()
+        got = set(zip(out["doc_id"], out["rule"]))
+        assert got == {
+            (2, "n_range"),        # null fails range
+            (3, "n_range"),        # 500 out of range
+            (2, "lang_known"),     # 'xx' not in set
+            (4, "lang_known"),     # null fails in_set
+            (4, "lang_set"),       # null fails not_null
+            (3, "code_fmt"),       # 'bad!' no fullmatch
+        }
