@@ -372,3 +372,88 @@ def image_phash_groups(
             "n_images": df["n_images"].astype("int64")})
 
     return groups.map_batches(cast, batch_format="pandas")
+
+
+def _audio_fingerprint64(wave: np.ndarray, n_frames: int = 65) -> int:
+    """64-bit energy-delta fingerprint (chromaprint-style sign pattern,
+    simplified to one band): split the wave into ``n_frames`` equal
+    frames, bit j = 1 iff frame j+1 holds more energy than frame j.
+    Robust to gain changes (sign of a difference is scale-free after
+    the shared scaling) and trailing silence edits."""
+    if len(wave) == 0:
+        return 0
+    idx = (np.arange(n_frames + 1) * len(wave)) // n_frames
+    # per-frame mean energy; empty frames (short clips) read as 0
+    sums = np.concatenate([[0.0], np.cumsum(wave.astype(np.float64) ** 2)])
+    counts = np.maximum(idx[1:] - idx[:-1], 1)
+    energy = (sums[idx[1:]] - sums[idx[:-1]]) / counts
+    bits = energy[1:] > energy[:-1]
+    return int(np.packbits(bits).view(">u8")[0].item()) if len(bits) == 64 else 0
+
+
+class AudioFingerprint:
+    """Actor stage: audio rows → 64-bit energy-delta fingerprint.
+
+    The audio twin of :class:`PerceptualHash` — fixed-size bit pattern
+    per clip so near-dup detection is one groupby over 8 bytes/clip
+    (exact tier) or Hamming bands (near tier, composing like SimHash).
+    Decode is the STUB int16 path audio_features uses.
+
+    Output: (media_id, afp:int64).
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = []
+        for payload in batch.column("payload").to_pylist():
+            payload = payload or b"\x00\x00"
+            if len(payload) % 2:
+                payload = payload[:-1]
+            wave = np.frombuffer(payload, dtype="<i2")
+            fps.append(np.int64(np.uint64(_audio_fingerprint64(wave))))
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "afp": pa.array(fps, pa.int64()),
+            }
+        )
+
+
+def audio_fingerprint_groups(
+    media: ray.data.Dataset,
+    *,
+    min_size: int = 2,
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> ray.data.Dataset:
+    """Audio near-dup groups by identical energy fingerprint — 8 bytes
+    per clip enter the one groupby, waveforms never shuffle.
+
+    Output: (afp:int64, n_clips:int64), groups of ≥ min_size.
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count
+
+    audio = media.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), "audio")),
+        batch_format="pyarrow",
+    )
+    hashed = audio.map_batches(
+        AudioFingerprint,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+    )
+    groups = (
+        hashed.groupby("afp")
+        .aggregate(Count(alias_name="n_clips"))
+        .filter(lambda r: r["n_clips"] >= min_size)
+    )
+
+    def cast(df) -> "object":
+        import pandas as pd
+
+        return pd.DataFrame({
+            "afp": df["afp"].astype("int64"),
+            "n_clips": df["n_clips"].astype("int64")})
+
+    return groups.map_batches(cast, batch_format="pandas")

@@ -2001,6 +2001,20 @@ def q_validate_events(sf_dir: str) -> ray.data.Dataset:
 
 
 
+def q_audio_fp_groups(sf_dir: str) -> ray.data.Dataset:
+    """Audio near-dup groups by 64-bit energy-delta fingerprint over a
+    synth media table with planted duplicates (8 bytes/clip shuffle)."""
+    from pdf_parser_ray.ops.multimodal import (
+        audio_fingerprint_groups,
+        synth_media_table,
+    )
+
+    n = max(60, int(_sf_from_dir(sf_dir) * 30000))
+    media = ray.data.from_arrow(synth_media_table(n, dup_every=45))
+    return audio_fingerprint_groups(media).sort("afp")
+
+
+
 SQL: dict[str, str] = {
     "doc_stats": """
         -- CAST: DuckDB sum(INTEGER) -> HUGEINT -> float64 in pandas,
@@ -3572,4 +3586,5 @@ QUERIES = {
     "canonical_names": q_canonical_names,
     "distinctive_terms": q_distinctive_terms,
     "validate_events": q_validate_events,
+    "audio_fp_groups": q_audio_fp_groups,
 }

@@ -155,3 +155,38 @@ class TestPerceptualHash:
         dec = inc[:, ::-1].copy()
         assert _dhash64(inc) == 0xFFFFFFFFFFFFFFFF  # all rising
         assert _dhash64(dec) == 0                   # all falling
+
+
+class TestAudioFingerprint:
+    def test_identical_clips_group_and_gain_invariance(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from pdf_parser_ray.ops.multimodal import (
+            _audio_fingerprint64,
+            audio_fingerprint_groups,
+            synth_media_table,
+        )
+
+        media = ray.data.from_arrow(synth_media_table(90, dup_every=45))
+        out = audio_fingerprint_groups(media).to_pandas()
+        assert len(out) >= 1
+        assert (out["n_clips"] >= 2).all()
+        # gain invariance: doubling amplitude preserves the bit pattern
+        rng = np.random.RandomState(5)
+        wave = (rng.randn(13000) * 3000).astype("<i2")
+        assert _audio_fingerprint64(wave) == _audio_fingerprint64(
+            (wave.astype(np.int32) * 2).clip(-32768, 32767).astype("<i2")
+        )
+
+    def test_fingerprint_is_energy_trend_pattern(self, ray_session):
+        import numpy as np
+
+        from pdf_parser_ray.ops.multimodal import _audio_fingerprint64
+
+        # strictly rising energy staircase -> all 64 bits set
+        frames = [np.full(100, 10 * (i + 1), dtype=np.float64)
+                  for i in range(65)]
+        rising = np.concatenate(frames)
+        assert _audio_fingerprint64(rising) == 0xFFFFFFFFFFFFFFFF
+        assert _audio_fingerprint64(rising[::-1].copy()) == 0
