@@ -1,0 +1,186 @@
+"""Table profiling and referential-integrity auditing.
+
+The data-quality counterpart of ops/curation.validate_rows: instead of
+gating individual rows against declared expectations, these summarize a
+whole table (per-column null/distinct/min-max profile) and audit
+foreign-key relationships across tables (orphan counts) — the two
+checks an ingest pipeline runs before and after a large load.
+
+Both are expressed the streaming way:
+
+* :func:`profile_table` makes two passes.  Pass A is pure per-batch
+  partial aggregation (one row per (batch, column) carrying count /
+  null-count / numeric min / numeric max) collapsed by a tiny
+  ``groupby(col_name)`` — shuffle volume is O(batches x columns), never
+  O(rows).  Pass B counts exact distincts with the distinct-pair
+  combiner (``ops.sketches.grouped_distinct_exact``): batch-local
+  dedup first, so the shuffle is bounded by the number of DISTINCT
+  (column, value) pairs.  For columns whose distinct cardinality
+  approaches the row count at 10^12 rows, swap pass B for the KMV /
+  HLL sketches in ops/sketches.py (mergeable, constant-size) — the
+  exact pass here is the oracle-checkable twin.
+
+* :func:`ri_audit` builds each parent key set DISTRIBUTED
+  (``Dataset.unique`` over just the key column — bytes moved = 8 x
+  distinct keys, never the parent payload), broadcasts the sorted key
+  array once via ``ray.put``, and counts orphans with a vectorized
+  ``searchsorted`` membership probe per batch.  A fact-sized parent
+  (orders under lineitem) still fits this shape because only the KEY
+  column travels; past broadcast size, route through
+  ``relational.bloom_prefilter`` (definite-member prefilter) plus the
+  partitioned ``relational.hash_join`` for the residue — same
+  size-routing rule as the semi/anti joins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _to_numeric(col: pd.Series) -> pd.Series | None:
+    """Map a profilable column to float64 for min/max, or None if the
+    dtype has no numeric order we report (strings/objects)."""
+    if pd.api.types.is_datetime64_any_dtype(col):
+        # epoch microseconds — exact in float64 up to 2^53 (year ~2255).
+        # Pin the unit: pandas may hold datetime64[ns] or [us] depending
+        # on the Arrow source, and a bare astype(int64) would differ by
+        # 1000x between them.  NaT would cast to int64-min, so mask it
+        # back to NaN before min/max.
+        num = col.astype("datetime64[us]").astype("int64").astype("float64")
+        return num.mask(col.isna())
+    if pd.api.types.is_bool_dtype(col):
+        return col.astype("float64")
+    if pd.api.types.is_numeric_dtype(col):
+        return col.astype("float64")
+    return None
+
+
+def _distinct_token(col: pd.Series) -> pd.Series:
+    """Injective stringification for distinct counting (only equality
+    matters — the oracle counts distincts natively on the typed col)."""
+    if pd.api.types.is_datetime64_any_dtype(col):
+        return col.astype("int64").astype("string")
+    if pd.api.types.is_float_dtype(col):
+        # repr roundtrips float64, so distinct strings == distinct floats.
+        return col.map(repr).astype("string")
+    return col.astype("string")
+
+
+def profile_table(ds: ray.data.Dataset) -> pd.DataFrame:
+    """One-pass-per-concern column profile of a Dataset.
+
+    Output (one row per column, n_cols rows total):
+    ``(col_name:str, n_rows:int64, n_nulls:int64, n_distinct:int64,
+    min_num:double, max_num:double)`` — min/max are reported on a
+    float64 scale (timestamps as epoch microseconds); non-numeric
+    columns carry the 0.0 sentinel so the output schema stays uniform
+    and NaN-free (NaN vs SQL NULL is undefined territory for the
+    driver's value hash).
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.sketches import grouped_distinct_exact
+
+    def scalar_partial(df: pd.DataFrame) -> pa.Table:
+        rows = []
+        for name in df.columns:
+            col = df[name]
+            num = _to_numeric(col)
+            has = num is not None and num.notna().any()
+            rows.append(
+                {
+                    "col_name": name,
+                    "n_rows": len(col),
+                    "n_nulls": int(col.isna().sum()),
+                    "is_num": bool(num is not None),
+                    "min_num": float(num.min()) if has else np.inf,
+                    "max_num": float(num.max()) if has else -np.inf,
+                }
+            )
+        return arrow_out(pd.DataFrame(rows))
+
+    scalars = (
+        ds.map_batches(scalar_partial, batch_format="pandas")
+        .groupby("col_name")
+        .aggregate(
+            Sum(on="n_rows", alias_name="n_rows"),
+            Sum(on="n_nulls", alias_name="n_nulls"),
+            Max(on="is_num", alias_name="is_num"),
+            Min(on="min_num", alias_name="min_num"),
+            Max(on="max_num", alias_name="max_num"),
+        )
+        .to_pandas()  # n_cols rows — driver-safe by construction
+    )
+
+    def melt_distinct(df: pd.DataFrame) -> pa.Table:
+        parts = []
+        for name in df.columns:
+            # dropna BEFORE tokenizing: repr(nan) and NaT.astype(int64)
+            # would otherwise smuggle null markers in as distinct values.
+            v = _distinct_token(df[name].dropna()).drop_duplicates()
+            parts.append(pd.DataFrame({"col_name": name, "v": v}))
+        return arrow_out(pd.concat(parts, ignore_index=True))
+
+    distincts = grouped_distinct_exact(
+        ds.map_batches(melt_distinct, batch_format="pandas"), "col_name", "v"
+    ).to_pandas()
+
+    out = scalars.merge(distincts, on="col_name", how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0)  # all-null column
+    non_num = ~out["is_num"].astype(bool)
+    out.loc[non_num, ["min_num", "max_num"]] = 0.0
+    out = out.drop(columns="is_num").sort_values("col_name", ignore_index=True)
+    return out.astype(
+        {"n_rows": "int64", "n_nulls": "int64", "n_distinct": "int64"}
+    )[["col_name", "n_rows", "n_nulls", "n_distinct", "min_num", "max_num"]]
+
+
+def orphan_count(
+    child: ray.data.Dataset, fk: str, parent: ray.data.Dataset, pk: str
+) -> tuple[int, int]:
+    """(n_child_rows, n_orphans): child rows whose ``fk`` has no match
+    in parent's ``pk``.  NULL foreign keys count as orphans (they
+    reference nothing)."""
+    keys = parent.unique(pk)
+    key_arr = np.sort(np.asarray(keys if keys else [], dtype="int64"))
+    key_ref = ray.put(key_arr)
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        arr = ray.get(key_ref)
+        col = df[fk]
+        vals = col.fillna(-(2**62)).astype("int64").to_numpy()
+        pos = np.searchsorted(arr, vals)
+        hit = (pos < len(arr)) & (arr[np.minimum(pos, len(arr) - 1)] == vals)
+        hit &= col.notna().to_numpy()
+        from pdf_parser_ray.io_utils import arrow_out
+
+        return arrow_out(
+            pd.DataFrame(
+                {"n": [len(df)], "orphans": [int((~hit).sum())]}
+            ).astype("int64")
+        )
+
+    totals = child.select_columns([fk]).map_batches(
+        partial, batch_format="pandas"
+    )
+    n = totals.sum(["n", "orphans"])
+    return int(n["sum(n)"]), int(n["sum(orphans)"])
+
+
+def ri_audit(
+    relations: list[tuple[str, ray.data.Dataset, str, ray.data.Dataset, str]]
+) -> pd.DataFrame:
+    """Referential-integrity audit over (name, child, fk, parent, pk)
+    relations.  Output: (relation:str, n_rows:int64, n_orphans:int64),
+    one row per relation, sorted by relation name."""
+    rows = []
+    for name, child, fk, parent, pk in relations:
+        n, orphans = orphan_count(child, fk, parent, pk)
+        rows.append({"relation": name, "n_rows": n, "n_orphans": orphans})
+    out = pd.DataFrame(rows).sort_values("relation", ignore_index=True)
+    return out.astype({"n_rows": "int64", "n_orphans": "int64"})

@@ -2014,6 +2014,41 @@ def q_audio_fp_groups(sf_dir: str) -> ray.data.Dataset:
     return audio_fingerprint_groups(media).sort("afp")
 
 
+def q_profile_events(sf_dir: str) -> pd.DataFrame:
+    """Whole-table column profile of events (count / nulls / distinct /
+    numeric min-max); shuffle volume is O(distinct values), not rows."""
+    from pdf_parser_ray.ops.profile import profile_table
+
+    return profile_table(_read_parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_ri_audit(sf_dir: str) -> pd.DataFrame:
+    """Referential-integrity audit over the TPC-H star schema: orphan
+    foreign keys per relation.  Parent key sets are built distributed
+    (unique over the key column only) then broadcast for a vectorized
+    searchsorted membership probe."""
+    from pdf_parser_ray.ops.profile import ri_audit
+
+    def t(name: str, cols):
+        return _read_parquet(f"{sf_dir}/{name}.parquet", columns=cols)
+
+    return ri_audit(
+        [
+            ("customer_nation", t("customer", ["c_nationkey"]), "c_nationkey",
+             t("nation", ["n_nationkey"]), "n_nationkey"),
+            ("lineitem_orders", t("lineitem", ["l_orderkey"]), "l_orderkey",
+             t("orders", ["o_orderkey"]), "o_orderkey"),
+            ("lineitem_part", t("lineitem", ["l_partkey"]), "l_partkey",
+             t("part", ["p_partkey"]), "p_partkey"),
+            ("nation_region", t("nation", ["n_regionkey"]), "n_regionkey",
+             t("region", ["r_regionkey"]), "r_regionkey"),
+            ("orders_customer", t("orders", ["o_custkey"]), "o_custkey",
+             t("customer", ["c_custkey"]), "c_custkey"),
+            ("supplier_nation", t("supplier", ["s_nationkey"]), "s_nationkey",
+             t("nation", ["n_nationkey"]), "n_nationkey"),
+        ]
+    )
+
 
 SQL: dict[str, str] = {
     "doc_stats": """
@@ -3446,6 +3481,83 @@ SQL["validate_events"] = """
     SELECT event_id, 'user_not_null' FROM events WHERE user_id IS NULL
 """
 
+# Column profile of events.  Numeric min/max are exact picks of stored
+# values (ints/epoch-micros are exact in float64; doubles bit-identical),
+# so no rounding contract is needed.  Non-numeric columns carry the 0.0
+# sentinel, matching profile_table.
+SQL["profile_events"] = """
+    SELECT col_name, n_rows, n_nulls, n_distinct, min_num, max_num FROM (
+      SELECT 'event_id' AS col_name, count(*)::BIGINT AS n_rows,
+             (count(*) - count(event_id))::BIGINT AS n_nulls,
+             count(DISTINCT event_id)::BIGINT AS n_distinct,
+             coalesce(min(event_id)::DOUBLE, 0.0) AS min_num,
+             coalesce(max(event_id)::DOUBLE, 0.0) AS max_num
+      FROM events
+      UNION ALL
+      SELECT 'event_type', count(*), count(*) - count(event_type),
+             count(DISTINCT event_type), 0.0, 0.0 FROM events
+      UNION ALL
+      SELECT 'props', count(*), count(*) - count(props),
+             count(DISTINCT props), 0.0, 0.0 FROM events
+      UNION ALL
+      SELECT 'ts', count(*), count(*) - count(ts), count(DISTINCT ts),
+             coalesce(epoch_us(min(ts))::DOUBLE, 0.0),
+             coalesce(epoch_us(max(ts))::DOUBLE, 0.0) FROM events
+      UNION ALL
+      SELECT 'user_id', count(*), count(*) - count(user_id),
+             count(DISTINCT user_id),
+             coalesce(min(user_id)::DOUBLE, 0.0),
+             coalesce(max(user_id)::DOUBLE, 0.0) FROM events
+      UNION ALL
+      SELECT 'value', count(*), count(*) - count(value),
+             count(DISTINCT value),
+             coalesce(min(value), 0.0), coalesce(max(value), 0.0)
+      FROM events
+    ) ORDER BY col_name
+"""
+
+# Orphan FKs per relation; parents deduped before the LEFT JOIN so a
+# (hypothetically) duplicated parent key can't inflate child counts.
+SQL["ri_audit"] = """
+    SELECT relation, n_rows, n_orphans FROM (
+      SELECT 'customer_nation' AS relation, count(*)::BIGINT AS n_rows,
+             (count(*) FILTER (WHERE p.k IS NULL))::BIGINT AS n_orphans
+      FROM customer c
+      LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) p
+        ON c.c_nationkey = p.k
+      UNION ALL
+      SELECT 'lineitem_orders', count(*),
+             count(*) FILTER (WHERE p.k IS NULL)
+      FROM lineitem l
+      LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) p
+        ON l.l_orderkey = p.k
+      UNION ALL
+      SELECT 'lineitem_part', count(*),
+             count(*) FILTER (WHERE p.k IS NULL)
+      FROM lineitem l
+      LEFT JOIN (SELECT DISTINCT p_partkey AS k FROM part) p
+        ON l.l_partkey = p.k
+      UNION ALL
+      SELECT 'nation_region', count(*),
+             count(*) FILTER (WHERE p.k IS NULL)
+      FROM nation n
+      LEFT JOIN (SELECT DISTINCT r_regionkey AS k FROM region) p
+        ON n.n_regionkey = p.k
+      UNION ALL
+      SELECT 'orders_customer', count(*),
+             count(*) FILTER (WHERE p.k IS NULL)
+      FROM orders o
+      LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p
+        ON o.o_custkey = p.k
+      UNION ALL
+      SELECT 'supplier_nation', count(*),
+             count(*) FILTER (WHERE p.k IS NULL)
+      FROM supplier s
+      LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) p
+        ON s.s_nationkey = p.k
+    ) ORDER BY relation
+"""
+
 
 QUERIES = {
     "doc_stats": q_doc_stats,
@@ -3586,5 +3698,7 @@ QUERIES = {
     "canonical_names": q_canonical_names,
     "distinctive_terms": q_distinctive_terms,
     "validate_events": q_validate_events,
+    "profile_events": q_profile_events,
+    "ri_audit": q_ri_audit,
     "audio_fp_groups": q_audio_fp_groups,
 }

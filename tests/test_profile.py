@@ -1,0 +1,96 @@
+"""Table profiling + referential-integrity audit (ops/profile.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from pdf_parser_ray.ops.profile import orphan_count, profile_table, ri_audit
+
+
+@pytest.fixture()
+def mixed_df():
+    return pd.DataFrame(
+        {
+            "k": np.arange(10, dtype="int64"),
+            "grp": ["a", "b"] * 5,
+            "score": [1.5, 2.5, 1.5, None, 0.0, -3.25, 1.5, 2.5, None, 7.0],
+            "when": pd.to_datetime(
+                ["2024-01-01 00:00:00.000001"] * 3
+                + ["2024-06-30 12:00:00"] * 6
+                + [None],
+                format="mixed",
+            ),
+            "all_null": pd.Series([None] * 10, dtype="Float64"),
+        }
+    )
+
+
+def test_profile_table_counts_and_ranges(ray_session, mixed_df):
+    ds = ray.data.from_pandas([mixed_df.iloc[:4], mixed_df.iloc[4:]])
+    out = profile_table(ds)
+
+    assert list(out.columns) == [
+        "col_name", "n_rows", "n_nulls", "n_distinct", "min_num", "max_num",
+    ]
+    assert list(out["col_name"]) == sorted(mixed_df.columns)
+    prof = out.set_index("col_name")
+
+    assert (prof["n_rows"] == 10).all()
+    assert prof.loc["score", "n_nulls"] == 2
+    assert prof.loc["all_null", "n_nulls"] == 10
+    assert prof.loc["when", "n_nulls"] == 1
+
+    # distincts exclude nulls
+    assert prof.loc["k", "n_distinct"] == 10
+    assert prof.loc["grp", "n_distinct"] == 2
+    assert prof.loc["score", "n_distinct"] == 5
+    assert prof.loc["when", "n_distinct"] == 2
+    assert prof.loc["all_null", "n_distinct"] == 0
+
+    # numeric ranges; string column carries the 0.0 sentinel
+    assert prof.loc["score", "min_num"] == -3.25
+    assert prof.loc["score", "max_num"] == 7.0
+    assert prof.loc["k", "max_num"] == 9.0
+    assert prof.loc["grp", "min_num"] == 0.0 and prof.loc["grp", "max_num"] == 0.0
+
+    # timestamps on the epoch-MICROSECOND scale regardless of pandas unit
+    expect_min = pd.Timestamp("2024-01-01 00:00:00.000001").value // 1000
+    assert prof.loc["when", "min_num"] == float(expect_min)
+
+    # dtypes are the declared contract (driver hashes by dtype)
+    assert prof["n_rows"].dtype == "int64"
+    assert prof["n_distinct"].dtype == "int64"
+
+
+def test_orphan_count_with_planted_orphans(ray_session):
+    parent = ray.data.from_pandas(
+        pd.DataFrame({"pk": np.array([1, 2, 3, 5], dtype="int64")})
+    )
+    child = ray.data.from_pandas(
+        pd.DataFrame(
+            {"fk": pd.array([1, 1, 4, 5, None, 2], dtype="Int64"),
+             "payload": list("abcdef")}
+        )
+    )
+    n, orphans = orphan_count(child, "fk", parent, "pk")
+    assert n == 6
+    assert orphans == 2  # fk=4 has no parent; NULL fk references nothing
+
+
+def test_ri_audit_shape(ray_session):
+    parent = ray.data.from_pandas(
+        pd.DataFrame({"pk": np.array([1, 2], dtype="int64")})
+    )
+    child = ray.data.from_pandas(
+        pd.DataFrame({"fk": np.array([1, 2, 9], dtype="int64")})
+    )
+    out = ri_audit(
+        [
+            ("b_rel", child, "fk", parent, "pk"),
+            ("a_rel", child, "fk", child, "fk"),
+        ]
+    )
+    assert list(out["relation"]) == ["a_rel", "b_rel"]  # sorted
+    assert list(out["n_orphans"]) == [0, 1]
+    assert out["n_rows"].dtype == "int64"
