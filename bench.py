@@ -72,6 +72,9 @@ BENCH_QUERIES = [
     "type_cooccurrence",
     "upsert_docs",
     "chunk_documents",
+    # round-2 session-3 additions
+    "profile_events",
+    "ri_audit",
 ]
 
 

@@ -120,6 +120,7 @@ def kmeans_fit(
     n_iter: int = 5,
     vec_col: str = "embedding",
     concurrency: int | tuple[int, int] | None = None,
+    round_between: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Lloyd's iterations over the full dataset.
 
@@ -128,6 +129,13 @@ def kmeans_fit(
     sums/count combiner, one k-cardinality groupby, and a k-row driver
     update.  A cluster that loses all members keeps its centroid (the
     same convention as the in-module IVF trainer).
+
+    ``round_between`` rounds the updated centroids to that many decimals
+    after EVERY iteration.  That makes the multi-iteration trajectory
+    engine-portable: a SQL twin that rounds its per-iteration means the
+    same way sees bit-identical centroid INPUTS each round, so cross-
+    engine summation-order noise cannot compound across iterations
+    (the oracle contract behind queries.q_kmeans_train).
 
     ``ds`` is re-executed per iteration; at corpus scale that re-read is
     the intended behavior (don't ``materialize()`` 100 TB — Parquet IS
@@ -187,6 +195,8 @@ def kmeans_fit(
                     np.array([row[sc] for sc in sum_cols], dtype=np.float64)
                     / counts[c]
                 )
+        if round_between is not None:
+            centroids = np.round(centroids, round_between)
     return centroids, counts
 
 

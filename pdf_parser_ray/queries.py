@@ -267,15 +267,20 @@ def q_kmeans_iter1(sf_dir: str) -> pd.DataFrame:
 
 def q_kmeans_train(sf_dir: str) -> pd.DataFrame:
     """Five Lloyd iterations over the full table (each: one streaming
-    pass + one k-cardinality groupby).  Rows-only in the driver check;
-    the iterative loop is pinned against a local numpy reference in
-    tests/test_clustering.py."""
+    pass + one k-cardinality groupby).  Oracled against an unrolled
+    5-iteration CTE chain: centroids are rounded to 6dp BETWEEN
+    iterations on both sides, so each round's input is bit-identical
+    across engines and summation-order noise cannot compound.  The
+    unrounded loop is additionally pinned against a local numpy
+    reference in tests/test_clustering.py."""
     from pdf_parser_ray.ops.clustering import centroids_long, kmeans_fit
 
     ds = _read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    cent, counts = kmeans_fit(ds, _init_centroids(sf_dir, 4), n_iter=5)
+    cent, counts = kmeans_fit(
+        ds, _init_centroids(sf_dir, 4), n_iter=5, round_between=ROUND_COS
+    )
     return centroids_long(cent, counts)
 
 
@@ -3003,6 +3008,67 @@ SQL["first_last_value"] = """
 """
 
 SQL["script_profile"] = _script_profile_sql()
+
+
+def _kmeans_train_sql(n_iter: int = 5, k: int = 4, round_to: int = 6) -> str:
+    """Unrolled Lloyd-iteration CTE chain, the q_kmeans_train twin.
+
+    Mirrors kmeans_fit(round_between=round_to): each iteration assigns
+    by (distance, cluster-id) and rebuilds per-dim means ROUNDED to
+    ``round_to`` — so both engines feed bit-identical centroids into the
+    next round.  An emptied cluster keeps its previous centroid
+    (rounded, matching the Ray side's post-update global round)."""
+    ctes = [
+        f"""cent0 AS (
+      SELECT vec_id AS cluster, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings WHERE vec_id < {k}
+    )"""
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(f"""a{i} AS (
+      SELECT e.vec_id, c.cluster
+      FROM embeddings e CROSS JOIN cent{i - 1} c
+      QUALIFY row_number() OVER (
+          PARTITION BY e.vec_id
+          ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec),
+                   c.cluster) = 1
+    )""")
+        ctes.append(f"""m{i} AS (
+      SELECT cluster, dim, round(sum(x) / count(x), {round_to}) AS centroid
+      FROM (
+        SELECT a.cluster, unnest(e.embedding) AS x,
+               generate_subscripts(e.embedding, 1) - 1 AS dim
+        FROM a{i} a JOIN embeddings e USING (vec_id)
+      ) GROUP BY cluster, dim
+    )""")
+        ctes.append(f"""cent{i} AS (
+      SELECT p.cluster,
+             coalesce(n.cvec,
+                      list_transform(p.cvec, x -> round(x, {round_to}))) AS cvec
+      FROM cent{i - 1} p
+      LEFT JOIN (
+        SELECT cluster, list(centroid ORDER BY dim) AS cvec
+        FROM m{i} GROUP BY cluster
+      ) n USING (cluster)
+    )""")
+    ctes.append(f"""fin_counts AS (
+      SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs
+      FROM a{n_iter} GROUP BY cluster
+    )""")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT c.cluster,
+           generate_subscripts(c.cvec, 1) - 1 AS dim,
+           unnest(c.cvec) AS centroid,
+           coalesce(k.n_vecs, 0) AS n_vecs
+    FROM cent{n_iter} c LEFT JOIN fin_counts k USING (cluster)
+    """
+    )
+
+
+SQL["kmeans_train"] = _kmeans_train_sql()
 
 SQL["mode_user_per_type"] = """
     WITH c AS (
