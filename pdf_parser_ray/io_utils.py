@@ -7,6 +7,23 @@ import os
 import ray.data
 
 
+def unreserve(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Disable Ray Data's per-operator resource reservation for THIS
+    dataset's execution (each Dataset captures a private DataContext
+    copy at creation; mutating it affects nothing else).
+
+    Rationale (measured, bench notes in BASELINE.md): the reservation
+    allocator (default ratio 0.5) holds CPU slots for every branch of a
+    union-shaped plan even while those branches are idle, starving the
+    active ones — skew-split extraction ran 16.5 s reserved vs 10.97 s
+    unreserved at 32 CPUs, and the union'd ri_audit probe pass 10.3 s
+    vs 5.2 s.  Hash-JOIN plans are the opposite (join aggregators
+    starve without reservation: 13 s vs 44 s) — only unreserve
+    union-of-maps plans, never joins."""
+    ds.context.op_resource_reservation_enabled = False
+    return ds
+
+
 def _probe_file(path) -> str | None:
     """A representative parquet file for schema probing."""
     if isinstance(path, (list, tuple)):

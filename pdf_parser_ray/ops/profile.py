@@ -20,10 +20,11 @@ Both are expressed the streaming way:
   HLL sketches in ops/sketches.py (mergeable, constant-size) — the
   exact pass here is the oracle-checkable twin.
 
-* :func:`ri_audit` builds each parent key set DISTRIBUTED
-  (``Dataset.unique`` over just the key column — bytes moved = 8 x
-  distinct keys, never the parent payload), broadcasts the sorted key
-  array once via ``ray.put``, and counts orphans with a vectorized
+* :func:`ri_audit` builds each parent key set DISTRIBUTED (per-batch
+  distinct over just the key column, driver union of the bounded
+  partials — bytes moved = 8 x distinct keys, never the parent
+  payload, and no shuffle at all), broadcasts the sorted key array
+  once via ``ray.put``, and counts orphans with a vectorized
   ``searchsorted`` membership probe per batch.  A fact-sized parent
   (orders under lineitem) still fits this shape because only the KEY
   column travels; past broadcast size, route through
@@ -140,14 +141,44 @@ def profile_table(ds: ray.data.Dataset) -> pd.DataFrame:
     )[["col_name", "n_rows", "n_nulls", "n_distinct", "min_num", "max_num"]]
 
 
+def _distinct_keys(parent: ray.data.Dataset, pk: str) -> np.ndarray:
+    """Sorted distinct int64 key array, built with ZERO shuffle: each
+    batch emits its local distinct keys (the combiner), the driver
+    unions the bounded partials.  Driver memory equals the broadcast
+    key array we need anyway — same footprint as ``Dataset.unique`` but
+    without paying that aggregate's all-to-all exchange (measured ~1 s
+    of shuffle floor per relation at sf0.1).  Past broadcast size,
+    route through relational.bloom_prefilter + hash_join instead."""
+
+    def batch_distinct(df: pd.DataFrame) -> pa.Table:
+        from pdf_parser_ray.io_utils import arrow_out
+
+        return arrow_out(
+            pd.DataFrame({pk: df[pk].dropna().unique()}).astype("int64")
+        )
+
+    parts = (
+        parent.select_columns([pk])
+        .map_batches(batch_distinct, batch_format="pandas")
+        .take_all()  # bounded by the distinct key count (broadcast-sized)
+    )
+    if not parts:
+        return np.empty(0, dtype="int64")
+    return np.unique(np.fromiter((r[pk] for r in parts), dtype="int64"))
+
+
 def orphan_count(
     child: ray.data.Dataset, fk: str, parent: ray.data.Dataset, pk: str
 ) -> tuple[int, int]:
     """(n_child_rows, n_orphans): child rows whose ``fk`` has no match
     in parent's ``pk``.  NULL foreign keys count as orphans (they
     reference nothing)."""
-    keys = parent.unique(pk)
-    key_arr = np.sort(np.asarray(keys if keys else [], dtype="int64"))
+    return _orphan_count_with_keys(child, fk, _distinct_keys(parent, pk))
+
+
+def _orphan_count_with_keys(
+    child: ray.data.Dataset, fk: str, key_arr: np.ndarray
+) -> tuple[int, int]:
     key_ref = ray.put(key_arr)
 
     def partial(df: pd.DataFrame) -> pa.Table:
@@ -177,10 +208,87 @@ def ri_audit(
 ) -> pd.DataFrame:
     """Referential-integrity audit over (name, child, fk, parent, pk)
     relations.  Output: (relation:str, n_rows:int64, n_orphans:int64),
-    one row per relation, sorted by relation name."""
-    rows = []
-    for name, child, fk, parent, pk in relations:
-        n, orphans = orphan_count(child, fk, parent, pk)
-        rows.append({"relation": name, "n_rows": n, "n_orphans": orphans})
+    one row per relation, sorted by relation name.
+
+    Executes exactly TWO Dataset runs regardless of relation count: all
+    parent key passes union into one (deduped per batch, tagged by a
+    parent index), then all child probes union into one — on this box
+    each Dataset execution costs ~0.4-0.7 s of fixed overhead, so the
+    naive per-relation loop paid ~11 executions for six relations.  A
+    parent Dataset object reused across relations (same object, same
+    key column) is scanned once."""
+    from pdf_parser_ray.io_utils import arrow_out
+
+    if not relations:
+        return pd.DataFrame(
+            {"relation": pd.Series([], dtype="object"),
+             "n_rows": pd.Series([], dtype="int64"),
+             "n_orphans": pd.Series([], dtype="int64")}
+        )
+
+    # -- pass 1: every distinct (parent, pk) in one union'd execution
+    parent_ix: dict[tuple[int, str], int] = {}
+    parent_specs: list[tuple[ray.data.Dataset, str]] = []
+    for _, _, _, parent, pk in relations:
+        ck = (id(parent), pk)
+        if ck not in parent_ix:
+            parent_ix[ck] = len(parent_specs)
+            parent_specs.append((parent, pk))
+
+    def key_pass(idx: int, parent: ray.data.Dataset, pk: str):
+        def batch_distinct(df: pd.DataFrame) -> pa.Table:
+            k = pd.Series(df[pk].dropna().unique()).astype("int64")
+            return arrow_out(pd.DataFrame({"src": np.int64(idx), "k": k}))
+
+        return parent.select_columns([pk]).map_batches(
+            batch_distinct, batch_format="pandas"
+        )
+
+    from pdf_parser_ray.io_utils import unreserve
+
+    union_keys = key_pass(0, *parent_specs[0])
+    for i, spec in enumerate(parent_specs[1:], 1):
+        union_keys = union_keys.union(key_pass(i, *spec))
+    # union-of-maps plan: reservation starves it (io_utils.unreserve)
+    kt = unreserve(union_keys).to_pandas()  # bounded: broadcast-sized keys
+    key_refs = [
+        ray.put(np.unique(kt.loc[kt["src"] == i, "k"].to_numpy(dtype="int64")))
+        for i in range(len(parent_specs))
+    ]
+
+    # -- pass 2: every child probe in one union'd execution
+    def probe_pass(rel_idx: int, child: ray.data.Dataset, fk: str, ref):
+        def partial(df: pd.DataFrame) -> pa.Table:
+            arr = ray.get(ref)
+            col = df[fk]
+            vals = col.fillna(-(2**62)).astype("int64").to_numpy()
+            pos = np.searchsorted(arr, vals)
+            hit = (pos < len(arr)) & (
+                arr[np.minimum(pos, max(len(arr) - 1, 0))] == vals
+            ) if len(arr) else np.zeros(len(vals), dtype=bool)
+            hit &= col.notna().to_numpy()
+            return arrow_out(
+                pd.DataFrame(
+                    {"rel": [rel_idx], "n": [len(df)],
+                     "orphans": [int((~hit).sum())]}
+                ).astype("int64")
+            )
+
+        return child.select_columns([fk]).map_batches(
+            partial, batch_format="pandas"
+        )
+
+    probes = None
+    for rel_idx, (name, child, fk, parent, pk) in enumerate(relations):
+        p = probe_pass(rel_idx, child, fk, key_refs[parent_ix[(id(parent), pk)]])
+        probes = p if probes is None else probes.union(p)
+    totals = unreserve(probes).to_pandas().groupby("rel").sum()
+
+    rows = [
+        {"relation": name,
+         "n_rows": int(totals.loc[i, "n"]) if i in totals.index else 0,
+         "n_orphans": int(totals.loc[i, "orphans"]) if i in totals.index else 0}
+        for i, (name, *_rest) in enumerate(relations)
+    ]
     out = pd.DataFrame(rows).sort_values("relation", ignore_index=True)
     return out.astype({"n_rows": "int64", "n_orphans": "int64"})

@@ -2037,10 +2037,11 @@ def q_ri_audit(sf_dir: str) -> pd.DataFrame:
     def t(name: str, cols):
         return _read_parquet(f"{sf_dir}/{name}.parquet", columns=cols)
 
+    nation_keys = t("nation", ["n_nationkey"])  # shared → key set built once
     return ri_audit(
         [
             ("customer_nation", t("customer", ["c_nationkey"]), "c_nationkey",
-             t("nation", ["n_nationkey"]), "n_nationkey"),
+             nation_keys, "n_nationkey"),
             ("lineitem_orders", t("lineitem", ["l_orderkey"]), "l_orderkey",
              t("orders", ["o_orderkey"]), "o_orderkey"),
             ("lineitem_part", t("lineitem", ["l_partkey"]), "l_partkey",
@@ -2050,7 +2051,7 @@ def q_ri_audit(sf_dir: str) -> pd.DataFrame:
             ("orders_customer", t("orders", ["o_custkey"]), "o_custkey",
              t("customer", ["c_custkey"]), "c_custkey"),
             ("supplier_nation", t("supplier", ["s_nationkey"]), "s_nationkey",
-             t("nation", ["n_nationkey"]), "n_nationkey"),
+             nation_keys, "n_nationkey"),
         ]
     )
 

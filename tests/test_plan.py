@@ -1,0 +1,92 @@
+"""Logical-plan shuffle budgets (ops/plan.py).
+
+These tests pin each pipeline's all-to-all exchange count BEFORE
+execution — the design-for-scale rules ("pre-aggregate, then one small
+groupby", "broadcast, don't shuffle-join") as enforced invariants.  A
+refactor that silently adds a shuffle fails here instead of at 100 TB.
+"""
+
+import pandas as pd
+import pytest
+import ray.data
+
+from pdf_parser_ray.ops.plan import (
+    assert_max_shuffles,
+    plan_summary,
+    shuffle_count,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_counts_groupby_and_ignores_maps(ray_session):
+    ds = ray.data.read_parquet(f"{SF}/events.parquet")
+    assert shuffle_count(ds) == 0
+    assert shuffle_count(ds.map_batches(lambda b: b)) == 0
+    assert shuffle_count(ds.groupby("event_type").count()) == 1
+    assert shuffle_count(ds.sort("event_id")) == 1
+    two = ds.groupby("event_type").count().sort("event_type")
+    assert shuffle_count(two) == 2
+
+
+def test_plan_summary_shape(ray_session):
+    ds = ray.data.read_parquet(f"{SF}/events.parquet").groupby("event_type").count()
+    s = plan_summary(ds)
+    assert s["shuffles"] == 1
+    assert s["depth"] >= 2
+    assert sum(s["ops"].values()) >= 2
+
+
+def test_assert_max_shuffles_raises(ray_session):
+    ds = ray.data.read_parquet(f"{SF}/events.parquet").groupby("event_type").count()
+    assert_max_shuffles(ds, 1, "grouped count")
+    with pytest.raises(AssertionError, match="budget"):
+        assert_max_shuffles(ds, 0, "grouped count")
+
+
+# -- budgets for the repo's own pipelines (Dataset-returning queries) --
+
+BUDGETS = {
+    # partial-agg then one small groupby
+    "doc_stats": 1,
+    "dedup_exact": 1,
+    "top_events_per_type": 1,
+    # row-local map pipelines: zero exchanges
+    "token_stats": 0,
+    "quality": 0,
+    "fingerprint": 0,
+    "lang_id": 0,
+    "validate_events": 0,
+    "chunk_documents": 0,
+    # one co-locating partition shuffle
+    "sessionize": 1,
+    "assign_sessions": 1,
+    "distinct_users_per_type": 2,  # partitioned_map + final grouped sum
+}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_query_shuffle_budget(ray_session, name):
+    from pdf_parser_ray.queries import QUERIES
+
+    ds = QUERIES[name](SF)
+    assert isinstance(ds, ray.data.Dataset), "budget test needs a lazy Dataset"
+    assert_max_shuffles(ds, BUDGETS[name], name)
+
+
+def test_tumbling_counts_single_shuffle(ray_session):
+    from pdf_parser_ray.ops.windows import tumbling_counts
+
+    ds = ray.data.read_parquet(
+        f"{SF}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    assert_max_shuffles(tumbling_counts(ds, unit="hour"), 1, "tumbling_counts")
+
+
+def test_extraction_flagship_zero_shuffle(ray_session, tmp_path):
+    """The headline pipeline moves every block exactly never."""
+    from pdf_parser_ray.corpus import ensure_corpus
+    from pdf_parser_ray.pipelines import extract_corpus, read_corpus
+
+    ds = extract_corpus(read_corpus(ensure_corpus(200, seed=7)))
+    assert_max_shuffles(ds, 0, "extract_corpus")
