@@ -167,6 +167,88 @@ def _distinct_keys(parent: ray.data.Dataset, pk: str) -> np.ndarray:
     return np.unique(np.fromiter((r[pk] for r in parts), dtype="int64"))
 
 
+def grouped_corr(
+    ds: ray.data.Dataset,
+    x: str,
+    y: str,
+    by: str,
+    *,
+    round_to: int = 4,
+) -> ray.data.Dataset:
+    """Pearson correlation of two numeric columns per group, from
+    one-pass sufficient statistics: each batch folds to one
+    (group, n, Σx, Σy, Σxx, Σyy, Σxy) row, a group-cardinality groupby
+    sums them, and the closed-form estimate runs on the tiny aggregate.
+    Shuffle volume is O(batches x groups); rows with a NULL in either
+    column are excluded (SQL corr semantics).
+
+    The final value is the naive-sums formula
+    (nΣxy − ΣxΣy) / sqrt((nΣxx − Σx²)(nΣyy − Σy²)) rounded to
+    ``round_to`` — the SQL twin spells out the SAME expression tree over
+    its own sums, so cross-engine drift is limited to last-ulp
+    summation noise on the Σ terms, far inside the rounding.  Groups
+    with zero variance in either column yield NULL (dropped).
+
+    Output: (by, n:int64, corr:float64), one row per group.
+    """
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.io_utils import arrow_out
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        d = df[[by, x, y]].dropna(subset=[x, y])
+        xs = d[x].astype("float64")
+        ys = d[y].astype("float64")
+        g = (
+            pd.DataFrame(
+                {
+                    by: d[by],
+                    "n": 1,
+                    "sx": xs,
+                    "sy": ys,
+                    "sxx": xs * xs,
+                    "syy": ys * ys,
+                    "sxy": xs * ys,
+                }
+            )
+            .groupby(by, as_index=False)
+            .sum()
+        )
+        g["n"] = g["n"].astype("int64")
+        return arrow_out(g)
+
+    sums = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(by)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"),
+            Sum("sxy", alias_name="sxy"),
+        )
+    )
+
+    def finalize(df: pd.DataFrame) -> pa.Table:
+        n = df["n"].astype("float64")
+        cov = n * df["sxy"] - df["sx"] * df["sy"]
+        vx = n * df["sxx"] - df["sx"] ** 2
+        vy = n * df["syy"] - df["sy"] ** 2
+        denom = np.sqrt(vx * vy)
+        out = pd.DataFrame(
+            {
+                by: df[by],
+                "n": df["n"].astype("int64"),
+                "corr": np.round(cov / denom, round_to),
+            }
+        )
+        out = out[np.isfinite(out["corr"])]
+        return arrow_out(out)
+
+    return sums.map_batches(finalize, batch_format="pandas")
+
+
 def orphan_count(
     child: ray.data.Dataset, fk: str, parent: ray.data.Dataset, pk: str
 ) -> tuple[int, int]:

@@ -2027,6 +2027,19 @@ def q_profile_events(sf_dir: str) -> pd.DataFrame:
     return profile_table(_read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_price_qty_corr(sf_dir: str) -> ray.data.Dataset:
+    """Grouped Pearson correlation (quantity vs extended price per
+    return flag) from one-pass sufficient statistics; both engines
+    evaluate the SAME naive-sums expression tree, rounded 4dp."""
+    from pdf_parser_ray.ops.profile import grouped_corr
+
+    ds = _read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    return grouped_corr(ds, "l_quantity", "l_extendedprice", "l_returnflag")
+
+
 def q_ri_audit(sf_dir: str) -> pd.DataFrame:
     """Referential-integrity audit over the TPC-H star schema: orphan
     foreign keys per relation.  Parent key sets are built distributed
@@ -3583,6 +3596,30 @@ SQL["profile_events"] = """
     ) ORDER BY col_name
 """
 
+# Grouped Pearson correlation, spelled as the SAME naive-sums expression
+# tree the Ray side evaluates (NOT corr(): DuckDB's single-pass Welford
+# update is a numerically different algorithm; identical trees over the
+# Σ terms keep cross-engine drift at last-ulp, far inside round-4).
+SQL["price_qty_corr"] = """
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*)::BIGINT AS n,
+             sum(l_quantity::DOUBLE) AS sx,
+             sum(l_extendedprice::DOUBLE) AS sy,
+             sum(l_quantity::DOUBLE * l_quantity::DOUBLE) AS sxx,
+             sum(l_extendedprice::DOUBLE * l_extendedprice::DOUBLE) AS syy,
+             sum(l_quantity::DOUBLE * l_extendedprice::DOUBLE) AS sxy
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS corr
+    FROM s
+    WHERE (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+"""
+
 # Orphan FKs per relation; parents deduped before the LEFT JOIN so a
 # (hypothetically) duplicated parent key can't inflate child counts.
 SQL["ri_audit"] = """
@@ -3767,5 +3804,6 @@ QUERIES = {
     "validate_events": q_validate_events,
     "profile_events": q_profile_events,
     "ri_audit": q_ri_audit,
+    "price_qty_corr": q_price_qty_corr,
     "audio_fp_groups": q_audio_fp_groups,
 }

@@ -5,7 +5,12 @@ import pandas as pd
 import pytest
 import ray.data
 
-from pdf_parser_ray.ops.profile import orphan_count, profile_table, ri_audit
+from pdf_parser_ray.ops.profile import (
+    grouped_corr,
+    orphan_count,
+    profile_table,
+    ri_audit,
+)
 
 
 @pytest.fixture()
@@ -76,6 +81,33 @@ def test_orphan_count_with_planted_orphans(ray_session):
     n, orphans = orphan_count(child, "fk", parent, "pk")
     assert n == 6
     assert orphans == 2  # fk=4 has no parent; NULL fk references nothing
+
+
+def test_grouped_corr_matches_numpy(ray_session):
+    rng = np.random.RandomState(11)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "g": np.repeat(["a", "b"], n // 2),
+            "x": rng.randn(n),
+        }
+    )
+    df["y"] = 0.7 * df["x"] + 0.3 * rng.randn(n)
+    # nulls excluded pairwise; a constant group is dropped
+    df.loc[5, "x"] = None
+    df.loc[7, "y"] = None
+    const = pd.DataFrame({"g": ["c"] * 4, "x": [1.0] * 4, "y": rng.randn(4)})
+    full = pd.concat([df, const], ignore_index=True)
+
+    ds = ray.data.from_pandas([full.iloc[:150], full.iloc[150:]])
+    out = grouped_corr(ds, "x", "y", "g").to_pandas().set_index("g")
+
+    assert "c" not in out.index  # zero x-variance -> dropped
+    for g in ["a", "b"]:
+        sub = full[(full["g"] == g)].dropna(subset=["x", "y"])
+        expect = np.corrcoef(sub["x"], sub["y"])[0, 1]
+        assert out.loc[g, "n"] == len(sub)
+        assert abs(out.loc[g, "corr"] - round(expect, 4)) <= 1e-4
 
 
 def test_ri_audit_shape(ray_session):
