@@ -578,3 +578,69 @@ def validate_rows(
         )
 
     return ds.map_batches(check, batch_format="pandas")
+
+
+def snapshot_diff(
+    old: ray.data.Dataset,
+    new: ray.data.Dataset,
+    *,
+    key: str = "doc_id",
+    fp_col: str = "fp",
+    n_parts: int | None = None,
+) -> ray.data.Dataset:
+    """Corpus-version diff: which keys were added, removed, or changed
+    between two snapshots — the primitive an iterating curation
+    pipeline runs before re-training (what did this filter tweak
+    actually touch?).
+
+    Both inputs carry only (key, fp_col) where fp_col is any equality
+    fingerprint (md5 of the payload — never the payload itself; the
+    shuffle moves 2 small columns per row regardless of document size).
+    Shape: tag each side, one int-keyed co-location on ``key``
+    (ops.shuffle.partitioned_map), vectorized per-partition compare.
+    Unchanged keys are dropped.
+
+    Output: (key, change:str in {'added','removed','changed'}).
+    """
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    def tag(side: int):
+        def fn(df: pd.DataFrame) -> "object":
+            return arrow_out(
+                pd.DataFrame(
+                    {key: df[key].astype("int64"),
+                     fp_col: df[fp_col].astype(str),
+                     "__src": np.int64(side)}
+                )
+            )
+
+        return fn
+
+    tagged = old.map_batches(tag(0), batch_format="pandas").union(
+        new.map_batches(tag(1), batch_format="pandas")
+    )
+
+    def diff_partition(part: pd.DataFrame) -> pd.DataFrame:
+        # every row of a key is in this partition: pivot by side
+        o = part[part["__src"] == 0].set_index(key)[fp_col]
+        n = part[part["__src"] == 1].set_index(key)[fp_col]
+        both = o.index.intersection(n.index)
+        changed = both[(o[both] != n[both]).to_numpy()]
+        added = n.index.difference(o.index)
+        removed = o.index.difference(n.index)
+        return pd.DataFrame(
+            {
+                key: np.concatenate(
+                    [added.to_numpy(), removed.to_numpy(), changed.to_numpy()]
+                ).astype("int64"),
+                "change": (["added"] * len(added)
+                           + ["removed"] * len(removed)
+                           + ["changed"] * len(changed)),
+            }
+        )
+
+    return partitioned_map(
+        tagged, [key], diff_partition,
+        **({"n_parts": n_parts} if n_parts else {}),
+    )

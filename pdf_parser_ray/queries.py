@@ -2040,6 +2040,46 @@ def q_price_qty_corr(sf_dir: str) -> ray.data.Dataset:
     return grouped_corr(ds, "l_quantity", "l_extendedprice", "l_returnflag")
 
 
+def q_snapshot_diff(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-version diff (added/removed/changed doc_ids) between the
+    documents table and a deterministically derived v2 snapshot (drop
+    %13, edit %7, add %11 under new ids) — the fingerprints shuffle,
+    never the text."""
+    import hashlib
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.curation import snapshot_diff
+
+    def fp(df: pd.DataFrame) -> pa.Table:
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].astype("int64"),
+                    "fp": df["text"].fillna("").map(
+                        lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()
+                    ),
+                }
+            )
+        )
+
+    def v2(df: pd.DataFrame) -> pa.Table:
+        keep = df[df["doc_id"] % 13 != 0].copy()
+        m = keep["doc_id"] % 7 == 0
+        keep.loc[m, "text"] = keep.loc[m, "text"] + " v2"
+        added = df[df["doc_id"] % 11 == 0].copy()
+        added["doc_id"] = added["doc_id"] + 1_000_000_000
+        return arrow_out(pd.concat([keep, added], ignore_index=True))
+
+    docs = _documents(sf_dir)
+    old = docs.map_batches(fp, batch_format="pandas")
+    new = (
+        _documents(sf_dir)
+        .map_batches(v2, batch_format="pandas")
+        .map_batches(fp, batch_format="pandas")
+    )
+    return snapshot_diff(old, new)
+
+
 def q_ri_audit(sf_dir: str) -> pd.DataFrame:
     """Referential-integrity audit over the TPC-H star schema: orphan
     foreign keys per relation.  Parent key sets are built distributed
@@ -3596,6 +3636,27 @@ SQL["profile_events"] = """
     ) ORDER BY col_name
 """
 
+# Snapshot diff: v2 derived by the same deterministic rules on both
+# sides; md5 over UTF-8 text bytes matches hashlib.md5 exactly.
+SQL["snapshot_diff"] = """
+    WITH v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000000 AS doc_id, text
+      FROM documents WHERE doc_id % 11 = 0
+    ),
+    o AS (SELECT doc_id, md5(coalesce(text, '')) AS fp FROM documents),
+    n AS (SELECT doc_id, md5(coalesce(text, '')) AS fp FROM v2)
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS change
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.fp <> n.fp
+"""
+
 # Grouped Pearson correlation, spelled as the SAME naive-sums expression
 # tree the Ray side evaluates (NOT corr(): DuckDB's single-pass Welford
 # update is a numerically different algorithm; identical trees over the
@@ -3805,5 +3866,6 @@ QUERIES = {
     "profile_events": q_profile_events,
     "ri_audit": q_ri_audit,
     "price_qty_corr": q_price_qty_corr,
+    "snapshot_diff": q_snapshot_diff,
     "audio_fp_groups": q_audio_fp_groups,
 }

@@ -549,3 +549,38 @@ class TestValidateRows:
             (4, "lang_set"),       # null fails not_null
             (3, "code_fmt"),       # 'bad!' no fullmatch
         }
+
+
+class TestSnapshotDiff:
+    def test_added_removed_changed(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.curation import snapshot_diff
+
+        old = pd.DataFrame(
+            {"doc_id": [1, 2, 3, 4], "fp": ["a", "b", "c", "d"]}
+        )
+        new = pd.DataFrame(
+            {"doc_id": [2, 3, 4, 9], "fp": ["b", "CHANGED", "d", "z"]}
+        )
+        out = (
+            snapshot_diff(
+                ray.data.from_pandas([old.iloc[:2], old.iloc[2:]]),
+                ray.data.from_pandas(new),
+            )
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        assert list(out["doc_id"]) == [1, 3, 9]
+        assert list(out["change"]) == ["removed", "changed", "added"]
+
+    def test_identical_snapshots_empty(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.curation import snapshot_diff
+
+        df = pd.DataFrame({"doc_id": [1, 2], "fp": ["a", "b"]})
+        out = snapshot_diff(
+            ray.data.from_pandas(df), ray.data.from_pandas(df.copy())
+        )
+        assert out.count() == 0
