@@ -75,6 +75,9 @@ BENCH_QUERIES = [
     # round-2 session-3 additions
     "profile_events",
     "ri_audit",
+    "price_qty_corr",
+    "snapshot_diff",
+    "part_triangles",
 ]
 
 

@@ -2080,6 +2080,23 @@ def q_snapshot_diff(sf_dir: str) -> ray.data.Dataset:
     return snapshot_diff(old, new)
 
 
+def q_part_triangles(sf_dir: str) -> pd.DataFrame:
+    """Graph-analytics scalar: triangle count of the part co-purchase
+    graph (parts sharing an order).  Edges from one order co-location
+    + pair-count groupby; triangles via distributed wedge enumeration
+    against the broadcast edge set (1.2M edges / 1.9M triangles at
+    sf0.1 — 9.5 MB broadcast)."""
+    from pdf_parser_ray.ops.dedup import cooccur_edges, triangle_count
+
+    li = _read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    edges = cooccur_edges(
+        li, group_col="l_orderkey", item_col="l_partkey", min_count=1
+    )
+    return triangle_count(edges)
+
+
 def q_ri_audit(sf_dir: str) -> pd.DataFrame:
     """Referential-integrity audit over the TPC-H star schema: orphan
     foreign keys per relation.  Parent key sets are built distributed
@@ -3636,6 +3653,25 @@ SQL["profile_events"] = """
     ) ORDER BY col_name
 """
 
+# Triangle count over the part co-purchase graph.  Edges stored a<b so
+# the 3-way self-join (a,b)-(b,c)-(a,c) counts each triangle once.
+SQL["part_triangles"] = """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT x.l_partkey AS a, y.l_partkey AS b
+      FROM op x JOIN op y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 1
+    )
+    SELECT (SELECT count(*) FROM e)::BIGINT AS n_edges,
+           (SELECT count(*)
+              FROM e e1
+              JOIN e e2 ON e2.a = e1.b
+              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)::BIGINT
+             AS n_triangles
+"""
+
 # Snapshot diff: v2 derived by the same deterministic rules on both
 # sides; md5 over UTF-8 text bytes matches hashlib.md5 exactly.
 SQL["snapshot_diff"] = """
@@ -3867,5 +3903,6 @@ QUERIES = {
     "ri_audit": q_ri_audit,
     "price_qty_corr": q_price_qty_corr,
     "snapshot_diff": q_snapshot_diff,
+    "part_triangles": q_part_triangles,
     "audio_fp_groups": q_audio_fp_groups,
 }

@@ -2133,3 +2133,53 @@ class TestPagerankEmpty:
         # Ray's to_pandas() drops the schema of a fully-empty dataset,
         # so only emptiness is assertable here
         assert len(out) == 0
+
+
+class TestTriangles:
+    def test_cooccur_edges_threshold_and_order(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import cooccur_edges
+
+        df = pd.DataFrame(
+            {
+                "g": [1, 1, 1, 2, 2, 2, 3, 3, 3],
+                "i": [10, 20, 30, 10, 20, 40, 20, 10, 10],  # dup (3,10)
+            }
+        )
+        out = (
+            cooccur_edges(
+                ray.data.from_pandas([df.iloc[:5], df.iloc[5:]]),
+                group_col="g", item_col="i", min_count=2,
+            )
+            .to_pandas()
+            .sort_values(["a", "b"], ignore_index=True)
+        )
+        # (10,20) appears in groups 1,2,3; nothing else repeats
+        assert out.to_dict("list") == {"a": [10], "b": [20], "n": [3]}
+
+    def test_triangle_count_known_graph(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import triangle_count
+
+        # K4 on {1,2,3,4} (4 triangles) plus a pendant edge (4,9)
+        edges = pd.DataFrame(
+            {"a": [1, 1, 1, 2, 2, 3, 4], "b": [2, 3, 4, 3, 4, 4, 9]}
+        )
+        out = triangle_count(
+            ray.data.from_pandas([edges.iloc[:4], edges.iloc[4:]])
+        )
+        assert out.loc[0, "n_edges"] == 7
+        assert out.loc[0, "n_triangles"] == 4
+
+    def test_triangle_count_empty(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import triangle_count
+
+        empty = pd.DataFrame(
+            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
+        )
+        out = triangle_count(ray.data.from_pandas(empty))
+        assert out.loc[0, "n_edges"] == 0 and out.loc[0, "n_triangles"] == 0
