@@ -573,3 +573,56 @@ def bernoulli_gate(
         return df[h < thr]
 
     return ds.map_batches(gate, batch_format="pandas")
+
+
+def weighted_sample_topk(
+    ds: "ray.data.Dataset",
+    k: int,
+    *,
+    weight_col: str,
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> "ray.data.Dataset":
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis–Spirakis A-Res scheme with md5-derived uniforms: row i
+    gets key u_i^(1/w_i), u_i = (first-12-hex(md5(str(id))) + 1) /
+    (2^48 + 1), and the global top-k keys win.  Rerun- and
+    partitioning-invariant (no RNG state), exactly the property a
+    resumable 100-TB mixing job needs; inclusion probability follows
+    the weights.
+
+    Shape: per-batch partial top-k (each batch keeps its k best — the
+    only rows that can survive globally), then one tiny sort-limit.
+    Keys are ROUNDED to ``round_to`` before selection with an id
+    tie-break, so a SQL twin using the same expression picks the same
+    rows despite cross-engine pow() last-ulp noise.
+
+    Output: (id_col, wkey:float64), ordered (wkey DESC, id ASC), k rows.
+    """
+    import hashlib
+
+    from pdf_parser_ray.io_utils import arrow_out
+
+    denom = float(2**48 + 1)
+
+    def partial(df: pd.DataFrame):
+        ids = df[id_col].astype("int64")
+        u = (
+            ids.map(
+                lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+            ).astype("float64")
+            + 1.0
+        ) / denom
+        w = df[weight_col].astype("float64").to_numpy()
+        wkey = np.round(np.power(u.to_numpy(), 1.0 / w), round_to)
+        out = pd.DataFrame({id_col: ids, "wkey": wkey})
+        out = out.sort_values(
+            ["wkey", id_col], ascending=[False, True]
+        ).head(k)
+        return arrow_out(out)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .sort(["wkey", id_col], descending=[True, False])
+        .limit(k)
+    )

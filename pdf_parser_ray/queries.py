@@ -2097,6 +2097,26 @@ def q_part_triangles(sf_dir: str) -> pd.DataFrame:
     return triangle_count(edges)
 
 
+def q_weighted_sample_docs(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic weighted sample (Efraimidis–Spirakis A-Res, md5
+    uniforms): top-20 docs by u^(1/(n_chars+1)) — longer docs win more
+    often, reruns and repartitions pick identical rows."""
+    from pdf_parser_ray.ops.webtext import weighted_sample_topk
+
+    ds = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def add_w(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "w": df["n_chars"].astype("float64") + 1.0}
+        )
+
+    return weighted_sample_topk(
+        ds.map_batches(add_w, batch_format="pandas"), 20, weight_col="w"
+    )
+
+
 def q_ri_audit(sf_dir: str) -> pd.DataFrame:
     """Referential-integrity audit over the TPC-H star schema: orphan
     foreign keys per relation.  Parent key sets are built distributed
@@ -3653,6 +3673,19 @@ SQL["profile_events"] = """
     ) ORDER BY col_name
 """
 
+# Efraimidis–Spirakis weighted sample: identical key expression on both
+# sides (md5 12-hex uniform, pow, round-6, id tie-break); ('0x'||hex)::
+# UBIGINT matches Python int(hex, 16) exactly.
+SQL["weighted_sample_docs"] = """
+    SELECT doc_id,
+           round(pow((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                          ::UBIGINT + 1) / 281474976710657.0,
+                     1.0 / (n_chars + 1.0)), 6) AS wkey
+    FROM documents
+    ORDER BY wkey DESC, doc_id ASC
+    LIMIT 20
+"""
+
 # Triangle count over the part co-purchase graph.  Edges stored a<b so
 # the 3-way self-join (a,b)-(b,c)-(a,c) counts each triangle once.
 SQL["part_triangles"] = """
@@ -3904,5 +3937,6 @@ QUERIES = {
     "price_qty_corr": q_price_qty_corr,
     "snapshot_diff": q_snapshot_diff,
     "part_triangles": q_part_triangles,
+    "weighted_sample_docs": q_weighted_sample_docs,
     "audio_fp_groups": q_audio_fp_groups,
 }

@@ -4,6 +4,7 @@ none), stratified hash sampling."""
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 import pytest
 import ray.data
@@ -232,3 +233,31 @@ class TestPerGroupCap:
             {"source": ["a", "a", "a", "b", "b"], "doc_id": [1, 2, 5, 50, 100]}
         )
         pd.testing.assert_frame_equal(out, want)
+
+
+class TestWeightedSampleTopk:
+    def test_partition_invariant_and_weight_biased(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.webtext import weighted_sample_topk
+
+        n = 600
+        df = pd.DataFrame({"doc_id": np.arange(n, dtype="int64")})
+        # second half gets 50x the weight
+        df["w"] = np.where(df["doc_id"] >= n // 2, 50.0, 1.0)
+
+        one = weighted_sample_topk(
+            ray.data.from_pandas(df), 30, weight_col="w"
+        ).to_pandas()
+        many = weighted_sample_topk(
+            ray.data.from_pandas([df.iloc[:100], df.iloc[100:350], df.iloc[350:]]),
+            30, weight_col="w",
+        ).to_pandas()
+
+        # identical rows in identical order regardless of partitioning
+        pd.testing.assert_frame_equal(one, many)
+        assert len(one) == 30
+        # keys ordered descending with id tie-break
+        assert list(one["wkey"]) == sorted(one["wkey"], reverse=True)
+        # the 50x-weighted half should dominate the sample
+        assert (one["doc_id"] >= n // 2).sum() >= 25
