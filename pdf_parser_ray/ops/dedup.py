@@ -1042,7 +1042,7 @@ def duplicate_windows(
         ds.map_batches(emit, batch_format="pandas")
         .groupby("win_hash")
         .aggregate(Count(alias_name="n_docs"), Sum("cnt", alias_name="n_occ"))
-        .filter(lambda r: r["n_docs"] >= min_docs)
+        .filter(expr=f"n_docs >= {int(min_docs)}")  # vectorized, not per-row
     )
 
     def cast(df: pd.DataFrame) -> pd.DataFrame:

@@ -361,7 +361,7 @@ def image_phash_groups(
     groups = (
         hashed.groupby("phash")
         .aggregate(Count(alias_name="n_images"))
-        .filter(lambda r: r["n_images"] >= min_size)
+        .filter(expr=f"n_images >= {int(min_size)}")  # vectorized
     )
 
     def cast(df) -> "object":
@@ -446,7 +446,7 @@ def audio_fingerprint_groups(
     groups = (
         hashed.groupby("afp")
         .aggregate(Count(alias_name="n_clips"))
-        .filter(lambda r: r["n_clips"] >= min_size)
+        .filter(expr=f"n_clips >= {int(min_size)}")  # vectorized
     )
 
     def cast(df) -> "object":

@@ -161,3 +161,31 @@ def write_range_partitioned(
         out_dir, partition_cols=["range_id"]
     )
     return [float(x) for x in bounds]
+
+
+def grouped_sum(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_cols: list[str],
+    *,
+    n_parts: int = DEFAULT_PARTS,
+) -> ray.data.Dataset:
+    """Exact grouped sums via int-keyed co-location — the drop-in
+    replacement for ``groupby(keys).aggregate(Sum(...))`` on HIGH-
+    cardinality keys.  Ray 2.49's streaming sort-aggregate degrades
+    badly there (measured on the 150k-key Q18 rollup at sf0.1/32 CPUs:
+    25.7 s fused groupby().aggregate() vs 2.8 s this way; its
+    AggregateReduce burned 550 s of CPU on 580k rows).  Feed it the
+    usual per-batch partials; each key lands in exactly one partition,
+    so the C-speed pandas sum inside is the global sum.
+
+    Output: keys + value_cols, one row per distinct key tuple.
+    """
+    from pdf_parser_ray.io_utils import arrow_out
+
+    def sum_partition(part: pd.DataFrame):
+        return arrow_out(
+            part.groupby(list(keys), as_index=False)[list(value_cols)].sum()
+        )
+
+    return partitioned_map(ds, list(keys), sum_partition, n_parts=n_parts)
