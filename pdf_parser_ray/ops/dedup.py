@@ -53,10 +53,12 @@ def exact_dedup(ds: ray.data.Dataset) -> ray.data.Dataset:
     Mirrors reference-D5's keep-first semantics at corpus scale
     (SURVEY.md §2.7); SQL oracle: GROUP BY md5(normalized) → min(doc_id).
     """
-    from ray.data.aggregate import Min
+    from pdf_parser_ray.ops.shuffle import grouped_agg
 
     partial = ds.map_batches(exact_hash_batch, batch_format="pandas")
-    return partial.groupby("text_hash").aggregate(Min("doc_id", alias_name="doc_id"))
+    # hash keys are corpus-cardinality → co-location min, not the
+    # streaming sort-aggregate (ops/shuffle.grouped_sum rationale)
+    return grouped_agg(partial, ["text_hash"], {"doc_id": ("doc_id", "min")})
 
 
 # ---------------------------------------------------------------- shingles
@@ -358,10 +360,12 @@ def minhash_lsh_pairs(
         .groupby("part")
         .map_groups(emit_pairs_partition, batch_format="pandas")
     )
-    # A pair can surface from several bands → keep one row (max estimate).
-    from ray.data.aggregate import Max
+    # A pair can surface from several bands → keep one row (max estimate);
+    # pair-cardinality keys → co-location max, not the streaming
+    # sort-aggregate (ops/shuffle.grouped_sum rationale)
+    from pdf_parser_ray.ops.shuffle import grouped_agg
 
-    return pairs.groupby(["a", "b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
+    return grouped_agg(pairs, ["a", "b"], {"est_jaccard": ("est_jaccard", "max")})
 
 
 def _minhash_pairs_join(
@@ -418,18 +422,20 @@ def _minhash_pairs_join(
         df["part"] = (df["band_hash"].to_numpy() % n_parts).astype("int64")
         return df
 
-    from ray.data.aggregate import Count
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    def pair_distinct(part: pd.DataFrame):
+        return arrow_out(part.drop_duplicates())  # distinct across bands
 
     n_parts = 512
-    cand = (
+    cand = partitioned_map(
         exploded.map_batches(
             add_part, fn_kwargs={"n_parts": n_parts}, batch_format="pandas"
         )
         .groupby("part")
-        .map_groups(emit_candidates, batch_format="pandas")
-        .groupby(["a", "b"])                      # distinct across bands
-        .aggregate(Count(alias_name="__n_bands"))
-        .drop_columns(["__n_bands"])
+        .map_groups(emit_candidates, batch_format="pandas"),
+        ["a", "b"],
+        pair_distinct,
     )
 
     def rename(col_from: str, col_to: str, sig_to: str):
@@ -679,10 +685,11 @@ def embedding_dup_pairs(
         coded, ["band_id", "code"], bucket_pairs, drop_singletons=True,
         **({"n_parts": n_parts} if n_parts else {}),
     )
-    # a pair surfaces once per agreeing band → keep one row (cosines equal)
-    from ray.data.aggregate import Max
+    # a pair surfaces once per agreeing band → keep one row (cosines equal);
+    # pair-cardinality keys → co-location max
+    from pdf_parser_ray.ops.shuffle import grouped_agg
 
-    return pairs.groupby(["a", "b"]).aggregate(Max("cosine", alias_name="cosine"))
+    return grouped_agg(pairs, ["a", "b"], {"cosine": ("cosine", "max")})
 
 
 def simhash_groups(
@@ -788,7 +795,9 @@ def simhash_near_pairs(
         exploded, ["band_id", "band_val"], bucket_pairs, drop_singletons=True,
         **({"n_parts": n_parts} if n_parts else {}),
     )
-    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+    from pdf_parser_ray.ops.shuffle import grouped_agg
+
+    return grouped_agg(pairs, ["a", "b"], {"hamming": ("hamming", "min")})
 
 
 # ------------------------------------------------- connected components
@@ -1038,12 +1047,19 @@ def duplicate_windows(
             }
         )
 
-    agg = (
-        ds.map_batches(emit, batch_format="pandas")
-        .groupby("win_hash")
-        .aggregate(Count(alias_name="n_docs"), Sum("cnt", alias_name="n_occ"))
-        .filter(expr=f"n_docs >= {int(min_docs)}")  # vectorized, not per-row
-    )
+    from pdf_parser_ray.ops.shuffle import grouped_agg
+
+    def gate(t: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t.column("n_docs"), min_docs))
+
+    # win_hash is window-cardinality → co-location aggregate
+    agg = grouped_agg(
+        ds.map_batches(emit, batch_format="pandas"),
+        ["win_hash"],
+        {"n_docs": ("win_hash", "size"), "n_occ": ("cnt", "sum")},
+    ).map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
 
     def cast(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -1160,9 +1176,9 @@ def fuzzy_string_pairs(
         exploded, ["variant"], bucket_pairs, drop_singletons=True,
         **({"n_parts": n_parts} if n_parts else {}),
     )
-    deduped = pairs.groupby(["a", "b"]).aggregate(
-        Min("dist", alias_name="dist")
-    )
+    from pdf_parser_ray.ops.shuffle import grouped_agg
+
+    deduped = grouped_agg(pairs, ["a", "b"], {"dist": ("dist", "min")})
 
     def cast(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({

@@ -189,3 +189,35 @@ def grouped_sum(
         )
 
     return partitioned_map(ds, list(keys), sum_partition, n_parts=n_parts)
+
+
+def grouped_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    spec: dict[str, tuple[str, str]],
+    *,
+    n_parts: int = DEFAULT_PARTS,
+) -> ray.data.Dataset:
+    """General co-location aggregate for HIGH-cardinality keys — the
+    ``grouped_sum`` rationale extended to any pandas reduction.
+
+    ``spec`` maps output column -> (input column, reduction name), e.g.
+    ``{"n_docs": ("win_hash", "size"), "n_occ": ("cnt", "sum")}``;
+    reduction names are pandas GroupBy aggregations ("sum", "min",
+    "max", "size", "mean", ...).  Exact because each key tuple lands in
+    exactly one partition.
+
+    Output: keys + spec keys, one row per distinct key tuple.
+    """
+    from pdf_parser_ray.io_utils import arrow_out
+
+    named = {out: pd.NamedAgg(column=c, aggfunc=f) for out, (c, f) in spec.items()}
+
+    def agg_partition(part: pd.DataFrame):
+        g = part.groupby(list(keys), as_index=False).agg(**named)
+        for out, (_c, f) in spec.items():
+            if f == "size":
+                g[out] = g[out].astype("int64")
+        return arrow_out(g)
+
+    return partitioned_map(ds, list(keys), agg_partition, n_parts=n_parts)
