@@ -835,8 +835,6 @@ def key_set_op(
 
     Output: the key columns, one row per qualifying distinct key.
     """
-    from ray.data.aggregate import Max
-
     if op not in ("intersect", "except"):
         raise ValueError(f"op must be intersect|except, got {op!r}")
     on = list(on)
@@ -852,11 +850,14 @@ def key_set_op(
 
         return fn
 
+    from pdf_parser_ray.ops.shuffle import grouped_agg
+
     tagged = left.select_columns(on).map_batches(
         tag(1, 0), batch_format="pandas"
     ).union(right.select_columns(on).map_batches(tag(0, 1), batch_format="pandas"))
-    agg = tagged.groupby(on).aggregate(
-        Max("in_l", alias_name="in_l"), Max("in_r", alias_name="in_r")
+    # distinct-key cardinality → co-location max (grouped_sum rationale)
+    agg = grouped_agg(
+        tagged, on, {"in_l": ("in_l", "max"), "in_r": ("in_r", "max")}
     )
     want_r = 1 if op == "intersect" else 0
 
@@ -955,7 +956,7 @@ def order_priority_counts(sf_dir: str) -> ray.data.Dataset:
 
     Output: (o_orderpriority, n_orders:int64).
     """
-    from ray.data.aggregate import Max, Sum
+    from ray.data.aggregate import Sum
 
     li = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
@@ -969,10 +970,12 @@ def order_priority_counts(sf_dir: str) -> ray.data.Dataset:
         g = t.group_by("l_orderkey").aggregate([("l_shipdate", "max")])
         return g.rename_columns(["o_orderkey", "max_ship"])
 
-    latest = (
-        li.map_batches(max_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("o_orderkey")
-        .aggregate(Max("max_ship", alias_name="max_ship"))
+    from pdf_parser_ray.ops.shuffle import grouped_agg
+
+    # order-cardinality key → co-location max (grouped_sum rationale)
+    latest = grouped_agg(
+        li.map_batches(max_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_orderkey"], {"max_ship": ("max_ship", "max")},
     )
     orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
@@ -1015,10 +1018,14 @@ def order_count_distribution(sf_dir: str) -> pd.DataFrame:
         g = t.group_by("o_custkey").aggregate([("o_custkey", "count")])
         return g.rename_columns(["c_custkey", "n_orders"])
 
-    per_cust = (
-        orders.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("c_custkey")
-        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    from pdf_parser_ray.ops.shuffle import grouped_sum
+
+    # customer-cardinality key → co-location sum (grouped_sum rationale)
+    per_cust = grouped_sum(
+        orders.map_batches(
+            count_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["c_custkey"], ["n_orders"],
     )
 
     def hist_partial(t: pa.Table) -> pa.Table:
