@@ -677,9 +677,12 @@ def top_orders_by_revenue(sf_dir: str, segment: str = "BUILDING", k: int = 10) -
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
 
-    # ONE hash-join shuffle (fact ⋈ filtered fact), then per-batch partial
-    # revenue aggregation so the groupby shuffle moves partial rows only.
-    joined = hash_join(lineitem, orders, on=("l_orderkey",))
+    # ONE co-location join shuffle (fact ⋈ filtered fact), then per-batch
+    # partial revenue aggregation so the groupby moves partial rows only.
+    joined = colo_join(
+        lineitem, orders, ("l_orderkey",),
+        ["l_extendedprice", "l_discount"], ["o_orderdate"],
+    )
 
     def revenue_partial(t: pa.Table) -> pa.Table:
         # Arrow partial (not pandas): pandas-format blocks feeding a
@@ -981,7 +984,10 @@ def order_priority_counts(sf_dir: str) -> ray.data.Dataset:
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
     )
-    joined = hash_join(orders, latest, on=("o_orderkey",))
+    joined = colo_join(
+        orders, latest, ("o_orderkey",),
+        ["o_orderdate", "o_orderpriority"], ["max_ship"],
+    )
 
     def count_partial(df: pd.DataFrame) -> pd.DataFrame:
         keep = df[df["max_ship"] > df["o_orderdate"]]
@@ -1100,7 +1106,11 @@ def nation_revenue(sf_dir: str, region: str = "ASIA") -> ray.data.Dataset:
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
-    joined = hash_join(li, orders, on=("l_orderkey",))
+    joined = colo_join(
+        li, orders, ("l_orderkey",),
+        ["l_suppkey", "l_extendedprice", "l_discount"],
+        ["c_nationkey", "n_name"],
+    )
     enriched = broadcast_merge(joined, supp, on="l_suppkey")
 
     def revenue_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -1276,7 +1286,10 @@ def nation_profit(sf_dir: str) -> ray.data.Dataset:
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
-    joined = hash_join(li, orders, on=("l_orderkey",))
+    joined = colo_join(
+        li, orders, ("l_orderkey",),
+        ["l_suppkey", "l_extendedprice", "l_discount"], ["o_year"],
+    )
     enriched = broadcast_merge(joined, dim, on="l_suppkey")
 
     # Exact integer-cents arithmetic: prices and discounts are exact
@@ -1358,7 +1371,10 @@ def returned_revenue_topk(sf_dir: str, k: int = 20) -> ray.data.Dataset:
         lambda df: arrow_out(df.rename(columns={"o_orderkey": "l_orderkey"})),
         batch_format="pandas",
     )
-    joined = hash_join(li, orders, on=("l_orderkey",))
+    joined = colo_join(
+        li, orders, ("l_orderkey",),
+        ["l_extendedprice", "l_discount"], ["o_custkey"],
+    )
 
     def revenue_partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(
@@ -1436,7 +1452,9 @@ def priority_flag_counts(sf_dir: str) -> ray.data.Dataset:
     li = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
     )
-    joined = hash_join(li, orders, on=("l_orderkey",))
+    joined = colo_join(
+        li, orders, ("l_orderkey",), ["l_returnflag"], ["is_high"]
+    )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         high = df["is_high"].to_numpy()
@@ -1752,7 +1770,10 @@ def large_order_customers(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_totalprice"],
     )
-    joined = hash_join(orders, heavy, on=("o_orderkey",))
+    joined = colo_join(
+        orders, heavy, ("o_orderkey",),
+        ["o_custkey", "o_totalprice"], ["sum_qty"],
+    )
 
     top = joined.sort(
         ["o_totalprice", "o_orderkey"], descending=[True, False]
@@ -1983,4 +2004,62 @@ def upsert_latest(
     return partitioned_map(
         tagged, [key], finish,
         **({"n_parts": n_parts} if n_parts else {}),
+    )
+
+
+def colo_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: Sequence[str],
+    lcols: Sequence[str],
+    rcols: Sequence[str],
+    *,
+    n_parts: int | None = None,
+) -> ray.data.Dataset:
+    """Inner join by key co-location — the faster physical plan for
+    NARROW fact⋈fact joins (measured 3.1 s vs 4.9 s for Ray's native
+    hash join on the sf0.1 lineitem⋈orders orderkey join at 32 CPUs:
+    no join-aggregator actor ramp, one int-keyed partition shuffle,
+    C-speed pandas merge per partition).
+
+    Both sides union into one stream with null-padded columns (nulls
+    are never read — the merge takes each side's payload from its own
+    rows only), so shuffle volume is keys + both payloads, same as any
+    shuffle join.  ``lcols``/``rcols`` are the EXPLICIT payload columns
+    of each side (exclusive of ``on``): explicit because deriving them
+    via ``ds.schema()`` would execute a post-shuffle upstream in full.
+
+    Use for inner joins with slim schemas; wide payloads pay null
+    padding (validity-bitmap cheap, but fixed-width lanes still
+    allocate) — route those through :func:`hash_join`.
+    """
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    keys = list(on)
+    lcols, rcols = list(lcols), list(rcols)
+
+    def tag(side: int, mine: list, other: list):
+        def fn(df: pd.DataFrame):
+            out = df[keys + mine].copy()
+            for c in other:
+                out[c] = None
+            out["__side"] = np.int8(side)
+            return arrow_out(out)
+
+        return fn
+
+    u = left.map_batches(tag(0, lcols, rcols), batch_format="pandas").union(
+        right.map_batches(tag(1, rcols, lcols), batch_format="pandas")
+    )
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        # infer_objects: the union's null padding makes payload columns
+        # object-dtyped; restore native dtypes (an object bool column
+        # would hit PYTHON operator semantics downstream — ~True == -2)
+        l = part.loc[part["__side"] == 0, keys + lcols].infer_objects()
+        r = part.loc[part["__side"] == 1, keys + rcols].infer_objects()
+        return l.merge(r, on=keys)
+
+    return partitioned_map(
+        u, keys, merge, **({"n_parts": n_parts} if n_parts else {})
     )
