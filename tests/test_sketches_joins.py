@@ -3,6 +3,7 @@
 import numpy as np
 import pandas as pd
 import pytest
+import ray.data
 
 from pdf_parser_ray.ops.sketches import HLL, _hash_strings, hll_distinct
 
@@ -571,3 +572,59 @@ class TestApproxQuantiles:
             k=512, id_col="event_id",
         )
         assert one["q50"].iloc[0] == two["q50"].iloc[0]
+
+
+class TestColoJoin:
+    def test_matches_pandas_merge_multikey(self, ray_session):
+        from pdf_parser_ray.ops.relational import colo_join
+
+        rng = np.random.RandomState(3)
+        left = pd.DataFrame(
+            {
+                "k1": rng.randint(0, 20, 300).astype("int64"),
+                "k2": rng.randint(0, 3, 300).astype("int64"),
+                "lv": rng.randn(300),
+                "flag": rng.rand(300) > 0.5,
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "k1": rng.randint(0, 20, 120).astype("int64"),
+                "k2": rng.randint(0, 3, 120).astype("int64"),
+                "rv": rng.randint(0, 1000, 120).astype("int64"),
+            }
+        ).drop_duplicates(["k1", "k2"])
+
+        out = (
+            colo_join(
+                ray.data.from_pandas([left.iloc[:150], left.iloc[150:]]),
+                ray.data.from_pandas(right),
+                ("k1", "k2"),
+                ["lv", "flag"],
+                ["rv"],
+            )
+            .to_pandas()
+            .sort_values(["k1", "k2", "lv"], ignore_index=True)
+        )
+        expect = left.merge(right, on=["k1", "k2"]).sort_values(
+            ["k1", "k2", "lv"], ignore_index=True
+        )
+        assert len(out) == len(expect)
+        assert (out["rv"].to_numpy() == expect["rv"].to_numpy()).all()
+        # dtype restoration: bool stays usable under numpy semantics
+        assert (~out["flag"].to_numpy(dtype=bool)).sum() == (
+            ~expect["flag"].to_numpy()
+        ).sum()
+
+    def test_empty_side_yields_empty(self, ray_session):
+        from pdf_parser_ray.ops.relational import colo_join
+
+        left = pd.DataFrame({"k": pd.Series([1, 2], dtype="int64"),
+                             "lv": [0.5, 1.5]})
+        right = pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                              "rv": pd.Series([], dtype="int64")})
+        out = colo_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            ("k",), ["lv"], ["rv"],
+        )
+        assert out.count() == 0
