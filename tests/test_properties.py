@@ -139,3 +139,50 @@ def test_rolling_fingerprint_vs_naive(data, window):
     df = pd.DataFrame({"doc_id": [0], "text": [text]})
     got = rolling_fingerprint_batch(df, window=window)["rolling_fp"][0]
     assert got == naive(encoded, window)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(-1000, 1000)),
+        min_size=1, max_size=300,
+    ),
+    st.integers(1, 7),
+)
+def test_grouped_agg_matches_pandas(ray_session, rows, n_splits):
+    """grouped_agg == plain pandas groupby for any frame + partitioning."""
+    import pandas as pd
+    import ray.data
+
+    from pdf_parser_ray.ops.shuffle import grouped_agg
+
+    df = pd.DataFrame(rows, columns=["k", "v"]).astype("int64")
+    cuts = sorted({min(len(df), (i + 1) * max(1, len(df) // n_splits))
+                   for i in range(n_splits)})
+    parts, lo = [], 0
+    for c in cuts:
+        if c > lo:
+            parts.append(df.iloc[lo:c])
+            lo = c
+    if lo < len(df):
+        parts.append(df.iloc[lo:])
+
+    out = (
+        grouped_agg(
+            ray.data.from_pandas(parts),
+            ["k"],
+            {"s": ("v", "sum"), "mn": ("v", "min"),
+             "mx": ("v", "max"), "n": ("v", "size")},
+            n_parts=5,
+        )
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    exp = (
+        df.groupby("k", as_index=False)
+        .agg(s=("v", "sum"), mn=("v", "min"), mx=("v", "max"), n=("v", "size"))
+        .sort_values("k", ignore_index=True)
+    )
+    assert out["k"].tolist() == exp["k"].tolist()
+    for c in ["s", "mn", "mx", "n"]:
+        assert out[c].tolist() == exp[c].tolist(), c
