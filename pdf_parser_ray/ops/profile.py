@@ -167,6 +167,39 @@ def _distinct_keys(parent: ray.data.Dataset, pk: str) -> np.ndarray:
     return np.unique(np.fromiter((r[pk] for r in parts), dtype="int64"))
 
 
+def key_skew(
+    ds: ray.data.Dataset,
+    key: str,
+    *,
+    top_k: int = 20,
+) -> ray.data.Dataset:
+    """Shuffle-key skew diagnostic: the ``top_k`` heaviest key values
+    and their row counts — the check to run BEFORE choosing a
+    partitioning key (a hot key here means salting or a broadcast
+    route; every shuffle planning note in this repo starts from this
+    histogram).
+
+    Shape: per-batch value_counts partials (the combiner) →
+    key-cardinality co-location sum (ops.shuffle.grouped_sum) → tiny
+    global sort-limit.  Deterministic (n DESC, key ASC) tie-break.
+
+    Output: (key, n:int64), top_k rows.
+    """
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import grouped_sum
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = df[key].value_counts().reset_index()
+        g.columns = [key, "n"]
+        return arrow_out(g.astype({"n": "int64"}))
+
+    counts = grouped_sum(
+        ds.select_columns([key]).map_batches(partial, batch_format="pandas"),
+        [key], ["n"],
+    )
+    return counts.sort(["n", key], descending=[True, False]).limit(top_k)
+
+
 def grouped_corr(
     ds: ray.data.Dataset,
     x: str,

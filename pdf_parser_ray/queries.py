@@ -2097,6 +2097,17 @@ def q_part_triangles(sf_dir: str) -> pd.DataFrame:
     return triangle_count(edges)
 
 
+def q_key_skew_parts(sf_dir: str) -> ray.data.Dataset:
+    """Shuffle-key skew histogram for lineitem.l_partkey: the 20
+    heaviest keys and their counts (the pre-shuffle health check)."""
+    from pdf_parser_ray.ops.profile import key_skew
+
+    return key_skew(
+        _read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"]),
+        "l_partkey",
+    )
+
+
 def q_weighted_sample_docs(sf_dir: str) -> ray.data.Dataset:
     """Deterministic weighted sample (Efraimidis–Spirakis A-Res, md5
     uniforms): top-20 docs by u^(1/(n_chars+1)) — longer docs win more
@@ -3673,6 +3684,14 @@ SQL["profile_events"] = """
     ) ORDER BY col_name
 """
 
+SQL["key_skew_parts"] = """
+    SELECT l_partkey, count(*)::BIGINT AS n
+    FROM lineitem
+    GROUP BY l_partkey
+    ORDER BY n DESC, l_partkey ASC
+    LIMIT 20
+"""
+
 # Efraimidis–Spirakis weighted sample: identical key expression on both
 # sides (md5 12-hex uniform, pow, round-6, id tie-break); ('0x'||hex)::
 # UBIGINT matches Python int(hex, 16) exactly.
@@ -3938,5 +3957,6 @@ QUERIES = {
     "snapshot_diff": q_snapshot_diff,
     "part_triangles": q_part_triangles,
     "weighted_sample_docs": q_weighted_sample_docs,
+    "key_skew_parts": q_key_skew_parts,
     "audio_fp_groups": q_audio_fp_groups,
 }

@@ -126,3 +126,15 @@ def test_ri_audit_shape(ray_session):
     assert list(out["relation"]) == ["a_rel", "b_rel"]  # sorted
     assert list(out["n_orphans"]) == [0, 1]
     assert out["n_rows"].dtype == "int64"
+
+
+def test_key_skew_top_and_ties(ray_session):
+    from pdf_parser_ray.ops.profile import key_skew
+
+    df = pd.DataFrame({"k": [7] * 5 + [3] * 5 + [1] * 2 + [9]})
+    out = key_skew(
+        ray.data.from_pandas([df.iloc[:6], df.iloc[6:]]), "k", top_k=3
+    ).to_pandas()
+    # ties broken by key ASC; counts summed across partitions
+    assert out["k"].tolist() == [3, 7, 1]
+    assert out["n"].tolist() == [5, 5, 2]
