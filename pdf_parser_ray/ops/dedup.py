@@ -1610,3 +1610,126 @@ def triangle_count(
     return pd.DataFrame(
         {"n_edges": [n_edges], "n_triangles": [tri]}
     ).astype("int64")
+
+
+def clustering_coefficient(
+    edges: "ray.data.Dataset",
+    *,
+    a_col: str = "a",
+    b_col: str = "b",
+    top_k: int = 20,
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-node local clustering coefficient 2T(v) / (d(v)·(d(v)−1))
+    over an undirected (a < b, deduped) edge list — the node-level
+    companion of :func:`triangle_count` (how clique-like each node's
+    neighborhood is; near-dup graphs use it to separate template
+    boilerplate cliques from chance collisions).
+
+    Same wedge enumeration as triangle_count, but every hit credits all
+    THREE corners (vectorized bincount per partition); degrees come
+    from a (node)-co-located count over both endpoints.  The
+    coefficient is the exact float expression (2.0·T)/(d·(d−1.0)) —
+    identical operand trees across engines, so no rounding contract.
+    Nodes with d < 2 are excluded (undefined denominator).
+
+    Output: (node:int64, n_tri:int64, degree:int64, coef:float64),
+    ordered (coef DESC, node ASC), ≤ top_k rows.
+    """
+    import numpy as np
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import grouped_sum, partitioned_map
+
+    eds = edges.select_columns([a_col, b_col])
+    edf = eds.to_pandas()  # bounded: thresholded graph (triangle_count note)
+    if len(edf) == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {"node": pd.Series([], dtype="int64"),
+                 "n_tri": pd.Series([], dtype="int64"),
+                 "degree": pd.Series([], dtype="int64"),
+                 "coef": pd.Series([], dtype="float64")}
+            )
+        )
+    a = edf[a_col].to_numpy(dtype="int64")
+    b = edf[b_col].to_numpy(dtype="int64")
+    enc = np.sort((a << np.int64(32)) | b)
+    enc_ref = ray.put(enc)
+
+    def tri_partition(part: pd.DataFrame):
+        ed = ray.get(enc_ref)
+        part = part.sort_values([a_col, b_col], kind="mergesort")
+        av = part[a_col].to_numpy(dtype="int64")
+        bv = part[b_col].to_numpy(dtype="int64")
+        starts = np.flatnonzero(np.r_[True, av[1:] != av[:-1]])
+        sizes = np.diff(np.append(starts, len(av)))
+        probes, wa, wb, wc = [], [], [], []
+        for s, k in zip(starts, sizes):
+            if k < 2:
+                continue
+            nbrs = bv[s:s + k]
+            ii, jj = np.triu_indices(k, 1)
+            probes.append((nbrs[ii] << np.int64(32)) | nbrs[jj])
+            wa.append(np.full(len(ii), av[s], dtype="int64"))
+            wb.append(nbrs[ii])
+            wc.append(nbrs[jj])
+        if not probes:
+            return arrow_out(pd.DataFrame(
+                {"node": pd.Series([], dtype="int64"),
+                 "n_tri": pd.Series([], dtype="int64")}
+            ))
+        probe = np.concatenate(probes)
+        pos = np.minimum(np.searchsorted(ed, probe), len(ed) - 1)
+        hit = ed[pos] == probe
+        corners = np.concatenate(
+            [np.concatenate(wa)[hit], np.concatenate(wb)[hit],
+             np.concatenate(wc)[hit]]
+        )
+        nodes, counts = np.unique(corners, return_counts=True)
+        return arrow_out(pd.DataFrame(
+            {"node": nodes, "n_tri": counts.astype("int64")}
+        ))
+
+    tri = grouped_sum(
+        partitioned_map(
+            eds, [a_col], tri_partition,
+            **({"n_parts": n_parts} if n_parts else {}),
+        ),
+        ["node"], ["n_tri"],
+    )
+
+    def deg_partial(part: pd.DataFrame):
+        both = np.concatenate(
+            [part[a_col].to_numpy(dtype="int64"),
+             part[b_col].to_numpy(dtype="int64")]
+        )
+        nodes, counts = np.unique(both, return_counts=True)
+        return arrow_out(pd.DataFrame(
+            {"node": nodes, "degree": counts.astype("int64")}
+        ))
+
+    deg = grouped_sum(
+        eds.map_batches(deg_partial, batch_format="pandas"),
+        ["node"], ["degree"],
+    )
+
+    from pdf_parser_ray.ops.relational import colo_join
+
+    joined = colo_join(deg, tri, ("node",), ["degree"], ["n_tri"])
+
+    def coef(df: pd.DataFrame):
+        df = df[df["degree"] >= 2].copy()
+        d = df["degree"].astype("float64")
+        df["coef"] = (2.0 * df["n_tri"].astype("float64")) / (d * (d - 1.0))
+        return arrow_out(
+            df[["node", "n_tri", "degree", "coef"]].astype(
+                {"node": "int64", "n_tri": "int64", "degree": "int64"}
+            )
+        )
+
+    return (
+        joined.map_batches(coef, batch_format="pandas")
+        .sort(["coef", "node"], descending=[True, False])
+        .limit(top_k)
+    )

@@ -2128,6 +2128,22 @@ def q_weighted_sample_docs(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_part_clustering(sf_dir: str) -> ray.data.Dataset:
+    """Per-node clustering coefficient over the repeat-co-purchase part
+    graph (pairs sharing ≥2 orders): how clique-like each part's
+    neighborhood is.  Exact float expression (2T)/(d(d-1)) — identical
+    operand trees on both engines, no rounding contract."""
+    from pdf_parser_ray.ops.dedup import clustering_coefficient, cooccur_edges
+
+    li = _read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    edges = cooccur_edges(
+        li, group_col="l_orderkey", item_col="l_partkey", min_count=2
+    )
+    return clustering_coefficient(edges, top_k=20)
+
+
 def q_ri_audit(sf_dir: str) -> pd.DataFrame:
     """Referential-integrity audit over the TPC-H star schema: orphan
     foreign keys per relation.  Parent key sets are built distributed
@@ -3684,6 +3700,44 @@ SQL["profile_events"] = """
     ) ORDER BY col_name
 """
 
+# Clustering coefficient over the min_count=2 co-purchase graph; the
+# inner join keeps only triangle-participating nodes, matching the Ray
+# side's colo_join(deg, tri).
+SQL["part_clustering"] = """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT x.l_partkey AS a, y.l_partkey AS b
+      FROM op x JOIN op y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    nt AS (
+      SELECT v AS node, count(*)::BIGINT AS n_tri FROM (
+        SELECT x AS v FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY 1
+    ),
+    deg AS (
+      SELECT v AS node, count(*)::BIGINT AS degree FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b FROM e
+      ) GROUP BY 1
+    )
+    SELECT d.node, n.n_tri, d.degree,
+           (2.0 * n.n_tri) / (d.degree * (d.degree - 1.0)) AS coef
+    FROM deg d JOIN nt n USING (node)
+    WHERE d.degree >= 2
+    ORDER BY coef DESC, node ASC
+    LIMIT 20
+"""
+
 SQL["key_skew_parts"] = """
     SELECT l_partkey, count(*)::BIGINT AS n
     FROM lineitem
@@ -3958,5 +4012,6 @@ QUERIES = {
     "part_triangles": q_part_triangles,
     "weighted_sample_docs": q_weighted_sample_docs,
     "key_skew_parts": q_key_skew_parts,
+    "part_clustering": q_part_clustering,
     "audio_fp_groups": q_audio_fp_groups,
 }

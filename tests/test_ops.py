@@ -2183,3 +2183,29 @@ class TestTriangles:
         )
         out = triangle_count(ray.data.from_pandas(empty))
         assert out.loc[0, "n_edges"] == 0 and out.loc[0, "n_triangles"] == 0
+
+    def test_clustering_coefficient_known_graph(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import clustering_coefficient
+
+        # K4 on {1,2,3,4} plus pendant (4,9): nodes 1-3 have coef 1.0
+        # (all 3 neighbors mutually linked); node 4 has d=4, T=3 -> 0.5
+        edges = pd.DataFrame(
+            {"a": [1, 1, 1, 2, 2, 3, 4], "b": [2, 3, 4, 3, 4, 4, 9]}
+        )
+        out = (
+            clustering_coefficient(
+                ray.data.from_pandas([edges.iloc[:4], edges.iloc[4:]])
+            )
+            .to_pandas()
+            .set_index("node")
+        )
+        assert out.loc[1, "coef"] == 1.0
+        assert out.loc[2, "coef"] == 1.0
+        assert out.loc[3, "coef"] == 1.0
+        assert out.loc[4, "coef"] == 0.5
+        assert out.loc[4, "n_tri"] == 3 and out.loc[4, "degree"] == 4
+        assert 9 not in out.index  # pendant: no triangles -> inner join drops
+        # ordering: coef DESC then node ASC
+        assert out.index.tolist() == [1, 2, 3, 4]
