@@ -116,6 +116,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="fingerprint-index dir; created on first ingest")
     p.add_argument("--out", required=True)
 
+    p = sub.add_parser(
+        "compact",
+        help="rewrite a directory of small parquet fragments into "
+             "~target-size files (no shuffle — block coalescing)",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--target-mb", type=int, default=128)
+
     args = parser.parse_args(argv)
     _ensure_ray(args.num_cpus)
 
@@ -303,6 +312,13 @@ def main(argv: list[str] | None = None) -> int:
             )
             n = ray.data.read_parquet(args.out, columns=["doc_id"]).count()
         print(json.dumps({"new_docs": n, "out": args.out, "index": args.index}))
+    elif args.cmd == "compact":
+        from pdf_parser_ray.io_utils import compact_parquet
+
+        stats = compact_parquet(
+            args.input, args.out, target_bytes=args.target_mb * 1024 * 1024
+        )
+        print(json.dumps({**stats, "out": args.out}))
     return 0
 
 

@@ -91,3 +91,55 @@ def arrow_out(df) -> "object":
     # schema metadata whose dict is UNHASHABLE and floods shuffle tasks
     # with "Failed to hash the schemas" (read_parquet_clean rationale).
     return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+
+def compact_parquet(
+    in_dir: str,
+    out_dir: str,
+    *,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-files compaction: rewrite a directory of (typically
+    shuffle-produced) parquet fragments into ~``target_bytes`` files.
+
+    The maintenance pass every long-running lake needs — a 100 TB job
+    that writes one file per reduce task leaves millions of small files
+    whose per-file open/footer cost dominates downstream reads.  Sizing
+    uses ON-DISK bytes (exact, no execution); the rewrite is a
+    ``repartition`` WITHOUT shuffle (block coalescing — data moves at
+    most once, no all-to-all) followed by a streaming write.
+
+    Returns {"files_in", "files_out", "rows", "bytes_in"}.
+    """
+    import math
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(in_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {in_dir}")
+    bytes_in = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(bytes_in / target_bytes))
+
+    ds = read_parquet_clean(in_dir)
+    ds.repartition(n_out).write_parquet(out_dir)
+
+    out_files = [
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(out_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    rows = sum(pq.read_metadata(f).num_rows for f in out_files)
+    return {
+        "files_in": len(files),
+        "files_out": len(out_files),
+        "rows": int(rows),
+        "bytes_in": int(bytes_in),
+    }

@@ -99,3 +99,11 @@ def test_dedup_cmd_exact_and_pairs(cli_corpus, tmp_path, capsys):
     res = run_cli(capsys, ["dedup", "--input", cli_corpus,
                            "--out", str(tmp_path / "cw"), "--mode", "exact"])
     assert res["in_docs"] == 60 and 0 < res["survivors"] <= 60
+
+
+def test_compact_cmd(cli_corpus, tmp_path, capsys):
+    res = run_cli(capsys, ["compact", "--input", cli_corpus,
+                           "--out", str(tmp_path / "compacted"),
+                           "--target-mb", "64"])
+    assert res["rows"] == 60
+    assert res["files_out"] >= 1

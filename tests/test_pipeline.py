@@ -355,3 +355,34 @@ class TestNearDedupCorpus:
             ray.data.from_pandas(docs), method="minhash", threshold=0.5
         ).to_pandas()
         assert sorted(out["doc_id"]) == [1, 2]
+
+
+class TestCompactParquet:
+    def test_compacts_small_files_identically(self, ray_session, tmp_path):
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from pdf_parser_ray.io_utils import compact_parquet
+
+        src = tmp_path / "small"
+        dst = tmp_path / "compact"
+        df = pd.DataFrame(
+            {"k": np.arange(5000, dtype="int64"), "v": np.arange(5000) * 0.5}
+        )
+        # 20 small fragments, the post-shuffle pathology
+        ray.data.from_pandas(
+            [df.iloc[i::20].reset_index(drop=True) for i in range(20)]
+        ).write_parquet(str(src))
+        n_in = len(list(src.glob("*.parquet")))
+        assert n_in >= 20
+
+        stats = compact_parquet(str(src), str(dst), target_bytes=1 << 30)
+        assert stats["files_in"] == n_in
+        assert stats["files_out"] < n_in
+        assert stats["rows"] == 5000
+
+        a = pq.read_table(str(src)).to_pandas().sort_values("k", ignore_index=True)
+        b = pq.read_table(str(dst)).to_pandas().sort_values("k", ignore_index=True)
+        pd.testing.assert_frame_equal(a, b)
