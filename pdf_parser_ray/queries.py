@@ -2144,6 +2144,32 @@ def q_part_clustering(sf_dir: str) -> ray.data.Dataset:
     return clustering_coefficient(edges, top_k=20)
 
 
+def q_split_by_domain(sf_dir: str) -> ray.data.Dataset:
+    """Leakage-free train/val/test assignment: the hash gate keys on the
+    DOMAIN (source), so every document of a domain lands in the same
+    split — the group-aware variant of split_counts that decontaminated
+    eval sets require.  Output: (source, split, n_docs)."""
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.curation import assign_splits
+
+    ds = assign_splits(
+        _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]),
+        id_col="source",
+    )
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["source", "split"], as_index=False).size()
+        return arrow_out(g.rename(columns={"size": "n_docs"}).astype({"n_docs": "int64"}))
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["source", "split"])  # dimension-bounded keys
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+
 def q_ri_audit(sf_dir: str) -> pd.DataFrame:
     """Referential-integrity audit over the TPC-H star schema: orphan
     foreign keys per relation.  Parent key sets are built distributed
@@ -3738,6 +3764,18 @@ SQL["part_clustering"] = """
     LIMIT 20
 """
 
+# Group-aware split: same md5-prefix gate as split_counts, keyed on the
+# domain so whole domains co-assign (leakage-free).
+SQL["split_by_domain"] = """
+    SELECT source,
+           CASE WHEN substr(md5(source), 1, 2) < 'd0' THEN 'train'
+                WHEN substr(md5(source), 1, 2) < 'e8' THEN 'val'
+                ELSE 'test' END AS split,
+           count(*)::BIGINT AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+"""
+
 SQL["key_skew_parts"] = """
     SELECT l_partkey, count(*)::BIGINT AS n
     FROM lineitem
@@ -4013,5 +4051,6 @@ QUERIES = {
     "weighted_sample_docs": q_weighted_sample_docs,
     "key_skew_parts": q_key_skew_parts,
     "part_clustering": q_part_clustering,
+    "split_by_domain": q_split_by_domain,
     "audio_fp_groups": q_audio_fp_groups,
 }

@@ -584,3 +584,22 @@ class TestSnapshotDiff:
             ray.data.from_pandas(df), ray.data.from_pandas(df.copy())
         )
         assert out.count() == 0
+
+
+def test_group_keyed_split_is_leakage_free(ray_session):
+    import ray.data
+
+    from pdf_parser_ray.ops.curation import assign_splits
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(200, dtype="int64"),
+            "source": [f"host{i % 17}" for i in range(200)],
+        }
+    )
+    out = assign_splits(
+        ray.data.from_pandas([df.iloc[:90], df.iloc[90:]]), id_col="source"
+    ).to_pandas()
+    # every domain maps to exactly one split regardless of partitioning
+    assert (out.groupby("source")["split"].nunique() == 1).all()
+    assert set(out["split"]) <= {"train", "val", "test"}
