@@ -974,3 +974,95 @@ def distinctive_terms(
         .groupby(group_col)
         .map_groups(final_top, batch_format="pandas")
     )
+
+
+def bm25_topk(
+    ds,
+    query_terms: list[str],
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Okapi BM25 ranked retrieval: top-``k`` documents for a bag of
+    query terms — the search-index twin of :func:`tfidf_top_terms`.
+
+    Scale shape (the part that matters at 100 TB):
+
+    * **Pass 1 is query-bounded, not vocabulary-bounded.** A plain
+      map_batches partial emits ONE tiny row per batch — (n_docs,
+      sum_dl, df per query term) — reduced on the driver.  No shuffle;
+      state is O(|query|), independent of corpus vocabulary.
+    * **Pass 2 is row-local scoring + partial top-k.** Each batch keeps
+      only its local best ``k`` rows, so the final ``sort().limit(k)``
+      sees ≤ k × n_batches rows, never the corpus.
+
+    Determinism contract (mirrors the knn_cosine lesson): per-term
+    contributions are accumulated in SORTED-TERM order and the summed
+    score is rounded to ``round_to`` BEFORE the (score DESC, id ASC)
+    top-k, so a SQL twin ordering by the rounded alias selects the same
+    rows.  idf uses the Lucene/ATIRE form ln((N - df + 0.5)/(df + 0.5)
+    + 1) which is non-negative for any df ≤ N.
+
+    Output (pandas, ≤ k rows): (id_col, score:float64), docs containing
+    no query term never appear.
+    """
+    import numpy as np
+
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+
+    # ---- pass 1: corpus stats, one tiny row per batch -----------------
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].fillna("").str.lower().str.findall(TOKEN_PAT)
+        row = {
+            "n_docs": np.int64(len(df)),
+            "sum_dl": np.int64(toks.map(len).sum()),
+        }
+        for i, t in enumerate(terms):
+            row[f"df_{i}"] = np.int64(sum(t in s for s in toks.map(set)))
+        return pd.DataFrame([row])
+
+    parts = ds.map_batches(stats_partial, batch_format="pandas").to_pandas()
+    n = float(parts["n_docs"].sum())
+    if n == 0:
+        return pd.DataFrame(
+            {id_col: pd.Series([], dtype="int64"),
+             "score": pd.Series([], dtype="float64")}
+        )
+    avgdl = float(parts["sum_dl"].sum()) / n
+    idf = {
+        t: float(np.log((n - float(parts[f"df_{i}"].sum()) + 0.5)
+                        / (float(parts[f"df_{i}"].sum()) + 0.5) + 1.0))
+        for i, t in enumerate(terms)
+    }
+
+    # ---- pass 2: row-local scoring, partial top-k per batch -----------
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        toks = df[text_col].fillna("").str.lower().str.findall(TOKEN_PAT)
+        dl = toks.map(len).to_numpy(dtype=np.float64)
+        total = np.zeros(len(df), dtype=np.float64)
+        denom_norm = k1 * (1.0 - b + b * dl / avgdl)
+        for t in terms:  # sorted order == the SQL twin's summation order
+            tf = toks.map(lambda s, t=t: s.count(t)).to_numpy(dtype=np.float64)
+            total += idf[t] * tf * (k1 + 1.0) / (tf + denom_norm)
+        out = pd.DataFrame(
+            {id_col: df[id_col].to_numpy(dtype=np.int64),
+             "score": np.round(total, round_to)}
+        )
+        out = out[out["score"] > 0.0]
+        return out.sort_values(
+            ["score", id_col], ascending=[False, True]
+        ).head(k)
+
+    scored = ds.map_batches(score, batch_format="pandas")
+    top = scored.sort(["score", id_col], descending=[True, False]).limit(k)
+    out = top.to_pandas()
+    out[id_col] = out[id_col].astype("int64")
+    out["score"] = out["score"].astype("float64")
+    return out[[id_col, "score"]]

@@ -1279,6 +1279,22 @@ def q_tfidf_top_terms(sf_dir: str) -> ray.data.Dataset:
     return tfidf_top_terms(_documents(sf_dir), k=3)
 
 
+BM25_TERMS = ["hash", "join", "order"]  # fixed retrieval query, in-vocab
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def q_bm25_search(sf_dir: str) -> pd.DataFrame:
+    """Okapi BM25 top-10 retrieval for the fixed bag {hash, join,
+    order}: query-bounded stats pass (no shuffle) → broadcast idf/avgdl
+    → row-local scoring with per-batch partial top-k."""
+    from pdf_parser_ray.ops.text_stats import bm25_topk
+
+    return bm25_topk(
+        _documents(sf_dir, columns=["doc_id", "text"]),
+        BM25_TERMS, k=10, k1=_BM25_K1, b=_BM25_B,
+    )
+
+
 def q_decontaminate_wordgram(sf_dir: str) -> ray.data.Dataset:
     """The decontamination SCALE route (hashed word-gram membership,
     cost independent of probe count), same probe rule as
@@ -2908,6 +2924,44 @@ SQL["tfidf_top_terms"] = """
                                ORDER BY score DESC, token) <= 3
 """
 
+def _bm25_sql() -> str:
+    """BM25 twin built from the SAME constants as q_bm25_search.
+
+    Per-doc contributions are summed in sorted-term order on BOTH sides
+    (``list_sum(list(c ORDER BY term))`` here, a sorted-term accumulate
+    in the kernel) and the score is rounded to 4dp BEFORE the
+    (score DESC, doc_id ASC) top-k — the knn_cosine tie-break contract.
+    """
+    vals = ", ".join(f"('{t}')" for t in sorted(set(BM25_TERMS)))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS token
+      FROM documents),
+    dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+    s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT sum(dl) FROM dl) AS sumdl),
+    q(term) AS (VALUES {vals}),
+    df AS (SELECT token AS term, count(DISTINCT doc_id)::DOUBLE AS df
+           FROM tok JOIN q ON token = q.term GROUP BY token),
+    tf AS (SELECT doc_id, token AS term, count(*)::DOUBLE AS tf
+           FROM tok JOIN q ON token = q.term GROUP BY doc_id, token),
+    contrib AS (
+      SELECT tf.doc_id, tf.term,
+             ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * tf.tf * ({_BM25_K1} + 1.0)
+             / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                                      + {_BM25_B} * dl.dl / (s.sumdl / s.n)))
+               AS c
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN s),
+    agg AS (SELECT doc_id, round(list_sum(list(c ORDER BY term)), 4) AS score
+            FROM contrib GROUP BY doc_id)
+    SELECT doc_id, score FROM agg WHERE score > 0.0
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+SQL["bm25_search"] = _bm25_sql()
+
 # Window functions: (ts, event_id) totally orders each partition, so
 # both engines add the same values in the same order up to float
 # association; the cross-row running sum is rounded on BOTH sides.
@@ -4053,4 +4107,5 @@ QUERIES = {
     "part_clustering": q_part_clustering,
     "split_by_domain": q_split_by_domain,
     "audio_fp_groups": q_audio_fp_groups,
+    "bm25_search": q_bm25_search,
 }
