@@ -1196,6 +1196,7 @@ def pagerank(
     n_iters: int = 10,
     directed: bool = False,
     n_parts: int | None = None,
+    round_iters: int | None = None,
 ) -> ray.data.Dataset:
     """PageRank over an edge set — the canonical iterative-dataflow
     algorithm (rank mass flows along edges each round), e.g. for
@@ -1321,10 +1322,21 @@ def pagerank(
             .aggregate(Sum("m", alias_name="m"))
             .to_pandas()  # node-cardinality of the EDGE SET — bounded
         )
-        rank = {
-            int(k): teleport + damping * float(v)
-            for k, v in zip(sums["node"], sums["m"])
-        }
+        if round_iters is None:
+            rank = {
+                int(k): teleport + damping * float(v)
+                for k, v in zip(sums["node"], sums["m"])
+            }
+        else:
+            # Inter-iteration rounding SYNCHRONIZES the rank vector
+            # across engines (the kmeans-oracle trick): summation order
+            # drifts only ~1 ulp per round, so rounding to round_iters
+            # decimals snaps both sides back to the identical double —
+            # what makes an unrolled-CTE SQL twin value-exact.
+            rank = {
+                int(k): round(teleport + damping * float(v), round_iters)
+                for k, v in zip(sums["node"], sums["m"])
+            }
 
     out = pd.DataFrame({
         "node": pd.Series(sorted(rank), dtype="int64"),

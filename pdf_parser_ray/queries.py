@@ -2160,6 +2160,32 @@ def q_part_clustering(sf_dir: str) -> ray.data.Dataset:
     return clustering_coefficient(edges, top_k=20)
 
 
+# round_iters == the final 6dp output rounding, so the last round() is
+# IDEMPOTENT on both engines — an 8dp inter-round would leave ~1% of
+# ranks exactly halfway at 6dp, where numpy (half-even) and DuckDB
+# (half-away) disagree.
+_PR_ITERS, _PR_DAMPING, _PR_ROUND = 5, 0.85, 6
+
+
+def q_part_pagerank(sf_dir: str) -> ray.data.Dataset:
+    """PageRank centrality over the repeat-co-purchase part graph
+    (parts sharing ≥2 orders) — the iterative-dataflow tier WITH a SQL
+    oracle: inter-iteration rounding to 8dp snaps both engines to the
+    identical rank vector each round (the kmeans-CTE trick), so the
+    unrolled DuckDB twin is value-exact."""
+    from pdf_parser_ray.ops.dedup import cooccur_edges, pagerank
+
+    li = _read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    edges = cooccur_edges(
+        li, group_col="l_orderkey", item_col="l_partkey", min_count=2
+    )
+    return pagerank(
+        edges, n_iters=_PR_ITERS, damping=_PR_DAMPING, round_iters=_PR_ROUND
+    )
+
+
 def q_split_by_domain(sf_dir: str) -> ray.data.Dataset:
     """Leakage-free train/val/test assignment: the hash gate keys on the
     DOMAIN (source), so every document of a domain lands in the same
@@ -3870,6 +3896,53 @@ SQL["part_triangles"] = """
              AS n_triangles
 """
 
+def _pagerank_sql(
+    n_iters: int, damping: float, round_iters: int
+) -> str:
+    """Unrolled PageRank CTE chain over the repeat-co-purchase graph.
+
+    Mirrors q_part_pagerank term by term: mirrored edge set, degree per
+    source, r0 = 1/N, r_{k+1}(v) = round(teleport + d·Σ r_k(s)/deg(s),
+    round_iters).  Float literals are interpolated via repr() so the
+    parsed doubles are bit-identical to the Python kernel's (DuckDB's
+    bare `1.0 - 0.85` would be DECIMAL arithmetic — a different value).
+    """
+    tele = repr(1.0 - damping)  # exact double literal, e.g. 0.15000000000000002
+    d = repr(damping)
+    chain = []
+    prev = "r0"
+    for i in range(1, n_iters + 1):
+        chain.append(f"""
+    r{i} AS (
+      SELECT e.d AS node,
+             round({tele}::DOUBLE / (SELECT n FROM n)
+                   + {d} * sum({prev}.r / deg.deg::DOUBLE), {round_iters}) AS r
+      FROM e JOIN {prev} ON {prev}.node = e.s JOIN deg ON deg.s = e.s
+      GROUP BY e.d)""")
+        prev = f"r{i}"
+    return f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT x.l_partkey AS a, y.l_partkey AS b
+      FROM op x JOIN op y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    e AS (SELECT a AS s, b AS d FROM pairs
+          UNION ALL SELECT b AS s, a AS d FROM pairs),
+    deg AS (SELECT s, count(*)::BIGINT AS deg FROM e GROUP BY s),
+    n AS (SELECT count(DISTINCT s)::BIGINT AS n FROM e),
+    r0 AS (SELECT DISTINCT s AS node,
+                  (1.0::DOUBLE) / (SELECT n FROM n) AS r
+           FROM e),{",".join(chain)}
+    SELECT node::BIGINT AS node, round(r, 6) AS rank
+    FROM {prev} ORDER BY node
+"""
+
+
+SQL["part_pagerank"] = _pagerank_sql(_PR_ITERS, _PR_DAMPING, _PR_ROUND)
+
 # Snapshot diff: v2 derived by the same deterministic rules on both
 # sides; md5 over UTF-8 text bytes matches hashlib.md5 exactly.
 SQL["snapshot_diff"] = """
@@ -4108,4 +4181,5 @@ QUERIES = {
     "split_by_domain": q_split_by_domain,
     "audio_fp_groups": q_audio_fp_groups,
     "bm25_search": q_bm25_search,
+    "part_pagerank": q_part_pagerank,
 }
