@@ -77,13 +77,34 @@ def _hash_strings(values) -> np.ndarray:
     return pd.util.hash_array(arr).astype(np.uint64)
 
 
-def hll_distinct(ds: ray.data.Dataset, col: str, b: int = 12) -> float:
+def _hash_strings_md5(values) -> np.ndarray:
+    """md5-prefix 64-bit hashes: slower than siphash but reproducible in
+    ANY engine (``('0x' || substr(md5(v),1,16))::UBIGINT`` in DuckDB) —
+    the hash that lets a SQL oracle emulate the registers bit-exactly."""
+    import hashlib
+
+    return np.fromiter(
+        (int(hashlib.md5(str(v).encode("utf-8")).hexdigest()[:16], 16)
+         for v in values),
+        dtype=np.uint64,
+        count=len(values),
+    )
+
+
+def hll_distinct(
+    ds: ray.data.Dataset, col: str, b: int = 12, *, hash_fn: str = "siphash"
+) -> float:
     """Approximate COUNT(DISTINCT col): per-batch sketches merged on the
-    driver (each partial is 4 KB — the merge is trivially small)."""
+    driver (each partial is 4 KB — the merge is trivially small).
+
+    ``hash_fn="md5"`` swaps the fast siphash for md5-prefix hashing so
+    the whole sketch (buckets, ranks, estimate) is reproducible in SQL.
+    """
+    hasher = _hash_strings_md5 if hash_fn == "md5" else _hash_strings
 
     def sketch_batch(df: pd.DataFrame) -> pd.DataFrame:
         h = HLL(b)
-        h.add_hashes(_hash_strings(df[col].dropna().tolist()))
+        h.add_hashes(hasher(df[col].dropna().tolist()))
         return pd.DataFrame({"sketch": [h.registers.tobytes()]})
 
     parts = ds.map_batches(sketch_batch, batch_format="pandas").take_all()

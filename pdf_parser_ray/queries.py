@@ -908,6 +908,25 @@ def q_hll_distinct_users(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"approx_distinct_users": [round(hll_distinct(ds, "user_id"))]})
 
 
+def q_hll_users_md5(sf_dir: str) -> pd.DataFrame:
+    """HLL distinct-user estimate with md5-prefix hashing — the
+    hash-verified sketch: DuckDB re-derives every register (bucket =
+    h>>52, rank = leading-zeros+1 via bin-length) and the exact same
+    estimator, so the driver's value-hash check covers the SKETCH, not
+    just row counts.  n_exact rides along to show the error."""
+    import numpy as np
+
+    from pdf_parser_ray.ops.sketches import hll_distinct
+
+    ds = _read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    est = hll_distinct(ds, "user_id", hash_fn="md5")
+    exact = ds.unique("user_id") or []
+    return pd.DataFrame(
+        {"hll_est": [round(est, 4)],
+         "n_exact": np.asarray([len(exact)], dtype=np.int64)}
+    )
+
+
 def q_running_window(sf_dir: str) -> ray.data.Dataset:
     from pdf_parser_ray.ops.windows import running_window
 
@@ -3943,6 +3962,51 @@ def _pagerank_sql(
 
 SQL["part_pagerank"] = _pagerank_sql(_PR_ITERS, _PR_DAMPING, _PR_ROUND)
 
+
+def _hll_md5_sql(b: int = 12) -> str:
+    """Register-exact HLL twin of q_hll_users_md5.
+
+    Mirrors ops.sketches.HLL.add_hashes term by term: bucket = h >>
+    (64-b); rank = leading-zeros(+1) of (h << b) | 1<<(b-1), computed
+    here as 65 - bin-length after the same shift done in wraparound
+    HUGEINT arithmetic; estimate = alpha·m²/Σ2^-reg with the
+    small-range linear-counting branch.  alpha is interpolated via
+    repr() so both engines hold the identical double.
+    """
+    m = 1 << b
+    alpha = repr(0.7213 / (1 + 1.079 / m))
+    two64 = 1 << 64
+    return f"""
+    WITH h AS (
+      SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT
+               AS h
+      FROM (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL)
+    ),
+    regs AS (
+      SELECT h >> {64 - b} AS idx,
+             max(65 - length(bin(
+               ((h::HUGEINT * {m}) % {two64} + {1 << (b - 1)})::UBIGINT
+             ))) AS rank
+      FROM h GROUP BY idx
+    ),
+    s AS (SELECT count(*)::BIGINT AS nonzero,
+                 sum(power(2.0, -rank)) AS sum_present FROM regs),
+    est AS (
+      SELECT {alpha}::DOUBLE * {m}::DOUBLE * {m}::DOUBLE
+               / (sum_present + ({m} - nonzero) * 1.0::DOUBLE) AS raw,
+             {m} - nonzero AS zeros
+      FROM s)
+    SELECT round(CASE WHEN raw <= 2.5::DOUBLE * {m}::DOUBLE AND zeros > 0
+                      THEN {m}::DOUBLE * ln({m}::DOUBLE / zeros) ELSE raw END, 4)
+             AS hll_est,
+           (SELECT count(DISTINCT user_id) FROM events
+            WHERE user_id IS NOT NULL)::BIGINT AS n_exact
+    FROM est
+"""
+
+
+SQL["hll_users_md5"] = _hll_md5_sql()
+
 # Snapshot diff: v2 derived by the same deterministic rules on both
 # sides; md5 over UTF-8 text bytes matches hashlib.md5 exactly.
 SQL["snapshot_diff"] = """
@@ -4182,4 +4246,5 @@ QUERIES = {
     "audio_fp_groups": q_audio_fp_groups,
     "bm25_search": q_bm25_search,
     "part_pagerank": q_part_pagerank,
+    "hll_users_md5": q_hll_users_md5,
 }
