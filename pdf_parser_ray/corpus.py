@@ -233,3 +233,71 @@ def ensure_corpus(n_docs: int, seed: int = 42,
 def sf_to_n_docs(sf: float) -> int:
     """Match the driver's table scaling: sf0.001→500 docs (TESTDATA.md)."""
     return max(20, int(round(sf * 500_000)))
+
+
+# ------------------------------------------------------------ link corpus
+# A SECOND deterministic generator (the frozen extraction corpus above is
+# a test anchor and must not drift): pages with a varied host mix and
+# absolute / relative / scheme-relative / skippable outlinks, for the
+# WAT link-extraction + host-graph tier.  Pure per (seed, doc_id).
+
+_LINK_HOSTS = tuple(f"https://site{i:02d}.example" for i in range(16))
+
+
+def make_link_document(doc_id: int, seed: int = 42) -> dict:
+    rng = random.Random(f"link:{seed}:{doc_id}")
+    host = _LINK_HOSTS[doc_id % len(_LINK_HOSTS)]
+    url = f"{host}/page/{doc_id:06d}"
+    parts: list[str] = []
+    for _ in range(rng.randint(0, 8)):
+        r = rng.random()
+        if r < 0.50:  # absolute cross-host
+            tgt = (f"{_LINK_HOSTS[rng.randrange(len(_LINK_HOSTS))]}"
+                   f"/page/{rng.randrange(100_000):06d}")
+        elif r < 0.80:  # relative → internal
+            tgt = f"/rel/{rng.randrange(50)}"
+        elif r < 0.90:  # scheme-relative
+            tgt = (f"//{_LINK_HOSTS[rng.randrange(len(_LINK_HOSTS))][8:]}"
+                   f"/x/{rng.randrange(100)}")
+        else:  # WAT-skipped schemes / fragment-only (must NOT extract)
+            tgt = rng.choice(["javascript:void(0)", "mailto:a@b.c", "#top"])
+        parts.append(f'<a href="{tgt}">{_sentence(rng, rng.randint(1, 3))}</a>')
+    paras = " ".join(_sentence(rng, 8) for _ in range(2))
+    html = (f"<html><head><title>{_sentence(rng, 2)}</title></head>"
+            f"<body><p>{paras}</p>{' '.join(parts)}</body></html>")
+    return {
+        "url": url,
+        "warc_ts": BASE_TS_US + doc_id * 1_000_000,
+        "html": html.encode("utf-8"),
+        "text": paras,
+        "lang": _LANGS[doc_id % len(_LANGS)],
+    }
+
+
+def _gen_link_batch(batch: pa.Table, seed: int) -> pa.Table:
+    ids = batch.column("id").to_pylist()
+    return pa.Table.from_pylist(
+        [make_link_document(i, seed) for i in ids], schema=CORPUS_SCHEMA
+    )
+
+
+def ensure_link_corpus(n_docs: int, seed: int = 42,
+                       cache_root: str = "/tmp/ppr_corpus") -> str:
+    """Generate-once disk cache for the link corpus."""
+    import ray.data
+
+    out_dir = os.path.join(cache_root, f"links_n{n_docs}_s{seed}")
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    parallelism = max(8, min(64, n_docs // 2000 or 8))
+    (
+        ray.data.range(n_docs, override_num_blocks=parallelism)
+        .map_batches(_gen_link_batch, fn_kwargs={"seed": seed},
+                     batch_format="pyarrow", batch_size=2000)
+        .write_parquet(out_dir)
+    )
+    with open(marker, "w") as f:
+        f.write(f"{n_docs} {seed}\n")
+    return out_dir

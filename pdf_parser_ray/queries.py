@@ -1115,6 +1115,20 @@ def q_extract_corpus(sf_dir: str) -> ray.data.Dataset:
     return extract_corpus(read_corpus(corpus), include_spans=False)
 
 
+def q_link_graph(sf_dir: str) -> ray.data.Dataset:
+    """WAT tier: hyperlink extraction over the deterministic link corpus
+    scaled to sf → host→host edge weights.  Rows-only in the driver
+    (HTML parsing is not SQL-expressible); a DuckDB regexp twin over the
+    same parquet pins extraction + rollup in tests/test_links.py."""
+    from pdf_parser_ray.corpus import ensure_link_corpus, sf_to_n_docs
+    from pdf_parser_ray.html.links import extract_links, host_link_graph
+    from pdf_parser_ray.pipelines import read_corpus
+
+    corpus = ensure_link_corpus(sf_to_n_docs(_sf_from_dir(sf_dir)))
+    links = extract_links(read_corpus(corpus))
+    return host_link_graph(links).sort(["src_host", "dst_host"])
+
+
 def q_extract_status_counts(sf_dir: str) -> ray.data.Dataset:
     """Corpus-level extraction metrics (status × kind rollup)."""
     from ray.data.aggregate import Count
@@ -4247,4 +4261,5 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     "part_pagerank": q_part_pagerank,
     "hll_users_md5": q_hll_users_md5,
+    "link_graph": q_link_graph,
 }
