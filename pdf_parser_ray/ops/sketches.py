@@ -426,6 +426,7 @@ def approx_quantiles(
     *,
     k: int = 4096,
     id_col: str | None = None,
+    hash_fn: str = "siphash",
 ) -> pd.DataFrame:
     """Approximate quantiles from a KMV (bottom-k-by-hash) uniform
     sample — the mergeable-sketch quantile tier next to the EXACT
@@ -453,9 +454,14 @@ def approx_quantiles(
         basis = (
             df.loc[vals.index, id_col] if id_col is not None else vals
         )
-        h = pd.util.hash_array(
-            np.asarray([str(v) for v in basis], dtype=object)
-        ).astype(np.uint64)
+        if hash_fn == "md5":
+            # SQL-reproducible sampling hash (the hll_users_md5 trick):
+            # DuckDB re-derives the identical bottom-k sample.
+            h = _hash_strings_md5(basis.tolist())
+        else:
+            h = pd.util.hash_array(
+                np.asarray([str(v) for v in basis], dtype=object)
+            ).astype(np.uint64)
         if len(h) > k:
             idx = np.argpartition(h, k)[:k]
         else:

@@ -1965,6 +1965,22 @@ def q_approx_quantiles(sf_dir: str):
     )
 
 
+def q_approx_quantiles_md5(sf_dir: str) -> pd.DataFrame:
+    """KMV bottom-k quantile sketch with md5 sampling hashes — the
+    hash-verified variant: DuckDB re-derives the identical bottom-4096
+    sample (ORDER BY the same 64-bit md5 prefix) and the same
+    nearest-rank picks, so the APPROXIMATION itself is value-checked."""
+    from pdf_parser_ray.ops.sketches import approx_quantiles
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+    return approx_quantiles(
+        ds, "value", [0.5, 0.9, 0.99], k=4096, id_col="event_id",
+        hash_fn="md5",
+    )
+
+
 
 def q_dup_pagerank(sf_dir: str) -> ray.data.Dataset:
     """Centrality inside the near-dup graph: PageRank over the MinHash
@@ -4021,6 +4037,32 @@ def _hll_md5_sql(b: int = 12) -> str:
 
 SQL["hll_users_md5"] = _hll_md5_sql()
 
+# KMV bottom-k quantiles, md5 variant: the sample is the k rows with
+# the smallest md5-prefix hash of event_id — identical on both engines —
+# and nearest-rank is 1-based here vs 0-based in the kernel (r_sql =
+# ceil(q·n) clamped to [1, n]).  Values pass through as exact doubles;
+# no rounding contract needed.
+SQL["approx_quantiles_md5"] = """
+    WITH h AS (
+      SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 16))::UBIGINT
+               AS h,
+             value::DOUBLE AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    samp AS (SELECT v FROM h ORDER BY h LIMIT 4096),
+    sorted AS (SELECT v, row_number() OVER (ORDER BY v) AS r,
+                      count(*) OVER () AS n
+               FROM samp)
+    SELECT
+      max(CASE WHEN r = GREATEST(1, LEAST(n,
+            CAST(ceil(0.50::DOUBLE * n) AS BIGINT))) THEN v END) AS q50,
+      max(CASE WHEN r = GREATEST(1, LEAST(n,
+            CAST(ceil(0.90::DOUBLE * n) AS BIGINT))) THEN v END) AS q90,
+      max(CASE WHEN r = GREATEST(1, LEAST(n,
+            CAST(ceil(0.99::DOUBLE * n) AS BIGINT))) THEN v END) AS q99
+    FROM sorted
+"""
+
 # Snapshot diff: v2 derived by the same deterministic rules on both
 # sides; md5 over UTF-8 text bytes matches hashlib.md5 exactly.
 SQL["snapshot_diff"] = """
@@ -4262,4 +4304,5 @@ QUERIES = {
     "part_pagerank": q_part_pagerank,
     "hll_users_md5": q_hll_users_md5,
     "link_graph": q_link_graph,
+    "approx_quantiles_md5": q_approx_quantiles_md5,
 }
