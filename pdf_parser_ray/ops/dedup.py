@@ -472,10 +472,32 @@ def _minhash_pairs_join(
 # ---------------------------------------------------------------- simhash
 
 class SimHasher:
-    """64-bit SimHash per doc (token crc32 bit-vote), one map_batches."""
+    """64-bit SimHash per doc (token bit-vote), one map_batches.
 
-    def __init__(self, ngram: int = 1):
+    ``hash_fn="crc32"`` (default) widens crc32 to 64 bits — fast.
+    ``hash_fn="md5"`` uses md5-prefix token hashes, reproducible in SQL
+    (the hll_users_md5 trick) so the signature itself can be oracled.
+    """
+
+    def __init__(self, ngram: int = 1, hash_fn: str = "crc32"):
         self.ngram = ngram
+        self.hash_fn = hash_fn
+
+    def _hashes(self, toks: list[str]) -> np.ndarray:
+        if self.hash_fn == "md5":
+            return np.fromiter(
+                (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16)
+                 for t in toks),
+                dtype=np.uint64,
+                count=len(toks),
+            )
+        h = np.fromiter(
+            (zlib.crc32(t.encode("utf-8")) for t in toks),
+            dtype=np.uint64,
+            count=len(toks),
+        )
+        # widen to 64 bits by mixing crc with itself shifted
+        return h | (h << np.uint64(32))
 
     def simhash(self, text: str) -> int:
         # ngram=1 degenerates to whitespace unigrams (the default tier);
@@ -483,13 +505,7 @@ class SimHasher:
         toks = _word_ngrams(text, self.ngram)
         if not toks:
             return 0
-        h = np.fromiter(
-            (zlib.crc32(t.encode("utf-8")) for t in toks),
-            dtype=np.uint64,
-            count=len(toks),
-        )
-        # widen to 64 bits by mixing crc with itself shifted
-        h = h | (h << np.uint64(32))
+        h = self._hashes(toks)
         bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
             np.int64
         )
@@ -510,21 +526,13 @@ class SimHasher:
         texts = df["text"].fillna("")
         per_doc: list[np.ndarray] = []
         for t in texts:
-            toks = _word_ngrams(t, self.ngram)
-            per_doc.append(
-                np.fromiter(
-                    (zlib.crc32(x.encode("utf-8")) for x in toks),
-                    dtype=np.uint64,
-                    count=len(toks),
-                )
-            )
+            per_doc.append(self._hashes(_word_ngrams(t, self.ngram)))
         lens = np.fromiter((len(h) for h in per_doc), dtype=np.int64,
                            count=len(per_doc))
         sigs = np.zeros(len(per_doc), dtype=np.uint64)
         nonempty = np.nonzero(lens > 0)[0]
         if len(nonempty):
             h = np.concatenate([per_doc[i] for i in nonempty])
-            h = h | (h << np.uint64(32))  # widen crc to 64 bits
             bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
                     ).astype(np.int8)
             pm = (2 * bits - 1).astype(np.int32)
@@ -541,9 +549,14 @@ class SimHasher:
         )
 
 
-def _simhash_batch(df: pd.DataFrame, ngram: int = 1) -> pd.DataFrame:
+def _simhash_batch(
+    df: pd.DataFrame, ngram: int = 1, hash_fn: str = "crc32"
+) -> pd.DataFrame:
     """Task-mode SimHasher stage (instance cached per worker process)."""
-    sh = worker_state(("simhasher", ngram), lambda: SimHasher(ngram=ngram))
+    sh = worker_state(
+        ("simhasher", ngram, hash_fn),
+        lambda: SimHasher(ngram=ngram, hash_fn=hash_fn),
+    )
     return sh(df)
 
 
@@ -693,7 +706,10 @@ def embedding_dup_pairs(
 
 
 def simhash_groups(
-    ds: ray.data.Dataset, concurrency: int | tuple[int, int] | None = None
+    ds: ray.data.Dataset,
+    concurrency: int | tuple[int, int] | None = None,
+    *,
+    hash_fn: str = "crc32",
 ) -> ray.data.Dataset:
     """Groups of docs with IDENTICAL simhash (strict near-dup tier).
 
@@ -704,7 +720,8 @@ def simhash_groups(
     from ray.data.aggregate import Count, Min
 
     sigs = ds.map_batches(
-        _simhash_batch, batch_format="pandas", **_task_kwargs(concurrency)
+        _simhash_batch, batch_format="pandas",
+        fn_kwargs={"hash_fn": hash_fn}, **_task_kwargs(concurrency)
     )
     grouped = sigs.groupby("simhash").aggregate(
         Count(alias_name="n_docs"), Min("doc_id", alias_name="min_doc_id")

@@ -105,6 +105,18 @@ def q_simhash_groups(sf_dir: str) -> ray.data.Dataset:
     return simhash_groups(_documents(sf_dir))
 
 
+def q_simhash_md5_groups(sf_dir: str) -> ray.data.Dataset:
+    """SimHash groups with md5 token hashes — the ALGORITHM-verified
+    variant: DuckDB re-derives every 64-bit signature (per-token md5
+    hash → per-bit ±1 vote → sign pack → int64 reinterpret), so the
+    driver hash-checks the signature computation end to end."""
+    from pdf_parser_ray.ops.dedup import simhash_groups
+
+    return simhash_groups(
+        _documents(sf_dir, columns=["doc_id", "text"]), hash_fn="md5"
+    )
+
+
 def q_rolling_fingerprint(sf_dir: str) -> ray.data.Dataset:
     from pdf_parser_ray.ops.text_stats import rolling_fingerprint_batch
 
@@ -4037,6 +4049,44 @@ def _hll_md5_sql(b: int = 12) -> str:
 
 SQL["hll_users_md5"] = _hll_md5_sql()
 
+
+def _simhash_md5_sql() -> str:
+    """Signature-exact SimHash twin of q_simhash_md5_groups.
+
+    Per-bit weights are emitted as 64 exact integer literals (no
+    power()/shift portability worries); the uint64→int64 reinterpret is
+    HUGEINT arithmetic.  Tokenizer = the ASCII ``\\S+`` image of
+    ops.dedup._word_ngrams at ngram=1.
+    """
+    weights = ", ".join(f"({b}, {1 << b}::HUGEINT)" for b in range(64))
+    return f"""
+    WITH bits(bit, w) AS (VALUES {weights}),
+    tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS t
+      FROM documents),
+    h AS (SELECT doc_id,
+                 ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h
+          FROM tok),
+    votes AS (
+      SELECT doc_id, bit, w,
+             sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM h CROSS JOIN bits GROUP BY doc_id, bit, w),
+    sigs0 AS (
+      SELECT doc_id, sum(CASE WHEN vote > 0 THEN w ELSE 0::HUGEINT END) AS s
+      FROM votes GROUP BY doc_id),
+    sigs AS (
+      SELECT d.doc_id,
+             coalesce(CASE WHEN s >= 9223372036854775808::HUGEINT
+                           THEN s - 18446744073709551616::HUGEINT
+                           ELSE s END, 0)::BIGINT AS simhash
+      FROM documents d LEFT JOIN sigs0 USING (doc_id))
+    SELECT simhash, count(*)::BIGINT AS n_docs, min(doc_id) AS min_doc_id
+    FROM sigs GROUP BY simhash HAVING count(*) > 1
+"""
+
+
+SQL["simhash_md5_groups"] = _simhash_md5_sql()
+
 # KMV bottom-k quantiles, md5 variant: the sample is the k rows with
 # the smallest md5-prefix hash of event_id — identical on both engines —
 # and nearest-rank is 1-based here vs 0-based in the kernel (r_sql =
@@ -4305,4 +4355,5 @@ QUERIES = {
     "hll_users_md5": q_hll_users_md5,
     "link_graph": q_link_graph,
     "approx_quantiles_md5": q_approx_quantiles_md5,
+    "simhash_md5_groups": q_simhash_md5_groups,
 }
