@@ -148,17 +148,37 @@ def grouped_jaccard_pairs(
 
 class MinHasher:
     """Stateful signature stage: permutation coefficients built once
-    per actor (seeded, identical on every worker)."""
+    per actor (seeded, identical on every worker).
 
-    def __init__(self, num_perm: int = 64, ngram: int = 3, seed: int = 1337):
+    ``hash_fn="md5"`` swaps crc32 shingle hashes for md5-prefix uint64
+    (SQL-reproducible; min over a multiset == min over its set, so the
+    signatures stay well-defined either way)."""
+
+    def __init__(self, num_perm: int = 64, ngram: int = 3, seed: int = 1337,
+                 hash_fn: str = "crc32"):
         rng = np.random.RandomState(seed)
         self.a = rng.randint(1, (1 << 61) - 1, size=num_perm).astype(np.uint64)
         self.b = rng.randint(0, (1 << 61) - 1, size=num_perm).astype(np.uint64)
         self.num_perm = num_perm
         self.ngram = ngram
+        self.hash_fn = hash_fn
+
+    def _sh(self, grams: list[str]) -> np.ndarray:
+        if self.hash_fn == "md5":
+            return np.fromiter(
+                (int(hashlib.md5(g.encode("utf-8")).hexdigest()[:16], 16)
+                 for g in grams),
+                dtype=np.uint64,
+                count=len(grams),
+            )
+        return np.fromiter(
+            (zlib.crc32(g.encode("utf-8")) for g in grams),
+            dtype=np.uint64,
+            count=len(grams),
+        )
 
     def signature(self, text: str) -> np.ndarray:
-        h = _shingle_hashes(text, self.ngram)
+        h = self._sh(_word_ngrams(text, self.ngram))
         if len(h) == 0:
             return np.zeros(self.num_perm, dtype=np.uint64)
         with np.errstate(over="ignore"):
@@ -178,14 +198,7 @@ class MinHasher:
         texts = df["text"].fillna("")
         per_doc: list[np.ndarray] = []
         for t in texts:
-            grams = _word_ngrams(t, self.ngram)
-            per_doc.append(
-                np.fromiter(
-                    (zlib.crc32(g.encode("utf-8")) for g in grams),
-                    dtype=np.uint64,
-                    count=len(grams),
-                )
-            )
+            per_doc.append(self._sh(_word_ngrams(t, self.ngram)))
         lens = np.fromiter((len(h) for h in per_doc), dtype=np.int64,
                            count=len(per_doc))
         sigs = np.zeros((len(per_doc), self.num_perm), dtype=np.uint64)

@@ -105,6 +105,48 @@ def q_simhash_groups(sf_dir: str) -> ray.data.Dataset:
     return simhash_groups(_documents(sf_dir))
 
 
+def q_minhash_md5_pairs(sf_dir: str) -> ray.data.Dataset:
+    """MinHash estimated Jaccard for the fixed (2i, 2i+1) doc pairing,
+    md5 shingle hashes — the estimator-verified variant: DuckDB
+    re-derives all 64 permutation minima (same seeded coefficients, the
+    same uint64-wraparound universal hash, the same uint32 truncation)
+    and the slot-agreement fraction.  est = k/64 is exactly dyadic, so
+    no rounding contract is needed."""
+    import numpy as np
+
+    from pdf_parser_ray.ops.dedup import MinHasher
+    from pdf_parser_ray.ops.shuffle import grouped_map
+    from pdf_parser_ray.stages import worker_state
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+
+    def sig_batch(df: pd.DataFrame) -> pd.DataFrame:
+        mh = worker_state("minhasher_md5", lambda: MinHasher(hash_fn="md5"))
+        out = mh(df)
+        out["pair_id"] = (out["doc_id"] // 2).astype("int64")
+        return out
+
+    sigs = ds.map_batches(sig_batch, batch_format="pandas")
+
+    def per_pair(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) != 2:  # odd tail doc without a partner
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype="int64"),
+                 "b": pd.Series([], dtype="int64"),
+                 "est_jaccard": pd.Series([], dtype="float64")}
+            )
+        g = g.sort_values("doc_id")
+        sa = np.frombuffer(g["sig"].iloc[0], dtype=np.uint32)
+        sb = np.frombuffer(g["sig"].iloc[1], dtype=np.uint32)
+        return pd.DataFrame(
+            {"a": np.asarray([g["doc_id"].iloc[0]], dtype=np.int64),
+             "b": np.asarray([g["doc_id"].iloc[1]], dtype=np.int64),
+             "est_jaccard": np.asarray([(sa == sb).mean()], dtype=np.float64)}
+        )
+
+    return grouped_map(sigs, ["pair_id"], per_pair)
+
+
 def q_simhash_md5_groups(sf_dir: str) -> ray.data.Dataset:
     """SimHash groups with md5 token hashes — the ALGORITHM-verified
     variant: DuckDB re-derives every 64-bit signature (per-token md5
@@ -4087,6 +4129,66 @@ def _simhash_md5_sql() -> str:
 
 SQL["simhash_md5_groups"] = _simhash_md5_sql()
 
+
+def _minhash_md5_sql() -> str:
+    """Estimator-exact MinHash twin of q_minhash_md5_pairs.
+
+    The 64 permutation coefficients come from the SAME seeded
+    MinHasher the Ray kernel builds (no drift possible); the universal
+    hash replays numpy's uint64 overflow semantics in HUGEINT:
+    ((a·x) mod 2^64 + b) mod 2^64 mod (2^61-1), truncated to uint32.
+    Word-3-gram shingling includes the short-doc rule (< 3 tokens →
+    one joined shingle).
+    """
+    from pdf_parser_ray.ops.dedup import MERSENNE, MinHasher
+
+    mh = MinHasher(hash_fn="md5")
+    perms = ", ".join(
+        f"({p}, {int(a)}::HUGEINT, {int(b)}::HUGEINT)"
+        for p, (a, b) in enumerate(zip(mh.a, mh.b))
+    )
+    two64 = 1 << 64
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) = 0 THEN []
+                  WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks) - 1), i ->
+                       toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+             END AS grams
+      FROM tok),
+    hx AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(gram), 1, 16))::UBIGINT::HUGEINT AS x
+      FROM (SELECT doc_id, unnest(grams) AS gram FROM sh)),
+    perms(p, a, b) AS (VALUES {perms}),
+    mh AS (
+      SELECT doc_id, p,
+             min((((a * x) % {two64} + b) % {two64}) % {int(MERSENNE)})
+               AS mv
+      FROM hx CROSS JOIN perms GROUP BY doc_id, p),
+    grid AS (
+      SELECT d.doc_id, pr.p,
+             coalesce(mh.mv % 4294967296, 0)::BIGINT AS s
+      FROM documents d CROSS JOIN perms pr
+      LEFT JOIN mh ON mh.doc_id = d.doc_id AND mh.p = pr.p),
+    paired AS (
+      SELECT (doc_id // 2) AS pid, doc_id, p, s FROM grid)
+    SELECT (x.pid * 2)::BIGINT AS a, (x.pid * 2 + 1)::BIGINT AS b,
+           avg(CASE WHEN x.s = y.s THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END)
+             AS est_jaccard
+    FROM paired x JOIN paired y
+      ON x.pid = y.pid AND x.p = y.p
+     AND x.doc_id % 2 = 0 AND y.doc_id % 2 = 1
+    GROUP BY x.pid
+"""
+
+
+SQL["minhash_md5_pairs"] = _minhash_md5_sql()
+
 # KMV bottom-k quantiles, md5 variant: the sample is the k rows with
 # the smallest md5-prefix hash of event_id — identical on both engines —
 # and nearest-rank is 1-based here vs 0-based in the kernel (r_sql =
@@ -4356,4 +4458,5 @@ QUERIES = {
     "link_graph": q_link_graph,
     "approx_quantiles_md5": q_approx_quantiles_md5,
     "simhash_md5_groups": q_simhash_md5_groups,
+    "minhash_md5_pairs": q_minhash_md5_pairs,
 }
