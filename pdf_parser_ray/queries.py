@@ -4189,6 +4189,32 @@ def _minhash_md5_sql() -> str:
 
 SQL["minhash_md5_pairs"] = _minhash_md5_sql()
 
+# Entity canonicalization: DuckDB's levenshtein() is the same classic
+# (no-transposition) metric the SymSpell verify uses, and SymSpell
+# blocking has recall exactly 1.0 at max_dist=1 — so a brute-force
+# lev<=1 self-join + the dup_components reachability CTE reproduces the
+# clusters; canonical = min reachable value = lexicographic-min member.
+SQL["canonical_names"] = """
+    WITH RECURSIVE
+    names AS (SELECT DISTINCT p_name AS v FROM part WHERE p_name IS NOT NULL),
+    pairs AS (
+      SELECT a.v AS a, b.v AS b
+      FROM names a JOIN names b ON a.v < b.v
+      WHERE levenshtein(a.v, b.v) <= 1
+    ),
+    edges AS (SELECT a AS u, b AS v FROM pairs
+              UNION ALL SELECT b AS u, a AS v FROM pairs),
+    reach(v, r) AS (
+      SELECT DISTINCT u, u FROM edges
+      UNION
+      SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.v
+    ),
+    canon AS (SELECT v AS value, min(r) AS canonical FROM reach GROUP BY v)
+    SELECT n.v AS value, coalesce(c.canonical, n.v) AS canonical
+    FROM names n LEFT JOIN canon c ON c.value = n.v
+    ORDER BY value
+"""
+
 # KMV bottom-k quantiles, md5 variant: the sample is the k rows with
 # the smallest md5-prefix hash of event_id — identical on both engines —
 # and nearest-rank is 1-based here vs 0-based in the kernel (r_sql =
