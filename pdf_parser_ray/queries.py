@@ -4189,6 +4189,38 @@ def _minhash_md5_sql() -> str:
 
 SQL["minhash_md5_pairs"] = _minhash_md5_sql()
 
+# Rate-limiter dedup: the sequential kept-anchor walk IS expressible —
+# each recursive round advances every (user, type) key from its last
+# kept event to the first event >= 1800 s later (rn orders by (ts,
+# event_id), the same mergesort tie-break as the wave kernel), exactly
+# one row per key per round, terminating when no key has a successor.
+SQL["dedup_events_window"] = """
+    WITH RECURSIVE
+    ev AS (
+      SELECT event_id, user_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    kept AS (
+      SELECT user_id, event_type, event_id, ts, rn FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e2.user_id, e2.event_type, e2.event_id, e2.ts, e2.rn
+      FROM (
+        SELECT k.user_id AS u, k.event_type AS t, min(e.rn) AS nrn
+        FROM kept k
+        JOIN ev e
+          ON e.user_id = k.user_id AND e.event_type = k.event_type
+         AND e.rn > k.rn
+         AND e.ts >= k.ts + INTERVAL 1800 SECOND
+        GROUP BY k.user_id, k.event_type
+      ) nx
+      JOIN ev e2 ON e2.user_id = nx.u AND e2.event_type = nx.t
+                AND e2.rn = nx.nrn
+    )
+    SELECT event_id, user_id, event_type, ts FROM kept
+"""
+
 # Entity canonicalization: DuckDB's levenshtein() is the same classic
 # (no-transposition) metric the SymSpell verify uses, and SymSpell
 # blocking has recall exactly 1.0 at max_dist=1 — so a brute-force
