@@ -357,6 +357,7 @@ def embed_documents(
     dim: int = 32,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "siphash",
 ) -> ray.data.Dataset:
     """Deterministic hashed bag-of-words document embeddings — the
     feature-hashing trick (Weinberger et al., ICML 2009): token t
@@ -385,7 +386,14 @@ def embed_documents(
         if len(ex):
             pos_map = pd.Series(np.arange(n), index=df.index)
             rows = pos_map[ex.index].to_numpy(dtype=np.int64)
-            h = pd.util.hash_array(ex.to_numpy(dtype=object))
+            if hash_fn == "md5":
+                # SQL-reproducible token hashes (the hll_users_md5
+                # trick) so the embedding itself can be oracled
+                from pdf_parser_ray.ops.sketches import _hash_strings_md5
+
+                h = _hash_strings_md5(ex.tolist())
+            else:
+                h = pd.util.hash_array(ex.to_numpy(dtype=object))
             cols = (h % np.uint64(dim)).astype(np.int64)
             signs = np.where((h >> np.uint64(63)).astype(bool), -1.0, 1.0)
             np.add.at(mat, (rows, cols), signs)

@@ -1467,6 +1467,31 @@ def q_doc_embed_knn(sf_dir: str) -> ray.data.Dataset:
     return knn_brute_force(embedded, qvec, k=10, exclude_vec_id=0, round_to=6)
 
 
+def q_doc_embed_knn_md5(sf_dir: str) -> ray.data.Dataset:
+    """Hash-trick embeddings with md5 token hashes → exact cosine top-10
+    of doc 0 — the embedding-verified variant: DuckDB re-derives the
+    scatter-add vectors (bucket = h mod 32, sign = top bit), the L2
+    normalization and the rounded cosine ordering, so the whole
+    text→vector→kNN bridge is value-checked."""
+    import ray.data as _rd
+
+    from pdf_parser_ray.ops.similarity import embed_documents, knn_brute_force
+
+    docs = _documents(sf_dir, columns=["doc_id", "text"])
+    embedded = embed_documents(docs, hash_fn="md5")
+    import pyarrow.parquet as papq
+
+    one = (
+        papq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .to_pandas()
+        .query("doc_id == 0")
+    )
+    qvec = embed_documents(_rd.from_pandas(one), hash_fn="md5").take_all()[0][
+        "embedding"
+    ]
+    return knn_brute_force(embedded, qvec, k=10, exclude_vec_id=0, round_to=6)
+
+
 def q_distinct_users_per_type(sf_dir: str) -> ray.data.Dataset:
     """Exact COUNT(DISTINCT user_id) per event_type — distinct-pair
     combiner, shuffle bounded by distinct pairs."""
@@ -4189,6 +4214,33 @@ def _minhash_md5_sql() -> str:
 
 SQL["minhash_md5_pairs"] = _minhash_md5_sql()
 
+# Hash-trick embedding kNN, md5 variant: raw vectors are INTEGER
+# scatter-adds (exact on both engines); normalization divides by the
+# same sqrt-of-integer norm; cosine = Σ (ri/ni)·(r0/n0) rounded 6dp
+# before the (cosine DESC, vec_id ASC) top-10.  The kernel's extra
+# ≈1.0 re-normalizations perturb only ~1 ulp — absorbed by rounding.
+SQL["doc_embed_knn_md5"] = """
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS t
+      FROM documents),
+    h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h
+          FROM tok),
+    raw AS (
+      SELECT doc_id, (h % 32)::BIGINT AS d,
+             sum(CASE WHEN h >= 9223372036854775808::UBIGINT
+                      THEN -1 ELSE 1 END)::DOUBLE AS v
+      FROM h GROUP BY doc_id, (h % 32)::BIGINT),
+    nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS n FROM raw GROUP BY doc_id),
+    q AS (SELECT r.d, r.v / n.n AS e
+          FROM raw r JOIN nrm n USING (doc_id) WHERE r.doc_id = 0)
+    SELECT r.doc_id::BIGINT AS vec_id,
+           round(sum((r.v / n.n) * q.e), 6) AS cosine
+    FROM raw r JOIN nrm n USING (doc_id) JOIN q ON q.d = r.d
+    WHERE r.doc_id <> 0
+    GROUP BY r.doc_id
+    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
 # Rate-limiter dedup: the sequential kept-anchor walk IS expressible —
 # each recursive round advances every (user, type) key from its last
 # kept event to the first event >= 1800 s later (rn orders by (ts,
@@ -4517,4 +4569,5 @@ QUERIES = {
     "approx_quantiles_md5": q_approx_quantiles_md5,
     "simhash_md5_groups": q_simhash_md5_groups,
     "minhash_md5_pairs": q_minhash_md5_pairs,
+    "doc_embed_knn_md5": q_doc_embed_knn_md5,
 }
