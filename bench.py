@@ -78,6 +78,13 @@ BENCH_QUERIES = [
     "price_qty_corr",
     "snapshot_diff",
     "part_triangles",
+    # round-2 session-4 additions
+    "bm25_search",
+    "part_pagerank",
+    "hll_users_md5",
+    "simhash_md5_groups",
+    "minhash_md5_pairs",
+    "link_graph",
 ]
 
 
