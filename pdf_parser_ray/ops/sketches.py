@@ -191,7 +191,8 @@ def top_k_frequent(
 
 
 def grouped_hll_distinct(
-    ds: ray.data.Dataset, group_col: str, col: str, *, b: int = 12
+    ds: ray.data.Dataset, group_col: str, col: str, *, b: int = 12,
+    hash_fn: str = "siphash",
 ) -> ray.data.Dataset:
     """Approximate COUNT(DISTINCT col) PER GROUP — the mergeable-sketch
     shape for grouped cardinality at corpus scale.
@@ -209,11 +210,13 @@ def grouped_hll_distinct(
     Output: (group_col, n_distinct_est:float64).
     """
 
+    hasher = _hash_strings_md5 if hash_fn == "md5" else _hash_strings
+
     def sketch_batch(df: pd.DataFrame):
         groups, sketches = [], []
         for g, sub in df.groupby(group_col, sort=False):
             h = HLL(b)
-            h.add_hashes(_hash_strings(sub[col].dropna().tolist()))
+            h.add_hashes(hasher(sub[col].dropna().tolist()))
             groups.append(g)
             sketches.append(h.registers.tobytes())
         from pdf_parser_ray.io_utils import arrow_out

@@ -1512,6 +1512,26 @@ def q_hll_users_per_type(sf_dir: str) -> ray.data.Dataset:
     return grouped_hll_distinct(ds, "event_type", "user_id")
 
 
+def q_hll_per_type_md5(sf_dir: str) -> ray.data.Dataset:
+    """Grouped HLL distinct users per event_type, md5 hashing — the
+    grouped twin of q:hll_users_md5: DuckDB re-derives each group's
+    registers and estimator, verifying the mergeable-sketch GROUPBY
+    path (register-wise max across batch partials) value-exactly."""
+    from pdf_parser_ray.ops.sketches import grouped_hll_distinct
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    est = grouped_hll_distinct(ds, "event_type", "user_id", hash_fn="md5")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["n_distinct_est"] = out["n_distinct_est"].round(4)
+        return out
+
+    return est.map_batches(finish, batch_format="pandas")
+
+
 def q_event_dense_ranks(sf_dir: str) -> ray.data.Dataset:
     """dense_rank() <= 3 per event_type by value DESC — distinct-value
     top-k via batch-local rank pruning (no unbounded group)."""
@@ -4299,6 +4319,46 @@ SQL["canonical_names"] = """
     ORDER BY value
 """
 
+def _hll_md5_grouped_sql(b: int = 12) -> str:
+    """Grouped twin of :func:`_hll_md5_sql` (same register emulation,
+    GROUP BY event_type at every stage)."""
+    m = 1 << b
+    alpha = repr(0.7213 / (1 + 1.079 / m))
+    two64 = 1 << 64
+    return f"""
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT
+               AS h
+      FROM (SELECT DISTINCT event_type, user_id FROM events
+            WHERE user_id IS NOT NULL)
+    ),
+    regs AS (
+      SELECT event_type, h >> {64 - b} AS idx,
+             max(65 - length(bin(
+               ((h::HUGEINT * {m}) % {two64} + {1 << (b - 1)})::UBIGINT
+             ))) AS rank
+      FROM h GROUP BY event_type, idx
+    ),
+    s AS (SELECT event_type, count(*)::BIGINT AS nonzero,
+                 sum(power(2.0, -rank)) AS sum_present
+          FROM regs GROUP BY event_type),
+    est AS (
+      SELECT event_type,
+             {alpha}::DOUBLE * {m}::DOUBLE * {m}::DOUBLE
+               / (sum_present + ({m} - nonzero) * 1.0::DOUBLE) AS raw,
+             {m} - nonzero AS zeros
+      FROM s)
+    SELECT event_type,
+           round(CASE WHEN raw <= 2.5::DOUBLE * {m}::DOUBLE AND zeros > 0
+                      THEN {m}::DOUBLE * ln({m}::DOUBLE / zeros) ELSE raw END,
+                 4) AS n_distinct_est
+    FROM est
+"""
+
+
+SQL["hll_per_type_md5"] = _hll_md5_grouped_sql()
+
 # KMV bottom-k quantiles, md5 variant: the sample is the k rows with
 # the smallest md5-prefix hash of event_id — identical on both engines —
 # and nearest-rank is 1-based here vs 0-based in the kernel (r_sql =
@@ -4570,4 +4630,5 @@ QUERIES = {
     "simhash_md5_groups": q_simhash_md5_groups,
     "minhash_md5_pairs": q_minhash_md5_pairs,
     "doc_embed_knn_md5": q_doc_embed_knn_md5,
+    "hll_per_type_md5": q_hll_per_type_md5,
 }
