@@ -626,3 +626,65 @@ def weighted_sample_topk(
         .sort(["wkey", id_col], descending=[True, False])
         .limit(k)
     )
+
+
+# URL canonicalization: RE2-safe pieces shared verbatim with the SQL
+# twin (queries.SQL["canonical_urls"]) — anchor every pattern, no
+# lookaround, so DuckDB applies the identical automaton.
+_URL_SCHEME_HOST = re.compile(
+    r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)(.*)$", re.ASCII
+)
+_URL_FRAGMENT = re.compile(r"#.*$", re.ASCII)
+_URL_HTTP_80 = re.compile(r"^(http://[^/:?#]*):80([/?#].*)?$", re.ASCII)
+_URL_HTTPS_443 = re.compile(r"^(https://[^/:?#]*):443([/?#].*)?$", re.ASCII)
+_URL_TRACKING_PARAM = re.compile(
+    r"^(utm_[A-Za-z]+|gclid|fbclid|ref)=", re.ASCII
+)
+_URL_ROOT_SLASH = re.compile(r"^([a-z][a-z0-9+.-]*://[^/?#]+)/$", re.ASCII)
+
+
+def canonicalize_urls(
+    ds: ray.data.Dataset, col: str = "url", out_col: str = "canonical_url"
+) -> ray.data.Dataset:
+    """Crawl-key URL canonicalization — the normalization every
+    dedup/frontier stage keys on (WARC record keys, C4's url-level
+    exact dedup): lowercase scheme+host, strip default ports
+    (http:80 / https:443), drop the fragment, remove tracking params
+    (utm_*, gclid, fbclid, ref), sort surviving query params, and trim
+    the bare host-root trailing slash.
+
+    Row-local map_batches; the param pass is explode → vectorized
+    regex filter → lexicographic sort → group-join (no per-URL Python
+    loop).  URLs without a scheme pass through un-lowered (only the
+    generic cleanups apply).
+    """
+
+    def canon_series(s: pd.Series) -> pd.Series:
+        u = s.fillna("").astype(str)
+        u = u.str.replace(_URL_FRAGMENT, "", regex=True)
+        parts = u.str.extract(_URL_SCHEME_HOST)
+        has_scheme = parts[0].notna()
+        u = (parts[0].str.lower() + parts[1]).where(has_scheme, u)
+        u = u.str.replace(_URL_HTTP_80, r"\1\2", regex=True)
+        u = u.str.replace(_URL_HTTPS_443, r"\1\2", regex=True)
+        trip = u.str.partition("?")
+        base, q = trip[0], trip[2]
+        p = q[q != ""].str.split("&").explode()
+        p = p[(p != "") & ~p.str.match(_URL_TRACKING_PARAM, na=False)]
+        # global stable sort, then first-seen group order == ascending
+        # per URL — the same ordering as the SQL twin's list_sort
+        q2 = (
+            p.sort_values(kind="stable")
+            .groupby(level=0, sort=False)
+            .agg("&".join)
+            .reindex(u.index, fill_value="")
+        )
+        u = base + ("?" + q2).where(q2 != "", "")
+        return u.str.replace(_URL_ROOT_SLASH, r"\1", regex=True)
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out[out_col] = canon_series(df[col])
+        return arrow_out(out)
+
+    return ds.map_batches(run, batch_format="pandas")

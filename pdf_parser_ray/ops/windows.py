@@ -1249,3 +1249,128 @@ def assign_sessions(
         per_partition,
         **({"n_parts": n_parts} if n_parts else {}),
     )
+
+
+def late_events(
+    ds: "ray.data.Dataset",
+    *,
+    lateness_seconds: int = 3600,
+    key: str = "user_id",
+    order_col: str = "event_id",
+    ts_col: str = "ts",
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Watermark-style late-arrival flags — the streaming-ingest gate
+    that decides whether an event may still update closed windows.
+
+    ``order_col`` is the ARRIVAL order (monotone ingest sequence; here
+    event_id), ``ts_col`` the EVENT time.  A row is late when its event
+    time has fallen more than ``lateness_seconds`` behind the per-key
+    watermark, i.e. the max event time among STRICTLY EARLIER arrivals
+    of the same key (exclusive running max — an event never makes
+    itself late; the first arrival per key is never late).
+
+    Same bounded-partition co-location as :func:`assign_sessions`; the
+    watermark is one grouped cummax + shift across the whole partition.
+    All comparisons happen in exact epoch-microsecond int64 — no float
+    contract.
+
+    Output: (event_id, user_id, is_late:bool).
+    """
+    late_us = int(lateness_seconds) * 1_000_000
+
+    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values([key, order_col])
+        ts_us = part[ts_col].astype("datetime64[us]").astype("int64")
+        # exclusive running max per key: cummax then shift, both
+        # cythonized groupby kernels — no per-key Python
+        frame = pd.DataFrame(
+            {key: part[key].to_numpy(), "__t": ts_us.to_numpy()}
+        )
+        grp = frame.groupby(key, sort=False)["__t"]
+        wm = grp.cummax().groupby(frame[key], sort=False).shift(1)
+        is_late = frame["__t"].to_numpy() < (wm.to_numpy() - late_us)
+        return pd.DataFrame(
+            {
+                "event_id": part[order_col].to_numpy(),
+                key: part[key].to_numpy(),
+                "is_late": is_late,  # NaN watermark compares False
+            }
+        )
+
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    return partitioned_map(
+        ds.select_columns([order_col, key, ts_col]),
+        [key],
+        per_partition,
+        **({"n_parts": n_parts} if n_parts else {}),
+    )
+
+
+def scd2_history(
+    ds: "ray.data.Dataset",
+    *,
+    key: str = "user_id",
+    attr: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+    sentinel: str = "2100-01-01",
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """SCD-type-2 history build: collapse a change log into effective-
+    dated intervals — the warehouse-dimension shape (one row per
+    (key, attr-run) with [effective_from, effective_to) validity; the
+    current version carries the ``sentinel`` end date).
+
+    Consecutive rows of one key with the SAME attribute value merge
+    into one interval; a row opens a new interval only when its value
+    differs from the key's previous row in (ts, tiebreak) order.
+
+    One co-locating shuffle; change detection and interval closing are
+    whole-partition vectorized shifts (no per-key loop).  Timestamps
+    stay µs-exact; the only comparison is string equality.
+
+    Output: (key, attr, effective_from, effective_to) as timestamp[us].
+    """
+
+    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        part = part.sort_values([key, ts_col, tiebreak])
+        k = part[key].to_numpy()
+        v = part[attr].to_numpy()
+        new_key = np.empty(len(part), dtype=bool)
+        if len(part):
+            new_key[0] = True
+            new_key[1:] = k[1:] != k[:-1]
+        changed = new_key.copy()
+        if len(part) > 1:
+            changed[1:] |= v[1:] != v[:-1]
+        kept = part[changed]
+        ts = kept[ts_col].astype("datetime64[us]")
+        # interval close = next change of the SAME key, else sentinel
+        nxt = ts.shift(-1)
+        kk = kept[key].to_numpy()
+        last_of_key = np.empty(len(kept), dtype=bool)
+        if len(kept):
+            last_of_key[-1] = True
+            last_of_key[:-1] = kk[:-1] != kk[1:]
+        nxt = nxt.where(~last_of_key, pd.Timestamp(sentinel))
+        return pd.DataFrame(
+            {
+                key: kk,
+                attr: kept[attr].to_numpy(),
+                "effective_from": ts.to_numpy().astype("datetime64[us]"),
+                "effective_to": nxt.to_numpy().astype("datetime64[us]"),
+            }
+        )
+
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    return partitioned_map(
+        ds.select_columns([key, attr, ts_col, tiebreak]),
+        [key],
+        per_partition,
+        **({"n_parts": n_parts} if n_parts else {}),
+    )

@@ -2389,6 +2389,73 @@ def q_ri_audit(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_late_events(sf_dir: str) -> ray.data.Dataset:
+    """Watermark late-arrival flags: an event is late when its event
+    time trails the per-user running-max event time over strictly
+    earlier ARRIVALS (event_id order) by more than one hour.  Exact
+    epoch-µs integer comparison on both engines."""
+    from pdf_parser_ray.ops.windows import late_events
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return late_events(ds, lateness_seconds=3600)
+
+
+def q_scd2_user_type(sf_dir: str) -> ray.data.Dataset:
+    """SCD-type-2 history of each user's event_type: consecutive equal
+    values collapse into one [effective_from, effective_to) interval;
+    the open interval ends at the 2100-01-01 sentinel.  Change
+    detection ordered by (ts, event_id) on both engines."""
+    from pdf_parser_ray.ops.windows import scd2_history
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    return scd2_history(ds)
+
+
+def q_canonical_urls(sf_dir: str) -> ray.data.Dataset:
+    """Crawl-key URL canonicalization over synthetic URLs derived from
+    doc_id (both engines construct the identical strings): lowercase
+    scheme+host, strip default ports and fragments, drop tracking
+    params, sort survivors, trim the host-root slash."""
+    from pdf_parser_ray.ops.webtext import canonicalize_urls
+
+    ds = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.io_utils import arrow_out
+
+        i = df["doc_id"]
+        s = i.astype(str)
+        even = i % 2 == 0
+        empty = pd.Series("", index=i.index, dtype=str)
+        scheme = empty.mask(even, "HTTP://").mask(~even, "https://")
+        host = "Example" + (i % 7).astype(str) + ".COM"
+        port = empty.mask(even, ":80").mask(~even, ":443").where(i % 3 == 0, "")
+        root = i % 10 == 7
+        path = (
+            "/Path/" + (i % 50).astype(str) + empty.mask(i % 4 == 0, "/")
+        ).mask(root, "/")
+        qs = empty.mask(
+            i % 5 == 0,
+            "?utm_source=feed&id=" + (i % 25).astype(str) + "&utm_campaign=x",
+        )
+        qs = qs.mask(i % 5 == 1, "?b=2&a=1&fbclid=abc" + s)
+        qs = qs.mask(i % 5 == 2, "?ref=home")
+        frag = empty.mask(i % 6 == 0, "#frag")
+        return arrow_out(
+            pd.DataFrame(
+                {"doc_id": i, "url": scheme + host + port + path + qs + frag}
+            )
+        )
+
+    built = ds.map_batches(build, batch_format="pandas")
+    return canonicalize_urls(built).sort("doc_id")
+
+
 SQL: dict[str, str] = {
     "doc_stats": """
         -- CAST: DuckDB sum(INTEGER) -> HUGEINT -> float64 in pandas,
@@ -4631,4 +4698,109 @@ QUERIES = {
     "minhash_md5_pairs": q_minhash_md5_pairs,
     "doc_embed_knn_md5": q_doc_embed_knn_md5,
     "hll_per_type_md5": q_hll_per_type_md5,
+    "late_events": q_late_events,
+    "scd2_user_type": q_scd2_user_type,
+    "canonical_urls": q_canonical_urls,
 }
+
+# URL canonicalization twin: the regex pieces are injected VERBATIM
+# from ops.webtext's compiled patterns (RE2-safe, anchored, no
+# lookaround) so both engines run the identical automata; list_sort /
+# list_filter reproduce the explode → filter → sort → join param pass.
+def _canonical_urls_sql() -> str:
+    from pdf_parser_ray.ops.webtext import (
+        _URL_HTTP_80,
+        _URL_HTTPS_443,
+        _URL_ROOT_SLASH,
+        _URL_TRACKING_PARAM,
+    )
+
+    sh = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+    return rf"""
+    WITH raw AS (
+      SELECT doc_id,
+        (CASE WHEN doc_id%2=0 THEN 'HTTP://' ELSE 'https://' END)
+        || 'Example' || (doc_id%7)::VARCHAR || '.COM'
+        || (CASE WHEN doc_id%3=0
+                 THEN (CASE WHEN doc_id%2=0 THEN ':80' ELSE ':443' END)
+                 ELSE '' END)
+        || (CASE WHEN doc_id%10=7 THEN '/'
+                 ELSE '/Path/' || (doc_id%50)::VARCHAR
+                      || (CASE WHEN doc_id%4=0 THEN '/' ELSE '' END) END)
+        || (CASE doc_id%5
+              WHEN 0 THEN '?utm_source=feed&id=' || (doc_id%25)::VARCHAR
+                          || '&utm_campaign=x'
+              WHEN 1 THEN '?b=2&a=1&fbclid=abc' || doc_id::VARCHAR
+              WHEN 2 THEN '?ref=home' ELSE '' END)
+        || (CASE WHEN doc_id%6=0 THEN '#frag' ELSE '' END) AS url
+      FROM documents),
+    s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u
+           FROM raw),
+    s2 AS (SELECT doc_id, url,
+             CASE WHEN regexp_matches(u, '{sh}')
+                  THEN lower(regexp_extract(u, '{sh}'))
+                       || regexp_replace(u, '{sh}', '')
+                  ELSE u END AS u
+           FROM s1),
+    s3 AS (SELECT doc_id, url,
+             regexp_replace(
+               regexp_replace(u, '{_URL_HTTP_80.pattern}', '\1\2'),
+               '{_URL_HTTPS_443.pattern}', '\1\2') AS u
+           FROM s2),
+    s4 AS (SELECT doc_id, url,
+             CASE WHEN strpos(u,'?') > 0
+                  THEN substr(u, 1, strpos(u,'?')-1) ELSE u END AS base,
+             CASE WHEN strpos(u,'?') > 0
+                  THEN substr(u, strpos(u,'?')+1) ELSE '' END AS q
+           FROM s3),
+    s5 AS (SELECT doc_id, url, base,
+             array_to_string(list_sort(list_filter(string_split(q, '&'),
+               p -> p <> '' AND NOT regexp_matches(p,
+                 '{_URL_TRACKING_PARAM.pattern}'))), '&') AS q2
+           FROM s4),
+    s6 AS (SELECT doc_id, url,
+             base || (CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END) AS u
+           FROM s5)
+    SELECT doc_id, url,
+           regexp_replace(u, '{_URL_ROOT_SLASH.pattern}', '\1')
+             AS canonical_url
+    FROM s6 ORDER BY doc_id
+"""
+
+
+SQL["canonical_urls"] = _canonical_urls_sql()
+
+# Watermark lateness: exclusive per-user running max over arrival
+# (event_id) order, exact epoch-µs integers; the first arrival's NULL
+# watermark coalesces to not-late on both engines.
+SQL["late_events"] = """
+    SELECT event_id, user_id,
+           coalesce(
+             epoch_us(ts) < max(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) - 3600000000,
+             FALSE) AS is_late
+    FROM events
+    ORDER BY event_id
+"""
+
+# SCD2: keep rows that differ from the user's previous event_type in
+# (ts, event_id) order; close each interval with the next kept row's
+# ts (same ordering), sentinel 2100-01-01 on the open interval.
+SQL["scd2_user_type"] = """
+    WITH ordered AS (
+      SELECT user_id, ts, event_type, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    changes AS (
+      SELECT user_id, ts, event_type, event_id FROM ordered
+      WHERE prev IS NULL OR event_type <> prev)
+    SELECT user_id, event_type, ts AS effective_from,
+           coalesce(lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id),
+             TIMESTAMP '2100-01-01') AS effective_to
+    FROM changes
+    ORDER BY user_id, effective_from
+"""

@@ -2209,3 +2209,104 @@ class TestTriangles:
         assert 9 not in out.index  # pendant: no triangles -> inner join drops
         # ordering: coef DESC then node ASC
         assert out.index.tolist() == [1, 2, 3, 4]
+
+
+class TestLateEvents:
+    def test_watermark_flags_exact(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import late_events
+
+        t = pd.Timestamp("2026-01-01 10:00:00")
+        m = pd.Timedelta(minutes=1)
+        rows = pd.DataFrame(
+            {
+                # arrival order = event_id; user 1's third arrival has
+                # event time 30 min behind the watermark
+                "event_id": [1, 2, 3, 4, 5],
+                "user_id": [1, 1, 1, 2, 2],
+                "ts": [t, t + 60 * m, t + 30 * m, t, t - 120 * m],
+            }
+        )
+        out = (
+            late_events(ray.data.from_pandas(rows), lateness_seconds=600)
+            .to_pandas()
+            .sort_values("event_id")
+        )
+        # ev3: wm=11:00, ts=10:30 -> 30 min late > 10 min allowance.
+        # ev5 belongs to user 2: wm=10:00, ts=08:00 -> late.
+        # first arrivals (1, 4) never late; ev2 advances the watermark.
+        assert out["is_late"].tolist() == [False, False, True, False, True]
+
+    def test_boundary_is_not_late(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import late_events
+
+        t = pd.Timestamp("2026-01-01 10:00:00")
+        rows = pd.DataFrame(
+            {
+                "event_id": [1, 2],
+                "user_id": [1, 1],
+                # exactly lateness behind: strict < means NOT late
+                "ts": [t, t - pd.Timedelta(seconds=600)],
+            }
+        )
+        out = late_events(
+            ray.data.from_pandas(rows), lateness_seconds=600
+        ).to_pandas().sort_values("event_id")
+        assert out["is_late"].tolist() == [False, False]
+
+
+class TestScd2History:
+    def test_collapses_runs_and_closes_intervals(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import scd2_history
+
+        t = pd.Timestamp("2026-01-01")
+        d = pd.Timedelta(days=1)
+        rows = pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4, 5],
+                "user_id": [1, 1, 1, 1, 2],
+                "event_type": ["view", "view", "buy", "view", "buy"],
+                "ts": [t, t + d, t + 2 * d, t + 3 * d, t],
+            }
+        )
+        out = (
+            scd2_history(ray.data.from_pandas(rows))
+            .to_pandas()
+            .sort_values(["user_id", "effective_from"])
+            .reset_index(drop=True)
+        )
+        sentinel = pd.Timestamp("2100-01-01")
+        assert out["user_id"].tolist() == [1, 1, 1, 2]
+        assert out["event_type"].tolist() == ["view", "buy", "view", "buy"]
+        assert out["effective_from"].tolist() == [t, t + 2 * d, t + 3 * d, t]
+        assert out["effective_to"].tolist() == [
+            t + 2 * d, t + 3 * d, sentinel, sentinel,
+        ]
+
+    def test_ts_tie_breaks_by_event_id(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import scd2_history
+
+        t = pd.Timestamp("2026-01-01")
+        rows = pd.DataFrame(
+            {
+                "event_id": [2, 1],
+                "user_id": [1, 1],
+                "event_type": ["b", "a"],
+                "ts": [t, t],  # tied: event_id order decides a -> b
+            }
+        )
+        out = (
+            scd2_history(ray.data.from_pandas(rows))
+            .to_pandas()
+            .sort_values("effective_to")
+            .reset_index(drop=True)
+        )
+        assert out["event_type"].tolist() == ["a", "b"]
+        assert out["effective_to"].iloc[0] == t  # a's interval is empty

@@ -261,3 +261,31 @@ class TestWeightedSampleTopk:
         assert list(one["wkey"]) == sorted(one["wkey"], reverse=True)
         # the 50x-weighted half should dominate the sample
         assert (one["doc_id"] >= n // 2).sum() >= 25
+
+
+class TestCanonicalizeUrls:
+    def test_pins_canonical_forms(self, ray_session):
+        from pdf_parser_ray.ops.webtext import canonicalize_urls
+
+        rows = [
+            (0, "HTTP://Example3.COM:80/Path/7?utm_source=f&id=9&utm_campaign=x#frag"),
+            (1, "https://A.com:443/"),
+            (2, "https://a.com/x?b=2&a=1&fbclid=zz"),
+            (3, "https://a.com/x?ref=home"),
+            (4, "plainhost/path?a=1"),
+            (5, "http://h.io:8080/keep-port"),
+        ]
+        out = (
+            canonicalize_urls(_ds(rows, ["doc_id", "url"]))
+            .to_pandas()
+            .sort_values("doc_id")["canonical_url"]
+            .tolist()
+        )
+        assert out == [
+            "http://example3.com/Path/7?id=9",
+            "https://a.com",          # default port + root slash stripped
+            "https://a.com/x?a=1&b=2",  # tracking dropped, params sorted
+            "https://a.com/x",        # all params tracking -> no '?'
+            "plainhost/path?a=1",     # no scheme: generic cleanups only
+            "http://h.io:8080/keep-port",  # non-default port kept
+        ]
