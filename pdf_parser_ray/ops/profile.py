@@ -407,3 +407,116 @@ def ri_audit(
     ]
     out = pd.DataFrame(rows).sort_values("relation", ignore_index=True)
     return out.astype({"n_rows": "int64", "n_orphans": "int64"})
+
+
+def embedding_dim_stats(
+    ds: "ray.data.Dataset", col: str = "embedding", round_to: int = 4
+) -> "ray.data.Dataset":
+    """Per-dimension mean/variance over a ``list<float>`` embedding
+    column — the feature-scaling statistics a normalization or PCA
+    stage is fit from.
+
+    One pass: each batch stacks its vectors into a (rows x dim) matrix
+    and emits ONE partial row per dimension (sum, sum-of-squares,
+    count), so the shuffle is O(batches x dim), never O(rows).  The
+    finish computes mean = s/n and the naive-sums variance
+    (ss - s*s/n)/n — the same expression tree the SQL twin spells —
+    rounded to ``round_to`` (cross-row float-sum contract).
+
+    Output: (dim:int64 1-based, mean:float64, variance:float64).
+    """
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.io_utils import arrow_out
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.vstack(df[col].to_numpy()).astype(np.float64)
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    "dim": np.arange(1, m.shape[1] + 1, dtype=np.int64),
+                    "s": m.sum(axis=0),
+                    "ss": (m * m).sum(axis=0),
+                    "n": np.int64(m.shape[0]),
+                }
+            )
+        )
+
+    agg = (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("dim")
+        .aggregate(
+            Sum("s", alias_name="s"),
+            Sum("ss", alias_name="ss"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        s, ss, n = df["s"], df["ss"], df["n"]
+        return pd.DataFrame(
+            {
+                "dim": df["dim"].astype("int64"),
+                "mean": (s / n).round(round_to),
+                "variance": ((ss - s * s / n) / n).round(round_to),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def grouped_zscore_outliers(
+    ds: "ray.data.Dataset",
+    *,
+    key: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    z: int = 3,
+    scale: int = 100,
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-group z-score outlier flags with NO float contract: values
+    are fixed-point (``scale``=100 → cents), and the |v - mean| > z·σ
+    test is evaluated in cross-multiplied int64 —
+    (n·v - s)² > z²·(n·ss - s²) — so both engines compare identical
+    integers (exact under int64 given v·scale ≲ 1e4 and group rows
+    ≲ 1e4; grows as n²·v²).
+
+    One co-locating shuffle by ``key``; group sums are vectorized
+    transforms across the whole partition.
+
+    Output: (id_col, key, is_outlier:bool).
+    """
+    z2 = int(z) * int(z)
+
+    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        vc = np.rint(part[value_col].to_numpy() * scale).astype(np.int64)
+        f = pd.DataFrame({key: part[key].to_numpy(), "vc": vc})
+        g = f.groupby(key, sort=False)["vc"]
+        s = g.transform("sum").to_numpy()
+        n = g.transform("size").to_numpy()
+        ss = (
+            f.assign(v2=f["vc"] * f["vc"])
+            .groupby(key, sort=False)["v2"]
+            .transform("sum")
+            .to_numpy()
+        )
+        lhs = n * vc - s
+        flag = lhs * lhs > z2 * (n * ss - s * s)
+        return pd.DataFrame(
+            {
+                id_col: part[id_col].to_numpy(),
+                key: part[key].to_numpy(),
+                "is_outlier": flag,
+            }
+        )
+
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    return partitioned_map(
+        ds.select_columns([id_col, key, value_col]),
+        [key],
+        per_partition,
+        **({"n_parts": n_parts} if n_parts else {}),
+    )

@@ -2014,13 +2014,20 @@ def colo_join(
     lcols: Sequence[str],
     rcols: Sequence[str],
     *,
+    how: str = "inner",
     n_parts: int | None = None,
 ) -> ray.data.Dataset:
-    """Inner join by key co-location — the faster physical plan for
-    NARROW fact⋈fact joins (measured 3.1 s vs 4.9 s for Ray's native
-    hash join on the sf0.1 lineitem⋈orders orderkey join at 32 CPUs:
-    no join-aggregator actor ramp, one int-keyed partition shuffle,
+    """Join by key co-location — the faster physical plan for NARROW
+    fact⋈fact joins (measured 3.1 s vs 4.9 s for Ray's native hash
+    join on the sf0.1 lineitem⋈orders orderkey join at 32 CPUs: no
+    join-aggregator actor ramp, one int-keyed partition shuffle,
     C-speed pandas merge per partition).
+
+    ``how`` ∈ {"inner", "left", "outer"} (pandas merge semantics;
+    outer = FULL OUTER).  Correct for every mode because co-location
+    is by key: a key's rows from BOTH sides land in exactly one
+    partition, so each partition's pandas merge — including its
+    unmatched-row padding — is the global answer for its keys.
 
     Both sides union into one stream with null-padded columns (nulls
     are never read — the merge takes each side's payload from its own
@@ -2029,10 +2036,12 @@ def colo_join(
     of each side (exclusive of ``on``): explicit because deriving them
     via ``ds.schema()`` would execute a post-shuffle upstream in full.
 
-    Use for inner joins with slim schemas; wide payloads pay null
-    padding (validity-bitmap cheap, but fixed-width lanes still
-    allocate) — route those through :func:`hash_join`.
+    Use for joins with slim schemas; wide payloads pay null padding
+    (validity-bitmap cheap, but fixed-width lanes still allocate) —
+    route those through :func:`hash_join`.
     """
+    if how not in ("inner", "left", "outer"):
+        raise ValueError(f"unsupported how={how!r}")
     from pdf_parser_ray.ops.shuffle import partitioned_map
 
     keys = list(on)
@@ -2058,7 +2067,7 @@ def colo_join(
         # would hit PYTHON operator semantics downstream — ~True == -2)
         l = part.loc[part["__side"] == 0, keys + lcols].infer_objects()
         r = part.loc[part["__side"] == 1, keys + rcols].infer_objects()
-        return l.merge(r, on=keys)
+        return l.merge(r, on=keys, how=how)
 
     return partitioned_map(
         u, keys, merge, **({"n_parts": n_parts} if n_parts else {})

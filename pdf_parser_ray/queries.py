@@ -2456,6 +2456,98 @@ def q_canonical_urls(sf_dir: str) -> ray.data.Dataset:
     return canonicalize_urls(built).sort("doc_id")
 
 
+def q_customer_orders_left(sf_dir: str) -> ray.data.Dataset:
+    """LEFT OUTER colo_join: every customer keeps a row even with no
+    orders; per market segment count rows, no-order customers, and
+    exact-cents revenue."""
+    from pdf_parser_ray.ops.relational import colo_join
+
+    cust = _read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from pdf_parser_ray.io_utils import arrow_out
+
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    "c_custkey": df["o_custkey"],
+                    "o_cents": np.rint(df["o_totalprice"].to_numpy() * 100)
+                    .astype("int64"),
+                }
+            )
+        )
+
+    joined = colo_join(
+        cust,
+        orders.map_batches(prep, batch_format="pandas"),
+        ["c_custkey"],
+        ["c_mktsegment"],
+        ["o_cents"],
+        how="left",
+    )
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from pdf_parser_ray.io_utils import arrow_out
+
+        cents = df["o_cents"]
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    "c_mktsegment": df["c_mktsegment"],
+                    "n_rows": np.int64(1),
+                    "n_no_order": cents.isna().astype("int64"),
+                    "sum_cents": cents.fillna(0).astype("int64"),
+                }
+            )
+            .groupby("c_mktsegment", as_index=False)
+            .sum()
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        joined.map_batches(agg, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("n_no_order", alias_name="n_no_order"),
+            Sum("sum_cents", alias_name="sum_cents"),
+        )
+        .sort("c_mktsegment")
+    )
+
+
+def q_embedding_dim_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-dimension mean/variance of the embedding table (the
+    normalization-fit statistics); naive-sums expression tree shared
+    with the SQL twin, 4dp rounding contract."""
+    from pdf_parser_ray.ops.profile import embedding_dim_stats
+
+    ds = _read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    return embedding_dim_stats(ds).sort("dim")
+
+
+def q_value_outliers(sf_dir: str) -> ray.data.Dataset:
+    """Per-user 3-sigma outlier flags over event values — evaluated in
+    cross-multiplied exact int64 cents ((n*v-s)^2 > 9*(n*ss-s^2)), so
+    the boolean is bit-identical on both engines."""
+    from pdf_parser_ray.ops.profile import grouped_zscore_outliers
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    return grouped_zscore_outliers(ds)
+
+
 SQL: dict[str, str] = {
     "doc_stats": """
         -- CAST: DuckDB sum(INTEGER) -> HUGEINT -> float64 in pandas,
@@ -4701,7 +4793,52 @@ QUERIES = {
     "late_events": q_late_events,
     "scd2_user_type": q_scd2_user_type,
     "canonical_urls": q_canonical_urls,
+    "customer_orders_left": q_customer_orders_left,
+    "embedding_dim_stats": q_embedding_dim_stats,
+    "value_outliers": q_value_outliers,
 }
+
+SQL["customer_orders_left"] = """
+    SELECT c_mktsegment,
+           count(*)::BIGINT AS n_rows,
+           CAST(sum(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_no_order,
+           CAST(coalesce(sum(CAST(round(o_totalprice*100) AS BIGINT)), 0)
+                AS BIGINT) AS sum_cents
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""
+
+SQL["embedding_dim_stats"] = """
+    WITH flat AS (
+      SELECT unnest(embedding) AS v,
+             unnest(range(1, len(embedding)+1)) AS dim
+      FROM embeddings),
+    agg AS (
+      SELECT dim, sum(v::DOUBLE) AS s, sum(v::DOUBLE * v::DOUBLE) AS ss,
+             count(*)::BIGINT AS n
+      FROM flat GROUP BY dim)
+    SELECT dim::BIGINT AS dim,
+           round(s/n, 4) AS mean,
+           round((ss - s*s/n)/n, 4) AS variance
+    FROM agg ORDER BY dim
+"""
+
+SQL["value_outliers"] = """
+    WITH c AS (
+      SELECT event_id, user_id,
+             CAST(round(value*100) AS BIGINT) AS vc
+      FROM events),
+    agg AS (
+      SELECT user_id, CAST(sum(vc) AS BIGINT) AS s,
+             CAST(sum(vc*vc) AS BIGINT) AS ss, count(*)::BIGINT AS n
+      FROM c GROUP BY user_id)
+    SELECT c.event_id, c.user_id,
+           (n*vc - s)*(n*vc - s) > 9*(n*ss - s*s) AS is_outlier
+    FROM c JOIN agg ON c.user_id = agg.user_id
+    ORDER BY c.event_id
+"""
 
 # URL canonicalization twin: the regex pieces are injected VERBATIM
 # from ops.webtext's compiled patterns (RE2-safe, anchored, no

@@ -138,3 +138,51 @@ def test_key_skew_top_and_ties(ray_session):
     # ties broken by key ASC; counts summed across partitions
     assert out["k"].tolist() == [3, 7, 1]
     assert out["n"].tolist() == [5, 5, 2]
+
+
+class TestEmbeddingDimStats:
+    def test_matches_numpy(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.profile import embedding_dim_stats
+
+        rng = np.random.RandomState(5)
+        vecs = rng.randn(40, 8).astype(np.float32)
+        df = pd.DataFrame({"embedding": list(vecs)})
+        out = (
+            embedding_dim_stats(
+                ray.data.from_pandas([df.iloc[:17], df.iloc[17:]])
+            )
+            .to_pandas()
+            .sort_values("dim")
+        )
+        m = vecs.astype(np.float64)
+        exp_mean = np.round(m.mean(axis=0), 4)
+        s, ss, n = m.sum(axis=0), (m * m).sum(axis=0), m.shape[0]
+        exp_var = np.round((ss - s * s / n) / n, 4)
+        assert out["dim"].tolist() == list(range(1, 9))
+        assert np.allclose(out["mean"].to_numpy(), exp_mean, atol=1e-9)
+        assert np.allclose(out["variance"].to_numpy(), exp_var, atol=1e-9)
+
+
+class TestGroupedZscoreOutliers:
+    def test_flags_the_planted_spike(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.profile import grouped_zscore_outliers
+
+        # user 1: 20 values at ~10.00 and one 99.99 spike; user 2 flat
+        vals = [10.0 + 0.01 * i for i in range(20)] + [99.99]
+        rows = pd.DataFrame(
+            {
+                "event_id": range(1, len(vals) + 3),
+                "user_id": [1] * len(vals) + [2, 2],
+                "value": vals + [5.0, 5.0],
+            }
+        )
+        out = (
+            grouped_zscore_outliers(ray.data.from_pandas(rows))
+            .to_pandas()
+            .sort_values("event_id")
+        )
+        assert out["is_outlier"].tolist() == [False] * 20 + [True, False, False]

@@ -628,3 +628,61 @@ class TestColoJoin:
             ("k",), ["lv"], ["rv"],
         )
         assert out.count() == 0
+
+
+class TestColoJoinOuter:
+    def _frames(self):
+        rng = np.random.RandomState(7)
+        left = pd.DataFrame(
+            {
+                "k": rng.randint(0, 30, 200).astype("int64"),
+                "lv": rng.randint(0, 100, 200).astype("int64"),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "k": rng.randint(15, 45, 80).astype("int64"),
+                "rv": rng.randint(0, 100, 80).astype("int64"),
+            }
+        )
+        return left, right
+
+    @pytest.mark.parametrize("how", ["left", "outer"])
+    def test_matches_pandas_merge(self, ray_session, how):
+        from pdf_parser_ray.ops.relational import colo_join
+
+        left, right = self._frames()
+        out = (
+            colo_join(
+                ray.data.from_pandas([left.iloc[:100], left.iloc[100:]]),
+                ray.data.from_pandas(right),
+                ("k",),
+                ["lv"],
+                ["rv"],
+                how=how,
+            )
+            .to_pandas()
+            .sort_values(["k", "lv", "rv"], ignore_index=True)
+        )
+        expect = left.merge(right, on="k", how=how).sort_values(
+            ["k", "lv", "rv"], ignore_index=True
+        )
+        assert len(out) == len(expect)
+        for c in ("lv", "rv"):
+            a = pd.to_numeric(out[c]).fillna(-1).to_numpy()
+            b = expect[c].fillna(-1).to_numpy()
+            assert (a == b).all(), c
+
+    def test_rejects_unknown_how(self, ray_session):
+        from pdf_parser_ray.ops.relational import colo_join
+
+        left, right = self._frames()
+        with pytest.raises(ValueError):
+            colo_join(
+                ray.data.from_pandas(left),
+                ray.data.from_pandas(right),
+                ("k",),
+                ["lv"],
+                ["rv"],
+                how="right",
+            )
