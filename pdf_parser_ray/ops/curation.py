@@ -644,3 +644,40 @@ def snapshot_diff(
         tagged, [key], diff_partition,
         **({"n_parts": n_parts} if n_parts else {}),
     )
+
+
+def pseudonymize(
+    ds: "ray.data.Dataset",
+    col: str,
+    *,
+    pepper: str = "pepper",
+    token_len: int = 16,
+    out_col: str = "token",
+) -> "ray.data.Dataset":
+    """Deterministic PII pseudonymization: replace an identifier column
+    with the md5 prefix of ``pepper + ':' + value`` — the keyed-token
+    shape (stable across reruns/partitions so joins on the token still
+    work, irreversible without the pepper).  Any SQL engine re-derives
+    the identical token (``substr(md5(pepper || ':' || v), 1, n)``).
+
+    Row-local map_batches; hashing loops over DISTINCT values per
+    batch (``Series.map`` over a unique-value dict), so repeated ids
+    cost one hash.
+    """
+    import hashlib
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.io_utils import arrow_out
+
+        uniq = df[col].drop_duplicates()
+        lut = {
+            v: hashlib.md5(
+                f"{pepper}:{v}".encode("utf-8")
+            ).hexdigest()[:token_len]
+            for v in uniq
+        }
+        out = df.copy()
+        out[out_col] = df[col].map(lut)
+        return arrow_out(out)
+
+    return ds.map_batches(run, batch_format="pandas")

@@ -457,3 +457,59 @@ def audio_fingerprint_groups(
             "n_clips": df["n_clips"].astype("int64")})
 
     return groups.map_batches(cast, batch_format="pandas")
+
+
+def scene_changes(
+    media: ray.data.Dataset, *, threshold: float = 0.25
+) -> ray.data.Dataset:
+    """Video scene-boundary detection over the STUB codec's frame
+    layout (equal-size frame slabs inside the payload — the Ray-side
+    plumbing a real decoder would feed identically): a boundary is a
+    frame whose mean absolute byte energy jumps by more than
+    ``threshold`` × the video's mean frame energy vs the previous
+    frame.
+
+    Row-local per video — all frames of one video live in its payload
+    row, so there is NO shuffle at all; the per-video kernel is one
+    numpy reshape + diff over the frame axis.  Videos with < 2 frames
+    emit nothing.
+
+    Output: (media_id, frame_idx:int32, delta:float64) — one row per
+    detected boundary, frame_idx is the frame AFTER the cut.
+    """
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids, fidx, deltas = [], [], []
+        for mid, payload, nf in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+            batch.column("n_frames").to_pylist(),
+        ):
+            nf = int(nf or 0)
+            if nf < 2 or not payload:
+                continue
+            frame_bytes = len(payload) // nf
+            if frame_bytes == 0:
+                continue
+            m = (
+                np.frombuffer(payload[: nf * frame_bytes], dtype=np.uint8)
+                .reshape(nf, frame_bytes)
+                .astype(np.float64)
+            )
+            energy = m.mean(axis=1)
+            jumps = np.abs(np.diff(energy))
+            gate = threshold * max(energy.mean(), 1e-9)
+            hits = np.nonzero(jumps > gate)[0]
+            ids.extend([mid] * len(hits))
+            fidx.extend((hits + 1).tolist())
+            deltas.extend(jumps[hits].tolist())
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "delta": pa.array(deltas, pa.float64()),
+            }
+        )
+
+    videos = media.filter(expr="kind == 'video'")
+    return videos.map_batches(per_batch, batch_format="pyarrow")

@@ -2548,6 +2548,105 @@ def q_value_outliers(sf_dir: str) -> ray.data.Dataset:
     return grouped_zscore_outliers(ds)
 
 
+def q_pseudonym_map(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic PII pseudonymization: one keyed md5 token per
+    distinct user plus their event count — both engines derive the
+    identical token string."""
+    from pdf_parser_ray.ops.curation import pseudonymize
+    from pdf_parser_ray.ops.shuffle import grouped_sum
+
+    ds = _read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.io_utils import arrow_out
+
+        g = df.groupby("user_id", as_index=False).agg(
+            n_events=("user_id", "size")
+        )
+        g["n_events"] = g["n_events"].astype("int64")
+        return arrow_out(g)
+
+    counts = grouped_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id"],
+        ["n_events"],
+    )
+    return pseudonymize(counts, "user_id").sort("user_id")
+
+
+def q_scene_changes(sf_dir: str) -> ray.data.Dataset:
+    """Video scene-boundary detection (STUB codec, real Ray plumbing —
+    no shuffle, one numpy kernel per video payload row).  The fixture
+    plants one deterministic cut per video at frame (id % 7) + 2: dark
+    frames (byte 40) then bright frames (byte 200)."""
+    from pdf_parser_ray.ops.multimodal import scene_changes
+
+    n = max(30, int(_sf_from_dir(sf_dir) * 30000))
+
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.io_utils import arrow_out
+
+        rows = []
+        for i in df["id"]:
+            nf = 12 + int(i) % 5
+            cut = int(i) % 7 + 2
+            fb = 64
+            payload = b"\x28" * (cut * fb) + b"\xc8" * ((nf - cut) * fb)
+            rows.append((int(i), "video", payload, 0, 0, 0, nf))
+        return arrow_out(
+            pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "payload",
+                    "width", "height", "n_samples", "n_frames",
+                ],
+            )
+        )
+
+    media = ray.data.range(n).map_batches(build, batch_format="pandas")
+    return scene_changes(media).sort(["media_id", "frame_idx"])
+
+
+def q_embedding_std_norms(sf_dir: str) -> ray.data.Dataset:
+    """Fit-small/apply-wide normalization: per-dim mean/var (the 64-row
+    oracled stats, 4dp-rounded on BOTH engines) broadcast once, then
+    each vector's standardized L2 norm — rounded to 6dp (the only
+    cross-engine float sum, 64 addends per row)."""
+    from pdf_parser_ray.ops.profile import embedding_dim_stats
+
+    ds = _read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    stats = (
+        embedding_dim_stats(ds.select_columns(["embedding"]))
+        .to_pandas()
+        .sort_values("dim")
+    )
+    mref = ray.put(stats["mean"].to_numpy())
+    vref = ray.put(stats["variance"].to_numpy())
+
+    def norms(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from pdf_parser_ray.io_utils import arrow_out
+        from pdf_parser_ray.stages import worker_state
+
+        m = worker_state(("std_mean", mref.hex()), lambda: ray.get(mref))
+        v = worker_state(("std_var", vref.hex()), lambda: ray.get(vref))
+        mat = np.vstack(df["embedding"].to_numpy()).astype(np.float64)
+        z = (mat - m) / np.sqrt(v)
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    "vec_id": df["vec_id"],
+                    "std_norm": np.round(np.sqrt((z * z).sum(axis=1)), 6),
+                }
+            )
+        )
+
+    return ds.map_batches(norms, batch_format="pandas").sort("vec_id")
+
+
 SQL: dict[str, str] = {
     "doc_stats": """
         -- CAST: DuckDB sum(INTEGER) -> HUGEINT -> float64 in pandas,
@@ -4796,7 +4895,41 @@ QUERIES = {
     "customer_orders_left": q_customer_orders_left,
     "embedding_dim_stats": q_embedding_dim_stats,
     "value_outliers": q_value_outliers,
+    "pseudonym_map": q_pseudonym_map,
+    "scene_changes": q_scene_changes,
+    "embedding_std_norms": q_embedding_std_norms,
 }
+
+SQL["pseudonym_map"] = """
+    SELECT user_id,
+           substr(md5('pepper:' || user_id::VARCHAR), 1, 16) AS token,
+           count(*)::BIGINT AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+SQL["embedding_std_norms"] = """
+    WITH flat AS (
+      SELECT vec_id, unnest(embedding) AS v,
+             unnest(range(1, len(embedding)+1)) AS dim
+      FROM embeddings),
+    agg AS (
+      SELECT dim, sum(v::DOUBLE) AS s, sum(v::DOUBLE * v::DOUBLE) AS ss,
+             count(*)::BIGINT AS n
+      FROM flat GROUP BY dim),
+    st AS (
+      SELECT dim, round(s/n, 4) AS mean,
+             round((ss - s*s/n)/n, 4) AS variance
+      FROM agg)
+    SELECT f.vec_id,
+           round(sqrt(sum(
+             ((f.v::DOUBLE - st.mean)/sqrt(st.variance))
+             * ((f.v::DOUBLE - st.mean)/sqrt(st.variance)))), 6) AS std_norm
+    FROM flat f JOIN st USING (dim)
+    GROUP BY f.vec_id
+    ORDER BY f.vec_id
+"""
 
 SQL["customer_orders_left"] = """
     SELECT c_mktsegment,

@@ -603,3 +603,27 @@ def test_group_keyed_split_is_leakage_free(ray_session):
     # every domain maps to exactly one split regardless of partitioning
     assert (out.groupby("source")["split"].nunique() == 1).all()
     assert set(out["split"]) <= {"train", "val", "test"}
+
+
+class TestPseudonymize:
+    def test_token_stable_and_keyed(self, ray_session):
+        import hashlib
+
+        import ray.data
+
+        from pdf_parser_ray.ops.curation import pseudonymize
+
+        df = pd.DataFrame({"user_id": [7, 7, 42]})
+        out = (
+            pseudonymize(ray.data.from_pandas(df), "user_id")
+            .to_pandas()
+            .sort_values("user_id")
+        )
+        exp7 = hashlib.md5(b"pepper:7").hexdigest()[:16]
+        assert out["token"].tolist() == [exp7, exp7,
+                                         hashlib.md5(b"pepper:42").hexdigest()[:16]]
+        # a different pepper changes every token
+        out2 = pseudonymize(
+            ray.data.from_pandas(df), "user_id", pepper="other"
+        ).to_pandas()
+        assert set(out2["token"]) != set(out["token"])

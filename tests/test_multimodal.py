@@ -190,3 +190,32 @@ class TestAudioFingerprint:
         rising = np.concatenate(frames)
         assert _audio_fingerprint64(rising) == 0xFFFFFFFFFFFFFFFF
         assert _audio_fingerprint64(rising[::-1].copy()) == 0
+
+
+class TestSceneChanges:
+    def test_detects_planted_cut(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from pdf_parser_ray.ops.multimodal import scene_changes
+
+        fb = 32
+        # video 1: cut at frame 3 (dark->bright); video 2: flat
+        t = pa.table(
+            {
+                "media_id": pa.array([1, 2], pa.int64()),
+                "kind": pa.array(["video", "video"]),
+                "payload": pa.array(
+                    [b"\x28" * (3 * fb) + b"\xc8" * (5 * fb), b"\x50" * (8 * fb)],
+                    pa.binary(),
+                ),
+                "width": pa.array([0, 0], pa.int32()),
+                "height": pa.array([0, 0], pa.int32()),
+                "n_samples": pa.array([0, 0], pa.int32()),
+                "n_frames": pa.array([8, 8], pa.int32()),
+            }
+        )
+        out = scene_changes(ray.data.from_arrow(t)).to_pandas()
+        assert out["media_id"].tolist() == [1]
+        assert out["frame_idx"].tolist() == [3]
+        assert abs(out["delta"].iloc[0] - 160.0) < 1e-9
