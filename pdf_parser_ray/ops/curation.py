@@ -681,3 +681,44 @@ def pseudonymize(
         return arrow_out(out)
 
     return ds.map_batches(run, batch_format="pandas")
+
+
+def winsorize(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    *,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    out_col: str | None = None,
+) -> "ray.data.Dataset":
+    """Per-group winsorization: clip ``value_col`` into its group's
+    [q_lo, q_hi] discrete-quantile band — the outlier-taming transform
+    applied before revenue/duration aggregates.
+
+    Fit-small/apply-wide: the exact per-group edges come from
+    :func:`ops.quantiles.grouped_quantile_disc` (bounded: one row per
+    group, values straight from the data — so the clipped output is
+    bit-exact cross-engine), broadcast once, and applied as one
+    vectorized clip per batch.  Two passes over ``ds`` (quantile fit +
+    apply), both streaming.
+    """
+    from pdf_parser_ray.ops.quantiles import grouped_quantile_disc
+    from pdf_parser_ray.ops.relational import broadcast_merge
+
+    out_col = out_col or value_col + "_w"
+    edges = grouped_quantile_disc(
+        ds, group_col, value_col, {"__lo": lo, "__hi": hi}
+    )
+
+    def clip(df: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.io_utils import arrow_out
+
+        out = df.assign(
+            **{out_col: df[value_col].clip(df["__lo"], df["__hi"])}
+        )
+        return arrow_out(out.drop(columns=["__lo", "__hi"]))
+
+    return broadcast_merge(ds, edges, on=group_col, how="left").map_batches(
+        clip, batch_format="pandas"
+    )

@@ -688,3 +688,57 @@ def canonicalize_urls(
         return arrow_out(out)
 
     return ds.map_batches(run, batch_format="pandas")
+
+
+_URL_HOST_EXTRACT = re.compile(r"^[a-z][a-z0-9+.-]*://([^/?#]*)", re.ASCII)
+_URL_SCHEME_HOST_STRIP = re.compile(
+    r"^[a-z][a-z0-9+.-]*://[^/?#]*", re.ASCII
+)
+
+
+def robots_filter(
+    ds: ray.data.Dataset,
+    rules: pd.DataFrame,
+    *,
+    url_col: str = "canonical_url",
+) -> ray.data.Dataset:
+    """Robots-exclusion filtering: drop rows whose URL's host has a
+    rule whose ``path_prefix`` prefix-matches the URL path (the
+    Disallow semantics of robots.txt, applied corpus-side after the
+    crawl the way C4's blocklists are).
+
+    ``rules`` is a small (host, path_prefix) frame — broadcast once
+    via ``ray.put``; per batch the candidate set is a vectorized merge
+    on host, then one ``str.startswith`` pass per DISTINCT prefix (the
+    ruleset is bounded, rows are not).  URLs are expected canonical
+    (lowercased host, see :func:`canonicalize_urls`); a URL with no
+    scheme never matches any host rule and is kept.
+    """
+    rules = rules[["host", "path_prefix"]].reset_index(drop=True)
+    ref = ray.put(rules)
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.io_utils import arrow_out
+        from pdf_parser_ray.stages import worker_state
+
+        r = worker_state(("robots_rules", ref.hex()), lambda: ray.get(ref))
+        u = df[url_col].fillna("").astype(str)
+        host = u.str.extract(_URL_HOST_EXTRACT)[0]
+        path = u.str.replace(_URL_SCHEME_HOST_STRIP, "", regex=True)
+        cand = (
+            pd.DataFrame(
+                {"__row": np.arange(len(df)), "host": host, "path": path}
+            )
+            .merge(r, on="host")
+        )
+        blocked = np.zeros(len(df), dtype=bool)
+        for prefix in cand["path_prefix"].unique():
+            hit = cand.loc[
+                cand["path_prefix"].eq(prefix)
+                & cand["path"].str.startswith(prefix),
+                "__row",
+            ]
+            blocked[hit.to_numpy()] = True
+        return arrow_out(df[~blocked])
+
+    return ds.map_batches(run, batch_format="pandas")

@@ -2416,6 +2416,37 @@ def q_scd2_user_type(sf_dir: str) -> ray.data.Dataset:
     return scd2_history(ds)
 
 
+def _synth_url_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic messy-URL fixture from doc_id — the Python twin of
+    the ``raw`` CTE in SQL["canonical_urls"]; both engines construct
+    byte-identical strings."""
+    from pdf_parser_ray.io_utils import arrow_out
+
+    i = df["doc_id"]
+    s = i.astype(str)
+    even = i % 2 == 0
+    empty = pd.Series("", index=i.index, dtype=str)
+    scheme = empty.mask(even, "HTTP://").mask(~even, "https://")
+    host = "Example" + (i % 7).astype(str) + ".COM"
+    port = empty.mask(even, ":80").mask(~even, ":443").where(i % 3 == 0, "")
+    root = i % 10 == 7
+    path = (
+        "/Path/" + (i % 50).astype(str) + empty.mask(i % 4 == 0, "/")
+    ).mask(root, "/")
+    qs = empty.mask(
+        i % 5 == 0,
+        "?utm_source=feed&id=" + (i % 25).astype(str) + "&utm_campaign=x",
+    )
+    qs = qs.mask(i % 5 == 1, "?b=2&a=1&fbclid=abc" + s)
+    qs = qs.mask(i % 5 == 2, "?ref=home")
+    frag = empty.mask(i % 6 == 0, "#frag")
+    return arrow_out(
+        pd.DataFrame(
+            {"doc_id": i, "url": scheme + host + port + path + qs + frag}
+        )
+    )
+
+
 def q_canonical_urls(sf_dir: str) -> ray.data.Dataset:
     """Crawl-key URL canonicalization over synthetic URLs derived from
     doc_id (both engines construct the identical strings): lowercase
@@ -2424,35 +2455,7 @@ def q_canonical_urls(sf_dir: str) -> ray.data.Dataset:
     from pdf_parser_ray.ops.webtext import canonicalize_urls
 
     ds = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-
-    def build(df: pd.DataFrame) -> pd.DataFrame:
-        from pdf_parser_ray.io_utils import arrow_out
-
-        i = df["doc_id"]
-        s = i.astype(str)
-        even = i % 2 == 0
-        empty = pd.Series("", index=i.index, dtype=str)
-        scheme = empty.mask(even, "HTTP://").mask(~even, "https://")
-        host = "Example" + (i % 7).astype(str) + ".COM"
-        port = empty.mask(even, ":80").mask(~even, ":443").where(i % 3 == 0, "")
-        root = i % 10 == 7
-        path = (
-            "/Path/" + (i % 50).astype(str) + empty.mask(i % 4 == 0, "/")
-        ).mask(root, "/")
-        qs = empty.mask(
-            i % 5 == 0,
-            "?utm_source=feed&id=" + (i % 25).astype(str) + "&utm_campaign=x",
-        )
-        qs = qs.mask(i % 5 == 1, "?b=2&a=1&fbclid=abc" + s)
-        qs = qs.mask(i % 5 == 2, "?ref=home")
-        frag = empty.mask(i % 6 == 0, "#frag")
-        return arrow_out(
-            pd.DataFrame(
-                {"doc_id": i, "url": scheme + host + port + path + qs + frag}
-            )
-        )
-
-    built = ds.map_batches(build, batch_format="pandas")
+    built = ds.map_batches(_synth_url_batch, batch_format="pandas")
     return canonicalize_urls(built).sort("doc_id")
 
 
@@ -2645,6 +2648,108 @@ def q_embedding_std_norms(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(norms, batch_format="pandas").sort("vec_id")
+
+
+def q_winsorized_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Per-priority revenue with order totals winsorized into the
+    group's [p05, p95] discrete-quantile band — edges are exact data
+    values (bit-identical cross-engine), sums in exact cents."""
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.ops.curation import winsorize
+
+    ds = _read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"],
+    )
+    clipped = winsorize(ds, "o_orderpriority", "o_totalprice")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from pdf_parser_ray.io_utils import arrow_out
+
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    "o_orderpriority": df["o_orderpriority"],
+                    "sum_cents_w": np.rint(
+                        df["o_totalprice_w"].to_numpy() * 100
+                    ).astype("int64"),
+                    "n_clipped": (
+                        df["o_totalprice"] != df["o_totalprice_w"]
+                    ).astype("int64"),
+                }
+            )
+            .groupby("o_orderpriority", as_index=False)
+            .sum()
+        )
+
+    return (
+        clipped.map_batches(partial, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("sum_cents_w", alias_name="sum_cents_w"),
+            Sum("n_clipped", alias_name="n_clipped"),
+        )
+        .sort("o_orderpriority")
+    )
+
+
+def q_event_window_enrich(sf_dir: str) -> ray.data.Dataset:
+    """Window-aggregate enrichment: every event annotated with its
+    (hour, type) tumbling-window event count — the bounded window
+    rollup broadcast back onto the row stream (no row-level shuffle)."""
+    from pdf_parser_ray.ops.relational import broadcast_merge
+    from pdf_parser_ray.ops.windows import tumbling_counts
+
+    ev = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type"]
+    )
+    counts = (
+        tumbling_counts(
+            _read_parquet(
+                f"{sf_dir}/events.parquet",
+                columns=["ts", "event_type", "value"],
+            )
+        )
+        .to_pandas()[["window_start", "event_type", "n_events"]]
+        .rename(columns={"n_events": "n_events_in_window"})
+    )
+
+    def add_win(batch: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        return batch.append_column(
+            "window_start", pc.floor_temporal(batch.column("ts"), unit="hour")
+        ).drop_columns(["ts"])
+
+    import pyarrow as pa  # noqa: F401 — annotation import for add_win
+
+    enriched = broadcast_merge(
+        ev.map_batches(add_win, batch_format="pyarrow"),
+        counts,
+        on=["window_start", "event_type"],
+    )
+    return enriched.sort("event_id")
+
+
+def q_robots_kept(sf_dir: str) -> ray.data.Dataset:
+    """Robots-exclusion filter over the canonical synthetic URLs: three
+    Disallow rules (host, path prefix); kept doc_ids survive — prefix
+    semantics match SQL starts_with."""
+    from pdf_parser_ray.ops.webtext import canonicalize_urls, robots_filter
+
+    rules = pd.DataFrame(
+        {
+            "host": ["example1.com", "example2.com", "example4.com"],
+            "path_prefix": ["/Path/1", "/Path/2", "/"],
+        }
+    )
+    ds = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    built = ds.map_batches(_synth_url_batch, batch_format="pandas")
+    kept = robots_filter(canonicalize_urls(built), rules)
+    return kept.select_columns(["doc_id"]).sort("doc_id")
 
 
 SQL: dict[str, str] = {
@@ -4898,7 +5003,37 @@ QUERIES = {
     "pseudonym_map": q_pseudonym_map,
     "scene_changes": q_scene_changes,
     "embedding_std_norms": q_embedding_std_norms,
+    "winsorized_revenue": q_winsorized_revenue,
+    "event_window_enrich": q_event_window_enrich,
+    "robots_kept": q_robots_kept,
 }
+
+SQL["winsorized_revenue"] = """
+    WITH edges AS (
+      SELECT o_orderpriority,
+             quantile_disc(o_totalprice, 0.05) AS lo,
+             quantile_disc(o_totalprice, 0.95) AS hi
+      FROM orders GROUP BY o_orderpriority)
+    SELECT o.o_orderpriority,
+           CAST(sum(CAST(round(greatest(lo, least(hi, o_totalprice)) * 100)
+                         AS BIGINT)) AS BIGINT) AS sum_cents_w,
+           CAST(sum(CASE WHEN o_totalprice < lo OR o_totalprice > hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM orders o JOIN edges e USING (o_orderpriority)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+"""
+
+SQL["event_window_enrich"] = """
+    SELECT event_id, event_type,
+           date_trunc('hour', ts) AS window_start,
+           CAST(count(*) OVER (
+             PARTITION BY date_trunc('hour', ts), event_type
+           ) AS BIGINT) AS n_events_in_window
+    FROM events
+    ORDER BY event_id
+"""
+
 
 SQL["pseudonym_map"] = """
     SELECT user_id,
@@ -5039,6 +5174,33 @@ def _canonical_urls_sql() -> str:
 
 
 SQL["canonical_urls"] = _canonical_urls_sql()
+
+def _robots_kept_sql() -> str:
+    canon = _canonical_urls_sql()
+    return f"""
+    WITH canon AS ({canon}),
+    parts AS (
+      SELECT doc_id,
+             regexp_extract(canonical_url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1)
+               AS host,
+             regexp_replace(canonical_url, '^[a-z][a-z0-9+.-]*://[^/?#]*', '')
+               AS path
+      FROM canon),
+    rules(host, path_prefix) AS (VALUES
+      ('example1.com', '/Path/1'),
+      ('example2.com', '/Path/2'),
+      ('example4.com', '/')),
+    blocked AS (
+      SELECT DISTINCT doc_id
+      FROM parts p JOIN rules r
+        ON p.host = r.host AND starts_with(p.path, r.path_prefix))
+    SELECT doc_id FROM canon
+    WHERE doc_id NOT IN (SELECT doc_id FROM blocked)
+    ORDER BY doc_id
+"""
+
+
+SQL["robots_kept"] = _robots_kept_sql()
 
 # Watermark lateness: exclusive per-user running max over arrival
 # (event_id) order, exact epoch-µs integers; the first arrival's NULL

@@ -627,3 +627,29 @@ class TestPseudonymize:
             ray.data.from_pandas(df), "user_id", pepper="other"
         ).to_pandas()
         assert set(out2["token"]) != set(out["token"])
+
+
+class TestWinsorize:
+    def test_clips_to_group_band(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.curation import winsorize
+
+        # group A: 1..20 (p05=1, p95=19 under the ceil(q*n) disc rule);
+        # group B: constant
+        df = pd.DataFrame(
+            {
+                "g": ["A"] * 20 + ["B"] * 4,
+                "v": [float(x) for x in range(1, 21)] + [5.0] * 4,
+            }
+        )
+        out = (
+            winsorize(ray.data.from_pandas(df), "g", "v")
+            .to_pandas()
+            .sort_values(["g", "v"])
+        )
+        a = out[out["g"] == "A"]["v_w"]
+        assert a.min() == 1.0 and a.max() == 19.0  # 20.0 clipped to 19
+        assert (a == 19.0).sum() == 2
+        b = out[out["g"] == "B"]["v_w"]
+        assert (b == 5.0).all()

@@ -289,3 +289,29 @@ class TestCanonicalizeUrls:
             "plainhost/path?a=1",     # no scheme: generic cleanups only
             "http://h.io:8080/keep-port",  # non-default port kept
         ]
+
+
+class TestRobotsFilter:
+    def test_prefix_disallow(self, ray_session):
+        from pdf_parser_ray.ops.webtext import robots_filter
+
+        rules = pd.DataFrame(
+            {"host": ["a.com", "b.com"], "path_prefix": ["/private", "/"]}
+        )
+        rows = [
+            (0, "https://a.com/public/x"),
+            (1, "https://a.com/private/x"),   # blocked (prefix)
+            (2, "https://a.com/privateer"),   # blocked: prefix semantics
+            (3, "https://b.com/anything"),    # blocked: disallow all
+            (4, "https://c.com/private"),     # no rule for host
+            (5, "noscheme/private"),          # schemeless: kept
+        ]
+        out = (
+            robots_filter(
+                _ds(rows, ["doc_id", "canonical_url"]), rules
+            )
+            .to_pandas()["doc_id"]
+            .sort_values()
+            .tolist()
+        )
+        assert out == [0, 4, 5]
