@@ -85,6 +85,15 @@ BENCH_QUERIES = [
     "simhash_md5_groups",
     "minhash_md5_pairs",
     "link_graph",
+    # round-2 session-5 additions
+    "canonical_urls",
+    "late_events",
+    "scd2_user_type",
+    "customer_orders_left",
+    "value_outliers",
+    "winsorized_revenue",
+    "event_window_enrich",
+    "oov_rate",
 ]
 
 

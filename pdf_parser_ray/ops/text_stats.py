@@ -1066,3 +1066,72 @@ def bm25_topk(
     out[id_col] = out[id_col].astype("int64")
     out["score"] = out["score"].astype("float64")
     return out[[id_col, "score"]]
+
+
+def oov_rate(
+    ds: "object", *, vocab_size: int = 1000, n_parts: int | None = None
+) -> "object":
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-``vocab_size`` token vocabulary — the coverage check run before
+    fixing a tokenizer/vocab for training.
+
+    Two streaming passes: (1) the :func:`word_counts` combiner rollup
+    → one bounded sort-limit picks the vocabulary (ties broken by
+    token ASC, so the cut is deterministic cross-engine), broadcast
+    once; (2) per-doc token membership, vectorized explode + isin.
+    The rate is an exact int/int ratio — identical doubles on both
+    engines, no rounding contract.  At vocabularies beyond broadcast
+    size, swap pass 1 for ``ops.sketches.top_k_frequent`` (bounded
+    Misra-Gries) — same interface.
+
+    Output: (doc_id, n_tokens:int64, n_oov:int64, oov_rate:float64).
+    """
+    import numpy as np
+    import ray
+
+    from pdf_parser_ray.stages import worker_state
+
+    vocab = (
+        word_counts(ds)
+        .sort(["n", "token"], descending=[True, False])
+        .limit(int(vocab_size))
+        .to_pandas()["token"]
+        .to_numpy()
+    )
+    vref = ray.put(np.sort(vocab))
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        v = worker_state(("oov_vocab", vref.hex()), lambda: ray.get(vref))
+        toks = df["text"].fillna("").str.lower().str.findall(TOKEN_PAT)
+        n_tokens = toks.str.len().astype("int64")
+        ex = toks.explode().dropna()
+        if len(ex):
+            pos = np.searchsorted(v, ex.to_numpy())
+            pos = np.clip(pos, 0, len(v) - 1)
+            oov = (v[pos] != ex.to_numpy()).astype("int64")
+            n_oov = (
+                pd.Series(oov, index=ex.index)
+                .groupby(level=0)
+                .sum()
+                .reindex(df.index, fill_value=0)
+                .astype("int64")
+            )
+        else:
+            n_oov = pd.Series(0, index=df.index, dtype="int64")
+        rate = np.where(
+            n_tokens.to_numpy() > 0,
+            n_oov.to_numpy() / np.maximum(n_tokens.to_numpy(), 1),
+            0.0,
+        )
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"],
+                    "n_tokens": n_tokens,
+                    "n_oov": n_oov,
+                    "oov_rate": rate,
+                }
+            )
+        )
+
+    return ds.map_batches(per_doc, batch_format="pandas")

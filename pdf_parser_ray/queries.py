@@ -2752,6 +2752,14 @@ def q_robots_kept(sf_dir: str) -> ray.data.Dataset:
     return kept.select_columns(["doc_id"]).sort("doc_id")
 
 
+def q_oov_rate(sf_dir: str) -> ray.data.Dataset:
+    """Per-document OOV rate vs the corpus's own top-1000 token vocab
+    (deterministic tie-break; exact int/int ratio — no rounding)."""
+    from pdf_parser_ray.ops.text_stats import oov_rate
+
+    return oov_rate(_documents(sf_dir), vocab_size=1000).sort("doc_id")
+
+
 SQL: dict[str, str] = {
     "doc_stats": """
         -- CAST: DuckDB sum(INTEGER) -> HUGEINT -> float64 in pandas,
@@ -5006,7 +5014,34 @@ QUERIES = {
     "winsorized_revenue": q_winsorized_revenue,
     "event_window_enrich": q_event_window_enrich,
     "robots_kept": q_robots_kept,
+    "oov_rate": q_oov_rate,
 }
+
+SQL["oov_rate"] = r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '\S+')) AS token
+      FROM documents),
+    vocab AS (
+      SELECT token
+      FROM (SELECT token, count(*) AS n FROM tok GROUP BY token)
+      ORDER BY n DESC, token ASC LIMIT 1000),
+    per AS (
+      SELECT d.doc_id,
+             count(t.token)::BIGINT AS n_tokens,
+             CAST(coalesce(sum(CASE WHEN t.token IS NOT NULL
+                                     AND v.token IS NULL
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_oov
+      FROM documents d
+      LEFT JOIN tok t USING (doc_id)
+      LEFT JOIN vocab v ON t.token = v.token
+      GROUP BY d.doc_id)
+    SELECT doc_id, n_tokens, n_oov,
+           CASE WHEN n_tokens = 0 THEN 0.0
+                ELSE n_oov::DOUBLE / n_tokens::DOUBLE END AS oov_rate
+    FROM per ORDER BY doc_id
+"""
 
 SQL["winsorized_revenue"] = """
     WITH edges AS (

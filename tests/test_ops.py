@@ -2310,3 +2310,26 @@ class TestScd2History:
         )
         assert out["event_type"].tolist() == ["a", "b"]
         assert out["effective_to"].iloc[0] == t  # a's interval is empty
+
+
+class TestOovRate:
+    def test_rate_against_planted_vocab(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.text_stats import oov_rate
+
+        # vocab_size=2 -> vocab = {'a', 'b'} (counts 3 and 2); 'z'/'q' OOV
+        df = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": ["a a b", "a b z", "q"],
+            }
+        )
+        out = (
+            oov_rate(ray.data.from_pandas(df), vocab_size=2)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert out["n_tokens"].tolist() == [3, 3, 1]
+        assert out["n_oov"].tolist() == [0, 1, 1]
+        assert out["oov_rate"].tolist() == [0.0, 1 / 3, 1.0]
