@@ -520,3 +520,160 @@ def grouped_zscore_outliers(
         per_partition,
         **({"n_parts": n_parts} if n_parts else {}),
     )
+
+
+def dup_ratio_by_source(
+    ds: "ray.data.Dataset",
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-source duplication health metric: row count, distinct-text
+    count (by md5, so any SQL engine re-derives it) and the duplicate
+    ratio — the first corpus report a curation run prints.
+
+    One (group, hash) co-locating shuffle carrying per-batch partial
+    counts (batch-local dedup first, so shuffle rows are bounded by
+    distinct texts per batch, never corpus rows); the per-source
+    rollup that follows is group-cardinality tiny.  The ratio is an
+    exact int/int expression — no rounding contract.
+
+    Output: (group_col, n_docs:int64, n_distinct:int64,
+    dup_ratio:float64).
+    """
+    import hashlib
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import grouped_agg, grouped_sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[text_col]
+        h = pd.Series(
+            [
+                hashlib.md5(str(v).encode("utf-8")).hexdigest()
+                if v is not None and v == v
+                else None
+                for v in t
+            ],
+            index=df.index,
+        )
+        g = (
+            pd.DataFrame({group_col: df[group_col], "h": h})
+            .groupby([group_col, "h"], as_index=False, dropna=False)
+            .size()
+        )
+        g["n"] = g.pop("size").astype("int64")
+        return arrow_out(g)
+
+    pair_counts = grouped_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        [group_col, "h"],
+        ["n"],
+        **({"n_parts": n_parts} if n_parts else {}),
+    )
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        nn = df["h"].notna()
+        g = (
+            pd.DataFrame(
+                {
+                    group_col: df[group_col],
+                    "n_docs": df["n"].astype("int64"),
+                    "n_distinct": nn.astype("int64"),
+                }
+            )
+            .groupby(group_col, as_index=False)
+            .sum()
+        )
+        return arrow_out(g)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        pair_counts.map_batches(rollup, batch_format="pandas")
+        .groupby(group_col)
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_distinct", alias_name="n_distinct"),
+        )
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        nd = df["n_docs"].astype("int64")
+        nu = df["n_distinct"].astype("int64")
+        return pd.DataFrame(
+            {
+                group_col: df[group_col],
+                "n_docs": nd,
+                "n_distinct": nu,
+                "dup_ratio": (nd - nu).astype("float64")
+                / nd.astype("float64"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def table_checksum(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    text_col: str,
+    *,
+    group_col: str = "source",
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Order-insensitive per-group table checksum: the uint64
+    wraparound sum of md5-prefix row hashes — the anti-entropy
+    fingerprint two replicas (or a source and its re-run) compare to
+    verify they hold identical rows, without moving any data.
+
+    Exact at ANY row count: int64 two's-complement wraparound during
+    the distributed sum IS mod-2^64 arithmetic, and the SQL twin sums
+    exactly in HUGEINT then takes mod 2^64 — identical bit patterns.
+    Shuffle volume is one partial row per (batch, group).
+
+    Output: (group_col, checksum_hex:string 16 chars).
+    """
+    import hashlib
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import grouped_sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        basis = (
+            df[key_col].astype(str) + ":" + df[text_col].fillna("").astype(str)
+        )
+        h = np.fromiter(
+            (
+                int(hashlib.md5(v.encode("utf-8")).hexdigest()[:16], 16)
+                for v in basis
+            ),
+            dtype=np.uint64,
+            count=len(basis),
+        ).view(np.int64)
+        g = (
+            pd.DataFrame({group_col: df[group_col], "part": h})
+            .groupby(group_col, as_index=False)["part"]
+            .sum()  # numpy int64 reduce: wraps mod 2^64 by design
+        )
+        g["part"] = g["part"].astype("int64")
+        return arrow_out(g)
+
+    sums = grouped_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        [group_col],
+        ["part"],
+        **({"n_parts": n_parts} if n_parts else {}),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["part"].to_numpy(dtype=np.int64).view(np.uint64)
+        return pd.DataFrame(
+            {
+                group_col: df[group_col],
+                "checksum_hex": [format(x, "016x") for x in u],
+            }
+        )
+
+    return sums.map_batches(finish, batch_format="pandas")

@@ -105,12 +105,16 @@ def _grouped_rank_values(
         g = out.groupby([group_col, "bin"], as_index=False).size()
         return g.rename(columns={"size": "cnt"}).astype({"cnt": "int64"})
 
-    hist = (
-        ds.map_batches(hist_partial, batch_format="pandas")
-        .groupby([group_col, "bin"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        .to_pandas()
-    )
+    # (group, bin) has groups×bins keys — Ray 2.49's streaming
+    # sort-aggregate degrades ~4-7x there (measured 15.5 s vs 3.5 s on
+    # the sf0.1 orders histogram); route through the co-location sum.
+    from pdf_parser_ray.ops.shuffle import grouped_sum
+
+    hist = grouped_sum(
+        ds.map_batches(hist_partial, batch_format="pandas"),
+        [group_col, "bin"],
+        ["cnt"],
+    ).to_pandas()
 
     # driver: locate the target bin + below-count for every needed rank
     ns: dict = {}

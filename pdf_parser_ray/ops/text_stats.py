@@ -1135,3 +1135,45 @@ def oov_rate(
         )
 
     return ds.map_batches(per_doc, batch_format="pandas")
+
+
+SEQ_LEN_EDGES = [1 << k for k in range(12)]  # 1,2,4,...,2048
+
+
+def seq_len_histogram(ds: "object") -> "object":
+    """Power-of-two histogram of per-document token counts — the
+    sequence-length planning table a packing stage (pack_sequences) is
+    sized from.  Bucket = largest edge ≤ n_tokens (0 for empty docs,
+    top edge open-ended).
+
+    Pure partial aggregation: per-batch bucket value_counts → one
+    bounded (≤ len(edges)+1 keys) groupby.  Exact integer counts.
+
+    Output: (bucket_lo:int64, n_docs:int64).
+    """
+    import numpy as np
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    edges = np.asarray(SEQ_LEN_EDGES, dtype=np.int64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(TOKEN_PAT)
+        n = toks.str.len().to_numpy(dtype=np.int64)
+        idx = np.searchsorted(edges, n, side="right") - 1
+        lo = np.where(idx < 0, 0, edges[np.maximum(idx, 0)])
+        vc = pd.Series(lo).value_counts()
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    "bucket_lo": vc.index.to_numpy(dtype=np.int64),
+                    "n_docs": vc.to_numpy(dtype=np.int64),
+                }
+            )
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket_lo")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )

@@ -2760,6 +2760,36 @@ def q_oov_rate(sf_dir: str) -> ray.data.Dataset:
     return oov_rate(_documents(sf_dir), vocab_size=1000).sort("doc_id")
 
 
+def q_dup_ratio_by_source(sf_dir: str) -> ray.data.Dataset:
+    """Per-source duplication health report: rows, distinct texts (by
+    md5), exact dup ratio."""
+    from pdf_parser_ray.ops.profile import dup_ratio_by_source
+
+    ds = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    return dup_ratio_by_source(ds).sort("source")
+
+
+def q_table_checksum(sf_dir: str) -> ray.data.Dataset:
+    """Anti-entropy per-source table checksum (uint64 wraparound sum of
+    md5 row hashes — bit-identical to the HUGEINT-mod-2^64 SQL twin)."""
+    from pdf_parser_ray.ops.profile import table_checksum
+
+    ds = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    return table_checksum(ds, "doc_id", "text").sort("source")
+
+
+def q_seq_len_histogram(sf_dir: str) -> ray.data.Dataset:
+    """Power-of-two histogram of per-doc token counts (the packing
+    planner's sizing table); exact integer counts."""
+    from pdf_parser_ray.ops.text_stats import seq_len_histogram
+
+    return seq_len_histogram(_documents(sf_dir)).sort("bucket_lo")
+
+
 SQL: dict[str, str] = {
     "doc_stats": """
         -- CAST: DuckDB sum(INTEGER) -> HUGEINT -> float64 in pandas,
@@ -5015,7 +5045,46 @@ QUERIES = {
     "event_window_enrich": q_event_window_enrich,
     "robots_kept": q_robots_kept,
     "oov_rate": q_oov_rate,
+    "dup_ratio_by_source": q_dup_ratio_by_source,
+    "table_checksum": q_table_checksum,
+    "seq_len_histogram": q_seq_len_histogram,
 }
+
+SQL["dup_ratio_by_source"] = """
+    SELECT source, count(*)::BIGINT AS n_docs,
+           count(DISTINCT md5(text))::BIGINT AS n_distinct,
+           (count(*) - count(DISTINCT md5(text)))::DOUBLE
+             / count(*)::DOUBLE AS dup_ratio
+    FROM documents GROUP BY source ORDER BY source
+"""
+
+SQL["table_checksum"] = """
+    SELECT source,
+           lpad(lower(hex(CAST(
+             sum(('0x' || substr(md5(doc_id::VARCHAR || ':'
+                                 || coalesce(text, '')), 1, 16))::UBIGINT)
+             % 18446744073709551616 AS UBIGINT))), 16, '0') AS checksum_hex
+    FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def _seq_len_histogram_sql() -> str:
+    from pdf_parser_ray.ops.text_stats import SEQ_LEN_EDGES
+
+    cases = " ".join(
+        f"WHEN n >= {e} THEN {e}" for e in reversed(SEQ_LEN_EDGES)
+    )
+    return rf"""
+    WITH n_tok AS (
+      SELECT len(regexp_extract_all(lower(text), '\S+'))::BIGINT AS n
+      FROM documents)
+    SELECT CAST(CASE {cases} ELSE 0 END AS BIGINT) AS bucket_lo,
+           count(*)::BIGINT AS n_docs
+    FROM n_tok GROUP BY 1 ORDER BY bucket_lo
+"""
+
+
+SQL["seq_len_histogram"] = _seq_len_histogram_sql()
 
 SQL["oov_rate"] = r"""
     WITH tok AS (

@@ -2333,3 +2333,25 @@ class TestOovRate:
         assert out["n_tokens"].tolist() == [3, 3, 1]
         assert out["n_oov"].tolist() == [0, 1, 1]
         assert out["oov_rate"].tolist() == [0.0, 1 / 3, 1.0]
+
+
+class TestSeqLenHistogram:
+    def test_pow2_buckets(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.text_stats import seq_len_histogram
+
+        df = pd.DataFrame(
+            {
+                "doc_id": range(5),
+                "text": ["", "one", "a b c", "w " * 8, "t " * 3000],
+            }
+        )
+        out = (
+            seq_len_histogram(ray.data.from_pandas(df))
+            .to_pandas()
+            .sort_values("bucket_lo")
+        )
+        got = dict(zip(out["bucket_lo"], out["n_docs"]))
+        # 0 tokens -> 0; 1 -> 1; 3 -> 2; 8 -> 8; 3000 -> 2048 (open top)
+        assert got == {0: 1, 1: 1, 2: 1, 8: 1, 2048: 1}

@@ -186,3 +186,59 @@ class TestGroupedZscoreOutliers:
             .sort_values("event_id")
         )
         assert out["is_outlier"].tolist() == [False] * 20 + [True, False, False]
+
+
+class TestDupRatioBySource:
+    def test_exact_ratio(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.profile import dup_ratio_by_source
+
+        df = pd.DataFrame(
+            {
+                "source": ["a"] * 4 + ["b"] * 2,
+                "text": ["x", "x", "y", "x", "p", "q"],
+            }
+        )
+        out = (
+            dup_ratio_by_source(ray.data.from_pandas([df.iloc[:3], df.iloc[3:]]))
+            .to_pandas()
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+        assert out["n_docs"].tolist() == [4, 2]
+        assert out["n_distinct"].tolist() == [2, 2]
+        assert out["dup_ratio"].tolist() == [0.5, 0.0]
+
+
+class TestTableChecksum:
+    def test_order_insensitive_and_sensitive_to_change(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.profile import table_checksum
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "source": ["a", "a", "a"],
+                "text": ["t1", "t2", "t3"],
+            }
+        )
+        c1 = table_checksum(
+            ray.data.from_pandas(df), "doc_id", "text"
+        ).to_pandas()["checksum_hex"].iloc[0]
+        # row order / partitioning must not matter
+        c2 = table_checksum(
+            ray.data.from_pandas(
+                [df.iloc[::-1].iloc[:2], df.iloc[::-1].iloc[2:]]
+            ),
+            "doc_id",
+            "text",
+        ).to_pandas()["checksum_hex"].iloc[0]
+        assert c1 == c2 and len(c1) == 16
+        # any row change must change the checksum
+        df2 = df.assign(text=["t1", "t2", "t4"])
+        c3 = table_checksum(
+            ray.data.from_pandas(df2), "doc_id", "text"
+        ).to_pandas()["checksum_hex"].iloc[0]
+        assert c3 != c1
