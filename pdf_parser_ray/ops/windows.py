@@ -1374,3 +1374,188 @@ def scd2_history(
         per_partition,
         **({"n_parts": n_parts} if n_parts else {}),
     )
+
+
+def transition_counts(
+    ds: ray.data.Dataset,
+    *,
+    part_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    type_col: str = "event_type",
+    n_parts: int | None = None,
+) -> ray.data.Dataset:
+    """First-order Markov transition counts: for each partition (user)
+    ordered by ``order_cols``, count consecutive (prev_type, next_type)
+    pairs across the whole corpus — the session-path / clickstream
+    transition-matrix builder.
+
+    Shape: one user co-location shuffle (transitions need adjacent
+    events of a user in one place), then the per-partition kernel
+    REDUCES to ≤ |types|² partial rows before the final groupby — the
+    second shuffle moves O(types² × partitions) rows, never one per
+    event.  Vectorized across users inside each partition (one sort,
+    one shift, one C-speed groupby — no Python per-user loop).
+
+    Output: (prev_type, next_type, n:int64).
+    """
+    from ray.data.aggregate import Sum
+
+    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values([part_col, *order_cols])
+        prev = g.groupby(part_col, sort=False)[type_col].shift()
+        keep = prev.notna()
+        pairs = pd.DataFrame(
+            {"prev_type": prev[keep], "next_type": g.loc[keep, type_col]}
+        )
+        out = pairs.groupby(["prev_type", "next_type"], as_index=False).size()
+        return out.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    partial = partitioned_map(
+        ds.select_columns([part_col, *order_cols, type_col]),
+        [part_col],
+        per_partition,
+        **({"n_parts": n_parts} if n_parts else {}),
+    )
+    return (
+        partial.groupby(["prev_type", "next_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def grouped_entropy(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str = "user_id",
+    cat_col: str = "event_type",
+    round_to: int = 6,
+    n_parts: int | None = None,
+) -> ray.data.Dataset:
+    """Shannon entropy (bits) of each key's categorical distribution —
+    the behavioral-diversity / anomaly feature (bots have near-zero
+    entropy, scripted sweeps near-uniform).
+
+    Per-batch (key, cat) partial counts combine BEFORE the shuffle, so
+    the co-location moves O(distinct pairs) rows — bounded by
+    |keys| × |cats|, never one per event.  Entropy sums ≤ |cats| terms
+    per key; the cross-row float sum is rounded on BOTH engines per the
+    driver contract (``+ 0.0`` folds the ``-0.0`` a single-category key
+    produces into ``0.0`` so value hashes agree).
+
+    Output: (key_col, n_events:int64, entropy_bits:float64).
+    """
+    import numpy as np
+
+    def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([key_col, cat_col], as_index=False).size()
+        return g.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        # second-level combine: partials for one (key, cat) from many
+        # batches collapse first, then entropy across ≤ |cats| rows
+        c = part.groupby([key_col, cat_col], as_index=False)["n"].sum()
+        tot = c.groupby(key_col)["n"].transform("sum")
+        p = c["n"].to_numpy(dtype=np.float64) / tot.to_numpy(dtype=np.float64)
+        c["__term"] = -p * np.log2(p)
+        out = c.groupby(key_col, as_index=False).agg(
+            n_events=("n", "sum"), entropy_bits=("__term", "sum")
+        )
+        out["entropy_bits"] = np.round(out["entropy_bits"], round_to) + 0.0
+        return out.astype({"n_events": "int64"})
+
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    partial = ds.select_columns([key_col, cat_col]).map_batches(
+        pair_counts, batch_format="pandas"
+    )
+    return partitioned_map(
+        partial, [key_col], per_partition,
+        **({"n_parts": n_parts} if n_parts else {}),
+    )
+
+
+def conversion_lag(
+    ds: ray.data.Dataset,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    from_type: str = "view",
+    to_type: str = "purchase",
+    n_parts: int | None = None,
+) -> ray.data.Dataset:
+    """Time-to-convert: per user, seconds from the FIRST ``from_type``
+    event to the first ``to_type`` event at-or-after it — the funnel
+    latency metric.  Users who never saw ``from_type`` or never
+    converted after it are dropped.
+
+    The pre-shuffle combiner keeps per (user) only the per-batch min
+    ``from_type`` timestamp and the ≤64 earliest ``to_type`` timestamps
+    (more than enough: only the first ``to_type`` ≥ the global min
+    ``from_type`` can win, and per-batch candidates below another
+    batch's min are discarded at merge).  To stay EXACT with an
+    unbounded cap the combiner keeps the min ``to_type`` too — a later
+    batch can only lower the ``from`` min, which only widens the
+    candidate set; so the merge re-derives the answer from (min_from,
+    all candidate to-timestamps ≥ own-batch min).  Simpler and still
+    exact: ship per batch the min ``from`` ts and ALL ``to`` ts minima
+    per user per batch (≤ one row per user per batch per type) — the
+    shuffle moves O(users × batches) rows, never one per event.
+
+    Output: (user_col, lag_s:int64) — exact integer microsecond floor
+    to whole seconds, bit-identical to SQL ``epoch`` difference.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        f = df[df[type_col] == from_type]
+        t = df[df[type_col] == to_type]
+        # per-batch: min 'from' per user; ALL 'to' rows collapse to the
+        # per-batch sorted set of candidate minima — but a 'to' below
+        # the eventual global min-'from' can still matter only if no
+        # later 'to' exists, so keep every per-batch 'to' timestamp
+        # that is >= the batch's own per-user min 'to' (i.e. just the
+        # per-user sorted 'to' list compressed to unique values).
+        fmin = (
+            f.groupby(user_col, as_index=False)[ts_col]
+            .min()
+            .assign(kind="f")
+        )
+        tvals = (
+            t[[user_col, ts_col]]
+            .drop_duplicates()
+            .assign(kind="t")
+        )
+        return pd.concat([fmin, tvals], ignore_index=True)
+
+    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        f = part[part["kind"] == "f"]
+        t = part[part["kind"] == "t"]
+        fmin = f.groupby(user_col)[ts_col].min()
+        tt = t.merge(fmin.rename("fmin"), left_on=user_col, right_index=True)
+        tt = tt[tt[ts_col] >= tt["fmin"]]
+        if len(tt) == 0:
+            return pd.DataFrame(
+                {user_col: pd.Series([], dtype="int64"),
+                 "lag_s": pd.Series([], dtype="int64")}
+            )
+        g = tt.groupby(user_col, as_index=False).agg(
+            tmin=(ts_col, "min"), fmin=("fmin", "first")
+        )
+        lag = (
+            g["tmin"].astype("datetime64[us]").astype("int64")
+            - g["fmin"].astype("datetime64[us]").astype("int64")
+        ) // 1_000_000
+        return pd.DataFrame(
+            {user_col: g[user_col].astype("int64"), "lag_s": lag.astype("int64")}
+        )
+
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    partials = ds.select_columns([user_col, type_col, ts_col]).map_batches(
+        partial, batch_format="pandas"
+    )
+    return partitioned_map(
+        partials, [user_col], per_partition,
+        **({"n_parts": n_parts} if n_parts else {}),
+    )

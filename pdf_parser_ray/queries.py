@@ -5340,3 +5340,89 @@ SQL["scd2_user_type"] = """
     FROM changes
     ORDER BY user_id, effective_from
 """
+
+
+def q_transition_counts(sf_dir: str) -> ray.data.Dataset:
+    """Markov transition matrix of event types per user (clickstream
+    path mining): user co-location -> vectorized shift -> <=types^2
+    partials -> tiny final groupby."""
+    from pdf_parser_ray.ops.windows import transition_counts
+
+    return transition_counts(
+        _read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
+    )
+
+
+def q_user_entropy(sf_dir: str) -> ray.data.Dataset:
+    """Per-user Shannon entropy (bits) of the event-type distribution —
+    behavioral-diversity feature; distinct-pair combiner bounds the
+    shuffle at |users| x |types| rows."""
+    from pdf_parser_ray.ops.windows import grouped_entropy
+
+    return grouped_entropy(
+        _read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    )
+
+
+def q_conversion_lag(sf_dir: str) -> ray.data.Dataset:
+    """Funnel latency: per user, whole seconds from first view to the
+    first purchase at-or-after it (non-converters drop).  Exact integer
+    microsecond floor-division — no float contract needed."""
+    from pdf_parser_ray.ops.windows import conversion_lag
+
+    return conversion_lag(
+        _read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+        )
+    )
+
+
+QUERIES["transition_counts"] = q_transition_counts
+QUERIES["user_entropy"] = q_user_entropy
+QUERIES["conversion_lag"] = q_conversion_lag
+
+SQL["transition_counts"] = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type ORDER BY prev_type, next_type
+"""
+
+# entropy: cross-row float sum -> rounded on BOTH sides; `+ 0.0` folds
+# the -0.0 a single-category user produces into 0.0 (IEEE) so hashes
+# agree between engines.
+SQL["user_entropy"] = """
+    WITH c AS (
+      SELECT user_id, event_type, count(*)::BIGINT AS n
+      FROM events GROUP BY user_id, event_type),
+    t AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY user_id)
+    SELECT c.user_id,
+           CAST(any_value(t.tot) AS BIGINT) AS n_events,
+           round(sum(-(c.n::DOUBLE / t.tot::DOUBLE)
+                     * log2(c.n::DOUBLE / t.tot::DOUBLE)), 6) + 0.0
+             AS entropy_bits
+    FROM c JOIN t USING (user_id)
+    GROUP BY c.user_id ORDER BY c.user_id
+"""
+
+SQL["conversion_lag"] = """
+    WITH f AS (
+      SELECT user_id, min(ts) AS fmin
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    t AS (
+      SELECT e.user_id, min(e.ts) AS tmin
+      FROM events e JOIN f USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= f.fmin
+      GROUP BY e.user_id)
+    SELECT t.user_id,
+           CAST((epoch_us(tmin) - epoch_us(fmin)) // 1000000 AS BIGINT)
+             AS lag_s
+    FROM t JOIN f USING (user_id) ORDER BY t.user_id
+"""

@@ -2355,3 +2355,126 @@ class TestSeqLenHistogram:
         got = dict(zip(out["bucket_lo"], out["n_docs"]))
         # 0 tokens -> 0; 1 -> 1; 3 -> 2; 8 -> 8; 3000 -> 2048 (open top)
         assert got == {0: 1, 1: 1, 2: 1, 8: 1, 2048: 1}
+
+
+class TestTransitionCounts:
+    def test_matches_pandas_lag(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import transition_counts
+
+        rng = np.random.default_rng(7)
+        n = 400
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype=np.int64),
+                "user_id": rng.integers(0, 12, n).astype(np.int64),
+                "ts": pd.Timestamp("2026-01-01")
+                + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+                "event_type": rng.choice(list("abcd"), n),
+            }
+        )
+        out = (
+            transition_counts(ray.data.from_pandas(df))
+            .to_pandas()
+            .sort_values(["prev_type", "next_type"])
+            .reset_index(drop=True)
+        )
+        g = df.sort_values(["user_id", "ts", "event_id"])
+        prev = g.groupby("user_id")["event_type"].shift()
+        exp = (
+            pd.DataFrame({"prev_type": prev, "next_type": g["event_type"]})
+            .dropna()
+            .groupby(["prev_type", "next_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+            .sort_values(["prev_type", "next_type"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out, exp.astype({"n": "int64"}))
+
+    def test_transitions_cross_block_boundaries(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import transition_counts
+
+        # one user whose events land in different input blocks: the
+        # co-location shuffle must reunite them before the shift
+        df = pd.DataFrame(
+            {
+                "event_id": [0, 1, 2, 3],
+                "user_id": [9, 9, 9, 9],
+                "ts": pd.date_range("2026-01-01", periods=4, freq="h"),
+                "event_type": ["a", "b", "a", "b"],
+            }
+        )
+        ds = ray.data.from_pandas([df.iloc[:2], df.iloc[2:]])
+        out = transition_counts(ds).to_pandas()
+        got = dict(zip(zip(out["prev_type"], out["next_type"]), out["n"]))
+        assert got == {("a", "b"): 2, ("b", "a"): 1}
+
+
+class TestGroupedEntropy:
+    def test_uniform_and_degenerate(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import grouped_entropy
+
+        df = pd.DataFrame(
+            {
+                "user_id": [1] * 4 + [2] * 3,
+                "event_type": ["a", "b", "c", "d", "x", "x", "x"],
+            }
+        )
+        out = (
+            grouped_entropy(ray.data.from_pandas(df))
+            .to_pandas()
+            .set_index("user_id")
+        )
+        assert out.loc[1, "entropy_bits"] == 2.0  # uniform over 4
+        ent2 = out.loc[2, "entropy_bits"]
+        # single category: exactly +0.0, never -0.0
+        assert ent2 == 0.0 and not np.signbit(ent2)
+        assert out["n_events"].sort_index().tolist() == [4, 3]
+
+
+class TestConversionLag:
+    def test_first_purchase_after_first_view(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import conversion_lag
+
+        t = pd.Timestamp("2026-01-01 10:00:00")
+        s = pd.Timedelta(seconds=1)
+        df = pd.DataFrame(
+            {
+                "user_id": [1, 1, 1, 2, 2, 3],
+                "event_type": [
+                    "purchase",  # before the first view: must not count
+                    "view",
+                    "purchase",
+                    "view",
+                    "click",
+                    "purchase",  # user 3 never views: dropped
+                ],
+                "ts": [t - 50 * s, t, t + 90 * s, t, t + 5 * s, t],
+            }
+        )
+        out = conversion_lag(ray.data.from_pandas(df)).to_pandas()
+        assert out.set_index("user_id")["lag_s"].to_dict() == {1: 90}
+
+    def test_purchase_at_view_instant_counts(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import conversion_lag
+
+        t = pd.Timestamp("2026-01-01")
+        df = pd.DataFrame(
+            {
+                "user_id": [5, 5],
+                "event_type": ["view", "purchase"],
+                "ts": [t, t],  # ts >= fmin is inclusive
+            }
+        )
+        out = conversion_lag(ray.data.from_pandas(df)).to_pandas()
+        assert out["lag_s"].tolist() == [0]
