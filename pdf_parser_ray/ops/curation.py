@@ -722,3 +722,234 @@ def winsorize(
     return broadcast_merge(ds, edges, on=group_col, how="left").map_batches(
         clip, batch_format="pandas"
     )
+
+
+def token_budget_cap(
+    ds: ray.data.Dataset,
+    budget: int,
+    *,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    n_parts: int | None = None,
+) -> ray.data.Dataset:
+    """Per-group token budget: walking each group in ``order_col``
+    order, keep documents while the running token total stays within
+    ``budget`` — the data-mixing step that caps how much any one
+    source contributes to a training run (by tokens, not documents).
+
+    This is a DISTRIBUTED PREFIX SUM, not a per-group sort: a per-group
+    ordered cumsum done with ``groupby(group).map_groups`` would drag a
+    whole source (possibly 20 % of the corpus) into one worker frame.
+    Instead:
+
+    1. one streaming pass computes per (group, order-range bucket)
+       token subtotals — a bounded partial (``groups × n_buckets``
+       rows) collected on the driver;
+    2. the driver turns subtotals into EXCLUSIVE per-bucket offsets
+       (cumsum in bucket order — buckets are monotone in
+       ``order_col``, so cross-bucket order is already resolved) and
+       broadcasts the offset map via ``ray.put``;
+    3. a second pass co-locates rows by (group, bucket) — bounded
+       partitions of ~N/n_buckets rows — sorts locally, adds the
+       bucket offset to the local cumsum, and keeps rows with
+       ``offset + local_cum <= budget``.
+
+    Token rule matches :data:`pdf_parser_ray.ops.text_stats.TOKEN_PAT`
+    (lowered ``\\S+``) so the DuckDB window-sum twin is exact.
+
+    Output: (group_col, order_col, n_tok:int64, cum_tokens:int64),
+    only rows within budget.
+    """
+    from ray.data.aggregate import Max, Min
+
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+    from pdf_parser_ray.ops.text_stats import TOKEN_PAT
+
+    bounds = ds.select_columns([order_col]).aggregate(
+        Min(order_col, alias_name="lo"), Max(order_col, alias_name="hi")
+    )
+    lo = int(bounds["lo"])
+    width = max(1, -(-(int(bounds["hi"]) - lo + 1) // n_buckets))
+
+    def count_tokens(df: pd.DataFrame) -> pd.DataFrame:
+        # \S+ counts are case-insensitive by construction — no lower()
+        n_tok = df[text_col].fillna("").str.count(TOKEN_PAT).astype("int64")
+        return pd.DataFrame(
+            {
+                group_col: df[group_col],
+                order_col: df[order_col].astype("int64"),
+                "__bucket": ((df[order_col].astype("int64") - lo) // width),
+                "n_tok": n_tok,
+            }
+        )
+
+    counted = ds.select_columns([group_col, order_col, text_col]).map_batches(
+        count_tokens, batch_format="pandas"
+    )
+
+    # pass 1: bounded partial -> driver-side exclusive offsets
+    def bucket_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby([group_col, "__bucket"], as_index=False)["n_tok"]
+            .sum()
+            .astype({"n_tok": "int64"})
+        )
+
+    subtotals = (
+        counted.map_batches(bucket_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby([group_col, "__bucket"], as_index=False)["n_tok"]
+        .sum()
+        .sort_values([group_col, "__bucket"])
+    )
+    subtotals["offset"] = (
+        subtotals.groupby(group_col)["n_tok"].cumsum() - subtotals["n_tok"]
+    )
+    offsets_ref = ray.put(
+        subtotals[[group_col, "__bucket", "offset"]].reset_index(drop=True)
+    )
+
+    # pass 2: co-locate by (group, bucket), local ordered cumsum + offset
+    def within_budget(part: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.stages import worker_state
+
+        offs = worker_state(("budget_offsets", offsets_ref.hex()),
+                            lambda: ray.get(offsets_ref))
+        part = part.sort_values([group_col, "__bucket", order_col])
+        cum = part.groupby([group_col, "__bucket"], sort=False)["n_tok"].cumsum()
+        base = (
+            part[[group_col, "__bucket"]]
+            .merge(offs, on=[group_col, "__bucket"], how="left")["offset"]
+            .fillna(0)
+            .astype("int64")
+            .to_numpy()
+        )
+        part = part.assign(cum_tokens=(cum.to_numpy() + base).astype("int64"))
+        keep = part[part["cum_tokens"] <= budget]
+        return keep[[group_col, order_col, "n_tok", "cum_tokens"]].reset_index(
+            drop=True
+        )
+
+    return partitioned_map(
+        counted, [group_col, "__bucket"], within_budget,
+        **({"n_parts": n_parts} if n_parts else {}),
+    )
+
+
+def dsir_logweights(
+    ds: ray.data.Dataset,
+    *,
+    target_col: str = "lang",
+    target_value: str = "en",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    round_to: int = 6,
+) -> ray.data.Dataset:
+    """DSIR-style importance log-weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by how much more likely its hashed-unigram features
+    are under the TARGET distribution (rows where ``target_col ==
+    target_value``) than under the raw corpus distribution —
+    ``logweight = Σ_tokens ln p̂_tgt(bucket) / p̂_raw(bucket)`` with
+    add-one smoothing over ``n_buckets`` md5 feature buckets.
+
+    Two streaming passes, no corpus shuffle: pass 1 reduces to a
+    ``n_buckets``-row count table (per-batch partials, driver merge —
+    bounded regardless of corpus size); the log-ratio vector is
+    broadcast once via ``ray.put``; pass 2 scores each document
+    row-locally.  Token→bucket md5 hashes are cached per worker across
+    batches (vocabulary-bounded dict), everything else is vectorized
+    explode/groupby/dot.
+
+    md5 bucketing (``int(md5(token)[:8], 16) % n_buckets``) is
+    reproducible in DuckDB as ``('0x' || substr(md5(t),1,8))::BIGINT %
+    n_buckets`` — the register-exact-oracle trick.  Cross-row float
+    sum → rounded on BOTH engines.
+
+    Output: (id_col, n_tokens:int64, logweight:float64), zero-token
+    documents dropped (they have no feature mass on either side).
+    """
+    import hashlib
+    import math
+
+    from pdf_parser_ray.ops.text_stats import TOKEN_PAT
+
+    def _bucketize(tokens: pd.Series) -> pd.Series:
+        """token Series -> bucket Series via a worker-cached md5 map."""
+        from pdf_parser_ray.stages import worker_state
+
+        cache = worker_state(("dsir_md5", n_buckets), dict)
+        uniq = tokens.unique()
+        missing = [t for t in uniq if t not in cache]
+        for t in missing:
+            cache[t] = (
+                int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
+            )
+        return tokens.map(cache)
+
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].fillna("").str.lower().str.findall(TOKEN_PAT)
+        is_tgt = (df[target_col] == target_value).to_numpy()
+        ex = toks.explode().dropna()
+        if len(ex) == 0:
+            return pd.DataFrame(
+                {"bucket": pd.Series([], dtype="int64"),
+                 "n_all": pd.Series([], dtype="int64"),
+                 "n_tgt": pd.Series([], dtype="int64")}
+            )
+        pos = df.index.get_indexer(ex.index)
+        out = pd.DataFrame(
+            {"bucket": _bucketize(ex).astype("int64").to_numpy(),
+             "n_tgt": is_tgt[pos].astype("int64")}
+        )
+        g = out.groupby("bucket", as_index=False).agg(
+            n_all=("n_tgt", "size"), n_tgt=("n_tgt", "sum")
+        )
+        return g.astype({"n_all": "int64", "n_tgt": "int64"})
+
+    counts = (
+        ds.select_columns([target_col, text_col])
+        .map_batches(bucket_counts, batch_format="pandas")
+        .to_pandas()
+        .groupby("bucket", as_index=False)
+        .sum()
+    )
+    A = int(counts["n_all"].sum())
+    T = int(counts["n_tgt"].sum())
+    lw = np.zeros(n_buckets, dtype=np.float64)
+    base = math.log(1.0 / (T + n_buckets)) - math.log(1.0 / (A + n_buckets))
+    lw[:] = base  # buckets with zero observed mass: both sides smooth to 1
+    for b, na, nt in zip(counts["bucket"], counts["n_all"], counts["n_tgt"]):
+        lw[int(b)] = math.log((int(nt) + 1) / (T + n_buckets)) - math.log(
+            (int(na) + 1) / (A + n_buckets)
+        )
+    lw_ref = ray.put(lw)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.stages import worker_state
+
+        w = worker_state(("dsir_lw", lw_ref.hex()), lambda: ray.get(lw_ref))
+        toks = df[text_col].fillna("").str.lower().str.findall(TOKEN_PAT)
+        ex = toks.explode().dropna()
+        if len(ex) == 0:
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype="int64"),
+                 "n_tokens": pd.Series([], dtype="int64"),
+                 "logweight": pd.Series([], dtype="float64")}
+            )
+        b = _bucketize(ex).astype("int64").to_numpy()
+        sc = pd.DataFrame(
+            {id_col: df.loc[ex.index, id_col].to_numpy(), "__w": w[b]}
+        )
+        g = sc.groupby(id_col, as_index=False).agg(
+            n_tokens=("__w", "size"), logweight=("__w", "sum")
+        )
+        g["logweight"] = np.round(g["logweight"], round_to) + 0.0
+        return g.astype({id_col: "int64", "n_tokens": "int64"})
+
+    return ds.select_columns([id_col, target_col, text_col]).map_batches(
+        score, batch_format="pandas"
+    )

@@ -5426,3 +5426,84 @@ SQL["conversion_lag"] = """
              AS lag_s
     FROM t JOIN f USING (user_id) ORDER BY t.user_id
 """
+
+
+def q_token_budget_cap(sf_dir: str) -> ray.data.Dataset:
+    """Per-source token budget (cap by tokens, not documents) — the
+    distributed-prefix-sum shape: bounded bucket subtotals -> broadcast
+    exclusive offsets -> co-located local cumsum.  No per-source
+    map_groups frame ever materializes."""
+    from pdf_parser_ray.ops.curation import token_budget_cap
+
+    return token_budget_cap(
+        _read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["source", "doc_id", "text"]
+        ),
+        budget=800,
+    )
+
+
+def q_dsir_weights(sf_dir: str) -> ray.data.Dataset:
+    """DSIR importance log-weights (hashed-unigram target/raw
+    likelihood ratio, target = lang 'en'); md5 feature buckets make the
+    DuckDB twin register-exact."""
+    from pdf_parser_ray.ops.curation import dsir_logweights
+
+    return dsir_logweights(
+        _read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+        )
+    )
+
+
+QUERIES["token_budget_cap"] = q_token_budget_cap
+QUERIES["dsir_weights"] = q_dsir_weights
+
+SQL["token_budget_cap"] = r"""
+    WITH n AS (
+      SELECT source, doc_id,
+             len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tok
+      FROM documents),
+    c AS (
+      SELECT source, doc_id, n_tok,
+             CAST(sum(n_tok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM n)
+    SELECT source, doc_id, n_tok, cum_tokens
+    FROM c WHERE cum_tokens <= 800
+    ORDER BY source, doc_id
+"""
+
+# add-one smoothed hashed-unigram likelihood ratio; md5 bucket =
+# ('0x' || substr(md5(token),1,8))::BIGINT % 256 replays the Ray
+# kernel's int(md5[:8],16) % 256 exactly.  Cross-row float sum ->
+# rounded on both engines; + 0.0 folds -0.0.
+SQL["dsir_weights"] = r"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(regexp_extract_all(lower(text), '\S+')) AS token
+      FROM documents),
+    b AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(token), 1, 8))::BIGINT % 256 AS bucket
+      FROM tok),
+    counts AS (
+      SELECT bucket, count(*)::BIGINT AS n_all,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tgt
+      FROM b GROUP BY bucket),
+    tot AS (
+      SELECT CAST(sum(n_all) AS BIGINT) AS a_tot,
+             CAST(sum(n_tgt) AS BIGINT) AS t_tot
+      FROM counts),
+    lw AS (
+      SELECT bucket,
+             ln((n_tgt + 1)::DOUBLE / (t_tot + 256)::DOUBLE)
+               - ln((n_all + 1)::DOUBLE / (a_tot + 256)::DOUBLE) AS w
+      FROM counts, tot)
+    SELECT b.doc_id, count(*)::BIGINT AS n_tokens,
+           round(sum(w), 6) + 0.0 AS logweight
+    FROM b JOIN lw USING (bucket)
+    GROUP BY b.doc_id ORDER BY b.doc_id
+"""

@@ -653,3 +653,98 @@ class TestWinsorize:
         assert (a == 19.0).sum() == 2
         b = out[out["g"] == "B"]["v_w"]
         assert (b == 5.0).all()
+
+
+class TestTokenBudgetCap:
+    def test_matches_pandas_window_cumsum(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.curation import token_budget_cap
+
+        rng = np.random.default_rng(11)
+        n = 120
+        df = pd.DataFrame(
+            {
+                "source": [f"s{i % 3}" for i in range(n)],
+                "doc_id": np.arange(n, dtype=np.int64),
+                "text": [" ".join(["w"] * int(k)) for k in rng.integers(0, 9, n)],
+            }
+        )
+        # tiny buckets force cross-bucket offset arithmetic
+        out = (
+            token_budget_cap(
+                ray.data.from_pandas(df), budget=50, n_buckets=7
+            )
+            .to_pandas()
+            .sort_values(["source", "doc_id"])
+            .reset_index(drop=True)
+        )
+        exp = df.assign(n_tok=df["text"].str.split().str.len().astype("int64"))
+        exp = exp.sort_values(["source", "doc_id"])
+        exp["cum_tokens"] = exp.groupby("source")["n_tok"].cumsum()
+        exp = (
+            exp[exp["cum_tokens"] <= 50][["source", "doc_id", "n_tok", "cum_tokens"]]
+            .reset_index(drop=True)
+            .astype({"n_tok": "int64", "cum_tokens": "int64"})
+        )
+        pd.testing.assert_frame_equal(out, exp)
+
+    def test_budget_boundary_inclusive(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.curation import token_budget_cap
+
+        df = pd.DataFrame(
+            {
+                "source": ["a", "a", "a"],
+                "doc_id": [0, 1, 2],
+                "text": ["x y z", "p q", "r"],  # cum: 3, 5, 6
+            }
+        )
+        out = token_budget_cap(
+            ray.data.from_pandas(df), budget=5
+        ).to_pandas()
+        assert sorted(out["doc_id"]) == [0, 1]  # cum==budget kept, next dropped
+
+
+class TestDsirLogweights:
+    def test_target_tokens_score_higher(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.curation import dsir_logweights
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3, 4, 5],
+                "lang": ["en", "en", "en", "de", "de", "de"],
+                "text": [
+                    "alpha alpha beta", "alpha beta", "alpha alpha alpha",
+                    "zeta eta", "zeta zeta", "eta eta eta",
+                ],
+            }
+        )
+        out = (
+            dsir_logweights(ray.data.from_pandas(df))
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        # docs made of target-only vocabulary outweigh source-only ones
+        assert out.loc[2, "logweight"] > out.loc[4, "logweight"]
+        assert (out.loc[[0, 1, 2], "logweight"] > 0).all()
+        assert (out.loc[[3, 4, 5], "logweight"] < 0).all()
+        assert out.loc[0, "n_tokens"] == 3
+
+    def test_zero_token_docs_drop(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.curation import dsir_logweights
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "lang": ["en", "en"],
+                "text": ["hello world", "   "],
+            }
+        )
+        out = dsir_logweights(ray.data.from_pandas(df)).to_pandas()
+        assert out["doc_id"].tolist() == [0]
