@@ -1775,3 +1775,85 @@ def clustering_coefficient(
         .sort(["coef", "node"], descending=[True, False])
         .limit(top_k)
     )
+
+
+def containment_pairs(
+    ds: ray.data.Dataset,
+    *,
+    ngram: int = 3,
+    n_parts: int | None = None,
+) -> ray.data.Dataset:
+    """Shingle-containment near-dup pairs: candidates are documents
+    sharing their MINIMUM md5 shingle hash (a 1-permutation MinHash
+    anchor — cheap, deterministic, and guaranteed to co-bucket exact
+    and mostly-overlapping texts), scored with the asymmetric
+    CONTAINMENT coefficient |A∩B| / |A| (A = the smaller doc_id's
+    shingle set).  Containment, unlike Jaccard, catches a short
+    document embedded inside a longer one — quote farms, boilerplate
+    wrappers, page-of-pages rollups.
+
+    ONE groupby shuffle on the anchor hash; singleton buckets are
+    dropped wholesale before the per-group Python pair loop
+    (``drop_singletons``).  Each row carries its deduped shingle-hash
+    array into the shuffle — the documented signature-rides-along
+    trade-off; at 100 TB swap the array for a second-pass hydration of
+    hot buckets.  md5 shingle hashes make the DuckDB twin exact
+    (same ``('0x' || substr(md5(gram),1,16))::UBIGINT`` values).
+
+    Input columns: (doc_id, text).
+    Output: (a:int64, b:int64, containment:float64) — exact ratio of
+    two ints, bit-identical across engines (no rounding contract).
+    """
+    import hashlib
+
+    def add_shingles(df: pd.DataFrame) -> pd.DataFrame:
+        ids, anchors, sets_ = [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
+            grams = _word_ngrams(text, ngram)
+            if not grams:
+                continue  # empty docs have no shingle mass on either engine
+            h = np.unique(
+                np.fromiter(
+                    (
+                        int(hashlib.md5(g.encode("utf-8")).hexdigest()[:16], 16)
+                        for g in set(grams)
+                    ),
+                    dtype=np.uint64,
+                    count=len(set(grams)),
+                )
+            )
+            ids.append(int(doc_id))
+            anchors.append(int(h.min()))
+            sets_.append(h)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "anchor": pd.Series(anchors, dtype="uint64"),
+                "shingles": pd.Series(sets_, dtype="object"),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        sets_ = list(g["shingles"])
+        a_out, b_out, c_out = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                inter = np.intersect1d(sets_[i], sets_[j], assume_unique=True)
+                a_out.append(int(ids[i]))
+                b_out.append(int(ids[j]))
+                c_out.append(len(inter) / len(sets_[i]))
+        return pd.DataFrame({"a": a_out, "b": b_out, "containment": c_out}).astype(
+            {"a": "int64", "b": "int64", "containment": "float64"}
+        )
+
+    from pdf_parser_ray.ops.shuffle import grouped_map
+
+    shingled = ds.select_columns(["doc_id", "text"]).map_batches(
+        add_shingles, batch_format="pandas"
+    )
+    return grouped_map(
+        shingled, ["anchor"], per_bucket, drop_singletons=True,
+        **({"n_parts": n_parts} if n_parts else {}),
+    )

@@ -654,3 +654,85 @@ def ivf_store_query(
     return knn_brute_force(
         candidates, q, k, round_to=round_to, concurrency=concurrency
     )
+
+
+def hard_negatives(
+    ds: ray.data.Dataset,
+    anchors: pd.DataFrame,
+    *,
+    k: int = 5,
+    label_col: str = "label",
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    vector, the top-``k`` most-similar vectors that do NOT share the
+    anchor's label — the negatives that actually teach the model
+    (Robinson et al. 2021 contrastive-negatives shape).
+
+    ``anchors`` is a driver-sized frame (vec_id, embedding, label) —
+    the query set, broadcast ONCE via ``ray.put`` and cached per worker.
+    Per batch: one matmul against all anchors, a label-mismatch mask,
+    and a per-anchor partial top-k; the driver reduces
+    ≤ anchors × k × batches rows.  No shuffle.  Cosines are rounded
+    BEFORE selection so the (cosine DESC, vec_id ASC) tie-break matches
+    a SQL oracle ordering by the rounded alias.
+
+    Returns (anchor_id:int64, vec_id:int64, cosine:float64), k rows per
+    anchor, ordered (anchor_id, cosine DESC, vec_id).
+    """
+    from pdf_parser_ray.stages import worker_state
+
+    a_mat = _to_matrix(anchors["embedding"])
+    a_norm = np.linalg.norm(a_mat, axis=1, keepdims=True)
+    a_norm[a_norm == 0] = 1.0
+    a_ref = ray.put(
+        {
+            "mat": (a_mat / a_norm).T,  # D x A
+            "ids": anchors["vec_id"].to_numpy().astype(np.int64),
+            "labels": anchors[label_col].to_numpy(),
+        }
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"anchor_id": pd.Series([], dtype="int64"),
+                 "vec_id": pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="float64")}
+            )
+        a = worker_state(("hardneg", a_ref.hex()), lambda: ray.get(a_ref))
+        mat = _to_matrix(df["embedding"])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cos = np.round((mat / norms) @ a["mat"], round_to)  # B x A
+        vec_ids = df["vec_id"].to_numpy().astype(np.int64)
+        labels = df[label_col].to_numpy()
+        frames = []
+        for ai in range(cos.shape[1]):
+            ok = (labels != a["labels"][ai]) & (vec_ids != a["ids"][ai])
+            if not ok.any():
+                continue
+            c, v = cos[ok, ai], vec_ids[ok]
+            idx = np.lexsort((v, -c))[: min(k, len(v))]
+            frames.append(
+                pd.DataFrame(
+                    {"anchor_id": np.full(len(idx), a["ids"][ai], dtype=np.int64),
+                     "vec_id": v[idx], "cosine": c[idx].astype(np.float64)}
+                )
+            )
+        if not frames:
+            return partial(df.head(0))
+        return pd.concat(frames, ignore_index=True)
+
+    pooled = ds.select_columns(["vec_id", "embedding", label_col]).map_batches(
+        partial, batch_format="pandas"
+    ).to_pandas()  # bounded: anchors x k x batches rows
+    out = (
+        pooled.sort_values(
+            ["anchor_id", "cosine", "vec_id"], ascending=[True, False, True]
+        )
+        .groupby("anchor_id", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return out

@@ -495,3 +495,85 @@ def approx_quantiles(
             r = min(len(v) - 1, max(0, int(np.ceil(q * len(v))) - 1))
             out[name] = [float(v[r])]
     return pd.DataFrame(out)
+
+
+def cms_top_k(
+    ds: ray.data.Dataset,
+    col: str = "user_id",
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    k: int = 10,
+) -> pd.DataFrame:
+    """Count-Min sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    ``depth`` hash rows × ``width`` counters, update = +1 in one cell
+    per row, estimate = min over rows — never under-counts, over-counts
+    by at most εN with ε = e/width at the stated confidence.
+
+    Per-batch partials are the sketch's own cells ((row, cell, n)
+    triples, ≤ depth×width nonzero per batch) merged by a driver-side
+    sum — bounded at depth×width regardless of corpus size, the
+    mergeability that makes CMS the streaming alternative to an exact
+    (value → count) shuffle.  Hash row j uses
+    ``int(md5(f"{j}:{value}")[:8], 16) % width`` so a SQL engine can
+    replay the EXACT cells (the register-exact oracle trick).
+
+    The candidate set scanned for the top-k is the exact distinct-value
+    set (per-batch unique partial → ``Dataset.unique``) — fine for
+    user-cardinality columns; at 100 TB pair the sketch with a
+    Misra-Gries candidate pass (:func:`top_k_frequent`) instead.
+
+    Returns a driver-sized frame: (col, est_n:int64), top ``k`` by
+    (est_n DESC, value ASC).
+    """
+    import hashlib
+
+    def _cells(values: np.ndarray) -> np.ndarray:
+        """distinct values -> (len, depth) int cell matrix via md5."""
+        out = np.empty((len(values), depth), dtype=np.int64)
+        for i, v in enumerate(values):
+            s = str(v)
+            for j in range(depth):
+                out[i, j] = (
+                    int(hashlib.md5(f"{j}:{s}".encode()).hexdigest()[:8], 16)
+                    % width
+                )
+        return out
+
+    def sketch_batch(df: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.stages import worker_state
+
+        cache = worker_state(("cms_cells", depth, width), dict)
+        counts = df[col].value_counts()
+        vals = counts.index.to_numpy()
+        missing = [v for v in vals if v not in cache]
+        if missing:
+            for v, row in zip(missing, _cells(np.asarray(missing))):
+                cache[v] = row
+        mat = np.zeros((depth, width), dtype=np.int64)
+        n = counts.to_numpy()
+        for v, c in zip(vals, n):
+            mat[np.arange(depth), cache[v]] += c
+        j, cell = np.nonzero(mat)
+        return pd.DataFrame(
+            {"j": j.astype("int64"), "cell": cell.astype("int64"),
+             "n": mat[j, cell].astype("int64")}
+        )
+
+    parts = (
+        ds.select_columns([col])
+        .map_batches(sketch_batch, batch_format="pandas")
+        .to_pandas()  # bounded: <= depth*width rows per batch, merged here
+    )
+    cms = np.zeros((depth, width), dtype=np.int64)
+    np.add.at(cms, (parts["j"].to_numpy(), parts["cell"].to_numpy()),
+              parts["n"].to_numpy())
+
+    candidates = sorted(ds.unique(col))
+    cand = np.asarray(candidates)
+    cells = _cells(cand)
+    est = cms[np.arange(depth)[None, :], cells].min(axis=1)
+    order = np.lexsort((cand, -est))[:k]
+    return pd.DataFrame(
+        {col: cand[order], "est_n": est[order].astype("int64")}
+    )

@@ -5507,3 +5507,125 @@ SQL["dsir_weights"] = r"""
     FROM b JOIN lw USING (bucket)
     GROUP BY b.doc_id ORDER BY b.doc_id
 """
+
+
+def q_containment_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Asymmetric shingle-containment near-dup pairs (catches short-in-
+    long embeddings Jaccard misses); min-md5-shingle anchor buckets,
+    one groupby, singleton buckets dropped wholesale."""
+    from pdf_parser_ray.ops.dedup import containment_pairs
+
+    return containment_pairs(
+        _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+
+
+def q_cms_top_users(sf_dir: str) -> pd.DataFrame:
+    """Count-Min sketch heavy hitters over events.user_id — mergeable
+    (row, cell) partials bounded at depth x width; md5 cell hashes let
+    DuckDB replay the exact sketch registers."""
+    from pdf_parser_ray.ops.sketches import cms_top_k
+
+    return cms_top_k(
+        _read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    )
+
+
+def q_hard_negatives(sf_dir: str) -> pd.DataFrame:
+    """Contrastive hard-negative mining: top-5 cosine neighbors of each
+    anchor (vec_id < 5) restricted to DIFFERENT labels; broadcast
+    anchor matrix, per-batch partial top-k, no shuffle."""
+    import pyarrow.parquet as _pq
+
+    from pdf_parser_ray.ops.similarity import hard_negatives
+
+    anchors = _pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+        filters=[("vec_id", "<", 5)],
+    ).to_pandas()
+    return hard_negatives(
+        _read_parquet(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding", "label"],
+        ),
+        anchors,
+    )
+
+
+QUERIES["containment_pairs"] = q_containment_pairs
+QUERIES["cms_top_users"] = q_cms_top_users
+QUERIES["hard_negatives"] = q_hard_negatives
+
+# Shingling identical to the minhash_md5 twin (lowered \S+ tokens,
+# word-3-grams, <3-token docs collapse to one joined shingle); the
+# containment ratio divides the SAME two int64s on both engines, so no
+# rounding contract is needed.
+SQL["containment_pairs"] = r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) = 0 THEN []
+                  WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks) - 1), i ->
+                       toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+             END AS grams
+      FROM tok),
+    hx AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(gram), 1, 16))::UBIGINT AS x
+      FROM (SELECT doc_id, unnest(grams) AS gram FROM sh)),
+    anchor AS (
+      SELECT doc_id, min(x) AS mh, count(*)::BIGINT AS n
+      FROM hx GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, a.n AS na
+      FROM anchor a JOIN anchor b ON a.mh = b.mh AND a.doc_id < b.doc_id),
+    inter AS (
+      SELECT p.a, p.b, any_value(p.na) AS na, count(*)::BIGINT AS ni
+      FROM pairs p
+      JOIN hx ha ON ha.doc_id = p.a
+      JOIN hx hb ON hb.doc_id = p.b AND hb.x = ha.x
+      GROUP BY p.a, p.b)
+    SELECT a, b, ni::DOUBLE / na::DOUBLE AS containment
+    FROM inter ORDER BY a, b
+"""
+
+# Register-exact CMS twin: DuckDB rebuilds every (row, cell) counter
+# from the same md5 hashes, then min-over-rows per candidate user.
+SQL["cms_top_users"] = """
+    WITH js AS (SELECT unnest(range(4)) AS j),
+    h AS (
+      SELECT e.user_id, js.j,
+             ('0x' || substr(md5(js.j::VARCHAR || ':' || e.user_id::VARCHAR),
+                             1, 8))::BIGINT % 1024 AS cell
+      FROM events e CROSS JOIN js),
+    cellcount AS (SELECT j, cell, count(*)::BIGINT AS n FROM h GROUP BY j, cell),
+    uh AS (SELECT DISTINCT user_id, j, cell FROM h),
+    est AS (
+      SELECT uh.user_id, CAST(min(c.n) AS BIGINT) AS est_n
+      FROM uh JOIN cellcount c USING (j, cell)
+      GROUP BY uh.user_id)
+    SELECT user_id, est_n FROM est
+    ORDER BY est_n DESC, user_id LIMIT 10
+"""
+
+SQL["hard_negatives"] = """
+    WITH a AS (
+      SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS av, label AS al
+      FROM embeddings WHERE vec_id < 5),
+    c AS (
+      SELECT anchor_id, e.vec_id,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], av), 6)
+               AS cosine
+      FROM a JOIN embeddings e
+        ON e.label <> a.al AND e.vec_id <> a.anchor_id)
+    SELECT anchor_id, vec_id, cosine FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY anchor_id ORDER BY cosine DESC, vec_id) AS rn
+      FROM c)
+    WHERE rn <= 5
+    ORDER BY anchor_id, cosine DESC, vec_id
+"""

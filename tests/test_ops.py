@@ -2478,3 +2478,100 @@ class TestConversionLag:
         )
         out = conversion_lag(ray.data.from_pandas(df)).to_pandas()
         assert out["lag_s"].tolist() == [0]
+
+
+class TestContainmentPairs:
+    def _oracle(self, df):
+        import hashlib
+
+        from pdf_parser_ray.ops.dedup import _word_ngrams
+
+        sets_, anchors = {}, {}
+        for d, t in zip(df["doc_id"], df["text"]):
+            grams = _word_ngrams(t, 3)
+            if not grams:
+                continue
+            h = {int(hashlib.md5(g.encode()).hexdigest()[:16], 16) for g in grams}
+            sets_[d], anchors[d] = h, min(h)
+        rows = []
+        ids = sorted(sets_)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                if anchors[a] == anchors[b]:
+                    rows.append((a, b, len(sets_[a] & sets_[b]) / len(sets_[a])))
+        return sorted(rows)
+
+    def test_matches_python_oracle_with_planted_dups(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import containment_pairs
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        df = pd.DataFrame(
+            {
+                "doc_id": range(6),
+                "text": [
+                    base,
+                    base,                       # exact dup -> containment 1.0
+                    base + " extra tail words",  # superset
+                    "totally different content here now",
+                    base,                        # triple
+                    "",                          # empty: excluded
+                ],
+            }
+        )
+        out = containment_pairs(ray.data.from_pandas(df)).to_pandas()
+        got = sorted(zip(out["a"], out["b"], out["containment"]))
+        assert got == self._oracle(df)
+        full = {(a, b): c for a, b, c in got}
+        assert full[(0, 1)] == 1.0 and full[(0, 4)] == 1.0
+        # the superset pair appears iff the shared region holds the min
+        # shingle of BOTH docs; when it does, containment of 0 in 2 is 1.0
+        if (0, 2) in full:
+            assert full[(0, 2)] == 1.0
+
+
+class TestCmsTopK:
+    def test_never_undercounts_and_finds_heavy_hitter(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.sketches import cms_top_k
+
+        rng = np.random.default_rng(3)
+        vals = np.concatenate(
+            [np.full(500, 7), rng.integers(100, 140, 800)]
+        ).astype(np.int64)
+        df = pd.DataFrame({"user_id": vals})
+        out = cms_top_k(ray.data.from_pandas(df), "user_id", k=5)
+        exact = df["user_id"].value_counts()
+        assert out.iloc[0]["user_id"] == 7
+        for _, r in out.iterrows():
+            assert r["est_n"] >= exact[r["user_id"]]  # CMS never undercounts
+        # 41 distinct values in 1024-wide rows: collisions are possible in
+        # one row but min-over-4-rows recovers the exact count here
+        assert out.iloc[0]["est_n"] == 500
+
+
+class TestHardNegatives:
+    def test_same_label_excluded(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.similarity import hard_negatives
+
+        # anchor 0 (label A): nearest vector 1 shares the label -> must
+        # be skipped; vectors 2/3 (label B) are the admissible negatives
+        emb = pd.DataFrame(
+            {
+                "vec_id": [0, 1, 2, 3],
+                "embedding": [
+                    [1.0, 0.0], [0.99, 0.1], [0.8, 0.6], [0.0, 1.0],
+                ],
+                "label": ["A", "A", "B", "B"],
+            }
+        )
+        out = hard_negatives(
+            ray.data.from_pandas(emb), emb[emb["vec_id"] == 0], k=2
+        )
+        assert out["anchor_id"].unique().tolist() == [0]
+        assert out["vec_id"].tolist() == [2, 3]  # cosine order among label B
+        assert out["cosine"].is_monotonic_decreasing
