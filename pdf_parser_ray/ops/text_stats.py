@@ -1177,3 +1177,89 @@ def seq_len_histogram(ds: "object") -> "object":
         .groupby("bucket_lo")
         .aggregate(Sum("n_docs", alias_name="n_docs"))
     )
+
+
+def source_kl(
+    ds: "object",
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """Per-source KL divergence (bits) from the corpus token
+    distribution — the domain-drift score: how far each source's
+    hashed-unigram distribution sits from the corpus average (0 =
+    indistinguishable; the sources worth inspecting or re-weighting
+    rank first).
+
+    ``KL(p_s ‖ p_c) = Σ_b p_s(b) · log2(p_s(b) / p_c(b))`` with
+    add-one smoothing over ``n_buckets`` md5 buckets; the corpus
+    distribution is the sum of the per-source counts, so ONE scan
+    feeds both sides.  Per-batch (source, bucket) partials bound the
+    reduce at |sources| × n_buckets rows regardless of corpus size;
+    the KL arithmetic runs on that driver-sized table.  md5 buckets
+    (``int(md5(tok)[:8],16) % n_buckets``) make the DuckDB twin
+    register-exact; the cross-bucket float sum is rounded on BOTH
+    engines.
+
+    Returns (group_col, n_tokens:int64, kl_bits:float64), one row per
+    source, kl_bits rounded.
+    """
+    import hashlib
+
+    import numpy as np
+
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.stages import worker_state
+
+        cache = worker_state(("srckl_md5", n_buckets), dict)
+        toks = df[text_col].fillna("").str.lower().str.findall(TOKEN_PAT)
+        ex = toks.explode().dropna()
+        if len(ex) == 0:
+            return pd.DataFrame(
+                {group_col: pd.Series([], dtype="object"),
+                 "bucket": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        for t in ex.unique():
+            if t not in cache:
+                cache[t] = (
+                    int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+                    % n_buckets
+                )
+        out = pd.DataFrame(
+            {
+                group_col: df.loc[ex.index, group_col].to_numpy(),
+                "bucket": ex.map(cache).astype("int64").to_numpy(),
+            }
+        )
+        g = out.groupby([group_col, "bucket"], as_index=False).size()
+        return g.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+    counts = (
+        ds.select_columns([group_col, text_col])
+        .map_batches(bucket_counts, batch_format="pandas")
+        .to_pandas()  # bounded: |sources| x n_buckets x batches partials
+        .groupby([group_col, "bucket"], as_index=False)["n"]
+        .sum()
+    )
+    # dense (source x bucket) matrix on the driver — both axes bounded
+    piv = counts.pivot_table(
+        index=group_col, columns="bucket", values="n", fill_value=0,
+        aggfunc="sum",
+    ).reindex(columns=range(n_buckets), fill_value=0)
+    mat = piv.to_numpy(dtype=np.float64)
+    n_s = mat.sum(axis=1)
+    corpus = mat.sum(axis=0)
+    big_n = corpus.sum()
+    p_s = (mat + 1.0) / (n_s + n_buckets)[:, None]
+    p_c = (corpus + 1.0) / (big_n + n_buckets)
+    kl = np.round((p_s * np.log2(p_s / p_c[None, :])).sum(axis=1), round_to) + 0.0
+    return pd.DataFrame(
+        {
+            group_col: piv.index.to_numpy(),
+            "n_tokens": n_s.astype("int64"),
+            "kl_bits": kl,
+        }
+    ).sort_values(group_col).reset_index(drop=True)

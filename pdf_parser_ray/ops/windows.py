@@ -1559,3 +1559,102 @@ def conversion_lag(
         partials, [user_col], per_partition,
         **({"n_parts": n_parts} if n_parts else {}),
     )
+
+
+def session_spans(
+    ds: "ray.data.Dataset",
+    gap_seconds: int = 1800,
+    *,
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Session TABLE (one row per session) — the gaps-and-islands
+    rollup of :func:`assign_sessions`: per (user, session ordinal) the
+    span start/end, event count and whole-second duration.  The shape
+    every engagement metric joins against (session length
+    distributions, bounce detection, dwell-time models).
+
+    Same single user co-location shuffle; the island assignment and
+    the per-session aggregate both happen vectorized inside the
+    partition, so output rows (sessions) never exceed input rows.
+    Durations are exact integer microsecond floor-divisions — no float
+    contract.
+
+    Output: (user_id, session_idx:int64, start_ts, end_ts,
+    n_events:int64, duration_s:int64).
+    """
+
+    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["user_id", "ts", "event_id"])
+        new_sess = (
+            ~part["user_id"].eq(part["user_id"].shift())
+        ) | (part["ts"].diff().dt.total_seconds() > gap_seconds)
+        sid = (
+            part.assign(__ns=new_sess.astype("int64"))
+            .groupby("user_id", sort=False)["__ns"]
+            .cumsum()
+        )
+        g = (
+            part.assign(session_idx=sid.to_numpy())
+            .groupby(["user_id", "session_idx"], as_index=False)
+            .agg(start_ts=("ts", "min"), end_ts=("ts", "max"),
+                 n_events=("ts", "size"))
+        )
+        dur = (
+            g["end_ts"].astype("datetime64[us]").astype("int64")
+            - g["start_ts"].astype("datetime64[us]").astype("int64")
+        ) // 1_000_000
+        return g.assign(duration_s=dur).astype(
+            {"session_idx": "int64", "n_events": "int64", "duration_s": "int64"}
+        )
+
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    return partitioned_map(
+        ds.select_columns(["event_id", "user_id", "ts"]),
+        ["user_id"],
+        per_partition,
+        **({"n_parts": n_parts} if n_parts else {}),
+    )
+
+
+def user_acquisition(ds: "ray.data.Dataset") -> pd.DataFrame:
+    """User-acquisition curve: per day, how many users had their FIRST
+    EVER event that day, plus the running total — the growth metric of
+    any event stream.
+
+    argmin combiner: per-batch min ts per user (one row per user per
+    batch) → co-located exact min per user → per-day counts (bounded
+    by the time range) → driver cumsum over the tiny day table.  The
+    shuffle moves O(users × batches) rows, never one per event.
+
+    Returns a driver-sized frame: (day, n_new:int64, cum_users:int64).
+    """
+
+    def partial_min(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False)["ts"].min()
+
+    def day_counts(part: pd.DataFrame) -> pd.DataFrame:
+        first = part.groupby("user_id", as_index=False)["ts"].min()
+        days = first["ts"].dt.floor("D")
+        out = days.value_counts().sort_index().reset_index()
+        out.columns = ["day", "n_new"]
+        return out.astype({"n_new": "int64"})
+
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    per_day = (
+        partitioned_map(
+            ds.select_columns(["user_id", "ts"]).map_batches(
+                partial_min, batch_format="pandas"
+            ),
+            ["user_id"],
+            day_counts,
+        )
+        .to_pandas()  # bounded: one row per (partition, day)
+        .groupby("day", as_index=False)["n_new"]
+        .sum()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    per_day["cum_users"] = per_day["n_new"].cumsum().astype("int64")
+    return per_day.astype({"n_new": "int64", "cum_users": "int64"})

@@ -5629,3 +5629,105 @@ SQL["hard_negatives"] = """
     WHERE rn <= 5
     ORDER BY anchor_id, cosine DESC, vec_id
 """
+
+
+def q_session_spans(sf_dir: str) -> ray.data.Dataset:
+    """Session table (one row per gaps-and-islands session): span
+    start/end, event count, exact integer duration."""
+    from pdf_parser_ray.ops.windows import session_spans
+
+    return session_spans(
+        _read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+        )
+    )
+
+
+def q_user_acquisition(sf_dir: str) -> pd.DataFrame:
+    """Growth curve: first-ever-event day per user -> new users per day
+    + running total (argmin combiner, day-bounded final table)."""
+    from pdf_parser_ray.ops.windows import user_acquisition
+
+    return user_acquisition(
+        _read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    )
+
+
+def q_source_kl(sf_dir: str) -> pd.DataFrame:
+    """Per-source KL divergence (bits) from the corpus token
+    distribution over 256 md5 buckets — the domain-drift ranking."""
+    from pdf_parser_ray.ops.text_stats import source_kl
+
+    return source_kl(
+        _read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    )
+
+
+QUERIES["session_spans"] = q_session_spans
+QUERIES["user_acquisition"] = q_user_acquisition
+QUERIES["source_kl"] = q_source_kl
+
+SQL["session_spans"] = """
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts - lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+    SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
+           min(ts) AS start_ts, max(ts) AS end_ts,
+           count(*)::BIGINT AS n_events,
+           CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT)
+             AS duration_s
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, session_idx
+"""
+
+SQL["user_acquisition"] = """
+    WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id),
+    d AS (
+      SELECT date_trunc('day', first_ts) AS day, count(*)::BIGINT AS n_new
+      FROM f GROUP BY 1)
+    SELECT day, n_new,
+           CAST(sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_users
+    FROM d ORDER BY day
+"""
+
+# Dense (source x 256-bucket) grid: zero-count buckets still carry
+# add-one mass on both engines; cross-bucket float sum -> rounded.
+SQL["source_kl"] = r"""
+    WITH tok AS (
+      SELECT source, unnest(regexp_extract_all(lower(text), '\S+')) AS token
+      FROM documents),
+    b AS (
+      SELECT source,
+             ('0x' || substr(md5(token), 1, 8))::BIGINT % 256 AS bucket
+      FROM tok),
+    c AS (SELECT source, bucket, count(*)::BIGINT AS n
+          FROM b GROUP BY source, bucket),
+    srcs AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_s FROM c GROUP BY source),
+    buckets AS (SELECT unnest(range(256)) AS bucket),
+    grid AS (
+      SELECT s.source, s.n_s, bk.bucket, coalesce(c.n, 0)::BIGINT AS n
+      FROM srcs s CROSS JOIN buckets bk
+      LEFT JOIN c ON c.source = s.source AND c.bucket = bk.bucket),
+    corp AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS cn
+             FROM grid GROUP BY bucket),
+    tot AS (SELECT CAST(sum(cn) AS BIGINT) AS big_n FROM corp)
+    SELECT g.source,
+           CAST(any_value(g.n_s) AS BIGINT) AS n_tokens,
+           round(sum(((g.n + 1)::DOUBLE / (g.n_s + 256)::DOUBLE)
+                     * log2(((g.n + 1)::DOUBLE / (g.n_s + 256)::DOUBLE)
+                            / ((c2.cn + 1)::DOUBLE
+                               / (t.big_n + 256)::DOUBLE))), 6) + 0.0
+             AS kl_bits
+    FROM grid g JOIN corp c2 USING (bucket), tot t
+    GROUP BY g.source ORDER BY g.source
+"""

@@ -2575,3 +2575,89 @@ class TestHardNegatives:
         assert out["anchor_id"].unique().tolist() == [0]
         assert out["vec_id"].tolist() == [2, 3]  # cosine order among label B
         assert out["cosine"].is_monotonic_decreasing
+
+
+class TestSessionSpans:
+    def test_islands_and_durations(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import session_spans
+
+        t = pd.Timestamp("2026-01-01 00:00:00")
+        m = pd.Timedelta(minutes=1)
+        df = pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4, 5],
+                "user_id": [1, 1, 1, 1, 2],
+                # user 1: [0, 10] then a 40-min gap -> new session [50, 55]
+                "ts": [t, t + 10 * m, t + 50 * m, t + 55 * m, t],
+            }
+        )
+        out = (
+            session_spans(ray.data.from_pandas(df), gap_seconds=1800)
+            .to_pandas()
+            .sort_values(["user_id", "session_idx"])
+            .reset_index(drop=True)
+        )
+        assert out["n_events"].tolist() == [2, 2, 1]
+        assert out["duration_s"].tolist() == [600, 300, 0]
+        assert out["session_idx"].tolist() == [1, 2, 1]
+
+    def test_gap_boundary_exclusive(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import session_spans
+
+        t = pd.Timestamp("2026-01-01")
+        df = pd.DataFrame(
+            {
+                "event_id": [1, 2],
+                "user_id": [1, 1],
+                "ts": [t, t + pd.Timedelta(seconds=1800)],  # gap == 1800: same
+            }
+        )
+        out = session_spans(ray.data.from_pandas(df)).to_pandas()
+        assert len(out) == 1 and out["n_events"].iloc[0] == 2
+
+
+class TestUserAcquisition:
+    def test_first_event_day_only(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import user_acquisition
+
+        df = pd.DataFrame(
+            {
+                "user_id": [1, 1, 2, 3, 3],
+                "ts": pd.to_datetime(
+                    ["2026-01-01 05:00", "2026-01-03 07:00",  # u1: day 1
+                     "2026-01-02 09:00",                        # u2: day 2
+                     "2026-01-02 01:00", "2026-01-02 02:00"]    # u3: day 2
+                ),
+            }
+        )
+        out = user_acquisition(ray.data.from_pandas(df))
+        assert out["n_new"].tolist() == [1, 2]
+        assert out["cum_users"].tolist() == [1, 3]
+        assert out["day"].dt.day.tolist() == [1, 2]
+
+
+class TestSourceKl:
+    def test_identical_sources_have_equal_low_kl(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.text_stats import source_kl
+
+        df = pd.DataFrame(
+            {
+                "source": ["a"] * 3 + ["b"] * 3 + ["c"] * 3,
+                "text": ["tok tok tok"] * 6
+                + ["zig zag zog completely different words here"] * 3,
+            }
+        )
+        out = source_kl(ray.data.from_pandas(df)).set_index("source")
+        # a and b share an identical distribution -> identical KL
+        assert out.loc["a", "kl_bits"] == out.loc["b", "kl_bits"]
+        # the divergent source sits strictly farther from the corpus
+        assert out.loc["c", "kl_bits"] > out.loc["a", "kl_bits"]
+        assert (out["kl_bits"] >= 0).all()
