@@ -94,6 +94,18 @@ BENCH_QUERIES = [
     "winsorized_revenue",
     "event_window_enrich",
     "oov_rate",
+    # round-2 session-6 additions
+    "transition_counts",
+    "user_entropy",
+    "conversion_lag",
+    "token_budget_cap",
+    "dsir_weights",
+    "containment_pairs",
+    "cms_top_users",
+    "hard_negatives",
+    "session_spans",
+    "user_acquisition",
+    "source_kl",
 ]
 
 
