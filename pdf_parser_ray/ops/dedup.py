@@ -29,6 +29,7 @@ from pdf_parser_ray.stages import task_kwargs as _task_kwargs
 from pdf_parser_ray.stages import worker_state
 
 _WS = re.compile(r"\s+", re.ASCII)  # RE2-aligned, see ops.text_stats
+_TOKEN_PAT = re.compile(r"\S+", re.ASCII)  # lowered \S+ tokens, ditto
 
 MERSENNE = np.uint64((1 << 61) - 1)
 MAX_BUCKET = 64  # skew guard: max docs considered per LSH bucket
@@ -1857,3 +1858,99 @@ def containment_pairs(
         shingled, ["anchor"], per_bucket, drop_singletons=True,
         **({"n_parts": n_parts} if n_parts else {}),
     )
+
+
+def rare_token_pairs(
+    ds: ray.data.Dataset,
+    *,
+    threshold: float = 0.5,
+    max_bucket: int = 256,
+    n_parts: int | None = None,
+) -> ray.data.Dataset:
+    """Set-similarity join with RAREST-TOKEN blocking (the prefix-
+    filtering idea behind PPJoin, Xiao et al. 2008, reduced to its
+    1-token prefix): candidate pairs are documents sharing their
+    globally rarest token under the total order (document frequency,
+    token), scored with exact distinct-token Jaccard; only pairs at or
+    above ``threshold`` are emitted.
+
+    Why it complements MinHash/containment blocking: the anchor is
+    FREQUENCY-AWARE — a bucket's size is bounded by its anchor token's
+    df, the MINIMUM over the doc's vocabulary, so a rare identifying
+    term beats hot boilerplate.  A corpus with fully shared vocabulary
+    still produces hot anchors (every blocking scheme degrades there),
+    hence ``max_bucket``: buckets cap deterministically to their
+    ``max_bucket`` lowest doc_ids — same rule in the SQL twin, so the
+    cap is oracle-checked, not silent.
+
+    Dataflow (no driver-side vocabulary): distinct (doc, token) rows →
+    token co-location attaches each token's df in-place (the group IS
+    the df) → doc co-location picks each doc's (df, token)-min anchor →
+    a colo_join brings the text back → one anchor groupby emits
+    all-pairs exact Jaccard, singleton buckets dropped wholesale.
+    Jaccard divides the same two int64s on both engines — bit-identical,
+    no rounding contract (the threshold compare sees identical values).
+
+    Input columns: (doc_id, text).  Output: (a, b, jaccard:float64).
+    """
+    from pdf_parser_ray.ops.relational import colo_join
+    from pdf_parser_ray.ops.shuffle import grouped_map, partitioned_map
+
+    def explode_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(_TOKEN_PAT)
+        ex = toks.explode().dropna()
+        if len(ex) == 0:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "token": pd.Series([], dtype="object")}
+            )
+        out = pd.DataFrame(
+            {"doc_id": df.loc[ex.index, "doc_id"].to_numpy(), "token": ex.to_numpy()}
+        ).drop_duplicates()
+        return out.astype({"doc_id": "int64"})
+
+    def attach_df(part: pd.DataFrame) -> pd.DataFrame:
+        # all rows of a token are in this partition: group size == df
+        part = part.copy()
+        part["df"] = part.groupby("token")["token"].transform("size").astype("int64")
+        return part
+
+    def pick_anchor(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["doc_id", "df", "token"])
+        first = part.groupby("doc_id", sort=False).head(1)
+        return pd.DataFrame(
+            {"doc_id": first["doc_id"].to_numpy(),
+             "anchor": first["token"].to_numpy()}
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").head(max_bucket)
+        ids = g["doc_id"].to_numpy()
+        sets_ = [
+            set(_TOKEN_PAT.findall(str(t).lower())) for t in g["text"].fillna("")
+        ]
+        a_out, b_out, j_out = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                inter = len(sets_[i] & sets_[j])
+                union = len(sets_[i]) + len(sets_[j]) - inter
+                jac = inter / union
+                if jac >= threshold:
+                    a_out.append(int(ids[i]))
+                    b_out.append(int(ids[j]))
+                    j_out.append(jac)
+        return pd.DataFrame({"a": a_out, "b": b_out, "jaccard": j_out}).astype(
+            {"a": "int64", "b": "int64", "jaccard": "float64"}
+        )
+
+    kw = {"n_parts": n_parts} if n_parts else {}
+    tok = ds.select_columns(["doc_id", "text"]).map_batches(
+        explode_distinct, batch_format="pandas"
+    )
+    with_df = partitioned_map(tok, ["token"], attach_df, **kw)
+    anchors = partitioned_map(with_df, ["doc_id"], pick_anchor, **kw)
+    docs = ds.select_columns(["doc_id", "text"])
+    joined = colo_join(
+        anchors, docs, ["doc_id"], ["anchor"], ["text"], **kw
+    )
+    return grouped_map(joined, ["anchor"], per_bucket, drop_singletons=True, **kw)

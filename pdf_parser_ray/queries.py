@@ -5731,3 +5731,82 @@ SQL["source_kl"] = r"""
     FROM grid g JOIN corp c2 USING (bucket), tot t
     GROUP BY g.source ORDER BY g.source
 """
+
+
+def q_event_mad(sf_dir: str) -> pd.DataFrame:
+    """Robust per-type scale: median + median-absolute-deviation via
+    two chained 3-pass selections (no group ever materializes);
+    element-exact vs quantile_disc."""
+    from pdf_parser_ray.ops.quantiles import grouped_mad
+
+    return grouped_mad(
+        _read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"]),
+        "event_type", "value",
+    )
+
+
+def q_rare_token_pairs(sf_dir: str) -> ray.data.Dataset:
+    """PPJoin-style set-similarity join: rarest-token blocking (bucket
+    size bounded by the anchor's df — skew-proof by construction) +
+    exact distinct-token Jaccard."""
+    from pdf_parser_ray.ops.dedup import rare_token_pairs
+
+    return rare_token_pairs(
+        _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+
+
+QUERIES["event_mad"] = q_event_mad
+QUERIES["rare_token_pairs"] = q_rare_token_pairs
+
+SQL["event_mad"] = """
+    WITH med AS (
+      SELECT event_type, quantile_disc(value, 0.5) AS med
+      FROM events GROUP BY event_type)
+    SELECT e.event_type, any_value(m.med) AS med,
+           quantile_disc(abs(e.value - m.med), 0.5) AS mad
+    FROM events e JOIN med m USING (event_type)
+    GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+# anchor = first token under the (df, token) total order — the
+# row_number window replays the Ray side's lexicographic tie-break.
+SQL["rare_token_pairs"] = r"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_extract_all(lower(text), '\S+')) AS token
+      FROM documents),
+    df AS (SELECT token, count(*)::BIGINT AS df FROM tok GROUP BY token),
+    anch AS (
+      SELECT doc_id, token AS anchor FROM (
+        SELECT t.doc_id, t.token,
+               row_number() OVER (
+                 PARTITION BY t.doc_id ORDER BY d.df, t.token) AS rn
+        FROM tok t JOIN df d USING (token))
+      WHERE rn = 1),
+    capped AS (
+      SELECT doc_id, anchor FROM (
+        SELECT doc_id, anchor,
+               row_number() OVER (PARTITION BY anchor ORDER BY doc_id) AS bn
+        FROM anch)
+      WHERE bn <= 256),
+    sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM tok GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM capped a JOIN capped b
+        ON a.anchor = b.anchor AND a.doc_id < b.doc_id),
+    inter AS (
+      SELECT p.a, p.b, count(*)::BIGINT AS ni
+      FROM pairs p
+      JOIN tok ta ON ta.doc_id = p.a
+      JOIN tok tb ON tb.doc_id = p.b AND tb.token = ta.token
+      GROUP BY p.a, p.b)
+    SELECT * FROM (
+      SELECT i.a, i.b,
+             i.ni::DOUBLE / (sa.n + sb.n - i.ni)::DOUBLE AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.a
+      JOIN sizes sb ON sb.doc_id = i.b)
+    WHERE jaccard >= 0.5
+    ORDER BY a, b
+"""

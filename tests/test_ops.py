@@ -2661,3 +2661,79 @@ class TestSourceKl:
         # the divergent source sits strictly farther from the corpus
         assert out.loc["c", "kl_bits"] > out.loc["a", "kl_bits"]
         assert (out["kl_bits"] >= 0).all()
+
+
+class TestGroupedMad:
+    def test_matches_numpy_median_of_deviations(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.quantiles import grouped_mad
+
+        rng = np.random.default_rng(5)
+        df = pd.DataFrame(
+            {
+                "event_type": rng.choice(["x", "y"], 501),
+                "value": rng.normal(100, 20, 501),
+            }
+        )
+        out = grouped_mad(
+            ray.data.from_pandas(df), "event_type", "value"
+        ).set_index("event_type")
+        for t, g in df.groupby("event_type")["value"]:
+            v = np.sort(g.to_numpy())
+            med = v[max(0, int(np.ceil(0.5 * len(v))) - 1)]  # quantile_disc
+            dev = np.sort(np.abs(g.to_numpy() - med))
+            mad = dev[max(0, int(np.ceil(0.5 * len(dev))) - 1)]
+            assert out.loc[t, "med"] == med
+            assert out.loc[t, "mad"] == mad
+
+    def test_outlier_robustness(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.quantiles import grouped_mad
+
+        vals = [10.0] * 9 + [10_000.0]  # one wild outlier
+        df = pd.DataFrame({"event_type": ["a"] * 10, "value": vals})
+        out = grouped_mad(ray.data.from_pandas(df), "event_type", "value")
+        assert out["med"].iloc[0] == 10.0 and out["mad"].iloc[0] == 0.0
+
+
+class TestRareTokenPairs:
+    def test_rare_anchor_blocks_and_scores(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import rare_token_pairs
+
+        # df: unusualword/cat/sat/mat/today = 2; hill/dog/ran/over = 1.
+        # docs 0 and 1: every token df=2 -> anchor = min token 'cat',
+        # shared.  doc 2's rarest is its own df-1 token -> isolated.
+        df = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "unusualword cat sat mat",
+                    "unusualword cat sat mat today",
+                    "today hill dog ran over",
+                ],
+            }
+        )
+        out = rare_token_pairs(
+            ray.data.from_pandas(df), threshold=0.3
+        ).to_pandas()
+        assert {(a, b) for a, b in zip(out["a"], out["b"])} == {(0, 1)}
+        assert out["jaccard"].iloc[0] == 4 / 5
+
+    def test_threshold_filters(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import rare_token_pairs
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": ["rare alpha beta gamma", "rare zeta eta theta"],
+            }
+        )
+        # shared anchor 'rare' (or any df-2 tie) but jaccard 1/7 < 0.5
+        out = rare_token_pairs(ray.data.from_pandas(df)).to_pandas()
+        assert len(out) == 0
