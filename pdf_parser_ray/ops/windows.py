@@ -1658,3 +1658,100 @@ def user_acquisition(ds: "ray.data.Dataset") -> pd.DataFrame:
     )
     per_day["cum_users"] = per_day["n_new"].cumsum().astype("int64")
     return per_day.astype({"n_new": "int64", "cum_users": "int64"})
+
+
+def path_trigrams(
+    ds: "ray.data.Dataset",
+    *,
+    part_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    type_col: str = "event_type",
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Second-order path mining: counts of consecutive event-type
+    TRIPLES per user stream — the 3-step funnel/journey table that
+    first-order transitions (:func:`transition_counts`) can't see
+    (e.g. view→click→purchase vs view→click→error).
+
+    Same shape as transition_counts: one user co-location, two
+    vectorized shifts, ≤ |types|³ partial rows into a tiny final
+    groupby.
+
+    Output: (t1, t2, t3, n:int64).
+    """
+    from ray.data.aggregate import Sum
+
+    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values([part_col, *order_cols])
+        by = g.groupby(part_col, sort=False)[type_col]
+        t2 = by.shift(1)
+        t1 = by.shift(2)
+        keep = t1.notna()
+        tri = pd.DataFrame(
+            {"t1": t1[keep], "t2": t2[keep], "t3": g.loc[keep, type_col]}
+        )
+        out = tri.groupby(["t1", "t2", "t3"], as_index=False).size()
+        return out.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    partial = partitioned_map(
+        ds.select_columns([part_col, *order_cols, type_col]),
+        [part_col],
+        per_partition,
+        **({"n_parts": n_parts} if n_parts else {}),
+    )
+    return partial.groupby(["t1", "t2", "t3"]).aggregate(Sum("n", alias_name="n"))
+
+
+def gap_quantiles(
+    ds: "ray.data.Dataset",
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    qs: dict[str, float] | None = None,
+    n_parts: int | None = None,
+) -> pd.DataFrame:
+    """Inter-arrival-time quantiles per event type: within each
+    (user, type) stream, the gap to the previous same-type event;
+    exact per-type quantiles of those gaps — the cadence profile
+    (how often users click vs how often they purchase) that sizes
+    session gaps, rate limits and watermark allowances.
+
+    One user co-location produces the gap rows (vectorized two-column
+    shift), then the 3-pass selection quantile operator runs per type —
+    no group ever materializes on either stage.  Gaps are
+    ``µs_int / 1e6`` on both engines (identical operands → identical
+    float64), so quantile elements compare bit-identically.
+
+    Returns (type_col, *qs) — one row per event type.
+    """
+    qs = qs or {"p50_gap_s": 0.5, "p90_gap_s": 0.9}
+
+    def gaps(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values([user_col, type_col, ts_col, order_tiebreak])
+        prev = g.groupby([user_col, type_col], sort=False)[ts_col].shift()
+        keep = prev.notna()
+        us = (
+            g.loc[keep, ts_col].astype("datetime64[us]").astype("int64")
+            - prev[keep].astype("datetime64[us]").astype("int64")
+        )
+        return pd.DataFrame(
+            {
+                type_col: g.loc[keep, type_col].to_numpy(),
+                "gap_s": us.to_numpy(dtype="float64") / 1e6,
+            }
+        )
+
+    from pdf_parser_ray.ops.quantiles import grouped_quantile_disc
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    gap_rows = partitioned_map(
+        ds.select_columns([user_col, type_col, ts_col, order_tiebreak]),
+        [user_col],
+        gaps,
+        **({"n_parts": n_parts} if n_parts else {}),
+    )
+    return grouped_quantile_disc(gap_rows, type_col, "gap_s", qs)

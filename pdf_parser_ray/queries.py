@@ -5810,3 +5810,63 @@ SQL["rare_token_pairs"] = r"""
     WHERE jaccard >= 0.5
     ORDER BY a, b
 """
+
+
+def q_path_trigrams(sf_dir: str) -> ray.data.Dataset:
+    """3-step journey counts (second-order Markov paths) per user
+    stream; two vectorized shifts, <=types^3 partials."""
+    from pdf_parser_ray.ops.windows import path_trigrams
+
+    return path_trigrams(
+        _read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
+    )
+
+
+def q_gap_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Inter-arrival cadence per event type: exact p50/p90 of same-type
+    gaps within user streams (co-located shift -> 3-pass selection)."""
+    from pdf_parser_ray.ops.windows import gap_quantiles
+
+    return gap_quantiles(
+        _read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
+    )
+
+
+QUERIES["path_trigrams"] = q_path_trigrams
+QUERIES["gap_quantiles"] = q_gap_quantiles
+
+SQL["path_trigrams"] = """
+    WITH seq AS (
+      SELECT user_id, event_type AS t3,
+             lag(event_type, 1) OVER w AS t2,
+             lag(event_type, 2) OVER w AS t1
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT t1, t2, t3, count(*)::BIGINT AS n
+    FROM seq WHERE t1 IS NOT NULL
+    GROUP BY t1, t2, t3 ORDER BY t1, t2, t3
+"""
+
+# gap = µs_int / 1e6 on both engines (identical operands), so the
+# quantile elements compare bit-identically — no rounding contract.
+SQL["gap_quantiles"] = """
+    WITH seq AS (
+      SELECT event_type, ts,
+             lag(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    g AS (
+      SELECT event_type,
+             (epoch_us(ts) - epoch_us(prev_ts))::DOUBLE / 1000000.0 AS gap_s
+      FROM seq WHERE prev_ts IS NOT NULL)
+    SELECT event_type,
+           quantile_disc(gap_s, 0.5) AS p50_gap_s,
+           quantile_disc(gap_s, 0.9) AS p90_gap_s
+    FROM g GROUP BY event_type ORDER BY event_type
+"""

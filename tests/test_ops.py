@@ -2737,3 +2737,67 @@ class TestRareTokenPairs:
         # shared anchor 'rare' (or any df-2 tie) but jaccard 1/7 < 0.5
         out = rare_token_pairs(ray.data.from_pandas(df)).to_pandas()
         assert len(out) == 0
+
+
+class TestPathTrigrams:
+    def test_matches_pandas_double_lag(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import path_trigrams
+
+        rng = np.random.default_rng(13)
+        n = 300
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype=np.int64),
+                "user_id": rng.integers(0, 9, n).astype(np.int64),
+                "ts": pd.Timestamp("2026-01-01")
+                + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+                "event_type": rng.choice(list("abc"), n),
+            }
+        )
+        out = (
+            path_trigrams(ray.data.from_pandas(df))
+            .to_pandas()
+            .sort_values(["t1", "t2", "t3"])
+            .reset_index(drop=True)
+        )
+        g = df.sort_values(["user_id", "ts", "event_id"])
+        by = g.groupby("user_id")["event_type"]
+        exp = (
+            pd.DataFrame(
+                {"t1": by.shift(2), "t2": by.shift(1), "t3": g["event_type"]}
+            )
+            .dropna()
+            .groupby(["t1", "t2", "t3"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+            .sort_values(["t1", "t2", "t3"])
+            .reset_index(drop=True)
+            .astype({"n": "int64"})
+        )
+        pd.testing.assert_frame_equal(out, exp)
+
+
+class TestGapQuantiles:
+    def test_same_type_gaps_only(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import gap_quantiles
+
+        t = pd.Timestamp("2026-01-01")
+        s = pd.Timedelta(seconds=1)
+        df = pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4],
+                "user_id": [1, 1, 1, 1],
+                # clicks at 0 and 10s (gap 10); the view between them
+                # must NOT split the click stream
+                "event_type": ["click", "view", "click", "click"],
+                "ts": [t, t + 3 * s, t + 10 * s, t + 14 * s],
+            }
+        )
+        out = gap_quantiles(ray.data.from_pandas(df)).set_index("event_type")
+        assert out.loc["click", "p50_gap_s"] == 4.0   # gaps {10, 4} -> p50=4
+        assert out.loc["click", "p90_gap_s"] == 10.0
+        assert "view" not in out.index  # single event: no gap row
