@@ -106,6 +106,10 @@ BENCH_QUERIES = [
     "session_spans",
     "user_acquisition",
     "source_kl",
+    "event_mad",
+    "rare_token_pairs",
+    "path_trigrams",
+    "gap_quantiles",
 ]
 
 

@@ -5870,3 +5870,171 @@ SQL["gap_quantiles"] = """
            quantile_disc(gap_s, 0.9) AS p90_gap_s
     FROM g GROUP BY event_type ORDER BY event_type
 """
+
+
+def q_containment_survivors(sf_dir: str) -> ray.data.Dataset:
+    """Containment-dedup scrub, fully oracled end-to-end: pairs with
+    containment >= 0.8 drop their larger doc_id (canonical-min rule);
+    the bounded drop-set broadcasts back as a filter — no second corpus
+    shuffle."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from pdf_parser_ray.ops.dedup import containment_pairs
+
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = containment_pairs(docs).map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("containment"), 0.8)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    drops = set(pairs.unique("b"))  # bounded by the near-dup count
+    dref = ray.put(drops)
+
+    def keep(t: pa.Table) -> pa.Table:
+        from pdf_parser_ray.stages import worker_state
+
+        d = worker_state(("contain_drops", dref.hex()), lambda: ray.get(dref))
+        mask = ~np.isin(t.column("doc_id").to_numpy(), list(d))
+        return t.select(["doc_id"]).filter(pa.array(mask))
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+def q_mad_outliers(sf_dir: str) -> pd.DataFrame:
+    """Robust outlier counts: events with |value - median| > 3*MAD per
+    type (the fit-small/apply-wide MAD gate; booleans bit-identical —
+    same float operands on both engines)."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.ops.quantiles import grouped_mad
+
+    ds = _read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    fit = grouped_mad(ds, "event_type", "value")
+    fref = ray.put(
+        {t: (m, d) for t, m, d in zip(fit["event_type"], fit["med"], fit["mad"])}
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.stages import worker_state
+
+        f = worker_state(("mad_fit", fref.hex()), lambda: ray.get(fref))
+        med = df["event_type"].map(lambda t: f[t][0]).to_numpy(dtype=np.float64)
+        mad = df["event_type"].map(lambda t: f[t][1]).to_numpy(dtype=np.float64)
+        out = np.abs(df["value"].to_numpy(dtype=np.float64) - med) > 3.0 * mad
+        g = pd.DataFrame({"event_type": df["event_type"], "__o": out.astype("int64")})
+        r = g.groupby("event_type", as_index=False).agg(
+            n_outliers=("__o", "sum"), n_events=("__o", "size")
+        )
+        return r.astype({"n_outliers": "int64", "n_events": "int64"})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_outliers", alias_name="n_outliers"),
+            Sum("n_events", alias_name="n_events"),
+        )
+        .to_pandas()
+    )
+    return agg.sort_values("event_type").reset_index(drop=True).astype(
+        {"n_outliers": "int64", "n_events": "int64"}
+    )
+
+
+def q_brand_suppliers(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q16 shape: distinct suppliers per part brand — broadcast
+    part dimension attaches the brand, then the distinct-pair combiner
+    (shuffle bounded by distinct (brand, suppkey) pairs)."""
+    import pyarrow.parquet as _pq
+
+    from pdf_parser_ray.ops.sketches import grouped_distinct_exact
+
+    part = _pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    bmap_ref = ray.put(
+        dict(zip(part.column("p_partkey").to_pylist(),
+                 part.column("p_brand").to_pylist()))
+    )
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.stages import worker_state
+
+        m = worker_state(("brandmap", bmap_ref.hex()), lambda: ray.get(bmap_ref))
+        return pd.DataFrame(
+            {"p_brand": df["l_partkey"].map(m), "l_suppkey": df["l_suppkey"]}
+        )
+
+    li = _read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    ).map_batches(attach, batch_format="pandas")
+    return grouped_distinct_exact(li, "p_brand", "l_suppkey")
+
+
+QUERIES["containment_survivors"] = q_containment_survivors
+QUERIES["mad_outliers"] = q_mad_outliers
+QUERIES["brand_suppliers"] = q_brand_suppliers
+
+SQL["containment_survivors"] = r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) = 0 THEN []
+                  WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks) - 1), i ->
+                       toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+             END AS grams
+      FROM tok),
+    hx AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(gram), 1, 16))::UBIGINT AS x
+      FROM (SELECT doc_id, unnest(grams) AS gram FROM sh)),
+    anchor AS (
+      SELECT doc_id, min(x) AS mh, count(*)::BIGINT AS n
+      FROM hx GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, a.n AS na
+      FROM anchor a JOIN anchor b ON a.mh = b.mh AND a.doc_id < b.doc_id),
+    inter AS (
+      SELECT p.a, p.b, any_value(p.na) AS na, count(*)::BIGINT AS ni
+      FROM pairs p
+      JOIN hx ha ON ha.doc_id = p.a
+      JOIN hx hb ON hb.doc_id = p.b AND hb.x = ha.x
+      GROUP BY p.a, p.b),
+    drops AS (
+      SELECT DISTINCT b FROM inter
+      WHERE ni::DOUBLE / na::DOUBLE >= 0.8)
+    SELECT d.doc_id FROM documents d
+    LEFT JOIN drops ON drops.b = d.doc_id
+    WHERE drops.b IS NULL
+    ORDER BY d.doc_id
+"""
+
+SQL["mad_outliers"] = """
+    WITH med AS (
+      SELECT event_type, quantile_disc(value, 0.5) AS med
+      FROM events GROUP BY event_type),
+    mad AS (
+      SELECT e.event_type,
+             quantile_disc(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type)
+    SELECT e.event_type,
+           CAST(sum(CASE WHEN abs(e.value - m.med) > 3.0 * d.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           count(*)::BIGINT AS n_events
+    FROM events e
+    JOIN med m USING (event_type)
+    JOIN mad d ON d.event_type = e.event_type
+    GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+SQL["brand_suppliers"] = """
+    SELECT p.p_brand, count(DISTINCT l.l_suppkey)::BIGINT AS n_distinct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand ORDER BY p.p_brand
+"""

@@ -2801,3 +2801,39 @@ class TestGapQuantiles:
         assert out.loc["click", "p50_gap_s"] == 4.0   # gaps {10, 4} -> p50=4
         assert out.loc["click", "p90_gap_s"] == 10.0
         assert "view" not in out.index  # single event: no gap row
+
+
+class TestMadOutliersQuery:
+    def test_gate_matches_fit(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.queries import q_event_mad, q_mad_outliers
+
+        # reuse the real sf0.001 fixture tables
+        sf = "/root/testdata/sf0.001"
+        fit = q_event_mad(sf).set_index("event_type")
+        out = q_mad_outliers(sf).set_index("event_type")
+        ev = pq.read_table(f"{sf}/events.parquet",
+                           columns=["event_type", "value"]).to_pandas()
+        for t, g in ev.groupby("event_type")["value"]:
+            med, mad = fit.loc[t, "med"], fit.loc[t, "mad"]
+            exp = int(((g - med).abs() > 3.0 * mad).sum())
+            assert out.loc[t, "n_outliers"] == exp
+            assert out.loc[t, "n_events"] == len(g)
+
+
+class TestContainmentSurvivors:
+    def test_drops_larger_of_contained_pair(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.queries import QUERIES  # noqa: F401  (registry import)
+        from pdf_parser_ray.ops.dedup import containment_pairs
+
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        df = pd.DataFrame(
+            {"doc_id": [0, 1, 2], "text": [base, base, "unrelated words here"]}
+        )
+        pairs = containment_pairs(ray.data.from_pandas(df)).to_pandas()
+        # sanity for the survivor rule this query applies
+        assert ((pairs["a"] == 0) & (pairs["b"] == 1)).any()
+        assert pairs.set_index(["a", "b"]).loc[(0, 1), "containment"] == 1.0
