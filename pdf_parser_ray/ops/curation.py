@@ -953,3 +953,124 @@ def dsir_logweights(
     return ds.select_columns([id_col, target_col, text_col]).map_batches(
         score, batch_format="pandas"
     )
+
+
+def split_contamination(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 8,
+    n_parts: int | None = None,
+) -> ray.data.Dataset:
+    """Cross-split leakage audit: how many val/test documents share at
+    least one word ``ngram``-gram with ANY train document — the check
+    that the deterministic split (:func:`assign_splits`) didn't leak
+    benchmark-style verbatim text across the boundary.
+
+    Unlike :func:`decontaminate` (broadcast probe set — right when the
+    probe side is benchmark-sized), the train side here is most of the
+    corpus, so membership goes through ONE gram-hash co-location:
+    distinct (gram md5, split, doc) rows shuffle by gram, a gram's
+    group reveals train∧eval collisions locally, and only the distinct
+    contaminated doc_ids come back (bounded by eval-split size).
+    Documents shorter than ``ngram`` tokens carry no grams (no
+    short-doc collapse — a 3-token doc can't leak an 8-gram).
+
+    Output: (split, n_docs:int64, n_contaminated:int64) for each
+    non-train split.
+    """
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.ops.shuffle import grouped_map, partitioned_map
+
+    def explode_grams(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+
+        rows_doc, rows_split, rows_gh = [], [], []
+        splits = [_split_of(i) for i in df[id_col]]
+        for doc_id, split, text in zip(df[id_col], splits, df[text_col].fillna("")):
+            toks = [t for t in _SPLIT_WS.split(text.lower().strip()) if t]
+            if len(toks) < ngram:
+                continue
+            grams = {
+                " ".join(toks[i : i + ngram])
+                for i in range(len(toks) - ngram + 1)
+            }
+            for g in grams:
+                rows_doc.append(int(doc_id))
+                rows_split.append(split)
+                rows_gh.append(_h.md5(g.encode("utf-8")).hexdigest())
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows_doc, dtype="int64"),
+                "split": pd.Series(rows_split, dtype="object"),
+                "gh": pd.Series(rows_gh, dtype="object"),
+            }
+        )
+
+    def collisions(part: pd.DataFrame) -> pd.DataFrame:
+        # a gram's rows are all here: eval rows sharing a gram with a
+        # train row are contaminated
+        has_train = part.groupby("gh")["split"].transform(
+            lambda s: (s == "train").any()
+        )
+        hit = part[(part["split"] != "train") & has_train]
+        return hit[["doc_id", "split"]].drop_duplicates()
+
+    def split_totals(df: pd.DataFrame) -> pd.DataFrame:
+        s = pd.Series([_split_of(i) for i in df[id_col]], dtype="object")
+        out = (
+            pd.DataFrame({"split": s[s != "train"]})
+            .groupby("split", as_index=False)
+            .size()
+            .rename(columns={"size": "n_docs"})
+        )
+        return out.astype({"n_docs": "int64"})
+
+    grams = ds.select_columns([id_col, text_col]).map_batches(
+        explode_grams, batch_format="pandas"
+    )
+    kw = {"n_parts": n_parts} if n_parts else {}
+    hits = partitioned_map(grams, ["gh"], collisions, **kw)
+
+    def count_hits(part: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            part.drop_duplicates()
+            .groupby("split", as_index=False)
+            .size()
+            .rename(columns={"size": "n_contaminated"})
+        )
+        return g.astype({"n_contaminated": "int64"})
+
+    per_split_hits = (
+        partitioned_map(hits, ["doc_id"], lambda p: p.drop_duplicates(), **kw)
+        .map_batches(count_hits, batch_format="pandas")
+        .groupby("split")
+        .aggregate(Sum("n_contaminated", alias_name="n_contaminated"))
+    )
+    totals = (
+        ds.select_columns([id_col])
+        .map_batches(split_totals, batch_format="pandas")
+        .groupby("split")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .to_pandas()
+    )
+    hits_df = per_split_hits.to_pandas()
+    out = totals.merge(hits_df, on="split", how="left")
+    out["n_contaminated"] = out["n_contaminated"].fillna(0).astype("int64")
+    out = out.sort_values("split").reset_index(drop=True)
+    import ray.data as _rd
+
+    return _rd.from_pandas(out.astype({"n_docs": "int64"}))
+
+
+_SPLIT_WS = re.compile(r"\s+", re.ASCII)
+
+
+def _split_of(doc_id) -> str:
+    """The assign_splits default gate, shared so audit and assignment
+    can never disagree: md5(str(id))[:2] < 'd0' → train, < 'e8' → val,
+    else test."""
+    p = hashlib.md5(str(doc_id).encode("ascii")).hexdigest()[:2]
+    return "train" if p < "d0" else ("val" if p < "e8" else "test")

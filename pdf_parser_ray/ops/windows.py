@@ -1755,3 +1755,112 @@ def gap_quantiles(
         **({"n_parts": n_parts} if n_parts else {}),
     )
     return grouped_quantile_disc(gap_rows, type_col, "gap_s", qs)
+
+
+def last_touch_attribution(
+    ds: "ray.data.Dataset",
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    target: str = "purchase",
+    none_label: str = "none",
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Last-touch attribution: every ``target`` event credits the
+    user's most recent PRECEDING non-target event type (sequence order
+    ``order_cols``; a target with no prior touch credits
+    ``none_label``) — the marketing-attribution rollup.
+
+    One user co-location; inside the partition the "carry the last
+    non-target type forward" is a cython groupby shift+ffill (no
+    Python per-user loop), and the partition reduces to ≤ |types|+1
+    partial rows before the tiny final groupby.
+
+    Output: (attributed_type, n:int64).
+    """
+    from ray.data.aggregate import Sum
+
+    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values([user_col, *order_cols])
+        non_target = g[type_col].where(g[type_col] != target)
+        by = g.assign(__nt=non_target).groupby(user_col, sort=False)["__nt"]
+        prev_touch = by.shift().groupby(g[user_col], sort=False).ffill()
+        hits = g[type_col] == target
+        attributed = prev_touch[hits].fillna(none_label)
+        out = (
+            pd.DataFrame({"attributed_type": attributed})
+            .groupby("attributed_type", as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return out.astype({"n": "int64"})
+
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    partial = partitioned_map(
+        ds.select_columns([user_col, type_col, *order_cols]),
+        [user_col],
+        per_partition,
+        **({"n_parts": n_parts} if n_parts else {}),
+    )
+    return partial.groupby("attributed_type").aggregate(Sum("n", alias_name="n"))
+
+
+def hourly_profile(
+    ds: "ray.data.Dataset",
+    *,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    round_to: int = 4,
+) -> "ray.data.Dataset":
+    """Hour-of-day activity profile per event type: count and mean
+    value per (type, hour 0-23) — the seasonality fingerprint that
+    sizes capacity and flags bot traffic (flat profiles).
+
+    Per-batch partial (type, hour, n, cents) combine before the
+    shuffle: the groupby moves O(types × 24 × batches) rows.  Values
+    are 2-decimal money, so the sum runs in EXACT int64 cents
+    (winsorized_revenue rationale) and the mean is a per-row ratio of
+    identical ints on both engines — bit-identical, NO rounding
+    contract (a rounded float mean ties at .xxxx5 where DuckDB's
+    half-away and numpy's half-even disagree; measured on this data).
+
+    Output: (type_col, hour:int64, n:int64, avg_value:float64).
+    ``round_to`` is unused, kept for signature stability.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                type_col: df[type_col],
+                "hour": df[ts_col].dt.hour.astype("int64"),
+                "c": np.round(
+                    df[val_col].to_numpy(dtype=np.float64) * 100.0
+                ).astype("int64"),
+            }
+        )
+        g = out.groupby([type_col, "hour"], as_index=False).agg(
+            n=("c", "size"), s=("c", "sum")
+        )
+        return g.astype({"n": "int64", "s": "int64"})
+
+    agg = (
+        ds.select_columns([type_col, ts_col, val_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby([type_col, "hour"])
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["avg_value"] = df["s"].to_numpy(dtype=np.float64) / (
+            100.0 * df["n"].to_numpy(dtype=np.float64)
+        )
+        return df.drop(columns="s").astype({"n": "int64", "hour": "int64"})
+
+    return agg.map_batches(finish, batch_format="pandas")

@@ -6038,3 +6038,107 @@ SQL["brand_suppliers"] = """
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     GROUP BY p.p_brand ORDER BY p.p_brand
 """
+
+
+def q_last_touch(sf_dir: str) -> ray.data.Dataset:
+    """Last-touch attribution: each purchase credits the most recent
+    preceding non-purchase event type (cython shift+ffill inside one
+    user co-location; <=types+1 partials out)."""
+    from pdf_parser_ray.ops.windows import last_touch_attribution
+
+    return last_touch_attribution(
+        _read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
+    )
+
+
+def q_hourly_profile(sf_dir: str) -> ray.data.Dataset:
+    """Hour-of-day seasonality per event type (count + rounded mean
+    value per (type, hour); partial-agg before the 24x|types| shuffle)."""
+    from pdf_parser_ray.ops.windows import hourly_profile
+
+    return hourly_profile(
+        _read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+        )
+    )
+
+
+def q_split_contamination(sf_dir: str) -> ray.data.Dataset:
+    """Cross-split leakage audit: val/test docs sharing any word 8-gram
+    with a train doc; gram-hash co-location (the scale route when the
+    train side IS the corpus), bounded contaminated-doc rows back."""
+    from pdf_parser_ray.ops.curation import split_contamination
+
+    return split_contamination(
+        _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+
+
+QUERIES["last_touch"] = q_last_touch
+QUERIES["hourly_profile"] = q_hourly_profile
+QUERIES["split_contamination"] = q_split_contamination
+
+SQL["last_touch"] = """
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_touch
+      FROM events)
+    SELECT coalesce(prev_touch, 'none') AS attributed_type,
+           count(*)::BIGINT AS n
+    FROM o WHERE event_type = 'purchase'
+    GROUP BY attributed_type ORDER BY attributed_type
+"""
+
+# exact int64 cents -> mean = ratio of identical ints on both engines
+SQL["hourly_profile"] = """
+    SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
+           count(*)::BIGINT AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)::DOUBLE
+             / (100.0 * count(*))::DOUBLE AS avg_value
+    FROM events GROUP BY event_type, hour
+    ORDER BY event_type, hour
+"""
+
+# The split gate CASE is the assign_splits md5-prefix rule verbatim;
+# inclusive DuckDB list slices make toks[i:i+7] an 8-token window.
+SQL["split_contamination"] = r"""
+    WITH sp AS (
+      SELECT doc_id, text,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'd0'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e8'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents),
+    tok AS (
+      SELECT doc_id, split,
+             regexp_extract_all(lower(text), '\S+') AS toks
+      FROM sp),
+    g AS (
+      SELECT DISTINCT doc_id, split,
+             unnest(CASE WHEN len(toks) >= 8
+                         THEN list_transform(range(1, len(toks) - 6), i ->
+                              md5(array_to_string(toks[i:i+7], ' ')))
+                         ELSE [] END) AS gh
+      FROM tok),
+    train_g AS (SELECT DISTINCT gh FROM g WHERE split = 'train'),
+    contaminated AS (
+      SELECT DISTINCT doc_id, split FROM g
+      WHERE split <> 'train' AND gh IN (SELECT gh FROM train_g)),
+    totals AS (
+      SELECT split, count(*)::BIGINT AS n_docs
+      FROM sp WHERE split <> 'train' GROUP BY split)
+    SELECT t.split, t.n_docs,
+           coalesce(c.n, 0)::BIGINT AS n_contaminated
+    FROM totals t
+    LEFT JOIN (SELECT split, count(*)::BIGINT AS n
+               FROM contaminated GROUP BY split) c USING (split)
+    ORDER BY t.split
+"""

@@ -2837,3 +2837,105 @@ class TestContainmentSurvivors:
         # sanity for the survivor rule this query applies
         assert ((pairs["a"] == 0) & (pairs["b"] == 1)).any()
         assert pairs.set_index(["a", "b"]).loc[(0, 1), "containment"] == 1.0
+
+
+class TestLastTouchAttribution:
+    def test_credits_most_recent_non_target(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import last_touch_attribution
+
+        t = pd.Timestamp("2026-01-01")
+        s = pd.Timedelta(seconds=1)
+        df = pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4, 5, 6],
+                "user_id": [1, 1, 1, 2, 2, 3],
+                "event_type": [
+                    "view", "click", "purchase",   # u1 -> click
+                    "purchase", "purchase",        # u2 -> none, none
+                    "purchase",                    # u3 -> none
+                ],
+                "ts": [t, t + s, t + 2 * s, t, t + s, t],
+            }
+        )
+        out = last_touch_attribution(ray.data.from_pandas(df)).to_pandas()
+        got = dict(zip(out["attributed_type"], out["n"]))
+        assert got == {"click": 1, "none": 3}
+
+    def test_purchase_never_credits_purchase(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import last_touch_attribution
+
+        t = pd.Timestamp("2026-01-01")
+        s = pd.Timedelta(seconds=1)
+        df = pd.DataFrame(
+            {
+                "event_id": [1, 2, 3],
+                "user_id": [1, 1, 1],
+                "event_type": ["view", "purchase", "purchase"],
+                "ts": [t, t + s, t + 2 * s],  # 2nd purchase skips the 1st
+            }
+        )
+        out = last_touch_attribution(ray.data.from_pandas(df)).to_pandas()
+        assert dict(zip(out["attributed_type"], out["n"])) == {"view": 2}
+
+
+class TestSplitContamination:
+    def test_counts_leaked_eval_docs(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.curation import _split_of, split_contamination
+
+        # find ids for each split under the real gate
+        train_id = next(i for i in range(1000) if _split_of(i) == "train")
+        val_id = next(i for i in range(1000) if _split_of(i) == "val")
+        test_id = next(i for i in range(1000) if _split_of(i) == "test")
+        val_id2 = next(
+            i for i in range(val_id + 1, 2000) if _split_of(i) == "val"
+        )
+        leaked = "one two three four five six seven eight nine"
+        df = pd.DataFrame(
+            {
+                "doc_id": [train_id, val_id, test_id, val_id2],
+                "text": [
+                    leaked,                       # train source
+                    leaked + " trailing words",   # val: shares the 8-gram
+                    "completely different content with no overlap at all ok",
+                    "short doc",                  # < 8 tokens: no grams
+                ],
+            }
+        )
+        out = (
+            split_contamination(ray.data.from_pandas(df))
+            .to_pandas()
+            .set_index("split")
+        )
+        assert out.loc["val", "n_contaminated"] == 1
+        assert out.loc["val", "n_docs"] == 2
+        assert out.loc["test", "n_contaminated"] == 0
+        assert out.loc["test", "n_docs"] == 1
+
+
+class TestHourlyProfile:
+    def test_exact_cents_mean(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import hourly_profile
+
+        df = pd.DataFrame(
+            {
+                "event_type": ["a", "a", "a", "b"],
+                "ts": pd.to_datetime(
+                    ["2026-01-01 09:10", "2026-01-01 09:50",
+                     "2026-01-01 10:00", "2026-01-01 09:00"]
+                ),
+                "value": [1.01, 2.02, 5.00, 7.77],
+            }
+        )
+        out = hourly_profile(ray.data.from_pandas(df)).to_pandas()
+        out = out.set_index(["event_type", "hour"])
+        assert out.loc[("a", 9), "n"] == 2
+        assert out.loc[("a", 9), "avg_value"] == (101 + 202) / 200.0
+        assert out.loc[("b", 9), "avg_value"] == 7.77
