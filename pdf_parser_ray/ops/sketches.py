@@ -577,3 +577,79 @@ def cms_top_k(
     return pd.DataFrame(
         {col: cand[order], "est_n": est[order].astype("int64")}
     )
+
+
+def grouped_kmv_quantiles(
+    ds: ray.data.Dataset,
+    group_col: str,
+    col: str,
+    qs: list[float],
+    *,
+    k: int = 1024,
+    id_col: str | None = None,
+    hash_fn: str = "siphash",
+    n_parts: int | None = None,
+) -> pd.DataFrame:
+    """Per-group KMV quantiles — :func:`approx_quantiles` with a GROUP
+    BY: each group keeps the k rows with the smallest identity hash (a
+    uniform sample), merged by "keep the group's global bottom k".
+    The per-group alternative to the exact 3-pass selection when the
+    group count is large and one streaming pass must serve them all.
+
+    Per-batch partials bound at k rows per (group, batch); ONE
+    co-location shuffle of those partials; nearest-rank picks inside
+    each bounded group frame.  ``hash_fn="md5"`` keeps the whole
+    SAMPLE SQL-rederivable (the approx_quantiles_md5 trick, per
+    group).
+
+    Returns a driver-sized frame: (group_col, q50, q90, ... one column
+    per requested quantile).
+    """
+    hasher = _hash_strings_md5 if hash_fn == "md5" else _hash_strings
+
+    def bottom_k(df: pd.DataFrame) -> pd.DataFrame:
+        vals = df[col].dropna()
+        sub = df.loc[vals.index]
+        basis = sub[id_col] if id_col is not None else vals
+        h = hasher(basis.tolist())
+        part = pd.DataFrame(
+            {
+                group_col: sub[group_col].to_numpy(),
+                "h": h.astype("uint64"),
+                "v": vals.to_numpy(dtype=np.float64),
+            }
+        )
+        return (
+            part.sort_values([group_col, "h"])
+            .groupby(group_col, sort=False)
+            .head(k)
+        )
+
+    def per_group(part: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            part.sort_values([group_col, "h"])
+            .groupby(group_col, sort=False)
+            .head(k)
+        )
+        rows = []
+        for key, grp in g.groupby(group_col, sort=False):
+            v = np.sort(grp["v"].to_numpy())
+            row = {group_col: key}
+            for q in qs:
+                r = min(len(v) - 1, max(0, int(np.ceil(q * len(v))) - 1))
+                row[f"q{int(round(q * 100))}"] = float(v[r])
+            rows.append(row)
+        cols = [group_col, *(f"q{int(round(q * 100))}" for q in qs)]
+        if not rows:
+            return pd.DataFrame({c: [] for c in cols})
+        return pd.DataFrame(rows)[cols]
+
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    out = partitioned_map(
+        ds.map_batches(bottom_k, batch_format="pandas"),
+        [group_col],
+        per_group,
+        **({"n_parts": n_parts} if n_parts else {}),
+    ).to_pandas()  # one row per group
+    return out.sort_values(group_col).reset_index(drop=True)

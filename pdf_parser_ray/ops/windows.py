@@ -1864,3 +1864,150 @@ def hourly_profile(
         return df.drop(columns="s").astype({"n": "int64", "hour": "int64"})
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def max_streaks(
+    ds: "ray.data.Dataset",
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Longest same-type run per user (run-length encoding reduced to
+    its max): the repetition/bot signal — a user whose longest streak
+    is 40 clicks is a scraper, not a shopper.
+
+    One user co-location; run ids are a vectorized change-flag cumsum
+    across the whole partition, run lengths a C-speed groupby size,
+    and the per-user winner a (length DESC, type ASC) head(1) — ties
+    break to the lexicographically first type, same rule in the SQL
+    twin.
+
+    Output: (user_col, streak_type, streak_len:int64).
+    """
+
+    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values([user_col, *order_cols])
+        new_run = (~g[user_col].eq(g[user_col].shift())) | (
+            ~g[type_col].eq(g[type_col].shift())
+        )
+        run_id = new_run.cumsum()
+        runs = (
+            g.assign(__rid=run_id)
+            .groupby("__rid", sort=False)
+            .agg(
+                **{
+                    user_col: (user_col, "first"),
+                    "streak_type": (type_col, "first"),
+                    "streak_len": (type_col, "size"),
+                }
+            )
+        )
+        best = (
+            runs.sort_values(
+                [user_col, "streak_len", "streak_type"],
+                ascending=[True, False, True],
+            )
+            .groupby(user_col, sort=False)
+            .head(1)
+        )
+        return best.reset_index(drop=True).astype(
+            {user_col: "int64", "streak_len": "int64"}
+        )
+
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    return partitioned_map(
+        ds.select_columns([user_col, type_col, *order_cols]),
+        [user_col],
+        per_partition,
+        **({"n_parts": n_parts} if n_parts else {}),
+    )
+
+
+def type_burstiness(
+    ds: "ray.data.Dataset",
+    *,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    window: str = "h",
+) -> "ray.data.Dataset":
+    """Burstiness (Fano factor) per event type: sample variance of the
+    per-window event counts divided by their mean — 1.0 ≈ Poisson
+    arrivals, ≫1 bursty (incidents, campaigns), ≪1 metronomic (cron,
+    bots).
+
+    Two bounded reductions, no row-level shuffle: per-batch partial
+    (type, window) counts → exact window counts (the tumbling
+    combiner), then integer moment sums (n, Σc, Σc²) per type.  Both
+    variance and mean derive from the SAME int64 sums on both engines
+    (var = (n·Σc² − (Σc)²) / (n·(n−1))), so every emitted float is a
+    ratio of identical ints — bit-identical, no rounding contract.
+
+    Output: (type_col, n_windows:int64, mean_per_window:float64,
+    fano:float64); types with a single window emit NaN fano (sample
+    variance undefined — NULL in the SQL twin).
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def window_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                type_col: df[type_col],
+                "w": df[ts_col].dt.floor(window),
+            }
+        )
+        g = out.groupby([type_col, "w"], as_index=False).size()
+        return g.rename(columns={"size": "c"}).astype({"c": "int64"})
+
+    counts = (
+        ds.select_columns([type_col, ts_col])
+        .map_batches(window_partial, batch_format="pandas")
+        .groupby([type_col, "w"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["c"].to_numpy(dtype="int64")
+        g = pd.DataFrame({type_col: df[type_col], "c": c, "c2": c * c})
+        out = g.groupby(type_col, as_index=False).agg(
+            n=("c", "size"), s=("c", "sum"), ss=("c2", "sum")
+        )
+        return out.astype({"n": "int64", "s": "int64", "ss": "int64"})
+
+    agg = (
+        counts.map_batches(moments, batch_format="pandas")
+        .groupby(type_col)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("ss", alias_name="ss"),
+        )
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(dtype="int64")
+        s = df["s"].to_numpy(dtype="int64")
+        ss = df["ss"].to_numpy(dtype="int64")
+        mean = s.astype(np.float64) / n.astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            var = np.where(
+                n > 1,
+                (n.astype(np.float64) * ss - (s.astype(np.float64)) ** 2)
+                / (n.astype(np.float64) * (n - 1).astype(np.float64)),
+                np.nan,
+            )
+            fano = var / mean
+        return pd.DataFrame(
+            {
+                type_col: df[type_col],
+                "n_windows": n,
+                "mean_per_window": mean,
+                "fano": fano,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")

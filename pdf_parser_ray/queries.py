@@ -6142,3 +6142,119 @@ SQL["split_contamination"] = r"""
                FROM contaminated GROUP BY split) c USING (split)
     ORDER BY t.split
 """
+
+
+def q_max_streaks(sf_dir: str) -> ray.data.Dataset:
+    """Longest same-type run per user (bot/repetition signal);
+    change-flag cumsum + C-speed run sizes in one user co-location,
+    (len DESC, type ASC) tie-break shared with the SQL twin."""
+    from pdf_parser_ray.ops.windows import max_streaks
+
+    return max_streaks(
+        _read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
+    )
+
+
+def q_type_burstiness(sf_dir: str) -> ray.data.Dataset:
+    """Fano factor (variance/mean of hourly counts) per event type;
+    exact int64 moment sums -> every float a ratio of identical ints."""
+    from pdf_parser_ray.ops.windows import type_burstiness
+
+    return type_burstiness(
+        _read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    )
+
+
+def q_group_kmv_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Per-type KMV quantile sketch with md5 sampling hashes — grouped
+    approximate quantiles whose SAMPLE DuckDB re-derives exactly."""
+    from pdf_parser_ray.ops.sketches import grouped_kmv_quantiles
+
+    return grouped_kmv_quantiles(
+        _read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "event_type", "value"],
+        ),
+        "event_type", "value", [0.5, 0.9],
+        k=512, id_col="event_id", hash_fn="md5",
+    )
+
+
+QUERIES["max_streaks"] = q_max_streaks
+QUERIES["type_burstiness"] = q_type_burstiness
+QUERIES["group_kmv_quantiles"] = q_group_kmv_quantiles
+
+SQL["max_streaks"] = """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    r AS (
+      SELECT user_id, event_type,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS rid
+      FROM o),
+    runs AS (
+      SELECT user_id, rid, any_value(event_type) AS streak_type,
+             count(*)::BIGINT AS streak_len
+      FROM r GROUP BY user_id, rid),
+    best AS (
+      SELECT user_id, streak_type, streak_len,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY streak_len DESC, streak_type) AS rn
+      FROM runs)
+    SELECT user_id, streak_type, streak_len
+    FROM best WHERE rn = 1 ORDER BY user_id
+"""
+
+# var and fano derive from the SAME int64 moment sums on both engines
+SQL["type_burstiness"] = """
+    WITH wc AS (
+      SELECT event_type, date_trunc('hour', ts) AS w,
+             count(*)::BIGINT AS c
+      FROM events GROUP BY event_type, w),
+    m AS (
+      SELECT event_type, count(*)::BIGINT AS n,
+             CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(c * c) AS BIGINT) AS ss
+      FROM wc GROUP BY event_type)
+    SELECT event_type, n AS n_windows,
+           s::DOUBLE / n::DOUBLE AS mean_per_window,
+           CASE WHEN n > 1 THEN
+             ((n::DOUBLE * ss::DOUBLE - s::DOUBLE * s::DOUBLE)
+              / (n::DOUBLE * (n - 1)::DOUBLE))
+             / (s::DOUBLE / n::DOUBLE)
+           ELSE NULL END AS fano
+    FROM m ORDER BY event_type
+"""
+
+SQL["group_kmv_quantiles"] = """
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 16))::UBIGINT
+               AS h,
+             value::DOUBLE AS v
+      FROM events WHERE value IS NOT NULL),
+    samp AS (
+      SELECT event_type, v FROM (
+        SELECT event_type, v,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS hr
+        FROM h)
+      WHERE hr <= 512),
+    sorted AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY v) AS r,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM samp)
+    SELECT event_type,
+           max(CASE WHEN r = GREATEST(1, LEAST(n,
+                 CAST(ceil(0.50::DOUBLE * n) AS BIGINT))) THEN v END) AS q50,
+           max(CASE WHEN r = GREATEST(1, LEAST(n,
+                 CAST(ceil(0.90::DOUBLE * n) AS BIGINT))) THEN v END) AS q90
+    FROM sorted GROUP BY event_type ORDER BY event_type
+"""

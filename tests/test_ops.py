@@ -2939,3 +2939,96 @@ class TestHourlyProfile:
         assert out.loc[("a", 9), "n"] == 2
         assert out.loc[("a", 9), "avg_value"] == (101 + 202) / 200.0
         assert out.loc[("b", 9), "avg_value"] == 7.77
+
+
+class TestMaxStreaks:
+    def test_longest_run_and_tiebreak(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import max_streaks
+
+        t = pd.Timestamp("2026-01-01")
+        s = pd.Timedelta(seconds=1)
+        df = pd.DataFrame(
+            {
+                "event_id": range(7),
+                "user_id": [1, 1, 1, 1, 1, 2, 2],
+                # u1: a a b b c  -> runs (a,2) (b,2) (c,1); tie a vs b -> a
+                "event_type": ["a", "a", "b", "b", "c", "z", "z"],
+                "ts": [t + i * s for i in range(7)],
+            }
+        )
+        out = (
+            max_streaks(ray.data.from_pandas(df))
+            .to_pandas()
+            .set_index("user_id")
+        )
+        assert out.loc[1, "streak_type"] == "a" and out.loc[1, "streak_len"] == 2
+        assert out.loc[2, "streak_type"] == "z" and out.loc[2, "streak_len"] == 2
+
+    def test_runs_do_not_cross_users(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import max_streaks
+
+        t = pd.Timestamp("2026-01-01")
+        df = pd.DataFrame(
+            {
+                "event_id": [0, 1],
+                "user_id": [1, 2],
+                "event_type": ["a", "a"],  # same type, different users
+                "ts": [t, t],
+            }
+        )
+        out = max_streaks(ray.data.from_pandas(df)).to_pandas()
+        assert out["streak_len"].tolist() == [1, 1]
+
+
+class TestTypeBurstiness:
+    def test_fano_from_moment_sums(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import type_burstiness
+
+        # type 'a': hourly counts 3 and 1 -> mean 2, var 2, fano 1.0
+        # type 'b': one window -> NaN fano
+        ts = (
+            [pd.Timestamp("2026-01-01 10:00")] * 3
+            + [pd.Timestamp("2026-01-01 11:00")]
+            + [pd.Timestamp("2026-01-01 09:30")]
+        )
+        df = pd.DataFrame(
+            {"event_type": ["a"] * 4 + ["b"], "ts": ts}
+        )
+        out = type_burstiness(ray.data.from_pandas(df)).to_pandas()
+        out = out.set_index("event_type")
+        assert out.loc["a", "n_windows"] == 2
+        assert out.loc["a", "mean_per_window"] == 2.0
+        assert out.loc["a", "fano"] == 1.0
+        assert np.isnan(out.loc["b", "fano"])
+
+
+class TestGroupedKmvQuantiles:
+    def test_small_groups_are_exact(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.sketches import grouped_kmv_quantiles
+
+        # groups smaller than k: the "sample" is the full group, so the
+        # nearest-rank pick equals the exact discrete quantile
+        rng = np.random.default_rng(2)
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(400, dtype=np.int64),
+                "event_type": rng.choice(["p", "q"], 400),
+                "value": rng.normal(50, 10, 400),
+            }
+        )
+        out = grouped_kmv_quantiles(
+            ray.data.from_pandas(df), "event_type", "value", [0.5],
+            k=1024, id_col="event_id", hash_fn="md5",
+        ).set_index("event_type")
+        for t, g in df.groupby("event_type")["value"]:
+            v = np.sort(g.to_numpy())
+            exact = v[int(np.ceil(0.5 * len(v))) - 1]
+            assert out.loc[t, "q50"] == exact
