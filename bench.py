@@ -110,6 +110,15 @@ BENCH_QUERIES = [
     "rare_token_pairs",
     "path_trigrams",
     "gap_quantiles",
+    "containment_survivors",
+    "mad_outliers",
+    "brand_suppliers",
+    "last_touch",
+    "hourly_profile",
+    "split_contamination",
+    "max_streaks",
+    "type_burstiness",
+    "group_kmv_quantiles",
 ]
 
 
