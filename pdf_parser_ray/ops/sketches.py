@@ -653,3 +653,65 @@ def grouped_kmv_quantiles(
         **({"n_parts": n_parts} if n_parts else {}),
     ).to_pandas()  # one row per group
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+def approx_pct_rank(
+    ds: ray.data.Dataset,
+    col: str,
+    *,
+    id_col: str,
+    k: int = 1024,
+    hash_fn: str = "md5",
+) -> ray.data.Dataset:
+    """Approximate percentile-rank normalization: every row scored by
+    its value's rank within a KMV bottom-k uniform sample of the SAME
+    column — the scale route to percent_rank().  An exact global
+    percent_rank needs a total-order sort of the corpus; the sample CDF
+    costs one streaming pass + a k-float broadcast and is within
+    O(1/√k) of it.
+
+    ``pct = searchsorted_right(sample, v) / |sample|`` — with
+    ``hash_fn="md5"`` the sample is SQL-rederivable, so even the
+    APPROXIMATION is value-checked by the oracle (both engines count
+    sample values <= v over the identical sample; the ratio divides the
+    same two ints — bit-identical).
+
+    Output: (id_col, col, pct:float64).
+    """
+    hasher = _hash_strings_md5 if hash_fn == "md5" else _hash_strings
+
+    def bottom_k(df: pd.DataFrame) -> pd.DataFrame:
+        vals = df[col].dropna()
+        basis = df.loc[vals.index, id_col]
+        h = hasher(basis.tolist())
+        if len(h) > k:
+            idx = np.argpartition(h, k)[:k]
+        else:
+            idx = np.arange(len(h))
+        return pd.DataFrame(
+            {"h": h[idx].astype("uint64"),
+             "v": vals.to_numpy(dtype=np.float64)[idx]}
+        )
+
+    import ray
+
+    sample = (
+        ds.map_batches(bottom_k, batch_format="pandas")
+        .sort("h")
+        .limit(k)
+        .to_pandas()  # ≤ k rows by construction
+    )
+    sv = np.sort(sample["v"].to_numpy())
+    sref = ray.put(sv)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.stages import worker_state
+
+        s = worker_state(("pctrank_sample", sref.hex()), lambda: ray.get(sref))
+        v = df[col].to_numpy(dtype=np.float64)
+        pct = np.searchsorted(s, v, side="right").astype(np.float64) / len(s)
+        return pd.DataFrame({id_col: df[id_col], col: df[col], "pct": pct})
+
+    return ds.select_columns([id_col, col]).map_batches(
+        score, batch_format="pandas"
+    )

@@ -6258,3 +6258,108 @@ SQL["group_kmv_quantiles"] = """
                  CAST(ceil(0.90::DOUBLE * n) AS BIGINT))) THEN v END) AS q90
     FROM sorted GROUP BY event_type ORDER BY event_type
 """
+
+
+def q_lang_confusion(sf_dir: str) -> ray.data.Dataset:
+    """Language-ID confusion matrix: the stopword classifier's
+    prediction vs the labeled lang, counted per (true, pred) pair —
+    the first hard oracle over the lang-ID path (the scorer is
+    SQL-expressible; profiles are injected into the SQL from the SAME
+    module constant, so the two sides can never drift)."""
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.ops.text_stats import LangId
+
+    def batch(df: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.stages import worker_state
+
+        clf = worker_state(("langid_clf",), LangId)
+        pred = clf(df)
+        out = pd.DataFrame(
+            {"true_lang": df["lang"].to_numpy(),
+             "lang_pred": pred["lang_pred"].to_numpy()}
+        )
+        g = out.groupby(["true_lang", "lang_pred"], as_index=False).size()
+        return g.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+    return (
+        _read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+        )
+        .map_batches(batch, batch_format="pandas")
+        .groupby(["true_lang", "lang_pred"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+QUERIES["lang_confusion"] = q_lang_confusion
+
+
+def _lang_confusion_sql() -> str:
+    """Profiles injected from text_stats._LANG_PROFILES — no literals
+    to drift; occurrence counting, (hits DESC, lang ASC) tie-break and
+    the zero-hit 'und' fallback replay LangId exactly."""
+    from pdf_parser_ray.ops.text_stats import _LANG_PROFILES
+
+    rows = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang, prof in sorted(_LANG_PROFILES.items())
+        for w in sorted(prof)
+    )
+    return f"""
+    WITH prof(plang, w) AS (VALUES {rows}),
+    tok AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-zà-ÿ]+')) AS t
+      FROM documents),
+    hits AS (
+      SELECT tok.doc_id, p.plang, count(*)::BIGINT AS n
+      FROM tok JOIN prof p ON p.w = tok.t
+      GROUP BY tok.doc_id, p.plang),
+    best AS (
+      SELECT doc_id, plang FROM (
+        SELECT doc_id, plang,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY n DESC, plang) AS rn
+        FROM hits) WHERE rn = 1),
+    pred AS (
+      SELECT d.lang AS true_lang, coalesce(b.plang, 'und') AS lang_pred
+      FROM documents d LEFT JOIN best b USING (doc_id))
+    SELECT true_lang, lang_pred, count(*)::BIGINT AS n
+    FROM pred GROUP BY true_lang, lang_pred
+    ORDER BY true_lang, lang_pred
+"""
+
+
+SQL["lang_confusion"] = _lang_confusion_sql()
+
+
+def q_len_pct_rank(sf_dir: str) -> ray.data.Dataset:
+    """Approximate percent-rank of each doc's length via the
+    SQL-rederivable md5-KMV sample CDF — percent_rank() without a
+    corpus sort; the approximation itself is value-checked."""
+    from pdf_parser_ray.ops.sketches import approx_pct_rank
+
+    return approx_pct_rank(
+        _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]),
+        "n_chars", id_col="doc_id", k=256,
+    )
+
+
+QUERIES["len_pct_rank"] = q_len_pct_rank
+
+# both engines count sample values <= v over the IDENTICAL md5-derived
+# sample; the ratio divides the same two ints — no rounding contract.
+SQL["len_pct_rank"] = """
+    WITH h AS (
+      SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+               AS h,
+             n_chars::DOUBLE AS v
+      FROM documents WHERE n_chars IS NOT NULL),
+    samp AS (SELECT v FROM h ORDER BY h LIMIT 256),
+    n AS (SELECT count(*)::BIGINT AS k FROM samp)
+    SELECT d.doc_id, d.n_chars,
+           (SELECT count(*) FROM samp WHERE samp.v <= d.n_chars)::DOUBLE
+             / (SELECT k FROM n)::DOUBLE AS pct
+    FROM documents d ORDER BY d.doc_id
+"""

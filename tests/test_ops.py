@@ -3032,3 +3032,41 @@ class TestGroupedKmvQuantiles:
             v = np.sort(g.to_numpy())
             exact = v[int(np.ceil(0.5 * len(v))) - 1]
             assert out.loc[t, "q50"] == exact
+
+
+class TestApproxPctRank:
+    def test_rank_accuracy_and_bounds(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.sketches import approx_pct_rank
+
+        rng = np.random.default_rng(17)
+        n = 2000
+        df = pd.DataFrame(
+            {"doc_id": np.arange(n, dtype=np.int64),
+             "v": rng.normal(0, 1, n)}
+        )
+        out = approx_pct_rank(
+            ray.data.from_pandas(df), "v", id_col="doc_id", k=512
+        ).to_pandas()
+        assert out["pct"].between(0.0, 1.0).all()
+        # sample-CDF estimate within O(1/sqrt(k)) of the exact rank
+        exact = df["v"].rank(method="max").to_numpy() / n
+        got = out.sort_values("doc_id")["pct"].to_numpy()
+        assert np.abs(got - exact).max() < 0.1  # ~2.3/sqrt(512)
+
+    def test_sample_smaller_than_k_is_exact(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.sketches import approx_pct_rank
+
+        df = pd.DataFrame(
+            {"doc_id": [0, 1, 2, 3], "v": [10.0, 20.0, 30.0, 40.0]}
+        )
+        out = (
+            approx_pct_rank(ray.data.from_pandas(df), "v",
+                            id_col="doc_id", k=100)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert out["pct"].tolist() == [0.25, 0.5, 0.75, 1.0]
