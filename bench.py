@@ -119,6 +119,9 @@ BENCH_QUERIES = [
     "max_streaks",
     "type_burstiness",
     "group_kmv_quantiles",
+    "lang_confusion",
+    "len_pct_rank",
+    "cohort_revenue",
 ]
 
 

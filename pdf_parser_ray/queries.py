@@ -6363,3 +6363,88 @@ SQL["len_pct_rank"] = """
              / (SELECT k FROM n)::DOUBLE AS pct
     FROM documents d ORDER BY d.doc_id
 """
+
+
+def q_cohort_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Acquisition-cohort revenue matrix: customers grouped by their
+    FIRST order month, revenue per (cohort month, order month) in
+    exact int64 cents — the retention economics rollup.  Shape:
+    argmin combiner for the cohort fit, one colo_join back onto the
+    orders fact (no driver-side customer map), partial cent-sums
+    before the final bounded (cohort x month) groupby."""
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.ops.relational import colo_join
+    from pdf_parser_ray.ops.shuffle import grouped_agg
+
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    first = grouped_agg(
+        orders.map_batches(
+            lambda df: df.groupby("o_custkey", as_index=False)["o_orderdate"].min(),
+            batch_format="pandas",
+        ),
+        ["o_custkey"],
+        {"first_dt": ("o_orderdate", "min")},
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"],
+                "cohort_month": df["first_dt"].dt.strftime("%Y-%m"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    joined = colo_join(
+        orders, first, ["o_custkey"],
+        ["o_orderdate", "o_totalprice"], ["cohort_month"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        out = pd.DataFrame(
+            {
+                "cohort_month": df["cohort_month"],
+                "order_month": df["o_orderdate"].dt.strftime("%Y-%m"),
+                "revenue_cents": np.round(
+                    df["o_totalprice"].to_numpy(dtype=np.float64) * 100.0
+                ).astype("int64"),
+                "n_orders": np.ones(len(df), dtype="int64"),
+            }
+        )
+        return out.groupby(
+            ["cohort_month", "order_month"], as_index=False
+        )[["revenue_cents", "n_orders"]].sum()
+
+    return (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby(["cohort_month", "order_month"])
+        .aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+    )
+
+
+QUERIES["cohort_revenue"] = q_cohort_revenue
+
+# month keys as strings on both engines (dtype-stable across drivers);
+# revenue in exact int64 cents (winsorized_revenue rationale).
+SQL["cohort_revenue"] = """
+    WITH f AS (
+      SELECT o_custkey, strftime(min(o_orderdate), '%Y-%m') AS cohort_month
+      FROM orders GROUP BY o_custkey)
+    SELECT f.cohort_month,
+           strftime(o.o_orderdate, '%Y-%m') AS order_month,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           count(*)::BIGINT AS n_orders
+    FROM orders o JOIN f USING (o_custkey)
+    GROUP BY f.cohort_month, order_month
+    ORDER BY f.cohort_month, order_month
+"""
