@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "lang_confusion",
     "len_pct_rank",
     "cohort_revenue",
+    "spend_deciles",
 ]
 
 

@@ -6448,3 +6448,90 @@ SQL["cohort_revenue"] = """
     GROUP BY f.cohort_month, order_month
     ORDER BY f.cohort_month, order_month
 """
+
+
+def q_spend_deciles(sf_dir: str) -> ray.data.Dataset:
+    """Customer-spend decile lift: per-customer totals (exact cents)
+    bucketed by the sample-CDF percent rank into deciles; revenue share
+    per decile.  Composition of the co-location aggregate and the
+    md5-KMV rank — the whole chain, approximation included, is
+    value-checked by the oracle."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.ops.shuffle import grouped_agg
+    from pdf_parser_ray.ops.sketches import approx_pct_rank
+
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"],
+                "cents": np.round(
+                    df["o_totalprice"].to_numpy(dtype=np.float64) * 100.0
+                ).astype("int64"),
+            }
+        )
+        return out.groupby("o_custkey", as_index=False)["cents"].sum()
+
+    totals = grouped_agg(
+        orders.map_batches(cents, batch_format="pandas"),
+        ["o_custkey"],
+        {"cents": ("cents", "sum")},
+    )
+    scored = approx_pct_rank(totals, "cents", id_col="o_custkey", k=256)
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        dec = np.maximum(
+            1, np.ceil(df["pct"].to_numpy(dtype=np.float64) * 10)
+        ).astype("int64")
+        out = pd.DataFrame(
+            {"decile": dec,
+             "n_customers": np.ones(len(df), dtype="int64"),
+             "revenue_cents": df["cents"].astype("int64")}
+        )
+        return out.groupby("decile", as_index=False)[
+            ["n_customers", "revenue_cents"]
+        ].sum()
+
+    return (
+        scored.map_batches(bucket, batch_format="pandas")
+        .groupby("decile")
+        .aggregate(
+            Sum("n_customers", alias_name="n_customers"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+    )
+
+
+QUERIES["spend_deciles"] = q_spend_deciles
+
+# decile = GREATEST(1, ceil((count<=v / k) * 10)) — both engines build
+# the identical md5 sample and evaluate the same double expression.
+SQL["spend_deciles"] = """
+    WITH tot AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey),
+    h AS (
+      SELECT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 16))::UBIGINT
+               AS h,
+             cents::DOUBLE AS v
+      FROM tot),
+    samp AS (SELECT v FROM h ORDER BY h LIMIT 256),
+    n AS (SELECT count(*)::BIGINT AS k FROM samp),
+    scored AS (
+      SELECT t.cents,
+             GREATEST(1, CAST(ceil(
+               ((SELECT count(*) FROM samp WHERE samp.v <= t.cents::DOUBLE)
+                  ::DOUBLE / (SELECT k FROM n)::DOUBLE) * 10) AS BIGINT))
+               AS decile
+      FROM tot t)
+    SELECT decile, count(*)::BIGINT AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM scored GROUP BY decile ORDER BY decile
+"""

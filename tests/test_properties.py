@@ -186,3 +186,38 @@ def test_grouped_agg_matches_pandas(ray_session, rows, n_splits):
     assert out["k"].tolist() == exp["k"].tolist()
     for c in ["s", "mn", "mx", "n"]:
         assert out[c].tolist() == exp[c].tolist(), c
+
+
+class TestTokenBudgetCapInvariance:
+    def test_bucket_count_and_partitioning_invariant(self, ray_session):
+        """The distributed prefix sum must give the SAME kept set for
+        any bucket width and any input block layout — the property
+        that makes the cap rerun/resume-safe."""
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from pdf_parser_ray.ops.curation import token_budget_cap
+
+        rng = np.random.default_rng(23)
+        n = 150
+        df = pd.DataFrame(
+            {
+                "source": [f"s{i % 4}" for i in range(n)],
+                "doc_id": np.arange(n, dtype=np.int64),
+                "text": [" ".join(["w"] * int(k)) for k in rng.integers(1, 12, n)],
+            }
+        )
+        outs = []
+        for n_buckets, blocks in [(1, 1), (7, 3), (64, 5), (256, 2)]:
+            parts = np.array_split(df.sample(frac=1, random_state=n_buckets), blocks)
+            ds = ray.data.from_pandas([p.reset_index(drop=True) for p in parts])
+            out = (
+                token_budget_cap(ds, budget=60, n_buckets=n_buckets)
+                .to_pandas()
+                .sort_values(["source", "doc_id"])
+                .reset_index(drop=True)
+            )
+            outs.append(out)
+        for other in outs[1:]:
+            pd.testing.assert_frame_equal(outs[0], other)
