@@ -6125,7 +6125,9 @@ SQL["split_contamination"] = r"""
       SELECT DISTINCT doc_id, split,
              unnest(CASE WHEN len(toks) >= 8
                          THEN list_transform(range(1, len(toks) - 6), i ->
-                              md5(array_to_string(toks[i:i+7], ' ')))
+                              ('0x' || substr(md5(
+                                 array_to_string(toks[i:i+7], ' ')),
+                                 1, 16))::UBIGINT)
                          ELSE [] END) AS gh
       FROM tok),
     train_g AS (SELECT DISTINCT gh FROM g WHERE split = 'train'),
