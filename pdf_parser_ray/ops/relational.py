@@ -2072,3 +2072,523 @@ def colo_join(
     return partitioned_map(
         u, keys, merge, **({"n_parts": n_parts} if n_parts else {})
     )
+
+
+# ---------------------------------------------------------------------
+# Round-2 session-7: the remaining classic TPC-H join shapes
+# (Q6 / Q7 / Q8 / Q19 / Q20 / Q21), each with the integer-exact
+# arithmetic contract of nation_profit so the DuckDB twins hash-match.
+# ---------------------------------------------------------------------
+
+
+def _cents_bp(df: pd.DataFrame) -> np.ndarray:
+    """Exact revenue integer: price-cents x keep-basis-points (the
+    nation_profit contract — order-independent int64 sums, no float
+    accumulation)."""
+    cents = np.rint(df["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+    keep_bp = 100 - np.rint(df["l_discount"].to_numpy() * 100.0).astype(np.int64)
+    return cents * keep_bp
+
+
+def _cents_round(total_i: int | np.ndarray, unit: int = 100):
+    """Half-away-from-zero rounding of a positive integer sum to cents,
+    done in integer arithmetic (float round() half-even would diverge
+    from SQL half-away on exact dyadics)."""
+    return (np.asarray(total_i, dtype=np.int64) + unit // 2) // unit
+
+
+def forecast_revenue(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q6 shape: the pure scan-filter-aggregate — revenue delta
+    from a discount band in one ship-date year, no join at all.
+
+    Scale plan: ZERO shuffles; the filter is a vectorized numpy mask
+    per batch and each batch collapses to one partial int64 sum, so
+    the wire carries one row per batch.  At 100 TB the read itself is
+    the whole cost — `columns=` prunes to the four needed columns
+    (row-group predicate pushdown on l_shipdate would prune further;
+    the synthetic table is a single unsorted file, so it is a no-op
+    here and omitted for clarity).
+
+    revenue = sum(extendedprice * discount) over shipdate in 1996,
+    discount in [0.02, 0.04] (basis points 2..4), quantity < 24 —
+    exact price-cents x discount-bp int64 products (1e-4 dollar
+    units), rounded to cents in integer arithmetic.
+
+    Output: one row (revenue: float64 rounded 2).
+    """
+    from ray.data.aggregate import Sum
+
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1997-01-01")
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(df: pd.DataFrame):
+        ship = df["l_shipdate"].to_numpy()
+        disc_bp = np.rint(df["l_discount"].to_numpy() * 100.0).astype(np.int64)
+        m = (
+            (ship >= lo)
+            & (ship < hi)
+            & (disc_bp >= 2)
+            & (disc_bp <= 4)
+            & (df["l_quantity"].to_numpy() < 24)
+        )
+        keep = df[m]
+        cents = np.rint(keep["l_extendedprice"].to_numpy() * 100.0).astype(
+            np.int64
+        )
+        bp = np.rint(keep["l_discount"].to_numpy() * 100.0).astype(np.int64)
+        return arrow_out(pd.DataFrame({"rev_i": [int((cents * bp).sum())]}))
+
+    agg = li.map_batches(partial, batch_format="pandas").aggregate(
+        Sum("rev_i", alias_name="rev_i")
+    )
+    import ray.data as rd
+
+    revenue = float(_cents_round(int(agg["rev_i"]))) / 100.0
+    return rd.from_pandas(pd.DataFrame({"revenue": [revenue]}))
+
+
+def volume_shipping(
+    sf_dir: str, nation_a: str = "NATION_12", nation_b: str = "NATION_11"
+) -> ray.data.Dataset:
+    """TPC-H Q7 shape: shipping volume between two nations by year —
+    supplier nation on the lineitem side, customer nation through the
+    orders side, both directions of the pair.
+
+    Join plan by side size: supplier→nation and customer→nation are
+    dimension chains → pre-joined driver-side and BROADCAST; both fact
+    sides are pruned to the pair's nations BEFORE the one all-to-all
+    (the lineitem⋈orders orderkey co-location), so the shuffle carries
+    only the pair's traffic — at 100 TB the pair filter is the whole
+    win (two nations ≈ 2/25 of suppliers x 2/25 of customers).
+    Revenue partials collapse each partition to ≤ 2 pair-directions x
+    years rows.
+
+    Output: (supp_nation, cust_nation, l_year:int64, revenue:float64
+    rounded 2), both directions, empty when no traffic.
+    """
+    from ray.data.aggregate import Sum
+
+    pair = {nation_a, nation_b}
+    nation = pd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    npair = nation[nation["n_name"].isin(pair)]
+
+    supp = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).merge(npair, left_on="s_nationkey", right_on="n_nationkey")
+    supp_dim = supp[["s_suppkey", "n_name"]].rename(
+        columns={"s_suppkey": "l_suppkey", "n_name": "supp_nation"}
+    )
+
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).merge(npair, left_on="c_nationkey", right_on="n_nationkey")
+    cust_dim = cust[["c_custkey", "n_name"]].rename(
+        columns={"n_name": "cust_nation"}
+    )
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(
+        lambda df: arrow_out(
+            df.rename(columns={"o_custkey": "c_custkey"})
+        ),
+        batch_format="pandas",
+    )
+    orders = broadcast_merge(orders, cust_dim, on="c_custkey").map_batches(
+        lambda df: arrow_out(
+            df.rename(columns={"o_orderkey": "l_orderkey"})[
+                ["l_orderkey", "cust_nation"]
+            ]
+        ),
+        batch_format="pandas",
+    )
+
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1998-01-01")
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    def prune(df: pd.DataFrame):
+        ship = df["l_shipdate"].to_numpy()
+        keep = df[(ship >= lo) & (ship < hi)].copy()
+        keep["l_year"] = keep["l_shipdate"].dt.year.astype("int64")
+        keep["rev_i"] = _cents_bp(keep)
+        return arrow_out(keep[["l_orderkey", "l_suppkey", "l_year", "rev_i"]])
+
+    li = broadcast_merge(
+        li.map_batches(prune, batch_format="pandas"), supp_dim, on="l_suppkey"
+    )
+
+    joined = colo_join(
+        li, orders, ("l_orderkey",),
+        ["supp_nation", "l_year", "rev_i"], ["cust_nation"],
+    )
+
+    def partial(df: pd.DataFrame):
+        keep = df[df["supp_nation"] != df["cust_nation"]]
+        return arrow_out(
+            keep.groupby(
+                ["supp_nation", "cust_nation", "l_year"], as_index=False
+            )["rev_i"].sum()
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby(["supp_nation", "cust_nation", "l_year"])
+        .aggregate(Sum("rev_i", alias_name="rev_i"))
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "supp_nation": df["supp_nation"],
+                "cust_nation": df["cust_nation"],
+                "l_year": df["l_year"].astype("int64"),
+                "revenue": _cents_round(
+                    df["rev_i"].to_numpy(dtype=np.int64)
+                ).astype("float64")
+                / 100.0,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def market_share(
+    sf_dir: str,
+    region: str = "ASIA",
+    ptype: str = "PROMO",
+    nation: str = "NATION_13",
+) -> ray.data.Dataset:
+    """TPC-H Q8 shape: one nation's market share of a part type sold
+    into a region, per order year — a ratio of two grouped sums over
+    the SAME scan.
+
+    Join plan: part(type), customer→nation→region, supplier→nation are
+    all dimensions → broadcast; lineitem is pruned to the part type
+    BEFORE the one all-to-all (lineitem⋈orders orderkey co-location);
+    orders are pruned to the region's customers and the two years
+    before shipping.  Numerator and denominator come from the same
+    int64 partials (a flag column, not a second pass), so the share is
+    a ratio of identical ints on both engines.
+
+    Output: (o_year:int64, mkt_share:float64 rounded 6).
+    """
+    from ray.data.aggregate import Sum
+
+    part = pd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    promo_keys = part.loc[part["p_type"] == ptype, "p_partkey"].to_numpy()
+
+    nationf = pd.read_parquet(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    reg = pd.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    region_nk = nationf.merge(
+        reg[reg["r_name"] == region], left_on="n_regionkey",
+        right_on="r_regionkey",
+    )["n_nationkey"].to_numpy()
+
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    cust_dim = cust[cust["c_nationkey"].isin(region_nk)][["c_custkey"]]
+
+    supp = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).merge(nationf[["n_nationkey", "n_name"]], left_on="s_nationkey",
+            right_on="n_nationkey")
+    supp_dim = pd.DataFrame(
+        {
+            "l_suppkey": supp["s_suppkey"],
+            "is_nation": (supp["n_name"] == nation).to_numpy(),
+        }
+    )
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def o_prune(df: pd.DataFrame):
+        yr = df["o_orderdate"].dt.year
+        keep = df[(yr >= 1996) & (yr <= 1997)].copy()
+        keep["o_year"] = keep["o_orderdate"].dt.year.astype("int64")
+        keep["c_custkey"] = keep["o_custkey"]
+        return arrow_out(keep[["o_orderkey", "c_custkey", "o_year"]])
+
+    orders = broadcast_merge(
+        orders.map_batches(o_prune, batch_format="pandas"), cust_dim,
+        on="c_custkey",
+    ).map_batches(
+        lambda df: arrow_out(
+            df.rename(columns={"o_orderkey": "l_orderkey"})[
+                ["l_orderkey", "o_year"]
+            ]
+        ),
+        batch_format="pandas",
+    )
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def l_prune(df: pd.DataFrame):
+        keep = df[df["l_partkey"].isin(promo_keys)].copy()
+        keep["vol_i"] = _cents_bp(keep)
+        return arrow_out(keep[["l_orderkey", "l_suppkey", "vol_i"]])
+
+    li = broadcast_merge(
+        li.map_batches(l_prune, batch_format="pandas"), supp_dim,
+        on="l_suppkey",
+    )
+
+    joined = colo_join(
+        li, orders, ("l_orderkey",), ["is_nation", "vol_i"], ["o_year"],
+    )
+
+    def partial(df: pd.DataFrame):
+        vol = df["vol_i"].to_numpy(dtype=np.int64)
+        flag = df["is_nation"].to_numpy(dtype=bool)
+        g = pd.DataFrame(
+            {
+                "o_year": df["o_year"].astype("int64"),
+                "nation_i": np.where(flag, vol, 0),
+                "total_i": vol,
+            }
+        )
+        return arrow_out(
+            g.groupby("o_year", as_index=False)[["nation_i", "total_i"]].sum()
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("o_year")
+        .aggregate(
+            Sum("nation_i", alias_name="nation_i"),
+            Sum("total_i", alias_name="total_i"),
+        )
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        share = np.round(
+            df["nation_i"].to_numpy(dtype=np.float64)
+            / df["total_i"].to_numpy(dtype=np.float64),
+            6,
+        )
+        return pd.DataFrame(
+            {"o_year": df["o_year"].astype("int64"), "mkt_share": share}
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def disjunctive_revenue(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q19 shape: revenue under a three-branch disjunctive
+    predicate coupling part attributes (brand, size) with lineitem
+    quantity bands.
+
+    Scale plan: part is a dimension → (brand, size) broadcast once;
+    the OR-of-ANDs is ONE vectorized numpy mask per batch (never a
+    row loop, never three scans); ZERO shuffles — each batch collapses
+    to one int64 revenue partial.
+
+    Output: one row (revenue: float64 rounded 2).
+    """
+    from ray.data.aggregate import Sum
+
+    part = pd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    ).rename(columns={"p_partkey": "l_partkey"})
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    enriched = broadcast_merge(li, part, on="l_partkey")
+
+    branches = (
+        ("Brand#12", 1, 5, 1, 11),
+        ("Brand#23", 1, 10, 10, 20),
+        ("Brand#5", 1, 15, 20, 30),
+    )
+
+    def partial(df: pd.DataFrame):
+        brand = df["p_brand"].to_numpy()
+        size = df["p_size"].to_numpy()
+        qty = df["l_quantity"].to_numpy()
+        m = np.zeros(len(df), dtype=bool)
+        for b, s_lo, s_hi, q_lo, q_hi in branches:
+            m |= (
+                (brand == b)
+                & (size >= s_lo) & (size <= s_hi)
+                & (qty >= q_lo) & (qty <= q_hi)
+            )
+        keep = df[m]
+        return arrow_out(pd.DataFrame({"rev_i": [int(_cents_bp(keep).sum())]}))
+
+    agg = enriched.map_batches(partial, batch_format="pandas").aggregate(
+        Sum("rev_i", alias_name="rev_i")
+    )
+    import ray.data as rd
+
+    revenue = float(_cents_round(int(agg["rev_i"]))) / 100.0
+    return rd.from_pandas(pd.DataFrame({"revenue": [revenue]}))
+
+
+def heavy_promo_suppliers(
+    sf_dir: str, ptype: str = "PROMO", min_qty: float = 50.0
+) -> ray.data.Dataset:
+    """TPC-H Q20 shape: the nested semi-join chain — suppliers who
+    shipped more than ``min_qty`` total quantity of at least one part
+    of the given type.
+
+    Scale plan: the part-type key set is a dimension → broadcast isin
+    filter at the scan; the (suppkey, partkey) quantity rollup is
+    HIGH-cardinality (~|supplier|x|part| pairs) → co-location
+    ``grouped_sum`` (the Q18 lesson: Ray 2.49's streaming
+    sort-aggregate degrades on big key spaces); the post-threshold
+    survivor set is supplier-bounded → distinct per partition, names
+    broadcast at the end.
+
+    Output: (s_suppkey:int64, s_name) — suppliers with ≥1 qualifying
+    part, one row each.
+    """
+    from pdf_parser_ray.ops.shuffle import grouped_sum
+
+    part = pd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    keys = part.loc[part["p_type"] == ptype, "p_partkey"].to_numpy()
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+    )
+
+    def prune(df: pd.DataFrame):
+        keep = df[df["l_partkey"].isin(keys)]
+        return arrow_out(
+            keep.groupby(["l_suppkey", "l_partkey"], as_index=False)[
+                "l_quantity"
+            ].sum()
+        )
+
+    rolled = grouped_sum(
+        li.map_batches(prune, batch_format="pandas"),
+        ["l_suppkey", "l_partkey"],
+        ["l_quantity"],
+    )
+
+    def survivors(df: pd.DataFrame):
+        keep = df[df["l_quantity"] > min_qty]
+        return arrow_out(
+            keep[["l_suppkey"]].drop_duplicates()
+        )
+
+    supp = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).rename(columns={"s_suppkey": "l_suppkey"})
+
+    # distinct per partition is already globally distinct: grouped_sum
+    # co-located each (suppkey, partkey) pair, but a supplier spans
+    # partitions — dedup the supplier-bounded survivor set in ONE
+    # small final partition.
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    uniq = partitioned_map(
+        rolled.map_batches(survivors, batch_format="pandas"),
+        ["l_suppkey"],
+        lambda df: df.drop_duplicates(),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.merge(supp, on="l_suppkey").rename(
+            columns={"l_suppkey": "s_suppkey"}
+        )
+        return out[["s_suppkey", "s_name"]].astype({"s_suppkey": "int64"})
+
+    return uniq.map_batches(finish, batch_format="pandas")
+
+
+def sole_return_suppliers(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q21 shape: the multi-EXISTS self-join on lineitem —
+    suppliers who were the ONLY supplier with a returned line
+    ('R') on a multi-supplier order, counted per supplier.
+
+    Scale plan: the self-join never materializes — lineitem co-locates
+    ONCE by orderkey (``partitioned_map``) and each partition answers
+    both EXISTS (≥2 distinct suppliers) and NOT-EXISTS (no OTHER
+    supplier with a returned line) with vectorized pandas nunique
+    across its whole frame; blame partials are supplier-bounded, so
+    the final count groupby is tiny.  One all-to-all total.
+
+    Output: (s_name, numwait:int64) sorted numwait DESC, s_name ASC.
+    """
+    from ray.data.aggregate import Sum
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_returnflag"],
+    )
+
+    def blame(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("l_orderkey")["l_suppkey"].nunique()
+        r = part[part["l_returnflag"] == "R"]
+        rg = r.groupby("l_orderkey")["l_suppkey"]
+        nret = rg.nunique()
+        ok = nret[(nret == 1)].index.intersection(g[g >= 2].index)
+        blamed = rg.min().loc[ok]
+        counts = blamed.value_counts()
+        return pd.DataFrame(
+            {
+                "s_suppkey": counts.index.to_numpy(),
+                "numwait": counts.to_numpy(dtype=np.int64),
+            }
+        )
+
+    partials = partitioned_map(li, ["l_orderkey"], blame)
+
+    agg = partials.groupby("s_suppkey").aggregate(
+        Sum("numwait", alias_name="numwait")
+    )
+
+    supp = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.merge(supp, on="s_suppkey")
+        out = out.sort_values(
+            ["numwait", "s_name"], ascending=[False, True], kind="mergesort"
+        )
+        return pd.DataFrame(
+            {
+                "s_name": out["s_name"],
+                "numwait": out["numwait"].astype("int64"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")

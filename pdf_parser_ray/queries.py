@@ -6537,3 +6537,161 @@ SQL["spend_deciles"] = """
            CAST(sum(cents) AS BIGINT) AS revenue_cents
     FROM scored GROUP BY decile ORDER BY decile
 """
+
+
+# ------------------------------------------------- session-7: TPC-H gaps
+
+
+def q_forecast_revenue(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q6 shape: pure scan-filter-aggregate — discount-band
+    revenue delta in one ship-date year; zero shuffles, one int64
+    partial per batch."""
+    from pdf_parser_ray.ops.relational import forecast_revenue
+
+    return forecast_revenue(sf_dir)
+
+
+def q_volume_shipping(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q7 shape: shipping volume between two nations by year —
+    both fact sides pruned to the pair BEFORE the one orderkey
+    co-location."""
+    from pdf_parser_ray.ops.relational import volume_shipping
+
+    return volume_shipping(sf_dir)
+
+
+def q_market_share(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q8 shape: one nation's share of a part type sold into a
+    region per year — numerator and denominator from the same int64
+    partials of one scan."""
+    from pdf_parser_ray.ops.relational import market_share
+
+    return market_share(sf_dir)
+
+
+def q_disjunctive_revenue(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q19 shape: three-branch OR-of-ANDs predicate over part
+    attributes x quantity bands; one vectorized mask, zero shuffles."""
+    from pdf_parser_ray.ops.relational import disjunctive_revenue
+
+    return disjunctive_revenue(sf_dir)
+
+
+def q_heavy_promo_suppliers(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q20 shape: nested semi-join chain — suppliers who shipped
+    > 50 total quantity of at least one PROMO part (co-location rollup,
+    supplier-bounded survivor set)."""
+    from pdf_parser_ray.ops.relational import heavy_promo_suppliers
+
+    return heavy_promo_suppliers(sf_dir)
+
+
+def q_sole_return_suppliers(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q21 shape: multi-EXISTS lineitem self-join — only supplier
+    with a returned line on a multi-supplier order; the self-join is
+    ONE orderkey co-location."""
+    from pdf_parser_ray.ops.relational import sole_return_suppliers
+
+    return sole_return_suppliers(sf_dir)
+
+
+QUERIES["forecast_revenue"] = q_forecast_revenue
+QUERIES["volume_shipping"] = q_volume_shipping
+QUERIES["market_share"] = q_market_share
+QUERIES["disjunctive_revenue"] = q_disjunctive_revenue
+QUERIES["heavy_promo_suppliers"] = q_heavy_promo_suppliers
+QUERIES["sole_return_suppliers"] = q_sole_return_suppliers
+
+# exact 1e-4-dollar integer units, rounded to cents in int arithmetic
+SQL["forecast_revenue"] = """
+    SELECT CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round(l_discount * 100) AS BIGINT)) + 50)
+                // 100 AS BIGINT) / 100.0 AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate <  DATE '1997-01-01'
+      AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 2 AND 4
+      AND l_quantity < 24
+"""
+
+SQL["volume_shipping"] = """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           CAST((sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                 + 50) // 100 AS BIGINT) / 100.0 AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_11')
+           OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_12'))
+      AND l.l_shipdate >= DATE '1996-01-01'
+      AND l.l_shipdate <  DATE '1998-01-01'
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+"""
+# share = ratio of the same int64 sums both engines hold exactly
+SQL["market_share"] = """
+    WITH f AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS vol_i,
+             (ns.n_name = 'NATION_13') AS is_nation
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+      JOIN region r   ON nc.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+        AND year(o.o_orderdate) IN (1996, 1997))
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN is_nation THEN vol_i ELSE 0 END)
+                      AS BIGINT)::DOUBLE
+                 / CAST(sum(vol_i) AS BIGINT)::DOUBLE, 6) AS mkt_share
+    FROM f GROUP BY o_year
+"""
+
+SQL["disjunctive_revenue"] = """
+    SELECT CAST((sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                 + 50) // 100 AS BIGINT) / 100.0 AS revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#5' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+SQL["heavy_promo_suppliers"] = """
+    SELECT DISTINCT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_type = 'PROMO')
+      GROUP BY l_suppkey, l_partkey
+      HAVING sum(l_quantity) > 50)
+"""
+
+SQL["sole_return_suppliers"] = """
+    WITH per_order AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS nsupp,
+             count(DISTINCT CASE WHEN l_returnflag = 'R'
+                                 THEN l_suppkey END) AS nret,
+             min(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS blamed
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT s.s_name, count(*)::BIGINT AS numwait
+    FROM per_order p
+    JOIN supplier s ON p.blamed = s.s_suppkey
+    WHERE p.nsupp >= 2 AND p.nret = 1
+    GROUP BY s.s_name
+"""
