@@ -123,6 +123,16 @@ BENCH_QUERIES = [
     "len_pct_rank",
     "cohort_revenue",
     "spend_deciles",
+    # round-2 session-7 additions
+    "forecast_revenue",
+    "volume_shipping",
+    "market_share",
+    "disjunctive_revenue",
+    "heavy_promo_suppliers",
+    "sole_return_suppliers",
+    "semdedup",
+    "vocab_overlap",
+    "temperature_mix",
 ]
 
 
@@ -217,7 +227,23 @@ def run_bench(headline_only: bool = False) -> dict:
         from pdf_parser_ray.queries import QUERIES
         from tests.oracle_utils import to_pandas  # noqa: F401 (conversion helper)
 
-        for name in BENCH_QUERIES:
+        # Periodic fresh session inside the loop too: the measured
+        # long-session degradation (~2x by query ~60 of a 90-query run;
+        # BASELINE.md session-6 notes) otherwise taxes whichever
+        # queries happen to sit late in this list.
+        chunk = int(os.environ.get("BENCH_SESSION_CHUNK", "25"))
+        for qi, name in enumerate(BENCH_QUERIES):
+            if chunk > 0 and qi > 0 and qi % chunk == 0:
+                ray.shutdown()
+                ray.init(
+                    address="local",
+                    num_cpus=ncpu,
+                    include_dashboard=False,
+                    ignore_reinit_error=True,
+                    logging_level="ERROR",
+                )
+                DataContext.get_current().enable_progress_bars = False
+                DataContext.get_current().op_resource_reservation_enabled = True
             fn = QUERIES[name]
             t0 = time.monotonic()
             res = fn(sf_dir)

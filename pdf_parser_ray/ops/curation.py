@@ -1079,3 +1079,104 @@ def _split_of(doc_id) -> str:
     else test."""
     p = hashlib.md5(str(doc_id).encode("ascii")).hexdigest()[:2]
     return "train" if p < "d0" else ("val" if p < "e8" else "test")
+
+
+def temperature_mix(
+    ds: ray.data.Dataset,
+    *,
+    alpha_num: int = 1,
+    alpha_den: int = 2,
+    target_num: int = 1,
+    target_den: int = 2,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Temperature-scaled source re-sampling (the multilingual-LM
+    mixing rule, w_s ∝ n_s^α with α = alpha_num/alpha_den, here fixed
+    to the classic α = 1/2): derives the per-source keep rates from
+    the observed counts — :func:`rebalance_sources` with the targets
+    computed, not given.
+
+    rate_s = min(1, (target · N · w_s) / (Σw · n_s)) with
+    w_s = ⌊√n_s⌋, so small sources are up-weighted toward uniform and
+    the expected kept total is target·N.
+
+    EXACT integer contract: w_s is the integer square root (floor of
+    the correctly-rounded IEEE sqrt — exact for n < 2^52, so numpy and
+    DuckDB agree bit-for-bit), and the 64-bit hash-gate threshold
+    floor(2^64 · target_num · N · w_s / (target_den · Σw · n_s)) is
+    evaluated in arbitrary-precision ints (HUGEINT on the SQL side) —
+    no float ever crosses the engine boundary, unlike a pow(n, α)
+    formulation whose libm rounding is engine-specific.
+
+    Scale plan: counts are a dimension-bounded groupby (|sources| rows
+    to the driver); the gate is row-local (md5-prefix uint64 per id vs
+    a broadcast per-source threshold).  One scan, zero data shuffle.
+
+    Output: (source, n_total:int64, n_kept:int64) per source, plus the
+    threshold-implied exact keep decision on every row folded into the
+    counts (the kept rows themselves are a `.filter`-shaped variant —
+    this op reports the mix audit table).
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    if (alpha_num, alpha_den) != (1, 2):
+        raise NotImplementedError(
+            "exact integer contract implemented for alpha = 1/2"
+        )
+
+    from ray.data.aggregate import Count
+
+    counts = (
+        ds.groupby(source_col).aggregate(Count(alias_name="n")).to_pandas()
+    )
+    n_by_src = dict(zip(counts[source_col], counts["n"].astype(int)))
+    total = int(sum(n_by_src.values()))
+    w = {s: math.isqrt(n) for s, n in n_by_src.items()}
+    sw = sum(w.values())
+    thr = {
+        s: min(
+            1 << 64,
+            ((1 << 64) * target_num * total * w[s])
+            // (target_den * sw * n_by_src[s]),
+        )
+        for s in n_by_src
+    }
+    thr_ref = ray.put(thr)
+
+    def gate_counts(df: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.stages import worker_state
+
+        t: dict = worker_state(
+            ("tempmix_thr", thr_ref.hex()), lambda: ray.get(thr_ref)
+        )
+        h = df[id_col].map(
+            lambda i: int(
+                hashlib.md5(str(i).encode("ascii")).hexdigest()[:16], 16
+            )
+        )
+        limits = df[source_col].map(t)
+        kept = (h < limits).astype("int64")
+        g = pd.DataFrame(
+            {source_col: df[source_col], "n_total": 1, "n_kept": kept}
+        )
+        return g.groupby(source_col, as_index=False)[
+            ["n_total", "n_kept"]
+        ].sum()
+
+    agg = (
+        ds.select_columns([source_col, id_col])
+        .map_batches(gate_counts, batch_format="pandas")
+        .groupby(source_col)
+        .aggregate(
+            Sum("n_total", alias_name="n_total"),
+            Sum("n_kept", alias_name="n_kept"),
+        )
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return df.astype({"n_total": "int64", "n_kept": "int64"})
+
+    return agg.map_batches(finish, batch_format="pandas")

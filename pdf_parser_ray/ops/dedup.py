@@ -1954,3 +1954,85 @@ def rare_token_pairs(
         anchors, docs, ["doc_id"], ["anchor"], ["text"], **kw
     )
     return grouped_map(joined, ["anchor"], per_bucket, drop_singletons=True, **kw)
+
+
+def semdedup(
+    ds: ray.data.Dataset,
+    centroids,
+    *,
+    threshold: float = 0.4,
+    round_to: int = 6,
+) -> ray.data.Dataset:
+    """SemDeDup-style semantic dedup (the Abbas et al. 2023 pattern,
+    public): k-means-bucket the embedding space, compute pairwise
+    cosine ONLY within a bucket, and drop every vector that has a
+    smaller-id neighbor at/above the threshold in its bucket.
+
+    Scale plan: assignment is row-local against broadcast centroids
+    (``_assign_ids`` — direct (x−c)² float64, low-id tie-break, the
+    clustering.py contract a SQL ``list_distance`` oracle matches
+    bit-exactly); the ONLY shuffle is one groupby(cluster)
+    co-location.  The SemDeDup trick is that k grows with N so the
+    per-cluster frame stays bounded (k ≈ N/target_cluster_size at
+    10^12 rows — pairwise work is (N/k)² per cluster, not N²); the
+    embedding payload ships once into its cluster and survivors leave
+    as bare (vec_id, cluster) rows.
+
+    Drop rule is NOT transitive-closure (a vector is dropped iff a
+    smaller-id in-cluster neighbor clears the threshold, whether or
+    not that neighbor itself survives) — deterministic, partitioning-
+    invariant, and exactly re-derivable in SQL.
+
+    Output: survivors (vec_id:int64, cluster:int64).
+    """
+    from pdf_parser_ray.ops.clustering import _assign_ids
+
+    cent_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.stages import worker_state
+
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "cluster": pd.Series([], dtype="int64"),
+                    "embedding": pd.Series([], dtype="object"),
+                }
+            )
+        cent = worker_state(
+            ("semdedup_cent", cent_ref.hex()), lambda: ray.get(cent_ref)
+        )
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].to_numpy().astype("int64"),
+                "cluster": _assign_ids(_emb_matrix(df["embedding"]), cent),
+                "embedding": df["embedding"],
+            }
+        )
+
+    assigned = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        assign, batch_format="pandas"
+    )
+
+    def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id", kind="mergesort")
+        ids = g["vec_id"].to_numpy()
+        mat = _emb_matrix(g["embedding"])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        cos = (mat @ mat.T) / (norms[:, None] * norms[None, :])
+        # strict upper triangle: column j > row i means larger vec_id
+        hit = np.triu(cos >= threshold, k=1)
+        dropped = hit.any(axis=0)
+        keep = g.loc[~dropped, ["vec_id", "cluster"]]
+        return pd.DataFrame(
+            {
+                "vec_id": keep["vec_id"].to_numpy().astype("int64"),
+                "cluster": keep["cluster"].to_numpy().astype("int64"),
+            }
+        )
+
+    return assigned.groupby("cluster").map_groups(
+        per_cluster, batch_format="pandas"
+    )

@@ -715,3 +715,85 @@ def approx_pct_rank(
     return ds.select_columns([id_col, col]).map_batches(
         score, batch_format="pandas"
     )
+
+
+def vocab_overlap(
+    ds: ray.data.Dataset,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+    k: int = 256,
+) -> pd.DataFrame:
+    """Estimated vocabulary Jaccard between every pair of sources via
+    KMV (bottom-k) sketches — the set-INTERSECTION estimator the
+    distinct-count sketches (HLL/KMV) don't give you: J(A,B) ≈
+    |{h ∈ bottom-k(A∪B) : h ∈ A's sketch ∧ h ∈ B's sketch}| / k.
+
+    Scale plan: one streaming pass; each batch emits its per-source
+    DISTINCT-token bottom-k (md5-prefix 64-bit hashes — SQL-
+    rederivable), so the driver merge sees ≤ batches × sources × k
+    hash rows and every pairwise estimate runs over k-sized arrays.
+    No token ever shuffles; 10^12 docs cost exactly the scan.
+
+    The estimate is itself value-checked: jaccard_est is a ratio of
+    the two integers (n_common, k_eff) the DuckDB twin re-derives
+    exactly from the same md5 bottom-k rule.
+
+    Output: (source_a, source_b, n_common:int64, k_eff:int64,
+    jaccard_est:float64), one row per unordered source pair, sorted.
+    """
+    import re as _re
+
+    word_re = _re.compile(r"\S+")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows_s, rows_h = [], []
+        for src, grp in df.groupby(source_col):
+            toks = set()
+            for t in grp[text_col]:
+                toks.update(word_re.findall((t or "").lower()))
+            if not toks:
+                continue
+            hs = np.unique(_hash_strings_md5(sorted(toks)))[:k]
+            rows_s.extend([src] * len(hs))
+            rows_h.append(hs)
+        return pd.DataFrame(
+            {
+                source_col: pd.Series(rows_s, dtype="object"),
+                "h": np.concatenate(rows_h)
+                if rows_h
+                else np.array([], dtype=np.uint64),
+            }
+        )
+
+    parts = ds.select_columns([source_col, text_col]).map_batches(
+        partial, batch_format="pandas"
+    ).to_pandas()  # ≤ batches × sources × k rows — sketch-bounded
+
+    sketches: dict[str, np.ndarray] = {}
+    for src, grp in parts.groupby(source_col):
+        hs = np.unique(grp["h"].to_numpy(dtype=np.uint64))
+        sketches[src] = hs[:k]
+
+    names = sorted(sketches)
+    out = {"source_a": [], "source_b": [], "n_common": [], "k_eff": [],
+           "jaccard_est": []}
+    for i, a in enumerate(names):
+        sa = sketches[a]
+        set_a = set(sa.tolist())
+        for b in names[i + 1:]:
+            sb = sketches[b]
+            union_k = np.unique(np.concatenate([sa, sb]))[:k]
+            set_b = set(sb.tolist())
+            common = sum(
+                1 for h in union_k.tolist() if h in set_a and h in set_b
+            )
+            out["source_a"].append(a)
+            out["source_b"].append(b)
+            out["n_common"].append(common)
+            out["k_eff"].append(len(union_k))
+            out["jaccard_est"].append(common / len(union_k))
+    res = pd.DataFrame(out)
+    res["n_common"] = res["n_common"].astype("int64")
+    res["k_eff"] = res["k_eff"].astype("int64")
+    return res

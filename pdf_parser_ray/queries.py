@@ -6695,3 +6695,139 @@ SQL["sole_return_suppliers"] = """
     WHERE p.nsupp >= 2 AND p.nret = 1
     GROUP BY s.s_name
 """
+
+
+# --------------------------------------- session-7: curation/dedup tier
+
+
+def q_semdedup(sf_dir: str) -> ray.data.Dataset:
+    """SemDeDup-style semantic dedup: k-means buckets (fixed first-8
+    centroids) -> in-bucket pairwise cosine -> drop vectors with a
+    smaller-id neighbor >= 0.4; survivors as (vec_id, cluster)."""
+    from pdf_parser_ray.ops.dedup import semdedup
+
+    return semdedup(
+        _read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ),
+        _init_centroids(sf_dir, 8),
+        threshold=0.4,
+    )
+
+
+def q_vocab_overlap(sf_dir: str) -> pd.DataFrame:
+    """Pairwise vocabulary Jaccard between sources via KMV bottom-k
+    sketches (md5 hashes); the estimate is a ratio of the two ints the
+    SQL twin re-derives exactly."""
+    from pdf_parser_ray.ops.sketches import vocab_overlap
+
+    return vocab_overlap(
+        _documents(sf_dir, columns=["source", "text"]), k=256
+    )
+
+
+def q_temperature_mix(sf_dir: str) -> ray.data.Dataset:
+    """Temperature-scaled source mixing (alpha = 1/2): per-source keep
+    counts under the exact-integer isqrt weight / 64-bit md5 gate
+    contract."""
+    from pdf_parser_ray.ops.curation import temperature_mix
+
+    return temperature_mix(
+        _documents(sf_dir, columns=["source", "doc_id"]),
+        target_num=1, target_den=2,
+    )
+
+
+QUERIES["semdedup"] = q_semdedup
+QUERIES["vocab_overlap"] = q_vocab_overlap
+QUERIES["temperature_mix"] = q_temperature_mix
+
+SQL["semdedup"] = """
+    WITH cent AS (
+      SELECT vec_id AS cluster, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings WHERE vec_id < 8),
+    assign AS (
+      SELECT e.vec_id, c.cluster, CAST(e.embedding AS DOUBLE[]) AS v
+      FROM embeddings e CROSS JOIN cent c
+      QUALIFY row_number() OVER (
+          PARTITION BY e.vec_id
+          ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec),
+                   c.cluster) = 1),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a JOIN assign b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.4)
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(cluster AS BIGINT) AS cluster
+    FROM assign
+    WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    ORDER BY vec_id
+"""
+
+SQL["vocab_overlap"] = r"""
+    WITH tok AS (
+      SELECT DISTINCT source,
+             unnest(regexp_extract_all(lower(text), '\S+')) AS t
+      FROM documents),
+    h AS (
+      SELECT DISTINCT source,
+             ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h
+      FROM tok),
+    bk AS (
+      SELECT source, h FROM (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM h)
+      WHERE rn <= 256),
+    pairs AS (
+      SELECT a.source AS sa, b.source AS sb
+      FROM (SELECT DISTINCT source FROM documents) a
+      JOIN (SELECT DISTINCT source FROM documents) b ON a.source < b.source),
+    uni AS (
+      SELECT sa, sb, h,
+             row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+      FROM (SELECT DISTINCT p.sa, p.sb, bk.h
+            FROM pairs p JOIN bk ON bk.source IN (p.sa, p.sb))),
+    topu AS (SELECT sa, sb, h FROM uni WHERE rn <= 256),
+    scored AS (
+      SELECT t.sa, t.sb,
+             CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM bk x
+                                        WHERE x.source = t.sa AND x.h = t.h)
+                            AND EXISTS (SELECT 1 FROM bk y
+                                        WHERE y.source = t.sb AND y.h = t.h)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+             count(*)::BIGINT AS k_eff
+      FROM topu t GROUP BY t.sa, t.sb)
+    SELECT sa AS source_a, sb AS source_b, n_common, k_eff,
+           n_common::DOUBLE / k_eff::DOUBLE AS jaccard_est
+    FROM scored ORDER BY source_a, source_b
+"""
+
+# all-integer thresholds (isqrt weights, HUGEINT floor division): no
+# float crosses the engine boundary
+SQL["temperature_mix"] = """
+    WITH c AS (
+      SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source),
+    w AS (
+      SELECT source, n, CAST(floor(sqrt(n)) AS BIGINT) AS w FROM c),
+    t AS (
+      SELECT CAST(sum(n) AS BIGINT) AS total, CAST(sum(w) AS BIGINT) AS sw
+      FROM w),
+    thr AS (
+      SELECT source, n,
+             LEAST(
+               18446744073709551616::HUGEINT,
+               (18446744073709551616::HUGEINT * 1 * (SELECT total FROM t) * w)
+                 // (2 * (SELECT sw FROM t) * n)) AS th
+      FROM w),
+    g AS (
+      SELECT d.source,
+             CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 16))
+                         ::UBIGINT::HUGEINT < th.th
+                  THEN 1 ELSE 0 END AS kept
+      FROM documents d JOIN thr th USING (source))
+    SELECT source, count(*)::BIGINT AS n_total,
+           CAST(sum(kept) AS BIGINT) AS n_kept
+    FROM g GROUP BY source ORDER BY source
+"""

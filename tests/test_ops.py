@@ -3070,3 +3070,137 @@ class TestApproxPctRank:
             .sort_values("doc_id")
         )
         assert out["pct"].tolist() == [0.25, 0.5, 0.75, 1.0]
+
+
+class TestSemdedup:
+    def test_planted_near_dup_drops_larger_id(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import semdedup
+
+        rng = np.random.default_rng(5)
+        base = rng.normal(size=(6, 8))
+        # vec 4 = vec 1 + tiny noise (same cluster, cosine ~1);
+        # vec 5 orthogonal-ish
+        base[4] = base[1] + 0.01 * rng.normal(size=8)
+        ds = ray.data.from_pandas(
+            pd.DataFrame(
+                {"vec_id": range(6), "embedding": [list(r) for r in base]}
+            )
+        )
+        cents = base[:2]
+        out = (
+            semdedup(ds, cents, threshold=0.95)
+            .to_pandas()
+            .sort_values("vec_id")
+        )
+        kept = set(out["vec_id"])
+        assert 1 in kept and 4 not in kept  # larger id of the pair drops
+        assert len(kept) == 5
+
+    def test_partitioning_invariance(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import semdedup
+
+        rng = np.random.default_rng(11)
+        mat = rng.normal(size=(40, 8))
+        mat[30:] = mat[:10] + 0.001 * rng.normal(size=(10, 8))
+        df = pd.DataFrame(
+            {"vec_id": range(40), "embedding": [list(r) for r in mat]}
+        )
+        cents = mat[:4]
+        a = (
+            semdedup(ray.data.from_pandas(df), cents, threshold=0.9)
+            .to_pandas().sort_values("vec_id").reset_index(drop=True)
+        )
+        b = (
+            semdedup(
+                ray.data.from_pandas(df).repartition(7), cents, threshold=0.9
+            )
+            .to_pandas().sort_values("vec_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+        assert set(range(30, 40)).isdisjoint(set(a["vec_id"]))
+
+
+class TestVocabOverlap:
+    def test_shared_vocab_fraction(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.sketches import vocab_overlap
+
+        # src a: tokens t0..t19; src b: t10..t29 -> true jaccard = 10/30
+        docs = []
+        docs.append(("a", " ".join(f"t{i}" for i in range(20))))
+        docs.append(("b", " ".join(f"t{i}" for i in range(10, 30))))
+        ds = ray.data.from_pandas(
+            pd.DataFrame(docs, columns=["source", "text"])
+        )
+        out = vocab_overlap(ds, k=256)
+        assert len(out) == 1
+        row = out.iloc[0]
+        # k > |union| -> the sketch IS the full set -> exact jaccard
+        assert row["k_eff"] == 30 and row["n_common"] == 10
+        assert abs(row["jaccard_est"] - 10 / 30) < 1e-12
+
+    def test_sketch_bounded_at_k(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.sketches import vocab_overlap
+
+        docs = [
+            ("a", " ".join(f"w{i}" for i in range(500))),
+            ("b", " ".join(f"w{i}" for i in range(250, 750))),
+        ]
+        out = vocab_overlap(
+            ray.data.from_pandas(pd.DataFrame(docs, columns=["source", "text"])),
+            k=64,
+        )
+        row = out.iloc[0]
+        assert row["k_eff"] == 64
+        # true jaccard = 250/750 = 1/3; KMV with k=64 should land nearby
+        assert 0.15 < row["jaccard_est"] < 0.55
+
+
+class TestTemperatureMix:
+    def test_small_source_upweighted(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.curation import temperature_mix
+
+        df = pd.DataFrame(
+            {
+                "doc_id": range(1100),
+                "source": ["big"] * 1000 + ["small"] * 100,
+            }
+        )
+        out = (
+            temperature_mix(ray.data.from_pandas(df))
+            .to_pandas()
+            .set_index("source")
+        )
+        # alpha=1/2: keep-rate ratio small/big = sqrt(big/small) ~ 3.16x
+        rate_big = out.loc["big", "n_kept"] / out.loc["big", "n_total"]
+        rate_small = out.loc["small", "n_kept"] / out.loc["small", "n_total"]
+        assert rate_small > 1.8 * rate_big
+        total_kept = int(out["n_kept"].sum())
+        assert 0.35 * 1100 < total_kept < 0.65 * 1100  # target ~ N/2
+
+    def test_partitioning_invariance(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.curation import temperature_mix
+
+        df = pd.DataFrame(
+            {"doc_id": range(400), "source": [f"s{i % 3}" for i in range(400)]}
+        )
+        a = (
+            temperature_mix(ray.data.from_pandas(df))
+            .to_pandas().sort_values("source").reset_index(drop=True)
+        )
+        b = (
+            temperature_mix(ray.data.from_pandas(df).repartition(9))
+            .to_pandas().sort_values("source").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
