@@ -133,6 +133,9 @@ BENCH_QUERIES = [
     "semdedup",
     "vocab_overlap",
     "temperature_mix",
+    "event_ranks",
+    "embedding_covariance",
+    "bpe_merge_pairs",
 ]
 
 

@@ -677,3 +677,68 @@ def table_checksum(
         )
 
     return sums.map_batches(finish, batch_format="pandas")
+
+
+def embedding_covariance(
+    ds: "ray.data.Dataset", col: str = "embedding", round_to: int = 4
+) -> "ray.data.Dataset":
+    """Upper-triangle covariance matrix of the embedding columns — the
+    PCA-fit moment pass (fit-small/apply-wide: the dim×dim moments are
+    the only thing that ever leaves the scan; an eigendecomposition of
+    the returned matrix is a driver-side O(dim³) afterthought).
+
+    One pass: each batch matmuls its (rows × dim) block into ONE
+    dim×dim Gram partial plus per-dim sums, emitted long as
+    (i, j, sxy, si, sj, n) for i ≤ j — O(batches × dim²) shuffle rows,
+    never O(rows).  The finish computes the naive-sums covariance
+    (sxy − si·sj/n)/n — the same expression tree the SQL twin spells —
+    rounded to ``round_to`` (cross-row float-sum contract, the
+    embedding_dim_stats convention).
+
+    Output: (i:int64, j:int64, cov:float64), 1-based dims, i ≤ j.
+    """
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.io_utils import arrow_out
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.vstack(df[col].to_numpy()).astype(np.float64)
+        gram = m.T @ m
+        s = m.sum(axis=0)
+        iu, ju = np.triu_indices(m.shape[1])
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    "i": (iu + 1).astype(np.int64),
+                    "j": (ju + 1).astype(np.int64),
+                    "sxy": gram[iu, ju],
+                    "si": s[iu],
+                    "sj": s[ju],
+                    "n": np.int64(m.shape[0]),
+                }
+            )
+        )
+
+    agg = (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["i", "j"])
+        .aggregate(
+            Sum("sxy", alias_name="sxy"),
+            Sum("si", alias_name="si"),
+            Sum("sj", alias_name="sj"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        sxy, si, sj, n = df["sxy"], df["si"], df["sj"], df["n"]
+        return pd.DataFrame(
+            {
+                "i": df["i"].astype("int64"),
+                "j": df["j"].astype("int64"),
+                "cov": ((sxy - si * sj / n) / n).round(round_to),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")

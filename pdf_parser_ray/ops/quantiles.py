@@ -301,3 +301,136 @@ def grouped_mad(
     mad = grouped_quantile_disc(dev, group_col, "__dev", {"mad": 0.5}, bins=bins)
     out = med.merge(mad, on=group_col)
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+def global_value_ranks(
+    ds: ray.data.Dataset,
+    value_col: str,
+    id_col: str,
+    *,
+    bucket_width: float = 1.0,
+    n_tiles: int = 10,
+    n_parts: int = 64,
+) -> ray.data.Dataset:
+    """EXACT global rank / percent_rank / ntile of every row under the
+    total order (value, id) — WITHOUT a global sort.
+
+    The all-to-all a ``sort()`` needs is replaced by the histogram +
+    prefix-offset plan (the token_budget_cap distributed-prefix-sum
+    family applied to ordering):
+
+    1. one streaming pass bins values into ORDERED coarse buckets
+       (``floor(value / bucket_width)``) and emits per-batch bucket
+       counts — bounded at value-range/width rows per batch;
+    2. the driver turns the (tiny) bucket histogram into EXCLUSIVE
+       prefix offsets: rows in earlier buckets = the global rank base
+       of each bucket;
+    3. one bucket co-location ranks each bucket locally by (value, id)
+       and adds its offset — exact because the bucket function is
+       monotone in value, so bucket order IS value order.
+
+    Skew note: a bucket is the co-location unit, so ``bucket_width``
+    must keep the densest bucket partition-sized (at 10^12 rows pick
+    widths from a quantile sketch, or recurse: re-bucket any bucket
+    whose count exceeds the partition budget by a finer width —
+    documented assumption, not needed at bench scale).
+
+    ntile follows the SQL rule (first N mod k tiles get the extra
+    row): tile = the smallest t with rank ≤ t·⌈N/k⌉ adjusted for the
+    remainder — computed closed-form from (rank, N, k) on both
+    engines.  percent_rank = (rank−1)/(N−1), a ratio of identical
+    ints.
+
+    Output: (id_col, value_col, rnk:int64, pct_rank:float64,
+    tile:int64).
+    """
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    def bucket_of(vals: np.ndarray) -> np.ndarray:
+        return np.floor(vals / bucket_width).astype(np.int64)
+
+    def hist_partial(df: pd.DataFrame):
+        b = bucket_of(df[value_col].to_numpy(dtype=np.float64))
+        u, c = np.unique(b, return_counts=True)
+        return arrow_out(pd.DataFrame({"b": u, "c": c.astype(np.int64)}))
+
+    hist = (
+        ds.select_columns([value_col])
+        .map_batches(hist_partial, batch_format="pandas")
+        .to_pandas()  # ≤ batches × buckets rows — bounded
+        .groupby("b", as_index=False)["c"].sum()
+        .sort_values("b")
+    )
+    n_total = int(hist["c"].sum())
+    offsets = dict(
+        zip(hist["b"], np.concatenate([[0], hist["c"].cumsum()[:-1]]))
+    )
+    off_ref = ray.put(offsets)
+
+    def tag(df: pd.DataFrame):
+        b = bucket_of(df[value_col].to_numpy(dtype=np.float64))
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    id_col: df[id_col].to_numpy(),
+                    value_col: df[value_col].to_numpy(),
+                    "b": b,
+                }
+            )
+        )
+
+    tagged = ds.select_columns([id_col, value_col]).map_batches(
+        tag, batch_format="pandas"
+    )
+
+    # SQL ntile: first r tiles have q+1 rows, rest q (q = N//k, r = N%k)
+    q, r = divmod(n_total, n_tiles)
+    big = r * (q + 1)  # rows covered by the q+1-sized tiles
+
+    def rank_partition(part: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.stages import worker_state
+
+        offs: dict = worker_state(
+            ("gvr_off", off_ref.hex()), lambda: ray.get(off_ref)
+        )
+        out = []
+        for b, g in part.groupby("b"):
+            g = g.sort_values(
+                [value_col, id_col], kind="mergesort"
+            ).reset_index(drop=True)
+            rnk = np.arange(1, len(g) + 1, dtype=np.int64) + int(offs[b])
+            if q == 0:
+                tile = np.minimum(rnk, n_tiles)
+            else:
+                tile = np.where(
+                    rnk <= big,
+                    (rnk - 1) // (q + 1) + 1,
+                    r + (rnk - big - 1) // q + 1,
+                ).astype(np.int64)
+            out.append(
+                pd.DataFrame(
+                    {
+                        id_col: g[id_col],
+                        value_col: g[value_col],
+                        "rnk": rnk,
+                        "pct_rank": (rnk - 1).astype(np.float64)
+                        / float(n_total - 1)
+                        if n_total > 1
+                        else np.zeros(len(g)),
+                        "tile": tile,
+                    }
+                )
+            )
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series([], dtype="int64"),
+                value_col: pd.Series([], dtype="float64"),
+                "rnk": pd.Series([], dtype="int64"),
+                "pct_rank": pd.Series([], dtype="float64"),
+                "tile": pd.Series([], dtype="int64"),
+            }
+        )
+        return arrow_out(pd.concat(out, ignore_index=True) if out else empty)
+
+    return partitioned_map(tagged, ["b"], rank_partition, n_parts=n_parts)

@@ -1263,3 +1263,72 @@ def source_kl(
             "kl_bits": kl,
         }
     ).sort_values(group_col).reset_index(drop=True)
+
+
+def bpe_pair_counts(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    k: int = 20,
+) -> pd.DataFrame:
+    """The first BPE merge decision: corpus-wide counts of adjacent
+    character pairs inside whitespace tokens, top-k by (count DESC,
+    pair ASC) — tokenizer induction's inner loop as a dataflow op.
+
+    Fully vectorized per batch (the no-row-loop contract): all of a
+    batch's words join into one '\\n'-separated string, the code-point
+    array is viewed as uint32 via UTF-32, adjacent pairs pack into one
+    uint64, separator-touching pairs mask out, and ``np.unique`` counts
+    the rest — one C pass per batch, no per-word Python loop.  Partials
+    are alphabet²-bounded, so the groupby is tiny and the top-k is a
+    driver afterthought.
+
+    Output (eager, k rows): (pair:str, cnt:int64).
+    """
+    import re as _re
+
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.io_utils import arrow_out
+
+    word_re = _re.compile(r"\S+")
+    SEP = 10  # '\n' — whitespace, so it can never appear inside a token
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        words: list[str] = []
+        for t in df[text_col]:
+            words.extend(word_re.findall((t or "").lower()))
+        if not words:
+            return arrow_out(
+                pd.DataFrame(
+                    {"p": pd.Series([], dtype="uint64"),
+                     "cnt": pd.Series([], dtype="int64")}
+                )
+            )
+        big = "\n".join(words)
+        arr = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32)
+        a, b = arr[:-1], arr[1:]
+        m = (a != SEP) & (b != SEP)
+        packed = (a[m].astype(np.uint64) << np.uint64(32)) | b[m].astype(
+            np.uint64
+        )
+        u, c = np.unique(packed, return_counts=True)
+        return arrow_out(pd.DataFrame({"p": u, "cnt": c.astype(np.int64)}))
+
+    agg = (
+        ds.select_columns([text_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("p")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # alphabet²-bounded
+    )
+    agg["pair"] = [
+        chr(int(p) >> 32) + chr(int(p) & 0xFFFFFFFF) for p in agg["p"]
+    ]
+    out = agg.sort_values(
+        ["cnt", "pair"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return pd.DataFrame(
+        {"pair": out["pair"].to_numpy(), "cnt": out["cnt"].astype("int64").to_numpy()}
+    )

@@ -6831,3 +6831,81 @@ SQL["temperature_mix"] = """
            CAST(sum(kept) AS BIGINT) AS n_kept
     FROM g GROUP BY source ORDER BY source
 """
+
+
+def q_event_ranks(sf_dir: str) -> ray.data.Dataset:
+    """EXACT global row_number / percent_rank / ntile(10) under
+    (value, event_id) — the histogram + prefix-offset plan instead of
+    a global sort (one bounded histogram pass + one bucket
+    co-location)."""
+    from pdf_parser_ray.ops.quantiles import global_value_ranks
+
+    return global_value_ranks(
+        _read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+        ),
+        "value", "event_id", bucket_width=1.0, n_tiles=10,
+    )
+
+
+QUERIES["event_ranks"] = q_event_ranks
+
+SQL["event_ranks"] = """
+    SELECT event_id, value,
+           row_number()   OVER w AS rnk,
+           percent_rank() OVER w AS pct_rank,
+           CAST(ntile(10) OVER w AS BIGINT) AS tile
+    FROM events
+    WINDOW w AS (ORDER BY value, event_id)
+"""
+
+
+def q_embedding_covariance(sf_dir: str) -> ray.data.Dataset:
+    """Upper-triangle covariance of the 64 embedding dims (the PCA-fit
+    moment pass): one Gram-partial matmul per batch, O(batches×dim²)
+    shuffle, naive-sums expression shared with the twin."""
+    from pdf_parser_ray.ops.profile import embedding_covariance
+
+    return embedding_covariance(
+        _read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    )
+
+
+def q_bpe_merge_pairs(sf_dir: str) -> pd.DataFrame:
+    """First BPE merge decision: top-20 adjacent character pairs inside
+    whitespace tokens (UTF-32 uint64-packed vectorized counting)."""
+    from pdf_parser_ray.ops.text_stats import bpe_pair_counts
+
+    return bpe_pair_counts(_documents(sf_dir, columns=["text"]), k=20)
+
+
+QUERIES["embedding_covariance"] = q_embedding_covariance
+QUERIES["bpe_merge_pairs"] = q_bpe_merge_pairs
+
+SQL["embedding_covariance"] = """
+    WITH u AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) AS dim,
+             unnest(CAST(embedding AS DOUBLE[])) AS x
+      FROM embeddings),
+    p AS (
+      SELECT a.dim AS i, b.dim AS j, a.x AS xa, b.x AS xb
+      FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.dim <= b.dim)
+    SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           round((sum(xa * xb) - sum(xa) * sum(xb) / count(*))
+                 / count(*), 4) AS cov
+    FROM p GROUP BY i, j ORDER BY i, j
+"""
+
+SQL["bpe_merge_pairs"] = r"""
+    WITH w AS (
+      SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS w
+      FROM documents),
+    p AS (
+      SELECT substr(w, CAST(i AS INT), 2) AS pair
+      FROM (SELECT w, unnest(range(1, length(w))) AS i
+            FROM w WHERE length(w) >= 2))
+    SELECT pair, count(*)::BIGINT AS cnt
+    FROM p GROUP BY pair
+    ORDER BY cnt DESC, pair ASC LIMIT 20
+"""

@@ -3204,3 +3204,58 @@ class TestTemperatureMix:
             .to_pandas().sort_values("source").reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestGlobalValueRanks:
+    def test_matches_pandas_and_partition_invariant(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.quantiles import global_value_ranks
+
+        rng = np.random.default_rng(3)
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(200, dtype=np.int64),
+                "value": np.round(rng.uniform(0, 37, 200), 2),
+            }
+        )
+        out = (
+            global_value_ranks(
+                ray.data.from_pandas(df), "value", "event_id",
+                bucket_width=5.0, n_tiles=7,
+            )
+            .to_pandas()
+            .sort_values("rnk")
+            .reset_index(drop=True)
+        )
+        exp = df.sort_values(["value", "event_id"]).reset_index(drop=True)
+        assert (out["event_id"].to_numpy() == exp["event_id"].to_numpy()).all()
+        assert (out["rnk"].to_numpy() == np.arange(1, 201)).all()
+        # ntile rule: 200 = 7*28 + 4 -> first 4 tiles of 29, then 28
+        sizes = out.groupby("tile").size()
+        assert sizes.loc[1] == 29 and sizes.loc[5] == 28
+        out2 = (
+            global_value_ranks(
+                ray.data.from_pandas(df).repartition(9), "value", "event_id",
+                bucket_width=5.0, n_tiles=7,
+            )
+            .to_pandas().sort_values("rnk").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out, out2)
+
+    def test_fewer_rows_than_tiles(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.quantiles import global_value_ranks
+
+        df = pd.DataFrame(
+            {"event_id": [10, 20, 30], "value": [3.0, 1.0, 2.0]}
+        )
+        out = (
+            global_value_ranks(
+                ray.data.from_pandas(df), "value", "event_id", n_tiles=10
+            )
+            .to_pandas().sort_values("rnk").reset_index(drop=True)
+        )
+        assert list(out["tile"]) == [1, 2, 3]
+        assert list(out["event_id"]) == [20, 30, 10]
