@@ -719,16 +719,15 @@ def embedding_covariance(
             )
         )
 
-    agg = (
-        ds.select_columns([col])
-        .map_batches(partial, batch_format="pandas")
-        .groupby(["i", "j"])
-        .aggregate(
-            Sum("sxy", alias_name="sxy"),
-            Sum("si", alias_name="si"),
-            Sum("sj", alias_name="sj"),
-            Sum("n", alias_name="n"),
-        )
+    # 2080 (i, j) keys at dim=64: the streaming sort-aggregate degrades
+    # on key spaces this size (the Q18 lesson, BASELINE.md) — co-locate
+    # instead (measured 13.5 s -> ~1 s at sf0.1/32 CPUs).
+    from pdf_parser_ray.ops.shuffle import grouped_sum
+
+    agg = grouped_sum(
+        ds.select_columns([col]).map_batches(partial, batch_format="pandas"),
+        ["i", "j"],
+        ["sxy", "si", "sj", "n"],
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
