@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     "event_ranks",
     "embedding_covariance",
     "bpe_merge_pairs",
+    "view_purchase_pairs",
+    "selfjoin_size_est",
 ]
 
 

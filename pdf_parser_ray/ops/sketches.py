@@ -526,19 +526,41 @@ def cms_top_k(
     Returns a driver-sized frame: (col, est_n:int64), top ``k`` by
     (est_n DESC, value ASC).
     """
+    cms = _cms_merged_sketch(ds, col, depth=depth, width=width)
+
+    candidates = sorted(ds.unique(col))
+    cand = np.asarray(candidates)
+    cells = _cms_cells(cand, depth, width)
+    est = cms[np.arange(depth)[None, :], cells].min(axis=1)
+    order = np.lexsort((cand, -est))[:k]
+    return pd.DataFrame(
+        {col: cand[order], "est_n": est[order].astype("int64")}
+    )
+
+
+def _cms_cells(values: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """distinct values -> (len, depth) int cell matrix via md5 — hash
+    row j of value v is ``int(md5(f"{j}:{v}")[:8], 16) % width``, the
+    SQL-replayable register contract shared by every CMS op here."""
     import hashlib
 
-    def _cells(values: np.ndarray) -> np.ndarray:
-        """distinct values -> (len, depth) int cell matrix via md5."""
-        out = np.empty((len(values), depth), dtype=np.int64)
-        for i, v in enumerate(values):
-            s = str(v)
-            for j in range(depth):
-                out[i, j] = (
-                    int(hashlib.md5(f"{j}:{s}".encode()).hexdigest()[:8], 16)
-                    % width
-                )
-        return out
+    out = np.empty((len(values), depth), dtype=np.int64)
+    for i, v in enumerate(values):
+        s = str(v)
+        for j in range(depth):
+            out[i, j] = (
+                int(hashlib.md5(f"{j}:{s}".encode()).hexdigest()[:8], 16)
+                % width
+            )
+    return out
+
+
+def _cms_merged_sketch(
+    ds: ray.data.Dataset, col: str, *, depth: int, width: int
+) -> np.ndarray:
+    """Per-batch CMS partials ((row, cell, n) triples, ≤ depth×width
+    nonzero each) merged into one (depth, width) int64 sketch on the
+    driver — bounded regardless of corpus size."""
 
     def sketch_batch(df: pd.DataFrame) -> pd.DataFrame:
         from pdf_parser_ray.stages import worker_state
@@ -548,7 +570,9 @@ def cms_top_k(
         vals = counts.index.to_numpy()
         missing = [v for v in vals if v not in cache]
         if missing:
-            for v, row in zip(missing, _cells(np.asarray(missing))):
+            for v, row in zip(
+                missing, _cms_cells(np.asarray(missing), depth, width)
+            ):
                 cache[v] = row
         mat = np.zeros((depth, width), dtype=np.int64)
         n = counts.to_numpy()
@@ -563,20 +587,38 @@ def cms_top_k(
     parts = (
         ds.select_columns([col])
         .map_batches(sketch_batch, batch_format="pandas")
-        .to_pandas()  # bounded: <= depth*width rows per batch, merged here
+        .to_pandas()  # bounded: <= depth*width rows per batch
     )
     cms = np.zeros((depth, width), dtype=np.int64)
     np.add.at(cms, (parts["j"].to_numpy(), parts["cell"].to_numpy()),
               parts["n"].to_numpy())
+    return cms
 
-    candidates = sorted(ds.unique(col))
-    cand = np.asarray(candidates)
-    cells = _cells(cand)
-    est = cms[np.arange(depth)[None, :], cells].min(axis=1)
-    order = np.lexsort((cand, -est))[:k]
-    return pd.DataFrame(
-        {col: cand[order], "est_n": est[order].astype("int64")}
-    )
+
+def cms_selfjoin_size(
+    ds: ray.data.Dataset,
+    col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+) -> pd.DataFrame:
+    """Self-join size (second frequency moment F2 = Σ_k c(k)²) estimate
+    from the Count-Min sketch inner product (Cormode & Muthukrishnan
+    2005 §4.2): est = min over hash rows of Σ_cell n² — an upper bound
+    that tightens as width grows, computed WITHOUT the key-cardinality
+    shuffle an exact Σc² needs.  The planner statistic for "how big
+    would a join / self-join on this key be" and the standard skew
+    diagnostic (F2/N² → uniformity).
+
+    Same register contract as :func:`cms_top_k`, so a SQL twin replays
+    the exact cells and takes the identical min — the estimate itself
+    is value-checked, not just row-checked.
+
+    Returns one row: (est:int64).
+    """
+    cms = _cms_merged_sketch(ds, col, depth=depth, width=width)
+    est = int((cms.astype(object) ** 2).sum(axis=1).min())
+    return pd.DataFrame({"est": pd.Series([est], dtype="int64")})
 
 
 def grouped_kmv_quantiles(

@@ -2011,3 +2011,94 @@ def type_burstiness(
         )
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def interval_join_pairs(
+    ds: ray.data.Dataset,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    from_type: str = "view",
+    to_type: str = "purchase",
+    window_s: int = 3600,
+    n_parts: int | None = None,
+) -> ray.data.Dataset:
+    """Stream-stream interval join, aggregated per key: for every user,
+    count ALL (from_type, to_type) event pairs with
+    0 ≤ t_to − t_from ≤ window_s, plus the exact total lag — the
+    bounded-time correlation join (ad attribution, view→buy windows)
+    that a plain equi-join cannot express.
+
+    The pair set is quadratic per user in the worst case, so the pairs
+    themselves never materialize: ONE user co-location, and inside
+    each partition the per-user sorted to-array answers every from-row
+    by binary search (np.searchsorted window bounds) while the
+    prefix-sum of to-timestamps turns "sum of lags in my window" into
+    two subtractions.  O(n log n) per partition, zero pair explosion.
+
+    Exactness: timestamps compare as int64 microseconds; lag_s_total
+    is the sum of whole-second FLOORS of µs differences (each pair's
+    floor, then the sum — matching SQL's sum of date_diff seconds)…
+    floor per pair requires per-pair work, so instead the contract is
+    the µs SUM: lag_us_total = Σ (t_to − t_from) in exact int64 µs,
+    which SQL re-derives identically with no float anywhere.
+
+    Output: (user_col, n_pairs:int64, lag_us_total:int64), users with
+    ≥1 pair.
+    """
+    import numpy as np
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    w_us = np.int64(window_s) * np.int64(1_000_000)
+
+    def prune(df: pd.DataFrame):
+        keep = df[df[type_col].isin([from_type, to_type])]
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    user_col: keep[user_col].to_numpy(),
+                    "is_to": (keep[type_col] == to_type).to_numpy(),
+                    "ts_us": keep[ts_col]
+                    .to_numpy("datetime64[us]")
+                    .astype("int64"),
+                }
+            )
+        )
+
+    pruned = ds.select_columns([user_col, type_col, ts_col]).map_batches(
+        prune, batch_format="pandas"
+    )
+
+    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        rows_u, rows_n, rows_l = [], [], []
+        for u, g in part.groupby(user_col):
+            f = np.sort(g.loc[~g["is_to"], "ts_us"].to_numpy())
+            t = np.sort(g.loc[g["is_to"], "ts_us"].to_numpy())
+            if len(f) == 0 or len(t) == 0:
+                continue
+            lo = np.searchsorted(t, f, side="left")
+            hi = np.searchsorted(t, f + w_us, side="right")
+            cnt = hi - lo
+            pos = cnt > 0
+            if not pos.any():
+                continue
+            csum = np.concatenate([[0], np.cumsum(t)])
+            lag = (csum[hi] - csum[lo]) - cnt * f
+            rows_u.append(u)
+            rows_n.append(int(cnt.sum()))
+            rows_l.append(int(lag[pos].sum()))
+        return pd.DataFrame(
+            {
+                user_col: pd.Series(rows_u, dtype="int64"),
+                "n_pairs": pd.Series(rows_n, dtype="int64"),
+                "lag_us_total": pd.Series(rows_l, dtype="int64"),
+            }
+        )
+
+    return partitioned_map(
+        pruned, [user_col], per_partition,
+        **({"n_parts": n_parts} if n_parts else {}),
+    )

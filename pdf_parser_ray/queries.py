@@ -6909,3 +6909,63 @@ SQL["bpe_merge_pairs"] = r"""
     FROM p GROUP BY pair
     ORDER BY cnt DESC, pair ASC LIMIT 20
 """
+
+
+def q_view_purchase_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Stream-stream interval join per user: ALL view->purchase pairs
+    within 1 h, counted + exact int64-µs total lag — pairs never
+    materialize (searchsorted windows + prefix sums in one user
+    co-location)."""
+    from pdf_parser_ray.ops.windows import interval_join_pairs
+
+    return interval_join_pairs(
+        _read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_type", "ts"],
+        ),
+        window_s=3600,
+    )
+
+
+def q_selfjoin_size_est(sf_dir: str) -> pd.DataFrame:
+    """F2 self-join-size estimate for lineitem.l_partkey from the CMS
+    inner product (min over hash rows of Σ cell²) — the planner/skew
+    statistic without the key-cardinality shuffle; register-exact
+    DuckDB replay."""
+    from pdf_parser_ray.ops.sketches import cms_selfjoin_size
+
+    return cms_selfjoin_size(
+        _read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"]),
+        "l_partkey",
+    )
+
+
+QUERIES["view_purchase_pairs"] = q_view_purchase_pairs
+QUERIES["selfjoin_size_est"] = q_selfjoin_size_est
+
+SQL["view_purchase_pairs"] = """
+    WITH f AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    t AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    p AS (
+      SELECT f.user_id, epoch_us(t.ts) - epoch_us(f.ts) AS lag_us
+      FROM f JOIN t ON f.user_id = t.user_id
+      WHERE t.ts >= f.ts AND t.ts <= f.ts + INTERVAL 3600 SECONDS)
+    SELECT user_id, count(*)::BIGINT AS n_pairs,
+           CAST(sum(lag_us) AS BIGINT) AS lag_us_total
+    FROM p GROUP BY user_id ORDER BY user_id
+"""
+
+SQL["selfjoin_size_est"] = """
+    WITH c AS (
+      SELECT l_partkey AS v, count(*)::BIGINT AS n
+      FROM lineitem GROUP BY l_partkey),
+    cells AS (
+      SELECT j,
+             ('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                                 || CAST(v AS VARCHAR)), 1, 8))::UBIGINT
+               % 1024 AS cell,
+             CAST(sum(n) AS BIGINT) AS n
+      FROM c CROSS JOIN range(4) t(j) GROUP BY j, cell),
+    rows_ AS (SELECT j, sum(n * n) AS s FROM cells GROUP BY j)
+    SELECT CAST(min(s) AS BIGINT) AS est FROM rows_
+"""

@@ -3259,3 +3259,85 @@ class TestGlobalValueRanks:
         )
         assert list(out["tile"]) == [1, 2, 3]
         assert list(out["event_id"]) == [20, 30, 10]
+
+
+class TestIntervalJoinPairs:
+    def test_matches_bruteforce(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import interval_join_pairs
+
+        rng = np.random.default_rng(9)
+        n = 300
+        base = pd.Timestamp("2024-01-01").value // 1000
+        df = pd.DataFrame(
+            {
+                "user_id": rng.integers(0, 5, n),
+                "event_type": rng.choice(["view", "purchase", "click"], n),
+                "ts": pd.to_datetime(
+                    base + rng.integers(0, 86_400_000_000, n), unit="us"
+                ),
+            }
+        )
+        out = (
+            interval_join_pairs(ray.data.from_pandas(df), window_s=3600)
+            .to_pandas().set_index("user_id").sort_index()
+        )
+        # brute force
+        us = df["ts"].astype("datetime64[us]").astype("int64")
+        exp = {}
+        for u in sorted(df["user_id"].unique()):
+            g = df[df["user_id"] == u]
+            f = us[g.index[g["event_type"] == "view"]].to_numpy()
+            t = us[g.index[g["event_type"] == "purchase"]].to_numpy()
+            pairs = [
+                (tv, tp) for tv in f for tp in t
+                if 0 <= tp - tv <= 3_600_000_000
+            ]
+            if pairs:
+                exp[u] = (len(pairs), sum(tp - tv for tv, tp in pairs))
+        assert dict(zip(out.index, zip(out["n_pairs"], out["lag_us_total"]))) \
+            == {u: (n_, l_) for u, (n_, l_) in exp.items()}
+
+    def test_partitioning_invariance(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import interval_join_pairs
+
+        rng = np.random.default_rng(17)
+        n = 500
+        df = pd.DataFrame(
+            {
+                "user_id": rng.integers(0, 40, n),
+                "event_type": rng.choice(["view", "purchase"], n),
+                "ts": pd.to_datetime(
+                    rng.integers(0, 10**9, n) * 1000, unit="us"
+                ),
+            }
+        )
+        a = (
+            interval_join_pairs(ray.data.from_pandas(df))
+            .to_pandas().sort_values("user_id").reset_index(drop=True)
+        )
+        b = (
+            interval_join_pairs(ray.data.from_pandas(df).repartition(11))
+            .to_pandas().sort_values("user_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestCmsSelfjoinSize:
+    def test_upper_bound_and_convergence(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.sketches import cms_selfjoin_size
+
+        rng = np.random.default_rng(2)
+        vals = rng.zipf(1.7, 4000) % 500
+        ds = ray.data.from_pandas(pd.DataFrame({"k": vals}))
+        exact = int((pd.Series(vals).value_counts() ** 2).sum())
+        est_narrow = int(cms_selfjoin_size(ds, "k", width=64)["est"][0])
+        est_wide = int(cms_selfjoin_size(ds, "k", width=4096)["est"][0])
+        assert est_wide >= exact and est_narrow >= exact  # never undercounts
+        assert est_wide - exact <= est_narrow - exact     # width tightens
+        assert est_wide <= exact * 1.05                   # near-exact when wide
