@@ -138,6 +138,8 @@ BENCH_QUERIES = [
     "bpe_merge_pairs",
     "view_purchase_pairs",
     "selfjoin_size_est",
+    "spend_gini",
+    "qty_weighted_median_price",
 ]
 
 

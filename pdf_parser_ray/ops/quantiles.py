@@ -434,3 +434,132 @@ def global_value_ranks(
         return arrow_out(pd.concat(out, ignore_index=True) if out else empty)
 
     return partitioned_map(tagged, ["b"], rank_partition, n_parts=n_parts)
+
+
+def gini_coefficient(
+    ds: ray.data.Dataset,
+    value_col: str,
+    id_col: str,
+    *,
+    bucket_width: float = 1.0,
+    n_parts: int = 64,
+) -> ray.data.Dataset:
+    """Exact Gini inequality coefficient over integer-valued amounts —
+    the sorted-rank identity G = Σ(2·rank − n − 1)·x / (n·Σx) computed
+    WITHOUT a global sort, by composing :func:`global_value_ranks`
+    (histogram + prefix offsets + bucket co-location) with one partial
+    moment pass.
+
+    The identity is permutation-invariant within ties (equal x
+    contribute the same regardless of rank order), so the (value, id)
+    tie-break is immaterial to the result — the twin needs no tie
+    discipline.  All sums are exact int64 (values must be integers,
+    e.g. cents); the only float is the final ratio of two ints both
+    engines hold bit-identically.  Overflow bound: n·Σx < 2^63 —
+    ~9×10^18 value-units, document per use.
+
+    Output: one row (gini:float64, n:int64).
+    """
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.io_utils import arrow_out
+
+    ranks = global_value_ranks(
+        ds, value_col, id_col, bucket_width=bucket_width, n_parts=n_parts
+    )
+
+    def partial(df: pd.DataFrame):
+        x = df[value_col].to_numpy(dtype=np.int64)
+        r = df["rnk"].to_numpy(dtype=np.int64)
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    "srx": [int((r * x).sum())],
+                    "sx": [int(x.sum())],
+                    "n": [np.int64(len(df))],
+                }
+            )
+        )
+
+    agg = ranks.map_batches(partial, batch_format="pandas").aggregate(
+        Sum("srx", alias_name="srx"),
+        Sum("sx", alias_name="sx"),
+        Sum("n", alias_name="n"),
+    )
+    import ray.data as rd
+
+    srx, sx, n = int(agg["srx"]), int(agg["sx"]), int(agg["n"])
+    num = 2 * srx - (n + 1) * sx
+    gini = float(num) / (float(n) * float(sx)) if n and sx else 0.0
+    return rd.from_pandas(
+        pd.DataFrame({"gini": [gini], "n": [np.int64(n)]})
+    )
+
+
+def weighted_median(
+    ds: ray.data.Dataset,
+    value_col: str,
+    weight_col: str,
+    *,
+    bucket_width: float = 1.0,
+    n_parts: int = 64,
+) -> ray.data.Dataset:
+    """Exact weighted median: the smallest value v whose running weight
+    (over values ascending) reaches half the total — two bounded
+    passes, no global sort.
+
+    Pass 1 histograms integer weights per ordered value-bucket (the
+    global_value_ranks plan); the driver's prefix sum finds the single
+    bucket that straddles W/2.  Pass 2 scans ONLY that bucket's rows
+    (a vectorized filter, no shuffle), sorts its bounded frame, and
+    picks the boundary value.  Weights must be integers (exact
+    comparison 2·cum ≥ W, no float accumulation).
+
+    Output: one row (median:float64, total_weight:int64).
+    """
+    from pdf_parser_ray.io_utils import arrow_out
+
+    def bucket_of(vals: np.ndarray) -> np.ndarray:
+        return np.floor(vals / bucket_width).astype(np.int64)
+
+    def hist_partial(df: pd.DataFrame):
+        b = bucket_of(df[value_col].to_numpy(dtype=np.float64))
+        w = df[weight_col].to_numpy(dtype=np.int64)
+        g = pd.DataFrame({"b": b, "w": w}).groupby("b", as_index=False).sum()
+        return arrow_out(g)
+
+    hist = (
+        ds.select_columns([value_col, weight_col])
+        .map_batches(hist_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("b", as_index=False)["w"].sum()
+        .sort_values("b")
+    )
+    total = int(hist["w"].sum())
+    cum = hist["w"].cumsum()
+    # smallest bucket where 2*cum >= total
+    idx = int(np.searchsorted(2 * cum.to_numpy(), total, side="left"))
+    target_b = int(hist["b"].iloc[idx])
+    before = int(cum.iloc[idx - 1]) if idx > 0 else 0
+
+    def in_bucket(df: pd.DataFrame):
+        b = bucket_of(df[value_col].to_numpy(dtype=np.float64))
+        keep = df[b == target_b]
+        return arrow_out(keep[[value_col, weight_col]])
+
+    rows = (
+        ds.select_columns([value_col, weight_col])
+        .map_batches(in_bucket, batch_format="pandas")
+        .to_pandas()  # one bucket — bounded by construction
+        .sort_values(value_col, kind="mergesort")
+    )
+    cum2 = before + rows[weight_col].astype("int64").cumsum().to_numpy()
+    pos = int(np.searchsorted(2 * cum2, total, side="left"))
+    med = float(rows[value_col].iloc[pos])
+    import ray.data as rd
+
+    return rd.from_pandas(
+        pd.DataFrame(
+            {"median": [med], "total_weight": [np.int64(total)]}
+        )
+    )

@@ -6969,3 +6969,108 @@ SQL["selfjoin_size_est"] = """
     rows_ AS (SELECT j, sum(n * n) AS s FROM cells GROUP BY j)
     SELECT CAST(min(s) AS BIGINT) AS est FROM rows_
 """
+
+
+def q_spend_gini(sf_dir: str) -> ray.data.Dataset:
+    """Exact Gini coefficient of customer spend (integer cents) — the
+    sorted-rank identity composed over the no-sort rank machinery;
+    the only float is the final ratio of two exact ints."""
+    from pdf_parser_ray.ops.quantiles import gini_coefficient
+    from pdf_parser_ray.ops.shuffle import grouped_sum
+
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def cents_partial(df: pd.DataFrame):
+        import numpy as np
+
+        from pdf_parser_ray.io_utils import arrow_out
+
+        g = pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"].to_numpy(),
+                "cents": np.rint(
+                    df["o_totalprice"].to_numpy() * 100.0
+                ).astype(np.int64),
+            }
+        )
+        return arrow_out(g.groupby("o_custkey", as_index=False)["cents"].sum())
+
+    totals = grouped_sum(
+        orders.map_batches(cents_partial, batch_format="pandas"),
+        ["o_custkey"], ["cents"],
+    )
+
+    def as_float(df: pd.DataFrame):
+        from pdf_parser_ray.io_utils import arrow_out
+
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    "o_custkey": df["o_custkey"].astype("int64"),
+                    "cents": df["cents"].astype("float64"),
+                }
+            )
+        )
+
+    return gini_coefficient(
+        totals.map_batches(as_float, batch_format="pandas"),
+        "cents", "o_custkey", bucket_width=10_000_000.0,
+    )
+
+
+def q_qty_weighted_median_price(sf_dir: str) -> ray.data.Dataset:
+    """Exact quantity-weighted median extended price (the 'typical
+    price per unit sold'): two bounded passes — value-bucket weight
+    histogram + one straddling-bucket scan; integer running weights."""
+    from pdf_parser_ray.ops.quantiles import weighted_median
+
+    return weighted_median(
+        _read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_extendedprice", "l_quantity"],
+        ),
+        "l_extendedprice", "l_quantity", bucket_width=1000.0,
+    )
+
+
+QUERIES["spend_gini"] = q_spend_gini
+QUERIES["qty_weighted_median_price"] = q_qty_weighted_median_price
+
+# num = 2·srx − (n+1)·sx stays exact-int on both engines; the division
+# uses the identical three doubles
+SQL["spend_gini"] = """
+    WITH s AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey),
+    r AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS rk
+      FROM s),
+    m AS (
+      SELECT CAST(sum(rk * cents) AS BIGINT) AS srx,
+             CAST(sum(cents) AS BIGINT) AS sx,
+             count(*)::BIGINT AS n
+      FROM r)
+    SELECT CAST(2 * srx - (n + 1) * sx AS BIGINT)::DOUBLE
+             / (n::DOUBLE * sx::DOUBLE) AS gini,
+           n
+    FROM m
+"""
+
+SQL["qty_weighted_median_price"] = """
+    WITH w AS (
+      SELECT l_extendedprice AS v, CAST(l_quantity AS BIGINT) AS wt
+      FROM lineitem),
+    t AS (SELECT CAST(sum(wt) AS BIGINT) AS total FROM w),
+    r AS (
+      SELECT v,
+             sum(wt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+      FROM w)
+    SELECT CAST(min(v) AS DOUBLE) AS median,
+           (SELECT total FROM t) AS total_weight
+    FROM r WHERE 2 * cum >= (SELECT total FROM t)
+"""

@@ -3341,3 +3341,46 @@ class TestCmsSelfjoinSize:
         assert est_wide >= exact and est_narrow >= exact  # never undercounts
         assert est_wide - exact <= est_narrow - exact     # width tightens
         assert est_wide <= exact * 1.05                   # near-exact when wide
+
+
+class TestGiniAndWeightedMedian:
+    def test_gini_known_values(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.quantiles import gini_coefficient
+
+        # perfectly equal -> 0
+        eq = pd.DataFrame({"id": range(10), "v": [100.0] * 10})
+        g0 = gini_coefficient(
+            ray.data.from_pandas(eq), "v", "id", bucket_width=50.0
+        ).to_pandas()
+        assert abs(g0["gini"][0]) < 1e-12
+        # one holder of everything among n -> (n-1)/n
+        skew = pd.DataFrame(
+            {"id": range(10), "v": [0.0] * 9 + [1000.0]}
+        )
+        g1 = gini_coefficient(
+            ray.data.from_pandas(skew), "v", "id", bucket_width=50.0
+        ).to_pandas()
+        assert abs(g1["gini"][0] - 0.9) < 1e-12
+
+    def test_weighted_median_matches_numpy(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.quantiles import weighted_median
+
+        rng = np.random.default_rng(8)
+        df = pd.DataFrame(
+            {
+                "v": np.round(rng.uniform(0, 90, 400), 2),
+                "w": rng.integers(1, 9, 400),
+            }
+        )
+        out = weighted_median(
+            ray.data.from_pandas(df), "v", "w", bucket_width=7.0
+        ).to_pandas()
+        s = df.sort_values("v")
+        cum = s["w"].cumsum().to_numpy()
+        exp = float(s["v"].to_numpy()[np.searchsorted(2 * cum, cum[-1])])
+        assert out["median"][0] == exp
+        assert int(out["total_weight"][0]) == int(df["w"].sum())
