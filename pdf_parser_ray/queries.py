@@ -5888,7 +5888,19 @@ def q_containment_survivors(sf_dir: str) -> ray.data.Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    drops = set(pairs.unique("b"))  # bounded by the near-dup count
+    # Per-batch unique partial -> driver set union (bounded by the
+    # near-dup count).  Not Dataset.unique: Ray 2.49's Unique combine
+    # intermittently receives an ndarray accumulator on this plan shape
+    # (observed once in a long-session full sweep: TypeError unhashable
+    # ndarray inside aggregate reduce) — the explicit partial is flake-
+    # free and the same cost.
+    import pyarrow.compute as _pc
+
+    bsets = pairs.map_batches(
+        lambda t: pa.table({"b": _pc.unique(t.column("b"))}),
+        batch_format="pyarrow",
+    ).to_pandas()
+    drops = set(bsets["b"].tolist())
     dref = ray.put(drops)
 
     def keep(t: pa.Table) -> pa.Table:
