@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "selfjoin_size_est",
     "spend_gini",
     "qty_weighted_median_price",
+    "cusum_changepoint",
 ]
 
 

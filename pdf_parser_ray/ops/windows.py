@@ -2102,3 +2102,157 @@ def interval_join_pairs(
         pruned, [user_col], per_partition,
         **({"n_parts": n_parts} if n_parts else {}),
     )
+
+
+def cusum_changepoint(
+    ds: ray.data.Dataset,
+    *,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    n_parts: int | None = None,
+) -> ray.data.Dataset:
+    """CUSUM change-point scan per key: the (ts, id)-ordered running
+    sum of deviations from the key's mean, reported at its maximum
+    |excursion| — the classic level-shift detector.
+
+    EXACT integer contract: deviations are n·x − S (value in cents,
+    scaled by the key's row count so the mean never becomes a float),
+    so the running sum, its |max| and the argmax timestamp are
+    bit-identical to the SQL window twin.  Overflow bound:
+    n·max|n·x−S| < 2^63 (≈10^7 rows × 10^5-dollar values — document
+    per deployment).
+
+    The sequential prefix scan distributes via the prefix-offset plan
+    (token_budget_cap family): per-(key, day) integer partials → tiny
+    driver exclusive offsets → one (key, day) co-location computes its
+    local cumsum + offset and emits only its best row.  No partition
+    ever holds more than a day of one key.
+
+    Output: (type_col, max_cusum:int64, change_ts) — the earliest
+    timestamp attaining the maximum |cusum|, (ts, id) tie-break.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    def day_of(ts_us: np.ndarray) -> np.ndarray:
+        return ts_us // np.int64(86_400_000_000)
+
+    def base(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k": df[type_col].to_numpy(),
+                "ts_us": df[ts_col].to_numpy("datetime64[us]").astype("int64"),
+                "eid": df[id_col].to_numpy().astype("int64"),
+                "x": np.rint(df[value_col].to_numpy() * 100.0).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    src = ds.select_columns(
+        [type_col, ts_col, value_col, id_col]
+    ).map_batches(lambda df: arrow_out(base(df)), batch_format="pandas")
+
+    # pass B partials: per (key, day) sums — ≤ keys × days rows total;
+    # pass A's (n, S) fall out of the same rollup at the driver.
+    def day_partial(df: pd.DataFrame):
+        g = pd.DataFrame(
+            {
+                "k": df["k"],
+                "day": day_of(df["ts_us"].to_numpy()),
+                "sx": df["x"],
+                "cnt": np.int64(1),
+            }
+        )
+        return arrow_out(
+            g.groupby(["k", "day"], as_index=False)[["sx", "cnt"]].sum()
+        )
+
+    days = (
+        src.map_batches(day_partial, batch_format="pandas")
+        .groupby(["k", "day"])
+        .aggregate(Sum("sx", alias_name="sx"), Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # keys × days — bounded
+        .sort_values(["k", "day"])
+    )
+    totals = days.groupby("k").agg(n=("cnt", "sum"), s=("sx", "sum"))
+    nS = {k: (int(r["n"]), int(r["s"])) for k, r in totals.iterrows()}
+
+    offsets: dict[tuple, int] = {}
+    for k, grp in days.groupby("k"):
+        n_k, s_k = nS[k]
+        run = 0
+        for _, row in grp.iterrows():
+            offsets[(k, int(row["day"]))] = run
+            run += n_k * int(row["sx"]) - s_k * int(row["cnt"])
+
+    off_ref = ray.put((offsets, nS))
+
+    def tag_day(df: pd.DataFrame):
+        return arrow_out(df.assign(day=day_of(df["ts_us"].to_numpy())))
+
+    tagged = src.map_batches(tag_day, batch_format="pandas")
+
+    def best_per_group(part: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.stages import worker_state
+
+        offs, stats = worker_state(
+            ("cusum_off", off_ref.hex()), lambda: ray.get(off_ref)
+        )
+        rows = []
+        for (k, day), g in part.groupby(["k", "day"]):
+            n_k, s_k = stats[k]
+            g = g.sort_values(["ts_us", "eid"], kind="mergesort")
+            d = n_k * g["x"].to_numpy(dtype=np.int64) - s_k
+            cum = offs[(k, int(day))] + np.cumsum(d)
+            a = np.abs(cum)
+            i = int(np.lexsort(
+                (g["eid"].to_numpy(), g["ts_us"].to_numpy(), -a)
+            )[0])
+            rows.append(
+                (k, int(a[i]), int(g["ts_us"].to_numpy()[i]),
+                 int(g["eid"].to_numpy()[i]))
+            )
+        out = pd.DataFrame(
+            rows, columns=["k", "a", "ts_us", "eid"]
+        )
+        return out.astype(
+            {"a": "int64", "ts_us": "int64", "eid": "int64"}
+        ) if len(out) else pd.DataFrame(
+            {
+                "k": pd.Series([], dtype="object"),
+                "a": pd.Series([], dtype="int64"),
+                "ts_us": pd.Series([], dtype="int64"),
+                "eid": pd.Series([], dtype="int64"),
+            }
+        )
+
+    best = partitioned_map(
+        tagged, ["k", "day"], best_per_group,
+        **({"n_parts": n_parts} if n_parts else {}),
+    ).to_pandas()  # ≤ keys × days rows
+
+    pick = best.sort_values(
+        ["a", "ts_us", "eid"], ascending=[False, True, True],
+        kind="mergesort",
+    ).groupby("k", as_index=False).first().sort_values("k")
+
+    import ray.data as rd
+
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                type_col: pick["k"].to_numpy(),
+                "max_cusum": pick["a"].astype("int64").to_numpy(),
+                "change_ts": pick["ts_us"]
+                .astype("int64")
+                .to_numpy()
+                .astype("datetime64[us]"),
+            }
+        )
+    )

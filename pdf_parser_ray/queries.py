@@ -7086,3 +7086,45 @@ SQL["qty_weighted_median_price"] = """
            (SELECT total FROM t) AS total_weight
     FROM r WHERE 2 * cum >= (SELECT total FROM t)
 """
+
+
+def q_cusum_changepoint(sf_dir: str) -> ray.data.Dataset:
+    """Per-type CUSUM level-shift scan: max |running deviation sum|
+    under the (ts, event_id) order with its timestamp — exact n·x−S
+    integer deviations, distributed via day-bucket prefix offsets."""
+    from pdf_parser_ray.ops.windows import cusum_changepoint
+
+    return cusum_changepoint(
+        _read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_type", "ts", "value", "event_id"],
+        )
+    )
+
+
+QUERIES["cusum_changepoint"] = q_cusum_changepoint
+
+SQL["cusum_changepoint"] = """
+    WITH e AS (
+      SELECT event_type, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS x
+      FROM events),
+    st AS (
+      SELECT event_type, count(*)::BIGINT AS n,
+             CAST(sum(x) AS BIGINT) AS s
+      FROM e GROUP BY event_type),
+    c AS (
+      SELECT e.event_type, e.ts, e.event_id,
+             sum(st.n * e.x - st.s) OVER (
+               PARTITION BY e.event_type ORDER BY e.ts, e.event_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM e JOIN st USING (event_type)),
+    m AS (
+      SELECT event_type, ts, abs(cum) AS a,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY abs(cum) DESC, ts, event_id) AS rn
+      FROM c)
+    SELECT event_type, CAST(a AS BIGINT) AS max_cusum, ts AS change_ts
+    FROM m WHERE rn = 1 ORDER BY event_type
+"""

@@ -3384,3 +3384,39 @@ class TestGiniAndWeightedMedian:
         exp = float(s["v"].to_numpy()[np.searchsorted(2 * cum, cum[-1])])
         assert out["median"][0] == exp
         assert int(out["total_weight"][0]) == int(df["w"].sum())
+
+
+class TestCusumChangepoint:
+    def test_planted_level_shift_and_invariance(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import cusum_changepoint
+
+        rng = np.random.default_rng(4)
+        n = 400
+        # level shift at event 200: mean jumps 10 -> 60 => max |cusum|
+        # lands at the boundary
+        vals = np.concatenate(
+            [rng.uniform(9, 11, 200), rng.uniform(59, 61, 200)]
+        ).round(2)
+        df = pd.DataFrame(
+            {
+                "event_type": ["a"] * n,
+                "ts": pd.to_datetime(np.arange(n) * 3_600_000_000, unit="us"),
+                "value": vals,
+                "event_id": np.arange(n, dtype=np.int64),
+            }
+        )
+        out = cusum_changepoint(ray.data.from_pandas(df)).to_pandas()
+        assert len(out) == 1
+        # argmax of |cumsum(n*x - S)| is at the shift boundary (row 199)
+        x = np.rint(vals * 100).astype(np.int64)
+        d = n * x - x.sum()
+        expect_i = int(np.abs(np.cumsum(d)).argmax())
+        assert out["change_ts"][0] == df["ts"].iloc[expect_i]
+        out2 = cusum_changepoint(
+            ray.data.from_pandas(df).repartition(7)
+        ).to_pandas()
+        pd.testing.assert_frame_equal(
+            out.reset_index(drop=True), out2.reset_index(drop=True)
+        )
