@@ -141,6 +141,12 @@ BENCH_QUERIES = [
     "spend_gini",
     "qty_weighted_median_price",
     "cusum_changepoint",
+    # round-2 session-8 additions
+    "pareto_parts",
+    "price_size_trend",
+    "value_skew_kurt",
+    "quality_auc",
+    "acf1_events",
 ]
 
 

@@ -741,3 +741,252 @@ def embedding_covariance(
         )
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def grouped_ols(
+    ds: ray.data.Dataset,
+    x: str,
+    y: str,
+    by: str,
+    *,
+    x_cents: bool = False,
+    y_cents: bool = False,
+    round_to: int = 6,
+) -> ray.data.Dataset:
+    """Per-group simple linear regression (OLS slope + intercept of
+    ``y`` on ``x``) from one-pass sufficient statistics — the trend
+    estimator of a pricing/drift audit, same plan as
+    :func:`grouped_corr`: per-batch (group, n, Σx, Σy, Σxx, Σxy)
+    partials, one bounded groupby, closed form on the tiny aggregate.
+
+    EXACT-sums contract: with ``x_cents`` / ``y_cents`` the inputs are
+    snapped to int64 cents so every Σ term is an exact integer —
+    both engines then evaluate the identical float expression
+    slope = (nΣxy − ΣxΣy) / (nΣxx − Σx²),
+    intercept = (Σy − slope·Σx) / n
+    over bit-identical operands (cross-engine drift: zero; rounding is
+    cosmetic).  Without the cents flags the sums are float64 and the
+    usual same-tree + round contract applies.  Zero-variance groups
+    drop (slope undefined).
+
+    Output: (by, n:int64, slope:float64, intercept:float64) — slope and
+    intercept are in INPUT units (cents scaling cancels in slope/x and
+    is divided back out of the intercept).
+    """
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import grouped_sum
+
+    def snap(s: pd.Series, cents: bool) -> np.ndarray:
+        v = s.to_numpy(dtype=np.float64)
+        if cents:
+            return np.rint(v * 100.0).astype(np.int64)
+        return v
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        d = df[[by, x, y]].dropna(subset=[x, y])
+        xs = snap(d[x], x_cents)
+        ys = snap(d[y], y_cents)
+        g = (
+            pd.DataFrame(
+                {
+                    by: d[by],
+                    "n": np.int64(1),
+                    "sx": xs,
+                    "sy": ys,
+                    "sxx": xs * xs,
+                    "sxy": xs * ys,
+                }
+            )
+            .groupby(by, as_index=False)
+            .sum()
+        )
+        return arrow_out(g)
+
+    sums = grouped_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        [by],
+        ["n", "sx", "sy", "sxx", "sxy"],
+    )
+
+    xs_scale = 100.0 if x_cents else 1.0
+    ys_scale = 100.0 if y_cents else 1.0
+
+    def finalize(df: pd.DataFrame) -> pa.Table:
+        n = df["n"].astype("float64")
+        sx = df["sx"].astype("float64")
+        sy = df["sy"].astype("float64")
+        num = n * df["sxy"].astype("float64") - sx * sy
+        den = n * df["sxx"].astype("float64") - sx * sx
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope_s = num / den  # in SCALED units (cents if flagged)
+            # unscale with the exact op order the SQL twin spells:
+            # divide by the y scale, multiply by the x scale (each a
+            # power of ten or the bit-exact no-op 1.0)
+            slope = slope_s / ys_scale * xs_scale
+            intercept = ((sy - slope_s * sx) / n) / ys_scale
+        out = pd.DataFrame(
+            {
+                by: df[by],
+                "n": df["n"].astype("int64"),
+                "slope": np.round(slope, round_to),
+                "intercept": np.round(intercept, round_to),
+            }
+        )
+        out = out[np.isfinite(out["slope"])]
+        return arrow_out(out)
+
+    return sums.map_batches(finalize, batch_format="pandas")
+
+
+def grouped_skew_kurt(
+    ds: ray.data.Dataset,
+    val: str,
+    by: str,
+    *,
+    round_to: int = 4,
+) -> ray.data.Dataset:
+    """Population skewness and excess kurtosis per group from one-pass
+    raw-moment sums (n, Σx … Σx⁴) — the shape profile of a value
+    distribution (heavy tails / asymmetry) that a histogram only shows
+    qualitatively.
+
+    Plan: per-batch moment partials → one bounded groupby → closed
+    form.  Sums are float64 (x⁴ overflows int64 at realistic value
+    ranges), so the SQL twin spells the SAME central-moment expression
+    tree over its own Σ terms and both sides round to ``round_to`` —
+    the cross-row-aggregate rule (summation-order noise only).
+    Zero-variance groups drop.
+
+    Output: (by, n:int64, skewness:float64, kurtosis:float64) where
+    kurtosis is EXCESS kurtosis (normal = 0).
+    """
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.io_utils import arrow_out
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        d = df[[by, val]].dropna(subset=[val])
+        xs = d[val].to_numpy(dtype=np.float64)
+        g = (
+            pd.DataFrame(
+                {
+                    by: d[by],
+                    "n": np.int64(1),
+                    "s1": xs,
+                    "s2": xs * xs,
+                    "s3": xs * xs * xs,
+                    "s4": xs * xs * xs * xs,
+                }
+            )
+            .groupby(by, as_index=False)
+            .sum()
+        )
+        g["n"] = g["n"].astype("int64")
+        return arrow_out(g)
+
+    sums = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(by)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s1", alias_name="s1"),
+            Sum("s2", alias_name="s2"),
+            Sum("s3", alias_name="s3"),
+            Sum("s4", alias_name="s4"),
+        )
+    )
+
+    def finalize(df: pd.DataFrame) -> pa.Table:
+        n = df["n"].astype("float64")
+        m = df["s1"] / n
+        # central moments via the binomial expansion over raw sums —
+        # the SQL twin uses this EXACT tree (not two-pass centering).
+        m2 = df["s2"] / n - m * m
+        m3 = df["s3"] / n - 3.0 * m * (df["s2"] / n) + 2.0 * m**3
+        m4 = (
+            df["s4"] / n
+            - 4.0 * m * (df["s3"] / n)
+            + 6.0 * m * m * (df["s2"] / n)
+            - 3.0 * m**4
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            skew = m3 / m2**1.5
+            kurt = m4 / (m2 * m2) - 3.0
+        out = pd.DataFrame(
+            {
+                by: df[by],
+                "n": df["n"].astype("int64"),
+                "skewness": np.round(skew, round_to),
+                "kurtosis": np.round(kurt, round_to),
+            }
+        )
+        out = out[np.isfinite(out["skewness"])]
+        return arrow_out(out)
+
+    return sums.map_batches(finalize, batch_format="pandas")
+
+
+def rank_auc(
+    ds: ray.data.Dataset,
+    score_col: str,
+    label_col: str,
+    *,
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """Mann-Whitney AUC of an INTEGER score ranking a boolean label —
+    "does this quality signal actually separate the classes?", the
+    classifier-free evaluation every filter heuristic needs before it
+    gates a corpus.
+
+    AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻), computed exactly
+    from per-score class counts: one bounded groupby(score) of
+    per-batch partials (distinct integer scores ≤ max-score — bounded,
+    never O(rows)), then an ordered prefix scan over that tiny table:
+    2U = Σ_s n⁺(s)·(2·Σ_{t<s} n⁻(t) + n⁻(s)).  All arithmetic until the
+    final division is int64-exact, so the SQL window twin is
+    value-identical; the one division rounds to ``round_to``.
+
+    Returns a one-row DataFrame (auc:float64, n_pos:int64,
+    n_neg:int64) — driver-sized by construction.
+    """
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.io_utils import arrow_out
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        pos = df[label_col].to_numpy(dtype=bool)
+        g = (
+            pd.DataFrame(
+                {
+                    "s": df[score_col].to_numpy(dtype=np.int64),
+                    "np_": pos.astype("int64"),
+                    "nn_": (~pos).astype("int64"),
+                }
+            )
+            .groupby("s", as_index=False)
+            .sum()
+        )
+        return arrow_out(g)
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("s")
+        .aggregate(Sum("np_", alias_name="np_"), Sum("nn_", alias_name="nn_"))
+        .to_pandas()  # ≤ distinct integer scores — bounded
+        .sort_values("s")
+    )
+    n_pos = int(counts["np_"].sum())
+    n_neg = int(counts["nn_"].sum())
+    if n_pos == 0 or n_neg == 0:
+        return pd.DataFrame(
+            {"auc": [float("nan")], "n_pos": [n_pos], "n_neg": [n_neg]}
+        )
+    neg_below = counts["nn_"].cumsum().shift(fill_value=0).to_numpy(dtype=np.int64)
+    two_u = int(
+        (
+            counts["np_"].to_numpy(dtype=np.int64)
+            * (2 * neg_below + counts["nn_"].to_numpy(dtype=np.int64))
+        ).sum()
+    )
+    auc = round(two_u / (2.0 * n_pos * n_neg), round_to)
+    return pd.DataFrame({"auc": [auc], "n_pos": [n_pos], "n_neg": [n_neg]})

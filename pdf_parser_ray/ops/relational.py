@@ -2592,3 +2592,51 @@ def sole_return_suppliers(sf_dir: str) -> ray.data.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def skyline(
+    ds: ray.data.Dataset,
+    minimize: str,
+    maximize: str,
+    keep_cols: Sequence[str] = (),
+) -> ray.data.Dataset:
+    """2-D skyline (Pareto front): rows not dominated by any other row,
+    where B dominates A iff B.minimize ≤ A.minimize AND B.maximize ≥
+    A.maximize with at least one strict — the multi-objective shortlist
+    query (cheapest-largest part, best price/quality document, ...).
+
+    Distributive plan — the skyline property that makes it scale: a
+    globally non-dominated row is non-dominated in ANY subset, so the
+    global front ⊆ union of per-batch fronts.  Stage 1 computes each
+    batch's front with one vectorized groupby-cummax kernel (no O(n²)
+    pair scan); stage 2 re-runs the SAME kernel over the unioned
+    fronts in a single block.  Shuffle volume is O(front), never
+    O(rows); front size is bounded by the distinct values of
+    ``minimize`` (one survivor value of ``maximize`` each).
+
+    Tie semantics: duplicate (minimize, maximize) points on the front
+    all survive (neither strictly dominates the other) — matching the
+    SQL NOT EXISTS twin exactly.
+
+    Output: keep_cols + (minimize, maximize), the front rows.
+    """
+    cols = [*dict.fromkeys([*keep_cols, minimize, maximize])]
+
+    def front(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return arrow_out(df[cols])
+        best = df.groupby(minimize)[maximize].max().sort_index()
+        # survivor per minimize-value: its max-maximize row group,
+        # kept only when strictly better than every cheaper value
+        prior = best.cummax().shift()
+        on_front = best[(prior.isna()) | (best > prior)]
+        m = df.merge(
+            on_front.rename("__best").reset_index(), on=minimize, how="inner"
+        )
+        return arrow_out(m[m[maximize] == m["__best"]][cols])
+
+    local = ds.select_columns(cols).map_batches(front, batch_format="pandas")
+    # final exact pass over the (tiny) union of local fronts
+    return local.repartition(1).map_batches(
+        front, batch_format="pandas", batch_size=None
+    )

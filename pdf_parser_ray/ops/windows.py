@@ -17,6 +17,8 @@ batch-native way (ray_guide "Streaming-shaped workloads"):
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -2255,4 +2257,136 @@ def cusum_changepoint(
                 .astype("datetime64[us]"),
             }
         )
+    )
+
+
+def acf_lag1(
+    ds: ray.data.Dataset,
+    *,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    round_to: int = 6,
+    n_parts: int | None = None,
+) -> pd.DataFrame:
+    """Lag-1 autocorrelation per key: Pearson correlation of each
+    value with its (ts, id)-ordered predecessor — the mean-reversion /
+    momentum diagnostic of an event stream (white noise ≈ 0, trending
+    > 0, oscillating < 0).
+
+    EXACT integer contract (the cusum_changepoint family): values snap
+    to int64 cents, every pair-sum (n, Σprev, Σcur, Σprev², Σcur²,
+    Σprev·cur) is an exact integer, and both engines evaluate the
+    identical float closed form over bit-identical operands (overflow
+    bound: Σx² < 2^63 ⇒ rows × max-cents² ≲ 9·10^18 — document per
+    deployment).
+
+    The sequential pair structure distributes by (key, day) co-location:
+    each bucket computes its in-bucket pair sums with one vectorized
+    sort + shift, and emits its FIRST and LAST element so the driver
+    can stitch the ≤ keys × days cross-midnight pairs (day order = time
+    order because the bucket key is derived from ts).  No partition
+    ever holds more than a day of one key; the driver merge is
+    O(keys × days), never O(rows).
+
+    Returns a driver-sized DataFrame
+    (type_col, n_pairs:int64, acf1:float64), keys with < 2 rows or zero
+    variance dropped, sorted by key.
+    """
+    import numpy as np
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    def base(df: pd.DataFrame) -> pa.Table:
+        ts_us = df[ts_col].to_numpy("datetime64[us]").astype("int64")
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    "k": df[type_col].to_numpy(),
+                    "ts_us": ts_us,
+                    "eid": df[id_col].to_numpy().astype("int64"),
+                    "x": np.rint(
+                        df[value_col].to_numpy(dtype=np.float64) * 100.0
+                    ).astype(np.int64),
+                    "day": ts_us // np.int64(86_400_000_000),
+                }
+            )
+        )
+
+    src = ds.select_columns(
+        [type_col, ts_col, value_col, id_col]
+    ).map_batches(base, batch_format="pandas")
+
+    def bucket_sums(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (k, day), g in part.groupby(["k", "day"], sort=False):
+            g = g.sort_values(["ts_us", "eid"], kind="mergesort")
+            x = g["x"].to_numpy(dtype=np.int64)
+            prev, cur = x[:-1], x[1:]
+            rows.append(
+                (
+                    k,
+                    int(day),
+                    len(cur),
+                    int(prev.sum()),
+                    int(cur.sum()),
+                    int((prev * prev).sum()),
+                    int((cur * cur).sum()),
+                    int((prev * cur).sum()),
+                    int(x[0]),
+                    int(x[-1]),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "k", "day", "n", "sx", "sy", "sxx", "syy", "sxy",
+                "first_x", "last_x",
+            ],
+        ).astype(
+            {
+                "day": "int64", "n": "int64", "sx": "int64", "sy": "int64",
+                "sxx": "int64", "syy": "int64", "sxy": "int64",
+                "first_x": "int64", "last_x": "int64",
+            }
+        )
+
+    buckets = partitioned_map(
+        src, ["k", "day"], bucket_sums,
+        **({"n_parts": n_parts} if n_parts else {}),
+    ).to_pandas()  # ≤ keys × days rows — bounded
+
+    out_rows = []
+    for k, grp in buckets.sort_values(["k", "day"]).groupby("k", sort=True):
+        n = int(grp["n"].sum())
+        sx = int(grp["sx"].sum())
+        sy = int(grp["sy"].sum())
+        sxx = int(grp["sxx"].sum())
+        syy = int(grp["syy"].sum())
+        sxy = int(grp["sxy"].sum())
+        # cross-midnight pairs: last element of each bucket with the
+        # first element of the key's next present bucket
+        last = grp["last_x"].to_numpy()[:-1]
+        first = grp["first_x"].to_numpy()[1:]
+        n += len(last)
+        sx += int(last.sum())
+        sy += int(first.sum())
+        sxx += int((last * last).sum())
+        syy += int((first * first).sum())
+        sxy += int((last * first).sum())
+        if n < 2:
+            continue
+        nf = float(n)
+        num = nf * float(sxy) - float(sx) * float(sy)
+        vx = nf * float(sxx) - float(sx) * float(sx)
+        vy = nf * float(syy) - float(sy) * float(sy)
+        if vx <= 0 or vy <= 0:
+            continue
+        # math.sqrt = IEEE-correctly-rounded, the same op the SQL twin's
+        # sqrt() performs on the bit-identical product
+        out_rows.append((k, n, round(num / math.sqrt(vx * vy), round_to)))
+    return pd.DataFrame(out_rows, columns=[type_col, "n_pairs", "acf1"]).astype(
+        {"n_pairs": "int64"}
     )

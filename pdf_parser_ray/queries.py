@@ -7128,3 +7128,237 @@ SQL["cusum_changepoint"] = """
     SELECT event_type, CAST(a AS BIGINT) AS max_cusum, ts AS change_ts
     FROM m WHERE rn = 1 ORDER BY event_type
 """
+
+
+def q_pareto_parts(sf_dir: str) -> ray.data.Dataset:
+    """2-D skyline over part (minimize retail price, maximize size):
+    the multi-objective shortlist.  Distributive per-batch fronts →
+    one tiny final pass; shuffle volume O(front), never O(rows)."""
+    from pdf_parser_ray.ops.relational import skyline
+
+    return skyline(
+        _read_parquet(
+            f"{sf_dir}/part.parquet",
+            columns=["p_partkey", "p_size", "p_retailprice"],
+        ),
+        minimize="p_retailprice",
+        maximize="p_size",
+        keep_cols=["p_partkey"],
+    )
+
+
+QUERIES["pareto_parts"] = q_pareto_parts
+
+# classic NOT EXISTS skyline twin; strict-somewhere dominance keeps
+# duplicate front points on both engines.
+SQL["pareto_parts"] = """
+    SELECT p_partkey, p_size, p_retailprice
+    FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_retailprice <= a.p_retailprice
+        AND b.p_size >= a.p_size
+        AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+    ORDER BY p_retailprice, p_partkey
+"""
+
+
+def q_price_size_trend(sf_dir: str) -> ray.data.Dataset:
+    """Per-brand OLS regression of retail price on size (slope +
+    intercept) from exact int64 cent-sums — both engines evaluate the
+    identical float closed form over bit-identical Σ operands."""
+    from pdf_parser_ray.ops.profile import grouped_ols
+
+    return grouped_ols(
+        _read_parquet(
+            f"{sf_dir}/part.parquet",
+            columns=["p_brand", "p_size", "p_retailprice"],
+        ),
+        x="p_size",
+        y="p_retailprice",
+        by="p_brand",
+        y_cents=True,
+    )
+
+
+QUERIES["price_size_trend"] = q_price_size_trend
+
+# NOT regr_slope()/regr_intercept(): DuckDB's single-pass updates are a
+# different float algorithm.  The same naive-sums tree over EXACT
+# integer sums (sizes are ints, prices snap to cents) is value-identical
+# before the cosmetic round.
+SQL["price_size_trend"] = """
+    WITH d AS (
+      SELECT p_brand,
+             p_size::BIGINT AS x,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS y
+      FROM part
+      WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL),
+    s AS (
+      SELECT p_brand, count(*)::BIGINT AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM d GROUP BY p_brand),
+    f AS (
+      SELECT p_brand, n, sx, sy,
+             (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+               / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+               AS slope_c
+      FROM s
+      WHERE n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE <> 0)
+    SELECT p_brand, n,
+           round(slope_c / 100.0 * 1.0, 6) AS slope,
+           round(((sy::DOUBLE - slope_c * sx::DOUBLE) / n::DOUBLE) / 100.0, 6)
+             AS intercept
+    FROM f
+"""
+
+
+def q_value_skew_kurt(sf_dir: str) -> ray.data.Dataset:
+    """Population skewness + excess kurtosis of event values per type,
+    from one-pass raw-moment sums; same-tree SQL twin, round 4."""
+    from pdf_parser_ray.ops.profile import grouped_skew_kurt
+
+    return grouped_skew_kurt(
+        _read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        ),
+        "value",
+        "event_type",
+    )
+
+
+QUERIES["value_skew_kurt"] = q_value_skew_kurt
+
+# the SAME binomial-expansion central-moment tree the Ray finalize
+# evaluates (NOT skewness()/kurtosis(): different algorithm + bias
+# correction); float Σ terms ⇒ summation-order noise only, far inside
+# round-4.
+SQL["value_skew_kurt"] = """
+    WITH s AS (
+      SELECT event_type, count(*)::BIGINT AS n,
+             sum(value::DOUBLE) AS s1,
+             sum(value::DOUBLE * value::DOUBLE) AS s2,
+             sum(value::DOUBLE * value::DOUBLE * value::DOUBLE) AS s3,
+             sum(value::DOUBLE * value::DOUBLE * value::DOUBLE * value::DOUBLE)
+               AS s4
+      FROM events WHERE value IS NOT NULL GROUP BY event_type),
+    f AS (
+      SELECT event_type, n,
+             s1 / n AS m,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3.0 * (s1 / n) * (s2 / n) + 2.0 * pow(s1 / n, 3)
+               AS m3,
+             s4 / n - 4.0 * (s1 / n) * (s3 / n)
+                    + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+                    - 3.0 * pow(s1 / n, 4) AS m4
+      FROM s)
+    SELECT event_type, n,
+           round(m3 / pow(m2, 1.5), 4) AS skewness,
+           round(m4 / (m2 * m2) - 3.0, 4) AS kurtosis
+    FROM f WHERE m2 > 0 ORDER BY event_type
+"""
+
+
+def q_quality_auc(sf_dir: str) -> pd.DataFrame:
+    """Mann-Whitney AUC of the token-count signal for detecting
+    English docs — all-integer rank-sum arithmetic until one final
+    division, so the SQL window twin is value-identical."""
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.profile import rank_auc
+
+    def score(df: pd.DataFrame):
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    "s": df["text"].fillna("").str.count(r"\S+").astype("int64"),
+                    "pos": (df["lang"] == "en"),
+                }
+            )
+        )
+
+    ds = _documents(sf_dir, columns=["text", "lang"]).map_batches(
+        score, batch_format="pandas"
+    )
+    return rank_auc(ds, "s", "pos")
+
+
+QUERIES["quality_auc"] = q_quality_auc
+
+# per-score class counts → ordered prefix scan: 2U stays integer on
+# both engines; the single division rounds to 6 (2U < 2^53 documented).
+SQL["quality_auc"] = """
+    WITH t AS (
+      SELECT length(regexp_extract_all(coalesce(text, ''), '\\S+'))::BIGINT
+               AS s,
+             (lang = 'en')::INT AS pos
+      FROM documents),
+    g AS (
+      SELECT s, CAST(sum(pos) AS BIGINT) AS np,
+             CAST(count(*) - sum(pos) AS BIGINT) AS nn
+      FROM t GROUP BY s),
+    c AS (
+      SELECT s, np, nn,
+             CAST(coalesce(sum(nn) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS nb
+      FROM g)
+    SELECT round(CAST(sum(np * (2 * nb + nn)) AS DOUBLE)
+                 / (2.0 * (SELECT CAST(sum(np) AS BIGINT) FROM g)
+                        * (SELECT CAST(sum(nn) AS BIGINT) FROM g)), 6)
+             AS auc,
+           (SELECT CAST(sum(np) AS BIGINT) FROM g) AS n_pos,
+           (SELECT CAST(sum(nn) AS BIGINT) FROM g) AS n_neg
+    FROM c
+"""
+
+
+def q_acf1_events(sf_dir: str) -> pd.DataFrame:
+    """Lag-1 autocorrelation of event values per type in (ts, event_id)
+    order — exact integer pair-sums distributed by (key, day)
+    co-location, cross-midnight pairs stitched from O(keys × days)
+    bucket boundaries."""
+    from pdf_parser_ray.ops.windows import acf_lag1
+
+    return acf_lag1(
+        _read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "event_type", "value"],
+        )
+    )
+
+
+QUERIES["acf1_events"] = q_acf1_events
+
+# lag() over the full per-key order — the stitched-bucket semantics
+# exactly; cent-int sums make every Σ bit-identical, and the closed
+# form multiplies as DOUBLE in the same order as the Ray finalize.
+SQL["acf1_events"] = """
+    WITH e AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS x, ts, event_id
+      FROM events),
+    p AS (
+      SELECT event_type, x AS cur,
+             lag(x) OVER (PARTITION BY event_type
+                          ORDER BY ts, event_id) AS prev
+      FROM e),
+    s AS (
+      SELECT event_type, count(*)::BIGINT AS n,
+             CAST(sum(prev) AS BIGINT) AS sx,
+             CAST(sum(cur) AS BIGINT) AS sy,
+             CAST(sum(prev * prev) AS BIGINT) AS sxx,
+             CAST(sum(cur * cur) AS BIGINT) AS syy,
+             CAST(sum(prev * cur) AS BIGINT) AS sxy
+      FROM p WHERE prev IS NOT NULL GROUP BY event_type)
+    SELECT event_type, n AS n_pairs,
+           round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                        * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+                 6) AS acf1
+    FROM s
+    WHERE (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0
+      AND (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+    ORDER BY event_type
+"""

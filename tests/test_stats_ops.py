@@ -1,0 +1,244 @@
+"""Semantic pins for the session-8 statistical ops (skyline, OLS,
+skew/kurt, rank-AUC, lag-1 ACF) — hand-computable fixtures, plus the
+partitioning-invariance properties their distributed plans rely on.
+(Oracle parity at sf0.001 is covered by tests/test_queries.py's
+parametrized sweep.)"""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+
+def _ds(df: pd.DataFrame, blocks: int = 1) -> ray.data.Dataset:
+    ds = ray.data.from_pandas(df)
+    return ds.repartition(blocks) if blocks > 1 else ds
+
+
+# ------------------------------------------------------------- skyline
+
+def test_skyline_basic(ray_session):
+    from pdf_parser_ray.ops.relational import skyline
+
+    df = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4, 5, 6],
+            "price": [10.0, 10.0, 12.0, 8.0, 15.0, 8.0],
+            "size": [5, 7, 9, 3, 9, 3],
+        }
+    )
+    # fronts: (8,3) both ties survive; (10,7) beats (10,5); (12,9)
+    # survives; (15,9) dominated by (12,9).
+    out = (
+        skyline(_ds(df), "price", "size", keep_cols=["id"])
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert sorted(out["id"]) == [2, 3, 4, 6]
+
+
+def test_skyline_partition_invariant(ray_session):
+    from pdf_parser_ray.ops.relational import skyline
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(400),
+            "price": rng.integers(0, 50, 400).astype("float64"),
+            "size": rng.integers(0, 50, 400),
+        }
+    )
+    fronts = []
+    for blocks in (1, 7):
+        out = skyline(_ds(df, blocks), "price", "size", keep_cols=["id"])
+        fronts.append(sorted(out.to_pandas()["id"].tolist()))
+    assert fronts[0] == fronts[1]
+    # brute-force dominance check
+    front = set(fronts[0])
+    pts = df.set_index("id")
+    for i in df["id"]:
+        dominated = any(
+            (pts.loc[j, "price"] <= pts.loc[i, "price"])
+            and (pts.loc[j, "size"] >= pts.loc[i, "size"])
+            and (
+                (pts.loc[j, "price"] < pts.loc[i, "price"])
+                or (pts.loc[j, "size"] > pts.loc[i, "size"])
+            )
+            for j in df["id"]
+            if j != i
+        )
+        assert (i in front) == (not dominated), f"id {i}"
+
+
+# ----------------------------------------------------------------- OLS
+
+def test_grouped_ols_exact_line(ray_session):
+    from pdf_parser_ray.ops.profile import grouped_ols
+
+    # y = 2.5x + 10 exactly -> slope 2.5, intercept 10
+    x = np.array([1, 2, 3, 4, 5, 6], dtype="int64")
+    df = pd.DataFrame({"g": ["a"] * 6, "x": x, "y": 2.5 * x + 10.0})
+    out = grouped_ols(_ds(df, 3), "x", "y", "g", y_cents=True).to_pandas()
+    assert len(out) == 1
+    assert out["slope"].iloc[0] == pytest.approx(2.5, abs=1e-6)
+    assert out["intercept"].iloc[0] == pytest.approx(10.0, abs=1e-6)
+    assert out["n"].iloc[0] == 6
+
+
+def test_grouped_ols_matches_numpy(ray_session):
+    from pdf_parser_ray.ops.profile import grouped_ols
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b"], 300),
+            "x": rng.integers(1, 40, 300),
+            "y": np.round(rng.normal(100, 20, 300), 2),
+        }
+    )
+    out = (
+        grouped_ols(_ds(df, 4), "x", "y", "g", y_cents=True)
+        .to_pandas()
+        .set_index("g")
+    )
+    for g, grp in df.groupby("g"):
+        slope, intercept = np.polyfit(grp["x"], grp["y"], 1)
+        assert out.loc[g, "slope"] == pytest.approx(slope, abs=1e-4)
+        assert out.loc[g, "intercept"] == pytest.approx(intercept, abs=1e-4)
+
+
+# ----------------------------------------------------------- skew/kurt
+
+def test_grouped_skew_kurt_matches_scipy_formulas(ray_session):
+    from pdf_parser_ray.ops.profile import grouped_skew_kurt
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], 500),
+            "v": np.round(rng.gamma(2.0, 10.0, 500), 2),
+        }
+    )
+    out = (
+        grouped_skew_kurt(_ds(df, 5), "v", "g").to_pandas().set_index("g")
+    )
+    for g, grp in df.groupby("g"):
+        x = grp["v"].to_numpy()
+        m = x.mean()
+        m2 = ((x - m) ** 2).mean()
+        m3 = ((x - m) ** 3).mean()
+        m4 = ((x - m) ** 4).mean()
+        assert out.loc[g, "skewness"] == pytest.approx(
+            m3 / m2**1.5, abs=1e-3
+        )
+        assert out.loc[g, "kurtosis"] == pytest.approx(
+            m4 / m2**2 - 3.0, abs=1e-3
+        )
+        assert out.loc[g, "n"] == len(grp)
+
+
+def test_grouped_skew_kurt_drops_constant_group(ray_session):
+    from pdf_parser_ray.ops.profile import grouped_skew_kurt
+
+    df = pd.DataFrame({"g": ["c"] * 5 + ["v"] * 5,
+                       "v": [7.0] * 5 + [1.0, 2.0, 3.0, 4.0, 5.0]})
+    out = grouped_skew_kurt(_ds(df), "v", "g").to_pandas()
+    assert set(out["g"]) == {"v"}  # zero-variance group dropped
+
+
+# ------------------------------------------------------------ rank AUC
+
+def test_rank_auc_hand_case(ray_session):
+    from pdf_parser_ray.ops.profile import rank_auc
+
+    # scores: pos {3, 5}, neg {1, 3}; pairs: (3>1)=1, (3=3)=.5,
+    # (5>1)=1, (5>3)=1  -> AUC = 3.5/4 = 0.875
+    df = pd.DataFrame({"s": [3, 5, 1, 3], "pos": [True, True, False, False]})
+    out = rank_auc(_ds(df, 2), "s", "pos")
+    assert out["auc"].iloc[0] == pytest.approx(0.875)
+    assert out["n_pos"].iloc[0] == 2 and out["n_neg"].iloc[0] == 2
+
+
+def test_rank_auc_matches_sklearn_style_ranksum(ray_session):
+    from pdf_parser_ray.ops.profile import rank_auc
+
+    rng = np.random.default_rng(5)
+    s = rng.integers(0, 30, 400)
+    pos = rng.random(400) < (s / 40.0)  # higher score => more positives
+    df = pd.DataFrame({"s": s, "pos": pos})
+    out = rank_auc(_ds(df, 4), "s", "pos")
+    # reference: Mann-Whitney U via average ranks
+    ranks = pd.Series(s).rank(method="average").to_numpy()
+    n_pos, n_neg = int(pos.sum()), int((~pos).sum())
+    u = ranks[pos].sum() - n_pos * (n_pos + 1) / 2.0
+    assert out["auc"].iloc[0] == pytest.approx(u / (n_pos * n_neg), abs=1e-6)
+
+
+def test_rank_auc_degenerate_single_class(ray_session):
+    from pdf_parser_ray.ops.profile import rank_auc
+
+    df = pd.DataFrame({"s": [1, 2, 3], "pos": [True, True, True]})
+    out = rank_auc(_ds(df), "s", "pos")
+    assert math.isnan(out["auc"].iloc[0])
+    assert out["n_neg"].iloc[0] == 0
+
+
+# ------------------------------------------------------------ ACF lag1
+
+def _acf_reference(df: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for k, g in df.groupby("event_type"):
+        g = g.sort_values(["ts", "event_id"])
+        x = np.rint(g["value"].to_numpy() * 100).astype("int64")
+        if len(x) < 2:
+            continue
+        prev, cur = x[:-1].astype(float), x[1:].astype(float)
+        c = np.corrcoef(prev, cur)[0, 1]
+        rows.append((k, len(cur), round(c, 6)))
+    return pd.DataFrame(rows, columns=["event_type", "n_pairs", "acf1"])
+
+
+def test_acf_lag1_matches_reference_across_days(ray_session):
+    from pdf_parser_ray.ops.windows import acf_lag1
+
+    rng = np.random.default_rng(9)
+    n = 600
+    # spread over ~6 days so cross-midnight stitching is exercised
+    ts = pd.Timestamp("2024-03-01") + pd.to_timedelta(
+        rng.integers(0, 6 * 86400, n), unit="s"
+    )
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "ts": ts,
+            "event_type": rng.choice(["x", "y"], n),
+            "value": np.round(rng.normal(50, 10, n), 2),
+        }
+    )
+    out = acf_lag1(_ds(df, 5)).set_index("event_type")
+    ref = _acf_reference(df).set_index("event_type")
+    assert sorted(out.index) == sorted(ref.index)
+    for k in ref.index:
+        assert out.loc[k, "n_pairs"] == ref.loc[k, "n_pairs"]
+        assert out.loc[k, "acf1"] == pytest.approx(
+            ref.loc[k, "acf1"], abs=2e-6
+        )
+
+
+def test_acf_lag1_positive_on_trending_series(ray_session):
+    from pdf_parser_ray.ops.windows import acf_lag1
+
+    n = 200
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(np.arange(n) * 3600, unit="s"),
+            "event_type": ["t"] * n,
+            "value": np.linspace(1.0, 200.0, n),
+        }
+    )
+    out = acf_lag1(_ds(df, 3))
+    assert out["acf1"].iloc[0] > 0.99
