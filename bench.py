@@ -147,6 +147,9 @@ BENCH_QUERIES = [
     "value_skew_kurt",
     "quality_auc",
     "acf1_events",
+    "lang_source_chi2",
+    "benford_values",
+    "doc_zipf_alpha",
 ]
 
 

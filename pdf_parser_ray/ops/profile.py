@@ -35,6 +35,8 @@ Both are expressed the streaming way:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -990,3 +992,187 @@ def rank_auc(
     )
     auc = round(two_u / (2.0 * n_pos * n_neg), round_to)
     return pd.DataFrame({"auc": [auc], "n_pos": [n_pos], "n_neg": [n_neg]})
+
+
+def contingency_chi2(
+    ds: ray.data.Dataset,
+    row_col: str,
+    col_col: str,
+    *,
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """Pearson chi-square independence test of two categorical columns
+    (+ Cramér's V effect size) — "is the language mix actually different
+    across sources, or just noise?", the cross-tab audit behind any
+    stratification decision.
+
+    One bounded groupby of per-batch (row, col) count partials builds
+    the contingency table (R × C cells — bounded, never O(rows));
+    marginals, expected counts and the χ² sum run on that tiny table at
+    the driver.  Counts stay int64-exact end-to-end, so the SQL twin's
+    only float drift is cell-summation order in the final χ² — far
+    inside ``round_to``.  Zero cells of the observed R × C grid COUNT
+    (expected > 0 whenever both marginals > 0, which observed rows
+    guarantee).
+
+    Returns a one-row DataFrame (chi2:float64, dof:int64,
+    cramers_v:float64, n:int64).
+    """
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.io_utils import arrow_out
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = (
+            df[[row_col, col_col]]
+            .assign(n=np.int64(1))
+            .groupby([row_col, col_col], as_index=False)
+            .sum()
+        )
+        g["n"] = g["n"].astype("int64")
+        return arrow_out(g)
+
+    obs = (
+        ds.select_columns([row_col, col_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby([row_col, col_col])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # R × C cells — bounded
+    )
+    total = int(obs["n"].sum())
+    table = obs.pivot_table(
+        index=row_col, columns=col_col, values="n", fill_value=0
+    ).astype("int64")
+    r_tot = table.sum(axis=1).to_numpy(dtype=np.float64)
+    c_tot = table.sum(axis=0).to_numpy(dtype=np.float64)
+    expected = np.outer(r_tot, c_tot) / float(total)
+    o = table.to_numpy(dtype=np.float64)
+    chi2 = float(((o - expected) ** 2 / expected).sum())
+    dof = (table.shape[0] - 1) * (table.shape[1] - 1)
+    k = min(table.shape[0] - 1, table.shape[1] - 1)
+    v = math.sqrt(chi2 / (total * k)) if k > 0 else float("nan")
+    return pd.DataFrame(
+        {
+            "chi2": [round(chi2, round_to)],
+            "dof": np.array([dof], dtype="int64"),
+            "cramers_v": [round(v, round_to)],
+            "n": np.array([total], dtype="int64"),
+        }
+    )
+
+
+def benford_digit_counts(
+    ds: ray.data.Dataset,
+    val: str,
+    by: str,
+) -> ray.data.Dataset:
+    """First-significant-digit distribution per group (the Benford's-law
+    fraud/synthetic-data audit): values snap to positive int64 cents and
+    the leading digit is computed with EXACT integer arithmetic (a float
+    log10 first guess, then integer power-of-ten comparisons fix the
+    boundary cases) — equivalent to the decimal string's first character,
+    which is what the SQL twin reads, with no float edge cases at powers
+    of ten.
+
+    Per-batch partial counts → one bounded groupby (groups × 9 rows).
+    Non-positive cents drop (no leading digit).  All-integer output:
+    hash-exact against the SQL twin with zero rounding contracts.
+
+    Output: (by, digit:int64 in 1..9, n:int64).
+    """
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.io_utils import arrow_out
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        cents = np.rint(
+            df[val].to_numpy(dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        keep = cents > 0
+        c = cents[keep]
+        # leading decimal digit without strings: strip 10^(ndigits-1)
+        nd = np.floor(np.log10(c.astype(np.float64))).astype(np.int64)
+        # float log10 can land one low/high at power-of-ten boundaries;
+        # correct exactly with integer comparisons
+        p = np.power(10, nd)
+        nd = np.where(c >= p * 10, nd + 1, np.where(c < p, nd - 1, nd))
+        digit = c // np.power(10, nd)
+        g = (
+            pd.DataFrame({by: df[by].to_numpy()[keep], "digit": digit})
+            .assign(n=np.int64(1))
+            .groupby([by, "digit"], as_index=False)
+            .sum()
+        )
+        return arrow_out(g.astype({"digit": "int64", "n": "int64"}))
+
+    return (
+        ds.select_columns([by, val])
+        .map_batches(partial, batch_format="pandas")
+        .groupby([by, "digit"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def hill_alpha(
+    ds: ray.data.Dataset,
+    val: str,
+    by: str,
+    *,
+    xmin: float = 100.0,
+    round_to: int = 6,
+) -> ray.data.Dataset:
+    """Hill estimator of the power-law tail exponent per group —
+    α = 1 + n / Σ ln(x / xmin) over values ≥ xmin — the Zipf-ness
+    check on document-length / frequency distributions (web corpora
+    are famously α ≈ 2; a synthetic or truncated corpus isn't).
+
+    Per-batch partials (n, Σ ln(x/xmin)) → one bounded groupby →
+    closed form.  Both engines take ln of the IDENTICAL doubles
+    (x::DOUBLE / xmin); drift is ±1 ulp per term and summation order —
+    absorbed by ``round_to``.  Groups with no tail rows (or all
+    x == xmin, Σ = 0) drop.
+
+    Output: (by, n:int64, alpha:float64).
+    """
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.io_utils import arrow_out
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        x = df[val].to_numpy(dtype=np.float64)
+        keep = x >= xmin
+        g = (
+            pd.DataFrame(
+                {
+                    by: df[by].to_numpy()[keep],
+                    "n": np.int64(1),
+                    "sln": np.log(x[keep] / xmin),
+                }
+            )
+            .groupby(by, as_index=False)
+            .sum()
+        )
+        g["n"] = g["n"].astype("int64")
+        return arrow_out(g)
+
+    sums = (
+        ds.select_columns([by, val])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(by)
+        .aggregate(Sum("n", alias_name="n"), Sum("sln", alias_name="sln"))
+    )
+
+    def finalize(df: pd.DataFrame) -> pa.Table:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            alpha = 1.0 + df["n"].astype("float64") / df["sln"]
+        out = pd.DataFrame(
+            {
+                by: df[by],
+                "n": df["n"].astype("int64"),
+                "alpha": np.round(alpha, round_to),
+            }
+        )
+        out = out[np.isfinite(out["alpha"])]
+        return arrow_out(out)
+
+    return sums.map_batches(finalize, batch_format="pandas")

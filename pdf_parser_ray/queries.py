@@ -7362,3 +7362,111 @@ SQL["acf1_events"] = """
       AND (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
     ORDER BY event_type
 """
+
+
+def q_lang_source_chi2(sf_dir: str) -> pd.DataFrame:
+    """Chi-square independence of language × source (+ Cramér's V):
+    int64-exact contingency counts from one bounded groupby, χ² and the
+    effect size on the tiny R × C table."""
+    from pdf_parser_ray.ops.profile import contingency_chi2
+
+    return contingency_chi2(
+        _documents(sf_dir, columns=["lang", "source"]), "lang", "source"
+    )
+
+
+QUERIES["lang_source_chi2"] = q_lang_source_chi2
+
+# observed R × C grid INCLUDING zero cells (CROSS JOIN of the observed
+# marginals), expected = row·col/N — the same tree as the Ray finalize.
+SQL["lang_source_chi2"] = """
+    WITH c AS (
+      SELECT lang, source, count(*)::BIGINT AS n
+      FROM documents GROUP BY lang, source),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+    r AS (SELECT lang, CAST(sum(n) AS BIGINT) AS rn FROM c GROUP BY lang),
+    col AS (SELECT source, CAST(sum(n) AS BIGINT) AS cn
+            FROM c GROUP BY source),
+    x AS (
+      SELECT r.lang, col.source, r.rn, col.cn,
+             coalesce(c.n, 0)::BIGINT AS o
+      FROM r CROSS JOIN col
+      LEFT JOIN c ON c.lang = r.lang AND c.source = col.source),
+    e AS (
+      SELECT o, rn::DOUBLE * cn::DOUBLE / (SELECT total FROM tot)::DOUBLE
+               AS exp
+      FROM x)
+    SELECT round(sum((o::DOUBLE - exp) * (o::DOUBLE - exp) / exp), 6)
+             AS chi2,
+           ((SELECT count(*) FROM r) - 1)::BIGINT
+             * ((SELECT count(*) FROM col) - 1)::BIGINT AS dof,
+           round(sqrt(sum((o::DOUBLE - exp) * (o::DOUBLE - exp) / exp)
+                 / ((SELECT total FROM tot)::DOUBLE
+                    * least((SELECT count(*) FROM r) - 1,
+                            (SELECT count(*) FROM col) - 1))), 6)
+             AS cramers_v,
+           (SELECT total FROM tot) AS n
+    FROM e
+"""
+
+
+def q_benford_values(sf_dir: str) -> ray.data.Dataset:
+    """First-significant-digit (Benford) distribution of event values
+    per type — exact int64-cents leading digit, all-integer output."""
+    from pdf_parser_ray.ops.profile import benford_digit_counts
+
+    return benford_digit_counts(
+        _read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        ),
+        "value",
+        "event_type",
+    )
+
+
+QUERIES["benford_values"] = q_benford_values
+
+# leading digit = first char of the positive cents integer's decimal
+# string — exactly the Ray side's integer arithmetic.
+SQL["benford_values"] = """
+    WITH c AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events)
+    SELECT event_type,
+           CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+           count(*)::BIGINT AS n
+    FROM c WHERE cents > 0
+    GROUP BY event_type, digit
+    ORDER BY event_type, digit
+"""
+
+
+def q_doc_zipf_alpha(sf_dir: str) -> ray.data.Dataset:
+    """Hill estimator of the document-length power-law tail exponent
+    per source (α = 1 + n / Σ ln(n_chars / 100) over n_chars ≥ 100) —
+    the Zipf-ness audit of a web corpus."""
+    from pdf_parser_ray.ops.profile import hill_alpha
+
+    return hill_alpha(
+        _documents(sf_dir, columns=["source", "n_chars"]),
+        "n_chars",
+        "source",
+        xmin=100.0,
+    )
+
+
+QUERIES["doc_zipf_alpha"] = q_doc_zipf_alpha
+
+# ln over the identical doubles; summation-order drift only, inside
+# round-6.
+SQL["doc_zipf_alpha"] = """
+    SELECT source, count(*)::BIGINT AS n,
+           round(1.0 + count(*)::DOUBLE
+                       / sum(ln(n_chars::DOUBLE / 100.0)), 6) AS alpha
+    FROM documents
+    WHERE n_chars >= 100
+    GROUP BY source
+    HAVING sum(ln(n_chars::DOUBLE / 100.0)) > 0
+    ORDER BY source
+"""

@@ -242,3 +242,90 @@ def test_acf_lag1_positive_on_trending_series(ray_session):
     )
     out = acf_lag1(_ds(df, 3))
     assert out["acf1"].iloc[0] > 0.99
+
+
+# ------------------------------------------------------- chi2 / benford / zipf
+
+def test_contingency_chi2_hand_case(ray_session):
+    from pdf_parser_ray.ops.profile import contingency_chi2
+
+    # 2x2: rows A/B, cols X/Y with counts [[10, 20], [20, 10]]
+    df = pd.DataFrame(
+        {
+            "r": ["A"] * 30 + ["B"] * 30,
+            "c": ["X"] * 10 + ["Y"] * 20 + ["X"] * 20 + ["Y"] * 10,
+        }
+    )
+    out = contingency_chi2(_ds(df, 3), "r", "c")
+    # expected all cells 15 -> chi2 = 4 * 25/15 = 6.666667
+    assert out["chi2"].iloc[0] == pytest.approx(20.0 / 3.0, abs=1e-5)
+    assert out["dof"].iloc[0] == 1
+    assert out["cramers_v"].iloc[0] == pytest.approx(
+        math.sqrt((20.0 / 3.0) / 60.0), abs=1e-5
+    )
+    assert out["n"].iloc[0] == 60
+
+
+def test_contingency_chi2_independent_is_zero(ray_session):
+    from pdf_parser_ray.ops.profile import contingency_chi2
+
+    # perfectly proportional table -> chi2 == 0
+    df = pd.DataFrame(
+        {
+            "r": ["A"] * 40 + ["B"] * 20,
+            "c": (["X"] * 10 + ["Y"] * 30) + (["X"] * 5 + ["Y"] * 15),
+        }
+    )
+    out = contingency_chi2(_ds(df, 2), "r", "c")
+    assert out["chi2"].iloc[0] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_benford_digit_counts_exact(ray_session):
+    from pdf_parser_ray.ops.profile import benford_digit_counts
+
+    # cents: 100->digit 1, 999->9, 1000->1, 95->9, 0/neg dropped
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 6,
+            "v": [1.00, 9.99, 10.00, 0.95, 0.0, -3.5],
+        }
+    )
+    out = (
+        benford_digit_counts(_ds(df, 2), "v", "g")
+        .to_pandas()
+        .sort_values("digit")
+    )
+    assert dict(zip(out["digit"], out["n"])) == {1: 2, 9: 2}
+
+
+def test_benford_power_of_ten_boundaries(ray_session):
+    from pdf_parser_ray.ops.profile import benford_digit_counts
+
+    # exact powers of ten in cents (the float-log10 danger zone)
+    vals = [10.0**k for k in range(-2, 7)]  # cents: 1, 10, ..., 10^8
+    df = pd.DataFrame({"g": ["p"] * len(vals), "v": vals})
+    out = benford_digit_counts(_ds(df), "v", "g").to_pandas()
+    assert set(out["digit"]) == {1}
+    assert int(out["n"].sum()) == len(vals)
+
+
+def test_hill_alpha_recovers_pareto_exponent(ray_session):
+    from pdf_parser_ray.ops.profile import hill_alpha
+
+    rng = np.random.default_rng(13)
+    # Pareto with TAIL index 2.0 (x = xmin * U^(-1/2)) has density
+    # exponent a = 1 + 2 = 3 — the Clauset-MLE convention hill_alpha
+    # reports.
+    x = 100.0 * rng.random(20000) ** (-1.0 / 2.0)
+    df = pd.DataFrame({"g": ["z"] * len(x), "v": x})
+    out = hill_alpha(_ds(df, 6), "v", "g", xmin=100.0).to_pandas()
+    assert out["alpha"].iloc[0] == pytest.approx(3.0, abs=0.05)
+    assert out["n"].iloc[0] == len(x)
+
+
+def test_hill_alpha_drops_empty_tail(ray_session):
+    from pdf_parser_ray.ops.profile import hill_alpha
+
+    df = pd.DataFrame({"g": ["small"] * 5, "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    out = hill_alpha(_ds(df), "v", "g", xmin=100.0).to_pandas()
+    assert len(out) == 0
