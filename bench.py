@@ -150,6 +150,9 @@ BENCH_QUERIES = [
     "lang_source_chi2",
     "benford_values",
     "doc_zipf_alpha",
+    "rfm_segments",
+    "readability",
+    "spend_theil",
 ]
 
 

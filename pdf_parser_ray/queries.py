@@ -7470,3 +7470,253 @@ SQL["doc_zipf_alpha"] = """
     HAVING sum(ln(n_chars::DOUBLE / 100.0)) > 0
     ORDER BY source
 """
+
+
+def q_rfm_segments(sf_dir: str) -> ray.data.Dataset:
+    """RFM customer segmentation: recency / frequency / monetary
+    quintiles (exact SQL-rule ntile over the (value, custkey) total
+    order, via the sort-free histogram-rank plan) → bounded
+    (r_q, f_q, m_q) cell counts.  Three rank passes + two key
+    co-location joins — all shuffle volume O(customers), never
+    O(orders)."""
+    import numpy as np
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.quantiles import global_value_ranks
+    from pdf_parser_ray.ops.relational import colo_join
+    from pdf_parser_ray.ops.shuffle import grouped_agg
+
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def partial(df: pd.DataFrame):
+        g = pd.DataFrame(
+            {
+                "k": df["o_custkey"],
+                "r": df["o_orderdate"]
+                .to_numpy("datetime64[us]")
+                .astype("int64")
+                // np.int64(86_400_000_000),
+                "f": np.int64(1),
+                "m": np.rint(
+                    df["o_totalprice"].to_numpy(dtype=np.float64) * 100.0
+                ).astype("int64"),
+            }
+        ).groupby("k", as_index=False).agg(
+            r=("r", "max"), f=("f", "sum"), m=("m", "sum")
+        )
+        return arrow_out(g.astype({"r": "int64", "f": "int64", "m": "int64"}))
+
+    totals = grouped_agg(
+        orders.map_batches(partial, batch_format="pandas"),
+        ["k"],
+        {"r": ("r", "max"), "f": ("f", "sum"), "m": ("m", "sum")},
+    )
+
+    def tiles(col: str, width: float, alias: str) -> ray.data.Dataset:
+        ranked = global_value_ranks(
+            totals.select_columns(["k", col]),
+            col,
+            "k",
+            bucket_width=width,
+            n_tiles=5,
+        )
+        return ranked.map_batches(
+            lambda df, a=alias: arrow_out(
+                pd.DataFrame({"k": df["k"], a: df["tile"].astype("int64")})
+            ),
+            batch_format="pandas",
+        )
+
+    rq = tiles("r", 16.0, "r_q")
+    fq = tiles("f", 1.0, "f_q")
+    mq = tiles("m", 100_000.0, "m_q")
+    rf = colo_join(rq, fq, ["k"], ["r_q"], ["f_q"])
+    rfm = colo_join(rf, mq, ["k"], ["r_q", "f_q"], ["m_q"])
+
+    def cell_partial(df: pd.DataFrame):
+        g = (
+            df.assign(n_customers=np.int64(1))
+            .groupby(["r_q", "f_q", "m_q"], as_index=False)["n_customers"]
+            .sum()
+        )
+        return arrow_out(g.astype({"n_customers": "int64"}))
+
+    from ray.data.aggregate import Sum
+
+    return (
+        rfm.map_batches(cell_partial, batch_format="pandas")
+        .groupby(["r_q", "f_q", "m_q"])
+        .aggregate(Sum("n_customers", alias_name="n_customers"))
+    )
+
+
+QUERIES["rfm_segments"] = q_rfm_segments
+
+# ntile(5) with the (value, custkey) tie-break — the SQL rule
+# global_value_ranks implements closed-form; recency as epoch DAYS
+# (monotone int), monetary as exact cents.
+SQL["rfm_segments"] = """
+    WITH t AS (
+      SELECT o_custkey AS k,
+             (epoch(max(o_orderdate))::BIGINT // 86400)::BIGINT AS r,
+             count(*)::BIGINT AS f,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS m
+      FROM orders GROUP BY o_custkey),
+    q AS (
+      SELECT k,
+             ntile(5) OVER (ORDER BY r, k) AS r_q,
+             ntile(5) OVER (ORDER BY f, k) AS f_q,
+             ntile(5) OVER (ORDER BY m, k) AS m_q
+      FROM t)
+    SELECT r_q::BIGINT AS r_q, f_q::BIGINT AS f_q, m_q::BIGINT AS m_q,
+           count(*)::BIGINT AS n_customers
+    FROM q GROUP BY r_q, f_q, m_q
+    ORDER BY r_q, f_q, m_q
+"""
+
+
+def q_readability(sf_dir: str) -> ray.data.Dataset:
+    """Flesch reading-ease per document from three regex counts
+    (words, sentence-ending runs, vowel-group "syllables") — integer
+    counts are hash-exact across engines, the score is one shared
+    float tree rounded 4."""
+    import numpy as np
+
+    from pdf_parser_ray.io_utils import arrow_out
+
+    def score(df: pd.DataFrame):
+        text = df["text"].fillna("")
+        w = text.str.count(r"\S+").to_numpy(dtype=np.int64)
+        s = text.str.count(r"[.!?]+").to_numpy(dtype=np.int64)
+        y = text.str.count(r"[aeiouyAEIOUY]+").to_numpy(dtype=np.int64)
+        keep = w > 0
+        sn = np.maximum(s, 1).astype(np.float64)
+        wf = w.astype(np.float64)
+        flesch = 206.835 - 1.015 * (wf / sn) - 84.6 * (y / wf)
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_words": w,
+                "n_sentences": s,
+                "n_syllables": y,
+                "flesch": np.round(flesch, 4),
+            }
+        )[keep]
+        return arrow_out(out)
+
+    return _documents(sf_dir).map_batches(score, batch_format="pandas")
+
+
+QUERIES["readability"] = q_readability
+
+SQL["readability"] = """
+    WITH c AS (
+      SELECT doc_id,
+             length(regexp_extract_all(coalesce(text, ''), '\\S+'))::BIGINT
+               AS n_words,
+             length(regexp_extract_all(coalesce(text, ''), '[.!?]+'))::BIGINT
+               AS n_sentences,
+             length(regexp_extract_all(coalesce(text, ''),
+                                       '[aeiouyAEIOUY]+'))::BIGINT
+               AS n_syllables
+      FROM documents)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           round(206.835
+                 - 1.015 * (n_words::DOUBLE
+                            / greatest(n_sentences, 1)::DOUBLE)
+                 - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE), 4)
+             AS flesch
+    FROM c WHERE n_words > 0
+"""
+
+
+def q_spend_theil(sf_dir: str) -> pd.DataFrame:
+    """Theil-T inequality index of customer spend (the entropy-based
+    companion to q:spend_gini): per-customer exact cent totals →
+    one-pass (n, Σx, Σ x·ln x) moments → closed form
+    T = Σx·lnx / (n·μ) − ln μ.  All-integer until the ln/division
+    tree, which both engines share; round 6."""
+    import math as _math
+
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import grouped_agg
+
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def cents(df: pd.DataFrame):
+        g = pd.DataFrame(
+            {
+                "k": df["o_custkey"],
+                "c": np.rint(
+                    df["o_totalprice"].to_numpy(dtype=np.float64) * 100.0
+                ).astype("int64"),
+            }
+        ).groupby("k", as_index=False)["c"].sum()
+        return arrow_out(g)
+
+    totals = grouped_agg(
+        orders.map_batches(cents, batch_format="pandas"),
+        ["k"],
+        {"c": ("c", "sum")},
+    )
+
+    def moments(df: pd.DataFrame):
+        c = df["c"].to_numpy(dtype=np.int64)
+        c = c[c > 0]
+        cf = c.astype(np.float64)
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    "n": [np.int64(len(c))],
+                    "sx": [np.int64(c.sum())],
+                    "sxlnx": [float((cf * np.log(cf)).sum())],
+                }
+            )
+        )
+
+    agg = (
+        totals.map_batches(moments, batch_format="pandas")
+        .groupby(None)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sxlnx", alias_name="sxlnx"),
+        )
+        .to_pandas()
+    )
+    n = int(agg["n"].iloc[0])
+    sx = float(agg["sx"].iloc[0])
+    mu = sx / float(n)
+    theil = float(agg["sxlnx"].iloc[0]) / (float(n) * mu) - _math.log(mu)
+    return pd.DataFrame(
+        {"n": np.array([n], dtype="int64"), "theil": [round(theil, 6)]}
+    )
+
+
+QUERIES["spend_theil"] = q_spend_theil
+
+SQL["spend_theil"] = """
+    WITH t AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS c
+      FROM orders GROUP BY o_custkey),
+    s AS (
+      SELECT count(*)::BIGINT AS n,
+             CAST(sum(c) AS BIGINT) AS sx,
+             sum(c::DOUBLE * ln(c::DOUBLE)) AS sxlnx
+      FROM t WHERE c > 0)
+    SELECT n,
+           round(sxlnx / (n::DOUBLE * (sx::DOUBLE / n::DOUBLE))
+                 - ln(sx::DOUBLE / n::DOUBLE), 6) AS theil
+    FROM s
+"""

@@ -329,3 +329,53 @@ def test_hill_alpha_drops_empty_tail(ray_session):
     df = pd.DataFrame({"g": ["small"] * 5, "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
     out = hill_alpha(_ds(df), "v", "g", xmin=100.0).to_pandas()
     assert len(out) == 0
+
+
+# ------------------------------------------------- rfm / readability / theil
+
+def test_readability_hand_case(ray_session):
+    import __ray_entry__ as entrymod
+
+    # craft via the query on real testdata: spot-verify one row's
+    # formula from its own integer counts
+    df = entrymod.queries()["readability"]("/root/testdata/sf0.001")
+    df = df.to_pandas().head(20)
+    w = df["n_words"].to_numpy(float)
+    s = np.maximum(df["n_sentences"].to_numpy(float), 1.0)
+    y = df["n_syllables"].to_numpy(float)
+    expect = np.round(206.835 - 1.015 * (w / s) - 84.6 * (y / w), 4)
+    assert np.allclose(df["flesch"], expect)
+
+
+def test_spend_theil_zero_for_equal_spend(ray_session):
+    from pdf_parser_ray.ops.shuffle import grouped_agg  # noqa: F401
+
+    # direct formula check: equal values => Theil == 0
+    import math as m
+
+    c = np.array([500, 500, 500, 500], dtype="int64")
+    cf = c.astype(float)
+    n, sx, sxlnx = len(c), cf.sum(), (cf * np.log(cf)).sum()
+    mu = sx / n
+    assert sxlnx / (n * mu) - m.log(mu) == pytest.approx(0.0, abs=1e-12)
+
+
+def test_rfm_segments_cells_partition_the_customers(ray_session):
+    import __ray_entry__ as entrymod
+
+    out = (
+        entrymod.queries()["rfm_segments"]("/root/testdata/sf0.001")
+        .to_pandas()
+    )
+    # every quintile id in 1..5; total customers = distinct o_custkey
+    assert out[["r_q", "f_q", "m_q"]].isin([1, 2, 3, 4, 5]).all().all()
+    import duckdb
+
+    n = duckdb.sql(
+        "SELECT count(DISTINCT o_custkey) FROM "
+        "read_parquet('/root/testdata/sf0.001/orders.parquet')"
+    ).fetchone()[0]
+    assert int(out["n_customers"].sum()) == n
+    # marginals: each r_q stratum holds n/5 +- 1 customers
+    marg = out.groupby("r_q")["n_customers"].sum()
+    assert marg.min() >= n // 5 and marg.max() <= n // 5 + 1
