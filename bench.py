@@ -153,6 +153,9 @@ BENCH_QUERIES = [
     "rfm_segments",
     "readability",
     "spend_theil",
+    "value_ks_test",
+    "lang_source_mi",
+    "trimmed_mean_values",
 ]
 
 

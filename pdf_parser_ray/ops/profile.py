@@ -1176,3 +1176,131 @@ def hill_alpha(
         return arrow_out(out)
 
     return sums.map_batches(finalize, batch_format="pandas")
+
+
+def two_sample_ks(
+    ds: ray.data.Dataset,
+    val: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    *,
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the value
+    distributions of two groups — D = max |F_a(x) − F_b(x)| over the
+    union of observed values — the distribution-shift test behind
+    "did this source's quality profile drift?".
+
+    Values snap to int64 cents; ONE bounded groupby builds the
+    per-value class counts (≤ distinct cents values — bounded by the
+    value range, never O(rows); document per deployment).  The driver
+    prefix-scans that tiny table: every CDF step is an exact-int
+    division (cum::DOUBLE / n — correctly rounded from identical
+    operands on both engines), so the max and the final D are
+    bit-identical before the cosmetic round.
+
+    Returns a one-row DataFrame (d_stat:float64, n_a:int64, n_b:int64).
+    """
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.io_utils import arrow_out
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        m = df[df[group_col].isin([group_a, group_b])]
+        x = np.rint(m[val].to_numpy(dtype=np.float64) * 100.0).astype(
+            np.int64
+        )
+        isa = (m[group_col] == group_a).to_numpy()
+        g = (
+            pd.DataFrame(
+                {
+                    "x": x,
+                    "ca": isa.astype("int64"),
+                    "cb": (~isa).astype("int64"),
+                }
+            )
+            .groupby("x", as_index=False)
+            .sum()
+        )
+        return arrow_out(g.astype({"ca": "int64", "cb": "int64"}))
+
+    counts = (
+        ds.select_columns([group_col, val])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("x")
+        .aggregate(Sum("ca", alias_name="ca"), Sum("cb", alias_name="cb"))
+        .to_pandas()  # ≤ distinct cents values — bounded
+        .sort_values("x")
+    )
+    n_a = int(counts["ca"].sum())
+    n_b = int(counts["cb"].sum())
+    if n_a == 0 or n_b == 0:
+        return pd.DataFrame(
+            {"d_stat": [float("nan")],
+             "n_a": np.array([n_a], dtype="int64"),
+             "n_b": np.array([n_b], dtype="int64")}
+        )
+    cu_a = counts["ca"].cumsum().to_numpy(dtype=np.int64)
+    cu_b = counts["cb"].cumsum().to_numpy(dtype=np.int64)
+    d = np.abs(
+        cu_a.astype(np.float64) / float(n_a)
+        - cu_b.astype(np.float64) / float(n_b)
+    ).max()
+    return pd.DataFrame(
+        {"d_stat": [round(float(d), round_to)],
+         "n_a": np.array([n_a], dtype="int64"),
+         "n_b": np.array([n_b], dtype="int64")}
+    )
+
+
+def contingency_mi(
+    ds: ray.data.Dataset,
+    row_col: str,
+    col_col: str,
+    *,
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """Mutual information (nats) between two categorical columns —
+    the information-theoretic companion to :func:`contingency_chi2`
+    (same one-bounded-groupby contingency plan):
+    MI = Σ_{ij, n_ij>0} (n_ij/N) · ln(N·n_ij / (r_i·c_j)).
+
+    All counts int64-exact; the ln/ratio tree is shared with the SQL
+    twin, leaving cell-summation order as the only drift — inside
+    ``round_to``.
+
+    Returns a one-row DataFrame (mi:float64, n:int64).
+    """
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.io_utils import arrow_out
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = (
+            df[[row_col, col_col]]
+            .assign(n=np.int64(1))
+            .groupby([row_col, col_col], as_index=False)
+            .sum()
+        )
+        g["n"] = g["n"].astype("int64")
+        return arrow_out(g)
+
+    obs = (
+        ds.select_columns([row_col, col_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby([row_col, col_col])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # R × C cells — bounded
+    )
+    total = float(obs["n"].sum())
+    r_tot = obs.groupby(row_col)["n"].transform("sum").to_numpy(np.float64)
+    c_tot = obs.groupby(col_col)["n"].transform("sum").to_numpy(np.float64)
+    nij = obs["n"].to_numpy(np.float64)
+    mi = float(
+        ((nij / total) * np.log(total * nij / (r_tot * c_tot))).sum()
+    )
+    return pd.DataFrame(
+        {"mi": [round(mi, round_to)],
+         "n": np.array([int(total)], dtype="int64")}
+    )

@@ -563,3 +563,79 @@ def weighted_median(
             {"median": [med], "total_weight": [np.int64(total)]}
         )
     )
+
+
+def grouped_trimmed_mean(
+    ds: ray.data.Dataset,
+    group_col: str,
+    val_col: str,
+    *,
+    trim: float = 0.1,
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """10 %-trimmed (by default) mean per group — the robust location
+    estimate between the mean (outlier-hostage) and the median
+    (information-discarding): drop the ⌊n·trim⌋ lowest and highest
+    values, average the rest.
+
+    NO group co-location (the group key is low-cardinality — the
+    forbidden skew pattern): values snap to int64 cents and ONE bounded
+    groupby builds per-(group, cents) counts; the driver prefix-scans
+    each group's tiny value histogram and takes the rank window
+    [⌊n·trim⌋+1, n−⌊n·trim⌋] — tie-invariant because tied boundary
+    values are equal, so partial inclusion by count is exact.  All
+    arithmetic is integer until the final mean (sum::DOUBLE / kept /
+    100), the tree the SQL row_number twin shares.
+
+    Returns a driver-sized DataFrame
+    (group_col, n_kept:int64, trimmed_mean:float64), sorted by group.
+    """
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.io_utils import arrow_out
+
+    def partial(df: pd.DataFrame):
+        g = (
+            pd.DataFrame(
+                {
+                    group_col: df[group_col],
+                    "x": np.rint(
+                        df[val_col].to_numpy(dtype=np.float64) * 100.0
+                    ).astype(np.int64),
+                    "c": np.int64(1),
+                }
+            )
+            .groupby([group_col, "x"], as_index=False)
+            .sum()
+        )
+        return arrow_out(g.astype({"c": "int64"}))
+
+    counts = (
+        ds.select_columns([group_col, val_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby([group_col, "x"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # ≤ groups × distinct cents — bounded
+        .sort_values([group_col, "x"])
+    )
+
+    rows = []
+    for k, grp in counts.groupby(group_col, sort=True):
+        c = grp["c"].to_numpy(dtype=np.int64)
+        x = grp["x"].to_numpy(dtype=np.int64)
+        n = int(c.sum())
+        lo = int(n * trim)
+        hi = n - lo
+        if hi <= lo:
+            continue
+        cum = np.cumsum(c)
+        prev = cum - c
+        kept = np.clip(cum, lo, hi) - np.clip(prev, lo, hi)
+        n_kept = int(kept.sum())
+        s = int((x * kept).sum())
+        rows.append(
+            (k, n_kept, round(float(s) / float(n_kept) / 100.0, round_to))
+        )
+    return pd.DataFrame(
+        rows, columns=[group_col, "n_kept", "trimmed_mean"]
+    ).astype({"n_kept": "int64"})

@@ -7720,3 +7720,121 @@ SQL["spend_theil"] = """
                  - ln(sx::DOUBLE / n::DOUBLE), 6) AS theil
     FROM s
 """
+
+
+def q_value_ks_test(sf_dir: str) -> pd.DataFrame:
+    """Two-sample KS statistic between the 'view' and 'purchase' value
+    distributions — exact per-cents class counts, bit-identical CDF
+    step divisions on both engines."""
+    from pdf_parser_ray.ops.profile import two_sample_ks
+
+    return two_sample_ks(
+        _read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        ),
+        "value",
+        "event_type",
+        "view",
+        "purchase",
+    )
+
+
+QUERIES["value_ks_test"] = q_value_ks_test
+
+# D evaluated at every distinct observed cents value; each CDF step is
+# cum::DOUBLE / n over identical ints — bit-identical before round-6.
+SQL["value_ks_test"] = """
+    WITH e AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS x,
+             (event_type = 'view')::INT AS a,
+             (event_type = 'purchase')::INT AS b
+      FROM events WHERE event_type IN ('view', 'purchase')),
+    g AS (
+      SELECT x, CAST(sum(a) AS BIGINT) AS ca, CAST(sum(b) AS BIGINT) AS cb
+      FROM e GROUP BY x),
+    t AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+      FROM g),
+    c AS (
+      SELECT CAST(sum(ca) OVER (ORDER BY x) AS BIGINT) AS cu_a,
+             CAST(sum(cb) OVER (ORDER BY x) AS BIGINT) AS cu_b
+      FROM g)
+    SELECT round(max(abs(cu_a::DOUBLE / (SELECT na FROM t)::DOUBLE
+                         - cu_b::DOUBLE / (SELECT nb FROM t)::DOUBLE)), 6)
+             AS d_stat,
+           (SELECT na FROM t) AS n_a,
+           (SELECT nb FROM t) AS n_b
+    FROM c
+"""
+
+
+def q_lang_source_mi(sf_dir: str) -> pd.DataFrame:
+    """Mutual information (nats) between language and source — the
+    information-theoretic redundancy audit on the same one-groupby
+    contingency plan as q:lang_source_chi2."""
+    from pdf_parser_ray.ops.profile import contingency_mi
+
+    return contingency_mi(
+        _documents(sf_dir, columns=["lang", "source"]), "lang", "source"
+    )
+
+
+QUERIES["lang_source_mi"] = q_lang_source_mi
+
+SQL["lang_source_mi"] = """
+    WITH c AS (
+      SELECT lang, source, count(*)::BIGINT AS n
+      FROM documents GROUP BY lang, source),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+    m AS (
+      SELECT n,
+             (SELECT total FROM tot)::DOUBLE AS t,
+             CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS rn,
+             CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS cn
+      FROM c)
+    SELECT round(sum((n::DOUBLE / t)
+                     * ln(t * n::DOUBLE / (rn::DOUBLE * cn::DOUBLE))), 6)
+             AS mi,
+           (SELECT total FROM tot) AS n
+    FROM m
+"""
+
+
+def q_trimmed_mean_values(sf_dir: str) -> pd.DataFrame:
+    """10 %-trimmed mean of event values per type — rank-window robust
+    location from ONE bounded (type, cents) histogram groupby, no
+    low-cardinality group co-location."""
+    from pdf_parser_ray.ops.quantiles import grouped_trimmed_mean
+
+    return grouped_trimmed_mean(
+        _read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        ),
+        "event_type",
+        "value",
+        trim=0.1,
+    )
+
+
+QUERIES["trimmed_mean_values"] = q_trimmed_mean_values
+
+# rank window [⌊n/10⌋+1, n−⌊n/10⌋] under ORDER BY x — tie-invariant
+# because the summed quantity is the (equal) tied value itself.
+SQL["trimmed_mean_values"] = """
+    WITH e AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x
+      FROM events),
+    r AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY x) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM e)
+    SELECT event_type,
+           count(*)::BIGINT AS n_kept,
+           round(CAST(sum(x) AS DOUBLE) / count(*)::DOUBLE / 100.0, 6)
+             AS trimmed_mean
+    FROM r
+    WHERE rn > n // 10 AND rn <= n - n // 10
+    GROUP BY event_type
+    ORDER BY event_type
+"""

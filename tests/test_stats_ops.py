@@ -379,3 +379,80 @@ def test_rfm_segments_cells_partition_the_customers(ray_session):
     # marginals: each r_q stratum holds n/5 +- 1 customers
     marg = out.groupby("r_q")["n_customers"].sum()
     assert marg.min() >= n // 5 and marg.max() <= n // 5 + 1
+
+
+# ------------------------------------------------------- ks / mi / trimmed
+
+def test_two_sample_ks_hand_case(ray_session):
+    from pdf_parser_ray.ops.profile import two_sample_ks
+
+    # a: {1,2,3}, b: {3,4,5} (in dollars) — D = 2/3 at x=2
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 3 + ["b"] * 3,
+            "v": [1.0, 2.0, 3.0, 3.0, 4.0, 5.0],
+        }
+    )
+    out = two_sample_ks(_ds(df, 2), "v", "g", "a", "b")
+    assert out["d_stat"].iloc[0] == pytest.approx(2.0 / 3.0, abs=1e-6)
+    assert out["n_a"].iloc[0] == 3 and out["n_b"].iloc[0] == 3
+
+
+def test_two_sample_ks_identical_distributions(ray_session):
+    from pdf_parser_ray.ops.profile import two_sample_ks
+
+    v = [1.0, 2.0, 3.0, 4.0]
+    df = pd.DataFrame({"g": ["a"] * 4 + ["b"] * 4, "v": v + v})
+    out = two_sample_ks(_ds(df, 3), "v", "g", "a", "b")
+    assert out["d_stat"].iloc[0] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_contingency_mi_independent_and_dependent(ray_session):
+    from pdf_parser_ray.ops.profile import contingency_mi
+
+    # perfectly dependent 2x2 -> MI = ln 2; independent -> 0
+    dep = pd.DataFrame(
+        {"r": ["A"] * 10 + ["B"] * 10, "c": ["X"] * 10 + ["Y"] * 10}
+    )
+    out = contingency_mi(_ds(dep, 2), "r", "c")
+    assert out["mi"].iloc[0] == pytest.approx(math.log(2.0), abs=1e-6)
+    ind = pd.DataFrame(
+        {
+            "r": ["A"] * 20 + ["B"] * 20,
+            "c": (["X"] * 10 + ["Y"] * 10) * 2,
+        }
+    )
+    out2 = contingency_mi(_ds(ind, 2), "r", "c")
+    assert out2["mi"].iloc[0] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_grouped_trimmed_mean_matches_reference(ray_session):
+    from pdf_parser_ray.ops.quantiles import grouped_trimmed_mean
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b"], 500),
+            "v": np.round(rng.normal(100, 30, 500), 2),
+        }
+    )
+    # plant outliers that a 10% trim must neutralize
+    df.loc[:4, "v"] = 10_000.0
+    out = grouped_trimmed_mean(_ds(df, 4), "g", "v").set_index("g")
+    for g, grp in df.groupby("g"):
+        x = np.sort(np.rint(grp["v"].to_numpy() * 100).astype("int64"))
+        n = len(x)
+        lo = int(n * 0.1)
+        kept = x[lo: n - lo]
+        ref = kept.sum() / len(kept) / 100.0
+        assert out.loc[g, "trimmed_mean"] == pytest.approx(ref, abs=1e-6)
+        assert out.loc[g, "n_kept"] == len(kept)
+
+
+def test_grouped_trimmed_mean_resists_outliers(ray_session):
+    from pdf_parser_ray.ops.quantiles import grouped_trimmed_mean
+
+    v = [50.0] * 18 + [1e6, -1e6]
+    df = pd.DataFrame({"g": ["x"] * 20, "v": v})
+    out = grouped_trimmed_mean(_ds(df, 2), "g", "v")
+    assert out["trimmed_mean"].iloc[0] == pytest.approx(50.0, abs=1e-6)
