@@ -610,11 +610,19 @@ def grouped_trimmed_mean(
         )
         return arrow_out(g.astype({"c": "int64"}))
 
+    # co-locate, don't stream-sort-aggregate: groups × distinct cents
+    # is a ~10^5-key space — the Q18-lesson regime (measured 7.8 s ->
+    # ~2 s at sf0.1/32 CPUs with grouped_sum).
+    from pdf_parser_ray.ops.shuffle import grouped_sum
+
     counts = (
-        ds.select_columns([group_col, val_col])
-        .map_batches(partial, batch_format="pandas")
-        .groupby([group_col, "x"])
-        .aggregate(Sum("c", alias_name="c"))
+        grouped_sum(
+            ds.select_columns([group_col, val_col]).map_batches(
+                partial, batch_format="pandas"
+            ),
+            [group_col, "x"],
+            ["c"],
+        )
         .to_pandas()  # ≤ groups × distinct cents — bounded
         .sort_values([group_col, "x"])
     )
@@ -639,3 +647,144 @@ def grouped_trimmed_mean(
     return pd.DataFrame(
         rows, columns=[group_col, "n_kept", "trimmed_mean"]
     ).astype({"n_kept": "int64"})
+
+
+def grouped_value_ranks(
+    ds: ray.data.Dataset,
+    value_col: str,
+    id_col: str,
+    group_col: str,
+    *,
+    bucket_width: float | dict = 1.0,
+    n_tiles: int = 10,
+    n_parts: int = 64,
+) -> ray.data.Dataset:
+    """:func:`global_value_ranks` generalized to PER-GROUP total orders:
+    exact rank / percent_rank / ntile of every row under (value, id)
+    within its group — ``ntile(k) OVER (PARTITION BY group ORDER BY
+    value, id)`` without a sort, for groups of ANY cardinality.
+
+    Same histogram + prefix-offset plan, keyed (group, bucket):
+    per-batch (group, bucket) counts → driver exclusive offsets per
+    group → one (group, bucket) co-location ranks locally and adds the
+    offset.  ``bucket_width`` may be a dict keyed by group value so
+    differently-scaled groups (days vs cents) keep their histograms
+    bounded; the driver table is Σ_g (range_g / width_g) rows.
+
+    Output: (id_col, group_col, value_col, rnk:int64,
+    pct_rank:float64, tile:int64).
+    """
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    def width_of(g) -> float:
+        if isinstance(bucket_width, dict):
+            return float(bucket_width[g])
+        return float(bucket_width)
+
+    def bucket_arr(gvals: np.ndarray, vals: np.ndarray) -> np.ndarray:
+        if not isinstance(bucket_width, dict):
+            return np.floor(vals / float(bucket_width)).astype(np.int64)
+        w = np.array([width_of(g) for g in gvals], dtype=np.float64)
+        return np.floor(vals / w).astype(np.int64)
+
+    def hist_partial(df: pd.DataFrame):
+        b = bucket_arr(
+            df[group_col].to_numpy(), df[value_col].to_numpy(np.float64)
+        )
+        g = (
+            pd.DataFrame({group_col: df[group_col], "b": b, "c": np.int64(1)})
+            .groupby([group_col, "b"], as_index=False)
+            .sum()
+        )
+        return arrow_out(g.astype({"c": "int64"}))
+
+    hist = (
+        ds.select_columns([group_col, value_col])
+        .map_batches(hist_partial, batch_format="pandas")
+        .to_pandas()  # ≤ batches × buckets — bounded by construction
+        .groupby([group_col, "b"], as_index=False)["c"].sum()
+        .sort_values([group_col, "b"])
+    )
+    offsets: dict = {}
+    totals: dict = {}
+    for g, grp in hist.groupby(group_col):
+        cum = grp["c"].cumsum().to_numpy()
+        for b, off in zip(grp["b"], np.concatenate([[0], cum[:-1]])):
+            offsets[(g, int(b))] = int(off)
+        totals[g] = int(cum[-1])
+    off_ref = ray.put((offsets, totals))
+
+    def tag(df: pd.DataFrame):
+        b = bucket_arr(
+            df[group_col].to_numpy(), df[value_col].to_numpy(np.float64)
+        )
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    id_col: df[id_col].to_numpy(),
+                    group_col: df[group_col].to_numpy(),
+                    value_col: df[value_col].to_numpy(),
+                    "b": b,
+                }
+            )
+        )
+
+    tagged = ds.select_columns(
+        [id_col, group_col, value_col]
+    ).map_batches(tag, batch_format="pandas")
+
+    def rank_partition(part: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.stages import worker_state
+
+        offs, tots = worker_state(
+            ("grv_off", off_ref.hex()), lambda: ray.get(off_ref)
+        )
+        out = []
+        for (g, b), grp in part.groupby([group_col, "b"]):
+            grp = grp.sort_values(
+                [value_col, id_col], kind="mergesort"
+            ).reset_index(drop=True)
+            n_g = tots[g]
+            rnk = np.arange(1, len(grp) + 1, dtype=np.int64) + offs[(g, int(b))]
+            q, r = divmod(n_g, n_tiles)
+            if q == 0:
+                tile = np.minimum(rnk, n_tiles)
+            else:
+                big = r * (q + 1)
+                tile = np.where(
+                    rnk <= big,
+                    (rnk - 1) // (q + 1) + 1,
+                    r + (rnk - big - 1) // q + 1,
+                ).astype(np.int64)
+            out.append(
+                pd.DataFrame(
+                    {
+                        id_col: grp[id_col],
+                        group_col: grp[group_col],
+                        value_col: grp[value_col],
+                        "rnk": rnk,
+                        "pct_rank": (rnk - 1).astype(np.float64)
+                        / float(n_g - 1)
+                        if n_g > 1
+                        else np.zeros(len(grp)),
+                        "tile": tile,
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    group_col: pd.Series([], dtype="object"),
+                    value_col: pd.Series([], dtype="float64"),
+                    "rnk": pd.Series([], dtype="int64"),
+                    "pct_rank": pd.Series([], dtype="float64"),
+                    "tile": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return partitioned_map(
+        tagged, [group_col, "b"], rank_partition, n_parts=n_parts
+    )

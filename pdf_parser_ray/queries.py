@@ -7475,15 +7475,13 @@ SQL["doc_zipf_alpha"] = """
 def q_rfm_segments(sf_dir: str) -> ray.data.Dataset:
     """RFM customer segmentation: recency / frequency / monetary
     quintiles (exact SQL-rule ntile over the (value, custkey) total
-    order, via the sort-free histogram-rank plan) → bounded
-    (r_q, f_q, m_q) cell counts.  Three rank passes + two key
-    co-location joins — all shuffle volume O(customers), never
-    O(orders)."""
+    order, via the sort-free GROUPED histogram-rank plan) → bounded
+    (r_q, f_q, m_q) cell counts.  One metric-exploded rank co-location
+    + one one-hot pivot co-location — all shuffle volume O(customers),
+    never O(orders)."""
     import numpy as np
 
     from pdf_parser_ray.io_utils import arrow_out
-    from pdf_parser_ray.ops.quantiles import global_value_ranks
-    from pdf_parser_ray.ops.relational import colo_join
     from pdf_parser_ray.ops.shuffle import grouped_agg
 
     orders = _read_parquet(
@@ -7509,32 +7507,78 @@ def q_rfm_segments(sf_dir: str) -> ray.data.Dataset:
         )
         return arrow_out(g.astype({"r": "int64", "f": "int64", "m": "int64"}))
 
+    # ONE rank pass for all three metrics: explode each customer row to
+    # (metric, value) and run the GROUPED histogram-rank plan with a
+    # per-metric bucket width (days / order counts / cents live on
+    # different scales).  vs three global_value_ranks passes + two
+    # colo_joins: 25.7 s -> single-digit seconds at sf0.1/32 CPUs —
+    # same SQL-rule ntile, one co-location instead of five.
+    # materialize: the exploded frame is consumed twice (histogram +
+    # rank co-location); bounded at 3 rows per customer.
     totals = grouped_agg(
         orders.map_batches(partial, batch_format="pandas"),
         ["k"],
         {"r": ("r", "max"), "f": ("f", "sum"), "m": ("m", "sum")},
     )
 
-    def tiles(col: str, width: float, alias: str) -> ray.data.Dataset:
-        ranked = global_value_ranks(
-            totals.select_columns(["k", col]),
-            col,
-            "k",
-            bucket_width=width,
-            n_tiles=5,
-        )
-        return ranked.map_batches(
-            lambda df, a=alias: arrow_out(
-                pd.DataFrame({"k": df["k"], a: df["tile"].astype("int64")})
-            ),
-            batch_format="pandas",
+    def explode(df: pd.DataFrame):
+        n = len(df)
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    "k": np.tile(df["k"].to_numpy(), 3),
+                    "metric": np.repeat(
+                        np.array([0, 1, 2], dtype="int64"), n
+                    ),
+                    "v": np.concatenate(
+                        [
+                            df["r"].to_numpy(dtype=np.float64),
+                            df["f"].to_numpy(dtype=np.float64),
+                            df["m"].to_numpy(dtype=np.float64),
+                        ]
+                    ),
+                }
+            )
         )
 
-    rq = tiles("r", 16.0, "r_q")
-    fq = tiles("f", 1.0, "f_q")
-    mq = tiles("m", 100_000.0, "m_q")
-    rf = colo_join(rq, fq, ["k"], ["r_q"], ["f_q"])
-    rfm = colo_join(rf, mq, ["k"], ["r_q", "f_q"], ["m_q"])
+    from pdf_parser_ray.ops.quantiles import grouped_value_ranks
+
+    exploded = totals.map_batches(
+        explode, batch_format="pandas"
+    ).materialize()
+    ranked = grouped_value_ranks(
+        exploded,
+        "v",
+        "k",
+        "metric",
+        bucket_width={0: 16.0, 1: 1.0, 2: 100_000.0},
+        n_tiles=5,
+    )
+
+    # pivot (k, metric, tile) back to one row per customer: each
+    # customer has EXACTLY one row per metric, so a summed one-hot is
+    # the pivot — one key co-location, no join.
+    def one_hot(df: pd.DataFrame):
+        t = df["tile"].to_numpy(dtype=np.int64)
+        m = df["metric"].to_numpy(dtype=np.int64)
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    "k": df["k"].to_numpy(),
+                    "r_q": np.where(m == 0, t, 0),
+                    "f_q": np.where(m == 1, t, 0),
+                    "m_q": np.where(m == 2, t, 0),
+                }
+            )
+        )
+
+    from pdf_parser_ray.ops.shuffle import grouped_sum
+
+    rfm = grouped_sum(
+        ranked.map_batches(one_hot, batch_format="pandas"),
+        ["k"],
+        ["r_q", "f_q", "m_q"],
+    )
 
     def cell_partial(df: pd.DataFrame):
         g = (
