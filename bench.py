@@ -156,6 +156,9 @@ BENCH_QUERIES = [
     "value_ks_test",
     "lang_source_mi",
     "trimmed_mean_values",
+    "rfm_segments",
+    "spearman_qty_price",
+    "lang_id_kappa",
 ]
 
 

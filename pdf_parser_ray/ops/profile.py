@@ -1313,3 +1313,145 @@ def contingency_mi(
         {"mi": [round(mi, round_to)],
          "n": np.array([int(total)], dtype="int64")}
     )
+
+
+def grouped_spearman(
+    ds: ray.data.Dataset,
+    x: str,
+    y: str,
+    by: str,
+    *,
+    x_cents: bool = False,
+    y_cents: bool = False,
+    round_to: int = 4,
+) -> ray.data.Dataset:
+    """Spearman rank correlation per group — Pearson over AVERAGE ranks
+    (tie rule), the monotone-association answer when the relationship
+    isn't linear.
+
+    Sort-free plan: one bounded groupby builds each group's per-value
+    histogram for BOTH axes (≤ groups × distinct values — bounded by
+    the VALUE RANGE in cents, never by rows; document per deployment);
+    the driver turns histograms into doubled average ranks
+    (2·rank = 2·cum_below + cnt + 1 — an exact INTEGER, no .5s),
+    broadcasts the two lookup tables once via ``ray.put``, and one
+    map pass accumulates the usual (n, Σrx, Σry, Σrxrx, Σryry, Σrxry)
+    partials per group.  Ranks are identical integers on both engines;
+    the Σ products are float64 (2^53 overflow at corpus scale), so the
+    SQL twin shares the naive-sums Pearson tree and both sides round
+    to ``round_to`` — the grouped_corr convention.
+
+    Output: (by, n:int64, spearman:float64); zero-variance groups drop.
+    """
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import grouped_sum
+
+    def snap(s: pd.Series, cents: bool) -> np.ndarray:
+        v = s.to_numpy(dtype=np.float64)
+        if cents:
+            return np.rint(v * 100.0).astype(np.int64)
+        # rint, not truncation: the SQL twin's round() must agree on
+        # (the nominally integral) values stored as doubles
+        return np.rint(v).astype(np.int64)
+
+    def hist_partial(df: pd.DataFrame) -> pa.Table:
+        xs = snap(df[x], x_cents)
+        ys = snap(df[y], y_cents)
+        g = pd.concat(
+            [
+                pd.DataFrame(
+                    {by: df[by], "axis": np.int64(0), "v": xs, "c": np.int64(1)}
+                ),
+                pd.DataFrame(
+                    {by: df[by], "axis": np.int64(1), "v": ys, "c": np.int64(1)}
+                ),
+            ],
+            ignore_index=True,
+        )
+        return arrow_out(
+            g.groupby([by, "axis", "v"], as_index=False)["c"].sum()
+        )
+
+    hist = (
+        grouped_sum(
+            ds.select_columns([by, x, y]).map_batches(
+                hist_partial, batch_format="pandas"
+            ),
+            [by, "axis", "v"],
+            ["c"],
+        )
+        .to_pandas()  # groups × 2 × distinct values — bounded
+        .sort_values([by, "axis", "v"])
+    )
+
+    # doubled average ranks: 2r = 2·cum_below + cnt + 1 (exact ints)
+    lut: dict = {}
+    for (g, axis), grp in hist.groupby([by, "axis"]):
+        cum = grp["c"].cumsum().to_numpy(dtype=np.int64)
+        cnt = grp["c"].to_numpy(dtype=np.int64)
+        r2 = 2 * (cum - cnt) + cnt + 1
+        lut[(g, int(axis))] = pd.Series(
+            r2, index=grp["v"].to_numpy(), dtype="int64"
+        )
+    lut_ref = ray.put(lut)
+
+    def moment_partial(df: pd.DataFrame) -> pa.Table:
+        from pdf_parser_ray.stages import worker_state
+
+        tables: dict = worker_state(
+            ("spear_lut", lut_ref.hex()), lambda: ray.get(lut_ref)
+        )
+        parts = []
+        xs_all = snap(df[x], x_cents)
+        ys_all = snap(df[y], y_cents)
+        frame = pd.DataFrame({by: df[by].to_numpy(), "xv": xs_all, "yv": ys_all})
+        for g, grp in frame.groupby(by, sort=False):
+            rx = (
+                grp["xv"].map(tables[(g, 0)]).to_numpy(dtype=np.float64)
+            )
+            ry = (
+                grp["yv"].map(tables[(g, 1)]).to_numpy(dtype=np.float64)
+            )
+            parts.append(
+                (g, len(grp), rx.sum(), ry.sum(), (rx * rx).sum(),
+                 (ry * ry).sum(), (rx * ry).sum())
+            )
+        out = pd.DataFrame(
+            parts, columns=[by, "n", "sx", "sy", "sxx", "syy", "sxy"]
+        )
+        return arrow_out(out.astype({"n": "int64"}))
+
+    from ray.data.aggregate import Sum
+
+    sums = (
+        ds.select_columns([by, x, y])
+        .map_batches(moment_partial, batch_format="pandas")
+        .groupby(by)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"),
+            Sum("sxy", alias_name="sxy"),
+        )
+    )
+
+    def finalize(df: pd.DataFrame) -> pa.Table:
+        n = df["n"].astype("float64")
+        num = n * df["sxy"] - df["sx"] * df["sy"]
+        vx = n * df["sxx"] - df["sx"] ** 2
+        vy = n * df["syy"] - df["sy"] ** 2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rho = num / np.sqrt(vx * vy)
+        out = pd.DataFrame(
+            {
+                by: df[by],
+                "n": df["n"].astype("int64"),
+                "spearman": np.round(rho, round_to),
+            }
+        )
+        out = out[np.isfinite(out["spearman"])]
+        return arrow_out(out)
+
+    return sums.map_batches(finalize, batch_format="pandas")

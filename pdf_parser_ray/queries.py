@@ -7882,3 +7882,120 @@ SQL["trimmed_mean_values"] = """
     GROUP BY event_type
     ORDER BY event_type
 """
+
+
+def q_lang_id_kappa(sf_dir: str) -> pd.DataFrame:
+    """Cohen's kappa of the stopword language-ID classifier against the
+    labeled lang — chance-corrected agreement from the (bounded)
+    confusion matrix; all-integer marginals until the two divisions the
+    SQL twin shares."""
+    import numpy as np
+
+    conf = q_lang_confusion(sf_dir).to_pandas()  # langs² cells — bounded
+    t = int(conf["n"].sum())
+    a = int(conf.loc[conf["true_lang"] == conf["lang_pred"], "n"].sum())
+    row = conf.groupby("true_lang")["n"].sum()
+    col = conf.groupby("lang_pred")["n"].sum()
+    s = int(
+        sum(int(row[c]) * int(col[c]) for c in row.index if c in col.index)
+    )
+    po = float(a) / float(t)
+    pe = float(s) / (float(t) * float(t))
+    kappa = (po - pe) / (1.0 - pe)
+    return pd.DataFrame(
+        {"kappa": [round(kappa, 6)], "n": np.array([t], dtype="int64")}
+    )
+
+
+QUERIES["lang_id_kappa"] = q_lang_id_kappa
+
+
+def _lang_id_kappa_sql() -> str:
+    """Wrap the confusion twin: po/pe/kappa over exact-int marginals."""
+    conf = _lang_confusion_sql()
+    return f"""
+    WITH conf AS ({conf}),
+    agree AS (
+      SELECT CAST(sum(n) AS BIGINT) AS a FROM conf
+      WHERE true_lang = lang_pred),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM conf),
+    r AS (SELECT true_lang AS c, CAST(sum(n) AS BIGINT) AS rn
+          FROM conf GROUP BY true_lang),
+    co AS (SELECT lang_pred AS c, CAST(sum(n) AS BIGINT) AS cn
+           FROM conf GROUP BY lang_pred),
+    e AS (SELECT CAST(sum(r.rn * co.cn) AS BIGINT) AS s
+          FROM r JOIN co USING (c))
+    SELECT round(((SELECT a FROM agree)::DOUBLE / (SELECT t FROM tot)::DOUBLE
+                  - (SELECT s FROM e)::DOUBLE
+                    / ((SELECT t FROM tot)::DOUBLE
+                       * (SELECT t FROM tot)::DOUBLE))
+                 / (1.0 - (SELECT s FROM e)::DOUBLE
+                          / ((SELECT t FROM tot)::DOUBLE
+                             * (SELECT t FROM tot)::DOUBLE)), 6) AS kappa,
+           (SELECT t FROM tot) AS n
+"""
+
+
+SQL["lang_id_kappa"] = _lang_id_kappa_sql()
+
+
+def q_spearman_qty_price(sf_dir: str) -> ray.data.Dataset:
+    """Spearman rank correlation of quantity vs extended price per
+    return flag — sort-free average ranks from bounded per-value
+    histograms, broadcast once, Pearson over the doubled-rank sums."""
+    from pdf_parser_ray.ops.profile import grouped_spearman
+
+    return grouped_spearman(
+        _read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+        ),
+        "l_quantity",
+        "l_extendedprice",
+        "l_returnflag",
+        y_cents=True,
+    )
+
+
+QUERIES["spearman_qty_price"] = q_spearman_qty_price
+
+# doubled average ranks (2r = 2·cum_below + cnt + 1, exact ints) per
+# (group, value), joined back; the SAME naive-sums Pearson tree as the
+# Ray finalize, round 4 absorbing Σ-order noise.
+SQL["spearman_qty_price"] = """
+    WITH d AS (
+      SELECT l_returnflag AS g,
+             CAST(round(l_quantity) AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem),
+    xs AS (SELECT g, x, count(*)::BIGINT AS c FROM d GROUP BY g, x),
+    xr AS (
+      SELECT g, x,
+             CAST(2 * (sum(c) OVER (PARTITION BY g ORDER BY x) - c)
+                  + c + 1 AS BIGINT) AS rx2
+      FROM xs),
+    ys AS (SELECT g, y, count(*)::BIGINT AS c FROM d GROUP BY g, y),
+    yr AS (
+      SELECT g, y,
+             CAST(2 * (sum(c) OVER (PARTITION BY g ORDER BY y) - c)
+                  + c + 1 AS BIGINT) AS ry2
+      FROM ys),
+    j AS (
+      SELECT d.g, xr.rx2::DOUBLE AS rx, yr.ry2::DOUBLE AS ry
+      FROM d
+      JOIN xr ON d.g = xr.g AND d.x = xr.x
+      JOIN yr ON d.g = yr.g AND d.y = yr.y),
+    s AS (
+      SELECT g, count(*)::BIGINT AS n,
+             sum(rx) AS sx, sum(ry) AS sy,
+             sum(rx * rx) AS sxx, sum(ry * ry) AS syy,
+             sum(rx * ry) AS sxy
+      FROM j GROUP BY g)
+    SELECT g AS l_returnflag, n,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+             AS spearman
+    FROM s
+    WHERE (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+    ORDER BY l_returnflag
+"""

@@ -456,3 +456,81 @@ def test_grouped_trimmed_mean_resists_outliers(ray_session):
     df = pd.DataFrame({"g": ["x"] * 20, "v": v})
     out = grouped_trimmed_mean(_ds(df, 2), "g", "v")
     assert out["trimmed_mean"].iloc[0] == pytest.approx(50.0, abs=1e-6)
+
+
+# ------------------------------------------- spearman / grouped ranks / kappa
+
+def test_grouped_spearman_matches_pandas(ray_session):
+    from pdf_parser_ray.ops.profile import grouped_spearman
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b"], 400),
+            "x": rng.integers(1, 20, 400),
+            "y": np.round(rng.normal(50, 10, 400), 2),
+        }
+    )
+    out = (
+        grouped_spearman(_ds(df, 4), "x", "y", "g", y_cents=True)
+        .to_pandas()
+        .set_index("g")
+    )
+    for g, grp in df.groupby("g"):
+        # snap exactly as the op does; Spearman = Pearson over average
+        # ranks (no scipy in this environment)
+        rx = pd.Series(np.rint(grp["x"]).astype("int64")).rank(
+            method="average"
+        )
+        ry = pd.Series(np.rint(grp["y"] * 100).astype("int64")).rank(
+            method="average"
+        )
+        assert out.loc[g, "spearman"] == pytest.approx(
+            rx.corr(ry), abs=1e-3
+        )
+
+
+def test_grouped_spearman_perfect_monotone(ray_session):
+    from pdf_parser_ray.ops.profile import grouped_spearman
+
+    x = np.arange(1, 51)
+    df = pd.DataFrame({"g": ["m"] * 50, "x": x, "y": (x ** 3).astype(float)})
+    out = grouped_spearman(_ds(df, 3), "x", "y", "g").to_pandas()
+    assert out["spearman"].iloc[0] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_grouped_value_ranks_matches_sql_rule(ray_session):
+    from pdf_parser_ray.ops.quantiles import grouped_value_ranks
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(300, dtype="int64"),
+            "g": rng.choice(["a", "b", "c"], 300),
+            "v": rng.integers(0, 40, 300).astype("float64"),
+        }
+    )
+    out = (
+        grouped_value_ranks(
+            _ds(df, 5), "v", "id", "g",
+            bucket_width={"a": 1.0, "b": 4.0, "c": 13.0}, n_tiles=4
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    import duckdb
+
+    ref = duckdb.sql(
+        """
+        SELECT id, g, v,
+               row_number() OVER (PARTITION BY g ORDER BY v, id) AS rnk,
+               percent_rank() OVER (PARTITION BY g ORDER BY v, id)
+                 AS pct_rank,
+               ntile(4) OVER (PARTITION BY g ORDER BY v, id) AS tile
+        FROM df ORDER BY id
+        """
+    ).fetchdf()
+    assert (out["rnk"].to_numpy() == ref["rnk"].to_numpy()).all()
+    assert (out["tile"].to_numpy() == ref["tile"].to_numpy()).all()
+    assert np.allclose(out["pct_rank"], ref["pct_rank"])
