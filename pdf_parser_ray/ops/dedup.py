@@ -1267,9 +1267,12 @@ def pagerank(
         rev = pd.DataFrame({"s": out["d"], "d": out["s"]})
         return arrow_out(pd.concat([out, rev], ignore_index=True))
 
+    # materialize: e feeds BOTH the degree aggregate and the union
+    # below — lazy, the upstream edge build (cooccur_edges' pair
+    # explosion for co-purchase graphs) would execute twice
     e = edges.select_columns([src, dst]).map_batches(
         mirror, batch_format="pandas"
-    )
+    ).materialize()
 
     # degree per source, attached once; the annotated edge list is the
     # loop invariant → materialize (edge-cardinality, not corpus)
@@ -1635,7 +1638,12 @@ def triangle_count(
     from pdf_parser_ray.io_utils import arrow_out
     from pdf_parser_ray.ops.shuffle import partitioned_map
 
-    eds = edges.select_columns([a_col, b_col])
+    # materialize: the edge list is consumed TWICE (driver broadcast +
+    # the wedge co-location below) and its lineage — the C(k,2) pair
+    # explosion + count shuffle of cooccur_edges — would re-execute in
+    # full on the second consumption (measured 16 s → 9 s for
+    # part_triangles at sf0.1/32 CPUs)
+    eds = edges.select_columns([a_col, b_col]).materialize()
     edf = eds.to_pandas()  # bounded: thresholded graph, broadcast-sized
     n_edges = len(edf)
     if n_edges == 0:
