@@ -107,3 +107,20 @@ def test_compact_cmd(cli_corpus, tmp_path, capsys):
                            "--target-mb", "64"])
     assert res["rows"] == 60
     assert res["files_out"] >= 1
+
+
+def test_job_entrypoint(cli_corpus, tmp_path, capsys):
+    """jobs/extract_job.py — the `ray job submit` entrypoint — runs and
+    resumes in-process (the session fixture owns Ray; the script's
+    ray.init fallback is a no-op when a session exists)."""
+    import jobs.extract_job as job
+
+    out = str(tmp_path / "jobout")
+    assert job.main(["--input", cli_corpus, "--out", out,
+                     "--partitions", "2"]) == 0
+    r1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r1["ran"] >= 1
+    assert job.main(["--input", cli_corpus, "--out", out,
+                     "--partitions", "2"]) == 0
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r2["ran"] == 0 and r2["skipped"] == r1["ran"] + r1["skipped"]
