@@ -7978,3 +7978,146 @@ SQL["spearman_qty_price"] = """
     WHERE (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
     ORDER BY l_returnflag
 """
+
+
+def q_rrf_fusion(sf_dir: str) -> pd.DataFrame:
+    """Reciprocal-rank fusion of the two retrieval runs — BM25 lexical
+    (q:bm25_search) + hash-trick embedding cosine (q:doc_embed_knn_md5)
+    — the standard hybrid-search combiner: rrf(d) = Σ_runs 1/(60+rank).
+    Ranks are recomputed from each run's (rounded score, id) order on
+    BOTH engines, so the fusion is deterministic; per-doc sums have at
+    most two addends (commutative — no rounding contract needed beyond
+    the final 6dp)."""
+    import numpy as np
+
+    bm = q_bm25_search(sf_dir)
+    bm = (bm.to_pandas() if hasattr(bm, "to_pandas") else bm).sort_values(
+        ["score", "doc_id"], ascending=[False, True]
+    )
+    kn = q_doc_embed_knn_md5(sf_dir)
+    kn = (kn.to_pandas() if hasattr(kn, "to_pandas") else kn).sort_values(
+        ["cosine", "vec_id"], ascending=[False, True]
+    )
+    acc: dict[int, float] = {}
+    for r, d in enumerate(bm["doc_id"], start=1):
+        acc[int(d)] = acc.get(int(d), 0.0) + 1.0 / (60.0 + r)
+    for r, d in enumerate(kn["vec_id"], start=1):
+        acc[int(d)] = acc.get(int(d), 0.0) + 1.0 / (60.0 + r)
+    out = pd.DataFrame(
+        {"doc_id": pd.Series(list(acc), dtype="int64"),
+         "rrf": np.round(np.array(list(acc.values()), dtype="float64"), 6)}
+    )
+    out = out.sort_values(["rrf", "doc_id"], ascending=[False, True]).head(10)
+    return out.reset_index(drop=True)
+
+
+QUERIES["rrf_fusion"] = q_rrf_fusion
+
+
+def _rrf_fusion_sql() -> str:
+    """Compose the two run twins; re-rank, fuse, top-10."""
+    return f"""
+    WITH bm AS ({SQL["bm25_search"]}),
+    kn AS ({SQL["doc_embed_knn_md5"]}),
+    bmr AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS r
+            FROM bm),
+    knr AS (SELECT vec_id AS doc_id,
+                   row_number() OVER (ORDER BY cosine DESC, vec_id) AS r
+            FROM kn),
+    u AS (SELECT doc_id, 1.0 / (60.0 + r) AS c FROM bmr
+          UNION ALL
+          SELECT doc_id, 1.0 / (60.0 + r) AS c FROM knr)
+    SELECT doc_id, round(sum(c), 6) AS rrf
+    FROM u GROUP BY doc_id
+    ORDER BY rrf DESC, doc_id ASC LIMIT 10
+"""
+
+
+SQL["rrf_fusion"] = _rrf_fusion_sql()
+
+
+def q_supplier_hhi(sf_dir: str) -> pd.DataFrame:
+    """Herfindahl–Hirschman concentration of supplier revenue per
+    nation — the market-concentration audit (HHI = Σ share², 1/n =
+    perfect competition, 1 = monopoly).  Per-supplier revenue is the
+    exact centi-cent int64 rollup (top_supplier convention) via one
+    co-located sum; the supplier→nation map is a broadcast dimension;
+    the Σrev² / (Σrev)² ratio is computed in arbitrary-precision ints
+    on the driver (rev² overflows int64) and divided once — DuckDB's
+    HUGEINT promotion makes the twin bit-identical before the shared
+    6dp round."""
+    import numpy as np
+    import pyarrow.parquet as papq
+
+    from pdf_parser_ray.ops.shuffle import grouped_sum
+
+    li = _read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(
+            df["l_extendedprice"].to_numpy(dtype=np.float64) * 100.0
+        ).astype("int64")
+        disc = np.rint(
+            df["l_discount"].to_numpy(dtype=np.float64) * 100.0
+        ).astype("int64")
+        g = pd.DataFrame(
+            {"l_suppkey": df["l_suppkey"], "rev_i": cents * (100 - disc)}
+        )
+        return g.groupby("l_suppkey", as_index=False)["rev_i"].sum()
+
+    rev = grouped_sum(
+        li.map_batches(partial, batch_format="pandas"),
+        ["l_suppkey"],
+        ["rev_i"],
+    ).to_pandas()  # supplier-dimension-bounded
+
+    supp = papq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()  # dimension table
+    nat = papq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    j = rev.merge(supp, left_on="l_suppkey", right_on="s_suppkey").merge(
+        nat, left_on="s_nationkey", right_on="n_nationkey"
+    )
+
+    rows = []
+    for name, grp in j.groupby("n_name"):
+        revs = [int(v) for v in grp["rev_i"]]  # exact bigints
+        tot = sum(revs)
+        ssq = sum(v * v for v in revs)
+        rows.append(
+            {
+                "n_name": name,
+                "n_suppliers": np.int64(len(revs)),
+                "hhi": round(float(ssq) / (float(tot) * float(tot)), 6),
+            }
+        )
+    out = pd.DataFrame(rows).sort_values("n_name").reset_index(drop=True)
+    return out.astype({"n_suppliers": "int64"})
+
+
+QUERIES["supplier_hhi"] = q_supplier_hhi
+
+SQL["supplier_hhi"] = """
+    WITH r AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               AS BIGINT) AS rev_i
+      FROM lineitem GROUP BY l_suppkey)
+    SELECT n.n_name,
+           count(*)::BIGINT AS n_suppliers,
+           round(sum(r.rev_i::HUGEINT * r.rev_i::HUGEINT)::DOUBLE
+                 / ((sum(r.rev_i::HUGEINT))::DOUBLE
+                    * (sum(r.rev_i::HUGEINT))::DOUBLE), 6) AS hhi
+    FROM r
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+"""
