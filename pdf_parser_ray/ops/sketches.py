@@ -839,3 +839,76 @@ def vocab_overlap(
     res["n_common"] = res["n_common"].astype("int64")
     res["k_eff"] = res["k_eff"].astype("int64")
     return res
+
+
+def log_bucket_quantiles(
+    ds: ray.data.Dataset,
+    group_col: str,
+    col: str,
+    qs: list[float],
+) -> pd.DataFrame:
+    """DDSketch-style relative-error quantiles from a log2 bucket
+    histogram — the mergeable streaming-quantile sketch with a
+    RELATIVE accuracy guarantee (estimate within ±33% of the true
+    value at any quantile, any distribution; fixed-width histograms
+    lose the tail, KMV samples lose determinism at scale).
+
+    The sketch is ``bucket = floor(log2(cents))`` per positive value —
+    computed EXACTLY via the float64 exponent field (np.frexp), never a
+    transcendental, so the DuckDB twin (``length(bin(cents)) - 1``) is
+    value-identical bit for bit.  Per-batch (group, bucket) partials
+    bound the reduce at |groups| × ~40 rows regardless of input size;
+    merge is elementwise count addition (the mergeability that makes
+    this the cross-shard quantile of choice at 100 TB).  The quantile
+    estimate walks the cumulative histogram to nearest-rank
+    ``ceil(q·n)`` and reports the bucket's geometric-range midpoint
+    ``1.5·2^b`` cents — exact integer-derived floats on both engines.
+
+    Returns a driver-sized frame:
+    (group_col, n:int64, q50:float64, ... one column per quantile).
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df[col].to_numpy(dtype=np.float64) * 100.0).astype(
+            "int64"
+        )
+        keep = cents > 0
+        # frexp: cents = m * 2^e with 0.5 <= m < 1, exact for < 2^53,
+        # so floor(log2(cents)) = e - 1 with no transcendental error.
+        _, exp = np.frexp(cents[keep].astype(np.float64))
+        g = (
+            pd.DataFrame(
+                {
+                    group_col: df.loc[keep, group_col].to_numpy(),
+                    "bucket": (exp - 1).astype("int64"),
+                }
+            )
+            .groupby([group_col, "bucket"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return g.astype({"n": "int64"})
+
+    hist = (
+        ds.select_columns([group_col, col])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()  # bounded: |groups| x ~40 buckets x batches
+        .groupby([group_col, "bucket"], as_index=False)["n"]
+        .sum()
+        .sort_values([group_col, "bucket"])
+    )
+    rows = []
+    for key, grp in hist.groupby(group_col, sort=True):
+        counts = grp["n"].to_numpy(dtype=np.int64)
+        buckets = grp["bucket"].to_numpy(dtype=np.int64)
+        cum = counts.cumsum()
+        n = int(cum[-1])
+        row = {group_col: key, "n": np.int64(n)}
+        for q in qs:
+            rank = int(np.ceil(q * n))
+            b = int(buckets[np.searchsorted(cum, max(rank, 1))])
+            # geometric-range midpoint of [2^b, 2^(b+1)) back in units
+            row[f"q{int(round(q * 100))}_est"] = 3.0 * float(2**b) / 200.0
+        rows.append(row)
+    out = pd.DataFrame(rows)
+    return out.reset_index(drop=True)

@@ -1206,9 +1206,180 @@ def source_kl(
     Returns (group_col, n_tokens:int64, kl_bits:float64), one row per
     source, kl_bits rounded.
     """
-    import hashlib
-
     import numpy as np
+
+    piv = _hashed_token_matrix(ds, group_col, text_col, n_buckets)
+    mat = piv.to_numpy(dtype=np.float64)
+    n_s = mat.sum(axis=1)
+    corpus = mat.sum(axis=0)
+    big_n = corpus.sum()
+    p_s = (mat + 1.0) / (n_s + n_buckets)[:, None]
+    p_c = (corpus + 1.0) / (big_n + n_buckets)
+    kl = np.round((p_s * np.log2(p_s / p_c[None, :])).sum(axis=1), round_to) + 0.0
+    return pd.DataFrame(
+        {
+            group_col: piv.index.to_numpy(),
+            "n_tokens": n_s.astype("int64"),
+            "kl_bits": kl,
+        }
+    ).sort_values(group_col).reset_index(drop=True)
+
+
+def source_jsd(
+    ds: "object",
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """Per-source Jensen–Shannon divergence (bits) from the corpus
+    token distribution — the SYMMETRIC, bounded-[0,1] companion to
+    :func:`source_kl` (KL explodes when a source has mass where the
+    corpus has almost none; JSD saturates instead, so it ranks extreme
+    outlier sources more stably).
+
+    ``JSD(p_s ‖ p_c) = ½·Σ_b p_s·log2(p_s/m) + ½·Σ_b p_c·log2(p_c/m)``
+    with ``m = (p_s + p_c)/2``, add-one smoothing over the same md5
+    buckets (one scan, same bounded partials — see source_kl for the
+    scale argument).  The per-bucket term tree is written identically
+    in the DuckDB twin; the cross-bucket float sum is rounded on BOTH
+    engines.
+
+    Returns (group_col, n_tokens:int64, jsd_bits:float64), one row per
+    source.
+    """
+    import numpy as np
+
+    piv = _hashed_token_matrix(ds, group_col, text_col, n_buckets)
+    mat = piv.to_numpy(dtype=np.float64)
+    n_s = mat.sum(axis=1)
+    corpus = mat.sum(axis=0)
+    big_n = corpus.sum()
+    p_s = (mat + 1.0) / (n_s + n_buckets)[:, None]
+    p_c = ((corpus + 1.0) / (big_n + n_buckets))[None, :]
+    m = (p_s + p_c) / 2.0
+    jsd = np.round(
+        (0.5 * p_s * np.log2(p_s / m) + 0.5 * p_c * np.log2(p_c / m)).sum(axis=1),
+        round_to,
+    ) + 0.0
+    return pd.DataFrame(
+        {
+            group_col: piv.index.to_numpy(),
+            "n_tokens": n_s.astype("int64"),
+            "jsd_bits": jsd,
+        }
+    ).sort_values(group_col).reset_index(drop=True)
+
+
+def vocab_growth(
+    ds: "object",
+    n_docs: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_steps: int = 10,
+) -> pd.DataFrame:
+    """Heaps'-law vocabulary-growth curve: distinct-token vocabulary
+    size and total token count after each 1/n_steps prefix of the
+    corpus in ``id_col`` order — the tokenizer-sizing / corpus-novelty
+    audit (a flattening curve means new data stops adding vocabulary).
+
+    Shape: the global first-occurrence doc of every token is a min
+    aggregation over a HIGH-cardinality key, so tokens co-locate via
+    the hash-partition route (ops/shuffle.py rationale); each partition
+    reduces its tokens to one n_steps-row histogram, so the driver
+    merge is n_parts × n_steps rows no matter the vocabulary size.
+    Per-batch pre-min partials keep the shuffle at (token, step, n)
+    uniques per batch.  A doc with id x belongs to prefix step
+    ``x·n_steps // n_docs`` — all-integer, so the DuckDB twin
+    (min(doc_id) per token + the same floor-division bucket) is
+    value-exact; cum_vocab/cum_tokens are exact int64 prefix sums.
+
+    Returns n_steps rows: (step:int64 1-based, n_docs:int64 prefix
+    size, cum_tokens:int64, cum_vocab:int64), step ascending.
+    """
+    import numpy as np
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].fillna("").str.lower().str.findall(TOKEN_PAT)
+        ex = toks.explode().dropna()
+        if len(ex) == 0:
+            return arrow_out(
+                pd.DataFrame(
+                    {"token": pd.Series([], dtype="object"),
+                     "step": pd.Series([], dtype="int64"),
+                     "n_occ": pd.Series([], dtype="int64")}
+                )
+            )
+        doc = df.loc[ex.index, id_col].to_numpy(dtype=np.int64)
+        step = doc * n_steps // n_docs
+        # the global first doc of a token is recoverable from its min
+        # STEP (all of a token's rows co-locate), so the doc id itself
+        # never rides the shuffle.
+        g = (
+            pd.DataFrame({"token": ex.to_numpy(), "step": step})
+            .groupby(["token", "step"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_occ"})
+        )
+        return arrow_out(g.astype({"step": "int64", "n_occ": "int64"}))
+
+    def fold_partition(part: pd.DataFrame) -> pd.DataFrame:
+        # all rows of a token are here: its global first step is the
+        # min; occurrences sum per step independently of firsts.
+        occ = np.zeros(n_steps, dtype=np.int64)
+        occ_g = part.groupby("step")["n_occ"].sum()
+        occ[occ_g.index.to_numpy(dtype=np.int64)] = occ_g.to_numpy()
+        first_step = part.groupby("token")["step"].min()
+        vocab = np.zeros(n_steps, dtype=np.int64)
+        vc = first_step.value_counts()
+        vocab[vc.index.to_numpy(dtype=np.int64)] = vc.to_numpy()
+        return pd.DataFrame(
+            {"step": np.arange(n_steps, dtype=np.int64),
+             "new_vocab": vocab, "n_occ": occ}
+        )
+
+    hist = (
+        partitioned_map(
+            ds.select_columns([id_col, text_col]).map_batches(
+                partial, batch_format="pandas"
+            ),
+            ["token"],
+            fold_partition,
+            n_parts=64,
+        )
+        .to_pandas()  # bounded: 64 partitions x n_steps rows
+        .groupby("step", as_index=False)[["new_vocab", "n_occ"]]
+        .sum()
+        .sort_values("step")
+    )
+    return pd.DataFrame(
+        {
+            "step": (hist["step"] + 1).astype("int64").to_numpy(),
+            "n_docs": np.minimum(
+                (hist["step"].to_numpy(dtype=np.int64) + 1) * n_docs
+                // n_steps
+                + ((hist["step"].to_numpy(dtype=np.int64) + 1) * n_docs
+                   % n_steps != 0).astype(np.int64),
+                n_docs,
+            ),
+            "cum_tokens": hist["n_occ"].cumsum().astype("int64").to_numpy(),
+            "cum_vocab": hist["new_vocab"].cumsum().astype("int64").to_numpy(),
+        }
+    ).reset_index(drop=True)
+
+
+def _hashed_token_matrix(
+    ds: "object", group_col: str, text_col: str, n_buckets: int
+) -> pd.DataFrame:
+    """Dense (group × md5-bucket) token-count matrix, collected on the
+    driver — bounded at |groups| × n_buckets regardless of corpus size
+    (per-batch (group, bucket) partials do the reduction)."""
+    import hashlib
 
     def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
         from pdf_parser_ray.stages import worker_state
@@ -1245,24 +1416,10 @@ def source_kl(
         .sum()
     )
     # dense (source x bucket) matrix on the driver — both axes bounded
-    piv = counts.pivot_table(
+    return counts.pivot_table(
         index=group_col, columns="bucket", values="n", fill_value=0,
         aggfunc="sum",
     ).reindex(columns=range(n_buckets), fill_value=0)
-    mat = piv.to_numpy(dtype=np.float64)
-    n_s = mat.sum(axis=1)
-    corpus = mat.sum(axis=0)
-    big_n = corpus.sum()
-    p_s = (mat + 1.0) / (n_s + n_buckets)[:, None]
-    p_c = (corpus + 1.0) / (big_n + n_buckets)
-    kl = np.round((p_s * np.log2(p_s / p_c[None, :])).sum(axis=1), round_to) + 0.0
-    return pd.DataFrame(
-        {
-            group_col: piv.index.to_numpy(),
-            "n_tokens": n_s.astype("int64"),
-            "kl_bits": kl,
-        }
-    ).sort_values(group_col).reset_index(drop=True)
 
 
 def bpe_pair_counts(

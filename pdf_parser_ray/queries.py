@@ -8121,3 +8121,142 @@ SQL["supplier_hhi"] = """
     GROUP BY n.n_name
     ORDER BY n.n_name
 """
+
+
+def q_source_jsd(sf_dir: str) -> pd.DataFrame:
+    """Per-source Jensen–Shannon divergence (bits) from the corpus
+    token distribution — the symmetric/bounded companion drift score
+    to q:source_kl, same one-scan bounded-partial plan."""
+    from pdf_parser_ray.ops.text_stats import source_jsd
+
+    return source_jsd(
+        _read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    )
+
+
+QUERIES["source_jsd"] = q_source_jsd
+
+# Same dense grid as source_kl; the per-bucket JSD term tree is
+# written identically to the numpy side before the shared round-6.
+SQL["source_jsd"] = r"""
+    WITH tok AS (
+      SELECT source, unnest(regexp_extract_all(lower(text), '\S+')) AS token
+      FROM documents),
+    b AS (
+      SELECT source,
+             ('0x' || substr(md5(token), 1, 8))::BIGINT % 256 AS bucket
+      FROM tok),
+    c AS (SELECT source, bucket, count(*)::BIGINT AS n
+          FROM b GROUP BY source, bucket),
+    srcs AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_s FROM c GROUP BY source),
+    buckets AS (SELECT unnest(range(256)) AS bucket),
+    grid AS (
+      SELECT s.source, s.n_s, bk.bucket, coalesce(c.n, 0)::BIGINT AS n
+      FROM srcs s CROSS JOIN buckets bk
+      LEFT JOIN c ON c.source = s.source AND c.bucket = bk.bucket),
+    corp AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS cn
+             FROM grid GROUP BY bucket),
+    tot AS (SELECT CAST(sum(cn) AS BIGINT) AS big_n FROM corp),
+    probs AS (
+      SELECT g.source, g.n_s,
+             ((g.n + 1)::DOUBLE / (g.n_s + 256)::DOUBLE) AS ps,
+             ((c2.cn + 1)::DOUBLE / (t.big_n + 256)::DOUBLE) AS pc
+      FROM grid g JOIN corp c2 USING (bucket), tot t)
+    SELECT source,
+           CAST(any_value(n_s) AS BIGINT) AS n_tokens,
+           round(sum(0.5 * ps * log2(ps / ((ps + pc) / 2.0))
+                     + 0.5 * pc * log2(pc / ((ps + pc) / 2.0))), 6) + 0.0
+             AS jsd_bits
+    FROM probs GROUP BY source ORDER BY source
+"""
+
+
+def q_vocab_growth(sf_dir: str) -> pd.DataFrame:
+    """Heaps'-law vocabulary-growth curve over doc_id-ordered corpus
+    prefixes (10 steps): cumulative tokens and cumulative distinct
+    vocabulary — token first-occurrences reduced via hash co-location,
+    n_parts x 10-row driver merge."""
+    import pyarrow.parquet as papq
+
+    from pdf_parser_ray.ops.text_stats import vocab_growth
+
+    n_docs = papq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return vocab_growth(
+        _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        n_docs,
+    )
+
+
+QUERIES["vocab_growth"] = q_vocab_growth
+
+# All-integer twin: min(doc_id) per token -> floor-division step
+# bucket -> exact BIGINT prefix sums.
+SQL["vocab_growth"] = r"""
+    WITH params AS (SELECT count(*)::BIGINT AS n FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS token
+      FROM documents),
+    occ AS (
+      SELECT (t.doc_id * 10) // p.n AS step, count(*)::BIGINT AS n_occ
+      FROM tok t, params p GROUP BY 1),
+    firsts AS (SELECT token, min(doc_id) AS first_doc FROM tok GROUP BY token),
+    voc AS (
+      SELECT (f.first_doc * 10) // p.n AS step, count(*)::BIGINT AS new_vocab
+      FROM firsts f, params p GROUP BY 1),
+    steps AS (SELECT unnest(range(10)) AS step)
+    SELECT CAST(s.step + 1 AS BIGINT) AS step,
+           CAST(((s.step + 1) * p.n - 1) // 10 + 1 AS BIGINT) AS n_docs,
+           CAST(sum(coalesce(o.n_occ, 0))
+                OVER (ORDER BY s.step ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_tokens,
+           CAST(sum(coalesce(v.new_vocab, 0))
+                OVER (ORDER BY s.step ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_vocab
+    FROM steps s
+    LEFT JOIN occ o ON o.step = s.step
+    LEFT JOIN voc v ON v.step = s.step
+    CROSS JOIN params p
+    ORDER BY step
+"""
+
+
+def q_dd_quantiles(sf_dir: str) -> pd.DataFrame:
+    """DDSketch-style relative-error quantiles (p50/p90/p99 per event
+    type) from a mergeable log2-bucket histogram — exact-exponent
+    buckets (np.frexp vs length(bin())), so the approximation itself
+    is value-checked."""
+    from pdf_parser_ray.ops.sketches import log_bucket_quantiles
+
+    return log_bucket_quantiles(
+        _read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"]),
+        "event_type", "value", [0.5, 0.9, 0.99],
+    )
+
+
+QUERIES["dd_quantiles"] = q_dd_quantiles
+
+SQL["dd_quantiles"] = """
+    WITH c AS (
+      SELECT event_type,
+             CAST(length(bin(CAST(round(value * 100) AS BIGINT))) - 1
+               AS BIGINT) AS bucket,
+             count(*)::BIGINT AS n
+      FROM events
+      WHERE CAST(round(value * 100) AS BIGINT) > 0
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, bucket,
+             sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(n) OVER (PARTITION BY event_type) AS n_tot
+      FROM c)
+    SELECT event_type,
+           CAST(any_value(n_tot) AS BIGINT) AS n,
+           3.0 * power(2.0, min(CASE WHEN cum >= greatest(ceil(0.50 * n_tot), 1)
+                                     THEN bucket END)) / 200.0 AS q50_est,
+           3.0 * power(2.0, min(CASE WHEN cum >= greatest(ceil(0.90 * n_tot), 1)
+                                     THEN bucket END)) / 200.0 AS q90_est,
+           3.0 * power(2.0, min(CASE WHEN cum >= greatest(ceil(0.99 * n_tot), 1)
+                                     THEN bucket END)) / 200.0 AS q99_est
+    FROM cum GROUP BY event_type ORDER BY event_type
+"""

@@ -534,3 +534,98 @@ def test_grouped_value_ranks_matches_sql_rule(ray_session):
     assert (out["rnk"].to_numpy() == ref["rnk"].to_numpy()).all()
     assert (out["tile"].to_numpy() == ref["tile"].to_numpy()).all()
     assert np.allclose(out["pct_rank"], ref["pct_rank"])
+
+
+# ------------------------------------------------- source JSD / vocab / ddsketch
+
+class TestSourceJsd:
+    def test_single_source_is_zero(self, ray_session):
+        # one source IS the corpus: p_s == p_c, so JSD == 0 exactly.
+        from pdf_parser_ray.ops.text_stats import source_jsd
+
+        df = pd.DataFrame(
+            {"source": ["a"] * 6,
+             "text": ["alpha beta", "beta gamma", "delta", "alpha",
+                      "gamma gamma", "epsilon zeta"]}
+        )
+        out = source_jsd(_ds(df, 3))
+        assert out["jsd_bits"].tolist() == [0.0]
+
+    def test_bounded_and_ranks_disjoint_higher(self, ray_session):
+        # JSD is bounded by 1 bit; a token-disjoint source must score
+        # above a source that matches the corpus mix.
+        from pdf_parser_ray.ops.text_stats import source_jsd
+
+        rows = []
+        for i in range(50):
+            rows.append({"source": "mixed", "text": f"tok{i % 7} tok{i % 11}"})
+            rows.append({"source": "alien", "text": f"zz{i} qq{i} ww{i}"})
+        out = source_jsd(_ds(pd.DataFrame(rows), 4)).set_index("source")
+        assert (out["jsd_bits"] <= 1.0).all() and (out["jsd_bits"] >= 0.0).all()
+        assert out.loc["alien", "jsd_bits"] > out.loc["mixed", "jsd_bits"]
+
+
+class TestVocabGrowth:
+    def test_hand_computed_curve(self, ray_session):
+        from pdf_parser_ray.ops.text_stats import vocab_growth
+
+        # 5 docs -> steps 0,2,4,6,8 occupied (doc*10//5); firsts:
+        # doc0 {a,b}, doc1 {c}, doc2 {} (repeat a), doc3 {d}, doc4 {}.
+        df = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3, 4],
+                "text": ["a b", "c a", "a a", "d b", "b c"],
+            }
+        )
+        out = vocab_growth(_ds(df, 2), 5)
+        assert out["step"].tolist() == list(range(1, 11))
+        assert out["cum_vocab"].tolist() == [2, 2, 3, 3, 3, 3, 4, 4, 4, 4]
+        assert out["cum_tokens"].tolist() == [2, 2, 4, 4, 6, 6, 8, 8, 10, 10]
+        assert out["n_docs"].tolist() == [1, 1, 2, 2, 3, 3, 4, 4, 5, 5]
+
+    def test_partition_invariant(self, ray_session):
+        from pdf_parser_ray.ops.text_stats import vocab_growth
+
+        rng = np.random.default_rng(3)
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(120),
+                "text": [
+                    " ".join(f"w{rng.integers(0, 40)}" for _ in range(8))
+                    for _ in range(120)
+                ],
+            }
+        )
+        a = vocab_growth(_ds(df, 1), 120)
+        b = vocab_growth(_ds(df, 9), 120)
+        pd.testing.assert_frame_equal(a, b)
+        assert a["cum_vocab"].is_monotonic_increasing
+
+
+class TestLogBucketQuantiles:
+    def test_bucket_midpoints(self, ray_session):
+        from pdf_parser_ray.ops.sketches import log_bucket_quantiles
+
+        # cents 1,2,4,8 -> buckets 0,1,2,3; p50 rank ceil(.5*4)=2 ->
+        # bucket 1 -> 1.5*2 cents = 0.03.
+        df = pd.DataFrame(
+            {"g": ["x"] * 4, "v": [0.01, 0.02, 0.04, 0.08]}
+        )
+        out = log_bucket_quantiles(_ds(df, 2), "g", "v", [0.5, 0.99])
+        assert out["n"].tolist() == [4]
+        assert out["q50_est"].tolist() == [3.0 * 2.0 / 200.0]
+        assert out["q99_est"].tolist() == [3.0 * 8.0 / 200.0]
+
+    def test_relative_error_bound(self, ray_session):
+        from pdf_parser_ray.ops.sketches import log_bucket_quantiles
+
+        rng = np.random.default_rng(11)
+        vals = np.round(rng.lognormal(mean=2.0, sigma=1.5, size=4000), 2) + 0.01
+        df = pd.DataFrame({"g": ["a"] * 4000, "v": vals})
+        out = log_bucket_quantiles(_ds(df, 5), "g", "v", [0.5, 0.9, 0.99])
+        for q in (0.5, 0.9, 0.99):
+            true = float(np.quantile(vals, q, method="inverted_cdf"))
+            est = float(out[f"q{int(q * 100)}_est"].iloc[0])
+            # bucket spans a factor of 2; the midpoint is within
+            # [0.75x, 1.5x] of every value in the bucket.
+            assert 0.74 <= est / true <= 1.51, (q, est, true)
