@@ -156,9 +156,14 @@ BENCH_QUERIES = [
     "value_ks_test",
     "lang_source_mi",
     "trimmed_mean_values",
-    "rfm_segments",
     "spearman_qty_price",
     "lang_id_kappa",
+    # round-2 session-9 additions
+    "rrf_fusion",
+    "supplier_hhi",
+    "source_jsd",
+    "vocab_growth",
+    "dd_quantiles",
 ]
 
 
