@@ -162,6 +162,26 @@ def word_counts(ds) -> "object":
     )
 
 
+def _profile_hits(text: "pd.Series", word_re, profiles) -> "object":
+    """Vectorized per-doc stopword-hit matrix (rows × profiles):
+    explode tokens once, then one isin + bincount per profile instead
+    of a Python loop per document.  Shared by LangId and the
+    confident-learning label-noise audit so scorer semantics can never
+    drift between them."""
+    import numpy as np
+
+    text = text.fillna("").reset_index(drop=True)
+    ex = text.str.lower().str.findall(word_re).explode().dropna()
+    hits = np.zeros((len(text), len(profiles)), dtype=np.int64)
+    if len(ex):
+        pos = ex.index.to_numpy(dtype=np.int64)
+        for j, (_lang, prof) in enumerate(profiles):
+            m = ex.isin(prof).to_numpy()
+            if m.any():
+                hits[:, j] = np.bincount(pos[m], minlength=len(text))
+    return hits
+
+
 class LangId:
     """Actor-pool stage: stopword-profile language ID.
 
@@ -178,19 +198,9 @@ class LangId:
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        # Vectorized: explode tokens once, then one isin + bincount per
-        # profile (5 langs) instead of a Python loop per document.
         # argmax keeps the classify() tie-break exactly: first language
         # (alphabetical profile order) holding the max; max 0 → 'und'.
-        text = df["text"].fillna("").reset_index(drop=True)
-        ex = text.str.lower().str.findall(self.word_re).explode().dropna()
-        hits = np.zeros((len(text), len(self.profiles)), dtype=np.int64)
-        if len(ex):
-            pos = ex.index.to_numpy(dtype=np.int64)
-            for j, (_lang, prof) in enumerate(self.profiles):
-                m = ex.isin(prof).to_numpy()
-                if m.any():
-                    hits[:, j] = np.bincount(pos[m], minlength=len(text))
+        hits = _profile_hits(df["text"], self.word_re, self.profiles)
         langs = np.array([lang for lang, _ in self.profiles])
         pred = np.where(hits.max(axis=1) > 0, langs[hits.argmax(axis=1)], "und")
         return pd.DataFrame(
@@ -1488,4 +1498,139 @@ def bpe_pair_counts(
     ).head(k)
     return pd.DataFrame(
         {"pair": out["pair"].to_numpy(), "cnt": out["cnt"].astype("int64").to_numpy()}
+    )
+
+
+def label_noise_audit(
+    ds: "object",
+    *,
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    text_col: str = "text",
+) -> "object":
+    """Confident-learning label-noise audit (Northcutt's confident-
+    joint count): for every (given label, suggested label) pair, how
+    many docs the classifier is CONFIDENT belong to the suggested
+    class — the off-diagonal is the estimated label-error map, the
+    training-data triage every labeled corpus needs before a cleanup
+    pass.
+
+    Semantics: per-doc class scores are stopword-hit RATIOS
+    ``p_j = hits_j / total_hits`` (exact int64 ratios — the same
+    division both engines execute); the per-class confidence threshold
+    ``t_j`` is the MEDIAN self-confidence of docs labeled j — a
+    selected element (ceil(n/2) rank), not a mean, so no cross-engine
+    float-sum-order contract exists anywhere in the pipeline.  A doc
+    counts toward (given, j*) where j* is its highest-scoring class
+    among those with ``p_j ≥ t_j`` (ties → alphabetical class, the
+    argmax-first rule LangId pins); docs with no profile hits or no
+    qualifying class are excluded, classes with no labeled docs get no
+    threshold and are never suggested.
+
+    Scale shape: ONE tokenize+score scan materializes a slim
+    (id, label, 5×int) projection (the quantile-family pattern — the
+    projection is ~2 % of corpus bytes and spills, the scan is the
+    expensive part and runs once); thresholds come from the exact
+    grouped-median selection (|classes| groups); the second pass is
+    row-local against the ≤|classes| broadcast thresholds, reduced by
+    per-batch (given, suggested) partials into a |classes|²-bounded
+    groupby.
+
+    Returns a Dataset: (given_lang, suggested_lang, n:int64).
+    """
+    import re as _re
+
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.quantiles import grouped_quantile_disc
+
+    classes = sorted(_LANG_PROFILES)
+    profiles = sorted(_LANG_PROFILES.items())
+    word_re = _re.compile(r"[a-zA-Zà-ÿÀ-ß]+")
+    hit_cols = [f"h_{c}" for c in classes]
+
+    def score_batch(df: pd.DataFrame) -> pd.DataFrame:
+        hits = _profile_hits(df[text_col], word_re, profiles)
+        out = {id_col: df[id_col].to_numpy(),
+               label_col: df[label_col].to_numpy()}
+        for j, c in enumerate(classes):
+            out[f"h_{c}"] = hits[:, j]
+        out["total"] = hits.sum(axis=1)
+        return arrow_out(pd.DataFrame(out))
+
+    scores = (
+        ds.select_columns([id_col, label_col, text_col])
+        .map_batches(score_batch, batch_format="pandas")
+        .materialize()
+    )
+
+    def self_conf(df: pd.DataFrame) -> pd.DataFrame:
+        keep = (df["total"].to_numpy() > 0) & df[label_col].isin(classes)
+        sub = df.loc[keep]
+        if not len(sub):
+            return pd.DataFrame(
+                {"plang": pd.Series([], dtype="object"),
+                 "p": pd.Series([], dtype="float64")}
+            )
+        h = np.stack(
+            [sub[f"h_{c}"].to_numpy(dtype=np.int64) for c in classes], axis=1
+        )
+        idx = pd.Categorical(
+            sub[label_col], categories=classes
+        ).codes.astype(np.int64)
+        own = h[np.arange(len(sub)), idx]
+        return arrow_out(
+            pd.DataFrame(
+                {"plang": sub[label_col].to_numpy(),
+                 "p": own / sub["total"].to_numpy(dtype=np.float64)}
+            )
+        )
+
+    thr_df = grouped_quantile_disc(
+        scores.map_batches(self_conf, batch_format="pandas"), "plang", "p",
+        {"t": 0.5},
+    )
+    thr = dict(zip(thr_df["plang"], thr_df["t"]))
+    t_vec = np.array(
+        [thr.get(c, np.inf) for c in classes], dtype=np.float64
+    )  # class without labeled docs -> unreachable threshold
+
+    def suggest(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df["total"].to_numpy(dtype=np.float64)
+        keep = tot > 0
+        sub = df.loc[keep]
+        if not len(sub):
+            return pd.DataFrame(
+                {"given_lang": pd.Series([], dtype="object"),
+                 "suggested_lang": pd.Series([], dtype="object"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        h = np.stack(
+            [sub[f"h_{c}"].to_numpy(dtype=np.int64) for c in classes], axis=1
+        )
+        p = h / tot[keep][:, None]
+        qual = p >= t_vec[None, :]
+        p_masked = np.where(qual, p, -1.0)
+        best = p_masked.argmax(axis=1)  # first max = alphabetical tie
+        has = p_masked.max(axis=1) >= 0.0
+        g = (
+            pd.DataFrame(
+                {
+                    "given_lang": sub[label_col].to_numpy()[has],
+                    "suggested_lang": np.array(classes)[best[has]],
+                }
+            )
+            .groupby(["given_lang", "suggested_lang"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return arrow_out(g.astype({"n": "int64"}))
+
+    return (
+        scores.map_batches(suggest, batch_format="pandas")
+        .groupby(["given_lang", "suggested_lang"])
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["given_lang", "suggested_lang"])
     )

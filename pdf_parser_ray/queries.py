@@ -8260,3 +8260,70 @@ SQL["dd_quantiles"] = """
                                      THEN bucket END)) / 200.0 AS q99_est
     FROM cum GROUP BY event_type ORDER BY event_type
 """
+
+
+def q_label_noise_audit(sf_dir: str) -> ray.data.Dataset:
+    """Confident-learning label-noise audit over the lang labels: the
+    (given, suggested) confident-joint count matrix — off-diagonal =
+    estimated label errors.  Median (selected-element) thresholds keep
+    the whole pipeline free of cross-engine float-sum contracts."""
+    from pdf_parser_ray.ops.text_stats import label_noise_audit
+
+    return label_noise_audit(
+        _read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+        )
+    )
+
+
+QUERIES["label_noise_audit"] = q_label_noise_audit
+
+
+def _label_noise_audit_sql() -> str:
+    """Profiles injected from the SAME module constant as the Ray
+    scorer (the lang_confusion pattern); per-class thresholds replay
+    quantile_disc(p, 0.5); qualification and the (p DESC, class ASC)
+    argmax replay the numpy masked argmax exactly."""
+    from pdf_parser_ray.ops.text_stats import _LANG_PROFILES
+
+    rows = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang, prof in sorted(_LANG_PROFILES.items())
+        for w in sorted(prof)
+    )
+    return f"""
+    WITH prof(plang, w) AS (VALUES {rows}),
+    classes AS (SELECT DISTINCT plang FROM prof),
+    tok AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-zà-ÿ]+')) AS t
+      FROM documents),
+    hits AS (
+      SELECT tok.doc_id, p.plang, count(*)::BIGINT AS n
+      FROM tok JOIN prof p ON p.w = tok.t
+      GROUP BY tok.doc_id, p.plang),
+    grid AS (
+      SELECT d.doc_id, d.lang, c.plang, coalesce(h.n, 0)::BIGINT AS n
+      FROM documents d CROSS JOIN classes c
+      LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.plang = c.plang),
+    tot AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS total
+            FROM grid GROUP BY doc_id),
+    scored AS (
+      SELECT g.doc_id, g.lang, g.plang,
+             g.n::DOUBLE / t.total::DOUBLE AS p
+      FROM grid g JOIN tot t USING (doc_id) WHERE t.total > 0),
+    thr AS (SELECT plang, quantile_disc(p, 0.5) AS t
+            FROM scored WHERE lang = plang GROUP BY plang),
+    sugg AS (
+      SELECT lang, plang AS suggested_lang FROM (
+        SELECT s.lang, s.plang,
+               row_number() OVER (PARTITION BY s.doc_id
+                                  ORDER BY s.p DESC, s.plang) AS rn
+        FROM scored s JOIN thr ON thr.plang = s.plang AND s.p >= thr.t)
+      WHERE rn = 1)
+    SELECT lang AS given_lang, suggested_lang, count(*)::BIGINT AS n
+    FROM sugg GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+SQL["label_noise_audit"] = _label_noise_audit_sql()

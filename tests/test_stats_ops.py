@@ -629,3 +629,35 @@ class TestLogBucketQuantiles:
             # bucket spans a factor of 2; the midpoint is within
             # [0.75x, 1.5x] of every value in the bucket.
             assert 0.74 <= est / true <= 1.51, (q, est, true)
+
+
+class TestLabelNoiseAudit:
+    def test_flags_planted_mislabel(self, ray_session):
+        # 6 clean en docs, 6 clean de docs, and 2 docs with PURE en
+        # stopword text labeled 'de' — the audit must suggest 'en' for
+        # the planted pair and keep the clean docs on the diagonal.
+        from pdf_parser_ray.ops.text_stats import label_noise_audit
+
+        en = "and as at be by for his in is it of on"
+        de = "auf das den der die ein eine für ist mit nicht und"
+        rows = [{"doc_id": i, "lang": "en", "text": en} for i in range(6)]
+        rows += [{"doc_id": 6 + i, "lang": "de", "text": de} for i in range(6)]
+        rows += [{"doc_id": 12 + i, "lang": "de", "text": en} for i in range(2)]
+        out = (
+            label_noise_audit(_ds(pd.DataFrame(rows), 3))
+            .to_pandas()
+            .set_index(["given_lang", "suggested_lang"])["n"]
+        )
+        assert out.loc[("de", "en")] == 2
+        assert out.loc[("en", "en")] == 6
+        assert out.loc[("de", "de")] == 6
+
+    def test_no_hit_docs_excluded(self, ray_session):
+        from pdf_parser_ray.ops.text_stats import label_noise_audit
+
+        rows = [
+            {"doc_id": 0, "lang": "en", "text": "and of in is it"},
+            {"doc_id": 1, "lang": "en", "text": "zzz qqq www"},  # no hits
+        ]
+        out = label_noise_audit(_ds(pd.DataFrame(rows))).to_pandas()
+        assert out["n"].sum() == 1
