@@ -1607,6 +1607,102 @@ def cooccur_edges(
     )
 
 
+def clustering_coefficients(
+    edges: "ray.data.Dataset",
+    *,
+    a_col: str = "a",
+    b_col: str = "b",
+    n_parts: int | None = None,
+) -> pd.DataFrame:
+    """Local clustering coefficient per node — how close each node's
+    neighborhood is to a clique (``lcc = 2·tri(v) / deg(v)·(deg(v)−1)``
+    for deg ≥ 2): the per-node refinement of :func:`triangle_count`'s
+    global statistic, the standard community-tightness signal on
+    co-occurrence / near-dup graphs.
+
+    Same node-iterator shape and broadcast contract as triangle_count
+    (edges co-locate by lower endpoint; wedges probe the sorted encoded
+    edge array broadcast once) — but each FOUND triangle credits all
+    THREE corners, partitions emit per-node partial counts (bounded by
+    node count), and degrees come straight from the driver-held edge
+    list the broadcast already paid for.  The lcc float is one division
+    of exact int64 products, so the DuckDB twin needs no rounding
+    contract.
+
+    Returns (node:int64, deg:int64, n_tri:int64, lcc:float64), one row
+    per node with deg ≥ 2, node ascending.
+    """
+    import numpy as np
+
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    # materialize: consumed twice (broadcast + wedge co-location);
+    # triangle_count rationale.
+    eds = edges.select_columns([a_col, b_col]).materialize()
+    edf = eds.to_pandas()  # bounded: thresholded graph, broadcast-sized
+    cols = ["node", "deg", "n_tri", "lcc"]
+    if len(edf) == 0:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="float64" if c == "lcc" else "int64")
+             for c in cols}
+        )
+    a = edf[a_col].to_numpy(dtype="int64")
+    b = edf[b_col].to_numpy(dtype="int64")
+    if (a >= 2**32).any() or (b >= 2**32).any() or (a < 0).any() or (b < 0).any():
+        raise ValueError("clustering_coefficients encodes node ids as uint32 pairs")
+    enc = np.sort((a << np.int64(32)) | b)
+    enc_ref = ray.put(enc)
+
+    def tri_partition(part: pd.DataFrame) -> pd.DataFrame:
+        ed = ray.get(enc_ref)
+        part = part.sort_values([a_col, b_col], kind="mergesort")
+        av = part[a_col].to_numpy(dtype="int64")
+        bv = part[b_col].to_numpy(dtype="int64")
+        starts = np.flatnonzero(np.r_[True, av[1:] != av[:-1]])
+        sizes = np.diff(np.append(starts, len(av)))
+        probes, anchors = [], []
+        for s, k in zip(starts, sizes):
+            if k < 2:
+                continue
+            nbrs = bv[s:s + k]  # sorted, all > a
+            ii, jj = np.triu_indices(k, 1)
+            probes.append(np.stack(
+                [np.full(len(ii), av[s], dtype=np.int64), nbrs[ii], nbrs[jj]]
+            ))
+        hit_nodes = np.array([], dtype=np.int64)
+        if probes:
+            tri = np.concatenate(probes, axis=1)
+            probe = (tri[1] << np.int64(32)) | tri[2]
+            pos = np.minimum(np.searchsorted(ed, probe), len(ed) - 1)
+            hits = ed[pos] == probe
+            hit_nodes = tri[:, hits].ravel()  # every corner credited
+        u, c = np.unique(hit_nodes, return_counts=True)
+        return pd.DataFrame(
+            {"node": u.astype("int64"), "t": c.astype("int64")}
+        )
+
+    tri_parts = partitioned_map(
+        eds, [a_col], tri_partition,
+        **({"n_parts": n_parts} if n_parts else {}),
+    ).to_pandas()  # bounded: <= node count x partitions touched
+    if "node" not in tri_parts.columns:  # triangle-free graph
+        tri_parts = pd.DataFrame(
+            {"node": pd.Series([], dtype="int64"),
+             "t": pd.Series([], dtype="int64")}
+        )
+    tri = tri_parts.groupby("node", as_index=False)["t"].sum()
+    nodes, deg = np.unique(np.concatenate([a, b]), return_counts=True)
+    out = pd.DataFrame(
+        {"node": nodes.astype("int64"), "deg": deg.astype("int64")}
+    ).merge(tri, on="node", how="left")
+    out["n_tri"] = out["t"].fillna(0).astype("int64")
+    out = out[out["deg"] >= 2].copy()
+    out["lcc"] = (2 * out["n_tri"]).to_numpy(dtype="float64") / (
+        out["deg"] * (out["deg"] - 1)
+    ).to_numpy(dtype="float64")
+    return out[cols].sort_values("node").reset_index(drop=True)
+
+
 def triangle_count(
     edges: "ray.data.Dataset",
     *,

@@ -8327,3 +8327,55 @@ def _label_noise_audit_sql() -> str:
 
 
 SQL["label_noise_audit"] = _label_noise_audit_sql()
+
+
+def q_part_clustering_coef(sf_dir: str) -> pd.DataFrame:
+    """Local clustering coefficient per part over the repeat-co-purchase
+    graph (parts sharing ≥2 orders) — per-node community tightness; the
+    per-node refinement of q:part_triangles' global count."""
+    from pdf_parser_ray.ops.dedup import clustering_coefficients, cooccur_edges
+
+    li = _read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    edges = cooccur_edges(
+        li, group_col="l_orderkey", item_col="l_partkey", min_count=2
+    )
+    return clustering_coefficients(edges)
+
+
+QUERIES["part_clustering_coef"] = q_part_clustering_coef
+
+# lcc = one division of exact int64 products -> no rounding contract.
+SQL["part_clustering_coef"] = """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT x.l_partkey AS a, y.l_partkey AS b
+      FROM op x JOIN op y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    tn AS (
+      SELECT node, count(*)::BIGINT AS n_tri FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+      GROUP BY node),
+    deg AS (
+      SELECT node, count(*)::BIGINT AS deg FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+      GROUP BY node)
+    SELECT d.node, d.deg,
+           coalesce(t.n_tri, 0)::BIGINT AS n_tri,
+           (2 * coalesce(t.n_tri, 0))::DOUBLE
+             / (d.deg * (d.deg - 1))::DOUBLE AS lcc
+    FROM deg d LEFT JOIN tn t USING (node)
+    WHERE d.deg >= 2
+    ORDER BY node
+"""

@@ -661,3 +661,27 @@ class TestLabelNoiseAudit:
         ]
         out = label_noise_audit(_ds(pd.DataFrame(rows))).to_pandas()
         assert out["n"].sum() == 1
+
+
+class TestClusteringCoefficients:
+    def test_hand_computed(self, ray_session):
+        from pdf_parser_ray.ops.dedup import clustering_coefficients
+
+        # triangles (1,2,3) and (2,3,4); deg 1:2 2:3 3:3 4:2.
+        edges = pd.DataFrame(
+            {"a": [1, 1, 2, 2, 3], "b": [2, 3, 3, 4, 4]}
+        )
+        out = clustering_coefficients(_ds(edges, 2)).set_index("node")
+        assert out["deg"].to_dict() == {1: 2, 2: 3, 3: 3, 4: 2}
+        assert out["n_tri"].to_dict() == {1: 1, 2: 2, 3: 2, 4: 1}
+        assert out.loc[1, "lcc"] == 1.0 and out.loc[4, "lcc"] == 1.0
+        assert out.loc[2, "lcc"] == pytest.approx(2 / 3)
+
+    def test_degree_one_excluded_and_empty(self, ray_session):
+        from pdf_parser_ray.ops.dedup import clustering_coefficients
+
+        edges = pd.DataFrame({"a": [1], "b": [2]})
+        out = clustering_coefficients(_ds(edges))
+        assert len(out) == 0
+        out2 = clustering_coefficients(_ds(pd.DataFrame({"a": [], "b": []})))
+        assert list(out2.columns) == ["node", "deg", "n_tri", "lcc"]
