@@ -2166,3 +2166,100 @@ def semdedup(
     return assigned.groupby("cluster").map_groups(
         per_cluster, batch_format="pandas"
     )
+
+
+def kcore_filter(
+    edges: "ray.data.Dataset",
+    k: int,
+    *,
+    rounds: int = 8,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> pd.DataFrame:
+    """k-core peeling: ``rounds`` iterations of "drop every node with
+    degree < k, keep edges between survivors" — the dense-community
+    extractor (a near-dup or co-occurrence CLIQUE survives any k below
+    its size; chains and stars peel away).  With enough rounds the
+    result IS the k-core; the op is DEFINED as the fixed-round filter
+    so both engines compute the identical set whether or not the graph
+    has converged (the pagerank unrolled-CTE trick applied to
+    peeling).
+
+    Scale shape per round: one node-bounded degree count (per-batch
+    endpoint partials → driver merge, the source_kl pattern) + one
+    row-local broadcast-filter of the edge list — the edge list itself
+    never leaves the cluster and is re-materialized per round to keep
+    lineage flat.  Rounds are sequential by nature (each peel exposes
+    new under-degree nodes).
+
+    Returns (node:int64, deg:int64): every node of the peeled edge set
+    with its degree THERE (all ≥ k once the peel has converged), node
+    ascending.
+    """
+    import numpy as np
+
+    from pdf_parser_ray.io_utils import arrow_out
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        u, c = np.unique(
+            np.concatenate(
+                [df[a_col].to_numpy(dtype=np.int64),
+                 df[b_col].to_numpy(dtype=np.int64)]
+            ),
+            return_counts=True,
+        )
+        return arrow_out(
+            pd.DataFrame({"node": u.astype("int64"), "d": c.astype("int64")})
+        )
+
+    def degrees(ds: "ray.data.Dataset") -> pd.DataFrame:
+        parts = ds.map_batches(deg_partial, batch_format="pandas").to_pandas()
+        if "node" not in parts.columns or not len(parts):
+            return pd.DataFrame(
+                {"node": pd.Series([], dtype="int64"),
+                 "d": pd.Series([], dtype="int64")}
+            )
+        return parts.groupby("node", as_index=False)["d"].sum()  # node-bounded
+
+    # compact blocks once: peeling re-materializes the edge list every
+    # round, and co-location upstreams leave 512 tiny blocks — 8 rounds
+    # of that exhausts driver fds (plasma mmaps per object) for zero
+    # parallelism gain on a broadcast-sized graph.
+    cur = (
+        edges.select_columns([a_col, b_col])
+        .repartition(16)
+        .materialize()
+    )
+    deg = degrees(cur)
+    for _ in range(rounds):
+        keep = deg.loc[deg["d"] >= k, "node"].to_numpy(dtype=np.int64)
+        if len(keep) == len(deg):
+            break  # fixpoint: every node qualifies, later rounds no-op
+        keep.sort()
+        kref = ray.put(keep)
+
+        def filt(df: pd.DataFrame) -> pd.DataFrame:
+            from pdf_parser_ray.stages import worker_state
+
+            kp = worker_state(("kcore_keep", kref.hex()), lambda: ray.get(kref))
+            if not len(kp):
+                return arrow_out(df.head(0))
+            ia = np.minimum(np.searchsorted(kp, df[a_col].to_numpy(np.int64)),
+                            len(kp) - 1)
+            ib = np.minimum(np.searchsorted(kp, df[b_col].to_numpy(np.int64)),
+                            len(kp) - 1)
+            m = (kp[ia] == df[a_col].to_numpy(np.int64)) & (
+                kp[ib] == df[b_col].to_numpy(np.int64)
+            )
+            return arrow_out(df.loc[m])
+
+        cur = cur.map_batches(filt, batch_format="pandas").materialize()
+        deg = degrees(cur)
+        if not len(deg):
+            break
+    out = deg.rename(columns={"d": "deg"})
+    return (
+        out.astype({"node": "int64", "deg": "int64"})
+        .sort_values("node")
+        .reset_index(drop=True)
+    )

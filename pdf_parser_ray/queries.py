@@ -8379,3 +8379,61 @@ SQL["part_clustering_coef"] = """
     WHERE d.deg >= 2
     ORDER BY node
 """
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 12
+
+
+def q_part_kcore(sf_dir: str) -> pd.DataFrame:
+    """k-core (k=3) of the repeat-co-purchase part graph via 12 fixed
+    peeling rounds — dense-community extraction as an iterative
+    dataflow with a value-exact unrolled twin (both engines run the
+    SAME round count, so parity holds converged or not)."""
+    from pdf_parser_ray.ops.dedup import cooccur_edges, kcore_filter
+
+    li = _read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    edges = cooccur_edges(
+        li, group_col="l_orderkey", item_col="l_partkey", min_count=2
+    )
+    return kcore_filter(edges, _KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+QUERIES["part_kcore"] = q_part_kcore
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Unrolled peel: d_i = degrees(e_i); e_{i+1} = e_i restricted to
+    nodes with d_i ≥ k; output d_R — term-for-term the Ray loop.
+    CTEs are MATERIALIZED: inlining re-evaluates each round's edge set
+    ~5x per reference, exponential over rounds (DuckDB ran out of file
+    handles re-opening the parquet ~5^rounds times)."""
+    parts = ["""
+    WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS MATERIALIZED (
+      SELECT x.l_partkey AS a, y.l_partkey AS b
+      FROM op x JOIN op y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    d0 AS MATERIALIZED (SELECT node, count(*)::BIGINT AS deg FROM (
+             SELECT a AS node FROM e0 UNION ALL SELECT b AS node FROM e0)
+           GROUP BY node)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    s{i - 1} AS MATERIALIZED (SELECT node FROM d{i - 1} WHERE deg >= {k}),
+    e{i} AS MATERIALIZED (SELECT e.a, e.b FROM e{i - 1} e
+             JOIN s{i - 1} sa ON sa.node = e.a
+             JOIN s{i - 1} sb ON sb.node = e.b),
+    d{i} AS MATERIALIZED (SELECT node, count(*)::BIGINT AS deg FROM (
+               SELECT a AS node FROM e{i} UNION ALL SELECT b AS node FROM e{i})
+             GROUP BY node)""")
+    parts.append(f"""
+    SELECT node, deg FROM d{rounds} ORDER BY node""")
+    return "".join(parts)
+
+
+SQL["part_kcore"] = _kcore_sql(_KCORE_K, _KCORE_ROUNDS)

@@ -685,3 +685,26 @@ class TestClusteringCoefficients:
         assert len(out) == 0
         out2 = clustering_coefficients(_ds(pd.DataFrame({"a": [], "b": []})))
         assert list(out2.columns) == ["node", "deg", "n_tri", "lcc"]
+
+
+class TestKcoreFilter:
+    def test_clique_survives_chain_peels(self, ray_session):
+        from pdf_parser_ray.ops.dedup import kcore_filter
+
+        # K4 on {1,2,3,4} plus a pendant chain 4-5-6: the chain peels
+        # (deg 1 and 2 < k), node 4 drops back to deg 3 and the clique
+        # survives intact.
+        edges = pd.DataFrame(
+            {"a": [1, 1, 1, 2, 2, 3, 4, 5],
+             "b": [2, 3, 4, 3, 4, 4, 5, 6]}
+        )
+        out = kcore_filter(_ds(edges, 2), 3, rounds=8)
+        assert out["node"].tolist() == [1, 2, 3, 4]
+        assert out["deg"].tolist() == [3, 3, 3, 3]
+
+    def test_everything_peels(self, ray_session):
+        from pdf_parser_ray.ops.dedup import kcore_filter
+
+        chain = pd.DataFrame({"a": [1, 2, 3], "b": [2, 3, 4]})
+        out = kcore_filter(_ds(chain), 2, rounds=8)
+        assert len(out) == 0
