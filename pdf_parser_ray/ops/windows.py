@@ -2390,3 +2390,147 @@ def acf_lag1(
     return pd.DataFrame(out_rows, columns=[type_col, "n_pairs", "acf1"]).astype(
         {"n_pairs": "int64"}
     )
+
+
+def km_conversion(
+    ds: ray.data.Dataset,
+    *,
+    origin_type: str = "signup",
+    event_type: str = "purchase",
+    us_per_bucket: int = 86_400_000_000,
+    n_parts: int | None = None,
+) -> pd.DataFrame:
+    """Kaplan–Meier product-limit curve for time-to-conversion with
+    right-censoring — survival analysis as a dataflow op: cohorts are
+    users with an ``origin_type`` event; the event is their first
+    ``event_type`` AT/after origin; users who never convert are
+    CENSORED at their last observed event (the estimator's whole point
+    — dropping them would bias conversion fast).
+
+    Scale shape: per-batch pre-partials (per-user min origin, max seen,
+    plus raw conversion-candidate timestamps) → ONE user co-location
+    where the per-user triple reduces vectorized across users → each
+    partition emits day-bucketed (d, c) partials, so the driver merge
+    is bucket-bounded.  The survival product is computed as
+    ``exp(cumsum(ln(1 − d/n)))`` in day order — the identical
+    operand-ordered float tree the SQL twin's windowed
+    ``exp(sum(ln()) OVER (ORDER BY day))`` builds — and rounded to 6.
+
+    Returns (day:int64, n_risk:int64, n_events:int64, n_censored:int64,
+    survival:float64), day ascending.
+    """
+    import numpy as np
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].astype("datetime64[us]")
+        us = ts.astype("int64")
+        et = df["event_type"]
+        uid = df["user_id"]
+        outs = []
+        o = df.loc[et == origin_type]
+        if len(o):
+            g = pd.DataFrame(
+                {"user_id": uid[o.index], "t": us[o.index]}
+            ).groupby("user_id", as_index=False)["t"].min()
+            outs.append(g.assign(kind=0))
+        e = df.loc[et == event_type]
+        if len(e):  # candidates stay raw: which qualify depends on t0
+            outs.append(
+                pd.DataFrame(
+                    {"user_id": uid[e.index].to_numpy(),
+                     "t": us[e.index].to_numpy(), "kind": 1}
+                )
+            )
+        g = pd.DataFrame({"user_id": uid, "t": us}).groupby(
+            "user_id", as_index=False
+        )["t"].max()
+        outs.append(g.assign(kind=2))
+        out = pd.concat(outs, ignore_index=True)
+        return arrow_out(out.astype({"t": "int64", "kind": "int64"}))
+
+    def fold(part: pd.DataFrame) -> pd.DataFrame:
+        # map_groups can hand the partition over with a named index
+        # (observed: 'user_id' as both index level and column) — drop it.
+        part = part.reset_index(drop=True)
+        t0 = (
+            part.loc[part["kind"] == 0]
+            .groupby("user_id")["t"].min()
+            .rename("t0")
+        )
+        if not len(t0):
+            return pd.DataFrame(
+                {"day": pd.Series([], dtype="int64"),
+                 "d": pd.Series([], dtype="int64"),
+                 "c": pd.Series([], dtype="int64")}
+            )
+        ev = part.loc[part["kind"] == 1, ["user_id", "t"]].join(
+            t0, on="user_id", how="inner"
+        )
+        # an EMPTY left side makes join name the result index after the
+        # right's index ('user_id') — ambiguous with the column below.
+        ev.index.name = None
+        ev = ev.loc[ev["t"] >= ev["t0"]]
+        te = ev.groupby("user_id")["t"].min().rename("te")
+        tx = (
+            part.loc[part["kind"] == 2]
+            .groupby("user_id")["t"].max()
+            .rename("tx")
+        )
+        u = pd.concat([t0, te, tx], axis=1).loc[t0.index]
+        obs = u["te"].notna()
+        end = u["te"].where(obs, u["tx"]).astype("int64")
+        day = (end - u["t0"].astype("int64")) // us_per_bucket
+        g = (
+            pd.DataFrame(
+                {"day": day.to_numpy(), "obs": obs.to_numpy(),
+                 "cen": (~obs).to_numpy()}
+            )
+            .groupby("day", as_index=False)
+            .agg(d=("obs", "sum"), c=("cen", "sum"))
+        )
+        return g.astype({"day": "int64", "d": "int64", "c": "int64"})
+
+    parts = partitioned_map(
+        ds.select_columns(["user_id", "ts", "event_type"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        ["user_id"],
+        fold,
+        **({"n_parts": n_parts} if n_parts else {}),
+    ).to_pandas()  # bounded: buckets x partitions
+    if "day" not in parts.columns or not len(parts):
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="float64" if c == "survival" else "int64")
+             for c in ["day", "n_risk", "n_events", "n_censored", "survival"]}
+        )
+    km = (
+        parts.groupby("day", as_index=False)[["d", "c"]]
+        .sum()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    gone = (km["d"] + km["c"]).cumsum().shift(1, fill_value=0)
+    n_risk = int(km["d"].sum() + km["c"].sum()) - gone
+    d = km["d"].to_numpy(dtype=np.float64)
+    n = n_risk.to_numpy(dtype=np.float64)
+    # d == n (everyone at risk converts) sends the product to exactly
+    # 0 forever; clamp instead of ln(0) — the twin mirrors the flag.
+    dead = d >= n
+    arg = np.where(dead, 1.0, 1.0 - d / np.where(dead, 1.0, n))
+    term = np.log(arg)
+    killed = np.cumsum(dead) > 0
+    surv = np.where(
+        killed, 0.0, np.round(np.exp(np.cumsum(term)), 6) + 0.0
+    )
+    return pd.DataFrame(
+        {
+            "day": km["day"].astype("int64"),
+            "n_risk": n_risk.astype("int64"),
+            "n_events": km["d"].astype("int64"),
+            "n_censored": km["c"].astype("int64"),
+            "survival": surv,
+        }
+    )

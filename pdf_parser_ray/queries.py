@@ -8437,3 +8437,62 @@ def _kcore_sql(k: int, rounds: int) -> str:
 
 
 SQL["part_kcore"] = _kcore_sql(_KCORE_K, _KCORE_ROUNDS)
+
+
+def q_km_conversion(sf_dir: str) -> pd.DataFrame:
+    """Kaplan-Meier signup→purchase conversion curve with right-
+    censoring at each non-converter's last event — survival analysis
+    over the event stream; the product-limit float tree is operand-
+    order-identical on both engines (exp of a day-ordered cumsum of
+    ln terms)."""
+    from pdf_parser_ray.ops.windows import km_conversion
+
+    return km_conversion(
+        _read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+        )
+    )
+
+
+QUERIES["km_conversion"] = q_km_conversion
+
+SQL["km_conversion"] = """
+    WITH s AS (SELECT user_id, min(ts) AS t0 FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS te
+          FROM events e JOIN s ON s.user_id = e.user_id AND e.ts >= s.t0
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+    x AS (SELECT user_id, max(ts) AS tx FROM events GROUP BY user_id),
+    dur AS (
+      SELECT s.user_id,
+             CASE WHEN p.te IS NOT NULL
+                  THEN (epoch_us(p.te) - epoch_us(s.t0)) // 86400000000
+                  ELSE (epoch_us(x.tx) - epoch_us(s.t0)) // 86400000000
+             END AS day,
+             (p.te IS NOT NULL) AS obs
+      FROM s LEFT JOIN p USING (user_id) JOIN x USING (user_id)),
+    agg AS (
+      SELECT day,
+             sum(CASE WHEN obs THEN 1 ELSE 0 END)::BIGINT AS d,
+             sum(CASE WHEN obs THEN 0 ELSE 1 END)::BIGINT AS c
+      FROM dur GROUP BY day),
+    km AS (
+      SELECT day, d, c,
+             (SELECT count(*) FROM dur)
+               - coalesce(sum(d + c) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM agg)
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           d AS n_events, c AS n_censored,
+           CASE WHEN max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                     OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) = 1
+                THEN 0.0
+                ELSE round(exp(sum(CASE WHEN d >= n_risk THEN 0.0
+                                        ELSE ln(1.0 - d::DOUBLE
+                                                / n_risk::DOUBLE) END)
+                     OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)), 6) + 0.0
+           END AS survival
+    FROM km ORDER BY day
+"""

@@ -3420,3 +3420,52 @@ class TestCusumChangepoint:
         pd.testing.assert_frame_equal(
             out.reset_index(drop=True), out2.reset_index(drop=True)
         )
+
+
+class TestKmConversion:
+    def test_censoring_and_survival(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import km_conversion
+
+        T = pd.Timestamp("2024-01-01")
+        D = pd.Timedelta("1d")
+        rows = [
+            # A: signup day0, purchase day1 -> observed day 1
+            {"user_id": 1, "ts": T, "event_type": "signup"},
+            {"user_id": 1, "ts": T + D, "event_type": "purchase"},
+            # B: signup day0, never purchases, last click day2 -> censored day 2
+            {"user_id": 2, "ts": T, "event_type": "signup"},
+            {"user_id": 2, "ts": T + 2 * D, "event_type": "click"},
+            # C: purchase BEFORE signup only -> censored at signup day (day 0)
+            {"user_id": 3, "ts": T - D, "event_type": "purchase"},
+            {"user_id": 3, "ts": T, "event_type": "signup"},
+            # D: no signup -> excluded entirely
+            {"user_id": 4, "ts": T, "event_type": "purchase"},
+        ]
+        df = pd.DataFrame(rows)
+        out = km_conversion(ray.data.from_pandas(df).repartition(3))
+        # day 0: C censored (n=3, d=0, c=1) -> S=1.0
+        # day 1: A converts (n=2, d=1)     -> S=0.5
+        # day 2: B censored (n=1, d=0, c=1)-> S=0.5
+        assert out["day"].tolist() == [0, 1, 2]
+        assert out["n_risk"].tolist() == [3, 2, 1]
+        assert out["n_events"].tolist() == [0, 1, 0]
+        assert out["n_censored"].tolist() == [1, 0, 1]
+        assert out["survival"].tolist() == [1.0, 0.5, 0.5]
+
+    def test_all_convert_kills_curve(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import km_conversion
+
+        T = pd.Timestamp("2024-01-01")
+        rows = []
+        for u in (1, 2):
+            rows.append({"user_id": u, "ts": T, "event_type": "signup"})
+            rows.append({"user_id": u, "ts": T, "event_type": "purchase"})
+        out = km_conversion(ray.data.from_pandas(pd.DataFrame(rows)))
+        assert out["survival"].tolist() == [0.0]
+        assert out["n_events"].tolist() == [2]
