@@ -799,3 +799,76 @@ def grouped_value_ranks(
     return partitioned_map(
         tagged, [group_col, "b"], rank_partition, n_parts=n_parts
     )
+
+
+def quantile_norm(
+    ds: ray.data.Dataset,
+    value_col: str,
+    id_col: str,
+    group_col: str,
+    *,
+    out_col: str = "norm",
+    grid: int = 100,
+    bucket_width: float | dict = 1.0,
+    n_parts: int = 64,
+) -> ray.data.Dataset:
+    """Cross-group quantile normalization (the batch-effect corrector):
+    replace each row's value with the GLOBAL value at its within-group
+    percentile, so differently-scaled groups (sources, labs, crawls)
+    become comparable — a source whose lengths run 2x long maps onto
+    the same global scale as everyone else.
+
+    Exact, selection-based: within-group percent_rank comes from
+    :func:`grouped_value_ranks` (histogram + prefix offsets, (value,id)
+    total order — tie-free, so SQL percent_rank agrees bit for bit);
+    the target scale is ``grid+1`` global ``quantile_disc`` selections
+    (one histogram pass, broadcast as grid+1 floats); the mapping
+    ``norm = P[floor(pct·grid)]`` is row-local.  No interpolation
+    anywhere — every output value is an element of the data, and every
+    float op (the pct ratio, the floor index) is identical on both
+    engines.
+
+    Output: (id_col, group_col, value_col, out_col), one row per input
+    row.
+    """
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.stages import worker_state
+
+    qs = {f"g{i}": i / float(grid) for i in range(grid + 1)}
+
+    def const_group(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(__g=np.int64(0))
+
+    pdf = grouped_quantile_disc(
+        ds.select_columns([value_col]).map_batches(
+            const_group, batch_format="pandas"
+        ),
+        "__g", value_col, qs,
+    )
+    scale = np.array(
+        [pdf[f"g{i}"].iloc[0] for i in range(grid + 1)], dtype=np.float64
+    )
+    sref = ray.put(scale)
+
+    ranks = grouped_value_ranks(
+        ds, value_col, id_col, group_col,
+        bucket_width=bucket_width, n_parts=n_parts,
+    )
+
+    def apply_norm(df: pd.DataFrame) -> pd.DataFrame:
+        sc = worker_state(("qnorm_scale", sref.hex()), lambda: ray.get(sref))
+        idx = np.floor(
+            df["pct_rank"].to_numpy(dtype=np.float64) * grid
+        ).astype(np.int64)
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    id_col: df[id_col].to_numpy(),
+                    group_col: df[group_col].to_numpy(),
+                    value_col: df[value_col].to_numpy(),
+                    out_col: sc[idx],
+                }
+            )
+        )
+
+    return ranks.map_batches(apply_norm, batch_format="pandas")

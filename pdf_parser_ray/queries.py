@@ -8496,3 +8496,38 @@ SQL["km_conversion"] = """
            END AS survival
     FROM km ORDER BY day
 """
+
+
+def q_len_quantile_norm(sf_dir: str) -> ray.data.Dataset:
+    """Cross-source quantile normalization of doc lengths: each doc's
+    n_chars replaced by the global length at its within-source
+    percentile — selection-based (no interpolation), every float op
+    identical on both engines."""
+    from pdf_parser_ray.ops.quantiles import quantile_norm
+
+    return quantile_norm(
+        _read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "source", "n_chars"],
+        ),
+        "n_chars", "doc_id", "source", out_col="norm_chars",
+    )
+
+
+QUERIES["len_quantile_norm"] = q_len_quantile_norm
+
+SQL["len_quantile_norm"] = f"""
+    WITH qs AS (
+      SELECT quantile_disc(n_chars,
+               [{", ".join(repr(i / 100.0) for i in range(101))}]) AS q
+      FROM documents),
+    r AS (
+      SELECT doc_id, source, n_chars,
+             percent_rank() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS pct
+      FROM documents)
+    SELECT r.doc_id, r.source, r.n_chars,
+           CAST(qs.q[CAST(floor(r.pct * 100) AS INT) + 1] AS DOUBLE)
+             AS norm_chars
+    FROM r, qs ORDER BY r.doc_id
+"""

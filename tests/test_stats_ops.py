@@ -708,3 +708,28 @@ class TestKcoreFilter:
         chain = pd.DataFrame({"a": [1, 2, 3], "b": [2, 3, 4]})
         out = kcore_filter(_ds(chain), 2, rounds=8)
         assert len(out) == 0
+
+
+class TestQuantileNorm:
+    def test_aligns_shifted_groups(self, ray_session):
+        from pdf_parser_ray.ops.quantiles import quantile_norm
+
+        # source B is source A shifted by +1000: after normalization the
+        # k-th smallest of each group must land on the SAME global value.
+        df = pd.DataFrame(
+            {
+                "id": np.arange(20),
+                "src": ["a"] * 10 + ["b"] * 10,
+                "v": list(range(1, 11)) + list(range(1001, 1011)),
+            }
+        ).astype({"v": "float64"})
+        out = (
+            quantile_norm(_ds(df, 3), "v", "id", "src", out_col="norm")
+            .to_pandas()
+            .sort_values(["src", "v"])
+        )
+        a = out[out["src"] == "a"]["norm"].to_numpy()
+        b = out[out["src"] == "b"]["norm"].to_numpy()
+        assert (a == b).all()
+        assert (np.diff(a) >= 0).all()  # monotone
+        assert set(out["norm"]) <= set(df["v"])  # selection, not interpolation
