@@ -8531,3 +8531,79 @@ SQL["len_quantile_norm"] = f"""
              AS norm_chars
     FROM r, qs ORDER BY r.doc_id
 """
+
+
+def q_assoc_rules(sf_dir: str) -> pd.DataFrame:
+    """Association rules over per-user event-type baskets: for every
+    DIRECTED type pair A→B, support / confidence / lift — the
+    market-basket rule-mining readout composed from the co-occurrence
+    and exact-distinct primitives; every float is a single ratio (or a
+    ratio of products) of exact int64 counts, so no rounding contract."""
+    import numpy as np
+
+    from pdf_parser_ray.ops.sketches import grouped_distinct_exact
+    from pdf_parser_ray.ops.windows import cooccurrence_counts
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    pairs = cooccurrence_counts(ds).to_pandas()  # bounded: types^2
+    singles = (
+        grouped_distinct_exact(ds, "event_type", "user_id")
+        .to_pandas()  # bounded: |types|
+        .set_index("event_type")["n_distinct"]
+    )
+
+    def const(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["user_id"]].assign(__g=np.int64(0))
+
+    n_users = int(
+        grouped_distinct_exact(
+            ds.map_batches(const, batch_format="pandas"), "__g", "user_id"
+        ).to_pandas()["n_distinct"].iloc[0]
+    )
+
+    rows = []
+    for _, r in pairs.iterrows():
+        for a, b in ((r["t1"], r["t2"]), (r["t2"], r["t1"])):
+            sa, sb = int(singles[a]), int(singles[b])
+            nab = int(r["n_keys"])
+            rows.append(
+                {
+                    "antecedent": a,
+                    "consequent": b,
+                    "n_both": nab,
+                    "n_ante": sa,
+                    "confidence": float(nab) / float(sa),
+                    "lift": (float(n_users) * float(nab))
+                    / (float(sa) * float(sb)),
+                }
+            )
+    out = pd.DataFrame(rows).sort_values(
+        ["antecedent", "consequent"]
+    ).reset_index(drop=True)
+    return out.astype({"n_both": "int64", "n_ante": "int64"})
+
+
+QUERIES["assoc_rules"] = q_assoc_rules
+
+SQL["assoc_rules"] = """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    s AS (SELECT event_type, count(*)::BIGINT AS n FROM ut GROUP BY 1),
+    nu AS (SELECT count(*)::BIGINT AS n FROM (SELECT DISTINCT user_id FROM events)),
+    pairs AS (
+      SELECT x.event_type AS a, y.event_type AS b, count(*)::BIGINT AS nab
+      FROM ut x JOIN ut y
+        ON x.user_id = y.user_id AND x.event_type <> y.event_type
+      GROUP BY 1, 2)
+    SELECT p.a AS antecedent, p.b AS consequent,
+           p.nab AS n_both, sa.n AS n_ante,
+           p.nab::DOUBLE / sa.n::DOUBLE AS confidence,
+           (nu.n::DOUBLE * p.nab::DOUBLE) / (sa.n::DOUBLE * sb.n::DOUBLE)
+             AS lift
+    FROM pairs p
+    JOIN s sa ON sa.event_type = p.a
+    JOIN s sb ON sb.event_type = p.b
+    CROSS JOIN nu
+    ORDER BY antecedent, consequent
+"""
