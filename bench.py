@@ -164,6 +164,12 @@ BENCH_QUERIES = [
     "source_jsd",
     "vocab_growth",
     "dd_quantiles",
+    "label_noise_audit",
+    "part_clustering_coef",
+    "part_kcore",
+    "km_conversion",
+    "len_quantile_norm",
+    "assoc_rules",
 ]
 
 
