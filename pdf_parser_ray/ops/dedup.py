@@ -2263,3 +2263,81 @@ def kcore_filter(
         .sort_values("node")
         .reset_index(drop=True)
     )
+
+
+def hits_bipartite(
+    edges: "ray.data.Dataset",
+    *,
+    src: str = "c",
+    dst: str = "s",
+    n_iters: int = 6,
+    round_iters: int = 8,
+) -> pd.DataFrame:
+    """HITS hubs-and-authorities over a directed (bipartite) edge list
+    — Kleinberg's mutual-reinforcement centrality: a good hub points at
+    good authorities and vice versa.  MAX-normalized per iteration
+    (score / max(score)) instead of the textbook L2: the max is a
+    SELECTED element, so no cross-engine float-sum-order contract hides
+    in the normalizer, and inter-iteration rounding (the pagerank /
+    kmeans oracle trick) snaps both engines to the identical vector
+    each round.  Edges count with multiplicity (no dedup pass — the
+    twin simply omits DISTINCT), which also weights repeat
+    relationships, usually what a strength signal wants.
+
+    Scale shape per iteration: two gather-scatter halves, each ONE
+    map_batches whose blocks pre-sum contributions by destination
+    (≤ |side| rows per block) + a driver np.add.at merge — the
+    pagerank driver-held mat-vec, bounded by the EDGE SET's node
+    cardinality, never the corpus.
+
+    Returns (kind:{'hub','auth'}, node:int64, score:float64), sorted
+    (kind, node).
+    """
+    import numpy as np
+
+    from pdf_parser_ray.io_utils import arrow_out
+
+    e = edges.select_columns([src, dst]).materialize()
+    c_nodes = np.array(sorted(e.unique(src) or []), dtype=np.int64)
+    s_nodes = np.array(sorted(e.unique(dst) or []), dtype=np.int64)
+    if not len(c_nodes) or not len(s_nodes):
+        return pd.DataFrame(
+            {"kind": pd.Series([], dtype="object"),
+             "node": pd.Series([], dtype="int64"),
+             "score": pd.Series([], dtype="float64")}
+        )
+
+    def half_step(vec_keys, vec_vals, from_col, to_col, to_keys):
+        ref = ray.put((vec_keys, vec_vals))
+
+        def contribute(df: pd.DataFrame) -> "object":
+            from pdf_parser_ray.stages import worker_state
+
+            keys, vals = worker_state(
+                ("hits_vec", ref.hex()), lambda: ray.get(ref)
+            )
+            v = vals[np.searchsorted(keys, df[from_col].to_numpy(np.int64))]
+            g = pd.DataFrame({"node": df[to_col].to_numpy(np.int64), "m": v})
+            return arrow_out(g.groupby("node", as_index=False)["m"].sum())
+
+        parts = e.map_batches(contribute, batch_format="pandas").to_pandas()
+        out = np.zeros(len(to_keys), dtype=np.float64)
+        np.add.at(
+            out,
+            np.searchsorted(to_keys, parts["node"].to_numpy(np.int64)),
+            parts["m"].to_numpy(np.float64),
+        )
+        return np.round(out / out.max(), round_iters)
+
+    h = np.ones(len(c_nodes), dtype=np.float64)
+    a = np.zeros(len(s_nodes), dtype=np.float64)
+    for _ in range(n_iters):
+        a = half_step(c_nodes, h, src, dst, s_nodes)
+        h = half_step(s_nodes, a, dst, src, c_nodes)
+    return pd.DataFrame(
+        {
+            "kind": ["auth"] * len(s_nodes) + ["hub"] * len(c_nodes),
+            "node": np.concatenate([s_nodes, c_nodes]),
+            "score": np.concatenate([a, h]),
+        }
+    ).sort_values(["kind", "node"]).reset_index(drop=True)

@@ -8607,3 +8607,83 @@ SQL["assoc_rules"] = """
     CROSS JOIN nu
     ORDER BY antecedent, consequent
 """
+
+
+_HITS_ITERS = 6
+_HITS_ROUND = 8
+
+
+def q_cust_supp_hits(sf_dir: str) -> pd.DataFrame:
+    """HITS over the customer→supplier purchase graph (multiplicity-
+    weighted orders⋈lineitem edges): hub customers buy from
+    authoritative suppliers — the iterative mutual-reinforcement tier
+    with a value-exact unrolled twin (max normalization = selected
+    element; round-8 per half-step)."""
+    from pdf_parser_ray.ops.dedup import hits_bipartite
+    from pdf_parser_ray.ops.relational import colo_join
+
+    li = _read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    def norm_li(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"k": df["l_orderkey"].astype("int64"),
+             "s": df["l_suppkey"].astype("int64")}
+        )
+
+    def norm_o(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"k": df["o_orderkey"].astype("int64"),
+             "c": df["o_custkey"].astype("int64")}
+        )
+
+    edges = colo_join(
+        li.map_batches(norm_li, batch_format="pandas"),
+        orders.map_batches(norm_o, batch_format="pandas"),
+        ["k"], ["s"], ["c"],
+    )
+    return hits_bipartite(
+        edges, src="c", dst="s", n_iters=_HITS_ITERS, round_iters=_HITS_ROUND
+    )
+
+
+QUERIES["cust_supp_hits"] = q_cust_supp_hits
+
+
+def _hits_sql(n_iters: int, round_iters: int) -> str:
+    """Unrolled HITS chain: a_i = round(Σ h_{i-1} / max, r) per supplier,
+    h_i = round(Σ a_i / max, r) per customer — term-for-term the Ray
+    half-steps.  MATERIALIZED CTEs (the part_kcore lesson: inlining
+    re-evaluates each round exponentially)."""
+    parts = ["""
+    WITH e AS MATERIALIZED (
+      SELECT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    h0 AS MATERIALIZED (SELECT DISTINCT c, 1.0::DOUBLE AS v FROM e)"""]
+    for i in range(1, n_iters + 1):
+        parts.append(f""",
+    a{i}r AS MATERIALIZED (
+      SELECT e.s, sum(h{i - 1}.v) AS v
+      FROM e JOIN h{i - 1} ON h{i - 1}.c = e.c GROUP BY e.s),
+    a{i} AS MATERIALIZED (
+      SELECT s, round(v / (SELECT max(v) FROM a{i}r), {round_iters}) AS v
+      FROM a{i}r),
+    h{i}r AS MATERIALIZED (
+      SELECT e.c, sum(a{i}.v) AS v
+      FROM e JOIN a{i} ON a{i}.s = e.s GROUP BY e.c),
+    h{i} AS MATERIALIZED (
+      SELECT c, round(v / (SELECT max(v) FROM h{i}r), {round_iters}) AS v
+      FROM h{i}r)""")
+    parts.append(f"""
+    SELECT 'auth' AS kind, s AS node, v + 0.0 AS score FROM a{n_iters}
+    UNION ALL
+    SELECT 'hub' AS kind, c AS node, v + 0.0 AS score FROM h{n_iters}
+    ORDER BY kind, node""")
+    return "".join(parts)
+
+
+SQL["cust_supp_hits"] = _hits_sql(_HITS_ITERS, _HITS_ROUND)

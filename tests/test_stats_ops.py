@@ -733,3 +733,28 @@ class TestQuantileNorm:
         assert (a == b).all()
         assert (np.diff(a) >= 0).all()  # monotone
         assert set(out["norm"]) <= set(df["v"])  # selection, not interpolation
+
+
+class TestHitsBipartite:
+    def test_mutual_reinforcement(self, ray_session):
+        from pdf_parser_ray.ops.dedup import hits_bipartite
+
+        # cust 1 buys from both suppliers, cust 2 only from supplier 10:
+        # 10 out-authorities 20, 1 out-hubs 2, and max-norm tops are 1.0.
+        edges = pd.DataFrame({"c": [1, 1, 2], "s": [10, 20, 10]})
+        out = hits_bipartite(_ds(edges, 2)).set_index(["kind", "node"])[
+            "score"
+        ]
+        assert out.loc[("auth", 10)] == 1.0
+        assert out.loc[("hub", 1)] == 1.0
+        assert out.loc[("auth", 20)] < 1.0
+        assert out.loc[("hub", 2)] < out.loc[("hub", 1)]
+
+    def test_multiplicity_weights(self, ray_session):
+        from pdf_parser_ray.ops.dedup import hits_bipartite
+
+        # repeat edges strengthen: with 2x (1,10), supplier 10 must
+        # out-score supplier 20 even though both have one distinct buyer.
+        edges = pd.DataFrame({"c": [1, 1, 1], "s": [10, 10, 20]})
+        out = hits_bipartite(_ds(edges)).set_index(["kind", "node"])["score"]
+        assert out.loc[("auth", 10)] > out.loc[("auth", 20)]
