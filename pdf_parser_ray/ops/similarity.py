@@ -736,3 +736,91 @@ def hard_negatives(
         .reset_index(drop=True)
     )
     return out
+
+
+def coreset_kcenter(
+    ds: "ray.data.Dataset",
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """Greedy k-center coreset (farthest-point traversal) — the classic
+    diversity-maximizing data-selection rule (Gonzalez 2-approximation
+    to the k-center cover): start from the min-id point, repeatedly add
+    the point FARTHEST from its nearest chosen center.  The standard
+    seed-selection / coverage-subset pass for embedding corpora.
+
+    Deterministic and engine-exact: every candidate distance is rounded
+    to ``round_to`` BEFORE the min-over-centers and the (dist DESC, id
+    ASC) argmax — the knn_cosine selection lesson — and embeddings are
+    cast float32→float64 up front (exact) so both engines do double
+    arithmetic.  Each of the k rounds is ONE map_batches scan emitting
+    a 1-row per-block candidate (the farthest point it holds); the
+    driver reduces blocks×1 rows.  Centers broadcast once per round
+    (k×d floats).
+
+    Returns (step:int64 1..k, vec_id:int64, gain:float64) — gain is the
+    chosen point's covering distance at selection time (0.0 for the
+    seed); gain is non-increasing from step 2 on.
+    """
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.stages import worker_state
+
+    seed = (
+        ds.select_columns([id_col, emb_col])
+        .sort(id_col)
+        .limit(1)
+        .to_pandas()
+    )
+    centers = [
+        (int(seed[id_col].iloc[0]),
+         np.asarray(seed[emb_col].iloc[0], dtype=np.float64), 0.0)
+    ]
+
+    for _step in range(2, k + 1):
+        cmat = np.stack([c[1] for c in centers])
+        cref = ray.put(cmat)
+
+        def far_partial(df: pd.DataFrame) -> pd.DataFrame:
+            cm = worker_state(("kcenter", cref.hex()), lambda: ray.get(cref))
+            x = _to_matrix(df[emb_col])
+            # rounded distance per center, THEN min — mirrors the
+            # twin's least(round(list_distance(...)), ...) chain.
+            d = np.round(
+                np.sqrt(
+                    ((x[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+                ),
+                round_to,
+            ).min(axis=1)
+            ids = df[id_col].to_numpy(np.int64)
+            order = np.lexsort((ids, -d))  # dist DESC, id ASC
+            j = order[0]
+            return arrow_out(
+                pd.DataFrame(
+                    {id_col: [ids[j]], "d": [float(d[j])],
+                     emb_col: [x[j].tolist()]}
+                )
+            )
+
+        cand = (
+            ds.select_columns([id_col, emb_col])
+            .map_batches(far_partial, batch_format="pandas")
+            .to_pandas()  # blocks x 1 rows
+            .sort_values(["d", id_col], ascending=[False, True])
+        )
+        best = cand.iloc[0]
+        centers.append(
+            (int(best[id_col]),
+             np.asarray(best[emb_col], dtype=np.float64),
+             float(best["d"]))
+        )
+
+    return pd.DataFrame(
+        {
+            "step": pd.Series(range(1, k + 1), dtype="int64"),
+            "vec_id": pd.Series([c[0] for c in centers], dtype="int64"),
+            "gain": pd.Series([c[2] for c in centers], dtype="float64"),
+        }
+    )

@@ -8687,3 +8687,58 @@ def _hits_sql(n_iters: int, round_iters: int) -> str:
 
 
 SQL["cust_supp_hits"] = _hits_sql(_HITS_ITERS, _HITS_ROUND)
+
+
+_KCENTER_K = 8
+
+
+def q_embed_coreset(sf_dir: str) -> pd.DataFrame:
+    """Greedy k-center coreset (k=8) over the embeddings table —
+    diversity-maximizing selection; round-6 distances gate every
+    argmax so the unrolled list_distance twin selects identically."""
+    from pdf_parser_ray.ops.similarity import coreset_kcenter
+
+    return coreset_kcenter(
+        _read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ),
+        _KCENTER_K,
+    )
+
+
+QUERIES["embed_coreset"] = q_embed_coreset
+
+
+def _kcenter_sql(k: int, round_to: int = 6) -> str:
+    """Unrolled farthest-point chain: d_i = least(d_{i-1},
+    round(list_distance(·, c_i), 6)); c_{i+1} = argmax (dmin DESC,
+    vec_id).  float32→DOUBLE cast up front matches the Ray side's
+    exact widening; MATERIALIZED per the part_kcore lesson."""
+    parts = ["""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    c1 AS MATERIALIZED (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 1),
+    d1 AS MATERIALIZED (
+      SELECT e.vec_id, e.emb,
+             round(list_distance(e.emb, (SELECT emb FROM c1)), {r}) AS dmin
+      FROM e)""".format(r=round_to)]
+    for i in range(2, k + 1):
+        parts.append(f""",
+    c{i} AS MATERIALIZED (
+      SELECT vec_id, emb, dmin FROM d{i - 1}
+      ORDER BY dmin DESC, vec_id LIMIT 1),
+    d{i} AS MATERIALIZED (
+      SELECT d.vec_id, d.emb,
+             least(d.dmin,
+                   round(list_distance(d.emb, (SELECT emb FROM c{i})),
+                         {round_to})) AS dmin
+      FROM d{i - 1} d)""")
+    sel = ["""
+    SELECT 1::BIGINT AS step, vec_id, 0.0::DOUBLE AS gain FROM c1"""]
+    for i in range(2, k + 1):
+        sel.append(f"""
+    UNION ALL SELECT {i}::BIGINT, vec_id, dmin + 0.0 FROM c{i}""")
+    return "".join(parts) + "".join(sel) + "\n    ORDER BY step"
+
+
+SQL["embed_coreset"] = _kcenter_sql(_KCENTER_K)

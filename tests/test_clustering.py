@@ -231,3 +231,52 @@ class TestIvfStore:
         files = glob.glob(f"{store}/list_id=*/*.parquet")
         total = ray.data.read_parquet(files).count()
         assert total == ds.count()  # every vector landed in one list
+
+
+class TestCoresetKcenter:
+    def test_farthest_point_traversal(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from pdf_parser_ray.ops.similarity import coreset_kcenter
+
+        # three tight clusters far apart: the first 3 picks must cover
+        # all 3 clusters (that's the k-center guarantee at its core).
+        rng = np.random.default_rng(5)
+        pts, labels = [], []
+        for ci, center in enumerate([0.0, 100.0, -100.0]):
+            for _ in range(20):
+                pts.append(center + rng.normal(0, 0.1, 4))
+                labels.append(ci)
+        df = pd.DataFrame(
+            {"vec_id": np.arange(60, dtype="int64"),
+             "embedding": [p.tolist() for p in pts]}
+        )
+        out = coreset_kcenter(
+            ray.data.from_pandas(df).repartition(4), 4
+        )
+        assert out["step"].tolist() == [1, 2, 3, 4]
+        first3 = {labels[v] for v in out["vec_id"].iloc[:3]}
+        assert first3 == {0, 1, 2}
+        # gain non-increasing from step 2, and the step-4 gain (intra-
+        # cluster) is tiny vs the step-2/3 gains (inter-cluster).
+        g = out["gain"].to_numpy()
+        assert (np.diff(g[1:]) <= 0).all()
+        assert g[3] < g[1] / 100
+
+    def test_partition_invariant(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from pdf_parser_ray.ops.similarity import coreset_kcenter
+
+        rng = np.random.default_rng(9)
+        df = pd.DataFrame(
+            {"vec_id": np.arange(200, dtype="int64"),
+             "embedding": [rng.normal(0, 1, 8).tolist() for _ in range(200)]}
+        )
+        a = coreset_kcenter(ray.data.from_pandas(df), 5)
+        b = coreset_kcenter(ray.data.from_pandas(df).repartition(7), 5)
+        pd.testing.assert_frame_equal(a, b)
