@@ -170,6 +170,8 @@ BENCH_QUERIES = [
     "km_conversion",
     "len_quantile_norm",
     "assoc_rules",
+    "cust_supp_hits",
+    "embed_coreset",
 ]
 
 

@@ -8381,12 +8381,12 @@ SQL["part_clustering_coef"] = """
 """
 
 
-_KCORE_K = 3
+_KCORE_K = 2
 _KCORE_ROUNDS = 12
 
 
 def q_part_kcore(sf_dir: str) -> pd.DataFrame:
-    """k-core (k=3) of the repeat-co-purchase part graph via 12 fixed
+    """k-core (k=2) of the repeat-co-purchase part graph via 12 fixed
     peeling rounds — dense-community extraction as an iterative
     dataflow with a value-exact unrolled twin (both engines run the
     SAME round count, so parity holds converged or not)."""
