@@ -1218,6 +1218,123 @@ def fuzzy_string_pairs(
     return deduped.map_batches(cast, batch_format="pandas")
 
 
+def _jaro_winkler(s1: str, s2: str) -> float:
+    """Textbook Jaro-Winkler (match window max(l)/2-1, half-transposition
+    count, Winkler prefix boost 0.1 over ≤4 chars gated at jaro > 0.7).
+
+    Bit-identical to DuckDB's ``jaro_winkler_similarity`` — verified by
+    exact float equality over every blocked part-name pair at sf0.1 plus
+    8k random fuzz strings (the one divergence found and mirrored:
+    DuckDB scores two EMPTY strings 0.0, not 1.0).  That exactness is
+    what lets the SQL twin share a round-6 contract.
+    """
+    l1, l2 = len(s1), len(s2)
+    if not l1 or not l2:
+        return 0.0
+    if s1 == s2:
+        return 1.0
+    window = max(l1, l2) // 2 - 1
+    m1 = [False] * l1
+    m2 = [False] * l2
+    matches = 0
+    for i, c in enumerate(s1):
+        for j in range(max(0, i - window), min(l2, i + window + 1)):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if not matches:
+        return 0.0
+    half_t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                half_t += 1
+            k += 1
+    t = half_t // 2
+    j = (matches / l1 + matches / l2 + (matches - t) / matches) / 3.0
+    if j > 0.7:
+        prefix = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            prefix += 1
+        j += prefix * 0.1 * (1.0 - j)
+    return j
+
+
+def jw_link_pairs(
+    ds: ray.data.Dataset,
+    col: str,
+    *,
+    threshold: float = 0.8,
+    round_to: int = 6,
+    max_bucket: int = 4096,
+    n_parts: int | None = None,
+) -> ray.data.Dataset:
+    """Record-linkage candidate pairs: DISTINCT ``col`` values sharing a
+    blocking key (the first whitespace token) scored with Jaro-Winkler,
+    kept at similarity ≥ ``threshold`` — the classic entity-resolution
+    block-then-verify plan (census-style name matching), complementing
+    :func:`fuzzy_string_pairs`'s edit-distance tier.
+
+    Scale shape: ONE groupby at blocking-key cardinality (vocabulary-
+    bounded, never O(rows) — the distinct pre-aggregate collapses the
+    value column first); in-bucket O(b²) scoring is the standard
+    blocking trade-off, capped at ``max_bucket`` values per block (a
+    documented skew guard — an oversized block means the blocking key
+    is too coarse, not that the engine should OOM).  Each value carries
+    exactly ONE blocking key, so no cross-bucket pair dedup pass is
+    needed (unlike the SymSpell neighborhood explode).
+
+    The gate compares the UNROUNDED score (matching the SQL twin's
+    WHERE on ``jaro_winkler_similarity`` itself); the emitted ``jw``
+    column is rounded to ``round_to``.
+
+    Output: (a, b, jw:float64), a < b lexicographically.
+    """
+    from ray.data.aggregate import Count
+
+    from pdf_parser_ray.ops.shuffle import grouped_map
+
+    distinct = (
+        ds.select_columns([col]).groupby(col).aggregate(Count(alias_name="_n"))
+    )
+
+    def add_block(df: pd.DataFrame) -> pd.DataFrame:
+        vals = df[col].astype(str)
+        return pd.DataFrame(
+            {"val": vals, "blk": vals.str.split(" ").str[0]}
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        vs = sorted(set(g["val"]))[:max_bucket]
+        a_out: list = []
+        b_out: list = []
+        s_out: list = []
+        for i in range(len(vs)):
+            for j in range(i + 1, len(vs)):
+                s = _jaro_winkler(vs[i], vs[j])
+                if s >= threshold:
+                    a_out.append(vs[i])
+                    b_out.append(vs[j])
+                    s_out.append(round(s, round_to))
+        return pd.DataFrame(
+            {"a": pd.Series(a_out, dtype=str),
+             "b": pd.Series(b_out, dtype=str),
+             "jw": pd.Series(s_out, dtype="float64")}
+        )
+
+    blocked = distinct.map_batches(add_block, batch_format="pandas")
+    return grouped_map(
+        blocked, ["blk"], bucket_pairs, drop_singletons=True,
+        **({"n_parts": n_parts} if n_parts else {}),
+    )
+
+
 def pagerank(
     edges: ray.data.Dataset,
     *,

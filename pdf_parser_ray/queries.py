@@ -8742,3 +8742,31 @@ def _kcenter_sql(k: int, round_to: int = 6) -> str:
 
 
 SQL["embed_coreset"] = _kcenter_sql(_KCENTER_K)
+
+
+def q_name_links(sf_dir: str) -> ray.data.Dataset:
+    """Jaro-Winkler record linkage over distinct part names: first-token
+    blocking then in-block verify at threshold 0.8 — the census-style
+    entity-resolution plan.  The Python JW kernel is bit-identical to
+    DuckDB's ``jaro_winkler_similarity`` (fuzz-verified incl. the
+    empty-vs-empty = 0.0 rule), so the twin shares a round-6 contract
+    on the score and an UNROUNDED threshold gate."""
+    from pdf_parser_ray.ops.dedup import jw_link_pairs
+
+    return jw_link_pairs(
+        _read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"]),
+        "p_name",
+        threshold=0.8,
+    )
+
+
+QUERIES["name_links"] = q_name_links
+
+SQL["name_links"] = """
+    WITH n AS (SELECT DISTINCT p_name FROM part),
+    b AS (SELECT p_name, string_split(p_name, ' ')[1] AS blk FROM n)
+    SELECT a.p_name AS a, c.p_name AS b,
+           round(jaro_winkler_similarity(a.p_name, c.p_name), 6) AS jw
+    FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+    WHERE jaro_winkler_similarity(a.p_name, c.p_name) >= 0.8
+"""

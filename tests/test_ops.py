@@ -3469,3 +3469,59 @@ class TestKmConversion:
         out = km_conversion(ray.data.from_pandas(pd.DataFrame(rows)))
         assert out["survival"].tolist() == [0.0]
         assert out["n_events"].tolist() == [2]
+
+
+class TestJwLinkPairs:
+    def test_kernel_textbook_values(self):
+        from pdf_parser_ray.ops.dedup import _jaro_winkler as jw
+
+        # the canonical Winkler example
+        assert round(jw("martha", "marhta"), 6) == 0.961111
+        assert jw("abc", "abc") == 1.0
+        # DuckDB's empty-vs-empty rule (0.0, not 1.0) is mirrored
+        assert jw("", "") == 0.0
+        assert jw("abc", "") == 0.0
+        assert jw("abc", "xyz") == 0.0
+
+    def test_kernel_matches_duckdb_exactly(self):
+        import random
+        import string
+
+        import duckdb
+
+        from pdf_parser_ray.ops.dedup import _jaro_winkler as jw
+
+        con = duckdb.connect()
+        rng = random.Random(11)
+        alphabet = string.ascii_lowercase + "  "
+        for _ in range(500):
+            a = "".join(rng.choices(alphabet, k=rng.randint(0, 12)))
+            b = "".join(rng.choices(alphabet, k=rng.randint(0, 12)))
+            exp = con.execute(
+                "select jaro_winkler_similarity(?, ?)", [a, b]
+            ).fetchone()[0]
+            assert jw(a, b) == exp, (a, b)
+        con.close()
+
+    def test_blocked_pairs_end_to_end(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import jw_link_pairs
+
+        df = pd.DataFrame(
+            {"name": ["cold widget", "cold widgets", "cold bolt",
+                      "hot widget", "cold widget", "solo thing"]}
+        )
+        out = (
+            jw_link_pairs(ray.data.from_pandas(df), "name", threshold=0.8)
+            .to_pandas()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        # "hot widget" is in a different block despite high similarity;
+        # duplicates collapse via the distinct pre-aggregate.
+        pairs = set(zip(out["a"], out["b"]))
+        assert ("cold widget", "cold widgets") in pairs
+        assert all(a.split(" ")[0] == b.split(" ")[0] for a, b in pairs)
+        assert (out["jw"] >= 0.8).all()
