@@ -1455,3 +1455,258 @@ def grouped_spearman(
         return arrow_out(out)
 
     return sums.map_batches(finalize, batch_format="pandas")
+
+
+def ab_welch_srm(
+    ds: ray.data.Dataset,
+    *,
+    user_col: str = "user_id",
+    val_col: str = "value",
+    round_to: int = 6,
+    n_parts: int | None = None,
+) -> pd.DataFrame:
+    """A/B experiment readout: deterministic 50/50 hash-gate arm
+    assignment per USER, Welch z statistic on per-user spend, and the
+    sample-ratio-mismatch (SRM) chi-square — the standard trio every
+    experimentation platform computes before anyone trusts a lift
+    number.
+
+    Arm = first md5 hex char of the user id < '8' (exactly the repo's
+    split-gate idiom, so the SQL CASE over the same prefix is
+    value-identical).  The unit of analysis is the USER: per-user cent
+    totals come from one ``grouped_sum`` co-location (high-cardinality
+    key, never a low-cardinality map_groups), then per-arm moments
+    (n, Σy, Σy²) reduce to TWO rows.  All sums are exact integers; the
+    final floats are written cast-then-divide (``float(num)/float(den)``)
+    to mirror DuckDB's HUGEINT→DOUBLE conversion order, and round to
+    ``round_to``.
+
+    SRM chi² = (n_a − n_b)²/n (1 dof vs the designed 50/50 split);
+    Welch z = (m_a − m_b)/√(s²_a/n_a + s²_b/n_b) with the unbiased
+    per-arm variance s² = (n·Σy² − (Σy)²)/(n·(n−1)).
+
+    Returns a ONE-row DataFrame (n_a, n_b, sum_a, sum_b:int64 cents,
+    mean_a, mean_b, diff, z, srm_chi2:float64) — driver-sized by
+    construction.
+    """
+    import hashlib
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import grouped_sum
+
+    def per_user_partial(df: pd.DataFrame) -> pa.Table:
+        vc = np.rint(df[val_col].to_numpy(dtype=np.float64) * 100.0).astype(
+            np.int64
+        )
+        g = (
+            pd.DataFrame({user_col: df[user_col], "y": vc})
+            .groupby(user_col, as_index=False)
+            .sum()
+        )
+        return arrow_out(g)
+
+    users = grouped_sum(
+        ds.map_batches(per_user_partial, batch_format="pandas"),
+        [user_col],
+        ["y"],
+        **({"n_parts": n_parts} if n_parts else {}),
+    )
+
+    def arm_moments(df: pd.DataFrame) -> pa.Table:
+        arm = (
+            df[user_col]
+            .map(
+                lambda i: hashlib.md5(str(i).encode("ascii")).hexdigest()[0]
+                < "8"
+            )
+            .map({True: 0, False: 1})
+            .astype("int64")
+        )
+        y = df["y"].to_numpy(dtype=np.int64)
+        g = (
+            pd.DataFrame({"arm": arm, "n": np.int64(1), "s": y, "ss": y * y})
+            .groupby("arm", as_index=False)
+            .sum()
+        )
+        return arrow_out(g)
+
+    from ray.data.aggregate import Sum
+
+    rows = (
+        users.map_batches(arm_moments, batch_format="pandas")
+        .groupby("arm")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("ss", alias_name="ss"),
+        )
+        .to_pandas()  # exactly ≤2 rows — bounded
+        .set_index("arm")
+    )
+    if not {0, 1} <= set(rows.index):
+        return pd.DataFrame(
+            {"n_a": [0], "n_b": [0], "sum_a": [0], "sum_b": [0],
+             "mean_a": [float("nan")], "mean_b": [float("nan")],
+             "diff": [float("nan")], "z": [float("nan")],
+             "srm_chi2": [float("nan")]}
+        )
+    n_a, s_a, ss_a = (int(rows.loc[0, c]) for c in ("n", "s", "ss"))
+    n_b, s_b, ss_b = (int(rows.loc[1, c]) for c in ("n", "s", "ss"))
+    m_a = float(s_a) / float(n_a)
+    m_b = float(s_b) / float(n_b)
+    va = float(n_a * ss_a - s_a * s_a) / float(n_a * (n_a - 1))
+    vb = float(n_b * ss_b - s_b * s_b) / float(n_b * (n_b - 1))
+    diff = m_a - m_b
+    z = diff / np.sqrt(va / float(n_a) + vb / float(n_b))
+    n = n_a + n_b
+    srm = float((n_a - n_b) * (n_a - n_b)) / float(n)
+    return pd.DataFrame(
+        {
+            "n_a": pd.Series([n_a], dtype="int64"),
+            "n_b": pd.Series([n_b], dtype="int64"),
+            "sum_a": pd.Series([s_a], dtype="int64"),
+            "sum_b": pd.Series([s_b], dtype="int64"),
+            "mean_a": [round(m_a, round_to)],
+            "mean_b": [round(m_b, round_to)],
+            "diff": [round(diff, round_to)],
+            "z": [round(float(z), round_to)],
+            "srm_chi2": [round(srm, round_to)],
+        }
+    )
+
+
+def ab_cuped(
+    ds: ray.data.Dataset,
+    *,
+    user_col: str = "user_id",
+    val_col: str = "value",
+    ts_col: str = "ts",
+    round_to: int = 6,
+    n_parts: int | None = None,
+) -> pd.DataFrame:
+    """CUPED variance-reduced A/B readout: the pre-period per-user spend
+    is the control covariate, θ = cov(x, y)/var(x) pooled across arms,
+    adjusted arm means m_y − θ·(m_x − m̄_x) — the industry-standard
+    trick that shrinks experiment confidence intervals without touching
+    the treatment.
+
+    The pre/post boundary is the INTEGER microsecond midpoint of the
+    global ts range ((epoch_us(min)+epoch_us(max))//2, pre = tus ≤ mid)
+    so both engines draw the identical line.  Per-user (x, y) cent
+    totals come from ONE ``grouped_sum`` co-location; per-arm and
+    pooled moments (n, Σx, Σy, Σxy, Σx²) are exact int64 sums reduced
+    to two rows.  θ and the adjusted means are cast-then-divide floats
+    in twin-identical operand order, round-``round_to``.
+
+    Returns ONE row: (n_a, n_b:int64, theta, adj_mean_a, adj_mean_b,
+    diff_adj, diff_raw:float64).
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import grouped_sum
+
+    bounds = ds.aggregate(Min(ts_col), Max(ts_col))
+    lo = pd.Timestamp(bounds[f"min({ts_col})"]).to_datetime64().astype(
+        "datetime64[us]"
+    ).astype("int64")
+    hi = pd.Timestamp(bounds[f"max({ts_col})"]).to_datetime64().astype(
+        "datetime64[us]"
+    ).astype("int64")
+    mid = (int(lo) + int(hi)) // 2
+
+    def per_user_partial(df: pd.DataFrame) -> pa.Table:
+        vc = np.rint(df[val_col].to_numpy(dtype=np.float64) * 100.0).astype(
+            np.int64
+        )
+        tus = df[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        pre = tus <= mid
+        g = (
+            pd.DataFrame(
+                {user_col: df[user_col],
+                 "x": np.where(pre, vc, 0),
+                 "y": np.where(pre, 0, vc)}
+            )
+            .groupby(user_col, as_index=False)
+            .sum()
+        )
+        return arrow_out(g)
+
+    users = grouped_sum(
+        ds.map_batches(per_user_partial, batch_format="pandas"),
+        [user_col],
+        ["x", "y"],
+        **({"n_parts": n_parts} if n_parts else {}),
+    )
+
+    def arm_moments(df: pd.DataFrame) -> pa.Table:
+        import hashlib
+
+        arm = (
+            df[user_col]
+            .map(
+                lambda i: hashlib.md5(str(i).encode("ascii")).hexdigest()[0]
+                < "8"
+            )
+            .map({True: 0, False: 1})
+            .astype("int64")
+        )
+        x = df["x"].to_numpy(dtype=np.int64)
+        y = df["y"].to_numpy(dtype=np.int64)
+        g = (
+            pd.DataFrame(
+                {"arm": arm, "n": np.int64(1), "sx": x, "sy": y,
+                 "sxy": x * y, "sxx": x * x}
+            )
+            .groupby("arm", as_index=False)
+            .sum()
+        )
+        return arrow_out(g)
+
+    rows = (
+        users.map_batches(arm_moments, batch_format="pandas")
+        .groupby("arm")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+        )
+        .to_pandas()  # ≤2 rows — bounded
+        .set_index("arm")
+    )
+    nan_row = pd.DataFrame(
+        {"n_a": [0], "n_b": [0], "theta": [float("nan")],
+         "adj_mean_a": [float("nan")], "adj_mean_b": [float("nan")],
+         "diff_adj": [float("nan")], "diff_raw": [float("nan")]}
+    )
+    if not {0, 1} <= set(rows.index):
+        return nan_row
+    a = {c: int(rows.loc[0, c]) for c in ("n", "sx", "sy", "sxy", "sxx")}
+    b = {c: int(rows.loc[1, c]) for c in ("n", "sx", "sy", "sxy", "sxx")}
+    n = a["n"] + b["n"]
+    sx, sy = a["sx"] + b["sx"], a["sy"] + b["sy"]
+    sxy, sxx = a["sxy"] + b["sxy"], a["sxx"] + b["sxx"]
+    den = n * sxx - sx * sx
+    if den == 0:
+        return nan_row
+    theta = float(n * sxy - sx * sy) / float(den)
+    mx_pool = float(sx) / float(n)
+    m_ya = float(a["sy"]) / float(a["n"])
+    m_yb = float(b["sy"]) / float(b["n"])
+    m_xa = float(a["sx"]) / float(a["n"])
+    m_xb = float(b["sx"]) / float(b["n"])
+    adj_a = m_ya - theta * (m_xa - mx_pool)
+    adj_b = m_yb - theta * (m_xb - mx_pool)
+    return pd.DataFrame(
+        {
+            "n_a": pd.Series([a["n"]], dtype="int64"),
+            "n_b": pd.Series([b["n"]], dtype="int64"),
+            "theta": [round(theta, round_to)],
+            "adj_mean_a": [round(adj_a, round_to)],
+            "adj_mean_b": [round(adj_b, round_to)],
+            "diff_adj": [round(adj_a - adj_b, round_to)],
+            "diff_raw": [round(m_ya - m_yb, round_to)],
+        }
+    )

@@ -8770,3 +8770,114 @@ SQL["name_links"] = """
     FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
     WHERE jaro_winkler_similarity(a.p_name, c.p_name) >= 0.8
 """
+
+
+def q_ab_experiment(sf_dir: str) -> pd.DataFrame:
+    """A/B readout over events: md5 hash-gate arms per user, Welch z on
+    per-user cent totals, SRM chi-square.  Exact integer moments until
+    the final divisions; every float is written cast-then-divide in the
+    SAME operand order as the twin, round-6."""
+    from pdf_parser_ray.ops.profile import ab_welch_srm
+
+    return ab_welch_srm(
+        _read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    )
+
+
+QUERIES["ab_experiment"] = q_ab_experiment
+
+SQL["ab_experiment"] = """
+    WITH u AS (
+      SELECT user_id, sum(CAST(round(value * 100) AS BIGINT)) AS y
+      FROM events GROUP BY user_id),
+    m AS (
+      SELECT CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) < '8'
+                  THEN 0 ELSE 1 END AS arm,
+             count(*)::BIGINT AS n,
+             CAST(sum(y) AS BIGINT) AS s,
+             sum(y::HUGEINT * y) AS ss
+      FROM u GROUP BY arm)
+    SELECT a.n AS n_a, b.n AS n_b,
+           a.s AS sum_a, b.s AS sum_b,
+           round(a.s::DOUBLE / a.n::DOUBLE, 6) AS mean_a,
+           round(b.s::DOUBLE / b.n::DOUBLE, 6) AS mean_b,
+           round(a.s::DOUBLE / a.n::DOUBLE - b.s::DOUBLE / b.n::DOUBLE, 6)
+             AS diff,
+           round((a.s::DOUBLE / a.n::DOUBLE - b.s::DOUBLE / b.n::DOUBLE)
+                 / sqrt(((a.n::HUGEINT * a.ss - a.s::HUGEINT * a.s)::DOUBLE
+                         / (a.n * (a.n - 1))::DOUBLE) / a.n::DOUBLE
+                      + ((b.n::HUGEINT * b.ss - b.s::HUGEINT * b.s)::DOUBLE
+                         / (b.n * (b.n - 1))::DOUBLE) / b.n::DOUBLE), 6)
+             AS z,
+           round(((a.n - b.n)::HUGEINT * (a.n - b.n))::DOUBLE
+                 / (a.n + b.n)::DOUBLE, 6) AS srm_chi2
+    FROM m a JOIN m b ON a.arm = 0 AND b.arm = 1
+"""
+
+
+def q_ab_cuped(sf_dir: str) -> pd.DataFrame:
+    """CUPED variance-reduced A/B readout: pre-period per-user spend as
+    the covariate (integer-µs midpoint boundary), pooled θ, adjusted
+    arm means.  Exact int moments; the float tree (θ, means, adjust)
+    is operand-order-identical to the twin, round-6."""
+    from pdf_parser_ray.ops.profile import ab_cuped
+
+    return ab_cuped(
+        _read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "value", "ts"]
+        )
+    )
+
+
+QUERIES["ab_cuped"] = q_ab_cuped
+
+SQL["ab_cuped"] = """
+    WITH bnd AS (
+      SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid
+      FROM events),
+    u AS (
+      SELECT user_id,
+             sum(CASE WHEN epoch_us(ts) <= (SELECT mid FROM bnd)
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      ELSE 0 END) AS x,
+             sum(CASE WHEN epoch_us(ts) <= (SELECT mid FROM bnd)
+                      THEN 0
+                      ELSE CAST(round(value * 100) AS BIGINT) END) AS y
+      FROM events GROUP BY user_id),
+    m AS (
+      SELECT CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) < '8'
+                  THEN 0 ELSE 1 END AS arm,
+             count(*)::BIGINT AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             sum(x::HUGEINT * y) AS sxy,
+             sum(x::HUGEINT * x) AS sxx
+      FROM u GROUP BY arm),
+    p AS (
+      SELECT sum(n)::BIGINT AS n,
+             CAST(sum(sx) AS BIGINT) AS sx,
+             CAST(sum(sy) AS BIGINT) AS sy,
+             sum(sxy) AS sxy, sum(sxx) AS sxx
+      FROM m),
+    t AS (
+      SELECT (n::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE
+             / (n::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE AS th,
+             sx::DOUBLE / n::DOUBLE AS mxp
+      FROM p)
+    SELECT a.n AS n_a, b.n AS n_b,
+           round(t.th, 6) AS theta,
+           round(a.sy::DOUBLE / a.n::DOUBLE
+                 - t.th * (a.sx::DOUBLE / a.n::DOUBLE - t.mxp), 6)
+             AS adj_mean_a,
+           round(b.sy::DOUBLE / b.n::DOUBLE
+                 - t.th * (b.sx::DOUBLE / b.n::DOUBLE - t.mxp), 6)
+             AS adj_mean_b,
+           round((a.sy::DOUBLE / a.n::DOUBLE
+                  - t.th * (a.sx::DOUBLE / a.n::DOUBLE - t.mxp))
+                 - (b.sy::DOUBLE / b.n::DOUBLE
+                    - t.th * (b.sx::DOUBLE / b.n::DOUBLE - t.mxp)), 6)
+             AS diff_adj,
+           round(a.sy::DOUBLE / a.n::DOUBLE - b.sy::DOUBLE / b.n::DOUBLE, 6)
+             AS diff_raw
+    FROM m a JOIN m b ON a.arm = 0 AND b.arm = 1, t
+"""

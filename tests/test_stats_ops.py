@@ -758,3 +758,60 @@ class TestHitsBipartite:
         edges = pd.DataFrame({"c": [1, 1, 1], "s": [10, 10, 20]})
         out = hits_bipartite(_ds(edges)).set_index(["kind", "node"])["score"]
         assert out.loc[("auth", 10)] > out.loc[("auth", 20)]
+
+
+class TestAbExperiment:
+    @staticmethod
+    def _arm(uid) -> int:
+        import hashlib
+
+        return 0 if hashlib.md5(str(uid).encode("ascii")).hexdigest()[0] < "8" else 1
+
+    def test_welch_matches_numpy(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from pdf_parser_ray.ops.profile import ab_welch_srm
+
+        rng = np.random.default_rng(3)
+        rows = []
+        for uid in range(1, 101):
+            for _ in range(rng.integers(1, 5)):
+                rows.append({"user_id": uid, "value": float(rng.integers(1, 500)) / 1.0})
+        df = pd.DataFrame(rows)
+        out = ab_welch_srm(ray.data.from_pandas(df))
+        per_user = df.assign(c=(df["value"] * 100).round().astype("int64"))
+        totals = per_user.groupby("user_id")["c"].sum()
+        arms = totals.index.map(self._arm)
+        ya = totals[arms == 0].to_numpy()
+        yb = totals[arms == 1].to_numpy()
+        assert out["n_a"][0] == len(ya) and out["n_b"][0] == len(yb)
+        z_exp = (ya.mean() - yb.mean()) / np.sqrt(
+            ya.var(ddof=1) / len(ya) + yb.var(ddof=1) / len(yb)
+        )
+        assert abs(out["z"][0] - z_exp) < 1e-6
+        n = len(ya) + len(yb)
+        assert abs(out["srm_chi2"][0] - (len(ya) - len(yb)) ** 2 / n) < 1e-9
+
+    def test_cuped_kills_pre_period_noise(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from pdf_parser_ray.ops.profile import ab_cuped
+
+        # y perfectly proportional to x per user → adjusted diff ≈ 0
+        # even when raw arm means differ by luck of the hash split.
+        rng = np.random.default_rng(5)
+        t0 = pd.Timestamp("2024-01-01")
+        t1 = pd.Timestamp("2024-02-01")  # post-period (mid falls between)
+        rows = []
+        for uid in range(1, 81):
+            base = float(rng.integers(10, 1000))
+            rows.append({"user_id": uid, "value": base, "ts": t0})
+            rows.append({"user_id": uid, "value": 2.0 * base, "ts": t1})
+        out = ab_cuped(ray.data.from_pandas(pd.DataFrame(rows)))
+        assert abs(out["theta"][0] - 2.0) < 1e-9
+        assert abs(out["diff_adj"][0]) < 1e-6
+        assert out["n_a"][0] + out["n_b"][0] == 80
