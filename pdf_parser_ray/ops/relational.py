@@ -2640,3 +2640,91 @@ def skyline(
     return local.repartition(1).map_batches(
         front, batch_format="pandas", batch_size=None
     )
+
+
+def zone_map_stats(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    *,
+    bucket_width: int = 1024,
+    prune_lo: "pd.Timestamp | str | None" = None,
+    prune_hi: "pd.Timestamp | str | None" = None,
+) -> ray.data.Dataset:
+    """Zone maps (data-skipping min/max statistics) per key-range
+    bucket — the planner-side table behind Parquet row-group pruning:
+    at 100 TB a date-range scan consults THIS (bucket-count-sized)
+    table and never opens the pruned buckets.  ``read_parquet`` row
+    filters do the same at the storage layer; this op materializes the
+    stats so ad-hoc predicates can be costed before a scan.
+
+    Plan: per-batch (bucket, n, min, max) partials on int64 µs (no
+    timestamp comparisons cross the shuffle) → ONE groupby at bucket
+    cardinality (keyspace/width-bounded, never O(rows)) → row-local
+    finalize restores timestamps and flags ``prunable`` for the
+    [prune_lo, prune_hi) predicate (1 = the whole bucket misses the
+    range and a scan may skip it).
+
+    Output: (bucket:int64, n_rows:int64, lo, hi:datetime64[us],
+    prunable:int64).
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    from pdf_parser_ray.io_utils import arrow_out
+
+    lo_us = (
+        None if prune_lo is None
+        else int(pd.Timestamp(prune_lo).value // 1000)
+    )
+    hi_us = (
+        None if prune_hi is None
+        else int(pd.Timestamp(prune_hi).value // 1000)
+    )
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        tus = df[ts_col].astype("datetime64[us]").astype("int64")
+        g = (
+            pd.DataFrame(
+                {
+                    "bucket": df[key_col].to_numpy(dtype=np.int64)
+                    // bucket_width,
+                    "n": np.int64(1),
+                    "lo_us": tus,
+                    "hi_us": tus,
+                }
+            )
+            .groupby("bucket", as_index=False)
+            .agg(n=("n", "sum"), lo_us=("lo_us", "min"), hi_us=("hi_us", "max"))
+        )
+        return arrow_out(g)
+
+    stats = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(
+            Sum("n", alias_name="n_rows"),
+            Min("lo_us", alias_name="lo_us"),
+            Max("hi_us", alias_name="hi_us"),
+        )
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        lo = df["lo_us"].astype("int64")
+        hi = df["hi_us"].astype("int64")
+        if lo_us is None or hi_us is None:
+            prunable = np.zeros(len(df), dtype=np.int64)
+        else:
+            prunable = ((hi < lo_us) | (lo >= hi_us)).to_numpy().astype(
+                np.int64
+            )
+        return pd.DataFrame(
+            {
+                "bucket": df["bucket"].astype("int64"),
+                "n_rows": df["n_rows"].astype("int64"),
+                "lo": lo.astype("datetime64[us]"),
+                "hi": hi.astype("datetime64[us]"),
+                "prunable": prunable,
+            }
+        )
+
+    return stats.map_batches(finalize, batch_format="pandas")

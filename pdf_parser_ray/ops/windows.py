@@ -2534,3 +2534,89 @@ def km_conversion(
             "survival": surv,
         }
     )
+
+
+def ewma_daily(
+    ds: "ray.data.Dataset",
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    window_days: int = 16,
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """Truncated-window EWMA (α = 1/2) of daily cent totals per key —
+    the smoothed daily-volume trend line every ops dashboard draws,
+    with the decay expressed in EXACT integers: lag-k weight =
+    2^(window−1−k), normalized over the days actually present, so both
+    engines sum the same powers of two and the single division is the
+    only float.
+
+    Plan: per-batch (key, day, cents) partials → ONE bounded groupby
+    (|keys| × |days| rows — bounded by the calendar, never O(rows)) →
+    the windowed weighted sum runs vectorized on the driver over that
+    tiny table (house rank_auc pattern).  Weight sums use Python ints
+    (the SQL twin shifts HUGEINTs), so no overflow at any corpus scale;
+    a day with no rows contributes neither numerator nor denominator.
+
+    Output: (key_col, day:datetime64[us], ewma:float64) — one row per
+    observed (key, day).
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.io_utils import arrow_out
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        cents = np.rint(df[val_col].to_numpy(dtype=np.float64) * 100.0).astype(
+            np.int64
+        )
+        # int64 day index through the shuffle (no timestamp key — Ray's
+        # sort boundary re-encodes datetime keys with a noisy precision
+        # warning; ints are also cheaper to compare)
+        day_idx = (
+            df[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+            // 86_400_000_000
+        )
+        g = (
+            pd.DataFrame({key_col: df[key_col], "day_idx": day_idx, "c": cents})
+            .groupby([key_col, "day_idx"], as_index=False)
+            .sum()
+        )
+        return arrow_out(g)
+
+    daily = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby([key_col, "day_idx"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # |keys|×|days| — calendar-bounded
+        .sort_values([key_col, "day_idx"])
+        .reset_index(drop=True)
+    )
+    daily["day"] = (daily["day_idx"].astype("int64") * 86_400_000_000).astype(
+        "datetime64[us]"
+    )
+    top = window_days - 1
+    out_key: list = []
+    out_day: list = []
+    out_val: list = []
+    for key, g in daily.groupby(key_col, sort=True):
+        days = g["day_idx"].to_numpy(dtype=np.int64)
+        cents = [int(v) for v in g["c"]]
+        for i in range(len(days)):
+            num = 0
+            den = 0
+            j = i
+            while j >= 0 and days[i] - days[j] <= top:
+                w = 1 << (top - int(days[i] - days[j]))
+                num += cents[j] * w
+                den += w
+                j -= 1
+            out_key.append(key)
+            out_day.append(g["day"].iloc[i])
+            out_val.append(round(float(num) / float(den), round_to))
+    return pd.DataFrame(
+        {key_col: pd.Series(out_key, dtype=str),
+         "day": pd.Series(out_day, dtype="datetime64[us]"),
+         "ewma": pd.Series(out_val, dtype="float64")}
+    )

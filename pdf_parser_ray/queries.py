@@ -8881,3 +8881,71 @@ SQL["ab_cuped"] = """
              AS diff_raw
     FROM m a JOIN m b ON a.arm = 0 AND b.arm = 1, t
 """
+
+
+def q_value_ewma(sf_dir: str) -> pd.DataFrame:
+    """Truncated-window EWMA (α=1/2, 16-day memory) of daily cent
+    totals per event type — exact power-of-two integer weights over
+    present days; ONE float division per output row, round-6."""
+    from pdf_parser_ray.ops.windows import ewma_daily
+
+    return ewma_daily(
+        _read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_type", "ts", "value"],
+        )
+    )
+
+
+QUERIES["value_ewma"] = q_value_ewma
+
+SQL["value_ewma"] = """
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+      FROM events GROUP BY event_type, date_trunc('day', ts))
+    SELECT a.event_type, a.day,
+           round(
+             sum(b.c::HUGEINT << (15 - date_diff('day', b.day, a.day)))::DOUBLE
+             / sum(1::HUGEINT << (15 - date_diff('day', b.day, a.day)))::DOUBLE,
+             6) AS ewma
+    FROM d a JOIN d b
+      ON b.event_type = a.event_type
+     AND b.day <= a.day
+     AND date_diff('day', b.day, a.day) <= 15
+    GROUP BY a.event_type, a.day
+"""
+
+
+def q_zone_map_prune(sf_dir: str) -> ray.data.Dataset:
+    """Zone-map table over orders (o_orderkey//1024 buckets, min/max
+    o_orderdate) + prunable flag for a calendar-1995 scan — the
+    data-skipping statistic a 100-TB range query consults instead of
+    opening every bucket."""
+    from pdf_parser_ray.ops.relational import zone_map_stats
+
+    return zone_map_stats(
+        _read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+        ),
+        "o_orderkey",
+        "o_orderdate",
+        bucket_width=1024,
+        prune_lo="1995-01-01",
+        prune_hi="1996-01-01",
+    )
+
+
+QUERIES["zone_map_prune"] = q_zone_map_prune
+
+SQL["zone_map_prune"] = """
+    WITH z AS (
+      SELECT o_orderkey // 1024 AS bucket, count(*)::BIGINT AS n_rows,
+             min(o_orderdate) AS lo, max(o_orderdate) AS hi
+      FROM orders GROUP BY o_orderkey // 1024)
+    SELECT bucket, n_rows, lo, hi,
+           (CASE WHEN hi < TIMESTAMP '1995-01-01'
+                   OR lo >= TIMESTAMP '1996-01-01'
+                 THEN 1 ELSE 0 END)::BIGINT AS prunable
+    FROM z
+"""

@@ -3525,3 +3525,75 @@ class TestJwLinkPairs:
         assert ("cold widget", "cold widgets") in pairs
         assert all(a.split(" ")[0] == b.split(" ")[0] for a, b in pairs)
         assert (out["jw"] >= 0.8).all()
+
+
+class TestEwmaDaily:
+    def test_hand_weights(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import ewma_daily
+
+        rows = [
+            {"event_type": "view", "ts": pd.Timestamp("2024-01-01"), "value": 1.0},
+            {"event_type": "view", "ts": pd.Timestamp("2024-01-02"), "value": 3.0},
+            # day 3 absent, day 4 present — absent day joins neither sum
+            {"event_type": "view", "ts": pd.Timestamp("2024-01-04"), "value": 5.0},
+        ]
+        out = ewma_daily(ray.data.from_pandas(pd.DataFrame(rows)))
+        out = out.sort_values("day").reset_index(drop=True)
+        # day1: 100
+        # day2: (100·2^14 + 300·2^15)/(2^14+2^15) = 700/3
+        # day4: (100·2^12 + 300·2^13 + 500·2^15)/(2^12+2^13+2^15)
+        assert out["ewma"][0] == 100.0
+        assert abs(out["ewma"][1] - 700.0 / 3.0) < 1e-6
+        w1, w2, w4 = 1 << 12, 1 << 13, 1 << 15
+        exp = (100 * w1 + 300 * w2 + 500 * w4) / (w1 + w2 + w4)
+        assert abs(out["ewma"][2] - exp) < 1e-6
+
+    def test_window_truncates(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import ewma_daily
+
+        rows = [
+            {"event_type": "x", "ts": pd.Timestamp("2024-01-01"), "value": 999.0},
+            {"event_type": "x", "ts": pd.Timestamp("2024-03-01"), "value": 7.0},
+        ]
+        out = ewma_daily(ray.data.from_pandas(pd.DataFrame(rows)))
+        late = out.sort_values("day").iloc[-1]
+        assert late["ewma"] == 700.0  # the 60-day-old spike is outside the window
+
+
+class TestZoneMapStats:
+    def test_min_max_and_prune_flags(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from pdf_parser_ray.ops.relational import zone_map_stats
+
+        df = pd.DataFrame(
+            {
+                "k": [0, 1, 2, 1024, 1025, 2048],
+                "ts": pd.to_datetime(
+                    ["1994-06-01", "1994-07-01", "1994-08-01",
+                     "1995-03-01", "1995-04-01", "1997-01-01"]
+                ),
+            }
+        )
+        out = (
+            zone_map_stats(
+                ray.data.from_pandas(df), "k", "ts",
+                bucket_width=1024,
+                prune_lo="1995-01-01", prune_hi="1996-01-01",
+            )
+            .to_pandas()
+            .sort_values("bucket")
+            .reset_index(drop=True)
+        )
+        assert out["bucket"].tolist() == [0, 1, 2]
+        assert out["n_rows"].tolist() == [3, 2, 1]
+        assert out["prunable"].tolist() == [1, 0, 1]
+        assert out.loc[0, "lo"] == pd.Timestamp("1994-06-01")
+        assert out.loc[0, "hi"] == pd.Timestamp("1994-08-01")
