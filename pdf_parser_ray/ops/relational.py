@@ -2728,3 +2728,78 @@ def zone_map_stats(
         )
 
     return stats.map_batches(finalize, batch_format="pandas")
+
+
+def zorder_layout(
+    ds: ray.data.Dataset,
+    x_col: str,
+    y_col: str,
+    *,
+    x_width: int = 64,
+    y_width: int = 16,
+    bits: int = 8,
+    cell_shift: int = 8,
+) -> ray.data.Dataset:
+    """Z-order (Morton-curve) layout statistics over two scan dimensions
+    — the multi-dimensional clustering a 100-TB table needs so that
+    BOTH ``WHERE x BETWEEN``- and ``WHERE y BETWEEN``-shaped scans
+    prune well: sort by the bit-interleaved key and every file covers a
+    compact rectangle in (x, y), which single-column sorting cannot do.
+
+    Each row's cell = (x//x_width, y//y_width) masked to ``bits`` bits;
+    z = bit interleave (x odd positions, y even); bucket = z >>
+    ``cell_shift`` (the would-be output file).  The op reports, per
+    bucket, the row count and the min/max of both dimensions — the
+    zone-map rectangle a planner would consult.  All integer ops, so
+    the SQL twin spells the identical shift/mask tree.
+
+    Plan: row-local vectorized z computation → ONE groupby at bucket
+    cardinality (≤ 2^(2·bits−cell_shift), never O(rows)).
+
+    Output: (zbucket:int64, n_rows:int64, x_lo, x_hi, y_lo, y_hi:int64).
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    from pdf_parser_ray.io_utils import arrow_out
+
+    mask = (1 << bits) - 1
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        x = df[x_col].to_numpy(dtype=np.int64)
+        y = df[y_col].to_numpy(dtype=np.int64)
+        xb = (x // x_width) & mask
+        yb = (y // y_width) & mask
+        z = np.zeros(len(x), dtype=np.int64)
+        for i in range(bits):
+            z |= ((xb >> i) & 1) << (2 * i + 1)
+            z |= ((yb >> i) & 1) << (2 * i)
+        g = (
+            pd.DataFrame(
+                {"zbucket": z >> cell_shift, "n": np.int64(1),
+                 "x_lo": x, "x_hi": x, "y_lo": y, "y_hi": y}
+            )
+            .groupby("zbucket", as_index=False)
+            .agg(n=("n", "sum"), x_lo=("x_lo", "min"), x_hi=("x_hi", "max"),
+                 y_lo=("y_lo", "min"), y_hi=("y_hi", "max"))
+        )
+        return arrow_out(g)
+
+    stats = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("zbucket")
+        .aggregate(
+            Sum("n", alias_name="n_rows"),
+            Min("x_lo", alias_name="x_lo"),
+            Max("x_hi", alias_name="x_hi"),
+            Min("y_lo", alias_name="y_lo"),
+            Max("y_hi", alias_name="y_hi"),
+        )
+    )
+
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {c: df[c].astype("int64")
+             for c in ("zbucket", "n_rows", "x_lo", "x_hi", "y_lo", "y_hi")}
+        )
+
+    return stats.map_batches(cast, batch_format="pandas")

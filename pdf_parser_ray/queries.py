@@ -8949,3 +8949,119 @@ SQL["zone_map_prune"] = """
                  THEN 1 ELSE 0 END)::BIGINT AS prunable
     FROM z
 """
+
+
+_Z_BITS, _Z_SHIFT, _ZX_W, _ZY_W = 8, 8, 64, 16
+
+
+def q_zorder_layout(sf_dir: str) -> ray.data.Dataset:
+    """Z-order clustering stats over orders on (o_custkey, order day):
+    Morton-interleaved bucket → per-bucket rectangle + row count — the
+    layout that makes BOTH customer-range and date-range scans prune.
+    Day dimension is days since 1992-01-01 (fixed base, both engines)."""
+    from pdf_parser_ray.ops.relational import zorder_layout
+
+    base_day = int(
+        pd.Timestamp("1992-01-01").value // 1000 // 86_400_000_000
+    )
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "x": df["o_custkey"].astype("int64"),
+                "y": df["o_orderdate"]
+                .astype("datetime64[us]")
+                .astype("int64")
+                // 86_400_000_000
+                - base_day,
+            }
+        )
+
+    ds = _read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(derive, batch_format="pandas")
+    return zorder_layout(
+        ds, "x", "y",
+        x_width=_ZX_W, y_width=_ZY_W, bits=_Z_BITS, cell_shift=_Z_SHIFT,
+    )
+
+
+QUERIES["zorder_layout"] = q_zorder_layout
+
+
+def _zorder_sql(bits: int, shift: int, xw: int, yw: int) -> str:
+    """Spell the identical interleave tree the numpy kernel runs."""
+    mask = (1 << bits) - 1
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((xb >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"(((yb >> {i}) & 1) << {2 * i})")
+    z_expr = " | ".join(terms)
+    return f"""
+    WITH r AS (
+      SELECT o_custkey AS x,
+             date_diff('day', DATE '1992-01-01', o_orderdate)::BIGINT AS y
+      FROM orders),
+    c AS (
+      SELECT x, y, ((x // {xw}) & {mask}) AS xb, ((y // {yw}) & {mask}) AS yb
+      FROM r),
+    z AS (
+      SELECT x, y, (({z_expr}) >> {shift}) AS zbucket FROM c)
+    SELECT zbucket, count(*)::BIGINT AS n_rows,
+           min(x)::BIGINT AS x_lo, max(x)::BIGINT AS x_hi,
+           min(y)::BIGINT AS y_lo, max(y)::BIGINT AS y_hi
+    FROM z GROUP BY zbucket
+"""
+
+
+SQL["zorder_layout"] = _zorder_sql(_Z_BITS, _Z_SHIFT, _ZX_W, _ZY_W)
+
+
+def q_equidepth_hist(sf_dir: str) -> ray.data.Dataset:
+    """Equi-DEPTH histogram of event values (10 tiles): bucket
+    boundaries carry equal row mass — the planner statistic that stays
+    informative under skew where the equi-width q:event_histogram
+    flattens.  Composes the exact ntile from global_value_ranks (no
+    global sort) with one 10-group min/max/count rollup."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from pdf_parser_ray.ops.quantiles import global_value_ranks
+
+    ranks = global_value_ranks(
+        _read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+        ),
+        "value", "event_id", bucket_width=1.0, n_tiles=10,
+    )
+    out = (
+        ranks.select_columns(["tile", "value"])
+        .groupby("tile")
+        .aggregate(
+            Count(alias_name="n"),
+            Min("value", alias_name="lo"),
+            Max("value", alias_name="hi"),
+        )
+    )
+
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"tile": df["tile"].astype("int64"),
+             "n": df["n"].astype("int64"),
+             "lo": df["lo"].astype("float64"),
+             "hi": df["hi"].astype("float64")}
+        )
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+QUERIES["equidepth_hist"] = q_equidepth_hist
+
+SQL["equidepth_hist"] = """
+    WITH r AS (
+      SELECT value,
+             CAST(ntile(10) OVER (ORDER BY value, event_id) AS BIGINT)
+               AS tile
+      FROM events)
+    SELECT tile, count(*)::BIGINT AS n, min(value) AS lo, max(value) AS hi
+    FROM r GROUP BY tile
+"""

@@ -3597,3 +3597,44 @@ class TestZoneMapStats:
         assert out["prunable"].tolist() == [1, 0, 1]
         assert out.loc[0, "lo"] == pd.Timestamp("1994-06-01")
         assert out.loc[0, "hi"] == pd.Timestamp("1994-08-01")
+
+
+class TestZorderLayout:
+    def test_morton_rectangles(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from pdf_parser_ray.ops.relational import zorder_layout
+
+        # bits=2, cell_shift=0, widths=1 → z is the plain 2-bit interleave:
+        # (x=1,y=0) → z=0b10=2 ; (x=0,y=1) → z=1 ; (x=3,y=3) → z=0b1111=15.
+        df = pd.DataFrame({"x": [1, 0, 3, 1], "y": [0, 1, 3, 0]})
+        out = (
+            zorder_layout(
+                ray.data.from_pandas(df), "x", "y",
+                x_width=1, y_width=1, bits=2, cell_shift=0,
+            )
+            .to_pandas()
+            .sort_values("zbucket")
+            .reset_index(drop=True)
+        )
+        assert out["zbucket"].tolist() == [1, 2, 15]
+        assert out["n_rows"].tolist() == [1, 2, 1]
+        # every bucket's rectangle is tight around its members
+        row = out[out["zbucket"] == 2].iloc[0]
+        assert (row["x_lo"], row["x_hi"], row["y_lo"], row["y_hi"]) == (1, 1, 0, 0)
+
+    def test_cell_shift_coarsens(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from pdf_parser_ray.ops.relational import zorder_layout
+
+        df = pd.DataFrame({"x": list(range(16)), "y": [0] * 16})
+        out = zorder_layout(
+            ray.data.from_pandas(df), "x", "y",
+            x_width=1, y_width=1, bits=4, cell_shift=4,
+        ).to_pandas()
+        # shifting 4 bits off an 8-bit z key leaves ≤2^4 buckets
+        assert len(out) <= 16
+        assert int(out["n_rows"].sum()) == 16
