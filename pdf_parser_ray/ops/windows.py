@@ -2620,3 +2620,168 @@ def ewma_daily(
          "day": pd.Series(out_day, dtype="datetime64[us]"),
          "ewma": pd.Series(out_val, dtype="float64")}
     )
+
+
+def gapfill_daily(
+    ds: "ray.data.Dataset",
+    *,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> pd.DataFrame:
+    """Dense calendar gap-fill: per (type, day) event counts + exact
+    cent totals densified over the GLOBAL [min_day, max_day] range —
+    days where a type logged nothing appear explicitly with zeros, the
+    shape every downstream time-series consumer (EWMA, changepoint,
+    forecasting) needs so that silence reads as 0, not as a missing
+    row.
+
+    Plan: per-batch partial (type, day) rollup → ONE groupby at
+    (types × days) cardinality — never O(events) through the shuffle —
+    → driver-side densify of the bounded calendar grid (the result is
+    types × days rows by construction, driver-sized at any corpus
+    scale).  Day keys cross the shuffle as int64 days-since-epoch.
+
+    Returns a driver-sized frame
+    (event_type, day:datetime64, n_events:int64, cents:int64).
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.io_utils import arrow_out
+
+    def partial(df: pd.DataFrame):
+        day = (
+            df[ts_col].to_numpy("datetime64[us]").astype("int64")
+            // 86_400_000_000
+        )
+        cents = np.rint(df[value_col].to_numpy() * 100).astype("int64")
+        g = (
+            pd.DataFrame(
+                {type_col: df[type_col].to_numpy(), "day": day,
+                 "n": np.int64(1), "cents": cents}
+            )
+            .groupby([type_col, "day"], as_index=False)
+            .agg(n=("n", "sum"), cents=("cents", "sum"))
+        )
+        return arrow_out(g)
+
+    agg = (
+        ds.select_columns([type_col, ts_col, value_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby([type_col, "day"])
+        .aggregate(
+            Sum("n", alias_name="n_events"),
+            Sum("cents", alias_name="cents"),
+        )
+        .to_pandas()  # bounded: types × days rows
+    )
+    days = pd.RangeIndex(agg["day"].min(), agg["day"].max() + 1)
+    types = sorted(agg[type_col].unique())
+    grid = pd.MultiIndex.from_product(
+        [types, days], names=[type_col, "day"]
+    ).to_frame(index=False)
+    out = grid.merge(agg, on=[type_col, "day"], how="left")
+    out["n_events"] = out["n_events"].fillna(0).astype("int64")
+    out["cents"] = out["cents"].fillna(0).astype("int64")
+    out["day"] = pd.to_datetime(
+        out["day"].astype("int64") * 86_400_000_000, unit="us"
+    )
+    return out.sort_values([type_col, "day"]).reset_index(drop=True)
+
+
+def decay_attribution(
+    ds: "ray.data.Dataset",
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    from_type: str = "view",
+    to_type: str = "purchase",
+    bucket_s: int = 900,
+    n_buckets: int = 4,
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Time-decay attribution: every ``to_type`` event's cent value is
+    credited to each preceding ``from_type`` touchpoint of the same
+    user with weight 2^-(lag bucket) — the multi-touch attribution
+    model (half-life = ``bucket_s``) behind marketing/readout
+    pipelines.  Weights are exact dyadic rationals: bucket
+    s = lag_us // (bucket_s·10⁶) ∈ [0, n_buckets) gets numerator
+    ``(1 << (n_buckets-1)) >> s`` over the fixed denominator
+    2^(n_buckets-1), so the whole credit is ONE int64 and the DuckDB
+    twin replays it bit-for-bit (no float anywhere).
+
+    Pairs never materialize: one user co-location; per user the sorted
+    to-stream answers all from-rows via ``np.searchsorted`` window
+    bounds per bucket, and a prefix sum over to-cents turns "sum of
+    credited cents in my bucket" into two subtractions — O(n log n)
+    per partition with ``n_buckets`` passes, zero pair explosion.
+
+    Output: (user_col, n_pairs:int64, credit_num:int64) for users with
+    ≥1 attributed pair; credit_cents = credit_num / 2^(n_buckets-1).
+    """
+    import numpy as np
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    b_us = np.int64(bucket_s) * np.int64(1_000_000)
+    top = 1 << (n_buckets - 1)
+
+    def prune(df: pd.DataFrame):
+        keep = df[df[type_col].isin([from_type, to_type])]
+        is_to = (keep[type_col] == to_type).to_numpy()
+        cents = np.rint(keep[value_col].to_numpy() * 100).astype("int64")
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    user_col: keep[user_col].to_numpy(),
+                    "is_to": is_to,
+                    "ts_us": keep[ts_col]
+                    .to_numpy("datetime64[us]")
+                    .astype("int64"),
+                    "cents": np.where(is_to, cents, np.int64(0)),
+                }
+            )
+        )
+
+    pruned = ds.select_columns(
+        [user_col, type_col, ts_col, value_col]
+    ).map_batches(prune, batch_format="pandas")
+
+    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        rows_u, rows_n, rows_c = [], [], []
+        for u, g in part.groupby(user_col):
+            f = np.sort(g.loc[~g["is_to"], "ts_us"].to_numpy())
+            to = g.loc[g["is_to"], ["ts_us", "cents"]].sort_values("ts_us")
+            t = to["ts_us"].to_numpy()
+            if len(f) == 0 or len(t) == 0:
+                continue
+            csum = np.concatenate(
+                [[0], np.cumsum(to["cents"].to_numpy())]
+            )
+            n_pairs = 0
+            credit = 0
+            for s in range(n_buckets):
+                lo = np.searchsorted(t, f + s * b_us, side="left")
+                hi = np.searchsorted(t, f + (s + 1) * b_us, side="left")
+                n_pairs += int((hi - lo).sum())
+                credit += (top >> s) * int((csum[hi] - csum[lo]).sum())
+            if n_pairs == 0:
+                continue
+            rows_u.append(u)
+            rows_n.append(n_pairs)
+            rows_c.append(credit)
+        return pd.DataFrame(
+            {
+                user_col: pd.Series(rows_u, dtype="int64"),
+                "n_pairs": pd.Series(rows_n, dtype="int64"),
+                "credit_num": pd.Series(rows_c, dtype="int64"),
+            }
+        )
+
+    kwargs = {} if n_parts is None else {"n_parts": n_parts}
+    return partitioned_map(pruned, [user_col], per_partition, **kwargs)

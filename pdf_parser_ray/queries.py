@@ -9065,3 +9065,81 @@ SQL["equidepth_hist"] = """
     SELECT tile, count(*)::BIGINT AS n, min(value) AS lo, max(value) AS hi
     FROM r GROUP BY tile
 """
+
+
+def q_calendar_gapfill(sf_dir: str) -> pd.DataFrame:
+    """Dense calendar gap-fill: per (event_type, day) counts + exact
+    cent totals over the full global day range — zero rows included,
+    the shape downstream time-series consumers need (silence = 0, not
+    a missing row).  Shuffle carries (types × days) partials only."""
+    from pdf_parser_ray.ops.windows import gapfill_daily
+
+    return gapfill_daily(
+        _read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_type", "ts", "value"],
+        )
+    )
+
+
+QUERIES["calendar_gapfill"] = q_calendar_gapfill
+
+SQL["calendar_gapfill"] = """
+    WITH e AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    agg AS (
+      SELECT event_type, day, count(*)::BIGINT AS n_events,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM e GROUP BY 1, 2),
+    days AS (
+      SELECT unnest(generate_series((SELECT min(day) FROM agg),
+                                    (SELECT max(day) FROM agg),
+                                    INTERVAL 1 DAY)) AS day),
+    types AS (SELECT DISTINCT event_type FROM e)
+    SELECT t.event_type, d.day,
+           coalesce(a.n_events, 0)::BIGINT AS n_events,
+           coalesce(a.cents, 0)::BIGINT AS cents
+    FROM types t CROSS JOIN days d
+    LEFT JOIN agg a ON a.event_type = t.event_type AND a.day = d.day
+"""
+
+
+def q_decay_attribution(sf_dir: str) -> ray.data.Dataset:
+    """Time-decay multi-touch attribution: each purchase's cents
+    credited to every preceding view of the same user within 1 h,
+    weighted 2^-(lag // 15 min) — exact dyadic integer credit
+    (credit_num / 8 = cents), pairs never materialize (per-bucket
+    searchsorted + prefix sums in one user co-location)."""
+    from pdf_parser_ray.ops.windows import decay_attribution
+
+    return decay_attribution(
+        _read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_type", "ts", "value"],
+        ),
+        bucket_s=900,
+        n_buckets=4,
+    )
+
+
+QUERIES["decay_attribution"] = q_decay_attribution
+
+SQL["decay_attribution"] = """
+    WITH f AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    t AS (
+      SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    p AS (
+      SELECT f.user_id,
+             (epoch_us(t.ts) - epoch_us(f.ts)) // 900000000 AS s,
+             t.cents
+      FROM f JOIN t ON f.user_id = t.user_id
+      WHERE t.ts >= f.ts
+        AND epoch_us(t.ts) - epoch_us(f.ts) < 3600000000)
+    SELECT user_id, count(*)::BIGINT AS n_pairs,
+           CAST(sum(cents * (8 >> CAST(s AS INTEGER))) AS BIGINT)
+             AS credit_num
+    FROM p GROUP BY user_id ORDER BY user_id
+"""

@@ -3638,3 +3638,80 @@ class TestZorderLayout:
         # shifting 4 bits off an 8-bit z key leaves ≤2^4 buckets
         assert len(out) <= 16
         assert int(out["n_rows"].sum()) == 16
+
+
+class TestGapfillDaily:
+    def test_missing_days_appear_as_zero(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import gapfill_daily
+
+        rows = [
+            {"event_type": "a", "ts": pd.Timestamp("2024-01-01"), "value": 1.5},
+            {"event_type": "a", "ts": pd.Timestamp("2024-01-03"), "value": 2.0},
+            {"event_type": "b", "ts": pd.Timestamp("2024-01-02"), "value": 0.25},
+        ]
+        out = gapfill_daily(ray.data.from_pandas(pd.DataFrame(rows)))
+        # dense grid: 2 types × 3 days
+        assert len(out) == 6
+        a2 = out[(out["event_type"] == "a")
+                 & (out["day"] == pd.Timestamp("2024-01-02"))].iloc[0]
+        assert (a2["n_events"], a2["cents"]) == (0, 0)
+        a1 = out[(out["event_type"] == "a")
+                 & (out["day"] == pd.Timestamp("2024-01-01"))].iloc[0]
+        assert (a1["n_events"], a1["cents"]) == (1, 150)
+        # type b exists on the full global range, not just its own days
+        assert (out["event_type"] == "b").sum() == 3
+
+
+class TestDecayAttribution:
+    def test_dyadic_bucket_weights(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import decay_attribution
+
+        t0 = pd.Timestamp("2024-01-01 12:00:00")
+        rows = [
+            {"user_id": 1, "event_type": "view", "ts": t0, "value": 0.0},
+            # lag 10 min → bucket 0 (weight 8), 20 min → bucket 1 (4),
+            # 50 min → bucket 3 (1), 70 min → outside the 1 h window.
+            {"user_id": 1, "event_type": "purchase",
+             "ts": t0 + pd.Timedelta(minutes=10), "value": 1.0},
+            {"user_id": 1, "event_type": "purchase",
+             "ts": t0 + pd.Timedelta(minutes=20), "value": 1.0},
+            {"user_id": 1, "event_type": "purchase",
+             "ts": t0 + pd.Timedelta(minutes=50), "value": 1.0},
+            {"user_id": 1, "event_type": "purchase",
+             "ts": t0 + pd.Timedelta(minutes=70), "value": 1.0},
+            # a user with no views never appears
+            {"user_id": 2, "event_type": "purchase", "ts": t0, "value": 9.9},
+        ]
+        out = decay_attribution(
+            ray.data.from_pandas(pd.DataFrame(rows))
+        ).to_pandas()
+        assert out["user_id"].tolist() == [1]
+        assert out["n_pairs"].tolist() == [3]
+        assert out["credit_num"].tolist() == [8 * 100 + 4 * 100 + 1 * 100]
+
+    def test_exact_window_boundary_excluded(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import decay_attribution
+
+        t0 = pd.Timestamp("2024-01-01")
+        rows = [
+            {"user_id": 7, "event_type": "view", "ts": t0, "value": 0.0},
+            # lag exactly 3600 s → strict < window, excluded
+            {"user_id": 7, "event_type": "purchase",
+             "ts": t0 + pd.Timedelta(hours=1), "value": 5.0},
+            # lag 0 → bucket 0, included
+            {"user_id": 7, "event_type": "purchase", "ts": t0, "value": 2.0},
+        ]
+        out = decay_attribution(
+            ray.data.from_pandas(pd.DataFrame(rows))
+        ).to_pandas()
+        assert out["n_pairs"].tolist() == [1]
+        assert out["credit_num"].tolist() == [8 * 200]
