@@ -172,6 +172,16 @@ BENCH_QUERIES = [
     "assoc_rules",
     "cust_supp_hits",
     "embed_coreset",
+    "name_links",
+    "ab_experiment",
+    "ab_cuped",
+    "value_ewma",
+    "zone_map_prune",
+    # round-2 session-10 additions
+    "zorder_layout",
+    "equidepth_hist",
+    "calendar_gapfill",
+    "decay_attribution",
 ]
 
 

@@ -72,8 +72,12 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("replace", help="content-stream text replacement")
     p.add_argument("--input", required=True)
-    p.add_argument("--target", required=True)
-    p.add_argument("--replacement", required=True)
+    p.add_argument("--target")
+    p.add_argument("--replacement")
+    p.add_argument("--rules", help="rules table (.xlsx/.csv/.parquet): "
+                   "col 0 = target, cols 1..n = replacement variants")
+    p.add_argument("--variant", type=int, default=1,
+                   help="which variant column of --rules to fold")
     p.add_argument("--out", required=True)
     p.add_argument("--page", type=int, default=0)
 
@@ -161,9 +165,21 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "replace":
         from pdf_parser_ray.replace import replace_corpus
 
+        if args.rules:
+            from pdf_parser_ray.replace import load_rules, rule_columns
+
+            rules = rule_columns(load_rules(args.rules)).get(
+                args.variant, []
+            )
+        elif args.target is not None and args.replacement is not None:
+            rules = [(args.target, args.replacement)]
+        else:
+            raise SystemExit(
+                "replace: need --rules or both --target and --replacement"
+            )
         out = replace_corpus(
             read_corpus(args.input),
-            [(args.target, args.replacement)],
+            rules,
             page_num=args.page,
         )
         out.write_parquet(args.out)

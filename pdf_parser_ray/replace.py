@@ -251,6 +251,29 @@ def replace_text_in_pdf(
     return {"html": out, "status": "ok", "n_replaced": n_replaced}
 
 
+def load_rules(path: str):
+    """Rules-table file reader (S9, reference pdf_gui.py:1671-1690
+    ``pd.read_excel(path, header=None)``): ``.xlsx`` workbooks through
+    the from-scratch OOXML reader (no openpyxl in the environment),
+    plus ``.csv`` (header=None) and ``.parquet`` equivalents.  Returns
+    the headerless frame :func:`rule_columns` consumes.  Driver-side by
+    design — rule sheets are tiny side tables broadcast into the actor
+    pool, never corpus data."""
+    import pandas as pd
+
+    if path.endswith(".xlsx"):
+        from pdf_parser_ray.xlsx import read_xlsx
+
+        return read_xlsx(path)
+    if path.endswith(".csv"):
+        return pd.read_csv(path, header=None)
+    if path.endswith(".parquet"):
+        import pyarrow.parquet as pq
+
+        return pq.read_table(path).to_pandas()
+    raise ValueError(f"unsupported rules file (need .xlsx/.csv/.parquet): {path}")
+
+
 def rule_columns(df) -> dict[int, list[tuple[str, str]]]:
     """Batch-replace rule table → per-variant-column rule lists (S9/J1).
 

@@ -124,3 +124,14 @@ def test_job_entrypoint(cli_corpus, tmp_path, capsys):
                      "--partitions", "2"]) == 0
     r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert r2["ran"] == 0 and r2["skipped"] == r1["ran"] + r1["skipped"]
+
+
+def test_replace_cmd_rules_file(cli_corpus, tmp_path, capsys):
+    from test_replace import _write_xlsx
+
+    rules = str(tmp_path / "rules.xlsx")
+    _write_xlsx(rules, [[["zzz-not-there", "x", "y"]]])
+    res = run_cli(capsys, ["replace", "--input", cli_corpus,
+                           "--rules", rules, "--variant", "2",
+                           "--out", str(tmp_path / "rep")])
+    assert res["docs_changed"] == 0

@@ -183,3 +183,119 @@ class TestRayStage:
         assert out["u1"]["replace_status"] == "ok" and out["u1"]["n_replaced"] == 1
         assert out["u2"]["replace_status"] == "skip:not_pdf"
         assert extract_document("u1", out["u1"]["html"])["extracted_text"] == "beta alpha"
+
+
+def _write_xlsx(path, sheets):
+    """Hand-build a minimal OOXML workbook: sheets = list of row-lists;
+    strings alternate between shared-string and inline-string encoding
+    to exercise both paths."""
+    import zipfile
+
+    shared: list[str] = []
+
+    def cell_xml(ref, v, inline):
+        if v is None:
+            return ""
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
+        if isinstance(v, str):
+            if inline:
+                return (f'<c r="{ref}" t="inlineStr"><is><t>{v}</t></is></c>')
+            if v not in shared:
+                shared.append(v)
+            return f'<c r="{ref}" t="s"><v>{shared.index(v)}</v></c>'
+        return f'<c r="{ref}"><v>{v}</v></c>'
+
+    def sheet_xml(rows):
+        body = []
+        for ri, row in enumerate(rows):
+            cells = "".join(
+                cell_xml(f"{chr(65 + ci)}{ri + 1}", v, inline=(ci + ri) % 2)
+                for ci, v in enumerate(row)
+            )
+            body.append(f'<row r="{ri + 1}">{cells}</row>')
+        return (
+            '<worksheet xmlns="http://schemas.openxmlformats.org/'
+            'spreadsheetml/2006/main"><sheetData>'
+            + "".join(body) + "</sheetData></worksheet>"
+        )
+
+    sheet_parts = [sheet_xml(rows) for rows in sheets]
+    sst = (
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        + "".join(f"<si><t>{s}</t></si>" for s in shared) + "</sst>"
+    )
+    wb_sheets = "".join(
+        f'<sheet name="S{i}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        for i in range(len(sheets))
+    )
+    workbook = (
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f"<sheets>{wb_sheets}</sheets></workbook>"
+    )
+    rels = (
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        + "".join(
+            f'<Relationship Id="rId{i + 1}" Type="http://schemas.openxmlformats.org/'
+            f'officeDocument/2006/relationships/worksheet" '
+            f'Target="worksheets/sheet{i + 1}.xml"/>'
+            for i in range(len(sheets))
+        )
+        + "</Relationships>"
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/sharedStrings.xml", sst)
+        for i, xml in enumerate(sheet_parts):
+            zf.writestr(f"xl/worksheets/sheet{i + 1}.xml", xml)
+
+
+class TestXlsxReader:
+    def test_reads_strings_numbers_and_gaps(self, tmp_path):
+        from pdf_parser_ray.xlsx import read_xlsx
+
+        p = str(tmp_path / "rules.xlsx")
+        _write_xlsx(p, [[
+            ["alpha", "ALPHA", "αλφα"],
+            ["beta", None, "βήτα"],
+            [42, 2.5, True],
+        ]])
+        df = read_xlsx(p)
+        assert df.shape == (3, 3)
+        assert df.iloc[0].tolist() == ["alpha", "ALPHA", "αλφα"]
+        assert df.iloc[1, 1] is None
+        assert df.iloc[2].tolist() == [42, 2.5, True]
+
+    def test_sheet_selection(self, tmp_path):
+        from pdf_parser_ray.xlsx import read_xlsx
+
+        p = str(tmp_path / "two.xlsx")
+        _write_xlsx(p, [[["first"]], [["second"]]])
+        assert read_xlsx(p, sheet=0).iloc[0, 0] == "first"
+        assert read_xlsx(p, sheet=1).iloc[0, 0] == "second"
+
+    def test_matches_csv_route_through_rule_columns(self, tmp_path):
+        import pandas as pd
+
+        from pdf_parser_ray.replace import load_rules, rule_columns
+
+        rows = [["foo", "FOO", "f00"], ["bar", "BAR", "b4r"]]
+        px = str(tmp_path / "r.xlsx")
+        _write_xlsx(px, [rows])
+        pc = str(tmp_path / "r.csv")
+        pd.DataFrame(rows).to_csv(pc, index=False, header=False)
+        rx = rule_columns(load_rules(px))
+        rc = rule_columns(load_rules(pc))
+        assert rx == rc
+        assert rx[1] == [("foo", "FOO"), ("bar", "BAR")]
+        assert rx[2] == [("foo", "f00"), ("bar", "b4r")]
+
+    def test_unsupported_suffix_raises(self, tmp_path):
+        import pytest
+
+        from pdf_parser_ray.replace import load_rules
+
+        with pytest.raises(ValueError):
+            load_rules(str(tmp_path / "rules.txt"))
