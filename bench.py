@@ -182,6 +182,8 @@ BENCH_QUERIES = [
     "equidepth_hist",
     "calendar_gapfill",
     "decay_attribution",
+    "rolling_active_users",
+    "daily_new_returning",
 ]
 
 

@@ -2785,3 +2785,180 @@ def decay_attribution(
 
     kwargs = {} if n_parts is None else {"n_parts": n_parts}
     return partitioned_map(pruned, [user_col], per_partition, **kwargs)
+
+
+def rolling_distinct(
+    ds: "ray.data.Dataset",
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Sliding-window COUNT(DISTINCT) — rolling active users: for every
+    OBSERVED day, how many distinct keys appeared in the trailing
+    ``window_days`` days (the WAU/MAU family).  Tumbling distinct
+    (:func:`grouped_distinct_exact` per day) can't answer this because
+    overlapping windows share members; naive windowed distinct would
+    re-shuffle raw rows once per window.
+
+    Plan: batch-local (day, key) pair dedup → vectorized explode of
+    each pair to the ≤``window_days`` window anchors it serves (shuffle
+    volume = distinct pairs × window, never rows × window), anchors
+    gated to the observed-day spine (a driver-tiny exact pre-pass over
+    the pruned ts column) → ONE pair co-location for the global
+    distinct count per anchor.
+
+    Output: (day:datetime64[us], n_users:int64), one row per observed
+    day, counting the trailing window ending that day (inclusive).
+    """
+    import numpy as np
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.sketches import grouped_distinct_exact
+
+    us_day = np.int64(86_400_000_000)
+
+    def day_partial(df: pd.DataFrame):
+        d = np.unique(
+            df[ts_col].to_numpy("datetime64[us]").astype("int64") // us_day
+        )
+        return arrow_out(pd.DataFrame({"day": d}))
+
+    # partials are per-batch-unique days: ≤ batches × calendar-days rows,
+    # driver-tiny; final dedup on the driver (Dataset.unique would work
+    # semantically but trips a Ray 2.49 Unique-aggregate set bug here)
+    observed = np.unique(
+        ds.select_columns([ts_col])
+        .map_batches(day_partial, batch_format="pandas")
+        .to_pandas()["day"]
+        .to_numpy(dtype="int64")
+    )
+    offsets = np.arange(window_days, dtype="int64")
+
+    def explode(df: pd.DataFrame):
+        pairs = pd.DataFrame(
+            {
+                "day": df[ts_col]
+                .to_numpy("datetime64[us]")
+                .astype("int64")
+                // us_day,
+                key_col: df[key_col].to_numpy(),
+            }
+        ).drop_duplicates()
+        n = len(pairs)
+        anchor = np.repeat(pairs["day"].to_numpy(), window_days) + np.tile(
+            offsets, n
+        )
+        keys = np.repeat(pairs[key_col].to_numpy(), window_days)
+        keep = np.isin(anchor, observed)
+        return arrow_out(
+            pd.DataFrame(
+                {"anchor": anchor[keep], key_col: keys[keep]}
+            ).drop_duplicates()
+        )
+
+    counts = grouped_distinct_exact(
+        ds.select_columns([ts_col, key_col]).map_batches(
+            explode, batch_format="pandas"
+        ),
+        "anchor",
+        key_col,
+        **({"n_parts": n_parts} if n_parts else {}),
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "day": pd.to_datetime(
+                    df["anchor"].astype("int64") * 86_400_000_000,
+                    unit="us",
+                ),
+                "n_users": df["n_distinct"].astype("int64"),
+            }
+        )
+
+    return counts.map_batches(finalize, batch_format="pandas")
+
+
+def daily_new_returning(
+    ds: "ray.data.Dataset",
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-day split of active users into NEW (first-ever activity that
+    day) vs RETURNING — the growth-vs-retention daily readout that
+    combines :func:`user_acquisition` (new) with daily actives in one
+    pass.
+
+    Plan: batch-local distinct (key, day) pairs → ONE key co-location
+    (every user's full day set lands in one partition, so first-day is
+    decided locally) → per-partition (day, new/returning) count
+    partials → tiny day-cardinality rollup.  Shuffle volume = distinct
+    (key, day) pairs, never rows.
+
+    Output: (day:datetime64[us], n_new:int64, n_returning:int64).
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    us_day = np.int64(86_400_000_000)
+
+    def pair_dedup(df: pd.DataFrame):
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    key_col: df[key_col].to_numpy(),
+                    "day": df[ts_col]
+                    .to_numpy("datetime64[us]")
+                    .astype("int64")
+                    // us_day,
+                }
+            ).drop_duplicates()
+        )
+
+    pairs = ds.select_columns([key_col, ts_col]).map_batches(
+        pair_dedup, batch_format="pandas"
+    )
+
+    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        p = part.drop_duplicates()  # global dedup: pairs are co-located
+        first = p.groupby(key_col)["day"].transform("min")
+        is_new = p["day"].to_numpy() == first.to_numpy()
+        g = (
+            pd.DataFrame(
+                {"day": p["day"].to_numpy(),
+                 "n_new": is_new.astype("int64"),
+                 "n_returning": (~is_new).astype("int64")}
+            )
+            .groupby("day", as_index=False)
+            .sum()
+        )
+        return g.astype({"n_new": "int64", "n_returning": "int64"})
+
+    counts = partitioned_map(
+        pairs, [key_col], per_partition,
+        **({"n_parts": n_parts} if n_parts else {}),
+    ).groupby("day").aggregate(
+        Sum("n_new", alias_name="n_new"),
+        Sum("n_returning", alias_name="n_returning"),
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "day": pd.to_datetime(
+                    df["day"].astype("int64") * 86_400_000_000, unit="us"
+                ),
+                "n_new": df["n_new"].astype("int64"),
+                "n_returning": df["n_returning"].astype("int64"),
+            }
+        )
+
+    return counts.map_batches(finalize, batch_format="pandas")

@@ -9143,3 +9143,57 @@ SQL["decay_attribution"] = """
              AS credit_num
     FROM p GROUP BY user_id ORDER BY user_id
 """
+
+
+def q_rolling_active_users(sf_dir: str) -> ray.data.Dataset:
+    """Rolling 7-day active users per observed day — sliding-window
+    COUNT(DISTINCT) via pair explode to window anchors (shuffle =
+    distinct (day,user) pairs × 7, never rows × 7)."""
+    from pdf_parser_ray.ops.windows import rolling_distinct
+
+    return rolling_distinct(
+        _read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+        ),
+        window_days=7,
+    )
+
+
+QUERIES["rolling_active_users"] = q_rolling_active_users
+
+SQL["rolling_active_users"] = """
+    WITH p AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+    d AS (SELECT DISTINCT day FROM p)
+    SELECT d.day, CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users
+    FROM d JOIN p
+      ON p.day >= d.day - INTERVAL 6 DAY AND p.day <= d.day
+    GROUP BY d.day
+"""
+
+
+def q_daily_new_returning(sf_dir: str) -> ray.data.Dataset:
+    """Daily active users split into new vs returning (first-ever-day
+    decided inside one user co-location; distinct-pair shuffle)."""
+    from pdf_parser_ray.ops.windows import daily_new_returning
+
+    return daily_new_returning(
+        _read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+        )
+    )
+
+
+QUERIES["daily_new_returning"] = q_daily_new_returning
+
+SQL["daily_new_returning"] = """
+    WITH p AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+    f AS (SELECT user_id, min(day) AS first_day FROM p GROUP BY user_id)
+    SELECT p.day,
+           CAST(sum(CASE WHEN p.day = f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN p.day > f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returning
+    FROM p JOIN f USING (user_id) GROUP BY p.day
+"""

@@ -3715,3 +3715,59 @@ class TestDecayAttribution:
         ).to_pandas()
         assert out["n_pairs"].tolist() == [1]
         assert out["credit_num"].tolist() == [8 * 200]
+
+
+class TestRollingDistinct:
+    def test_overlapping_windows_share_members(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import rolling_distinct
+
+        rows = [
+            # day 1: users 1,2 ; day 2: user 2 ; day 5: user 3
+            {"user_id": 1, "ts": pd.Timestamp("2024-01-01 03:00")},
+            {"user_id": 2, "ts": pd.Timestamp("2024-01-01 04:00")},
+            {"user_id": 2, "ts": pd.Timestamp("2024-01-02 05:00")},
+            {"user_id": 3, "ts": pd.Timestamp("2024-01-05")},
+        ]
+        out = (
+            rolling_distinct(
+                ray.data.from_pandas(pd.DataFrame(rows)), window_days=3
+            )
+            .to_pandas()
+            .sort_values("day")
+            .reset_index(drop=True)
+        )
+        # anchors only on observed days (1, 2, 5)
+        assert out["day"].tolist() == [
+            pd.Timestamp("2024-01-01"),
+            pd.Timestamp("2024-01-02"),
+            pd.Timestamp("2024-01-05"),
+        ]
+        # day1 window {1,2}; day2 window {1,2} (user 2 counted once);
+        # day5 window (jan 3-5) sees only user 3
+        assert out["n_users"].tolist() == [2, 2, 1]
+
+
+class TestDailyNewReturning:
+    def test_first_day_splits(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import daily_new_returning
+
+        rows = [
+            {"user_id": 1, "ts": pd.Timestamp("2024-01-01 01:00")},
+            {"user_id": 1, "ts": pd.Timestamp("2024-01-01 02:00")},  # dup day
+            {"user_id": 1, "ts": pd.Timestamp("2024-01-02")},
+            {"user_id": 2, "ts": pd.Timestamp("2024-01-02")},
+        ]
+        out = (
+            daily_new_returning(ray.data.from_pandas(pd.DataFrame(rows)))
+            .to_pandas()
+            .sort_values("day")
+            .reset_index(drop=True)
+        )
+        assert out["n_new"].tolist() == [1, 1]        # u1 on d1, u2 on d2
+        assert out["n_returning"].tolist() == [0, 1]  # u1 returns on d2
