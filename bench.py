@@ -184,6 +184,8 @@ BENCH_QUERIES = [
     "decay_attribution",
     "rolling_active_users",
     "daily_new_returning",
+    "mojibake_repair",
+    "page_metadata",
 ]
 
 

@@ -742,3 +742,86 @@ def robots_filter(
         return arrow_out(df[~blocked])
 
     return ds.map_batches(run, batch_format="pandas")
+
+
+# UTF-8 multibyte lead bytes re-decoded as cp1252/latin-1 leave these
+# artifact prefixes (U+00C3 'A-tilde' for U+00C0-U+07FF text, U+00E2 /
+# U+00C2 for general punctuation and NBSP) — the classic mojibake
+# signature ftfy keys on.  Class spelled in escapes to keep the source
+# ASCII: lead byte followed by a cp1252-visible continuation artifact.
+_MOJIBAKE_RE = re.compile(
+    # lead: C2/C3 (2-byte UTF-8) or E2 (3-byte punctuation) seen as
+    # text; continuation byte seen through latin-1 (U+0080-00BF,
+    # incl. the C1 controls latin-1 yields) or through cp1252's
+    # remapped 0x80-0x9F row.  Escapes keep the source ASCII.
+    "[\u00c2\u00c3\u00e2]"
+    "[\u0080-\u00bf\u20ac\u201a\u0192\u201e\u2026\u2020\u2021"
+    "\u02c6\u2030\u0160\u2039\u0152\u017d\u2018\u2019\u201c"
+    "\u201d\u2022\u2013\u2014\u02dc\u2122\u0161\u203a\u0153"
+    "\u017e\u0178]"
+)
+
+
+def repair_mojibake(s: str, *, max_rounds: int = 3) -> tuple[str, int, int]:
+    """Undo UTF-8-bytes-read-as-cp1252/latin-1 double encoding — the
+    most common encoding damage in crawled text (e.g. 'cafÃ©'
+    back to 'café').
+
+    A round re-encodes through cp1252 (latin-1 fallback for the five
+    cp1252 holes) and strict-decodes as UTF-8; it is accepted only if
+    it strictly reduces the artifact count — so clean text that merely
+    LOOKS suspicious is never altered, and genuinely nested damage
+    unwinds one layer per round (at most ``max_rounds``).
+
+    Returns (repaired_text, n_suspicious_before, rounds_applied).
+    """
+    bad = len(_MOJIBAKE_RE.findall(s))
+    n0 = bad
+    rounds = 0
+    while bad and rounds < max_rounds:
+        try:
+            raw = s.encode("cp1252", errors="strict")
+        except UnicodeEncodeError:
+            try:
+                raw = s.encode("latin-1", errors="strict")
+            except UnicodeEncodeError:
+                break
+        try:
+            fixed = raw.decode("utf-8", errors="strict")
+        except UnicodeDecodeError:
+            break
+        nb = len(_MOJIBAKE_RE.findall(fixed))
+        if nb >= bad:
+            break
+        s, bad = fixed, nb
+        rounds += 1
+    return s, n0, rounds
+
+
+def fix_mojibake(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    out_col: str | None = None,
+) -> ray.data.Dataset:
+    """Row-local encoding-repair stage: adds ``n_suspicious`` (artifact
+    count before repair), ``repair_rounds`` (layers unwound), and the
+    repaired text (in place, or in ``out_col`` if given).  No shuffle;
+    compiled detector, repair attempted only on flagged rows (clean
+    corpora pay one vectorized regex count per row)."""
+    target = out_col or text_col
+
+    def fix(df: pd.DataFrame):
+        texts = df[text_col].astype(str)
+        counts = texts.str.count(_MOJIBAKE_RE).astype("int64")
+        repaired = texts.to_numpy(dtype=object).copy()
+        rounds = np.zeros(len(df), dtype="int64")
+        for i in np.flatnonzero(counts.to_numpy() > 0):
+            repaired[i], _, rounds[i] = repair_mojibake(repaired[i])
+        out = df.copy()
+        out[target] = repaired
+        out["n_suspicious"] = counts.to_numpy()
+        out["repair_rounds"] = rounds
+        return arrow_out(out)
+
+    return ds.map_batches(fix, batch_format="pandas")

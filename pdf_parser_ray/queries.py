@@ -9197,3 +9197,73 @@ SQL["daily_new_returning"] = """
                 AS BIGINT) AS n_returning
     FROM p JOIN f USING (user_id) GROUP BY p.day
 """
+
+
+def q_page_metadata(sf_dir: str) -> ray.data.Dataset:
+    """WAT tier: head-field metadata harvest (title, h1, description,
+    canonical, og:title, noindex) over the deterministic CC-style
+    corpus scaled to sf.  Row-local; no SQL oracle (payload parsing),
+    pinned by the DuckDB regexp twin in tests/test_webtext.py."""
+    from pdf_parser_ray.corpus import ensure_corpus, sf_to_n_docs
+    from pdf_parser_ray.html.meta import page_metadata
+    from pdf_parser_ray.pipelines import read_corpus
+
+    corpus = ensure_corpus(sf_to_n_docs(_sf_from_dir(sf_dir)))
+    return page_metadata(read_corpus(corpus))
+
+
+QUERIES["page_metadata"] = q_page_metadata
+
+
+def q_mojibake_repair(sf_dir: str) -> ray.data.Dataset:
+    """Encoding-damage repair, self-verified: every 7th document gets
+    deterministic accents injected and is then UTF-8-as-latin-1
+    corrupted; fix_mojibake must flag EXACTLY those rows and
+    round-trip them byte-identically (roundtrip_ok).  Rows-only (no
+    SQL encode/decode); the invariants are asserted in tests."""
+    from pdf_parser_ray.ops.webtext import fix_mojibake
+
+    def corrupt(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        out = pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"),
+             "orig": df["text"].astype(str)}
+        )
+        hit = (out["doc_id"] % 7 == 0).to_numpy()
+        accented = (
+            out["orig"]
+            .str.replace("e", "é", regex=False)
+            .str.replace("a", "à", regex=False)
+        )
+        out["expected"] = np.where(hit, accented, out["orig"])
+        out["text"] = [
+            t.encode("utf-8").decode("latin-1") if h else t
+            for t, h in zip(out["expected"], hit)
+        ]
+        out["was_corrupted"] = hit
+        return out
+
+    fixed = fix_mojibake(
+        _read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).map_batches(corrupt, batch_format="pandas")
+    )
+
+    def report(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "was_corrupted": df["was_corrupted"].astype(bool),
+                "n_suspicious": df["n_suspicious"].astype("int64"),
+                "repair_rounds": df["repair_rounds"].astype("int64"),
+                "roundtrip_ok": (
+                    df["text"].to_numpy() == df["expected"].to_numpy()
+                ),
+            }
+        )
+
+    return fixed.map_batches(report, batch_format="pandas")
+
+
+QUERIES["mojibake_repair"] = q_mojibake_repair

@@ -315,3 +315,92 @@ class TestRobotsFilter:
             .tolist()
         )
         assert out == [0, 4, 5]
+
+
+class TestPageMetadata:
+    def test_handcrafted_head_fields(self, ray_session):
+        from pdf_parser_ray.html.meta import extract_metadata
+
+        html = (
+            b"<!DOCTYPE html><html><head><meta charset='utf-8'>"
+            b"<title> My  <b>Page</b> </title>"
+            b'<meta name="description" content="a short summary">'
+            b'<meta content="OG TITLE" property="og:title">'
+            b'<meta name="robots" content="NOINDEX, nofollow">'
+            b'<link rel="canonical" href="https://example.org/canon">'
+            b"</head><body><h1>Main Heading</h1><p>x</p></body></html>"
+        )
+        m = extract_metadata(html)
+        assert m["title"] == "My Page"
+        assert m["h1"] == "Main Heading"
+        assert m["description"] == "a short summary"
+        assert m["canonical"] == "https://example.org/canon"
+        assert m["og_title"] == "OG TITLE"
+        assert m["noindex"] is True
+        empty = extract_metadata(b"%PDF-1.4 not html")
+        assert empty["title"] is None and empty["noindex"] is False
+
+    def test_duckdb_regexp_twin_on_corpus(self, ray_session):
+        """Title extraction agrees with a DuckDB regexp twin per url."""
+        import duckdb
+        import ray.data
+
+        from pdf_parser_ray.corpus import ensure_corpus
+        from pdf_parser_ray.html.meta import page_metadata
+        from pdf_parser_ray.pipelines import read_corpus
+
+        corpus = ensure_corpus(300, seed=7)
+        got = (
+            page_metadata(read_corpus(corpus))
+            .to_pandas()
+            .set_index("url")["title"]
+            .sort_index()
+        )
+        twin = duckdb.sql(
+            f"""
+            SELECT url,
+                   nullif(trim(regexp_replace(regexp_extract(
+                       CAST(html AS VARCHAR), '<title[^>]*>(.*?)</title',
+                       1), '\\s+', ' ', 'g')), '') AS title
+            FROM read_parquet('{corpus}/*.parquet') ORDER BY url
+            """
+        ).df().set_index("url")["title"]
+        twin = twin.where(twin.notna(), None)
+        assert (got.fillna("~") == twin.fillna("~")).all()
+
+
+class TestMojibakeRepair:
+    def test_repairs_and_leaves_clean_text_alone(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from pdf_parser_ray.ops.webtext import fix_mojibake
+
+        orig = "café — “quoted” naïve"
+        moji = orig.encode("utf-8").decode("latin-1")
+        df = pd.DataFrame(
+            {"doc_id": [1, 2], "text": [moji, "plain ascii stays"]}
+        )
+        out = (
+            fix_mojibake(ray.data.from_pandas(df))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out.loc[0, "text"] == orig
+        assert out.loc[0, "n_suspicious"] > 0
+        assert out.loc[0, "repair_rounds"] == 1
+        assert out.loc[1, "text"] == "plain ascii stays"
+        assert out.loc[1, "n_suspicious"] == 0
+
+    def test_query_invariants(self, ray_session):
+        from pdf_parser_ray.queries import QUERIES
+
+        out = QUERIES["mojibake_repair"]("/root/testdata/sf0.001").to_pandas()
+        assert out["roundtrip_ok"].all()
+        corrupted = out[out["was_corrupted"]]
+        assert len(corrupted) > 0
+        assert (corrupted["n_suspicious"] > 0).all()
+        assert (corrupted["repair_rounds"] == 1).all()
+        clean = out[~out["was_corrupted"]]
+        assert (clean["repair_rounds"] == 0).all()
