@@ -186,6 +186,8 @@ BENCH_QUERIES = [
     "daily_new_returning",
     "mojibake_repair",
     "page_metadata",
+    "ivm_daily_totals",
+    "k_anonymity",
 ]
 
 

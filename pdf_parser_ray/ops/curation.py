@@ -1180,3 +1180,115 @@ def temperature_mix(
         return df.astype({"n_total": "int64", "n_kept": "int64"})
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def k_anonymity_audit(
+    ds: ray.data.Dataset,
+    *,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 10,
+    n_parts: int | None = None,
+) -> ray.data.Dataset:
+    """Privacy audit of a release candidate: for every quasi-identifier
+    combination, the group size (k-anonymity — groups under ``k`` are
+    re-identifiable) and the number of DISTINCT sensitive values
+    (l-diversity — a large group whose sensitive attribute is constant
+    still leaks).  The pre-release gate that pairs with
+    :func:`pseudonymize` / ``pii_redact``.
+
+    Both statistics key on ONE packed quasi-identifier string (unit
+    separator), so dtypes survive the union: row counts per combo via
+    per-batch partials, distinct (combo, sensitive) pairs via the
+    distinct-pair combiner — shuffle volume is O(combos) + O(distinct
+    pairs), never O(rows).  The final merge is combo-cardinality.
+
+    Output: (quasi_cols… as strings, n_rows:int64, l_diversity:int64,
+    k_anonymous:bool) with ``k_anonymous = n_rows >= k``.
+    """
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+    from pdf_parser_ray.ops.sketches import grouped_distinct_exact
+
+    sep = "\x1f"
+
+    def pack(df: pd.DataFrame):
+        key = df[quasi_cols[0]].astype(str)
+        for c in quasi_cols[1:]:
+            key = key + sep + df[c].astype(str)
+        return arrow_out(
+            pd.DataFrame({"__qid": key, sensitive_col: df[sensitive_col]})
+        )
+
+    packed = ds.select_columns(quasi_cols + [sensitive_col]).map_batches(
+        pack, batch_format="pandas"
+    )
+
+    def count_partial(df: pd.DataFrame):
+        g = df.groupby("__qid", as_index=False).size()
+        return arrow_out(
+            pd.DataFrame(
+                {"__qid": g["__qid"],
+                 "n_rows": g["size"].astype("int64"),
+                 "l_diversity": np.int64(-1)}
+            )
+        )
+
+    counts = (
+        packed.map_batches(count_partial, batch_format="pandas")
+        .groupby("__qid")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("l_diversity", alias_name="l_diversity"),
+        )
+        .map_batches(
+            lambda df: arrow_out(
+                pd.DataFrame(
+                    {"__qid": df["__qid"],
+                     "n_rows": df["n_rows"].astype("int64"),
+                     "l_diversity": np.int64(-1)}
+                )
+            ),
+            batch_format="pandas",
+        )
+    )
+
+    ldiv = grouped_distinct_exact(
+        packed, "__qid", sensitive_col,
+        **({"n_parts": n_parts} if n_parts else {}),
+    ).map_batches(
+        lambda df: arrow_out(
+            pd.DataFrame(
+                {"__qid": df["__qid"],
+                 "n_rows": np.int64(-1),
+                 "l_diversity": df["n_distinct"].astype("int64")}
+            )
+        ),
+        batch_format="pandas",
+    )
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        counts_side = part[part["l_diversity"] < 0]
+        ldiv_side = part[part["n_rows"] < 0]
+        out = counts_side[["__qid", "n_rows"]].merge(
+            ldiv_side[["__qid", "l_diversity"]], on="__qid"
+        )
+        if len(out) == 0:
+            return pd.DataFrame(
+                {**{c: pd.Series(dtype=str) for c in quasi_cols},
+                 "n_rows": pd.Series(dtype="int64"),
+                 "l_diversity": pd.Series(dtype="int64"),
+                 "k_anonymous": pd.Series(dtype=bool)}
+            )
+        parts = out["__qid"].str.split(sep, expand=True)
+        res = pd.DataFrame(
+            {c: parts[i].astype(str) for i, c in enumerate(quasi_cols)}
+        )
+        res["n_rows"] = out["n_rows"].astype("int64").to_numpy()
+        res["l_diversity"] = out["l_diversity"].astype("int64").to_numpy()
+        res["k_anonymous"] = res["n_rows"] >= k
+        return res
+
+    return partitioned_map(counts.union(ldiv), ["__qid"], merge)

@@ -2579,16 +2579,22 @@ def sole_return_suppliers(sf_dir: str) -> ray.data.Dataset:
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
     )
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
+    def finish(df: pd.DataFrame):
+        from pdf_parser_ray.io_utils import arrow_out
+
         out = df.merge(supp, on="s_suppkey")
         out = out.sort_values(
             ["numwait", "s_name"], ascending=[False, True], kind="mergesort"
         )
-        return pd.DataFrame(
-            {
-                "s_name": out["s_name"],
-                "numwait": out["numwait"].astype("int64"),
-            }
+        # Arrow block with a typed string column: empty pandas object
+        # columns make Ray's block sizer emit per-block noise.
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    "s_name": out["s_name"].astype(str),
+                    "numwait": out["numwait"].astype("int64"),
+                }
+            )
         )
 
     return agg.map_batches(finish, batch_format="pandas")
@@ -2803,3 +2809,56 @@ def zorder_layout(
         )
 
     return stats.map_batches(cast, batch_format="pandas")
+
+
+def incremental_view_maintain(
+    base: ray.data.Dataset,
+    deltas: ray.data.Dataset,
+    *,
+    group_cols: list[str],
+    n_col: str = "n_rows",
+    sum_col: str = "cents",
+) -> ray.data.Dataset:
+    """Incremental materialized-view maintenance for a grouped
+    (count, sum) rollup: apply a SIGNED delta stream to the existing
+    view without rescanning the fact table — the IVM primitive that
+    makes a daily rollup over 10^12 rows maintainable from a CDC feed
+    whose size is the day's churn, not the corpus.
+
+    ``base`` is the materialized view (group_cols…, n_col, sum_col);
+    ``deltas`` carries the same schema with signed increments (insert →
+    +1/+v, delete → −1/−v, update → 0/(new−old)).  Both are
+    group-cardinality streams, so the ONE groupby here shuffles
+    O(groups), never O(facts).  Groups whose maintained count reaches 0
+    disappear (matching a from-scratch GROUP BY).
+
+    Output: (group_cols…, n_col:int64, sum_col:int64).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame):
+        from pdf_parser_ray.io_utils import arrow_out
+
+        g = (
+            df.groupby(group_cols, as_index=False)[[n_col, sum_col]]
+            .sum()
+        )
+        return arrow_out(g)
+
+    merged = (
+        base.union(deltas)
+        .map_batches(partial, batch_format="pandas")
+        .groupby(group_cols)
+        .aggregate(
+            Sum(n_col, alias_name=n_col),
+            Sum(sum_col, alias_name=sum_col),
+        )
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[df[n_col] > 0].copy()
+        out[n_col] = out[n_col].astype("int64")
+        out[sum_col] = out[sum_col].astype("int64")
+        return out
+
+    return merged.map_batches(finalize, batch_format="pandas")

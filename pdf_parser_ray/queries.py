@@ -9267,3 +9267,160 @@ def q_mojibake_repair(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES["mojibake_repair"] = q_mojibake_repair
+
+
+def q_ivm_daily_totals(sf_dir: str) -> ray.data.Dataset:
+    """Incremental view maintenance: the (event_type, day) cent rollup
+    maintained under a synthesized CDC feed — every 13th event deleted,
+    every 11th survivor's value +10.00, every 17th cloned as an insert
+    at +5.00 — WITHOUT rescanning the facts: the update pass emits
+    signed group deltas, and one group-cardinality merge applies them
+    to the base view.  Oracle recomputes the patched table from
+    scratch; both must agree exactly (int cents)."""
+    import numpy as np
+
+    from pdf_parser_ray.ops.relational import incremental_view_maintain
+
+    def to_rollup(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["value"].to_numpy() * 100).astype("int64")
+        day = (
+            df["ts"].to_numpy("datetime64[us]").astype("int64")
+            // 86_400_000_000
+        )
+        return (
+            pd.DataFrame(
+                {"event_type": df["event_type"].to_numpy(), "day": day,
+                 "n_rows": np.int64(1), "cents": cents}
+            )
+            .groupby(["event_type", "day"], as_index=False)
+            .sum()
+        )
+
+    def to_deltas(df: pd.DataFrame) -> pd.DataFrame:
+        ev = df["event_id"].to_numpy()
+        cents = np.rint(df["value"].to_numpy() * 100).astype("int64")
+        day = (
+            df["ts"].to_numpy("datetime64[us]").astype("int64")
+            // 86_400_000_000
+        )
+        is_del = ev % 13 == 0
+        is_upd = (ev % 11 == 0) & ~is_del
+        is_ins = ev % 17 == 0
+        frames = []
+        if is_del.any():
+            frames.append(pd.DataFrame(
+                {"event_type": df["event_type"].to_numpy()[is_del],
+                 "day": day[is_del], "n_rows": np.int64(-1),
+                 "cents": -cents[is_del]}))
+        if is_upd.any():  # value-only update: count delta 0, +10.00
+            frames.append(pd.DataFrame(
+                {"event_type": df["event_type"].to_numpy()[is_upd],
+                 "day": day[is_upd], "n_rows": np.int64(0),
+                 "cents": np.int64(1000)}))
+        if is_ins.any():  # clone of the original at +5.00
+            frames.append(pd.DataFrame(
+                {"event_type": df["event_type"].to_numpy()[is_ins],
+                 "day": day[is_ins], "n_rows": np.int64(1),
+                 "cents": cents[is_ins] + 500}))
+        if not frames:
+            return pd.DataFrame(
+                {"event_type": pd.Series(dtype=str),
+                 "day": pd.Series(dtype="int64"),
+                 "n_rows": pd.Series(dtype="int64"),
+                 "cents": pd.Series(dtype="int64")})
+        return (
+            pd.concat(frames)
+            .groupby(["event_type", "day"], as_index=False)
+            .sum()
+        )
+
+    cols = ["event_id", "event_type", "ts", "value"]
+    base = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    ).map_batches(to_rollup, batch_format="pandas")
+    deltas = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=cols
+    ).map_batches(to_deltas, batch_format="pandas")
+
+    out = incremental_view_maintain(
+        base, deltas, group_cols=["event_type", "day"]
+    )
+
+    def cast_day(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_type": df["event_type"],
+             "day": pd.to_datetime(
+                 df["day"].astype("int64") * 86_400_000_000, unit="us"),
+             "n_rows": df["n_rows"].astype("int64"),
+             "cents": df["cents"].astype("int64")}
+        )
+
+    return out.map_batches(cast_day, batch_format="pandas")
+
+
+QUERIES["ivm_daily_totals"] = q_ivm_daily_totals
+
+SQL["ivm_daily_totals"] = """
+    WITH e AS (
+      SELECT event_id, event_type, date_trunc('day', ts) AS day,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    patched AS (
+      SELECT event_type, day,
+             CASE WHEN event_id % 11 = 0 THEN cents + 1000
+                  ELSE cents END AS cents
+      FROM e WHERE event_id % 13 <> 0
+      UNION ALL
+      SELECT event_type, day, cents + 500 FROM e WHERE event_id % 17 = 0)
+    SELECT event_type, day, count(*)::BIGINT AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM patched GROUP BY event_type, day
+"""
+
+
+def q_k_anonymity(sf_dir: str) -> ray.data.Dataset:
+    """Pre-release privacy audit over documents: quasi-identifier =
+    (lang, source, n_chars//500 length band); k-anonymity group sizes
+    (k=10) + l-diversity (distinct doc texts) per combo — two bounded
+    aggregations, shuffle O(combos)+O(distinct pairs)."""
+    import numpy as np
+
+    from pdf_parser_ray.ops.curation import k_anonymity_audit
+
+    def band(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["lang", "source", "text"]].copy()
+        out["len_band"] = (
+            df["n_chars"].to_numpy(dtype="int64") // 500
+        ).astype("int64")
+        return out
+
+    ds = _read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["lang", "source", "n_chars", "text"],
+    ).map_batches(band, batch_format="pandas")
+    out = k_anonymity_audit(
+        ds, quasi_cols=["lang", "source", "len_band"],
+        sensitive_col="text", k=10,
+    )
+
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"lang": df["lang"], "source": df["source"],
+             "len_band": df["len_band"].astype("int64"),
+             "n_rows": df["n_rows"].astype("int64"),
+             "l_diversity": df["l_diversity"].astype("int64"),
+             "k_anonymous": df["k_anonymous"].astype(bool)}
+        )
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+QUERIES["k_anonymity"] = q_k_anonymity
+
+SQL["k_anonymity"] = """
+    SELECT lang, source, (n_chars // 500)::BIGINT AS len_band,
+           count(*)::BIGINT AS n_rows,
+           CAST(count(DISTINCT text) AS BIGINT) AS l_diversity,
+           count(*) >= 10 AS k_anonymous
+    FROM documents GROUP BY lang, source, len_band
+"""

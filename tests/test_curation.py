@@ -748,3 +748,34 @@ class TestDsirLogweights:
         )
         out = dsir_logweights(ray.data.from_pandas(df)).to_pandas()
         assert out["doc_id"].tolist() == [0]
+
+
+class TestKAnonymityAudit:
+    def test_group_sizes_and_l_diversity(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from pdf_parser_ray.ops.curation import k_anonymity_audit
+
+        df = pd.DataFrame(
+            {
+                "lang": ["en"] * 3 + ["fr"] * 2,
+                "source": ["a"] * 3 + ["b"] * 2,
+                "text": ["t1", "t1", "t2", "u1", "u2"],
+            }
+        )
+        out = (
+            k_anonymity_audit(
+                ray.data.from_pandas(df),
+                quasi_cols=["lang", "source"],
+                sensitive_col="text",
+                k=3,
+            )
+            .to_pandas()
+            .sort_values("lang")
+            .reset_index(drop=True)
+        )
+        en = out[out["lang"] == "en"].iloc[0]
+        fr = out[out["lang"] == "fr"].iloc[0]
+        assert (en["n_rows"], en["l_diversity"], en["k_anonymous"]) == (3, 2, True)
+        assert (fr["n_rows"], fr["l_diversity"], fr["k_anonymous"]) == (2, 2, False)

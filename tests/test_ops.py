@@ -3771,3 +3771,38 @@ class TestDailyNewReturning:
         )
         assert out["n_new"].tolist() == [1, 1]        # u1 on d1, u2 on d2
         assert out["n_returning"].tolist() == [0, 1]  # u1 returns on d2
+
+
+class TestIncrementalViewMaintain:
+    def test_deltas_apply_and_zero_groups_vanish(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from pdf_parser_ray.ops.relational import incremental_view_maintain
+
+        base = pd.DataFrame(
+            {"g": ["a", "b", "c"], "n_rows": [2, 1, 3],
+             "cents": [200, 50, 900]}
+        )
+        deltas = pd.DataFrame(
+            {
+                # a: +1 insert of 100 ; b: delete its only row → vanishes
+                # c: value-only update (+25, count 0) ; d: fresh group
+                "g": ["a", "b", "c", "d"],
+                "n_rows": [1, -1, 0, 2],
+                "cents": [100, -50, 25, 70],
+            }
+        )
+        out = (
+            incremental_view_maintain(
+                ray.data.from_pandas(base),
+                ray.data.from_pandas(deltas),
+                group_cols=["g"],
+            )
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        assert out["g"].tolist() == ["a", "c", "d"]
+        assert out["n_rows"].tolist() == [3, 3, 2]
+        assert out["cents"].tolist() == [300, 925, 70]
