@@ -9424,3 +9424,57 @@ SQL["k_anonymity"] = """
            count(*) >= 10 AS k_anonymous
     FROM documents GROUP BY lang, source, len_band
 """
+
+
+def q_warc_extract(sf_dir: str) -> ray.data.Dataset:
+    """WARC container round trip feeding the flagship extractor.
+
+    A bounded slice of the synthetic CC corpus is written as gzip WARC
+    archives (per-record members, content-addressed file names — the
+    write is skipped when the archives already exist), read back through
+    the streaming WarcDatasource, adapted to the corpus schema, and run
+    through extract_corpus.  Output: per (kind, status) doc counts and
+    total extracted bytes.  No SQL oracle (the WARC content never lives
+    in a DuckDB-visible table); byte-identity of the container round
+    trip is pinned by tests/test_warc.py instead.
+    """
+    import os
+
+    from ray.data.aggregate import Count, Sum
+
+    from pdf_parser_ray.corpus import (
+        ensure_corpus,
+        sf_to_n_docs,
+    )
+    from pdf_parser_ray.pipelines import extract_corpus, read_corpus
+    from pdf_parser_ray.warc import read_warc, warc_to_corpus, write_warc_dataset
+
+    n = min(sf_to_n_docs(_sf_from_dir(sf_dir)), 2000)
+    warc_dir = f"/tmp/pdf_parser_ray_warc/n{n}"
+    done = os.path.join(warc_dir, "_done")
+    if not os.path.exists(done):
+        src = read_corpus(ensure_corpus(n)).limit(n)
+        write_warc_dataset(src, warc_dir).materialize()
+        open(done, "w").close()
+    corpus = warc_to_corpus(read_warc(warc_dir))
+    out = extract_corpus(corpus, include_spans=False)
+
+    def with_len(batch):
+        import pyarrow.compute as pc
+
+        return batch.append_column(
+            "n_extracted", pc.cast(
+                pc.binary_length(pc.cast(batch.column("extracted_text"),
+                                         "binary")), "int64")
+        )
+
+    return (
+        out.map_batches(with_len, batch_format="pyarrow")
+        .groupby(["kind", "status"])
+        .aggregate(Count(alias_name="n_docs"),
+                   Sum("n_extracted", alias_name="sum_extracted"))
+        .sort(["kind", "status"])
+    )
+
+
+QUERIES["warc_extract"] = q_warc_extract
