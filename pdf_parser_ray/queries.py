@@ -9478,3 +9478,39 @@ def q_warc_extract(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES["warc_extract"] = q_warc_extract
+
+
+def q_cdx_index(sf_dir: str) -> ray.data.Dataset:
+    """CDX index job over the cached WARC archives (the warc_extract
+    fixture dir): one task per archive streams gzip members to record
+    (urlkey, offset, length) — only offsets leave the task, so index
+    output is ~100 B/record no matter the archive size.  Result: counts
+    and byte totals per (record_type, mime).  Rows-only (the archives
+    aren't DuckDB-visible); random-access fetch correctness is pinned by
+    tests/test_warc.py TestCdxWet.
+    """
+    import os
+
+    from ray.data.aggregate import Count, Sum
+
+    from pdf_parser_ray.corpus import ensure_corpus, sf_to_n_docs
+    from pdf_parser_ray.pipelines import read_corpus
+    from pdf_parser_ray.warc import index_warc_files, write_warc_dataset
+
+    n = min(sf_to_n_docs(_sf_from_dir(sf_dir)), 2000)
+    warc_dir = f"/tmp/pdf_parser_ray_warc/n{n}"
+    done = os.path.join(warc_dir, "_done")
+    if not os.path.exists(done):
+        src = read_corpus(ensure_corpus(n)).limit(n)
+        write_warc_dataset(src, warc_dir).materialize()
+        open(done, "w").close()
+    return (
+        index_warc_files(warc_dir)
+        .groupby(["record_type", "mime"])
+        .aggregate(Count(alias_name="n_records"),
+                   Sum("length", alias_name="sum_compressed"))
+        .sort(["record_type", "mime"])
+    )
+
+
+QUERIES["cdx_index"] = q_cdx_index

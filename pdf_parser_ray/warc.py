@@ -468,3 +468,268 @@ def write_warc_dataset(ds, out_dir: str, compress: bool = True):
     return ds.map_batches(to_us, batch_format="pyarrow").map_batches(
         write_batch, batch_format="pyarrow"
     )
+
+
+# ----------------------------------------------- CDX index + random access
+
+def iter_gzip_members(fileobj) -> Iterator[tuple[int, int, bytes]]:
+    """Yield ``(offset, compressed_length, decompressed_bytes)`` per gzip
+    member.  This is what makes per-record-member archives randomly
+    accessible: a CDX row stores (offset, length) and a reader later
+    fetches exactly that byte range — no scan, which is how Common Crawl
+    serves single pages out of 1 GB archives."""
+    import zlib
+
+    offset = 0
+    buf = b""
+    eof = False
+    while True:
+        if not buf and eof:
+            return
+        d = zlib.decompressobj(31)
+        out = []
+        consumed = 0
+        while True:
+            if not buf:
+                chunk = fileobj.read(1 << 16)
+                if not chunk:
+                    eof = True
+                    if consumed or out:
+                        raise WarcError("truncated gzip member")
+                    return
+                buf = chunk
+            out.append(d.decompress(buf))
+            if d.eof:
+                tail = d.unused_data
+                consumed += len(buf) - len(tail)
+                buf = tail
+                yield offset, consumed, b"".join(out)
+                offset += consumed
+                break
+            consumed += len(buf)
+            buf = b""
+
+
+def surt_key(url: str) -> str:
+    """Sort-friendly URI Reordering Transform (public CDX convention):
+    ``https://www.Example.org/A/b?z=1`` -> ``org,example)/a/b?z=1``.
+    Host reversed comma-wise, lower-cased, leading www. dropped, scheme
+    and default ports dropped, query params sorted."""
+    u = url.strip()
+    for scheme in ("https://", "http://"):
+        if u.lower().startswith(scheme):
+            u = u[len(scheme):]
+            break
+    host, slash, rest = u.partition("/")
+    host = host.lower()
+    if "@" in host:
+        host = host.rsplit("@", 1)[1]
+    if host.endswith(":80") or host.endswith(":443"):
+        host = host.rsplit(":", 1)[0]
+    if host.startswith("www."):
+        host = host[4:]
+    path, q, query = rest.partition("?")
+    key = ",".join(reversed(host.split("."))) + ")/" + path.lower()
+    if q:
+        key += "?" + "&".join(sorted(query.lower().split("&")))
+    return key
+
+
+def fetch_record(path: str, offset: int, length: int) -> tuple[dict, bytes]:
+    """Random access: read one record by its CDX (offset, length).  For
+    ``.gz`` archives the range is one gzip member; plain archives store
+    raw record bytes at the offset."""
+    with open(path, "rb") as f:
+        f.seek(offset)
+        blob = f.read(length)
+    if blob[:2] == b"\x1f\x8b":
+        blob = gzip.decompress(blob)
+    for headers, payload in iter_warc_records(io.BytesIO(blob)):
+        return headers, payload
+    raise WarcError(f"no record at {path}:{offset}+{length}")
+
+
+CDX_SCHEMA = pa.schema(
+    [
+        ("urlkey", pa.string()),
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("mime", pa.string()),
+        ("http_status", pa.int32()),
+        ("filename", pa.string()),
+        ("offset", pa.int64()),
+        ("length", pa.int64()),
+        ("record_type", pa.string()),
+    ]
+)
+
+
+def index_warc_files(paths) -> "object":
+    """Build a CDX index Dataset over WARC archives: one task per file,
+    each streaming its members once (payload bodies are decompressed to
+    locate boundaries but never shipped — only offsets leave the task).
+    At fleet scale this is the classic index job: output is tiny
+    (~100 B/record) regardless of archive size."""
+    import os
+
+    import ray.data
+
+    if isinstance(paths, str):
+        root = paths
+        if os.path.isdir(root):
+            paths = sorted(
+                os.path.join(root, p)
+                for p in os.listdir(root)
+                if p.endswith((".warc", ".warc.gz"))
+            )
+        else:
+            paths = [root]
+
+    def index_file(batch: pa.Table) -> pa.Table:
+        rows = []
+        for path in batch.column("path").to_pylist():
+            with open(path, "rb") as f:
+                if path.endswith(".gz"):
+                    members = iter_gzip_members(f)
+                else:
+                    members = _plain_member_spans(f)
+                for offset, length, blob in members:
+                    for headers, payload in iter_warc_records(
+                        io.BytesIO(blob)
+                    ):
+                        status, hh, _body = split_http_payload(payload)
+                        url = headers.get("warc-target-uri", "")
+                        rows.append(
+                            {
+                                "urlkey": surt_key(url) if url else "",
+                                "url": url,
+                                "warc_ts": parse_warc_date(
+                                    headers.get(
+                                        "warc-date", "1970-01-01T00:00:00Z"
+                                    )
+                                ),
+                                "mime": hh.get(
+                                    "content-type",
+                                    headers.get("content-type", ""),
+                                ),
+                                "http_status": status,
+                                "filename": path,
+                                "offset": offset,
+                                "length": length,
+                                "record_type": headers.get("warc-type", ""),
+                            }
+                        )
+                        break  # one record per member
+        return pa.Table.from_pylist(rows, schema=CDX_SCHEMA)
+
+    src = ray.data.from_items([{"path": p} for p in paths])
+    return src.map_batches(index_file, batch_format="pyarrow", batch_size=1)
+
+
+def _plain_member_spans(f) -> Iterator[tuple[int, int, bytes]]:
+    """Record spans for an UNcompressed archive: parse sequentially,
+    tracking byte offsets (record end = terminator after payload)."""
+    data = f.read()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        while pos < n and data[pos : pos + 2] in (b"\r\n",) or (
+            pos < n and data[pos : pos + 1] == b"\n"
+        ):
+            pos += 2 if data[pos : pos + 2] == b"\r\n" else 1
+        if pos >= n:
+            return
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            raise WarcError("truncated header block")
+        head = data[pos : head_end + 4]
+        length = 0
+        for line in head.split(b"\r\n"):
+            if line.lower().startswith(b"content-length:"):
+                length = int(line.split(b":", 1)[1])
+        end = head_end + 4 + length + 4  # payload + \r\n\r\n
+        yield pos, end - pos, data[pos:end]
+        pos = end
+
+
+# ------------------------------------------------------------ WET output
+
+def write_wet_file(path: str, rows: list[dict], compress: bool = True,
+                   text_col: str = "extracted_text") -> int:
+    """Write extracted text as WET-style ``conversion`` records (payload
+    is bare UTF-8 text, no HTTP wrapper — the Common Crawl WET layout)."""
+
+    def emit(f, rec: bytes):
+        f.write(gzip.compress(rec, 6, mtime=0) if compress else rec)
+
+    n = 0
+    with open(path, "wb") as f:
+        for row in rows:
+            body = (row.get(text_col) or "").encode("utf-8")
+            emit(
+                f,
+                build_record(
+                    "conversion",
+                    {
+                        "WARC-Target-URI": row["url"],
+                        "WARC-Date": format_warc_date(int(row["warc_ts"])),
+                        "Content-Type": "text/plain",
+                    },
+                    body,
+                ),
+            )
+            n += 1
+    return n
+
+
+def write_wet_dataset(ds, out_dir: str, compress: bool = True,
+                      text_col: str = "extracted_text"):
+    """WET sink mirroring write_warc_dataset (content-addressed names,
+    skip-if-exists, manifest rows)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        cols = ["url", "warc_ts", text_col]
+        sub = batch.select(cols)
+        ts = sub.column("warc_ts")
+        if pa.types.is_timestamp(ts.type):
+            sub = sub.set_column(1, "warc_ts", ts.cast(pa.int64()))
+        rows = sub.to_pylist()
+        key = hashlib.sha1(
+            "\n".join(r["url"] for r in rows).encode()
+        ).hexdigest()[:16]
+        path = os.path.join(
+            out_dir, f"part-{key}.warc.wet" + (".gz" if compress else "")
+        )
+        if not os.path.exists(path):
+            tmp = path + ".tmp"
+            write_wet_file(tmp, rows, compress=compress, text_col=text_col)
+            os.replace(tmp, path)
+        return pa.Table.from_pylist(
+            [{"path": path, "n_records": len(rows),
+              "n_bytes": sum(len(r[text_col] or "") for r in rows)}]
+        )
+
+    return ds.map_batches(write_batch, batch_format="pyarrow")
+
+
+def read_wet(paths, **kwargs):
+    """Read WET archives back as (url, warc_ts, text) — conversion
+    records, payload decoded as UTF-8."""
+    ds = read_warc(paths, record_types=("conversion",), **kwargs)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.Table.from_arrays(
+            [
+                batch.column("url"),
+                batch.column("warc_ts"),
+                pc.cast(batch.column("html"), pa.string()),
+            ],
+            names=["url", "warc_ts", "text"],
+        )
+
+    return ds.map_batches(decode, batch_format="pyarrow")

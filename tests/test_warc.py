@@ -195,3 +195,65 @@ class TestRayDatasource:
         # differ (WARC has no text column); everything else must match.
         for u in diffs:
             assert direct[u] != "" and via_warc[u] == "", u
+
+
+class TestCdxWet:
+    def test_surt_key_rules(self):
+        from pdf_parser_ray.warc import surt_key
+
+        assert surt_key("https://www.Example.org/A/b?z=1&a=2") == \
+            "org,example)/a/b?a=2&z=1"
+        assert surt_key("http://sub.host.com:80/") == "com,host,sub)/"
+        assert surt_key("https://user@Host.io:443/P") == "io,host)/p"
+
+    def test_gzip_member_offsets_random_access(self, tmp_path):
+        from pdf_parser_ray.warc import fetch_record, iter_gzip_members
+
+        rows = _rows(12)
+        path = str(tmp_path / "a.warc.gz")
+        write_warc_file(path, rows)
+        with open(path, "rb") as f:
+            members = [(o, n) for o, n, _ in iter_gzip_members(f)]
+        assert len(members) == 13  # warcinfo + 12
+        # spans tile the file exactly
+        assert members[0][0] == 0
+        for (o1, n1), (o2, _) in zip(members, members[1:]):
+            assert o1 + n1 == o2
+        assert members[-1][0] + members[-1][1] == os.path.getsize(path)
+        by_url = {r["url"]: r for r in rows}
+        for off, length in members[1:]:
+            h, p = fetch_record(path, off, length)
+            _, _, body = split_http_payload(p)
+            assert body == (by_url[h["warc-target-uri"]]["html"] or b"")
+
+    def test_cdx_index_dataset(self, ray_session, tmp_path):
+        from pdf_parser_ray.warc import fetch_record, index_warc_files, surt_key
+
+        rows = _rows(16)
+        write_warc_file(str(tmp_path / "a.warc.gz"), rows[:8])
+        write_warc_file(str(tmp_path / "b.warc.gz"), rows[8:])
+        idx = index_warc_files(str(tmp_path)).take_all()
+        resp = [r for r in idx if r["record_type"] == "response"]
+        assert len(resp) == 16
+        assert {r["url"] for r in resp} == {r["url"] for r in rows}
+        for r in resp[:4]:
+            assert r["urlkey"] == surt_key(r["url"])
+            h, p = fetch_record(r["filename"], r["offset"], r["length"])
+            assert h["warc-target-uri"] == r["url"]
+        pdfs = [r for r in resp if r["mime"] == "application/pdf"]
+        assert pdfs  # mime came from the HTTP headers
+
+    def test_wet_dataset_roundtrip(self, ray_session, tmp_path):
+        import ray.data
+
+        from pdf_parser_ray.pipelines import extract_corpus
+        from pdf_parser_ray.warc import read_wet, write_wet_dataset
+
+        t = generate_corpus_table(16)
+        extracted = extract_corpus(ray.data.from_arrow(t), include_spans=False)
+        out = str(tmp_path / "wet")
+        m = write_wet_dataset(extracted, out).take_all()
+        assert sum(r["n_records"] for r in m) == 16
+        back = {r["url"]: r["text"] for r in read_wet(out).take_all()}
+        exp = {r["url"]: r["extracted_text"] for r in extracted.take_all()}
+        assert back == exp
