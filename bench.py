@@ -188,6 +188,8 @@ BENCH_QUERIES = [
     "page_metadata",
     "ivm_daily_totals",
     "k_anonymity",
+    "warc_extract",
+    "cdx_index",
 ]
 
 

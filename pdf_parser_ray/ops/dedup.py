@@ -2448,9 +2448,43 @@ def hits_bipartite(
 
     h = np.ones(len(c_nodes), dtype=np.float64)
     a = np.zeros(len(s_nodes), dtype=np.float64)
-    for _ in range(n_iters):
-        a = half_step(c_nodes, h, src, dst, s_nodes)
-        h = half_step(s_nodes, a, dst, src, c_nodes)
+
+    # Fast path: the driver already holds per-node vectors, so when the
+    # edge multiset is driver-bounded too, collapse it ONCE into weighted
+    # distinct pairs (one grouped_sum pass) and run the 2×n_iters
+    # mat-vec halves locally — 12 sequential Ray executions (~1 s fixed
+    # cost each, 13.9 s total on the sf0.1 bench) become one (3.4 s).
+    # Value-identical to the scan path: per-half sums of the same term
+    # multiset, snapped by the round-8 normalization each half.  Larger
+    # graphs keep the per-iteration Ray scan below.
+    MAX_DRIVER_PAIRS = 2_000_000
+    if e.count() <= MAX_DRIVER_PAIRS:
+        from pdf_parser_ray.ops.shuffle import grouped_sum
+
+        def pair_partial(df: pd.DataFrame) -> "object":
+            from pdf_parser_ray.io_utils import arrow_out as _ao
+
+            g = df.groupby([src, dst], as_index=False).size()
+            return _ao(g.rename(columns={"size": "w"}))
+
+        pdf = grouped_sum(
+            e.map_batches(pair_partial, batch_format="pandas"),
+            [src, dst], ["w"],
+        ).to_pandas()
+        ci = np.searchsorted(c_nodes, pdf[src].to_numpy(np.int64))
+        si = np.searchsorted(s_nodes, pdf[dst].to_numpy(np.int64))
+        w = pdf["w"].to_numpy(np.float64)
+        for _ in range(n_iters):
+            a = np.zeros(len(s_nodes), dtype=np.float64)
+            np.add.at(a, si, w * h[ci])
+            a = np.round(a / a.max(), round_iters)
+            h = np.zeros(len(c_nodes), dtype=np.float64)
+            np.add.at(h, ci, w * a[si])
+            h = np.round(h / h.max(), round_iters)
+    else:
+        for _ in range(n_iters):
+            a = half_step(c_nodes, h, src, dst, s_nodes)
+            h = half_step(s_nodes, a, dst, src, c_nodes)
     return pd.DataFrame(
         {
             "kind": ["auth"] * len(s_nodes) + ["hub"] * len(c_nodes),
