@@ -1391,6 +1391,54 @@ def pagerank(
         mirror, batch_format="pandas"
     ).materialize()
 
+    # Fast path (the hits_bipartite collapse): when the edge list is
+    # driver-bounded AND inter-iteration rounding is on (the snapping
+    # that makes summation-tree changes value-invisible), collapse the
+    # mirrored edges ONCE into weighted distinct (s, d) pairs and run
+    # everything else locally: degrees are the pair-weight row sums
+    # (exact integers), nodes the distinct sources, and all n_iters
+    # sparse mat-vecs are driver np.add.at passes.  This skips the
+    # degree aggregate, the union+attach co-location shuffle, its
+    # materialize, the unique() pass, and n_iters sequential Ray
+    # executions (~1 s fixed cost each) — one grouped_sum pass total
+    # (measured: part_pagerank 11.2 s -> 6.4 s warm at sf0.1/32 CPUs).
+    # Larger graphs / round_iters=None keep the distributed loop.
+    MAX_DRIVER_EDGES = 8_000_000
+    if round_iters is not None and e.count() <= MAX_DRIVER_EDGES:
+        def pair_partial(df: pd.DataFrame) -> "object":
+            g = df.groupby(["s", "d"], as_index=False).size()
+            return arrow_out(g.rename(columns={"size": "w"}))
+
+        pairs = grouped_sum(
+            e.map_batches(pair_partial, batch_format="pandas"),
+            ["s", "d"], ["w"],
+        ).to_pandas()
+        if not len(pairs):
+            import pyarrow as pa
+
+            return ray.data.from_arrow(pa.table({
+                "node": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.float64())}))
+        s_arr = pairs["s"].to_numpy(np.int64)
+        d_arr = pairs["d"].to_numpy(np.int64)
+        w = pairs["w"].to_numpy(np.float64)
+        node_keys = np.unique(s_arr)
+        n = len(node_keys)
+        teleport = (1.0 - damping) / n
+        si = np.searchsorted(node_keys, s_arr)
+        di = np.searchsorted(node_keys, d_arr)
+        deg_vec = np.zeros(n, dtype=np.float64)
+        np.add.at(deg_vec, si, w)  # integer-valued -> exact
+        wd = w / deg_vec[si]
+        rank_vals = np.full(n, 1.0 / n, dtype=np.float64)
+        for _ in range(n_iters):
+            vec = np.zeros(n, dtype=np.float64)
+            np.add.at(vec, di, rank_vals[si] * wd)
+            rank_vals = np.round(teleport + damping * vec, round_iters)
+        out = pd.DataFrame({"node": pd.Series(node_keys, dtype="int64")})
+        out["rank"] = np.round(rank_vals, 6)
+        return ray.data.from_pandas(out)
+
     # degree per source, attached once; the annotated edge list is the
     # loop invariant → materialize (edge-cardinality, not corpus)
     def deg_partial(df: pd.DataFrame) -> "object":
