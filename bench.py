@@ -189,6 +189,8 @@ BENCH_QUERIES = [
     "ivm_daily_totals",
     "k_anonymity",
     "warc_extract",
+    "nb_lang_predict",
+    "cms_user_counts",
     "cdx_index",
 ]
 

@@ -912,3 +912,128 @@ def log_bucket_quantiles(
         rows.append(row)
     out = pd.DataFrame(rows)
     return out.reset_index(drop=True)
+
+
+def cms_counts(
+    ds: ray.data.Dataset,
+    key_col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+) -> ray.data.Dataset:
+    """Count-min sketch frequency estimates (Cormode & Muthukrishnan
+    2005) — the fixed-memory answer to "how often does each key occur"
+    when the key space is too large for an exact count table.  The
+    sketch is a depth×width int64 counter matrix; estimate(k) =
+    min_d M[d, h_d(k)] ≥ true count (one-sided overcount only).
+
+    Build: per-batch partials emit nonzero (d, bucket, n) triples →
+    ONE bounded groupby at depth×width cardinality (never O(rows) or
+    O(keys)); the merged matrix (32 KB at 4×1024) is broadcast once.
+    Probe: per-key exact counts come from the usual partial-count +
+    grouped_sum co-location, then estimates attach row-locally — so
+    the output doubles as an accuracy audit (``overcount`` column).
+
+    Hash h_d(k) = ``int(md5(f"{d}:{k}")[:8], 16) % width`` — DuckDB
+    ``('0x' || substr(md5(d || ':' || k::VARCHAR), 1, 8))::BIGINT %
+    width``, the register-exact oracle trick; everything stays int64,
+    so the driver hash check needs no rounding contract at all.
+
+    Output: (key_col, est:int64, exact:int64, overcount:int64), one
+    row per distinct key.
+    """
+    import hashlib
+
+    import ray
+    from ray.data.aggregate import Sum as _Sum
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import grouped_sum
+    from pdf_parser_ray.stages import worker_state
+
+    def _buckets(keys: "pd.Series") -> "np.ndarray":
+        """(len(keys), depth) int64 bucket matrix via a worker cache."""
+        cache = worker_state(("cms_md5", depth, width), dict)
+        for k in keys.unique():
+            if k not in cache:
+                cache[k] = tuple(
+                    int(
+                        hashlib.md5(f"{d}:{k}".encode("utf-8")).hexdigest()[:8],
+                        16,
+                    )
+                    % width
+                    for d in range(depth)
+                )
+        return np.array([cache[k] for k in keys], dtype=np.int64)
+
+    keyed = ds.select_columns([key_col])
+
+    def sketch_partial(df: pd.DataFrame):
+        if not len(df):
+            return arrow_out(
+                pd.DataFrame(
+                    {"d": pd.Series([], dtype="int64"),
+                     "bucket": pd.Series([], dtype="int64"),
+                     "n": pd.Series([], dtype="int64")}
+                )
+            )
+        b = _buckets(df[key_col])
+        frames = []
+        for d in range(depth):
+            cnt = np.bincount(b[:, d], minlength=width)
+            nz = np.flatnonzero(cnt)
+            frames.append(
+                pd.DataFrame(
+                    {"d": np.int64(d), "bucket": nz, "n": cnt[nz]}
+                )
+            )
+        out = pd.concat(frames, ignore_index=True)
+        return arrow_out(out.astype({"bucket": "int64", "n": "int64"}))
+
+    merged = (
+        keyed.map_batches(sketch_partial, batch_format="pandas")
+        .groupby(["d", "bucket"])
+        .aggregate(_Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: ≤ depth × width rows
+    )
+    M = np.zeros((depth, width), dtype=np.int64)
+    M[merged["d"].to_numpy(dtype=np.int64),
+      merged["bucket"].to_numpy(dtype=np.int64)] = merged["n"].to_numpy(
+        dtype=np.int64
+    )
+    m_ref = ray.put(M)
+
+    def count_partial(df: pd.DataFrame):
+        g = df.groupby(key_col, as_index=False).size()
+        g = g.rename(columns={"size": "exact"})
+        g["exact"] = g["exact"].astype("int64")
+        return arrow_out(g)
+
+    exact = grouped_sum(
+        keyed.map_batches(count_partial, batch_format="pandas"),
+        [key_col],
+        ["exact"],
+    )
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        m = worker_state(("cms_m", m_ref.hex()), lambda: ray.get(m_ref))
+        if not len(df):
+            return pd.DataFrame(
+                {key_col: pd.Series([], dtype="int64"),
+                 "est": pd.Series([], dtype="int64"),
+                 "exact": pd.Series([], dtype="int64"),
+                 "overcount": pd.Series([], dtype="int64")}
+            )
+        b = _buckets(df[key_col])
+        est = np.min(
+            np.stack([m[d, b[:, d]] for d in range(depth)], axis=1), axis=1
+        ).astype("int64")
+        exact_n = df["exact"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {key_col: df[key_col].to_numpy(),
+             "est": est,
+             "exact": exact_n,
+             "overcount": est - exact_n}
+        )
+
+    return exact.map_batches(attach, batch_format="pandas")

@@ -1634,3 +1634,158 @@ def label_noise_audit(
         .aggregate(Sum("n", alias_name="n"))
         .sort(["given_lang", "suggested_lang"])
     )
+
+
+def nb_classify(
+    ds: "ray.data.Dataset",
+    *,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    round_to: int = 6,
+) -> "ray.data.Dataset":
+    """Multinomial Naive Bayes over hashed-unigram features — the
+    classic learned quality/language gate a curation pipeline trains ON
+    the corpus and then applies TO the corpus (McCallum & Nigam 1998;
+    the hashing trick bounds the model at ``n_buckets`` weights per
+    class, Weinberger et al. 2009).  Train and score are two streaming
+    passes over the same table; no label file, no external model.
+
+    Pass 1 reduces to a (classes × n_buckets) count matrix plus
+    per-class doc counts — per-batch partials, bounded driver merge
+    (the dsir_logweights plan; reference has no analog, cited pattern
+    is replacer.py:119-214's whole-corpus inventory pre-pass made
+    distributed).  The add-one-smoothed log-likelihood matrix and the
+    ln-prior vector are broadcast once via ``ray.put``; pass 2 scores
+    each document row-locally and picks ``argmax_c [prior_c +
+    Σ_tokens w_c(bucket)]``.
+
+    Cross-engine determinism: buckets are the md5-prefix trick
+    (``int(md5(token)[:8],16) % n_buckets`` == DuckDB ``('0x' ||
+    substr(md5(t),1,8))::BIGINT % n``); per-(class,bucket) weights are
+    computed once from identical integer operands so both engines hold
+    bit-identical weight tables; the per-doc score is a cross-row float
+    sum → rounded to ``round_to`` on BOTH sides BEFORE the
+    (score DESC, class ASC) argmax tie-break (the knn_cosine rule).
+
+    Output: (id_col, pred:string, score:float64, correct:int64) — one
+    row per document with ≥1 token.  ``correct`` compares against the
+    document's own ``label_col`` (self-training readout: the confusion
+    companion to lang_id_kappa).
+    """
+    import math
+
+    import numpy as np
+    import ray
+
+    from pdf_parser_ray.stages import worker_state
+
+    def _bucketize(tokens: pd.Series) -> pd.Series:
+        cache = worker_state(("nb_md5", n_buckets), dict)
+        for t in tokens.unique():
+            if t not in cache:
+                cache[t] = (
+                    int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+                    % n_buckets
+                )
+        return tokens.map(cache)
+
+    # ---- pass 1: (class, bucket) token counts + per-class doc counts.
+    # bucket == -1 rows carry the doc counts so ONE scan feeds both.
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].fillna("").str.lower().str.findall(TOKEN_PAT)
+        ex = toks.explode().dropna()
+        labels = df[label_col].astype(str)
+        frames = [
+            pd.DataFrame(
+                {"c": labels, "bucket": np.int64(-1), "n": np.int64(1)}
+            )
+        ]
+        if len(ex):
+            pos = df.index.get_indexer(ex.index)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "c": labels.to_numpy()[pos],
+                        "bucket": _bucketize(ex).astype("int64").to_numpy(),
+                        "n": np.int64(1),
+                    }
+                )
+            )
+        g = (
+            pd.concat(frames, ignore_index=True)
+            .groupby(["c", "bucket"], as_index=False)["n"]
+            .sum()
+        )
+        return g.astype({"bucket": "int64", "n": "int64"})
+
+    counts = (
+        ds.select_columns([label_col, text_col])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()  # bounded: ≤ blocks × classes × (n_buckets+1) rows
+        .groupby(["c", "bucket"], as_index=False)["n"]
+        .sum()
+    )
+    doc_n = (
+        counts[counts["bucket"] == -1].set_index("c")["n"].astype("int64")
+    )
+    tok = counts[counts["bucket"] != -1]
+    classes = sorted(doc_n.index)
+    d_tot = int(doc_n.sum())
+    n_cls = len(classes)
+    weights = np.zeros((n_cls, n_buckets), dtype=np.float64)
+    priors = np.zeros(n_cls, dtype=np.float64)
+    by_class = {c: g for c, g in tok.groupby("c")}
+    for i, c in enumerate(classes):
+        priors[i] = math.log(int(doc_n[c]) / d_tot)
+        g = by_class.get(c)
+        n_c = int(g["n"].sum()) if g is not None else 0
+        # identical operand tree to the SQL twin:
+        # ln((n_cb + 1) / (n_c + n_buckets)) per bucket, zeros included
+        row = np.full(n_buckets, math.log(1.0 / (n_c + n_buckets)))
+        if g is not None:
+            for b, n in zip(g["bucket"], g["n"]):
+                row[int(b)] = math.log((int(n) + 1) / (n_c + n_buckets))
+        weights[i] = row
+    model_ref = ray.put((classes, priors, weights))
+
+    # ---- pass 2: row-local scoring against the broadcast model.
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        cls, pri, w = worker_state(
+            ("nb_model", model_ref.hex()), lambda: ray.get(model_ref)
+        )
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series([], dtype="int64"),
+                "pred": pd.Series([], dtype="object"),
+                "score": pd.Series([], dtype="float64"),
+                "correct": pd.Series([], dtype="int64"),
+            }
+        )
+        toks = df[text_col].fillna("").str.lower().str.findall(TOKEN_PAT)
+        ex = toks.explode().dropna()
+        if not len(ex):
+            return empty
+        b = _bucketize(ex).astype("int64").to_numpy()
+        pos = df.index.get_indexer(ex.index)
+        per_tok = pd.DataFrame(w[:, b].T, columns=range(len(cls)))
+        per_tok["__row"] = pos
+        sums = per_tok.groupby("__row").sum()  # (docs × classes)
+        scores = np.round(sums.to_numpy() + pri[None, :], round_to)
+        best = np.argmax(scores, axis=1)  # ties → lowest index = class ASC
+        rows = sums.index.to_numpy()
+        pred = np.array(cls, dtype=object)[best]
+        actual = df[label_col].astype(str).to_numpy()[rows]
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy()[rows],
+                "pred": pred,
+                "score": scores[np.arange(len(best)), best] + 0.0,
+                "correct": (pred == actual).astype("int64"),
+            }
+        )
+
+    return ds.select_columns([id_col, label_col, text_col]).map_batches(
+        score, batch_format="pandas"
+    )

@@ -9514,3 +9514,116 @@ def q_cdx_index(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES["cdx_index"] = q_cdx_index
+
+
+# ---------------------------------------------------- learned NB gate
+
+
+def q_nb_lang_predict(sf_dir: str) -> ray.data.Dataset:
+    """Hashed-feature multinomial Naive Bayes trained ON the corpus
+    (lang labels, 256 md5 unigram buckets) and applied TO the corpus:
+    per-doc predicted class, rounded log-posterior, self-agreement flag
+    — the learned-filter companion to the heuristic q:lang_id."""
+    from pdf_parser_ray.ops.text_stats import nb_classify
+
+    return nb_classify(
+        _documents(sf_dir, columns=["doc_id", "text", "lang"]),
+        n_buckets=256,
+    )
+
+
+QUERIES["nb_lang_predict"] = q_nb_lang_predict
+
+# Weight per (class, bucket) is computed ONCE from identical integer
+# operands on both engines (bit-identical IEEE); the per-doc score is a
+# cross-row float sum -> round 6 BEFORE the (score DESC, pred ASC)
+# argmax tie-break (knn_cosine rule).
+SQL["nb_lang_predict"] = r"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(regexp_extract_all(lower(text), '\S+')) AS token
+      FROM documents),
+    b AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(token), 1, 8))::BIGINT % 256 AS bucket
+      FROM tok),
+    cls AS (SELECT lang AS c, count(*)::BIGINT AS d_c
+            FROM documents GROUP BY lang),
+    tot AS (SELECT count(*)::BIGINT AS d_tot FROM documents),
+    cb AS (
+      SELECT lang AS c, bucket, count(*)::BIGINT AS n
+      FROM b GROUP BY lang, bucket),
+    nc AS (SELECT c, CAST(sum(n) AS BIGINT) AS n_c FROM cb GROUP BY c),
+    sc AS (
+      SELECT b.doc_id, cls.c,
+             sum(ln((coalesce(cb.n, 0) + 1)::DOUBLE
+                    / (nc.n_c + 256)::DOUBLE)) AS s
+      FROM b CROSS JOIN cls
+      JOIN nc ON nc.c = cls.c
+      LEFT JOIN cb ON cb.c = cls.c AND cb.bucket = b.bucket
+      GROUP BY b.doc_id, cls.c),
+    fin AS (
+      SELECT sc.doc_id, sc.c AS pred,
+             round(sc.s + ln(cls.d_c::DOUBLE / tot.d_tot), 6) AS score
+      FROM sc JOIN cls ON cls.c = sc.c CROSS JOIN tot)
+    SELECT f.doc_id, f.pred, f.score,
+           CAST(CASE WHEN f.pred = d.lang THEN 1 ELSE 0 END AS BIGINT)
+             AS correct
+    FROM fin f JOIN documents d USING (doc_id)
+    QUALIFY row_number() OVER (PARTITION BY f.doc_id
+                               ORDER BY f.score DESC, f.pred) = 1
+"""
+
+
+# --------------------------------------------------- count-min sketch
+
+
+def q_cms_user_counts(sf_dir: str) -> ray.data.Dataset:
+    """Count-min sketch (4×1024) event counts per user vs the exact
+    count — the overcount column audits the sketch's one-sided error;
+    all-int64, so the oracle needs no rounding contract."""
+    from pdf_parser_ray.ops.sketches import cms_counts
+
+    return cms_counts(
+        _read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"]),
+        "user_id",
+        depth=4,
+        width=1024,
+    )
+
+
+QUERIES["cms_user_counts"] = q_cms_user_counts
+
+
+def _cms_sql(depth: int, width: int) -> str:
+    hcols = ",\n             ".join(
+        f"('0x' || substr(md5('{d}:' || CAST(user_id AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {width} AS b{d}"
+        for d in range(depth)
+    )
+    rows = ",\n    ".join(
+        f"r{d} AS (SELECT b{d} AS b, count(*)::BIGINT AS n "
+        f"FROM h GROUP BY b{d})"
+        for d in range(depth)
+    )
+    joins = "\n    ".join(
+        f"JOIN r{d} ON r{d}.b = k.b{d}" for d in range(depth)
+    )
+    least = ", ".join(f"r{d}.n" for d in range(depth))
+    bsel = ", ".join(f"min(b{d}) AS b{d}" for d in range(depth))
+    return f"""
+    WITH h AS (
+      SELECT user_id,
+             {hcols}
+      FROM events),
+    {rows},
+    k AS (SELECT user_id, count(*)::BIGINT AS exact, {bsel}
+          FROM h GROUP BY user_id)
+    SELECT k.user_id, least({least})::BIGINT AS est, k.exact,
+           (least({least}) - k.exact)::BIGINT AS overcount
+    FROM k
+    {joins}
+"""
+
+
+SQL["cms_user_counts"] = _cms_sql(4, 1024)

@@ -815,3 +815,74 @@ class TestAbExperiment:
         assert abs(out["theta"][0] - 2.0) < 1e-9
         assert abs(out["diff_adj"][0]) < 1e-6
         assert out["n_a"][0] + out["n_b"][0] == 80
+
+
+class TestNbClassify:
+    def test_separable_classes_and_prior_fallback(self, ray_session):
+        # Two token-disjoint classes: every doc must classify to its
+        # own class; a doc of UNSEEN tokens falls back to the prior
+        # (majority class wins because all per-bucket weights equalize
+        # only when the unseen buckets miss both classes' vocab).
+        from pdf_parser_ray.ops.text_stats import nb_classify
+
+        rows = []
+        for i in range(8):
+            rows.append(
+                {"doc_id": i, "lang": "aa", "text": "apple apple banana"}
+            )
+        for i in range(8, 12):
+            rows.append({"doc_id": i, "lang": "bb", "text": "zebra yak"})
+        df = pd.DataFrame(rows)
+        out = (
+            nb_classify(_ds(df, 3))
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert len(out) == 12
+        assert (out.loc[:7, "pred"] == "aa").all()
+        assert (out.loc[8:, "pred"] == "bb").all()
+        assert out["correct"].sum() == 12
+
+    def test_tie_breaks_to_lowest_class_name(self, ray_session):
+        # Perfectly symmetric corpus: both classes give any doc the
+        # same rounded score, so argmax must pick the ASC-first class.
+        from pdf_parser_ray.ops.text_stats import nb_classify
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "lang": ["bb", "aa"],
+                "text": ["same same", "same same"],
+            }
+        )
+        out = nb_classify(_ds(df)).to_pandas()
+        assert (out["pred"] == "aa").all()
+
+
+class TestCmsCounts:
+    def test_exact_when_wide(self, ray_session):
+        # width >> keys: collisions are (near) impossible at depth 4,
+        # so every estimate is exact and overcount == 0.
+        from pdf_parser_ray.ops.sketches import cms_counts
+
+        df = pd.DataFrame({"user_id": [1, 1, 1, 2, 2, 3] * 5})
+        out = (
+            cms_counts(_ds(df, 3), "user_id", depth=4, width=4096)
+            .to_pandas()
+            .set_index("user_id")
+            .sort_index()
+        )
+        assert out["exact"].tolist() == [15, 10, 5]
+        assert out["overcount"].tolist() == [0, 0, 0]
+
+    def test_one_sided_overcount_when_narrow(self, ray_session):
+        # width 1 forces every key into one counter: est == total rows
+        # for every key — the one-sided error bound est >= exact.
+        from pdf_parser_ray.ops.sketches import cms_counts
+
+        df = pd.DataFrame({"user_id": list(range(10)) * 3})
+        out = cms_counts(_ds(df, 2), "user_id", depth=2, width=1).to_pandas()
+        assert (out["est"] == 30).all()
+        assert (out["overcount"] == 27).all()
+        assert (out["est"] >= out["exact"]).all()
