@@ -191,6 +191,7 @@ BENCH_QUERIES = [
     "warc_extract",
     "nb_lang_predict",
     "cms_user_counts",
+    "bitext_mine",
     "cdx_index",
 ]
 

@@ -824,3 +824,175 @@ def coreset_kcenter(
             "gain": pd.Series([c[2] for c in centers], dtype="float64"),
         }
     )
+
+
+def bitext_margin_pairs(
+    ds: ray.data.Dataset,
+    *,
+    src_lang: str,
+    tgt_lang: str,
+    k: int = 4,
+    n_index: int = 64,
+    threshold: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    round_to: int = 6,
+) -> ray.data.Dataset:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the ratio
+    margin used to mine parallel corpora like CCMatrix): for every
+    source-language document, find the target-language candidate that
+    maximizes ``margin(x,y) = 2·cos(x,y) / (knn_avg(x) + knn_avg(y))``
+    — cosine relative to how close each side is to its OTHER nearest
+    neighbors, which suppresses hub documents that are merely close to
+    everything.
+
+    The target index is a BOUNDED deterministic anchor set (the
+    ``n_index`` smallest ``id_col`` values of ``tgt_lang`` — the IVF
+    seeded-sample pattern): its (n_index × dim) matrix broadcasts via
+    ``ray.put`` and every stage stays row-local over the source side.
+    Pass A streams the source once to collect, per target anchor, the
+    top-``k`` source cosines (≤ n_index·k rows per batch, driver-merged
+    — bounded); pass B re-streams it to pick each source doc's best
+    margin against the broadcast per-anchor averages.  At 100-TB the
+    anchor set shards into IVF lists (similarity.ivf_knn) and pass A/B
+    run per list; the per-stage shapes are unchanged.
+
+    Determinism contract (driver-oracle grade): embeddings are the md5
+    hash-trick vectors (``embed_documents(hash_fn="md5")``, SQL-
+    rederivable); every cosine is rounded to ``round_to`` BEFORE any
+    ranking, averaging, or margin math; top-k selection breaks ties by
+    id ASC; the final candidate picks (margin DESC, tgt ASC).  Zero
+    denominators (all-zero vectors) yield margin 0.
+
+    Output: (src_id:int64, tgt_id:int64, cosine:float64,
+    margin:float64) — one row per source doc whose best margin clears
+    ``threshold``.
+    """
+    import ray
+
+    from pdf_parser_ray.stages import worker_state
+
+    # ---- bounded deterministic anchor ids: n_index smallest tgt ids
+    def id_partial(t: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        f = t.filter(pc.equal(t.column(lang_col), tgt_lang))
+        ids = pc.sort_indices(f.column(id_col))[:n_index]
+        return f.take(ids).select([id_col])
+
+    anchor_ids = sorted(
+        ds.select_columns([lang_col, id_col])
+        .map_batches(id_partial, batch_format="pyarrow")
+        .to_pandas()[id_col]  # bounded: ≤ blocks × n_index rows
+        .nsmallest(n_index)
+        .tolist()
+    )
+    id_set = set(anchor_ids)
+
+    def keep_anchors(t: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        return t.filter(
+            pc.is_in(t.column(id_col), value_set=pa.array(sorted(id_set)))
+        )
+
+    import pyarrow as pa
+
+    tgt_pdf = (
+        embed_documents(
+            ds.select_columns([id_col, text_col, lang_col]).map_batches(
+                keep_anchors, batch_format="pyarrow"
+            ),
+            hash_fn="md5",
+            text_col=text_col,
+            id_col=id_col,
+        )
+        .to_pandas()  # bounded: ≤ n_index rows by construction
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    tgt_ids = tgt_pdf["vec_id"].to_numpy(dtype=np.int64)
+    T = _to_matrix(tgt_pdf["embedding"])
+    t_ref = ray.put((tgt_ids, T))
+
+    def src_only(t: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t.column(lang_col), src_lang))
+
+    src_embedded = embed_documents(
+        ds.select_columns([id_col, text_col, lang_col]).map_batches(
+            src_only, batch_format="pyarrow"
+        ),
+        hash_fn="md5",
+        text_col=text_col,
+        id_col=id_col,
+    ).materialize()  # consumed twice (pass A + pass B)
+
+    # ---- pass A: per-anchor top-k source cosines (bounded partials)
+    def y_topk_partial(df: pd.DataFrame) -> pd.DataFrame:
+        _, t = worker_state(("bitext_t", t_ref.hex()), lambda: ray.get(t_ref))
+        if not len(df):
+            return pd.DataFrame(
+                {"ti": pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="float64"),
+                 "src_id": pd.Series([], dtype="int64")}
+            )
+        c = np.round(_to_matrix(df["embedding"]) @ t.T, round_to)
+        sid = df["vec_id"].to_numpy(dtype=np.int64)
+        frames = []
+        for ti in range(t.shape[0]):
+            col = pd.DataFrame({"cosine": c[:, ti], "src_id": sid})
+            col = col.sort_values(
+                ["cosine", "src_id"], ascending=[False, True]
+            ).head(k)
+            col.insert(0, "ti", np.int64(ti))
+            frames.append(col)
+        return pd.concat(frames, ignore_index=True)
+
+    parts = (
+        src_embedded.map_batches(y_topk_partial, batch_format="pandas")
+        .to_pandas()  # bounded: ≤ blocks × n_index × k rows
+    )
+    y_avg = np.zeros(len(tgt_ids), dtype=np.float64)
+    for ti, g in parts.groupby("ti"):
+        top = g.sort_values(
+            ["cosine", "src_id"], ascending=[False, True]
+        ).head(k)
+        y_avg[int(ti)] = float(np.mean(top["cosine"].to_numpy()))
+    y_ref = ray.put(y_avg)
+
+    # ---- pass B: per-source best-margin candidate
+    def best_margin(df: pd.DataFrame) -> pd.DataFrame:
+        tids, t = worker_state(
+            ("bitext_t", t_ref.hex()), lambda: ray.get(t_ref)
+        )
+        ya = worker_state(("bitext_y", y_ref.hex()), lambda: ray.get(y_ref))
+        empty = pd.DataFrame(
+            {"src_id": pd.Series([], dtype="int64"),
+             "tgt_id": pd.Series([], dtype="int64"),
+             "cosine": pd.Series([], dtype="float64"),
+             "margin": pd.Series([], dtype="float64")}
+        )
+        if not len(df):
+            return empty
+        c = np.round(_to_matrix(df["embedding"]) @ t.T, round_to)
+        # x's own-side kNN average over the anchor set (ties at the k
+        # boundary have equal rounded values — tie-break-insensitive)
+        xa = -np.sort(-c, axis=1)[:, :k].mean(axis=1)
+        denom = xa[:, None] + ya[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            m = np.where(denom == 0.0, 0.0, 2.0 * c / denom)
+        m = np.round(m, round_to)
+        best = np.argmax(m, axis=1)  # ties -> lowest index = tgt_id ASC
+        rows = np.arange(len(df))
+        out = pd.DataFrame(
+            {"src_id": df["vec_id"].to_numpy(dtype=np.int64),
+             "tgt_id": tids[best],
+             "cosine": c[rows, best] + 0.0,
+             "margin": m[rows, best] + 0.0}
+        )
+        return out[out["margin"] >= threshold].reset_index(drop=True)
+
+    return src_embedded.map_batches(best_margin, batch_format="pandas")

@@ -9627,3 +9627,89 @@ def _cms_sql(depth: int, width: int) -> str:
 
 
 SQL["cms_user_counts"] = _cms_sql(4, 1024)
+
+
+# ----------------------------------------------------- bitext mining
+
+
+def q_bitext_mine(sf_dir: str) -> ray.data.Dataset:
+    """Margin-based bitext mining de→en (ratio margin of Artetxe &
+    Schwenk 2019 over md5 hash-trick embeddings): each German doc's
+    best English anchor by 2·cos/(knn_avg_x + knn_avg_y), anchors =
+    the 64 smallest en doc_ids (bounded deterministic index)."""
+    from pdf_parser_ray.ops.similarity import bitext_margin_pairs
+
+    return bitext_margin_pairs(
+        _documents(sf_dir, columns=["doc_id", "text", "lang"]),
+        src_lang="de",
+        tgt_lang="en",
+        k=4,
+        n_index=64,
+        threshold=0.0,
+    )
+
+
+QUERIES["bitext_mine"] = q_bitext_mine
+
+# Cosines are the doc_embed_knn_md5 vectors (exact-int norms; round-6
+# before ANY ranking/averaging); margins round-6 before the
+# (margin DESC, tgt ASC) candidate pick — both engines spell the same
+# 2*c/(xa+ya) tree with a zero-denominator guard.
+SQL["bitext_mine"] = r"""
+    WITH anchors AS (
+      SELECT doc_id FROM documents WHERE lang = 'en'
+      QUALIFY row_number() OVER (ORDER BY doc_id) <= 64),
+    src AS (SELECT doc_id FROM documents WHERE lang = 'de'),
+    tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS t
+      FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM anchors)
+         OR doc_id IN (SELECT doc_id FROM src)),
+    h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h
+          FROM tok),
+    raw AS (
+      SELECT doc_id, (h % 32)::BIGINT AS d,
+             sum(CASE WHEN h >= 9223372036854775808::UBIGINT
+                      THEN -1 ELSE 1 END)::DOUBLE AS v
+      FROM h GROUP BY doc_id, (h % 32)::BIGINT),
+    nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS n FROM raw GROUP BY doc_id),
+    e AS (SELECT r.doc_id, r.d, r.v / n.n AS e
+          FROM raw r JOIN nrm n USING (doc_id)),
+    pair0 AS (
+      SELECT es.doc_id AS src_id, et.doc_id AS tgt_id,
+             sum(es.e * et.e) AS c
+      FROM e es JOIN e et ON et.d = es.d
+      WHERE es.doc_id IN (SELECT doc_id FROM src)
+        AND et.doc_id IN (SELECT doc_id FROM anchors)
+      GROUP BY es.doc_id, et.doc_id),
+    pair AS (
+      SELECT s.doc_id AS src_id, a.doc_id AS tgt_id,
+             round(coalesce(p.c, 0), 6) AS c
+      FROM src s CROSS JOIN anchors a
+      LEFT JOIN pair0 p ON p.src_id = s.doc_id AND p.tgt_id = a.doc_id),
+    xa AS (
+      SELECT src_id, avg(c) AS xa FROM (
+        SELECT src_id, c,
+               row_number() OVER (PARTITION BY src_id
+                                  ORDER BY c DESC, tgt_id) AS rn
+        FROM pair)
+      WHERE rn <= 4 GROUP BY src_id),
+    ya AS (
+      SELECT tgt_id, avg(c) AS ya FROM (
+        SELECT tgt_id, c,
+               row_number() OVER (PARTITION BY tgt_id
+                                  ORDER BY c DESC, src_id) AS rn
+        FROM pair)
+      WHERE rn <= 4 GROUP BY tgt_id),
+    m AS (
+      SELECT p.src_id, p.tgt_id, p.c,
+             round(CASE WHEN xa.xa + ya.ya = 0 THEN 0
+                        ELSE 2 * p.c / (xa.xa + ya.ya) END, 6) AS margin
+      FROM pair p
+      JOIN xa ON xa.src_id = p.src_id
+      JOIN ya ON ya.tgt_id = p.tgt_id)
+    SELECT src_id, tgt_id, c AS cosine, margin FROM m
+    WHERE margin >= 0.0
+    QUALIFY row_number() OVER (PARTITION BY src_id
+                               ORDER BY margin DESC, tgt_id) = 1
+"""

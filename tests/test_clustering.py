@@ -280,3 +280,50 @@ class TestCoresetKcenter:
         a = coreset_kcenter(ray.data.from_pandas(df), 5)
         b = coreset_kcenter(ray.data.from_pandas(df).repartition(7), 5)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestBitextMarginPairs:
+    def _corpus(self):
+        rows = [
+            # exact translation pair shares every token -> cosine 1
+            {"doc_id": 0, "lang": "de", "text": "alpha beta gamma"},
+            {"doc_id": 10, "lang": "en", "text": "alpha beta gamma"},
+            # near pair
+            {"doc_id": 1, "lang": "de", "text": "delta epsilon zeta"},
+            {"doc_id": 11, "lang": "en", "text": "delta epsilon eta"},
+            # distractor anchors
+            {"doc_id": 12, "lang": "en", "text": "one two three four"},
+            {"doc_id": 13, "lang": "en", "text": "five six seven"},
+            # other-language noise must be ignored entirely
+            {"doc_id": 20, "lang": "fr", "text": "alpha beta gamma"},
+        ]
+        return ray.data.from_pandas(pd.DataFrame(rows)).repartition(3)
+
+    def test_identical_doc_wins_with_cosine_one(self, ray_session):
+        from pdf_parser_ray.ops.similarity import bitext_margin_pairs
+
+        out = (
+            bitext_margin_pairs(
+                self._corpus(), src_lang="de", tgt_lang="en",
+                k=2, n_index=4, threshold=0.0,
+            )
+            .to_pandas()
+            .set_index("src_id")
+            .sort_index()
+        )
+        assert out.loc[0, "tgt_id"] == 10
+        assert out.loc[0, "cosine"] == 1.0
+        # margin rewards standing out from the other anchors
+        assert out.loc[0, "margin"] > 1.0
+        assert out.loc[1, "tgt_id"] == 11
+
+    def test_threshold_prunes_and_anchor_bound_respected(self, ray_session):
+        from pdf_parser_ray.ops.similarity import bitext_margin_pairs
+
+        out = bitext_margin_pairs(
+            self._corpus(), src_lang="de", tgt_lang="en",
+            k=2, n_index=2, threshold=10.0,
+        ).to_pandas()
+        # impossible threshold -> empty, and the n_index=2 anchor set
+        # (two smallest en ids) never surfaces ids 12/13
+        assert len(out) == 0
