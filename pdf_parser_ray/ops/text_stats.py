@@ -1789,3 +1789,116 @@ def nb_classify(
     return ds.select_columns([id_col, label_col, text_col]).map_batches(
         score, batch_format="pandas"
     )
+
+
+def vocab_coverage(
+    ds: "ray.data.Dataset",
+    *,
+    pct: int = 95,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> pd.DataFrame:
+    """Tokenizer-design readout: per group, the smallest vocabulary
+    size whose most-frequent tokens cover ≥ ``pct``% of all token
+    occurrences — the curve every vocab-size decision (BPE/WordPiece
+    budget) reads off.  Greedy-by-frequency is optimal for this
+    objective, so the answer is exact.
+
+    Scale plan: per-batch (group, token) partial counts → ONE
+    grouped_sum co-location at vocab cardinality (the word_counts
+    plan) → a second partial collapse to the (group, count)
+    HISTOGRAM — bounded by distinct count VALUES, not vocab — →
+    driver walk in count-descending order.  The threshold test and the
+    within-class remainder use pure integer math (``cum·100 ≥
+    pct·total`` and a ceiling division), so no float contract exists
+    at all.  Inside one count-class every token contributes equally;
+    the class is entered only as far as needed.
+
+    Output (driver-sized, one row per group): (group_col,
+    total_tokens:int64, distinct_tokens:int64, vocab_size:int64,
+    covered_tokens:int64).
+    """
+    import numpy as np
+
+    from pdf_parser_ray.ops.shuffle import grouped_sum
+
+    def partial(df: pd.DataFrame):
+        toks = df[text_col].fillna("").str.lower().str.findall(TOKEN_PAT)
+        ex = toks.explode().dropna()
+        if not len(ex):
+            return arrow_out(pd.DataFrame(
+                {group_col: pd.Series([], dtype="object"),
+                 "token": pd.Series([], dtype="object"),
+                 "n": pd.Series([], dtype="int64")}
+            ))
+        pos = df.index.get_indexer(ex.index)
+        vc = (
+            pd.DataFrame(
+                {group_col: df[group_col].astype(str).to_numpy()[pos],
+                 "token": ex.astype(str).to_numpy()}
+            )
+            .groupby([group_col, "token"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        vc["n"] = vc["n"].astype("int64")
+        return arrow_out(vc)
+
+    counts = grouped_sum(
+        ds.select_columns([group_col, text_col]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        [group_col, "token"],
+        ["n"],
+    )
+
+    def to_hist(df: pd.DataFrame):
+        g = df.groupby([group_col, "n"], as_index=False).size()
+        g = g.rename(columns={"n": "c", "size": "k"})
+        return arrow_out(g.astype({"c": "int64", "k": "int64"}))
+
+    hist = (
+        counts.map_batches(to_hist, batch_format="pandas")
+        .groupby([group_col, "c"])
+        .aggregate(_hist_sum())
+        .to_pandas()  # bounded: groups × distinct count values
+    )
+    rows = []
+    for grp, g in hist.groupby(group_col):
+        g = g.sort_values("c", ascending=False)
+        c = g["c"].to_numpy(dtype=np.int64)
+        k = g["k"].to_numpy(dtype=np.int64)
+        total = int((c * k).sum())
+        need = pct * total  # compare cum*100 >= pct*total in ints
+        cum = 0
+        size = 0
+        covered = 0
+        for ci, ki in zip(c, k):
+            class_mass = int(ci) * int(ki)
+            if (cum + class_mass) * 100 >= need:
+                remaining = need - cum * 100
+                # ceil(remaining / (100*ci)) tokens from this class
+                take = -(-remaining // (100 * int(ci)))
+                size += int(take)
+                covered = cum + int(take) * int(ci)
+                break
+            cum += class_mass
+            size += int(ki)
+        else:
+            covered = cum
+        rows.append(
+            {group_col: grp, "total_tokens": total,
+             "distinct_tokens": int(k.sum()), "vocab_size": size,
+             "covered_tokens": covered}
+        )
+    out = pd.DataFrame(rows).sort_values(group_col).reset_index(drop=True)
+    return out.astype(
+        {"total_tokens": "int64", "distinct_tokens": "int64",
+         "vocab_size": "int64", "covered_tokens": "int64"}
+    )
+
+
+def _hist_sum():
+    from ray.data.aggregate import Sum
+
+    return Sum("k", alias_name="k")

@@ -9713,3 +9713,54 @@ SQL["bitext_mine"] = r"""
     QUALIFY row_number() OVER (PARTITION BY src_id
                                ORDER BY margin DESC, tgt_id) = 1
 """
+
+
+# ----------------------------------------------- tokenizer vocab sizing
+
+
+def q_vocab_coverage(sf_dir: str) -> pd.DataFrame:
+    """Per-lang smallest vocabulary covering >= 95% of token mass
+    (greedy-by-frequency is optimal, so the answer is exact; all
+    integer math — no rounding contract)."""
+    from pdf_parser_ray.ops.text_stats import vocab_coverage
+
+    return vocab_coverage(
+        _documents(sf_dir, columns=["text", "lang"]), pct=95
+    )
+
+
+QUERIES["vocab_coverage"] = q_vocab_coverage
+
+SQL["vocab_coverage"] = r"""
+    WITH tok AS (
+      SELECT lang, unnest(regexp_extract_all(lower(text), '\S+')) AS t
+      FROM documents),
+    tc AS (SELECT lang, t, count(*)::BIGINT AS c FROM tok GROUP BY lang, t),
+    hist AS (SELECT lang, c, count(*)::BIGINT AS k FROM tc GROUP BY lang, c),
+    tot AS (SELECT lang, CAST(sum(c * k) AS BIGINT) AS total,
+                   CAST(sum(k) AS BIGINT) AS distinct_tokens
+            FROM hist GROUP BY lang),
+    w AS (
+      SELECT lang, c, k,
+             CAST(coalesce(sum(c * k) OVER (
+               PARTITION BY lang ORDER BY c DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cb,
+             CAST(coalesce(sum(k) OVER (
+               PARTITION BY lang ORDER BY c DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS tb
+      FROM hist),
+    cand AS (
+      SELECT w.lang, w.c, w.cb, w.tb, t.total, t.distinct_tokens
+      FROM w JOIN tot t USING (lang)
+      WHERE (w.cb + w.c * w.k) * 100 >= 95 * t.total
+      QUALIFY row_number() OVER (PARTITION BY w.lang ORDER BY w.c DESC) = 1)
+    SELECT lang, total AS total_tokens, distinct_tokens,
+           CAST(tb + (95 * total - cb * 100 + 100 * c - 1) // (100 * c)
+                AS BIGINT) AS vocab_size,
+           CAST(cb + ((95 * total - cb * 100 + 100 * c - 1) // (100 * c)) * c
+                AS BIGINT) AS covered_tokens
+    FROM cand
+    ORDER BY lang
+"""

@@ -886,3 +886,32 @@ class TestCmsCounts:
         assert (out["est"] == 30).all()
         assert (out["overcount"] == 27).all()
         assert (out["est"] >= out["exact"]).all()
+
+
+class TestVocabCoverage:
+    def test_hand_computed_partial_class(self, ray_session):
+        # lang x: 'a'×90, b/c/d ×3 each, 'e'×1  → total 100.  95% needs
+        # 95 tokens: 'a' (90) + 2 of the three count-3 tokens (96 ≥ 95)
+        # → vocab_size 3, covered 96 — the cut lands INSIDE the
+        # count-3 class, exercising the ceiling-division remainder.
+        from pdf_parser_ray.ops.text_stats import vocab_coverage
+
+        text_x = " ".join(["a"] * 90 + ["b", "c", "d"] * 3 + ["e"])
+        # lang y: uniform 'p q r s' ×1 → 95% of 4 = 3.8 → 4 tokens
+        df = pd.DataFrame(
+            {"lang": ["x", "x", "y"],
+             "text": [text_x[: len(text_x) // 2],
+                      text_x[len(text_x) // 2:], "p q r s"]}
+        )
+        # splitting text_x across two rows must not change the answer
+        # (counts merge in the co-location) — but the split point can
+        # cut a token in half, so rebuild from whole tokens instead:
+        toks = text_x.split()
+        df.loc[0, "text"] = " ".join(toks[:50])
+        df.loc[1, "text"] = " ".join(toks[50:])
+        out = vocab_coverage(_ds(df, 2)).set_index("lang")
+        assert out.loc["x", "total_tokens"] == 100
+        assert out.loc["x", "vocab_size"] == 3
+        assert out.loc["x", "covered_tokens"] == 96
+        assert out.loc["y", "vocab_size"] == 4
+        assert out.loc["y", "covered_tokens"] == 4
