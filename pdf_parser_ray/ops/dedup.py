@@ -2540,3 +2540,66 @@ def hits_bipartite(
             "score": np.concatenate([a, h]),
         }
     ).sort_values(["kind", "node"]).reset_index(drop=True)
+
+
+def label_prop_communities(
+    edges: "ray.data.Dataset",
+    *,
+    rounds: int = 4,
+) -> pd.DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) over a weighted undirected edge list (a, b, n) — the
+    cheap community finder for co-purchase / co-click / near-dup
+    graphs where connected components are too coarse (one giant
+    component) and modularity methods too expensive.
+
+    Deterministic synchronous variant: every round, each node adopts
+    the label with the greatest incident edge weight among its
+    neighbors' CURRENT labels, ties → smallest label; labels start as
+    the node ids.  A FIXED round count runs on both engines, so the
+    oracle twin matches converged or not (the part_kcore contract;
+    synchronous LPA may oscillate on bipartite structures — parity
+    still holds because both sides unroll the same rounds).
+
+    Scale shape: the edge list arrives already collapsed to weighted
+    pairs (cooccur_edges: per-group pair emission + grouped count),
+    i.e. bounded by the thresholded graph, not the corpus — the
+    triangle_count/pagerank broadcast contract; iteration is a
+    driver-side vectorized gather over that bounded table.  All
+    weights are int64 — no float contract.
+
+    Output (driver-sized): (node:int64, community:int64) sorted by
+    node.
+    """
+    import numpy as np
+
+    edf = edges.to_pandas()  # bounded: thresholded graph, broadcast-sized
+    und = pd.concat(
+        [
+            edf.rename(columns={"a": "node", "b": "nbr"}),
+            edf.rename(columns={"b": "node", "a": "nbr"}),
+        ],
+        ignore_index=True,
+    )[["node", "nbr", "n"]]
+    nodes = np.unique(und["node"].to_numpy(dtype=np.int64))
+    labels = pd.Series(nodes, index=nodes)  # label(v) = v
+    for _ in range(rounds):
+        w = pd.DataFrame(
+            {
+                "node": und["node"].to_numpy(dtype=np.int64),
+                "lbl": labels[und["nbr"].to_numpy(dtype=np.int64)].to_numpy(),
+                "n": und["n"].to_numpy(dtype=np.int64),
+            }
+        )
+        g = w.groupby(["node", "lbl"], as_index=False)["n"].sum()
+        g = g.sort_values(
+            ["node", "n", "lbl"], ascending=[True, False, True]
+        ).drop_duplicates("node", keep="first")
+        labels = pd.Series(
+            g["lbl"].to_numpy(dtype=np.int64),
+            index=g["node"].to_numpy(dtype=np.int64),
+        )
+    return pd.DataFrame(
+        {"node": labels.index.to_numpy(dtype=np.int64),
+         "community": labels.to_numpy(dtype=np.int64)}
+    ).sort_values("node").reset_index(drop=True)

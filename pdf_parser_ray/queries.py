@@ -9764,3 +9764,61 @@ SQL["vocab_coverage"] = r"""
     FROM cand
     ORDER BY lang
 """
+
+
+# --------------------------------------------- label-prop communities
+
+_LPA_ROUNDS = 4
+
+
+def q_part_communities(sf_dir: str) -> pd.DataFrame:
+    """Label-propagation communities (4 synchronous rounds, weighted
+    max-label, tie→min) over the repeat-co-purchase part graph — the
+    community structure the kcore/clustering-coefficient queries only
+    measure; value-exact unrolled twin, converged or not."""
+    from pdf_parser_ray.ops.dedup import cooccur_edges, label_prop_communities
+
+    li = _read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    edges = cooccur_edges(
+        li, group_col="l_orderkey", item_col="l_partkey", min_count=2
+    )
+    return label_prop_communities(edges, rounds=_LPA_ROUNDS)
+
+
+QUERIES["part_communities"] = q_part_communities
+
+
+def _lpa_sql(rounds: int) -> str:
+    """Unrolled synchronous LPA, term-for-term the driver loop; same
+    MATERIALIZED-CTE rationale as _kcore_sql."""
+    parts = ["""
+    WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS MATERIALIZED (
+      SELECT x.l_partkey AS a, y.l_partkey AS b, count(*)::BIGINT AS n
+      FROM op x JOIN op y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    und AS MATERIALIZED (
+      SELECT a AS node, b AS nbr, n FROM e
+      UNION ALL SELECT b AS node, a AS nbr, n FROM e),
+    l0 AS MATERIALIZED (SELECT DISTINCT node, node AS lbl FROM und)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    s{i} AS MATERIALIZED (
+      SELECT u.node, l.lbl, sum(u.n)::BIGINT AS wt
+      FROM und u JOIN l{i - 1} l ON l.node = u.nbr
+      GROUP BY u.node, l.lbl),
+    l{i} AS MATERIALIZED (
+      SELECT node, lbl FROM s{i}
+      QUALIFY row_number() OVER (PARTITION BY node
+                                 ORDER BY wt DESC, lbl) = 1)""")
+    parts.append(f"""
+    SELECT node, lbl AS community FROM l{rounds} ORDER BY node""")
+    return "".join(parts)
+
+
+SQL["part_communities"] = _lpa_sql(_LPA_ROUNDS)

@@ -915,3 +915,37 @@ class TestVocabCoverage:
         assert out.loc["x", "covered_tokens"] == 96
         assert out.loc["y", "vocab_size"] == 4
         assert out.loc["y", "covered_tokens"] == 4
+
+
+class TestLabelPropCommunities:
+    def test_two_cliques_with_weak_bridge(self, ray_session):
+        # Two triangles {1,2,3} and {7,8,9} joined by one weak edge:
+        # LPA must settle each triangle on its min node id and never
+        # merge across the bridge (intra weight 5 >> bridge weight 1).
+        from pdf_parser_ray.ops.dedup import label_prop_communities
+
+        e = pd.DataFrame(
+            {"a": [1, 1, 2, 7, 7, 8, 3],
+             "b": [2, 3, 3, 8, 9, 9, 7],
+             "n": [5, 5, 5, 5, 5, 5, 1]}
+        )
+        out = label_prop_communities(
+            ray.data.from_pandas(e), rounds=4
+        ).set_index("node")
+        assert set(out.loc[[1, 2, 3], "community"]) == {1}
+        assert set(out.loc[[7, 8, 9], "community"]) == {7}
+
+    def test_weighted_majority_and_tie_break(self, ray_session):
+        # Node 5 borders label-1 mass (weight 2) and label-9 mass
+        # (weight 3): after round 1 it must take 9; equal weights on
+        # node 6 break to the SMALLER label.
+        from pdf_parser_ray.ops.dedup import label_prop_communities
+
+        e = pd.DataFrame(
+            {"a": [1, 5, 2, 6], "b": [5, 9, 6, 9], "n": [2, 3, 4, 4]}
+        )
+        out = label_prop_communities(
+            ray.data.from_pandas(e), rounds=1
+        ).set_index("node")
+        assert out.loc[5, "community"] == 9
+        assert out.loc[6, "community"] == 2
