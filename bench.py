@@ -192,6 +192,9 @@ BENCH_QUERIES = [
     "nb_lang_predict",
     "cms_user_counts",
     "bitext_mine",
+    "minhash_pairs_md5",
+    "part_communities",
+    "vocab_coverage",
     "cdx_index",
 ]
 

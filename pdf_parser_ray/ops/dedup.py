@@ -269,6 +269,7 @@ def minhash_lsh_pairs(
     concurrency: int | tuple[int, int] | None = None,
     payload: str = "sig",
     sig_cache_path: str | None = None,
+    hash_fn: str = "crc32",
 ) -> ray.data.Dataset:
     """Near-duplicate candidate pairs with estimated Jaccard ≥ threshold.
 
@@ -307,7 +308,8 @@ def minhash_lsh_pairs(
         # permutation coefficients are seeded-deterministic → build once
         # per worker process (task-mode twin of actor __init__ state)
         mh = worker_state(
-            ("minhasher", num_perm), lambda: MinHasher(num_perm=num_perm)
+            ("minhasher", num_perm, hash_fn),
+            lambda: MinHasher(num_perm=num_perm, hash_fn=hash_fn),
         )
         return mh(df)
 
@@ -752,6 +754,7 @@ def simhash_near_pairs(
     bands: int = 4,
     ngram: int = 1,
     max_bucket: int = 4096,
+    hash_fn: str = "crc32",
     concurrency: int | tuple[int, int] | None = None,
     n_parts: int | None = None,
 ) -> ray.data.Dataset:
@@ -776,7 +779,7 @@ def simhash_near_pairs(
     mask = np.uint64((1 << width) - 1)
 
     sigs = ds.map_batches(
-        _simhash_batch, fn_kwargs={"ngram": ngram},
+        _simhash_batch, fn_kwargs={"ngram": ngram, "hash_fn": hash_fn},
         batch_format="pandas", **_task_kwargs(concurrency),
     )
 

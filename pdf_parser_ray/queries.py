@@ -9822,3 +9822,214 @@ def _lpa_sql(rounds: int) -> str:
 
 
 SQL["part_communities"] = _lpa_sql(_LPA_ROUNDS)
+
+
+# ----------------------------------- MinHash LSH, value-exact oracle
+
+
+def q_minhash_pairs_md5(sf_dir: str) -> ray.data.Dataset:
+    """MinHash+LSH near-dup pairs with md5 shingle hashes — the
+    SQL-reproducible variant of q:minhash_pairs: DuckDB re-derives the
+    3-gram shingles, the 64 seeded universal-hash permutations (uint64
+    wraparound + Mersenne-61 modulus as explicit HUGEINT arithmetic),
+    the uint32 signature truncation, the 16 splitmix band mixes and the
+    slot-agreement estimate — so the ENTIRE LSH plan is value-checked,
+    not just row counts.  est_jaccard = k/64 is exactly dyadic: no
+    rounding contract anywhere."""
+    from pdf_parser_ray.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _documents(sf_dir, columns=["doc_id", "text"]), hash_fn="md5"
+    )
+
+
+QUERIES["minhash_pairs_md5"] = q_minhash_pairs_md5
+
+
+def _minhash_md5_sql(
+    num_perm: int = 64, bands: int = 16, threshold: float = 0.5,
+    seed: int = 1337, max_bucket: int = 64,
+) -> str:
+    """Generate the term-for-term twin.  Coefficients are the SAME
+    seeded draw MinHasher makes; wraparound mults split 32/32 so no
+    intermediate exceeds HUGEINT's 127 bits."""
+    import numpy as _np
+
+    rng = _np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 61) - 1, size=num_perm)
+    b = rng.randint(0, (1 << 61) - 1, size=num_perm)
+    rpb = num_perm // bands
+    m64 = 1 << 64
+    m32 = 1 << 32
+    mers = (1 << 61) - 1
+    mix = 0x9E3779B97F4A7C15
+    mix_seed = 0x243F6A8885A308D3
+
+    perm_rows = ", ".join(
+        f"({p}, {int(a[p])}::HUGEINT, {int(b[p])}::HUGEINT)"
+        for p in range(num_perm)
+    )
+    slot_cols = ",\n             ".join(
+        f"min(CASE WHEN p = {p} THEN s END) AS s{p}" for p in range(num_perm)
+    )
+
+    def mulmod(expr: str) -> str:
+        # (expr * MIX) mod 2^64 with 32/32 split so products stay <2^97
+        return (
+            f"((({expr}) % {m32}) * {mix} + "
+            f"((({expr}) // {m32}) * {mix} % {m32}) * {m32}) % {m64}"
+        )
+
+    band_cols = []
+    for bd in range(bands):
+        acc = str(mix_seed)
+        for r in range(rpb):
+            acc = mulmod(f"xor(({acc})::HUGEINT, s{bd * rpb + r}::HUGEINT)")
+        band_cols.append(f"({acc}) AS h{bd}")
+    band_sel = ",\n             ".join(band_cols)
+    band_union = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {bd} AS band, h{bd} AS bh FROM mat2"
+        for bd in range(bands)
+    )
+    eq_terms = " + ".join(
+        f"(CASE WHEN x.s{p} = y.s{p} THEN 1 ELSE 0 END)"
+        for p in range(num_perm)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '\\S+')) AS t,
+             unnest(range(1, len(regexp_extract_all(lower(text), '\\S+')) + 1))
+               AS idx
+      FROM documents),
+    cnt AS (SELECT doc_id, count(*)::BIGINT AS n FROM tok GROUP BY doc_id),
+    tri AS (
+      SELECT doc_id, t || ' ' || t1 || ' ' || t2 AS g FROM (
+        SELECT doc_id, t,
+               lead(t, 1) OVER w AS t1, lead(t, 2) OVER w AS t2
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY idx))
+      WHERE t2 IS NOT NULL),
+    short AS (
+      SELECT tok.doc_id, string_agg(t, ' ' ORDER BY idx) AS g
+      FROM tok JOIN cnt USING (doc_id) WHERE cnt.n < 3
+      GROUP BY tok.doc_id),
+    g AS (SELECT doc_id, g FROM tri UNION ALL SELECT doc_id, g FROM short),
+    h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 16))::UBIGINT::HUGEINT
+                   AS h
+          FROM g),
+    perm(p, a, b) AS (VALUES {perm_rows}),
+    v AS (SELECT doc_id, p, ((a * h + b) % {m64}) % {mers} AS v
+          FROM h CROSS JOIN perm),
+    sig AS (SELECT doc_id, p, (min(v) % {m32})::BIGINT AS s
+            FROM v GROUP BY doc_id, p),
+    nosh AS (
+      SELECT d.doc_id, pr.p, 0::BIGINT AS s
+      FROM documents d CROSS JOIN (SELECT DISTINCT p FROM perm) pr
+      WHERE d.doc_id NOT IN (SELECT DISTINCT doc_id FROM g)),
+    sigall AS (SELECT * FROM sig UNION ALL SELECT * FROM nosh),
+    mat AS MATERIALIZED (
+      SELECT doc_id,
+             {slot_cols}
+      FROM sigall GROUP BY doc_id),
+    mat2 AS MATERIALIZED (
+      SELECT doc_id,
+             {band_sel}
+      FROM mat),
+    bh AS ({band_union}),
+    capped AS (
+      SELECT band, bh, doc_id FROM bh
+      QUALIFY row_number() OVER (PARTITION BY band, bh
+                                 ORDER BY doc_id) <= {max_bucket}),
+    cand AS (
+      SELECT DISTINCT least(p1.doc_id, p2.doc_id) AS a,
+             greatest(p1.doc_id, p2.doc_id) AS b
+      FROM capped p1 JOIN capped p2
+        ON p1.band = p2.band AND p1.bh = p2.bh
+       AND p1.doc_id < p2.doc_id),
+    est AS (
+      SELECT c.a, c.b, ({eq_terms}) / {num_perm}.0 AS est_jaccard
+      FROM cand c
+      JOIN mat x ON x.doc_id = c.a
+      JOIN mat y ON y.doc_id = c.b)
+    SELECT a::BIGINT AS a, b::BIGINT AS b, est_jaccard
+    FROM est WHERE est_jaccard >= {threshold}
+"""
+
+
+SQL["minhash_pairs_md5"] = _minhash_md5_sql()
+
+
+# ------------------------------------ SimHash, value-exact oracles
+
+
+def _simhash_md5_sig_sql() -> str:
+    """Shared CTE block ending in ``sims(doc_id, simhash)`` — the md5
+    64-bit SimHash re-derived in SQL: per-bit ±1 votes over the token
+    MULTISET, bit set iff votes > 0, then the int64 reinterpretation
+    (subtract 2^64 when the sign bit is set)."""
+    bit_terms = " + ".join(
+        f"(CASE WHEN sum(2 * ((h // {1 << i}) % 2) - 1) > 0 "
+        f"THEN {1 << i}::HUGEINT ELSE 0::HUGEINT END)"
+        for i in range(64)
+    )
+    return f"""
+    tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS t
+      FROM documents),
+    h AS (SELECT doc_id,
+                 ('0x' || substr(md5(t), 1, 16))::UBIGINT::HUGEINT AS h
+          FROM tok),
+    usig AS (SELECT doc_id, ({bit_terms}) AS u FROM h GROUP BY doc_id),
+    allsig AS (
+      SELECT doc_id, u FROM usig
+      UNION ALL
+      SELECT d.doc_id, 0::HUGEINT AS u FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM usig)),
+    sims AS (
+      SELECT doc_id,
+             (CASE WHEN u >= {1 << 63}::HUGEINT
+                   THEN u - {1 << 64}::HUGEINT ELSE u END)::BIGINT
+               AS simhash
+      FROM allsig)"""
+
+
+def q_simhash_groups_md5(sf_dir: str) -> ray.data.Dataset:
+    """Exact-signature SimHash groups with md5 token hashes — the
+    value-oracled variant of q:simhash_groups: DuckDB re-derives every
+    64-bit signature (per-bit majority votes) so the grouping key
+    itself is verified, not just the group counts."""
+    from pdf_parser_ray.ops.dedup import simhash_groups
+
+    return simhash_groups(_documents(sf_dir), hash_fn="md5")
+
+
+QUERIES["simhash_groups_md5"] = q_simhash_groups_md5
+
+SQL["simhash_groups_md5"] = f"""
+    WITH {_simhash_md5_sig_sql()}
+    SELECT simhash, count(*)::BIGINT AS n_docs,
+           min(doc_id)::BIGINT AS min_doc_id
+    FROM sims GROUP BY simhash HAVING count(*) > 1
+"""
+
+
+def q_simhash_near_md5(sf_dir: str) -> ray.data.Dataset:
+    """Hamming-≤3 SimHash near-pairs, md5 token hashes — value-oracled:
+    the 4×16-bit pigeonhole bands give recall EXACTLY 1.0 at
+    max_hamming 3, so the band plan equals the full pairwise filter the
+    twin spells with bit_count(xor(...)) (max_bucket never binds at
+    oracle scale)."""
+    from pdf_parser_ray.ops.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_documents(sf_dir), hash_fn="md5")
+
+
+QUERIES["simhash_near_md5"] = q_simhash_near_md5
+
+SQL["simhash_near_md5"] = f"""
+    WITH {_simhash_md5_sig_sql()}
+    SELECT x.doc_id::BIGINT AS a, y.doc_id::BIGINT AS b,
+           bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
+    FROM sims x JOIN sims y ON x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+"""
