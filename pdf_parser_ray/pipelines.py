@@ -479,6 +479,7 @@ def near_dedup_corpus(
     method: str = "minhash",
     threshold: float = 0.5,
     max_hamming: int = 3,
+    hash_fn: str = "crc32",
 ) -> "ray.data.Dataset":
     """End-to-end near-duplicate scrub (the RefinedWeb/CCNet curation
     composition): candidate pairs → connected components → keep each
@@ -500,9 +501,11 @@ def near_dedup_corpus(
     from pdf_parser_ray.ops.relational import broadcast_semi_join
 
     if method == "minhash":
-        pairs = minhash_lsh_pairs(docs, threshold=threshold)
+        pairs = minhash_lsh_pairs(docs, threshold=threshold, hash_fn=hash_fn)
     elif method == "simhash":
-        pairs = simhash_near_pairs(docs, max_hamming=max_hamming)
+        pairs = simhash_near_pairs(
+            docs, max_hamming=max_hamming, hash_fn=hash_fn
+        )
     else:
         raise ValueError(f"unknown near-dedup method {method!r}")
 

@@ -10033,3 +10033,61 @@ SQL["simhash_near_md5"] = f"""
     FROM sims x JOIN sims y ON x.doc_id < y.doc_id
     WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
 """
+
+
+# ------------------------- end-to-end near-dedup, value-exact oracle
+
+
+def q_minhash_clusters_md5(sf_dir: str) -> ray.data.Dataset:
+    """MinHash-LSH pairs → connected components, md5 hashes — upgrades
+    q:minhash_dup_clusters from rows-only to value-exact: the twin
+    re-derives the LSH pairs (minhash_pairs_md5 tree) and closes
+    reachability with the dup_components recursive CTE."""
+    from pdf_parser_ray.ops.dedup import connected_components, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        _documents(sf_dir), threshold=0.5, hash_fn="md5"
+    )
+    return connected_components(pairs.select_columns(["a", "b"])).sort("node")
+
+
+QUERIES["minhash_clusters_md5"] = q_minhash_clusters_md5
+
+SQL["minhash_clusters_md5"] = f"""
+    WITH RECURSIVE
+    mh AS ({_minhash_md5_sql()}),
+    edges AS (SELECT a AS u, b AS v FROM mh UNION ALL SELECT b, a FROM mh),
+    reach(v, r) AS (
+      SELECT DISTINCT u, u FROM edges
+      UNION
+      SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.v)
+    SELECT v AS node, CAST(min(r) AS BIGINT) AS component
+    FROM reach GROUP BY v ORDER BY node
+"""
+
+
+def q_near_dedup_md5(sf_dir: str) -> ray.data.Dataset:
+    """The FULL near-dup scrub, value-oracled end to end: md5
+    MinHash-LSH pairs → components → canonical survivors + unpaired
+    docs (near_dedup_corpus, the RefinedWeb/CCNet composition)."""
+    from pdf_parser_ray.pipelines import near_dedup_corpus
+
+    return near_dedup_corpus(
+        _documents(sf_dir), method="minhash", threshold=0.5, hash_fn="md5"
+    ).select_columns(["doc_id"])
+
+
+QUERIES["near_dedup_md5"] = q_near_dedup_md5
+
+SQL["near_dedup_md5"] = f"""
+    WITH RECURSIVE
+    mh AS ({_minhash_md5_sql()}),
+    edges AS (SELECT a AS u, b AS v FROM mh UNION ALL SELECT b, a FROM mh),
+    reach(v, r) AS (
+      SELECT DISTINCT u, u FROM edges
+      UNION
+      SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.v),
+    comp AS (SELECT v AS node, min(r) AS component FROM reach GROUP BY v)
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+"""
