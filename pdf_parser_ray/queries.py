@@ -10091,3 +10091,58 @@ SQL["near_dedup_md5"] = f"""
     SELECT doc_id FROM documents
     WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
 """
+
+
+# ------------------------------- PageRank over the near-dup graph
+
+
+def q_dup_pagerank_md5(sf_dir: str) -> ray.data.Dataset:
+    """PageRank centrality inside the md5 MinHash near-dup graph —
+    upgrades q:dup_pagerank to value-exact: the twin composes the LSH
+    pair tree with the unrolled 5-round rank chain (round-6 between
+    rounds, repr()-exact float literals — the part_pagerank contract)."""
+    from pdf_parser_ray.ops.dedup import minhash_lsh_pairs, pagerank
+
+    pairs = minhash_lsh_pairs(
+        _documents(sf_dir), threshold=0.5, hash_fn="md5"
+    )
+    return pagerank(
+        pairs, n_iters=_PR_ITERS, damping=_PR_DAMPING, round_iters=_PR_ROUND
+    )
+
+
+QUERIES["dup_pagerank_md5"] = q_dup_pagerank_md5
+
+
+def _dup_pagerank_sql(n_iters: int, damping: float, round_iters: int) -> str:
+    """The _pagerank_sql chain with the co-purchase pairs CTE swapped
+    for the md5 MinHash LSH pair tree."""
+    tele = repr(1.0 - damping)
+    d = repr(damping)
+    chain = []
+    prev = "r0"
+    for i in range(1, n_iters + 1):
+        chain.append(f"""
+    r{i} AS (
+      SELECT e.d AS node,
+             round({tele}::DOUBLE / (SELECT n FROM n)
+                   + {d} * sum({prev}.r / deg.deg::DOUBLE), {round_iters}) AS r
+      FROM e JOIN {prev} ON {prev}.node = e.s JOIN deg ON deg.s = e.s
+      GROUP BY e.d)""")
+        prev = f"r{i}"
+    return f"""
+    WITH mh AS ({_minhash_md5_sql()}),
+    pairs AS (SELECT a, b FROM mh),
+    e AS (SELECT a AS s, b AS d FROM pairs
+          UNION ALL SELECT b AS s, a AS d FROM pairs),
+    deg AS (SELECT s, count(*)::BIGINT AS deg FROM e GROUP BY s),
+    n AS (SELECT count(DISTINCT s)::BIGINT AS n FROM e),
+    r0 AS (SELECT DISTINCT s AS node,
+                  (1.0::DOUBLE) / (SELECT n FROM n) AS r
+           FROM e),{",".join(chain)}
+    SELECT node::BIGINT AS node, round(r, 6) AS rank
+    FROM {prev} ORDER BY node
+"""
+
+
+SQL["dup_pagerank_md5"] = _dup_pagerank_sql(_PR_ITERS, _PR_DAMPING, _PR_ROUND)
