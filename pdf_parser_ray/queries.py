@@ -738,8 +738,12 @@ def q_lsh_knn(sf_dir: str) -> pd.DataFrame:
     ds = _read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    out = lsh_knn(ds, _query_vector(sf_dir), k=10).to_pandas()
-    out["cosine"] = np.round(out["cosine"].astype("float64"), ROUND_COS)
+    # round_to=ROUND_COS: top-k + tie-break on the ROUNDED cosine so
+    # the selection matches the oracle's ORDER BY (knn_cosine rule)
+    out = lsh_knn(
+        ds, _query_vector(sf_dir), k=10, round_to=ROUND_COS
+    ).to_pandas()
+    out["cosine"] = out["cosine"].astype("float64")
     return out[["vec_id", "cosine"]]
 
 
@@ -10146,3 +10150,41 @@ def _dup_pagerank_sql(n_iters: int, damping: float, round_iters: int) -> str:
 
 
 SQL["dup_pagerank_md5"] = _dup_pagerank_sql(_PR_ITERS, _PR_DAMPING, _PR_ROUND)
+
+
+# -------------------------------------------------- lsh_knn oracle
+
+
+def _lsh_knn_sql(dim: int = 64, n_planes: int = 8, seed: int = 97) -> str:
+    """Twin for q:lsh_knn — the seeded hyperplanes inline as
+    repr()-exact double literals; bucket = packed sign bits of the
+    plane dot products; candidates share the query's bucket; then the
+    standard rounded-cosine top-10 (knn_cosine contract).  The sign
+    threshold compares an unrounded 32-term dot on both engines —
+    summation order could in principle flip a |dot|~1e-13 sign, but the
+    check is deterministic per dataset and verified green."""
+    import numpy as _np
+
+    planes = _np.random.RandomState(seed).standard_normal((dim, n_planes))
+    plane_bits = []
+    for b in range(n_planes):
+        dot = " + ".join(
+            f"v[{j + 1}] * {planes[j, b]!r}" for j in range(dim)
+        )
+        plane_bits.append(
+            f"(CASE WHEN ({dot}) > 0 THEN {1 << b} ELSE 0 END)"
+        )
+    bucket_expr = " + ".join(plane_bits)
+    return f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    code AS (SELECT vec_id, v, ({bucket_expr})::BIGINT AS bucket FROM emb),
+    q AS (SELECT v, bucket FROM code WHERE vec_id = 0)
+    SELECT c.vec_id,
+           round(list_cosine_similarity(c.v, (SELECT v FROM q)), 6) AS cosine
+    FROM code c
+    WHERE c.bucket = (SELECT bucket FROM q)
+    ORDER BY cosine DESC, c.vec_id ASC LIMIT 10
+"""
+
+
+SQL["lsh_knn"] = _lsh_knn_sql()
