@@ -195,6 +195,8 @@ BENCH_QUERIES = [
     "minhash_pairs_md5",
     "part_communities",
     "vocab_coverage",
+    "bootstrap_ci",
+    "near_dedup_md5",
     "cdx_index",
 ]
 

@@ -1710,3 +1710,105 @@ def ab_cuped(
             "diff_raw": [round(m_ya - m_yb, round_to)],
         }
     )
+
+
+# Poisson(1) CDF thresholds for the distributed bootstrap, as exact
+# 48-bit integers floor(F(k)·2^48), k = 0..7: a 48-bit md5 hash u is
+# assigned weight w = #{k : u >= T_k} — the inverse-CDF draw spelled in
+# pure integer comparisons so Ray and SQL agree bit-for-bit.  P(w > 8)
+# ≈ 1.1e-7 is truncated to 8 by construction (both engines).
+_POIS1_T48 = tuple(
+    int(math.floor(f * (1 << 48)))
+    for f in (
+        lambda e1=math.exp(-1.0): [
+            e1 * sum(1.0 / math.factorial(j) for j in range(k + 1))
+            for k in range(8)
+        ]
+    )()
+)
+
+
+def poisson_bootstrap_ci(
+    ds: ray.data.Dataset,
+    *,
+    val: str = "value",
+    group_col: str = "event_type",
+    id_col: str = "event_id",
+    n_reps: int = 32,
+) -> pd.DataFrame:
+    """Per-group mean with Poisson-bootstrap interval — THE bootstrap
+    that works on sharded data (Chamandy et al., Google 2012): instead
+    of resampling n rows with replacement (impossible across shards),
+    every row enters replicate r with weight ~ Poisson(1), drawn
+    deterministically from md5(r, id).  One streaming pass emits
+    (group, rep, Σw·cents, Σw) partials — the shuffle is groups ×
+    replicates rows, never data-sized.
+
+    Exactness: values snap to int64 cents (the value_ks_test rule),
+    weights come from integer threshold comparisons against
+    ``_POIS1_T48``, so every replicate mean is a ratio of exact
+    integers — bit-identical across engines with NO rounding contract;
+    the interval picks the 2nd-smallest / 2nd-largest replicate means
+    (a ~94% CI at 32 reps) by value, so tie order cannot matter.
+
+    Output (driver-sized): (group_col, n:int64, mean:float64,
+    boot_lo:float64, boot_hi:float64).
+    """
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.sketches import _hash_strings_md5
+
+    t48 = np.array(_POIS1_T48, dtype=np.int64)
+
+    def partial(df: pd.DataFrame):
+        cents = np.rint(df[val].to_numpy(dtype=np.float64) * 100.0).astype(
+            np.int64
+        )
+        grp = df[group_col].astype(str).to_numpy()
+        ids = df[id_col].to_numpy()
+        frames = [
+            pd.DataFrame(
+                {"g": grp, "rep": np.int64(-1), "swx": cents,
+                 "sw": np.int64(1)}
+            )
+        ]
+        for r in range(n_reps):
+            h = (
+                _hash_strings_md5([f"{r}:{i}" for i in ids]).astype(np.uint64)
+                >> np.uint64(16)
+            ).astype(np.int64)  # top 48 bits of the 64-bit md5 prefix
+            w = (h[:, None] >= t48[None, :]).sum(axis=1).astype(np.int64)
+            frames.append(
+                pd.DataFrame(
+                    {"g": grp, "rep": np.int64(r), "swx": w * cents, "sw": w}
+                )
+            )
+        out = (
+            pd.concat(frames, ignore_index=True)
+            .groupby(["g", "rep"], as_index=False)[["swx", "sw"]]
+            .sum()
+        )
+        return arrow_out(out.astype({"swx": "int64", "sw": "int64"}))
+
+    agg = (
+        ds.select_columns([group_col, id_col, val])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["g", "rep"])
+        .aggregate(Sum("swx", alias_name="swx"), Sum("sw", alias_name="sw"))
+        .to_pandas()  # bounded: groups × (n_reps + 1) rows
+    )
+    rows = []
+    for g, gg in agg.groupby("g"):
+        base = gg[gg["rep"] == -1].iloc[0]
+        reps = gg[(gg["rep"] >= 0) & (gg["sw"] > 0)]
+        means = np.sort(reps["swx"].to_numpy(np.int64)
+                        / reps["sw"].to_numpy(np.int64))
+        rows.append(
+            {group_col: g, "n": int(base["sw"]),
+             "mean": float(base["swx"]) / float(base["sw"]),
+             "boot_lo": means[1], "boot_hi": means[-2]}
+        )
+    out = pd.DataFrame(rows).sort_values(group_col).reset_index(drop=True)
+    return out.astype({"n": "int64", "mean": "float64",
+                       "boot_lo": "float64", "boot_hi": "float64"})

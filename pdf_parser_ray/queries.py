@@ -10188,3 +10188,63 @@ def _lsh_knn_sql(dim: int = 64, n_planes: int = 8, seed: int = 97) -> str:
 
 
 SQL["lsh_knn"] = _lsh_knn_sql()
+
+
+# ------------------------------------------------ Poisson bootstrap
+
+
+def q_bootstrap_ci(sf_dir: str) -> pd.DataFrame:
+    """Poisson-bootstrap ~94% interval for the mean event value per
+    type (Chamandy et al. 2012, the shard-safe bootstrap): 32 hashed
+    Poisson(1)-weighted replicates; integer cents × integer weights →
+    every replicate mean is a ratio of exact ints, no rounding
+    contract."""
+    from pdf_parser_ray.ops.profile import poisson_bootstrap_ci
+
+    return poisson_bootstrap_ci(
+        _read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_type", "event_id", "value"],
+        ),
+        n_reps=32,
+    )
+
+
+QUERIES["bootstrap_ci"] = q_bootstrap_ci
+
+
+def _bootstrap_sql(n_reps: int = 32) -> str:
+    from pdf_parser_ray.ops.profile import _POIS1_T48
+
+    w_terms = " + ".join(f"(hh >= {t})::INT" for t in _POIS1_T48)
+    return f"""
+    WITH e AS (SELECT event_type AS g, event_id,
+                      CAST(round(value * 100) AS BIGINT) AS c
+               FROM events),
+    r AS (SELECT unnest(range({n_reps})) AS rep),
+    h AS (SELECT g, rep, c,
+                 ('0x' || substr(md5(rep::VARCHAR || ':' ||
+                                     event_id::VARCHAR), 1, 12))::BIGINT
+                   AS hh
+          FROM e CROSS JOIN r),
+    w AS (SELECT g, rep, c, ({w_terms}) AS w FROM h),
+    agg AS (SELECT g, rep, CAST(sum(w * c) AS BIGINT) AS swx,
+                   CAST(sum(w) AS BIGINT) AS sw
+            FROM w GROUP BY g, rep),
+    base AS (SELECT g, CAST(sum(c) AS BIGINT) AS swx,
+                    count(*)::BIGINT AS sw
+             FROM e GROUP BY g),
+    means AS (SELECT g, swx::DOUBLE / sw AS m FROM agg WHERE sw > 0),
+    sel AS (SELECT g, m,
+                   row_number() OVER (PARTITION BY g ORDER BY m) AS rn,
+                   count(*) OVER (PARTITION BY g) AS nn
+            FROM means)
+    SELECT b.g AS event_type, b.sw AS n, b.swx::DOUBLE / b.sw AS mean,
+           lo.m AS boot_lo, hi.m AS boot_hi
+    FROM base b
+    JOIN sel lo ON lo.g = b.g AND lo.rn = 2
+    JOIN sel hi ON hi.g = b.g AND hi.rn = hi.nn - 1
+"""
+
+
+SQL["bootstrap_ci"] = _bootstrap_sql()

@@ -949,3 +949,35 @@ class TestLabelPropCommunities:
         ).set_index("node")
         assert out.loc[5, "community"] == 9
         assert out.loc[6, "community"] == 2
+
+
+class TestPoissonBootstrapCi:
+    def test_interval_brackets_mean_and_weights_poisson(self, ray_session):
+        from pdf_parser_ray.ops.profile import poisson_bootstrap_ci
+
+        rng = np.random.RandomState(5)
+        df = pd.DataFrame(
+            {"event_type": ["a"] * 400,
+             "event_id": np.arange(400),
+             "value": np.round(rng.uniform(1, 99, 400), 2)}
+        )
+        out = poisson_bootstrap_ci(_ds(df, 3)).iloc[0]
+        exact = np.rint(df["value"].to_numpy() * 100).astype("int64")
+        assert out["n"] == 400
+        assert out["mean"] == exact.sum() / 400
+        # bootstrap interval must bracket the point estimate and be
+        # tight-ish for n=400 (σ/√n ≈ 1.4 cents·100)
+        assert out["boot_lo"] < out["mean"] < out["boot_hi"]
+        assert (out["boot_hi"] - out["boot_lo"]) < 0.25 * out["mean"]
+
+    def test_partition_invariant(self, ray_session):
+        from pdf_parser_ray.ops.profile import poisson_bootstrap_ci
+
+        df = pd.DataFrame(
+            {"event_type": ["a", "b"] * 100,
+             "event_id": np.arange(200),
+             "value": np.linspace(1, 50, 200).round(2)}
+        )
+        a = poisson_bootstrap_ci(_ds(df, 1))
+        b = poisson_bootstrap_ci(_ds(df, 7))
+        pd.testing.assert_frame_equal(a, b)
