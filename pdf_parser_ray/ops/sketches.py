@@ -945,16 +945,21 @@ def cms_counts(
     import hashlib
 
     import ray
-    from ray.data.aggregate import Sum as _Sum
 
     from pdf_parser_ray.io_utils import arrow_out
     from pdf_parser_ray.ops.shuffle import grouped_sum
     from pdf_parser_ray.stages import worker_state
 
     def _buckets(keys: "pd.Series") -> "np.ndarray":
-        """(len(keys), depth) int64 bucket matrix via a worker cache."""
+        """(len(keys), depth) int64 bucket matrix via a worker cache.
+
+        factorize + one row-gather: the md5 loop runs over the batch's
+        UNIQUE keys only (worker-cached across batches); per-row work is
+        a single C-speed ``mat[codes]`` (the per-row list comprehension
+        it replaces cost ~2 s of the 6.6 s sf0.1 bench time)."""
         cache = worker_state(("cms_md5", depth, width), dict)
-        for k in keys.unique():
+        codes, uniques = pd.factorize(keys, sort=False)
+        for k in uniques:
             if k not in cache:
                 cache[k] = tuple(
                     int(
@@ -964,7 +969,10 @@ def cms_counts(
                     % width
                     for d in range(depth)
                 )
-        return np.array([cache[k] for k in keys], dtype=np.int64)
+        if not len(uniques):
+            return np.empty((0, depth), dtype=np.int64)
+        mat = np.array([cache[k] for k in uniques], dtype=np.int64)
+        return mat[codes]
 
     keyed = ds.select_columns([key_col])
 
@@ -990,12 +998,11 @@ def cms_counts(
         out = pd.concat(frames, ignore_index=True)
         return arrow_out(out.astype({"bucket": "int64", "n": "int64"}))
 
-    merged = (
-        keyed.map_batches(sketch_partial, batch_format="pandas")
-        .groupby(["d", "bucket"])
-        .aggregate(_Sum("n", alias_name="n"))
-        .to_pandas()  # bounded: ≤ depth × width rows
-    )
+    merged = grouped_sum(
+        keyed.map_batches(sketch_partial, batch_format="pandas"),
+        ["d", "bucket"],
+        ["n"],
+    ).to_pandas()  # bounded: ≤ depth × width rows
     M = np.zeros((depth, width), dtype=np.int64)
     M[merged["d"].to_numpy(dtype=np.int64),
       merged["bucket"].to_numpy(dtype=np.int64)] = merged["n"].to_numpy(
