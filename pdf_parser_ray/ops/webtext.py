@@ -825,3 +825,202 @@ def fix_mojibake(
         return arrow_out(out)
 
     return ds.map_batches(fix, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Blocklist matching (the C4 "bad words" gate, substring semantics)
+# ---------------------------------------------------------------------------
+
+
+class AhoCorasick:
+    """From-scratch Aho-Corasick automaton for multi-pattern PRESENCE
+    detection (Aho & Corasick 1975, public algorithm).
+
+    One pass over the text regardless of pattern count — the scale
+    route when the blocklist is large (UT1-sized lists run to 10^4+
+    entries, where the per-pattern vectorized scan's O(K x corpus)
+    loses to this O(corpus)).  Build once per actor (callable-class
+    ``__init__``), reuse per batch.
+
+    ``seen_patterns(text)`` returns the set of pattern indices present
+    as substrings — overlap-proof by construction (output links follow
+    fail links, so ``b`` IS found inside a longer match of ``abc``).
+    """
+
+    def __init__(self, patterns: list[str], *, case_sensitive: bool = False):
+        self.case_sensitive = case_sensitive
+        pats = [p if case_sensitive else p.lower() for p in patterns]
+        goto: list[dict] = [{}]
+        out: list[list[int]] = [[]]
+        for pid, pat in enumerate(pats):
+            st = 0
+            for ch in pat:
+                nxt = goto[st].get(ch)
+                if nxt is None:
+                    goto.append({})
+                    out.append([])
+                    nxt = len(goto) - 1
+                    goto[st][ch] = nxt
+                st = nxt
+            out[st].append(pid)
+        fail = [0] * len(goto)
+        queue = list(goto[0].values())
+        for st in queue:  # BFS; queue grows in place
+            for ch, nxt in goto[st].items():
+                queue.append(nxt)
+                f = fail[st]
+                while f and ch not in goto[f]:
+                    f = fail[f]
+                fail[nxt] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != nxt else 0
+                out[nxt].extend(out[fail[nxt]])
+        self._goto, self._fail, self._out = goto, fail, out
+        self.n_patterns = len(pats)
+
+    def seen_patterns(self, text: str) -> set:
+        if not self.case_sensitive:
+            text = text.lower()
+        goto, fail, out = self._goto, self._fail, self._out
+        seen: set = set()
+        st = 0
+        for ch in text:
+            while st and ch not in goto[st]:
+                st = fail[st]
+            st = goto[st].get(ch, 0)
+            if out[st]:
+                seen.update(out[st])
+        return seen
+
+
+def blocklist_hits(
+    ds: ray.data.Dataset,
+    patterns: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    case_sensitive: bool = False,
+    mode: str = "vector",
+) -> ray.data.Dataset:
+    """Blocklist gate (C4 / RefinedWeb "bad words" rule, substring
+    semantics): per document, how many DISTINCT blocklist patterns
+    occur, and the boolean ``blocked`` verdict.
+
+    Two interchangeable row-local routes with identical output
+    (pinned by test):
+
+    * ``mode="vector"`` — one zero-copy ``pyarrow.compute
+      .match_substring`` pass per pattern (C speed; right for the
+      tens-of-patterns lists this query ships).
+    * ``mode="automaton"`` — a from-scratch Aho-Corasick actor pool:
+      ONE text pass total; the 10^4-pattern scale route.  The automaton
+      is built once per actor in ``__init__`` and broadcast-free
+      (patterns travel in the actor constructor args).
+
+    Presence (not occurrence counting) is deliberately the contract:
+    it is what the public recipes gate on, and it is overlap-free, so
+    both routes and the DuckDB ``contains()`` oracle agree exactly.
+
+    Output: (id_col, n_block_hits:int64, blocked:bool).  Zero shuffle.
+    """
+    pats = list(patterns)
+    if mode == "vector":
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def hits(batch: pa.Table) -> pa.Table:
+            col = pc.cast(
+                pc.fill_null(batch.column(text_col), ""), pa.string()
+            )
+            total = np.zeros(len(batch), dtype=np.int64)
+            for pat in pats:
+                m = pc.match_substring(
+                    col, pat, ignore_case=not case_sensitive
+                )
+                total += m.to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    id_col: batch.column(id_col),
+                    "n_block_hits": pa.array(total),
+                    "blocked": pa.array(total > 0),
+                }
+            )
+
+        return ds.map_batches(hits, batch_format="pyarrow")
+
+    if mode != "automaton":
+        raise ValueError(f"unknown mode {mode!r}")
+
+    class _AcStage:
+        def __init__(self):
+            self.ac = AhoCorasick(pats, case_sensitive=case_sensitive)
+
+        def __call__(self, df: pd.DataFrame):
+            texts = df[text_col].fillna("").astype(str)
+            n_hits = np.fromiter(
+                (len(self.ac.seen_patterns(t)) for t in texts),
+                dtype=np.int64,
+                count=len(df),
+            )
+            return arrow_out(
+                pd.DataFrame(
+                    {
+                        id_col: df[id_col].to_numpy(),
+                        "n_block_hits": n_hits,
+                        "blocked": n_hits > 0,
+                    }
+                )
+            )
+
+    return ds.map_batches(_AcStage, batch_format="pandas", concurrency=(1, 8))
+
+
+def blocklist_doc_counts(
+    ds: ray.data.Dataset,
+    patterns: list[str],
+    *,
+    text_col: str = "text",
+    case_sensitive: bool = False,
+) -> ray.data.Dataset:
+    """Blocklist hit-rate audit: for every pattern, the number of
+    documents containing it (the corpus-level view of
+    :func:`blocklist_hits` used to tune a blocklist before gating).
+
+    Per-batch partial (K rows per batch, K = len(patterns)) → one
+    bounded-key groupby; document text never shuffles.
+
+    Output: (pattern:string, n_docs:int64), one row per pattern
+    INCLUDING zero-hit patterns (a blocklist entry that never fires is
+    exactly what the audit is for).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    pats = list(patterns)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = pc.cast(pc.fill_null(batch.column(text_col), ""), pa.string())
+        counts = [
+            int(
+                pc.sum(
+                    pc.cast(
+                        pc.match_substring(
+                            col, pat, ignore_case=not case_sensitive
+                        ),
+                        pa.int64(),
+                    )
+                ).as_py()
+                or 0
+            )
+            for pat in pats
+        ]
+        return pa.table(
+            {
+                "pattern": pa.array(pats, pa.string()),
+                "n_docs": pa.array(counts, pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("pattern").aggregate(
+        Sum("n_docs", alias_name="n_docs")
+    )

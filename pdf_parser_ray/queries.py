@@ -10248,3 +10248,89 @@ def _bootstrap_sql(n_reps: int = 32) -> str:
 
 
 SQL["bootstrap_ci"] = _bootstrap_sql()
+
+
+# ------------------------------------------------ blocklist gate
+
+# Fixed audit blocklist: corpus-vocabulary words + cross-word bigrams
+# (substring semantics), one overlapping pair ("table table" contains
+# "table"), and one never-hits entry so the zero row is exercised.
+BLOCKLIST = [
+    "slow",
+    "big query",
+    "table table",
+    "spark part",
+    "zz-never-hits",
+]
+
+
+def q_blocklist_gate(sf_dir: str) -> ray.data.Dataset:
+    """C4-style blocklist gate (substring semantics): per document the
+    number of DISTINCT blocklist patterns present + the blocked
+    verdict.  Vectorized match_substring route; row-local, zero
+    shuffle."""
+    from pdf_parser_ray.ops.webtext import blocklist_hits
+
+    return blocklist_hits(
+        _documents(sf_dir, columns=["doc_id", "text"]), BLOCKLIST
+    )
+
+
+def q_blocklist_gate_ac(sf_dir: str) -> ray.data.Dataset:
+    """The Aho-Corasick SCALE route of q:blocklist_gate (one text pass
+    regardless of pattern count; automaton built once per actor) —
+    identical output contract, independently oracled."""
+    from pdf_parser_ray.ops.webtext import blocklist_hits
+
+    return blocklist_hits(
+        _documents(sf_dir, columns=["doc_id", "text"]),
+        BLOCKLIST,
+        mode="automaton",
+    )
+
+
+def q_blocklist_rates(sf_dir: str) -> ray.data.Dataset:
+    """Blocklist hit-rate audit: documents containing each pattern
+    (zero-hit entries kept).  K partial rows per batch -> bounded-key
+    groupby; text never shuffles."""
+    from pdf_parser_ray.ops.webtext import blocklist_doc_counts
+
+    return blocklist_doc_counts(
+        _documents(sf_dir, columns=["doc_id", "text"]), BLOCKLIST
+    )
+
+
+QUERIES["blocklist_gate"] = q_blocklist_gate
+QUERIES["blocklist_gate_ac"] = q_blocklist_gate_ac
+QUERIES["blocklist_rates"] = q_blocklist_rates
+
+
+def _blocklist_sql() -> tuple[str, str]:
+    # contains() on lower(): the op lowers both sides (case-insensitive
+    # default); presence semantics make overlap irrelevant, so the SQL
+    # twin is exact.
+    hit_terms = " + ".join(
+        f"contains(lower(coalesce(text, '')), '{p}')::BIGINT"
+        for p in BLOCKLIST
+    )
+    per_doc = f"""
+    SELECT doc_id,
+           ({hit_terms}) AS n_block_hits,
+           ({hit_terms}) > 0 AS blocked
+    FROM documents
+"""
+    pat_rows = ", ".join(f"('{p}')" for p in BLOCKLIST)
+    rates = f"""
+    WITH pats(pattern) AS (VALUES {pat_rows})
+    SELECT p.pattern,
+           CAST(coalesce(sum(
+               contains(lower(coalesce(d.text, '')), p.pattern)::BIGINT
+           ), 0) AS BIGINT) AS n_docs
+    FROM pats p CROSS JOIN documents d
+    GROUP BY p.pattern
+"""
+    return per_doc, rates
+
+
+SQL["blocklist_gate"], SQL["blocklist_rates"] = _blocklist_sql()
+SQL["blocklist_gate_ac"] = SQL["blocklist_gate"]

@@ -404,3 +404,60 @@ class TestMojibakeRepair:
         assert (corrupted["repair_rounds"] == 1).all()
         clean = out[~out["was_corrupted"]]
         assert (clean["repair_rounds"] == 0).all()
+
+
+class TestBlocklist:
+    ROWS = [
+        (0, "the slow brown fox"),          # slow
+        (1, "BIG QUERY engines"),            # big query (case-insensitive)
+        (2, "table table table stakes"),     # table table (overlapping runs)
+        (3, "clean document here"),          # nothing
+        (4, None),                           # null text -> nothing
+        (5, "spark particle slowly"),        # spark part + slow (substring)
+    ]
+
+    def _run(self, mode):
+        from pdf_parser_ray.ops.webtext import blocklist_hits
+
+        pats = ["slow", "big query", "table table", "spark part", "zz-no"]
+        out = (
+            blocklist_hits(
+                _ds(self.ROWS, ["doc_id", "text"]), pats, mode=mode
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        return out
+
+    def test_vector_route(self, ray_session):
+        out = self._run("vector")
+        assert out["n_block_hits"].tolist() == [1, 1, 1, 0, 0, 2]
+        assert out["blocked"].tolist() == [True, True, True, False, False, True]
+
+    def test_automaton_route_agrees(self, ray_session):
+        vec = self._run("vector")
+        ac = self._run("automaton")
+        pd.testing.assert_frame_equal(vec, ac)
+
+    def test_automaton_finds_pattern_inside_longer_match(self):
+        # alternation regexes miss 'b' inside a consumed 'abc' match;
+        # Aho-Corasick (output links via fail links) must not.
+        from pdf_parser_ray.ops.webtext import AhoCorasick
+
+        ac = AhoCorasick(["abc", "b"], case_sensitive=True)
+        assert ac.seen_patterns("xabcy") == {0, 1}
+
+    def test_doc_counts_keeps_zero_rows(self, ray_session):
+        from pdf_parser_ray.ops.webtext import blocklist_doc_counts
+
+        out = (
+            blocklist_doc_counts(
+                _ds(self.ROWS, ["doc_id", "text"]), ["slow", "zz-no"]
+            )
+            .to_pandas()
+            .sort_values("pattern")
+            .reset_index(drop=True)
+        )
+        assert out["pattern"].tolist() == ["slow", "zz-no"]
+        assert out["n_docs"].tolist() == [2, 0]
