@@ -1292,3 +1292,139 @@ def k_anonymity_audit(
         return res
 
     return partitioned_map(counts.union(ldiv), ["__qid"], merge)
+
+
+def shard_plan(
+    ds: ray.data.Dataset,
+    target_size: int,
+    *,
+    size_col: str = "n_chars",
+    order_col: str = "doc_id",
+    n_buckets: int = 256,
+    n_parts: int | None = None,
+) -> ray.data.Dataset:
+    """Compaction / shard-layout planner: walking the corpus in
+    ``order_col`` order, assign each row an output shard id so every
+    shard holds ~``target_size`` bytes (sorted first-fit: a shard takes
+    rows until the running total crosses the budget; one row may
+    overflow it — the classic size-targeted Parquet compaction rule).
+
+    shard = exclusive_prefix_sum(size) // target_size — a GLOBAL
+    ordered prefix sum, computed with the :func:`token_budget_cap`
+    histogram plan (per order-range-bucket subtotals → driver
+    exclusive offsets → bucket co-location + local cumsum), never a
+    global sort and never one worker holding the corpus.
+
+    Output: (order_col, size_col:int64, shard:int64).
+    """
+    from ray.data.aggregate import Max, Min
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    bounds = ds.select_columns([order_col]).aggregate(
+        Min(order_col, alias_name="lo"), Max(order_col, alias_name="hi")
+    )
+    lo = int(bounds["lo"])
+    width = max(1, -(-(int(bounds["hi"]) - lo + 1) // n_buckets))
+
+    def tag(df: pd.DataFrame):
+        order = df[order_col].astype("int64")
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    order_col: order,
+                    "__bucket": ((order - lo) // width),
+                    "sz": df[size_col].astype("int64"),
+                }
+            )
+        )
+
+    tagged = ds.select_columns([order_col, size_col]).map_batches(
+        tag, batch_format="pandas"
+    )
+
+    def bucket_partial(df: pd.DataFrame):
+        return arrow_out(
+            df.groupby("__bucket", as_index=False)["sz"].sum()
+        )
+
+    subtotals = (
+        tagged.map_batches(bucket_partial, batch_format="pandas")
+        .to_pandas()  # ≤ batches × n_buckets rows — bounded
+        .groupby("__bucket", as_index=False)["sz"].sum()
+        .sort_values("__bucket")
+    )
+    subtotals["offset"] = subtotals["sz"].cumsum() - subtotals["sz"]
+    offsets_ref = ray.put(
+        dict(zip(subtotals["__bucket"], subtotals["offset"]))
+    )
+
+    def assign(part: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.stages import worker_state
+
+        offs: dict = worker_state(
+            ("shard_offsets", offsets_ref.hex()), lambda: ray.get(offsets_ref)
+        )
+        out = []
+        for b, g in part.groupby("__bucket"):
+            g = g.sort_values(order_col).reset_index(drop=True)
+            sz = g["sz"].to_numpy(dtype=np.int64)
+            excl = np.cumsum(sz) - sz + int(offs.get(b, 0))
+            out.append(
+                pd.DataFrame(
+                    {
+                        order_col: g[order_col].to_numpy(),
+                        size_col: sz,
+                        "shard": excl // int(target_size),
+                    }
+                )
+            )
+        empty = pd.DataFrame(
+            {
+                order_col: pd.Series([], dtype="int64"),
+                size_col: pd.Series([], dtype="int64"),
+                "shard": pd.Series([], dtype="int64"),
+            }
+        )
+        return arrow_out(pd.concat(out, ignore_index=True) if out else empty)
+
+    return partitioned_map(
+        tagged, ["__bucket"], assign,
+        **({"n_parts": n_parts} if n_parts else {}),
+    )
+
+
+def shard_plan_summary(
+    plan: ray.data.Dataset,
+    *,
+    size_col: str = "n_chars",
+    order_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Audit rollup of a :func:`shard_plan`: per shard the row count,
+    total bytes, and the covered ``order_col`` range — the view an
+    operator reads to sanity-check a compaction before launching it.
+    Per-batch partial → bounded-key groupby (one row per shard)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from pdf_parser_ray.io_utils import arrow_out
+
+    def partial(df: pd.DataFrame):
+        g = df.groupby("shard", as_index=False).agg(
+            n_docs=(order_col, "size"),
+            total_bytes=(size_col, "sum"),
+            first_doc=(order_col, "min"),
+            last_doc=(order_col, "max"),
+        )
+        return arrow_out(g.astype({"n_docs": "int64", "total_bytes": "int64"}))
+
+    return (
+        plan.map_batches(partial, batch_format="pandas")
+        .groupby("shard")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_bytes", alias_name="total_bytes"),
+            Min("first_doc", alias_name="first_doc"),
+            Max("last_doc", alias_name="last_doc"),
+        )
+    )

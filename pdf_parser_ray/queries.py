@@ -10334,3 +10334,55 @@ def _blocklist_sql() -> tuple[str, str]:
 
 SQL["blocklist_gate"], SQL["blocklist_rates"] = _blocklist_sql()
 SQL["blocklist_gate_ac"] = SQL["blocklist_gate"]
+
+
+# ------------------------------------------------ shard compaction plan
+
+_SHARD_TARGET = 20_000  # bytes per output shard (sf-sized for the bench)
+
+
+def q_shard_plan(sf_dir: str) -> ray.data.Dataset:
+    """Size-targeted compaction plan: every document assigned an output
+    shard so shards hold ~20 kB each (sorted first-fit over doc_id
+    order).  Global ordered prefix sum via the histogram plan — no
+    global sort."""
+    from pdf_parser_ray.ops.curation import shard_plan
+
+    return shard_plan(
+        _documents(sf_dir, columns=["doc_id", "n_chars"]), _SHARD_TARGET
+    )
+
+
+def q_shard_plan_summary(sf_dir: str) -> ray.data.Dataset:
+    """Per-shard audit of q:shard_plan (rows, bytes, doc range) --
+    bounded-key rollup, one row per planned shard."""
+    from pdf_parser_ray.ops.curation import shard_plan, shard_plan_summary
+
+    return shard_plan_summary(
+        shard_plan(
+            _documents(sf_dir, columns=["doc_id", "n_chars"]), _SHARD_TARGET
+        )
+    )
+
+
+QUERIES["shard_plan"] = q_shard_plan
+QUERIES["shard_plan_summary"] = q_shard_plan_summary
+
+SQL["shard_plan"] = f"""
+    SELECT doc_id, n_chars,
+           CAST(coalesce(sum(n_chars) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) // {_SHARD_TARGET} AS BIGINT) AS shard
+    FROM documents
+"""
+
+SQL["shard_plan_summary"] = f"""
+    WITH plan AS ({SQL['shard_plan']})
+    SELECT shard,
+           count(*)::BIGINT AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_bytes,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM plan GROUP BY shard
+"""

@@ -779,3 +779,63 @@ class TestKAnonymityAudit:
         fr = out[out["lang"] == "fr"].iloc[0]
         assert (en["n_rows"], en["l_diversity"], en["k_anonymous"]) == (3, 2, True)
         assert (fr["n_rows"], fr["l_diversity"], fr["k_anonymous"]) == (2, 2, False)
+
+
+class TestShardPlan:
+    def test_sorted_first_fit_assignment(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.curation import shard_plan
+
+        # sizes 60,50,40,30,20,10 target 100:
+        # exclusive cumsums 0,60,110,150,180,200 -> shards 0,0,1,1,1,2
+        df = pd.DataFrame(
+            {"doc_id": [0, 1, 2, 3, 4, 5],
+             "n_chars": [60, 50, 40, 30, 20, 10]}
+        )
+        out = (
+            shard_plan(ray.data.from_pandas(df), 100, n_buckets=3)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert out["shard"].tolist() == [0, 0, 1, 1, 1, 2]
+
+    def test_partitioning_invariant(self, ray_session):
+        # same plan regardless of block layout (the prefix sum is
+        # global, not per-block)
+        import ray.data
+
+        from pdf_parser_ray.ops.curation import shard_plan
+
+        df = pd.DataFrame(
+            {"doc_id": np.arange(200), "n_chars": (np.arange(200) % 7 + 1) * 10}
+        )
+        a = (
+            shard_plan(ray.data.from_pandas(df), 300, n_buckets=16)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        b = (
+            shard_plan(
+                ray.data.from_pandas(df).repartition(13), 300, n_buckets=4
+            )
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+        # exact serial twin
+        excl = df["n_chars"].cumsum() - df["n_chars"]
+        assert a["shard"].tolist() == (excl // 300).tolist()
+
+    def test_summary_rollup(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.curation import shard_plan, shard_plan_summary
+
+        df = pd.DataFrame(
+            {"doc_id": [0, 1, 2], "n_chars": [100, 100, 100]}
+        )
+        out = (
+            shard_plan_summary(shard_plan(ray.data.from_pandas(df), 150))
+            .to_pandas().sort_values("shard").reset_index(drop=True)
+        )
+        assert out["shard"].tolist() == [0, 1]
+        assert out["n_docs"].tolist() == [2, 1]
+        assert out["total_bytes"].tolist() == [200, 100]
