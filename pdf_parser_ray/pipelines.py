@@ -518,3 +518,78 @@ def near_dedup_corpus(
     if not drops:
         return docs
     return broadcast_semi_join(docs, drops, on="doc_id", anti=True)
+
+
+def dup_aware_weights(
+    docs: "ray.data.Dataset",
+    *,
+    method: str = "minhash",
+    threshold: float = 0.5,
+    max_hamming: int = 3,
+    hash_fn: str = "crc32",
+) -> "ray.data.Dataset":
+    """Duplicate-aware sampling weights (the SlimPajama/soft-dedup
+    alternative to dropping near-dups): every document gets its
+    near-dup CLUSTER SIZE and the sampling weight ``1/cluster_size``,
+    so a training run can downweight boilerplate cliques instead of
+    deleting them.
+
+    Same candidate machinery as :func:`near_dedup_corpus` (LSH pairs →
+    connected components); the component/size table is bounded by the
+    near-dup count, collected once and broadcast — the corpus itself
+    never shuffles, the attach is row-local.  ``weight`` divides two
+    exact ints (1.0 / int64) → bit-identical doubles on both engines.
+
+    Output: (doc_id:int64, cluster_size:int64, weight:float64).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+        simhash_near_pairs,
+    )
+
+    if method == "minhash":
+        pairs = minhash_lsh_pairs(docs, threshold=threshold, hash_fn=hash_fn)
+    elif method == "simhash":
+        pairs = simhash_near_pairs(
+            docs, max_hamming=max_hamming, hash_fn=hash_fn
+        )
+    else:
+        raise ValueError(f"unknown near-dedup method {method!r}")
+
+    comp = connected_components(pairs.select_columns(["a", "b"]))
+    cdf = comp.to_pandas()  # bounded: near-dup nodes only (drops-set rule)
+    if len(cdf):
+        sizes = cdf.groupby("component")["node"].transform("size")
+        node_size = dict(
+            zip(cdf["node"].astype("int64"), sizes.astype("int64"))
+        )
+    else:
+        node_size = {}
+    size_ref = ray.put(node_size)
+
+    def attach(df: pd.DataFrame):
+        from pdf_parser_ray.stages import worker_state
+
+        sizes: dict = worker_state(
+            ("dupw", size_ref.hex()), lambda: ray.get(size_ref)
+        )
+        ids = df["doc_id"].astype("int64")
+        csz = ids.map(sizes).fillna(1).astype("int64").to_numpy()
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    "doc_id": ids.to_numpy(),
+                    "cluster_size": csz,
+                    "weight": 1.0 / csz,
+                }
+            )
+        )
+
+    return docs.select_columns(["doc_id"]).map_batches(
+        attach, batch_format="pandas"
+    )

@@ -10386,3 +10386,41 @@ SQL["shard_plan_summary"] = f"""
            max(doc_id) AS last_doc
     FROM plan GROUP BY shard
 """
+
+
+# ---------------------------------------- duplicate-aware weights
+
+
+def q_dup_weights_md5(sf_dir: str) -> ray.data.Dataset:
+    """SlimPajama-style duplicate-aware sampling weights: per document
+    its md5 MinHash near-dup cluster size and weight 1/cluster_size
+    (soft dedup — downweight boilerplate cliques instead of dropping
+    them).  Value-exact twin composes the LSH tree + reachability CTE
+    + size rollup."""
+    from pdf_parser_ray.pipelines import dup_aware_weights
+
+    return dup_aware_weights(
+        _documents(sf_dir), method="minhash", threshold=0.5, hash_fn="md5"
+    )
+
+
+QUERIES["dup_weights_md5"] = q_dup_weights_md5
+
+SQL["dup_weights_md5"] = f"""
+    WITH RECURSIVE
+    mh AS ({_minhash_md5_sql()}),
+    edges AS (SELECT a AS u, b AS v FROM mh UNION ALL SELECT b, a FROM mh),
+    reach(v, r) AS (
+      SELECT DISTINCT u, u FROM edges
+      UNION
+      SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.v),
+    comp AS (SELECT v AS node, min(r) AS component FROM reach GROUP BY v),
+    sizes AS (SELECT component, count(*)::BIGINT AS csz
+              FROM comp GROUP BY component)
+    SELECT d.doc_id,
+           CAST(coalesce(s.csz, 1) AS BIGINT) AS cluster_size,
+           1.0 / coalesce(s.csz, 1) AS weight
+    FROM documents d
+    LEFT JOIN comp c ON c.node = d.doc_id
+    LEFT JOIN sizes s ON s.component = c.component
+"""

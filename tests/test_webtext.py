@@ -461,3 +461,27 @@ class TestBlocklist:
         )
         assert out["pattern"].tolist() == ["slow", "zz-no"]
         assert out["n_docs"].tolist() == [2, 0]
+
+
+class TestDupAwareWeights:
+    def test_planted_clique_downweighted(self, ray_session):
+        from pdf_parser_ray.pipelines import dup_aware_weights
+
+        base = "alpha bravo charlie delta echo foxtrot golf hotel " * 6
+        rows = [
+            (0, base),                     # clique of 3 identical docs
+            (1, base),
+            (2, base),
+            (3, "totally different text about streams and batches " * 6),
+            (4, "another unique document mentioning arrow blocks " * 6),
+        ]
+        out = (
+            dup_aware_weights(
+                _ds(rows, ["doc_id", "text"]), threshold=0.5
+            )
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert out["cluster_size"].tolist() == [3, 3, 3, 1, 1]
+        assert out["weight"].tolist() == [1 / 3, 1 / 3, 1 / 3, 1.0, 1.0]
+        # weights of a cluster sum to 1: soft dedup keeps unit mass
+        assert abs(out["weight"][:3].sum() - 1.0) < 1e-12
