@@ -1902,3 +1902,168 @@ def _hist_sum():
     from ray.data.aggregate import Sum
 
     return Sum("k", alias_name="k")
+
+
+def bpe_train(
+    ds: "ray.data.Dataset",
+    n_merges: int,
+    *,
+    text_col: str = "text",
+    max_vocab: int | None = None,
+) -> pd.DataFrame:
+    """Train a BPE merge table over the corpus (Sennrich et al. 2016,
+    the public learn-BPE recipe): ``n_merges`` rounds of "merge the
+    most frequent adjacent symbol pair".
+
+    The distributed part is ONE :func:`word_counts` pass — BPE training
+    only ever needs the word-frequency histogram, so the corpus scan
+    cost is independent of ``n_merges`` and the iteration runs on the
+    vocabulary-bounded histogram (10^8 distinct tokens ≈ GBs at
+    10^12-doc scale; ``max_vocab`` keeps the top-M tokens by (count
+    DESC, token ASC) when the full tail must not land on the driver —
+    an explicit approximation knob, exact when None).
+
+    Determinism: pair selection breaks count ties on the pair's
+    (left, right) strings ascending; merge application inside a word
+    is leftmost-first (the standard rule).  Words carry an end-of-word
+    sentinel '</w>' so merges cannot cross word boundaries (the public
+    convention).
+
+    Output (eager, ≤ n_merges rows): (rank:int64, left:str, right:str,
+    cnt:int64) — rank is the merge order, cnt the winning pair's
+    weighted count at selection time.
+    """
+    hist = word_counts(ds.select_columns([text_col])).to_pandas()
+    hist = hist.sort_values(
+        ["n", "token"], ascending=[False, True], kind="mergesort"
+    )
+    if max_vocab is not None:
+        hist = hist.head(max_vocab)
+
+    # word -> symbol tuple (chars + the end-of-word sentinel)
+    words: list[list[str]] = [
+        list(t) + ["</w>"] for t in hist["token"].astype(str)
+    ]
+    freqs = hist["n"].astype("int64").to_list()
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in zip(words, freqs):
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), cnt = best
+        merges.append((rank, left, right, int(cnt)))
+        joined = left + right
+        for w, syms in enumerate(words):
+            i, out = 0, []
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+
+    return pd.DataFrame(
+        {
+            "rank": pd.Series([m[0] for m in merges], dtype="int64"),
+            "left": pd.Series([m[1] for m in merges], dtype=str),
+            "right": pd.Series([m[2] for m in merges], dtype=str),
+            "cnt": pd.Series([m[3] for m in merges], dtype="int64"),
+        }
+    )
+
+
+def bpe_encode(
+    ds: "ray.data.Dataset",
+    merges: pd.DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Apply a trained BPE merge table (from :func:`bpe_train`) to the
+    corpus and report per-document BPE token counts — the tokenizer
+    APPLICATION side at scale: the merge table is broadcast once per
+    actor, encoding is word-histogram-memoized per batch (each distinct
+    word in a batch is encoded once, then weighted by its in-batch
+    frequency).  Row-local, zero shuffle.
+
+    Output: (id_col, n_bpe_tokens:int64, n_words:int64).
+    """
+    import ray as _ray
+
+    from pdf_parser_ray.io_utils import arrow_out
+
+    table = [
+        (str(l), str(r)) for l, r in zip(merges["left"], merges["right"])
+    ]
+    table_ref = _ray.put(table)
+
+    class _Encoder:
+        def __init__(self):
+            self.merges: list[tuple[str, str]] = _ray.get(table_ref)
+            self.cache: dict[str, int] = {}
+
+        def encode_len(self, word: str) -> int:
+            n = self.cache.get(word)
+            if n is not None:
+                return n
+            syms = list(word) + ["</w>"]
+            for left, right in self.merges:
+                i, out = 0, []
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+                if len(syms) == 1:
+                    break
+            n = len(syms)
+            if len(self.cache) < 1_000_000:
+                self.cache[word] = n
+            return n
+
+        def __call__(self, df: pd.DataFrame):
+            import numpy as np
+
+            toks = df[text_col].fillna("").str.lower().str.findall(TOKEN_PAT)
+            n_bpe = np.zeros(len(df), dtype=np.int64)
+            n_words = np.zeros(len(df), dtype=np.int64)
+            for i, words in enumerate(toks):
+                n_words[i] = len(words)
+                vc: dict[str, int] = {}
+                for w in words:
+                    vc[w] = vc.get(w, 0) + 1
+                n_bpe[i] = sum(
+                    self.encode_len(w) * c for w, c in vc.items()
+                )
+            return arrow_out(
+                pd.DataFrame(
+                    {
+                        id_col: df[id_col].to_numpy(),
+                        "n_bpe_tokens": n_bpe,
+                        "n_words": n_words,
+                    }
+                )
+            )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _Encoder, batch_format="pandas", concurrency=(1, 8)
+    )

@@ -10424,3 +10424,32 @@ SQL["dup_weights_md5"] = f"""
     LEFT JOIN comp c ON c.node = d.doc_id
     LEFT JOIN sizes s ON s.component = c.component
 """
+
+
+# ------------------------------------------------ BPE tokenizer training
+
+
+def q_bpe_train(sf_dir: str) -> pd.DataFrame:
+    """BPE tokenizer training (Sennrich 2016): 32 merges learned from
+    ONE distributed word-histogram pass; the merge loop runs on the
+    vocabulary-bounded histogram.  Iterative algorithm -> no SQL twin
+    (driver rows-only check); pinned against an independent naive
+    implementation in tests/test_webtext.py TestBpeTrain."""
+    from pdf_parser_ray.ops.text_stats import bpe_train
+
+    return bpe_train(_documents(sf_dir, columns=["doc_id", "text"]), 32)
+
+
+def q_bpe_encode(sf_dir: str) -> ray.data.Dataset:
+    """Tokenizer application at scale: the q:bpe_train merge table
+    broadcast once per actor, per-doc BPE token counts computed with a
+    per-batch word-histogram memo.  Row-local; iterative encode -> no
+    SQL twin, parity pinned in TestBpeTrain.test_encode_counts."""
+    from pdf_parser_ray.ops.text_stats import bpe_encode, bpe_train
+
+    docs = _documents(sf_dir, columns=["doc_id", "text"])
+    return bpe_encode(docs, bpe_train(docs, 32))
+
+
+QUERIES["bpe_train"] = q_bpe_train
+QUERIES["bpe_encode"] = q_bpe_encode

@@ -485,3 +485,84 @@ class TestDupAwareWeights:
         assert out["weight"].tolist() == [1 / 3, 1 / 3, 1 / 3, 1.0, 1.0]
         # weights of a cluster sum to 1: soft dedup keeps unit mass
         assert abs(out["weight"][:3].sum() - 1.0) < 1e-12
+
+
+def _naive_bpe(texts, n_merges):
+    """Independent reference: classic learn-BPE over raw texts."""
+    import re
+
+    vocab = {}
+    for t in texts:
+        for w in re.findall(r"\S+", t.lower()):
+            vocab[w] = vocab.get(w, 0) + 1
+    words = {w: list(w) + ["</w>"] for w in vocab}
+    merges = []
+    for rank in range(n_merges):
+        counts = {}
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + vocab[w]
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, c))
+        for w, syms in words.items():
+            i, out = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges, words
+
+
+class TestBpeTrain:
+    TEXTS = [
+        "low low low low low",
+        "lower lower newest newest newest newest",
+        "newest newest widest widest",
+        "the newest gadget is the widest",
+    ]
+
+    def test_matches_independent_reference(self, ray_session):
+        from pdf_parser_ray.ops.text_stats import bpe_train
+
+        ds = _ds(list(enumerate(self.TEXTS)), ["doc_id", "text"])
+        got = bpe_train(ds, 8)
+        want, _ = _naive_bpe(self.TEXTS, 8)
+        assert list(
+            zip(got["rank"], got["left"], got["right"], got["cnt"])
+        ) == want
+
+    def test_merges_never_cross_words(self, ray_session):
+        from pdf_parser_ray.ops.text_stats import bpe_train
+
+        # corpus "ab ab ab": pairs (a,b) and (b,</w>) tie at 3 ->
+        # ascending pair tie-break picks ('a','b'); a cross-word
+        # pairing ('b','a') would have count 2 and must never win.
+        ds = _ds([(0, "ab ab ab")], ["doc_id", "text"])
+        got = bpe_train(ds, 1)
+        assert (got.loc[0, "left"], got.loc[0, "right"]) == ("a", "b")
+
+    def test_encode_counts(self, ray_session):
+        from pdf_parser_ray.ops.text_stats import bpe_encode, bpe_train
+
+        ds = _ds(list(enumerate(self.TEXTS)), ["doc_id", "text"])
+        merges = bpe_train(ds, 8)
+        out = (
+            bpe_encode(ds, merges)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        # independent check: encode each word with the reference's
+        # final symbol table
+        _, words = _naive_bpe(self.TEXTS, 8)
+        import re
+        for i, t in enumerate(self.TEXTS):
+            ws = re.findall(r"\S+", t.lower())
+            expect = sum(len(words[w]) for w in ws)
+            assert out.loc[i, "n_bpe_tokens"] == expect
+            assert out.loc[i, "n_words"] == len(ws)
