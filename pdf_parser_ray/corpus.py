@@ -301,3 +301,82 @@ def ensure_link_corpus(n_docs: int, seed: int = 42,
     with open(marker, "w") as f:
         f.write(f"{n_docs} {seed}\n")
     return out_dir
+
+
+def make_table_cells(doc_id: int, seed: int = 42) -> list[list[list[str]]]:
+    """The ground-truth cell matrices for one table-corpus page —
+    tables[t][r][c] = cell text.  Pure function of (seed, doc_id); the
+    generator renders these to HTML and the parser must invert the
+    rendering exactly (tests/test_html_tables.py parity check)."""
+    rng = random.Random(f"tables:{seed}:{doc_id}")
+    tables = []
+    for _ in range(rng.randint(0, 3)):
+        n_rows = rng.randint(1, 5)
+        n_cols = rng.randint(1, 4)
+        tables.append(
+            [
+                [_sentence(rng, rng.randint(1, 3)) for _ in range(n_cols)]
+                for _ in range(n_rows)
+            ]
+        )
+    return tables
+
+
+def make_table_document(doc_id: int, seed: int = 42) -> dict:
+    """A CC-style page whose body carries 0-3 HTML tables (first row is
+    a <th> header row), prose between them, plus a <script> decoy the
+    extractor must drop."""
+    rng = random.Random(f"tablesdoc:{seed}:{doc_id}")
+    cells = make_table_cells(doc_id, seed)
+    parts: list[str] = []
+    for t in cells:
+        rows_html = []
+        for r, row in enumerate(t):
+            tag = "th" if r == 0 else "td"
+            rows_html.append(
+                "<tr>" + "".join(f"<{tag}>{c}</{tag}>" for c in row) + "</tr>"
+            )
+        parts.append(f"<table>{''.join(rows_html)}</table>")
+        parts.append(f"<p>{_sentence(rng, 10)}</p>")
+    paras = " ".join(_sentence(rng, 8) for _ in range(2))
+    html = (
+        f"<html><head><title>{_sentence(rng, 2)}</title>"
+        f"<script>var x = '<td>not a cell</td>';</script></head>"
+        f"<body><p>{paras}</p>{''.join(parts)}</body></html>"
+    )
+    return {
+        "url": f"https://tables.example.com/page/{doc_id:06d}",
+        "warc_ts": BASE_TS_US + doc_id * 1_000_000,
+        "html": html.encode("utf-8"),
+        "text": paras,
+        "lang": _LANGS[doc_id % len(_LANGS)],
+    }
+
+
+def _gen_table_batch(batch: pa.Table, seed: int) -> pa.Table:
+    ids = batch.column("id").to_pylist()
+    return pa.Table.from_pylist(
+        [make_table_document(i, seed) for i in ids], schema=CORPUS_SCHEMA
+    )
+
+
+def ensure_table_corpus(n_docs: int, seed: int = 42,
+                        cache_root: str = "/tmp/ppr_corpus") -> str:
+    """Generate-once disk cache for the table-bearing corpus."""
+    import ray.data
+
+    out_dir = os.path.join(cache_root, f"tables_n{n_docs}_s{seed}")
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    parallelism = max(8, min(64, n_docs // 2000 or 8))
+    (
+        ray.data.range(n_docs, override_num_blocks=parallelism)
+        .map_batches(_gen_table_batch, fn_kwargs={"seed": seed},
+                     batch_format="pyarrow", batch_size=2000)
+        .write_parquet(out_dir)
+    )
+    with open(marker, "w") as f:
+        f.write(f"{n_docs} {seed}\n")
+    return out_dir

@@ -10453,3 +10453,43 @@ def q_bpe_encode(sf_dir: str) -> ray.data.Dataset:
 
 QUERIES["bpe_train"] = q_bpe_train
 QUERIES["bpe_encode"] = q_bpe_encode
+
+
+# ------------------------------------------------ HTML table harvest
+
+
+def q_html_tables(sf_dir: str) -> ray.data.Dataset:
+    """Structured-data harvest: every HTML table cell over the
+    deterministic table corpus scaled to sf (url, table, row, col,
+    header flag, spans, text).  Row-local payload parsing -> no SQL
+    twin; generator<->parser parity pinned in tests/test_html_tables."""
+    from pdf_parser_ray.corpus import ensure_table_corpus, sf_to_n_docs
+    from pdf_parser_ray.html.tables import extract_tables
+    from pdf_parser_ray.pipelines import read_corpus
+
+    corpus = ensure_table_corpus(sf_to_n_docs(_sf_from_dir(sf_dir)))
+    return extract_tables(read_corpus(corpus))
+
+
+def q_table_shapes(sf_dir: str) -> ray.data.Dataset:
+    """Per-table shape audit of q:html_tables (n_rows, n_cols, n_cells
+    per (url, table)) — the view a structured-extraction pipeline
+    checks before schema inference.  Cell harvest is row-local; the
+    rollup is one bounded groupby over (url, table_idx)."""
+    from ray.data.aggregate import Count, Max
+
+    from pdf_parser_ray.corpus import ensure_table_corpus, sf_to_n_docs
+    from pdf_parser_ray.html.tables import extract_tables
+    from pdf_parser_ray.pipelines import read_corpus
+
+    corpus = ensure_table_corpus(sf_to_n_docs(_sf_from_dir(sf_dir)))
+    cells = extract_tables(read_corpus(corpus))
+    return cells.groupby(["url", "table_idx"]).aggregate(
+        Max("row_idx", alias_name="max_row"),
+        Max("col_idx", alias_name="max_col"),
+        Count(alias_name="n_cells"),
+    )
+
+
+QUERIES["html_tables"] = q_html_tables
+QUERIES["table_shapes"] = q_table_shapes
