@@ -62,6 +62,16 @@ BUDGETS = {
     "sessionize": 1,
     "assign_sessions": 1,
     "distinct_users_per_type": 2,  # partitioned_map + final grouped sum
+    # session-13 additions
+    "blocklist_gate": 0,
+    "blocklist_gate_ac": 0,
+    "blocklist_rates": 1,       # bounded-key pattern rollup
+    "shard_plan": 1,            # one bucket co-location
+    "shard_plan_summary": 2,    # plan + bounded shard rollup
+    "html_tables": 0,
+    "table_shapes": 1,          # bounded (url, table) rollup
+    "dup_weights_md5": 0,       # cluster sizes broadcast; attach row-local
+    "bpe_encode": 0,            # merge table broadcast; encode row-local
 }
 
 
