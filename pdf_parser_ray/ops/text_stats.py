@@ -2067,3 +2067,164 @@ def bpe_encode(
     return ds.select_columns([id_col, text_col]).map_batches(
         _Encoder, batch_format="pandas", concurrency=(1, 8)
     )
+
+
+def _perceptron_batch_features(df: pd.DataFrame, text_col: str, n_buckets: int):
+    """Per-batch sparse hashed features: (row_pos, bucket, count) with
+    the repo-standard md5 bucket rule (int(md5(tok)[:8],16) % D) and a
+    per-worker token→bucket memo."""
+    import numpy as np
+
+    from pdf_parser_ray.stages import worker_state
+
+    cache = worker_state(("pcp_md5", n_buckets), dict)
+    toks = df[text_col].fillna("").str.lower().str.findall(TOKEN_PAT)
+    ex = toks.explode().dropna()
+    if len(ex) == 0:
+        return (
+            np.array([], dtype=np.int64),
+            np.array([], dtype=np.int64),
+            np.array([], dtype=np.int64),
+        )
+    for t in ex.unique():
+        if t not in cache:
+            cache[t] = (
+                int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+                % n_buckets
+            )
+    pos_map = pd.Series(
+        np.arange(len(df), dtype=np.int64), index=df.index
+    )
+    tmp = pd.DataFrame(
+        {
+            "row": pos_map[ex.index].to_numpy(),
+            "b": ex.map(cache).astype("int64").to_numpy(),
+        }
+    )
+    g = tmp.groupby(["row", "b"], as_index=False).size()
+    return (
+        g["row"].to_numpy(dtype=np.int64),
+        g["b"].to_numpy(dtype=np.int64),
+        g["size"].to_numpy(dtype=np.int64),
+    )
+
+
+def perceptron_train(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    label_col: str = "lang",
+    positive: str = "en",
+    n_buckets: int = 64,
+    rounds: int = 3,
+) -> pd.DataFrame:
+    """Train a linear text classifier DISTRIBUTED with full-batch
+    perceptron updates (Rosenblatt rule, batch form): per round, every
+    misclassified document (margin ``y·(w·x + w_bias) <= 0``) adds
+    ``y·x`` to the weights.  Features are md5 hash-trick unigram
+    COUNTS (the source_kl/nb_classify bucket rule), labels
+    ``+1 if label_col == positive else -1``.
+
+    Everything is int64 — counts, weights, margins — so the unrolled
+    DuckDB twin is value-EXACT despite the iterative training loop (no
+    sigmoid, no float tree; the fastText-shaped quality/language gate
+    with a hard oracle).
+
+    Each round is one corpus scan emitting (bucket, grad) partials
+    (bounded at (n_buckets+1) × batches); the driver adds the summed
+    gradient into ``w`` and re-broadcasts.  ``rounds`` scans total —
+    features are cheaper to recompute than to materialize corpus-wide.
+
+    Output (eager, n_buckets+1 rows): (bucket:int64, w:int64) with
+    bucket == n_buckets holding the bias.
+    """
+    import numpy as np
+
+    w = np.zeros(n_buckets + 1, dtype=np.int64)
+
+    for _ in range(rounds):
+        w_now = w.copy()
+
+        def grad_partial(df: pd.DataFrame, _w=w_now):
+            rows, buckets, counts = _perceptron_batch_features(
+                df, text_col, n_buckets
+            )
+            y = np.where(
+                df[label_col].fillna("").to_numpy() == positive, 1, -1
+            ).astype(np.int64)
+            scores = np.full(len(df), int(_w[n_buckets]), dtype=np.int64)
+            if len(rows):
+                np.add.at(scores, rows, _w[buckets] * counts)
+            mis = (y * scores) <= 0
+            g = np.zeros(n_buckets + 1, dtype=np.int64)
+            if len(rows):
+                keep = mis[rows]
+                np.add.at(
+                    g[:n_buckets], buckets[keep], y[rows[keep]] * counts[keep]
+                )
+            g[n_buckets] = int(y[mis].sum())
+            nz = np.flatnonzero(g)
+            return arrow_out(
+                pd.DataFrame(
+                    {"bucket": nz.astype("int64"), "g": g[nz]}
+                )
+            )
+
+        parts = (
+            ds.select_columns([text_col, label_col])
+            .map_batches(grad_partial, batch_format="pandas")
+            .to_pandas()  # bounded: (n_buckets+1) × batches rows
+        )
+        if len(parts):
+            agg = parts.groupby("bucket")["g"].sum()
+            w[agg.index.to_numpy(dtype=np.int64)] += agg.to_numpy(
+                dtype=np.int64
+            )
+
+    return pd.DataFrame(
+        {
+            "bucket": np.arange(n_buckets + 1, dtype=np.int64),
+            "w": w,
+        }
+    )
+
+
+def perceptron_predict(
+    ds: "ray.data.Dataset",
+    weights: pd.DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Score documents with a :func:`perceptron_train` weight table:
+    integer margin ``w·x + bias`` and the boolean prediction
+    ``margin > 0``.  Weights broadcast once (tiny); row-local, zero
+    shuffle.  Output: (id_col, margin:int64, pred:bool)."""
+    import numpy as np
+
+    w = np.zeros(n_buckets + 1, dtype=np.int64)
+    w[weights["bucket"].to_numpy(dtype=np.int64)] = weights["w"].to_numpy(
+        dtype=np.int64
+    )
+
+    def score(df: pd.DataFrame):
+        rows, buckets, counts = _perceptron_batch_features(
+            df, text_col, n_buckets
+        )
+        margins = np.full(len(df), int(w[n_buckets]), dtype=np.int64)
+        if len(rows):
+            np.add.at(margins, rows, w[buckets] * counts)
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    id_col: df[id_col].to_numpy(),
+                    "margin": margins,
+                    "pred": margins > 0,
+                }
+            )
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pandas"
+    )

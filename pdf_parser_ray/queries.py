@@ -10493,3 +10493,102 @@ def q_table_shapes(sf_dir: str) -> ray.data.Dataset:
 
 QUERIES["html_tables"] = q_html_tables
 QUERIES["table_shapes"] = q_table_shapes
+
+
+# ---------------------------------------- perceptron quality gate
+
+_PCP_D, _PCP_ROUNDS = 64, 3
+
+
+def _perceptron_sql(rounds: int = _PCP_ROUNDS, d: int = _PCP_D) -> tuple[str, str]:
+    """Unrolled integer-exact twin of perceptron_train/predict: the
+    bias rides as an implicit (bucket=d, count=1) feature on every doc,
+    so each round is ONE margin CTE + ONE gradient CTE + a weight
+    merge.  All int64 — no float tree, no rounding contract."""
+    base = f"""
+    docs0 AS (SELECT doc_id, coalesce(text, '') AS text,
+                     CASE WHEN coalesce(lang, '') = 'en'
+                          THEN 1 ELSE -1 END AS y
+              FROM documents),
+    toks AS (SELECT doc_id,
+                    unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+             FROM docs0),
+    hfeats AS (SELECT doc_id,
+                      CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % {d}
+                           AS BIGINT) AS b,
+                      count(*)::BIGINT AS c
+               FROM toks GROUP BY doc_id, 2),
+    feats AS (SELECT * FROM hfeats
+              UNION ALL SELECT doc_id, {d}, 1 FROM docs0),
+    y AS (SELECT doc_id, y FROM docs0),
+    w1 AS (SELECT f.b, CAST(sum(y.y * f.c) AS BIGINT) AS w
+           FROM feats f JOIN y USING (doc_id) GROUP BY f.b)"""
+    parts = [base]
+    for r in range(2, rounds + 1):
+        prev, cur = f"w{r - 1}", f"w{r}"
+        parts.append(f"""
+    m{r} AS (SELECT f.doc_id,
+                    CAST(sum({prev}.w * f.c) AS BIGINT) AS m
+             FROM feats f JOIN {prev} ON {prev}.b = f.b
+             GROUP BY f.doc_id),
+    g{r} AS (SELECT f.b, CAST(sum(y.y * f.c) AS BIGINT) AS g
+             FROM feats f
+             JOIN y USING (doc_id)
+             JOIN m{r} USING (doc_id)
+             WHERE y.y * m{r}.m <= 0
+             GROUP BY f.b),
+    {cur} AS (SELECT coalesce({prev}.b, g{r}.b) AS b,
+                     CAST(coalesce({prev}.w, 0) + coalesce(g{r}.g, 0)
+                          AS BIGINT) AS w
+              FROM {prev} FULL JOIN g{r} ON {prev}.b = g{r}.b)""")
+    last = f"w{rounds}"
+    ctes = ",".join(parts)
+    weights = f"""
+    WITH {ctes}
+    SELECT r.b AS bucket, CAST(coalesce({last}.w, 0) AS BIGINT) AS w
+    FROM (SELECT unnest(range({d + 1})) AS b) r
+    LEFT JOIN {last} ON {last}.b = r.b
+"""
+    predict = f"""
+    WITH {ctes},
+    mf AS (SELECT f.doc_id, CAST(sum({last}.w * f.c) AS BIGINT) AS margin
+           FROM feats f JOIN {last} ON {last}.b = f.b
+           GROUP BY f.doc_id)
+    SELECT doc_id, margin, margin > 0 AS pred FROM mf
+"""
+    return weights, predict
+
+
+def q_perceptron_weights(sf_dir: str) -> pd.DataFrame:
+    """Distributed full-batch perceptron training (3 rounds, md5
+    hash-trick unigram counts, label en-vs-rest): the learned int64
+    weight vector.  Iterative training with a value-EXACT unrolled
+    twin — everything is integer arithmetic."""
+    from pdf_parser_ray.ops.text_stats import perceptron_train
+
+    return perceptron_train(
+        _documents(sf_dir, columns=["doc_id", "text", "lang"]),
+        n_buckets=_PCP_D, rounds=_PCP_ROUNDS,
+    )
+
+
+def q_perceptron_predict(sf_dir: str) -> ray.data.Dataset:
+    """The trained q:perceptron_weights model applied corpus-wide:
+    integer margin + boolean prediction per document, weights broadcast
+    once, row-local scoring."""
+    from pdf_parser_ray.ops.text_stats import (
+        perceptron_predict,
+        perceptron_train,
+    )
+
+    docs = _documents(sf_dir, columns=["doc_id", "text", "lang"])
+    w = perceptron_train(docs, n_buckets=_PCP_D, rounds=_PCP_ROUNDS)
+    return perceptron_predict(
+        _documents(sf_dir, columns=["doc_id", "text"]), w, n_buckets=_PCP_D
+    )
+
+
+QUERIES["perceptron_weights"] = q_perceptron_weights
+QUERIES["perceptron_predict"] = q_perceptron_predict
+
+SQL["perceptron_weights"], SQL["perceptron_predict"] = _perceptron_sql()

@@ -72,6 +72,7 @@ BUDGETS = {
     "table_shapes": 1,          # bounded (url, table) rollup
     "dup_weights_md5": 0,       # cluster sizes broadcast; attach row-local
     "bpe_encode": 0,            # merge table broadcast; encode row-local
+    "perceptron_predict": 0,    # weights broadcast; scoring row-local
 }
 
 

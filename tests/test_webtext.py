@@ -566,3 +566,71 @@ class TestBpeTrain:
             expect = sum(len(words[w]) for w in ws)
             assert out.loc[i, "n_bpe_tokens"] == expect
             assert out.loc[i, "n_words"] == len(ws)
+
+
+class TestPerceptron:
+    ROWS = [
+        (0, "yes yes yes good", "en"),
+        (1, "yes good fine yes", "en"),
+        (2, "nein nein schlecht", "de"),
+        (3, "nein schlecht nein nein", "de"),
+        (4, "yes fine good yes yes", "en"),
+        (5, "schlecht nein", "de"),
+    ]
+
+    @staticmethod
+    def _naive(rows, d=64, rounds=3):
+        """Independent serial twin of the batch perceptron."""
+        import hashlib
+        import re
+
+        def feats(t):
+            v = {}
+            for tok in re.findall(r"\S+", t.lower(), re.ASCII):
+                b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % d
+                v[b] = v.get(b, 0) + 1
+            v[d] = v.get(d, 0) + 1  # bias feature
+            return v
+
+        data = [(feats(t), 1 if lang == "en" else -1) for _, t, lang in rows]
+        w = [0] * (d + 1)
+        for _ in range(rounds):
+            g = [0] * (d + 1)
+            for v, y in data:
+                m = y * sum(w[b] * c for b, c in v.items())
+                if m <= 0:
+                    for b, c in v.items():
+                        g[b] += y * c
+            w = [a + b for a, b in zip(w, g)]
+        return w
+
+    def test_matches_serial_twin_and_separates(self, ray_session):
+        from pdf_parser_ray.ops.text_stats import (
+            perceptron_predict,
+            perceptron_train,
+        )
+
+        ds = _ds(self.ROWS, ["doc_id", "text", "lang"])
+        got = perceptron_train(ds, rounds=3)
+        assert got["w"].tolist() == self._naive(self.ROWS)
+
+        pred = (
+            perceptron_predict(ds, got)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        # disjoint vocab -> 3 rounds fully separate the classes
+        assert pred["pred"].tolist() == [
+            lang == "en" for _, _, lang in self.ROWS
+        ]
+
+    def test_partitioning_invariant(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.text_stats import perceptron_train
+
+        df = pd.DataFrame(self.ROWS * 10, columns=["doc_id", "text", "lang"])
+        a = perceptron_train(ray.data.from_pandas(df), rounds=2)
+        b = perceptron_train(
+            ray.data.from_pandas(df).repartition(7), rounds=2
+        )
+        pd.testing.assert_frame_equal(a, b)
