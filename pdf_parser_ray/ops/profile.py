@@ -1812,3 +1812,74 @@ def poisson_bootstrap_ci(
     out = pd.DataFrame(rows).sort_values(group_col).reset_index(drop=True)
     return out.astype({"n": "int64", "mean": "float64",
                        "boot_lo": "float64", "boot_hi": "float64"})
+
+
+def calibration_bins(
+    ds: ray.data.Dataset,
+    score_col: str,
+    label_col: str,
+    *,
+    bin_width: int = 10,
+) -> ray.data.Dataset:
+    """Reliability diagram for an INTEGER score against a boolean
+    label: fixed-width score bins (``floor(score / bin_width)`` —
+    one-pass, no min/max prepass), per bin the row count, positive
+    count, exact mean score and positive fraction (each a ratio of
+    int64s → bit-identical doubles on both engines).
+
+    The audit a learned gate (perceptron margin, NB log-odds bucket,
+    quality score) gets before its threshold is trusted: monotone
+    frac_pos across bins = the score ranks; frac_pos ≈ its bin's
+    implied probability = it calibrates.
+
+    Per-batch partial → bounded groupby (distinct bins ≤ score
+    range / bin_width).  Output: (bin:int64, n:int64, n_pos:int64,
+    mean_score:float64, frac_pos:float64).
+    """
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.io_utils import arrow_out
+
+    def partial(df: pd.DataFrame):
+        s = df[score_col].to_numpy(dtype=np.int64)
+        pos = df[label_col].to_numpy(dtype=bool)
+        g = (
+            pd.DataFrame(
+                {
+                    "bin": np.floor_divide(s, bin_width),
+                    "n": np.ones(len(s), dtype=np.int64),
+                    "n_pos": pos.astype("int64"),
+                    "sum_s": s,
+                }
+            )
+            .groupby("bin", as_index=False)
+            .sum()
+        )
+        return arrow_out(g)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bin")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_pos", alias_name="n_pos"),
+            Sum("sum_s", alias_name="sum_s"),
+        )
+    )
+
+    def finish(df: pd.DataFrame):
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    "bin": df["bin"].astype("int64"),
+                    "n": df["n"].astype("int64"),
+                    "n_pos": df["n_pos"].astype("int64"),
+                    "mean_score": df["sum_s"].to_numpy(dtype=np.float64)
+                    / df["n"].to_numpy(dtype=np.int64),
+                    "frac_pos": df["n_pos"].to_numpy(dtype=np.float64)
+                    / df["n"].to_numpy(dtype=np.int64),
+                }
+            )
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")

@@ -10500,11 +10500,12 @@ QUERIES["table_shapes"] = q_table_shapes
 _PCP_D, _PCP_ROUNDS = 64, 3
 
 
-def _perceptron_sql(rounds: int = _PCP_ROUNDS, d: int = _PCP_D) -> tuple[str, str]:
-    """Unrolled integer-exact twin of perceptron_train/predict: the
-    bias rides as an implicit (bucket=d, count=1) feature on every doc,
-    so each round is ONE margin CTE + ONE gradient CTE + a weight
-    merge.  All int64 — no float tree, no rounding contract."""
+def _perceptron_ctes(rounds: int = _PCP_ROUNDS, d: int = _PCP_D) -> str:
+    """Shared CTE chain for the perceptron twins (weights / predict /
+    calibration): unrolled integer-exact training — the bias rides as
+    an implicit (bucket=d, count=1) feature on every doc, so each round
+    is ONE margin CTE + ONE gradient CTE + a weight merge.  All int64 —
+    no float tree, no rounding contract."""
     base = f"""
     docs0 AS (SELECT doc_id, coalesce(text, '') AS text,
                      CASE WHEN coalesce(lang, '') = 'en'
@@ -10541,8 +10542,12 @@ def _perceptron_sql(rounds: int = _PCP_ROUNDS, d: int = _PCP_D) -> tuple[str, st
                      CAST(coalesce({prev}.w, 0) + coalesce(g{r}.g, 0)
                           AS BIGINT) AS w
               FROM {prev} FULL JOIN g{r} ON {prev}.b = g{r}.b)""")
+    return ",".join(parts)
+
+
+def _perceptron_sql(rounds: int = _PCP_ROUNDS, d: int = _PCP_D) -> tuple[str, str]:
     last = f"w{rounds}"
-    ctes = ",".join(parts)
+    ctes = _perceptron_ctes(rounds, d)
     weights = f"""
     WITH {ctes}
     SELECT r.b AS bucket, CAST(coalesce({last}.w, 0) AS BIGINT) AS w
@@ -10592,3 +10597,70 @@ QUERIES["perceptron_weights"] = q_perceptron_weights
 QUERIES["perceptron_predict"] = q_perceptron_predict
 
 SQL["perceptron_weights"], SQL["perceptron_predict"] = _perceptron_sql()
+
+
+# -------------------------------------- perceptron margin calibration
+
+_CAL_WIDTH = 2000
+
+
+def q_margin_calibration(sf_dir: str) -> ray.data.Dataset:
+    """Reliability diagram of the trained perceptron margin vs the
+    true en-label: fixed-width margin bins with exact counts and
+    int-ratio mean/frac columns — the calibration audit a learned gate
+    gets before its threshold is trusted.  Composes q:perceptron_weights
+    (integer training) with ops.profile.calibration_bins."""
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.profile import calibration_bins
+    from pdf_parser_ray.ops.text_stats import (
+        perceptron_predict,
+        perceptron_train,
+    )
+
+    docs = _documents(sf_dir, columns=["doc_id", "text", "lang"])
+    w = perceptron_train(docs, n_buckets=_PCP_D, rounds=_PCP_ROUNDS)
+    scored = perceptron_predict(
+        _documents(sf_dir, columns=["doc_id", "text"]), w, n_buckets=_PCP_D
+    )
+
+    labels = docs.select_columns(["doc_id", "lang"])
+    from pdf_parser_ray.ops.relational import colo_join
+
+    joined = colo_join(
+        scored.select_columns(["doc_id", "margin"]),
+        labels, ["doc_id"], ["margin"], ["lang"],
+    )
+
+    def lab(df: pd.DataFrame):
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    "margin": df["margin"].astype("int64").to_numpy(),
+                    "pos": (df["lang"] == "en").to_numpy(),
+                }
+            )
+        )
+
+    return calibration_bins(
+        joined.map_batches(lab, batch_format="pandas"),
+        "margin", "pos", bin_width=_CAL_WIDTH,
+    )
+
+
+QUERIES["margin_calibration"] = q_margin_calibration
+
+SQL["margin_calibration"] = f"""
+    WITH {_perceptron_ctes()},
+    mf AS (SELECT f.doc_id, CAST(sum(w{_PCP_ROUNDS}.w * f.c) AS BIGINT) AS margin
+           FROM feats f JOIN w{_PCP_ROUNDS} ON w{_PCP_ROUNDS}.b = f.b
+           GROUP BY f.doc_id),
+    lab AS (SELECT mf.doc_id, mf.margin,
+                   (coalesce(d.lang, '') = 'en') AS pos
+            FROM mf JOIN documents d USING (doc_id))
+    SELECT CAST(floor(margin / {_CAL_WIDTH}.0) AS BIGINT) AS bin,
+           count(*)::BIGINT AS n,
+           CAST(sum(pos::INT) AS BIGINT) AS n_pos,
+           CAST(sum(margin) AS BIGINT)::DOUBLE / count(*) AS mean_score,
+           CAST(sum(pos::INT) AS BIGINT)::DOUBLE / count(*) AS frac_pos
+    FROM lab GROUP BY 1
+"""

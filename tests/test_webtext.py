@@ -634,3 +634,26 @@ class TestPerceptron:
             ray.data.from_pandas(df).repartition(7), rounds=2
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestCalibrationBins:
+    def test_exact_bins_and_ratios(self, ray_session):
+        from pdf_parser_ray.ops.profile import calibration_bins
+
+        rows = [
+            (-15, True), (-11, False),   # bin -2
+            (-5, False), (-1, False),    # bin -1 (floor division!)
+            (0, False), (7, True),       # bin 0
+            (10, True), (19, True),      # bin 1
+        ]
+        out = (
+            calibration_bins(
+                _ds(rows, ["margin", "pos"]), "margin", "pos", bin_width=10
+            )
+            .to_pandas().sort_values("bin").reset_index(drop=True)
+        )
+        assert out["bin"].tolist() == [-2, -1, 0, 1]
+        assert out["n"].tolist() == [2, 2, 2, 2]
+        assert out["n_pos"].tolist() == [1, 0, 1, 2]
+        assert out["mean_score"].tolist() == [-13.0, -3.0, 3.5, 14.5]
+        assert out["frac_pos"].tolist() == [0.5, 0.0, 0.5, 1.0]
