@@ -2606,3 +2606,91 @@ def label_prop_communities(
         {"node": labels.index.to_numpy(dtype=np.int64),
          "community": labels.to_numpy(dtype=np.int64)}
     ).sort_values("node").reset_index(drop=True)
+
+
+def bfs_distances(
+    edges: "ray.data.Dataset",
+    sources: list[int],
+    *,
+    rounds: int = 4,
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Distributed breadth-first distances over an undirected edge list
+    (a, b): minimum hop count from any of ``sources``, capped at
+    ``rounds`` hops — the Pregel superstep pattern expressed in Ray
+    Data (frontier expansion per round, never the whole graph in one
+    worker).
+
+    Per round: the current frontier co-locates with the adjacency list
+    (ONE partition shuffle), the expanded candidates union into the
+    known-distance table, and a grouped min closes the superstep.  The
+    per-round state (node, dist) is node-bounded — materializing it is
+    the superstep barrier, NOT a corpus materialization (the documented
+    exception: iterative graph state, size ≤ |V|).  2 shuffles per
+    round, ``rounds`` supersteps.
+
+    Unreached nodes are absent from the output (dist is a partial
+    function, the BFS convention).  Output: (node:int64, dist:int64).
+    """
+    import numpy as np
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.relational import colo_join
+    from pdf_parser_ray.ops.shuffle import grouped_agg
+
+    kw = {"n_parts": n_parts} if n_parts else {}
+
+    def explode(df: pd.DataFrame):
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    "node": np.concatenate(
+                        [df["a"].to_numpy(dtype=np.int64),
+                         df["b"].to_numpy(dtype=np.int64)]
+                    ),
+                    "nbr": np.concatenate(
+                        [df["b"].to_numpy(dtype=np.int64),
+                         df["a"].to_numpy(dtype=np.int64)]
+                    ),
+                }
+            )
+        )
+
+    und = (
+        edges.select_columns(["a", "b"])
+        .map_batches(explode, batch_format="pandas")
+        .materialize()  # reused every superstep
+    )
+
+    dist = ray.data.from_pandas(
+        pd.DataFrame(
+            {"node": pd.Series(sorted(set(sources)), dtype="int64"),
+             "dist": pd.Series([0] * len(set(sources)), dtype="int64")}
+        )
+    )
+    frontier = dist.select_columns(["node"])
+
+    for r in range(1, rounds + 1):
+        cand_nbrs = colo_join(
+            frontier, und, ["node"], [], ["nbr"], **kw
+        ).select_columns(["nbr"])
+
+        def to_dist(df: pd.DataFrame, _r=r):
+            return arrow_out(
+                pd.DataFrame(
+                    {
+                        "node": df["nbr"].to_numpy(dtype=np.int64),
+                        "dist": np.full(len(df), _r, dtype=np.int64),
+                    }
+                )
+            )
+
+        cand = cand_nbrs.map_batches(to_dist, batch_format="pandas")
+        dist = grouped_agg(
+            dist.union(cand), ["node"], {"dist": ("dist", "min")}, **kw
+        ).materialize()  # superstep barrier: node-bounded state
+        frontier = dist.filter(
+            expr=f"dist == {r}"
+        ).select_columns(["node"])
+
+    return dist

@@ -10664,3 +10664,54 @@ SQL["margin_calibration"] = f"""
            CAST(sum(pos::INT) AS BIGINT)::DOUBLE / count(*) AS frac_pos
     FROM lab GROUP BY 1
 """
+
+
+# ------------------------------------------------ BFS hop distances
+
+_BFS_ROUNDS = 4
+
+
+def q_part_bfs(sf_dir: str) -> ray.data.Dataset:
+    """BFS hop distances (≤4 rounds) from the smallest part in the
+    repeat-co-purchase graph — Pregel-style distributed frontier
+    supersteps (2 shuffles/round, node-bounded state); recursive-CTE
+    twin with the same depth cap."""
+    from ray.data.aggregate import Min
+
+    from pdf_parser_ray.ops.dedup import bfs_distances, cooccur_edges
+
+    li = _read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    edges = cooccur_edges(
+        li, group_col="l_orderkey", item_col="l_partkey", min_count=2
+    ).materialize()  # consumed twice: source pick + BFS rounds
+    src = int(edges.aggregate(Min("a", alias_name="lo"))["lo"])
+    return bfs_distances(edges, [src], rounds=_BFS_ROUNDS).sort("node")
+
+
+QUERIES["part_bfs"] = q_part_bfs
+
+SQL["part_bfs"] = f"""
+    WITH RECURSIVE
+    op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS MATERIALIZED (
+      SELECT x.l_partkey AS a, y.l_partkey AS b
+      FROM op x JOIN op y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    und AS MATERIALIZED (
+      SELECT a AS node, b AS nbr FROM e
+      UNION ALL SELECT b, a FROM e),
+    bfs(node, dist) AS (
+      SELECT (SELECT min(a) FROM e), 0
+      UNION
+      SELECT u.nbr, bfs.dist + 1
+      FROM bfs JOIN und u ON u.node = bfs.node
+      WHERE bfs.dist < {_BFS_ROUNDS}
+    )
+    SELECT node::BIGINT AS node, CAST(min(dist) AS BIGINT) AS dist
+    FROM bfs GROUP BY node ORDER BY node
+"""

@@ -981,3 +981,36 @@ class TestPoissonBootstrapCi:
         a = poisson_bootstrap_ci(_ds(df, 1))
         b = poisson_bootstrap_ci(_ds(df, 7))
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestBfsDistances:
+    def test_path_graph_cap_and_isolation(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import bfs_distances
+
+        edges = ray.data.from_pandas(
+            pd.DataFrame({"a": [0, 1, 2, 3, 4, 10], "b": [1, 2, 3, 4, 5, 11]})
+        )
+        out = (
+            bfs_distances(edges, [0], rounds=3)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        # nodes beyond 3 hops and the disconnected pair are absent
+        assert out["node"].tolist() == [0, 1, 2, 3]
+        assert out["dist"].tolist() == [0, 1, 2, 3]
+
+    def test_multi_source_min(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import bfs_distances
+
+        edges = ray.data.from_pandas(
+            pd.DataFrame({"a": [0, 1, 2, 3], "b": [1, 2, 3, 4]})
+        )
+        out = (
+            bfs_distances(edges, [0, 4], rounds=4)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        # distances are the MIN over both sources
+        assert out["dist"].tolist() == [0, 1, 2, 1, 0]
