@@ -1428,3 +1428,119 @@ def shard_plan_summary(
             Max("last_doc", alias_name="last_doc"),
         )
     )
+
+
+def epoch_repeats(
+    ds: ray.data.Dataset,
+    total: int,
+    *,
+    weight_col: str = "n_chars",
+    order_col: str = "doc_id",
+    n_buckets: int = 256,
+    n_parts: int | None = None,
+) -> ray.data.Dataset:
+    """Deterministic epoch plan: integer repeat counts per document
+    proportional to an integer weight column, summing to EXACTLY
+    ``total`` — systematic (stride) resampling,
+    ``repeats_i = floor(cum_i·T/W) − floor(cum_{i−1}·T/W)`` over the
+    inclusive weight prefix sum in ``order_col`` order.  The step that
+    turns mixing weights (temperature mix, dup-aware weights, source
+    rebalance) into a concrete repeat-per-doc table for one training
+    epoch, with no RNG state and no float drift.
+
+    Same distributed-prefix-sum plan as :func:`shard_plan` (bucket
+    subtotals → driver exclusive offsets → bucket co-location).  The
+    boundary products ``cum·T`` run through Python big ints when
+    ``W·T`` approaches int64 range (exactness over speed on that one
+    multiply; the int64 fast path covers bench scale).
+
+    Output: (order_col, weight_col:int64, repeats:int64); rows with
+    repeats == 0 are kept (the plan is total — auditing zeros is the
+    point).
+    """
+    from ray.data.aggregate import Max, Min
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    bounds = ds.select_columns([order_col]).aggregate(
+        Min(order_col, alias_name="lo"), Max(order_col, alias_name="hi")
+    )
+    lo = int(bounds["lo"])
+    width = max(1, -(-(int(bounds["hi"]) - lo + 1) // n_buckets))
+
+    def tag(df: pd.DataFrame):
+        order = df[order_col].astype("int64")
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    order_col: order,
+                    "__bucket": ((order - lo) // width),
+                    "wt": df[weight_col].astype("int64"),
+                }
+            )
+        )
+
+    tagged = ds.select_columns([order_col, weight_col]).map_batches(
+        tag, batch_format="pandas"
+    )
+
+    def bucket_partial(df: pd.DataFrame):
+        return arrow_out(df.groupby("__bucket", as_index=False)["wt"].sum())
+
+    subtotals = (
+        tagged.map_batches(bucket_partial, batch_format="pandas")
+        .to_pandas()  # bounded
+        .groupby("__bucket", as_index=False)["wt"].sum()
+        .sort_values("__bucket")
+    )
+    W = int(subtotals["wt"].sum())
+    if W <= 0:
+        raise ValueError("epoch_repeats needs positive total weight")
+    subtotals["offset"] = subtotals["wt"].cumsum() - subtotals["wt"]
+    offsets_ref = ray.put(dict(zip(subtotals["__bucket"], subtotals["offset"])))
+    T = int(total)
+    exact_int64 = W < 2**62 // max(T, 1)
+
+    def assign(part: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.stages import worker_state
+
+        offs: dict = worker_state(
+            ("epoch_offsets", offsets_ref.hex()), lambda: ray.get(offsets_ref)
+        )
+        out = []
+        for b, g in part.groupby("__bucket"):
+            g = g.sort_values(order_col).reset_index(drop=True)
+            wt = g["wt"].to_numpy(dtype=np.int64)
+            cum = np.cumsum(wt) + int(offs.get(b, 0))
+            excl = cum - wt
+            if exact_int64:
+                reps = (cum * T) // W - (excl * T) // W
+            else:  # big-int exact path (W·T would overflow int64)
+                reps = np.array(
+                    [int(c) * T // W - int(e) * T // W
+                     for c, e in zip(cum, excl)],
+                    dtype=np.int64,
+                )
+            out.append(
+                pd.DataFrame(
+                    {
+                        order_col: g[order_col].to_numpy(),
+                        weight_col: wt,
+                        "repeats": reps.astype(np.int64),
+                    }
+                )
+            )
+        empty = pd.DataFrame(
+            {
+                order_col: pd.Series([], dtype="int64"),
+                weight_col: pd.Series([], dtype="int64"),
+                "repeats": pd.Series([], dtype="int64"),
+            }
+        )
+        return arrow_out(pd.concat(out, ignore_index=True) if out else empty)
+
+    return partitioned_map(
+        tagged, ["__bucket"], assign,
+        **({"n_parts": n_parts} if n_parts else {}),
+    )

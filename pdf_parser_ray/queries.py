@@ -10715,3 +10715,36 @@ SQL["part_bfs"] = f"""
     SELECT node::BIGINT AS node, CAST(min(dist) AS BIGINT) AS dist
     FROM bfs GROUP BY node ORDER BY node
 """
+
+
+# ------------------------------------------------ epoch repeat plan
+
+_EPOCH_T = 1_000
+
+
+def q_epoch_repeats(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic epoch plan: n_chars-proportional integer repeats
+    summing to exactly 1000 (systematic resampling over the doc_id
+    prefix sum) — weights -> concrete per-doc repeat table with no RNG
+    and no float drift."""
+    from pdf_parser_ray.ops.curation import epoch_repeats
+
+    return epoch_repeats(
+        _documents(sf_dir, columns=["doc_id", "n_chars"]), _EPOCH_T
+    )
+
+
+QUERIES["epoch_repeats"] = q_epoch_repeats
+
+SQL["epoch_repeats"] = f"""
+    WITH c AS (
+      SELECT doc_id, n_chars,
+             sum(n_chars) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(n_chars) OVER () AS w
+      FROM documents)
+    SELECT doc_id, n_chars,
+           CAST((cum * {_EPOCH_T}) // w
+                - ((cum - n_chars) * {_EPOCH_T}) // w AS BIGINT) AS repeats
+    FROM c
+"""

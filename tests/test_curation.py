@@ -839,3 +839,65 @@ class TestShardPlan:
         assert out["shard"].tolist() == [0, 1]
         assert out["n_docs"].tolist() == [2, 1]
         assert out["total_bytes"].tolist() == [200, 100]
+
+
+class TestEpochRepeats:
+    def test_exact_total_and_proportionality(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.curation import epoch_repeats
+
+        df = pd.DataFrame(
+            {"doc_id": np.arange(100), "n_chars": (np.arange(100) % 9 + 1)}
+        )
+        out = (
+            epoch_repeats(ray.data.from_pandas(df), 777, n_buckets=8)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert int(out["repeats"].sum()) == 777  # exact epoch size
+        # systematic rule: repeats within floor/ceil of the ideal share
+        ideal = df["n_chars"].to_numpy() * 777 / df["n_chars"].sum()
+        assert (out["repeats"].to_numpy() >= np.floor(ideal) - 1).all()
+        assert (out["repeats"].to_numpy() <= np.ceil(ideal) + 1).all()
+
+    def test_bigint_path_matches_serial(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.curation import epoch_repeats
+
+        # W*T > 2^62 forces the python-int exact branch
+        w = np.array([2**31, 2**32, 2**33, 2**31 + 7], dtype=np.int64)
+        df = pd.DataFrame({"doc_id": [0, 1, 2, 3], "n_chars": w})
+        T = 2**31
+        out = (
+            epoch_repeats(ray.data.from_pandas(df), T, n_buckets=2)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        cum = np.cumsum([int(x) for x in w])
+        W = cum[-1]
+        expect = [
+            int(c) * T // W - int(c - x) * T // W
+            for c, x in zip(cum, [int(x) for x in w])
+        ]
+        assert out["repeats"].tolist() == expect
+        assert int(out["repeats"].sum()) == T
+
+    def test_partitioning_invariant(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.curation import epoch_repeats
+
+        df = pd.DataFrame(
+            {"doc_id": np.arange(60), "n_chars": (np.arange(60) * 13 % 50 + 1)}
+        )
+        a = (
+            epoch_repeats(ray.data.from_pandas(df), 500, n_buckets=4)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        b = (
+            epoch_repeats(
+                ray.data.from_pandas(df).repartition(9), 500, n_buckets=16
+            )
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)

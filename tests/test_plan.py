@@ -73,6 +73,7 @@ BUDGETS = {
     "dup_weights_md5": 0,       # cluster sizes broadcast; attach row-local
     "bpe_encode": 0,            # merge table broadcast; encode row-local
     "perceptron_predict": 0,    # weights broadcast; scoring row-local
+    "epoch_repeats": 1,         # one bucket co-location (prefix-sum plan)
 }
 
 
