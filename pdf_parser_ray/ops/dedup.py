@@ -2694,3 +2694,95 @@ def bfs_distances(
         ).select_columns(["node"])
 
     return dist
+
+
+def pointer_jump(
+    edges: "ray.data.Dataset",
+    *,
+    src_col: str = "node",
+    dst_col: str = "ptr",
+    rounds: int = 3,
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Resolve pointer CHAINS (redirect chains, canonical-url chains,
+    symlink forests) by pointer doubling: after round r every node
+    points ``2^r`` hops ahead (or at its chain's terminal), so chains
+    up to ``2^rounds`` long resolve in ``rounds`` co-location shuffles
+    — never a per-hop walk, never the chain in one worker.
+
+    ``edges`` is a FUNCTIONAL graph (≤1 outgoing pointer per src;
+    terminals simply have no row).  Each round left-joins the pointer
+    table against itself (ptr → that node's own pointer) and keeps the
+    old pointer where the target is terminal.  State is node-bounded —
+    the superstep materialization rule (bfs_distances rationale).
+
+    Cycles never diverge (rounds are fixed) but land on an arbitrary
+    in-cycle node — the documented convention; redirect data is
+    expected to be a forest.
+
+    Output: (src_col, final:int64) for every non-terminal node.
+    """
+    import numpy as np
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.relational import colo_join
+
+    kw = {"n_parts": n_parts} if n_parts else {}
+
+    def norm(df: pd.DataFrame):
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    "node": df[src_col].to_numpy(dtype=np.int64),
+                    "ptr": df[dst_col].to_numpy(dtype=np.int64),
+                }
+            )
+        )
+
+    ptr = edges.select_columns([src_col, dst_col]).map_batches(
+        norm, batch_format="pandas"
+    ).materialize()
+
+    for _ in range(rounds):
+        # right side re-keyed: (ptr=node, nxt=that node's pointer)
+        def rekey(df: pd.DataFrame):
+            return arrow_out(
+                pd.DataFrame(
+                    {
+                        "ptr": df["node"].to_numpy(dtype=np.int64),
+                        "nxt": df["ptr"].to_numpy(dtype=np.int64),
+                    }
+                )
+            )
+
+        right = ptr.map_batches(rekey, batch_format="pandas")
+        joined = colo_join(
+            ptr, right, ["ptr"], ["node"], ["nxt"], how="left", **kw
+        )
+
+        def advance(df: pd.DataFrame):
+            nxt = df["nxt"]
+            return arrow_out(
+                pd.DataFrame(
+                    {
+                        "node": df["node"].to_numpy(dtype=np.int64),
+                        "ptr": nxt.fillna(df["ptr"]).astype("int64").to_numpy(),
+                    }
+                )
+            )
+
+        ptr = joined.map_batches(
+            advance, batch_format="pandas"
+        ).materialize()  # superstep barrier: node-bounded
+
+    def out(df: pd.DataFrame):
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    src_col: df["node"].to_numpy(dtype=np.int64),
+                    "final": df["ptr"].to_numpy(dtype=np.int64),
+                }
+            )
+        )
+
+    return ptr.map_batches(out, batch_format="pandas")

@@ -10748,3 +10748,56 @@ SQL["epoch_repeats"] = f"""
                 - ((cum - n_chars) * {_EPOCH_T}) // w AS BIGINT) AS repeats
     FROM c
 """
+
+
+# ------------------------------------------------ redirect resolution
+
+_PJ_ROUNDS = 3
+
+
+def q_resolve_redirects(sf_dir: str) -> ray.data.Dataset:
+    """Redirect-chain resolution by pointer doubling (3 rounds resolve
+    chains ≤ 8 hops): synthetic redirect forest doc_id → doc_id−1 for
+    non-multiples of 5 (chains end at multiples of 5).  Unrolled
+    self-left-join twin, term for term."""
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.dedup import pointer_jump
+
+    def mk_edges(df: pd.DataFrame):
+        ids = df["doc_id"].astype("int64")
+        keep = ids % 5 != 0
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    "node": ids[keep].to_numpy(),
+                    "ptr": (ids[keep] - 1).to_numpy(),
+                }
+            )
+        )
+
+    edges = _documents(sf_dir, columns=["doc_id"]).map_batches(
+        mk_edges, batch_format="pandas"
+    )
+    return pointer_jump(edges, rounds=_PJ_ROUNDS)
+
+
+QUERIES["resolve_redirects"] = q_resolve_redirects
+
+
+def _pointer_jump_sql(rounds: int = _PJ_ROUNDS) -> str:
+    ctes = ["""
+    p0 AS (SELECT doc_id AS node, doc_id - 1 AS ptr
+           FROM documents WHERE doc_id % 5 <> 0)"""]
+    for r in range(1, rounds + 1):
+        prev, cur = f"p{r - 1}", f"p{r}"
+        ctes.append(f"""
+    {cur} AS (SELECT a.node,
+                     CAST(coalesce(b.ptr, a.ptr) AS BIGINT) AS ptr
+              FROM {prev} a LEFT JOIN {prev} b ON b.node = a.ptr)""")
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT node, ptr AS final FROM p{rounds}
+"""
+
+
+SQL["resolve_redirects"] = _pointer_jump_sql()

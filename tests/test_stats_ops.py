@@ -1014,3 +1014,36 @@ class TestBfsDistances:
         )
         # distances are the MIN over both sources
         assert out["dist"].tolist() == [0, 1, 2, 1, 0]
+
+
+class TestPointerJump:
+    def test_chain_forest_and_terminal_keep(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import pointer_jump
+
+        # two chains: 3->2->1->0 (terminal 0), 7->6 (terminal 6)
+        edges = ray.data.from_pandas(
+            pd.DataFrame({"node": [3, 2, 1, 7], "ptr": [2, 1, 0, 6]})
+        )
+        out = (
+            pointer_jump(edges, rounds=2)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        assert out["node"].tolist() == [1, 2, 3, 7]
+        assert out["final"].tolist() == [0, 0, 0, 6]
+
+    def test_doubling_depth(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import pointer_jump
+
+        # chain of length 8: resolves in 3 rounds (2^3), not in 2
+        edges = ray.data.from_pandas(
+            pd.DataFrame({"node": list(range(1, 9)), "ptr": list(range(8))})
+        )
+        full = pointer_jump(edges, rounds=3).to_pandas()
+        assert (full["final"] == 0).all()
+        partial = pointer_jump(edges, rounds=2).to_pandas()
+        top = partial.loc[partial["node"] == 8, "final"].iloc[0]
+        assert top == 4  # 2^2 hops only
