@@ -178,3 +178,58 @@ def host_link_graph(links, *, drop_internal: bool = False):
         .groupby(["src_host", "dst_host"])
         .aggregate(Sum("n_links", alias_name="n_links"))
     )
+
+
+def anchor_text_index(links, *, k: int = 3):
+    """Anchor-text index: for every destination host, the top-``k``
+    anchor strings pointing at it (count DESC, anchor ASC) — the link-
+    text signal search/quality pipelines aggregate from WAT records
+    (how the web describes a page, vs how the page describes itself).
+
+    Empty anchors drop (image links, empty <a>); counts partial-
+    aggregate per batch, ONE bounded (host, anchor) groupby, then
+    per-batch partial top-k → tiny per-host final (the
+    top_events_per_type rule — no unbounded per-host frame).
+
+    Output: (dst_host, anchor, n:int64, rank:int64), rank 1-based.
+    """
+    import pandas as pd
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import grouped_sum
+
+    def partial(df: pd.DataFrame):
+        g = df.loc[
+            (df["anchor"].fillna("") != "") & (df["dst_host"].fillna("") != ""),
+            ["dst_host", "anchor"],
+        ]
+        c = g.groupby(["dst_host", "anchor"], as_index=False).size()
+        return arrow_out(
+            c.rename(columns={"size": "n"}).astype({"n": "int64"})
+        )
+
+    counts = grouped_sum(
+        links.map_batches(partial, batch_format="pandas"),
+        ["dst_host", "anchor"], ["n"],
+    )
+
+    def local_topk(df: pd.DataFrame):
+        df = df.sort_values(
+            ["dst_host", "n", "anchor"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        return arrow_out(df.groupby("dst_host", sort=False).head(k))
+
+    def final_topk(df: pd.DataFrame):
+        df = df.sort_values(
+            ["dst_host", "n", "anchor"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        top = df.groupby("dst_host", sort=False).head(k).copy()
+        top["rank"] = top.groupby("dst_host", sort=False).cumcount() + 1
+        return arrow_out(top.astype({"rank": "int64"}))
+
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    pruned = counts.map_batches(local_topk, batch_format="pandas")
+    return partitioned_map(pruned, ["dst_host"], final_topk)

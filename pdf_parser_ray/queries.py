@@ -10801,3 +10801,20 @@ def _pointer_jump_sql(rounds: int = _PJ_ROUNDS) -> str:
 
 
 SQL["resolve_redirects"] = _pointer_jump_sql()
+
+
+def q_anchor_index(sf_dir: str) -> ray.data.Dataset:
+    """Anchor-text index over the deterministic link corpus: top-3
+    anchor strings per destination host (count DESC, anchor ASC) —
+    WAT-tier link-text aggregation.  Rows-only in the driver (HTML
+    parsing upstream); rollup semantics pinned by the DuckDB twin in
+    tests/test_links.py TestAnchorTextIndex."""
+    from pdf_parser_ray.corpus import ensure_link_corpus, sf_to_n_docs
+    from pdf_parser_ray.html.links import anchor_text_index, extract_links
+    from pdf_parser_ray.pipelines import read_corpus
+
+    corpus = ensure_link_corpus(sf_to_n_docs(_sf_from_dir(sf_dir)))
+    return anchor_text_index(extract_links(read_corpus(corpus)))
+
+
+QUERIES["anchor_index"] = q_anchor_index

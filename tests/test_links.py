@@ -183,3 +183,50 @@ def test_host_graph_duckdb_parity(ray_session, link_corpus):
     # bounded by 16x(16+1) host pairs
     assert (got["src_host"] == got["dst_host"]).any()
     assert len(got) <= 16 * 17
+
+
+class TestAnchorTextIndex:
+    def test_topk_with_duckdb_twin(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from pdf_parser_ray.html.links import anchor_text_index, extract_links
+
+        pages = pd.DataFrame(
+            {
+                "url": [f"https://src{i}.test/p" for i in range(6)],
+                "html": [
+                    b'<a href="https://t.example.com/a">alpha beta</a>'
+                    b'<a href="https://t.example.com/b">alpha beta</a>'
+                    b'<a href="https://t.example.com/c">gamma</a>'
+                    b'<a href="https://u.example.com/">delta</a>'
+                    b'<a href="https://t.example.com/d"></a>'  # empty anchor
+                    for _ in range(6)
+                ],
+            }
+        )
+        links = extract_links(ray.data.from_pandas(pages))
+        ldf = links.to_pandas()
+        out = (
+            anchor_text_index(links, k=2)
+            .to_pandas()
+            .sort_values(["dst_host", "rank"])
+            .reset_index(drop=True)
+        )
+        twin = duckdb.sql(
+            """
+            WITH c AS (
+              SELECT dst_host, anchor, count(*)::BIGINT AS n
+              FROM ldf WHERE anchor <> '' AND dst_host <> ''
+              GROUP BY 1, 2),
+            r AS (SELECT *, row_number() OVER (
+                     PARTITION BY dst_host ORDER BY n DESC, anchor) AS rank
+                  FROM c)
+            SELECT dst_host, anchor, n, rank FROM r WHERE rank <= 2
+            ORDER BY dst_host, rank
+            """
+        ).df()
+        twin["rank"] = twin["rank"].astype("int64")
+        pd.testing.assert_frame_equal(out, twin)
+        assert (out.loc[out["dst_host"] == "t.example.com", "anchor"]
+                .tolist() == ["alpha beta", "gamma"])
