@@ -996,3 +996,24 @@ def bitext_margin_pairs(
         return out[out["margin"] >= threshold].reset_index(drop=True)
 
     return src_embedded.map_batches(best_margin, batch_format="pandas")
+
+
+def recall_at_k(exact_ids, approx_ids, k: int):
+    """Recall@k of an ANN result against the exact top-k: |∩| / k —
+    two ints, so any twin composed from both sides' oracles is exact.
+    Single-probe hyperplane LSH on isotropic (unclustered) vectors is
+    EXPECTED to score ~0 here at small N (the bucket holds random
+    points, not neighbors): the audit exists to expose that before an
+    index ships — see tests/test_clustering.py TestRecallAtK for the
+    clustered case where the same index scores high.  Production ANN
+    for this repo is the IVF store (ivf_store_build/query)."""
+    import pandas as pd
+
+    hit = len(set(map(int, exact_ids)) & set(map(int, approx_ids)))
+    return pd.DataFrame(
+        {
+            "k": pd.Series([k], dtype="int64"),
+            "n_hit": pd.Series([hit], dtype="int64"),
+            "recall": pd.Series([hit / k], dtype="float64"),
+        }
+    )

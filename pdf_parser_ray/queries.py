@@ -10818,3 +10818,34 @@ def q_anchor_index(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES["anchor_index"] = q_anchor_index
+
+
+# ------------------------------------------------ ANN recall audit
+
+
+def q_ann_recall(sf_dir: str) -> pd.DataFrame:
+    """Recall@10 of the LSH-bucketed kNN against the exact brute-force
+    top-10 for the fixed query (the accuracy/cost dial every ANN
+    deployment reports): |lsh ∩ exact| / 10 — a ratio of two ints, so
+    the oracle (composing BOTH existing kNN twins) is value-exact."""
+    from pdf_parser_ray.ops.similarity import recall_at_k
+
+    # NOTE: ~0.0 recall at sf scales is the EXPECTED, oracle-confirmed
+    # result — single-probe hyperplane LSH on isotropic vectors buckets
+    # random points, which is precisely what this audit is for
+    # (similarity.recall_at_k docstring; clustered-data test shows the
+    # metric moving).
+    return recall_at_k(
+        q_knn_cosine(sf_dir)["vec_id"], q_lsh_knn(sf_dir)["vec_id"], 10
+    )
+
+
+QUERIES["ann_recall"] = q_ann_recall
+
+SQL["ann_recall"] = f"""
+    WITH exact_k AS ({SQL['knn_cosine']}),
+    lsh_k AS ({SQL['lsh_knn']}),
+    hits AS (SELECT count(*)::BIGINT AS n_hit
+             FROM exact_k JOIN lsh_k USING (vec_id))
+    SELECT 10::BIGINT AS k, n_hit, n_hit::DOUBLE / 10 AS recall FROM hits
+"""

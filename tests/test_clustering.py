@@ -327,3 +327,39 @@ class TestBitextMarginPairs:
         # impossible threshold -> empty, and the n_index=2 anchor set
         # (two smallest en ids) never surfaces ids 12/13
         assert len(out) == 0
+
+
+class TestRecallAtK:
+    def test_lsh_recall_high_on_clustered_data(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from pdf_parser_ray.ops.similarity import (
+            knn_brute_force,
+            lsh_knn,
+            recall_at_k,
+        )
+
+        rng = np.random.default_rng(3)
+        q = rng.normal(size=16).astype(np.float32)
+        q /= np.linalg.norm(q)
+        # 20 vectors tightly around the query + 400 far-away noise
+        cluster = q + rng.normal(scale=0.01, size=(20, 16)).astype(np.float32)
+        noise = rng.normal(size=(400, 16)).astype(np.float32) - 3 * q
+        emb = np.vstack([cluster, noise])
+        df = pd.DataFrame(
+            {"vec_id": np.arange(len(emb), dtype="int64"),
+             "embedding": [v.astype(np.float32) for v in emb]}
+        )
+        ds = ray.data.from_pandas(df)
+        exact = knn_brute_force(ds, q, k=10).to_pandas()
+        approx = lsh_knn(ds, q, k=10).to_pandas()
+        rec = recall_at_k(exact["vec_id"], approx["vec_id"], 10)
+        assert rec.loc[0, "recall"] >= 0.8  # the metric moves when
+        # neighbors actually share the query's bucket
+
+    def test_exact_counts(self):
+        from pdf_parser_ray.ops.similarity import recall_at_k
+
+        out = recall_at_k([1, 2, 3, 4], [3, 4, 5, 6], 4)
+        assert out.loc[0, "n_hit"] == 2 and out.loc[0, "recall"] == 0.5
