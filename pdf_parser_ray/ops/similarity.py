@@ -1017,3 +1017,74 @@ def recall_at_k(exact_ids, approx_ids, k: int):
             "recall": pd.Series([hit / k], dtype="float64"),
         }
     )
+
+
+def mmr_topk(
+    ds: ray.data.Dataset,
+    query_vec,
+    k: int = 10,
+    *,
+    lam: float = 0.5,
+    pool: int = 50,
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick ``k`` results maximizing
+    ``lam·cos(q,d) − (1−lam)·max_{s∈S} cos(d,s)`` — relevance minus
+    redundancy, the diversity-aware retrieval head.
+
+    Distributed part: ONE brute-force pass selects the top-``pool``
+    candidate ids (partial top-k per batch, tiny driver merge), one
+    broadcast-filter pass fetches their embeddings (pool-bounded).
+    The greedy loop runs on the driver over the pool — k·pool dot
+    products, driver-sized by construction.  Scores round to
+    ``round_to`` before every argmax; ties break on vec_id ascending —
+    fully deterministic.
+
+    Output (eager, k rows): (rank:int64, vec_id:int64,
+    relevance:float64, mmr_score:float64).
+    """
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+
+    top = knn_brute_force(ds, q, k=pool, round_to=round_to).to_pandas()
+    ids = set(int(v) for v in top["vec_id"])
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cand = ds.map_batches(
+        lambda t, _ids=sorted(ids): t.filter(
+            pc.is_in(t.column("vec_id"), value_set=pa.array(_ids))
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()  # pool-bounded by construction
+    cand = cand.sort_values("vec_id").reset_index(drop=True)
+    mat = _to_matrix(cand["embedding"])
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+    rel = np.round(unit @ qn, round_to)
+    vec_ids = cand["vec_id"].to_numpy(dtype=np.int64)
+
+    chosen: list[int] = []
+    out_rows = []
+    remaining = np.ones(len(cand), dtype=bool)
+    for rank in range(min(k, len(cand))):
+        if chosen:
+            red = np.round(unit @ unit[chosen].T, round_to).max(axis=1)
+        else:
+            red = np.zeros(len(cand))
+        score = np.round(lam * rel - (1.0 - lam) * red, round_to)
+        score_masked = np.where(remaining, score, -np.inf)
+        best_score = score_masked.max()
+        tied = np.flatnonzero(score_masked == best_score)
+        pick = tied[np.argmin(vec_ids[tied])]
+        chosen.append(pick)
+        remaining[pick] = False
+        out_rows.append(
+            (rank + 1, int(vec_ids[pick]), float(rel[pick]),
+             float(score[pick]))
+        )
+    return pd.DataFrame(
+        out_rows, columns=["rank", "vec_id", "relevance", "mmr_score"]
+    ).astype({"rank": "int64", "vec_id": "int64"})

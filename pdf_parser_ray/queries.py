@@ -10849,3 +10849,20 @@ SQL["ann_recall"] = f"""
              FROM exact_k JOIN lsh_k USING (vec_id))
     SELECT 10::BIGINT AS k, n_hit, n_hit::DOUBLE / 10 AS recall FROM hits
 """
+
+
+def q_mmr_rerank(sf_dir: str) -> pd.DataFrame:
+    """MMR diversity re-ranking (λ=0.5) of the fixed query's 50-deep
+    candidate pool down to 10 — relevance minus redundancy, scores
+    rounded before every greedy argmax.  Iterative selection -> no SQL
+    twin; pinned against a serial twin in tests/test_clustering
+    TestMmrTopk."""
+    from pdf_parser_ray.ops.similarity import mmr_topk
+
+    ds = _read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return mmr_topk(ds, _query_vector(sf_dir), k=10, pool=50)
+
+
+QUERIES["mmr_rerank"] = q_mmr_rerank

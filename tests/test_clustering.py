@@ -363,3 +363,41 @@ class TestRecallAtK:
 
         out = recall_at_k([1, 2, 3, 4], [3, 4, 5, 6], 4)
         assert out.loc[0, "n_hit"] == 2 and out.loc[0, "recall"] == 0.5
+
+
+class TestMmrTopk:
+    def test_matches_serial_twin_and_diversifies(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from pdf_parser_ray.ops.similarity import mmr_topk
+
+        rng = np.random.default_rng(5)
+        q = np.array([1.0, 0, 0, 0])
+        # two tight clusters, both relevant; pure top-k would take all
+        # of cluster A — MMR must interleave
+        a = np.array([0.9, 0.1, 0, 0]) + rng.normal(scale=0.003, size=(6, 4))
+        b = np.array([0.9, -0.1, 0, 0]) + rng.normal(scale=0.003, size=(6, 4))
+        emb = np.vstack([a, b])
+        df = pd.DataFrame(
+            {"vec_id": np.arange(12, dtype="int64"),
+             "embedding": [v for v in emb]}
+        )
+        out = mmr_topk(ray.data.from_pandas(df), q, k=4, lam=0.5, pool=12)
+
+        # serial twin
+        unit = emb / np.linalg.norm(emb, axis=1)[:, None]
+        qn = q / np.linalg.norm(q)
+        rel = np.round(unit @ qn, 6)
+        chosen, rem = [], list(range(12))
+        for _ in range(4):
+            red = (np.round(unit @ unit[chosen].T, 6).max(axis=1)
+                   if chosen else np.zeros(12))
+            sc = np.round(0.5 * rel - 0.5 * red, 6)
+            best = max(rem, key=lambda i: (sc[i], -i))
+            # tie-break on vec_id asc == max over (score, -id)
+            chosen.append(best)
+            rem.remove(best)
+        assert out["vec_id"].tolist() == chosen
+        # diversity: both clusters represented in the top 4
+        assert {v // 6 for v in out["vec_id"]} == {0, 1}
