@@ -1883,3 +1883,62 @@ def calibration_bins(
         )
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def loo_group_effect(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+) -> ray.data.Dataset:
+    """Leave-one-group-out effect on the corpus mean — the cheapest
+    data-valuation audit: for every group, the mean of ``value_col``
+    over everything EXCEPT that group, and the delta it causes
+    (loo_mean − overall mean; positive = removing the group RAISES
+    corpus quality by this metric).
+
+    One pass of per-batch (group, sum, count) partials → one bounded
+    groupby; the exclusion arithmetic is totals-minus-group on the
+    driver-sized table, every mean a ratio of exact int64s.
+
+    Output: (group_col, n:int64, group_mean:float64, loo_mean:float64,
+    delta:float64).
+    """
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.io_utils import arrow_out
+
+    def partial(df: pd.DataFrame):
+        g = df.groupby(group_col, as_index=False).agg(
+            s=(value_col, "sum"), n=(value_col, "size")
+        )
+        return arrow_out(g.astype({"s": "int64", "n": "int64"}))
+
+    agg = (
+        ds.select_columns([group_col, value_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(group_col)
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    )
+
+    def finish(df: pd.DataFrame):
+        S = np.int64(df["s"].sum())
+        N = np.int64(df["n"].sum())
+        s = df["s"].to_numpy(dtype=np.int64)
+        n = df["n"].to_numpy(dtype=np.int64)
+        rest_n = N - n
+        loo = np.where(rest_n > 0, (S - s) / np.maximum(rest_n, 1), 0.0)
+        overall = S / N if N else 0.0
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    group_col: df[group_col],
+                    "n": n,
+                    "group_mean": s / np.maximum(n, 1),
+                    "loo_mean": loo,
+                    "delta": loo - overall,
+                }
+            )
+        )
+
+    # the grouped table is bounded (|groups| rows) — one-block finish
+    return agg.repartition(1).map_batches(finish, batch_format="pandas")

@@ -10866,3 +10866,33 @@ def q_mmr_rerank(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["mmr_rerank"] = q_mmr_rerank
+
+
+def q_loo_source_effect(sf_dir: str) -> ray.data.Dataset:
+    """Leave-one-source-out data valuation on mean doc length: per
+    source the corpus mean n_chars WITHOUT it and the delta vs the
+    overall mean — totals-minus-group arithmetic, every mean an exact
+    int64 ratio."""
+    from pdf_parser_ray.ops.profile import loo_group_effect
+
+    return loo_group_effect(
+        _documents(sf_dir, columns=["source", "n_chars"]),
+        "source", "n_chars",
+    )
+
+
+QUERIES["loo_source_effect"] = q_loo_source_effect
+
+SQL["loo_source_effect"] = """
+    WITH g AS (SELECT source,
+                      CAST(sum(n_chars) AS BIGINT) AS s,
+                      count(*)::BIGINT AS n
+               FROM documents GROUP BY source),
+    t AS (SELECT CAST(sum(s) AS BIGINT) AS st,
+                 CAST(sum(n) AS BIGINT) AS nt FROM g)
+    SELECT g.source, g.n,
+           g.s::DOUBLE / g.n AS group_mean,
+           (t.st - g.s)::DOUBLE / (t.nt - g.n) AS loo_mean,
+           (t.st - g.s)::DOUBLE / (t.nt - g.n) - t.st::DOUBLE / t.nt AS delta
+    FROM g, t
+"""

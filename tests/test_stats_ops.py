@@ -1047,3 +1047,22 @@ class TestPointerJump:
         partial = pointer_jump(edges, rounds=2).to_pandas()
         top = partial.loc[partial["node"] == 8, "final"].iloc[0]
         assert top == 4  # 2^2 hops only
+
+
+class TestLooGroupEffect:
+    def test_totals_minus_group(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.profile import loo_group_effect
+
+        df = pd.DataFrame(
+            {"source": ["a", "a", "b", "c"], "v": [10, 20, 60, 10]}
+        )
+        out = (
+            loo_group_effect(ray.data.from_pandas(df), "source", "v")
+            .to_pandas().sort_values("source").reset_index(drop=True)
+        )
+        # overall mean 25; drop a -> 70/2=35; drop b -> 40/3; drop c -> 30
+        assert out["group_mean"].tolist() == [15.0, 60.0, 10.0]
+        assert out["loo_mean"].tolist() == [35.0, 40 / 3, 30.0]
+        assert out["delta"].tolist() == [10.0, 40 / 3 - 25.0, 5.0]
