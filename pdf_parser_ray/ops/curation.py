@@ -1544,3 +1544,77 @@ def epoch_repeats(
         tagged, ["__bucket"], assign,
         **({"n_parts": n_parts} if n_parts else {}),
     )
+
+
+_SPAN_T32 = 2**32
+
+
+def span_corruption(
+    ds: ray.data.Dataset,
+    *,
+    mask_ratio: float = 0.15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    emit_text: bool = False,
+) -> ray.data.Dataset:
+    """T5-style span corruption with NO RNG state: word ``i`` of doc
+    ``d`` is masked iff ``int(md5(f"{d}:{i}")[:8], 16) < mask_ratio·2³²``
+    — every worker, every rerun, every engine selects the same spans
+    (the stratified_sample hash-gate rule applied positionally).
+    Runs of masked words collapse into sentinel spans
+    ``<extra_id_k>`` (the public T5 convention).
+
+    Row-local, zero shuffle; the per-position md5 is the honest cost
+    (bounded per word, same class as the MinHash per-doc loop).
+
+    Output: (id_col, n_words, n_masked, n_spans[, corrupted:string]).
+    The stats triple is SQL-exact (DuckDB list-lambda twin re-derives
+    every mask bit); the corrupted text is pinned by tests.
+    """
+    thresh = int(mask_ratio * _SPAN_T32)
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.text_stats import TOKEN_PAT
+
+    def corrupt(df: pd.DataFrame):
+        ids = df[id_col].astype("int64").to_numpy()
+        n_words = np.zeros(len(df), dtype=np.int64)
+        n_masked = np.zeros(len(df), dtype=np.int64)
+        n_spans = np.zeros(len(df), dtype=np.int64)
+        texts = []
+        for r, (d, t) in enumerate(zip(ids, df[text_col].fillna(""))):
+            words = TOKEN_PAT.findall(t)
+            n_words[r] = len(words)
+            prev = False
+            out_words = []
+            k = 0
+            for i, w in enumerate(words):
+                h = int(
+                    hashlib.md5(f"{d}:{i}".encode()).hexdigest()[:8], 16
+                )
+                m = h < thresh
+                if m:
+                    n_masked[r] += 1
+                    if not prev:
+                        n_spans[r] += 1
+                        if emit_text:
+                            out_words.append(f"<extra_id_{k}>")
+                            k += 1
+                elif emit_text:
+                    out_words.append(w)
+                prev = m
+            if emit_text:
+                texts.append(" ".join(out_words))
+        cols = {
+            id_col: ids,
+            "n_words": n_words,
+            "n_masked": n_masked,
+            "n_spans": n_spans,
+        }
+        if emit_text:
+            cols["corrupted"] = pd.Series(texts, dtype="object")
+        return arrow_out(pd.DataFrame(cols))
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        corrupt, batch_format="pandas"
+    )

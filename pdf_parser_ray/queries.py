@@ -10896,3 +10896,59 @@ SQL["loo_source_effect"] = """
            (t.st - g.s)::DOUBLE / (t.nt - g.n) - t.st::DOUBLE / t.nt AS delta
     FROM g, t
 """
+
+
+# ------------------------------------------------ T5 span corruption
+
+_SPAN_RATIO = 0.15
+
+
+def q_span_corruption_stats(sf_dir: str) -> ray.data.Dataset:
+    """T5 span-corruption plan audit: per doc the word count, masked-
+    word count and sentinel-span count under the deterministic md5
+    positional gate (ratio 0.15) — every mask bit re-derived by the
+    DuckDB list-lambda twin."""
+    from pdf_parser_ray.ops.curation import span_corruption
+
+    return span_corruption(_documents(sf_dir), mask_ratio=_SPAN_RATIO)
+
+
+def q_span_corruption(sf_dir: str) -> ray.data.Dataset:
+    """The corrupted text itself (<extra_id_k> sentinels, T5
+    convention) — rows-only (string assembly), stats triple oracled via
+    q:span_corruption_stats and sentinel layout pinned in
+    tests/test_curation.py TestSpanCorruption."""
+    from pdf_parser_ray.ops.curation import span_corruption
+
+    return span_corruption(
+        _documents(sf_dir), mask_ratio=_SPAN_RATIO, emit_text=True
+    )
+
+
+QUERIES["span_corruption_stats"] = q_span_corruption_stats
+QUERIES["span_corruption"] = q_span_corruption
+
+
+def _span_sql(ratio: float = _SPAN_RATIO) -> str:
+    t = int(ratio * 2**32)
+
+    def m(iexpr: str) -> str:
+        return (f"('0x' || substr(md5(doc_id::VARCHAR || ':' || "
+                f"({iexpr})::VARCHAR), 1, 8))::BIGINT < {t}")
+
+    return f"""
+    WITH w AS (SELECT doc_id,
+                      regexp_extract_all(coalesce(text, ''), '\\S+') AS l
+               FROM documents)
+    SELECT doc_id,
+           len(l)::BIGINT AS n_words,
+           len(list_filter(range(len(l)), i -> {m('i')}))::BIGINT
+             AS n_masked,
+           len(list_filter(range(len(l)),
+                           i -> ({m('i')}) AND (i = 0 OR NOT ({m('i - 1')}))
+           ))::BIGINT AS n_spans
+    FROM w
+"""
+
+
+SQL["span_corruption_stats"] = _span_sql()

@@ -901,3 +901,55 @@ class TestEpochRepeats:
             .to_pandas().sort_values("doc_id").reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestSpanCorruption:
+    def test_sentinels_and_counts(self, ray_session):
+        import hashlib
+
+        import ray.data
+
+        from pdf_parser_ray.ops.curation import span_corruption
+
+        text = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"doc_id": [7], "text": [text]})
+        )
+        out = span_corruption(ds, mask_ratio=0.4, emit_text=True).to_pandas()
+        # serial twin of the positional gate
+        T = int(0.4 * 2**32)
+        mask = [
+            int(hashlib.md5(f"7:{i}".encode()).hexdigest()[:8], 16) < T
+            for i in range(10)
+        ]
+        n_spans = sum(
+            1 for i in range(10) if mask[i] and (i == 0 or not mask[i - 1])
+        )
+        assert out.loc[0, "n_words"] == 10
+        assert out.loc[0, "n_masked"] == sum(mask)
+        assert out.loc[0, "n_spans"] == n_spans
+        # sentinel layout: masked runs collapse to numbered sentinels
+        expect, k, prev = [], 0, False
+        for i in range(10):
+            if mask[i]:
+                if not prev:
+                    expect.append(f"<extra_id_{k}>")
+                    k += 1
+            else:
+                expect.append(f"w{i}")
+            prev = mask[i]
+        assert out.loc[0, "corrupted"] == " ".join(expect)
+
+    def test_mask_rate_close_to_ratio(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.curation import span_corruption
+
+        df = pd.DataFrame(
+            {"doc_id": range(50), "text": [" ".join(["x"] * 100)] * 50}
+        )
+        out = span_corruption(
+            ray.data.from_pandas(df), mask_ratio=0.15
+        ).to_pandas()
+        rate = out["n_masked"].sum() / out["n_words"].sum()
+        assert 0.10 < rate < 0.20
