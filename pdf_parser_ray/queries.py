@@ -10952,3 +10952,58 @@ def _span_sql(ratio: float = _SPAN_RATIO) -> str:
 
 
 SQL["span_corruption_stats"] = _span_sql()
+
+
+def q_extraction_parity(sf_dir: str) -> ray.data.Dataset:
+    """Extraction-parity audit per payload KIND: how many extracted
+    texts are byte-identical to the corpus ``text`` column.  That
+    column is a perfect-extractor target for the HTML families only
+    (FIXTURES.md §1: "pre-extracted ... also fallback input"), so the
+    expected reading is html ≈ 1.0 on ok rows while pdf diverges by
+    design (the byte-identity contract for PDFs is pinned against the
+    FIXTURE goldens in tests, not this carried column — reading order
+    comes from the position estimator).  Extraction is row-local; one
+    (url) co-location for the diff; rows-only (payload parsing)."""
+    from pdf_parser_ray.corpus import ensure_corpus, sf_to_n_docs
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.relational import colo_join
+    from pdf_parser_ray.ops.shuffle import grouped_sum
+    from pdf_parser_ray.pipelines import extract_corpus, read_corpus
+
+    corpus = ensure_corpus(sf_to_n_docs(_sf_from_dir(sf_dir)))
+    got = extract_corpus(
+        read_corpus(corpus), include_spans=False
+    ).select_columns(["url", "kind", "status", "extracted_text"])
+    truth = read_corpus(corpus).select_columns(["url", "text"])
+
+    joined = colo_join(
+        got, truth, ["url"], ["kind", "status", "extracted_text"], ["text"]
+    )
+
+    def partial(df: pd.DataFrame):
+        same = (
+            df["extracted_text"].fillna("") == df["text"].fillna("")
+        ).astype("int64")
+        g = pd.DataFrame(
+            {"kind": df["kind"], "status": df["status"],
+             "n_docs": 1, "n_identical": same}
+        ).groupby(["kind", "status"], as_index=False).sum()
+        return arrow_out(g.astype({"n_docs": "int64", "n_identical": "int64"}))
+
+    agg = grouped_sum(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["kind", "status"], ["n_docs", "n_identical"],
+    )
+
+    def rate(df: pd.DataFrame):
+        out = df.copy()
+        out["identical_rate"] = (
+            df["n_identical"].to_numpy(dtype="float64")
+            / df["n_docs"].to_numpy(dtype="int64")
+        )
+        return arrow_out(out)
+
+    return agg.map_batches(rate, batch_format="pandas")
+
+
+QUERIES["extraction_parity"] = q_extraction_parity

@@ -386,3 +386,18 @@ class TestCompactParquet:
         a = pq.read_table(str(src)).to_pandas().sort_values("k", ignore_index=True)
         b = pq.read_table(str(dst)).to_pandas().sort_values("k", ignore_index=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestExtractionParity:
+    def test_html_rate_is_one(self, ray_session):
+        from pdf_parser_ray.queries import QUERIES
+
+        out = (
+            QUERIES["extraction_parity"]("/root/testdata/sf0.001")
+            .to_pandas()
+        )
+        html_ok = out[(out["kind"] == "html") & (out["status"] == "ok")]
+        assert len(html_ok) == 1
+        # the north-rule tripwire: every ok HTML page byte-identical
+        assert html_ok["identical_rate"].iloc[0] == 1.0
+        assert int(html_ok["n_docs"].iloc[0]) > 200
