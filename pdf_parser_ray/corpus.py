@@ -380,3 +380,84 @@ def ensure_table_corpus(n_docs: int, seed: int = 42,
     with open(marker, "w") as f:
         f.write(f"{n_docs} {seed}\n")
     return out_dir
+
+
+def make_feed_document(doc_id: int, seed: int = 42) -> dict:
+    """A discovery-tier page: XML sitemap (even ids; every 8th an
+    index), RSS (odd, id%4==1) or Atom (id%4==3), deterministic from
+    (seed, doc_id)."""
+    rng = random.Random(f"feeds:{seed}:{doc_id}")
+    host = f"https://feeds{doc_id % 7}.example.com"
+    url = f"{host}/feed/{doc_id:06d}"
+    if doc_id % 8 == 0:
+        inner = "".join(
+            f"<sitemap><loc>{host}/sm/{doc_id}/{j}.xml</loc></sitemap>"
+            for j in range(rng.randint(1, 4))
+        )
+        xml = f"<sitemapindex>{inner}</sitemapindex>"
+        text = ""
+    elif doc_id % 2 == 0:
+        inner = "".join(
+            f"<url><loc>{host}/page/{doc_id}/{j}</loc>"
+            f"<lastmod>2025-01-{rng.randint(1, 28):02d}</lastmod>"
+            f"<priority>0.{rng.randint(1, 9)}</priority></url>"
+            for j in range(rng.randint(0, 6))
+        )
+        xml = f'<?xml version="1.0"?><urlset>{inner}</urlset>'
+        text = ""
+    elif doc_id % 4 == 1:
+        inner = "".join(
+            f"<item><title>{_sentence(rng, 3)}</title>"
+            f"<link>{host}/post/{doc_id}/{j}</link>"
+            f"<guid>g-{doc_id}-{j}</guid>"
+            f"<pubDate>2025-02-{rng.randint(1, 28):02d}</pubDate></item>"
+            for j in range(rng.randint(1, 5))
+        )
+        xml = f"<rss version=\"2.0\"><channel><title>c</title>{inner}</channel></rss>"
+        text = ""
+    else:
+        inner = "".join(
+            f"<entry><title>{_sentence(rng, 3)}</title>"
+            f'<link href="{host}/e/{doc_id}/{j}"/>'
+            f"<id>tag:{doc_id}:{j}</id>"
+            f"<updated>2025-03-{rng.randint(1, 28):02d}</updated></entry>"
+            for j in range(rng.randint(1, 5))
+        )
+        xml = f"<feed>{inner}</feed>"
+        text = ""
+    return {
+        "url": url,
+        "warc_ts": BASE_TS_US + doc_id * 1_000_000,
+        "html": xml.encode("utf-8"),
+        "text": text,
+        "lang": _LANGS[doc_id % len(_LANGS)],
+    }
+
+
+def _gen_feed_batch(batch: pa.Table, seed: int) -> pa.Table:
+    ids = batch.column("id").to_pylist()
+    return pa.Table.from_pylist(
+        [make_feed_document(i, seed) for i in ids], schema=CORPUS_SCHEMA
+    )
+
+
+def ensure_feed_corpus(n_docs: int, seed: int = 42,
+                       cache_root: str = "/tmp/ppr_corpus") -> str:
+    """Generate-once disk cache for the discovery (sitemap/feed) corpus."""
+    import ray.data
+
+    out_dir = os.path.join(cache_root, f"feeds_n{n_docs}_s{seed}")
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    parallelism = max(8, min(64, n_docs // 2000 or 8))
+    (
+        ray.data.range(n_docs, override_num_blocks=parallelism)
+        .map_batches(_gen_feed_batch, fn_kwargs={"seed": seed},
+                     batch_format="pyarrow", batch_size=2000)
+        .write_parquet(out_dir)
+    )
+    with open(marker, "w") as f:
+        f.write(f"{n_docs} {seed}\n")
+    return out_dir

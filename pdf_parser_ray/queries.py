@@ -11007,3 +11007,33 @@ def q_extraction_parity(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES["extraction_parity"] = q_extraction_parity
+
+
+# ------------------------------------------------ discovery harvest
+
+
+def q_sitemap_entries(sf_dir: str) -> ray.data.Dataset:
+    """Crawl-discovery harvest: sitemap urlset/index entries over the
+    deterministic feed corpus scaled to sf.  Row-local payload parsing
+    -> rows-only; kernel pinned by tests/test_feeds.py."""
+    from pdf_parser_ray.corpus import ensure_feed_corpus, sf_to_n_docs
+    from pdf_parser_ray.html.feeds import extract_sitemap_entries
+    from pdf_parser_ray.pipelines import read_corpus
+
+    corpus = ensure_feed_corpus(sf_to_n_docs(_sf_from_dir(sf_dir)))
+    return extract_sitemap_entries(read_corpus(corpus))
+
+
+def q_feed_items(sf_dir: str) -> ray.data.Dataset:
+    """RSS/Atom item harvest over the feed corpus (Atom link-attribute
+    gotcha covered).  Rows-only; kernel pinned by tests/test_feeds.py."""
+    from pdf_parser_ray.corpus import ensure_feed_corpus, sf_to_n_docs
+    from pdf_parser_ray.html.feeds import extract_feed_items
+    from pdf_parser_ray.pipelines import read_corpus
+
+    corpus = ensure_feed_corpus(sf_to_n_docs(_sf_from_dir(sf_dir)))
+    return extract_feed_items(read_corpus(corpus))
+
+
+QUERIES["sitemap_entries"] = q_sitemap_entries
+QUERIES["feed_items"] = q_feed_items
