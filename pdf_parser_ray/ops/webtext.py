@@ -242,6 +242,202 @@ def _passage_dedup_join(
     return partitioned_map(cold, [id_col], reassemble_partition)
 
 
+# ASCII whitespace stripped from a line before it is counted — spelled
+# out (NOT str.strip()'s full Unicode set) so the DuckDB twin's
+# trim(line, ' '||chr(9)||chr(13)||chr(11)||chr(12)) matches exactly.
+LINE_WS = " \t\r\x0b\x0c"
+
+
+def line_dedup(
+    ds: ray.data.Dataset,
+    *,
+    min_repeats: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_limit: int = 5_000_000,
+    mode: str = "broadcast",
+) -> ray.data.Dataset:
+    """CCNet-style LINE-level dedup: drop every copy of any line whose
+    whitespace-stripped form occurs ≥ ``min_repeats`` times corpus-wide
+    (nav bars, cookie banners, footers — the boilerplate that survives
+    DOM stripping because it IS real text on every page of a host).
+
+    Differs from :func:`passage_dedup` where it matters for web text:
+    lines are the document's own ``\\n`` structure (not fixed word
+    windows); counting keys are the LINE_WS-stripped line (leading
+    indent / trailing spaces don't split the count); whitespace-only
+    lines are structural — always kept, never counted; and every
+    document survives (possibly emptied) with (n_lines, n_dropped)
+    audit columns, so downstream gates can threshold on how much was
+    boilerplate.
+
+    ``mode="broadcast"`` (default): per-batch partial counts of
+    stripped-line siphashes → ONE uniform-key groupby(line_hash).sum →
+    hot set (bounded by distinct repeated lines, guarded by
+    ``broadcast_limit``) via ``ray.put`` → row-local scrub; document
+    payloads never enter a shuffle.  ``mode="join"`` is the no-broadcast
+    scale path (explode → hash-join hot markers → reassemble per doc);
+    both modes are parity-tested.  The SQL twin groups by the stripped
+    line STRING — agreement modulo a 2^-64 siphash collision (the
+    _hash_passages rationale).
+
+    Output: (id_col, clean_text, n_lines:int64, n_dropped:int64).
+    """
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.stages import worker_state
+
+    def _norms(lines: list) -> list:
+        return [ln.strip(LINE_WS) for ln in lines]
+
+    def partial_counts(df: pd.DataFrame):
+        flat: list = []
+        for text in df[text_col].fillna(""):
+            flat.extend(n for n in _norms(text.split("\n")) if n)
+        uniq, cnt = np.unique(_hash_passages(flat), return_counts=True)
+        return arrow_out(pd.DataFrame(
+            {"line_hash": uniq.astype(np.int64), "n": cnt.astype(np.int64)}
+        ))
+
+    totals = (
+        ds.map_batches(partial_counts, batch_format="pandas")
+        .groupby("line_hash")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    hot = totals.map_batches(
+        lambda df, _k=min_repeats: df[df["n"] >= _k][["line_hash"]],
+        batch_format="pandas",
+    )
+
+    if mode == "join":
+        return _line_dedup_join(ds, hot, text_col=text_col, id_col=id_col)
+
+    hot_df = hot.limit(broadcast_limit + 1).to_pandas()
+    if "line_hash" not in hot_df.columns:  # empty dataset → column-less frame
+        hot_df = pd.DataFrame({"line_hash": pd.Series([], dtype="int64")})
+    if len(hot_df) > broadcast_limit:
+        raise ValueError(
+            f"hot-line set exceeds broadcast_limit={broadcast_limit}; "
+            "use mode='join' for this corpus"
+        )
+    hot_ref = ray.put(np.sort(hot_df["line_hash"].to_numpy(dtype=np.int64)))
+
+    def scrub(df: pd.DataFrame):
+        hot_arr = worker_state(
+            ("line_hot", hot_ref.hex()), lambda: ray.get(hot_ref)
+        )
+        ids, cleaned, n_lines, n_dropped = [], [], [], []
+        for doc_id, text in zip(df[id_col], df[text_col].fillna("")):
+            lines = text.split("\n")
+            norms = _norms(lines)
+            nonblank = [n for n in norms if n]
+            h = _hash_passages(nonblank)
+            if hot_arr.size and h.size:
+                pos = np.searchsorted(hot_arr, h)
+                np.clip(pos, 0, hot_arr.size - 1, out=pos)
+                is_hot = iter(hot_arr[pos] == h)
+            else:
+                is_hot = iter([False] * len(nonblank))
+            kept = [ln for ln, nrm in zip(lines, norms)
+                    if not nrm or not next(is_hot)]
+            ids.append(doc_id)
+            cleaned.append("\n".join(kept))
+            n_lines.append(len(lines))
+            n_dropped.append(len(lines) - len(kept))
+        return arrow_out(pd.DataFrame(
+            {
+                id_col: pd.Series(ids, dtype="int64"),
+                "clean_text": pd.Series(cleaned, dtype="object"),
+                "n_lines": pd.Series(n_lines, dtype="int64"),
+                "n_dropped": pd.Series(n_dropped, dtype="int64"),
+            }
+        ))
+
+    return ds.map_batches(scrub, batch_format="pandas")
+
+
+def _line_dedup_join(
+    ds: ray.data.Dataset,
+    hot: ray.data.Dataset,
+    *,
+    text_col: str,
+    id_col: str,
+) -> ray.data.Dataset:
+    """Join-mode line scrub — no broadcast, no driver collection.
+
+    Every line travels as an exploded (doc_id, ord, line_hash, line)
+    row (blank lines carry hash 0 and a blank flag so they can never
+    match hot); hot hashes LEFT-join a marker in; reassembly is one
+    partitioned groupby(doc_id) that KEEPS emptied docs because dropped
+    rows still travel (flagged, not filtered) — the (n_lines,
+    n_dropped) audit needs them anyway.
+    """
+    from pdf_parser_ray.ops.relational import hash_join
+
+    def explode(df: pd.DataFrame):
+        ids, ords, lines_out, blanks = [], [], [], []
+        for doc_id, text in zip(df[id_col], df[text_col].fillna("")):
+            lines = text.split("\n")
+            ids.extend([doc_id] * len(lines))
+            ords.extend(range(len(lines)))
+            lines_out.extend(lines)
+            blanks.extend(not ln.strip(LINE_WS) for ln in lines)
+        norms = [ln.strip(LINE_WS) for ln in lines_out]
+        h = _hash_passages(norms)
+        blank_arr = np.asarray(blanks, dtype=bool)
+        if h.size:
+            h[blank_arr] = 0
+        return arrow_out(pd.DataFrame(
+            {
+                id_col: pd.Series(ids, dtype="int64"),
+                "ord": pd.Series(ords, dtype="int64"),
+                "line_hash": pd.Series(h, dtype="int64"),
+                "line": pd.Series(lines_out, dtype="object"),
+                "blank": pd.Series(blank_arr),
+            }
+        ))
+
+    exploded = ds.map_batches(explode, batch_format="pandas")
+    marked = hot.map_batches(
+        lambda df: df.assign(__hot=np.int8(1)), batch_format="pandas"
+    )
+    joined = hash_join(exploded, marked, ["line_hash"], join_type="left_outer")
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["blank"] | df["__hot"].isna()
+        return df.assign(keep=keep)[[id_col, "ord", "line", "keep"]]
+
+    flagged = joined.map_batches(flag, batch_format="pandas")
+
+    def reassemble_partition(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values([id_col, "ord"])
+        n_lines = part.groupby(id_col, sort=False).size()
+        kept = part[part["keep"]]
+        clean = (
+            kept.groupby(id_col, sort=False)["line"]
+            .agg("\n".join)
+            .reindex(n_lines.index, fill_value="")
+        )
+        n_kept = (
+            kept.groupby(id_col, sort=False)
+            .size()
+            .reindex(n_lines.index, fill_value=0)
+        )
+        out = pd.DataFrame(
+            {
+                id_col: n_lines.index.to_numpy(),
+                "clean_text": clean.to_numpy(dtype=object),
+                "n_lines": n_lines.to_numpy(dtype=np.int64),
+                "n_dropped": (n_lines - n_kept).to_numpy(dtype=np.int64),
+            }
+        )
+        return out.astype({id_col: "int64"})
+
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    return partitioned_map(flagged, [id_col], reassemble_partition)
+
+
 def repetition_stats(
     ds: ray.data.Dataset, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> ray.data.Dataset:

@@ -1026,6 +1026,31 @@ def q_passage_dedup(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_line_dedup(sf_dir: str) -> ray.data.Dataset:
+    """CCNet-style LINE dedup: every copy of a line repeated ≥2× corpus-
+    wide is dropped, docs reassembled with (n_lines, n_dropped) audit
+    columns.  The sf corpus has no newline structure, so the query
+    derives deterministic lines first (4-word re-wrap — the twin builds
+    the SAME lines via its word-group CTE); the operator itself consumes
+    real ``\\n`` documents (unit-tested with blanks/indentation)."""
+    from pdf_parser_ray.ops.webtext import line_dedup
+
+    def rewrap(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.copy()
+        df["text"] = [
+            "\n".join(
+                " ".join(ws[i : i + 4]) for i in range(0, len(ws), 4)
+            )
+            for ws in (t.split(" ") for t in df["text"].fillna(""))
+        ]
+        return df
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        rewrap, batch_format="pandas"
+    )
+    return line_dedup(ds, min_repeats=2)
+
+
 def q_repetition_stats(sf_dir: str) -> ray.data.Dataset:
     from pdf_parser_ray.ops.webtext import repetition_stats
 
@@ -3320,6 +3345,43 @@ SQL["passage_dedup"] = """
     FROM kept GROUP BY doc_id
 """
 
+# Line twin: the word-group CTE derives the SAME 4-word lines the
+# query's rewrap builds; counts key on the LINE_WS-stripped line
+# (blank-normalized lines kept, never counted) exactly as
+# webtext.line_dedup hashes them.
+SQL["line_dedup"] = """
+    WITH words AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS word,
+             unnest(range(1, len(string_split(text, ' ')) + 1)) AS idx
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, CAST(floor((idx - 1) / 4) AS BIGINT) AS ord,
+             string_agg(word, ' ' ORDER BY idx) AS line
+      FROM words GROUP BY doc_id, ord
+    ),
+    keyed AS (
+      SELECT doc_id, ord, line,
+             trim(line, ' ' || chr(9) || chr(13) || chr(11) || chr(12)) AS norm
+      FROM lines
+    ),
+    counts AS (
+      SELECT norm, count(*) AS n FROM keyed WHERE norm <> '' GROUP BY norm
+    ),
+    kept AS (
+      SELECT k.doc_id, k.ord, k.line,
+             (k.norm = '' OR coalesce(c.n, 0) < 2) AS keep
+      FROM keyed k LEFT JOIN counts c USING (norm)
+    )
+    SELECT doc_id,
+           coalesce(string_agg(line, chr(10) ORDER BY ord)
+                    FILTER (WHERE keep), '') AS clean_text,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped
+    FROM kept GROUP BY doc_id
+"""
+
 # Fractions are UNROUNDED per the per-row-ratio rule: both engines
 # divide the identical int64 operands → bit-identical doubles.
 SQL["repetition_stats"] = """
@@ -4912,6 +4974,7 @@ QUERIES = {
     "clean_corpus": q_clean_corpus,
     "word_counts": q_word_counts,
     "passage_dedup": q_passage_dedup,
+    "line_dedup": q_line_dedup,
     "running_window": q_running_window,
     "event_pivot": q_event_pivot,
     "token_postings": q_token_postings,

@@ -74,6 +74,8 @@ BUDGETS = {
     "bpe_encode": 0,            # merge table broadcast; encode row-local
     "perceptron_predict": 0,    # weights broadcast; scoring row-local
     "epoch_repeats": 1,         # one bucket co-location (prefix-sum plan)
+    # session-14 additions
+    "line_dedup": 0,            # hot-line set broadcast; scrub row-local
 }
 
 

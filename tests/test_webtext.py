@@ -657,3 +657,63 @@ class TestCalibrationBins:
         assert out["n_pos"].tolist() == [1, 0, 1, 2]
         assert out["mean_score"].tolist() == [-13.0, -3.0, 3.5, 14.5]
         assert out["frac_pos"].tolist() == [0.5, 0.0, 0.5, 1.0]
+
+
+class TestLineDedup:
+    ROWS = [
+        # "nav  home" (stripped form) appears in docs 0,1,2 -> hot.
+        # Doc 1's copy carries leading indentation: it must COUNT with
+        # the others (LINE_WS-stripped key) and be dropped.
+        (0, "nav  home\nunique zero\n\nend zero"),
+        (1, "  nav  home\t\nunique one"),
+        (2, "nav  home"),
+        # within-doc repeat alone crosses min_repeats=2
+        (3, "twice here\ntwice here\nkeep three"),
+        # whitespace-only line: structural, kept, never counted
+        (4, "   \nunique four\n   "),
+    ]
+
+    def _run(self, ray_session, **kw):
+        from pdf_parser_ray.ops.webtext import line_dedup
+
+        return (
+            line_dedup(_ds(self.ROWS, ["doc_id", "text"]), min_repeats=2, **kw)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    def test_semantics(self, ray_session):
+        out = self._run(ray_session)
+        assert out["doc_id"].tolist() == [0, 1, 2, 3, 4]
+        # doc 0: hot line dropped, blank line KEPT
+        assert out["clean_text"][0] == "unique zero\n\nend zero"
+        assert out["n_lines"][0] == 4 and out["n_dropped"][0] == 1
+        # doc 1: indented copy dropped too (stripped key)
+        assert out["clean_text"][1] == "unique one"
+        # doc 2 fully emptied but RETAINED
+        assert out["clean_text"][2] == "" and out["n_dropped"][2] == 1
+        # doc 3: within-doc repeat -> both copies dropped
+        assert out["clean_text"][3] == "keep three"
+        assert out["n_dropped"][3] == 2
+        # doc 4: whitespace-only lines survive verbatim
+        assert out["clean_text"][4] == "   \nunique four\n   "
+        assert out["n_dropped"][4] == 0
+
+    def test_join_mode_parity(self, ray_session):
+        a = self._run(ray_session)
+        b = self._run(ray_session, mode="join")
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_query_matches_duckdb_twin(self, ray_session):
+        import sys
+
+        sys.path.insert(0, "tests")
+        from oracle_utils import compare, duckdb_con, to_pandas
+
+        from pdf_parser_ray.queries import QUERIES, SQL
+
+        sf = "/root/testdata/sf0.001"
+        ray_df = to_pandas(QUERIES["line_dedup"](sf))
+        sql_df = duckdb_con(sf).execute(SQL["line_dedup"]).df()
+        assert compare(ray_df, sql_df) == []
