@@ -2069,6 +2069,232 @@ def bpe_encode(
     )
 
 
+def _viterbi_segment(
+    word: str, logp: dict, max_len: int, unk_logp: float
+) -> list[str]:
+    """Best unigram-LM segmentation of ``word`` (max sum of piece
+    logprobs).  Deterministic tie-break: positions scan left→right and
+    candidate start offsets scan in INCREASING order with strict ``>``,
+    so the first-found optimum wins — i.e. among equal-score paths the
+    one whose pieces end earliest (shortest-last-piece) is chosen.
+    Characters absent from the vocab segment as themselves at
+    ``unk_logp`` (can't happen when encoding the training corpus —
+    every seed char is kept — but keeps the encoder total on unseen
+    text)."""
+    n = len(word)
+    best = [float("-inf")] * (n + 1)
+    back = [0] * (n + 1)
+    best[0] = 0.0
+    for j in range(1, n + 1):
+        for i in range(max(0, j - max_len), j):
+            lp = logp.get(word[i:j])
+            if lp is None:
+                if j - i != 1:
+                    continue
+                lp = unk_logp
+            s = best[i] + lp
+            if s > best[j]:
+                best[j] = s
+                back[j] = i
+    out: list[str] = []
+    j = n
+    while j > 0:
+        i = back[j]
+        out.append(word[i:j])
+        j = i
+    out.reverse()
+    return out
+
+
+def unigram_train(
+    ds: "ray.data.Dataset",
+    vocab_size: int,
+    *,
+    text_col: str = "text",
+    max_piece_len: int = 8,
+    seed_size: int | None = None,
+    em_rounds: int = 4,
+    max_vocab: int | None = None,
+) -> pd.DataFrame:
+    """Train a SentencePiece-style unigram-LM tokenizer vocabulary
+    (Kudo 2018, the public unigram recipe, deterministically
+    simplified): seed with frequent substrings, alternate Viterbi
+    E-steps with count-renormalizing M-steps, prune to ``vocab_size``.
+
+    Like :func:`bpe_train`, the distributed part is ONE
+    :func:`word_counts` pass — unigram training only consumes the
+    word-frequency histogram, so corpus-scan cost is independent of
+    ``em_rounds`` and the EM loop runs on the vocabulary-bounded
+    histogram (``max_vocab`` caps the tail landing on the driver, an
+    explicit approximation knob).
+
+    Simplifications vs the paper, all pinned by tests: hard-EM
+    (Viterbi counts, not lattice posteriors); pruning keeps the top
+    pieces by (usage DESC, piece ASC) instead of the likelihood-loss
+    ranking; single-character pieces are never pruned (lossless
+    coverage of the training corpus is an invariant).
+
+    Output (eager, ≤ vocab_size rows): (piece:str, cnt:int64 — Viterbi
+    usage at the last E-step, logprob:float64), sorted (cnt DESC,
+    piece ASC).
+    """
+    import math
+
+    hist = word_counts(ds.select_columns([text_col])).to_pandas()
+    hist = hist.sort_values(
+        ["n", "token"], ascending=[False, True], kind="mergesort"
+    )
+    if max_vocab is not None:
+        hist = hist.head(max_vocab)
+    words = [str(t) for t in hist["token"]]
+    freqs = hist["n"].astype("int64").to_list()
+
+    # -- seed: substring counts (weighted by word freq), chars always in
+    sub_counts: dict[str, int] = {}
+    for w, f in zip(words, freqs):
+        L = len(w)
+        for i in range(L):
+            for j in range(i + 1, min(i + max_piece_len, L) + 1):
+                p = w[i:j]
+                sub_counts[p] = sub_counts.get(p, 0) + f
+    chars = {p for p in sub_counts if len(p) == 1}
+    if seed_size is None:
+        seed_size = max(4 * vocab_size, vocab_size + len(chars))
+    multi = sorted(
+        ((p, c) for p, c in sub_counts.items() if len(p) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[: max(0, seed_size - len(chars))]
+    vocab = {p: sub_counts[p] for p in chars}
+    vocab.update(dict(multi))
+
+    def _renorm(counts: dict) -> dict:
+        total = sum(counts.values())
+        return {
+            p: math.log(c) - math.log(total)
+            for p, c in counts.items()
+            if c > 0
+        }
+
+    logp = _renorm(vocab)
+    usage: dict[str, int] = {}
+    for r in range(em_rounds):
+        # E-step: Viterbi-segment the distinct words, weight by freq
+        usage = {}
+        for w, f in zip(words, freqs):
+            for p in _viterbi_segment(w, logp, max_piece_len, -1e9):
+                usage[p] = usage.get(p, 0) + f
+        # keep single chars alive even when Viterbi never picks them
+        for c in chars:
+            usage.setdefault(c, 0)
+        floor = {p: max(c, 1) if len(p) == 1 else c for p, c in usage.items()}
+        # prune: chars + best multis by (usage DESC, piece ASC); the
+        # final round prunes to vocab_size, earlier rounds shrink 25%
+        keep_multi = sorted(
+            ((p, c) for p, c in floor.items() if len(p) > 1 and c > 0),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        if r == em_rounds - 1:
+            target = max(0, vocab_size - len(chars))
+        else:
+            target = max(
+                max(0, vocab_size - len(chars)), int(len(keep_multi) * 0.75)
+            )
+        floor = {
+            **{p: c for p, c in floor.items() if len(p) == 1},
+            **dict(keep_multi[:target]),
+        }
+        logp = _renorm(floor)
+        usage = floor
+
+    pieces = sorted(logp, key=lambda p: (-usage.get(p, 0), p))
+    return pd.DataFrame(
+        {
+            "piece": pd.Series(pieces, dtype=str),
+            "cnt": pd.Series(
+                [int(usage.get(p, 0)) for p in pieces], dtype="int64"
+            ),
+            "logprob": pd.Series([logp[p] for p in pieces], dtype="float64"),
+        }
+    )
+
+
+def unigram_encode(
+    ds: "ray.data.Dataset",
+    pieces: pd.DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Apply a trained unigram-LM vocabulary (from
+    :func:`unigram_train`) to the corpus: per-document piece counts
+    plus total Viterbi log-likelihood — the SentencePiece application
+    side at scale.  The (piece, logprob) table is broadcast once per
+    actor; encoding is word-memoized per batch like :func:`bpe_encode`.
+    Row-local, zero shuffle.
+
+    Output: (id_col, n_pieces:int64, n_words:int64, loglik:float64).
+    """
+    import ray as _ray
+
+    from pdf_parser_ray.io_utils import arrow_out
+
+    logp = dict(zip(pieces["piece"].astype(str), pieces["logprob"]))
+    max_len = max((len(p) for p in logp), default=1)
+    unk = min(logp.values(), default=0.0) - 10.0
+    table_ref = _ray.put((logp, max_len, unk))
+
+    class _Encoder:
+        def __init__(self):
+            self.logp, self.max_len, self.unk = _ray.get(table_ref)
+            self.cache: dict[str, tuple[int, float]] = {}
+
+        def encode(self, word: str) -> tuple[int, float]:
+            hit = self.cache.get(word)
+            if hit is not None:
+                return hit
+            segs = _viterbi_segment(word, self.logp, self.max_len, self.unk)
+            ll = sum(self.logp.get(p, self.unk) for p in segs)
+            hit = (len(segs), ll)
+            if len(self.cache) < 1_000_000:
+                self.cache[word] = hit
+            return hit
+
+        def __call__(self, df: pd.DataFrame):
+            import numpy as np
+
+            toks = df[text_col].fillna("").str.lower().str.findall(TOKEN_PAT)
+            n_pieces = np.zeros(len(df), dtype=np.int64)
+            n_words = np.zeros(len(df), dtype=np.int64)
+            loglik = np.zeros(len(df), dtype=np.float64)
+            for i, words in enumerate(toks):
+                n_words[i] = len(words)
+                vc: dict[str, int] = {}
+                for w in words:
+                    vc[w] = vc.get(w, 0) + 1
+                np_i = 0
+                ll_i = 0.0
+                for w, c in vc.items():
+                    n, ll = self.encode(w)
+                    np_i += n * c
+                    ll_i += ll * c
+                n_pieces[i] = np_i
+                loglik[i] = ll_i
+            return arrow_out(
+                pd.DataFrame(
+                    {
+                        id_col: df[id_col].to_numpy(),
+                        "n_pieces": n_pieces,
+                        "n_words": n_words,
+                        "loglik": loglik,
+                    }
+                )
+            )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _Encoder, batch_format="pandas", concurrency=(1, 8)
+    )
+
+
 def _perceptron_batch_features(df: pd.DataFrame, text_col: str, n_buckets: int):
     """Per-batch sparse hashed features: (row_pos, bucket, count) with
     the repo-standard md5 bucket rule (int(md5(tok)[:8],16) % D) and a

@@ -10518,6 +10518,35 @@ QUERIES["bpe_train"] = q_bpe_train
 QUERIES["bpe_encode"] = q_bpe_encode
 
 
+def q_unigram_train(sf_dir: str) -> pd.DataFrame:
+    """SentencePiece-style unigram-LM vocabulary (Kudo 2018, hard-EM
+    simplification): 96 pieces learned from ONE distributed
+    word-histogram pass; the seed/EM/prune loop runs on the
+    vocabulary-bounded histogram.  Iterative float EM -> no SQL twin
+    (driver rows-only check); pinned against an independent serial
+    twin in tests/test_webtext.py TestUnigramLm."""
+    from pdf_parser_ray.ops.text_stats import unigram_train
+
+    return unigram_train(
+        _documents(sf_dir, columns=["doc_id", "text"]), 96, em_rounds=3
+    )
+
+
+def q_unigram_encode(sf_dir: str) -> ray.data.Dataset:
+    """Unigram tokenizer application at scale: the q:unigram_train
+    (piece, logprob) table broadcast once per actor, per-doc Viterbi
+    piece counts + log-likelihood with a per-batch word memo.
+    Row-local; parity pinned in TestUnigramLm."""
+    from pdf_parser_ray.ops.text_stats import unigram_encode, unigram_train
+
+    docs = _documents(sf_dir, columns=["doc_id", "text"])
+    return unigram_encode(docs, unigram_train(docs, 96, em_rounds=3))
+
+
+QUERIES["unigram_train"] = q_unigram_train
+QUERIES["unigram_encode"] = q_unigram_encode
+
+
 # ------------------------------------------------ HTML table harvest
 
 

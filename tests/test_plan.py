@@ -76,6 +76,7 @@ BUDGETS = {
     "epoch_repeats": 1,         # one bucket co-location (prefix-sum plan)
     # session-14 additions
     "line_dedup": 0,            # hot-line set broadcast; scrub row-local
+    "unigram_encode": 0,        # piece table broadcast; Viterbi row-local
 }
 
 

@@ -717,3 +717,75 @@ class TestLineDedup:
         ray_df = to_pandas(QUERIES["line_dedup"](sf))
         sql_df = duckdb_con(sf).execute(SQL["line_dedup"]).df()
         assert compare(ray_df, sql_df) == []
+
+
+class TestUnigramLm:
+    def test_hand_computed_vocab(self, ray_session):
+        """Fully hand-derived EM trace: corpus words aaaa(x2), ab(x1);
+        both rounds Viterbi-pick the whole-word pieces, single chars
+        survive on the usage floor."""
+        import math
+
+        from pdf_parser_ray.ops.text_stats import unigram_train
+
+        out = unigram_train(
+            _ds([(0, "aaaa aaaa ab")], ["doc_id", "text"]),
+            4,
+            em_rounds=2,
+        )
+        assert out["piece"].tolist() == ["aaaa", "a", "ab", "b"]
+        assert out["cnt"].tolist() == [2, 1, 1, 1]
+        assert out["logprob"].tolist() == [
+            math.log(2 / 5), math.log(1 / 5), math.log(1 / 5), math.log(1 / 5)
+        ]
+
+    def test_encode_counts_and_loglik(self, ray_session):
+        import math
+
+        from pdf_parser_ray.ops.text_stats import unigram_encode, unigram_train
+
+        docs = _ds([(0, "aaaa aaaa ab"), (1, "zz")], ["doc_id", "text"])
+        pieces = unigram_train(
+            _ds([(0, "aaaa aaaa ab")], ["doc_id", "text"]), 4, em_rounds=2
+        )
+        out = (
+            unigram_encode(docs, pieces)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert out["n_words"].tolist() == [3, 1]
+        assert out["n_pieces"].tolist() == [3, 2]
+        unk = math.log(1 / 5) - 10.0
+        assert out["loglik"][0] == pytest.approx(
+            2 * math.log(2 / 5) + math.log(1 / 5)
+        )
+        assert out["loglik"][1] == pytest.approx(2 * unk)
+
+    def test_corpus_invariants_and_coverage(self, ray_session):
+        """Over a generated corpus: vocab bounded, every corpus char
+        kept, and Viterbi round-trips every distinct word losslessly."""
+        from pdf_parser_ray.ops.text_stats import (
+            TOKEN_PAT,
+            _viterbi_segment,
+            unigram_train,
+        )
+
+        rows = [
+            (i, f"the quick brown fox {i % 7} jumps over lazy dogs "
+                f"pack my box with five dozen liquor jugs {i % 3}")
+            for i in range(40)
+        ]
+        out = unigram_train(_ds(rows, ["doc_id", "text"]), 48, em_rounds=3)
+        assert len(out) <= 48
+        corpus_chars = set()
+        words = set()
+        for _i, t in rows:
+            for w in TOKEN_PAT.findall(t.lower()):
+                words.add(w)
+                corpus_chars |= set(w)
+        pieces = set(out["piece"])
+        assert corpus_chars <= pieces
+        logp = dict(zip(out["piece"], out["logprob"]))
+        max_len = max(len(p) for p in logp)
+        for w in sorted(words):
+            segs = _viterbi_segment(w, logp, max_len, -1e9)
+            assert "".join(segs) == w
