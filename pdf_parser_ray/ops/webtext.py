@@ -1070,6 +1070,8 @@ class AhoCorasick:
                 fail[nxt] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != nxt else 0
                 out[nxt].extend(out[fail[nxt]])
         self._goto, self._fail, self._out = goto, fail, out
+        self._lens = [len(p) for p in pats]
+        self.patterns = pats
         self.n_patterns = len(pats)
 
     def seen_patterns(self, text: str) -> set:
@@ -1085,6 +1087,24 @@ class AhoCorasick:
             if out[st]:
                 seen.update(out[st])
         return seen
+
+    def iter_matches(self, text: str):
+        """Yield (pattern_index, start_offset) for EVERY occurrence —
+        overlapping and nested included (output links).  Offsets are
+        0-based on the text as matched (the lowered copy when
+        ``case_sensitive=False`` — same length for the ASCII patterns
+        this repo ships)."""
+        if not self.case_sensitive:
+            text = text.lower()
+        goto, fail, out = self._goto, self._fail, self._out
+        lens = self._lens
+        st = 0
+        for i, ch in enumerate(text):
+            while st and ch not in goto[st]:
+                st = fail[st]
+            st = goto[st].get(ch, 0)
+            for pid in out[st]:
+                yield pid, i + 1 - lens[pid]
 
 
 def blocklist_hits(
@@ -1219,4 +1239,82 @@ def blocklist_doc_counts(
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby("pattern").aggregate(
         Sum("n_docs", alias_name="n_docs")
+    )
+
+
+def entity_tag(
+    ds: ray.data.Dataset,
+    entities: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "regex",
+) -> ray.data.Dataset:
+    """Gazetteer entity tagging WITH OFFSETS: one output row per
+    occurrence of each entity string, overlapping and nested matches
+    included (dictionary NER over raw text — what a link/KB-annotation
+    pass runs before training).  Case-sensitive substring semantics —
+    exactly what the DuckDB twin's position scan computes.
+
+    Two interchangeable row-local routes (identical output, pinned by
+    test):
+
+    * ``mode="regex"`` — per-entity compiled LOOKAHEAD pattern
+      ``(?=escaped)`` (a plain pattern would swallow overlaps: 'aa' in
+      'aaa' must hit offsets 0 AND 1); right for tens of entities.
+    * ``mode="automaton"`` — the AhoCorasick actor pool via
+      ``iter_matches``: ONE text pass regardless of gazetteer size,
+      the 10^4-entry scale route; the automaton builds once per actor.
+
+    Output: (id_col, entity:str, start:int64, stop:int64) with
+    0-based [start, stop) character offsets.  Zero shuffle.
+    """
+    ents = list(entities)
+
+    from pdf_parser_ray.io_utils import arrow_out
+
+    def _frame(ids, names, starts, stops):
+        return arrow_out(pd.DataFrame(
+            {
+                id_col: pd.Series(ids, dtype="int64"),
+                "entity": pd.Series(names, dtype="object"),
+                "start": pd.Series(starts, dtype="int64"),
+                "stop": pd.Series(stops, dtype="int64"),
+            }
+        ))
+
+    if mode == "regex":
+        pats = [(e, re.compile("(?=%s)" % re.escape(e))) for e in ents]
+
+        def tag(df: pd.DataFrame):
+            ids, names, starts, stops = [], [], [], []
+            for doc_id, text in zip(df[id_col], df[text_col].fillna("")):
+                for ent, pat in pats:
+                    for m in pat.finditer(text):
+                        ids.append(doc_id)
+                        names.append(ent)
+                        starts.append(m.start())
+                        stops.append(m.start() + len(ent))
+            return _frame(ids, names, starts, stops)
+
+        return ds.select_columns([id_col, text_col]).map_batches(
+            tag, batch_format="pandas"
+        )
+
+    class _Tagger:
+        def __init__(self):
+            self.ac = AhoCorasick(ents, case_sensitive=True)
+
+        def __call__(self, df: pd.DataFrame):
+            ids, names, starts, stops = [], [], [], []
+            for doc_id, text in zip(df[id_col], df[text_col].fillna("")):
+                for pid, start in self.ac.iter_matches(text):
+                    ids.append(doc_id)
+                    names.append(ents[pid])
+                    starts.append(start)
+                    stops.append(start + len(ents[pid]))
+            return _frame(ids, names, starts, stops)
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _Tagger, batch_format="pandas", concurrency=(1, 8)
     )

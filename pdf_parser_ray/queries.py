@@ -10399,6 +10399,71 @@ SQL["blocklist_gate"], SQL["blocklist_rates"] = _blocklist_sql()
 SQL["blocklist_gate_ac"] = SQL["blocklist_gate"]
 
 
+# ------------------------------------------------ gazetteer entity tagging
+
+# Fixed audit gazetteer over the corpus vocabulary: a hot single word,
+# a self-overlapping bigram nested inside runs ("table table table"
+# contains it at offsets 0 AND 6), a cross-word bigram, and one
+# never-hits entry so the zero case is exercised.  Case-SENSITIVE
+# (unlike the blocklist gate) so offsets are on the raw text.
+GAZETTEER = ["table", "table table", "big query", "spark", "zz-never-hits"]
+
+
+def q_entity_tag(sf_dir: str) -> ray.data.Dataset:
+    """Dictionary-NER entity tagging WITH OFFSETS: one row per
+    occurrence of each gazetteer string (overlapping + nested matches
+    included via lookahead regexes).  Row-local, zero shuffle."""
+    from pdf_parser_ray.ops.webtext import entity_tag
+
+    return entity_tag(
+        _documents(sf_dir, columns=["doc_id", "text"]), GAZETTEER
+    )
+
+
+def q_entity_tag_ac(sf_dir: str) -> ray.data.Dataset:
+    """The Aho-Corasick SCALE route of q:entity_tag (ONE text pass
+    regardless of gazetteer size; automaton built once per actor) —
+    identical (doc_id, entity, start, stop) contract, independently
+    oracled."""
+    from pdf_parser_ray.ops.webtext import entity_tag
+
+    return entity_tag(
+        _documents(sf_dir, columns=["doc_id", "text"]),
+        GAZETTEER,
+        mode="automaton",
+    )
+
+
+QUERIES["entity_tag"] = q_entity_tag
+QUERIES["entity_tag_ac"] = q_entity_tag_ac
+
+
+def _entity_tag_sql() -> str:
+    # Position scan: for every candidate offset s (0-based), keep it
+    # when the length-|entity| slice starting there equals the entity.
+    # range(0, n-|e|+1) is empty when the text is shorter than the
+    # entity, so the never-hits row contributes nothing.  Value-exact
+    # vs the op: DuckDB substr/length are character-based, matching
+    # Python string indexing on this ASCII corpus.
+    vals = ", ".join(f"('{e}')" for e in GAZETTEER)
+    return f"""
+    WITH ents(entity) AS (VALUES {vals})
+    SELECT d.doc_id, e.entity,
+           u.s AS "start",
+           u.s + length(e.entity) AS "stop"
+    FROM documents d
+    CROSS JOIN ents e
+    CROSS JOIN UNNEST(list_filter(
+        range(0, length(coalesce(d.text, '')) - length(e.entity) + 1),
+        s -> substr(coalesce(d.text, ''), s + 1, length(e.entity)) = e.entity
+    )) AS u(s)
+"""
+
+
+SQL["entity_tag"] = _entity_tag_sql()
+SQL["entity_tag_ac"] = SQL["entity_tag"]
+
+
 # ------------------------------------------------ shard compaction plan
 
 _SHARD_TARGET = 20_000  # bytes per output shard (sf-sized for the bench)

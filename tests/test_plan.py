@@ -77,6 +77,8 @@ BUDGETS = {
     # session-14 additions
     "line_dedup": 0,            # hot-line set broadcast; scrub row-local
     "unigram_encode": 0,        # piece table broadcast; Viterbi row-local
+    "entity_tag": 0,            # gazetteer offsets are row-local
+    "entity_tag_ac": 0,
 }
 
 

@@ -463,6 +463,60 @@ class TestBlocklist:
         assert out["n_docs"].tolist() == [2, 0]
 
 
+class TestEntityTag:
+    ROWS = [
+        (0, "aaa"),                       # 'aa' overlaps itself: 0 and 1
+        (1, "table table table stakes"),  # nested + repeated bigram
+        (2, "Table case matters"),        # case-SENSITIVE: no hit
+        (3, None),                        # null text -> nothing
+    ]
+    ENTS = ["aa", "table", "table table", "zz-no"]
+
+    def _run(self, mode):
+        from pdf_parser_ray.ops.webtext import entity_tag
+
+        out = (
+            entity_tag(_ds(self.ROWS, ["doc_id", "text"]), self.ENTS, mode=mode)
+            .to_pandas()
+            .sort_values(["doc_id", "entity", "start"])
+            .reset_index(drop=True)
+        )
+        return out
+
+    def test_offsets_overlapping_and_nested(self, ray_session):
+        out = self._run("regex")
+        got = list(
+            out[["doc_id", "entity", "start", "stop"]].itertuples(index=False)
+        )
+        assert got == [
+            (0, "aa", 0, 2),
+            (0, "aa", 1, 3),             # lookahead keeps the overlap
+            (1, "table", 0, 5),
+            (1, "table", 6, 11),
+            (1, "table", 12, 17),
+            (1, "table table", 0, 11),   # nested bigram, both offsets
+            (1, "table table", 6, 17),
+        ]
+
+    def test_automaton_route_agrees(self, ray_session):
+        pd.testing.assert_frame_equal(self._run("regex"), self._run("automaton"))
+
+    def test_iter_matches_emits_every_occurrence(self):
+        from pdf_parser_ray.ops.webtext import AhoCorasick
+
+        ac = AhoCorasick(["abc", "b", "bc"], case_sensitive=True)
+        hits = sorted(ac.iter_matches("xabcb"))
+        # pattern ids: 0='abc', 1='b', 2='bc'
+        assert hits == [(0, 1), (1, 2), (1, 4), (2, 2)]
+
+    def test_slice_roundtrip(self, ray_session):
+        # [start, stop) must slice the original text back to the entity
+        out = self._run("automaton")
+        texts = dict(self.ROWS)
+        for r in out.itertuples(index=False):
+            assert texts[r.doc_id][r.start:r.stop] == r.entity
+
+
 class TestDupAwareWeights:
     def test_planted_clique_downweighted(self, ray_session):
         from pdf_parser_ray.pipelines import dup_aware_weights
