@@ -1318,3 +1318,141 @@ def entity_tag(
     return ds.select_columns([id_col, text_col]).map_batches(
         _Tagger, batch_format="pandas", concurrency=(1, 8)
     )
+
+
+def frontier_schedule(
+    ds: ray.data.Dataset,
+    *,
+    host_col: str = "host",
+    priority_col: str = "priority",
+    id_col: str = "doc_id",
+    delays: "pd.DataFrame | None" = None,
+    default_delay_us: int = 1_000_000,
+    n_parts: int | None = None,
+) -> ray.data.Dataset:
+    """Politeness-aware crawl-frontier schedule (Heritrix/Nutch-style
+    per-host queues): within each host, URLs fetch in (priority DESC,
+    id ASC) order, one fetch per crawl-delay tick — robots.txt
+    Crawl-delay semantics — so ``fetch_time_us = (rank-1) * delay``.
+
+    ONE host co-location shuffle; hosts are exactly how production
+    frontiers shard, so the partitioning key survives into the fetch
+    tier.  Ranking and slot assignment vectorize ACROSS hosts inside
+    the partition (lexsort + groupby-cumcount, no per-host loop); the
+    bounded (host, delay_us) table broadcasts once via ``ray.put`` and
+    attaches with a C-speed map (hosts absent from it get
+    ``default_delay_us``).
+
+    Output: (id_col, host_col, rank_in_host:int64 1-based,
+    fetch_time_us:int64).  Integer microseconds end to end — exact on
+    both engines, no float contract.
+    """
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+    from pdf_parser_ray.stages import worker_state
+
+    dmap = (
+        {}
+        if delays is None
+        else dict(
+            zip(delays[host_col], delays["delay_us"].astype("int64"))
+        )
+    )
+    ref = ray.put(dmap)
+    default = int(default_delay_us)
+
+    def schedule(part: pd.DataFrame) -> pd.DataFrame:
+        m = worker_state(("frontier_delays", ref.hex()), lambda: ray.get(ref))
+        part = part.sort_values(
+            [host_col, priority_col, id_col], ascending=[True, False, True]
+        )
+        rank = (
+            part.groupby(host_col, sort=False).cumcount().to_numpy() + 1
+        ).astype("int64")
+        delay = (
+            part[host_col].map(m).fillna(default).astype("int64").to_numpy()
+        )
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    id_col: part[id_col].to_numpy(),
+                    host_col: part[host_col].to_numpy(),
+                    "rank_in_host": rank,
+                    "fetch_time_us": (rank - 1) * delay,
+                }
+            )
+        )
+
+    kw = {"n_parts": n_parts} if n_parts else {}
+    cols = [id_col, host_col, priority_col]
+    return partitioned_map(ds.select_columns(cols), [host_col], schedule, **kw)
+
+
+def frontier_makespan(
+    ds: ray.data.Dataset,
+    *,
+    host_col: str = "host",
+    delays: "pd.DataFrame | None" = None,
+    default_delay_us: int = 1_000_000,
+    n_parts: int | None = None,
+) -> ray.data.Dataset:
+    """Per-host frontier cost audit WITHOUT materializing the schedule:
+    under one-fetch-per-delay-tick politeness a host with n URLs
+    finishes at exactly ``(n-1) * delay``, so counts suffice.  The
+    capacity-planning readout a crawl operator checks before launching
+    (which hosts dominate wall-clock; where to split by shard).
+
+    Per-batch partial counts (K hosts per batch, text never moves) →
+    one grouped sum co-located by host → row-local delay attach from
+    the broadcast table.  Output: (host_col, n_urls:int64,
+    makespan_us:int64).
+    """
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import grouped_sum
+    from pdf_parser_ray.stages import worker_state
+
+    dmap = (
+        {}
+        if delays is None
+        else dict(
+            zip(delays[host_col], delays["delay_us"].astype("int64"))
+        )
+    )
+    ref = ray.put(dmap)
+    default = int(default_delay_us)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(host_col, as_index=False).size()
+        return arrow_out(
+            pd.DataFrame(
+                {host_col: g[host_col], "n_urls": g["size"].astype("int64")}
+            )
+        )
+
+    kw = {"n_parts": n_parts} if n_parts else {}
+    counts = grouped_sum(
+        ds.select_columns([host_col]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        [host_col],
+        ["n_urls"],
+        **kw,
+    )
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        m = worker_state(("frontier_delays", ref.hex()), lambda: ray.get(ref))
+        delay = (
+            df[host_col].map(m).fillna(default).astype("int64").to_numpy()
+        )
+        n = df["n_urls"].astype("int64").to_numpy()
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    host_col: df[host_col].to_numpy(),
+                    "n_urls": n,
+                    "makespan_us": (n - 1) * delay,
+                }
+            )
+        )
+
+    return counts.map_batches(attach, batch_format="pandas")

@@ -10464,6 +10464,109 @@ SQL["entity_tag"] = _entity_tag_sql()
 SQL["entity_tag_ac"] = SQL["entity_tag"]
 
 
+# ------------------------------------------------ crawl-frontier schedule
+
+# Bounded per-host Crawl-delay table (µs): three hosts pinned, the
+# remaining synthetic hosts (example3-6.com) take the 1s default —
+# exercising both the lookup and the fallback.
+_FRONTIER_DELAYS = [
+    ("example0.com", 200_000),
+    ("example1.com", 500_000),
+    ("example2.com", 1_500_000),
+]
+
+
+def _synth_frontier(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic frontier from documents: host from doc_id%7 (the
+    same 7 hosts as the canonical-URL fixture), priority = n_chars
+    (real ties -> the doc_id tie-break is exercised)."""
+
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.io_utils import arrow_out
+
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"],
+                    "host": "example" + (df["doc_id"] % 7).astype(str) + ".com",
+                    "priority": df["n_chars"].astype("int64"),
+                }
+            )
+        )
+
+    return _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).map_batches(build, batch_format="pandas")
+
+
+def _frontier_delay_frame() -> pd.DataFrame:
+    return pd.DataFrame(_FRONTIER_DELAYS, columns=["host", "delay_us"])
+
+
+def q_frontier_schedule(sf_dir: str) -> ray.data.Dataset:
+    """Politeness-aware crawl-frontier schedule: per host, fetch in
+    (priority DESC, doc_id ASC) order one crawl-delay tick apart;
+    fetch_time_us = (rank-1) x the host's delay (broadcast table,
+    1s default).  ONE host co-location shuffle."""
+    from pdf_parser_ray.ops.webtext import frontier_schedule
+
+    return frontier_schedule(
+        _synth_frontier(sf_dir), delays=_frontier_delay_frame()
+    )
+
+
+def q_frontier_makespan(sf_dir: str) -> ray.data.Dataset:
+    """Per-host crawl cost audit without materializing the schedule:
+    makespan_us = (n_urls-1) x delay from counts alone.  Partial
+    per-batch counts -> one bounded grouped sum -> row-local delay
+    attach."""
+    from pdf_parser_ray.ops.webtext import frontier_makespan
+
+    return frontier_makespan(
+        _synth_frontier(sf_dir), delays=_frontier_delay_frame()
+    )
+
+
+QUERIES["frontier_schedule"] = q_frontier_schedule
+QUERIES["frontier_makespan"] = q_frontier_makespan
+
+
+def _frontier_sql() -> tuple[str, str]:
+    vals = ", ".join(f"('{h}', {d})" for h, d in _FRONTIER_DELAYS)
+    frontier = """
+    f AS (SELECT doc_id,
+                 'example' || (doc_id % 7)::VARCHAR || '.com' AS host,
+                 n_chars AS priority
+          FROM documents),
+    d(host, delay_us) AS (VALUES {vals})
+""".replace("{vals}", vals)
+    schedule = f"""
+    WITH {frontier},
+    r AS (SELECT doc_id, host,
+                 row_number() OVER (
+                     PARTITION BY host ORDER BY priority DESC, doc_id
+                 ) AS rank_in_host
+          FROM f)
+    SELECT r.doc_id, r.host,
+           CAST(r.rank_in_host AS BIGINT) AS rank_in_host,
+           CAST((r.rank_in_host - 1) * coalesce(d.delay_us, 1000000)
+                AS BIGINT) AS fetch_time_us
+    FROM r LEFT JOIN d ON r.host = d.host
+"""
+    makespan = f"""
+    WITH {frontier},
+    g AS (SELECT host, count(*)::BIGINT AS n_urls FROM f GROUP BY host)
+    SELECT g.host, g.n_urls,
+           CAST((g.n_urls - 1) * coalesce(d.delay_us, 1000000)
+                AS BIGINT) AS makespan_us
+    FROM g LEFT JOIN d ON g.host = d.host
+"""
+    return schedule, makespan
+
+
+SQL["frontier_schedule"], SQL["frontier_makespan"] = _frontier_sql()
+
+
 # ------------------------------------------------ shard compaction plan
 
 _SHARD_TARGET = 20_000  # bytes per output shard (sf-sized for the bench)

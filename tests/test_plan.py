@@ -79,6 +79,8 @@ BUDGETS = {
     "unigram_encode": 0,        # piece table broadcast; Viterbi row-local
     "entity_tag": 0,            # gazetteer offsets are row-local
     "entity_tag_ac": 0,
+    "frontier_schedule": 1,     # one host co-location; delays broadcast
+    "frontier_makespan": 1,     # partial counts -> one bounded host sum
 }
 
 

@@ -517,6 +517,70 @@ class TestEntityTag:
             assert texts[r.doc_id][r.start:r.stop] == r.entity
 
 
+class TestFrontierSchedule:
+    # two known hosts (fast + slow) and one host missing from the
+    # delay table (default applies); a priority tie inside a.com
+    # resolves by doc_id ASC.
+    ROWS = [
+        (10, "a.com", 5),
+        (11, "a.com", 9),   # highest priority on a.com -> rank 1
+        (12, "a.com", 5),   # ties doc 10 on priority; 10 wins by id
+        (20, "b.com", 1),
+        (21, "b.com", 2),
+        (30, "c.com", 3),   # not in the delay table -> default delay
+    ]
+    COLS = ["doc_id", "host", "priority"]
+
+    def _delays(self):
+        return pd.DataFrame(
+            {"host": ["a.com", "b.com"], "delay_us": [100, 1000]}
+        )
+
+    def test_schedule_order_and_slots(self, ray_session):
+        from pdf_parser_ray.ops.webtext import frontier_schedule
+
+        out = (
+            frontier_schedule(
+                _ds(self.ROWS, self.COLS),
+                delays=self._delays(),
+                default_delay_us=7,
+            )
+            .to_pandas()
+            .sort_values(["host", "rank_in_host"])
+            .reset_index(drop=True)
+        )
+        got = list(out.itertuples(index=False))
+        assert got == [
+            (11, "a.com", 1, 0),
+            (10, "a.com", 2, 100),    # tie broken by doc_id: 10 before 12
+            (12, "a.com", 3, 200),
+            (21, "b.com", 1, 0),      # priority DESC within host
+            (20, "b.com", 2, 1000),
+            (30, "c.com", 1, 0),
+        ]
+        assert out["rank_in_host"].dtype == "int64"
+        assert out["fetch_time_us"].dtype == "int64"
+
+    def test_makespan_matches_schedule_max(self, ray_session):
+        from pdf_parser_ray.ops.webtext import frontier_makespan, frontier_schedule
+
+        kw = dict(delays=self._delays(), default_delay_us=7)
+        sched = (
+            frontier_schedule(_ds(self.ROWS, self.COLS), **kw)
+            .to_pandas()
+            .groupby("host")["fetch_time_us"]
+            .max()
+        )
+        span = (
+            frontier_makespan(_ds(self.ROWS, self.COLS), **kw)
+            .to_pandas()
+            .set_index("host")
+        )
+        assert span["n_urls"].to_dict() == {"a.com": 3, "b.com": 2, "c.com": 1}
+        for host, m in sched.items():
+            assert span.loc[host, "makespan_us"] == m
+
+
 class TestDupAwareWeights:
     def test_planted_clique_downweighted(self, ray_session):
         from pdf_parser_ray.pipelines import dup_aware_weights
