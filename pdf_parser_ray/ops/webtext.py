@@ -1320,6 +1320,117 @@ def entity_tag(
     )
 
 
+def filter_funnel(
+    ds: ray.data.Dataset,
+    blocklist: list[str],
+    *,
+    lang: str = "en",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+    min_words: int = 30,
+    max_words: int = 90,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_stopword_hits: int = 2,
+    max_top_permille: int = 100,
+    n_parts: int | None = None,
+) -> ray.data.Dataset:
+    """Filter-cascade attrition funnel (the per-stage survival readout
+    a FineWeb/DCLM-style curation run publishes): per source, how many
+    documents survive each CUMULATIVE stage of the standard cascade —
+
+    1. ``n_lang``       — language gate (``lang_col == lang``),
+    2. ``n_gopher``     — the Gopher composite (word-count band,
+       mean-word-length band, stopword minimum — same rules as
+       :func:`gopher_gate`),
+    3. ``n_repetition`` — top-token concentration: the modal token's
+       count may not exceed ``max_top_permille``/1000 of the words
+       (Gopher's 0.1 default).  Compared as integers
+       (``top*1000 <= n_words*max_top_permille``) — no float contract,
+    4. ``n_blocklist``  — zero blocklist substring hits
+       (case-insensitive, :func:`blocklist_hits` semantics).
+
+    A doc counts at stage k only if it passed stages 1..k-1, so the
+    columns are monotone non-increasing — the attrition curve.
+
+    All signals and the four partial sums compute per batch (text
+    never shuffles); ONE bounded-key grouped sum on source.  Output:
+    (source_col, n_docs, n_lang, n_gopher, n_repetition, n_blocklist)
+    all int64.
+    """
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import grouped_sum
+
+    stop = frozenset(GOPHER_STOPWORDS)
+    pats = [p.lower() for p in blocklist]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.ops.text_stats import TOKEN_PAT
+
+        lt = df[text_col].fillna("").str.lower()
+        toks = lt.str.findall(TOKEN_PAT)
+        n_words = toks.str.len().astype("int64")
+        ex = toks.explode().dropna()
+        zeros = pd.Series(0, index=df.index, dtype="int64")
+        if len(ex):
+            lens = ex.str.len()
+            total_len = (
+                lens.groupby(level=0).sum().reindex(df.index, fill_value=0)
+            ).astype("int64")
+            sw = (
+                ex.isin(stop).groupby(level=0).sum()
+                .reindex(df.index, fill_value=0)
+            ).astype("int64")
+            top = (
+                ex.groupby([ex.index, ex.to_numpy()]).size()
+                .groupby(level=0).max()
+                .reindex(df.index, fill_value=0)
+            ).astype("int64")
+        else:
+            total_len = sw = top = zeros
+        mean_len = np.where(
+            n_words > 0, total_len / n_words.astype("float64"), 0.0
+        )
+        blocked = np.zeros(len(df), dtype=bool)
+        for p in pats:
+            blocked |= lt.str.contains(p, regex=False).to_numpy()
+        p1 = (df[lang_col] == lang).to_numpy()
+        g = p1 & (
+            (n_words.to_numpy() >= min_words)
+            & (n_words.to_numpy() <= max_words)
+            & (mean_len >= min_mean_word_len)
+            & (mean_len <= max_mean_word_len)
+            & (sw.to_numpy() >= min_stopword_hits)
+        )
+        r = g & (
+            top.to_numpy() * 1000 <= n_words.to_numpy() * max_top_permille
+        )
+        b = r & ~blocked
+        out = pd.DataFrame(
+            {
+                source_col: df[source_col].to_numpy(),
+                "n_docs": np.ones(len(df), dtype=np.int64),
+                "n_lang": p1.astype("int64"),
+                "n_gopher": g.astype("int64"),
+                "n_repetition": r.astype("int64"),
+                "n_blocklist": b.astype("int64"),
+            }
+        )
+        return arrow_out(
+            out.groupby(source_col, as_index=False).sum()
+        )
+
+    kw = {"n_parts": n_parts} if n_parts else {}
+    cols = [text_col, lang_col, source_col]
+    return grouped_sum(
+        ds.select_columns(cols).map_batches(partial, batch_format="pandas"),
+        [source_col],
+        ["n_docs", "n_lang", "n_gopher", "n_repetition", "n_blocklist"],
+        **kw,
+    )
+
+
 def frontier_schedule(
     ds: ray.data.Dataset,
     *,

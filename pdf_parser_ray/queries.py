@@ -10567,6 +10567,77 @@ def _frontier_sql() -> tuple[str, str]:
 SQL["frontier_schedule"], SQL["frontier_makespan"] = _frontier_sql()
 
 
+# ------------------------------------------------ filter-cascade funnel
+
+
+def q_filter_funnel(sf_dir: str) -> ray.data.Dataset:
+    """FineWeb-style curation attrition funnel per source: cumulative
+    survivors of lang='en' -> Gopher composite -> top-token
+    concentration (integer-exact top*1000 <= n_words*100) -> blocklist.
+    Signals + partial sums per batch, ONE bounded grouped sum."""
+    from pdf_parser_ray.ops.webtext import filter_funnel
+
+    return filter_funnel(
+        _documents(sf_dir, columns=["doc_id", "text", "lang", "source"]),
+        BLOCKLIST,
+    )
+
+
+QUERIES["filter_funnel"] = q_filter_funnel
+
+
+def _filter_funnel_sql() -> str:
+    blocked = " OR ".join(
+        f"contains(lt, '{p}')" for p in BLOCKLIST
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source, lang,
+             lower(coalesce(text, '')) AS lt,
+             regexp_extract_all(lower(coalesce(text, '')), '\\S+') AS ws
+      FROM documents),
+    ex AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+    mc AS (SELECT doc_id, max(c) AS top FROM
+             (SELECT doc_id, w, count(*) AS c FROM ex GROUP BY doc_id, w)
+           GROUP BY doc_id),
+    per AS (
+      SELECT t.doc_id, t.source, t.lang, t.lt,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CASE WHEN len(ws) > 0
+                  THEN CAST(list_sum(list_transform(ws, w -> len(w)))
+                            AS BIGINT)
+                  ELSE 0 END AS total_len,
+             CAST(len(list_filter(ws, w -> w IN
+               ('the','be','to','of','and','that','have','with')))
+               AS BIGINT) AS sw,
+             CAST(coalesce(mc.top, 0) AS BIGINT) AS top
+      FROM toks t LEFT JOIN mc USING (doc_id)),
+    f AS (
+      SELECT doc_id, source,
+             (lang = 'en') AS p1,
+             (lang = 'en'
+              AND n_words BETWEEN 30 AND 90
+              AND (CASE WHEN n_words > 0
+                        THEN total_len / CAST(n_words AS DOUBLE)
+                        ELSE 0.0 END) BETWEEN 3.0 AND 10.0
+              AND sw >= 2) AS g,
+             (top * 1000 <= n_words * 100) AS rep,
+             ({blocked}) AS blocked
+      FROM per)
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           CAST(sum(p1::BIGINT) AS BIGINT) AS n_lang,
+           CAST(sum(g::BIGINT) AS BIGINT) AS n_gopher,
+           CAST(sum((g AND rep)::BIGINT) AS BIGINT) AS n_repetition,
+           CAST(sum((g AND rep AND NOT blocked)::BIGINT) AS BIGINT)
+             AS n_blocklist
+    FROM f GROUP BY source
+"""
+
+
+SQL["filter_funnel"] = _filter_funnel_sql()
+
+
 # ------------------------------------------------ shard compaction plan
 
 _SHARD_TARGET = 20_000  # bytes per output shard (sf-sized for the bench)

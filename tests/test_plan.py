@@ -81,6 +81,7 @@ BUDGETS = {
     "entity_tag_ac": 0,
     "frontier_schedule": 1,     # one host co-location; delays broadcast
     "frontier_makespan": 1,     # partial counts -> one bounded host sum
+    "filter_funnel": 1,         # per-batch signals -> one bounded source sum
 }
 
 

@@ -517,6 +517,67 @@ class TestEntityTag:
             assert texts[r.doc_id][r.start:r.stop] == r.entity
 
 
+class TestFilterFunnel:
+    GOOD = (
+        "the quick brown fox jumps over the lazy dog and then "
+        "walks back home with a bone that it found near some gate "
+        "while birds watch from above in the warm evening light ok"
+    )  # 34 words, mean len in band, stopwords >=2, 'the' x3 <= 10%
+
+    def _rows(self):
+        rep = ("spam " * 20 + "the be to of and that have with " * 2).strip()
+        return [
+            (0, self.GOOD, "en", "s1"),                    # survives all
+            (1, self.GOOD, "de", "s1"),                    # dies at lang
+            (2, "too short text here", "en", "s1"),        # dies at gopher
+            (3, rep, "en", "s2"),                          # dies at repetition
+            (4, self.GOOD + " slow", "en", "s2"),          # dies at blocklist
+            (5, None, "en", "s2"),                         # null text: gopher
+        ]
+
+    def test_attrition_stages(self, ray_session):
+        from pdf_parser_ray.ops.webtext import filter_funnel
+
+        out = (
+            filter_funnel(
+                _ds(self._rows(), ["doc_id", "text", "lang", "source"]),
+                ["slow", "zz-no"],
+            )
+            .to_pandas()
+            .set_index("source")
+            .sort_index()
+        )
+        assert out.loc["s1"].tolist() == [3, 2, 1, 1, 1]
+        assert out.loc["s2"].tolist() == [3, 3, 2, 1, 0]
+        # monotone non-increasing across the cascade
+        stages = ["n_docs", "n_lang", "n_gopher", "n_repetition", "n_blocklist"]
+        for _, row in out.iterrows():
+            vals = row[stages].tolist()
+            assert vals == sorted(vals, reverse=True)
+
+    def test_repetition_gate_is_integer_exact(self, ray_session):
+        # 40 words, modal token exactly 4 -> 4*1000 <= 40*100 passes;
+        # 5 occurrences -> 5000 > 4000 fails.  No float epsilon.
+        from pdf_parser_ray.ops.webtext import filter_funnel
+
+        filler = " ".join(f"aa{i:02d}" for i in range(36))  # 36 distinct
+        at_limit = "the the the the " + filler       # 'the' x4 / 40 = 0.1
+        over = "the the the the the " + filler       # 'the' x5 / 41 > 0.1
+        rows = [(0, at_limit, "en", "a"), (1, over, "en", "b")]
+        out = (
+            filter_funnel(
+                _ds(rows, ["doc_id", "text", "lang", "source"]),
+                ["zz-no"],
+                min_words=30,
+                max_words=90,
+            )
+            .to_pandas()
+            .set_index("source")
+        )
+        assert out.loc["a", "n_repetition"] == 1
+        assert out.loc["b", "n_repetition"] == 0
+
+
 class TestFrontierSchedule:
     # two known hosts (fast + slow) and one host missing from the
     # delay table (default applies); a priority tie inside a.com
