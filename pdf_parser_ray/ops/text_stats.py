@@ -2454,3 +2454,111 @@ def perceptron_predict(
     return ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pandas"
     )
+
+
+def char_entropy(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+):
+    """Per-document character Shannon entropy (bits) — the cheap
+    gibberish/diversity signal curation pipelines pair with the
+    word-level Gopher rules (near-zero = repeated filler; anomalously
+    high = random noise / binary junk).  CHARACTER semantics (UTF-32
+    codepoints), matching the DuckDB twin's substr() scan.
+
+    Fully vectorized across the batch: ONE utf-32 decode of the
+    concatenated batch text, (row, codepoint) keys folded via
+    np.unique, per-row entropy terms accumulated with np.add.at — no
+    per-row Python loop.  Entropy rounds to ``round_to`` dp and adds
+    +0.0 (kills -0.0) — the sum-order rounding contract established by
+    windows.grouped_entropy.  Row-local, zero shuffle.
+
+    Output: (id_col, n_chars:int64, entropy_bits:float64); empty/null
+    text emits (0, 0.0).
+    """
+    import numpy as np
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[text_col].fillna("").astype(str)
+        joined = "".join(texts.tolist())
+        codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        lens = texts.str.len().to_numpy(dtype=np.int64)
+        ent = np.zeros(len(df))
+        if len(codes):
+            rows = np.repeat(np.arange(len(df), dtype=np.int64), lens)
+            # codepoints < 2^21, so (row, char) packs into one int64 key
+            keys = (rows << 21) | codes.astype(np.int64)
+            uniq, cnt = np.unique(keys, return_counts=True)
+            urow = (uniq >> 21).astype(np.int64)
+            p = cnt / lens[urow]
+            np.add.at(ent, urow, -p * np.log2(p))
+        ent = np.round(ent, round_to) + 0.0
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    id_col: df[id_col].to_numpy(),
+                    "n_chars": lens,
+                    "entropy_bits": ent,
+                }
+            )
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        run, batch_format="pandas"
+    )
+
+
+def compression_ratio(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+):
+    """Per-document deflate compression ratio — the RefinedWeb/MADLAD
+    style repetition+boilerplate signal: templated or looped text
+    compresses far below typical prose, random junk barely compresses
+    at all, so both curation tails are visible in one number.
+
+    No SQL twin exists (DuckDB has no deflate), so the query is
+    rows-only; the semantics are pinned by tests instead (ordering
+    between repetitive / prose / noise, empty/null handling,
+    determinism across calls).  zlib is a C-speed kernel, so the
+    per-row loop is bounded by compression itself, not Python
+    overhead.  Row-local, zero shuffle.
+
+    Output: (id_col, raw_bytes:int64, compressed_bytes:int64,
+    ratio:float64 = compressed/raw rounded 6dp, 0.0 for empty).
+    """
+    import zlib
+
+    import numpy as np
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[text_col].fillna("").astype(str)
+        raw = np.empty(len(df), dtype=np.int64)
+        comp = np.empty(len(df), dtype=np.int64)
+        for i, t in enumerate(texts):
+            b = t.encode("utf-8")
+            raw[i] = len(b)
+            comp[i] = len(zlib.compress(b, level))
+        ratio = np.round(
+            np.where(raw > 0, comp / np.maximum(raw, 1), 0.0), 6
+        ) + 0.0
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    id_col: df[id_col].to_numpy(),
+                    "raw_bytes": raw,
+                    "compressed_bytes": comp,
+                    "ratio": ratio,
+                }
+            )
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        run, batch_format="pandas"
+    )

@@ -10638,6 +10638,53 @@ def _filter_funnel_sql() -> str:
 SQL["filter_funnel"] = _filter_funnel_sql()
 
 
+# ------------------------------------------------ char entropy
+
+
+def q_char_entropy(sf_dir: str) -> ray.data.Dataset:
+    """Per-document character Shannon entropy (bits, 6dp rounding
+    contract) + char count — the gibberish/diversity curation signal.
+    One vectorized map_batches, zero shuffle."""
+    from pdf_parser_ray.ops.text_stats import char_entropy
+
+    return char_entropy(_documents(sf_dir, columns=["doc_id", "text"]))
+
+
+QUERIES["char_entropy"] = q_char_entropy
+
+
+def q_compression_ratio(sf_dir: str) -> ray.data.Dataset:
+    """Per-document deflate compression ratio (RefinedWeb-style
+    repetition/boilerplate signal).  No SQL deflate exists -> rows-only;
+    semantics pinned by test_ops TestCompressionRatio."""
+    from pdf_parser_ray.ops.text_stats import compression_ratio
+
+    return compression_ratio(_documents(sf_dir, columns=["doc_id", "text"]))
+
+
+QUERIES["compression_ratio"] = q_compression_ratio
+
+SQL["char_entropy"] = """
+    WITH cs AS (
+      SELECT doc_id, unnest(list_transform(
+               range(1, length(coalesce(text, '')) + 1),
+               i -> substr(coalesce(text, ''), i, 1))) AS ch
+      FROM documents),
+    cc AS (SELECT doc_id, ch, count(*)::BIGINT AS c
+           FROM cs GROUP BY doc_id, ch),
+    nn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
+           FROM cc GROUP BY doc_id),
+    e AS (SELECT cc.doc_id,
+                 round(-sum((c::DOUBLE / nn.n) * log2(c::DOUBLE / nn.n)),
+                       6) + 0.0 AS entropy_bits
+          FROM cc JOIN nn USING (doc_id) GROUP BY cc.doc_id)
+    SELECT d.doc_id,
+           CAST(length(coalesce(d.text, '')) AS BIGINT) AS n_chars,
+           coalesce(e.entropy_bits, 0.0) AS entropy_bits
+    FROM documents d LEFT JOIN e USING (doc_id)
+"""
+
+
 # ------------------------------------------------ shard compaction plan
 
 _SHARD_TARGET = 20_000  # bytes per output shard (sf-sized for the bench)

@@ -134,6 +134,113 @@ class TestTextStats:
             assert out["rolling_fp"][i] == naive(t, 16), repr(t)
 
 
+class TestCharEntropy:
+    def test_known_entropies(self, ray_session):
+        from pdf_parser_ray.ops.text_stats import char_entropy
+
+        rows = [
+            (0, "aabb"),    # two symbols, uniform -> 1 bit
+            (1, "abcd"),    # four symbols, uniform -> 2 bits
+            (2, "aaaa"),    # one symbol -> 0
+            (3, ""),        # empty -> (0, 0.0)
+            (4, None),      # null -> (0, 0.0)
+            (5, "aab"),     # -(2/3 lg 2/3 + 1/3 lg 1/3) = 0.918296
+            (6, "éé"),  # non-ASCII counts as ONE symbol, not bytes
+        ]
+        import ray.data
+
+        out = (
+            char_entropy(
+                ray.data.from_pandas(
+                    pd.DataFrame(rows, columns=["doc_id", "text"])
+                )
+            )
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert out["n_chars"].tolist() == [4, 4, 4, 0, 0, 3, 2]
+        assert out["entropy_bits"].tolist() == [
+            1.0, 2.0, 0.0, 0.0, 0.0, 0.918296, 0.0,
+        ]
+        assert out["entropy_bits"].dtype == "float64"
+        assert out["n_chars"].dtype == "int64"
+
+    def test_matches_scalar_twin(self, ray_session):
+        # independent per-row Counter implementation on random-ish text
+        import collections
+        import math
+
+        import ray.data
+
+        from pdf_parser_ray.ops.text_stats import char_entropy
+
+        texts = [
+            "the quick brown fox",
+            "zzzzzzzz yyy x",
+            "a" * 100 + "b",
+            "mixed CASE And 123 !!!",
+        ]
+        df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        out = (
+            char_entropy(ray.data.from_pandas(df))
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        for i, t in enumerate(texts):
+            c = collections.Counter(t)
+            n = len(t)
+            exp = -sum(v / n * math.log2(v / n) for v in c.values())
+            assert out.loc[i, "entropy_bits"] == round(exp, 6) + 0.0
+            assert out.loc[i, "n_chars"] == n
+
+
+class TestCompressionRatio:
+    def test_ordering_and_edges(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.text_stats import compression_ratio
+
+        prose = (
+            "the quick brown fox jumps over the lazy dog while birds "
+            "watch from above in warm evening light near the old gate"
+        )
+        rows = [
+            (0, "spam " * 60),        # highly repetitive -> smallest ratio
+            (1, prose),               # typical prose -> middle
+            (2, "kq9x7z2m4w8v1c3n" * 2),  # near-random -> largest ratio
+            (3, ""),                  # empty -> (0, ratio 0.0)
+            (4, None),                # null == empty
+        ]
+        out = (
+            compression_ratio(
+                ray.data.from_pandas(
+                    pd.DataFrame(rows, columns=["doc_id", "text"])
+                )
+            )
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert out.loc[0, "ratio"] < out.loc[1, "ratio"] < out.loc[2, "ratio"]
+        assert out.loc[3, "raw_bytes"] == 0 and out.loc[3, "ratio"] == 0.0
+        assert out.loc[4, "raw_bytes"] == 0 and out.loc[4, "ratio"] == 0.0
+        assert out.loc[1, "raw_bytes"] == len(prose.encode())
+        # deterministic across runs
+        again = (
+            compression_ratio(
+                ray.data.from_pandas(
+                    pd.DataFrame(rows, columns=["doc_id", "text"])
+                )
+            )
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        pd.testing.assert_frame_equal(out, again)
+
+
 class TestDedup:
     def test_exact_dedup(self, docs_df, ray_session):
         import ray.data

@@ -82,6 +82,8 @@ BUDGETS = {
     "frontier_schedule": 1,     # one host co-location; delays broadcast
     "frontier_makespan": 1,     # partial counts -> one bounded host sum
     "filter_funnel": 1,         # per-batch signals -> one bounded source sum
+    "char_entropy": 0,          # one vectorized map, row-local
+    "compression_ratio": 0,     # zlib kernel per row, row-local
 }
 
 
