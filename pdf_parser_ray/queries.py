@@ -10664,6 +10664,52 @@ def q_compression_ratio(sf_dir: str) -> ray.data.Dataset:
 
 QUERIES["compression_ratio"] = q_compression_ratio
 
+
+def q_jsonl_roundtrip(sf_dir: str) -> ray.data.Dataset:
+    """JSONL.gz shard round-trip fidelity: documents write as sharded
+    NDJSON (content-addressed, deterministic gzip), read back through
+    Arrow's JSON reader, and every doc's text md5 + char count must
+    equal the parquet original — oracled directly against the source
+    table, so any serialization loss fails the value hash.  Shard dir
+    is cleared first (shard names depend on batch composition)."""
+    import hashlib as _hl
+    import shutil
+
+    from pdf_parser_ray.jsonl import read_jsonl, write_jsonl_dataset
+
+    out = "/tmp/ppr_jsonl_" + _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    shutil.rmtree(out, ignore_errors=True)
+    docs = _documents(sf_dir, columns=["doc_id", "text"])
+    write_jsonl_dataset(docs, out).materialize()  # tiny manifest drives it
+
+    def digest(df: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.io_utils import arrow_out
+
+        t = df["text"].fillna("")
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].astype("int64"),
+                    "n_chars": t.str.len().astype("int64"),
+                    "text_md5": [
+                        _hl.md5(s.encode("utf-8")).hexdigest() for s in t
+                    ],
+                }
+            )
+        )
+
+    return read_jsonl(out).map_batches(digest, batch_format="pandas")
+
+
+QUERIES["jsonl_roundtrip"] = q_jsonl_roundtrip
+
+SQL["jsonl_roundtrip"] = """
+    SELECT doc_id,
+           CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
+           md5(coalesce(text, '')) AS text_md5
+    FROM documents
+"""
+
 SQL["char_entropy"] = """
     WITH cs AS (
       SELECT doc_id, unnest(list_transform(

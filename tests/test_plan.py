@@ -84,6 +84,7 @@ BUDGETS = {
     "filter_funnel": 1,         # per-batch signals -> one bounded source sum
     "char_entropy": 0,          # one vectorized map, row-local
     "compression_ratio": 0,     # zlib kernel per row, row-local
+    "jsonl_roundtrip": 0,       # shard write is map-only; read is map-only
 }
 
 
