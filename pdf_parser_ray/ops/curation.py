@@ -1618,3 +1618,95 @@ def span_corruption(
     return ds.select_columns([id_col, text_col]).map_batches(
         corrupt, batch_format="pandas"
     )
+
+
+def dp_group_counts(
+    ds,
+    key_col: str,
+    *,
+    epsilon: float = 1.0,
+    salt: str = "dp",
+    round_to: int = 6,
+    n_parts: int | None = None,
+):
+    """Differentially-private group counts with DETERMINISTIC seeded
+    Laplace noise: each key's exact count gets Laplace(0, 1/epsilon)
+    drawn by inverse-CDF from an md5-derived uniform of (salt, key) —
+    the md5-12-hex uniform idiom the sampling queries already share
+    with their DuckDB twins, so the NOISE itself is value-checked.
+
+    Determinism is a test/replay property: reruns, retries and
+    repartitions emit identical noise for identical keys.  A real DP
+    deployment must swap the seeded uniform for fresh randomness per
+    release (and drop the exact ``n`` column this audit variant keeps
+    for inspection) — noise reuse across releases spends no additional
+    privacy budget but reveals the original counts once, and the seed
+    must stay secret.
+
+    Exact partial counts per batch -> ONE co-located grouped sum ->
+    row-local noise attach (sign/ln on float64, round-6 +0.0 contract;
+    the 1-2|u-0.5| log argument clamps at 2^-52 exactly as the SQL twin
+    does, so the two engines agree on the measure-zero edge).
+
+    Output: (key_col, n:int64, noisy_n:float64).
+    """
+    import hashlib
+
+    import numpy as np
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import grouped_sum
+
+    inv_eps = 1.0 / float(epsilon)
+    eps_floor = 2.220446049250313e-16
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key_col, as_index=False).size()
+        return arrow_out(
+            pd.DataFrame(
+                {key_col: g[key_col], "n": g["size"].astype("int64")}
+            )
+        )
+
+    kw = {"n_parts": n_parts} if n_parts else {}
+    counts = grouped_sum(
+        ds.select_columns([key_col]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        [key_col],
+        ["n"],
+        **kw,
+    )
+
+    def noise(df: pd.DataFrame) -> pd.DataFrame:
+        u = np.array(
+            [
+                (
+                    int(
+                        hashlib.md5(
+                            f"{salt}|{k}".encode("utf-8")
+                        ).hexdigest()[:12],
+                        16,
+                    )
+                    + 1
+                )
+                / 281474976710657.0
+                for k in df[key_col]
+            ]
+        )
+        c = u - 0.5
+        lap = -inv_eps * np.sign(c) * np.log(
+            np.maximum(1.0 - 2.0 * np.abs(c), eps_floor)
+        )
+        n = df["n"].astype("int64").to_numpy()
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    key_col: df[key_col].to_numpy(),
+                    "n": n,
+                    "noisy_n": np.round(n + lap, round_to) + 0.0,
+                }
+            )
+        )
+
+    return counts.map_batches(noise, batch_format="pandas")

@@ -10710,6 +10710,37 @@ SQL["jsonl_roundtrip"] = """
     FROM documents
 """
 
+
+def q_dp_user_counts(sf_dir: str) -> ray.data.Dataset:
+    """Differentially-private per-user event counts (epsilon=1):
+    deterministic seeded Laplace via the shared md5-12-hex uniform, so
+    the DuckDB twin re-derives the exact noise.  Partial counts ->
+    one co-located sum -> row-local noise."""
+    from pdf_parser_ray.ops.curation import dp_group_counts
+
+    return dp_group_counts(
+        _read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"]),
+        "user_id",
+        epsilon=1.0,
+    )
+
+
+QUERIES["dp_user_counts"] = q_dp_user_counts
+
+SQL["dp_user_counts"] = """
+    WITH g AS (SELECT user_id, count(*)::BIGINT AS n
+               FROM events GROUP BY user_id),
+    u AS (SELECT user_id, n,
+            (('0x' || substr(md5('dp|' || CAST(user_id AS VARCHAR)), 1, 12))
+             ::UBIGINT + 1) / 281474976710657.0 AS uu
+          FROM g)
+    SELECT user_id, n,
+           round(n + (-1.0) * sign(uu - 0.5) *
+                 ln(greatest(1.0 - 2.0 * abs(uu - 0.5),
+                             2.220446049250313e-16)), 6) + 0.0 AS noisy_n
+    FROM u
+"""
+
 SQL["char_entropy"] = """
     WITH cs AS (
       SELECT doc_id, unnest(list_transform(

@@ -953,3 +953,54 @@ class TestSpanCorruption:
         ).to_pandas()
         rate = out["n_masked"].sum() / out["n_words"].sum()
         assert 0.10 < rate < 0.20
+
+
+class TestDpGroupCounts:
+    def _events(self, n_keys=200, reps=3):
+        rows = pd.DataFrame(
+            {"user_id": [k for k in range(n_keys) for _ in range(reps)]}
+        )
+        return _docs_ds(rows)
+
+    def test_exact_counts_and_determinism(self, ray_session):
+        from pdf_parser_ray.ops.curation import dp_group_counts
+
+        a = (
+            dp_group_counts(self._events(), "user_id")
+            .to_pandas().sort_values("user_id").reset_index(drop=True)
+        )
+        assert (a["n"] == 3).all()
+        b = (
+            dp_group_counts(self._events(), "user_id")
+            .to_pandas().sort_values("user_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)  # seeded noise: rerun-stable
+
+    def test_noise_is_laplace_scaled(self, ray_session):
+        from pdf_parser_ray.ops.curation import dp_group_counts
+
+        out = dp_group_counts(
+            self._events(n_keys=500), "user_id", epsilon=1.0
+        ).to_pandas()
+        noise = out["noisy_n"] - out["n"]
+        # Laplace(0, 1/eps): E|X| = 1/eps; 500 draws -> loose band
+        assert 0.6 < noise.abs().mean() < 1.6
+        assert (noise > 0).mean() > 0.3 and (noise < 0).mean() > 0.3
+        half = dp_group_counts(
+            self._events(n_keys=500), "user_id", epsilon=2.0
+        ).to_pandas()
+        ratio = (half["noisy_n"] - half["n"]).abs().mean() / noise.abs().mean()
+        # same uniforms -> scale halves (up to the 6dp output rounding)
+        assert abs(ratio - 0.5) < 1e-6
+
+    def test_salt_changes_noise_not_counts(self, ray_session):
+        from pdf_parser_ray.ops.curation import dp_group_counts
+
+        a = dp_group_counts(
+            self._events(), "user_id", salt="a"
+        ).to_pandas().sort_values("user_id").reset_index(drop=True)
+        b = dp_group_counts(
+            self._events(), "user_id", salt="b"
+        ).to_pandas().sort_values("user_id").reset_index(drop=True)
+        assert (a["n"] == b["n"]).all()
+        assert (a["noisy_n"] != b["noisy_n"]).mean() > 0.99

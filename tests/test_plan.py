@@ -85,6 +85,7 @@ BUDGETS = {
     "char_entropy": 0,          # one vectorized map, row-local
     "compression_ratio": 0,     # zlib kernel per row, row-local
     "jsonl_roundtrip": 0,       # shard write is map-only; read is map-only
+    "dp_user_counts": 1,        # partial counts -> one co-located sum
 }
 
 
