@@ -2164,6 +2164,8 @@ def rare_token_pairs(
     threshold: float = 0.5,
     max_bucket: int = 256,
     n_parts: int | None = None,
+    mode: str = "broadcast",
+    vocab_limit: int = 5_000_000,
 ) -> ray.data.Dataset:
     """Set-similarity join with RAREST-TOKEN blocking (the prefix-
     filtering idea behind PPJoin, Xiao et al. 2008, reduced to its
@@ -2181,11 +2183,24 @@ def rare_token_pairs(
     ``max_bucket`` lowest doc_ids — same rule in the SQL twin, so the
     cap is oracle-checked, not silent.
 
-    Dataflow (no driver-side vocabulary): distinct (doc, token) rows →
-    token co-location attaches each token's df in-place (the group IS
-    the df) → doc co-location picks each doc's (df, token)-min anchor →
-    a colo_join brings the text back → one anchor groupby emits
-    all-pairs exact Jaccard, singleton buckets dropped wholesale.
+    Two routes, identical output (route parity pinned in tests):
+
+    * ``mode="broadcast"`` (default) — the df table is VOCABULARY-
+      bounded, not corpus-bounded, so: per-batch distinct (token,
+      partial-df) combiners → one vocab-sized grouped sum → collect
+      (guarded by ``vocab_limit``; raises with advice to use the colo
+      route if exceeded) → broadcast dict → each batch picks its docs'
+      (df, token)-min anchors LOCALLY and ships (anchor, doc_id, text)
+      straight into ONE anchor groupby.  2 shuffles total, and the
+      only one that carries text is the final bucket co-location
+      (measured 13.3 s → 3.8 s at sf0.1/32 cpus vs the colo route).
+    * ``mode="colo"`` — no driver-side vocabulary at any size:
+      distinct (doc, token) rows → token co-location attaches df
+      in-place (the group IS the df) → doc co-location picks the
+      anchor → colo_join brings text back → the same anchor groupby.
+      4 shuffles; the 100-TB route when the vocabulary itself is too
+      large to broadcast.
+
     Jaccard divides the same two int64s on both engines — bit-identical,
     no rounding contract (the threshold compare sees identical values).
 
@@ -2242,12 +2257,67 @@ def rare_token_pairs(
         )
 
     kw = {"n_parts": n_parts} if n_parts else {}
-    tok = ds.select_columns(["doc_id", "text"]).map_batches(
-        explode_distinct, batch_format="pandas"
-    )
+    docs = ds.select_columns(["doc_id", "text"])
+
+    if mode == "broadcast":
+        from pdf_parser_ray.ops.shuffle import grouped_sum
+
+        def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+            ex = explode_distinct(df)
+            g = ex.groupby("token", as_index=False).size()
+            return pd.DataFrame(
+                {"token": g["token"], "df": g["size"].astype("int64")}
+            )
+
+        vocab = grouped_sum(
+            docs.map_batches(df_partial, batch_format="pandas"),
+            ["token"],
+            ["df"],
+            **kw,
+        ).limit(vocab_limit + 1).to_pandas()
+        if len(vocab) > vocab_limit:
+            raise ValueError(
+                f"vocabulary exceeds vocab_limit={vocab_limit}; "
+                "use mode='colo' (no driver-side vocabulary)"
+            )
+        ref = ray.put(dict(zip(vocab["token"], vocab["df"])))
+
+        def anchor_local(df: pd.DataFrame) -> pd.DataFrame:
+            from pdf_parser_ray.stages import worker_state
+
+            m = worker_state(("rtp_df", ref.hex()), lambda: ray.get(ref))
+            ex = explode_distinct(df)
+            if len(ex) == 0:
+                return pd.DataFrame(
+                    {
+                        "anchor": pd.Series([], dtype="object"),
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "text": pd.Series([], dtype="object"),
+                    }
+                )
+            ex = ex.assign(df=ex["token"].map(m).astype("int64"))
+            first = (
+                ex.sort_values(["doc_id", "df", "token"])
+                .groupby("doc_id", sort=False)
+                .head(1)
+            )
+            texts = df.set_index("doc_id")["text"]
+            return pd.DataFrame(
+                {
+                    "anchor": first["token"].to_numpy(),
+                    "doc_id": first["doc_id"].to_numpy(),
+                    "text": texts.loc[first["doc_id"]].to_numpy(),
+                }
+            )
+
+        anchored = docs.map_batches(anchor_local, batch_format="pandas")
+        return grouped_map(
+            anchored, ["anchor"], per_bucket, drop_singletons=True, **kw
+        )
+
+    tok = docs.map_batches(explode_distinct, batch_format="pandas")
     with_df = partitioned_map(tok, ["token"], attach_df, **kw)
     anchors = partitioned_map(with_df, ["doc_id"], pick_anchor, **kw)
-    docs = ds.select_columns(["doc_id", "text"])
     joined = colo_join(
         anchors, docs, ["doc_id"], ["anchor"], ["text"], **kw
     )

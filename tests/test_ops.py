@@ -2845,6 +2845,50 @@ class TestRareTokenPairs:
         out = rare_token_pairs(ray.data.from_pandas(df)).to_pandas()
         assert len(out) == 0
 
+    def test_broadcast_and_colo_routes_agree(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import rare_token_pairs
+
+        rng = np.random.default_rng(11)
+        vocab = [f"w{i}" for i in range(30)] + ["rareone", "raretwo"]
+        texts = [
+            " ".join(rng.choice(vocab[:30], 12)) for _ in range(40)
+        ]
+        # planted dup pair sharing the df-2 anchor 'rareone' (all their
+        # other tokens also occur in doc 3, so df >= 3 there)
+        texts[7] = texts[3] + " rareone"
+        texts[9] = texts[3] + " rareone"
+        df = pd.DataFrame({"doc_id": range(40), "text": texts})
+
+        def run(mode):
+            return (
+                rare_token_pairs(
+                    ray.data.from_pandas(df), threshold=0.4, mode=mode
+                )
+                .to_pandas()
+                .sort_values(["a", "b"])
+                .reset_index(drop=True)
+            )
+
+        bro, colo = run("broadcast"), run("colo")
+        pd.testing.assert_frame_equal(bro, colo)
+        pairs = set(zip(bro["a"], bro["b"]))
+        assert (7, 9) in pairs
+
+    def test_vocab_limit_guard(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import rare_token_pairs
+
+        df = pd.DataFrame(
+            {"doc_id": [0], "text": ["a b c d e f g h"]}
+        )
+        with pytest.raises(ValueError, match="vocab_limit"):
+            rare_token_pairs(
+                ray.data.from_pandas(df), vocab_limit=3
+            ).to_pandas()
+
 
 class TestPathTrigrams:
     def test_matches_pandas_double_lag(self, ray_session):
