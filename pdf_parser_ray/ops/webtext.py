@@ -1567,3 +1567,52 @@ def frontier_makespan(
         )
 
     return counts.map_batches(attach, batch_format="pandas")
+
+
+# End-of-line hyphenation: join only when the continuation starts
+# lowercase (the standard PDF/OCR heuristic — an uppercase or digit
+# continuation usually means a true compound or list item, keep it).
+_HYPHEN_BREAK = re.compile(r"-\n([a-z])")
+
+
+def dehyphenate(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "text",
+) -> ray.data.Dataset:
+    """Rejoin words hyphenated across line breaks — the post-processing
+    every PDF/OCR extraction tier runs before tokenization
+    (``exam-\\nple`` → ``example``).  Heuristic: drop the hyphen+newline
+    ONLY when the continuation starts with a lowercase letter; an
+    uppercase/digit continuation keeps the break (true compounds,
+    list items).
+
+    One vectorized ``str.replace`` per batch; ``n_joins`` is exactly
+    (len_before - len_after) / 2 since every join removes the two
+    characters ``-\\n`` — the same integer the SQL twin derives from
+    the length delta.  Row-local, zero shuffle.
+
+    Output: (id_col, out_col:str, n_joins:int64).
+    """
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[text_col].fillna("").astype(str)
+        joined = t.str.replace(_HYPHEN_BREAK, r"\1", regex=True)
+        n_joins = (
+            (t.str.len() - joined.str.len()) // 2
+        ).astype("int64")
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    id_col: df[id_col].to_numpy(),
+                    out_col: joined,
+                    "n_joins": n_joins,
+                }
+            )
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        run, batch_format="pandas"
+    )

@@ -10711,6 +10711,66 @@ SQL["jsonl_roundtrip"] = """
 """
 
 
+def q_dehyphenate(sf_dir: str) -> ray.data.Dataset:
+    """Line-break de-hyphenation over a deterministic hyphenated
+    fixture (every ' th' becomes '-\\nth' in BOTH engines, so joins
+    exist mid-corpus): lowercase continuations rejoin, output md5 +
+    join count value-oracled.  Row-local, zero shuffle."""
+    from pdf_parser_ray.ops.webtext import dehyphenate
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+
+    def hyphenate(df: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.io_utils import arrow_out
+
+        t = df["text"].fillna("").str.replace(" th", "-\nth", regex=False)
+        return arrow_out(pd.DataFrame({"doc_id": df["doc_id"], "text": t}))
+
+    out = dehyphenate(
+        ds.map_batches(hyphenate, batch_format="pandas")
+    )
+
+    def digest(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+
+        from pdf_parser_ray.io_utils import arrow_out
+
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].astype("int64"),
+                    "text_md5": [
+                        _h.md5(s.encode("utf-8")).hexdigest()
+                        for s in df["text"].fillna("")
+                    ],
+                    "n_joins": df["n_joins"].astype("int64"),
+                }
+            )
+        )
+
+    return out.map_batches(digest, batch_format="pandas")
+
+
+QUERIES["dehyphenate"] = q_dehyphenate
+
+SQL["dehyphenate"] = """
+    WITH hy AS (
+      SELECT doc_id,
+             replace(coalesce(text, ''), ' th',
+                     '-' || chr(10) || 'th') AS t
+      FROM documents),
+    de AS (
+      SELECT doc_id, t,
+             regexp_replace(t, '-' || chr(10) || '([a-z])',
+                            '\\1', 'g') AS d
+      FROM hy)
+    SELECT doc_id,
+           md5(d) AS text_md5,
+           CAST((length(t) - length(d)) / 2 AS BIGINT) AS n_joins
+    FROM de
+"""
+
+
 def q_dp_user_counts(sf_dir: str) -> ray.data.Dataset:
     """Differentially-private per-user event counts (epsilon=1):
     deterministic seeded Laplace via the shared md5-12-hex uniform, so

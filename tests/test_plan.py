@@ -86,6 +86,7 @@ BUDGETS = {
     "compression_ratio": 0,     # zlib kernel per row, row-local
     "jsonl_roundtrip": 0,       # shard write is map-only; read is map-only
     "dp_user_counts": 1,        # partial counts -> one co-located sum
+    "dehyphenate": 0,           # vectorized regex join, row-local
 }
 
 

@@ -517,6 +517,37 @@ class TestEntityTag:
             assert texts[r.doc_id][r.start:r.stop] == r.entity
 
 
+class TestDehyphenate:
+    def test_join_rules(self, ray_session):
+        from pdf_parser_ray.ops.webtext import dehyphenate
+
+        rows = [
+            (0, "exam-\nple text"),            # classic join
+            (1, "state-\nOf the art"),          # uppercase: keep break
+            (2, "multi-\nline hy-\nphens"),     # two joins in one doc
+            (3, "no hyphens here"),             # nothing to do
+            (4, None),                          # null -> empty, 0 joins
+            (5, "trailing dash-\n"),            # no continuation: keep
+            (6, "num-\n42 stays"),              # digit: keep break
+        ]
+        out = (
+            dehyphenate(_ds(rows, ["doc_id", "text"]))
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert out.loc[0, "text"] == "example text"
+        assert out.loc[0, "n_joins"] == 1
+        assert out.loc[1, "text"] == "state-\nOf the art"
+        assert out.loc[1, "n_joins"] == 0
+        assert out.loc[2, "text"] == "multiline hyphens"
+        assert out.loc[2, "n_joins"] == 2
+        assert out.loc[3, "n_joins"] == 0
+        assert out.loc[4, "text"] == "" and out.loc[4, "n_joins"] == 0
+        assert out.loc[5, "text"] == "trailing dash-\n"
+        assert out.loc[6, "text"] == "num-\n42 stays"
+
+
 class TestFilterFunnel:
     GOOD = (
         "the quick brown fox jumps over the lazy dog and then "
