@@ -1088,3 +1088,69 @@ def mmr_topk(
     return pd.DataFrame(
         out_rows, columns=["rank", "vec_id", "relevance", "mmr_score"]
     ).astype({"rank": "int64", "vec_id": "int64"})
+
+
+def jl_project(
+    ds: ray.data.Dataset,
+    *,
+    out_dim: int = 8,
+    seed: str = "jl",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> ray.data.Dataset:
+    """Johnson-Lindenstrauss random projection — the dimensionality cut
+    an ANN tier runs before index build (D -> out_dim at bounded
+    distance distortion, Achlioptas 2003 sign-matrix variant).
+
+    The projection matrix is DETERMINISTIC: entry (j, i) is a
+    Rademacher ±1 drawn from the parity of the first md5 hex digit of
+    ``"{seed}|{j}|{i}"``, scaled by 1/sqrt(out_dim) — no RNG state, so
+    every worker rebuilds the identical matrix in ``__init__``-style
+    module cache, reruns are stable, and the DuckDB twin re-derives the
+    exact same signs.  y_j = sum_i x_i*sign(j,i) / sqrt(out_dim),
+    float64 end to end, rounded to ``round_to`` (cross-term sum-order
+    contract).
+
+    Output LONG format (one row per output dim — list renderings can't
+    diverge): (id_col, j:int64, y:float64).  Row-local, zero shuffle.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def signs(d_in: int) -> "np.ndarray":
+        m = np.empty((d_in, out_dim), dtype=np.float64)
+        for j in range(out_dim):
+            for i in range(d_in):
+                h = hashlib.md5(f"{seed}|{j}|{i}".encode()).hexdigest()
+                m[i, j] = 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+        return m
+
+    state: dict = {}
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.io_utils import arrow_out
+
+        vecs = [np.asarray(v, dtype=np.float64) for v in df[vec_col]]
+        if not vecs:
+            return arrow_out(pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                "j": pd.Series([], dtype="int64"),
+                "y": pd.Series([], dtype="float64")}))
+        d_in = len(vecs[0])
+        if d_in not in state:
+            state[d_in] = signs(d_in)
+        x = np.stack(vecs)
+        y = np.round(x @ state[d_in] / np.sqrt(float(out_dim)), round_to) + 0.0
+        n = len(df)
+        return arrow_out(pd.DataFrame({
+            id_col: np.repeat(df[id_col].to_numpy(), out_dim),
+            "j": np.tile(np.arange(out_dim, dtype=np.int64), n),
+            "y": y.ravel(),
+        }))
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        project, batch_format="pandas"
+    )

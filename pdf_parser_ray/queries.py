@@ -10711,6 +10711,36 @@ SQL["jsonl_roundtrip"] = """
 """
 
 
+def q_jl_project(sf_dir: str) -> ray.data.Dataset:
+    """Johnson-Lindenstrauss 32->8 sign projection of the embeddings
+    (md5-parity Rademacher matrix, deterministic on both engines);
+    long-format (vec_id, j, y) rounded 6dp.  Row-local, zero shuffle."""
+    from pdf_parser_ray.ops.similarity import jl_project
+
+    return jl_project(
+        _read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+    )
+
+
+QUERIES["jl_project"] = q_jl_project
+
+SQL["jl_project"] = """
+    WITH dims AS (SELECT unnest(range(0, 8)) AS j)
+    SELECT e.vec_id, d.j,
+           round(list_sum(list_transform(
+                   range(1, len(e.embedding) + 1),
+                   i -> e.embedding[i] * (CASE WHEN
+                        ('0x' || substr(md5('jl|' || d.j::VARCHAR || '|'
+                                        || (i - 1)::VARCHAR), 1, 1))
+                        ::UBIGINT % 2 = 0
+                        THEN 1.0 ELSE -1.0 END)))
+                 / sqrt(8.0), 6) + 0.0 AS y
+    FROM embeddings e CROSS JOIN dims d
+"""
+
+
 def q_dehyphenate(sf_dir: str) -> ray.data.Dataset:
     """Line-break de-hyphenation over a deterministic hyphenated
     fixture (every ' th' becomes '-\\nth' in BOTH engines, so joins

@@ -401,3 +401,81 @@ class TestMmrTopk:
         assert out["vec_id"].tolist() == chosen
         # diversity: both clusters represented in the top 4
         assert {v // 6 for v in out["vec_id"]} == {0, 1}
+
+
+class TestJlProject:
+    def _embeds(self, n=60, d=32, seed=5):
+        rng = np.random.default_rng(seed)
+        return pd.DataFrame(
+            {
+                "vec_id": np.arange(n, dtype=np.int64),
+                "embedding": [rng.normal(size=d).astype(np.float32) for _ in range(n)],
+            }
+        )
+
+    def test_matches_scalar_twin(self, ray_session):
+        import hashlib
+
+        import ray.data
+
+        from pdf_parser_ray.ops.similarity import jl_project
+
+        df = self._embeds(n=8)
+        out = (
+            jl_project(ray.data.from_pandas(df), out_dim=4, seed="t")
+            .to_pandas()
+            .sort_values(["vec_id", "j"])
+            .reset_index(drop=True)
+        )
+        # independent per-entry reimplementation
+        for r in out.itertuples(index=False):
+            x = np.asarray(df.loc[df["vec_id"] == r.vec_id, "embedding"].iloc[0],
+                           dtype=np.float64)
+            acc = 0.0
+            for i, xi in enumerate(x):
+                h = hashlib.md5(f"t|{r.j}|{i}".encode()).hexdigest()
+                acc += xi * (1.0 if int(h[0], 16) % 2 == 0 else -1.0)
+            assert r.y == round(acc / np.sqrt(4.0), 6) + 0.0
+
+    def test_partitioning_invariant(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.similarity import jl_project
+
+        df = self._embeds()
+        a = (
+            jl_project(ray.data.from_pandas(df))
+            .to_pandas().sort_values(["vec_id", "j"]).reset_index(drop=True)
+        )
+        b = (
+            jl_project(ray.data.from_pandas(df).repartition(7))
+            .to_pandas().sort_values(["vec_id", "j"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_distance_preservation_in_expectation(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.similarity import jl_project
+
+        df = self._embeds(n=40)
+        proj = (
+            jl_project(ray.data.from_pandas(df), out_dim=16)
+            .to_pandas()
+            .pivot(index="vec_id", columns="j", values="y")
+            .sort_index()
+        )
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+        Y = proj.to_numpy()
+        rng = np.random.default_rng(0)
+        ratios = []
+        for _ in range(200):
+            i, k = rng.integers(0, len(df), 2)
+            if i == k:
+                continue
+            dx = np.sum((X[i] - X[k]) ** 2)
+            dy = np.sum((Y[i] - Y[k]) ** 2)
+            ratios.append(dy / dx)
+        m = float(np.mean(ratios))
+        # E[|y_a - y_b|^2] = |x_a - x_b|^2; k=16 keeps the mean near 1
+        assert 0.7 < m < 1.3

@@ -87,6 +87,7 @@ BUDGETS = {
     "jsonl_roundtrip": 0,       # shard write is map-only; read is map-only
     "dp_user_counts": 1,        # partial counts -> one co-located sum
     "dehyphenate": 0,           # vectorized regex join, row-local
+    "jl_project": 0,            # deterministic matrix rebuilt per worker
 }
 
 
