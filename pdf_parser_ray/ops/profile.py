@@ -1942,3 +1942,88 @@ def loo_group_effect(
 
     # the grouped table is bounded (|groups| rows) — one-block finish
     return agg.repartition(1).map_batches(finish, batch_format="pandas")
+
+
+def isotonic_calibration(
+    ds: ray.data.Dataset,
+    score_col: str,
+    pos_col: str,
+    *,
+    bin_width: int = 10,
+    n_parts: int | None = None,
+) -> pd.DataFrame:
+    """Isotonic (monotone) calibration of an integer score against a
+    binary label — PAVA's exact solution via the minimax identity
+    fitted(k) = max_{i<=k} min_{j>=k} mean(y over bins i..j), the
+    calibration step a learned quality gate gets when the reliability
+    diagram (calibration_bins) shows non-monotone bins.
+
+    Exactness: per-bin (n, sum_pos) are int64; every candidate mean is
+    ONE division of two int64 prefix-sum differences, and max/min pick
+    among identical doubles on both engines — bit-identical, NO
+    rounding contract.  The O(B^3) minimax is driver-side over the
+    BOUNDED bin rollup (B = score range / bin_width), after per-batch
+    partial (bin, n, s) combiners and one bounded grouped sum — the
+    corpus never moves.
+
+    Output (eager, driver-sized): (bin:int64, n:int64, n_pos:int64,
+    frac_pos:float64, fitted:float64) with fitted monotone
+    non-decreasing in bin.
+    """
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import grouped_sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = (
+            df[score_col].astype("int64").floordiv(bin_width).astype("int64")
+        )
+        g = pd.DataFrame(
+            {"bin": b, "pos": df[pos_col].astype(bool).astype("int64")}
+        ).groupby("bin", as_index=False).agg(n=("pos", "size"), s=("pos", "sum"))
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    "bin": g["bin"].astype("int64"),
+                    "n": g["n"].astype("int64"),
+                    "s": g["s"].astype("int64"),
+                }
+            )
+        )
+
+    kw = {"n_parts": n_parts} if n_parts else {}
+    rolled = (
+        grouped_sum(
+            ds.select_columns([score_col, pos_col]).map_batches(
+                partial, batch_format="pandas"
+            ),
+            ["bin"],
+            ["n", "s"],
+            **kw,
+        )
+        .to_pandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    B = len(rolled)
+    n = rolled["n"].to_numpy(dtype=np.int64)
+    s = rolled["s"].to_numpy(dtype=np.int64)
+    SN = np.concatenate(([0], np.cumsum(n)))
+    SS = np.concatenate(([0], np.cumsum(s)))
+    # mean of bins i..j (0-based, inclusive): one int/int division each
+    num = SS[None, 1:] - SS[:-1, None]   # [i, j]
+    den = SN[None, 1:] - SN[:-1, None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        M = num / den
+    M[np.tril_indices(B, k=-1)] = np.inf          # j < i: undefined
+    suf = np.minimum.accumulate(M[:, ::-1], axis=1)[:, ::-1]  # min_{j>=k}
+    suf[np.tril_indices(B, k=-1)] = -np.inf       # i > k: excluded
+    fitted = np.maximum.accumulate(suf, axis=0).diagonal()     # max_{i<=k}
+    return pd.DataFrame(
+        {
+            "bin": rolled["bin"].astype("int64"),
+            "n": n,
+            "n_pos": s,
+            "frac_pos": s / n,
+            "fitted": fitted.copy(),
+        }
+    )

@@ -10711,6 +10711,63 @@ SQL["jsonl_roundtrip"] = """
 """
 
 
+def q_isotonic_calibration(sf_dir: str) -> pd.DataFrame:
+    """Isotonic (PAVA-exact via the minimax identity) calibration of
+    doc length against the en-label: monotone fitted P(en | n_chars
+    bin).  Bit-identical int-ratio candidate means on both engines —
+    no rounding contract."""
+    from pdf_parser_ray.ops.profile import isotonic_calibration
+
+    docs = _documents(sf_dir, columns=["doc_id", "text", "lang", "n_chars"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.io_utils import arrow_out
+
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    "score": df["n_chars"].astype("int64"),
+                    "pos": (df["lang"] == "en"),
+                }
+            )
+        )
+
+    return isotonic_calibration(
+        docs.map_batches(prep, batch_format="pandas"), "score", "pos"
+    )
+
+
+QUERIES["isotonic_calibration"] = q_isotonic_calibration
+
+SQL["isotonic_calibration"] = """
+    WITH base AS (
+      SELECT CAST(floor(n_chars / 10) AS BIGINT) AS bin,
+             count(*)::BIGINT AS n,
+             CAST(sum((lang = 'en')::INT) AS BIGINT) AS s
+      FROM documents GROUP BY 1),
+    o AS (SELECT bin, n, s, row_number() OVER (ORDER BY bin) AS rn
+          FROM base),
+    p AS (SELECT rn, bin, n, s,
+                 sum(n) OVER (ORDER BY rn) AS sn,
+                 sum(s) OVER (ORDER BY rn) AS ss
+          FROM o),
+    m AS (SELECT i.rn AS i, j.rn AS j,
+                 CAST(j.ss - coalesce(ip.ss, 0) AS DOUBLE)
+                   / (j.sn - coalesce(ip.sn, 0)) AS mean
+          FROM p i
+          JOIN p j ON j.rn >= i.rn
+          LEFT JOIN p ip ON ip.rn = i.rn - 1),
+    sufmin AS (SELECT m.i, k.rn AS k, min(m.mean) AS mn
+               FROM m JOIN p k ON m.j >= k.rn AND m.i <= k.rn
+               GROUP BY m.i, k.rn),
+    fit AS (SELECT k, max(mn) AS fitted FROM sufmin GROUP BY k)
+    SELECT o.bin, o.n, o.s AS n_pos,
+           CAST(o.s AS DOUBLE) / o.n AS frac_pos,
+           f.fitted
+    FROM o JOIN fit f ON f.k = o.rn
+"""
+
+
 def q_jl_project(sf_dir: str) -> ray.data.Dataset:
     """Johnson-Lindenstrauss 32->8 sign projection of the embeddings
     (md5-parity Rademacher matrix, deterministic on both engines);

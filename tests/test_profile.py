@@ -242,3 +242,48 @@ class TestTableChecksum:
             ray.data.from_pandas(df2), "doc_id", "text"
         ).to_pandas()["checksum_hex"].iloc[0]
         assert c3 != c1
+
+
+class TestIsotonicCalibration:
+    def test_hand_worked_pava(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.profile import isotonic_calibration
+
+        # bins 0..2 (width 1): rates 0.2, 0.8, 0.5 -> last two pool to
+        # (4+1)/ (5+2) = 5/7; bin 0 stays 1/5.
+        rows = (
+            [(0, True)] * 1 + [(0, False)] * 4
+            + [(1, True)] * 4 + [(1, False)] * 1
+            + [(2, True)] * 1 + [(2, False)] * 1
+        )
+        df = pd.DataFrame(rows, columns=["score", "pos"])
+        out = (
+            isotonic_calibration(
+                ray.data.from_pandas(df), "score", "pos", bin_width=1
+            )
+            .sort_values("bin")
+            .reset_index(drop=True)
+        )
+        assert out["fitted"].tolist() == [1 / 5, 5 / 7, 5 / 7]
+        assert out["frac_pos"].tolist() == [1 / 5, 4 / 5, 1 / 2]
+
+    def test_monotone_and_mass_preserving(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.profile import isotonic_calibration
+
+        rng = np.random.default_rng(3)
+        score = rng.integers(0, 200, 2000)
+        pos = rng.random(2000) < (score / 400 + rng.normal(0, 0.2, 2000))
+        df = pd.DataFrame({"score": score.astype(np.int64), "pos": pos})
+        out = (
+            isotonic_calibration(ray.data.from_pandas(df), "score", "pos")
+            .sort_values("bin")
+            .reset_index(drop=True)
+        )
+        f = out["fitted"].to_numpy()
+        assert np.all(np.diff(f) >= 0)
+        assert 0.0 <= f.min() and f.max() <= 1.0
+        # PAVA preserves weighted mass: sum n*fitted == sum positives
+        assert abs((out["n"] * out["fitted"]).sum() - out["n_pos"].sum()) < 1e-9
