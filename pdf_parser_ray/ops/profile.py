@@ -2027,3 +2027,74 @@ def isotonic_calibration(
             "fitted": fitted.copy(),
         }
     )
+
+def ndcg_at_k(
+    ds: ray.data.Dataset,
+    score_col: str,
+    rel_col: str,
+    id_col: str,
+    *,
+    k: int = 10,
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """NDCG@k of an integer score ranking graded integer relevance —
+    the standard retrieval/eval readout (Järvelin & Kekäläinen 2002)
+    alongside :func:`rank_auc`: DCG@k = Σ rel_i / log2(i+1) over the
+    (score DESC, id ASC) ranking, normalized by the ideal DCG over
+    relevance sorted DESC.
+
+    Distributed shape: each batch keeps only its local top-k rows by
+    (score, id) AND its top-k relevance grades — two k-bounded partial
+    combiners in one pass — so the driver finish merges ≤ 2k·batches
+    rows, never the corpus.  The (score DESC, id ASC) tie-break makes
+    the ranking deterministic under any partitioning; the ≤k-term DCG
+    sums round to ``round_to`` (sum-order contract).
+
+    Output (eager, one row): (k:int64, dcg:float64, idcg:float64,
+    ndcg:float64); ndcg = 0.0 when idcg = 0.
+    """
+    from pdf_parser_ray.io_utils import arrow_out
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "score": df[score_col].astype("int64"),
+                "rel": df[rel_col].astype("int64"),
+                "id": df[id_col].astype("int64"),
+            }
+        )
+        top = d.sort_values(["score", "id"], ascending=[False, True]).head(k)
+        ideal = d.sort_values(["rel", "id"], ascending=[False, True]).head(k)
+        return arrow_out(
+            pd.concat(
+                [top.assign(part="t"), ideal.assign(part="i")]
+            ).reset_index(drop=True)
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    disc = 1.0 / np.log2(np.arange(2, k + 2, dtype=np.float64))
+    top = (
+        parts[parts["part"] == "t"]
+        .sort_values(["score", "id"], ascending=[False, True])
+        .head(k)
+    )
+    ideal = (
+        parts[parts["part"] == "i"]
+        .sort_values(["rel", "id"], ascending=[False, True])
+        .head(k)
+    )
+    dcg = float(
+        np.round((top["rel"].to_numpy() * disc[: len(top)]).sum(), round_to)
+    )
+    idcg = float(
+        np.round((ideal["rel"].to_numpy() * disc[: len(ideal)]).sum(), round_to)
+    )
+    ndcg = float(np.round(dcg / idcg, round_to)) if idcg > 0 else 0.0
+    return pd.DataFrame(
+        {
+            "k": pd.Series([k], dtype="int64"),
+            "dcg": [dcg],
+            "idcg": [idcg],
+            "ndcg": [ndcg],
+        }
+    )

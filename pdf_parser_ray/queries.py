@@ -10711,6 +10711,59 @@ SQL["jsonl_roundtrip"] = """
 """
 
 
+def q_ndcg_length_en(sf_dir: str) -> pd.DataFrame:
+    """NDCG@10 of doc length ranking the en-label (does the length
+    signal surface English docs?) — partial top-k combiners, driver
+    finish on <= 2k rows per batch."""
+    from pdf_parser_ray.ops.profile import ndcg_at_k
+
+    docs = _documents(sf_dir, columns=["doc_id", "lang", "n_chars"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.io_utils import arrow_out
+
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].astype("int64"),
+                    "score": df["n_chars"].astype("int64"),
+                    "rel": (df["lang"] == "en").astype("int64"),
+                }
+            )
+        )
+
+    return ndcg_at_k(
+        docs.map_batches(prep, batch_format="pandas"),
+        "score",
+        "rel",
+        "doc_id",
+        k=10,
+    )
+
+
+QUERIES["ndcg_length_en"] = q_ndcg_length_en
+
+SQL["ndcg_length_en"] = """
+    WITH r AS (SELECT doc_id, n_chars AS score,
+                      (lang = 'en')::BIGINT AS rel
+               FROM documents),
+    ranked AS (SELECT rel,
+                      row_number() OVER (ORDER BY score DESC, doc_id) AS pos
+               FROM r),
+    ideal AS (SELECT rel,
+                     row_number() OVER (ORDER BY rel DESC, doc_id) AS pos
+              FROM r),
+    d AS (SELECT round(sum(rel / log2(pos + 1)), 6) AS dcg
+          FROM ranked WHERE pos <= 10),
+    i AS (SELECT round(sum(rel / log2(pos + 1)), 6) AS idcg
+          FROM ideal WHERE pos <= 10)
+    SELECT CAST(10 AS BIGINT) AS k, d.dcg, i.idcg,
+           CASE WHEN i.idcg > 0 THEN round(d.dcg / i.idcg, 6)
+                ELSE 0.0 END AS ndcg
+    FROM d, i
+"""
+
+
 def q_isotonic_calibration(sf_dir: str) -> pd.DataFrame:
     """Isotonic (PAVA-exact via the minimax identity) calibration of
     doc length against the en-label: monotone fitted P(en | n_chars

@@ -287,3 +287,66 @@ class TestIsotonicCalibration:
         assert 0.0 <= f.min() and f.max() <= 1.0
         # PAVA preserves weighted mass: sum n*fitted == sum positives
         assert abs((out["n"] * out["fitted"]).sum() - out["n_pos"].sum()) < 1e-9
+
+
+class TestNdcgAtK:
+    def test_hand_computed(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.profile import ndcg_at_k
+
+        # ranking by score DESC: ids 3(rel1), 2(rel0), 1(rel1), 0(rel0)
+        df = pd.DataFrame(
+            {
+                "id": [0, 1, 2, 3],
+                "score": [1, 2, 3, 4],
+                "rel": [0, 1, 0, 1],
+            }
+        )
+        out = ndcg_at_k(
+            ray.data.from_pandas(df), "score", "rel", "id", k=3
+        )
+        dcg = 1 / np.log2(2) + 0 / np.log2(3) + 1 / np.log2(4)
+        idcg = 1 / np.log2(2) + 1 / np.log2(3)
+        assert out["dcg"].iloc[0] == round(dcg, 6)
+        assert out["idcg"].iloc[0] == round(idcg, 6)
+        assert out["ndcg"].iloc[0] == round(
+            round(dcg, 6) / round(idcg, 6), 6
+        )
+
+    def test_perfect_and_zero_rankings(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.profile import ndcg_at_k
+
+        # perfect: score == rel ordering -> ndcg 1.0
+        df = pd.DataFrame(
+            {"id": range(6), "score": [6, 5, 4, 3, 2, 1],
+             "rel": [1, 1, 1, 0, 0, 0]}
+        )
+        out = ndcg_at_k(ray.data.from_pandas(df), "score", "rel", "id", k=3)
+        assert out["ndcg"].iloc[0] == 1.0
+        # all-zero relevance -> idcg 0 -> ndcg defined as 0.0
+        df0 = df.assign(rel=0)
+        out0 = ndcg_at_k(ray.data.from_pandas(df0), "score", "rel", "id", k=3)
+        assert out0["idcg"].iloc[0] == 0.0 and out0["ndcg"].iloc[0] == 0.0
+
+    def test_partitioning_invariant(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.profile import ndcg_at_k
+
+        rng = np.random.default_rng(7)
+        df = pd.DataFrame(
+            {
+                "id": np.arange(500, dtype=np.int64),
+                "score": rng.integers(0, 50, 500),  # heavy score ties
+                "rel": rng.integers(0, 3, 500),     # graded relevance
+            }
+        )
+        a = ndcg_at_k(ray.data.from_pandas(df), "score", "rel", "id", k=10)
+        b = ndcg_at_k(
+            ray.data.from_pandas(df).repartition(9),
+            "score", "rel", "id", k=10,
+        )
+        pd.testing.assert_frame_equal(a, b)
