@@ -1616,3 +1616,69 @@ def dehyphenate(
     return ds.select_columns([id_col, text_col]).map_batches(
         run, batch_format="pandas"
     )
+
+
+# Bounded multi-part public-suffix list (the common ccSLDs; the full
+# PSL is a data file — this documented subset covers the fixture and
+# demonstrates the lookup contract).
+MULTI_SUFFIXES = frozenset(
+    ["co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "co.jp",
+     "com.br", "co.in"]
+)
+_LAST2 = re.compile(r"([^.]+\.[^.]+)$")
+_LAST3 = re.compile(r"([^.]+\.[^.]+\.[^.]+)$")
+
+
+def registered_domains(
+    ds: ray.data.Dataset,
+    *,
+    host_col: str = "host",
+    n_parts: int | None = None,
+) -> ray.data.Dataset:
+    """Registered-domain (eTLD+1) rollup — crawl analytics aggregate at
+    the DOMAIN, not the host (`www.x.com`, `blog.x.com` → `x.com`), and
+    multi-part public suffixes keep three labels (`a.x.co.uk` →
+    `x.co.uk`).  Suffix membership tests against the bounded
+    ``MULTI_SUFFIXES`` subset of the PSL (documented; the full list is
+    a swap-in data file).
+
+    Vectorized regex extraction of the last 2/3 labels + one isin —
+    no per-host Python; per-batch partial counts then ONE grouped sum
+    co-located by domain.  Output: (domain:str, n_hosts... rows are
+    (domain, n_urls:int64)).
+    """
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import grouped_sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        host = df[host_col].fillna("").astype(str)
+        last2 = host.str.extract(_LAST2)[0]
+        last3 = host.str.extract(_LAST3)[0]
+        n_labels = host.str.count(re.escape(".")) + 1
+        domain = pd.Series(
+            np.where(
+                (n_labels >= 3) & last2.isin(MULTI_SUFFIXES),
+                last3,
+                np.where(n_labels >= 2, last2, host),
+            ),
+            index=df.index,
+        )
+        g = domain.groupby(domain).size()
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    "domain": g.index.to_numpy(),
+                    "n_urls": g.to_numpy(dtype="int64"),
+                }
+            )
+        )
+
+    kw = {"n_parts": n_parts} if n_parts else {}
+    return grouped_sum(
+        ds.select_columns([host_col]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        ["domain"],
+        ["n_urls"],
+        **kw,
+    )

@@ -10711,6 +10711,57 @@ SQL["jsonl_roundtrip"] = """
 """
 
 
+def q_domain_rollup(sf_dir: str) -> ray.data.Dataset:
+    """Registered-domain (eTLD+1) URL rollup over a deterministic
+    subdomain fixture (www/blog/a.b subdomains + co.uk multi-suffix
+    cases, identical construction in both engines): per-domain URL
+    counts, partial combiners -> one bounded grouped sum."""
+    from pdf_parser_ray.ops.webtext import registered_domains
+
+    ds = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.io_utils import arrow_out
+
+        i = df["doc_id"]
+        k = (i % 5).astype(str)
+        m = i % 4
+        host = pd.Series("", index=i.index, dtype=str)
+        host = host.mask(m == 0, "www.example" + k + ".com")
+        host = host.mask(m == 1, "blog.example" + k + ".co.uk")
+        host = host.mask(m == 2, "example" + k + ".org")
+        host = host.mask(m == 3, "a.b.example" + k + ".com")
+        return arrow_out(pd.DataFrame({"doc_id": i, "host": host}))
+
+    return registered_domains(ds.map_batches(build, batch_format="pandas"))
+
+
+QUERIES["domain_rollup"] = q_domain_rollup
+
+SQL["domain_rollup"] = """
+    WITH f AS (
+      SELECT CASE doc_id % 4
+               WHEN 0 THEN 'www.example' || (doc_id % 5)::VARCHAR || '.com'
+               WHEN 1 THEN 'blog.example' || (doc_id % 5)::VARCHAR || '.co.uk'
+               WHEN 2 THEN 'example' || (doc_id % 5)::VARCHAR || '.org'
+               ELSE 'a.b.example' || (doc_id % 5)::VARCHAR || '.com'
+             END AS host
+      FROM documents),
+    d AS (
+      SELECT CASE
+               WHEN len(string_split(host, '.')) >= 3
+                    AND regexp_extract(host, '([^.]+\\.[^.]+)$')
+                        IN ('co.uk','org.uk','ac.uk','gov.uk','com.au',
+                            'co.jp','com.br','co.in')
+               THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$')
+               WHEN len(string_split(host, '.')) >= 2
+               THEN regexp_extract(host, '([^.]+\\.[^.]+)$')
+               ELSE host END AS domain
+      FROM f)
+    SELECT domain, count(*)::BIGINT AS n_urls FROM d GROUP BY domain
+"""
+
+
 def q_ndcg_length_en(sf_dir: str) -> pd.DataFrame:
     """NDCG@10 of doc length ranking the en-label (does the length
     signal surface English docs?) — partial top-k combiners, driver

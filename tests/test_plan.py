@@ -88,6 +88,7 @@ BUDGETS = {
     "dp_user_counts": 1,        # partial counts -> one co-located sum
     "dehyphenate": 0,           # vectorized regex join, row-local
     "jl_project": 0,            # deterministic matrix rebuilt per worker
+    "domain_rollup": 1,         # partial counts -> one bounded domain sum
 }
 
 

@@ -517,6 +517,33 @@ class TestEntityTag:
             assert texts[r.doc_id][r.start:r.stop] == r.entity
 
 
+class TestRegisteredDomains:
+    def test_etld_plus_one_rules(self, ray_session):
+        from pdf_parser_ray.ops.webtext import registered_domains
+
+        rows = [
+            (0, "www.example.com"),      # subdomain strips
+            (1, "example.com"),          # already registered
+            (2, "a.b.example.com"),      # deep subdomain strips
+            (3, "blog.site.co.uk"),      # multi-suffix keeps 3 labels
+            (4, "site.co.uk"),           # exactly 3 labels w/ suffix
+            (5, "localhost"),            # single label passes through
+            (6, "co.uk"),                # bare suffix: 2 labels -> itself
+        ]
+        out = (
+            registered_domains(_ds(rows, ["doc_id", "host"]))
+            .to_pandas()
+            .set_index("domain")["n_urls"]
+            .to_dict()
+        )
+        assert out == {
+            "example.com": 3,
+            "site.co.uk": 2,
+            "localhost": 1,
+            "co.uk": 1,
+        }
+
+
 class TestDehyphenate:
     def test_join_rules(self, ray_session):
         from pdf_parser_ray.ops.webtext import dehyphenate
