@@ -2098,3 +2098,76 @@ def ndcg_at_k(
             "ndcg": [ndcg],
         }
     )
+
+
+def ranking_metrics(
+    ds: ray.data.Dataset,
+    score_col: str,
+    rel_col: str,
+    id_col: str,
+    *,
+    k: int = 10,
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """MRR + precision@k + recall@k of an integer score ranking a
+    binary label — the rest of the retrieval-eval family next to
+    :func:`ndcg_at_k` / :func:`rank_auc`.
+
+    MRR here is the single-query reciprocal rank TRUNCATED AT k
+    (MRR@k): 1/position of the first relevant item within the top k
+    under the deterministic (score DESC, id ASC) order, 0.0 when no
+    relevant item ranks that high.  precision@k = hits_k / k,
+    recall@k = hits_k / total_relevant.
+
+    One pass, two k-bounded partials per batch (local top-k rows +
+    local relevant count); the driver finish merges ≤ k·batches rows
+    plus one int per batch.  All three ratios are int/int divisions —
+    exact; rounded to ``round_to`` for the shared contract.
+
+    Output (eager, one row): (k:int64, n_relevant:int64, hits:int64,
+    mrr:float64, precision:float64, recall:float64).
+    """
+    from pdf_parser_ray.io_utils import arrow_out
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "score": df[score_col].astype("int64"),
+                "rel": df[rel_col].astype("int64"),
+                "id": df[id_col].astype("int64"),
+            }
+        )
+        top = d.sort_values(["score", "id"], ascending=[False, True]).head(k)
+        top = top.assign(nrel=0)
+        total = pd.DataFrame(
+            {"score": [0], "rel": [0], "id": [0],
+             "nrel": [int(d["rel"].gt(0).sum())]}
+        )
+        return arrow_out(
+            pd.concat([top.assign(part="t"), total.assign(part="n")])
+            .reset_index(drop=True)
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    n_rel = int(parts.loc[parts["part"] == "n", "nrel"].sum())
+    top = (
+        parts[parts["part"] == "t"]
+        .sort_values(["score", "id"], ascending=[False, True])
+        .head(k)
+    )
+    rel = top["rel"].gt(0).to_numpy()
+    hits = int(rel.sum())
+    first = int(np.argmax(rel)) + 1 if hits else 0
+    mrr = round(1.0 / first, round_to) if first else 0.0
+    precision = round(hits / k, round_to)
+    recall = round(hits / n_rel, round_to) if n_rel else 0.0
+    return pd.DataFrame(
+        {
+            "k": pd.Series([k], dtype="int64"),
+            "n_relevant": pd.Series([n_rel], dtype="int64"),
+            "hits": pd.Series([hits], dtype="int64"),
+            "mrr": [mrr],
+            "precision": [precision],
+            "recall": [recall],
+        }
+    )

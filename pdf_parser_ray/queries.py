@@ -10815,6 +10815,64 @@ SQL["ndcg_length_en"] = """
 """
 
 
+def q_ranking_metrics(sf_dir: str) -> pd.DataFrame:
+    """MRR@10 + precision/recall@10 of doc length ranking the en-label
+    (completes the retrieval-eval family with q:ndcg_length_en); two
+    k-bounded partials, int-ratio metrics."""
+    from pdf_parser_ray.ops.profile import ranking_metrics
+
+    docs = _documents(sf_dir, columns=["doc_id", "lang", "n_chars"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.io_utils import arrow_out
+
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].astype("int64"),
+                    "score": df["n_chars"].astype("int64"),
+                    "rel": (df["lang"] == "en").astype("int64"),
+                }
+            )
+        )
+
+    return ranking_metrics(
+        docs.map_batches(prep, batch_format="pandas"),
+        "score",
+        "rel",
+        "doc_id",
+        k=10,
+    )
+
+
+QUERIES["ranking_metrics"] = q_ranking_metrics
+
+SQL["ranking_metrics"] = """
+    WITH r AS (SELECT doc_id, n_chars AS score,
+                      (lang = 'en')::BIGINT AS rel
+               FROM documents),
+    ranked AS (SELECT rel,
+                      row_number() OVER (ORDER BY score DESC, doc_id) AS pos
+               FROM r),
+    t AS (SELECT * FROM ranked WHERE pos <= 10),
+    h AS (SELECT CAST(count(*) FILTER (rel > 0) AS BIGINT) AS hits,
+                 min(pos) FILTER (rel > 0) AS first
+          FROM t),
+    nn AS (SELECT CAST(count(*) FILTER (rel > 0) AS BIGINT) AS nrel
+           FROM ranked)
+    SELECT CAST(10 AS BIGINT) AS k,
+           nn.nrel AS n_relevant,
+           h.hits,
+           CASE WHEN h.first IS NOT NULL
+                THEN round(1.0 / h.first, 6) ELSE 0.0 END AS mrr,
+           round(h.hits / 10.0, 6) AS precision,
+           CASE WHEN nn.nrel > 0
+                THEN round(CAST(h.hits AS DOUBLE) / nn.nrel, 6)
+                ELSE 0.0 END AS recall
+    FROM h, nn
+"""
+
+
 def q_isotonic_calibration(sf_dir: str) -> pd.DataFrame:
     """Isotonic (PAVA-exact via the minimax identity) calibration of
     doc length against the en-label: monotone fitted P(en | n_chars

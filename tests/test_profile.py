@@ -350,3 +350,63 @@ class TestNdcgAtK:
             "score", "rel", "id", k=10,
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestRankingMetrics:
+    def test_hand_computed(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.profile import ranking_metrics
+
+        # ranking: ids by score desc -> rel pattern 0,1,0,1,0
+        df = pd.DataFrame(
+            {
+                "id": [0, 1, 2, 3, 4],
+                "score": [5, 4, 3, 2, 1],
+                "rel": [0, 1, 0, 1, 0],
+            }
+        )
+        out = ranking_metrics(
+            ray.data.from_pandas(df), "score", "rel", "id", k=3
+        )
+        assert out["hits"].iloc[0] == 1           # only rank-2 hit in top-3
+        assert out["n_relevant"].iloc[0] == 2
+        assert out["mrr"].iloc[0] == 0.5          # first hit at position 2
+        assert out["precision"].iloc[0] == round(1 / 3, 6)
+        assert out["recall"].iloc[0] == 0.5
+
+    def test_no_relevant_in_topk(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.profile import ranking_metrics
+
+        df = pd.DataFrame(
+            {"id": range(6), "score": [6, 5, 4, 3, 2, 1],
+             "rel": [0, 0, 0, 0, 1, 1]}
+        )
+        out = ranking_metrics(
+            ray.data.from_pandas(df), "score", "rel", "id", k=3
+        )
+        assert out["mrr"].iloc[0] == 0.0          # MRR@k truncation
+        assert out["hits"].iloc[0] == 0
+        assert out["recall"].iloc[0] == 0.0
+        assert out["n_relevant"].iloc[0] == 2
+
+    def test_partitioning_invariant(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.profile import ranking_metrics
+
+        rng = np.random.default_rng(9)
+        df = pd.DataFrame(
+            {
+                "id": np.arange(400, dtype=np.int64),
+                "score": rng.integers(0, 30, 400),
+                "rel": (rng.random(400) < 0.2).astype(np.int64),
+            }
+        )
+        a = ranking_metrics(ray.data.from_pandas(df), "score", "rel", "id")
+        b = ranking_metrics(
+            ray.data.from_pandas(df).repartition(11), "score", "rel", "id"
+        )
+        pd.testing.assert_frame_equal(a, b)
