@@ -2562,3 +2562,82 @@ def compression_ratio(
     return ds.select_columns([id_col, text_col]).map_batches(
         run, batch_format="pandas"
     )
+
+
+def s_stem(word: str) -> str:
+    """Harman (1991) S-removal stemmer — the three-rule suffix stemmer
+    (first matching rule wins):
+
+    1. ``-ies`` → ``-y``   unless the word ends ``-eies``/``-aies``
+    2. ``-es``  → ``-e``   unless it ends ``-aes``/``-ees``/``-oes``
+    3. ``-s``   → drop     unless it ends ``-us``/``-ss``
+
+    Chosen over heavier stemmers because every rule is a suffix test —
+    the DuckDB twin reproduces it with LIKE/substr CASE arms, so
+    stemmed rollups are value-oracled end to end.
+    """
+    if word.endswith("ies") and not word.endswith(("eies", "aies")):
+        return word[:-3] + "y"
+    if word.endswith("es") and not word.endswith(("aes", "ees", "oes")):
+        return word[:-1]
+    if word.endswith("s") and not word.endswith(("us", "ss")):
+        return word[:-1]
+    return word
+
+
+def stem_vocab(
+    ds,
+    *,
+    text_col: str = "text",
+    n_parts: int | None = None,
+):
+    """Stemmed-vocabulary rollup: per S-stem, total token occurrences
+    and the number of DISTINCT raw types that merged into it — the
+    index-building conflation audit (how much does stemming shrink the
+    vocabulary, and which stems absorb the most types).
+
+    Per-batch partial (stem, raw, n) combiners — stemming is a bounded
+    dict-cached map over the batch's distinct tokens, not per token —
+    then ONE stem co-location computing both the occurrence sum and
+    the distinct-type count inside the partition.  Shuffle is
+    vocabulary-sized.
+
+    Output: (stem:str, n_tokens:int64, n_types:int64).
+    """
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].fillna("").str.lower().str.findall(TOKEN_PAT)
+        ex = toks.explode().dropna()
+        if ex.empty:
+            return arrow_out(pd.DataFrame({
+                "stem": pd.Series([], dtype=str),
+                "raw": pd.Series([], dtype=str),
+                "n": pd.Series([], dtype="int64")}))
+        g = ex.groupby(ex.to_numpy()).size()
+        raw = g.index.to_numpy()
+        stems = [s_stem(w) for w in raw]  # distinct tokens only
+        return arrow_out(pd.DataFrame({
+            "stem": stems, "raw": raw,
+            "n": g.to_numpy(dtype="int64")}))
+
+    def finish(part: pd.DataFrame) -> pd.DataFrame:
+        raw_sum = part.groupby(["stem", "raw"], as_index=False)["n"].sum()
+        g = raw_sum.groupby("stem", as_index=False).agg(
+            n_tokens=("n", "sum"), n_types=("raw", "size")
+        )
+        return arrow_out(pd.DataFrame({
+            "stem": g["stem"],
+            "n_tokens": g["n_tokens"].astype("int64"),
+            "n_types": g["n_types"].astype("int64")}))
+
+    kw = {"n_parts": n_parts} if n_parts else {}
+    return partitioned_map(
+        ds.select_columns([text_col]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        ["stem"],
+        finish,
+        **kw,
+    )

@@ -10815,6 +10815,43 @@ SQL["ndcg_length_en"] = """
 """
 
 
+def q_stem_vocab(sf_dir: str) -> ray.data.Dataset:
+    """S-stemmer (Harman 1991) vocabulary rollup: per stem the token
+    occurrences and distinct raw types merged — the index conflation
+    audit.  Distinct-token stemming per batch, one stem co-location."""
+    from pdf_parser_ray.ops.text_stats import stem_vocab
+
+    return stem_vocab(_documents(sf_dir, columns=["doc_id", "text"]))
+
+
+QUERIES["stem_vocab"] = q_stem_vocab
+
+SQL["stem_vocab"] = """
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '\\S+'))
+             AS w
+      FROM documents),
+    st AS (
+      SELECT w,
+             CASE
+               WHEN w LIKE '%ies' AND w NOT LIKE '%eies'
+                    AND w NOT LIKE '%aies'
+               THEN substr(w, 1, length(w) - 3) || 'y'
+               WHEN w LIKE '%es' AND w NOT LIKE '%aes'
+                    AND w NOT LIKE '%ees' AND w NOT LIKE '%oes'
+               THEN substr(w, 1, length(w) - 1)
+               WHEN w LIKE '%s' AND w NOT LIKE '%us' AND w NOT LIKE '%ss'
+               THEN substr(w, 1, length(w) - 1)
+               ELSE w
+             END AS stem
+      FROM toks)
+    SELECT stem,
+           count(*)::BIGINT AS n_tokens,
+           CAST(count(DISTINCT w) AS BIGINT) AS n_types
+    FROM st GROUP BY stem
+"""
+
+
 def q_ranking_metrics(sf_dir: str) -> pd.DataFrame:
     """MRR@10 + precision/recall@10 of doc length ranking the en-label
     (completes the retrieval-eval family with q:ndcg_length_en); two

@@ -3957,3 +3957,51 @@ class TestIncrementalViewMaintain:
         assert out["g"].tolist() == ["a", "c", "d"]
         assert out["n_rows"].tolist() == [3, 3, 2]
         assert out["cents"].tolist() == [300, 925, 70]
+
+
+class TestSStem:
+    def test_rule_table(self):
+        from pdf_parser_ray.ops.text_stats import s_stem
+
+        cases = {
+            "ponies": "pony",       # rule 1
+            "ties": "ty",           # rule 1 (no exception)
+            "movies": "movy",       # rule 1 fires blindly — documented
+            "eies": "eie",          # rule-1 exception falls through to rule 2
+            "tables": "table",      # rule 2
+            "caresses": "caresse",  # rule 2 ('sses' not excepted)
+            "shoes": "shoe",        # rule-2 exception falls THROUGH to rule 3
+            "sees": "see",          # 'ees' blocked in rule 2, 's' after 'e'... rule 3: ends 'es'->'s' not us/ss -> drop
+            "cats": "cat",          # rule 3
+            "bus": "bus",           # rule-3 exception
+            "glass": "glass",       # rule-3 exception (ss)
+            "dog": "dog",           # no suffix
+        }
+        for raw, want in cases.items():
+            got = s_stem(raw)
+            assert got == want, (raw, got, want)
+
+    def test_stem_vocab_rollup(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.text_stats import stem_vocab
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": ["cat cats CATS table tables", "cat glass bus"],
+            }
+        )
+        out = (
+            stem_vocab(ray.data.from_pandas(df))
+            .to_pandas()
+            .set_index("stem")
+            .sort_index()
+        )
+        # 'cat','cats','CATS'(lowered) all stem to 'cat': 4 tokens, 2 types
+        assert out.loc["cat", "n_tokens"] == 4
+        assert out.loc["cat", "n_types"] == 2
+        assert out.loc["table", "n_tokens"] == 2
+        assert out.loc["table", "n_types"] == 2
+        assert out.loc["glass", "n_tokens"] == 1
+        assert out.loc["bus", "n_tokens"] == 1

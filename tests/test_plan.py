@@ -89,6 +89,7 @@ BUDGETS = {
     "dehyphenate": 0,           # vectorized regex join, row-local
     "jl_project": 0,            # deterministic matrix rebuilt per worker
     "domain_rollup": 1,         # partial counts -> one bounded domain sum
+    "stem_vocab": 1,            # distinct-token partials -> one stem colo
 }
 
 
