@@ -221,3 +221,60 @@ def grouped_agg(
         return arrow_out(g)
 
     return partitioned_map(ds, list(keys), agg_partition, n_parts=n_parts)
+
+
+def rendezvous_assign(
+    ds,
+    key_col: str,
+    shards: "list[str]",
+    *,
+    out_col: str = "shard",
+):
+    """Rendezvous (highest-random-weight, Thaler & Ravishankar 1998)
+    shard assignment: each key goes to the shard with the largest
+    md5-derived weight of ``"{key}|{shard}"`` — the stable routing
+    primitive behind shard maps and cache rings.  The HRW property
+    (pinned by test): removing a shard moves ONLY the keys that lived
+    on it; every other key keeps its assignment — unlike mod-N hashing
+    where nearly all keys move.
+
+    Weights are the first-16-hex md5 value (the repo's shared
+    md5→UBIGINT idiom), ties broken by lexicographic shard name, so
+    the DuckDB twin re-derives identical assignments.  The shard list
+    is bounded and travels inside the closure; |shards| md5 calls per
+    row, row-local, zero shuffle.
+
+    Output: input columns + out_col:str.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from pdf_parser_ray.io_utils import arrow_out
+
+    names = sorted(shards)  # tie-break order = lexicographic
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df[key_col].astype(str)
+        best = np.zeros(len(df), dtype=np.uint64)
+        pick = np.empty(len(df), dtype=object)
+        first = True
+        for s in names:
+            w = np.fromiter(
+                (
+                    int(hashlib.md5(f"{k}|{s}".encode()).hexdigest()[:16], 16)
+                    for k in keys
+                ),
+                dtype=np.uint64,
+                count=len(df),
+            )
+            upd = w > best if not first else np.ones(len(df), dtype=bool)
+            pick[upd] = s
+            best = np.maximum(best, w)
+            first = False
+        out = df.copy()
+        out[out_col] = pick
+        return arrow_out(out)
+
+    return ds.map_batches(assign, batch_format="pandas")

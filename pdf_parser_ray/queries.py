@@ -10815,6 +10815,43 @@ SQL["ndcg_length_en"] = """
 """
 
 
+_HRW_SHARDS = ["shard-a", "shard-b", "shard-c", "shard-d"]
+
+
+def q_rendezvous_shards(sf_dir: str) -> ray.data.Dataset:
+    """Rendezvous (HRW) shard routing of event user_ids across four
+    named shards — stable-assignment primitive; md5 weights re-derived
+    by the twin.  Row-local, zero shuffle."""
+    from pdf_parser_ray.ops.shuffle import rendezvous_assign
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+    return rendezvous_assign(ds, "user_id", _HRW_SHARDS)
+
+
+QUERIES["rendezvous_shards"] = q_rendezvous_shards
+
+
+def _rendezvous_sql() -> str:
+    vals = ", ".join(f"('{s}')" for s in _HRW_SHARDS)
+    return f"""
+    WITH shards(s) AS (VALUES {vals}),
+    w AS (SELECT e.event_id, e.user_id, s.s,
+                 ('0x' || substr(md5(CAST(e.user_id AS VARCHAR)
+                                      || '|' || s.s), 1, 16))::UBIGINT AS wt
+          FROM events e CROSS JOIN shards s),
+    r AS (SELECT event_id, user_id, s,
+                 row_number() OVER (PARTITION BY event_id
+                                    ORDER BY wt DESC, s) AS rn
+          FROM w)
+    SELECT event_id, user_id, s AS shard FROM r WHERE rn = 1
+"""
+
+
+SQL["rendezvous_shards"] = _rendezvous_sql()
+
+
 def q_stem_vocab(sf_dir: str) -> ray.data.Dataset:
     """S-stemmer (Harman 1991) vocabulary rollup: per stem the token
     occurrences and distinct raw types merged — the index conflation

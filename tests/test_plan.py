@@ -90,6 +90,7 @@ BUDGETS = {
     "jl_project": 0,            # deterministic matrix rebuilt per worker
     "domain_rollup": 1,         # partial counts -> one bounded domain sum
     "stem_vocab": 1,            # distinct-token partials -> one stem colo
+    "rendezvous_shards": 0,     # HRW weights are row-local
 }
 
 

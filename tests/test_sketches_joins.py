@@ -686,3 +686,35 @@ class TestColoJoinOuter:
                 ["rv"],
                 how="right",
             )
+
+
+class TestRendezvousAssign:
+    def _run(self, shards, n=300):
+        import ray.data
+
+        from pdf_parser_ray.ops.shuffle import rendezvous_assign
+
+        df = pd.DataFrame({"key": [f"k{i}" for i in range(n)]})
+        return (
+            rendezvous_assign(ray.data.from_pandas(df), "key", shards)
+            .to_pandas()
+            .set_index("key")["shard"]
+        )
+
+    def test_minimal_disruption_on_shard_removal(self, ray_session):
+        full = self._run(["s1", "s2", "s3", "s4"])
+        # every shard gets a reasonable share (md5 uniformity)
+        counts = full.value_counts()
+        assert set(counts.index) == {"s1", "s2", "s3", "s4"}
+        assert counts.min() > 30
+        # remove s3: ONLY s3's keys move — the HRW property
+        reduced = self._run(["s1", "s2", "s4"])
+        stayed = full[full != "s3"]
+        pd.testing.assert_series_equal(reduced.loc[stayed.index], stayed)
+        moved = reduced.loc[full[full == "s3"].index]
+        assert set(moved.unique()) <= {"s1", "s2", "s4"}
+
+    def test_deterministic_and_order_independent(self, ray_session):
+        a = self._run(["s1", "s2", "s3", "s4"])
+        b = self._run(["s4", "s3", "s2", "s1"])  # shard order irrelevant
+        pd.testing.assert_series_equal(a, b)
