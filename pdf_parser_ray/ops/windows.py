@@ -2962,3 +2962,94 @@ def daily_new_returning(
         )
 
     return counts.map_batches(finalize, batch_format="pandas")
+
+
+def peak_concurrency(
+    ds: ray.data.Dataset,
+    start_col: str,
+    end_col: str,
+    *,
+    n_buckets: int = 256,
+) -> pd.DataFrame:
+    """Sweep-line peak concurrency over half-open [start, end) integer
+    intervals — "how many sessions were simultaneously open at the
+    worst moment" (capacity planning over session spans, connection
+    logs, job schedules).
+
+    Classic sweep: every interval emits (+1 at start, -1 at end);
+    the running sum over boundaries ordered by (t, delta) — departures
+    first at equal t, the half-open convention — peaks at the answer.
+    Distributed via the shard_plan histogram plan: boundary rows tag a
+    time-range bucket → per-bucket delta subtotals → driver EXCLUSIVE
+    prefix gives each bucket its entering concurrency → bucket
+    co-location runs the vectorized local cumsum.  No global sort; no
+    worker holds more than a bucket.
+
+    Output (eager, one row): (peak:int64, at_us:int64 — the earliest
+    boundary time achieving the peak).
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Max, Min
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    bounds = ds.select_columns([start_col, end_col]).aggregate(
+        Min(start_col, alias_name="lo"), Max(end_col, alias_name="hi")
+    )
+    lo = int(bounds["lo"])
+    width = max(1, -(-(int(bounds["hi"]) - lo + 1) // n_buckets))
+
+    def boundaries(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[start_col].astype("int64")
+        e = df[end_col].astype("int64")
+        t = np.concatenate([s.to_numpy(), e.to_numpy()])
+        d = np.concatenate(
+            [np.ones(len(s), dtype=np.int64), -np.ones(len(e), dtype=np.int64)]
+        )
+        return arrow_out(
+            pd.DataFrame(
+                {"t": t, "d": d, "__bucket": (t - lo) // width}
+            )
+        )
+
+    b = ds.select_columns([start_col, end_col]).map_batches(
+        boundaries, batch_format="pandas"
+    )
+
+    def subtotal(df: pd.DataFrame) -> pd.DataFrame:
+        return arrow_out(df.groupby("__bucket", as_index=False)["d"].sum())
+
+    subs = (
+        b.map_batches(subtotal, batch_format="pandas")
+        .to_pandas()  # <= batches x n_buckets rows — bounded
+        .groupby("__bucket", as_index=False)["d"].sum()
+        .sort_values("__bucket")
+    )
+    offs = dict(
+        zip(
+            subs["__bucket"],
+            np.concatenate(([0], np.cumsum(subs["d"].to_numpy())[:-1])),
+        )
+    )
+
+    def local_sweep(part: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for bk, g in part.groupby("__bucket"):
+            g = g.sort_values(["t", "d"])
+            c = int(offs.get(bk, 0)) + g["d"].to_numpy().cumsum()
+            i = int(np.argmax(c))
+            out.append((int(c[i]), int(g["t"].to_numpy()[c == c[i]].min())))
+        peaks = pd.DataFrame(out, columns=["peak", "at_us"])
+        return arrow_out(peaks.astype({"peak": "int64", "at_us": "int64"}))
+
+    parts = partitioned_map(b, ["__bucket"], local_sweep).to_pandas()
+    peak = int(parts["peak"].max())
+    at = int(parts.loc[parts["peak"] == peak, "at_us"].min())
+    return pd.DataFrame(
+        {
+            "peak": pd.Series([peak], dtype="int64"),
+            "at_us": pd.Series([at], dtype="int64"),
+        }
+    )

@@ -10815,6 +10815,47 @@ SQL["ndcg_length_en"] = """
 """
 
 
+def q_peak_concurrency(sf_dir: str) -> pd.DataFrame:
+    """Sweep-line peak session concurrency: each event opens a
+    half-open interval of (event_id%50 + 1) minutes; the histogram-
+    plan prefix sweep finds the max simultaneous count + earliest
+    peak time.  No global sort."""
+    from pdf_parser_ray.ops.windows import peak_concurrency
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+    )
+
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.io_utils import arrow_out
+
+        s = df["ts"].astype("int64")
+        dur = ((df["event_id"] % 50) + 1).astype("int64") * 60_000_000
+        return arrow_out(pd.DataFrame({"s": s, "e": s + dur}))
+
+    return peak_concurrency(
+        ds.map_batches(build, batch_format="pandas"), "s", "e"
+    )
+
+
+QUERIES["peak_concurrency"] = q_peak_concurrency
+
+SQL["peak_concurrency"] = """
+    WITH iv AS (
+      SELECT epoch_us(ts) AS s,
+             epoch_us(ts) + ((event_id % 50) + 1) * 60000000 AS e
+      FROM events),
+    b AS (SELECT s AS t, 1 AS d FROM iv
+          UNION ALL
+          SELECT e AS t, -1 AS d FROM iv),
+    r AS (SELECT t, sum(d) OVER (ORDER BY t, d) AS c FROM b),
+    m AS (SELECT max(c) AS peak FROM r)
+    SELECT CAST(m.peak AS BIGINT) AS peak,
+           CAST((SELECT min(t) FROM r WHERE c = m.peak) AS BIGINT) AS at_us
+    FROM m
+"""
+
+
 _HRW_SHARDS = ["shard-a", "shard-b", "shard-c", "shard-d"]
 
 

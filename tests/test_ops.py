@@ -4005,3 +4005,56 @@ class TestSStem:
         assert out.loc["table", "n_types"] == 2
         assert out.loc["glass", "n_tokens"] == 1
         assert out.loc["bus", "n_tokens"] == 1
+
+
+class TestPeakConcurrency:
+    def test_hand_worked(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import peak_concurrency
+
+        # intervals: [0,10) [5,15) [9,12) overlap 3 at t=9; [12,20)
+        # starts as 9-interval ends... half-open: at t=12, [9,12)
+        # closes BEFORE [12,20) opens -> concurrency 2 there, not 3.
+        df = pd.DataFrame(
+            {"s": [0, 5, 9, 12], "e": [10, 15, 12, 20]}
+        )
+        out = peak_concurrency(ray.data.from_pandas(df), "s", "e")
+        assert out["peak"].iloc[0] == 3
+        assert out["at_us"].iloc[0] == 9
+
+    def test_half_open_touching_intervals(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import peak_concurrency
+
+        # back-to-back [0,5) [5,10): never concurrent
+        df = pd.DataFrame({"s": [0, 5], "e": [5, 10]})
+        out = peak_concurrency(ray.data.from_pandas(df), "s", "e")
+        assert out["peak"].iloc[0] == 1
+        assert out["at_us"].iloc[0] == 0
+
+    def test_matches_serial_sweep(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import peak_concurrency
+
+        rng = np.random.default_rng(17)
+        s = rng.integers(0, 10_000, 3000).astype(np.int64)
+        e = s + rng.integers(1, 500, 3000).astype(np.int64)
+        df = pd.DataFrame({"s": s, "e": e})
+        out = peak_concurrency(
+            ray.data.from_pandas(df).repartition(8), "s", "e"
+        )
+        # serial reference sweep
+        bounds = sorted(
+            [(t, 1) for t in s] + [(t, -1) for t in e]
+        )
+        c = peak = 0
+        at = None
+        for t, d in bounds:
+            c += d
+            if c > peak:
+                peak, at = c, t
+        assert out["peak"].iloc[0] == peak
+        assert out["at_us"].iloc[0] == at
