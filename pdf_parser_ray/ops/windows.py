@@ -3053,3 +3053,114 @@ def peak_concurrency(
             "at_us": pd.Series([at], dtype="int64"),
         }
     )
+
+
+def interval_coverage(
+    ds: ray.data.Dataset,
+    start_col: str,
+    end_col: str,
+    *,
+    n_buckets: int = 256,
+) -> pd.DataFrame:
+    """Union length + maximal-run count of half-open [start, end)
+    integer intervals — "how much wall-clock had at least one open
+    session, in how many contiguous stretches" (the coverage sibling
+    of :func:`peak_concurrency`).
+
+    Sweep convention differs from the peak op ON PURPOSE: arrivals
+    sort BEFORE departures at equal t (ORDER BY t, d DESC), so
+    touching intervals [0,5)+[5,10) form ONE covered run of length 10
+    — union semantics; the peak op needs departures first.  Segment
+    (t_i → t_{i+1}) counts when the running concurrency after row i is
+    positive; a run starts at any row where c transitions 0 → >0.
+
+    Same histogram plan as the peak op, with the two cross-bucket
+    subtleties handled: each bucket adds its leading span (bucket
+    range start → first boundary) when its ENTERING concurrency is
+    positive and its trailing span (last boundary → range end) when
+    its exit is; bucket ranges with no boundaries at all are filled
+    at the driver — their concurrency is the next present bucket's
+    entering offset, constant across the gap.
+
+    Output (eager, one row): (covered_us:int64, n_runs:int64).
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Max, Min
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+
+    bounds = ds.select_columns([start_col, end_col]).aggregate(
+        Min(start_col, alias_name="lo"), Max(end_col, alias_name="hi")
+    )
+    lo = int(bounds["lo"])
+    width = max(1, -(-(int(bounds["hi"]) - lo + 1) // n_buckets))
+
+    def boundaries(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[start_col].astype("int64")
+        e = df[end_col].astype("int64")
+        t = np.concatenate([s.to_numpy(), e.to_numpy()])
+        d = np.concatenate(
+            [np.ones(len(s), dtype=np.int64), -np.ones(len(e), dtype=np.int64)]
+        )
+        return arrow_out(
+            pd.DataFrame({"t": t, "d": d, "__bucket": (t - lo) // width})
+        )
+
+    b = ds.select_columns([start_col, end_col]).map_batches(
+        boundaries, batch_format="pandas"
+    )
+
+    def subtotal(df: pd.DataFrame) -> pd.DataFrame:
+        return arrow_out(df.groupby("__bucket", as_index=False)["d"].sum())
+
+    subs = (
+        b.map_batches(subtotal, batch_format="pandas")
+        .to_pandas()
+        .groupby("__bucket", as_index=False)["d"].sum()
+        .sort_values("__bucket")
+    )
+    present = subs["__bucket"].to_numpy(dtype=np.int64)
+    offs_arr = np.concatenate(([0], np.cumsum(subs["d"].to_numpy())[:-1]))
+    offs = dict(zip(present, offs_arr))
+
+    def local_sweep(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for bk, g in part.groupby("__bucket"):
+            g = g.sort_values(["t", "d"], ascending=[True, False])
+            t = g["t"].to_numpy()
+            off = int(offs.get(bk, 0))
+            c = off + g["d"].to_numpy().cumsum()
+            covered = int(np.sum((t[1:] - t[:-1])[c[:-1] > 0]))
+            rng_lo = lo + int(bk) * width
+            rng_hi = rng_lo + width
+            if off > 0:
+                covered += int(t[0] - rng_lo)
+            if c[-1] > 0:
+                covered += int(rng_hi - t[-1])
+            prev = np.concatenate(([off], c[:-1]))
+            runs = int(np.sum((c > 0) & (prev == 0)))
+            rows.append((int(bk), covered, runs))
+        out = pd.DataFrame(rows, columns=["__bucket", "covered", "runs"])
+        return arrow_out(
+            out.astype({"__bucket": "int64", "covered": "int64", "runs": "int64"})
+        )
+
+    parts = partitioned_map(b, ["__bucket"], local_sweep).to_pandas()
+    covered = int(parts["covered"].sum())
+    runs = int(parts["runs"].sum())
+    # empty bucket ranges between present buckets: concurrency there is
+    # the NEXT present bucket's entering offset, constant across the gap
+    order = np.argsort(present)
+    pb, po = present[order], offs_arr[order]
+    for a, bnext, onext in zip(pb[:-1], pb[1:], po[1:]):
+        gap = int(bnext - a - 1)
+        if gap > 0 and onext > 0:
+            covered += gap * width
+    return pd.DataFrame(
+        {
+            "covered_us": pd.Series([covered], dtype="int64"),
+            "n_runs": pd.Series([runs], dtype="int64"),
+        }
+    )

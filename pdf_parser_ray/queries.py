@@ -10856,6 +10856,55 @@ SQL["peak_concurrency"] = """
 """
 
 
+def q_interval_coverage(sf_dir: str) -> pd.DataFrame:
+    """Union coverage + maximal-run count of the same deterministic
+    session intervals as q:peak_concurrency (arrivals-first tie rule:
+    touching intervals merge).  Histogram-plan sweep with empty-bucket
+    gap fill."""
+    from pdf_parser_ray.ops.windows import interval_coverage
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+    )
+
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.io_utils import arrow_out
+
+        s = df["ts"].astype("int64")
+        dur = ((df["event_id"] % 50) + 1).astype("int64") * 60_000_000
+        return arrow_out(pd.DataFrame({"s": s, "e": s + dur}))
+
+    return interval_coverage(
+        ds.map_batches(build, batch_format="pandas"), "s", "e"
+    )
+
+
+QUERIES["interval_coverage"] = q_interval_coverage
+
+SQL["interval_coverage"] = """
+    WITH iv AS (
+      SELECT epoch_us(ts) AS s,
+             epoch_us(ts) + ((event_id % 50) + 1) * 60000000 AS e
+      FROM events),
+    b AS (SELECT s AS t, 1 AS d FROM iv
+          UNION ALL
+          SELECT e AS t, -1 AS d FROM iv),
+    r1 AS (SELECT t, d,
+                  sum(d) OVER (ORDER BY t, d DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS c,
+                  lead(t) OVER (ORDER BY t, d DESC) AS nt
+           FROM b),
+    r2 AS (SELECT *, lag(c, 1, 0) OVER (ORDER BY t, d DESC) AS pc
+           FROM r1)
+    SELECT CAST(coalesce(sum(nt - t) FILTER (WHERE c > 0), 0) AS BIGINT)
+             AS covered_us,
+           CAST(count(*) FILTER (WHERE c > 0 AND pc = 0) AS BIGINT)
+             AS n_runs
+    FROM r2
+"""
+
+
 _HRW_SHARDS = ["shard-a", "shard-b", "shard-c", "shard-d"]
 
 

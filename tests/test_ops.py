@@ -4058,3 +4058,53 @@ class TestPeakConcurrency:
                 peak, at = c, t
         assert out["peak"].iloc[0] == peak
         assert out["at_us"].iloc[0] == at
+
+
+class TestIntervalCoverage:
+    def test_union_semantics(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import interval_coverage
+
+        # [0,5)+[5,10) touch -> ONE run of 10; [20,25) separate
+        df = pd.DataFrame({"s": [0, 5, 20], "e": [5, 10, 25]})
+        out = interval_coverage(ray.data.from_pandas(df), "s", "e")
+        assert out["covered_us"].iloc[0] == 15
+        assert out["n_runs"].iloc[0] == 2
+
+    def test_overlap_counts_once(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import interval_coverage
+
+        df = pd.DataFrame({"s": [0, 2, 4], "e": [10, 6, 12]})
+        out = interval_coverage(ray.data.from_pandas(df), "s", "e")
+        assert out["covered_us"].iloc[0] == 12
+        assert out["n_runs"].iloc[0] == 1
+
+    def test_matches_serial_sweep(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import interval_coverage
+
+        rng = np.random.default_rng(23)
+        # sparse starts force empty histogram buckets (gap-fill path)
+        s = np.sort(rng.choice(1_000_000, 800, replace=False)).astype(np.int64)
+        e = s + rng.integers(1, 3000, 800).astype(np.int64)
+        df = pd.DataFrame({"s": s, "e": e})
+        out = interval_coverage(
+            ray.data.from_pandas(df).repartition(7), "s", "e"
+        )
+        bounds = sorted(
+            [(t, 1) for t in s] + [(t, -1) for t in e],
+            key=lambda p: (p[0], -p[1]),
+        )
+        c = covered = runs = 0
+        for (t, d), nxt in zip(bounds, bounds[1:] + [None]):
+            if c == 0 and d > 0:
+                runs += 1
+            c += d
+            if nxt is not None and c > 0:
+                covered += nxt[0] - t
+        assert out["covered_us"].iloc[0] == covered
+        assert out["n_runs"].iloc[0] == runs
