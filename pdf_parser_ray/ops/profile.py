@@ -2171,3 +2171,95 @@ def ranking_metrics(
             "recall": [recall],
         }
     )
+
+
+def mann_whitney_u(
+    ds: ray.data.Dataset,
+    value_col: str,
+    group_col: str,
+    a_label: str,
+    b_label: str,
+    *,
+    cents: bool = True,
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """Mann-Whitney U rank-sum test between two label populations —
+    the nonparametric two-sample location test (Mann & Whitney 1947),
+    completing the hypothesis-test family next to Welch
+    (:func:`ab_welch_srm`), chi-square and the KS statistic: does the
+    ``value_col`` distribution of ``a_label`` rows stochastically
+    dominate that of ``b_label`` rows?
+
+    Sort-free distributed shape (the :func:`grouped_spearman` histogram
+    rule): ONE per-batch partial pass counts (value -> a-count,
+    b-count), one int-keyed ``grouped_sum`` co-locates the per-value
+    histogram (shuffle bounded by DISTINCT cent values, never rows),
+    and the driver finishes on the bounded histogram with EXACT integer
+    arithmetic — doubled average ranks 2r = 2·cum_below + cnt + 1, so
+    2·R_A = Σ ca·(2·cum_below + cnt + 1) is an exact Python big-int
+    even past int64 at 10^12 rows, as are the tie term Σ(t³−t) and the
+    U numerator.  Only the final z-score divides into float64, through
+    the SAME expression tree as the SQL twin.
+
+    U = R_A − n_A(n_A+1)/2; z = (U − n_A n_B/2) /
+    sqrt(n_A n_B/12 · ((n+1) − T/(n(n−1)))) with the tie-corrected
+    variance (no continuity correction — the twin convention).
+
+    Output (eager, one row): (n_a:int64, n_b:int64, u:float64 — exact
+    .5 steps, unrounded; z:float64 rounded to ``round_to``).
+    """
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import grouped_sum
+
+    def hist_partial(df: pd.DataFrame) -> pa.Table:
+        lab = df[group_col]
+        keep = lab.isin([a_label, b_label]).to_numpy()
+        v = df[value_col].to_numpy(dtype=np.float64)[keep]
+        snapped = (
+            np.rint(v * 100.0).astype(np.int64)
+            if cents
+            else np.rint(v).astype(np.int64)
+        )
+        is_a = (lab.to_numpy()[keep] == a_label).astype(np.int64)
+        g = pd.DataFrame({"v": snapped, "ca": is_a, "cb": 1 - is_a})
+        return arrow_out(g.groupby("v", as_index=False)[["ca", "cb"]].sum())
+
+    hist = (
+        grouped_sum(
+            ds.select_columns([group_col, value_col]).map_batches(
+                hist_partial, batch_format="pandas"
+            ),
+            ["v"],
+            ["ca", "cb"],
+        )
+        .to_pandas()  # bounded: one row per distinct cent value
+        .sort_values("v")
+    )
+
+    ca = hist["ca"].to_numpy(dtype=np.int64)
+    cnt = (ca + hist["cb"].to_numpy(dtype=np.int64)).astype(np.int64)
+    cum_below = np.cumsum(cnt) - cnt
+    # exact big-int finish: numpy would overflow int64 at corpus scale
+    r2a = int(np.sum(ca.astype(object) * (2 * cum_below + cnt + 1)))
+    n_a = int(ca.sum())
+    n_b = int(hist["cb"].sum())
+    n = n_a + n_b
+    tie_t = int(np.sum(cnt.astype(object) ** 3 - cnt, dtype=object))
+    u = (r2a - n_a * (n_a + 1)) / 2.0
+    if n_a == 0 or n_b == 0 or n < 2:
+        z = float("nan")
+    else:
+        var = n_a * n_b / 12.0 * ((n + 1) - tie_t / (n * (n - 1)))
+        z = (
+            round((u - n_a * n_b / 2.0) / np.sqrt(var), round_to)
+            if var > 0
+            else float("nan")
+        )
+    return pd.DataFrame(
+        {
+            "n_a": pd.Series([n_a], dtype="int64"),
+            "n_b": pd.Series([n_b], dtype="int64"),
+            "u": pd.Series([u], dtype="float64"),
+            "z": pd.Series([z], dtype="float64"),
+        }
+    )

@@ -11965,3 +11965,50 @@ def q_feed_items(sf_dir: str) -> ray.data.Dataset:
 
 QUERIES["sitemap_entries"] = q_sitemap_entries
 QUERIES["feed_items"] = q_feed_items
+
+
+# ------------------------------------------------ rank-sum test
+
+
+def q_mannwhitney_value(sf_dir: str) -> pd.DataFrame:
+    """Mann-Whitney U rank-sum test: do 'purchase' event values sit
+    higher than 'view' values?  One bounded value-histogram shuffle,
+    exact big-int rank sums at the driver (ops/profile.mann_whitney_u)."""
+    from pdf_parser_ray.ops.profile import mann_whitney_u
+
+    events = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return mann_whitney_u(events, "value", "event_type", "purchase", "view")
+
+
+QUERIES["mannwhitney_value"] = q_mannwhitney_value
+
+SQL["mannwhitney_value"] = """
+    WITH s AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS v,
+               (event_type = 'purchase')::BIGINT AS ia
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    h AS (
+        SELECT v, sum(ia) AS ca, sum(1 - ia) AS cb FROM s GROUP BY v
+    ),
+    r AS (
+        SELECT ca, cb, ca + cb AS cnt,
+               sum(ca + cb) OVER (ORDER BY v) - (ca + cb) AS cum_below
+        FROM h
+    ),
+    agg AS (
+        SELECT sum(ca * (2 * cum_below + cnt + 1)) AS r2a,
+               sum(ca) AS na, sum(cb) AS nb, sum(cnt) AS n,
+               sum(cnt * cnt * cnt - cnt) AS tie_t
+        FROM r
+    )
+    SELECT CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           (r2a - na * (na + 1)) / 2.0 AS u,
+           round(((r2a - na * (na + 1)) / 2.0 - na * nb / 2.0)
+                 / sqrt(na * nb / 12.0
+                        * ((n + 1) - tie_t / (n * (n - 1)))), 6) AS z
+    FROM agg
+"""

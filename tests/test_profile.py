@@ -410,3 +410,66 @@ class TestRankingMetrics:
             ray.data.from_pandas(df).repartition(11), "score", "rel", "id"
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestMannWhitneyU:
+    def _serial(self, a, b):
+        # textbook twin: average ranks over the pooled sample
+        pooled = pd.Series(list(a) + list(b))
+        ranks = pooled.rank(method="average")
+        ra = ranks.iloc[: len(a)].sum()
+        na, nb = len(a), len(b)
+        u = ra - na * (na + 1) / 2
+        n = na + nb
+        t = pooled.value_counts().to_numpy()
+        tie = float((t**3 - t).sum())
+        var = na * nb / 12.0 * ((n + 1) - tie / (n * (n - 1)))
+        z = (u - na * nb / 2.0) / np.sqrt(var)
+        return u, z
+
+    def test_vs_serial_twin_with_ties(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.profile import mann_whitney_u
+
+        rng = np.random.RandomState(7)
+        a = np.round(rng.gamma(2.0, 5.0, 400), 2)  # shifted population
+        b = np.round(rng.gamma(2.0, 4.0, 300), 2)  # heavy ties at 2dp
+        df = pd.DataFrame(
+            {
+                "grp": ["a"] * len(a) + ["b"] * len(b),
+                "value": np.concatenate([a, b]),
+            }
+        )
+        out = mann_whitney_u(
+            ray.data.from_pandas(df).repartition(7),
+            "value",
+            "grp",
+            "a",
+            "b",
+        )
+        u_ref, z_ref = self._serial(
+            np.rint(a * 100).astype(int), np.rint(b * 100).astype(int)
+        )
+        assert out["n_a"].iloc[0] == 400 and out["n_b"].iloc[0] == 300
+        assert out["u"].iloc[0] == u_ref
+        assert abs(out["z"].iloc[0] - z_ref) < 1e-6
+
+    def test_other_labels_ignored_and_sign(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.profile import mann_whitney_u
+
+        df = pd.DataFrame(
+            {
+                "grp": ["a", "a", "a", "b", "b", "b", "x", "x"],
+                "value": [10.0, 11.0, 12.0, 1.0, 2.0, 3.0, 99.0, 98.0],
+            }
+        )
+        out = mann_whitney_u(
+            ray.data.from_pandas(df), "value", "grp", "a", "b"
+        )
+        # every a beats every b: U = na*nb = 9, z positive
+        assert out["n_a"].iloc[0] == 3 and out["n_b"].iloc[0] == 3
+        assert out["u"].iloc[0] == 9.0
+        assert out["z"].iloc[0] > 0
