@@ -2641,3 +2641,89 @@ def stem_vocab(
         finish,
         **kw,
     )
+
+
+def _kgram_hashes(s: str, k: int) -> "object":
+    """All k-gram rolling hashes of ``s`` (UTF-8 bytes; ASCII corpora
+    contract as :func:`rolling_fingerprint_batch`), uint64 wraparound:
+    hash(s..s+k-1) = Σ b_j · B^(k-1-j) mod 2^64 — the exact value the
+    generated DuckDB twins recompute with precomputed powers."""
+    import numpy as np
+
+    B = np.uint64(1000003)
+    inv = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for _ in range(6):
+            inv = inv * (np.uint64(2) - B * inv)
+    data = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    n = len(data)
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        inv_pows = np.empty(n, dtype=np.uint64)
+        inv_pows[0] = 1
+        if n > 1:
+            np.cumprod(np.full(n - 1, inv, dtype=np.uint64), out=inv_pows[1:])
+        pows = np.empty(n, dtype=np.uint64)
+        pows[0] = 1
+        if n > 1:
+            np.cumprod(np.full(n - 1, B, dtype=np.uint64), out=pows[1:])
+        S = np.cumsum(data * inv_pows, dtype=np.uint64)
+        ends = np.arange(k - 1, n)
+        starts = ends - k + 1
+        diffs = S[ends] - np.where(starts > 0, S[starts - 1], np.uint64(0))
+        return diffs * pows[k - 1] * pows[starts]
+
+
+def winnow_fingerprint_batch(
+    df: pd.DataFrame, *, k: int = 8, w: int = 4
+) -> pd.DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): over the sequence of k-gram
+    rolling hashes, each window of ``w`` consecutive hashes selects its
+    minimum (RIGHTMOST occurrence on ties, the paper's robust-winnowing
+    rule); the deduplicated selections are the document's fingerprint
+    set.  Guarantee: any substring match of length ≥ w + k − 1 shares
+    at least one fingerprint — the local-selection property uniform
+    random sampling lacks.
+
+    Row-local and fully vectorized per document (sliding_window_view +
+    reversed argmin for the rightmost-tie rule); documents shorter than
+    k characters emit no fingerprints, and documents with fewer than
+    ``w`` k-grams winnow a single window spanning all of them.
+
+    Output: one row per DISTINCT (doc_id, fingerprint) — the exploded
+    fingerprint relation downstream cross-doc grouping consumes.
+    """
+    import numpy as np
+
+    doc_ids: list = []
+    fps: list = []
+    for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
+        hs = _kgram_hashes(text, k)
+        nh = len(hs)
+        if nh == 0:
+            continue
+        if nh < w:
+            windows = hs[None, :]
+        else:
+            windows = np.lib.stride_tricks.sliding_window_view(hs, w)
+        rev = windows[:, ::-1]
+        off = np.argmin(rev, axis=1)
+        sel = np.arange(len(windows)) + (windows.shape[1] - 1 - off)
+        uniq = np.unique(hs[np.unique(sel)])
+        doc_ids.append(np.full(len(uniq), doc_id, dtype=np.int64))
+        fps.append(uniq)
+    if not doc_ids:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "fp": pd.Series([], dtype="uint64"),
+            }
+        )
+    return pd.DataFrame(
+        {
+            "doc_id": np.concatenate(doc_ids),
+            "fp": np.concatenate(fps).astype("uint64"),
+        }
+    )

@@ -12012,3 +12012,118 @@ SQL["mannwhitney_value"] = """
                         * ((n + 1) - tie_t / (n * (n - 1)))), 6) AS z
     FROM agg
 """
+
+
+# ------------------------------------------------ winnowing (MOSS)
+
+
+def _winnow_fps(sf_dir: str) -> ray.data.Dataset:
+    from pdf_parser_ray.ops.text_stats import winnow_fingerprint_batch
+
+    return _documents(sf_dir).map_batches(
+        lambda df: winnow_fingerprint_batch(df, k=8, w=4),
+        batch_format="pandas",
+    )
+
+
+def q_winnow_doc_fps(sf_dir: str) -> ray.data.Dataset:
+    """Winnowing fingerprint count per document (Schleimer et al. 2003,
+    k=8, w=4, rightmost-tie rule).  Zero shuffle: each document's
+    fingerprints are selected row-locally, counts finish in the same
+    batch."""
+    from pdf_parser_ray.io_utils import arrow_out
+
+    def count(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("doc_id", as_index=False).size()
+        g.columns = ["doc_id", "n_fps"]
+        return arrow_out(g.astype({"doc_id": "int64", "n_fps": "int64"}))
+
+    return _winnow_fps(sf_dir).map_batches(count, batch_format="pandas")
+
+
+def q_winnow_shared(sf_dir: str) -> ray.data.Dataset:
+    """Cross-document winnowing matches: fingerprints selected in ≥2
+    documents, top-100 by spread — the MOSS match-detection step.  ONE
+    int-keyed co-location on the fingerprint (batch rows are already
+    per-doc distinct), then a driver-sized sort-limit."""
+    from pdf_parser_ray.ops.shuffle import grouped_agg
+
+    agg = grouped_agg(
+        _winnow_fps(sf_dir),
+        ["fp"],
+        {
+            "n_docs": ("doc_id", "size"),
+            "min_doc": ("doc_id", "min"),
+            "max_doc": ("doc_id", "max"),
+        },
+    )
+    return (
+        agg.filter(expr="n_docs >= 2")
+        .sort(["n_docs", "fp"], descending=[True, False])
+        .limit(100)
+    )
+
+
+QUERIES["winnow_doc_fps"] = q_winnow_doc_fps
+QUERIES["winnow_shared"] = q_winnow_shared
+
+_WINNOW_K = 8
+_WINNOW_W = 4
+_WINNOW_POWERS = (
+    "[" + ",".join(str(pow(1000003, k, 1 << 64)) for k in range(_WINNOW_K)) + "]"
+)
+
+# Winnowing twin: same B/powers mod-2^64 hash as rolling_fingerprint,
+# then per-window rightmost-min selection re-derived with list ops.
+_WINNOW_FP_CTE = f"""
+    WITH c AS (
+      SELECT doc_id, length(text) AS n,
+             list_transform(range(1, length(text) + 1), i -> ord(text[i])) AS cps
+      FROM documents WHERE length(text) >= {_WINNOW_K}
+    ),
+    h AS (
+      SELECT doc_id, n - {_WINNOW_K} + 1 AS nh,
+             list_transform(range(0, n - {_WINNOW_K} + 1), s ->
+               list_sum(list_transform(range(0, {_WINNOW_K}), j ->
+                 cps[s + j + 1] * ({_WINNOW_POWERS})[{_WINNOW_K} - j]))
+               % 18446744073709551616) AS hs
+      FROM c
+    ),
+    sel AS (
+      SELECT doc_id, hs,
+        CASE WHEN nh < {_WINNOW_W} THEN
+          [list_max(list_transform(range(1, nh + 1), j ->
+             CASE WHEN hs[j] = list_min(hs) THEN j ELSE 0 END))]
+        ELSE
+          list_transform(range(0, nh - {_WINNOW_W} + 1), t ->
+            list_max(list_transform(range(1, {_WINNOW_W} + 1), j ->
+              CASE WHEN hs[t + j] = list_min(hs[t + 1 : t + {_WINNOW_W}])
+                   THEN t + j ELSE 0 END)))
+        END AS sel_pos
+      FROM h
+    ),
+    fp AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               list_transform(list_distinct(sel_pos), p -> hs[p])))
+               ::UBIGINT AS fp
+      FROM sel
+    )
+"""
+
+SQL["winnow_doc_fps"] = (
+    _WINNOW_FP_CTE
+    + """
+    SELECT doc_id, count(*)::BIGINT AS n_fps FROM fp GROUP BY doc_id
+"""
+)
+
+SQL["winnow_shared"] = (
+    _WINNOW_FP_CTE
+    + """
+    SELECT fp, count(*)::BIGINT AS n_docs,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM fp GROUP BY fp HAVING count(*) >= 2
+    ORDER BY n_docs DESC, fp LIMIT 100
+"""
+)

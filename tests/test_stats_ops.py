@@ -1066,3 +1066,64 @@ class TestLooGroupEffect:
         assert out["group_mean"].tolist() == [15.0, 60.0, 10.0]
         assert out["loo_mean"].tolist() == [35.0, 40 / 3, 30.0]
         assert out["delta"].tolist() == [10.0, 40 / 3 - 25.0, 5.0]
+
+
+class TestWinnowFingerprints:
+    K, W = 8, 4
+
+    def _serial(self, text):
+        # naive winnowing: k-gram polynomial hashes mod 2^64, window of
+        # W hash positions, rightmost minimum, dedup selections
+        B, M = 1000003, 1 << 64
+        data = text.encode("utf-8")
+        if len(data) < self.K:
+            return set()
+        hs = []
+        for s in range(len(data) - self.K + 1):
+            h = 0
+            for j in range(self.K):
+                h = (h * B + data[s + j]) % M
+            hs.append(h)
+        sel = set()
+        if len(hs) < self.W:
+            windows = [range(len(hs))]
+        else:
+            windows = [range(t, t + self.W) for t in range(len(hs) - self.W + 1)]
+        for win in windows:
+            m = min(hs[i] for i in win)
+            sel.add(max(i for i in win if hs[i] == m))
+        return {hs[i] for i in sel}
+
+    def _run(self, texts):
+        from pdf_parser_ray.ops.text_stats import winnow_fingerprint_batch
+
+        df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        out = winnow_fingerprint_batch(df, k=self.K, w=self.W)
+        return {
+            d: set(g["fp"].tolist()) for d, g in out.groupby("doc_id")
+        }
+
+    def test_vs_serial_naive(self):
+        rng = np.random.RandomState(11)
+        texts = [
+            "".join(rng.choice(list("abcdef "), size=n))
+            for n in [0, 3, 8, 10, 11, 40, 200, 500]
+        ]
+        got = self._run(texts)
+        for i, t in enumerate(texts):
+            exp = self._serial(t)
+            assert got.get(i, set()) == exp, f"doc {i} ({len(t)} chars)"
+
+    def test_match_guarantee(self):
+        # any shared substring of length >= W + K - 1 = 11 must share
+        # at least one fingerprint (the winnowing guarantee)
+        shared = "THE-COMMON-PASSAGE"
+        a = "xxxxyyyyzzzz" + shared + "qqqqrrrr"
+        b = "123456789012345" + shared + "abcdabcd"
+        got = self._run([a, b])
+        assert got[0] & got[1], "winnowing guarantee violated"
+
+    def test_degenerate_uniform_text(self):
+        # all k-grams identical -> exactly one fingerprint
+        got = self._run(["a" * 100])
+        assert len(got[0]) == 1
