@@ -2263,3 +2263,134 @@ def mann_whitney_u(
             "z": pd.Series([z], dtype="float64"),
         }
     )
+
+
+def _pca_fit(
+    ds: ray.data.Dataset, col: str, n_components: int
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+    """PCA fit on the dim×dim moment pass (the fit-small half): one
+    Gram-partial scan (O(batches × dim²) shuffle rows, the
+    :func:`embedding_covariance` plan), covariance + eigendecomposition
+    at the driver.  Deterministic sign: each component's largest-|x|
+    element (lowest index on ties) is made positive.
+
+    Returns (mean[dim], components[n_components, dim] eigenvalue-DESC,
+    eigenvalues[n_components])."""
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import grouped_sum
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        m = np.vstack(df[col].to_numpy()).astype(np.float64)
+        gram = m.T @ m
+        s = m.sum(axis=0)
+        iu, ju = np.triu_indices(m.shape[1])
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    "i": iu.astype(np.int64),
+                    "j": ju.astype(np.int64),
+                    "sxy": gram[iu, ju],
+                    "si": s[iu],
+                    "sj": s[ju],
+                    "n": np.int64(m.shape[0]),
+                }
+            )
+        )
+
+    mom = grouped_sum(
+        ds.select_columns([col]).map_batches(partial, batch_format="pandas"),
+        ["i", "j"],
+        ["sxy", "si", "sj", "n"],
+    ).to_pandas()  # dim(dim+1)/2 rows — driver-sized by construction
+
+    dim = int(mom["i"].max()) + 1
+    cov = np.zeros((dim, dim))
+    mean = np.zeros(dim)
+    n = float(mom["n"].iloc[0])
+    for _, r in mom.iterrows():
+        i, j = int(r["i"]), int(r["j"])
+        c = (r["sxy"] - r["si"] * r["sj"] / n) / n
+        cov[i, j] = cov[j, i] = c
+        if i == j:
+            mean[i] = r["si"] / n
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T.copy()
+    evals = evals[order]
+    for c in comps:  # deterministic sign
+        pivot = int(np.argmax(np.abs(c)))
+        if c[pivot] < 0:
+            c *= -1.0
+    return mean, comps, evals
+
+
+def embedding_pca(
+    ds: ray.data.Dataset,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    n_components: int = 2,
+    round_to: int = 6,
+) -> ray.data.Dataset:
+    """PCA projection of every embedding onto the top principal
+    components — fit-small / apply-wide (the :func:`embedding_pca_variance`
+    fit broadcast once via ``ray.put``, a linear-algebra sibling of
+    :func:`~pdf_parser_ray.ops.similarity.jl_project` where the basis is
+    LEARNED from the moment pass instead of seeded): dimensionality
+    reduction before clustering / visualization / coreset selection.
+
+    Scale shape: the fit sees only dim×dim moments; the apply is one
+    stateless vectorized matmul pass per batch with the (mean,
+    components) lookup shipped once per worker — zero shuffle.
+
+    Output: (id_col, pc1..pcK:float64 rounded to ``round_to``).
+    """
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.stages import worker_state
+
+    mean, comps, _ = _pca_fit(ds, col, n_components)
+    fit_ref = ray.put((mean, comps))
+
+    def project(df: pd.DataFrame) -> pa.Table:
+        mu, cs = worker_state(
+            ("pca_fit", fit_ref.hex()), lambda: ray.get(fit_ref)
+        )
+        m = np.vstack(df[col].to_numpy()).astype(np.float64)
+        proj = np.round((m - mu) @ cs.T, round_to)
+        out = pd.DataFrame({id_col: df[id_col].astype("int64")})
+        for c in range(proj.shape[1]):
+            out[f"pc{c + 1}"] = proj[:, c]
+        return arrow_out(out)
+
+    return ds.select_columns([id_col, col]).map_batches(
+        project, batch_format="pandas"
+    )
+
+
+def embedding_pca_variance(
+    ds: ray.data.Dataset,
+    col: str = "embedding",
+    *,
+    n_components: int = 4,
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """Explained-variance readout of the PCA fit: eigenvalue and
+    explained-variance ratio per retained component (the scree table
+    that decides K before :func:`embedding_pca` applies it).  One
+    moment pass, full eigenspectrum at the driver; evr denominator is
+    the covariance trace = Σ all eigenvalues.
+
+    Output (eager, n_components rows): (component:int64,
+    eigenvalue:float64, evr:float64), eigenvalue DESC."""
+    probe = ds.limit(1).take(1)[0][col]
+    dim = len(probe)
+    _mean, _comps, evals_all = _pca_fit(ds, col, dim)
+    trace = float(evals_all.sum())
+    k = min(n_components, len(evals_all))
+    return pd.DataFrame(
+        {
+            "component": pd.Series(range(1, k + 1), dtype="int64"),
+            "eigenvalue": np.round(evals_all[:k], round_to),
+            "evr": np.round(evals_all[:k] / trace, round_to),
+        }
+    )

@@ -12127,3 +12127,35 @@ SQL["winnow_shared"] = (
     ORDER BY n_docs DESC, fp LIMIT 100
 """
 )
+
+
+# ------------------------------------------------ PCA (fit small, apply wide)
+
+
+def q_embedding_pca(sf_dir: str) -> ray.data.Dataset:
+    """PCA projection of every embedding onto the learned top-2
+    components (fit = one dim×dim moment pass; apply = broadcast
+    matmul, zero shuffle).  Iterative eigendecomposition -> rows-only;
+    numerics pinned by test_profile TestEmbeddingPca vs numpy."""
+    from pdf_parser_ray.ops.profile import embedding_pca
+
+    emb = _read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return embedding_pca(emb, n_components=2)
+
+
+def q_pca_scree(sf_dir: str) -> pd.DataFrame:
+    """Scree table of the embedding PCA fit: top-4 eigenvalues +
+    explained-variance ratios (evr denominator = full covariance
+    trace).  Rows-only (eigensolver); invariants pinned in pytest."""
+    from pdf_parser_ray.ops.profile import embedding_pca_variance
+
+    emb = _read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return embedding_pca_variance(emb, n_components=4)
+
+
+QUERIES["embedding_pca"] = q_embedding_pca
+QUERIES["pca_scree"] = q_pca_scree

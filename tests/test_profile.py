@@ -473,3 +473,75 @@ class TestMannWhitneyU:
         assert out["n_a"].iloc[0] == 3 and out["n_b"].iloc[0] == 3
         assert out["u"].iloc[0] == 9.0
         assert out["z"].iloc[0] > 0
+
+
+class TestEmbeddingPca:
+    def _data(self, n=300, dim=6, seed=3):
+        rng = np.random.RandomState(seed)
+        # anisotropic: variance concentrated on two known directions
+        scale = np.linspace(5.0, 0.1, dim)
+        base = rng.randn(n, dim) * scale
+        return pd.DataFrame(
+            {"vec_id": range(n), "embedding": list(base + rng.randn(dim))}
+        )
+
+    def test_matches_numpy_pca(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.profile import embedding_pca
+
+        df = self._data()
+        out = (
+            embedding_pca(
+                ray.data.from_pandas(df).repartition(5), n_components=2
+            )
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        m = np.vstack(df["embedding"].to_numpy())
+        mu = m.mean(axis=0)
+        cov = (m - mu).T @ (m - mu) / len(m)
+        evals, evecs = np.linalg.eigh(cov)
+        order = np.argsort(evals)[::-1][:2]
+        comps = evecs[:, order].T.copy()
+        for c in comps:
+            if c[np.argmax(np.abs(c))] < 0:
+                c *= -1.0
+        exp = (m - mu) @ comps.T
+        # moment-pass covariance differs from the centered two-pass one
+        # only in float summation order -> projections agree to ~1e-6
+        assert np.allclose(out[["pc1", "pc2"]].to_numpy(), exp, atol=1e-4)
+
+    def test_partitioning_invariant(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.profile import embedding_pca
+
+        df = self._data(n=120, dim=4, seed=9)
+        outs = []
+        for parts in (1, 7):
+            outs.append(
+                embedding_pca(
+                    ray.data.from_pandas(df).repartition(parts),
+                    n_components=2,
+                )
+                .to_pandas()
+                .sort_values("vec_id")
+                .reset_index(drop=True)
+            )
+        pd.testing.assert_frame_equal(outs[0], outs[1], atol=1e-9, rtol=0)
+
+    def test_scree_invariants(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.profile import embedding_pca_variance
+
+        df = self._data(n=200, dim=5, seed=1)
+        out = embedding_pca_variance(
+            ray.data.from_pandas(df), n_components=5
+        )
+        ev = out["eigenvalue"].to_numpy()
+        assert (np.diff(ev) <= 1e-12).all()  # descending
+        assert (ev >= -1e-9).all()
+        assert abs(out["evr"].sum() - 1.0) < 1e-4  # all 5 of 5 dims
