@@ -2856,3 +2856,151 @@ def pointer_jump(
         )
 
     return ptr.map_batches(out, batch_format="pandas")
+
+
+def snm_candidate_pairs(
+    ds: ray.data.Dataset,
+    key_col: str,
+    id_col: str,
+    *,
+    window: int = 8,
+    min_common: int = 1,
+) -> ray.data.Dataset:
+    """Sorted-neighborhood record linkage (Hernández & Stolfo 1995):
+    sort by the blocking key, slide a ``window``-record pane, emit
+    candidate pairs gated by distinct-token overlap — the sort-based
+    classic next to the token-blocking tier of
+    :func:`fuzzy_string_pairs`.
+
+    Distributed shape: ONE slim (key, id) sort — the algorithm's
+    inherent shuffle — materialized once; within-block pairs come from
+    vectorized shifted frames (batch == sorted block), and the
+    cross-block pane positions are reconstructed EXACTLY at the driver
+    from each block's first/last ``window−1`` rows + block length
+    (bounded: blocks × 2(window−1) rows).  Blocks shorter than the pane
+    are fully contained in that edge sample, so multi-block chains
+    resolve exactly too.  Total order (key, id) makes block key ranges
+    disjoint and the pane deterministic under any partitioning.
+
+    Output: (id_a, id_b:int64 — pane order, rank_a < rank_b;
+    n_common:int64 ≥ ``min_common`` distinct shared ``' '``-split
+    tokens, the ``list_intersect`` contract of the SQL twin).
+    """
+    slim = (
+        ds.select_columns([key_col, id_col])
+        .sort([key_col, id_col])
+        .materialize()  # reused by both passes; key+id columns only
+    )
+    w = window
+
+    def toks(keys: "list[str]") -> "list[set]":
+        return [set(("" if k is None else k).split(" ")) for k in keys]
+
+    def within(df: pd.DataFrame) -> pa.Table:
+        keys = df[key_col].tolist()
+        ids = df[id_col].to_numpy(dtype=np.int64)
+        ts = toks(keys)
+        n = len(df)
+        frames = []
+        for d in range(1, w):
+            if d >= n:
+                break
+            common = np.fromiter(
+                (len(ts[i] & ts[i + d]) for i in range(n - d)),
+                dtype=np.int64,
+                count=n - d,
+            )
+            m = common >= min_common
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "id_a": ids[: n - d][m],
+                        "id_b": ids[d:][m],
+                        "n_common": common[m],
+                    }
+                )
+            )
+        out = (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "n_common": pd.Series([], dtype="int64"),
+                }
+            )
+        )
+        return arrow_out(out)
+
+    pairs_within = slim.map_batches(
+        within, batch_format="pandas", batch_size=None
+    )
+
+    def edges(df: pd.DataFrame) -> pa.Table:
+        import uuid
+
+        n = len(df)
+        off = np.arange(n)
+        keep = (off < w - 1) | (off >= n - (w - 1))
+        out = pd.DataFrame(
+            {
+                "block": uuid.uuid4().hex,
+                "n": np.int64(n),
+                "off": off[keep],
+                "key": df[key_col].to_numpy()[keep],
+                "id": df[id_col].to_numpy(dtype=np.int64)[keep],
+            }
+        )
+        return arrow_out(out)
+
+    edf = (
+        slim.map_batches(edges, batch_format="pandas", batch_size=None)
+        .to_pandas()  # bounded: blocks × 2(window−1) rows
+    )
+    cross = pd.DataFrame(
+        {
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64"),
+            "n_common": pd.Series([], dtype="int64"),
+        }
+    )
+    if len(edf):
+        # global ranks: blocks ordered by their minimum (key, id)
+        # block order = order of each block's FIRST sorted row (off == 0)
+        # — tuple (key, id) order; independent min(key), min(id) would
+        # misorder blocks that share boundary keys
+        starts = (
+            edf[edf["off"] == 0]
+            .rename(columns={"key": "key0", "id": "id0"})
+            .loc[:, ["block", "n", "key0", "id0"]]
+            .sort_values(["key0", "id0"])
+            .reset_index(drop=True)
+        )
+        starts["start"] = starts["n"].cumsum() - starts["n"]
+        base = dict(zip(starts["block"], starts["start"]))
+        edf = edf.assign(rank=[base[b] for b in edf["block"]] + edf["off"])
+        edf = edf.sort_values("rank").reset_index(drop=True)
+        ts = toks(edf["key"].tolist())
+        ranks = edf["rank"].to_numpy()
+        blocks = edf["block"].to_numpy()
+        ids = edf["id"].to_numpy(dtype=np.int64)
+        rows = []
+        for i in range(len(edf)):
+            j = i + 1
+            while j < len(edf) and ranks[j] - ranks[i] < w:
+                if blocks[j] != blocks[i]:
+                    c = len(ts[i] & ts[j])
+                    if c >= min_common:
+                        rows.append((ids[i], ids[j], c))
+                j += 1
+        if rows:
+            cross = pd.DataFrame(
+                rows, columns=["id_a", "id_b", "n_common"]
+            ).astype("int64")
+
+    import pyarrow as _pa
+
+    return pairs_within.union(
+        ray.data.from_arrow(_pa.Table.from_pandas(cross, preserve_index=False))
+    )

@@ -12159,3 +12159,39 @@ def q_pca_scree(sf_dir: str) -> pd.DataFrame:
 
 QUERIES["embedding_pca"] = q_embedding_pca
 QUERIES["pca_scree"] = q_pca_scree
+
+
+# ------------------------------------------------ sorted-neighborhood linkage
+
+
+def q_snm_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Sorted-neighborhood candidate pairs over part names (window 8,
+    ≥1 shared token): ONE slim (key,id) sort, shifted-frame pane within
+    blocks, exact cross-block pane reconstruction from bounded block
+    edges (ops/dedup.snm_candidate_pairs)."""
+    from pdf_parser_ray.ops.dedup import snm_candidate_pairs
+
+    part = _read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+    return snm_candidate_pairs(
+        part, "p_name", "p_partkey", window=8, min_common=1
+    )
+
+
+QUERIES["snm_pairs"] = q_snm_pairs
+
+SQL["snm_pairs"] = """
+    WITH r AS (
+      SELECT p_partkey AS id, p_name AS key,
+             row_number() OVER (ORDER BY p_name, p_partkey) AS rk
+      FROM part
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           len(list_intersect(list_distinct(string_split(a.key, ' ')),
+                              list_distinct(string_split(b.key, ' '))))::BIGINT
+             AS n_common
+    FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 7
+    WHERE len(list_intersect(list_distinct(string_split(a.key, ' ')),
+                             list_distinct(string_split(b.key, ' ')))) >= 1
+"""

@@ -1127,3 +1127,54 @@ class TestWinnowFingerprints:
         # all k-grams identical -> exactly one fingerprint
         got = self._run(["a" * 100])
         assert len(got[0]) == 1
+
+
+class TestSnmCandidatePairs:
+    def _serial(self, df, window=8, min_common=1):
+        s = df.sort_values(["key", "id"]).reset_index(drop=True)
+        toks = [set(k.split(" ")) for k in s["key"]]
+        ids = s["id"].to_numpy()
+        out = set()
+        for i in range(len(s)):
+            for j in range(i + 1, min(i + window, len(s))):
+                c = len(toks[i] & toks[j])
+                if c >= min_common:
+                    out.add((int(ids[i]), int(ids[j]), c))
+        return out
+
+    def _run(self, df, parts, window=8):
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import snm_candidate_pairs
+
+        got = snm_candidate_pairs(
+            ray.data.from_pandas(df).repartition(parts),
+            "key",
+            "id",
+            window=window,
+        ).to_pandas()
+        return {
+            (int(a), int(b), int(c))
+            for a, b, c in zip(got["id_a"], got["id_b"], got["n_common"])
+        }
+
+    def _data(self, n, seed):
+        rng = np.random.RandomState(seed)
+        words = ["cold", "hot", "small", "large", "widget", "bolt", "rod"]
+        keys = [
+            " ".join(rng.choice(words, size=2, replace=False)) for _ in range(n)
+        ]
+        return pd.DataFrame({"id": range(n), "key": keys})
+
+    def test_multiblock_parity(self, ray_session):
+        df = self._data(400, 5)
+        assert self._run(df, 9) == self._serial(df)
+
+    def test_blocks_smaller_than_window(self, ray_session):
+        # ~2-row sorted blocks force cross-pane chains over MANY blocks
+        df = self._data(90, 8)
+        assert self._run(df, 40) == self._serial(df)
+
+    def test_single_partition(self, ray_session):
+        df = self._data(60, 2)
+        assert self._run(df, 1) == self._serial(df)
