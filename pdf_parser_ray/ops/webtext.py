@@ -1682,3 +1682,61 @@ def registered_domains(
         ["n_urls"],
         **kw,
     )
+
+
+_URL_STRIP_QF = re.compile(r"[#?].*$", re.ASCII | re.DOTALL)
+_URL_AUTHORITY = re.compile(
+    r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)", re.ASCII
+)
+_URL_DIGIT_SEG = re.compile(r"[0-9]+", re.ASCII)
+
+
+def url_templates(ds: "ray.data.Dataset", url_col: str = "url"):
+    """URL template mining (crawl-structure discovery): generalize each
+    URL's path by collapsing digit-only segments to ``<d>`` and roll up
+    per (host, template) — the pattern census that finds paginated /
+    id-parameterized site sections before a crawler burns budget on
+    them (cf. Koppula et al., WSDM 2010 — learning URL patterns for
+    webpage de-duplication).
+
+    Vectorized strip of query/fragment + authority extraction; the
+    per-segment digit test is a bounded loop over path segments.  ONE
+    co-location on (host, template) over batch-deduped
+    (host, template, path) partials — shuffle bounded by distinct
+    paths, never raw rows.
+
+    Output: (host, template, n_urls:int64 — total rows,
+    n_paths:int64 — distinct concrete paths under the template).
+    """
+    import ray.data  # noqa: F401
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import grouped_agg
+
+    def partial(df: pd.DataFrame) -> "object":
+        u1 = df[url_col].astype(str).str.replace(_URL_STRIP_QF, "", regex=True)
+        host = u1.str.extract(_URL_AUTHORITY, expand=False).fillna("").str.lower()
+        path = u1.str.replace(
+            r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", "", regex=True
+        )
+        tmpl = [
+            "/".join(
+                "<d>" if s and _URL_DIGIT_SEG.fullmatch(s) else s
+                for s in p.split("/")
+            )
+            for p in path
+        ]
+        g = pd.DataFrame({"host": host, "template": tmpl, "path": path})
+        return arrow_out(
+            g.groupby(["host", "template", "path"], as_index=False).agg(
+                cnt=("path", "size")
+            )
+        )
+
+    # n_paths = nunique over the co-located partition: a path split
+    # across batches contributes several partial rows but ONE distinct
+    return grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["host", "template"],
+        {"n_urls": ("cnt", "sum"), "n_paths": ("path", "nunique")},
+    )

@@ -12195,3 +12195,54 @@ SQL["snm_pairs"] = """
     WHERE len(list_intersect(list_distinct(string_split(a.key, ' ')),
                              list_distinct(string_split(b.key, ' ')))) >= 1
 """
+
+
+# ------------------------------------------------ URL template mining
+
+
+def q_url_templates(sf_dir: str) -> ray.data.Dataset:
+    """URL template census over the synthetic messy-URL fixture:
+    digit path segments collapse to <d>, rolled up per (host,
+    template) with total and distinct-path counts (one bounded
+    co-location; ops/webtext.url_templates)."""
+    from pdf_parser_ray.ops.webtext import url_templates
+
+    ds = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return url_templates(ds.map_batches(_synth_url_batch, batch_format="pandas"))
+
+
+QUERIES["url_templates"] = q_url_templates
+
+
+def _url_templates_sql() -> str:
+    raw = _canonical_urls_sql()
+    raw_cte = raw[raw.index("WITH raw AS") : raw.index("s1 AS")].rstrip()
+    assert raw_cte.endswith(","), raw_cte[-40:]
+    return (
+        raw_cte
+        + r"""
+    t AS (
+      SELECT regexp_replace(url, '[#?].*$', '') AS u1 FROM raw
+    ),
+    p AS (
+      SELECT lower(regexp_extract(u1, '^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)', 1))
+               AS host,
+             regexp_replace(u1, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', '') AS path
+      FROM t
+    ),
+    tm AS (
+      SELECT host,
+             array_to_string(list_transform(string_split(path, '/'),
+               s -> CASE WHEN s <> '' AND regexp_full_match(s, '[0-9]+')
+                         THEN '<d>' ELSE s END), '/') AS template,
+             path
+      FROM p
+    )
+    SELECT host, template, count(*)::BIGINT AS n_urls,
+           count(DISTINCT path)::BIGINT AS n_paths
+    FROM tm GROUP BY host, template
+"""
+    )
+
+
+SQL["url_templates"] = _url_templates_sql()

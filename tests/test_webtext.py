@@ -1026,3 +1026,53 @@ class TestUnigramLm:
         for w in sorted(words):
             segs = _viterbi_segment(w, logp, max_len, -1e9)
             assert "".join(segs) == w
+
+
+class TestUrlTemplates:
+    def test_edge_cases(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.webtext import url_templates
+
+        urls = [
+            "https://Ex.COM:443/blog/2024/05/post-1?q=1#top",  # digits collapse
+            "https://ex.com:443/blog/2019/11/post-2",          # same template
+            "http://ex.com/blog/2019/11/post-2",               # port differs -> host differs
+            "https://a.org/12/34/",                            # consecutive digit segs + trailing slash
+            "https://a.org/x12/7",                             # mixed seg stays literal
+            "https://a.org",                                   # no path at all
+        ]
+        out = (
+            url_templates(
+                ray.data.from_pandas(
+                    pd.DataFrame({"url": urls})
+                ).repartition(3)
+            )
+            .to_pandas()
+            .sort_values(["host", "template"])
+            .reset_index(drop=True)
+        )
+        got = {
+            (r.host, r.template): (r.n_urls, r.n_paths)
+            for r in out.itertuples()
+        }
+        assert got[("ex.com:443", "/blog/<d>/<d>/post-1")] == (1, 1)
+        assert got[("ex.com:443", "/blog/<d>/<d>/post-2")] == (1, 1)
+        assert got[("ex.com", "/blog/<d>/<d>/post-2")] == (1, 1)
+        assert got[("a.org", "/<d>/<d>/")] == (1, 1)
+        assert got[("a.org", "/x12/<d>")] == (1, 1)
+        assert got[("a.org", "")] == (1, 1)
+
+    def test_distinct_paths_across_batches(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.webtext import url_templates
+
+        # same path replicated over many partitions must count ONE
+        # distinct path; different ids under one template accumulate
+        urls = ["https://h.com/item/%d" % (i % 4) for i in range(40)]
+        out = url_templates(
+            ray.data.from_pandas(pd.DataFrame({"url": urls})).repartition(8)
+        ).to_pandas()
+        assert len(out) == 1
+        assert out["n_urls"].iloc[0] == 40 and out["n_paths"].iloc[0] == 4
