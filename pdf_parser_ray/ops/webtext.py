@@ -56,6 +56,11 @@ def _hash_passages(passages: list) -> np.ndarray:
     Collision odds at 2^-64 per pair are negligible even at 10^12
     passages; the SQL oracle groups by the raw passage STRING, which
     agrees except under such a collision.
+
+    CAVEAT: the underlying siphash reads each element as a C string —
+    it TRUNCATES at an embedded NUL, so keys containing "\\x00"
+    systematically collide (callers compose multi-part keys with "\\n"
+    instead; see host_boilerplate_strip).
     """
     if not len(passages):
         return np.empty(0, dtype=np.int64)
@@ -1740,3 +1745,146 @@ def url_templates(ds: "ray.data.Dataset", url_col: str = "url"):
         ["host", "template"],
         {"n_urls": ("cnt", "sum"), "n_paths": ("path", "nunique")},
     )
+
+
+def host_boilerplate_strip(
+    ds: ray.data.Dataset,
+    *,
+    host_col: str = "host",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_permille: int = 500,
+    min_docs: int = 2,
+    broadcast_limit: int = 5_000_000,
+) -> ray.data.Dataset:
+    """SITE-template removal — the host-scoped sibling of
+    :func:`line_dedup` (justext/CC-Net site heuristic): a line is
+    boilerplate for host H when it appears in ≥ ``min_permille``‰ of
+    H's documents (counted ONCE per document, however often the page
+    repeats it) and H has ≥ ``min_docs`` documents.  Catches nav bars /
+    footers that repeat on every page of ONE site but are globally rare
+    — invisible to the corpus-wide count.
+
+    Integer-exact gate: 1000·docs_with_line ≥ min_permille·host_docs
+    (no float ratio).  Shape: per-batch per-doc-unique (host, line)
+    sipkey partials → ONE uniform-key count shuffle; host doc totals
+    are a second bounded rollup broadcast as a dict; the hot
+    host-salted hash set broadcasts once (``broadcast_limit`` guard)
+    and the scrub pass is row-local — payloads never shuffle.  Blank
+    lines are structural (kept, never counted); every doc survives
+    with (n_lines, n_dropped) audit columns — the line_dedup contract.
+
+    Output: (id_col, clean_text, n_lines:int64, n_dropped:int64).
+    """
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.stages import worker_state
+
+    # "\n" separator: a line can never contain one (lines ARE the \n
+    # split) and hosts don't either, so host+SALT+line is injective.
+    # NOT "\x00": pandas.util.hash_array's siphash reads the string as
+    # a C string and truncates at NUL — every line of a host would
+    # collapse to one hash (found the hard way).
+    SALT = "\n"
+
+    def _norms(lines: list) -> list:
+        return [ln.strip(LINE_WS) for ln in lines]
+
+    # combo rows also need the host to apply the per-host threshold —
+    # carry it alongside the hash (string key rides the shuffle once)
+    def partial_counts_with_host(df: pd.DataFrame):
+        hosts: list = []
+        flat: list = []
+        for host, text in zip(df[host_col], df[text_col].fillna("")):
+            uniq = set(n for n in _norms(text.split("\n")) if n)
+            for n in uniq:
+                flat.append(host + SALT + n)
+                hosts.append(host)
+        h = _hash_passages(flat)
+        g = pd.DataFrame({"combo": h.astype(np.int64), "host": hosts})
+        g["n"] = np.int64(1)
+        return arrow_out(
+            g.groupby(["combo", "host"], as_index=False)["n"].sum()
+        )
+
+    # Max("host") is a constant per combo (the hash is host-salted);
+    # it just carries the string through the count shuffle
+    from ray.data.aggregate import Max
+
+    counts = (
+        ds.map_batches(partial_counts_with_host, batch_format="pandas")
+        .groupby("combo")
+        .aggregate(Sum("n", alias_name="n"), Max("host", alias_name="host"))
+    )
+
+    def host_totals(df: pd.DataFrame):
+        g = df.groupby(host_col, as_index=False)[id_col].count()
+        g.columns = ["host", "t"]
+        return arrow_out(g)
+
+    totals = (
+        ds.select_columns([host_col, id_col])
+        .map_batches(host_totals, batch_format="pandas")
+        .groupby("host")
+        .aggregate(Sum("t", alias_name="t"))
+        .to_pandas()  # bounded by distinct hosts
+    )
+    tot_ref = ray.put(dict(zip(totals["host"], totals["t"].astype(int))))
+
+    def hot_filter(df: pd.DataFrame):
+        tmap = worker_state(
+            ("hb_totals", tot_ref.hex()), lambda: ray.get(tot_ref)
+        )
+        t = df["host"].map(tmap).fillna(0).astype(np.int64)
+        keep = (1000 * df["n"].to_numpy() >= min_permille * t.to_numpy()) & (
+            t.to_numpy() >= min_docs
+        )
+        return arrow_out(df.loc[keep, ["combo"]])
+
+    hot_df = (
+        counts.map_batches(hot_filter, batch_format="pandas")
+        .limit(broadcast_limit + 1)
+        .to_pandas()
+    )
+    if "combo" not in hot_df.columns:
+        hot_df = pd.DataFrame({"combo": pd.Series([], dtype="int64")})
+    if len(hot_df) > broadcast_limit:
+        raise ValueError(
+            f"hot boilerplate set exceeds broadcast_limit={broadcast_limit}"
+        )
+    hot_ref = ray.put(np.sort(hot_df["combo"].to_numpy(dtype=np.int64)))
+
+    def scrub(df: pd.DataFrame):
+        hot_arr = worker_state(
+            ("hb_hot", hot_ref.hex()), lambda: ray.get(hot_ref)
+        )
+        ids, cleaned, n_lines, n_dropped = [], [], [], []
+        for doc_id, host, text in zip(
+            df[id_col], df[host_col], df[text_col].fillna("")
+        ):
+            lines = text.split("\n")
+            norms = _norms(lines)
+            nonblank = [host + SALT + n for n in norms if n]
+            h = _hash_passages(nonblank)
+            if hot_arr.size and h.size:
+                pos = np.searchsorted(hot_arr, h)
+                np.clip(pos, 0, hot_arr.size - 1, out=pos)
+                is_hot = iter(hot_arr[pos] == h)
+            else:
+                is_hot = iter([False] * len(nonblank))
+            kept = [ln for ln, nrm in zip(lines, norms)
+                    if not nrm or not next(is_hot)]
+            ids.append(doc_id)
+            cleaned.append("\n".join(kept))
+            n_lines.append(len(lines))
+            n_dropped.append(len(lines) - len(kept))
+        return arrow_out(pd.DataFrame(
+            {
+                id_col: pd.Series(ids, dtype="int64"),
+                "clean_text": pd.Series(cleaned, dtype="object"),
+                "n_lines": pd.Series(n_lines, dtype="int64"),
+                "n_dropped": pd.Series(n_dropped, dtype="int64"),
+            }
+        ))
+
+    return ds.map_batches(scrub, batch_format="pandas")

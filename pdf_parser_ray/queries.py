@@ -12246,3 +12246,97 @@ def _url_templates_sql() -> str:
 
 
 SQL["url_templates"] = _url_templates_sql()
+
+
+# ------------------------------------------------ site-template removal
+
+
+def q_host_boilerplate(sf_dir: str) -> ray.data.Dataset:
+    """Host-scoped boilerplate strip: docs rewrapped to 4-word lines
+    (the line_dedup fixture), host derived from doc_id%7, and a planted
+    per-host FOOTER line on every doc_id%3==0 page (~33% of each host
+    > the 300‰ gate).  Integer permille threshold, per-doc-once counts
+    (ops/webtext.host_boilerplate_strip)."""
+    from pdf_parser_ray.ops.webtext import host_boilerplate_strip
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.io_utils import arrow_out
+
+        host = "example" + (df["doc_id"] % 7).astype(str) + ".com"
+        wrapped = [
+            "\n".join(
+                " ".join(ws[i : i + 4]) for i in range(0, len(ws), 4)
+            )
+            for ws in (t.split(" ") for t in df["text"].fillna(""))
+        ]
+        footer = df["doc_id"] % 3 == 0
+        text = pd.Series(wrapped, index=df.index).where(
+            ~footer,
+            [w + "\nFOOTER " + h for w, h in zip(wrapped, host)],
+        )
+        return arrow_out(
+            pd.DataFrame(
+                {"doc_id": df["doc_id"], "host": host, "text": text}
+            )
+        )
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        prep, batch_format="pandas"
+    )
+    return host_boilerplate_strip(ds, min_permille=300, min_docs=2)
+
+
+QUERIES["host_boilerplate"] = q_host_boilerplate
+
+SQL["host_boilerplate"] = """
+    WITH docs AS (
+      SELECT doc_id, 'example' || (doc_id % 7)::VARCHAR || '.com' AS host,
+             text
+      FROM documents
+    ),
+    words AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS word,
+             unnest(range(1, len(string_split(text, ' ')) + 1)) AS idx
+      FROM docs
+    ),
+    wrapped AS (
+      SELECT doc_id, CAST(floor((idx - 1) / 4) AS BIGINT) AS ord,
+             string_agg(word, ' ' ORDER BY idx) AS line
+      FROM words GROUP BY doc_id, ord
+    ),
+    lines AS (
+      SELECT doc_id, ord, line FROM wrapped
+      UNION ALL
+      SELECT doc_id, 1000000000 AS ord, 'FOOTER ' || host AS line
+      FROM docs WHERE doc_id % 3 = 0
+    ),
+    keyed AS (
+      SELECT l.doc_id, d.host, l.ord, l.line,
+             trim(l.line, ' ' || chr(9) || chr(13) || chr(11) || chr(12))
+               AS norm
+      FROM lines l JOIN docs d USING (doc_id)
+    ),
+    totals AS (SELECT host, count(*) AS t FROM docs GROUP BY host),
+    counts AS (
+      SELECT host, norm, count(DISTINCT doc_id) AS c
+      FROM keyed WHERE norm <> '' GROUP BY host, norm
+    ),
+    hot AS (
+      SELECT c.host, c.norm
+      FROM counts c JOIN totals t USING (host)
+      WHERE 1000 * c.c >= 300 * t.t AND t.t >= 2
+    ),
+    kept AS (
+      SELECT k.doc_id, k.ord, k.line,
+             (k.norm = '' OR h.norm IS NULL) AS keep
+      FROM keyed k LEFT JOIN hot h
+        ON k.host = h.host AND k.norm = h.norm
+    )
+    SELECT doc_id,
+           coalesce(string_agg(line, chr(10) ORDER BY ord)
+                    FILTER (WHERE keep), '') AS clean_text,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped
+    FROM kept GROUP BY doc_id
+"""

@@ -1076,3 +1076,68 @@ class TestUrlTemplates:
         ).to_pandas()
         assert len(out) == 1
         assert out["n_urls"].iloc[0] == 40 and out["n_paths"].iloc[0] == 4
+
+
+class TestHostBoilerplate:
+    def _run(self, df, parts=4, **kw):
+        import ray.data
+
+        from pdf_parser_ray.ops.webtext import host_boilerplate_strip
+
+        return (
+            host_boilerplate_strip(
+                ray.data.from_pandas(df).repartition(parts), **kw
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    def test_host_scoped_and_per_doc_once(self, ray_session):
+        # footer on every page of h1 (even repeated twice in doc 0 —
+        # counts once); same line appears on ONE h2 page only
+        df = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "host": ["h1", "h1", "h2", "h2"],
+                "text": [
+                    "body a\nFOOT\nFOOT",
+                    "body b\nFOOT",
+                    "body c\nFOOT",
+                    "body d\nother",
+                ],
+            }
+        )
+        out = self._run(df, min_permille=600, min_docs=2)
+        assert out.loc[0, "clean_text"] == "body a"
+        assert out.loc[0, "n_dropped"] == 2  # both copies scrubbed
+        assert out.loc[1, "clean_text"] == "body b"
+        # h2: FOOT on 1/2 docs = 500 permille < 600 -> kept
+        assert out.loc[2, "clean_text"] == "body c\nFOOT"
+        assert out.loc[3, "n_dropped"] == 0
+
+    def test_blank_lines_structural_and_min_docs(self, ray_session):
+        # single-doc host: nothing strips (min_docs=2); blanks survive
+        df = pd.DataFrame(
+            {
+                "doc_id": [0],
+                "host": ["solo"],
+                "text": ["a\n\n  \na"],
+            }
+        )
+        out = self._run(df, min_permille=100, min_docs=2)
+        assert out.loc[0, "clean_text"] == "a\n\n  \na"
+        assert out.loc[0, "n_lines"] == 4 and out.loc[0, "n_dropped"] == 0
+
+    def test_exact_permille_boundary(self, ray_session):
+        # BP on exactly 2 of 4 docs; gate 500 permille ->
+        # 1000*2 >= 500*4 drops (>= is inclusive); x/y/z/w at 250 stay
+        df = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "host": ["h"] * 4,
+                "text": ["x\nBP", "y\nBP", "z", "w"],
+            }
+        )
+        out = self._run(df, min_permille=500, min_docs=2)
+        assert out["clean_text"].tolist() == ["x", "y", "z", "w"]
