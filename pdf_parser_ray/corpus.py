@@ -461,3 +461,90 @@ def ensure_feed_corpus(n_docs: int, seed: int = 42,
     with open(marker, "w") as f:
         f.write(f"{n_docs} {seed}\n")
     return out_dir
+
+
+# --------------------------------------------------------- charset corpus
+
+# every body carries non-ASCII (latin-1-encodable) chars — the ascii
+# tier (case 3) supplies its own body, so expected_charset stays exact
+_CHARSET_BODIES = [
+    "café déjà vu — naïve façade résumé",
+    "Zürich München Straße Äpfel Öl",
+    "señor año corazón música jalapeño",
+]
+
+
+def make_charset_document(doc_id: int, seed: int = 42) -> dict:
+    """A byte-encoding test page, deterministic from (seed, doc_id):
+    the five cases a crawler's charset sniffer must get right —
+    declared+valid UTF-8, declared windows-1252, BOM'd UTF-16LE,
+    bare ASCII, and the LYING meta (UTF-8 bytes declaring 1252)."""
+    rng = random.Random(f"charset:{seed}:{doc_id}")
+    body = _CHARSET_BODIES[rng.randrange(len(_CHARSET_BODIES))]
+    title = f"Page {doc_id}"
+    case = doc_id % 5
+    if case == 0:
+        html = (
+            f'<html><head><meta charset="utf-8"><title>{title}</title>'
+            f"</head><body><p>{body}</p></body></html>"
+        )
+        payload, expected = html.encode("utf-8"), "utf-8"
+    elif case == 1:
+        html = (
+            '<html><head><meta http-equiv="Content-Type" '
+            'content="text/html; charset=windows-1252">'
+            f"<title>{title}</title></head><body><p>{body}</p></body></html>"
+        )
+        payload, expected = html.encode("windows-1252"), "windows-1252"
+    elif case == 2:
+        html = f"<html><head><title>{title}</title></head><body><p>{body}</p></body></html>"
+        payload = b"\xff\xfe" + html.encode("utf-16-le")
+        expected = "utf-16le"
+    elif case == 3:
+        html = (
+            f"<html><head><title>{title}</title></head>"
+            "<body><p>plain ascii only</p></body></html>"
+        )
+        payload, expected = html.encode("ascii"), "ascii"
+    else:
+        html = (
+            '<html><head><meta charset="windows-1252">'
+            f"<title>{title}</title></head><body><p>{body}</p></body></html>"
+        )
+        payload, expected = html.encode("utf-8"), "utf-8"
+    return {
+        "url": f"https://charset{doc_id % 5}.example.com/p/{doc_id:06d}",
+        "doc_id": doc_id,
+        "payload": payload,
+        "expected_charset": expected,
+    }
+
+
+def _gen_charset_batch(batch, seed: int = 42):
+    import pyarrow as pa
+
+    ids = batch.column("id").to_pylist()
+    rows = [make_charset_document(i, seed) for i in ids]
+    return pa.Table.from_pylist(rows)
+
+
+def ensure_charset_corpus(n_docs: int, seed: int = 42,
+                          cache_root: str = "/tmp/ppr_corpus") -> str:
+    """Generate-once disk cache for the charset-detection corpus."""
+    import ray.data
+
+    out_dir = os.path.join(cache_root, f"charset_n{n_docs}_s{seed}")
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    parallelism = max(8, min(64, n_docs // 2000 or 8))
+    (
+        ray.data.range(n_docs, override_num_blocks=parallelism)
+        .map_batches(_gen_charset_batch, fn_kwargs={"seed": seed},
+                     batch_format="pyarrow", batch_size=2000)
+        .write_parquet(out_dir)
+    )
+    with open(marker, "w") as f:
+        f.write(f"{n_docs} {seed}\n")
+    return out_dir

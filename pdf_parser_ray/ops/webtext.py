@@ -1888,3 +1888,60 @@ def host_boilerplate_strip(
         ))
 
     return ds.map_batches(scrub, batch_format="pandas")
+
+
+_META_CHARSET = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([A-Za-z0-9_:.()-]+)""",
+    re.IGNORECASE,
+)
+
+
+def detect_charset_batch(df: pd.DataFrame, *, bytes_col: str = "payload",
+                         prescan: int = 1024) -> pd.DataFrame:
+    """Charset sniffing for raw crawl payloads — the decode step every
+    byte-level web pipeline runs before text ops (HTML5 §13.2.3
+    encoding sniffing, simplified to the public three-tier rule):
+
+    1. BOM wins: EF BB BF → utf-8, FF FE → utf-16le, FE FF → utf-16be.
+    2. ``<meta charset=...>`` / http-equiv prescan of the first
+       ``prescan`` bytes is REPORTED (``declared``) but never trusted
+       over byte evidence — the lying-meta case is real on the web.
+    3. Byte evidence (``detected``): strict UTF-8 validation (C-speed
+       ``bytes.decode`` per row, the per-row work is one libc call) —
+       pure-ASCII payloads report ``ascii``, valid multibyte ``utf-8``,
+       anything invalid falls back to ``windows-1252`` (the HTML5
+       default for unlabeled legacy bytes).
+
+    Row-local, no shuffle; runs as a plain ``map_batches`` stage.
+    Output adds (declared:string — '' when absent, detected:string,
+    agree:bool — declared empty or equal after lowercasing).
+    """
+    payloads = df[bytes_col]
+    declared: list = []
+    detected: list = []
+    for b in payloads:
+        b = bytes(b) if b is not None else b""
+        if b.startswith(b"\xef\xbb\xbf"):
+            det = "utf-8"
+        elif b.startswith(b"\xff\xfe"):
+            det = "utf-16le"
+        elif b.startswith(b"\xfe\xff"):
+            det = "utf-16be"
+        elif b.isascii():  # C-speed scan, skips the decode
+            det = "ascii"
+        else:
+            try:
+                b.decode("utf-8")
+                det = "utf-8"
+            except UnicodeDecodeError:
+                det = "windows-1252"
+        m = _META_CHARSET.search(b[:prescan])
+        declared.append(m.group(1).decode("ascii", "replace").lower() if m else "")
+        detected.append(det)
+    out = df.copy()
+    out["declared"] = pd.Series(declared, index=df.index, dtype="object")
+    out["detected"] = pd.Series(detected, index=df.index, dtype="object")
+    out["agree"] = [
+        (not d) or d == t for d, t in zip(declared, detected)
+    ]
+    return out

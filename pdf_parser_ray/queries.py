@@ -12340,3 +12340,48 @@ SQL["host_boilerplate"] = """
            CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped
     FROM kept GROUP BY doc_id
 """
+
+
+# ------------------------------------------------ charset sniffing
+
+
+def q_charset_detect(sf_dir: str) -> ray.data.Dataset:
+    """Charset sniff over the deterministic mixed-encoding corpus
+    (UTF-8 / windows-1252 / BOM'd UTF-16LE / ASCII / lying meta):
+    BOM > byte evidence > 1252 fallback, declared meta reported but
+    never trusted.  Binary payload parsing -> rows-only; every branch
+    pinned by tests/test_webtext.py TestDetectCharset."""
+    from pdf_parser_ray.corpus import ensure_charset_corpus, sf_to_n_docs
+    from pdf_parser_ray.ops.webtext import detect_charset_batch
+
+    corpus = ensure_charset_corpus(sf_to_n_docs(_sf_from_dir(sf_dir)))
+    ds = _read_parquet(corpus)
+    return ds.map_batches(
+        detect_charset_batch, batch_format="pandas"
+    ).select_columns(["url", "doc_id", "declared", "detected", "agree"])
+
+
+def q_charset_census(sf_dir: str) -> ray.data.Dataset:
+    """Rollup of q:charset_detect: page counts per (detected, declared,
+    agree) cell — the decode-planning census (which actor pool gets
+    which slice).  Partial counts per batch, one bounded groupby."""
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.io_utils import arrow_out as _ao
+
+    def partial(df: pd.DataFrame):
+        g = df.groupby(["detected", "declared", "agree"], as_index=False).agg(
+            n=("doc_id", "size")
+        )
+        return _ao(g.astype({"n": "int64"}))
+
+    base = q_charset_detect(sf_dir)
+    return (
+        base.map_batches(partial, batch_format="pandas")
+        .groupby(["detected", "declared", "agree"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+QUERIES["charset_detect"] = q_charset_detect
+QUERIES["charset_census"] = q_charset_census

@@ -1141,3 +1141,68 @@ class TestHostBoilerplate:
         )
         out = self._run(df, min_permille=500, min_docs=2)
         assert out["clean_text"].tolist() == ["x", "y", "z", "w"]
+
+
+class TestDetectCharset:
+    def _detect(self, payloads):
+        from pdf_parser_ray.ops.webtext import detect_charset_batch
+
+        df = pd.DataFrame(
+            {"doc_id": range(len(payloads)), "payload": payloads}
+        )
+        return detect_charset_batch(df)
+
+    def test_all_branches(self):
+        out = self._detect(
+            [
+                b"\xef\xbb\xbfhello",                       # utf-8 BOM
+                b"\xff\xfeh\x00i\x00",                      # utf-16le BOM
+                b"\xfe\xff\x00h\x00i",                      # utf-16be BOM
+                b"plain ascii",                             # ascii
+                "café".encode("utf-8"),                # valid multibyte
+                "café".encode("windows-1252"),         # invalid utf-8
+                b"",                                        # empty -> ascii
+            ]
+        )
+        assert out["detected"].tolist() == [
+            "utf-8", "utf-16le", "utf-16be", "ascii",
+            "utf-8", "windows-1252", "ascii",
+        ]
+
+    def test_meta_prescan_and_lying_meta(self):
+        lying = (
+            b'<html><head><meta charset="windows-1252"></head>'
+            + "body café".encode("utf-8")
+        )
+        http_equiv = (
+            b'<head><META HTTP-EQUIV="Content-Type" '
+            b'CONTENT="text/html; charset=UTF-8"></head>ascii body'
+        )
+        none = b"<html>no declaration caf\xc3\xa9</html>"
+        out = self._detect([lying, http_equiv, none])
+        assert out["declared"].tolist() == ["windows-1252", "utf-8", ""]
+        assert out["detected"].tolist() == ["utf-8", "ascii", "utf-8"]
+        assert out["agree"].tolist() == [False, False, True]
+
+    def test_prescan_window_bound(self):
+        # declaration beyond the prescan window is not seen
+        far = b" " * 2000 + b'<meta charset="utf-8">'
+        out = self._detect([far])
+        assert out["declared"].iloc[0] == ""
+
+    def test_corpus_ground_truth(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.corpus import ensure_charset_corpus
+        from pdf_parser_ray.ops.webtext import detect_charset_batch
+
+        corpus = ensure_charset_corpus(200, seed=7)
+        out = (
+            ray.data.read_parquet(corpus)
+            .map_batches(detect_charset_batch, batch_format="pandas")
+            .to_pandas()
+        )
+        assert (out["detected"] == out["expected_charset"]).all()
+        # the lying-meta tier (doc_id%5==4) must disagree
+        liars = out[out["doc_id"] % 5 == 4]
+        assert len(liars) and (~liars["agree"]).all()
