@@ -3004,3 +3004,194 @@ def snm_candidate_pairs(
     return pairs_within.union(
         ray.data.from_arrow(_pa.Table.from_pandas(cross, preserve_index=False))
     )
+
+
+# --------------------------------------------------- content-defined chunking
+
+# 256-entry gear table, frozen via the legacy RandomState byte stream
+# (guaranteed stable across numpy versions) — both the vectorized and
+# the serial-reference hash read this exact table.
+_GEAR = np.frombuffer(
+    np.random.RandomState(0x9E3779B9 & 0x7FFFFFFF).bytes(256 * 8),
+    dtype=np.uint64,
+).copy()
+
+
+def _gear_hashes(data: np.ndarray) -> np.ndarray:
+    """Gear rolling hash at every byte position (FastCDC, Xia et al.,
+    USENIX ATC 2016): h_i = Σ_{j=0..63} gear[b_{i-j}] << j mod 2^64 —
+    the serial ``h = (h << 1) + gear[b]`` recurrence computed as 64
+    vectorized shifted adds instead of a per-byte Python loop."""
+    g = _GEAR[data]
+    n = len(g)
+    h = np.zeros(n, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(min(64, n)):
+            h[j:] += g[: n - j] << np.uint64(j)
+    return h
+
+
+def fastcdc_boundaries(
+    data: bytes,
+    *,
+    min_size: int = 256,
+    normal_size: int = 1024,
+    max_size: int = 4096,
+) -> "list[int]":
+    """FastCDC chunk boundaries with normalized chunking: a STRICT mask
+    before ``normal_size`` (harder to match → pushes cuts toward the
+    target) and an EASY mask after (guarantees cuts well before
+    ``max_size``), hard cut at ``max_size``.  Returns end offsets
+    (exclusive), last == len(data).
+
+    The candidate positions for each mask are precomputed vectorized
+    (they are ~1/2^bits sparse); the walk visits one candidate lookup
+    per CHUNK via searchsorted, not one per byte.
+    """
+    n = len(data)
+    if n == 0:
+        return []
+    bits = max(1, int(normal_size).bit_length() - 1)
+    mask_s = np.uint64((1 << (bits + 2)) - 1)  # strict: bits+2 zeros
+    mask_l = np.uint64((1 << (bits - 2)) - 1)  # easy: bits-2 zeros
+    h = _gear_hashes(np.frombuffer(data, dtype=np.uint8))
+    cand_s = np.nonzero((h & mask_s) == 0)[0]  # cut AFTER this byte
+    cand_l = np.nonzero((h & mask_l) == 0)[0]
+    out: list[int] = []
+    cur = 0
+    while cur < n:
+        if n - cur <= min_size:
+            out.append(n)
+            break
+        lo = cur + min_size - 1          # earliest byte a cut may follow
+        mid = min(cur + normal_size - 1, n - 1)
+        hi = min(cur + max_size - 1, n - 1)
+        cut = -1
+        i = np.searchsorted(cand_s, lo)
+        if i < len(cand_s) and cand_s[i] < mid:
+            cut = int(cand_s[i])
+        else:
+            i = np.searchsorted(cand_l, mid)
+            if i < len(cand_l) and cand_l[i] < hi:
+                cut = int(cand_l[i])
+        end = cut + 1 if cut >= 0 else min(cur + max_size, n)
+        out.append(end)
+        cur = end
+    return out
+
+
+def cdc_chunk_batch(
+    df: pd.DataFrame,
+    *,
+    bytes_col: str = "payload",
+    id_col: str = "url",
+    min_size: int = 256,
+    normal_size: int = 1024,
+    max_size: int = 4096,
+) -> pd.DataFrame:
+    """Explode each binary payload into content-defined chunks — the
+    storage-dedup primitive (identical regions chunk identically even
+    when shifted by inserts, which fixed-size blocking cannot do).
+    Row-local ``map_batches`` stage; downstream dedup is one uniform
+    hash-key rollup over (chunk_hash, n_bytes) pairs, payloads never
+    shuffle.
+
+    Output: one row per chunk — (id_col, chunk_idx:int64,
+    offset:int64, n_bytes:int64, chunk_hash:string md5-hex).
+    """
+    ids: list = []
+    idxs: list = []
+    offs: list = []
+    lens: list = []
+    hashes: list = []
+    for rid, payload in zip(df[id_col], df[bytes_col]):
+        b = bytes(payload) if payload is not None else b""
+        prev = 0
+        for k, end in enumerate(
+            fastcdc_boundaries(
+                b,
+                min_size=min_size,
+                normal_size=normal_size,
+                max_size=max_size,
+            )
+        ):
+            ids.append(rid)
+            idxs.append(k)
+            offs.append(prev)
+            lens.append(end - prev)
+            hashes.append(hashlib.md5(b[prev:end]).hexdigest())
+            prev = end
+    return pd.DataFrame(
+        {
+            id_col: pd.Series(ids, dtype="object"),
+            "chunk_idx": pd.Series(idxs, dtype="int64"),
+            "offset": pd.Series(offs, dtype="int64"),
+            "n_bytes": pd.Series(lens, dtype="int64"),
+            "chunk_hash": pd.Series(hashes, dtype="object"),
+        }
+    )
+
+
+def cdc_dedup_stats(
+    ds: ray.data.Dataset,
+    *,
+    bytes_col: str = "payload",
+    id_col: str = "url",
+    **chunk_kw,
+) -> pd.DataFrame:
+    """Corpus-wide content-defined dedup readout: how many bytes would
+    a chunk store keep?  Per-batch chunking + LOCAL (hash → bytes,
+    count) rollup, ONE uniform-key co-location on chunk_hash, driver
+    finish on four scalars.
+
+    Output (eager, one row): (n_chunks, n_unique, bytes_total,
+    bytes_unique:int64, dedup_ratio:float64 = bytes_total/bytes_unique,
+    unrounded per-row-ratio contract)."""
+    from pdf_parser_ray.ops.shuffle import grouped_agg
+
+    def partial(df: pd.DataFrame):
+        c = cdc_chunk_batch(
+            df, bytes_col=bytes_col, id_col=id_col, **chunk_kw
+        )
+        g = c.groupby("chunk_hash", as_index=False).agg(
+            n=("n_bytes", "size"), b=("n_bytes", "first")
+        )
+        return arrow_out(g.astype({"n": "int64", "b": "int64"}))
+
+    per_hash = grouped_agg(
+        ds.select_columns([id_col, bytes_col]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        ["chunk_hash"],
+        {"n": ("n", "sum"), "b": ("b", "first")},
+    )
+
+    # the distinct-chunk table is CORPUS-sized — reduce it to four
+    # scalars per partition before anything reaches the driver
+    def reduce_part(df: pd.DataFrame):
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    "n_chunks": [int(df["n"].sum())],
+                    "n_unique": [len(df)],
+                    "bytes_total": [int((df["n"] * df["b"]).sum())],
+                    "bytes_unique": [int(df["b"].sum())],
+                }
+            ).astype("int64")
+        )
+
+    parts = per_hash.map_batches(reduce_part, batch_format="pandas").to_pandas()
+    n_chunks = int(parts["n_chunks"].sum())
+    n_unique = int(parts["n_unique"].sum())
+    bytes_total = int(parts["bytes_total"].sum())
+    bytes_unique = int(parts["bytes_unique"].sum())
+    ratio = bytes_total / bytes_unique if bytes_unique else float("nan")
+    return pd.DataFrame(
+        {
+            "n_chunks": pd.Series([n_chunks], dtype="int64"),
+            "n_unique": pd.Series([n_unique], dtype="int64"),
+            "bytes_total": pd.Series([bytes_total], dtype="int64"),
+            "bytes_unique": pd.Series([bytes_unique], dtype="int64"),
+            "dedup_ratio": pd.Series([ratio], dtype="float64"),
+        }
+    )

@@ -12385,3 +12385,42 @@ def q_charset_census(sf_dir: str) -> ray.data.Dataset:
 
 QUERIES["charset_detect"] = q_charset_detect
 QUERIES["charset_census"] = q_charset_census
+
+
+# ------------------------------------------------ content-defined chunking
+
+
+def q_cdc_chunks(sf_dir: str) -> ray.data.Dataset:
+    """FastCDC chunk explode over the extraction corpus html payloads
+    (min 256 / target 1 KiB / max 4 KiB): one row per content-defined
+    chunk with offset, size and md5.  Row-local; gear hash not
+    SQL-expressible -> rows-only, serial-reference parity in
+    tests/test_stats_ops.py TestFastCdc."""
+    from pdf_parser_ray.corpus import ensure_corpus, sf_to_n_docs
+    from pdf_parser_ray.ops.dedup import cdc_chunk_batch
+    from pdf_parser_ray.pipelines import read_corpus
+
+    corpus = ensure_corpus(sf_to_n_docs(_sf_from_dir(sf_dir)))
+    ds = read_corpus(corpus).select_columns(["url", "html"])
+    return ds.map_batches(
+        lambda df: cdc_chunk_batch(df, bytes_col="html", id_col="url"),
+        batch_format="pandas",
+    )
+
+
+def q_cdc_dedup_ratio(sf_dir: str) -> pd.DataFrame:
+    """Chunk-store dedup readout over the same payloads: total vs
+    unique chunk bytes after ONE uniform chunk-hash co-location,
+    per-partition scalar reduction (the driver sees 4 ints per
+    partition, never the chunk table)."""
+    from pdf_parser_ray.corpus import ensure_corpus, sf_to_n_docs
+    from pdf_parser_ray.ops.dedup import cdc_dedup_stats
+    from pdf_parser_ray.pipelines import read_corpus
+
+    corpus = ensure_corpus(sf_to_n_docs(_sf_from_dir(sf_dir)))
+    ds = read_corpus(corpus)
+    return cdc_dedup_stats(ds, bytes_col="html", id_col="url")
+
+
+QUERIES["cdc_chunks"] = q_cdc_chunks
+QUERIES["cdc_dedup_ratio"] = q_cdc_dedup_ratio

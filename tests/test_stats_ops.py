@@ -1178,3 +1178,99 @@ class TestSnmCandidatePairs:
     def test_single_partition(self, ray_session):
         df = self._data(60, 2)
         assert self._run(df, 1) == self._serial(df)
+
+
+class TestFastCdc:
+    def _serial_boundaries(self, data, min_size=256, normal_size=1024,
+                           max_size=4096):
+        # per-byte reference: h = (h << 1) + gear[b] mod 2^64
+        from pdf_parser_ray.ops.dedup import _GEAR
+
+        bits = max(1, int(normal_size).bit_length() - 1)
+        mask_s = (1 << (bits + 2)) - 1
+        mask_l = (1 << (bits - 2)) - 1
+        M = 1 << 64
+        out, cur, n = [], 0, len(data)
+        while cur < n:
+            if n - cur <= min_size:
+                out.append(n)
+                break
+            h, cut = 0, -1
+            end_default = min(cur + max_size, n)
+            for i in range(cur, end_default):
+                h = ((h << 1) + int(_GEAR[data[i]])) % M
+                length = i - cur + 1
+                if length < min_size:
+                    continue
+                if length < normal_size and (h & mask_s) == 0:
+                    cut = i
+                    break
+                if length >= normal_size and (h & mask_l) == 0:
+                    cut = i
+                    break
+            out.append(cut + 1 if cut >= 0 else end_default)
+            cur = out[-1]
+        return out
+
+    def test_vs_serial_reference(self):
+        from pdf_parser_ray.ops.dedup import fastcdc_boundaries
+
+        rng = np.random.RandomState(4)
+        for n in (0, 100, 256, 1000, 5000, 20000):
+            data = rng.bytes(n)
+            got = fastcdc_boundaries(data)
+            exp = self._serial_boundaries(data)
+            assert got == exp, f"n={n}"
+
+    def test_size_bounds(self):
+        from pdf_parser_ray.ops.dedup import fastcdc_boundaries
+
+        data = np.random.RandomState(9).bytes(100_000)
+        b = fastcdc_boundaries(data)
+        sizes = np.diff([0] + b)
+        assert b[-1] == len(data)
+        assert (sizes[:-1] >= 256).all() and (sizes <= 4096).all()
+
+    def test_insert_shift_resilience(self):
+        # CDC's reason to exist: a prefix insert must not re-chunk the
+        # whole stream (fixed-size blocking would)
+        import hashlib
+
+        from pdf_parser_ray.ops.dedup import fastcdc_boundaries
+
+        data = np.random.RandomState(2).bytes(50_000)
+        shifted = b"INSERTED-PREFIX-BYTES" + data
+
+        def hashes(d):
+            bs = fastcdc_boundaries(d)
+            prev, out = 0, set()
+            for e in bs:
+                out.add(hashlib.md5(d[prev:e]).hexdigest())
+                prev = e
+            return out
+
+        a, b = hashes(data), hashes(shifted)
+        assert len(a & b) / len(a) > 0.5
+
+    def test_dedup_stats_planted_duplicates(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import cdc_dedup_stats
+
+        blob = np.random.RandomState(1).bytes(30_000)
+        df = pd.DataFrame(
+            {
+                "url": [f"u{i}" for i in range(6)],
+                "payload": [blob] * 5 + [np.random.RandomState(3).bytes(8_000)],
+            }
+        )
+        out = cdc_dedup_stats(
+            ray.data.from_pandas(df).repartition(4)
+        )
+        assert out["bytes_total"].iloc[0] == 5 * 30_000 + 8_000
+        # five identical payloads chunk identically -> unique ≈ one copy
+        assert out["bytes_unique"].iloc[0] == 30_000 + 8_000
+        assert out["dedup_ratio"].iloc[0] > 4.0
+        # partition invariance
+        out2 = cdc_dedup_stats(ray.data.from_pandas(df).repartition(1))
+        pd.testing.assert_frame_equal(out, out2)
