@@ -1044,3 +1044,64 @@ def cms_counts(
         )
 
     return exact.map_batches(attach, batch_format="pandas")
+
+
+def hll_overlap_pairs(
+    ds: ray.data.Dataset, group_col: str, col: str, *, b: int = 12,
+    hash_fn: str = "siphash",
+) -> pd.DataFrame:
+    """Pairwise distinct-value OVERLAP between groups via
+    inclusion-exclusion on HLL sketches: |A∩B| ≈ est(A) + est(B) −
+    est(A∪B), where the union sketch is the register-wise max — the
+    audience-overlap readout (shared users between event types) that
+    exact distinct-pair counting would pay a second shuffle for.
+
+    Same scan as :func:`grouped_hll_distinct` (one (group, sketch) row
+    per batch-group, O(groups × batches) fixed-size rows, raw values
+    never shuffle); the driver merges per group and evaluates all
+    group pairs on the merged registers.  Per-sketch estimates round
+    to 4dp and the overlap is their exact float combination — the
+    expression tree the md5-tier SQL twin shares.
+
+    Output (eager, one row per unordered pair, type_a < type_b):
+    (type_a, type_b, est_a, est_b, est_union, est_overlap:float64).
+    """
+    hasher = _hash_strings_md5 if hash_fn == "md5" else _hash_strings
+
+    def sketch_batch(df: pd.DataFrame):
+        groups, sketches = [], []
+        for g, sub in df.groupby(group_col, sort=False):
+            h = HLL(b)
+            h.add_hashes(hasher(sub[col].dropna().tolist()))
+            groups.append(g)
+            sketches.append(h.registers.tobytes())
+        from pdf_parser_ray.io_utils import arrow_out
+
+        return arrow_out(pd.DataFrame({group_col: groups, "sketch": sketches}))
+
+    parts = (
+        ds.select_columns([group_col, col])
+        .map_batches(sketch_batch, batch_format="pandas")
+        .to_pandas()  # bounded: groups × batches fixed-size sketch rows
+    )
+    merged: dict = {}
+    for g, sub in parts.groupby(group_col, sort=True):
+        m = HLL(b)
+        for sbytes in sub["sketch"]:
+            m = m.merge(HLL(b, np.frombuffer(sbytes, dtype=np.uint8).copy()))
+        merged[g] = m
+    names = sorted(merged)
+    rows = []
+    for i, ga in enumerate(names):
+        for gb in names[i + 1 :]:
+            union = merged[ga].merge(merged[gb])
+            ea = round(merged[ga].estimate(), 4)
+            eb = round(merged[gb].estimate(), 4)
+            eu = round(union.estimate(), 4)
+            rows.append((ga, gb, ea, eb, eu, ea + eb - eu))
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "type_a", "type_b", "est_a", "est_b", "est_union", "est_overlap",
+        ],
+    )

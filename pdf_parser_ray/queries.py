@@ -12424,3 +12424,90 @@ def q_cdc_dedup_ratio(sf_dir: str) -> pd.DataFrame:
 
 QUERIES["cdc_chunks"] = q_cdc_chunks
 QUERIES["cdc_dedup_ratio"] = q_cdc_dedup_ratio
+
+
+# ------------------------------------------------ HLL audience overlap
+
+
+def q_hll_overlap_md5(sf_dir: str) -> pd.DataFrame:
+    """Pairwise distinct-user overlap between event types by HLL
+    inclusion-exclusion (est_a + est_b − est_union, union = register
+    max), md5 tier so DuckDB re-derives registers and estimator
+    value-exactly for all 3 estimates per pair."""
+    from pdf_parser_ray.ops.sketches import hll_overlap_pairs
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return hll_overlap_pairs(ds, "event_type", "user_id", hash_fn="md5")
+
+
+QUERIES["hll_overlap_md5"] = q_hll_overlap_md5
+
+
+def _hll_md5_overlap_sql(b: int = 12) -> str:
+    """Pairwise twin of :func:`_hll_md5_grouped_sql`: single-type and
+    union registers from the same hash CTE; overlap combines the three
+    4dp-rounded estimates in the kernel's exact expression tree."""
+    m = 1 << b
+    alpha = repr(0.7213 / (1 + 1.079 / m))
+    two64 = 1 << 64
+    rank = (
+        f"65 - length(bin(((h::HUGEINT * {m}) % {two64} "
+        f"+ {1 << (b - 1)})::UBIGINT))"
+    )
+    est = (
+        f"CASE WHEN raw <= 2.5::DOUBLE * {m}::DOUBLE AND zeros > 0 "
+        f"THEN {m}::DOUBLE * ln({m}::DOUBLE / zeros) ELSE raw END"
+    )
+    return f"""
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT
+               AS h
+      FROM (SELECT DISTINCT event_type, user_id FROM events
+            WHERE user_id IS NOT NULL)
+    ),
+    types AS (SELECT DISTINCT event_type FROM h),
+    pairs AS (SELECT a.event_type AS ta, b.event_type AS tb
+              FROM types a JOIN types b ON a.event_type < b.event_type),
+    regs1 AS (
+      SELECT event_type, h >> {64 - b} AS idx, max({rank}) AS rank
+      FROM h GROUP BY event_type, idx
+    ),
+    s1 AS (SELECT event_type, count(*)::BIGINT AS nonzero,
+                  sum(power(2.0, -rank)) AS sum_present
+           FROM regs1 GROUP BY event_type),
+    e1 AS (SELECT event_type,
+                  {alpha}::DOUBLE * {m}::DOUBLE * {m}::DOUBLE
+                    / (sum_present + ({m} - nonzero) * 1.0::DOUBLE) AS raw,
+                  {m} - nonzero AS zeros
+           FROM s1),
+    est1 AS (SELECT event_type, round({est}, 4) AS est FROM e1),
+    hu AS (SELECT p.ta, p.tb, h.h
+           FROM pairs p JOIN h ON h.event_type = p.ta
+                                OR h.event_type = p.tb),
+    regsu AS (
+      SELECT ta, tb, h >> {64 - b} AS idx, max({rank}) AS rank
+      FROM hu GROUP BY ta, tb, idx
+    ),
+    su AS (SELECT ta, tb, count(*)::BIGINT AS nonzero,
+                  sum(power(2.0, -rank)) AS sum_present
+           FROM regsu GROUP BY ta, tb),
+    eu AS (SELECT ta, tb,
+                  {alpha}::DOUBLE * {m}::DOUBLE * {m}::DOUBLE
+                    / (sum_present + ({m} - nonzero) * 1.0::DOUBLE) AS raw,
+                  {m} - nonzero AS zeros
+           FROM su),
+    estu AS (SELECT ta, tb, round({est}, 4) AS est FROM eu)
+    SELECT p.ta AS type_a, p.tb AS type_b,
+           ea.est AS est_a, eb.est AS est_b, u.est AS est_union,
+           ea.est + eb.est - u.est AS est_overlap
+    FROM pairs p
+    JOIN est1 ea ON ea.event_type = p.ta
+    JOIN est1 eb ON eb.event_type = p.tb
+    JOIN estu u ON u.ta = p.ta AND u.tb = p.tb
+"""
+
+
+SQL["hll_overlap_md5"] = _hll_md5_overlap_sql()

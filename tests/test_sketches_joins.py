@@ -718,3 +718,41 @@ class TestRendezvousAssign:
         a = self._run(["s1", "s2", "s3", "s4"])
         b = self._run(["s4", "s3", "s2", "s1"])  # shard order irrelevant
         pd.testing.assert_series_equal(a, b)
+
+
+class TestHllOverlapPairs:
+    def test_overlap_tracks_truth(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.sketches import hll_overlap_pairs
+
+        # A = 0..5999, B = 3000..8999 (3000 shared), C disjoint 1000
+        rows = (
+            [("A", i) for i in range(6000)]
+            + [("B", i) for i in range(3000, 9000)]
+            + [("C", i) for i in range(20000, 21000)]
+        )
+        df = pd.DataFrame(rows, columns=["grp", "uid"])
+        df["uid"] = df["uid"].astype(str)
+        out = hll_overlap_pairs(
+            ray.data.from_pandas(df).repartition(6), "grp", "uid"
+        ).set_index(["type_a", "type_b"])
+        ab = out.loc[("A", "B"), "est_overlap"]
+        assert abs(ab - 3000) / 3000 < 0.15  # HLL b=12 ≈ 1.6% σ
+        assert abs(out.loc[("A", "C"), "est_overlap"]) < 6000 * 0.1
+        assert out.loc[("B", "C"), "est_union"] > 6500
+
+    def test_partition_invariant(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.sketches import hll_overlap_pairs
+
+        rows = [(f"t{i%3}", str(i % 500)) for i in range(2000)]
+        df = pd.DataFrame(rows, columns=["grp", "uid"])
+        outs = [
+            hll_overlap_pairs(
+                ray.data.from_pandas(df).repartition(p), "grp", "uid"
+            )
+            for p in (1, 7)
+        ]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
