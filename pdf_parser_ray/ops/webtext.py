@@ -1945,3 +1945,109 @@ def detect_charset_batch(df: pd.DataFrame, *, bytes_col: str = "payload",
         (not d) or d == t for d, t in zip(declared, detected)
     ]
     return out
+
+
+def gopher_repetition(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_words: int = 4,
+    para_words: int = 16,
+) -> ray.data.Dataset:
+    """The FULL Gopher repetition battery (Rae et al. 2021, Table A1) —
+    the 12 per-document signals the Gopher/MassiveText quality filter
+    thresholds, beyond :func:`repetition_stats`'s word-level pair:
+
+    * duplicate line / paragraph fraction (count of non-first
+      occurrences over total), and the same weighted by characters;
+      lines and paragraphs here are deterministic ``line_words`` /
+      ``para_words`` re-wraps of the ``' '``-token stream (the corpus
+      fixture convention — real ``\\n`` documents pass their own
+      structure through the same counters);
+    * top n-gram character fraction for n = 2, 3, 4: characters covered
+      by every occurrence of the most frequent n-gram (ties broken by
+      LEXICOGRAPHIC min, the SQL-shared rule) over total characters;
+    * duplicate n-gram character fraction for n = 5..10:
+      Σ count·len over n-grams with count ≥ 2, over total characters —
+      the Dolma/NeMo-Curator reading of the paper's definition
+      (overlaps counted per occurrence), pinned here for both engines.
+
+    Entirely row-local (one ``map_batches``, zero shuffle); fractions
+    are UNROUNDED per-row int-operand ratios.  Empty documents emit 0.0
+    everywhere.
+
+    Output: (id_col, n_chars:int64, dup_line_frac, dup_line_char_frac,
+    dup_para_frac, dup_para_char_frac, top_2gram_char_frac,
+    top_3gram_char_frac, top_4gram_char_frac, dup_5gram_char_frac ...
+    dup_10gram_char_frac — all float64).
+    """
+
+    TOP_NS = (2, 3, 4)
+    DUP_NS = (5, 6, 7, 8, 9, 10)
+
+    def _unit_fracs(units: "list[str]"):
+        c = Counter(units)
+        total = len(units)
+        total_chars = sum(len(u) for u in units)
+        dup = sum(v - 1 for v in c.values() if v > 1)
+        dup_chars = sum(len(u) * (v - 1) for u, v in c.items() if v > 1)
+        f = dup / total if total else 0.0
+        fc = dup_chars / total_chars if total_chars else 0.0
+        return f, fc
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        cols: dict = {k: [] for k in (
+            [id_col, "n_chars", "dup_line_frac", "dup_line_char_frac",
+             "dup_para_frac", "dup_para_char_frac"]
+            + [f"top_{n}gram_char_frac" for n in TOP_NS]
+            + [f"dup_{n}gram_char_frac" for n in DUP_NS]
+        )}
+        for doc_id, text in zip(df[id_col], df[text_col].fillna("")):
+            words = text.split(" ")
+            n_chars = len(text)
+            cols[id_col].append(doc_id)
+            cols["n_chars"].append(n_chars)
+            lines = [
+                " ".join(words[i : i + line_words])
+                for i in range(0, len(words), line_words)
+            ]
+            paras = [
+                " ".join(words[i : i + para_words])
+                for i in range(0, len(words), para_words)
+            ]
+            for name, units in (("line", lines), ("para", paras)):
+                f, fc = _unit_fracs(units)
+                cols[f"dup_{name}_frac"].append(f)
+                cols[f"dup_{name}_char_frac"].append(fc)
+            for n in TOP_NS + DUP_NS:
+                if len(words) < n or n_chars == 0:
+                    val = 0.0
+                else:
+                    grams = Counter(
+                        " ".join(words[i : i + n])
+                        for i in range(len(words) - n + 1)
+                    )
+                    if n in TOP_NS:
+                        mx = max(grams.values())
+                        g = min(k for k, v in grams.items() if v == mx)
+                        val = mx * len(g) / n_chars
+                    else:
+                        dup_chars = sum(
+                            v * len(k) for k, v in grams.items() if v >= 2
+                        )
+                        val = dup_chars / n_chars
+                key = (
+                    f"top_{n}gram_char_frac"
+                    if n in TOP_NS
+                    else f"dup_{n}gram_char_frac"
+                )
+                cols[key].append(val)
+        out = pd.DataFrame(cols)
+        out[id_col] = out[id_col].astype("int64")
+        out["n_chars"] = out["n_chars"].astype("int64")
+        return out
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        stats, batch_format="pandas"
+    )

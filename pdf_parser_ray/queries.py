@@ -12511,3 +12511,119 @@ def _hll_md5_overlap_sql(b: int = 12) -> str:
 
 
 SQL["hll_overlap_md5"] = _hll_md5_overlap_sql()
+
+
+# ------------------------------------------------ full Gopher repetition
+
+
+def q_gopher_repetition(sf_dir: str) -> ray.data.Dataset:
+    """The full 12-signal Gopher repetition battery (Rae et al. 2021
+    Table A1) per document: dup line/para fractions (count + char
+    weighted, 4/16-word rewrap units), top-{2,3,4}-gram char fractions
+    (lexicographic-min tie rule) and dup-{5..10}-gram char fractions
+    (Dolma/NeMo counting).  Row-local, zero shuffle."""
+    from pdf_parser_ray.ops.webtext import gopher_repetition
+
+    return gopher_repetition(_documents(sf_dir, columns=["doc_id", "text"]))
+
+
+QUERIES["gopher_repetition"] = q_gopher_repetition
+
+
+def _gopher_repetition_sql(line_words: int = 4, para_words: int = 16) -> str:
+    def unit_cte(name: str, k: int) -> str:
+        return f"""
+    {name}s AS (
+      SELECT doc_id, CAST(floor(idx / {k}) AS BIGINT) AS g,
+             string_agg(word, ' ' ORDER BY idx) AS u
+      FROM words GROUP BY doc_id, g
+    ),
+    {name}c AS (
+      SELECT doc_id, u, count(*) AS v, length(u) AS L
+      FROM {name}s GROUP BY doc_id, u
+    ),
+    {name}stat AS (
+      SELECT doc_id, sum(v)::BIGINT AS total,
+             sum(v * L)::BIGINT AS total_chars,
+             sum(CASE WHEN v > 1 THEN v - 1 ELSE 0 END)::BIGINT AS dup,
+             sum(CASE WHEN v > 1 THEN (v - 1) * L ELSE 0 END)::BIGINT
+               AS dup_chars
+      FROM {name}c GROUP BY doc_id
+    )"""
+
+    def gram_cte(n: int) -> str:
+        agg = (
+            f"""
+    g{n}top AS (
+      SELECT doc_id, max(v) AS mx FROM g{n}c GROUP BY doc_id
+    ),
+    g{n}stat AS (
+      SELECT c.doc_id, t.mx,
+             min(c.u) FILTER (WHERE c.v = t.mx) AS topg
+      FROM g{n}c c JOIN g{n}top t USING (doc_id)
+      GROUP BY c.doc_id, t.mx
+    )"""
+            if n in (2, 3, 4)
+            else f"""
+    g{n}stat AS (
+      SELECT doc_id,
+             sum(v * length(u)) FILTER (WHERE v >= 2) AS dup_chars
+      FROM g{n}c GROUP BY doc_id
+    )"""
+        )
+        return f"""
+    g{n} AS (
+      SELECT doc_id, array_to_string(ws[i + 1:i + {n}], ' ') AS u
+      FROM base, unnest(range(0, greatest(len(ws) - {n} + 1, 0))) AS t(i)
+    ),
+    g{n}c AS (
+      SELECT doc_id, u, count(*) AS v FROM g{n} GROUP BY doc_id, u
+    ),{agg}"""
+
+    top_sel = ",\n           ".join(
+        f"coalesce(CASE WHEN b.n_chars > 0 THEN "
+        f"g{n}stat.mx * length(g{n}stat.topg) / b.n_chars END, 0.0) "
+        f"AS top_{n}gram_char_frac"
+        for n in (2, 3, 4)
+    )
+    dup_sel = ",\n           ".join(
+        f"coalesce(CASE WHEN b.n_chars > 0 THEN "
+        f"g{n}stat.dup_chars / b.n_chars END, 0.0) "
+        f"AS dup_{n}gram_char_frac"
+        for n in (5, 6, 7, 8, 9, 10)
+    )
+    joins = "\n    ".join(
+        f"LEFT JOIN g{n}stat ON g{n}stat.doc_id = b.doc_id"
+        for n in (2, 3, 4, 5, 6, 7, 8, 9, 10)
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, length(text)::BIGINT AS n_chars,
+             string_split(text, ' ') AS ws
+      FROM documents
+    ),
+    words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             unnest(range(0, len(string_split(text, ' ')))) AS idx
+      FROM documents
+    ),{unit_cte('line', line_words)},{unit_cte('para', para_words)},{
+        ','.join(gram_cte(n) for n in (2, 3, 4, 5, 6, 7, 8, 9, 10))}
+    SELECT b.doc_id, b.n_chars,
+           linestat.dup / linestat.total AS dup_line_frac,
+           CASE WHEN linestat.total_chars > 0
+                THEN linestat.dup_chars / linestat.total_chars
+                ELSE 0.0 END AS dup_line_char_frac,
+           parastat.dup / parastat.total AS dup_para_frac,
+           CASE WHEN parastat.total_chars > 0
+                THEN parastat.dup_chars / parastat.total_chars
+                ELSE 0.0 END AS dup_para_char_frac,
+           {top_sel},
+           {dup_sel}
+    FROM base b
+    JOIN linestat ON linestat.doc_id = b.doc_id
+    JOIN parastat ON parastat.doc_id = b.doc_id
+    {joins}
+"""
+
+
+SQL["gopher_repetition"] = _gopher_repetition_sql()

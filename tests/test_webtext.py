@@ -1206,3 +1206,51 @@ class TestDetectCharset:
         # the lying-meta tier (doc_id%5==4) must disagree
         liars = out[out["doc_id"] % 5 == 4]
         assert len(liars) and (~liars["agree"]).all()
+
+
+class TestGopherRepetition:
+    def _run(self, texts):
+        import ray.data
+
+        from pdf_parser_ray.ops.webtext import gopher_repetition
+
+        df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        return (
+            gopher_repetition(ray.data.from_pandas(df).repartition(2))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    def test_hand_computed_signals(self, ray_session):
+        # 8 words -> lines(4): ['a b c a', 'a b c d'] distinct;
+        # 2-grams: 'a b'x2,'b c'x2,'c a'x1,'a a'x1,'c d'x1 -> top 'a b' (min tie)
+        text = "a b c a a b c d"
+        out = self._run([text])
+        r = out.iloc[0]
+        assert r["n_chars"] == len(text) == 15
+        assert r["dup_line_frac"] == 0.0
+        assert r["dup_para_frac"] == 0.0
+        assert r["top_2gram_char_frac"] == 2 * 3 / 15
+        # 5..10-grams each occur once -> dup fracs all 0
+        for n in range(5, 11):
+            assert r[f"dup_{n}gram_char_frac"] == 0.0
+
+    def test_duplicate_lines_and_ngrams(self, ray_session):
+        # 12 words = 3 identical 4-word lines 'x y z w'
+        text = " ".join(["x y z w"] * 3)
+        out = self._run([text])
+        r = out.iloc[0]
+        assert r["dup_line_frac"] == 2 / 3          # 2 non-first of 3
+        assert r["dup_line_char_frac"] == 2 / 3     # equal-length units
+        # every 5-gram occurs... '(x y z w x)', '(y z w x y)' etc:
+        # sequence is periodic with period 4 -> 5-grams repeat
+        assert r["dup_5gram_char_frac"] > 0.5
+        assert r["dup_para_frac"] == 0.0            # single 16-word para
+
+    def test_empty_doc_all_zero(self, ray_session):
+        out = self._run([""])
+        r = out.iloc[0]
+        for c in out.columns:
+            if c.endswith("frac"):
+                assert r[c] == 0.0, c
