@@ -1105,3 +1105,74 @@ def hll_overlap_pairs(
             "type_a", "type_b", "est_a", "est_b", "est_union", "est_overlap",
         ],
     )
+
+
+def misra_gries_heavy(
+    ds: ray.data.Dataset,
+    col: str,
+    *,
+    k: int = 64,
+) -> pd.DataFrame:
+    """Misra-Gries heavy hitters as a MERGEABLE summary (Misra & Gries
+    1982; mergeability per Agarwal et al., PODS 2012) — the
+    deterministic counterpart of the CMS route (`cms_top_users`):
+    after merging, every item with true frequency > n/k is PRESENT and
+    each kept counter lower-bounds the true count by at most n/k.
+
+    Shape: per-batch ``value_counts`` reduced to ≤ k counters (subtract
+    the (k+1)-th largest count, keep only positive); the driver merge
+    sums the ≤ k·batches counter rows and prunes once more —
+    O(batches × k) rows ever leave the scan, raw values never shuffle.
+    Each batch also reports its stream length on its rows (recovered
+    once per batch id), so the error bound n/k is exact.
+
+    Output (eager, ≤ k rows): (item:string, est:int64 — surviving
+    counter, a lower bound on the true count; n:int64 — total stream
+    length; err_bound:int64 = floor(n/k)); est DESC, item ASC.
+    """
+    import uuid
+
+    from pdf_parser_ray.io_utils import arrow_out
+
+    def summarize(df: pd.DataFrame):
+        vc = df[col].dropna().astype(str).value_counts()
+        n = int(vc.sum())
+        if len(vc) > k:
+            sub = int(vc.iloc[k])  # (k+1)-th largest
+            vc = vc.iloc[:k] - sub
+            vc = vc[vc > 0]
+        out = vc.rename_axis("item").reset_index(name="c")
+        out["n"] = np.int64(n)
+        out["batch"] = uuid.uuid4().hex
+        return arrow_out(out.astype({"c": "int64"}))
+
+    parts = (
+        ds.select_columns([col])
+        .map_batches(summarize, batch_format="pandas")
+        .to_pandas()  # bounded: ≤ k rows per batch
+    )
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "item": pd.Series([], dtype="object"),
+                "est": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+                "err_bound": pd.Series([], dtype="int64"),
+            }
+        )
+    n_total = int(parts.groupby("batch")["n"].first().sum())
+    merged = parts.groupby("item", as_index=False)["c"].sum()
+    if len(merged) > k:
+        merged = merged.sort_values(["c", "item"], ascending=[False, True])
+        sub = int(merged["c"].iloc[k])
+        merged["c"] = merged["c"] - sub
+        merged = merged[merged["c"] > 0]
+    out = merged.sort_values(["c", "item"], ascending=[False, True])
+    return pd.DataFrame(
+        {
+            "item": out["item"].to_numpy(),
+            "est": out["c"].to_numpy(dtype="int64"),
+            "n": np.full(len(out), n_total, dtype="int64"),
+            "err_bound": np.full(len(out), n_total // k, dtype="int64"),
+        }
+    )

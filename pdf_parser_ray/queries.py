@@ -12627,3 +12627,22 @@ def _gopher_repetition_sql(line_words: int = 4, para_words: int = 16) -> str:
 
 
 SQL["gopher_repetition"] = _gopher_repetition_sql()
+
+
+# ------------------------------------------------ Misra-Gries summary
+
+
+def q_mg_heavy_users(sf_dir: str) -> pd.DataFrame:
+    """Misra-Gries k=64 heavy-hitter summary over events.user_id — the
+    deterministic mergeable-counter route beside q:cms_top_users:
+    present-if-frequency>n/k guarantee, lower-bound counts.  Summary
+    content depends on merge order -> rows-only; the frequency
+    guarantee and error bound are pinned vs exact counts in
+    tests/test_sketches_joins.py TestMisraGries."""
+    from pdf_parser_ray.ops.sketches import misra_gries_heavy
+
+    ds = _read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return misra_gries_heavy(ds, "user_id", k=64)
+
+
+QUERIES["mg_heavy_users"] = q_mg_heavy_users

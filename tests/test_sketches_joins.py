@@ -756,3 +756,48 @@ class TestHllOverlapPairs:
             for p in (1, 7)
         ]
         pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestMisraGries:
+    def test_guarantee_vs_exact(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.sketches import misra_gries_heavy
+
+        # zipf-ish stream: few heavy users + long tail
+        rng = np.random.RandomState(5)
+        vals = np.concatenate(
+            [
+                np.repeat([f"heavy{i}" for i in range(5)], 800),
+                rng.randint(0, 3000, 6000).astype(str),
+            ]
+        )
+        rng.shuffle(vals)
+        df = pd.DataFrame({"u": vals})
+        k = 32
+        out = misra_gries_heavy(
+            ray.data.from_pandas(df).repartition(7), "u", k=k
+        )
+        n = len(vals)
+        assert (out["n"] == n).all() and (out["err_bound"] == n // k).all()
+        exact = pd.Series(vals).value_counts()
+        items = set(out["item"])
+        # every item with true freq > n/k must be present
+        for item, c in exact.items():
+            if c > n // k:
+                assert item in items, item
+        # each kept counter lower-bounds truth within n/k
+        for item, est in zip(out["item"], out["est"]):
+            assert est <= exact[item]
+            assert exact[item] - est <= n // k
+        assert len(out) <= k
+
+    def test_small_stream_exact(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.sketches import misra_gries_heavy
+
+        df = pd.DataFrame({"u": ["a"] * 5 + ["b"] * 3 + ["c"]})
+        out = misra_gries_heavy(ray.data.from_pandas(df), "u", k=16)
+        got = dict(zip(out["item"], out["est"]))
+        assert got == {"a": 5, "b": 3, "c": 1}  # no prune below k
