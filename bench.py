@@ -198,6 +198,18 @@ BENCH_QUERIES = [
     "bootstrap_ci",
     "near_dedup_md5",
     "cdx_index",
+    # round-2 session-16 additions
+    "mannwhitney_value",
+    "winnow_doc_fps",
+    "winnow_shared",
+    "embedding_pca",
+    "snm_pairs",
+    "url_templates",
+    "host_boilerplate",
+    "cdc_dedup_ratio",
+    "hll_overlap_md5",
+    "gopher_repetition",
+    "mg_heavy_users",
 ]
 
 
