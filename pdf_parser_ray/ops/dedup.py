@@ -3195,3 +3195,50 @@ def cdc_dedup_stats(
             "dedup_ratio": pd.Series([ratio], dtype="float64"),
         }
     )
+
+
+def lsh_band_plan(
+    *,
+    n_perm: int = 128,
+    threshold_permille: int = 700,
+) -> pd.DataFrame:
+    """MinHash-LSH band planner — the closed-form S-curve analysis that
+    picks (bands, rows_per_band) before :func:`minhash_lsh_pairs` runs
+    (Leskovec-Rajaraman-Ullman, Mining of Massive Datasets §3.4): for
+    every factorization n_perm = b·r, the probability a pair with
+    Jaccard s shares ≥ 1 band bucket is 1 − (1 − s^r)^b.
+
+    Emits one row per factorization with the curve evaluated at the
+    target threshold and ±0.1 around it (false-positive mass below,
+    false-negative mass above), the threshold approximation
+    (1/b)^(1/r), and ``chosen`` marking the b whose approximation sits
+    closest to the target — pure float math on identical literal
+    operands, shared with the SQL twin expression for expression.
+
+    Output: (bands, rows_per_band:int64, approx_threshold,
+    p_at_target, p_minus, p_plus:float64, chosen:bool).
+    """
+    t = threshold_permille / 1000.0
+    rows = []
+    for b in range(1, n_perm + 1):
+        if n_perm % b:
+            continue
+        r = n_perm // b
+        approx = (1.0 / b) ** (1.0 / r)
+
+        def p(s: float, b=b, r=r) -> float:
+            return 1.0 - (1.0 - s**r) ** b
+
+        rows.append((b, r, approx, p(t), p(t - 0.1), p(t + 0.1)))
+    out = pd.DataFrame(
+        rows,
+        columns=[
+            "bands", "rows_per_band", "approx_threshold",
+            "p_at_target", "p_minus", "p_plus",
+        ],
+    ).astype({"bands": "int64", "rows_per_band": "int64"})
+    gap = (out["approx_threshold"] - t).abs()
+    # closest approximation; bands ASC tie-break
+    best = out.loc[gap == gap.min(), "bands"].min()
+    out["chosen"] = out["bands"] == best
+    return out

@@ -12646,3 +12646,46 @@ def q_mg_heavy_users(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["mg_heavy_users"] = q_mg_heavy_users
+
+
+# ------------------------------------------------ LSH band planning
+
+
+def q_lsh_plan(sf_dir: str) -> pd.DataFrame:
+    """S-curve band plan for 128-perm MinHash at a 0.7 Jaccard target:
+    hit probability per (b, r) factorization at the threshold and ±0.1,
+    the (1/b)^(1/r) approximation, and the chosen b.  Closed-form —
+    the SQL twin evaluates the identical float expressions."""
+    from pdf_parser_ray.ops.dedup import lsh_band_plan
+
+    return lsh_band_plan(n_perm=128, threshold_permille=700)
+
+
+QUERIES["lsh_plan"] = q_lsh_plan
+
+SQL["lsh_plan"] = """
+    WITH f AS (
+      SELECT b::BIGINT AS bands, (128 / b)::BIGINT AS rows_per_band
+      FROM unnest(range(1, 129)) AS t(b)
+      WHERE 128 % b = 0
+    ),
+    c AS (
+      SELECT bands, rows_per_band,
+             power(1.0 / bands, 1.0 / rows_per_band) AS approx_threshold,
+             1.0 - power(1.0 - power(0.7, rows_per_band), bands)
+               AS p_at_target,
+             1.0 - power(1.0 - power(0.7 - 0.1, rows_per_band), bands)
+               AS p_minus,
+             1.0 - power(1.0 - power(0.7 + 0.1, rows_per_band), bands)
+               AS p_plus
+      FROM f
+    ),
+    g AS (SELECT min(abs(approx_threshold - 0.7)) AS mingap FROM c),
+    best AS (
+      SELECT min(bands) AS b0 FROM c, g
+      WHERE abs(approx_threshold - 0.7) = g.mingap
+    )
+    SELECT c.bands, c.rows_per_band, c.approx_threshold, c.p_at_target,
+           c.p_minus, c.p_plus, (c.bands = best.b0) AS chosen
+    FROM c, best
+"""

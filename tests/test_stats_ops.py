@@ -1274,3 +1274,20 @@ class TestFastCdc:
         # partition invariance
         out2 = cdc_dedup_stats(ray.data.from_pandas(df).repartition(1))
         pd.testing.assert_frame_equal(out, out2)
+
+
+class TestLshBandPlan:
+    def test_scurve_properties_and_choice(self):
+        from pdf_parser_ray.ops.dedup import lsh_band_plan
+
+        out = lsh_band_plan(n_perm=128, threshold_permille=700)
+        # all factorizations of 128 present
+        assert (out["bands"] * out["rows_per_band"] == 128).all()
+        # S-curve: hit prob increases with similarity for every plan
+        assert (out["p_plus"] >= out["p_at_target"]).all()
+        assert (out["p_at_target"] >= out["p_minus"]).all()
+        # textbook: b=16, r=8 approximates (1/16)^(1/8) ≈ 0.707 — the
+        # closest factorization to a 0.7 target
+        chosen = out[out["chosen"]]
+        assert chosen["bands"].tolist() == [16]
+        assert abs(chosen["approx_threshold"].iloc[0] - 0.7071) < 1e-3
