@@ -121,6 +121,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", required=True)
 
     p = sub.add_parser(
+        "pipeline",
+        help="run a declarative JSON pipeline spec (source → stages → sink)",
+    )
+    p.add_argument("--spec", required=True, help="path to the spec JSON")
+    p.add_argument("--out", default=None,
+                   help="override the spec's sink with a parquet dir")
+
+    p = sub.add_parser(
         "compact",
         help="rewrite a directory of small parquet fragments into "
              "~target-size files (no shuffle — block coalescing)",
@@ -328,6 +336,14 @@ def main(argv: list[str] | None = None) -> int:
             )
             n = ray.data.read_parquet(args.out, columns=["doc_id"]).count()
         print(json.dumps({"new_docs": n, "out": args.out, "index": args.index}))
+    elif args.cmd == "pipeline":
+        from pdf_parser_ray.spec import run_spec
+
+        with open(args.spec) as f:
+            spec = json.load(f)
+        if args.out:
+            spec["sink"] = {"kind": "parquet", "path": args.out}
+        print(json.dumps(run_spec(spec)))
     elif args.cmd == "compact":
         from pdf_parser_ray.io_utils import compact_parquet
 

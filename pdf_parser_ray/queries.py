@@ -12689,3 +12689,35 @@ SQL["lsh_plan"] = """
            c.p_minus, c.p_plus, (c.bands = best.b0) AS chosen
     FROM c, best
 """
+
+
+# ------------------------------------------------ declarative spec runner
+
+
+def q_spec_pipeline(sf_dir: str) -> ray.data.Dataset:
+    """A pipeline expressed as DATA (pdf_parser_ray.spec): the quality
+    op + an expression filter compiled from a JSON-able dict onto the
+    same library stages — oracled by composing the quality twin with
+    the same predicate."""
+    from pdf_parser_ray.spec import build_pipeline
+
+    return build_pipeline(
+        {
+            "source": {
+                "kind": "parquet",
+                "path": f"{sf_dir}/documents.parquet",
+                "columns": ["doc_id", "text"],
+            },
+            "stages": [
+                {"op": "quality"},
+                {"op": "filter", "expr": "n_tokens >= 5"},
+            ],
+        }
+    )
+
+
+QUERIES["spec_pipeline"] = q_spec_pipeline
+
+SQL["spec_pipeline"] = (
+    "SELECT * FROM (" + SQL["quality"] + ") WHERE n_tokens >= 5"
+)

@@ -135,3 +135,87 @@ def test_replace_cmd_rules_file(cli_corpus, tmp_path, capsys):
                            "--rules", rules, "--variant", "2",
                            "--out", str(tmp_path / "rep")])
     assert res["docs_changed"] == 0
+
+
+class TestPipelineSpec:
+    def test_build_and_run_quality_gate(self, ray_session):
+        from pdf_parser_ray.spec import build_pipeline, run_spec
+
+        spec = {
+            "source": {
+                "kind": "parquet",
+                "path": "/root/testdata/sf0.001/documents.parquet",
+                "columns": ["doc_id", "text"],
+            },
+            "stages": [
+                {"op": "quality"},
+                {"op": "filter", "expr": "n_tokens >= 5"},
+                {"op": "limit", "n": 50},
+            ],
+        }
+        ds = build_pipeline(spec)
+        import ray.data as rd
+
+        assert isinstance(ds, rd.Dataset)  # lazy until consumed
+        out = run_spec(spec)
+        assert 0 < out["rows"] <= 50
+
+    def test_parquet_sink_and_corpus_source(self, ray_session, tmp_path):
+        from pdf_parser_ray.corpus import ensure_corpus
+        from pdf_parser_ray.spec import run_spec
+
+        corpus = ensure_corpus(60, seed=7)
+        spec = {
+            "source": {"kind": "corpus", "path": corpus},
+            "stages": [
+                {"op": "extract"},
+                {"op": "select", "columns": ["url", "status", "extracted_text"]},
+            ],
+            "sink": {"kind": "parquet", "path": str(tmp_path / "o")},
+        }
+        out = run_spec(spec)
+        assert out["rows"] == 60
+        import ray.data as rd
+
+        assert set(rd.read_parquet(out["out"]).schema().names) == {
+            "url", "status", "extracted_text",
+        }
+
+    def test_unknown_op_lists_choices(self):
+        from pdf_parser_ray.spec import build_pipeline
+
+        spec = {
+            "source": {
+                "kind": "parquet",
+                "path": "/root/testdata/sf0.001/documents.parquet",
+            },
+            "stages": [{"op": "frobnicate"}],
+        }
+        with pytest.raises(ValueError) as e:
+            build_pipeline(spec)
+        assert "frobnicate" in str(e.value) and "quality" in str(e.value)
+
+    def test_cli_pipeline_cmd(self, tmp_path):
+        import json as _json
+        import subprocess
+        import sys
+
+        spec = {
+            "source": {
+                "kind": "parquet",
+                "path": "/root/testdata/sf0.001/documents.parquet",
+                "columns": ["doc_id", "text"],
+            },
+            "stages": [{"op": "token_stats"}],
+        }
+        spec_file = tmp_path / "spec.json"
+        spec_file.write_text(_json.dumps(spec))
+        r = subprocess.run(
+            [sys.executable, "-m", "pdf_parser_ray", "--num-cpus", "4",
+             "pipeline", "--spec", str(spec_file),
+             "--out", str(tmp_path / "out")],
+            capture_output=True, text=True, cwd="/root/repo", timeout=180,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        payload = _json.loads(r.stdout.strip().splitlines()[-1])
+        assert payload["rows"] == 500
