@@ -214,3 +214,126 @@ def centroids_long(
             "n_vecs": np.repeat(counts.astype(np.int64), dim),
         }
     )
+
+
+def grid_dbscan(
+    ds: "ray.data.Dataset",
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    eps: float = 0.5,
+    min_pts: int = 8,
+) -> "ray.data.Dataset":
+    """Density clustering without choosing K — the grid-cell DBSCAN
+    approximation (cell-based variants of Ester et al. 1996; cf.
+    GriDBSCAN/GriT-style decompositions): project every vector onto the
+    learned top-2 principal components (:func:`~pdf_parser_ray.ops.\
+profile.embedding_pca` fit, broadcast once), snap to an ``eps``-sized
+    grid, call a cell DENSE when it holds ≥ ``min_pts`` points, and
+    connect dense cells through their 8-neighborhood; each connected
+    component is a cluster, points in sparse cells are noise (-1).
+
+    Distributed shape: ONE bounded grouped count over occupied cells
+    (partial counts per batch first — shuffle rows are cells, never
+    points); the dense-cell union-find runs at the driver (dense cells
+    ≤ occupied cells, a broadcast-scale table by construction) and the
+    label map ships back via ``ray.put`` for a zero-shuffle assignment
+    pass.  Deterministic: cluster ids are renumbered by their minimum
+    cell (row-major), so any partitioning yields identical labels.
+
+    Output: (id_col, cell_x:int64, cell_y:int64, cluster:int64 — dense
+    component id, or -1 for noise).
+    """
+    import ray as _ray
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.profile import _pca_fit
+    from pdf_parser_ray.ops.shuffle import grouped_sum
+    from pdf_parser_ray.stages import worker_state
+
+    mean, comps, _ = _pca_fit(ds, col, 2)
+    fit_ref = _ray.put((mean, comps))
+
+    def cells(df: "pd.DataFrame"):
+        mu, cs = worker_state(
+            ("dbscan_fit", fit_ref.hex()), lambda: _ray.get(fit_ref)
+        )
+        m = np.vstack(df[col].to_numpy()).astype(np.float64)
+        proj = (m - mu) @ cs.T
+        cx = np.floor(proj[:, 0] / eps).astype(np.int64)
+        cy = np.floor(proj[:, 1] / eps).astype(np.int64)
+        g = pd.DataFrame({"cell_x": cx, "cell_y": cy})
+        g["n"] = np.int64(1)
+        return arrow_out(
+            g.groupby(["cell_x", "cell_y"], as_index=False)["n"].sum()
+        )
+
+    occupied = grouped_sum(
+        ds.select_columns([col]).map_batches(cells, batch_format="pandas"),
+        ["cell_x", "cell_y"],
+        ["n"],
+    ).to_pandas()  # bounded: occupied grid cells
+    dense = occupied[occupied["n"] >= min_pts]
+
+    # driver union-find over dense cells through the 8-neighborhood
+    keys = {
+        (int(x), int(y)): i
+        for i, (x, y) in enumerate(zip(dense["cell_x"], dense["cell_y"]))
+    }
+    parent = list(range(len(keys)))
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for (x, y), i in keys.items():
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                j = keys.get((x + dx, y + dy))
+                if j is not None:
+                    ra, rb = find(i), find(j)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+
+    # renumber components by their minimum (row-major) member cell
+    roots: dict = {}
+    cell_label: dict = {}
+    for xy in sorted(keys):
+        r = find(keys[xy])
+        if r not in roots:
+            roots[r] = len(roots)
+        cell_label[xy] = roots[r]
+    label_ref = _ray.put(cell_label)
+
+    def assign(df: "pd.DataFrame"):
+        mu, cs = worker_state(
+            ("dbscan_fit", fit_ref.hex()), lambda: _ray.get(fit_ref)
+        )
+        labels = worker_state(
+            ("dbscan_labels", label_ref.hex()), lambda: _ray.get(label_ref)
+        )
+        m = np.vstack(df[col].to_numpy()).astype(np.float64)
+        proj = (m - mu) @ cs.T
+        cx = np.floor(proj[:, 0] / eps).astype(np.int64)
+        cy = np.floor(proj[:, 1] / eps).astype(np.int64)
+        lab = np.fromiter(
+            (labels.get((int(x), int(y)), -1) for x, y in zip(cx, cy)),
+            dtype=np.int64,
+            count=len(cx),
+        )
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    id_col: df[id_col].astype("int64"),
+                    "cell_x": cx,
+                    "cell_y": cy,
+                    "cluster": lab,
+                }
+            )
+        )
+
+    return ds.select_columns([id_col, col]).map_batches(
+        assign, batch_format="pandas"
+    )

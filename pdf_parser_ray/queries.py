@@ -12721,3 +12721,22 @@ QUERIES["spec_pipeline"] = q_spec_pipeline
 SQL["spec_pipeline"] = (
     "SELECT * FROM (" + SQL["quality"] + ") WHERE n_tokens >= 5"
 )
+
+
+# ------------------------------------------------ grid DBSCAN
+
+
+def q_dbscan_grid(sf_dir: str) -> ray.data.Dataset:
+    """Grid-cell DBSCAN over the embeddings' top-2 PCA projection
+    (eps=0.5, min_pts=8): dense eps-cells connected via 8-neighborhood
+    union-find, sparse cells noise.  Eigensolver + grid composition ->
+    rows-only; blob recovery pinned in tests/test_clustering.py."""
+    from pdf_parser_ray.ops.clustering import grid_dbscan
+
+    emb = _read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return grid_dbscan(emb, eps=0.5, min_pts=8)
+
+
+QUERIES["dbscan_grid"] = q_dbscan_grid

@@ -479,3 +479,61 @@ class TestJlProject:
         m = float(np.mean(ratios))
         # E[|y_a - y_b|^2] = |x_a - x_b|^2; k=16 keeps the mean near 1
         assert 0.7 < m < 1.3
+
+
+class TestGridDbscan:
+    def _blobs(self, seed=3):
+        rng = np.random.RandomState(seed)
+        a = rng.randn(300, 8) * 0.2 + np.r_[np.array([6.0, 6.0]), np.zeros(6)]
+        b = rng.randn(300, 8) * 0.2 - np.r_[np.array([6.0, 6.0]), np.zeros(6)]
+        noise = rng.uniform(-15, 15, size=(30, 8))
+        m = np.vstack([a, b, noise])
+        return pd.DataFrame(
+            {"vec_id": range(len(m)), "embedding": list(m)}
+        )
+
+    def test_two_blobs_and_noise(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.clustering import grid_dbscan
+
+        df = self._blobs()
+        out = (
+            grid_dbscan(
+                ray.data.from_pandas(df).repartition(5),
+                eps=1.0,
+                min_pts=10,
+            )
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        lab_a = out.loc[:299, "cluster"]
+        lab_b = out.loc[300:599, "cluster"]
+        # each blob's dominant label covers ≥95% (edge points in sparse
+        # cells are legitimately noise in the grid approximation) and
+        # the two blobs land in different clusters
+        dom_a = lab_a[lab_a >= 0].mode().iloc[0]
+        dom_b = lab_b[lab_b >= 0].mode().iloc[0]
+        assert (lab_a == dom_a).mean() > 0.95
+        assert (lab_b == dom_b).mean() > 0.95
+        assert dom_a != dom_b
+        # scattered noise is mostly unlabeled
+        assert (out.loc[600:, "cluster"] == -1).mean() > 0.8
+
+    def test_partition_invariance(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.clustering import grid_dbscan
+
+        df = self._blobs(seed=11)
+        outs = [
+            grid_dbscan(
+                ray.data.from_pandas(df).repartition(p), eps=1.0, min_pts=10
+            )
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+            for p in (1, 6)
+        ]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
