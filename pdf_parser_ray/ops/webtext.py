@@ -1792,6 +1792,11 @@ def host_boilerplate_strip(
 
     # combo rows also need the host to apply the per-host threshold —
     # carry it alongside the hash (string key rides the shuffle once)
+    # the shuffle key is (combo, host_hash) — two int64s through the
+    # int-keyed co-location (a string host column through the streaming
+    # sort-aggregate measured 7.4 s of a 9.5 s run at sf0.1; ints via
+    # grouped_sum cut the whole op to ~3 s).  host_hash is constant per
+    # combo (the line hash is host-salted), so it is a free rider key.
     def partial_counts_with_host(df: pd.DataFrame):
         hosts: list = []
         flat: list = []
@@ -1801,20 +1806,21 @@ def host_boilerplate_strip(
                 flat.append(host + SALT + n)
                 hosts.append(host)
         h = _hash_passages(flat)
-        g = pd.DataFrame({"combo": h.astype(np.int64), "host": hosts})
+        hh = _hash_passages(hosts)
+        g = pd.DataFrame(
+            {"combo": h.astype(np.int64), "host_hash": hh.astype(np.int64)}
+        )
         g["n"] = np.int64(1)
         return arrow_out(
-            g.groupby(["combo", "host"], as_index=False)["n"].sum()
+            g.groupby(["combo", "host_hash"], as_index=False)["n"].sum()
         )
 
-    # Max("host") is a constant per combo (the hash is host-salted);
-    # it just carries the string through the count shuffle
-    from ray.data.aggregate import Max
+    from pdf_parser_ray.ops.shuffle import grouped_sum
 
-    counts = (
-        ds.map_batches(partial_counts_with_host, batch_format="pandas")
-        .groupby("combo")
-        .aggregate(Sum("n", alias_name="n"), Max("host", alias_name="host"))
+    counts = grouped_sum(
+        ds.map_batches(partial_counts_with_host, batch_format="pandas"),
+        ["combo", "host_hash"],
+        ["n"],
     )
 
     def host_totals(df: pd.DataFrame):
@@ -1829,13 +1835,20 @@ def host_boilerplate_strip(
         .aggregate(Sum("t", alias_name="t"))
         .to_pandas()  # bounded by distinct hosts
     )
-    tot_ref = ray.put(dict(zip(totals["host"], totals["t"].astype(int))))
+    tot_ref = ray.put(
+        dict(
+            zip(
+                _hash_passages(totals["host"].tolist()).astype(np.int64),
+                totals["t"].astype(int),
+            )
+        )
+    )
 
     def hot_filter(df: pd.DataFrame):
         tmap = worker_state(
             ("hb_totals", tot_ref.hex()), lambda: ray.get(tot_ref)
         )
-        t = df["host"].map(tmap).fillna(0).astype(np.int64)
+        t = df["host_hash"].map(tmap).fillna(0).astype(np.int64)
         keep = (1000 * df["n"].to_numpy() >= min_permille * t.to_numpy()) & (
             t.to_numpy() >= min_docs
         )
