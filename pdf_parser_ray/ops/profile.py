@@ -2394,3 +2394,89 @@ def embedding_pca_variance(
             "evr": np.round(evals_all[:k] / trace, round_to),
         }
     )
+
+
+def bcubed_eval(
+    ds: ray.data.Dataset,
+    pred_col: str,
+    truth_col: str,
+    *,
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """B-cubed extrinsic clustering evaluation (Bagga & Baldwin 1998;
+    the dedup-clustering scorecard of Amigó et al. 2009): per-item
+    precision |C(i)∩T(i)|/|C(i)| and recall |C(i)∩T(i)|/|T(i)|,
+    averaged — computed from the contingency identity
+    Σ_{c,t} n_ct²/n_c (resp. /n_t) / N, so no per-item pass exists.
+
+    Distributed shape: batch-partial (pred, truth) pair counts → ONE
+    (c,t) co-location builds the contingency (bounded by distinct label
+    pairs, materialized — two consumers); then one co-location on c
+    computes each cluster's marginal AND its Σ n_ct²/n_c contribution
+    in-partition (n_c is complete there by construction — no broadcast
+    marginal map, which would be corpus-sized under singleton-heavy
+    dedup labelings), one on t symmetrically; each reduces to ONE float
+    per partition before the driver.  Precision/recall round to
+    ``round_to`` (cross-row float-sum contract); F1 derives from the
+    rounded pair.
+
+    Output (eager, one row): (n:int64, precision, recall, f1:float64).
+    """
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import grouped_sum, partitioned_map
+
+    def pair_partial(df: pd.DataFrame):
+        g = pd.DataFrame({"c": df[pred_col], "t": df[truth_col]})
+        g["n"] = np.int64(1)
+        return arrow_out(g.groupby(["c", "t"], as_index=False)["n"].sum())
+
+    cont = grouped_sum(
+        ds.select_columns([pred_col, truth_col]).map_batches(
+            pair_partial, batch_format="pandas"
+        ),
+        ["c", "t"],
+        ["n"],
+    ).materialize()  # consumed by both marginal passes below
+
+    def ratio_by(key: str):
+        def per_part(part: pd.DataFrame) -> pd.DataFrame:
+            n = part["n"].to_numpy(dtype=np.float64)
+            denom = part.groupby(key)["n"].transform("sum").to_numpy(
+                dtype=np.float64
+            )
+            return pd.DataFrame(
+                {
+                    "s": [float((n * n / denom).sum())],
+                    "n_rows": [int(part["n"].sum())],
+                }
+            )
+
+        return partitioned_map(cont, [key], per_part).to_pandas()
+
+    p_parts = ratio_by("c")
+    r_parts = ratio_by("t")
+    n_total = int(p_parts["n_rows"].sum())
+    if n_total == 0:
+        return pd.DataFrame(
+            {
+                "n": pd.Series([0], dtype="int64"),
+                "precision": [0.0],
+                "recall": [0.0],
+                "f1": [0.0],
+            }
+        )
+    precision = round(float(p_parts["s"].sum()) / n_total, round_to)
+    recall = round(float(r_parts["s"].sum()) / n_total, round_to)
+    f1 = (
+        round(2 * precision * recall / (precision + recall), round_to)
+        if precision + recall > 0
+        else 0.0
+    )
+    return pd.DataFrame(
+        {
+            "n": pd.Series([n_total], dtype="int64"),
+            "precision": [precision],
+            "recall": [recall],
+            "f1": [f1],
+        }
+    )

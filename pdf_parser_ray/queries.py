@@ -12740,3 +12740,68 @@ def q_dbscan_grid(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES["dbscan_grid"] = q_dbscan_grid
+
+
+# ------------------------------------------------ B-cubed dedup evaluation
+
+
+def q_bcubed_dedup(sf_dir: str) -> pd.DataFrame:
+    """B-cubed precision/recall/F1 of the SimHash-signature clustering
+    against exact-fingerprint truth (md5 of ws-normalized text) — the
+    dedup scorecard: one labeling pass (both labels from the same
+    batch), contingency co-location, in-partition marginals
+    (ops/profile.bcubed_eval)."""
+    from pdf_parser_ray.ops.dedup import _simhash_batch
+    from pdf_parser_ray.ops.profile import bcubed_eval
+    from pdf_parser_ray.ops.text_stats import fingerprint_batch
+
+    def labels(df: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.io_utils import arrow_out
+
+        sig = _simhash_batch(df, hash_fn="md5")
+        fp = fingerprint_batch(df)
+        out = sig.merge(fp, on="doc_id")
+        return arrow_out(out[["doc_id", "simhash", "fingerprint"]])
+
+    labeled = _documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        labels, batch_format="pandas"
+    )
+    return bcubed_eval(labeled, "simhash", "fingerprint")
+
+
+QUERIES["bcubed_dedup"] = q_bcubed_dedup
+
+
+def _bcubed_dedup_sql() -> str:
+    sig_sql = _simhash_md5_sql()
+    head = sig_sql[: sig_sql.index("SELECT simhash,")]
+    return (
+        head
+        + r""",
+    fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    lab AS (
+      SELECT s.doc_id, s.simhash AS c, fp.t
+      FROM sigs s JOIN fp USING (doc_id)
+    ),
+    ct AS (SELECT c, t, count(*)::BIGINT AS n FROM lab GROUP BY c, t),
+    nc AS (SELECT c, sum(n)::BIGINT AS nc FROM ct GROUP BY c),
+    nt AS (SELECT t, sum(n)::BIGINT AS nt FROM ct GROUP BY t),
+    sums AS (
+      SELECT sum(ct.n::DOUBLE * ct.n::DOUBLE / nc.nc::DOUBLE) AS ps,
+             sum(ct.n::DOUBLE * ct.n::DOUBLE / nt.nt::DOUBLE) AS rs,
+             sum(ct.n)::BIGINT AS n
+      FROM ct JOIN nc USING (c) JOIN nt USING (t)
+    )
+    SELECT n, round(ps / n, 6) AS precision, round(rs / n, 6) AS recall,
+           round(2 * round(ps / n, 6) * round(rs / n, 6)
+                 / (round(ps / n, 6) + round(rs / n, 6)), 6) AS f1
+    FROM sums
+"""
+    )
+
+
+SQL["bcubed_dedup"] = _bcubed_dedup_sql()

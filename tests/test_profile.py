@@ -545,3 +545,44 @@ class TestEmbeddingPca:
         assert (np.diff(ev) <= 1e-12).all()  # descending
         assert (ev >= -1e-9).all()
         assert abs(out["evr"].sum() - 1.0) < 1e-4  # all 5 of 5 dims
+
+
+class TestBcubedEval:
+    def _run(self, pred, truth, parts=4):
+        import ray.data
+
+        from pdf_parser_ray.ops.profile import bcubed_eval
+
+        df = pd.DataFrame(
+            {"id": range(len(pred)), "pred": pred, "truth": truth}
+        )
+        return bcubed_eval(
+            ray.data.from_pandas(df).repartition(parts), "pred", "truth"
+        )
+
+    def test_perfect_clustering(self, ray_session):
+        out = self._run(["a", "a", "b", "b", "c"], ["x", "x", "y", "y", "z"])
+        assert out["precision"].iloc[0] == 1.0
+        assert out["recall"].iloc[0] == 1.0
+        assert out["f1"].iloc[0] == 1.0
+
+    def test_textbook_case(self, ray_session):
+        # all items in ONE predicted cluster, truth = two classes 3+2:
+        # precision = (3·(3/5) + 2·(2/5))/5 = 13/25; recall = 1
+        out = self._run(["p"] * 5, ["x", "x", "x", "y", "y"])
+        assert out["precision"].iloc[0] == round(13 / 25, 6)
+        assert out["recall"].iloc[0] == 1.0
+        # and the symmetric split: singletons predicted, recall drops
+        out2 = self._run(list("abcde"), ["x", "x", "x", "y", "y"])
+        assert out2["precision"].iloc[0] == 1.0
+        assert out2["recall"].iloc[0] == round(
+            (3 * (1 / 3) + 2 * (1 / 2)) / 5, 6
+        )
+
+    def test_partition_invariance(self, ray_session):
+        rng = np.random.RandomState(0)
+        pred = rng.randint(0, 20, 500).astype(str)
+        truth = rng.randint(0, 15, 500).astype(str)
+        a = self._run(pred, truth, parts=1)
+        b = self._run(pred, truth, parts=9)
+        pd.testing.assert_frame_equal(a, b)
