@@ -12805,3 +12805,20 @@ def _bcubed_dedup_sql() -> str:
 
 
 SQL["bcubed_dedup"] = _bcubed_dedup_sql()
+
+
+# ------------------------------------------------ KLL quantiles
+
+
+def q_kll_quantiles(sf_dir: str) -> pd.DataFrame:
+    """p50/p90/p99 of event value via mergeable KLL sketches (k=200,
+    deterministic-coin variant): O(k) per worker, one blob per batch
+    to the driver.  Approximate by design -> rows-only; rank error and
+    weight conservation pinned in tests/test_sketches_joins.py."""
+    from pdf_parser_ray.ops.sketches import kll_quantiles
+
+    ds = _read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return kll_quantiles(ds, "value")
+
+
+QUERIES["kll_quantiles"] = q_kll_quantiles

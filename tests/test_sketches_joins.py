@@ -801,3 +801,67 @@ class TestMisraGries:
         out = misra_gries_heavy(ray.data.from_pandas(df), "u", k=16)
         got = dict(zip(out["item"], out["est"]))
         assert got == {"a": 5, "b": 3, "c": 1}  # no prune below k
+
+
+class TestKllSketch:
+    def test_weight_conservation_invariant(self):
+        from pdf_parser_ray.ops.sketches import KLLSketch
+
+        rng = np.random.RandomState(3)
+        s = KLLSketch(k=64)
+        total = 0
+        for _ in range(20):
+            chunk = rng.randn(1000)
+            s.update_many(chunk)
+            total += len(chunk)
+            got = sum((1 << h) * len(lv) for h, lv in enumerate(s.levels))
+            assert got == total == s.n
+
+    def test_rank_error_uniform_and_sorted(self):
+        from pdf_parser_ray.ops.sketches import KLLSketch
+
+        rng = np.random.RandomState(9)
+        for data in (rng.uniform(0, 1, 50_000), np.arange(50_000.0)):
+            s = KLLSketch(k=200)
+            for i in range(0, len(data), 2048):
+                s.update_many(data[i : i + 2048])
+            srt = np.sort(data)
+            for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+                est = s.quantile(q)
+                true_rank = np.searchsorted(srt, est) / len(data)
+                assert abs(true_rank - q) < 0.025, (q, true_rank)
+
+    def test_merge_matches_single_stream_error(self):
+        from pdf_parser_ray.ops.sketches import KLLSketch
+
+        rng = np.random.RandomState(1)
+        a_data, b_data = rng.gamma(2, 3, 20_000), rng.gamma(5, 1, 20_000)
+        a, b = KLLSketch(200), KLLSketch(200)
+        a.update_many(a_data)
+        b.update_many(b_data)
+        m = a.merge(b)
+        assert m.n == 40_000
+        assert sum((1 << h) * len(lv) for h, lv in enumerate(m.levels)) == m.n
+        srt = np.sort(np.concatenate([a_data, b_data]))
+        for q in (0.1, 0.5, 0.9):
+            true_rank = np.searchsorted(srt, m.quantile(q)) / len(srt)
+            assert abs(true_rank - q) < 0.03
+
+    def test_distributed_vs_exact(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.sketches import kll_quantiles
+
+        rng = np.random.RandomState(7)
+        vals = rng.lognormal(0, 1, 30_000)
+        df = pd.DataFrame({"value": vals})
+        out = kll_quantiles(
+            ray.data.from_pandas(df).repartition(8), "value"
+        )
+        assert out["n"].iloc[0] == 30_000
+        srt = np.sort(vals)
+        for q, est in zip(out["q"], out["value"]):
+            true_rank = np.searchsorted(srt, est) / len(srt)
+            assert abs(true_rank - q) < 0.03
+        # quantile estimates are monotone in q
+        assert (np.diff(out["value"]) >= 0).all()
