@@ -2480,3 +2480,139 @@ def bcubed_eval(
             "f1": [f1],
         }
     )
+
+
+def conformal_ols_intervals(
+    ds: ray.data.Dataset,
+    x: str,
+    y: str,
+    by: str,
+    id_col: str,
+    *,
+    alpha_permille: int = 100,
+    y_cents: bool = True,
+) -> ray.data.Dataset:
+    """Split-conformal prediction intervals around a per-group OLS fit
+    (Vovk et al. 2005; the split/inductive variant of Papadopoulos et
+    al. 2002): even ``id_col`` rows FIT the line, odd rows CALIBRATE —
+    the conformal quantile q̂ is the ⌈(n_cal+1)(1−α)⌉-th smallest
+    absolute residual, giving ŷ ± q̂ with ≥ 1−α finite-sample coverage
+    on exchangeable data.
+
+    Exactness contract: the fit uses exact int64 cent/size sums
+    (the grouped_ols closed form, identical float tree to the SQL
+    twin); calibration residuals snap to CENTS so the per-group
+    quantile is an integer-histogram nearest-rank lookup — one bounded
+    grouped count shuffle (groups × distinct residual cents), no
+    per-row quantile state.
+
+    Output: (by, n_fit:int64, n_cal:int64, slope:float64,
+    intercept:float64, q_hat_cents:int64 — interval half-width).
+    """
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import grouped_sum
+    from pdf_parser_ray.stages import worker_state
+
+    scale = 100.0 if y_cents else 1.0
+
+    def fit_partial(df: pd.DataFrame):
+        d = df[df[id_col] % 2 == 0]
+        X = d[x].to_numpy(dtype=np.float64)
+        Y = np.rint(d[y].to_numpy(dtype=np.float64) * scale).astype(np.int64)
+        g = pd.DataFrame(
+            {
+                by: d[by],
+                "n": np.int64(1),
+                "sx": d[x].astype("int64"),
+                "sy": Y,
+                "sxx": (X * X).astype(np.int64),
+                "sxy": (X * Y).astype(np.int64),
+            }
+        )
+        return arrow_out(
+            g.groupby(by, as_index=False)[["n", "sx", "sy", "sxx", "sxy"]].sum()
+        )
+
+    sums = grouped_sum(
+        ds.select_columns([by, x, y, id_col]).map_batches(
+            fit_partial, batch_format="pandas"
+        ),
+        [by],
+        ["n", "sx", "sy", "sxx", "sxy"],
+    ).to_pandas()  # bounded: one row per group
+
+    fits: dict = {}
+    for _, r in sums.iterrows():
+        n, sx, sy, sxx, sxy = (
+            int(r["n"]), int(r["sx"]), int(r["sy"]), int(r["sxx"]),
+            int(r["sxy"]),
+        )
+        denom = n * sxx - sx * sx
+        if n == 0 or denom == 0:
+            continue
+        slope = (n * sxy - sx * sy) / denom
+        intercept = (sy - slope * sx) / n
+        fits[r[by]] = (slope, intercept, n)
+    fit_ref = ray.put(fits)
+
+    def cal_partial(df: pd.DataFrame):
+        fmap = worker_state(
+            ("conf_fits", fit_ref.hex()), lambda: ray.get(fit_ref)
+        )
+        d = df[df[id_col] % 2 == 1]
+        rows = []
+        for g, grp in d.groupby(by, sort=False):
+            fit = fmap.get(g)
+            if fit is None:
+                continue
+            slope, intercept, _ = fit
+            X = grp[x].to_numpy(dtype=np.float64)
+            Y = np.rint(grp[y].to_numpy(dtype=np.float64) * scale)
+            res = np.rint(np.abs(Y - (slope * X + intercept))).astype(np.int64)
+            u, c = np.unique(res, return_counts=True)
+            rows.append(pd.DataFrame({by: g, "res": u, "c": c}))
+        if not rows:
+            return arrow_out(
+                pd.DataFrame(
+                    {
+                        by: pd.Series([], dtype="object"),
+                        "res": pd.Series([], dtype="int64"),
+                        "c": pd.Series([], dtype="int64"),
+                    }
+                )
+            )
+        return arrow_out(pd.concat(rows, ignore_index=True))
+
+    hist = grouped_sum(
+        ds.select_columns([by, x, y, id_col]).map_batches(
+            cal_partial, batch_format="pandas"
+        ),
+        [by, "res"],
+        ["c"],
+    ).to_pandas()  # bounded: groups × distinct residual cents
+
+    out_rows = []
+    if by not in hist.columns:  # every group degenerate → empty frame
+        hist = pd.DataFrame(
+            {
+                by: pd.Series([], dtype="object"),
+                "res": pd.Series([], dtype="int64"),
+                "c": pd.Series([], dtype="int64"),
+            }
+        )
+    for g, grp in hist.sort_values([by, "res"]).groupby(by, sort=True):
+        slope, intercept, n_fit = fits[g]
+        c = grp["c"].to_numpy(dtype=np.int64)
+        n_cal = int(c.sum())
+        rank = min(
+            n_cal,
+            -(-((n_cal + 1) * (1000 - alpha_permille)) // 1000),  # ceil
+        )
+        cum = np.cumsum(c)
+        q_hat = int(grp["res"].to_numpy()[np.searchsorted(cum, rank)])
+        out_rows.append((g, n_fit, n_cal, slope, intercept, q_hat))
+    out = pd.DataFrame(
+        out_rows,
+        columns=[by, "n_fit", "n_cal", "slope", "intercept", "q_hat_cents"],
+    ).astype({"n_fit": "int64", "n_cal": "int64", "q_hat_cents": "int64"})
+    return ray.data.from_arrow(pa.Table.from_pandas(out, preserve_index=False))

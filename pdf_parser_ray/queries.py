@@ -12822,3 +12822,79 @@ def q_kll_quantiles(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["kll_quantiles"] = q_kll_quantiles
+
+
+# ------------------------------------------------ conformal intervals
+
+
+def q_conformal_price(sf_dir: str) -> ray.data.Dataset:
+    """Split-conformal ±q̂ intervals around the per-brand price~size
+    OLS line (even partkeys fit, odd calibrate, α=10%): exact-int
+    sufficient stats, cent-snapped residual histogram, nearest-rank
+    ⌈(n+1)(1−α)⌉ quantile (ops/profile.conformal_ols_intervals)."""
+    from pdf_parser_ray.ops.profile import conformal_ols_intervals
+
+    part = _read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size", "p_retailprice"],
+    )
+    return conformal_ols_intervals(
+        part, "p_size", "p_retailprice", "p_brand", "p_partkey",
+        alpha_permille=100,
+    )
+
+
+QUERIES["conformal_price"] = q_conformal_price
+
+SQL["conformal_price"] = """
+    WITH fit0 AS (
+      SELECT p_brand,
+             count(*)::BIGINT AS n,
+             sum(p_size)::BIGINT AS sx,
+             sum(CAST(round(p_retailprice * 100) AS BIGINT))::BIGINT AS sy,
+             sum(p_size * p_size)::BIGINT AS sxx,
+             sum(p_size * CAST(round(p_retailprice * 100) AS BIGINT))::BIGINT
+               AS sxy
+      FROM part WHERE p_partkey % 2 = 0 GROUP BY p_brand
+    ),
+    fit AS (
+      SELECT p_brand, n AS n_fit,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+             (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+               AS intercept
+      FROM fit0 WHERE n * sxx - sx * sx <> 0
+    ),
+    cal AS (
+      SELECT f.p_brand, f.n_fit, f.slope, f.intercept,
+             CAST(round(abs(round(p.p_retailprice * 100)
+                            - (f.slope * p.p_size + f.intercept)))
+                  AS BIGINT) AS res
+      FROM part p JOIN fit f ON f.p_brand = p.p_brand
+      WHERE p.p_partkey % 2 = 1
+    ),
+    h AS (
+      SELECT p_brand, res, count(*)::BIGINT AS c
+      FROM cal GROUP BY p_brand, res
+    ),
+    r AS (
+      SELECT p_brand, res,
+             sum(c) OVER (PARTITION BY p_brand ORDER BY res) AS cum,
+             sum(c) OVER (PARTITION BY p_brand) AS n_cal
+      FROM h
+    ),
+    rk AS (
+      SELECT p_brand, n_cal,
+             LEAST(n_cal, ((n_cal + 1) * 900 + 999) // 1000) AS rnk
+      FROM (SELECT DISTINCT p_brand, n_cal FROM r)
+    ),
+    q AS (
+      SELECT r.p_brand, CAST(rk.n_cal AS BIGINT) AS n_cal,
+             min(r.res) AS q_hat_cents
+      FROM r JOIN rk USING (p_brand)
+      WHERE r.cum >= rk.rnk
+      GROUP BY r.p_brand, rk.n_cal
+    )
+    SELECT f.p_brand, f.n_fit, q.n_cal, f.slope, f.intercept,
+           q.q_hat_cents
+    FROM fit f JOIN q USING (p_brand)
+"""

@@ -586,3 +586,59 @@ class TestBcubedEval:
         a = self._run(pred, truth, parts=1)
         b = self._run(pred, truth, parts=9)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestConformalOlsIntervals:
+    def test_coverage_and_quantile_rule(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.profile import conformal_ols_intervals
+
+        rng = np.random.RandomState(4)
+        n = 2000
+        x = rng.randint(1, 50, n)
+        noise = rng.randn(n) * 3.0
+        y = 2.5 * x + 10 + noise  # dollars
+        df = pd.DataFrame(
+            {"id": range(n), "g": ["b"] * n, "x": x, "y": np.round(y, 2)}
+        )
+        out = conformal_ols_intervals(
+            ray.data.from_pandas(df).repartition(6),
+            "x", "y", "g", "id", alpha_permille=100,
+        ).to_pandas()
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert r["n_fit"] + r["n_cal"] == n
+        # slope recovered near 2.5 (cents domain: 250 per size unit)
+        assert abs(r["slope"] - 250) < 10
+        # conformal guarantee on the calibration residuals themselves:
+        # ≥ (1-α) of them fall within q_hat
+        cal = df[df["id"] % 2 == 1]
+        yc = np.rint(cal["y"].to_numpy() * 100)
+        pred = r["slope"] * cal["x"].to_numpy() + r["intercept"]
+        res = np.rint(np.abs(yc - pred))
+        frac = (res <= r["q_hat_cents"]).mean()
+        n_cal = int(r["n_cal"])
+        rank = min(n_cal, -(-((n_cal + 1) * 900) // 1000))
+        assert frac >= rank / n_cal - 1e-12
+        # and q_hat is EXACTLY the rank-th smallest snapped residual
+        assert r["q_hat_cents"] == int(np.sort(res)[rank - 1])
+
+    def test_degenerate_group_dropped(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.profile import conformal_ols_intervals
+
+        # constant x in the fit half -> zero denominator -> group absent
+        df = pd.DataFrame(
+            {
+                "id": range(8),
+                "g": ["z"] * 8,
+                "x": [5] * 8,
+                "y": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0],
+            }
+        )
+        out = conformal_ols_intervals(
+            ray.data.from_pandas(df), "x", "y", "g", "id"
+        ).to_pandas()
+        assert len(out) == 0
