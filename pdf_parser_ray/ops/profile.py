@@ -2616,3 +2616,133 @@ def conformal_ols_intervals(
         columns=[by, "n_fit", "n_cal", "slope", "intercept", "q_hat_cents"],
     ).astype({"n_fit": "int64", "n_cal": "int64", "q_hat_cents": "int64"})
     return ray.data.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+
+
+# Abramowitz & Stegun 26.2.17 — shared verbatim with the SQL twin
+_AS_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_AS_T = 0.2316419
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _norm_sf(x: float) -> float:
+    """Upper-tail Φ̄(x) for x ≥ 0 via the A&S 26.2.17 polynomial —
+    elementary ops only (exp, *, +) so DuckDB evaluates the identical
+    expression tree."""
+    t = 1.0 / (1.0 + _AS_T * x)
+    poly = t * (
+        _AS_B[0]
+        + t * (_AS_B[1] + t * (_AS_B[2] + t * (_AS_B[3] + t * _AS_B[4])))
+    )
+    import math
+
+    return _INV_SQRT_2PI * math.exp(-x * x / 2.0) * poly
+
+
+def grouped_welch_fdr(
+    ds: ray.data.Dataset,
+    value_col: str,
+    group_col: str,
+    unit_col: str,
+    *,
+    alpha: float = 0.05,
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """Per-group two-cohort Welch z tests with Benjamini-Hochberg FDR
+    control (Benjamini & Hochberg 1995) — the multiple-testing guard a
+    metrics platform needs the moment it tests MANY segments at once:
+    each ``group_col`` value runs an independent Welch test between
+    the even/odd ``unit_col`` cohorts; the m p-values are then
+    BH-adjusted (p̂_(i) = min_{j≥i} p_(j)·m/j, clamped to 1).
+
+    Exactness: per-(group, cohort) moments (n, Σy, Σy²) are exact
+    int64 cent sums from ONE bounded grouped shuffle; z follows the
+    ab_welch_srm cast-then-divide float tree; Φ̄ is the shared
+    A&S 26.2.17 polynomial; p rounds to ``round_to`` BEFORE the BH
+    suffix-min (so both engines adjust identical inputs), and ranks
+    order by (p, group) — fully deterministic under ties.
+
+    Output: one row per testable group (both cohorts n ≥ 2) —
+    (group_col, n_a:int64, n_b:int64, z, p, p_adj:float64,
+    significant:bool — p_adj ≤ alpha).
+    """
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import grouped_sum
+
+    def moment_partial(df: pd.DataFrame) -> pa.Table:
+        y = np.rint(df[value_col].to_numpy(dtype=np.float64) * 100.0).astype(
+            np.int64
+        )
+        g = pd.DataFrame(
+            {
+                group_col: df[group_col],
+                "cohort": (df[unit_col].astype("int64") % 2),
+                "n": np.int64(1),
+                "sy": y,
+                "syy": y * y,
+            }
+        )
+        return arrow_out(
+            g.groupby([group_col, "cohort"], as_index=False)[
+                ["n", "sy", "syy"]
+            ].sum()
+        )
+
+    mom = grouped_sum(
+        ds.select_columns([group_col, unit_col, value_col]).map_batches(
+            moment_partial, batch_format="pandas"
+        ),
+        [group_col, "cohort"],
+        ["n", "sy", "syy"],
+    ).to_pandas()  # bounded: groups × 2 rows
+
+    rows = []
+    for g, grp in mom.groupby(group_col, sort=True):
+        sides = {int(r["cohort"]): r for _, r in grp.iterrows()}
+        if 0 not in sides or 1 not in sides:
+            continue
+        stat = {}
+        for c in (0, 1):
+            n, sy, syy = (
+                int(sides[c]["n"]), int(sides[c]["sy"]), int(sides[c]["syy"])
+            )
+            if n < 2:
+                stat = None
+                break
+            mean = float(sy) / float(n)
+            var = float(n * syy - sy * sy) / float(n * (n - 1))
+            stat[c] = (n, mean, var)
+        if stat is None:
+            continue
+        (na, ma, va), (nb, mb, vb) = stat[0], stat[1]
+        se2 = va / na + vb / nb
+        if se2 <= 0:
+            continue
+        import math
+
+        z = (ma - mb) / math.sqrt(se2)
+        p = round(min(1.0, 2.0 * _norm_sf(abs(z))), round_to)
+        rows.append((g, na, nb, round(z, round_to), p))
+    if not rows:
+        return pd.DataFrame(
+            {
+                group_col: pd.Series([], dtype="object"),
+                "n_a": pd.Series([], dtype="int64"),
+                "n_b": pd.Series([], dtype="int64"),
+                "z": pd.Series([], dtype="float64"),
+                "p": pd.Series([], dtype="float64"),
+                "p_adj": pd.Series([], dtype="float64"),
+                "significant": pd.Series([], dtype="bool"),
+            }
+        )
+    out = pd.DataFrame(rows, columns=[group_col, "n_a", "n_b", "z", "p"])
+    m = len(out)
+    out = out.sort_values(["p", group_col]).reset_index(drop=True)
+    raw = [p * m / (i + 1) for i, p in enumerate(out["p"])]
+    suffix = [0.0] * m
+    running = float("inf")
+    for i in range(m - 1, -1, -1):
+        running = min(running, raw[i])
+        suffix[i] = round(min(1.0, running), round_to)
+    out["p_adj"] = suffix
+    out["significant"] = out["p_adj"] <= alpha
+    return out.astype({"n_a": "int64", "n_b": "int64"})

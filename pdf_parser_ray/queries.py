@@ -12898,3 +12898,86 @@ SQL["conformal_price"] = """
            q.q_hat_cents
     FROM fit f JOIN q USING (p_brand)
 """
+
+
+# ------------------------------------------------ Welch + BH FDR
+
+
+def q_welch_fdr(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type Welch z between even/odd user cohorts with
+    Benjamini-Hochberg FDR adjustment across the type family —
+    exact-int moments, shared A&S normal-tail polynomial, p rounded
+    before the suffix-min (ops/profile.grouped_welch_fdr)."""
+    from pdf_parser_ray.ops.profile import grouped_welch_fdr
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "value"]
+    )
+    return grouped_welch_fdr(ds, "value", "event_type", "user_id")
+
+
+QUERIES["welch_fdr"] = q_welch_fdr
+
+
+def _welch_fdr_sql() -> str:
+    from pdf_parser_ray.ops.profile import _AS_B, _AS_T, _INV_SQRT_2PI
+
+    b1, b2, b3, b4, b5 = (repr(b) for b in _AS_B)
+    poly = (
+        f"tt * ({b1} + tt * ({b2} + tt * ({b3} + tt * ({b4} + tt * {b5}))))"
+    )
+    return f"""
+    WITH mom AS (
+      SELECT event_type, user_id % 2 AS cohort,
+             count(*)::BIGINT AS n,
+             sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sy,
+             sum(CAST(round(value * 100) AS BIGINT)
+                 * CAST(round(value * 100) AS BIGINT))::BIGINT AS syy
+      FROM events GROUP BY event_type, cohort
+    ),
+    sides AS (
+      SELECT a.event_type,
+             a.n AS na, b.n AS nb,
+             a.sy / a.n AS ma, b.sy / b.n AS mb,
+             (a.n * a.syy - a.sy * a.sy) / (a.n * (a.n - 1)) AS va,
+             (b.n * b.syy - b.sy * b.sy) / (b.n * (b.n - 1)) AS vb
+      FROM mom a JOIN mom b USING (event_type)
+      WHERE a.cohort = 0 AND b.cohort = 1 AND a.n >= 2 AND b.n >= 2
+    ),
+    zs AS (
+      SELECT event_type, na, nb,
+             (ma - mb) / sqrt(va / na + vb / nb) AS zraw
+      FROM sides WHERE va / na + vb / nb > 0
+    ),
+    ps AS (
+      SELECT event_type, na, nb, zraw,
+             1.0 / (1.0 + {repr(_AS_T)} * abs(zraw)) AS tt
+      FROM zs
+    ),
+    tests AS (
+      SELECT event_type, na, nb, round(zraw, 6) AS z,
+             round(LEAST(1.0,
+               2.0 * ({repr(_INV_SQRT_2PI)}
+                      * exp(-abs(zraw) * abs(zraw) / 2.0) * {poly})), 6) AS p
+      FROM ps
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY p, event_type) AS rn,
+             count(*) OVER () AS m
+      FROM tests
+    ),
+    adj AS (
+      SELECT event_type, na, nb, z, p,
+             round(LEAST(1.0,
+               min(p * m / rn) OVER (ORDER BY rn
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)), 6)
+               AS p_adj
+      FROM ranked
+    )
+    SELECT event_type, na AS n_a, nb AS n_b, z, p, p_adj,
+           (p_adj <= 0.05) AS significant
+    FROM adj
+"""
+
+
+SQL["welch_fdr"] = _welch_fdr_sql()
