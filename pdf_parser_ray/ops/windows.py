@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -3162,5 +3163,95 @@ def interval_coverage(
         {
             "covered_us": pd.Series([covered], dtype="int64"),
             "n_runs": pd.Series([runs], dtype="int64"),
+        }
+    )
+
+
+def seasonal_decompose_daily(
+    ds: "ray.data.Dataset",
+    ts_col: str,
+    value_col: str,
+    *,
+    cents: bool = True,
+) -> pd.DataFrame:
+    """Classical additive seasonal decomposition of a daily total
+    series (the moving-average method of Macaulay 1931 — statsmodels'
+    ``seasonal_decompose`` lineage): trend = centered 7-day moving
+    average, weekly seasonal = per-ISO-dow mean of the detrended
+    series, residual = the rest.  Days without a full 7-day window
+    drop (the classical edge rule).
+
+    Exact-integer trick shared with the SQL twin: the detrended series
+    lives in a 7× domain — d7 = 7·value − Σ₇ (an exact int64), so the
+    per-dow seasonal numerators are exact integer sums and every float
+    in the output is a PER-ROW ratio of identical operands (no
+    rounding contract needed anywhere).
+
+    Shape: daily totals from one bounded grouped sum (partial cents
+    per batch first); the day series itself is calendar-bounded, so
+    the rolling window runs vectorized at the driver.
+
+    Output (eager, one row per full-window day): (day:timestamp,
+    value_cents:int64, trend, seasonal, resid:float64).
+    """
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import grouped_sum
+
+    scale = 100.0 if cents else 1.0
+
+    def daily_partial(df: pd.DataFrame):
+        v = np.rint(df[value_col].to_numpy(dtype=np.float64) * scale).astype(
+            np.int64
+        )
+        g = pd.DataFrame(
+            {"day": df[ts_col].dt.floor("D"), "v": v}
+        )
+        return arrow_out(g.groupby("day", as_index=False)["v"].sum())
+
+    daily = (
+        grouped_sum(
+            ds.select_columns([ts_col, value_col]).map_batches(
+                daily_partial, batch_format="pandas"
+            ),
+            ["day"],
+            ["v"],
+        )
+        .to_pandas()  # calendar-bounded: one row per day
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    v = daily["v"].to_numpy(dtype=np.int64)
+    n = len(v)
+    if n < 7:
+        return pd.DataFrame(
+            {
+                "day": pd.Series([], dtype="datetime64[us]"),
+                "value_cents": pd.Series([], dtype="int64"),
+                "trend": pd.Series([], dtype="float64"),
+                "seasonal": pd.Series([], dtype="float64"),
+                "resid": pd.Series([], dtype="float64"),
+            }
+        )
+    s7 = np.convolve(v, np.ones(7, dtype=np.int64), mode="valid")  # exact
+    full = daily.iloc[3 : n - 3].reset_index(drop=True)
+    d7 = 7 * full["v"].to_numpy(dtype=np.int64) - s7
+    dow = full["day"].dt.dayofweek.to_numpy() + 1  # ISO 1=Mon..7=Sun
+    seas_num = np.zeros(8, dtype=np.int64)
+    seas_cnt = np.zeros(8, dtype=np.int64)
+    np.add.at(seas_num, dow, d7)
+    np.add.at(seas_cnt, dow, 1)
+    sd7_over_cd = np.zeros(8, dtype=np.float64)
+    nz = seas_cnt > 0
+    sd7_over_cd[nz] = seas_num[nz] / seas_cnt[nz]
+    seasonal = sd7_over_cd[dow] / 7.0
+    trend = s7 / 7.0
+    resid = (d7 - sd7_over_cd[dow]) / 7.0
+    return pd.DataFrame(
+        {
+            "day": full["day"],
+            "value_cents": full["v"].astype("int64"),
+            "trend": trend,
+            "seasonal": seasonal,
+            "resid": resid,
         }
     )

@@ -12981,3 +12981,50 @@ def _welch_fdr_sql() -> str:
 
 
 SQL["welch_fdr"] = _welch_fdr_sql()
+
+
+# ------------------------------------------------ seasonal decomposition
+
+
+def q_seasonal_revenue(sf_dir: str) -> pd.DataFrame:
+    """Classical additive decomposition of daily order revenue:
+    centered 7-day moving-average trend, ISO-dow weekly seasonal,
+    residual — every output float a per-row ratio of exact ints via
+    the 7x-domain trick (ops/windows.seasonal_decompose_daily)."""
+    from pdf_parser_ray.ops.windows import seasonal_decompose_daily
+
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    return seasonal_decompose_daily(orders, "o_orderdate", "o_totalprice")
+
+
+QUERIES["seasonal_revenue"] = q_seasonal_revenue
+
+SQL["seasonal_revenue"] = """
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS v
+      FROM orders GROUP BY day
+    ),
+    w AS (
+      SELECT day, v,
+             sum(v) OVER (ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)::BIGINT AS s7,
+             count(*) OVER (ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+      FROM daily
+    ),
+    f AS (
+      SELECT day, v, s7, 7 * v - s7 AS d7, isodow(day) AS dow
+      FROM w WHERE c7 = 7
+    ),
+    seas AS (
+      SELECT dow, sum(d7)::BIGINT AS sd7, count(*)::BIGINT AS cd
+      FROM f GROUP BY dow
+    )
+    SELECT f.day, f.v AS value_cents, f.s7 / 7.0 AS trend,
+           (s.sd7 / s.cd) / 7.0 AS seasonal,
+           (f.d7 - s.sd7 / s.cd) / 7.0 AS resid
+    FROM f JOIN seas s USING (dow)
+"""

@@ -4108,3 +4108,41 @@ class TestIntervalCoverage:
                 covered += nxt[0] - t
         assert out["covered_us"].iloc[0] == covered
         assert out["n_runs"].iloc[0] == runs
+
+
+class TestSeasonalDecomposeDaily:
+    def test_planted_weekly_pattern(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import seasonal_decompose_daily
+
+        days = pd.date_range("2024-01-01", periods=70, freq="D")
+        dow_effect = {0: 5.0, 1: 0, 2: 0, 3: 0, 4: 0, 5: -3.0, 6: -3.0}
+        base = 100.0 + np.arange(70) * 0.5  # linear trend
+        vals = [
+            b + dow_effect[d.dayofweek] for b, d in zip(base, days)
+        ]
+        df = pd.DataFrame({"ts": days, "v": np.round(vals, 2)})
+        out = seasonal_decompose_daily(
+            ray.data.from_pandas(df).repartition(4), "ts", "v"
+        )
+        assert len(out) == 70 - 6  # centered 7-window edge rule
+        # additive identity: value == trend + seasonal + resid (cents)
+        recon = out["trend"] + out["seasonal"] + out["resid"]
+        assert np.allclose(recon, out["value_cents"], atol=1e-6)
+        # Monday's seasonal sits ~500 cents above the weekend's
+        mon = out[out["day"].dt.dayofweek == 0]["seasonal"].iloc[0]
+        sat = out[out["day"].dt.dayofweek == 5]["seasonal"].iloc[0]
+        assert mon - sat > 600  # 5 - (-3) dollars = 800 cents planted
+        # pure linear trend + exact weekly pattern -> tiny residuals
+        assert np.abs(out["resid"]).max() < 60
+
+    def test_short_series_empty(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import seasonal_decompose_daily
+
+        days = pd.date_range("2024-01-01", periods=5, freq="D")
+        df = pd.DataFrame({"ts": days, "v": [1.0] * 5})
+        out = seasonal_decompose_daily(ray.data.from_pandas(df), "ts", "v")
+        assert len(out) == 0
