@@ -2064,3 +2064,99 @@ def gopher_repetition(
     return ds.select_columns([id_col, text_col]).map_batches(
         stats, batch_format="pandas"
     )
+
+
+def texttile_boundaries(
+    df: pd.DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 20,
+    k: int = 2,
+) -> pd.DataFrame:
+    """TextTiling topic segmentation (Hearst, CL 1997): split each
+    document into multi-paragraph topical chunks — the semantically
+    aware alternative to fixed-token windows for RAG/packing
+    (`chunk_documents` is the fixed twin).
+
+    Per document (row-local, no shuffle): lowercase tokens → pseudo-
+    sentences of ``w`` tokens → at each gap, cosine similarity between
+    the ``k``-pseudo-sentence blocks either side (term-frequency
+    vectors) → depth score d(i) = (peak_left − s_i) + (peak_right −
+    s_i) → boundaries at gaps whose depth exceeds Hearst's cutoff
+    μ_d − σ_d/2, non-adjacent (≥ 2 gaps apart, the paper's smoothing
+    rule).  Documents shorter than 2k pseudo-sentences stay whole.
+
+    Output: one row per chunk — (id_col, chunk_idx:int64,
+    start_token:int64, end_token:int64, n_sims:int64).
+    """
+    out_ids: list = []
+    out_idx: list = []
+    out_start: list = []
+    out_end: list = []
+    out_nsims: list = []
+    for doc_id, text in zip(df[id_col], df[text_col].fillna("")):
+        tokens = [t for t in text.lower().split() if t]
+        n_tok = len(tokens)
+        pseudo = [tokens[i : i + w] for i in range(0, n_tok, w)]
+        n_ps = len(pseudo)
+        bounds_tok: list = []
+        n_gaps = max(0, n_ps - 1)
+        sims: list = []
+        if n_ps >= 2 * k:
+            from collections import Counter
+
+            for gap in range(1, n_ps):
+                left = Counter(
+                    t for ps in pseudo[max(0, gap - k) : gap] for t in ps
+                )
+                right = Counter(
+                    t for ps in pseudo[gap : gap + k] for t in ps
+                )
+                num = sum(left[t] * right[t] for t in left)
+                den = (
+                    sum(v * v for v in left.values())
+                    * sum(v * v for v in right.values())
+                ) ** 0.5
+                sims.append(num / den if den else 0.0)
+            depths = []
+            for i, s in enumerate(sims):
+                # walk outward to the nearest peaks (monotone ascent)
+                lpeak = s
+                j = i - 1
+                while j >= 0 and sims[j] >= lpeak:
+                    lpeak = sims[j]
+                    j -= 1
+                rpeak = s
+                j = i + 1
+                while j < len(sims) and sims[j] >= rpeak:
+                    rpeak = sims[j]
+                    j += 1
+                depths.append((lpeak - s) + (rpeak - s))
+            d = np.asarray(depths)
+            if d.std() > 0:
+                cutoff = d.mean() - d.std() / 2.0
+                cands = sorted(
+                    np.nonzero(d > cutoff)[0], key=lambda i: -d[i]
+                )
+                chosen: list = []
+                for c in cands:
+                    if all(abs(c - o) >= 2 for o in chosen):
+                        chosen.append(int(c))
+                bounds_tok = sorted((c + 1) * w for c in chosen)
+        cuts = [0] + [b for b in bounds_tok if 0 < b < n_tok] + [n_tok]
+        for ci in range(len(cuts) - 1):
+            out_ids.append(doc_id)
+            out_idx.append(ci)
+            out_start.append(cuts[ci])
+            out_end.append(cuts[ci + 1])
+            out_nsims.append(n_gaps)
+    return pd.DataFrame(
+        {
+            id_col: pd.Series(out_ids, dtype="int64"),
+            "chunk_idx": pd.Series(out_idx, dtype="int64"),
+            "start_token": pd.Series(out_start, dtype="int64"),
+            "end_token": pd.Series(out_end, dtype="int64"),
+            "n_sims": pd.Series(out_nsims, dtype="int64"),
+        }
+    )

@@ -13028,3 +13028,21 @@ SQL["seasonal_revenue"] = """
            (f.d7 - s.sd7 / s.cd) / 7.0 AS resid
     FROM f JOIN seas s USING (dow)
 """
+
+
+# ------------------------------------------------ TextTiling
+
+
+def q_texttile_chunks(sf_dir: str) -> ray.data.Dataset:
+    """TextTiling topic chunks (Hearst 1997) over the documents table
+    (w=20-token pseudo-sentences, k=2 blocks, μ−σ/2 cutoff): the
+    semantic sibling of q:chunk_documents.  Float cosine chain ->
+    rows-only; boundary placement pinned on planted two-topic docs."""
+    from pdf_parser_ray.ops.webtext import texttile_boundaries
+
+    return _documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        texttile_boundaries, batch_format="pandas"
+    )
+
+
+QUERIES["texttile_chunks"] = q_texttile_chunks

@@ -1254,3 +1254,54 @@ class TestGopherRepetition:
         for c in out.columns:
             if c.endswith("frac"):
                 assert r[c] == 0.0, c
+
+
+class TestTextTiling:
+    def _run(self, texts):
+        from pdf_parser_ray.ops.webtext import texttile_boundaries
+
+        df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        return texttile_boundaries(df)
+
+    def test_two_topic_boundary_near_join(self):
+        rng = np.random.RandomState(3)
+        topic_a = ["cat", "dog", "pet", "fur", "tail", "paw"]
+        topic_b = ["stock", "bond", "yield", "market", "trade", "fund"]
+        words = [rng.choice(topic_a) for _ in range(200)] + [
+            rng.choice(topic_b) for _ in range(200)
+        ]
+        out = self._run([" ".join(words)])
+        # chunks tile the doc exactly
+        assert out["start_token"].iloc[0] == 0
+        assert out["end_token"].iloc[-1] == 400
+        assert (
+            out["start_token"].iloc[1:].to_numpy()
+            == out["end_token"].iloc[:-1].to_numpy()
+        ).all()
+        # at least one boundary within 40 tokens of the true topic flip
+        bounds = out["start_token"].iloc[1:].to_numpy()
+        assert len(bounds) >= 1
+        assert (np.abs(bounds - 200) <= 40).any()
+
+    def test_uniform_doc_often_whole_and_short_doc_whole(self):
+        # single-vocab doc: no strong valleys required, but whatever
+        # chunks come out must tile; short doc stays whole
+        rng = np.random.RandomState(5)
+        uni = " ".join(rng.choice(["alpha", "beta"]) for _ in range(300))
+        short = "just a few words here"
+        out = self._run([uni, short])
+        short_rows = out[out["doc_id"] == 1]
+        assert len(short_rows) == 1
+        assert short_rows["start_token"].iloc[0] == 0
+        assert short_rows["end_token"].iloc[0] == 5
+        for d in (0, 1):
+            rows = out[out["doc_id"] == d]
+            assert (
+                rows["start_token"].iloc[1:].to_numpy()
+                == rows["end_token"].iloc[:-1].to_numpy()
+            ).all()
+
+    def test_empty_doc_single_empty_chunk(self):
+        out = self._run([""])
+        assert len(out) == 1
+        assert out["end_token"].iloc[0] == 0
