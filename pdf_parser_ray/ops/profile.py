@@ -2746,3 +2746,182 @@ def grouped_welch_fdr(
     out["p_adj"] = suffix
     out["significant"] = out["p_adj"] <= alpha
     return out.astype({"n_a": "int64", "n_b": "int64"})
+
+
+def diff_in_diff(
+    ds: ray.data.Dataset,
+    ts_col: str,
+    value_col: str,
+    unit_col: str,
+    *,
+    split_ts: "pd.Timestamp",
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """Difference-in-differences readout (Card & Krueger 1994 design):
+    treatment = the md5 hash gate on the UNIT (the repo's split-gate
+    idiom — deterministic, covariate-free), period = before/after
+    ``split_ts``; the causal estimate is the interaction
+    (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre), with the pooled
+    standard error from the four cells' Welch variances.
+
+    One bounded grouped shuffle: per-batch (treat, post) exact int64
+    cent moments (n, Σy, Σy²) — four cells total; every mean/variance
+    follows the ab_welch_srm cast-then-divide float tree.
+
+    Output (eager, one row): (n_tp, n_tq, n_cp, n_cq:int64 — cell
+    sizes (T/C × post/pre), did:float64 — the interaction in cents,
+    se:float64, z:float64 rounded to ``round_to``).
+    """
+    import hashlib
+    import math
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import grouped_sum
+
+    def cell_partial(df: pd.DataFrame) -> pa.Table:
+        y = np.rint(df[value_col].to_numpy(dtype=np.float64) * 100.0).astype(
+            np.int64
+        )
+        treat = df[unit_col].map(
+            lambda i: hashlib.md5(str(i).encode("ascii")).hexdigest()[0] < "8"
+        )
+        post = df[ts_col] >= split_ts
+        g = pd.DataFrame(
+            {
+                "treat": treat.astype("int64"),
+                "post": post.astype("int64"),
+                "n": np.int64(1),
+                "sy": y,
+                "syy": y * y,
+            }
+        )
+        return arrow_out(
+            g.groupby(["treat", "post"], as_index=False)[
+                ["n", "sy", "syy"]
+            ].sum()
+        )
+
+    mom = grouped_sum(
+        ds.select_columns([ts_col, value_col, unit_col]).map_batches(
+            cell_partial, batch_format="pandas"
+        ),
+        ["treat", "post"],
+        ["n", "sy", "syy"],
+    ).to_pandas()  # exactly four rows
+
+    cells: dict = {}
+    for _, r in mom.iterrows():
+        n, sy, syy = int(r["n"]), int(r["sy"]), int(r["syy"])
+        if n < 2:
+            continue
+        mean = float(sy) / float(n)
+        var = float(n * syy - sy * sy) / float(n * (n - 1))
+        cells[(int(r["treat"]), int(r["post"]))] = (n, mean, var)
+    if len(cells) < 4:
+        return pd.DataFrame(
+            {
+                "n_tp": pd.Series([0], dtype="int64"),
+                "n_tq": pd.Series([0], dtype="int64"),
+                "n_cp": pd.Series([0], dtype="int64"),
+                "n_cq": pd.Series([0], dtype="int64"),
+                "did": [float("nan")],
+                "se": [float("nan")],
+                "z": [float("nan")],
+            }
+        )
+    (ntp, mtp, vtp) = cells[(1, 1)]
+    (ntq, mtq, vtq) = cells[(1, 0)]
+    (ncp, mcp, vcp) = cells[(0, 1)]
+    (ncq, mcq, vcq) = cells[(0, 0)]
+    did = (mtp - mtq) - (mcp - mcq)
+    se = math.sqrt(vtp / ntp + vtq / ntq + vcp / ncp + vcq / ncq)
+    z = round(did / se, round_to) if se > 0 else float("nan")
+    return pd.DataFrame(
+        {
+            "n_tp": pd.Series([ntp], dtype="int64"),
+            "n_tq": pd.Series([ntq], dtype="int64"),
+            "n_cp": pd.Series([ncp], dtype="int64"),
+            "n_cq": pd.Series([ncq], dtype="int64"),
+            "did": [did],
+            "se": [se],
+            "z": [z],
+        }
+    )
+
+
+def james_stein_means(
+    ds: ray.data.Dataset,
+    value_col: str,
+    group_col: str,
+    *,
+    round_to: int = 6,
+) -> ray.data.Dataset:
+    """Empirical-Bayes shrinkage of per-group means toward the grand
+    mean (James & Stein 1961 / Efron & Morris 1975) — the estimator a
+    metrics platform wants for SPARSE segments, where raw group means
+    are mostly noise: x̂_g = x̄ + (1 − c)·(x̄_g − x̄) with
+    c = (m − 3)·σ̄² / Σ_g (x̄_g − x̄)², σ̄² the mean of the groups'
+    squared standard errors (s²_g/n_g), clamped to [0, 1].
+
+    One bounded grouped shuffle (exact int64 cent moments per group);
+    the shrinkage algebra runs on the tiny group table with the
+    cast-then-divide float tree, Σ over groups in ``group_col``-sorted
+    order (the SQL twin orders the same way; the final floats round to
+    ``round_to`` as cross-row sums).
+
+    Output: (group_col, n:int64, raw_mean, shrunk_mean:float64
+    rounded, shrink_c:float64 rounded — identical on every row).
+    """
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import grouped_sum
+
+    def moment_partial(df: pd.DataFrame) -> pa.Table:
+        y = np.rint(df[value_col].to_numpy(dtype=np.float64) * 100.0).astype(
+            np.int64
+        )
+        g = pd.DataFrame(
+            {group_col: df[group_col], "n": np.int64(1), "sy": y, "syy": y * y}
+        )
+        return arrow_out(
+            g.groupby(group_col, as_index=False)[["n", "sy", "syy"]].sum()
+        )
+
+    mom = (
+        grouped_sum(
+            ds.select_columns([group_col, value_col]).map_batches(
+                moment_partial, batch_format="pandas"
+            ),
+            [group_col],
+            ["n", "sy", "syy"],
+        )
+        .to_pandas()  # bounded: one row per group
+        .sort_values(group_col)
+        .reset_index(drop=True)
+    )
+    mom = mom[mom["n"] >= 2].reset_index(drop=True)
+    m = len(mom)
+    n = mom["n"].astype("int64")
+    sy = mom["sy"].astype("int64")
+    syy = mom["syy"].astype("int64")
+    grand = float(int(sy.sum())) / float(int(n.sum()))
+    means = sy.astype("float64") / n.astype("float64")
+    s2 = (n * syy - sy * sy).astype("float64") / (n * (n - 1)).astype(
+        "float64"
+    )
+    se2_mean = float((s2 / n.astype("float64")).sum()) / m if m else 0.0
+    dev2 = float(((means - grand) ** 2).sum())
+    if m > 3 and dev2 > 0:
+        c = min(1.0, max(0.0, (m - 3) * se2_mean / dev2))
+    else:
+        c = 0.0
+    shrunk = grand + (1.0 - c) * (means - grand)
+    out = pd.DataFrame(
+        {
+            group_col: mom[group_col],
+            "n": n,
+            "raw_mean": means,
+            "shrunk_mean": np.round(shrunk, round_to),
+            "shrink_c": np.round(np.full(m, c), round_to),
+        }
+    )
+    return ray.data.from_arrow(pa.Table.from_pandas(out, preserve_index=False))

@@ -13046,3 +13046,116 @@ def q_texttile_chunks(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES["texttile_chunks"] = q_texttile_chunks
+
+
+# ------------------------------------------------ diff-in-diff + shrinkage
+
+
+def q_did_events(sf_dir: str) -> pd.DataFrame:
+    """Difference-in-differences on event value: md5 hash-gate
+    treatment per user, pre/post split at 2024-01-16, interaction
+    estimate with the four-cell Welch SE (ops/profile.diff_in_diff).
+    Null design on synthetic data — did ≈ 0 is the expected reading."""
+    from pdf_parser_ray.ops.profile import diff_in_diff
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"]
+    )
+    return diff_in_diff(
+        ds, "ts", "value", "user_id", split_ts=pd.Timestamp("2024-01-16")
+    )
+
+
+QUERIES["did_events"] = q_did_events
+
+SQL["did_events"] = """
+    WITH mom AS (
+      SELECT (substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8')::BIGINT
+               AS treat,
+             (ts >= TIMESTAMP '2024-01-16')::BIGINT AS post,
+             count(*)::BIGINT AS n,
+             sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sy,
+             sum(CAST(round(value * 100) AS BIGINT)
+                 * CAST(round(value * 100) AS BIGINT))::BIGINT AS syy
+      FROM events GROUP BY treat, post
+    ),
+    cell AS (
+      SELECT treat, post, n, sy / n AS mean,
+             (n * syy - sy * sy) / (n * (n - 1)) AS var
+      FROM mom WHERE n >= 2
+    ),
+    p AS (
+      SELECT
+        max(CASE WHEN treat = 1 AND post = 1 THEN n END) AS n_tp,
+        max(CASE WHEN treat = 1 AND post = 0 THEN n END) AS n_tq,
+        max(CASE WHEN treat = 0 AND post = 1 THEN n END) AS n_cp,
+        max(CASE WHEN treat = 0 AND post = 0 THEN n END) AS n_cq,
+        max(CASE WHEN treat = 1 AND post = 1 THEN mean END) AS mtp,
+        max(CASE WHEN treat = 1 AND post = 0 THEN mean END) AS mtq,
+        max(CASE WHEN treat = 0 AND post = 1 THEN mean END) AS mcp,
+        max(CASE WHEN treat = 0 AND post = 0 THEN mean END) AS mcq,
+        max(CASE WHEN treat = 1 AND post = 1 THEN var END) AS vtp,
+        max(CASE WHEN treat = 1 AND post = 0 THEN var END) AS vtq,
+        max(CASE WHEN treat = 0 AND post = 1 THEN var END) AS vcp,
+        max(CASE WHEN treat = 0 AND post = 0 THEN var END) AS vcq
+      FROM cell
+    )
+    SELECT n_tp, n_tq, n_cp, n_cq,
+           (mtp - mtq) - (mcp - mcq) AS did,
+           sqrt(vtp / n_tp + vtq / n_tq + vcp / n_cp + vcq / n_cq) AS se,
+           round(((mtp - mtq) - (mcp - mcq))
+                 / sqrt(vtp / n_tp + vtq / n_tq + vcp / n_cp + vcq / n_cq),
+                 6) AS z
+    FROM p
+"""
+
+
+def q_shrunk_type_means(sf_dir: str) -> ray.data.Dataset:
+    """James-Stein / Efron-Morris shrinkage of per-event-type mean
+    values toward the grand mean — exact-int moments, shrinkage factor
+    c = (m−3)·mean(SE²)/Σdev² clamped to [0,1]
+    (ops/profile.james_stein_means)."""
+    from pdf_parser_ray.ops.profile import james_stein_means
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return james_stein_means(ds, "value", "event_type")
+
+
+QUERIES["shrunk_type_means"] = q_shrunk_type_means
+
+SQL["shrunk_type_means"] = """
+    WITH mom AS (
+      SELECT event_type, count(*)::BIGINT AS n,
+             sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sy,
+             sum(CAST(round(value * 100) AS BIGINT)
+                 * CAST(round(value * 100) AS BIGINT))::BIGINT AS syy
+      FROM events GROUP BY event_type HAVING count(*) >= 2
+    ),
+    per AS (
+      SELECT event_type, n, sy / n AS mean,
+             (n * syy - sy * sy) / (n * (n - 1)) AS s2
+      FROM mom
+    ),
+    tot AS (
+      SELECT sum(sy) / sum(n) AS grand FROM mom
+    ),
+    agg AS (
+      SELECT count(*)::BIGINT AS m,
+             sum(s2 / n) AS ssum,
+             sum((mean - tot.grand) * (mean - tot.grand)) AS dev2
+      FROM per, tot GROUP BY tot.grand
+    ),
+    cc AS (
+      SELECT CASE WHEN m > 3 AND dev2 > 0
+                  THEN LEAST(1.0, GREATEST(0.0, (m - 3) * (ssum / m) / dev2))
+                  ELSE 0.0 END AS c
+      FROM agg
+    )
+    SELECT per.event_type, per.n, per.mean AS raw_mean,
+           round(tot.grand + (1.0 - cc.c) * (per.mean - tot.grand), 6)
+             AS shrunk_mean,
+           round(cc.c, 6) AS shrink_c
+    FROM per, tot, cc
+"""

@@ -707,3 +707,99 @@ class TestGroupedWelchFdr:
             exp.append(round(min(1.0, run), 6))
         exp.reverse()
         assert s["p_adj"].tolist() == exp
+
+
+class TestDiffInDiff:
+    def test_planted_interaction_recovered(self, ray_session):
+        import hashlib
+
+        import ray.data
+
+        from pdf_parser_ray.ops.profile import diff_in_diff
+
+        rng = np.random.RandomState(6)
+        n = 4000
+        uid = rng.randint(0, 500, n)
+        ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            rng.randint(0, 30, n), unit="D"
+        )
+        treat = np.array([
+            hashlib.md5(str(u).encode()).hexdigest()[0] < "8" for u in uid
+        ])
+        post = ts >= pd.Timestamp("2024-01-16")
+        base = rng.gamma(4, 2, n)
+        val = np.round(base + 5.0 * (treat & post), 2)  # +5 units planted
+        df = pd.DataFrame({"ts": ts, "uid": uid, "val": val})
+        out = diff_in_diff(
+            ray.data.from_pandas(df).repartition(5),
+            "ts", "val", "uid", split_ts=pd.Timestamp("2024-01-16"),
+        )
+        r = out.iloc[0]
+        assert r[["n_tp", "n_tq", "n_cp", "n_cq"]].sum() == n
+        assert abs(r["did"] - 500) < 60  # cents
+        assert r["z"] > 5
+
+    def test_null_effect_small_z(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.profile import diff_in_diff
+
+        rng = np.random.RandomState(1)
+        n = 4000
+        df = pd.DataFrame(
+            {
+                "ts": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(rng.randint(0, 30, n), unit="D"),
+                "uid": rng.randint(0, 500, n),
+                "val": np.round(rng.gamma(4, 2, n), 2),
+            }
+        )
+        out = diff_in_diff(
+            ray.data.from_pandas(df), "ts", "val", "uid",
+            split_ts=pd.Timestamp("2024-01-16"),
+        )
+        assert abs(out["z"].iloc[0]) < 3
+
+
+class TestJamesSteinMeans:
+    def test_shrinks_toward_grand_and_order_preserved(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.profile import james_stein_means
+
+        rng = np.random.RandomState(8)
+        frames = []
+        # five sparse groups with noisy means around 10, true equal
+        for g in "abcde":
+            frames.append(pd.DataFrame({
+                "g": g, "val": np.round(rng.gamma(4, 2.5, 12), 2)
+            }))
+        df = pd.concat(frames, ignore_index=True)
+        out = james_stein_means(
+            ray.data.from_pandas(df).repartition(3), "val", "g"
+        ).to_pandas()
+        c = out["shrink_c"].iloc[0]
+        assert (out["shrink_c"] == c).all()
+        assert 0.0 < c <= 1.0  # sparse noisy groups shrink substantially
+        grand = (df["val"] * 100).round().sum() / len(df)
+        for _, r in out.iterrows():
+            # shrunk lies between raw and grand
+            lo, hi = sorted([r["raw_mean"], grand])
+            assert lo - 1e-6 <= r["shrunk_mean"] <= hi + 1e-6
+
+    def test_large_samples_barely_shrink(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.profile import james_stein_means
+
+        rng = np.random.RandomState(3)
+        frames = []
+        for i, mu in enumerate([5.0, 10.0, 20.0, 40.0, 80.0]):
+            frames.append(pd.DataFrame({
+                "g": f"g{i}", "val": np.round(rng.normal(mu, 1.0, 5000), 2)
+            }))
+        out = james_stein_means(
+            ray.data.from_pandas(pd.concat(frames)), "val", "g"
+        ).to_pandas()
+        assert out["shrink_c"].iloc[0] < 1e-3
+        assert np.allclose(out["shrunk_mean"], out["raw_mean"], atol=1.0)
