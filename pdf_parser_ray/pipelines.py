@@ -593,3 +593,70 @@ def dup_aware_weights(
     return docs.select_columns(["doc_id"]).map_batches(
         attach, batch_format="pandas"
     )
+
+
+def curate_web_corpus(
+    ds,
+    table_root: str,
+    *,
+    host_col: str = "host",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    boiler_permille: int = 500,
+    with_counts: bool = True,
+) -> dict:
+    """The composed web-curation journey, end to end: host-scoped
+    boilerplate strip → Gopher composite quality gate → exact dedup →
+    versioned append into a :class:`~pdf_parser_ray.tablelog.TableLog`
+    — each stage the library operator a pipeline would use standalone,
+    chained with co-location joins (no broadcast of corpus-sized key
+    sets anywhere).
+
+    Returns the attrition summary: ``{"in": n, "after_gate": n,
+    "after_dedup": n, "version": v, "table": root}`` (counts cost one
+    pass each — pass ``with_counts=False`` to skip all but the final).
+    """
+    import ray.data  # noqa: F401
+
+    from pdf_parser_ray.ops.dedup import exact_dedup
+    from pdf_parser_ray.ops.relational import colo_join
+    from pdf_parser_ray.ops.webtext import gopher_gate, host_boilerplate_strip
+    from pdf_parser_ray.tablelog import TableLog
+
+    n_in = ds.count() if with_counts else -1
+
+    stripped = host_boilerplate_strip(
+        ds,
+        host_col=host_col,
+        text_col=text_col,
+        id_col=id_col,
+        min_permille=boiler_permille,
+    ).map_batches(
+        lambda df: df.rename(columns={"clean_text": text_col}),
+        batch_format="pandas",
+    ).materialize()  # consumed by the gate AND both joins below
+
+    gate = gopher_gate(stripped, text_col=text_col, id_col=id_col)
+    keep_ids = gate.filter(expr="keep == True").select_columns([id_col])
+    gated = colo_join(
+        stripped, keep_ids, [id_col],
+        [text_col, "n_lines", "n_dropped"], [],
+    ).materialize()
+    n_gated = gated.count() if with_counts else -1
+
+    winners = exact_dedup(gated).select_columns([id_col])
+    survivors = colo_join(
+        gated, winners, [id_col],
+        [text_col, "n_lines", "n_dropped"], [],
+    )
+
+    log = TableLog(table_root)
+    version = log.append(survivors)
+    n_out = log.history()[-1]["n_rows"]
+    return {
+        "in": n_in,
+        "after_gate": n_gated,
+        "after_dedup": n_out,
+        "version": version,
+        "table": table_root,
+    }

@@ -5,6 +5,8 @@ import hashlib
 import json
 import os
 
+import numpy as np
+import pandas as pd
 import pyarrow.parquet as pq
 import pytest
 
@@ -401,3 +403,62 @@ class TestExtractionParity:
         # the north-rule tripwire: every ok HTML page byte-identical
         assert html_ok["identical_rate"].iloc[0] == 1.0
         assert int(html_ok["n_docs"].iloc[0]) > 200
+
+
+class TestCurateWebCorpus:
+    def _mk(self, tmp_path):
+        # 40 docs across 2 hosts: every h1 page carries a FOOTER line
+        # (boilerplate), docs 30-33 are exact dups of doc 0's body,
+        # docs 34-39 are too short for the Gopher gate
+        rng = np.random.RandomState(4)
+        words = ("the and of to in is that it for was "
+                 "alpha beta gamma delta epsilon zeta").split()
+        bodies = []
+        for i in range(30):
+            body = " ".join(rng.choice(words, size=45))
+            bodies.append(body)
+        for i in range(30, 34):
+            bodies.append(bodies[0])
+        for i in range(34, 40):
+            bodies.append("tiny doc")
+        rows = []
+        for i, b in enumerate(bodies):
+            host = "h1" if i % 2 == 0 else "h2"
+            text = b + ("\nFOOTER ONE" if host == "h1" else "")
+            rows.append((i, host, text))
+        return pd.DataFrame(rows, columns=["doc_id", "host", "text"])
+
+    def test_journey_attrition_and_versioning(self, ray_session, tmp_path):
+        import ray.data
+
+        from pdf_parser_ray.pipelines import curate_web_corpus
+        from pdf_parser_ray.tablelog import TableLog
+
+        df = self._mk(tmp_path)
+        root = str(tmp_path / "table")
+        out = curate_web_corpus(
+            ray.data.from_pandas(df).repartition(4), root
+        )
+        assert out["in"] == 40
+        # the 6 tiny docs die at the gate
+        assert out["after_gate"] == 34
+        # 4 exact dups of doc 0 collapse (and dup bodies on h1 keep
+        # one winner after the footer strip made them byte-identical)
+        assert out["after_dedup"] <= 31
+        assert out["version"] == 0
+
+        t = TableLog(root)
+        final = t.read().to_pandas()
+        assert len(final) == out["after_dedup"]
+        # boilerplate really gone from h1 docs
+        assert not final["text"].str.contains("FOOTER").any()
+        # doc 0's body survived exactly once
+        assert (final["text"] == df.loc[0, "text"].split("\n")[0]).sum() == 1
+
+        # second run appends a NEW version with its own rows
+        out2 = curate_web_corpus(
+            ray.data.from_pandas(df).repartition(2), root
+        )
+        assert out2["version"] == 1
+        assert t.read(version=0).count() == out["after_dedup"]
+        assert t.read().count() == out["after_dedup"] + out2["after_dedup"]
