@@ -13159,3 +13159,55 @@ SQL["shrunk_type_means"] = """
            round(cc.c, 6) AS shrink_c
     FROM per, tot, cc
 """
+
+
+# ------------------------------------------------ Theil-Sen slope
+
+
+def q_theil_sen_price(sf_dir: str) -> pd.DataFrame:
+    """Theil-Sen robust price~size slope per brand on a deterministic
+    md5-bounded 40-row sample: lower median of all pairwise slopes
+    (exact selection, no rounding) — the outlier-proof companion of
+    q:price_size_trend's OLS (ops/profile.theil_sen_slope)."""
+    from pdf_parser_ray.ops.profile import theil_sen_slope
+
+    part = _read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size", "p_retailprice"],
+    )
+    return theil_sen_slope(
+        part, "p_size", "p_retailprice", "p_brand", "p_partkey"
+    )
+
+
+QUERIES["theil_sen_price"] = q_theil_sen_price
+
+SQL["theil_sen_price"] = """
+    WITH s0 AS (
+      SELECT p_brand, md5(CAST(p_partkey AS VARCHAR)) AS h,
+             p_size::BIGINT AS xv,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS yv,
+             row_number() OVER (PARTITION BY p_brand
+               ORDER BY md5(CAST(p_partkey AS VARCHAR))) AS rn
+      FROM part
+    ),
+    s AS (SELECT * FROM s0 WHERE rn <= 40),
+    pairs AS (
+      SELECT a.p_brand, (b.yv - a.yv) / (b.xv - a.xv) AS slope
+      FROM s a JOIN s b ON a.p_brand = b.p_brand AND a.rn < b.rn
+      WHERE b.xv <> a.xv
+    ),
+    agg AS (
+      SELECT p_brand, count(*)::BIGINT AS n_pairs
+      FROM pairs GROUP BY p_brand
+    ),
+    ns AS (SELECT p_brand, count(*)::BIGINT AS n_sample FROM s GROUP BY p_brand),
+    ranked AS (
+      SELECT p_brand, slope,
+             row_number() OVER (PARTITION BY p_brand ORDER BY slope) AS r
+      FROM pairs
+    )
+    SELECT r.p_brand, ns.n_sample, agg.n_pairs, r.slope AS theil_slope
+    FROM ranked r JOIN agg USING (p_brand) JOIN ns USING (p_brand)
+    WHERE r.r = (agg.n_pairs + 1) // 2
+"""

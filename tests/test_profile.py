@@ -803,3 +803,49 @@ class TestJamesSteinMeans:
         ).to_pandas()
         assert out["shrink_c"].iloc[0] < 1e-3
         assert np.allclose(out["shrunk_mean"], out["raw_mean"], atol=1.0)
+
+
+class TestTheilSenSlope:
+    def test_robust_to_outliers_vs_ols(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.profile import theil_sen_slope
+
+        rng = np.random.RandomState(2)
+        n = 60
+        x = rng.randint(1, 40, n)
+        y = 3.0 * x + 5 + rng.randn(n) * 0.5
+        y[:6] += 500.0  # gross outliers that wreck OLS
+        df = pd.DataFrame(
+            {"id": range(n), "g": "b", "x": x, "y": np.round(y, 2)}
+        )
+        out = theil_sen_slope(
+            ray.data.from_pandas(df).repartition(4), "x", "y", "g", "id"
+        )
+        # cents domain: true slope 300; the 10% outliers barely move it
+        assert abs(out["theil_slope"].iloc[0] - 300) < 40
+        assert out["n_sample"].iloc[0] == 40
+        assert out["n_pairs"].iloc[0] <= 40 * 39 // 2
+
+    def test_partition_invariance_and_small_group(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.profile import theil_sen_slope
+
+        rng = np.random.RandomState(9)
+        df = pd.DataFrame(
+            {
+                "id": range(25),
+                "g": "s",
+                "x": rng.randint(1, 10, 25),
+                "y": np.round(rng.gamma(3, 2, 25), 2),
+            }
+        )
+        outs = [
+            theil_sen_slope(
+                ray.data.from_pandas(df).repartition(p), "x", "y", "g", "id"
+            )
+            for p in (1, 6)
+        ]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        assert outs[0]["n_sample"].iloc[0] == 25  # < k keeps all
