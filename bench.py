@@ -210,6 +210,19 @@ BENCH_QUERIES = [
     "hll_overlap_md5",
     "gopher_repetition",
     "mg_heavy_users",
+    # round-2 session-16 additions (second batch)
+    "lsh_plan",
+    "spec_pipeline",
+    "dbscan_grid",
+    "bcubed_dedup",
+    "kll_quantiles",
+    "conformal_price",
+    "welch_fdr",
+    "seasonal_revenue",
+    "texttile_chunks",
+    "did_events",
+    "shrunk_type_means",
+    "theil_sen_price",
 ]
 
 
