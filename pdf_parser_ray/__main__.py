@@ -129,6 +129,19 @@ def main(argv: list[str] | None = None) -> int:
                    help="override the spec's sink with a parquet dir")
 
     p = sub.add_parser(
+        "curate-web",
+        help="boilerplate strip → Gopher gate → dedup → versioned table",
+    )
+    p.add_argument("--input", required=True,
+                   help="documents parquet (doc_id,host,text) or corpus dir")
+    p.add_argument("--table", required=True, help="TableLog root dir")
+    p.add_argument("--permille", type=int, default=500,
+                   help="host-boilerplate gate (line in ≥N‰ of host docs)")
+    p.add_argument("--min-stopwords", type=int, default=0,
+                   help="Gopher stopword floor (0 for non-English or "
+                        "synthetic corpora; the library default is 2)")
+
+    p = sub.add_parser(
         "compact",
         help="rewrite a directory of small parquet fragments into "
              "~target-size files (no shuffle — block coalescing)",
@@ -336,6 +349,55 @@ def main(argv: list[str] | None = None) -> int:
             )
             n = ray.data.read_parquet(args.out, columns=["doc_id"]).count()
         print(json.dumps({"new_docs": n, "out": args.out, "index": args.index}))
+    elif args.cmd == "curate-web":
+        import re as _re
+
+        import pandas as pd
+        import pyarrow.parquet as _pq
+
+        import glob as _glob
+        import os as _os
+
+        from pdf_parser_ray.pipelines import curate_web_corpus
+
+        if _os.path.isfile(args.input):
+            sample = [args.input]
+        else:
+            sample = sorted(_glob.glob(
+                _os.path.join(args.input, "**", "*.parquet"), recursive=True
+            ))
+        names = set(_pq.read_schema(sample[0]).names) if sample else set()
+        if {"doc_id", "text", "host"} <= names:
+            from pdf_parser_ray.io_utils import read_parquet_clean
+
+            docs = read_parquet_clean(
+                args.input, columns=["doc_id", "host", "text"]
+            )
+        else:
+            # raw corpus: extract, then derive host from the url
+            extracted = extract_corpus(read_corpus(args.input)).select_columns(
+                ["url", "extracted_text"]
+            )
+            host_re = _re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)")
+
+            def to_docs(df: pd.DataFrame) -> pd.DataFrame:
+                from pdf_parser_ray.io_utils import arrow_out
+
+                return arrow_out(pd.DataFrame({
+                    "doc_id": pd.util.hash_array(
+                        df["url"].to_numpy(dtype=object)
+                    ).view("int64"),
+                    "host": df["url"].str.extract(host_re, expand=False)
+                                     .fillna("").str.lower(),
+                    "text": df["extracted_text"].fillna(""),
+                }))
+
+            docs = extracted.map_batches(to_docs, batch_format="pandas")
+        summary = curate_web_corpus(
+            docs, args.table, boiler_permille=args.permille,
+            gate_kwargs={"min_stopword_hits": args.min_stopwords},
+        )
+        print(json.dumps(summary))
     elif args.cmd == "pipeline":
         from pdf_parser_ray.spec import run_spec
 

@@ -1710,3 +1710,83 @@ def dp_group_counts(
         )
 
     return counts.map_batches(noise, batch_format="pandas")
+
+
+def waterfill_cap(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    *,
+    budget: int,
+) -> pd.DataFrame:
+    """Max-min fair-share cap (the water-filling allocation of classic
+    congestion control, applied to per-source crawl/training budgets):
+    find the integer level c such that Σ_h min(n_h, c) just reaches
+    ``budget`` — small sources keep everything, large ones are cut to
+    a COMMON ceiling instead of proportionally (the fairness property
+    proportional caps lack).
+
+    Exact integer solve: per-group counts from one bounded grouped
+    shuffle; sort ascending, prefix sums, then the level where
+    remaining budget / remaining groups lands between consecutive
+    counts — plus the exact leftover (budget − Σ min(n_h, c), spread
+    < #groups) reported instead of silently dropped.
+
+    Output (eager, one row per group): (group_col, n:int64,
+    cap:int64 = min(n, c), level:int64 — the common c, leftover:int64
+    — identical on every row).
+    """
+    import numpy as np
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import grouped_sum
+
+    def count_partial(df: pd.DataFrame):
+        g = pd.DataFrame({group_col: df[group_col]})
+        g["n"] = np.int64(1)
+        return arrow_out(g.groupby(group_col, as_index=False)["n"].sum())
+
+    counts = (
+        grouped_sum(
+            ds.select_columns([group_col]).map_batches(
+                count_partial, batch_format="pandas"
+            ),
+            [group_col],
+            ["n"],
+        )
+        .to_pandas()  # bounded: one row per group
+        .sort_values([group_col])
+        .reset_index(drop=True)
+    )
+    n = counts["n"].to_numpy(dtype=np.int64)
+    total = int(n.sum())
+    m = len(n)
+    if total <= budget or m == 0:
+        level = int(n.max()) if m else 0
+        leftover = budget - total if m else budget
+        caps = n
+    else:
+        order = np.argsort(n, kind="stable")
+        ns = n[order]
+        prefix = np.cumsum(ns)
+        level = None
+        for i in range(m):
+            # groups 0..i-1 keep all; the rest capped at c
+            below = int(prefix[i - 1]) if i > 0 else 0
+            remaining = m - i
+            c = (budget - below) // remaining
+            if c < int(ns[i]):
+                level = c
+                break
+        if level is None:
+            level = int(ns[-1])
+        caps = np.minimum(n, level)
+        leftover = budget - int(caps.sum())
+    return pd.DataFrame(
+        {
+            group_col: counts[group_col],
+            "n": pd.Series(n, dtype="int64"),
+            "cap": pd.Series(caps, dtype="int64"),
+            "level": pd.Series(np.full(m, level), dtype="int64"),
+            "leftover": pd.Series(np.full(m, leftover), dtype="int64"),
+        }
+    )

@@ -604,6 +604,7 @@ def curate_web_corpus(
     id_col: str = "doc_id",
     boiler_permille: int = 500,
     with_counts: bool = True,
+    gate_kwargs: dict | None = None,
 ) -> dict:
     """The composed web-curation journey, end to end: host-scoped
     boilerplate strip → Gopher composite quality gate → exact dedup →
@@ -636,7 +637,9 @@ def curate_web_corpus(
         batch_format="pandas",
     ).materialize()  # consumed by the gate AND both joins below
 
-    gate = gopher_gate(stripped, text_col=text_col, id_col=id_col)
+    gate = gopher_gate(
+        stripped, text_col=text_col, id_col=id_col, **(gate_kwargs or {})
+    )
     keep_ids = gate.filter(expr="keep == True").select_columns([id_col])
     gated = colo_join(
         stripped, keep_ids, [id_col],

@@ -13211,3 +13211,55 @@ SQL["theil_sen_price"] = """
     FROM ranked r JOIN agg USING (p_brand) JOIN ns USING (p_brand)
     WHERE r.r = (agg.n_pairs + 1) // 2
 """
+
+
+# ------------------------------------------------ water-filling cap
+
+
+def q_waterfill_sources(sf_dir: str) -> pd.DataFrame:
+    """Max-min fair per-source document budget (water-filling level
+    for a total budget of 300): small sources keep everything, big
+    ones cut to the common level; exact integer solve over sorted
+    prefix sums (ops/curation.waterfill_cap)."""
+    from pdf_parser_ray.ops.curation import waterfill_cap
+
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+    return waterfill_cap(docs, "source", budget=300)
+
+
+QUERIES["waterfill_sources"] = q_waterfill_sources
+
+SQL["waterfill_sources"] = """
+    WITH c AS (
+      SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n)::BIGINT AS total, max(n)::BIGINT AS mx,
+                   count(*)::BIGINT AS m FROM c),
+    r AS (
+      SELECT source, n,
+             row_number() OVER (ORDER BY n, source) AS rn,
+             coalesce(sum(n) OVER (ORDER BY n, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      FROM c
+    ),
+    cand AS (
+      SELECT rn, n, (300 - below) // (tot.m - rn + 1) AS ci
+      FROM r, tot WHERE below <= 300
+    ),
+    hit AS (SELECT min(rn) AS rn0 FROM cand WHERE ci < n),
+    lvl AS (
+      SELECT CASE WHEN tot.total <= 300 THEN tot.mx
+                  WHEN hit.rn0 IS NULL THEN tot.mx
+                  ELSE (SELECT ci FROM cand WHERE rn = hit.rn0) END AS level
+      FROM tot, hit
+    ),
+    capped AS (
+      SELECT c.source, c.n, LEAST(c.n, lvl.level)::BIGINT AS cap, lvl.level
+      FROM c, lvl
+    )
+    SELECT source, n, cap, CAST(level AS BIGINT) AS level,
+           CAST(CASE WHEN (SELECT total FROM tot) <= 300
+                     THEN 300 - (SELECT total FROM tot)
+                     ELSE 300 - sum(cap) OVER () END AS BIGINT) AS leftover
+    FROM capped
+"""

@@ -110,6 +110,8 @@ class TableLog:
             for p in glob.glob(os.path.join(abs_dir, "**", "*.parquet"),
                                recursive=True)
         )
+        if not files:  # empty dataset → a valid zero-row commit
+            return [], 0
         n = ray.data.read_parquet(abs_dir).count()
         return files, n
 

@@ -219,3 +219,35 @@ class TestPipelineSpec:
         assert r.returncode == 0, r.stderr[-2000:]
         payload = _json.loads(r.stdout.strip().splitlines()[-1])
         assert payload["rows"] == 500
+
+
+def test_curate_web_cmd(tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    gen = subprocess.run(
+        [sys.executable, "-m", "pdf_parser_ray", "--num-cpus", "4",
+         "gen", "--n-docs", "60", "--out", str(tmp_path / "c")],
+        capture_output=True, text=True, cwd="/root/repo", timeout=180,
+    )
+    assert gen.returncode == 0, gen.stderr[-1500:]
+    r = subprocess.run(
+        [sys.executable, "-m", "pdf_parser_ray", "--num-cpus", "4",
+         "curate-web", "--input", str(tmp_path / "c"),
+         "--table", str(tmp_path / "t")],
+        capture_output=True, text=True, cwd="/root/repo", timeout=180,
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    payload = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert payload["in"] == 60 and payload["version"] == 0
+    assert 0 < payload["after_dedup"] <= payload["after_gate"] <= 60
+    # rerun appends version 1
+    r2 = subprocess.run(
+        [sys.executable, "-m", "pdf_parser_ray", "--num-cpus", "4",
+         "curate-web", "--input", str(tmp_path / "c"),
+         "--table", str(tmp_path / "t")],
+        capture_output=True, text=True, cwd="/root/repo", timeout=180,
+    )
+    payload2 = _json.loads(r2.stdout.strip().splitlines()[-1])
+    assert payload2["version"] == 1

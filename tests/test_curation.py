@@ -1004,3 +1004,45 @@ class TestDpGroupCounts:
         ).to_pandas().sort_values("user_id").reset_index(drop=True)
         assert (a["n"] == b["n"]).all()
         assert (a["noisy_n"] != b["noisy_n"]).mean() > 0.99
+
+
+class TestWaterfillCap:
+    def _run(self, counts, budget):
+        import ray.data
+
+        from pdf_parser_ray.ops.curation import waterfill_cap
+
+        rows = [
+            (g, i) for g, n in counts.items() for i in range(n)
+        ]
+        df = pd.DataFrame(rows, columns=["g", "i"])
+        return waterfill_cap(
+            ray.data.from_pandas(df).repartition(4), "g", budget=budget
+        ).set_index("g")
+
+    def test_waterfill_level_exact(self, ray_session):
+        # counts 10/20/100/200, budget 120: level c solves
+        # 10+20+min(100,c)+min(200,c)=120 -> c=45, caps 10/20/45/45
+        out = self._run({"a": 10, "b": 20, "c": 100, "d": 200}, 120)
+        assert out["cap"].to_dict() == {"a": 10, "b": 20, "c": 45, "d": 45}
+        assert (out["level"] == 45).all()
+        assert (out["leftover"] == 0).all()
+
+    def test_leftover_reported(self, ray_session):
+        # budget 121 -> same level 45 (raising to 46 would need +2),
+        # leftover 1
+        out = self._run({"a": 10, "b": 20, "c": 100, "d": 200}, 121)
+        assert (out["level"] == 45).all()
+        assert (out["leftover"] == 1).all()
+
+    def test_budget_exceeds_total(self, ray_session):
+        out = self._run({"a": 5, "b": 7}, 100)
+        assert out["cap"].to_dict() == {"a": 5, "b": 7}
+        assert (out["leftover"] == 88).all()
+
+    def test_fairness_vs_proportional(self, ray_session):
+        # max-min: the small source is NEVER cut while a bigger one
+        # keeps more (proportional capping would cut both)
+        out = self._run({"small": 8, "huge": 992}, 500)
+        assert out.loc["small", "cap"] == 8
+        assert out.loc["huge", "cap"] == 492

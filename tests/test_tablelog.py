@@ -71,3 +71,15 @@ class TestTableLog:
     def test_empty_table_reads_empty(self, ray_session, tmp_path):
         t = TableLog(str(tmp_path / "t"))
         assert t.read().count() == 0
+
+
+def test_empty_append_is_valid_commit(ray_session, tmp_path):
+    import pyarrow as pa
+
+    t = TableLog(str(tmp_path / "t"))
+    t.append(ray.data.from_pandas(_df(0, 3)))
+    empty = ray.data.from_pandas(_df(0, 3)).filter(expr="k > 99")
+    v = t.append(empty)
+    assert v == 1
+    assert t.history()[-1]["n_rows"] == 0
+    assert t.read().count() == 3
