@@ -13263,3 +13263,48 @@ SQL["waterfill_sources"] = """
                      ELSE 300 - sum(cap) OVER () END AS BIGINT) AS leftover
     FROM capped
 """
+
+
+# ------------------------------------------------ Kneser-Ney LM
+
+
+def q_kn_score(sf_dir: str) -> ray.data.Dataset:
+    """Interpolated Kneser-Ney bigram log-probability per document
+    (d=0.75, model trained on the corpus itself so every bigram is
+    seen): continuation-probability smoothing re-derived end to end by
+    the twin (ops/text_stats.kneser_ney_score)."""
+    from pdf_parser_ray.ops.text_stats import kneser_ney_score
+
+    return kneser_ney_score(_documents(sf_dir, columns=["doc_id", "text"]))
+
+
+QUERIES["kn_score"] = q_kn_score
+
+SQL["kn_score"] = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '\S+')) AS w,
+             unnest(range(1, len(regexp_extract_all(lower(text), '\S+')) + 1))
+               AS idx
+      FROM documents
+    ),
+    bg AS (
+      SELECT a.doc_id, a.w AS u, b.w AS w
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
+    ),
+    c AS (SELECT u, w, count(*)::BIGINT AS c FROM bg GROUP BY u, w),
+    cu AS (SELECT u, sum(c)::BIGINT AS cu, count(*)::BIGINT AS n1u
+           FROM c GROUP BY u),
+    nw AS (SELECT w, count(*)::BIGINT AS n1w FROM c GROUP BY w),
+    t AS (SELECT count(*)::BIGINT AS T FROM c),
+    p AS (
+      SELECT c.u, c.w,
+             log2(greatest(c.c - 0.75, 0.0) / cu.cu
+                  + (0.75 * cu.n1u / cu.cu) * (nw.n1w / t.T)) AS lp
+      FROM c JOIN cu USING (u) JOIN nw USING (w), t
+    )
+    SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+           round(sum(p.lp), 6) AS kn_logprob
+    FROM bg JOIN p ON bg.u = p.u AND bg.w = p.w
+    GROUP BY bg.doc_id
+"""

@@ -1291,3 +1291,58 @@ class TestLshBandPlan:
         chosen = out[out["chosen"]]
         assert chosen["bands"].tolist() == [16]
         assert abs(chosen["approx_threshold"].iloc[0] - 0.7071) < 1e-3
+
+
+class TestKneserNeyScore:
+    def _run(self, texts, parts=3):
+        import ray.data
+
+        from pdf_parser_ray.ops.text_stats import kneser_ney_score
+
+        df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        return (
+            kneser_ney_score(ray.data.from_pandas(df).repartition(parts))
+            .to_pandas()
+            .set_index("doc_id")
+        )
+
+    def test_hand_computed_tiny_model(self, ray_session):
+        import math
+
+        # corpus bigrams: (a,b)x2, (b,a)x1, (b,c)x1  -> T=3
+        out = self._run(["a b a b c"])
+        # c(a·)=2 n1(a)=1; c(b·)=2 n1(b)=2; pcont: a=1/3 b=1/3 c=1/3
+        d = 0.75
+        p_ab = (2 - d) / 2 + (d * 1 / 2) * (1 / 3)
+        p_ba = (1 - d) / 2 + (d * 2 / 2) * (1 / 3)
+        p_bc = (1 - d) / 2 + (d * 2 / 2) * (1 / 3)
+        exp = round(
+            2 * math.log2(p_ab) + math.log2(p_ba) + math.log2(p_bc), 6
+        )
+        assert out.loc[0, "n_bigrams"] == 4
+        assert abs(out.loc[0, "kn_logprob"] - exp) < 1e-9
+
+    def test_continuation_beats_raw_frequency(self, ray_session):
+        # 'francisco' is FREQUENT but only ever follows 'san' ->
+        # continuation prob low; 'the' follows many contexts.  A
+        # held-out bigram (u seen, (u,w) unseen) must score higher
+        # for the versatile word.
+        import math
+
+        corpus = [
+            "san francisco " * 10 + "the cat the dog the bird the fish",
+        ]
+        from pdf_parser_ray.ops.text_stats import kneser_ney_score
+        import ray.data
+
+        df = pd.DataFrame({"doc_id": [0], "text": corpus})
+        # score held-out docs against the model trained on `corpus`:
+        # emulate via the op's backoff by scoring new docs appended
+        out = self._run(corpus + ["cat francisco", "cat the"])
+        # doc1 = bigram (cat, francisco); doc2 = (cat, the) — both
+        # unseen with seen context 'cat': P = lam(cat)*pcont(w)
+        assert out.loc[2, "kn_logprob"] > out.loc[1, "kn_logprob"]
+
+    def test_empty_and_single_token_drop(self, ray_session):
+        out = self._run(["a b c", "", "solo"])
+        assert list(out.index) == [0]
