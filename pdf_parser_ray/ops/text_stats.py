@@ -2856,3 +2856,76 @@ def kneser_ney_score(
     return ds.select_columns(["doc_id", "text"]).map_batches(
         score, batch_format="pandas"
     )
+
+
+def good_turing_counts(ds, *, max_r: int = 10) -> "object":
+    """Good-Turing frequency-of-frequencies table (Good 1953; the
+    Gale-Sampson presentation): for word-count r ≤ ``max_r``, the
+    number of types N_r seen exactly r times and the discounted
+    estimate r* = (r+1)·N_{r+1}/N_r — the unseen-mass view (N_1/N
+    Σ-mass goes to novel words) that motivates every smoothing
+    scheme KN refines.
+
+    Reported rows are the ``max_r`` SMALLEST frequency classes
+    PRESENT in the corpus (not r ≤ max_r absolutely — a small-vocab
+    corpus whose rarest word still occurs hundreds of times would
+    otherwise report nothing).  Two bounded shuffles: word partial
+    counts → vocabulary-bounded grouped sum; count-of-counts partials
+    → a grouped sum bounded by distinct frequency VALUES (~O(√corpus)).
+    r* is a per-row ratio of exact int64s (unrounded); rows with no
+    r+1 class report r* = 0.0 (pinned: undefined there, callers
+    smooth).
+
+    Output: (r:int64, n_r:int64, r_star:float64), r ascending.
+    """
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import grouped_sum
+
+    def word_partial(df: pd.DataFrame):
+        from collections import Counter
+
+        c: Counter = Counter()
+        for text in df["text"].fillna(""):
+            c.update(t.lower() for t in TOKEN_PAT.findall(text))
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    "w": list(c.keys()),
+                    "c": pd.Series(list(c.values()), dtype="int64"),
+                }
+            )
+        )
+
+    words = grouped_sum(
+        ds.select_columns(["doc_id", "text"]).map_batches(
+            word_partial, batch_format="pandas"
+        ),
+        ["w"],
+        ["c"],
+    )
+
+    def coc_partial(df: pd.DataFrame):
+        g = df.groupby("c", as_index=False).size()
+        g.columns = ["r", "n"]
+        return arrow_out(g.astype({"r": "int64", "n": "int64"}))
+
+    coc = (
+        grouped_sum(
+            words.map_batches(coc_partial, batch_format="pandas"),
+            ["r"],
+            ["n"],
+        )
+        .to_pandas()  # bounded: distinct frequency values
+        .sort_values("r")
+        .reset_index(drop=True)
+    )
+    nr = dict(zip(coc["r"].astype(int), coc["n"].astype(int)))
+    rows = []
+    for r in [int(x) for x in coc["r"].head(max_r)]:
+        n_r = nr[r]
+        n_r1 = nr.get(r + 1, 0)
+        r_star = (r + 1) * n_r1 / n_r if n_r1 else 0.0
+        rows.append((r, n_r, r_star))
+    return pd.DataFrame(
+        rows, columns=["r", "n_r", "r_star"]
+    ).astype({"r": "int64", "n_r": "int64"})

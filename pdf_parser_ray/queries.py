@@ -13308,3 +13308,33 @@ SQL["kn_score"] = r"""
     FROM bg JOIN p ON bg.u = p.u AND bg.w = p.w
     GROUP BY bg.doc_id
 """
+
+
+# ------------------------------------------------ Good-Turing
+
+
+def q_good_turing(sf_dir: str) -> pd.DataFrame:
+    """Good-Turing count-of-counts over corpus word frequencies
+    (r ≤ 10): N_r and the discounted r* = (r+1)N_{r+1}/N_r as exact
+    int ratios (ops/text_stats.good_turing_counts)."""
+    from pdf_parser_ray.ops.text_stats import good_turing_counts
+
+    return good_turing_counts(_documents(sf_dir, columns=["doc_id", "text"]))
+
+
+QUERIES["good_turing"] = q_good_turing
+
+SQL["good_turing"] = r"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS w
+      FROM documents
+    ),
+    wc AS (SELECT w, count(*)::BIGINT AS c FROM toks GROUP BY w),
+    coc AS (SELECT c AS r, count(*)::BIGINT AS n FROM wc GROUP BY c),
+    lo AS (SELECT r FROM coc ORDER BY r LIMIT 10)
+    SELECT a.r, a.n AS n_r,
+           CASE WHEN b.n IS NULL THEN 0.0
+                ELSE (a.r + 1) * b.n / a.n END AS r_star
+    FROM coc a JOIN lo USING (r)
+    LEFT JOIN coc b ON b.r = a.r + 1
+"""

@@ -1346,3 +1346,26 @@ class TestKneserNeyScore:
     def test_empty_and_single_token_drop(self, ray_session):
         out = self._run(["a b c", "", "solo"])
         assert list(out.index) == [0]
+
+
+class TestGoodTuring:
+    def test_hand_counts(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.text_stats import good_turing_counts
+
+        # counts: a=1 b=1 c=2 d=3 -> N1=2, N2=1, N3=1
+        df = pd.DataFrame(
+            {"doc_id": [0, 1], "text": ["a b c d", "c d d"]}
+        )
+        out = good_turing_counts(
+            ray.data.from_pandas(df).repartition(2)
+        ).set_index("r")
+        assert out.loc[1, "n_r"] == 2 and out.loc[2, "n_r"] == 1
+        assert out.loc[1, "r_star"] == 2 * 1 / 2   # (1+1)*N2/N1
+        assert out.loc[2, "r_star"] == 3 * 1 / 1
+        assert out.loc[3, "r_star"] == 0.0         # no N4 class
+        # weight conservation sanity: GT total mass Σ N_r·r* ≤ Σ N_r·r
+        tot = (out["n_r"] * out.index).sum()
+        gt = (out["n_r"] * out["r_star"]).sum()
+        assert gt <= tot
