@@ -223,6 +223,9 @@ BENCH_QUERIES = [
     "did_events",
     "shrunk_type_means",
     "theil_sen_price",
+    "kn_score",
+    "good_turing",
+    "waterfill_sources",
 ]
 
 
