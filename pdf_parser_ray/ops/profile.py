@@ -3011,3 +3011,98 @@ def theil_sen_slope(
     return pd.DataFrame(
         rows, columns=[by, "n_sample", "n_pairs", "theil_slope"]
     ).astype({"n_sample": "int64", "n_pairs": "int64"})
+
+
+def _log_phi_pair(z: np.ndarray) -> "tuple[np.ndarray, np.ndarray]":
+    """(ln Φ(z), ln(1−Φ(z))) via the shared A&S 26.2.17 upper tail —
+    branch so each log always consumes the DIRECTLY-computed small
+    tail (no 1−x cancellation on the side that matters)."""
+    z = np.asarray(z, dtype=np.float64)
+    q_abs = np.array([_norm_sf(abs(x)) for x in z])  # Q(|z|)
+    log_phi = np.where(z >= 0, np.log(1.0 - q_abs), np.log(q_abs))
+    log_q = np.where(z >= 0, np.log(q_abs), np.log(1.0 - q_abs))
+    return log_phi, log_q
+
+
+def grouped_anderson_darling(
+    ds: ray.data.Dataset,
+    value_col: str,
+    group_col: str,
+    *,
+    round_to: int = 4,
+) -> ray.data.Dataset:
+    """Anderson-Darling normality statistic per group (Anderson &
+    Darling 1954; the tail-sensitive refinement of the KS gate in
+    q:value_ks_test): A² = −n − (1/n)Σᵢ(2i−1)[ln Φ(zᵢ) +
+    ln(1−Φ(z_{n+1−i}))] against the N(μ̂, σ̂²) fit.
+
+    Sort-free: the per-(group, cent-value) histogram (ONE bounded
+    co-location, the mannwhitney/spearman plan) turns each distinct
+    value's run of sorted positions [a, a+k) into EXACT integer
+    coefficient sums — Σ(2i−1) = k(2a+k−2) for the Φ side and
+    k(2n+2−2a−k) for the survival side — so no row-level rank pass
+    exists.  μ̂, σ̂ (population) come from exact int64 cent moments;
+    Φ is the shared A&S 26.2.17 polynomial, branch-evaluated so each
+    log reads its own directly-computed tail.  A² rounds to
+    ``round_to`` (cross-row float sums).
+
+    Output: (group_col, n:int64, a2:float64); groups with σ̂ = 0 drop.
+    """
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import grouped_sum
+
+    def hist_partial(df: pd.DataFrame) -> pa.Table:
+        v = np.rint(df[value_col].to_numpy(dtype=np.float64) * 100.0).astype(
+            np.int64
+        )
+        g = pd.DataFrame({group_col: df[group_col], "v": v})
+        g["k"] = np.int64(1)
+        return arrow_out(g.groupby([group_col, "v"], as_index=False)["k"].sum())
+
+    hist = (
+        grouped_sum(
+            ds.select_columns([group_col, value_col]).map_batches(
+                hist_partial, batch_format="pandas"
+            ),
+            [group_col, "v"],
+            ["k"],
+        )
+        .to_pandas()  # bounded: groups × distinct cent values
+        .sort_values([group_col, "v"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for g, grp in hist.groupby(group_col, sort=True):
+        k = grp["k"].to_numpy(dtype=np.int64)
+        v = grp["v"].to_numpy(dtype=np.int64)
+        n = int(k.sum())
+        sy = int((k * v).sum())
+        syy = int((k * v * v).sum())
+        var_num = n * syy - sy * sy
+        if n < 2 or var_num <= 0:
+            continue
+        mean = sy / n
+        std = np.sqrt(var_num) / n
+        z = (v - mean) / std
+        cum = np.cumsum(k)
+        a = cum - k + 1  # 1-based start of each value's run
+        s1 = k * (2 * a + k - 2)
+        s2 = k * (2 * n + 2 - 2 * a - k)
+        log_phi, log_q = _log_phi_pair(z)
+        a2 = -n - float((s1 * log_phi + s2 * log_q).sum()) / n
+        rows.append((g, n, round(a2, round_to)))
+    if not rows:  # every group degenerate → typed empty (Ray would
+        # otherwise surface a column-less frame downstream)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "a2": pa.array([], pa.float64()),
+                }
+            )
+        )
+    out = pd.DataFrame(rows, columns=[group_col, "n", "a2"]).astype(
+        {"n": "int64"}
+    )
+    return ray.data.from_arrow(pa.Table.from_pandas(out, preserve_index=False))

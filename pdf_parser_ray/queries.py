@@ -13338,3 +13338,79 @@ SQL["good_turing"] = r"""
     FROM coc a JOIN lo USING (r)
     LEFT JOIN coc b ON b.r = a.r + 1
 """
+
+
+# ------------------------------------------------ Anderson-Darling
+
+
+def q_anderson_darling(sf_dir: str) -> ray.data.Dataset:
+    """Anderson-Darling A² normality statistic per event type against
+    the fitted N(μ̂,σ̂²) — sort-free via exact integer rank-run sums on
+    the cent histogram (ops/profile.grouped_anderson_darling)."""
+    from pdf_parser_ray.ops.profile import grouped_anderson_darling
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return grouped_anderson_darling(ds, "value", "event_type")
+
+
+QUERIES["anderson_darling"] = q_anderson_darling
+
+
+def _anderson_darling_sql() -> str:
+    from pdf_parser_ray.ops.profile import _AS_B, _AS_T, _INV_SQRT_2PI
+
+    b1, b2, b3, b4, b5 = (repr(b) for b in _AS_B)
+    poly = (
+        f"tt * ({b1} + tt * ({b2} + tt * ({b3} + tt * ({b4} + tt * {b5}))))"
+    )
+    return f"""
+    WITH h AS (
+      SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v,
+             count(*)::BIGINT AS k
+      FROM events GROUP BY g, v
+    ),
+    m AS (
+      SELECT g, sum(k)::BIGINT AS n, sum(k * v)::BIGINT AS sy,
+             sum(k * v * v)::BIGINT AS syy
+      FROM h GROUP BY g
+    ),
+    mm AS (
+      SELECT g, n, sy / n AS mean, sqrt(n * syy - sy * sy) / n AS std
+      FROM m WHERE n >= 2 AND n * syy - sy * sy > 0
+    ),
+    r AS (
+      SELECT h.g, h.v, h.k,
+             sum(h.k) OVER (PARTITION BY h.g ORDER BY h.v) AS cum
+      FROM h JOIN mm ON mm.g = h.g
+    ),
+    terms AS (
+      SELECT r.g, mm.n, (r.v - mm.mean) / mm.std AS z,
+             r.k * (2 * (r.cum - r.k + 1) + r.k - 2) AS s1,
+             r.k * (2 * mm.n + 2 - 2 * (r.cum - r.k + 1) - r.k) AS s2
+      FROM r JOIN mm USING (g)
+    ),
+    q AS (
+      SELECT g, n, s1, s2, z,
+             ({repr(_INV_SQRT_2PI)}
+              * exp(-abs(z) * abs(z) / 2.0)
+              * (SELECT {poly} FROM (SELECT 1.0 / (1.0 + {repr(_AS_T)}
+                   * abs(z)) AS tt))) AS qabs
+      FROM terms
+    ),
+    l AS (
+      SELECT g, n, s1, s2,
+             CASE WHEN z >= 0 THEN ln(1.0 - qabs) ELSE ln(qabs) END
+               AS log_phi,
+             CASE WHEN z >= 0 THEN ln(qabs) ELSE ln(1.0 - qabs) END
+               AS log_q
+      FROM q
+    )
+    SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+           round(-n - sum(s1 * log_phi + s2 * log_q) / n, 4) AS a2
+    FROM l GROUP BY g, n
+"""
+
+
+SQL["anderson_darling"] = _anderson_darling_sql()

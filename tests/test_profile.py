@@ -849,3 +849,75 @@ class TestTheilSenSlope:
         ]
         pd.testing.assert_frame_equal(outs[0], outs[1])
         assert outs[0]["n_sample"].iloc[0] == 25  # < k keeps all
+
+
+class TestAndersonDarling:
+    def _run(self, frames, parts=4):
+        import ray.data
+
+        from pdf_parser_ray.ops.profile import grouped_anderson_darling
+
+        df = pd.concat(frames, ignore_index=True)
+        return (
+            grouped_anderson_darling(
+                ray.data.from_pandas(df).repartition(parts), "val", "g"
+            )
+            .to_pandas()
+            .set_index("g")
+        )
+
+    def test_normal_small_uniform_large(self, ray_session):
+        rng = np.random.RandomState(5)
+        normal = pd.DataFrame(
+            {"g": "norm", "val": np.round(rng.normal(50, 10, 4000), 2)}
+        )
+        uniform = pd.DataFrame(
+            {"g": "unif", "val": np.round(rng.uniform(0, 100, 4000), 2)}
+        )
+        bimodal = pd.DataFrame(
+            {"g": "bimo", "val": np.round(np.concatenate([
+                rng.normal(20, 2, 2000), rng.normal(80, 2, 2000)
+            ]), 2)}
+        )
+        out = self._run([normal, uniform, bimodal])
+        # A² small for the true normal, large for the others
+        assert out.loc["norm", "a2"] < 2.5
+        assert out.loc["unif", "a2"] > 10
+        assert out.loc["bimo", "a2"] > 100
+
+    def test_vs_rowwise_reference(self, ray_session):
+        # the histogram-run formula must equal the textbook per-row sum
+        import math
+
+        from pdf_parser_ray.ops.profile import _norm_sf
+
+        rng = np.random.RandomState(1)
+        vals = np.round(rng.gamma(4, 3, 500), 2)
+        out = self._run([pd.DataFrame({"g": "x", "val": vals})])
+        cents = np.rint(vals * 100).astype(np.int64)
+        n = len(cents)
+        mean = int(cents.sum()) / n
+        std = np.sqrt(n * int((cents.astype(object) ** 2).sum())
+                      - int(cents.sum()) ** 2) / n
+        zs = np.sort((cents - mean) / std)
+
+        def log_phi(z):
+            q = _norm_sf(abs(z))
+            return math.log(1 - q) if z >= 0 else math.log(q)
+
+        def log_sf(z):
+            q = _norm_sf(abs(z))
+            return math.log(q) if z >= 0 else math.log(1 - q)
+
+        s = sum(
+            (2 * (i + 1) - 1) * (log_phi(zs[i]) + log_sf(zs[n - 1 - i]))
+            for i in range(n)
+        )
+        a2_ref = -n - s / n
+        assert abs(out.loc["x", "a2"] - round(a2_ref, 4)) < 2e-4
+
+    def test_constant_group_drops(self, ray_session):
+        out = self._run(
+            [pd.DataFrame({"g": "c", "val": [5.0] * 40})]
+        )
+        assert "c" not in out.index
