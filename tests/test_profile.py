@@ -917,7 +917,13 @@ class TestAndersonDarling:
         assert abs(out.loc["x", "a2"] - round(a2_ref, 4)) < 2e-4
 
     def test_constant_group_drops(self, ray_session):
-        out = self._run(
-            [pd.DataFrame({"g": "c", "val": [5.0] * 40})]
+        import ray.data
+
+        from pdf_parser_ray.ops.profile import grouped_anderson_darling
+
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"g": ["c"] * 40, "val": [5.0] * 40})
         )
-        assert "c" not in out.index
+        # zero variance → no testable group (empty result; Ray's
+        # to_pandas drops columns on empty datasets, so assert count)
+        assert grouped_anderson_darling(ds, "val", "g").count() == 0
