@@ -226,6 +226,7 @@ BENCH_QUERIES = [
     "kn_score",
     "good_turing",
     "waterfill_sources",
+    "anderson_darling",
 ]
 
 
