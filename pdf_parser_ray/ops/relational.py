@@ -418,16 +418,61 @@ def bloom_prefilter(
     )
 
 
+def _masked_dtype(dtype):
+    """Pandas masked (nullable) twin of a plain numpy int/bool dtype.
+
+    Integer columns can't hold NA as plain numpy dtypes; assigning
+    pd.NA upcasts int64→float64/object and the cast back raises
+    IntCastingNaNError.  Route misses through pandas' masked dtype
+    (Arrow conversion unifies Int64-with-nulls and int64 blocks).
+    """
+    if pd.api.types.is_integer_dtype(dtype) and isinstance(dtype, np.dtype):
+        name = str(dtype)
+        return pd.api.types.pandas_dtype(
+            ("U" + name[1:].capitalize()) if name[0] == "u" else name.capitalize()
+        )
+    if pd.api.types.is_bool_dtype(dtype) and isinstance(dtype, np.dtype):
+        return pd.api.types.pandas_dtype("boolean")
+    return dtype
+
+
+def _restore_left_dtypes(
+    out: pd.DataFrame, names: list[str], types: dict
+) -> pd.DataFrame:
+    """Cast the merge output back to the LEFT side's Arrow-derived dtypes.
+
+    ``grouped_map`` hands the merge fn a *pandas* frame of the unioned
+    block: an int64 left column that is null on the right-tagged rows
+    upcasts to float64 in the Arrow→pandas conversion, and
+    ``l[names].copy()`` inherits the upcast even though the side==0 rows
+    themselves have no nulls — the output then ships ``double`` where
+    the input (and a SQL oracle) says ``int64``.  Restoring via the
+    pandas masked dtype (Int64/UInt32/boolean) keeps any genuine nulls
+    representable while converting back to the exact Arrow type.
+    """
+    for name in names:
+        t = types[name]
+        if pa.types.is_integer(t) or pa.types.is_boolean(t):
+            # to_pandas_dtype() returns the numpy scalar TYPE (np.int64),
+            # not a dtype instance — normalize before the masked lookup.
+            target = _masked_dtype(np.dtype(t.to_pandas_dtype()))
+            if out[name].dtype != target:
+                out[name] = out[name].astype(target)
+    return out
+
+
 def _tag_union(
     left: ray.data.Dataset, right: ray.data.Dataset, by: str, on: str
-) -> tuple[ray.data.Dataset, list[str]]:
+) -> tuple[ray.data.Dataset, list[str], dict]:
     """Tag-and-union the two sides of a co-grouped temporal join.
 
     Left rows keep all columns + ``__side=0``; right rows (only
     ``(by, on)`` needed) are schema-harmonized with TYPED nulls for the
     left-only columns (an untyped ``pa.nulls`` default would make the
-    union schemas mismatch) + ``__side=1``.  Returns the unioned dataset
-    and the left column names.
+    union schemas mismatch) + ``__side=1``.  Returns the unioned
+    dataset, the left column names, and the left name→Arrow-type map
+    (so the merge can cast its output back — see
+    :func:`_restore_left_dtypes`).
     """
     import numpy as np
 
@@ -454,7 +499,7 @@ def _tag_union(
     tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
         right.select_columns([by, on]).map_batches(tag_right, batch_format="pyarrow")
     )
-    return tagged, names
+    return tagged, names, types
 
 
 def asof_join_backward(
@@ -484,30 +529,20 @@ def asof_join_backward(
     """
     import numpy as np
 
-    tagged, names = _tag_union(left, right, by, on)
-
-    def nullable(dtype):
-        # Integer columns can't hold NA as plain numpy dtypes; assigning
-        # pd.NA upcasts int64→float64/object and the cast back raises
-        # IntCastingNaNError.  Route misses through pandas' masked dtype
-        # (Arrow conversion unifies Int64-with-nulls and int64 blocks).
-        if pd.api.types.is_integer_dtype(dtype) and isinstance(dtype, np.dtype):
-            name = str(dtype)
-            return pd.api.types.pandas_dtype(
-                ("U" + name[1:].capitalize()) if name[0] == "u"
-                else name.capitalize()
-            )
-        return dtype
+    tagged, names, types = _tag_union(left, right, by, on)
+    # out_col carries right[on] values, whose logical type is the LEFT
+    # on column's Arrow type (both sides are cast to it in _tag_union);
+    # derive the pandas target from Arrow, not from the (possibly
+    # upcast) pandas frame the merge receives.
+    on_dtype = _masked_dtype(np.dtype(types[on].to_pandas_dtype()))
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["__side"] == 0]
         r = g[g["__side"] == 1]
-        out = l[names].copy()
+        out = _restore_left_dtypes(l[names].copy(), names, types)
         rts = np.sort(r[on].dropna().unique())
         if len(rts) == 0:
-            out[out_col] = pd.Series(
-                pd.NA, index=out.index, dtype=nullable(l[on].dtype)
-            )
+            out[out_col] = pd.Series(pd.NA, index=out.index, dtype=on_dtype)
             return out
         lvals = l[on].to_numpy()
         idx = np.searchsorted(rts, lvals, side="right") - 1
@@ -518,11 +553,11 @@ def asof_join_backward(
         miss = (idx < 0) | pd.isna(lvals)
         vals = pd.Series(rts[np.clip(idx, 0, None)], index=out.index)
         if miss.any():
-            vals = vals.astype(nullable(l[on].dtype))
+            vals = vals.astype(on_dtype)
             vals[miss] = pd.NA
             out[out_col] = vals
         else:
-            out[out_col] = vals.astype(l[on].dtype)
+            out[out_col] = vals.astype(on_dtype)
         return out
 
     from pdf_parser_ray.ops.shuffle import grouped_map
@@ -557,14 +592,14 @@ def interval_count_join(
     """
     import numpy as np
 
-    tagged, names = _tag_union(left, right, by, on)
+    tagged, names, types = _tag_union(left, right, by, on)
     lower_td = pd.to_timedelta(lower_s, unit="s")
     upper_td = pd.to_timedelta(upper_s, unit="s")
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["__side"] == 0]
         r = g[g["__side"] == 1]
-        out = l[names].copy()
+        out = _restore_left_dtypes(l[names].copy(), names, types)
         rts = np.sort(r[on].dropna().to_numpy())
         if len(rts) == 0:
             out[out_col] = np.zeros(len(out), dtype="int64")

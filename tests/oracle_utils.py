@@ -45,12 +45,39 @@ def canonical(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def dtype_family(dtype) -> str:
+    """Coarse dtype class the driver's value hash is sensitive to.
+
+    int64 vs float64 serialize differently (1981 vs 1981.0) even when
+    values are equal — the round-2 as-of/range join failures shipped
+    exactly that — so the sweep must flag family mismatches, not coerce
+    them away.  Masked Int64 and plain int64 are the same family (both
+    reach Arrow as int64)."""
+    kind = getattr(dtype, "kind", None)
+    if kind in ("i", "u"):
+        return "int"
+    if kind == "f":
+        return "float"
+    if kind == "b":
+        return "bool"
+    if kind == "M":
+        return "datetime"
+    return "object"
+
+
 def compare(ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
     """Returns a list of mismatch descriptions (empty == match)."""
     problems = []
     if sorted(ray_df.columns) != sorted(sql_df.columns):
         problems.append(f"columns: ray={sorted(ray_df.columns)} sql={sorted(sql_df.columns)}")
         return problems
+    for col in ray_df.columns:
+        fa, fb = dtype_family(ray_df[col].dtype), dtype_family(sql_df[col].dtype)
+        if fa != fb:
+            problems.append(
+                f"dtype[{col}]: ray={ray_df[col].dtype} ({fa}) vs "
+                f"sql={sql_df[col].dtype} ({fb})"
+            )
     if len(ray_df) != len(sql_df):
         problems.append(f"row count: ray={len(ray_df)} sql={len(sql_df)}")
     a, b = canonical(ray_df), canonical(sql_df)

@@ -704,6 +704,69 @@ class TestAsofJoin:
         assert out.loc[1, "prev"] == pd.Timestamp("2024-01-01")
         assert pd.isna(out.loc[2, "prev"])  # null ts ⋈ anything = null
 
+    def test_left_int_dtypes_survive_union_upcast(self, ray_session):
+        """Round-2 driver failure: the tag-union block carries typed int
+        nulls for right-side rows, the grouped_map pandas handoff
+        upcasts those columns to float64, and the merge output shipped
+        `event_id: double` while the oracle said int64.  Every left
+        int/bool column (and an int `on`'s out_col) must come back in
+        the left side's Arrow type."""
+        import pyarrow as pa
+
+        import ray.data
+        from pdf_parser_ray.ops.relational import (
+            asof_join_backward,
+            interval_count_join,
+        )
+
+        left = pd.DataFrame(
+            {
+                "event_id": pd.array([1, 2, 3], dtype="int64"),
+                "small": pd.array([10, 20, 30], dtype="int32"),
+                "flag": [True, False, True],
+                "u": [7, 7, 8],
+                "ts": pd.to_datetime(
+                    ["2024-01-01 10:00", "2024-01-01 11:00", "2024-01-01 10:30"]
+                ),
+            }
+        )
+        right = pd.DataFrame(
+            {"u": [7, 8], "ts": pd.to_datetime(["2024-01-01 09:00"] * 2)}
+        )
+
+        def arrow_types(ds):
+            # the driver hashes the Arrow form of the result — check that,
+            # not the intermediate pandas block schema
+            t = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+            return dict(zip(t.schema.names, t.schema.types))
+
+        asof = asof_join_backward(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            by="u", on="ts", out_col="prev_ts",
+        )
+        types = arrow_types(asof)
+        assert types["event_id"] == pa.int64()
+        assert types["small"] == pa.int32()
+        assert pa.types.is_boolean(types["flag"])
+
+        rng = interval_count_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            by="u", on="ts", lower_s=7200, upper_s=0, out_col="n",
+        )
+        types = arrow_types(rng)
+        assert types["event_id"] == pa.int64()
+        assert types["small"] == pa.int32()
+        assert types["n"] == pa.int64()
+
+        # int `on`: out_col must be int-typed even with misses present
+        ileft = pd.DataFrame({"event_id": [1, 2], "u": [7, 9], "seq": [50, 3]})
+        iright = pd.DataFrame({"u": [7], "seq": [10]})
+        iasof = asof_join_backward(
+            ray.data.from_pandas(ileft), ray.data.from_pandas(iright),
+            by="u", on="seq", out_col="prev_seq",
+        )
+        assert pa.types.is_integer(arrow_types(iasof)["prev_seq"])
+
 
 class TestQuantiles:
     def test_exact_vs_numpy(self, ray_session):
