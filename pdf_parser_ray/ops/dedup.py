@@ -586,6 +586,56 @@ def _pair_frame(a, b, c) -> pd.DataFrame:
     )
 
 
+def _rows_estimate_no_exec(ds: ray.data.Dataset):
+    """Row-count estimate that NEVER executes the plan (None = unknown).
+
+    ``ds.count()`` on a lazy plan runs the whole upstream pipeline —
+    using it as a route probe means the chosen route then runs the
+    pipeline a second time.  Instead: computed output → cheap count;
+    metadata-only count when the plan is a bare read; else walk the
+    logical DAG to the Read ops and sum parquet-footer row counts
+    (row-preserving transforms keep the estimate exact; filters make it
+    an upper bound, which only ever biases the route toward "lsh" — the
+    safe direction).  Same no-exec discipline as
+    relational._size_estimate_no_exec.
+    """
+    try:
+        if ds._plan.has_computed_output():
+            return ds.count()
+    except Exception:
+        pass
+    try:
+        n = ds._meta_count()
+        if n is not None:
+            return int(n)
+    except Exception:
+        pass
+    try:
+        total, seen = 0, False
+        stack = [ds._plan._logical_plan.dag]
+        while stack:
+            op = stack.pop()
+            dsrc = getattr(op, "_datasource", None)
+            if dsrc is not None:
+                metas = getattr(dsrc, "_metadata", None) or []
+                n = sum(int(getattr(m, "num_rows", 0) or 0) for m in metas)
+                if n:
+                    total += n
+                    seen = True
+            # in-memory inputs (from_pandas / from_arrow): RefBundles
+            # already carry exact block row counts
+            bundles = getattr(op, "input_data", None)
+            if bundles:
+                n = sum(int(b.num_rows() or 0) for b in bundles)
+                if n:
+                    total += n
+                    seen = True
+            stack.extend(op.input_dependencies)
+        return total if seen else None
+    except Exception:
+        return None
+
+
 def embedding_dup_pairs(
     ds: ray.data.Dataset,
     *,
@@ -600,10 +650,14 @@ def embedding_dup_pairs(
     max_bucket: int = 4096,
     concurrency: int | tuple[int, int] | None = None,
     n_parts: int | None = None,
+    n_rows: int | None = None,
 ) -> ray.data.Dataset:
     """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
 
-    Routes (``mode="auto"`` picks by ``ds.count()`` vs ``exact_max_rows``):
+    Routes (``mode="auto"`` picks by a NO-EXECUTION row estimate —
+    ``n_rows`` hint if given, else parquet-footer metadata via
+    :func:`_rows_estimate_no_exec` — vs ``exact_max_rows``; an unknown
+    estimate routes to "lsh", the side that stays safe at any scale):
 
     * ``"exact"`` — chunked broadcast all-pairs.  The matrix is staged
       into the object store ONE bounded chunk at a time (the driver heap
@@ -625,7 +679,8 @@ def embedding_dup_pairs(
 
     ds = ds.select_columns(["vec_id", "embedding"])
     if mode == "auto":
-        mode = "exact" if ds.count() <= exact_max_rows else "lsh"
+        est = n_rows if n_rows is not None else _rows_estimate_no_exec(ds)
+        mode = "exact" if est is not None and est <= exact_max_rows else "lsh"
 
     if mode == "exact":
         chunk_refs = []

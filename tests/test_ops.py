@@ -589,6 +589,38 @@ class TestEmbeddingDupRoutes:
         exact = embedding_dup_pairs(ds, threshold=0.95, mode="exact").to_pandas()
         assert len(auto) == len(exact)
 
+    def test_auto_route_does_not_execute_plan(
+        self, near_dup_vectors, ray_session, tmp_path
+    ):
+        """mode="auto" must pick its route WITHOUT executing the
+        upstream plan (regression: a ds.count() probe ran the pipeline
+        once just to choose, then the chosen route ran it again).  An
+        upstream stage counts its invocations via marker files; auto
+        must cost exactly as many stage calls as the explicit route."""
+        import os
+        import uuid
+
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import embedding_dup_pairs
+
+        def run(marker_dir, **kwargs):
+            os.makedirs(marker_dir, exist_ok=True)
+
+            def counting(df: pd.DataFrame) -> pd.DataFrame:
+                open(os.path.join(marker_dir, uuid.uuid4().hex), "w").close()
+                return df
+
+            ds = ray.data.from_pandas(near_dup_vectors).map_batches(
+                counting, batch_format="pandas"
+            )
+            embedding_dup_pairs(ds, threshold=0.95, **kwargs).to_pandas()
+            return len(os.listdir(marker_dir))
+
+        calls_exact = run(str(tmp_path / "exact"), mode="exact")
+        calls_auto = run(str(tmp_path / "auto"), mode="auto")
+        assert calls_auto == calls_exact
+
     def test_exact_route_chunks(self, near_dup_vectors, ray_session):
         """Chunked staging (chunk_rows < N) must not change results."""
         import ray.data
