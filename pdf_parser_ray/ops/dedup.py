@@ -3103,6 +3103,12 @@ def fastcdc_boundaries(
     (they are ~1/2^bits sparse); the walk visits one candidate lookup
     per CHUNK via searchsorted, not one per byte.
     """
+    if min_size < 64:
+        # _gear_hashes uses one GLOBAL 64-bit rolling recurrence; prior-
+        # chunk bytes only shift out of the hash after 64 positions, so
+        # per-chunk-restart FastCDC semantics hold ONLY when every chunk
+        # start is ≥64 bytes from the previous boundary.
+        raise ValueError(f"min_size must be >= 64 (got {min_size})")
     n = len(data)
     if n == 0:
         return []

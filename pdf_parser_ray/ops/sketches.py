@@ -1142,6 +1142,18 @@ def misra_gries_heavy(
             vc = vc.iloc[:k] - sub
             vc = vc[vc > 0]
         out = vc.rename_axis("item").reset_index(name="c")
+        if not len(out) and n:
+            # the prune can empty the whole summary (e.g. an all-distinct
+            # batch: every count 1, sub 1) — n rides on kept rows, so an
+            # empty summary would silently drop this batch's stream
+            # length and understate the freq > n/k guarantee.  Emit a
+            # null-item sentinel carrying n; the driver merge's
+            # groupby("item") drops it from the counters.
+            # dtype "string": an all-None object column would reach
+            # Arrow as null-typed and clash with string blocks
+            out = pd.DataFrame(
+                {"item": pd.Series([None], dtype="string"), "c": [0]}
+            )
         out["n"] = np.int64(n)
         out["batch"] = uuid.uuid4().hex
         return arrow_out(out.astype({"c": "int64"}))

@@ -29,7 +29,9 @@ Design rules:
 
 from __future__ import annotations
 
+import glob
 import json
+import os
 
 import ray.data
 
@@ -230,9 +232,22 @@ def run_spec(spec: dict | str) -> dict:
     sink = spec.get("sink", {"kind": "count"})
     kind = sink.get("kind")
     if kind == "parquet":
+        # refuse a non-empty target: write_parquet doesn't truncate, so
+        # re-running a spec at the same path would mix old and new part
+        # files (and the old re-read-the-directory row count silently
+        # counted the stale ones)
+        stale = glob.glob(os.path.join(sink["path"], "**", "*.parquet"),
+                          recursive=True)
+        if stale:
+            raise ValueError(
+                f"sink path {sink['path']!r} already contains "
+                f"{len(stale)} parquet file(s); write_parquet does not "
+                "truncate — point the sink at an empty directory"
+            )
+        # count the written dataset itself, not the sink directory
+        ds = ds.materialize()
         ds.write_parquet(sink["path"])
-        n = ray.data.read_parquet(sink["path"]).count()
-        return {"rows": n, "out": sink["path"]}
+        return {"rows": ds.count(), "out": sink["path"]}
     if kind == "count":
         return {"rows": ds.count(), "out": None}
     raise ValueError(

@@ -89,14 +89,18 @@ class TableLog:
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump(payload, f)
-        if os.path.exists(final):
-            os.unlink(tmp)
-            raise CommitConflict(f"version {version} already committed")
         try:
-            os.rename(tmp, final)
+            # os.link raises FileExistsError on EEXIST atomically —
+            # unlike rename, which silently REPLACES an existing file,
+            # so two writers racing past an exists() check would both
+            # "succeed" and the loser's commit would be lost
+            os.link(tmp, final)
+        except FileExistsError:
+            raise CommitConflict(f"version {version} already committed") from None
         except OSError as e:  # pragma: no cover — platform-specific race
-            os.unlink(tmp)
             raise CommitConflict(str(e)) from e
+        finally:
+            os.unlink(tmp)
         return version
 
     # ----------------------------------------------------------- data
@@ -145,22 +149,42 @@ class TableLog:
             [os.path.join(self.root, f) for f in files]
         )
 
-    def vacuum(self) -> int:
-        """Delete data files referenced by NO commit (failed writes),
-        plus files only reachable before the LAST overwrite.  Returns
-        the number of files removed; time travel across an overwrite
-        stops working afterwards (the systems' documented trade)."""
+    def vacuum(self, *, retention_s: float = 24 * 3600.0) -> int:
+        """Delete data files a reader can no longer reach: files some
+        commit referenced that are no longer live (superseded by an
+        overwrite / remove), plus UNREFERENCED files — failed or
+        abandoned writes — older than ``retention_s`` seconds.
+
+        The age threshold exists because an in-flight append writes its
+        parts BEFORE its commit lands: a concurrent vacuum would
+        otherwise see those parts as orphans and destroy data that is
+        about to be committed (the retention-period rule production
+        table formats use for exactly this race).  Returns the number
+        of files removed; time travel across an overwrite stops working
+        afterwards (the documented trade).
+        """
+        import time
+
         live = set(self._active_files())
         referenced_all: set[str] = set()
         for commit in self.history():
             referenced_all.update(commit["add"])
+        now = time.time()
         removed = 0
         for p in glob.glob(
             os.path.join(self.root, "parts-*", "**", "*.parquet"),
             recursive=True,
         ):
             rel = os.path.relpath(p, self.root)
-            if rel not in live:
-                os.unlink(p)
-                removed += 1
+            if rel in live:
+                continue
+            if rel not in referenced_all:
+                try:
+                    age = now - os.path.getmtime(p)
+                except OSError:  # pragma: no cover — deleted under us
+                    continue
+                if age < retention_s:
+                    continue  # possibly an in-flight writer's parts
+            os.unlink(p)
+            removed += 1
         return removed

@@ -175,6 +175,12 @@ class TestPipelineSpec:
         }
         out = run_spec(spec)
         assert out["rows"] == 60
+        # re-running at the same path must refuse, not count stale files
+        # from the previous run as freshly written rows (ADVICE r2)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="does not truncate"):
+            run_spec(spec)
         import ray.data as rd
 
         assert set(rd.read_parquet(out["out"]).schema().names) == {

@@ -802,6 +802,27 @@ class TestMisraGries:
         got = dict(zip(out["item"], out["est"]))
         assert got == {"a": 5, "b": 3, "c": 1}  # no prune below k
 
+    def test_pruned_empty_batch_still_counts_n(self, ray_session):
+        """A batch whose prune empties its summary (all-distinct values,
+        every count equal to the (k+1)-th) must STILL contribute its
+        stream length — n rode only on kept rows, so such batches
+        silently understated n_total and err_bound (ADVICE r2)."""
+        import ray.data
+
+        from pdf_parser_ray.ops.sketches import misra_gries_heavy
+
+        k = 4
+        # block 1: 10 all-distinct values -> per-batch prune drops every
+        # counter (counts all 1, sub 1); block 2: one heavy value
+        distinct = pd.DataFrame({"u": [f"d{i}" for i in range(10)]})
+        heavy = pd.DataFrame({"u": ["h"] * 20})
+        ds = ray.data.from_pandas([distinct, heavy])
+        out = misra_gries_heavy(ds, "u", k=k)
+        assert (out["n"] == 30).all()          # 10 distinct + 20 heavy
+        assert (out["err_bound"] == 30 // k).all()
+        assert "h" in set(out["item"])
+        assert out["item"].notna().all()       # sentinels never surface
+
 
 class TestKllSketch:
     def test_weight_conservation_invariant(self):

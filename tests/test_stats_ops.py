@@ -1231,6 +1231,17 @@ class TestFastCdc:
         assert b[-1] == len(data)
         assert (sizes[:-1] >= 256).all() and (sizes <= 4096).all()
 
+    def test_min_size_below_window_rejected(self):
+        """min_size < 64 would let prior-chunk bytes linger in the
+        global rolling gear hash and silently diverge from per-chunk-
+        restart FastCDC — must raise, not misbehave (ADVICE r2)."""
+        import pytest
+
+        from pdf_parser_ray.ops.dedup import fastcdc_boundaries
+
+        with pytest.raises(ValueError, match="min_size"):
+            fastcdc_boundaries(b"x" * 1000, min_size=32)
+
     def test_insert_shift_resilience(self):
         # CDC's reason to exist: a prefix insert must not re-chunk the
         # whole stream (fixed-size blocking would)

@@ -72,6 +72,52 @@ class TestTableLog:
         t = TableLog(str(tmp_path / "t"))
         assert t.read().count() == 0
 
+    def test_conflict_never_replaces_winner(self, ray_session, tmp_path):
+        """The commit primitive must FAIL atomically on an existing
+        version (os.link EEXIST), not rename over it — a plain rename
+        would silently replace the race winner's commit (ADVICE r2)."""
+        t = TableLog(str(tmp_path / "t"))
+        t.append(ray.data.from_pandas(_df(0, 3)))
+        base = t.latest_version()
+        rival_path = os.path.join(
+            str(tmp_path / "t"), "_log", f"{base + 1:010d}.json"
+        )
+        rival_payload = {"version": base + 1, "op": "append",
+                         "add": ["rival-part"], "remove": [],
+                         "n_rows": 1, "columns": ["k"]}
+        with open(rival_path, "w") as f:
+            json.dump(rival_payload, f)
+        with pytest.raises(CommitConflict):
+            t._commit({"op": "append", "add": ["loser-part"],
+                       "remove": [], "n_rows": 9, "columns": ["k"]}, base)
+        with open(rival_path) as f:
+            assert json.load(f) == rival_payload  # winner intact
+        # loser's tmp file cleaned up
+        log_dir = os.path.join(str(tmp_path / "t"), "_log")
+        assert not [p for p in os.listdir(log_dir) if p.startswith(".tmp-")]
+
+    def test_vacuum_spares_recent_uncommitted_parts(
+        self, ray_session, tmp_path
+    ):
+        """Parts written by an in-flight append (data lands BEFORE the
+        commit) must survive a concurrent vacuum; only unreferenced
+        files older than the retention window are orphans (ADVICE r2)."""
+        t = TableLog(str(tmp_path / "t"))
+        t.append(ray.data.from_pandas(_df(0, 3)))
+        # writer B has staged its parts but not committed yet
+        files, n = t._write_parts(ray.data.from_pandas(_df(3, 6)))
+        assert t.vacuum() == 0                 # fresh → protected
+        for rel in files:
+            assert os.path.exists(os.path.join(str(tmp_path / "t"), rel))
+        # writer B lands; its data must be complete
+        t._commit({"op": "append", "add": files, "remove": [],
+                   "n_rows": n, "columns": ["k", "v"]}, t.latest_version())
+        assert t.read().count() == 6
+        # a genuinely abandoned write IS collected once past retention
+        t._write_parts(ray.data.from_pandas(_df(50, 52)))
+        assert t.vacuum(retention_s=0.0) >= 1
+        assert t.read().count() == 6           # live table intact
+
 
 def test_empty_append_is_valid_commit(ray_session, tmp_path):
     import pyarrow as pa
