@@ -1393,6 +1393,9 @@ def jw_link_pairs(
     )
 
 
+PAGERANK_BROADCAST_MAX_EDGES = 50_000_000
+
+
 def pagerank(
     edges: ray.data.Dataset,
     *,
@@ -1403,6 +1406,7 @@ def pagerank(
     directed: bool = False,
     n_parts: int | None = None,
     round_iters: int | None = None,
+    ranks_mode: str = "auto",
 ) -> ray.data.Dataset:
     """PageRank over an edge set — the canonical iterative-dataflow
     algorithm (rank mass flows along edges each round), e.g. for
@@ -1419,11 +1423,22 @@ def pagerank(
     no dangling-node correction — every node here has degree ≥ 1 by
     construction of an edge list.
 
-    Scale note: the rank vector itself rides the driver ↔ broadcast
-    path (node cardinality of the EDGE set — cluster-sized graphs, not
-    the whole corpus).  A full-web PageRank would keep ranks
-    distributed and join them to edges each round instead; the
-    per-iteration dataflow (contribute → grouped sum) is identical.
+    Three rank-vector routes, sized by where the ranks can live
+    (``ranks_mode``: "auto" | "driver" | "broadcast" | "distributed"):
+
+    * **driver** — edge list ≤ 8M rows and inter-iteration rounding on:
+      collapse to weighted pairs once, all mat-vecs on the driver.
+    * **broadcast** — node cardinality fits a broadcast (cluster-sized
+      graphs): rank vector rides driver ↔ ``ray.put`` each round, the
+      contribute/grouped-sum dataflow stays distributed.
+    * **distributed** — the full-web shape: ranks STAY a Dataset; each
+      round is one hash join (ranks ⋈ edges on src) plus one grouped
+      sum by dest — no corpus-scale state ever touches the driver.
+      "auto" takes this route above ``PAGERANK_BROADCAST_MAX_EDGES``
+      mirrored edges (the cheap no-extra-pass proxy for node count:
+      nodes ≤ 2·edges, and a graph too big to broadcast is too big on
+      either measure); parity with the broadcast form is pinned by test
+      on the same rounding contract.
 
     Output: (node:int64, rank:float64 rounded 6), sums to ~1.
     """
@@ -1449,6 +1464,17 @@ def pagerank(
         mirror, batch_format="pandas"
     ).materialize()
 
+    if ranks_mode == "distributed" or (
+        ranks_mode == "auto" and e.count() > PAGERANK_BROADCAST_MAX_EDGES
+    ):
+        return _pagerank_distributed(
+            e,
+            damping=damping,
+            n_iters=n_iters,
+            n_parts=n_parts,
+            round_iters=round_iters,
+        )
+
     # Fast path (the hits_bipartite collapse): when the edge list is
     # driver-bounded AND inter-iteration rounding is on (the snapping
     # that makes summation-tree changes value-invisible), collapse the
@@ -1462,7 +1488,11 @@ def pagerank(
     # (measured: part_pagerank 11.2 s -> 6.4 s warm at sf0.1/32 CPUs).
     # Larger graphs / round_iters=None keep the distributed loop.
     MAX_DRIVER_EDGES = 8_000_000
-    if round_iters is not None and e.count() <= MAX_DRIVER_EDGES:
+    if (
+        ranks_mode in ("auto", "driver")
+        and round_iters is not None
+        and e.count() <= MAX_DRIVER_EDGES
+    ):
         def pair_partial(df: pd.DataFrame) -> "object":
             g = df.groupby(["s", "d"], as_index=False).size()
             return arrow_out(g.rename(columns={"size": "w"}))
@@ -1626,6 +1656,98 @@ def pagerank(
     })
     out["rank"] = out["node"].map(rank).round(6)
     return ray.data.from_pandas(out)
+
+
+def _pagerank_distributed(
+    e: ray.data.Dataset,
+    *,
+    damping: float,
+    n_iters: int,
+    n_parts: int | None,
+    round_iters: int | None,
+) -> ray.data.Dataset:
+    """Distributed-ranks PageRank: the full-web formulation the
+    broadcast route's scale note promised.  ``e`` is the mirrored
+    (s:int64, d:int64) edge Dataset, already materialized.
+
+    Ranks are a DATASET (s, rank) end to end — nothing node- or
+    edge-cardinality ever lands on the driver (the only driver scalars
+    are node count n and the loop counter).  Per iteration:
+
+    1. ``hash_join(edges+deg, ranks, on=s)`` — ONE co-location
+       exchange; partitioning assumption: out-degree per source is
+       bounded enough that one source's edges fit a partition (salt
+       hot sources upstream if a super-node dominates).
+    2. per-batch partial contribution sums by dest, then ONE
+       ``grouped_sum(node)`` exchange → next rank Dataset
+       (materialized: it is re-consumed by the next join).
+
+    With ``round_iters`` set, the inter-iteration rounding snap makes
+    this value-identical to the broadcast/driver routes (summation
+    order drifts ~1 ulp per round, snapped away) — parity is pinned in
+    tests on all three routes.
+    """
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.relational import hash_join
+    from pdf_parser_ray.ops.shuffle import grouped_sum
+
+    part_kw = {"n_parts": n_parts} if n_parts else {}
+
+    def deg_partial(df: pd.DataFrame) -> "object":
+        g = df.groupby("s", as_index=False).size()
+        return arrow_out(g.rename(columns={"size": "deg"}))
+
+    deg = (
+        e.map_batches(deg_partial, batch_format="pandas")
+        .groupby("s")
+        .aggregate(Sum("deg", alias_name="deg"))
+        .materialize()  # node-cardinality; consumed by join init + count
+    )
+    n = deg.count()
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.float64())}))
+    teleport = (1.0 - damping) / n
+    init = 1.0 / n
+
+    annotated = hash_join(e, deg, on=("s",)).materialize()  # (s, d, deg)
+
+    def init_ranks(df: pd.DataFrame) -> "object":
+        return arrow_out(pd.DataFrame({
+            "s": df["s"].astype("int64"),
+            "rank": np.full(len(df), init, dtype=np.float64)}))
+
+    ranks = deg.map_batches(init_ranks, batch_format="pandas").materialize()
+
+    def contribute(df: pd.DataFrame) -> "object":
+        m = df["rank"].to_numpy(dtype=np.float64) / df["deg"].to_numpy(
+            dtype=np.float64
+        )
+        g = pd.DataFrame({"node": df["d"].astype("int64"), "m": m})
+        return arrow_out(g.groupby("node", as_index=False)["m"].sum())
+
+    def update(df: pd.DataFrame) -> "object":
+        r = teleport + damping * df["m"].to_numpy(dtype=np.float64)
+        if round_iters is not None:
+            r = np.round(r, round_iters)
+        return arrow_out(pd.DataFrame({
+            "s": df["node"].astype("int64"), "rank": r}))
+
+    for _ in range(n_iters):
+        joined = hash_join(annotated, ranks, on=("s",))
+        contribs = joined.map_batches(contribute, batch_format="pandas")
+        sums = grouped_sum(contribs, ["node"], ["m"], **part_kw)
+        ranks = sums.map_batches(update, batch_format="pandas").materialize()
+
+    def finalize(df: pd.DataFrame) -> "object":
+        return arrow_out(pd.DataFrame({
+            "node": df["s"].astype("int64"),
+            "rank": np.round(df["rank"].to_numpy(dtype=np.float64), 6)}))
+
+    return ranks.map_batches(finalize, batch_format="pandas").sort("node")
 
 
 def canonicalize_strings(

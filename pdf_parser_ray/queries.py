@@ -13445,3 +13445,29 @@ SQL["hll_distinct_users"] = SQL["hll_users_md5"]
 QUERIES["ivf_knn_fast"] = q_ivf_knn
 QUERIES["ivf_knn"] = q_ivf_knn_exact
 SQL["ivf_knn"] = SQL["ivf_knn_exact"]
+
+
+def q_part_pagerank_dist(sf_dir: str) -> ray.data.Dataset:
+    """q:part_pagerank through the DISTRIBUTED-ranks route (VERDICT r2
+    #5): ranks stay a Dataset — one hash join (ranks ⋈ edges on src) +
+    one grouped sum per iteration, no node-cardinality driver state —
+    value-identical to the broadcast/driver routes under the same
+    inter-iteration rounding snap, so the SAME unrolled DuckDB twin is
+    the oracle.  At corpus scale `ranks_mode="auto"` takes this route
+    above PAGERANK_BROADCAST_MAX_EDGES."""
+    from pdf_parser_ray.ops.dedup import cooccur_edges, pagerank
+
+    li = _read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    edges = cooccur_edges(
+        li, group_col="l_orderkey", item_col="l_partkey", min_count=2
+    )
+    return pagerank(
+        edges, n_iters=_PR_ITERS, damping=_PR_DAMPING,
+        round_iters=_PR_ROUND, ranks_mode="distributed",
+    )
+
+
+QUERIES["part_pagerank_dist"] = q_part_pagerank_dist
+SQL["part_pagerank_dist"] = SQL["part_pagerank"]

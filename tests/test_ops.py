@@ -2253,6 +2253,32 @@ class TestPagerank:
         got = pagerank(ray.data.from_pandas(edges), n_iters=5).to_pandas()
         assert abs(got["rank"].sum() - 1.0) < 1e-6
 
+    def test_three_routes_value_identical(self, ray_session):
+        """driver / broadcast / distributed rank routes must agree
+        value-exactly under the inter-iteration rounding contract —
+        the distributed route (ranks stay a Dataset, one hash join +
+        one grouped sum per round) is the full-web formulation the
+        broadcast route's scale note promised (VERDICT r2 #5)."""
+        import numpy as np
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import pagerank
+
+        rng = np.random.RandomState(7)
+        edges = pd.DataFrame(
+            {"a": rng.randint(0, 120, 900), "b": rng.randint(0, 120, 900)}
+        )
+        edges = edges[edges["a"] != edges["b"]]
+        ds = ray.data.from_pandas(edges)
+        outs = {
+            mode: pagerank(ds, n_iters=4, round_iters=8, ranks_mode=mode)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+            for mode in ("driver", "broadcast", "distributed")
+        }
+        pd.testing.assert_frame_equal(outs["driver"], outs["broadcast"])
+        pd.testing.assert_frame_equal(outs["driver"], outs["distributed"])
+        assert abs(outs["distributed"]["rank"].sum() - 1.0) < 1e-4
+
 
 class TestAssignSessions:
     def test_labels_consistent_with_sessionize(self, ray_session):
