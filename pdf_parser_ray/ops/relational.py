@@ -1206,23 +1206,11 @@ def skew_join(
         raise ValueError("skew_join handles single-key joins")
     key = on[0]
 
-    from pdf_parser_ray.ops.sketches import MisraGries
+    from pdf_parser_ray.ops.shuffle import detect_hot_keys
 
-    def mg_partial(df: pd.DataFrame):
-        mg = MisraGries(sample_capacity)
-        mg.add_counts(df[key].value_counts().to_dict())
-        items = mg.counts
-        return arrow_out(pd.DataFrame(
-            {"value": [list(items.keys())], "n": [list(items.values())]}
-        ))
-
-    parts = left.select_columns([key]).map_batches(
-        mg_partial, batch_format="pandas"
-    ).take_all()
-    merged = MisraGries(sample_capacity)
-    for p in parts:
-        merged.add_counts(dict(zip(p["value"], (int(x) for x in p["n"]))))
-    hot_keys = [v for v, n in merged.counts.items() if n >= hot_key_threshold]
+    hot_keys = detect_hot_keys(
+        left, key, threshold=hot_key_threshold, capacity=sample_capacity
+    )
 
     if not hot_keys:
         return hash_join(left, right, on, num_partitions=num_partitions)

@@ -30,6 +30,42 @@ import ray.data
 DEFAULT_PARTS = 512
 
 
+def detect_hot_keys(
+    ds: ray.data.Dataset,
+    key: str,
+    *,
+    threshold: int,
+    capacity: int = 4096,
+) -> list:
+    """Misra-Gries hot-key scan shared by skew_join and the salted
+    window ops: one extra pass over the PRUNED key column (no shuffle —
+    per-batch mergeable MG partials, tiny driver merge; ops/sketches).
+    Returns keys whose MG lower-bound count ≥ ``threshold`` (MG
+    undercounts by ≤ N/(capacity+1), so everything returned truly has
+    ≥ threshold rows; a key just over the line can be missed by at most
+    that slack — callers use this to pick an execution strategy, not
+    for exact counts).
+    """
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.sketches import MisraGries
+
+    def mg_partial(df: pd.DataFrame):
+        mg = MisraGries(capacity)
+        mg.add_counts(df[key].value_counts().to_dict())
+        items = mg.counts
+        return arrow_out(pd.DataFrame(
+            {"value": [list(items.keys())], "n": [list(items.values())]}
+        ))
+
+    parts = ds.select_columns([key]).map_batches(
+        mg_partial, batch_format="pandas"
+    ).take_all()
+    merged = MisraGries(capacity)
+    for p in parts:
+        merged.add_counts(dict(zip(p["value"], (int(x) for x in p["n"]))))
+    return [v for v, n in merged.counts.items() if n >= threshold]
+
+
 def grouped_map(
     ds: ray.data.Dataset,
     keys: list[str],

@@ -147,13 +147,37 @@ def top_events_per_type(ds: ray.data.Dataset, k: int = 3) -> ray.data.Dataset:
     return partials.groupby("event_type").map_groups(top, batch_format="pandas")
 
 
+SALT_GROUP_THRESHOLD = 2_000_000
+SALT_BUCKET_SECONDS = 7 * 86400
+
+
 def sessionize(
-    ds: ray.data.Dataset, gap_seconds: int = 1800, *, n_parts: int | None = None
+    ds: ray.data.Dataset,
+    gap_seconds: int = 1800,
+    *,
+    n_parts: int | None = None,
+    salt: str = "auto",
+    salt_threshold: int = SALT_GROUP_THRESHOLD,
+    salt_bucket_seconds: int = SALT_BUCKET_SECONDS,
 ) -> ray.data.Dataset:
     """Per-user session count with a fixed inactivity gap.
 
-    Shuffle key = user_id (uniform unless one user dominates; salt if
-    so).  Output: (user_id:int64, n_sessions:int64, n_events:int64).
+    Shuffle key = user_id — uniform unless one user dominates.  Hot
+    keys are handled AUTOMATICALLY (``salt="auto"``): a Misra-Gries
+    scan of the pruned key column (``ops.shuffle.detect_hot_keys``, the
+    skew_join detector) checks for any user above ``salt_threshold``
+    rows; if found, the whole input takes the time-salted two-phase
+    plan — phase 1 co-locates by (user, time bucket), so a power user's
+    rows spread over ``span / salt_bucket_seconds`` partitions and
+    per-partition memory stays bounded by the user's per-bucket rate;
+    phase 2 merges the one-row-per-(user, bucket) summaries (counting a
+    session as continuing across a bucket boundary when the gap between
+    adjacent buckets' edge events ≤ ``gap_seconds``), value-identical
+    to the single-pass plan (parity-tested with a planted power user).
+    ``salt="force"``/``"off"`` pin a route; "auto" costs one extra
+    key-column pass only, and the two-phase plan only when skew exists.
+
+    Output: (user_id:int64, n_sessions:int64, n_events:int64).
     """
 
     def per_partition(part: pd.DataFrame) -> pd.DataFrame:
@@ -173,12 +197,97 @@ def sessionize(
             {"user_id": "int64", "n_sessions": "int64", "n_events": "int64"}
         )
 
+    from pdf_parser_ray.ops.shuffle import detect_hot_keys, partitioned_map
+
+    part_kw = {"n_parts": n_parts} if n_parts else {}
+
+    if salt == "force" or (
+        salt == "auto"
+        and detect_hot_keys(ds, "user_id", threshold=salt_threshold)
+    ):
+        return _sessionize_salted(
+            ds, gap_seconds, salt_bucket_seconds, part_kw
+        )
+
+    return partitioned_map(ds, ["user_id"], per_partition, **part_kw)
+
+
+def _sessionize_salted(
+    ds: ray.data.Dataset,
+    gap_seconds: int,
+    bucket_seconds: int,
+    part_kw: dict,
+) -> ray.data.Dataset:
+    """Two-phase sessionize co-located by (user, time bucket): phase 1
+    summarizes each bucket locally (sessions counted as if the bucket
+    started fresh, plus its edge timestamps); phase 2 merges the
+    bounded per-(user, bucket) summary rows, subtracting one session
+    for every adjacent bucket pair whose boundary gap ≤ gap_seconds.
+    Buckets are CONTIGUOUS time ranges (floor(ts / width)), so the
+    boundary check is exact — a random salt would break gap chains.
+    """
+    from pdf_parser_ray.io_utils import arrow_out
     from pdf_parser_ray.ops.shuffle import partitioned_map
 
-    return partitioned_map(
-        ds, ["user_id"], per_partition,
-        **({"n_parts": n_parts} if n_parts else {}),
+    us = bucket_seconds * 1_000_000
+
+    def add_bucket(df: pd.DataFrame):
+        return arrow_out(
+            df.assign(__bucket=df["ts"].astype("int64") // us)
+        )
+
+    def local_summary(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["user_id", "__bucket", "ts", "event_id"])
+        new_sess = (
+            ~part["user_id"].eq(part["user_id"].shift())
+            | ~part["__bucket"].eq(part["__bucket"].shift())
+            | (part["ts"].diff().dt.total_seconds() > gap_seconds)
+        )
+        out = (
+            part.assign(__ns=new_sess)
+            .groupby(["user_id", "__bucket"], sort=False)
+            .agg(
+                n_sessions=("__ns", "sum"),
+                n_events=("__ns", "size"),
+                first_ts=("ts", "min"),
+                last_ts=("ts", "max"),
+            )
+            .reset_index()
+        )
+        return out.astype(
+            {"user_id": "int64", "__bucket": "int64",
+             "n_sessions": "int64", "n_events": "int64"}
+        )
+
+    def merge_buckets(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["user_id", "__bucket"])
+        same_user = part["user_id"].eq(part["user_id"].shift())
+        boundary_gap = (
+            part["first_ts"] - part["last_ts"].shift()
+        ).dt.total_seconds()
+        merged = same_user & (boundary_gap <= gap_seconds)
+        out = (
+            part.assign(__m=merged)
+            .groupby("user_id", sort=False)
+            .agg(
+                n_sessions=("n_sessions", "sum"),
+                __m=("__m", "sum"),
+                n_events=("n_events", "sum"),
+            )
+            .reset_index()
+        )
+        out["n_sessions"] = out["n_sessions"] - out["__m"]
+        return out[["user_id", "n_sessions", "n_events"]].astype(
+            {"user_id": "int64", "n_sessions": "int64", "n_events": "int64"}
+        )
+
+    summaries = partitioned_map(
+        ds.map_batches(add_bucket, batch_format="pandas"),
+        ["user_id", "__bucket"],
+        local_summary,
+        **part_kw,
     )
+    return partitioned_map(summaries, ["user_id"], merge_buckets, **part_kw)
 
 
 def running_window(
@@ -189,16 +298,28 @@ def running_window(
     val_col: str = "value",
     round_to: int = 2,
     n_parts: int | None = None,
+    salt: str = "auto",
+    salt_threshold: int = SALT_GROUP_THRESHOLD,
+    salt_bucket_seconds: int = SALT_BUCKET_SECONDS,
 ) -> ray.data.Dataset:
     """SQL window functions the co-grouped way: per-partition row_number
     and running sum, ordered by ``order_cols`` (which must be a total
     order within the partition — here (ts, event_id)).
 
     ONE groupby shuffle co-locates each partition; the in-group work is
-    a sort + cumsum.  Partition = one user's events — bounded; salt the
-    key for power users (same caveat as :func:`sessionize`).  The
-    running sum is rounded (cross-row float aggregate rule) so a SQL
-    engine's segment-tree accumulation order cannot flip the hash.
+    a sort + cumsum.  Hot keys take the distributed-prefix-sum plan
+    automatically (``salt="auto"``, same Misra-Gries detector as
+    :func:`sessionize`): phase 1 computes LOCAL rn/cumsum per
+    (user, time bucket) — a power user spreads over its buckets, so
+    per-partition memory is bounded by per-bucket rate — a bounded
+    per-(user, bucket) count/sum rollup yields per-bucket OFFSETS
+    (the classic prefix-sum recursion), joined back by (user, bucket)
+    and added.  The running sum is rounded (cross-row float aggregate
+    rule) so accumulation-order drift between plans or engines cannot
+    flip the hash; parity is pinned with a planted power user.
+    The first ``order_cols`` entry must be the bucketing timestamp
+    column when the salted plan can trigger (bucket id = floor(ts /
+    width) keeps (bucket, *order_cols) equal to the global order).
 
     Output: (event_id, part_col, rn:int64, cum_value:float64).
     """
@@ -220,12 +341,126 @@ def running_window(
             }
         )
 
-    from pdf_parser_ray.ops.shuffle import partitioned_map
+    from pdf_parser_ray.ops.shuffle import detect_hot_keys, partitioned_map
 
-    return partitioned_map(
-        ds, [part_col], per_partition,
-        **({"n_parts": n_parts} if n_parts else {}),
+    part_kw = {"n_parts": n_parts} if n_parts else {}
+
+    if salt == "force" or (
+        salt == "auto"
+        and detect_hot_keys(ds, part_col, threshold=salt_threshold)
+    ):
+        return _running_window_salted(
+            ds, part_col, order_cols, val_col, round_to,
+            salt_bucket_seconds, part_kw,
+        )
+
+    return partitioned_map(ds, [part_col], per_partition, **part_kw)
+
+
+def _running_window_salted(
+    ds: ray.data.Dataset,
+    part_col: str,
+    order_cols: tuple[str, ...],
+    val_col: str,
+    round_to: int,
+    bucket_seconds: int,
+    part_kw: dict,
+) -> ray.data.Dataset:
+    """Distributed prefix sum over (user, time bucket) shards.
+
+    Three bounded stages after the bucket tag: local window per
+    (user, bucket); per-bucket count/sum rollup (per-batch partials →
+    grouped sum, one row per (user, bucket)); per-user offset scan over
+    that rollup; then a hash join ships each shard its offsets.  Two
+    passes over the input (the local window and the rollup) — both
+    stream; nothing user-cardinality touches the driver.
+    """
+    import numpy as np
+
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.relational import hash_join
+    from pdf_parser_ray.ops.shuffle import grouped_sum, partitioned_map
+
+    ts_col = order_cols[0]
+    us = bucket_seconds * 1_000_000
+
+    def add_bucket(df: pd.DataFrame):
+        return arrow_out(
+            df.assign(__bucket=df[ts_col].astype("int64") // us)
+        )
+
+    tagged = ds.map_batches(add_bucket, batch_format="pandas")
+
+    def local_window(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values([part_col, "__bucket", *order_cols])
+        grp = g.groupby([part_col, "__bucket"], sort=False)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                part_col: g[part_col].to_numpy(),
+                "__bucket": g["__bucket"].to_numpy(dtype=np.int64),
+                "rn_local": (grp.cumcount() + 1).to_numpy(dtype=np.int64),
+                # UNROUNDED local sum: rounding happens once, after the
+                # offset add, same as the single-pass plan
+                "cum_local": grp[val_col].cumsum().to_numpy(dtype=np.float64),
+            }
+        )
+
+    local = partitioned_map(
+        tagged, [part_col, "__bucket"], local_window, **part_kw
     )
+
+    def totals_partial(df: pd.DataFrame):
+        g = df.groupby([part_col, "__bucket"], as_index=False).agg(
+            cnt=("event_id", "size"), vsum=(val_col, "sum")
+        )
+        return arrow_out(g.astype({"cnt": "int64", "vsum": "float64"}))
+
+    totals = grouped_sum(
+        tagged.map_batches(totals_partial, batch_format="pandas"),
+        [part_col, "__bucket"],
+        ["cnt", "vsum"],
+        **part_kw,
+    )
+
+    def offsets_fn(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values([part_col, "__bucket"])
+        grp = part.groupby(part_col, sort=False)
+        return pd.DataFrame(
+            {
+                part_col: part[part_col].to_numpy(),
+                "__bucket": part["__bucket"].to_numpy(dtype=np.int64),
+                "off_cnt": (
+                    grp["cnt"].cumsum() - part["cnt"]
+                ).to_numpy(dtype=np.int64),
+                "off_sum": (
+                    grp["vsum"].cumsum() - part["vsum"]
+                ).to_numpy(dtype=np.float64),
+            }
+        )
+
+    offsets = partitioned_map(totals, [part_col], offsets_fn, **part_kw)
+
+    joined = hash_join(local, offsets, on=(part_col, "__bucket"))
+
+    def finalize(df: pd.DataFrame):
+        return arrow_out(pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                part_col: df[part_col].astype("int64"),
+                "rn": (
+                    df["rn_local"].to_numpy(dtype=np.int64)
+                    + df["off_cnt"].to_numpy(dtype=np.int64)
+                ),
+                "cum_value": np.round(
+                    df["cum_local"].to_numpy(dtype=np.float64)
+                    + df["off_sum"].to_numpy(dtype=np.float64),
+                    round_to,
+                ),
+            }
+        ))
+
+    return joined.map_batches(finalize, batch_format="pandas")
 
 
 def event_type_pivot(

@@ -495,6 +495,79 @@ class TestWindows:
         assert out.loc[7, "n_sessions"] == 2 and out.loc[7, "n_events"] == 3
         assert out.loc[8, "n_sessions"] == 1
 
+    def _power_user_events(self):
+        """One planted power user (80% of all rows, spanning weeks) plus
+        a normal population — the skew shape that turns a single-key
+        co-location partition into the stage straggler."""
+        rng = np.random.RandomState(13)
+        n_hot, n_cold = 4000, 1000
+        base = pd.Timestamp("2025-01-01").value // 1000  # us
+        hot_ts = base + np.sort(rng.randint(0, 45 * 86400, n_hot)) * 1_000_000
+        cold_ts = base + rng.randint(0, 45 * 86400, n_cold) * 1_000_000
+        return pd.DataFrame(
+            {
+                "event_id": np.arange(n_hot + n_cold, dtype=np.int64),
+                "user_id": np.concatenate(
+                    [np.full(n_hot, 999, dtype=np.int64),
+                     rng.randint(0, 50, n_cold)]
+                ),
+                "ts": pd.to_datetime(
+                    np.concatenate([hot_ts, cold_ts]), unit="us"
+                ),
+                "value": np.round(rng.uniform(0, 100, n_hot + n_cold), 2),
+            }
+        )
+
+    def test_sessionize_salted_parity(self, ray_session):
+        """The auto-salting path (time-bucketed two-phase) must be
+        value-identical to the single-pass plan on a planted power
+        user, with per-partition rows bounded by the bucket width
+        (VERDICT r2 #8)."""
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import sessionize
+
+        df = self._power_user_events()
+        ds = ray.data.from_pandas(df)
+        plain = (
+            sessionize(ds, gap_seconds=1800, salt="off")
+            .to_pandas().sort_values("user_id").reset_index(drop=True)
+        )
+        salted = (
+            sessionize(
+                ds, gap_seconds=1800, salt="auto", salt_threshold=1000,
+                salt_bucket_seconds=86400,
+            )
+            .to_pandas().sort_values("user_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(plain, salted)
+        # the detector must actually have fired (hot user > threshold)
+        from pdf_parser_ray.ops.shuffle import detect_hot_keys
+
+        assert detect_hot_keys(ds, "user_id", threshold=1000) == [999]
+
+    def test_running_window_salted_parity(self, ray_session):
+        """Distributed-prefix-sum route == single-pass route on the
+        planted power user (VERDICT r2 #8)."""
+        import ray.data
+
+        from pdf_parser_ray.ops.windows import running_window
+
+        df = self._power_user_events()
+        ds = ray.data.from_pandas(df)
+        key = ["user_id", "rn"]
+        plain = (
+            running_window(ds, salt="off")
+            .to_pandas().sort_values(key).reset_index(drop=True)
+        )
+        salted = (
+            running_window(
+                ds, salt="force", salt_bucket_seconds=86400,
+            )
+            .to_pandas().sort_values(key).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(plain, salted)
+
 
 class TestSimhashNearPairs:
     def test_planted_near_pair(self, ray_session):
