@@ -2159,7 +2159,10 @@ def clustering_coefficient(
     from pdf_parser_ray.io_utils import arrow_out
     from pdf_parser_ray.ops.shuffle import grouped_sum, partitioned_map
 
-    eds = edges.select_columns([a_col, b_col])
+    # materialize: consumed three times (driver broadcast copy, wedge
+    # co-location, degree partials) — lazy, the upstream edge build
+    # (cooccur_edges' two-shuffle pair pipeline) would execute thrice
+    eds = edges.select_columns([a_col, b_col]).materialize()
     edf = eds.to_pandas()  # bounded: thresholded graph (triangle_count note)
     if len(edf) == 0:
         return ray.data.from_pandas(
@@ -2195,7 +2198,8 @@ def clustering_coefficient(
         if not probes:
             return arrow_out(pd.DataFrame(
                 {"node": pd.Series([], dtype="int64"),
-                 "n_tri": pd.Series([], dtype="int64")}
+                 "n_tri": pd.Series([], dtype="int64"),
+                 "degree": pd.Series([], dtype="int64")}
             ))
         probe = np.concatenate(probes)
         pos = np.minimum(np.searchsorted(ed, probe), len(ed) - 1)
@@ -2206,16 +2210,9 @@ def clustering_coefficient(
         )
         nodes, counts = np.unique(corners, return_counts=True)
         return arrow_out(pd.DataFrame(
-            {"node": nodes, "n_tri": counts.astype("int64")}
+            {"node": nodes, "n_tri": counts.astype("int64"),
+             "degree": np.zeros(len(nodes), dtype="int64")}
         ))
-
-    tri = grouped_sum(
-        partitioned_map(
-            eds, [a_col], tri_partition,
-            **({"n_parts": n_parts} if n_parts else {}),
-        ),
-        ["node"], ["n_tri"],
-    )
 
     def deg_partial(part: pd.DataFrame):
         both = np.concatenate(
@@ -2224,17 +2221,21 @@ def clustering_coefficient(
         )
         nodes, counts = np.unique(both, return_counts=True)
         return arrow_out(pd.DataFrame(
-            {"node": nodes, "degree": counts.astype("int64")}
+            {"node": nodes,
+             "n_tri": np.zeros(len(nodes), dtype="int64"),
+             "degree": counts.astype("int64")}
         ))
 
-    deg = grouped_sum(
-        eds.map_batches(deg_partial, batch_format="pandas"),
-        ["node"], ["degree"],
-    )
-
-    from pdf_parser_ray.ops.relational import colo_join
-
-    joined = colo_join(deg, tri, ("node",), ["degree"], ["n_tri"])
+    # triangle partials (co-located wedge pass) and degree partials
+    # (plain map) share one schema and ONE grouped sum — this fuses the
+    # former three exchanges (tri sum, deg sum, node co-location join)
+    # into a single node-keyed sum over exact int partials (r2 PLANS.md
+    # outlier: 7 shuffles → 5)
+    partials = partitioned_map(
+        eds, [a_col], tri_partition,
+        **({"n_parts": n_parts} if n_parts else {}),
+    ).union(eds.map_batches(deg_partial, batch_format="pandas"))
+    joined = grouped_sum(partials, ["node"], ["n_tri", "degree"])
 
     def coef(df: pd.DataFrame):
         df = df[df["degree"] >= 2].copy()
