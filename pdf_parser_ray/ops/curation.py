@@ -1199,9 +1199,11 @@ def k_anonymity_audit(
 
     Both statistics key on ONE packed quasi-identifier string (unit
     separator), so dtypes survive the union: row counts per combo via
-    per-batch partials, distinct (combo, sensitive) pairs via the
-    distinct-pair combiner — shuffle volume is O(combos) + O(distinct
-    pairs), never O(rows).  The final merge is combo-cardinality.
+    per-batch partials, distinct (combo, hash64(sensitive)) pairs via
+    the distinct-pair combiner — the sensitive PAYLOAD never shuffles
+    (see pack), so volume is O(combos) + O(distinct pairs) of 8-byte
+    hashes, never O(rows × payload).  The final merge is
+    combo-cardinality.
 
     Output: (quasi_cols… as strings, n_rows:int64, l_diversity:int64,
     k_anonymous:bool) with ``k_anonymous = n_rows >= k``.
@@ -1218,9 +1220,16 @@ def k_anonymity_audit(
         key = df[quasi_cols[0]].astype(str)
         for c in quasi_cols[1:]:
             key = key + sep + df[c].astype(str)
-        return arrow_out(
-            pd.DataFrame({"__qid": key, sensitive_col: df[sensitive_col]})
-        )
+        # hash the sensitive value to 64 bits BEFORE the distinct-pair
+        # shuffle: l-diversity only needs the distinct COUNT, and the
+        # raw column (document text) would make the pair shuffle
+        # corpus-sized.  Within-group birthday collision odds at even
+        # 10^6 distinct values/group are ~3e-8 — an undercount of 1,
+        # never a privacy-optimistic direction at the k/l scales audited.
+        sv = pd.util.hash_array(
+            df[sensitive_col].to_numpy(dtype=object)
+        ).astype("uint64").view("int64")
+        return arrow_out(pd.DataFrame({"__qid": key, "__sv": sv}))
 
     packed = ds.select_columns(quasi_cols + [sensitive_col]).map_batches(
         pack, batch_format="pandas"
@@ -1256,7 +1265,7 @@ def k_anonymity_audit(
     )
 
     ldiv = grouped_distinct_exact(
-        packed, "__qid", sensitive_col,
+        packed, "__qid", "__sv",
         **({"n_parts": n_parts} if n_parts else {}),
     ).map_batches(
         lambda df: arrow_out(
