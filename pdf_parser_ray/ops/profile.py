@@ -126,7 +126,13 @@ def profile_table(ds: ray.data.Dataset) -> pd.DataFrame:
             # dropna BEFORE tokenizing: repr(nan) and NaT.astype(int64)
             # would otherwise smuggle null markers in as distinct values.
             v = _distinct_token(df[name].dropna()).drop_duplicates()
-            parts.append(pd.DataFrame({"col_name": name, "v": v}))
+            # only the distinct COUNT survives — hash tokens to 64 bits
+            # so wide values (document text) never ride the pair shuffle
+            # (same rationale as k_anonymity_audit's sensitive hash)
+            hv = pd.util.hash_array(
+                v.to_numpy(dtype=object)
+            ).astype("uint64").view("int64")
+            parts.append(pd.DataFrame({"col_name": name, "v": hv}))
         return arrow_out(pd.concat(parts, ignore_index=True))
 
     distincts = grouped_distinct_exact(
