@@ -1165,6 +1165,286 @@ def duplicate_windows(
     return out
 
 
+_ESS_B = np.uint64(1000003)  # shared with rolling_fingerprint's oracle powers
+
+
+def _char_window_hashes(text: str, w: int) -> "np.ndarray":
+    """All stride-1 Rabin-Karp hashes of ``w``-byte windows (uint64
+    wraparound, base 1000003) — the per-position generalization of
+    text_stats.rolling_fingerprint_batch's kernel, SAME hash values, so
+    the existing precomputed-powers DuckDB twin re-derives every window
+    (valid for ASCII corpora where code points == UTF-8 bytes).
+    Returns an empty array when len(text) < w.
+    """
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    n = len(data)
+    if n < w:
+        return np.empty(0, dtype=np.uint64)
+    B = _ESS_B
+    inv = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for _ in range(6):
+            inv = inv * (np.uint64(2) - B * inv)
+        inv_pows = np.empty(n, dtype=np.uint64)
+        inv_pows[0] = 1
+        if n > 1:
+            np.cumprod(np.full(n - 1, inv, dtype=np.uint64), out=inv_pows[1:])
+        pows = np.empty(n, dtype=np.uint64)
+        pows[0] = 1
+        if n > 1:
+            np.cumprod(np.full(n - 1, B, dtype=np.uint64), out=pows[1:])
+        S = np.cumsum(data * inv_pows, dtype=np.uint64)
+        ends = np.arange(w - 1, n)
+        starts = ends - w + 1
+        diffs = S[ends] - np.where(starts > 0, S[starts - 1], np.uint64(0))
+        return diffs * pows[w - 1] * pows[starts]
+
+
+def _collect_dup_hashes(counts: ray.data.Dataset, min_count: int) -> "np.ndarray":
+    """Sorted uint64 array of window hashes with total count ≥ min_count
+    (empty-safe: Ray drops columns from an empty filtered dataset)."""
+    pdf = counts.filter(expr=f"cnt >= {min_count}").to_pandas()
+    if "wh" not in pdf.columns or not len(pdf):
+        return np.empty(0, dtype=np.uint64)
+    return np.sort(pdf["wh"].to_numpy(dtype=np.int64).view(np.uint64))
+
+
+def _merge_positions(pos: "np.ndarray", w: int) -> "list[tuple[int, int]]":
+    """Merge sorted duplicate window START positions into maximal
+    [start, end) character spans (windows are width ``w``; touching or
+    overlapping windows chain — the gaps-and-islands rule, identical to
+    the SQL twin's ``s > lag(s) + w`` break test)."""
+    if len(pos) == 0:
+        return []
+    breaks = np.flatnonzero(pos[1:] > pos[:-1] + w) + 1
+    starts = np.concatenate([[0], breaks])
+    ends = np.concatenate([breaks, [len(pos)]])
+    return [(int(pos[s]), int(pos[e - 1]) + w) for s, e in zip(starts, ends)]
+
+
+def duplicate_spans(
+    ds: ray.data.Dataset,
+    *,
+    window: int = 32,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "broadcast",
+    n_parts: int | None = None,
+) -> ray.data.Dataset:
+    """ExactSubstr duplicated-span REPORT (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    removal-grade signal :func:`duplicate_windows` only counts): every
+    maximal character span covered by ``window``-char substrings that
+    occur ≥ ``min_count`` times in the corpus (in-document repeats
+    included, as in the paper's self-repetition handling).
+
+    Guarantee: any duplicated substring of length ≥ ``window`` is
+    covered exactly (stride-1 windows need no alignment assumption —
+    the suffix-array-free formulation); hash collisions (64-bit
+    Rabin-Karp) can only ADD a span, odds ~positions²/2⁶⁴, documented
+    in lieu of the paper's exact suffix array.
+
+    Routes:
+    * ``"broadcast"`` — per-batch partial hash counts → ONE grouped
+      count shuffle of 16-byte partials → the ≥min_count hash set
+      broadcast once → pass 2 recomputes positions ROW-LOCALLY and
+      merges spans (zero further shuffle).  Right whenever the distinct
+      duplicated-window set is broadcast-sized (boilerplate-heavy
+      corpora: dup windows ≪ positions).
+    * ``"join"`` — unbounded dup sets: positions (wh, doc, s) co-locate
+      by hash (every row of a hash in one partition → the partition-
+      local count IS the global count), survivors co-locate by doc for
+      the span merge.  TWO shuffles, payload O(positions × 24 B) — the
+      honest linear cost of exact substring dedup, analogous to the
+      paper's suffix-array sort.
+
+    Output: (doc_id:int64, start:int64, end:int64) — [start, end) char
+    offsets, value-identical across routes (parity-tested) and to the
+    DuckDB islands twin.
+    """
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import grouped_sum, partitioned_map
+
+    part_kw = {"n_parts": n_parts} if n_parts else {}
+
+    def span_frame(ids, starts, ends) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "start": pd.Series(starts, dtype="int64"),
+            "end": pd.Series(ends, dtype="int64"),
+        })
+
+    if mode == "broadcast":
+        def count_partial(df: pd.DataFrame):
+            hs = [
+                _char_window_hashes(t, window)
+                for t in df[text_col].fillna("")
+            ]
+            allh = (
+                np.concatenate(hs) if hs else np.empty(0, dtype=np.uint64)
+            )
+            vals, cnts = np.unique(allh, return_counts=True)
+            return arrow_out(pd.DataFrame(
+                {"wh": vals.view(np.int64), "cnt": cnts.astype("int64")}
+            ))
+
+        counts = grouped_sum(
+            ds.select_columns([text_col]).map_batches(
+                count_partial, batch_format="pandas"
+            ),
+            ["wh"], ["cnt"], **part_kw,
+        )
+        # driver-held ONLY in this route (bounded by distinct duplicated
+        # windows); the join route below has no driver state
+        dup_ref = ray.put(_collect_dup_hashes(counts, min_count))
+
+        def spans_local(df: pd.DataFrame) -> pd.DataFrame:
+            from pdf_parser_ray.stages import worker_state
+
+            d = worker_state(("dup_spans", dup_ref.hex()),
+                             lambda: ray.get(dup_ref))
+            ids, ss, es = [], [], []
+            if len(d) == 0:
+                return span_frame(ids, ss, es)
+            for doc, t in zip(df[id_col], df[text_col].fillna("")):
+                h = _char_window_hashes(t, window)
+                if len(h) == 0:
+                    continue
+                pos_idx = np.searchsorted(d, h)
+                hit = (pos_idx < len(d)) & (d[np.minimum(pos_idx, len(d) - 1)] == h)
+                pos = np.flatnonzero(hit)
+                for s, e in _merge_positions(pos, window):
+                    ids.append(doc); ss.append(s); es.append(e)
+            return span_frame(ids, ss, es)
+
+        return ds.select_columns([id_col, text_col]).map_batches(
+            spans_local, batch_format="pandas"
+        )
+
+    # ------------------------------------------------------ join route
+    def emit_positions(df: pd.DataFrame):
+        whs, ids, ss = [], [], []
+        for doc, t in zip(df[id_col], df[text_col].fillna("")):
+            h = _char_window_hashes(t, window)
+            if len(h) == 0:
+                continue
+            whs.append(h.view(np.int64))
+            ids.append(np.full(len(h), doc, dtype=np.int64))
+            ss.append(np.arange(len(h), dtype=np.int64))
+        if not whs:
+            return arrow_out(pd.DataFrame({
+                "wh": pd.Series([], dtype="int64"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "s": pd.Series([], dtype="int64")}))
+        return arrow_out(pd.DataFrame({
+            "wh": np.concatenate(whs),
+            "doc_id": np.concatenate(ids),
+            "s": np.concatenate(ss)}))
+
+    positions = ds.select_columns([id_col, text_col]).map_batches(
+        emit_positions, batch_format="pandas"
+    )
+
+    def keep_dup(part: pd.DataFrame) -> pd.DataFrame:
+        # every row of a hash is in this partition → local size == global
+        c = part.groupby("wh")["wh"].transform("size")
+        out = part[c >= min_count]
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].astype("int64"),
+            "s": out["s"].astype("int64")})
+
+    survivors = partitioned_map(positions, ["wh"], keep_dup, **part_kw)
+
+    def merge_doc(part: pd.DataFrame) -> pd.DataFrame:
+        ids, ss, es = [], [], []
+        for doc, g in part.groupby("doc_id", sort=False):
+            pos = np.sort(g["s"].to_numpy(dtype=np.int64))
+            for s, e in _merge_positions(pos, window):
+                ids.append(doc); ss.append(s); es.append(e)
+        return span_frame(ids, ss, es)
+
+    return partitioned_map(survivors, ["doc_id"], merge_doc, **part_kw)
+
+
+def scrub_duplicate_spans(
+    ds: ray.data.Dataset,
+    *,
+    window: int = 32,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_parts: int | None = None,
+) -> ray.data.Dataset:
+    """ExactSubstr removal: delete every duplicated span found by
+    :func:`duplicate_spans` (broadcast route) from the text — the
+    cleaned-corpus half of Lee et al. 2021.  Row-local pass 2 keeps the
+    doc intact in one place, so surgery is a single vectorized slice
+    concatenation.  Output: (doc_id, clean_text, n_removed_spans:int64,
+    n_removed_chars:int64), every doc present (unscathed docs pass
+    through whole).
+    """
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import grouped_sum
+
+    part_kw = {"n_parts": n_parts} if n_parts else {}
+
+    def count_partial(df: pd.DataFrame):
+        hs = [
+            _char_window_hashes(t, window) for t in df[text_col].fillna("")
+        ]
+        allh = np.concatenate(hs) if hs else np.empty(0, dtype=np.uint64)
+        vals, cnts = np.unique(allh, return_counts=True)
+        return arrow_out(pd.DataFrame(
+            {"wh": vals.view(np.int64), "cnt": cnts.astype("int64")}
+        ))
+
+    counts = grouped_sum(
+        ds.select_columns([text_col]).map_batches(
+            count_partial, batch_format="pandas"
+        ),
+        ["wh"], ["cnt"], **part_kw,
+    )
+    dup_ref = ray.put(_collect_dup_hashes(counts, min_count))
+
+    def scrub(df: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.stages import worker_state
+
+        d = worker_state(("dup_spans", dup_ref.hex()),
+                         lambda: ray.get(dup_ref))
+        ids, texts, nsp, nch = [], [], [], []
+        for doc, t in zip(df[id_col], df[text_col].fillna("")):
+            h = _char_window_hashes(t, window)
+            spans: list = []
+            if len(h) and len(d):
+                idx = np.searchsorted(d, h)
+                hit = (idx < len(d)) & (d[np.minimum(idx, len(d) - 1)] == h)
+                spans = _merge_positions(np.flatnonzero(hit), window)
+            if spans:
+                pieces, cur = [], 0
+                for s, e in spans:
+                    pieces.append(t[cur:s])
+                    cur = e
+                pieces.append(t[cur:])
+                clean = "".join(pieces)
+            else:
+                clean = t
+            ids.append(doc)
+            texts.append(clean)
+            nsp.append(len(spans))
+            nch.append(len(t) - len(clean))
+        return pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "clean_text": pd.Series(texts, dtype="object"),
+            "n_removed_spans": pd.Series(nsp, dtype="int64"),
+            "n_removed_chars": pd.Series(nch, dtype="int64"),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        scrub, batch_format="pandas"
+    )
+
+
 def _levenshtein(a: str, b: str) -> int:
     """Plain edit distance (insert/delete/substitute, unit costs) — the
     same function DuckDB's ``levenshtein`` computes, so bucket verify

@@ -13471,3 +13471,120 @@ def q_part_pagerank_dist(sf_dir: str) -> ray.data.Dataset:
 
 QUERIES["part_pagerank_dist"] = q_part_pagerank_dist
 SQL["part_pagerank_dist"] = SQL["part_pagerank"]
+
+
+# ----------------------- ExactSubstr duplicated-span report + removal
+
+_ESS_W = 32  # window chars; powers list below must cover B^0..B^{W-1}
+_ESS_POWERS = "[" + ",".join(
+    str(pow(_RFP_B, k, 1 << 64)) for k in range(_ESS_W)
+) + "]"
+
+
+def q_dup_spans(sf_dir: str) -> ray.data.Dataset:
+    """ExactSubstr duplicated-span report (Lee et al. 2021): maximal
+    character spans covered by 32-char windows occurring ≥2 times in
+    the corpus — value-oracled end to end (the DuckDB twin re-derives
+    every stride-1 Rabin-Karp window hash from the shared
+    precomputed-powers table, the HAVING count gate, and the identical
+    gaps-and-islands merge)."""
+    from pdf_parser_ray.ops.dedup import duplicate_spans
+
+    return duplicate_spans(
+        _documents(sf_dir, columns=["doc_id", "text"]), window=_ESS_W
+    )
+
+
+def q_dup_spans_join(sf_dir: str) -> ray.data.Dataset:
+    """q:dup_spans through the unbounded-dup-set JOIN route (positions
+    co-located by hash, partition-local count == global count, doc
+    co-location for the merge — no driver state); same twin."""
+    from pdf_parser_ray.ops.dedup import duplicate_spans
+
+    return duplicate_spans(
+        _documents(sf_dir, columns=["doc_id", "text"]),
+        window=_ESS_W, mode="join",
+    )
+
+
+def q_scrub_substrings(sf_dir: str) -> ray.data.Dataset:
+    """ExactSubstr removal: the cleaned corpus with every duplicated
+    span deleted + removal stats, oracled via per-doc substring surgery
+    in SQL (gap pieces string_agg'd in offset order)."""
+    from pdf_parser_ray.ops.dedup import scrub_duplicate_spans
+
+    return scrub_duplicate_spans(
+        _documents(sf_dir, columns=["doc_id", "text"]), window=_ESS_W
+    )
+
+
+QUERIES["dup_spans"] = q_dup_spans
+QUERIES["dup_spans_join"] = q_dup_spans_join
+QUERIES["scrub_substrings"] = q_scrub_substrings
+
+_ESS_BASE_SQL = f"""
+    c AS (
+      SELECT doc_id, text, length(text) AS n,
+             list_transform(range(1, length(text) + 1), i -> ord(text[i])) AS cps
+      FROM documents
+    ),
+    h AS (
+      SELECT c.doc_id, t.s,
+             (list_sum(list_transform(range(0, {_ESS_W}),
+                j -> cps[t.s + j + 1] * ({_ESS_POWERS})[{_ESS_W} - j]))
+              % 18446744073709551616)::UBIGINT AS wh
+      FROM c, unnest(range(0, n - {_ESS_W} + 1)) AS t(s)
+    ),
+    dup AS (SELECT wh FROM h GROUP BY wh HAVING count(*) >= 2),
+    p AS (SELECT h.doc_id, h.s FROM h JOIN dup USING (wh)),
+    i AS (
+      SELECT doc_id, s,
+             CASE WHEN lag(s) OVER w IS NULL
+                    OR s > lag(s) OVER w + {_ESS_W} THEN 1 ELSE 0 END AS brk
+      FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY s)
+    ),
+    g AS (
+      SELECT doc_id, s,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS isl
+      FROM i
+    ),
+    spans AS (
+      SELECT doc_id, min(s) AS st, max(s) + {_ESS_W} AS en
+      FROM g GROUP BY doc_id, isl
+    )"""
+
+SQL["dup_spans"] = f"""
+    WITH {_ESS_BASE_SQL}
+    SELECT doc_id::BIGINT AS doc_id, st::BIGINT AS start, en::BIGINT AS "end"
+    FROM spans
+"""
+SQL["dup_spans_join"] = SQL["dup_spans"]
+
+SQL["scrub_substrings"] = f"""
+    WITH {_ESS_BASE_SQL},
+    pieces AS (
+      SELECT s.doc_id,
+             substr(c.text, coalesce(lag(s.en) OVER w, 0) + 1,
+                    s.st - coalesce(lag(s.en) OVER w, 0)) AS piece,
+             s.st AS ord
+      FROM spans s JOIN c USING (doc_id)
+      WINDOW w AS (PARTITION BY s.doc_id ORDER BY s.st)
+      UNION ALL
+      SELECT s.doc_id, substr(any_value(c.text), max(s.en) + 1) AS piece,
+             2147483647 AS ord
+      FROM spans s JOIN c USING (doc_id) GROUP BY s.doc_id
+    ),
+    clean AS (
+      SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS clean_text
+      FROM pieces GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT doc_id, count(*) AS nsp, sum(en - st) AS nch
+      FROM spans GROUP BY doc_id
+    )
+    SELECT c.doc_id::BIGINT AS doc_id,
+           coalesce(cl.clean_text, c.text) AS clean_text,
+           coalesce(st.nsp, 0)::BIGINT AS n_removed_spans,
+           coalesce(st.nch, 0)::BIGINT AS n_removed_chars
+    FROM c LEFT JOIN clean cl USING (doc_id) LEFT JOIN stats st USING (doc_id)
+"""

@@ -1935,6 +1935,104 @@ class TestDuplicateWindows:
         assert int(row["n_occ"].iloc[0]) == 3  # 2 in doc1 + 1 in doc2
 
 
+class TestDuplicateSpans:
+    """ExactSubstr span report + removal (Lee et al. 2021 shape)."""
+
+    def _corpus(self):
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        alpha = "abcdefghijklmnopqrstuvwxyz "
+        rand = lambda n: "".join(rng.choice(list(alpha), n))
+        shared = "THE EXACT SAME SIXTY CHARACTER BOILERPLATE PASSAGE REPEATS.."
+        assert len(shared) == 60
+        docs = [
+            rand(80) + shared + rand(50),           # doc 0: shared at 80
+            shared + rand(120),                     # doc 1: shared at 0
+            rand(200),                              # doc 2: unique
+            rand(30) + shared + rand(10) + shared,  # doc 3: in-doc repeat too
+        ]
+        return pd.DataFrame({"doc_id": range(4), "text": docs}), shared
+
+    def test_spans_cover_planted_passage_exactly(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import duplicate_spans
+
+        df, shared = self._corpus()
+        out = (
+            duplicate_spans(ray.data.from_pandas(df), window=32)
+            .to_pandas().sort_values(["doc_id", "start"]).reset_index(drop=True)
+        )
+        by_doc = {d: list(zip(g["start"], g["end"]))
+                  for d, g in out.groupby("doc_id")}
+        # every duplicated 32-window lies inside the shared passage, and
+        # stride-1 coverage recovers it exactly: span == its occurrence
+        assert by_doc[0] == [(80, 140)]
+        assert by_doc[1] == [(0, 60)]
+        assert 2 not in by_doc                       # unique doc untouched
+        # doc 3: occurrences at 30 and 100, gap 10 < window → they chain
+        # into one span only if 100 <= (30+60-32)+32 = 90? no: 100 > 90,
+        # so two separate maximal spans
+        assert by_doc[3] == [(30, 90), (100, 160)]
+
+    def test_join_route_matches_broadcast(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import duplicate_spans
+
+        df, _ = self._corpus()
+        ds = ray.data.from_pandas(df)
+        key = ["doc_id", "start", "end"]
+        bc = duplicate_spans(ds, window=32).to_pandas().sort_values(
+            key).reset_index(drop=True)
+        jn = duplicate_spans(ds, window=32, mode="join").to_pandas(
+        ).sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(bc, jn)
+
+    def test_scrub_removes_passage_and_reports_stats(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import scrub_duplicate_spans
+
+        df, shared = self._corpus()
+        out = (
+            scrub_duplicate_spans(ray.data.from_pandas(df), window=32)
+            .to_pandas().set_index("doc_id")
+        )
+        for d in (0, 1, 3):
+            assert shared not in out.loc[d, "clean_text"]
+        assert out.loc[2, "clean_text"] == df["text"][2]  # untouched
+        assert out.loc[2, "n_removed_spans"] == 0
+        assert out.loc[0, "n_removed_chars"] == 60
+        assert out.loc[3, "n_removed_spans"] == 2
+        # surgery is consistent: removed chars == length delta
+        for d in range(4):
+            assert (
+                len(df["text"][d]) - len(out.loc[d, "clean_text"])
+                == out.loc[d, "n_removed_chars"]
+            )
+
+    def test_no_duplicates_is_a_clean_passthrough(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import (
+            duplicate_spans,
+            scrub_duplicate_spans,
+        )
+
+        df = pd.DataFrame({
+            "doc_id": [1, 2],
+            "text": ["totally unique first document text here",
+                     "and a second one that shares nothing long"],
+        })
+        ds = ray.data.from_pandas(df)
+        assert duplicate_spans(ds, window=32).to_pandas().empty
+        out = scrub_duplicate_spans(ds, window=32).to_pandas()
+        assert list(out["clean_text"]) == list(df["text"])
+        assert (out["n_removed_chars"] == 0).all()
+
+
 class TestPmiRoutesAndGates:
     def test_pmi_join_route_matches_broadcast(self, ray_session):
         import ray.data
