@@ -231,6 +231,13 @@ BENCH_QUERIES = [
     "good_turing",
     "waterfill_sources",
     "anderson_darling",
+    # round-3 additions (part_pagerank_dist excluded: the full-web
+    # route pays ~34 s of per-iteration join fixed costs at bench sf —
+    # by design it only routes above 50M edges; part_pagerank covers
+    # the sized route)
+    "dup_spans",
+    "scrub_substrings",
+    "c4_clean",
 ]
 
 

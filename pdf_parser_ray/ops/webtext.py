@@ -2160,3 +2160,68 @@ def texttile_boundaries(
             "n_sims": pd.Series(out_nsims, dtype="int64"),
         }
     )
+
+
+# ----------------------------- C4 line-level cleaning (Raffel et al.)
+
+def c4_line_filter_batch(
+    df: pd.DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    min_kept_lines: int = 3,
+) -> pd.DataFrame:
+    """The C4 line rules (Raffel et al. 2020, "Exploring the Limits of
+    Transfer Learning", §2.2) as one row-local vectorized stage — the
+    line-granular companion of the doc-level quality/Gopher gates:
+
+    * keep only lines ending in terminal punctuation (``. ! ? "``,
+      after right-strip);
+    * keep only lines with ≥ ``min_words`` whitespace words;
+    * drop lines containing "javascript" (case-insensitive);
+    * drop the whole page when it contains ``{`` or the phrase
+      "lorem ipsum" (case-insensitive), or keeps < ``min_kept_lines``
+      lines.
+
+    Zero shuffle: split → vectorized masks → grouped join, all C-speed
+    pandas str kernels.  Output one row per input doc:
+    (doc_id, clean_text — kept lines joined with \\n, '' when the page
+    is dropped; n_kept_lines, n_dropped_lines:int64; keep_doc:bool).
+    """
+    ids = df[id_col].to_numpy()
+    text = df[text_col].fillna("")
+    page_bad = text.str.contains("{", regex=False) | text.str.contains(
+        "lorem ipsum", case=False, regex=False
+    )
+
+    lines = text.str.split("\n")
+    ex = pd.DataFrame(
+        {"__i": np.repeat(np.arange(len(df)), lines.str.len()),
+         "line": lines.explode().to_numpy()}
+    )
+    stripped = ex["line"].str.rstrip()
+    keep_line = (
+        stripped.str.endswith((".", "!", "?", '"'))
+        & (ex["line"].str.split().str.len() >= min_words)
+        & ~ex["line"].str.contains("javascript", case=False, regex=False)
+    )
+    kept_per_doc = (
+        ex.loc[keep_line].groupby("__i")["line"].agg("\n".join)
+        .reindex(range(len(df)), fill_value="")
+    )
+    n_kept = (
+        ex.loc[keep_line].groupby("__i")["line"].size()
+        .reindex(range(len(df)), fill_value=0).astype("int64")
+    )
+    n_total = lines.str.len().to_numpy()
+    keep_doc = (~page_bad.to_numpy()) & (n_kept.to_numpy() >= min_kept_lines)
+    return pd.DataFrame(
+        {
+            id_col: pd.Series(ids, dtype="int64"),
+            "clean_text": np.where(keep_doc, kept_per_doc.to_numpy(), ""),
+            "n_kept_lines": n_kept.to_numpy(),
+            "n_dropped_lines": (n_total - n_kept.to_numpy()).astype("int64"),
+            "keep_doc": pd.Series(keep_doc, dtype=bool),
+        }
+    )

@@ -13588,3 +13588,46 @@ SQL["scrub_substrings"] = f"""
            coalesce(st.nch, 0)::BIGINT AS n_removed_chars
     FROM c LEFT JOIN clean cl USING (doc_id) LEFT JOIN stats st USING (doc_id)
 """
+
+
+def q_c4_clean(sf_dir: str) -> ray.data.Dataset:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2): terminal-
+    punctuation + ≥5-word + no-javascript line rules, page dropped on
+    '{' / 'lorem ipsum' / <3 kept lines — row-local, zero shuffle; the
+    twin re-derives every rule with DuckDB list lambdas."""
+    from pdf_parser_ray.ops.webtext import c4_line_filter_batch
+
+    return _documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        c4_line_filter_batch, batch_format="pandas"
+    )
+
+
+QUERIES["c4_clean"] = q_c4_clean
+
+SQL["c4_clean"] = """
+    WITH l AS (
+      SELECT doc_id, text,
+             (contains(text, '{') OR contains(lower(text), 'lorem ipsum'))
+               AS page_bad,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, page_bad, len(lines) AS n_total,
+             list_filter(lines, x ->
+               (ends_with(rtrim(x, ' ' || chr(9) || chr(13)), '.')
+                OR ends_with(rtrim(x, ' ' || chr(9) || chr(13)), '!')
+                OR ends_with(rtrim(x, ' ' || chr(9) || chr(13)), '?')
+                OR ends_with(rtrim(x, ' ' || chr(9) || chr(13)), '"'))
+               AND len(regexp_extract_all(x, '\\S+')) >= 5
+               AND NOT contains(lower(x), 'javascript')) AS kept
+      FROM l
+    )
+    SELECT doc_id::BIGINT AS doc_id,
+           CASE WHEN NOT page_bad AND len(kept) >= 3
+                THEN array_to_string(kept, chr(10)) ELSE '' END AS clean_text,
+           len(kept)::BIGINT AS n_kept_lines,
+           (n_total - len(kept))::BIGINT AS n_dropped_lines,
+           (NOT page_bad AND len(kept) >= 3) AS keep_doc
+    FROM f
+"""

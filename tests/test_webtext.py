@@ -1305,3 +1305,39 @@ class TestTextTiling:
         out = self._run([""])
         assert len(out) == 1
         assert out["end_token"].iloc[0] == 0
+
+
+class TestC4LineFilter:
+    def test_each_rule(self, ray_session):
+        import numpy as np
+
+        from pdf_parser_ray.ops.webtext import c4_line_filter_batch
+
+        good = "this line has five words."
+        docs = {
+            # 3 good lines -> kept intact
+            0: "\n".join([good, "another proper sentence right here!",
+                          'a third quoted keeper line."']),
+            # line rules: no terminal punct / too few words / javascript
+            1: "\n".join([good, "no terminal punctuation here",
+                          "too short.", "enable JavaScript to view this.",
+                          "yet another fine long sentence?",
+                          "and one more to clear the bar."]),
+            # page rules: curly brace kills the page
+            2: "\n".join([good, good, good]) + "\nfunction() { return; }",
+            # page rules: lorem ipsum kills the page
+            3: "\n".join([good, good, "Lorem Ipsum dolor sit amet."]),
+            # under min_kept_lines
+            4: "\n".join([good, "only two keeper lines exist here."]),
+        }
+        df = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+        out = c4_line_filter_batch(df).set_index("doc_id")
+        assert out.loc[0, "keep_doc"] and out.loc[0, "n_kept_lines"] == 3
+        assert out.loc[0, "clean_text"] == docs[0]
+        assert out.loc[1, "keep_doc"] and out.loc[1, "n_kept_lines"] == 3
+        assert "javascript" not in out.loc[1, "clean_text"].lower()
+        assert "no terminal" not in out.loc[1, "clean_text"]
+        for d in (2, 3, 4):
+            assert not out.loc[d, "keep_doc"]
+            assert out.loc[d, "clean_text"] == ""
+        assert out["n_dropped_lines"].to_numpy().tolist() == [0, 3, 1, 0, 0]
