@@ -4438,3 +4438,39 @@ class TestSeasonalDecomposeDaily:
         df = pd.DataFrame({"ts": days, "v": [1.0] * 5})
         out = seasonal_decompose_daily(ray.data.from_pandas(df), "ts", "v")
         assert len(out) == 0
+
+
+class TestCharWindowHashes:
+    def test_matches_serial_polynomial(self):
+        """The vectorized wraparound kernel must equal the direct
+        polynomial sum_j b[s+j] * B^(w-1-j) mod 2^64 — the definition
+        the DuckDB twins spell out with precomputed powers."""
+        import numpy as np
+
+        from pdf_parser_ray.ops.dedup import _char_window_hashes
+
+        rng = np.random.RandomState(17)
+        B, M = 1000003, 1 << 64
+        for n, w in [(0, 8), (5, 8), (8, 8), (9, 8), (64, 32), (200, 32)]:
+            s = "".join(chr(rng.randint(32, 127)) for _ in range(n))
+            got = _char_window_hashes(s, w)
+            data = s.encode("utf-8")
+            if n < w:
+                assert len(got) == 0
+                continue
+            exp = [
+                sum(data[st + j] * pow(B, w - 1 - j, M) for j in range(w)) % M
+                for st in range(n - w + 1)
+            ]
+            assert [int(x) for x in got] == exp, (n, w)
+
+    def test_merge_positions_islands(self):
+        from pdf_parser_ray.ops.dedup import _merge_positions
+        import numpy as np
+
+        w = 10
+        # touching (gap == w) chains; gap > w breaks
+        pos = np.array([0, 5, 15, 40, 50, 61])
+        assert _merge_positions(pos, w) == [(0, 25), (40, 60), (61, 71)]
+        assert _merge_positions(np.array([], dtype=int), w) == []
+        assert _merge_positions(np.array([3]), w) == [(3, 13)]
