@@ -596,8 +596,12 @@ def _rows_estimate_no_exec(ds: ray.data.Dataset):
     logical DAG to the Read ops and sum parquet-footer row counts
     (row-preserving transforms keep the estimate exact; filters make it
     an upper bound, which only ever biases the route toward "lsh" — the
-    safe direction).  Same no-exec discipline as
-    relational._size_estimate_no_exec.
+    safe direction).  Any op that can INCREASE row count (FlatMap, an
+    arbitrary MapBatches, Zip, aggregates…) makes the footer sum an
+    UNDERestimate — which could route a too-big dataset into the O(n²)
+    exact path — so the walk returns None (unknown → safe route) unless
+    every op on the path is in the row-preserving/reducing allowlist.
+    Same no-exec discipline as relational._size_estimate_no_exec.
     """
     try:
         if ds._plan.has_computed_output():
@@ -610,11 +614,26 @@ def _rows_estimate_no_exec(ds: ray.data.Dataset):
             return int(n)
     except Exception:
         pass
+    # Logical ops that can NEVER yield more rows than their inputs.
+    # (Union is row-additive across inputs, which the walk sums; Read /
+    # InputData are the leaves the counts come from.)
+    _NON_EXPANDING = {
+        "Read", "InputData", "Filter", "Project", "MapRows", "Limit",
+        "Union", "Sort", "RandomShuffle", "RandomizeBlocks",
+        "Repartition", "StreamingRepartition", "MaterializedDataset",
+    }
     try:
         total, seen = 0, False
         stack = [ds._plan._logical_plan.dag]
         while stack:
             op = stack.pop()
+            kind = type(op).__name__
+            is_leaf = (
+                getattr(op, "_datasource", None) is not None
+                or getattr(op, "input_data", None)
+            )
+            if not is_leaf and kind not in _NON_EXPANDING:
+                return None  # potentially row-expanding → unknown
             dsrc = getattr(op, "_datasource", None)
             if dsrc is not None:
                 metas = getattr(dsrc, "_metadata", None) or []
@@ -1169,14 +1188,18 @@ _ESS_B = np.uint64(1000003)  # shared with rolling_fingerprint's oracle powers
 
 
 def _char_window_hashes(text: str, w: int) -> "np.ndarray":
-    """All stride-1 Rabin-Karp hashes of ``w``-byte windows (uint64
-    wraparound, base 1000003) — the per-position generalization of
-    text_stats.rolling_fingerprint_batch's kernel, SAME hash values, so
-    the existing precomputed-powers DuckDB twin re-derives every window
-    (valid for ASCII corpora where code points == UTF-8 bytes).
+    """All stride-1 Rabin-Karp hashes of ``w``-CODE-POINT windows
+    (uint64 wraparound, base 1000003) — the per-position generalization
+    of text_stats.rolling_fingerprint_batch's kernel.  Hashes CODE
+    POINTS (utf-32 elements), not UTF-8 bytes, so array index i is the
+    true character offset of window i — duplicate_spans reports and
+    scrub_duplicate_spans slices Python strings with these positions,
+    and the DuckDB twin re-derives the identical values from
+    ``ord(text[i])`` for ANY Unicode input (for ASCII, code point ==
+    byte, so hash values match the byte-domain fingerprint kernel too).
     Returns an empty array when len(text) < w.
     """
-    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    data = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
     n = len(data)
     if n < w:
         return np.empty(0, dtype=np.uint64)
@@ -2016,9 +2039,26 @@ def _pagerank_distributed(
         return arrow_out(pd.DataFrame({
             "s": df["node"].astype("int64"), "rank": r}))
 
+    # Zero-contribution row per node: a DIRECTED source-only node
+    # receives no mass, so rebuilding ranks from the dest-keyed sums
+    # alone would drop it (and its outgoing mass) after round 1 —
+    # diverging from the driver/broadcast routes, which keep every
+    # source node at teleport rank.  Unioning (node, 0.0) for all of
+    # ``deg`` keeps the node universe = distinct sources, identical to
+    # the other routes; adding 0.0 to a real sum is IEEE-exact, so
+    # undirected parity is bit-unchanged.
+    def zero_contrib(df: pd.DataFrame) -> "object":
+        return arrow_out(pd.DataFrame({
+            "node": df["s"].astype("int64"),
+            "m": np.zeros(len(df), dtype=np.float64)}))
+
+    zeros = deg.map_batches(zero_contrib, batch_format="pandas")
+
     for _ in range(n_iters):
         joined = hash_join(annotated, ranks, on=("s",))
-        contribs = joined.map_batches(contribute, batch_format="pandas")
+        contribs = joined.map_batches(
+            contribute, batch_format="pandas"
+        ).union(zeros)
         sums = grouped_sum(contribs, ["node"], ["m"], **part_kw)
         ranks = sums.map_batches(update, batch_format="pandas").materialize()
 

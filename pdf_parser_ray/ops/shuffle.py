@@ -40,12 +40,23 @@ def detect_hot_keys(
     """Misra-Gries hot-key scan shared by skew_join and the salted
     window ops: one extra pass over the PRUNED key column (no shuffle —
     per-batch mergeable MG partials, tiny driver merge; ops/sketches).
-    Returns keys whose MG lower-bound count ≥ ``threshold`` (MG
-    undercounts by ≤ N/(capacity+1), so everything returned truly has
-    ≥ threshold rows; a key just over the line can be missed by at most
-    that slack — callers use this to pick an execution strategy, not
-    for exact counts).
+
+    Returns CANDIDATE hot keys: every key whose true count ≥
+    ``threshold`` is guaranteed present (miss-proof), plus possibly
+    keys below it when the sketch shed mass.  The gate is
+    ``est + shed ≥ threshold`` where ``shed`` is the sketch's EXACT
+    total decremented mass (true_count ≤ est + shed) — with no
+    capacity overflow shed is 0 and the gate is exact.  The advisor-r3
+    failure mode (N large enough that a genuinely hot key's MG
+    estimate dips below an absolute threshold and the caller silently
+    skips salting — precisely at the scale salting exists for) is
+    structurally gone: over-inclusion merely salts ≤ capacity extra
+    keys, a bounded cost in the safe direction, and a warning is
+    emitted when the slack exceeds the threshold (gate degraded to
+    "every sketched key").
     """
+    import warnings
+
     from pdf_parser_ray.io_utils import arrow_out
     from pdf_parser_ray.ops.sketches import MisraGries
 
@@ -54,7 +65,8 @@ def detect_hot_keys(
         mg.add_counts(df[key].value_counts().to_dict())
         items = mg.counts
         return arrow_out(pd.DataFrame(
-            {"value": [list(items.keys())], "n": [list(items.values())]}
+            {"value": [list(items.keys())], "n": [list(items.values())],
+             "shed": [int(mg.shed)]}
         ))
 
     parts = ds.select_columns([key]).map_batches(
@@ -63,7 +75,17 @@ def detect_hot_keys(
     merged = MisraGries(capacity)
     for p in parts:
         merged.add_counts(dict(zip(p["value"], (int(x) for x in p["n"]))))
-    return [v for v, n in merged.counts.items() if n >= threshold]
+        merged.shed += int(p["shed"])
+    if merged.shed >= threshold:
+        warnings.warn(
+            f"detect_hot_keys: MG shed mass {merged.shed} >= threshold "
+            f"{threshold} — every sketched key is a hot-key candidate; "
+            f"raise capacity (={capacity}) for a sharper gate",
+            RuntimeWarning,
+        )
+    return [
+        v for v, n in merged.counts.items() if n + merged.shed >= threshold
+    ]
 
 
 def grouped_map(

@@ -127,13 +127,21 @@ class MisraGries:
     merge point), NO decrement ever happens and counts are EXACT —
     which is what makes the driver's SQL oracle applicable on the
     synthetic tables.
+
+    ``shed`` tracks the EXACT total mass subtracted by shrinks (summed
+    across merges): for any value v, true_count(v) lies in
+    [counts.get(v, 0), counts.get(v, 0) + shed].  It is the tight
+    per-instance undercount bound (always ≤ the worst-case N/(k+1)),
+    letting callers decide whether a key COULD exceed a threshold —
+    detect_hot_keys' miss-proof candidate gate rides on it.
     """
 
-    __slots__ = ("k", "counts")
+    __slots__ = ("k", "counts", "shed")
 
-    def __init__(self, k: int, counts: dict | None = None):
+    def __init__(self, k: int, counts: dict | None = None, shed: int = 0):
         self.k = k
         self.counts: dict = counts or {}
+        self.shed = int(shed)
 
     def add_counts(self, value_counts: dict) -> None:
         c = self.counts
@@ -142,7 +150,7 @@ class MisraGries:
         self._shrink()
 
     def merge(self, other: "MisraGries") -> "MisraGries":
-        out = MisraGries(self.k, dict(self.counts))
+        out = MisraGries(self.k, dict(self.counts), self.shed + other.shed)
         out.add_counts(other.counts)
         return out
 
@@ -150,6 +158,7 @@ class MisraGries:
         if len(self.counts) <= self.k:
             return
         threshold = sorted(self.counts.values(), reverse=True)[self.k]
+        self.shed += int(threshold)
         self.counts = {
             v: n - threshold for v, n in self.counts.items() if n > threshold
         }

@@ -244,10 +244,18 @@ def run_spec(spec: dict | str) -> dict:
                 f"{len(stale)} parquet file(s); write_parquet does not "
                 "truncate — point the sink at an empty directory"
             )
-        # count the written dataset itself, not the sink directory
-        ds = ds.materialize()
+        # STREAMING write (advisor r3: a materialize() here pinned the
+        # whole output in the object store before the first file hit
+        # disk); the row count comes from the freshly written parquet
+        # FOOTERS — metadata-only, and exact because the empty-dir
+        # refusal above guarantees every file present is ours
         ds.write_parquet(sink["path"])
-        return {"rows": ds.count(), "out": sink["path"]}
+        import pyarrow.parquet as pq
+
+        written = glob.glob(os.path.join(sink["path"], "**", "*.parquet"),
+                            recursive=True)
+        rows = sum(pq.ParquetFile(f).metadata.num_rows for f in written)
+        return {"rows": rows, "out": sink["path"]}
     if kind == "count":
         return {"rows": ds.count(), "out": None}
     raise ValueError(

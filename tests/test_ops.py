@@ -546,6 +546,54 @@ class TestWindows:
 
         assert detect_hot_keys(ds, "user_id", threshold=1000) == [999]
 
+    def test_misra_gries_shed_bounds_undercount(self):
+        """MG.shed is the exact total decremented mass: for every value
+        true_count ∈ [est, est + shed] — across merges too."""
+        from pdf_parser_ray.ops.sketches import MisraGries
+
+        rng = np.random.RandomState(5)
+        true = {}
+        sketches = []
+        for _ in range(20):
+            mg = MisraGries(8)
+            vals = list(rng.randint(0, 300, 120)) + ["hot"] * 3
+            vc = pd.Series(vals).value_counts().to_dict()
+            for v, n in vc.items():
+                true[v] = true.get(v, 0) + n
+            mg.add_counts(vc)
+            sketches.append(mg)
+        merged = sketches[0]
+        for s in sketches[1:]:
+            merged = merged.merge(s)
+        assert merged.shed > 0  # capacity genuinely overflowed
+        for v, n in true.items():
+            est = merged.counts.get(v, 0)
+            assert est <= n <= est + merged.shed, (v, est, n, merged.shed)
+
+    def test_detect_hot_keys_is_miss_proof_under_shed(self, ray_session):
+        """Advisor r3: once N exceeds ~threshold×capacity, a genuinely
+        hot key's MG estimate can dip below an absolute threshold and
+        the unsalted plan silently wins — at exactly the scale salting
+        exists for.  The candidate gate (est + shed ≥ threshold) must
+        keep the hot key in the answer even with a starved capacity."""
+        import ray.data
+
+        from pdf_parser_ray.ops.shuffle import detect_hot_keys
+
+        rng = np.random.RandomState(9)
+        # 25 blocks; in each, the hot key appears 3× among ~120 mostly-
+        # distinct cold keys → per-block MG (capacity 8) sheds mass off
+        # the hot counter every block.  true(hot)=75 ≥ threshold 60,
+        # but the merged estimate lands well under 60.
+        frames = []
+        for b in range(25):
+            cold = rng.randint(1000, 1_000_000, 120)
+            keys = np.concatenate([cold, np.full(3, 7, dtype=np.int64)])
+            frames.append(pd.DataFrame({"user_id": keys}))
+        ds = ray.data.from_pandas(frames)
+        hot = detect_hot_keys(ds, "user_id", threshold=60, capacity=8)
+        assert 7 in hot  # would be silently missed by the est-only gate
+
     def test_running_window_salted_parity(self, ray_session):
         """Distributed-prefix-sum route == single-pass route on the
         planted power user (VERDICT r2 #8)."""
@@ -662,6 +710,34 @@ class TestEmbeddingDupRoutes:
         exact = embedding_dup_pairs(ds, threshold=0.95, mode="exact").to_pandas()
         assert len(auto) == len(exact)
 
+    def test_rows_estimate_unknown_for_row_expanding_ops(
+        self, ray_session, tmp_path
+    ):
+        """Advisor r3: a row-expanding op (flat_map / arbitrary
+        map_batches) upstream makes the parquet-footer sum an
+        UNDERestimate, which could route an oversized dataset into the
+        O(n²) exact path — the walk must return None (unknown → safe
+        'lsh' route) instead.  Filters/projections stay estimable."""
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import _rows_estimate_no_exec
+
+        path = str(tmp_path / "est.parquet")
+        pd.DataFrame({"x": range(100)}).to_parquet(path)
+        ds = ray.data.read_parquet(path)
+        assert _rows_estimate_no_exec(ds) == 100
+        # row-preserving/reducing ops keep the (upper-bound) estimate
+        assert _rows_estimate_no_exec(ds.select_columns(["x"])) == 100
+        assert _rows_estimate_no_exec(ds.filter(expr="x < 10")) == 100
+        assert _rows_estimate_no_exec(ds.limit(7)) == 7  # exact via meta
+        # row-EXPANDING ops → unknown
+        assert _rows_estimate_no_exec(
+            ds.flat_map(lambda r: [r, r])
+        ) is None
+        assert _rows_estimate_no_exec(
+            ds.map_batches(lambda b: b)
+        ) is None
+
     def test_auto_route_does_not_execute_plan(
         self, near_dup_vectors, ray_session, tmp_path
     ):
@@ -669,7 +745,10 @@ class TestEmbeddingDupRoutes:
         upstream plan (regression: a ds.count() probe ran the pipeline
         once just to choose, then the chosen route ran it again).  An
         upstream stage counts its invocations via marker files; auto
-        must cost exactly as many stage calls as the explicit route."""
+        must cost exactly as many stage calls as the explicit route.
+        The upstream map_batches makes the row count UNKNOWN (advisor
+        r3: it could expand rows), so bare auto takes the safe lsh
+        route; auto with an explicit n_rows hint takes exact."""
         import os
         import uuid
 
@@ -690,9 +769,15 @@ class TestEmbeddingDupRoutes:
             embedding_dup_pairs(ds, threshold=0.95, **kwargs).to_pandas()
             return len(os.listdir(marker_dir))
 
-        calls_exact = run(str(tmp_path / "exact"), mode="exact")
+        calls_lsh = run(str(tmp_path / "lsh"), mode="lsh")
         calls_auto = run(str(tmp_path / "auto"), mode="auto")
-        assert calls_auto == calls_exact
+        assert calls_auto == calls_lsh
+        calls_exact = run(str(tmp_path / "exact"), mode="exact")
+        calls_auto_known = run(
+            str(tmp_path / "auto_known"), mode="auto",
+            n_rows=len(near_dup_vectors),
+        )
+        assert calls_auto_known == calls_exact
 
     def test_exact_route_chunks(self, near_dup_vectors, ray_session):
         """Chunked staging (chunk_rows < N) must not change results."""
@@ -2013,6 +2098,81 @@ class TestDuplicateSpans:
                 == out.loc[d, "n_removed_chars"]
             )
 
+    def test_multibyte_offsets_are_char_true(self, ray_session):
+        """Non-ASCII regression (advisor r3): window hashes run over
+        CODE POINTS, so reported offsets slice the Python str correctly
+        even when multibyte characters precede (or sit inside) the
+        duplicated passage, and both routes agree."""
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import (
+            duplicate_spans,
+            scrub_duplicate_spans,
+        )
+
+        shared = "duplicated—passage with émojis 🎉 and ünïcode padding!!"
+        assert len(shared) >= 40
+        # boundary chars around the passage differ per doc, so the
+        # maximal duplicated substring is exactly `shared`
+        docs = [
+            "préfix with åccents ·A" + shared + "B sûffix",
+            "日本語のテキストが先頭にあるC" + shared + "D",
+            "all-ascii unique filler text that repeats nothing at all……",
+        ]
+        df = pd.DataFrame({"doc_id": range(3), "text": docs})
+        ds = ray.data.from_pandas(df)
+        out = duplicate_spans(ds, window=32).to_pandas()
+        assert len(out) == 2
+        for _, r in out.iterrows():
+            t = docs[int(r["doc_id"])]
+            # char-true: slicing the str at the reported offsets
+            # recovers a span that contains the planted passage
+            assert shared in t[int(r["start"]):int(r["end"])]
+        exp0 = docs[0].index(shared)
+        got0 = out[out["doc_id"] == 0].iloc[0]
+        assert int(got0["start"]) == exp0
+        assert int(got0["end"]) == exp0 + len(shared)
+        jn = duplicate_spans(ds, window=32, mode="join").to_pandas()
+        key = ["doc_id", "start", "end"]
+        pd.testing.assert_frame_equal(
+            out.sort_values(key).reset_index(drop=True),
+            jn.sort_values(key).reset_index(drop=True),
+        )
+        sc = scrub_duplicate_spans(ds, window=32).to_pandas().set_index(
+            "doc_id")
+        for d in (0, 1):
+            assert shared not in sc.loc[d, "clean_text"]
+            assert sc.loc[d, "n_removed_chars"] == len(shared)
+        assert sc.loc[2, "clean_text"] == docs[2]
+
+    def test_multibyte_matches_duckdb_ord_twin(self, ray_session):
+        """The code-point kernel reproduces the DuckDB ord()-based twin
+        byte for byte on non-ASCII input (the r3 advisor divergence)."""
+        import duckdb
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import duplicate_spans
+        from pdf_parser_ray.queries import SQL
+
+        shared = "duplicated—passage with émojis 🎉 and ünïcode padding!!"
+        docs = [
+            "préfix with åccents ·A" + shared + "B sûffix",
+            "日本語のテキストが先頭にあるC" + shared + "D",
+        ]
+        documents = pd.DataFrame({"doc_id": range(2), "text": docs})
+        con = duckdb.connect()
+        con.register("documents", documents)
+        # NOTE: DuckDB indexes text[i] by code point and ord() yields the
+        # code point — the exact domain the kernel now hashes.
+        oracle = con.execute(SQL["dup_spans"]).df().sort_values(
+            ["doc_id", "start"]).reset_index(drop=True)
+        got = duplicate_spans(
+            ray.data.from_pandas(documents), window=32
+        ).to_pandas().sort_values(["doc_id", "start"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype("int64"), oracle.astype("int64")
+        )
+
     def test_no_duplicates_is_a_clean_passthrough(self, ray_session):
         import ray.data
 
@@ -2449,6 +2609,38 @@ class TestPagerank:
         pd.testing.assert_frame_equal(outs["driver"], outs["broadcast"])
         pd.testing.assert_frame_equal(outs["driver"], outs["distributed"])
         assert abs(outs["distributed"]["rank"].sum() - 1.0) < 1e-4
+
+    def test_directed_routes_keep_source_only_nodes(self, ray_session):
+        """Directed-graph parity (advisor r3): a node with out-edges but
+        ZERO in-edges must keep teleport rank in the distributed route
+        (it previously vanished from the rank Dataset after round 1,
+        taking its outgoing mass with it)."""
+        import numpy as np
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import pagerank
+
+        # node 0 is source-only (out-edges, no in-edges); node 5 too.
+        edges = pd.DataFrame({
+            "a": [0, 0, 1, 2, 3, 4, 5, 5],
+            "b": [1, 2, 2, 3, 4, 1, 3, 4],
+        })
+        ds = ray.data.from_pandas(edges)
+        outs = {
+            mode: pagerank(ds, n_iters=4, round_iters=8, directed=True,
+                           ranks_mode=mode)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+            for mode in ("broadcast", "distributed")
+        }
+        # source-only nodes present in BOTH routes, at teleport rank
+        for mode, out in outs.items():
+            assert set(out["node"]) >= {0, 5}, mode
+        n = len(outs["broadcast"])
+        teleport = round((1 - 0.85) / n, 6)
+        dist = outs["distributed"].set_index("node")["rank"]
+        assert dist.loc[0] == teleport
+        assert dist.loc[5] == teleport
+        pd.testing.assert_frame_equal(outs["broadcast"], outs["distributed"])
 
 
 class TestAssignSessions:
