@@ -326,21 +326,49 @@ def _orphan_count_with_keys(
     return int(n["sum(n)"]), int(n["sum(orphans)"])
 
 
+RI_BROADCAST_MAX_KEYS = 5_000_000  # ~40 MB of int64 keys per parent
+
+
 def ri_audit(
-    relations: list[tuple[str, ray.data.Dataset, str, ray.data.Dataset, str]]
+    relations: list[tuple[str, ray.data.Dataset, str, ray.data.Dataset, str]],
+    *,
+    mode: str = "auto",
+    broadcast_max_keys: int = RI_BROADCAST_MAX_KEYS,
+    n_parts: int | None = None,
 ) -> pd.DataFrame:
     """Referential-integrity audit over (name, child, fk, parent, pk)
     relations.  Output: (relation:str, n_rows:int64, n_orphans:int64),
-    one row per relation, sorted by relation name.
+    one row per relation, sorted by relation name.  NULL foreign keys
+    count as orphans on both routes.
 
-    Executes exactly TWO Dataset runs regardless of relation count: all
-    parent key passes union into one (deduped per batch, tagged by a
-    parent index), then all child probes union into one — on this box
-    each Dataset execution costs ~0.4-0.7 s of fixed overhead, so the
-    naive per-relation loop paid ~11 executions for six relations.  A
-    parent Dataset object reused across relations (same object, same
-    key column) is scanned once."""
-    from pdf_parser_ray.io_utils import arrow_out
+    Two routes, chosen PER RELATION (``mode="auto"`` | "broadcast" |
+    "join"):
+
+    * **broadcast** — dimension-sized parents: every distinct parent
+      key lands on the driver once, is ``ray.put`` once, and each child
+      batch does a vectorized searchsorted membership probe.  Exactly
+      TWO Dataset runs for all broadcast relations together (all parent
+      key passes union into one tagged execution, all child probes into
+      a second — each execution costs ~0.4-0.7 s fixed, so the naive
+      per-relation loop paid ~11 for six relations); a parent Dataset
+      object reused across relations (same object, same key column) is
+      scanned once.
+    * **join** — FACT-sized parents (VERDICT r3 #1: ``lineitem →
+      orders`` pulls every distinct orderkey to the driver — billions
+      at 100× scale): child fk counts and parent distinct keys
+      co-partition by key hash; inside each partition the parent
+      membership check is a vectorized merge, and only ONE
+      (n, orphans) partial row per relation per partition ever reaches
+      the driver.  Nothing key-cardinality is ever collected or
+      broadcast.  Parent scans are deduped across relations here too.
+
+    ``auto`` routes a relation by the parent's no-exec row estimate
+    (parquet-footer sum — an upper bound on distinct keys; unknown →
+    join, the safe direction) against ``broadcast_max_keys``.
+    Route parity is pinned by test; the sf-fixture oracle covers the
+    broadcast route the driver samples.
+    """
+    from pdf_parser_ray.io_utils import arrow_out, unreserve
 
     if not relations:
         return pd.DataFrame(
@@ -348,69 +376,210 @@ def ri_audit(
              "n_rows": pd.Series([], dtype="int64"),
              "n_orphans": pd.Series([], dtype="int64")}
         )
+    if mode not in ("auto", "broadcast", "join"):
+        raise ValueError(f"mode must be auto|broadcast|join, got {mode!r}")
 
-    # -- pass 1: every distinct (parent, pk) in one union'd execution
-    parent_ix: dict[tuple[int, str], int] = {}
-    parent_specs: list[tuple[ray.data.Dataset, str]] = []
-    for _, _, _, parent, pk in relations:
+    # -- per-relation route decision (no plan execution: footer sums)
+    from pdf_parser_ray.ops.dedup import _rows_estimate_no_exec
+
+    est_cache: dict[tuple[int, str], int | None] = {}
+
+    def parent_route(parent: ray.data.Dataset, pk: str) -> str:
+        if mode != "auto":
+            return mode
         ck = (id(parent), pk)
-        if ck not in parent_ix:
-            parent_ix[ck] = len(parent_specs)
-            parent_specs.append((parent, pk))
+        if ck not in est_cache:
+            est_cache[ck] = _rows_estimate_no_exec(parent)
+        e = est_cache[ck]
+        return "broadcast" if (e is not None and e <= broadcast_max_keys) else "join"
 
-    def key_pass(idx: int, parent: ray.data.Dataset, pk: str):
-        def batch_distinct(df: pd.DataFrame) -> pa.Table:
-            k = pd.Series(df[pk].dropna().unique()).astype("int64")
-            return arrow_out(pd.DataFrame({"src": np.int64(idx), "k": k}))
+    bc_rels = []  # (rel_idx, name, child, fk, parent, pk)
+    join_rels = []
+    for rel_idx, (name, child, fk, parent, pk) in enumerate(relations):
+        tgt = bc_rels if parent_route(parent, pk) == "broadcast" else join_rels
+        tgt.append((rel_idx, name, child, fk, parent, pk))
 
-        return parent.select_columns([pk]).map_batches(
-            batch_distinct, batch_format="pandas"
-        )
+    results: dict[int, tuple[int, int]] = {}  # rel_idx -> (n, orphans)
 
-    from pdf_parser_ray.io_utils import unreserve
+    # ================================================ broadcast route
+    if bc_rels:
+        # -- pass 1: every distinct (parent, pk) in one union'd execution
+        parent_ix: dict[tuple[int, str], int] = {}
+        parent_specs: list[tuple[ray.data.Dataset, str]] = []
+        for _, _, _, _, parent, pk in bc_rels:
+            ck = (id(parent), pk)
+            if ck not in parent_ix:
+                parent_ix[ck] = len(parent_specs)
+                parent_specs.append((parent, pk))
 
-    union_keys = key_pass(0, *parent_specs[0])
-    for i, spec in enumerate(parent_specs[1:], 1):
-        union_keys = union_keys.union(key_pass(i, *spec))
-    # union-of-maps plan: reservation starves it (io_utils.unreserve)
-    kt = unreserve(union_keys).to_pandas()  # bounded: broadcast-sized keys
-    key_refs = [
-        ray.put(np.unique(kt.loc[kt["src"] == i, "k"].to_numpy(dtype="int64")))
-        for i in range(len(parent_specs))
-    ]
+        def key_pass(idx: int, parent: ray.data.Dataset, pk: str):
+            def batch_distinct(df: pd.DataFrame) -> pa.Table:
+                k = pd.Series(df[pk].dropna().unique()).astype("int64")
+                return arrow_out(pd.DataFrame({"src": np.int64(idx), "k": k}))
 
-    # -- pass 2: every child probe in one union'd execution
-    def probe_pass(rel_idx: int, child: ray.data.Dataset, fk: str, ref):
-        def partial(df: pd.DataFrame) -> pa.Table:
-            arr = ray.get(ref)
-            col = df[fk]
-            vals = col.fillna(-(2**62)).astype("int64").to_numpy()
-            pos = np.searchsorted(arr, vals)
-            hit = (pos < len(arr)) & (
-                arr[np.minimum(pos, max(len(arr) - 1, 0))] == vals
-            ) if len(arr) else np.zeros(len(vals), dtype=bool)
-            hit &= col.notna().to_numpy()
-            return arrow_out(
-                pd.DataFrame(
-                    {"rel": [rel_idx], "n": [len(df)],
-                     "orphans": [int((~hit).sum())]}
-                ).astype("int64")
+            return parent.select_columns([pk]).map_batches(
+                batch_distinct, batch_format="pandas"
             )
 
-        return child.select_columns([fk]).map_batches(
-            partial, batch_format="pandas"
-        )
+        union_keys = key_pass(0, *parent_specs[0])
+        for i, spec in enumerate(parent_specs[1:], 1):
+            union_keys = union_keys.union(key_pass(i, *spec))
+        # union-of-maps plan: reservation starves it (io_utils.unreserve)
+        kt = unreserve(union_keys).to_pandas()  # bounded: broadcast-sized
+        key_refs = [
+            ray.put(np.unique(
+                kt.loc[kt["src"] == i, "k"].to_numpy(dtype="int64")
+            ))
+            for i in range(len(parent_specs))
+        ]
 
-    probes = None
-    for rel_idx, (name, child, fk, parent, pk) in enumerate(relations):
-        p = probe_pass(rel_idx, child, fk, key_refs[parent_ix[(id(parent), pk)]])
-        probes = p if probes is None else probes.union(p)
-    totals = unreserve(probes).to_pandas().groupby("rel").sum()
+        # -- pass 2: every child probe in one union'd execution
+        def probe_pass(rel_idx: int, child: ray.data.Dataset, fk: str, ref):
+            def partial(df: pd.DataFrame) -> pa.Table:
+                arr = ray.get(ref)
+                col = df[fk]
+                vals = col.fillna(-(2**62)).astype("int64").to_numpy()
+                pos = np.searchsorted(arr, vals)
+                hit = (pos < len(arr)) & (
+                    arr[np.minimum(pos, max(len(arr) - 1, 0))] == vals
+                ) if len(arr) else np.zeros(len(vals), dtype=bool)
+                hit &= col.notna().to_numpy()
+                return arrow_out(
+                    pd.DataFrame(
+                        {"rel": [rel_idx], "n": [len(df)],
+                         "orphans": [int((~hit).sum())]}
+                    ).astype("int64")
+                )
+
+            return child.select_columns([fk]).map_batches(
+                partial, batch_format="pandas"
+            )
+
+        probes = None
+        for rel_idx, name, child, fk, parent, pk in bc_rels:
+            p = probe_pass(
+                rel_idx, child, fk, key_refs[parent_ix[(id(parent), pk)]]
+            )
+            probes = p if probes is None else probes.union(p)
+        totals = unreserve(probes).to_pandas().groupby("rel").sum()
+        for rel_idx, *_rest in bc_rels:
+            if rel_idx in totals.index:
+                results[rel_idx] = (
+                    int(totals.loc[rel_idx, "n"]),
+                    int(totals.loc[rel_idx, "orphans"]),
+                )
+
+    # ===================================================== join route
+    if join_rels:
+        from pdf_parser_ray.ops.shuffle import partitioned_map
+
+        # parent scans deduped: tag parent keys by parent-spec index
+        # and map each relation to its spec inside the partition kernel
+        j_parent_ix: dict[tuple[int, str], int] = {}
+        j_parent_specs: list[tuple[ray.data.Dataset, str]] = []
+        for _, _, _, _, parent, pk in join_rels:
+            ck = (id(parent), pk)
+            if ck not in j_parent_ix:
+                j_parent_ix[ck] = len(j_parent_specs)
+                j_parent_specs.append((parent, pk))
+        rel_to_spec = {
+            rel_idx: j_parent_ix[(id(parent), pk)]
+            for rel_idx, _, _, _, parent, pk in join_rels
+        }
+
+        # row kinds in the unioned key stream:
+        #   0 = child fk counts (rel, k, c)         — per-batch partials
+        #   1 = parent distinct keys (spec→rel col, k) — per-batch
+        #   2 = child NULL-fk counts (rel, c); k=0 carries no meaning
+        def child_pass(rel_idx: int, child: ray.data.Dataset, fk: str):
+            def partial(df: pd.DataFrame) -> pa.Table:
+                col = df[fk]
+                nn = col.dropna().astype("int64")
+                vc = nn.value_counts()
+                frames = [pd.DataFrame({
+                    "k": vc.index.to_numpy(dtype="int64"),
+                    "rel": np.int64(rel_idx),
+                    "c": vc.to_numpy(dtype="int64"),
+                    "kind": np.int64(0),
+                })]
+                n_null = len(col) - len(nn)
+                if n_null:
+                    frames.append(pd.DataFrame({
+                        "k": [np.int64(0)], "rel": [np.int64(rel_idx)],
+                        "c": [np.int64(n_null)], "kind": [np.int64(2)],
+                    }))
+                return arrow_out(pd.concat(frames, ignore_index=True))
+
+            return child.select_columns([fk]).map_batches(
+                partial, batch_format="pandas"
+            )
+
+        def parent_pass(spec_idx: int, parent: ray.data.Dataset, pk: str):
+            def partial(df: pd.DataFrame) -> pa.Table:
+                k = pd.Series(df[pk].dropna().unique()).astype("int64")
+                return arrow_out(pd.DataFrame({
+                    "k": k,
+                    "rel": np.full(len(k), spec_idx, dtype="int64"),
+                    "c": np.zeros(len(k), dtype="int64"),
+                    "kind": np.ones(len(k), dtype="int64"),
+                }))
+
+            return parent.select_columns([pk]).map_batches(
+                partial, batch_format="pandas"
+            )
+
+        stream = None
+        for rel_idx, _name, child, fk, _parent, _pk in join_rels:
+            p = child_pass(rel_idx, child, fk)
+            stream = p if stream is None else stream.union(p)
+        for spec_idx, (parent, pk) in enumerate(j_parent_specs):
+            stream = stream.union(parent_pass(spec_idx, parent, pk))
+
+        spec_of_rel = dict(rel_to_spec)  # closure-safe copy
+
+        def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+            ch = part[part["kind"] == 0]
+            par = part.loc[part["kind"] == 1, ["rel", "k"]].drop_duplicates()
+            par = par.rename(columns={"rel": "spec"}).assign(_hit=1)
+            nulls = part[part["kind"] == 2]
+            rows = {}
+            if len(ch):
+                probe = ch.assign(
+                    spec=ch["rel"].map(spec_of_rel).astype("int64")
+                ).merge(par, on=["spec", "k"], how="left")
+                n_by = probe.groupby("rel")["c"].sum()
+                orph_by = probe.loc[probe["_hit"].isna()].groupby(
+                    "rel")["c"].sum()
+                for r, n in n_by.items():
+                    rows[int(r)] = [int(n), int(orph_by.get(r, 0))]
+            for r, c in zip(nulls["rel"], nulls["c"]):
+                cur = rows.setdefault(int(r), [0, 0])
+                cur[0] += int(c)
+                cur[1] += int(c)  # NULL fk is an orphan (broadcast parity)
+            return pd.DataFrame({
+                "rel": pd.Series(list(rows), dtype="int64"),
+                "n": pd.Series([v[0] for v in rows.values()], dtype="int64"),
+                "orphans": pd.Series(
+                    [v[1] for v in rows.values()], dtype="int64"),
+            })
+
+        part_kw = {"n_parts": n_parts} if n_parts else {}
+        jt = unreserve(partitioned_map(
+            stream, ["k"], per_partition, **part_kw
+        )).to_pandas()  # bounded: ≤ relations × n_parts rows
+        if len(jt):
+            jtot = jt.groupby("rel")[["n", "orphans"]].sum()
+            for rel_idx, *_rest in join_rels:
+                if rel_idx in jtot.index:
+                    results[rel_idx] = (
+                        int(jtot.loc[rel_idx, "n"]),
+                        int(jtot.loc[rel_idx, "orphans"]),
+                    )
 
     rows = [
         {"relation": name,
-         "n_rows": int(totals.loc[i, "n"]) if i in totals.index else 0,
-         "n_orphans": int(totals.loc[i, "orphans"]) if i in totals.index else 0}
+         "n_rows": results.get(i, (0, 0))[0],
+         "n_orphans": results.get(i, (0, 0))[1]}
         for i, (name, *_rest) in enumerate(relations)
     ]
     out = pd.DataFrame(rows).sort_values("relation", ignore_index=True)

@@ -170,6 +170,7 @@ def dedup_rare(
     order_col: str | None = None,
     assume_rare_dups: bool = True,
     n_parts: int | None = None,
+    materialize: bool = True,
 ) -> ray.data.Dataset:
     """Exact dedup on ``key_col`` — one surviving row per key — tuned
     for corpora where duplicated keys are RARE.
@@ -188,6 +189,13 @@ def dedup_rare(
     reference's keep-first rule — nondeterministic between equals under
     parallel block order), else the row with the MIN ``order_col``
     (deterministic; use the id column for rerun-stable output).
+
+    ``materialize=False`` (VERDICT r3 #8) skips pinning the input in
+    the object store: the rare-dups route consumes its input three
+    times (count pass + both branches), so the default materialize
+    trades object-store spill for avoiding 3× lineage recompute —
+    callers whose upstream is already checkpointed parquet should pass
+    False and let the (cheap, pruned) re-reads stream.
     """
     import pandas as pd
     import ray as _ray
@@ -215,7 +223,10 @@ def dedup_rare(
     # runs ONCE and the consumers read cached blocks — the object store
     # spills oversized corpora to disk, which is far cheaper than three
     # full recomputes.  Same pattern as connected_components' edge input.
-    ds = ds.materialize()
+    # materialize=False: the caller's upstream is checkpointed — let
+    # each consumer re-read and stream.
+    if materialize:
+        ds = ds.materialize()
 
     def partial_counts(t: pa.Table) -> pa.Table:
         g = t.group_by(key_col).aggregate([(key_col, "count")])
@@ -359,6 +370,16 @@ def _fp_to_int64(fps) -> "object":
     )
 
 
+def _bloom_bytes(n_items: int, fp_rate: float) -> int:
+    """Byte size of BloomFilter(n_items, fp_rate).bits WITHOUT
+    allocating it (the route probe must not malloc a 10^9-key array)."""
+    import math
+
+    n_items = max(1, n_items)
+    m = int(math.ceil(-n_items * math.log(fp_rate) / (math.log(2) ** 2)))
+    return (max(64, m) + 7) // 8
+
+
 def incremental_dedup(
     new_ds: ray.data.Dataset,
     index_dir: str,
@@ -367,20 +388,40 @@ def incremental_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     positives_limit: int = 5_000_000,
+    bloom_mode: str = "auto",
+    driver_filter_bytes: int = 256 << 20,
+    shard_filter_bytes: int = 64 << 20,
+    n_parts: int | None = None,
+    materialize: bool = True,
 ) -> ray.data.Dataset:
     """Incremental-ingestion dedup: keep only the rows of ``new_ds``
     whose (layout-normalized md5) fingerprint is NOT in the persisted
     fingerprint index at ``index_dir`` — the "append a new crawl
     segment to an existing corpus" shape.
 
-    Scale design — the new stream never joins the (corpus-sized) index:
+    Scale design — the new stream never joins the (corpus-sized) index.
+    Two Bloom routes (``bloom_mode``: "auto" | "driver" | "sharded"):
 
-    1. ONE pass over the index builds a Bloom filter: each batch sets
-       bits into its own same-shaped filter (same (m, k) — they derive
-       from the index row count, fixed up front) and emits just the bit
-       array; the driver ORs the per-batch arrays (mergeable-sketch
-       pattern, ~n_batches × m/8 bytes).  At 10^9+ index keys shard
-       the filter by fp prefix instead of holding one giant bit array.
+    * **driver** — the filter fits the driver (≤ ``driver_filter_bytes``
+      at the sized capacity): each index batch sets bits into its own
+      same-shaped filter (same (m, k) — they derive from the index row
+      count, fixed up front) and emits just the bit array; the driver
+      ORs the per-batch arrays (mergeable-sketch pattern) and
+      broadcasts the merged filter once.
+    * **sharded** (VERDICT r3 #3 — 10^9+ key indexes, where one bit
+      array is gigabytes): the filter is sharded by key hash.  Index
+      KEYS (8 B each) and the new stream's keys co-partition by
+      ``shard = key % n_shards``; each partition builds its shards'
+      filters locally from the raw keys and probes its new-stream keys
+      in place.  NO bit array ever lands on the driver or rides a
+      message — per-shard filters (≤ ``shard_filter_bytes``) exist
+      only partition-locally; the shuffle moves keys, the driver only
+      ever holds the (``positives_limit``-bounded) positive fp set.
+
+    Both routes continue identically — and produce identical survivors
+    (parity-tested), since the confirm pass removes exactly the false
+    positives either filter admits:
+
     2. The new stream is fingerprinted row-locally and intra-batch
        deduped (:func:`dedup_rare`, min-``id_col`` winner).
     3. Bloom NEGATIVES are definitely-new: they stream through with
@@ -392,6 +433,10 @@ def incremental_dedup(
 
     Returns the surviving rows WITH their ``fp`` column, so the caller
     can append `(fp)` to the index for the next increment.
+
+    ``materialize=False`` (VERDICT r3 #8) streams the fingerprinted
+    new-segment lineage on every consumer instead of pinning it — for
+    callers whose ``new_ds`` is already checkpointed parquet.
     """
     import numpy as np
     import pandas as pd
@@ -399,22 +444,23 @@ def incremental_dedup(
     import pyarrow.compute as pc
     import ray as _ray
 
+    from pdf_parser_ray.io_utils import arrow_out
     from pdf_parser_ray.ops.relational import BloomFilter
     from pdf_parser_ray.ops.text_stats import layout_fingerprint
     from pdf_parser_ray.stages import worker_state
 
+    if bloom_mode not in ("auto", "driver", "sharded"):
+        raise ValueError(
+            f"bloom_mode must be auto|driver|sharded, got {bloom_mode!r}"
+        )
+
     index = ray.data.read_parquet(index_dir, columns=["fp"])
     n_index = max(1, index.count())
-
-    def batch_bits(t: pa.Table) -> pa.Table:
-        bf = BloomFilter(n_index, fp_rate)
-        bf.add_many(_fp_to_int64(t.column("fp").to_pylist()))
-        return pa.table({"bits": pa.array([bf.bits.tobytes()], pa.binary())})
-
-    merged = BloomFilter(n_index, fp_rate)
-    for row in index.map_batches(batch_bits, batch_format="pyarrow").take_all():
-        merged.bits |= np.frombuffer(row["bits"], dtype=np.uint8)
-    bf_ref = _ray.put(merged)
+    filter_bytes = _bloom_bytes(n_index, fp_rate)
+    if bloom_mode == "auto":
+        bloom_mode = (
+            "driver" if filter_bytes <= driver_filter_bytes else "sharded"
+        )
 
     def add_fp(df: pd.DataFrame) -> pd.DataFrame:
         out = df.copy()
@@ -422,37 +468,140 @@ def incremental_dedup(
         return out
 
     fresh = dedup_rare(
-        new_ds.map_batches(add_fp, batch_format="pandas"), "fp", order_col=id_col
-    ).materialize()  # consumed by BOTH the negative and positive splits
-
-    def split(df: pd.DataFrame, keep_positive: bool):
-        bf: BloomFilter = worker_state(
-            ("incr_bloom", bf_ref.hex()), lambda: _ray.get(bf_ref)
-        )
-        out = df
-        if len(df):
-            mask = bf.contains_many(_fp_to_int64(df["fp"].tolist()))
-            out = df[mask] if keep_positive else df[~mask]
-        # Arrow out: size-0 pandas object columns trip Ray's block size
-        # estimator (log noise); Arrow empties are typed and quiet.
-        return pa.Table.from_pandas(out, preserve_index=False)
-
-    negatives = fresh.map_batches(
-        split, fn_kwargs={"keep_positive": False}, batch_format="pandas"
+        new_ds.map_batches(add_fp, batch_format="pandas"), "fp",
+        order_col=id_col, materialize=materialize,
     )
-    positives = fresh.map_batches(
-        split, fn_kwargs={"keep_positive": True}, batch_format="pandas"
-    ).materialize()  # consumed twice: fp-set collect + the final filter
+    if materialize:
+        # consumed by BOTH the negative and positive splits
+        fresh = fresh.materialize()
 
-    pos_rows = positives.select_columns(["fp"]).take_all()
-    if len(pos_rows) > positives_limit:
+    if bloom_mode == "driver":
+        def batch_bits(t: pa.Table) -> pa.Table:
+            bf = BloomFilter(n_index, fp_rate)
+            bf.add_many(_fp_to_int64(t.column("fp").to_pylist()))
+            return pa.table(
+                {"bits": pa.array([bf.bits.tobytes()], pa.binary())}
+            )
+
+        merged = BloomFilter(n_index, fp_rate)
+        for row in index.map_batches(
+            batch_bits, batch_format="pyarrow"
+        ).take_all():
+            merged.bits |= np.frombuffer(row["bits"], dtype=np.uint8)
+        bf_ref = _ray.put(merged)
+
+        def split(df: pd.DataFrame, keep_positive: bool):
+            bf: BloomFilter = worker_state(
+                ("incr_bloom", bf_ref.hex()), lambda: _ray.get(bf_ref)
+            )
+            out = df
+            if len(df):
+                mask = bf.contains_many(_fp_to_int64(df["fp"].tolist()))
+                out = df[mask] if keep_positive else df[~mask]
+            # Arrow out: size-0 pandas object columns trip Ray's block
+            # size estimator (log noise); Arrow empties are typed+quiet.
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        negatives = fresh.map_batches(
+            split, fn_kwargs={"keep_positive": False}, batch_format="pandas"
+        )
+        positives = fresh.map_batches(
+            split, fn_kwargs={"keep_positive": True}, batch_format="pandas"
+        ).materialize()  # consumed twice: fp-set collect + final filter
+        pos_rows = positives.select_columns(["fp"]).take_all()
+        pos_fps = sorted({r["fp"] for r in pos_rows})
+        n_pos = len(pos_rows)
+    else:
+        # ---------------------------------------------- sharded route
+        from pdf_parser_ray.ops.shuffle import partitioned_map
+
+        n_shards = max(
+            2, -(-filter_bytes // max(1, shard_filter_bytes))  # ceil div
+        )
+        shard_items = -(-n_index // n_shards)
+
+        def shard_of(k: "np.ndarray") -> "np.ndarray":
+            return (k.view(np.uint64) % np.uint64(n_shards)).astype(np.int64)
+
+        def index_keys(t: pa.Table) -> pa.Table:
+            k = _fp_to_int64(t.column("fp").to_pylist())
+            return arrow_out(pd.DataFrame({
+                "shard": shard_of(k),
+                "k": k,
+                "fp": pd.Series([None] * len(k), dtype="object"),
+                "kind": np.ones(len(k), dtype=np.int8),
+            }))
+
+        def fresh_keys(df: pd.DataFrame):
+            k = _fp_to_int64(df["fp"].tolist())
+            return arrow_out(pd.DataFrame({
+                "shard": shard_of(k),
+                "k": k,
+                "fp": df["fp"].astype(object).to_numpy(),
+                "kind": np.zeros(len(k), dtype=np.int8),
+            }))
+
+        stream = index.map_batches(index_keys, batch_format="pyarrow").union(
+            fresh.select_columns(["fp"]).map_batches(
+                fresh_keys, batch_format="pandas"
+            )
+        )
+
+        def probe_partition(part: pd.DataFrame) -> pd.DataFrame:
+            fps: list = []
+            for _s, g in part.groupby("shard", sort=False):
+                new = g[g["kind"] == 0]
+                if not len(new):
+                    continue
+                bf = BloomFilter(shard_items, fp_rate)
+                idx_k = g.loc[g["kind"] == 1, "k"].to_numpy(dtype=np.int64)
+                if len(idx_k):
+                    bf.add_many(idx_k)
+                hit = bf.contains_many(new["k"].to_numpy(dtype=np.int64))
+                fps.extend(new.loc[hit, "fp"])
+            return pd.DataFrame({"fp": pd.Series(fps, dtype="object")})
+
+        part_kw = {"n_parts": n_parts} if n_parts else {}
+        pos_df = partitioned_map(
+            stream, ["shard"], probe_partition, **part_kw
+        ).to_pandas()  # bounded: positives only (limit-guarded below)
+        pos_fps = (
+            sorted(set(pos_df["fp"])) if "fp" in pos_df.columns else []
+        )
+        n_pos = len(pos_df)
+        positives = None  # built below from the pos set
+
+    if n_pos > positives_limit:
         raise ValueError(
-            f"{len(pos_rows)} bloom-positive rows exceed positives_limit; "
+            f"{n_pos} bloom-positive rows exceed positives_limit; "
             "shard the increment or dedup via a hash join on fp"
         )
-    if not pos_rows:
-        return negatives
-    pos_set = pa.array(sorted({r["fp"] for r in pos_rows}), pa.string())
+    if not pos_fps:
+        if bloom_mode == "driver":
+            return negatives
+        return fresh
+    pos_set = pa.array(pos_fps, pa.string())
+
+    if bloom_mode == "sharded":
+        # split fresh by membership in the (bounded) positive fp set
+        pos_ref = _ray.put(frozenset(pos_fps))
+
+        def split_by_set(df: pd.DataFrame, keep_positive: bool):
+            s: frozenset = worker_state(
+                ("incr_pos", pos_ref.hex()), lambda: _ray.get(pos_ref)
+            )
+            m = df["fp"].isin(s)
+            out = df[m] if keep_positive else df[~m]
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        negatives = fresh.map_batches(
+            split_by_set, fn_kwargs={"keep_positive": False},
+            batch_format="pandas",
+        )
+        positives = fresh.map_batches(
+            split_by_set, fn_kwargs={"keep_positive": True},
+            batch_format="pandas",
+        )
 
     confirmed_rows = index.map_batches(
         lambda t, _s=pos_set: t.filter(
@@ -480,26 +629,44 @@ def near_dedup_corpus(
     threshold: float = 0.5,
     max_hamming: int = 3,
     hash_fn: str = "crc32",
+    mode: str = "broadcast",
+    broadcast_limit: int = 5_000_000,
 ) -> "ray.data.Dataset":
     """End-to-end near-duplicate scrub (the RefinedWeb/CCNet curation
     composition): candidate pairs → connected components → keep each
     cluster's canonical member (the min doc_id — the component label)
     plus every unpaired doc.
 
-    The drop set is the non-canonical cluster members only — bounded by
-    the near-dup count, built distributed (filter + unique) and
-    broadcast into an anti join; the corpus itself never shuffles.
+    ``mode="broadcast"`` (default): the drop set is the non-canonical
+    cluster members only — collected once and broadcast into an anti
+    join; the corpus itself never shuffles.  Right when near-dups are a
+    modest fraction.  ``broadcast_limit`` guards the web-scale case
+    (RefinedWeb measures 30–50 % near-duplicates in CC crawls — there
+    the "bounded" drop set is corpus-order) with a ValueError directing
+    to the join route.
+
+    ``mode="join"`` (VERDICT r3 #2 — the scale path): the drop set
+    stays a Dataset; docs LEFT-join the marked drops on doc_id and
+    unmarked rows survive.  One co-location exchange of (doc_id,
+    payload), no driver collection of any size.  Identical output
+    (parity-tested).
 
     ``docs`` needs (doc_id:int64, text); returns the surviving rows
     with their original columns.
     """
+    import numpy as np
+    import pandas as pd
+
+    from pdf_parser_ray.io_utils import arrow_out
     from pdf_parser_ray.ops.dedup import (
         connected_components,
         minhash_lsh_pairs,
         simhash_near_pairs,
     )
-    from pdf_parser_ray.ops.relational import broadcast_semi_join
+    from pdf_parser_ray.ops.relational import broadcast_semi_join, hash_join
 
+    if mode not in ("broadcast", "join"):
+        raise ValueError(f"mode must be broadcast|join, got {mode!r}")
     if method == "minhash":
         pairs = minhash_lsh_pairs(docs, threshold=threshold, hash_fn=hash_fn)
     elif method == "simhash":
@@ -510,13 +677,35 @@ def near_dedup_corpus(
         raise ValueError(f"unknown near-dedup method {method!r}")
 
     comp = connected_components(pairs.select_columns(["a", "b"]))
-    # unique() on an empty dataset returns None, and a clean corpus
+    non_canon = comp.map_batches(
+        lambda df: df.loc[df["node"] != df["component"], ["node"]],
+        batch_format="pandas",
+    )
+
+    if mode == "join":
+        marked = non_canon.map_batches(
+            lambda df: arrow_out(pd.DataFrame({
+                "doc_id": df["node"].astype("int64"),
+                "__drop": np.ones(len(df), dtype=np.int8)})),
+            batch_format="pandas",
+        )
+        joined = hash_join(docs, marked, ["doc_id"], join_type="left_outer")
+        return joined.map_batches(
+            lambda df: df.loc[df["__drop"].isna()].drop(columns="__drop"),
+            batch_format="pandas",
+        )
+
+    drops_df = non_canon.limit(broadcast_limit + 1).to_pandas()
+    # empty filtered dataset → column-less frame, and a clean corpus
     # (zero near-dup pairs) is the common case — skip the gate entirely.
-    drops = comp.filter(
-        lambda r: r["node"] != r["component"]
-    ).unique("node")
-    if not drops:
+    if "node" not in drops_df.columns or not len(drops_df):
         return docs
+    if len(drops_df) > broadcast_limit:
+        raise ValueError(
+            f"near-dup drop set exceeds broadcast_limit={broadcast_limit}; "
+            "use mode='join' for this corpus"
+        )
+    drops = drops_df["node"].astype("int64").tolist()
     return broadcast_semi_join(docs, drops, on="doc_id", anti=True)
 
 
@@ -527,6 +716,8 @@ def dup_aware_weights(
     threshold: float = 0.5,
     max_hamming: int = 3,
     hash_fn: str = "crc32",
+    mode: str = "broadcast",
+    broadcast_limit: int = 5_000_000,
 ) -> "ray.data.Dataset":
     """Duplicate-aware sampling weights (the SlimPajama/soft-dedup
     alternative to dropping near-dups): every document gets its
@@ -535,10 +726,16 @@ def dup_aware_weights(
     deleting them.
 
     Same candidate machinery as :func:`near_dedup_corpus` (LSH pairs →
-    connected components); the component/size table is bounded by the
-    near-dup count, collected once and broadcast — the corpus itself
-    never shuffles, the attach is row-local.  ``weight`` divides two
-    exact ints (1.0 / int64) → bit-identical doubles on both engines.
+    connected components).  ``mode="broadcast"`` (default) collects the
+    node→size table once and broadcasts it — the corpus never shuffles,
+    the attach is row-local; ``broadcast_limit`` guards the web-scale
+    case where near-dup nodes are corpus-order (VERDICT r3 #2).
+    ``mode="join"`` keeps everything a Dataset: cluster sizes come from
+    one grouped sum over the component table, ride a hash join back to
+    the nodes, and a LEFT join attaches them to doc_ids (missing →
+    cluster_size 1) — no driver collection of any size.  ``weight``
+    divides two exact ints (1.0 / int64) → bit-identical doubles on
+    both engines and both routes (parity-tested).
 
     Output: (doc_id:int64, cluster_size:int64, weight:float64).
     """
@@ -552,6 +749,8 @@ def dup_aware_weights(
         simhash_near_pairs,
     )
 
+    if mode not in ("broadcast", "join"):
+        raise ValueError(f"mode must be broadcast|join, got {mode!r}")
     if method == "minhash":
         pairs = minhash_lsh_pairs(docs, threshold=threshold, hash_fn=hash_fn)
     elif method == "simhash":
@@ -562,7 +761,48 @@ def dup_aware_weights(
         raise ValueError(f"unknown near-dedup method {method!r}")
 
     comp = connected_components(pairs.select_columns(["a", "b"]))
-    cdf = comp.to_pandas()  # bounded: near-dup nodes only (drops-set rule)
+
+    if mode == "join":
+        from pdf_parser_ray.ops.relational import hash_join
+        from pdf_parser_ray.ops.shuffle import grouped_sum
+
+        def size_partial(df: pd.DataFrame):
+            g = df.groupby("component", as_index=False).size()
+            return arrow_out(g.rename(columns={"size": "csz"}))
+
+        sizes = grouped_sum(
+            comp.map_batches(size_partial, batch_format="pandas"),
+            ["component"], ["csz"],
+        )
+        node_sz = hash_join(comp, sizes, ["component"])
+
+        def as_doc_rows(df: pd.DataFrame):
+            return arrow_out(pd.DataFrame({
+                "doc_id": df["node"].astype("int64"),
+                "csz": df["csz"].astype("int64")}))
+
+        marked = node_sz.map_batches(as_doc_rows, batch_format="pandas")
+        joined = hash_join(
+            docs.select_columns(["doc_id"]), marked, ["doc_id"],
+            join_type="left_outer",
+        )
+
+        def finish(df: pd.DataFrame):
+            csz = df["csz"].fillna(1).astype("int64").to_numpy()
+            return arrow_out(pd.DataFrame({
+                "doc_id": df["doc_id"].astype("int64").to_numpy(),
+                "cluster_size": csz,
+                "weight": 1.0 / csz,
+            }))
+
+        return joined.map_batches(finish, batch_format="pandas")
+
+    cdf = comp.limit(broadcast_limit + 1).to_pandas()
+    if len(cdf) > broadcast_limit:
+        raise ValueError(
+            f"near-dup component table exceeds broadcast_limit="
+            f"{broadcast_limit}; use mode='join' for this corpus"
+        )
     if len(cdf):
         sizes = cdf.groupby("component")["node"].transform("size")
         node_size = dict(

@@ -384,6 +384,66 @@ class TestIncrementalDedup:
         )
         assert incremental_dedup(ds, str(tmp_path / "idx.parquet")).count() == 2
 
+    def test_sharded_route_matches_driver(self, ray_session, tmp_path):
+        """VERDICT r3 #3: the sharded-Bloom route (keys co-partitioned
+        by shard, filters built and probed partition-locally) must keep
+        exactly the driver-OR route's survivors, with NO full bit array
+        on the driver and per-shard filters bounded by
+        shard_filter_bytes."""
+        import hashlib
+
+        import numpy as np
+        import ray.data
+
+        from pdf_parser_ray.ops.relational import BloomFilter
+        from pdf_parser_ray.pipelines import _bloom_bytes, incremental_dedup
+
+        def fp(t):
+            norm = " ".join(t.lower().split())
+            return hashlib.md5(norm.encode()).hexdigest()
+
+        idx_texts = [f"indexed page number {i} content" for i in range(200)]
+        pd.DataFrame({"fp": [fp(t) for t in idx_texts]}).to_parquet(
+            tmp_path / "index.parquet"
+        )
+        rows = [
+            {"doc_id": 5000 + i, "text": f"indexed page number {i} content"}
+            for i in range(150, 230)           # 150-199 overlap, 200-229 new
+        ]
+        ds = lambda: ray.data.from_pandas(
+            pd.DataFrame(rows).astype({"doc_id": "int64"})
+        )
+        idx = str(tmp_path / "index.parquet")
+
+        drv = incremental_dedup(ds(), idx, bloom_mode="driver").to_pandas()
+        # shard-forcing parameters: the full filter is ~360 B at 200
+        # keys / 0.001 → cap shards at 64 B each → several shards
+        shard_cap = 64
+        shr = incremental_dedup(
+            ds(), idx, bloom_mode="sharded", shard_filter_bytes=shard_cap
+        ).to_pandas()
+        key = ["doc_id"]
+        pd.testing.assert_frame_equal(
+            drv.sort_values(key).reset_index(drop=True)[["doc_id", "fp"]],
+            shr.sort_values(key).reset_index(drop=True)[["doc_id", "fp"]],
+        )
+        assert sorted(shr["doc_id"]) == [5000 + i for i in range(200, 230)]
+        # per-message bound: each partition-local shard filter is sized
+        # for n_index/n_shards keys → its byte size ≤ the full filter's
+        # and shrinks with the shard count
+        full_bytes = _bloom_bytes(200, 0.001)
+        n_shards = max(2, -(-full_bytes // shard_cap))
+        shard_items = -(-200 // n_shards)
+        assert len(BloomFilter(shard_items, 0.001).bits) < full_bytes
+        assert n_shards >= 4
+        # auto with a tiny driver budget must take the sharded route
+        # (same survivors), never allocating the full driver filter
+        auto = incremental_dedup(
+            ds(), idx, driver_filter_bytes=shard_cap,
+            shard_filter_bytes=shard_cap,
+        ).to_pandas()
+        assert sorted(auto["doc_id"]) == sorted(shr["doc_id"])
+
 
 class TestLmScoreJoinMode:
     def test_parity_with_broadcast(self, ray_session):

@@ -358,6 +358,139 @@ class TestNearDedupCorpus:
         ).to_pandas()
         assert sorted(out["doc_id"]) == [1, 2]
 
+    def _heavy_dup_corpus(self):
+        """~40 % near-duplicates (the RefinedWeb CC shape from VERDICT
+        r3 #2): 30 boilerplate clique members over 5 templates + 45
+        unique docs."""
+        import numpy as np
+
+        rng = np.random.RandomState(23)
+        words = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+                 "juliet kilo lima mike november oscar papa quebec romeo "
+                 "sierra tango uniform victor whiskey xray yankee zulu").split()
+        rows = []
+        for t in range(5):                      # 5 cliques × 6 members
+            base = " ".join(rng.choice(words, 30))
+            for m in range(6):
+                rows.append(base + (f" suffix{m}" if m else ""))
+        for u in range(45):                     # unique tail
+            rows.append(" ".join(rng.choice(words, 30)) + f" unique{u}")
+        import pandas as pd
+
+        return pd.DataFrame({
+            "doc_id": pd.Series(range(len(rows)), dtype="int64"),
+            "text": rows,
+        })
+
+    def test_join_route_matches_broadcast_on_heavy_dups(self, ray_session):
+        """VERDICT r3 #2 parity gate: on a 40 %-duplicate corpus the
+        no-driver-collection join route must keep exactly the rows the
+        broadcast route keeps, and the broadcast guard must direct an
+        over-limit drop set to it."""
+        import pandas as pd
+        import pytest
+        import ray.data
+
+        from pdf_parser_ray.pipelines import near_dedup_corpus
+
+        docs = self._heavy_dup_corpus()
+        ds = ray.data.from_pandas(docs)
+        bc = near_dedup_corpus(
+            ds, method="minhash", threshold=0.5
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        jn = near_dedup_corpus(
+            ds, method="minhash", threshold=0.5, mode="join"
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert len(bc) < len(docs)  # the cliques genuinely deduped
+        pd.testing.assert_frame_equal(bc, jn[bc.columns])
+        with pytest.raises(ValueError, match="mode='join'"):
+            near_dedup_corpus(
+                ds, method="minhash", threshold=0.5, broadcast_limit=2
+            )
+
+    def test_dedup_rare_materialize_escape_hatch(self, ray_session, tmp_path):
+        """VERDICT r3 #8: materialize=False must leave the (checkpointed-
+        parquet) upstream streaming — Read stays in the returned plan —
+        and produce the same survivors as the pinned default."""
+        import pandas as pd
+        import ray.data
+
+        from pdf_parser_ray.ops.plan import plan_summary
+        from pdf_parser_ray.pipelines import dedup_rare
+
+        path = str(tmp_path / "in.parquet")
+        pd.DataFrame({
+            "k": pd.Series([1, 1, 2, 3, 3, 3, 4], dtype="int64"),
+            "v": pd.Series(range(7), dtype="int64"),
+        }).to_parquet(path)
+
+        lazy = dedup_rare(
+            ray.data.read_parquet(path), "k", order_col="v",
+            materialize=False,
+        )
+        assert plan_summary(lazy)["ops"].get("Read", 0) >= 1
+        pinned = dedup_rare(
+            ray.data.read_parquet(path), "k", order_col="v"
+        )
+        assert plan_summary(pinned)["ops"].get("Read", 0) == 0  # pinned
+        a = lazy.to_pandas().sort_values("k").reset_index(drop=True)
+        b = pinned.to_pandas().sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        assert list(a["k"]) == [1, 2, 3, 4]
+
+    def test_incremental_dedup_materialize_escape_hatch(
+        self, ray_session, tmp_path
+    ):
+        import hashlib
+
+        import pandas as pd
+        import ray.data
+
+        from pdf_parser_ray.ops.plan import plan_summary
+        from pdf_parser_ray.pipelines import incremental_dedup
+
+        def fp(t):
+            return hashlib.md5(" ".join(t.lower().split()).encode()).hexdigest()
+
+        pd.DataFrame({"fp": [fp("seen page one")]}).to_parquet(
+            tmp_path / "idx.parquet"
+        )
+        newp = str(tmp_path / "new.parquet")
+        pd.DataFrame({
+            "doc_id": pd.Series([1, 2], dtype="int64"),
+            "text": ["seen page one", "brand new page"],
+        }).to_parquet(newp)
+        out = incremental_dedup(
+            ray.data.read_parquet(newp), str(tmp_path / "idx.parquet"),
+            materialize=False,
+        )
+        assert plan_summary(out)["ops"].get("Read", 0) >= 1
+        got = out.to_pandas()
+        assert sorted(got["doc_id"]) == [2]
+
+    def test_dup_aware_weights_join_route_parity(self, ray_session):
+        import pandas as pd
+        import pytest
+        import ray.data
+
+        from pdf_parser_ray.pipelines import dup_aware_weights
+
+        docs = self._heavy_dup_corpus()
+        ds = ray.data.from_pandas(docs)
+        key = ["doc_id"]
+        bc = dup_aware_weights(
+            ds, method="minhash", threshold=0.5
+        ).to_pandas().sort_values(key).reset_index(drop=True)
+        jn = dup_aware_weights(
+            ds, method="minhash", threshold=0.5, mode="join"
+        ).to_pandas().sort_values(key).reset_index(drop=True)
+        assert (bc["cluster_size"] > 1).any()  # cliques detected
+        pd.testing.assert_frame_equal(bc, jn)  # weights bit-identical
+        with pytest.raises(ValueError, match="mode='join'"):
+            dup_aware_weights(
+                ds, method="minhash", threshold=0.5, broadcast_limit=2
+            )
+
 
 class TestCompactParquet:
     def test_compacts_small_files_identically(self, ray_session, tmp_path):

@@ -128,6 +128,115 @@ def test_ri_audit_shape(ray_session):
     assert out["n_rows"].dtype == "int64"
 
 
+def _ri_relations(sf_dir):
+    from pdf_parser_ray.io_utils import read_parquet_clean
+
+    def t(name, cols):
+        return read_parquet_clean(f"{sf_dir}/{name}.parquet", columns=cols)
+
+    nation_keys = t("nation", ["n_nationkey"])
+    return [
+        ("customer_nation", t("customer", ["c_nationkey"]), "c_nationkey",
+         nation_keys, "n_nationkey"),
+        ("lineitem_orders", t("lineitem", ["l_orderkey"]), "l_orderkey",
+         t("orders", ["o_orderkey"]), "o_orderkey"),
+        ("orders_customer", t("orders", ["o_custkey"]), "o_custkey",
+         t("customer", ["c_custkey"]), "c_custkey"),
+        ("supplier_nation", t("supplier", ["s_nationkey"]), "s_nationkey",
+         nation_keys, "n_nationkey"),
+    ]
+
+
+def test_ri_audit_join_route_matches_broadcast_on_tpch(ray_session):
+    """VERDICT r3 #1 parity gate: the co-partitioned join route must be
+    value-identical to the broadcast route on the TPC-H fixture."""
+    sf = "/root/testdata/sf0.001"
+    bc = ri_audit(_ri_relations(sf), mode="broadcast")
+    jn = ri_audit(_ri_relations(sf), mode="join")
+    pd.testing.assert_frame_equal(bc, jn)
+
+
+def test_ri_audit_auto_routes_fact_parent_without_driver_keys(
+    ray_session, tmp_path
+):
+    """A fact-sized parent (footer estimate above broadcast_max_keys)
+    must take the join route under auto — the driver never collects the
+    parent key set — and produce the broadcast answer; a dimension-
+    sized parent stays broadcast in the same call."""
+    import ray.data
+
+    from pdf_parser_ray.ops import profile as profile_mod
+
+    rng = np.random.RandomState(17)
+    fact_parent = pd.DataFrame(
+        {"pk": np.arange(1000, dtype="int64")}
+    )
+    child = pd.DataFrame(
+        {"fk": np.concatenate([
+            rng.randint(0, 1000, 5000),        # valid
+            np.full(37, 100_000),              # orphans
+        ]).astype("int64")}
+    )
+    dim_parent = pd.DataFrame({"pk": np.array([0, 1, 2], dtype="int64")})
+    dim_child = pd.DataFrame(
+        {"fk": np.array([0, 1, 2, 2, 9], dtype="int64")}
+    )
+    pp, cp = str(tmp_path / "p.parquet"), str(tmp_path / "c.parquet")
+    dp, dc = str(tmp_path / "dp.parquet"), str(tmp_path / "dc.parquet")
+    fact_parent.to_parquet(pp)
+    child.to_parquet(cp)
+    dim_parent.to_parquet(dp)
+    dim_child.to_parquet(dc)
+
+    collected = []
+    orig_put = profile_mod.ray.put
+
+    def spy_put(obj, *a, **kw):
+        collected.append(obj)
+        return orig_put(obj, *a, **kw)
+
+    rels = lambda: [
+        ("fact_rel", ray.data.read_parquet(cp), "fk",
+         ray.data.read_parquet(pp), "pk"),
+        ("dim_rel", ray.data.read_parquet(dc), "fk",
+         ray.data.read_parquet(dp), "pk"),
+    ]
+    profile_mod.ray.put = spy_put
+    try:
+        # force the 1000-key parent over the line; the 3-key dim under it
+        auto = ri_audit(rels(), mode="auto", broadcast_max_keys=100)
+    finally:
+        profile_mod.ray.put = orig_put
+    # the fact parent's keys were never ray.put by the audit (only the
+    # dim parent's 3-key array was broadcast)
+    assert all(
+        not (isinstance(o, np.ndarray) and len(o) >= 1000) for o in collected
+    )
+    assert any(isinstance(o, np.ndarray) and len(o) == 3 for o in collected)
+    bc = ri_audit(rels(), mode="broadcast")
+    pd.testing.assert_frame_equal(auto, bc)
+    got = auto.set_index("relation")
+    assert got.loc["fact_rel", "n_orphans"] == 37
+    assert got.loc["fact_rel", "n_rows"] == 5037
+    assert got.loc["dim_rel", "n_orphans"] == 1
+
+
+def test_ri_audit_null_fk_is_orphan_on_both_routes(ray_session):
+    parent = ray.data.from_pandas(
+        pd.DataFrame({"pk": np.array([1, 2, 3], dtype="int64")})
+    )
+    child = ray.data.from_pandas(
+        pd.DataFrame({"fk": pd.array([1, None, 3, None, 7],
+                                     dtype="Int64")})
+    )
+    for mode in ("broadcast", "join"):
+        out = ri_audit(
+            [("r", child, "fk", parent, "pk")], mode=mode
+        ).set_index("relation")
+        assert out.loc["r", "n_rows"] == 5, mode
+        assert out.loc["r", "n_orphans"] == 3, mode  # 2 NULLs + fk=7
+
+
 def test_key_skew_top_and_ties(ray_session):
     from pdf_parser_ray.ops.profile import key_skew
 
