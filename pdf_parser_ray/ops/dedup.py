@@ -3701,6 +3701,153 @@ def cdc_dedup_stats(
     )
 
 
+def rolling_cdc_boundaries(
+    text: str,
+    *,
+    window: int = 16,
+    min_size: int = 32,
+    max_size: int = 256,
+    mod: int = 512,
+    thr: int = 4,
+) -> "list[int]":
+    """Content-defined chunk END offsets over CHARACTERS using the
+    repo's shared Rabin-Karp window hash (:func:`_char_window_hashes`,
+    base 1000003 over code points) as the boundary test: a chunk may
+    end at char offset ``e`` iff the hash of window [e-window, e)
+    satisfies ``h % mod < thr`` (cut probability thr/mod).  The walk is
+    the classic CDC recurrence — smallest eligible end in
+    [cur+min_size, cur+max_size-1], hard cut at cur+max_size.
+
+    This is the SQL-DERIVABLE sibling of :func:`fastcdc_boundaries`
+    (same dataflow, deterministic hash DuckDB re-derives from the
+    ExactSubstr precomputed-powers tree + a recursive-CTE walk —
+    queries.py q:cdc_chunks); the gear-hash tier stays the
+    bytes-domain scale path, serial-reference-pinned in tests.
+    Returns end offsets (exclusive), last == len(text); [] for "".
+    """
+    n = len(text)
+    if n == 0:
+        return []
+    h = _char_window_hashes(text, window)  # index s → window [s, s+w)
+    elig = np.flatnonzero(h % np.uint64(mod) < np.uint64(thr)) + window
+    out: list[int] = []
+    cur = 0
+    while True:
+        if n - cur <= min_size:
+            out.append(n)
+            break
+        lo, hi = cur + min_size, min(cur + max_size - 1, n)
+        i = int(np.searchsorted(elig, lo))
+        if i < len(elig) and elig[i] <= hi:
+            end = int(elig[i])
+        else:
+            end = min(cur + max_size, n)
+        out.append(end)
+        cur = end
+        if cur >= n:
+            break
+    return out
+
+
+def rolling_cdc_chunk_batch(
+    df: pd.DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **cdc_kw,
+) -> pd.DataFrame:
+    """Explode each text into rolling-hash content-defined chunks — the
+    character-domain, SQL-oracled sibling of :func:`cdc_chunk_batch`.
+
+    Output: (id_col:int64, chunk_idx:int64, offset:int64,
+    n_chars:int64, chunk_hash:string md5-hex of the chunk text)."""
+    ids: list = []
+    idxs: list = []
+    offs: list = []
+    lens: list = []
+    hashes: list = []
+    for rid, text in zip(df[id_col], df[text_col].fillna("")):
+        prev = 0
+        for k, end in enumerate(rolling_cdc_boundaries(text, **cdc_kw)):
+            ids.append(rid)
+            idxs.append(k)
+            offs.append(prev)
+            lens.append(end - prev)
+            hashes.append(hashlib.md5(text[prev:end].encode()).hexdigest())
+            prev = end
+    return pd.DataFrame(
+        {
+            id_col: pd.Series(ids, dtype="int64"),
+            "chunk_idx": pd.Series(idxs, dtype="int64"),
+            "offset": pd.Series(offs, dtype="int64"),
+            "n_chars": pd.Series(lens, dtype="int64"),
+            "chunk_hash": pd.Series(hashes, dtype="object"),
+        }
+    )
+
+
+def rolling_cdc_dedup_stats(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **cdc_kw,
+) -> pd.DataFrame:
+    """Corpus dedup readout over rolling-hash CDC chunks — same
+    dataflow as :func:`cdc_dedup_stats` (per-batch chunk + local
+    rollup, ONE uniform chunk-hash co-location, scalar partials to the
+    driver), char-counted and value-oracled.
+
+    Output (eager, one row): (n_chunks, n_unique, chars_total,
+    chars_unique:int64, dedup_ratio:float64)."""
+    from pdf_parser_ray.ops.shuffle import grouped_agg
+
+    def partial(df: pd.DataFrame):
+        c = rolling_cdc_chunk_batch(
+            df, text_col=text_col, id_col=id_col, **cdc_kw
+        )
+        g = c.groupby("chunk_hash", as_index=False).agg(
+            n=("n_chars", "size"), b=("n_chars", "first")
+        )
+        return arrow_out(g.astype({"n": "int64", "b": "int64"}))
+
+    per_hash = grouped_agg(
+        ds.select_columns([id_col, text_col]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        ["chunk_hash"],
+        {"n": ("n", "sum"), "b": ("b", "first")},
+    )
+
+    def reduce_part(df: pd.DataFrame):
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    "n_chunks": [int(df["n"].sum())],
+                    "n_unique": [len(df)],
+                    "chars_total": [int((df["n"] * df["b"]).sum())],
+                    "chars_unique": [int(df["b"].sum())],
+                }
+            ).astype("int64")
+        )
+
+    parts = per_hash.map_batches(reduce_part, batch_format="pandas").to_pandas()
+    n_chunks = int(parts["n_chunks"].sum())
+    n_unique = int(parts["n_unique"].sum())
+    chars_total = int(parts["chars_total"].sum())
+    chars_unique = int(parts["chars_unique"].sum())
+    ratio = chars_total / chars_unique if chars_unique else float("nan")
+    return pd.DataFrame(
+        {
+            "n_chunks": pd.Series([n_chunks], dtype="int64"),
+            "n_unique": pd.Series([n_unique], dtype="int64"),
+            "chars_total": pd.Series([chars_total], dtype="int64"),
+            "chars_unique": pd.Series([chars_unique], dtype="int64"),
+            "dedup_ratio": pd.Series([ratio], dtype="float64"),
+        }
+    )
+
+
 def lsh_band_plan(
     *,
     n_perm: int = 128,

@@ -186,6 +186,51 @@ class _IvfIndex:
         return np.argsort(d2)[:n_probe].astype("int64")
 
 
+class _SignIndex:
+    """SQL-derivable coarse quantizer: list id = packed sign bits of
+    the FIRST log2(n_lists) dimensions (bit d set iff v[d] > 0) — no
+    training, no data-dependent state, so a DuckDB twin re-derives the
+    assignment, the probe order (hamming distance to the query's code,
+    ties by list id) and therefore the exact candidate set of a
+    PARTIAL-probe query.  The deterministic sibling of the k-means
+    quantizer: same inverted-list machinery and partition pruning, a
+    coarser space partition (axis-aligned orthants instead of learned
+    cells)."""
+
+    def __init__(self, n_lists: int):
+        b = int(np.log2(n_lists))
+        if (1 << b) != n_lists:
+            raise ValueError(f"sign quantizer needs n_lists = 2^b, got {n_lists}")
+        self.b = b
+        self.n_lists = n_lists
+
+    def assign(self, mat: np.ndarray) -> np.ndarray:
+        bits = (mat[:, : self.b] > 0).astype(np.int64)
+        return (bits << np.arange(self.b, dtype=np.int64)).sum(axis=1)
+
+    def probe_lists(self, q: np.ndarray, n_probe: int) -> np.ndarray:
+        qc = int(self.assign(q[None, :])[0])
+        ham = np.array(
+            [bin(l ^ qc).count("1") for l in range(self.n_lists)],
+            dtype=np.int64,
+        )
+        order = np.lexsort((np.arange(self.n_lists), ham))
+        return order[:n_probe].astype("int64")
+
+
+def _make_quantizer(
+    quantizer: str,
+    n_lists: int,
+    sample: "np.ndarray | None",
+    seed: int,
+):
+    if quantizer == "sign":
+        return _SignIndex(n_lists)
+    if quantizer == "kmeans":
+        return _IvfIndex(sample, n_lists, seed)
+    raise ValueError(f"quantizer must be kmeans|sign, got {quantizer!r}")
+
+
 def ivf_knn(
     ds: ray.data.Dataset,
     query_vec,
@@ -196,6 +241,7 @@ def ivf_knn(
     train_sample: int = 2048,
     seed: int = 53,
     round_to: int | None = None,
+    quantizer: str = "kmeans",
     concurrency: int | tuple[int, int] | None = None,
 ) -> ray.data.Dataset:
     """IVF approximate top-k: train a coarse quantizer on a seeded sample,
@@ -205,11 +251,19 @@ def ivf_knn(
     scale the stored table should be PARTITIONED by the list id so a
     query prunes to n_probe/n_lists of the data at the read.  Recall
     rises with n_probe (n_probe = n_lists degenerates to brute force).
+
+    ``quantizer="sign"`` swaps the k-means cells for the training-free
+    sign-bit orthant quantizer (:class:`_SignIndex`) — identical probe
+    machinery, fully SQL-derivable, so a PARTIAL-probe query gets a
+    value-exact DuckDB twin (queries.py q:ivf_knn_fast).
     """
     q = np.asarray(query_vec, dtype=np.float64)
-    sample_df = ds.limit(train_sample).to_pandas()
-    sample = _to_matrix(sample_df["embedding"])
-    index = _IvfIndex(sample, n_lists, seed)
+    if quantizer == "kmeans":
+        sample_df = ds.limit(train_sample).to_pandas()
+        sample = _to_matrix(sample_df["embedding"])
+    else:
+        sample = None
+    index = _make_quantizer(quantizer, n_lists, sample, seed)
     probe = set(index.probe_lists(q, n_probe).tolist())
     index_ref = ray.put(index)
     probe_arr = np.fromiter(sorted(probe), dtype=np.int64)
@@ -553,8 +607,9 @@ def ivf_store_build(
     n_lists: int = 16,
     train_sample: int = 2048,
     seed: int = 53,
+    quantizer: str = "kmeans",
     concurrency: int | tuple[int, int] | None = None,
-) -> "_IvfIndex":
+) -> "object":
     """Persist the embedding table as an IVF STORE: Parquet partitioned
     by inverted-list id (``list_id=K/`` directories) plus the trained
     centroids — the layout that makes :func:`ivf_store_query` prune at
@@ -569,8 +624,11 @@ def ivf_store_build(
     """
     import pyarrow as pa
 
-    sample = _to_matrix(ds.limit(train_sample).to_pandas()["embedding"])
-    index = _IvfIndex(sample, n_lists, seed)
+    if quantizer == "kmeans":
+        sample = _to_matrix(ds.limit(train_sample).to_pandas()["embedding"])
+    else:
+        sample = None
+    index = _make_quantizer(quantizer, n_lists, sample, seed)
     index_ref = ray.put(index)
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
@@ -586,16 +644,22 @@ def ivf_store_build(
     ds.map_batches(assign, batch_format="pandas", **_task_kwargs(concurrency)).write_parquet(
         store_dir, partition_cols=["list_id"]
     )
-    # centroids ride along so a query session can load them without the
-    # training data (flattened row-major + shape columns, the
-    # multimodal layout rule)
-    cents = index.centroids
+    # quantizer state rides along so a query session needs no
+    # retraining (flattened row-major + shape columns, the multimodal
+    # layout rule); the sign quantizer is stateless — only its kind and
+    # list count persist
+    if quantizer == "kmeans":
+        cents = index.centroids
+        flat, nl, dim = cents.ravel().tolist(), cents.shape[0], cents.shape[1]
+    else:
+        flat, nl, dim = [], index.n_lists, 0
     pa.parquet.write_table(
         pa.table(
             {
-                "flat": [cents.ravel().tolist()],
-                "n_lists": [cents.shape[0]],
-                "dim": [cents.shape[1]],
+                "flat": pa.array([flat], pa.list_(pa.float64())),
+                "n_lists": pa.array([nl], pa.int64()),
+                "dim": pa.array([dim], pa.int64()),
+                "quantizer": pa.array([quantizer], pa.string()),
             }
         ),
         f"{store_dir}/centroids.parquet",
@@ -624,13 +688,20 @@ def ivf_store_query(
 
     t = pq.read_table(f"{store_dir}/centroids.parquet")
     n_lists = int(t.column("n_lists")[0].as_py())
-    dim = int(t.column("dim")[0].as_py())
-    cents = np.asarray(
-        t.column("flat")[0].as_py(), dtype=np.float64
-    ).reshape(n_lists, dim)
+    quant = (
+        t.column("quantizer")[0].as_py()
+        if "quantizer" in t.column_names else "kmeans"  # pre-r4 stores
+    )
     q = np.asarray(query_vec, dtype=np.float64)
-    d2 = ((cents - q[None, :]) ** 2).sum(axis=1)
-    probe = np.argsort(d2)[:n_probe]
+    if quant == "sign":
+        probe = _SignIndex(n_lists).probe_lists(q, n_probe)
+    else:
+        dim = int(t.column("dim")[0].as_py())
+        cents = np.asarray(
+            t.column("flat")[0].as_py(), dtype=np.float64
+        ).reshape(n_lists, dim)
+        d2 = ((cents - q[None, :]) ** 2).sum(axis=1)
+        probe = np.argsort(d2)[:n_probe]
 
     from pdf_parser_ray.io_utils import read_parquet_clean
 

@@ -212,6 +212,51 @@ class TestIvfStore:
         ).to_pandas()
         assert list(got["vec_id"]) == list(want["vec_id"])
 
+    def test_sign_quantizer_store_matches_scan_and_prunes(
+        self, ray_session, tmp_path
+    ):
+        """Sign-bit quantizer tier (r4): store route == scan-filter
+        route at a PARTIAL probe, the probe genuinely prunes (reads
+        fewer than all list directories), and assignment matches the
+        documented orthant rule."""
+        import glob
+
+        import numpy as np
+        import pyarrow.parquet as pq_
+
+        from pdf_parser_ray.io_utils import read_parquet_clean
+        from pdf_parser_ray.ops.similarity import (
+            _SignIndex,
+            ivf_knn,
+            ivf_store_build,
+            ivf_store_query,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        ds = read_parquet_clean(
+            f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        store = str(tmp_path / "sign_store")
+        ivf_store_build(ds, store, n_lists=8, quantizer="sign")
+        assert len(glob.glob(f"{store}/list_id=*")) >= 2
+        qv = (
+            pq_.read_table(f"{sf}/embeddings.parquet")
+            .to_pandas()
+            .pipe(lambda d: d.loc[d["vec_id"] == 0, "embedding"].iloc[0])
+        )
+        got = ivf_store_query(store, qv, k=10, n_probe=3).to_pandas()
+        want = ivf_knn(
+            ds, qv, k=10, n_lists=8, n_probe=3, quantizer="sign"
+        ).to_pandas()
+        assert list(got["vec_id"]) == list(want["vec_id"])
+        # orthant rule: bit d set iff v[d] > 0 on the first 3 dims
+        idx = _SignIndex(8)
+        v = np.array([[1.0, -2.0, 3.0, 9.9], [-1.0, -1.0, -1.0, 5.0]])
+        assert list(idx.assign(v)) == [0b101, 0]
+        # hamming probe order from code 0b101: itself first, then
+        # 1-bit flips by list id (100, 111, 001), ...
+        assert list(idx.probe_lists(v[0], 4)) == [0b101, 0b001, 0b100, 0b111]
+
     def test_store_prunes_partitions(self, ray_session, tmp_path):
         import glob
 

@@ -1242,6 +1242,40 @@ class TestFastCdc:
         with pytest.raises(ValueError, match="min_size"):
             fastcdc_boundaries(b"x" * 1000, min_size=32)
 
+    def test_rolling_cdc_bounds_and_shift_resilience(self):
+        """The SQL-derivable rolling-hash CDC tier (r4): size bounds
+        hold, a prefix insert re-chunks only a bounded prefix, and the
+        chunk rows cover the text exactly."""
+        import string
+
+        from pdf_parser_ray.ops.dedup import (
+            rolling_cdc_boundaries,
+            rolling_cdc_chunk_batch,
+        )
+
+        rng = np.random.RandomState(8)
+        text = "".join(rng.choice(list(string.ascii_lowercase + " "), 20_000))
+        b = rolling_cdc_boundaries(text)
+        sizes = np.diff([0] + b)
+        assert b[-1] == len(text)
+        assert (sizes[:-1] >= 32).all() and (sizes <= 256).all()
+        # shift resilience: tails re-align after an insert
+        shifted = "INSERTED PREFIX " + text
+        b2 = rolling_cdc_boundaries(shifted)
+        chunks1 = {text[s:e] for s, e in zip([0] + b, b)}
+        chunks2 = {shifted[s:e] for s, e in zip([0] + b2, b2)}
+        assert len(chunks1 & chunks2) >= len(chunks1) * 0.8
+        # batch explode covers the text exactly, hashes match content
+        import hashlib as _h
+
+        df = pd.DataFrame({"doc_id": [1], "text": [text[:1000]]})
+        rows = rolling_cdc_chunk_batch(df)
+        assert rows["n_chars"].sum() == 1000
+        assert (rows["offset"] + rows["n_chars"]).iloc[-1] == 1000
+        for _, r in rows.iterrows():
+            piece = text[: 1000][int(r["offset"]): int(r["offset"]) + int(r["n_chars"])]
+            assert _h.md5(piece.encode()).hexdigest() == r["chunk_hash"]
+
     def test_insert_shift_resilience(self):
         # CDC's reason to exist: a prefix insert must not re-chunk the
         # whole stream (fixed-size blocking would)
