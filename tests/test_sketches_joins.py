@@ -388,6 +388,22 @@ class TestTpchJoinShapes:
         rev = df["revenue"].to_numpy()
         assert (rev[:-1] >= rev[1:]).all()
 
+    def test_returned_revenue_routes_agree(self, ray_session):
+        """r4 fused-exchange rewrite: the driver-finish route (custkey
+        partials finished driver-side, one exchange) must equal the
+        distributed grouped_sum route row for row."""
+        import pandas as pd
+
+        from pdf_parser_ray.ops.relational import returned_revenue_topk
+
+        a = returned_revenue_topk(self.SF, k=20).to_pandas()
+        b = returned_revenue_topk(
+            self.SF, k=20, driver_finish=False
+        ).to_pandas()
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True), b.reset_index(drop=True)
+        )
+
     def test_nation_profit_matches_driverless_pandas(self, ray_session):
         import numpy as np
         import pandas as pd
