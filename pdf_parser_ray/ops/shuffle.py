@@ -30,6 +30,27 @@ import ray.data
 DEFAULT_PARTS = 512
 
 
+def size_parts(
+    n_rows: int | None,
+    *,
+    rows_per_part: int = 100_000,
+    lo: int = 32,
+    hi: int = DEFAULT_PARTS,
+) -> int:
+    """Partition count sized to the DATA: ~``rows_per_part`` rows per
+    partition, clamped to [lo, hi]; unknown size → ``hi`` (the safe
+    direction at scale).  Rationale: each partitioned_map exchange pays
+    a fixed cost per partition (tag/merge tasks + sort keys — measured
+    ~2.3 s at 512 parts vs ~0.5 s at 64 on a 40k-row table), so
+    ITERATIVE ops whose per-round state is node-bounded (pointer_jump,
+    bfs_distances) must not pay 512-way machinery on 10^4-row state.
+    ``lo`` keeps every core busy; callers with a known bigger cluster
+    pass ``n_parts`` explicitly as before."""
+    if n_rows is None:
+        return hi
+    return max(lo, min(hi, -(-int(n_rows) // rows_per_part)))
+
+
 def detect_hot_keys(
     ds: ray.data.Dataset,
     key: str,
