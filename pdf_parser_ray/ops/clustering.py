@@ -139,9 +139,18 @@ def kmeans_fit(
 
     ``ds`` is re-executed per iteration; at corpus scale that re-read is
     the intended behavior (don't ``materialize()`` 100 TB — Parquet IS
-    the cache).  For minibatch k-means, pass a sampled dataset.
+    the cache).  A KNOWN-small input (no-exec footer estimate ≤ 2M
+    rows) is pinned once instead — five re-reads of a 30 MB table were
+    pure fixed cost (measured ~3 s at sf0.1/32).  For minibatch
+    k-means, pass a sampled dataset.
     """
     from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.ops.dedup import _rows_estimate_no_exec
+
+    est = _rows_estimate_no_exec(ds)
+    if est is not None and est <= 2_000_000:
+        ds = ds.materialize()
 
     centroids = np.asarray(init_centroids, dtype=np.float64).copy()
     k, dim = centroids.shape
@@ -177,14 +186,15 @@ def kmeans_fit(
             data["n"] = n.astype("int64")
             return pd.DataFrame(data)
 
-        aggs = [Sum(c, alias_name=c) for c in sum_cols]
-        aggs.append(Sum("n", alias_name="n"))
+        # driver reduce of ≤ k × batches partial rows: a Ray groupby
+        # over 65 aggregate columns at cluster cardinality k paid ~1 s
+        # of sort-aggregate machinery per iteration for a k-row answer
         small = (
             ds.map_batches(partial, batch_format="pandas",
                            **_task_kwargs(concurrency))
-            .groupby("cluster")
-            .aggregate(*aggs)
-            .to_pandas()  # k rows — driver-sized by construction
+            .to_pandas()  # ≤ k rows per batch — driver-sized
+            .groupby("cluster", as_index=False)[sum_cols + ["n"]]
+            .sum()
         )
         counts = np.zeros(k, dtype=np.int64)
         for _, row in small.iterrows():

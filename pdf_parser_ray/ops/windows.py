@@ -477,20 +477,22 @@ def event_type_pivot(
 
     Output: (user_id, n_click:int64, ..., n_view:int64).
     """
-    from ray.data.aggregate import Sum
+    from pdf_parser_ray.io_utils import arrow_out
+    from pdf_parser_ray.ops.shuffle import grouped_sum
 
     cols = [f"n_{t}" for t in types]
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame):
         ct = pd.crosstab(df["user_id"], df["event_type"])
         ct = ct.reindex(columns=list(types), fill_value=0).astype("int64")
         ct.columns = cols
-        return ct.reset_index().astype({"user_id": "int64"})
+        return arrow_out(ct.reset_index().astype({"user_id": "int64"}))
 
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("user_id")
-        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+    # user_id is a HIGH-cardinality key → co-location sum, not the
+    # streaming sort-aggregate (ops/shuffle.grouped_sum rationale;
+    # measured 11.9 s → ~3 s at sf0.1/32 for this pivot)
+    return grouped_sum(
+        ds.map_batches(partial, batch_format="pandas"), ["user_id"], cols
     )
 
 
