@@ -289,36 +289,19 @@ def _sf_from_dir(sf_dir: str) -> float:
 # multiplies raylets with nodes), not a defect of the pipelines.
 
 
-def _profile_chunks(corpus_dir: str, n_docs: int = 4096, chunk: int = 32):
-    """Load a deterministic doc sample driver-side, pre-chunked."""
-    import glob
-
-    import pyarrow.parquet as pq
-
-    rows: list[tuple] = []
-    for f in sorted(glob.glob(f"{corpus_dir}/*.parquet")):
-        t = pq.read_table(f, columns=["url", "html", "text"])
-        for u, h, x in zip(
-            t.column("url").to_pylist(),
-            t.column("html").to_pylist(),
-            t.column("text").to_pylist(),
-        ):
-            rows.append((u, h, x))
-            if len(rows) >= n_docs:
-                break
-        if len(rows) >= n_docs:
-            break
-    return [rows[i : i + chunk] for i in range(0, len(rows), chunk)]
-
-
-def _extract_chunk(rows) -> int:
+def _extract_chunk(spec) -> int:
+    """Synthesize-and-extract ``count`` docs in-process: the REAL
+    extraction kernel as a pure CPU-bound task with ZERO payload
+    shipping, so every executor (mp pool / ray.remote / Ray Data) runs
+    byte-identical work and the comparison isolates DISPATCH cost."""
+    seed_base, count = spec
     from pdf_parser_ray import extract_document
+    from pdf_parser_ray.corpus import make_document
 
-    n = 0
-    for u, h, x in rows:
-        extract_document(u, h, x)
-        n += 1
-    return n
+    for i in range(count):
+        d = make_document(seed_base * 100_000 + i, 42)
+        extract_document(d["url"], d["html"], d["text"])
+    return count
 
 
 def run_profile() -> dict:
@@ -330,19 +313,14 @@ def run_profile() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", SF_DIR_DEFAULT)
     mult = int(os.environ.get("BENCH_DOCS_MULT", "8"))
 
-    ray.init(address="local", num_cpus=8, include_dashboard=False,
-             logging_level="ERROR", ignore_reinit_error=True)
-    from pdf_parser_ray.corpus import ensure_corpus, sf_to_n_docs
-
-    corpus_dir = ensure_corpus(sf_to_n_docs(_sf_from_dir(sf_dir)) * mult)
-    ray.shutdown()
-
-    n_docs = int(os.environ.get("BENCH_PROFILE_DOCS", "4096"))
-    chunks = _profile_chunks(corpus_dir, n_docs=n_docs)
+    n_tasks = int(os.environ.get("BENCH_PROFILE_TASKS", "1024"))
+    per_task = int(os.environ.get("BENCH_PROFILE_DOCS_PER_TASK", "64"))
+    chunks = [(t, per_task) for t in range(n_tasks)]
+    warm = chunks[: max(1, len(chunks) // 8)]
 
     def time_mp(nproc: int) -> float:
         with mp.get_context("spawn").Pool(nproc) as pool:
-            pool.map(_extract_chunk, chunks[: max(1, len(chunks) // 8)])  # warm
+            pool.map(_extract_chunk, warm)  # imports + page cache
             t0 = time.monotonic()
             pool.map(_extract_chunk, chunks)
             return round(time.monotonic() - t0, 3)
@@ -351,14 +329,14 @@ def run_profile() -> dict:
         ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
                  logging_level="ERROR", ignore_reinit_error=True)
         f = ray.remote(num_cpus=1)(_extract_chunk)
-        ray.get([f.remote(c) for c in chunks[: max(1, len(chunks) // 8)]])
+        ray.get([f.remote(c) for c in warm])
         t0 = time.monotonic()
         ray.get([f.remote(c) for c in chunks])
         dt = round(time.monotonic() - t0, 3)
         ray.shutdown()
         return dt
 
-    controls: dict = {"n_docs": sum(len(c) for c in chunks)}
+    controls: dict = {"n_docs": n_tasks * per_task, "n_tasks": n_tasks}
     for name, fn in (("multiprocessing", time_mp), ("ray_tasks", time_ray_tasks)):
         lo, hi = fn(8), fn(32)
         controls[name] = {
@@ -374,8 +352,10 @@ def run_profile() -> dict:
 
     DataContext.get_current().enable_progress_bars = False
     DataContext.get_current().op_resource_reservation_enabled = False
+    from pdf_parser_ray.corpus import ensure_corpus, sf_to_n_docs
     from pdf_parser_ray.pipelines import extract_corpus, read_corpus
 
+    corpus_dir = ensure_corpus(sf_to_n_docs(_sf_from_dir(sf_dir)) * mult)
     t0 = time.monotonic()
     mat = extract_corpus(read_corpus(corpus_dir), include_spans=True).materialize()
     wall32 = round(time.monotonic() - t0, 3)
@@ -649,5 +629,7 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--profile" in sys.argv:
+        print(json.dumps(run_profile()))
     else:
         print(json.dumps(run_bench(headline_only=bool(os.environ.get("BENCH_HEADLINE_ONLY")))))
