@@ -793,10 +793,11 @@ def weighted_sample_topk(
     the weights.
 
     Shape: per-batch partial top-k (each batch keeps its k best — the
-    only rows that can survive globally), then one tiny sort-limit.
-    Keys are ROUNDED to ``round_to`` before selection with an id
-    tie-break, so a SQL twin using the same expression picks the same
-    rows despite cross-engine pow() last-ulp noise.
+    only rows that can survive globally), then a DRIVER finish over
+    ≤ k × batches rows: the final order is computed in one pandas sort
+    rather than a distributed Sort→limit, whose k-row result's block
+    arrival order proved load-dependent (flaked under a contended box)
+    and whose exchange barrier is pure overhead for a k-row answer.
 
     Output: (id_col, wkey:float64), ordered (wkey DESC, id ASC), k rows.
     """
@@ -822,11 +823,13 @@ def weighted_sample_topk(
         ).head(k)
         return arrow_out(out)
 
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .sort(["wkey", id_col], descending=[True, False])
-        .limit(k)
-    )
+    pool = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    top = pool.sort_values(
+        ["wkey", id_col], ascending=[False, True]
+    ).head(k).reset_index(drop=True)
+    import ray.data as _rd
+
+    return _rd.from_pandas(top)
 
 
 # URL canonicalization: RE2-safe pieces shared verbatim with the SQL
