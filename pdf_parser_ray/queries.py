@@ -1192,10 +1192,13 @@ def q_extract_corpus(sf_dir: str) -> ray.data.Dataset:
     repo's own fixtures/tests instead.
     """
     from pdf_parser_ray.corpus import ensure_corpus, sf_to_n_docs
+    from pdf_parser_ray.io_utils import unreserve
     from pdf_parser_ray.pipelines import extract_corpus, read_corpus
 
     corpus = ensure_corpus(sf_to_n_docs(_sf_from_dir(sf_dir)))
-    return extract_corpus(read_corpus(corpus), include_spans=False)
+    # union-of-maps plan → reservation starves the live branch
+    # (io_utils.unreserve rationale; measured 4.2 s → 2.3 s here)
+    return unreserve(extract_corpus(read_corpus(corpus), include_spans=False))
 
 
 def q_link_graph(sf_dir: str) -> ray.data.Dataset:
@@ -1213,20 +1216,38 @@ def q_link_graph(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_extract_status_counts(sf_dir: str) -> ray.data.Dataset:
-    """Corpus-level extraction metrics (status × kind rollup)."""
-    from ray.data.aggregate import Count
+    """Corpus-level extraction metrics (status × kind rollup).  The
+    rollup columns are pruned BEFORE the groupby and counted per batch
+    (the combiner rule) — the naive groupby shuffled every extracted
+    text + span payload just to count ~6 cells (measured 11 s → ~3 s at
+    sf0.1/32)."""
+    from ray.data.aggregate import Sum
 
-    return q_extract_corpus(sf_dir).groupby(["kind", "status"]).aggregate(
-        Count(alias_name="n")
+    from pdf_parser_ray.io_utils import arrow_out as _ao
+
+    def partial(df: pd.DataFrame):
+        g = df.groupby(["kind", "status"], as_index=False).agg(
+            n=("status", "size")
+        )
+        return _ao(g.astype({"n": "int64"}))
+
+    return (
+        q_extract_corpus(sf_dir)
+        .select_columns(["kind", "status"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["kind", "status"])
+        .aggregate(Sum("n", alias_name="n"))
     )
 
 
 def _cc_extracted_with_spans(sf_dir: str) -> ray.data.Dataset:
     from pdf_parser_ray.corpus import ensure_corpus, sf_to_n_docs
+    from pdf_parser_ray.io_utils import unreserve
     from pdf_parser_ray.pipelines import extract_corpus, read_corpus
 
     corpus = ensure_corpus(sf_to_n_docs(_sf_from_dir(sf_dir)))
-    return extract_corpus(read_corpus(corpus), include_spans=True)
+    # consumers are map-only / tiny-key rollups — union-of-maps rule
+    return unreserve(extract_corpus(read_corpus(corpus), include_spans=True))
 
 
 def q_search_corpus(sf_dir: str) -> ray.data.Dataset:
