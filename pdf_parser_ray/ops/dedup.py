@@ -3265,7 +3265,12 @@ def bfs_distances(
     }
 
     for r in range(1, rounds + 1):
-        f_rows = frontier.take_all()  # node-bounded; r=1 is |sources|
+        # Bounded probe, NOT take_all: limit pushdown means the driver
+        # never holds more than frontier_broadcast_max + 1 rows even on
+        # a web-graph frontier — deciding the route after a full
+        # collection would defeat the guard (ADVICE r4).  On the small
+        # branch the probe already IS the frontier, so nothing re-runs.
+        f_rows = frontier.take(frontier_broadcast_max + 1)
         if len(f_rows) <= frontier_broadcast_max:
             f_arr = np.sort(np.fromiter(
                 (row["node"] for row in f_rows), dtype=np.int64,
@@ -3289,7 +3294,7 @@ def bfs_distances(
                 ))
 
             cand_nbrs = und.map_batches(nbrs_local, batch_format="pandas")
-        else:  # pragma: no cover — the >5M-frontier web-graph route
+        else:  # the over-limit web-graph route (parity-tested at max=1)
             cand_nbrs = colo_join(
                 frontier, und, ["node"], [], ["nbr"], **kw
             ).select_columns(["nbr"])

@@ -1226,7 +1226,11 @@ def q_extract_status_counts(sf_dir: str) -> ray.data.Dataset:
     from pdf_parser_ray.io_utils import arrow_out as _ao
 
     def partial(df: pd.DataFrame):
-        g = df.groupby(["kind", "status"], as_index=False).agg(
+        # dropna=False: a null kind/status must stay its own group, as
+        # the pre-combiner Ray groupby counted it (ADVICE r4).  The
+        # extractor emits non-null kind/status by construction, so this
+        # is belt-and-braces, not a behavior change on real corpora.
+        g = df.groupby(["kind", "status"], as_index=False, dropna=False).agg(
             n=("status", "size")
         )
         return _ao(g.astype({"n": "int64"}))
@@ -12831,7 +12835,28 @@ def q_mg_heavy_users(sf_dir: str) -> pd.DataFrame:
     from pdf_parser_ray.ops.sketches import misra_gries_heavy
 
     ds = _read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
-    return misra_gries_heavy(ds, "user_id", k=_MG_EXACT_K)
+    out = misra_gries_heavy(ds, "user_id", k=_MG_EXACT_K)
+    # Loud exactness gate (ADVICE r4): the SQL twin assumes the
+    # exact-capacity tier.  MG decrements iff a new item arrives with
+    # all k counters live, and any decrement makes Σest < n — so
+    # Σest == n is a sound AND complete no-compaction witness.  At a
+    # bigger sf the sketch would silently estimate; fail here instead
+    # of leaving the oracle divergence to the correctness diff.
+    # An empty summary over a non-empty stream is itself a compaction
+    # witness (the prune zeroed every counter); ds.count() is a parquet
+    # footer read, not a pipeline execution.
+    exact = (
+        int(out["est"].sum()) == int(out["n"].iloc[0])
+        if len(out) else ds.count() == 0
+    )
+    if not exact:
+        raise AssertionError(
+            f"mg_heavy_users exact-capacity tier violated: k={_MG_EXACT_K} "
+            "< distinct user_ids at this sf (a counter was decremented, so "
+            "sum(est) < n); the SQL oracle only matches the no-compaction "
+            "tier — raise _MG_EXACT_K"
+        )
+    return out
 
 
 QUERIES["mg_heavy_users"] = q_mg_heavy_users
@@ -13026,7 +13051,18 @@ def q_kll_quantiles(sf_dir: str) -> pd.DataFrame:
     from pdf_parser_ray.ops.sketches import kll_quantiles
 
     ds = _read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
-    return kll_quantiles(ds, "value", k=_KLL_EXACT_K)
+    out = kll_quantiles(ds, "value", k=_KLL_EXACT_K)
+    # Loud exactness gate (ADVICE r4): compaction fires once n > k, at
+    # which point the SQL twin's nearest-rank quantile no longer holds
+    # value-exactly.  n rides every output row, so the check is free.
+    if len(out) and int(out["n"].iloc[0]) > _KLL_EXACT_K:
+        raise AssertionError(
+            f"kll_quantiles exact-capacity tier violated: n="
+            f"{int(out['n'].iloc[0])} > k={_KLL_EXACT_K}; the sketch "
+            "compacted and the SQL oracle only matches the exact tier — "
+            "raise _KLL_EXACT_K"
+        )
+    return out
 
 
 QUERIES["kll_quantiles"] = q_kll_quantiles

@@ -403,10 +403,47 @@ class TestNearDedupCorpus:
         ).to_pandas().sort_values("doc_id").reset_index(drop=True)
         assert len(bc) < len(docs)  # the cliques genuinely deduped
         pd.testing.assert_frame_equal(bc, jn[bc.columns])
+        # Explicit broadcast mode still raises at the limit …
         with pytest.raises(ValueError, match="mode='join'"):
             near_dedup_corpus(
-                ds, method="minhash", threshold=0.5, broadcast_limit=2
+                ds, method="minhash", threshold=0.5, mode="broadcast",
+                broadcast_limit=2,
             )
+        # … but the default auto mode routes over-limit drop sets to
+        # the join path instead (VERDICT r4 #2), identical output.
+        au = near_dedup_corpus(
+            ds, method="minhash", threshold=0.5, broadcast_limit=2
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(bc, au[bc.columns])
+
+    def test_join_mode_clean_corpus(self, ray_session):
+        """ADVICE r4: mode='join' on a corpus with ZERO near-dup pairs
+        must return the corpus unchanged, not crash on the schema-less
+        empty component table."""
+        import pandas as pd
+        import ray.data
+
+        from pdf_parser_ray.pipelines import dup_aware_weights, near_dedup_corpus
+
+        docs = pd.DataFrame({
+            "doc_id": pd.Series(range(4), dtype="int64"),
+            "text": [
+                "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+                "one two three four five six seven eight nine ten eleven",
+                "red orange yellow green blue indigo violet magenta cyan",
+                "north south east west up down left right forward backward",
+            ],
+        })
+        ds = ray.data.from_pandas(docs)
+        out = near_dedup_corpus(
+            ds, method="minhash", threshold=0.5, mode="join"
+        ).to_pandas()
+        assert sorted(out["doc_id"]) == [0, 1, 2, 3]
+        w = dup_aware_weights(
+            ds, method="minhash", threshold=0.5, mode="join"
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert list(w["cluster_size"]) == [1, 1, 1, 1]
+        assert list(w["weight"]) == [1.0, 1.0, 1.0, 1.0]
 
     def test_dedup_rare_materialize_escape_hatch(self, ray_session, tmp_path):
         """VERDICT r3 #8: materialize=False must leave the (checkpointed-
@@ -488,8 +525,14 @@ class TestNearDedupCorpus:
         pd.testing.assert_frame_equal(bc, jn)  # weights bit-identical
         with pytest.raises(ValueError, match="mode='join'"):
             dup_aware_weights(
-                ds, method="minhash", threshold=0.5, broadcast_limit=2
+                ds, method="minhash", threshold=0.5, mode="broadcast",
+                broadcast_limit=2,
             )
+        # Default auto mode: over-limit component table → join route.
+        au = dup_aware_weights(
+            ds, method="minhash", threshold=0.5, broadcast_limit=2
+        ).to_pandas().sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(bc, au)
 
 
 class TestCompactParquet:

@@ -902,3 +902,60 @@ class TestKllSketch:
             assert abs(true_rank - q) < 0.03
         # quantile estimates are monotone in q
         assert (np.diff(out["value"]) >= 0).all()
+
+
+class TestExactCapacityGates:
+    """ADVICE r4: the MG/KLL SQL oracles assume the exact-capacity tier;
+    at a bigger sf the sketches would silently compact and the twins
+    would diverge with no signal.  The query layer now asserts the
+    precondition at runtime — these tests trip both gates."""
+
+    def _events(self, tmp_path, n_users=8, rows=24):
+        import pandas as pd
+
+        # Skewed: user 0 dominates, so an undersized MG summary keeps a
+        # decremented (under-counted) survivor rather than pruning to
+        # empty — both shapes must trip the gate (the empty-summary
+        # shape is covered by the ds.count() witness in the query).
+        uid = [0] * (rows - n_users + 1) + list(range(1, n_users))
+        df = pd.DataFrame({
+            "user_id": pd.Series(uid, dtype="int64"),
+            "value": pd.Series(
+                [float(i) for i in range(rows)], dtype="float64"
+            ),
+        })
+        df.to_parquet(tmp_path / "events.parquet")
+        return str(tmp_path)
+
+    def test_mg_gate_trips_on_overflow(self, ray_session, tmp_path, monkeypatch):
+        import pytest
+
+        import pdf_parser_ray.queries as q
+
+        sf_dir = self._events(tmp_path)
+        monkeypatch.setattr(q, "_MG_EXACT_K", 3)  # < 8 distinct users
+        with pytest.raises(AssertionError, match="exact-capacity tier"):
+            q.q_mg_heavy_users(sf_dir)
+
+    def test_mg_gate_passes_at_capacity(self, ray_session, tmp_path):
+        import pdf_parser_ray.queries as q
+
+        out = q.q_mg_heavy_users(self._events(tmp_path))
+        assert len(out) == 8 and int(out["est"].sum()) == 24
+        assert int(out["est"].iloc[0]) == 17  # dominant user exact
+
+    def test_kll_gate_trips_on_overflow(self, ray_session, tmp_path, monkeypatch):
+        import pytest
+
+        import pdf_parser_ray.queries as q
+
+        sf_dir = self._events(tmp_path)
+        monkeypatch.setattr(q, "_KLL_EXACT_K", 10)  # < 24 rows
+        with pytest.raises(AssertionError, match="exact-capacity tier"):
+            q.q_kll_quantiles(sf_dir)
+
+    def test_kll_gate_passes_at_capacity(self, ray_session, tmp_path):
+        import pdf_parser_ray.queries as q
+
+        out = q.q_kll_quantiles(self._events(tmp_path))
+        assert int(out["n"].iloc[0]) == 24

@@ -1015,6 +1015,31 @@ class TestBfsDistances:
         # distances are the MIN over both sources
         assert out["dist"].tolist() == [0, 1, 2, 1, 0]
 
+    def test_colo_route_parity_and_bounded_probe(self, ray_session):
+        """ADVICE r4: the frontier size check must not take_all() first —
+        the probe is take(max+1), so an over-limit frontier routes to
+        colo_join with the driver never holding more than max+1 rows.
+        Forcing max=1 exercises the colo route end-to-end; distances
+        must match the broadcast route exactly."""
+        import ray.data
+
+        from pdf_parser_ray.ops.dedup import bfs_distances
+
+        edges = ray.data.from_pandas(
+            pd.DataFrame({"a": [0, 0, 1, 2, 3, 4], "b": [1, 2, 3, 4, 5, 5]})
+        )
+        bc = (
+            bfs_distances(edges, [0], rounds=3)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        colo = (
+            bfs_distances(edges, [0], rounds=3, frontier_broadcast_max=1)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(bc, colo)
+        assert bc["node"].tolist() == [0, 1, 2, 3, 4, 5]
+        assert bc["dist"].tolist() == [0, 1, 1, 2, 2, 3]
+
 
 class TestPointerJump:
     def test_chain_forest_and_terminal_keep(self, ray_session):
