@@ -121,6 +121,7 @@ def kmeans_fit(
     vec_col: str = "embedding",
     concurrency: int | tuple[int, int] | None = None,
     round_between: int | None = None,
+    partial_limit: int = 2_000_000,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Lloyd's iterations over the full dataset.
 
@@ -143,6 +144,11 @@ def kmeans_fit(
     rows) is pinned once instead — five re-reads of a 30 MB table were
     pure fixed cost (measured ~3 s at sf0.1/32).  For minibatch
     k-means, pass a sampled dataset.
+
+    ``partial_limit`` caps the per-iteration driver reduce (≤ k ×
+    batches partial rows) with a bounded ``limit + 1`` probe (VERDICT
+    r4 #8): a mis-sized call (huge k over many blocks) raises with
+    guidance instead of OOMing the driver.
     """
     from ray.data.aggregate import Sum
 
@@ -189,13 +195,19 @@ def kmeans_fit(
         # driver reduce of ≤ k × batches partial rows: a Ray groupby
         # over 65 aggregate columns at cluster cardinality k paid ~1 s
         # of sort-aggregate machinery per iteration for a k-row answer
-        small = (
+        pool = (
             ds.map_batches(partial, batch_format="pandas",
                            **_task_kwargs(concurrency))
-            .to_pandas()  # ≤ k rows per batch — driver-sized
-            .groupby("cluster", as_index=False)[sum_cols + ["n"]]
-            .sum()
+            .limit(partial_limit + 1)  # ≤ k rows per batch; bounded pull
+            .to_pandas()
         )
+        if len(pool) > partial_limit:
+            raise ValueError(
+                f"kmeans_fit partial pool exceeds partial_limit="
+                f"{partial_limit} (k × batches rows reach the driver); "
+                "lower k, coarsen blocks, or raise partial_limit"
+            )
+        small = pool.groupby("cluster", as_index=False)[sum_cols + ["n"]].sum()
         counts = np.zeros(k, dtype=np.int64)
         for _, row in small.iterrows():
             c = int(row["cluster"])

@@ -1379,7 +1379,8 @@ def nation_profit(sf_dir: str) -> ray.data.Dataset:
 
 
 def returned_revenue_topk(
-    sf_dir: str, k: int = 20, *, driver_finish: bool = True
+    sf_dir: str, k: int = 20, *, driver_finish: bool = True,
+    pool_limit: int = 20_000_000,
 ) -> ray.data.Dataset:
     """TPC-H Q10 shape: revenue lost to returned items, top-k customers.
 
@@ -1396,6 +1397,9 @@ def returned_revenue_topk(
     6.3 s → ~3.7 s at sf0.1/32; VERDICT r3 #6).  ``False`` keeps the
     distributed grouped_sum for callers whose customer table outgrows
     the driver (they must also swap the name attach for a join).
+    ``pool_limit`` makes the bound loud (VERDICT r4 #8): the partial
+    pull is a ``limit + 1`` probe, so a mis-sized call raises with
+    "use driver_finish=False" instead of OOMing a 100×-scale driver.
 
     Output: (c_custkey, c_name, revenue:float64 rounded 2),
     ordered by (revenue DESC, c_custkey ASC), k rows.
@@ -1441,7 +1445,14 @@ def returned_revenue_topk(
     ).rename(columns={"c_custkey": "o_custkey"})
 
     if driver_finish:
-        pool = partials.to_pandas()  # bounded: see docstring
+        # bounded probe: see docstring (≤ partitions × |customer| rows)
+        pool = partials.limit(pool_limit + 1).to_pandas()
+        if len(pool) > pool_limit:
+            raise ValueError(
+                f"returned_revenue driver finish exceeds pool_limit="
+                f"{pool_limit}; use driver_finish=False (distributed "
+                "grouped_sum) for this customer cardinality"
+            )
         agg_df = pool.groupby("o_custkey", as_index=False)["revenue"].sum()
         agg_df["revenue"] = np.round(agg_df["revenue"].astype("float64"), 2)
         top = agg_df.sort_values(

@@ -783,6 +783,7 @@ def weighted_sample_topk(
     weight_col: str,
     id_col: str = "doc_id",
     round_to: int = 6,
+    pool_limit: int = 5_000_000,
 ) -> "ray.data.Dataset":
     """Deterministic weighted sampling WITHOUT replacement — the
     Efraimidis–Spirakis A-Res scheme with md5-derived uniforms: row i
@@ -798,6 +799,12 @@ def weighted_sample_topk(
     rather than a distributed Sort→limit, whose k-row result's block
     arrival order proved load-dependent (flaked under a contended box)
     and whose exchange barrier is pure overhead for a k-row answer.
+
+    ``pool_limit`` is the loud-failure cap on that driver pool
+    (VERDICT r4 #8, the ``incremental_dedup.positives_limit`` rule):
+    the collection is a bounded ``limit(pool_limit + 1)`` probe, so a
+    mis-sized call (huge k × many batches) raises cleanly instead of
+    OOMing the driver at 100× scale.
 
     Output: (id_col, wkey:float64), ordered (wkey DESC, id ASC), k rows.
     """
@@ -823,7 +830,17 @@ def weighted_sample_topk(
         ).head(k)
         return arrow_out(out)
 
-    pool = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    pool = (
+        ds.map_batches(partial, batch_format="pandas")
+        .limit(pool_limit + 1)  # bounded probe — never an unbounded pull
+        .to_pandas()
+    )
+    if len(pool) > pool_limit:
+        raise ValueError(
+            f"weighted_sample_topk partial pool exceeds pool_limit="
+            f"{pool_limit} (k × batches rows reach the driver); lower k, "
+            "coarsen batches, or raise pool_limit"
+        )
     top = pool.sort_values(
         ["wkey", id_col], ascending=[False, True]
     ).head(k).reset_index(drop=True)

@@ -11480,19 +11480,37 @@ def q_table_shapes(sf_dir: str) -> ray.data.Dataset:
     """Per-table shape audit of q:html_tables (n_rows, n_cols, n_cells
     per (url, table)) — the view a structured-extraction pipeline
     checks before schema inference.  Cell harvest is row-local; the
-    rollup is one bounded groupby over (url, table_idx)."""
-    from ray.data.aggregate import Count, Max
+    shuffle ships one PARTIAL row per (url, table_idx) per batch (max
+    row/col + cell count — the extract_status_counts combiner rule,
+    VERDICT r4 #3), not one row per CELL: cells per batch ≫ tables per
+    batch, and max/count merge exactly under Max/Max/Sum."""
+    from ray.data.aggregate import Max, Sum
 
     from pdf_parser_ray.corpus import ensure_table_corpus, sf_to_n_docs
     from pdf_parser_ray.html.tables import extract_tables
+    from pdf_parser_ray.io_utils import arrow_out as _ao
     from pdf_parser_ray.pipelines import read_corpus
 
     corpus = ensure_table_corpus(sf_to_n_docs(_sf_from_dir(sf_dir)))
     cells = extract_tables(read_corpus(corpus))
-    return cells.groupby(["url", "table_idx"]).aggregate(
-        Max("row_idx", alias_name="max_row"),
-        Max("col_idx", alias_name="max_col"),
-        Count(alias_name="n_cells"),
+
+    def partial(df: pd.DataFrame):
+        g = df.groupby(["url", "table_idx"], as_index=False).agg(
+            max_row=("row_idx", "max"),
+            max_col=("col_idx", "max"),
+            n_cells=("row_idx", "size"),
+        )
+        return _ao(g.astype({"n_cells": "int64"}))
+
+    return (
+        cells.select_columns(["url", "table_idx", "row_idx", "col_idx"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["url", "table_idx"])
+        .aggregate(
+            Max("max_row", alias_name="max_row"),
+            Max("max_col", alias_name="max_col"),
+            Sum("n_cells", alias_name="n_cells"),
+        )
     )
 
 

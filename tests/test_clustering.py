@@ -113,6 +113,20 @@ def test_fit_moves_centroids(emb, ray_session):
     assert not np.allclose(cent, init)
 
 
+def test_fit_partial_limit_trips_loudly(emb, ray_session):
+    """VERDICT r4 #8: the per-iteration driver reduce is a bounded
+    limit+1 probe — an over-limit k × batches pool raises cleanly."""
+    import pytest
+
+    _, mat = emb
+    init = mat[:K]
+    ds = ray.data.read_parquet(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="partial_limit"):
+        kmeans_fit(ds, init, n_iter=1, partial_limit=1)
+
+
 class TestProductQuantization:
     def test_decode_reconstruction_improves_with_codes(self, ray_session):
         import numpy as np

@@ -192,6 +192,52 @@ class TestTfidfTopTerms:
         )
         assert tfidf_top_terms(ds, k=3).to_pandas().shape[0] == 3
 
+    def test_join_route_matches_broadcast(self, ray_session):
+        """VERDICT r4 #1 parity gate: the hash-join-on-token scale path
+        must select the exact rows (and bit-identical scores) the
+        broadcast route selects, and auto must fall through to it when
+        the vocabulary outgrows the broadcast limit."""
+        import numpy as np
+        import pytest
+
+        from pdf_parser_ray.ops.curation import tfidf_top_terms
+
+        rng = np.random.RandomState(11)
+        words = ("red green blue slate amber coral lilac olive pearl "
+                 "onyx quartz topaz jade ruby beryl agate").split()
+        texts = [" ".join(rng.choice(words, 12)) + f" rare{i % 7}"
+                 for i in range(40)]
+        ds = _docs_ds({
+            "doc_id": pd.Series(range(40), dtype="int64"),
+            "text": texts,
+        })
+        key = ["doc_id", "token"]
+        bc = tfidf_top_terms(ds, k=3, mode="broadcast").to_pandas() \
+            .sort_values(key).reset_index(drop=True)
+        jn = tfidf_top_terms(ds, k=3, mode="join").to_pandas() \
+            .sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(bc, jn)  # scores bit-identical
+        # Explicit broadcast raises over the limit; auto falls through.
+        with pytest.raises(ValueError, match="mode='join'"):
+            tfidf_top_terms(ds, k=3, mode="broadcast", broadcast_limit=2)
+        au = tfidf_top_terms(ds, k=3, broadcast_limit=2).to_pandas() \
+            .sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(bc, au)
+
+    def test_join_route_empty_corpus(self, ray_session):
+        from pdf_parser_ray.ops.curation import tfidf_top_terms
+
+        ds = _docs_ds({
+            "doc_id": pd.Series([0, 1], dtype="int64"),
+            "text": ["", ""],
+        })
+        out = tfidf_top_terms(ds, k=3, mode="join")
+        # Zero rows, but the dataset keeps the typed result schema
+        # (to_pandas drops columns on any empty Dataset — Ray behavior,
+        # same on the broadcast route).
+        assert out.schema().names == ["doc_id", "token", "score"]
+        assert len(out.to_pandas()) == 0
+
 
 class TestExportTrainingData:
     def test_end_to_end_partitioned_export(self, ray_session, tmp_path):

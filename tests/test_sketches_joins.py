@@ -404,6 +404,17 @@ class TestTpchJoinShapes:
             a.reset_index(drop=True), b.reset_index(drop=True)
         )
 
+    def test_returned_revenue_pool_limit_trips_loudly(self, ray_session):
+        """VERDICT r4 #8: the driver finish pulls through a bounded
+        limit+1 probe and raises (pointing at driver_finish=False)
+        instead of OOMing when the partial pool outgrows the cap."""
+        import pytest
+
+        from pdf_parser_ray.ops.relational import returned_revenue_topk
+
+        with pytest.raises(ValueError, match="driver_finish=False"):
+            returned_revenue_topk(self.SF, k=20, pool_limit=3)
+
     def test_nation_profit_matches_driverless_pandas(self, ray_session):
         import numpy as np
         import pandas as pd

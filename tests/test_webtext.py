@@ -262,6 +262,21 @@ class TestWeightedSampleTopk:
         # the 50x-weighted half should dominate the sample
         assert (one["doc_id"] >= n // 2).sum() >= 25
 
+    def test_pool_limit_trips_loudly(self, ray_session):
+        """VERDICT r4 #8: the driver finish is a bounded limit+1 probe —
+        a mis-sized k × batches pool raises instead of OOMing."""
+        import pytest
+        import ray.data
+
+        from pdf_parser_ray.ops.webtext import weighted_sample_topk
+
+        df = pd.DataFrame({"doc_id": np.arange(50, dtype="int64")})
+        df["w"] = 1.0
+        with pytest.raises(ValueError, match="pool_limit"):
+            weighted_sample_topk(
+                ray.data.from_pandas(df), 10, weight_col="w", pool_limit=3
+            )
+
 
 class TestCanonicalizeUrls:
     def test_pins_canonical_forms(self, ray_session):
