@@ -586,14 +586,32 @@ def run_scaling() -> dict:
     # worker-start luck) even though each process takes min-of-2
     # internally — so take the best of ``BENCH_SCALING_PROCS`` fresh
     # processes per level (min wall = least-interfered sample).
-    procs = int(os.environ.get("BENCH_SCALING_PROCS", "2"))
-    runs: dict = {}
-    for n in (2, 8, 32):
-        samples = [one(n) for _ in range(max(1, procs))]
-        runs[n] = min(samples, key=lambda r: r["value"])
+    # Samples INTERLEAVE across levels (round-robin 2→8→32, r4 verdict
+    # #4): box-load drift during the protocol then biases every level
+    # equally instead of whichever level ran during the bad minutes.
+    # The median per level rides alongside the min — a drift-robust
+    # second read of the same data.
+    procs = int(os.environ.get("BENCH_SCALING_PROCS", "3"))
+    samples: dict = {2: [], 8: [], 32: []}
+    for _ in range(max(1, procs)):
+        for n in (2, 8, 32):
+            samples[n].append(one(n))
+    runs = {n: min(s, key=lambda r: r["value"]) for n, s in samples.items()}
     tp = {n: runs[n]["docs_per_sec"] for n in runs}
+
+    def _median(xs: list) -> float:
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2.0
+
+    tp_med = {
+        n: _median([r["docs_per_sec"] for r in s])
+        for n, s in samples.items()
+    }
     eff_2_8 = tp[8] / (tp[2] * 4)
     eff_8_32 = tp[32] / (tp[8] * 4)
+    eff_2_8_med = tp_med[8] / (tp_med[2] * 4)
+    eff_8_32_med = tp_med[32] / (tp_med[8] * 4)
     profile = {}
     if os.environ.get("BENCH_SCALING_PROFILE", "1") != "0":
         # VERDICT r3 #4 evidence: identical-workload controls pin the
@@ -611,10 +629,15 @@ def run_scaling() -> dict:
         "pairs": {
             "2_to_8": {"eff": round(eff_2_8, 3), "sec_lo": runs[2]["value"],
                         "sec_hi": runs[8]["value"], "docs_per_sec_lo": tp[2],
-                        "docs_per_sec_hi": tp[8]},
+                        "docs_per_sec_hi": tp[8],
+                        "eff_median": round(eff_2_8_med, 3)},
             "8_to_32": {"eff": round(eff_8_32, 3), "sec_lo": runs[8]["value"],
                          "sec_hi": runs[32]["value"], "docs_per_sec_lo": tp[8],
-                         "docs_per_sec_hi": tp[32]},
+                         "docs_per_sec_hi": tp[32],
+                         "eff_median": round(eff_8_32_med, 3)},
+        },
+        "samples_per_level": {
+            n: [r["docs_per_sec"] for r in s] for n, s in samples.items()
         },
         "docs_per_sec_lo": tp[2],
         "docs_per_sec_hi": tp[8],
