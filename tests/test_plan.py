@@ -69,7 +69,7 @@ BUDGETS = {
     "shard_plan": 1,            # one bucket co-location
     "shard_plan_summary": 2,    # plan + bounded shard rollup
     "html_tables": 0,
-    "table_shapes": 1,          # bounded (url, table) rollup
+    "table_shapes": 0,          # r5: doc-local rollup, zero exchange
     "dup_weights_md5": 0,       # cluster sizes broadcast; attach row-local
     "bpe_encode": 0,            # merge table broadcast; encode row-local
     "perceptron_predict": 0,    # weights broadcast; scoring row-local
