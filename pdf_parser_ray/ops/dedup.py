@@ -2099,9 +2099,18 @@ def canonicalize_strings(
     by distinct-value cardinality.  Values in no fuzzy pair map to
     themselves.
 
+    r5 shape: distinct values come from a per-batch pre-dedupe
+    (combiner) with the EXACT dedupe folded into the node co-location
+    that attaches components (each value's duplicates land in one
+    partition); the canonical-min and the value→canonical attach share
+    ONE component co-location (min is a partition-local transform once
+    a component's members are together).  The previous staging paid a
+    distinct sort-aggregate, a Min sort-aggregate, a materialize and a
+    second Sort for the same answer — all barrier machinery at
+    distinct-value cardinality.
+
     Output: (value, canonical), one row per distinct value.
     """
-    from ray.data.aggregate import Count, Min
 
     def h64(s: pd.Series) -> np.ndarray:
         return (
@@ -2110,8 +2119,11 @@ def canonicalize_strings(
             .view(np.int64)
         )
 
-    distinct = (
-        ds.select_columns([col]).groupby(col).aggregate(Count(alias_name="_n"))
+    # per-batch pre-dedupe only — exact dedupe happens node-locally in
+    # attach, where every copy of a value is co-located anyway
+    distinct = ds.select_columns([col]).map_batches(
+        lambda df: arrow_out(df.drop_duplicates(col)),
+        batch_format="pandas",
     )
 
     pairs = fuzzy_string_pairs(ds, col, max_dist=max_dist, n_parts=n_parts)
@@ -2143,7 +2155,10 @@ def canonicalize_strings(
     from pdf_parser_ray.ops.shuffle import partitioned_map
 
     def attach(part: pd.DataFrame) -> pd.DataFrame:
-        vals = part[part["value"].notna()][["node", "value"]]
+        # every copy of a value co-locates here — this drop_duplicates
+        # IS the exact distinct (the upstream map only pre-deduped)
+        vals = part[part["value"].notna()][["node", "value"]] \
+            .drop_duplicates("node")
         comps = part[part["component"].notna()][["node", "component"]]
         out = vals.merge(comps, on="node", how="left")
         # unpaired values: singleton component = own node
@@ -2158,36 +2173,17 @@ def canonicalize_strings(
         ["node"],
         attach,
         **({"n_parts": n_parts} if n_parts else {}),
-    ).materialize()  # two consumers below; distinct-value cardinality
-
-    canon = labeled.groupby("component").aggregate(
-        Min("value", alias_name="canonical")
     )
 
-    def comp_to_union(df: pd.DataFrame) -> "object":
-        return arrow_out(pd.DataFrame({
-            "component": df["component"].astype("int64"),
-            "value": pd.Series(None, index=df.index, dtype=object),
-            "canonical": df["canonical"],
-        }))
-
-    def val_to_union(df: pd.DataFrame) -> "object":
-        return arrow_out(pd.DataFrame({
-            "component": df["component"].astype("int64"),
-            "value": df["value"],
-            "canonical": pd.Series(None, index=df.index, dtype=object),
-        }))
-
     def resolve(part: pd.DataFrame) -> pd.DataFrame:
-        vals = part[part["value"].notna()][["component", "value"]]
-        cans = part[part["canonical"].notna()][["component", "canonical"]]
-        out = vals.merge(cans, on="component")
-        return pd.DataFrame({"value": out["value"], "canonical": out["canonical"]})
+        # a component's members are all here: the lexicographic-min
+        # canonical is a partition-local transform — no Min aggregate,
+        # no second exchange to attach it back
+        can = part.groupby("component")["value"].transform("min")
+        return pd.DataFrame({"value": part["value"], "canonical": can})
 
     return partitioned_map(
-        canon.map_batches(comp_to_union, batch_format="pandas").union(
-            labeled.map_batches(val_to_union, batch_format="pandas")
-        ),
+        labeled,
         ["component"],
         resolve,
         **({"n_parts": n_parts} if n_parts else {}),

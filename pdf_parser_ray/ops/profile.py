@@ -2007,12 +2007,14 @@ def calibration_bins(
     frac_pos across bins = the score ranks; frac_pos ≈ its bin's
     implied probability = it calibrates.
 
-    Per-batch partial → bounded groupby (distinct bins ≤ score
-    range / bin_width).  Output: (bin:int64, n:int64, n_pos:int64,
-    mean_score:float64, frac_pos:float64).
+    Per-batch partial → capped DRIVER reduce (r5: distinct bins ≤
+    score range / bin_width, so the partial stream is bins × batches
+    tiny rows — Ray's sort-aggregate barrier cost ~6 s at sf0.1/32 for
+    a ~20-row answer, the table_shapes pathology; the cap trips loudly
+    if a caller ever feeds an unbounded score domain).  Output:
+    (bin:int64, n:int64, n_pos:int64, mean_score:float64,
+    frac_pos:float64).
     """
-    from ray.data.aggregate import Sum
-
     from pdf_parser_ray.io_utils import arrow_out
 
     def partial(df: pd.DataFrame):
@@ -2032,32 +2034,33 @@ def calibration_bins(
         )
         return arrow_out(g)
 
-    agg = (
+    pool_limit = 5_000_000
+    pool = (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby("bin")
-        .aggregate(
-            Sum("n", alias_name="n"),
-            Sum("n_pos", alias_name="n_pos"),
-            Sum("sum_s", alias_name="sum_s"),
-        )
+        .limit(pool_limit + 1)
+        .to_pandas()
     )
-
-    def finish(df: pd.DataFrame):
-        return arrow_out(
-            pd.DataFrame(
-                {
-                    "bin": df["bin"].astype("int64"),
-                    "n": df["n"].astype("int64"),
-                    "n_pos": df["n_pos"].astype("int64"),
-                    "mean_score": df["sum_s"].to_numpy(dtype=np.float64)
-                    / df["n"].to_numpy(dtype=np.int64),
-                    "frac_pos": df["n_pos"].to_numpy(dtype=np.float64)
-                    / df["n"].to_numpy(dtype=np.int64),
-                }
-            )
+    if len(pool) > pool_limit:
+        raise ValueError(
+            f"calibration_bins partial pool exceeds {pool_limit} rows "
+            "(bins × batches); the score domain is not bounded — widen "
+            "bin_width or restore a distributed grouped_sum finish"
         )
+    df = pool.groupby("bin", as_index=False)[["n", "n_pos", "sum_s"]].sum()
+    out = pd.DataFrame(
+        {
+            "bin": df["bin"].astype("int64"),
+            "n": df["n"].astype("int64"),
+            "n_pos": df["n_pos"].astype("int64"),
+            "mean_score": df["sum_s"].to_numpy(dtype=np.float64)
+            / df["n"].to_numpy(dtype=np.int64),
+            "frac_pos": df["n_pos"].to_numpy(dtype=np.float64)
+            / df["n"].to_numpy(dtype=np.int64),
+        }
+    ).reset_index(drop=True)
+    import ray.data as _rd
 
-    return agg.map_batches(finish, batch_format="pandas")
+    return _rd.from_pandas(out)
 
 
 def loo_group_effect(

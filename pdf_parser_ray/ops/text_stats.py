@@ -891,19 +891,29 @@ def distinctive_terms(
     computes the identical expression tree, rounded before the
     (score DESC, token ASC) top-k tie-break.
 
-    Shape: ONE (group, token)-keyed shuffle of per-batch partial
-    counts; token totals derive from that aggregate (a second,
-    vocabulary-sized groupby — never a rescan); group totals are
-    group-cardinality and broadcast in the score closure.  The final
-    top-k prunes per batch before a bounded per-group pass
-    (top_events_per_type pattern).
+    Shape (r5 rewrite): ONE token-hash exchange total.  Per-batch
+    (group, token) partial counts materialize once (combiner output —
+    vocabulary × batches, not corpus); group totals reduce from them
+    on the driver (group-cardinality, capped probe) and broadcast;
+    then a single ``partitioned_map`` on token makes EVERYTHING else
+    partition-local — the (group, token) merge, the token totals
+    (every row of a token is in the partition), the scoring, and the
+    per-group prune to k.  The bounded prune stream (≤ k × groups ×
+    partitions rows) finishes on the driver.  The previous staging
+    (sort-aggregate gt + tt + ng, a token hash join, a final group
+    sort) paid FIVE barrier operators for the same answer — measured
+    15.0 s vs ~4 s at sf0.1/32 on the same box.
 
     Output: (group_col, token, score:float64), ≤ k rows per group.
     """
     import numpy as np
-    from ray.data.aggregate import Sum
+    import ray as _ray
+    import ray.data as _rd
 
-    from pdf_parser_ray.ops.relational import hash_join
+    from pdf_parser_ray.ops.shuffle import partitioned_map
+    from pdf_parser_ray.stages import worker_state
+
+    pool_limit = 5_000_000
 
     def partial(df: pd.DataFrame):
         toks = df[text_col].fillna("").str.lower().str.findall(TOKEN_PAT)
@@ -918,72 +928,72 @@ def distinctive_terms(
         g = long.groupby([group_col, "token"], as_index=False).size()
         return arrow_out(g.rename(columns={"size": "c"}).astype({"c": "int64"}))
 
-    gt = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby([group_col, "token"])
-        .aggregate(Sum("c", alias_name="c"))
-        .materialize()  # three consumers: token totals, group totals, scoring
+    partials = ds.map_batches(partial, batch_format="pandas").materialize()
+
+    # group totals: group-cardinality × batches rows — capped driver
+    # reduce (the pool-cap rule), broadcast into the scoring closure
+    gpool = (
+        partials.map_batches(
+            lambda df: arrow_out(
+                df.groupby(group_col, as_index=False)["c"].sum()
+            ),
+            batch_format="pandas",
+        )
+        .limit(pool_limit + 1)
+        .to_pandas()
     )
-
-    def token_partial(df: pd.DataFrame):
-        g = df.groupby("token", as_index=False)["c"].sum()
-        return arrow_out(g.rename(columns={"c": "ct"}))
-
-    tt = (
-        gt.map_batches(token_partial, batch_format="pandas")
-        .groupby("token")
-        .aggregate(Sum("ct", alias_name="ct"))
-    )
-
-    def group_partial(df: pd.DataFrame):
-        g = df.groupby(group_col, as_index=False)["c"].sum()
-        return arrow_out(g.rename(columns={"c": "n_g"}))
-
-    ng = (
-        gt.map_batches(group_partial, batch_format="pandas")
-        .groupby(group_col)
-        .aggregate(Sum("n_g", alias_name="n_g"))
-        .to_pandas()  # group-cardinality — tiny
-    )
-    n_total = int(ng["n_g"].sum())
-    ng_map = dict(zip(ng[group_col], ng["n_g"].astype("int64")))
-    import ray as _ray
-
+    if len(gpool) > pool_limit:
+        raise ValueError(
+            f"distinctive_terms group-total pool exceeds {pool_limit}; "
+            "group cardinality is no longer tiny — restore a distributed "
+            "grouped_sum for n_g"
+        )
+    ng = gpool.groupby(group_col, as_index=False)["c"].sum()
+    n_total = int(ng["c"].sum())
+    ng_map = dict(zip(ng[group_col], ng["c"].astype("int64")))
     ngm_ref = _ray.put((ng_map, n_total))
 
-    joined = hash_join(gt, tt, on=("token",))
-
-    def score(df: pd.DataFrame) -> pd.DataFrame:
-        from pdf_parser_ray.stages import worker_state
-
+    def per_part(part: pd.DataFrame) -> pd.DataFrame:
+        # partitioned by token ⇒ every row of a token is here: the
+        # (group, token) merge, the token totals AND the score are all
+        # partition-local.
         ngm, n = worker_state(
             ("dt_ng", ngm_ref.hex()), lambda: _ray.get(ngm_ref)
         )
-        n_g = df[group_col].map(ngm).to_numpy(dtype=np.float64)
-        c = df["c"].to_numpy(dtype=np.float64)
-        ct = df["ct"].to_numpy(dtype=np.float64)
+        gt = part.groupby([group_col, "token"], as_index=False)["c"].sum()
+        ct = gt.groupby("token")["c"].transform("sum")
+        n_g = gt[group_col].map(ngm).to_numpy(dtype=np.float64)
+        c = gt["c"].to_numpy(dtype=np.float64)
         a = c / n_g
-        b = (ct - c + 1.0) / (float(n) - n_g + 1.0)
+        b = (ct.to_numpy(dtype=np.float64) - c + 1.0) / (
+            float(n) - n_g + 1.0
+        )
         out = pd.DataFrame({
-            group_col: df[group_col], "token": df["token"],
+            group_col: gt[group_col], "token": gt["token"],
             "score": np.round(a / b, round_to)})
-        # per-batch prune to k best per group before the final pass
+        # per-partition prune to k best per group — only these can win
         return (
             out.sort_values(["score", "token"], ascending=[False, True])
             .groupby(group_col, as_index=False, sort=False)
             .head(k)
         )
 
-    def final_top(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(
-            ["score", "token"], ascending=[False, True]
-        ).head(k)
-
-    return (
-        joined.map_batches(score, batch_format="pandas")
-        .groupby(group_col)
-        .map_groups(final_top, batch_format="pandas")
+    pruned = partitioned_map(partials, ["token"], per_part)
+    pool = pruned.limit(pool_limit + 1).to_pandas()  # ≤ k·groups·parts
+    if len(pool) > pool_limit:
+        raise ValueError(
+            f"distinctive_terms prune pool exceeds {pool_limit}; raise "
+            "the cap or finish with a distributed per-group pass"
+        )
+    final = (
+        pool.sort_values(
+            [group_col, "score", "token"], ascending=[True, False, True]
+        )
+        .groupby(group_col, as_index=False, sort=False)
+        .head(k)
+        .reset_index(drop=True)
     )
+    return _rd.from_pandas(final)
 
 
 def bm25_topk(
@@ -2422,17 +2432,23 @@ def perceptron_predict(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 64,
+    keep_cols: tuple = (),
 ) -> "ray.data.Dataset":
     """Score documents with a :func:`perceptron_train` weight table:
     integer margin ``w·x + bias`` and the boolean prediction
     ``margin > 0``.  Weights broadcast once (tiny); row-local, zero
-    shuffle.  Output: (id_col, margin:int64, pred:bool)."""
+    shuffle.  ``keep_cols`` pass extra input columns through alongside
+    the scores — a label column riding here costs nothing, where a
+    post-hoc doc_id join to reattach it is a full co-location exchange
+    (the r5 margin_calibration fix).  Output: (id_col, margin:int64,
+    pred:bool, *keep_cols)."""
     import numpy as np
 
     w = np.zeros(n_buckets + 1, dtype=np.int64)
     w[weights["bucket"].to_numpy(dtype=np.int64)] = weights["w"].to_numpy(
         dtype=np.int64
     )
+    keep = list(keep_cols)
 
     def score(df: pd.DataFrame):
         rows, buckets, counts = _perceptron_batch_features(
@@ -2441,17 +2457,16 @@ def perceptron_predict(
         margins = np.full(len(df), int(w[n_buckets]), dtype=np.int64)
         if len(rows):
             np.add.at(margins, rows, w[buckets] * counts)
-        return arrow_out(
-            pd.DataFrame(
-                {
-                    id_col: df[id_col].to_numpy(),
-                    "margin": margins,
-                    "pred": margins > 0,
-                }
-            )
-        )
+        out = {
+            id_col: df[id_col].to_numpy(),
+            "margin": margins,
+            "pred": margins > 0,
+        }
+        for c in keep:
+            out[c] = df[c].to_numpy()
+        return arrow_out(pd.DataFrame(out))
 
-    return ds.select_columns([id_col, text_col]).map_batches(
+    return ds.select_columns([id_col, text_col, *keep]).map_batches(
         score, batch_format="pandas"
     )
 

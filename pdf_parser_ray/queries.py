@@ -11908,7 +11908,11 @@ def q_margin_calibration(sf_dir: str) -> ray.data.Dataset:
     true en-label: fixed-width margin bins with exact counts and
     int-ratio mean/frac columns — the calibration audit a learned gate
     gets before its threshold is trusted.  Composes q:perceptron_weights
-    (integer training) with ops.profile.calibration_bins."""
+    (integer training) with ops.profile.calibration_bins.  Zero joins
+    (r5): the label lives in the SAME documents row as the text, so it
+    rides through perceptron_predict's keep_cols instead of a doc_id
+    co-location exchange to reattach it (the old colo_join was 6.8 s
+    of pure Sort at sf0.1/32)."""
     from pdf_parser_ray.io_utils import arrow_out
     from pdf_parser_ray.ops.profile import calibration_bins
     from pdf_parser_ray.ops.text_stats import (
@@ -11919,15 +11923,7 @@ def q_margin_calibration(sf_dir: str) -> ray.data.Dataset:
     docs = _documents(sf_dir, columns=["doc_id", "text", "lang"])
     w = perceptron_train(docs, n_buckets=_PCP_D, rounds=_PCP_ROUNDS)
     scored = perceptron_predict(
-        _documents(sf_dir, columns=["doc_id", "text"]), w, n_buckets=_PCP_D
-    )
-
-    labels = docs.select_columns(["doc_id", "lang"])
-    from pdf_parser_ray.ops.relational import colo_join
-
-    joined = colo_join(
-        scored.select_columns(["doc_id", "margin"]),
-        labels, ["doc_id"], ["margin"], ["lang"],
+        docs, w, n_buckets=_PCP_D, keep_cols=("lang",)
     )
 
     def lab(df: pd.DataFrame):
@@ -11941,7 +11937,7 @@ def q_margin_calibration(sf_dir: str) -> ray.data.Dataset:
         )
 
     return calibration_bins(
-        joined.map_batches(lab, batch_format="pandas"),
+        scored.map_batches(lab, batch_format="pandas"),
         "margin", "pos", bin_width=_CAL_WIDTH,
     )
 
