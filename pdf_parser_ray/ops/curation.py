@@ -1327,21 +1327,21 @@ def k_anonymity_audit(
     :func:`pseudonymize` / ``pii_redact``.
 
     Both statistics key on ONE packed quasi-identifier string (unit
-    separator), so dtypes survive the union: row counts per combo via
-    per-batch partials, distinct (combo, hash64(sensitive)) pairs via
-    the distinct-pair combiner — the sensitive PAYLOAD never shuffles
-    (see pack), so volume is O(combos) + O(distinct pairs) of 8-byte
-    hashes, never O(rows × payload).  The final merge is
-    combo-cardinality.
+    separator) and ride ONE __qid co-location exchange (r5): the
+    per-batch combiner emits (combo, hash64(sensitive), count) — so
+    the sensitive PAYLOAD never shuffles and volume is O(distinct
+    pairs) of 8-byte hashes, never O(rows × payload) — and with every
+    row of a combo in one partition, the row count (Σ count) and the
+    distinct-sensitive count (nunique) are both partition-local.  The
+    previous staging (a count sort-aggregate + the distinct-pair
+    exchange + a union merge Sort) paid three barrier operators for
+    the same answer — measured 12.1 s → ~4 s at sf0.1/32.
 
     Output: (quasi_cols… as strings, n_rows:int64, l_diversity:int64,
     k_anonymous:bool) with ``k_anonymous = n_rows >= k``.
     """
-    from ray.data.aggregate import Sum
-
     from pdf_parser_ray.io_utils import arrow_out
     from pdf_parser_ray.ops.shuffle import partitioned_map
-    from pdf_parser_ray.ops.sketches import grouped_distinct_exact
 
     sep = "\x1f"
 
@@ -1360,76 +1360,48 @@ def k_anonymity_audit(
         ).astype("uint64").view("int64")
         return arrow_out(pd.DataFrame({"__qid": key, "__sv": sv}))
 
-    packed = ds.select_columns(quasi_cols + [sensitive_col]).map_batches(
-        pack, batch_format="pandas"
-    )
-
-    def count_partial(df: pd.DataFrame):
-        g = df.groupby("__qid", as_index=False).size()
+    def pair_partial(df: pd.DataFrame):
+        # combiner: one row per distinct (combo, sv-hash) per batch,
+        # carrying its in-batch multiplicity — the only thing shuffled
+        g = df.groupby(["__qid", "__sv"], as_index=False).size()
         return arrow_out(
             pd.DataFrame(
                 {"__qid": g["__qid"],
-                 "n_rows": g["size"].astype("int64"),
-                 "l_diversity": np.int64(-1)}
+                 "__sv": g["__sv"].astype("int64"),
+                 "c": g["size"].astype("int64")}
             )
         )
 
-    counts = (
-        packed.map_batches(count_partial, batch_format="pandas")
-        .groupby("__qid")
-        .aggregate(
-            Sum("n_rows", alias_name="n_rows"),
-            Sum("l_diversity", alias_name="l_diversity"),
-        )
-        .map_batches(
-            lambda df: arrow_out(
-                pd.DataFrame(
-                    {"__qid": df["__qid"],
-                     "n_rows": df["n_rows"].astype("int64"),
-                     "l_diversity": np.int64(-1)}
-                )
-            ),
-            batch_format="pandas",
-        )
+    pairs = (
+        ds.select_columns(quasi_cols + [sensitive_col])
+        .map_batches(pack, batch_format="pandas")
+        .map_batches(pair_partial, batch_format="pandas")
     )
 
-    ldiv = grouped_distinct_exact(
-        packed, "__qid", "__sv",
-        **({"n_parts": n_parts} if n_parts else {}),
-    ).map_batches(
-        lambda df: arrow_out(
-            pd.DataFrame(
-                {"__qid": df["__qid"],
-                 "n_rows": np.int64(-1),
-                 "l_diversity": df["n_distinct"].astype("int64")}
-            )
-        ),
-        batch_format="pandas",
-    )
-
-    def merge(part: pd.DataFrame) -> pd.DataFrame:
-        counts_side = part[part["l_diversity"] < 0]
-        ldiv_side = part[part["n_rows"] < 0]
-        out = counts_side[["__qid", "n_rows"]].merge(
-            ldiv_side[["__qid", "l_diversity"]], on="__qid"
-        )
-        if len(out) == 0:
+    def finish(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
             return pd.DataFrame(
                 {**{c: pd.Series(dtype=str) for c in quasi_cols},
                  "n_rows": pd.Series(dtype="int64"),
                  "l_diversity": pd.Series(dtype="int64"),
                  "k_anonymous": pd.Series(dtype=bool)}
             )
-        parts = out["__qid"].str.split(sep, expand=True)
-        res = pd.DataFrame(
-            {c: parts[i].astype(str) for i, c in enumerate(quasi_cols)}
+        agg = part.groupby("__qid", as_index=False).agg(
+            n_rows=("c", "sum"), l_diversity=("__sv", "nunique")
         )
-        res["n_rows"] = out["n_rows"].astype("int64").to_numpy()
-        res["l_diversity"] = out["l_diversity"].astype("int64").to_numpy()
+        cols = agg["__qid"].str.split(sep, expand=True)
+        res = pd.DataFrame(
+            {c: cols[i].astype(str) for i, c in enumerate(quasi_cols)}
+        )
+        res["n_rows"] = agg["n_rows"].astype("int64").to_numpy()
+        res["l_diversity"] = agg["l_diversity"].astype("int64").to_numpy()
         res["k_anonymous"] = res["n_rows"] >= k
         return res
 
-    return partitioned_map(counts.union(ldiv), ["__qid"], merge)
+    return partitioned_map(
+        pairs, ["__qid"], finish,
+        **({"n_parts": n_parts} if n_parts else {}),
+    )
 
 
 def shard_plan(
