@@ -1514,9 +1514,9 @@ def shard_plan_summary(
     """Audit rollup of a :func:`shard_plan`: per shard the row count,
     total bytes, and the covered ``order_col`` range — the view an
     operator reads to sanity-check a compaction before launching it.
-    Per-batch partial → bounded-key groupby (one row per shard)."""
-    from ray.data.aggregate import Max, Min, Sum
-
+    Per-batch partial → capped DRIVER reduce (r5: shards × batches
+    tiny rows; Ray's sort-aggregate barrier cost ~4 s at sf0.1/32 for
+    a 75-row answer — the calibration_bins rule)."""
     from pdf_parser_ray.io_utils import arrow_out
 
     def partial(df: pd.DataFrame):
@@ -1528,16 +1528,26 @@ def shard_plan_summary(
         )
         return arrow_out(g.astype({"n_docs": "int64", "total_bytes": "int64"}))
 
-    return (
+    pool_limit = 5_000_000
+    pool = (
         plan.map_batches(partial, batch_format="pandas")
-        .groupby("shard")
-        .aggregate(
-            Sum("n_docs", alias_name="n_docs"),
-            Sum("total_bytes", alias_name="total_bytes"),
-            Min("first_doc", alias_name="first_doc"),
-            Max("last_doc", alias_name="last_doc"),
-        )
+        .limit(pool_limit + 1)
+        .to_pandas()
     )
+    if len(pool) > pool_limit:
+        raise ValueError(
+            f"shard_plan_summary partial pool exceeds {pool_limit} rows "
+            "(shards × batches); restore a distributed grouped_agg finish"
+        )
+    out = pool.groupby("shard", as_index=False).agg(
+        n_docs=("n_docs", "sum"),
+        total_bytes=("total_bytes", "sum"),
+        first_doc=("first_doc", "min"),
+        last_doc=("last_doc", "max"),
+    ).astype({"n_docs": "int64", "total_bytes": "int64"})
+    import ray.data as _rd
+
+    return _rd.from_pandas(out.reset_index(drop=True))
 
 
 def epoch_repeats(
